@@ -1,0 +1,300 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.I ETL composites — the pipelines that make the engine
+  * "dimagi-data-platform-shaped" (SURVEY.md §2.I; requirements R3–R9,
+  * SURVEY.md §1.2). The reference computed these as PostgreSQL SQL + R
+  * scripts; here each is a declarative Spark plan so Catalyst handles
+  * pushdown/pruning and AQE handles skew at 100 TB (SURVEY.md §3.2).
+  *
+  * Scale notes:
+  *  - Sessionization is a single hash-partition-by-user shuffle + in-partition
+  *    sort; no self-join. At 1000 executors the only exchange is on user_id
+  *    (AQE skew-split handles hot users).
+  *  - Monthly usage reuses the sessionize output in the same plan; Spark
+  *    schedules both aggregations off one shuffle of events.
+  */
+object Etl {
+
+  private def events(s: SparkSession, d: String) = Tables(s, d, "events")
+  private def orders(s: SparkSession, d: String) = Tables(s, d, "orders")
+
+  /** Per-user event ordering — unique tie-break on event_id (FIXTURES.md). */
+  private val byUserTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+  /** Events annotated with a per-user session_id: a gap > 30 min (strict)
+    * starts a new session (R3 visit construction). Comparison is done in
+    * timestamp domain (`ts > prev + INTERVAL 30 MINUTES`) so Spark and the
+    * DuckDB oracle agree to the microsecond.
+    */
+  def sessionized(ev: DataFrame): DataFrame = {
+    val prev = lag(col("ts"), 1).over(byUserTime)
+    ev.withColumn(
+        "new_sess",
+        when(prev.isNull || col("ts") > prev + expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+      .withColumn(
+        "session_id",
+        sum(col("new_sess"))
+          .over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private val sessionizeOracle =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT user_id, ts,
+      |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g
+      |)
+      |SELECT user_id, session_id,
+      |       min(ts) AS session_start, max(ts) AS session_end,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** Monthly usage indicators per (user, month) — R4, the flagship. */
+  def monthlyUsage(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val base = ev
+      .groupBy(col("user_id"), date_trunc("month", col("ts")).as("month"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(date_trunc("day", col("ts"))).as("active_days"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        round(sum(col("value")), 2).as("total_value"),
+        round(percentile(col("value"), lit(0.5)), 4).as("median_value"))
+    val sess = sessionized(ev)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"))
+      .groupBy(col("user_id"), date_trunc("month", col("session_start")).as("month"))
+      .agg(count(lit(1)).as("n_sessions"))
+    base
+      .join(sess, Seq("user_id", "month"), "left")
+      .select(
+        col("user_id"), col("month"), col("n_events"), col("active_days"),
+        col("n_event_types"), col("total_value"), col("median_value"),
+        coalesce(col("n_sessions"), lit(0L)).as("n_sessions"))
+      .orderBy("user_id", "month")
+  }
+
+  private val monthlyUsageOracle =
+    """WITH base AS (
+      |  SELECT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+      |         CAST(count(*) AS BIGINT) AS n_events,
+      |         CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS active_days,
+      |         CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+      |         round(sum(value), 2) AS total_value,
+      |         round(quantile_cont(value, 0.5), 4) AS median_value
+      |  FROM events GROUP BY 1, 2
+      |), g AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sm AS (
+      |  SELECT user_id, ts,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g
+      |), sess AS (
+      |  SELECT user_id, CAST(date_trunc('month', min(ts)) AS TIMESTAMP) AS month
+      |  FROM sm GROUP BY user_id, session_id
+      |), sessm AS (
+      |  SELECT user_id, month, CAST(count(*) AS BIGINT) AS n_sessions
+      |  FROM sess GROUP BY 1, 2
+      |)
+      |SELECT b.user_id, b.month, b.n_events, b.active_days, b.n_event_types,
+      |       b.total_value, b.median_value,
+      |       COALESCE(s.n_sessions, 0) AS n_sessions
+      |FROM base b LEFT JOIN sessm s ON b.user_id = s.user_id AND b.month = s.month
+      |ORDER BY b.user_id, b.month""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    // R9: idempotent re-import — keep the latest version per key.
+    Q(
+      "etl_dedup_latest",
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders
+        |) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")
+    },
+
+    // R9: upsert a batch into a base — replace matched keys, append new.
+    // At scale this is the partition-overwrite pattern; expressed here as
+    // anti-join + union so AQE can broadcast the batch side when small.
+    Q(
+      "etl_incremental_merge",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderstatus IN ('F','P')
+        |), batch AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |)
+        |SELECT * FROM (
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM batch t WHERE t.o_orderkey = b.o_orderkey)
+        |  UNION ALL
+        |  SELECT * FROM batch
+        |) ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      val o = orders(s, d).select(cols.map(col): _*)
+      val base = o.where(col("o_orderstatus").isin("F", "P"))
+      val batch = o.where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      base
+        .join(batch, Seq("o_orderkey"), "left_anti")
+        .unionByName(batch)
+        .orderBy("o_orderkey")
+    },
+
+    // R3: visit construction — gap-based sessionization (SURVEY.md §2.I).
+    Q("etl_sessionize", sessionizeOracle) { (s, d) =>
+      sessionized(events(s, d))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // R4: the monthly usage table — flagship (also wired as SparkEntry.entry).
+    Q("etl_monthly_usage", monthlyUsageOracle)(monthlyUsage),
+
+    // R5: lifetime metrics per user.
+    Q(
+      "etl_user_lifetime",
+      """SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+        |       CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS BIGINT) AS tenure_days,
+        |       CAST(count(DISTINCT date_trunc('month', ts)) AS BIGINT) AS active_months,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"),
+          datediff(max(col("ts")), min(col("ts"))).cast("long").as("tenure_days"),
+          countDistinct(date_trunc("month", col("ts"))).as("active_months"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    // R5: cohort retention — first-active week × week offset. The events
+    // table spans one calendar month (FIXTURES.md), so weekly cohorts are
+    // the meaningful granularity; both engines truncate weeks to Monday.
+    Q(
+      "etl_retention_cohort",
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY user_id
+        |)
+        |SELECT c.cohort_week,
+        |       CAST(date_diff('day', CAST(c.cohort_week AS DATE), CAST(a.week AS DATE)) // 7 AS BIGINT) AS week_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val activity = events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      val cohort = activity.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      activity
+        .join(cohort, Seq("user_id"))
+        .groupBy(
+          col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
+    // R7: batch-entry detection — events in rapid succession (< 2 min gap).
+    Q(
+      "etl_batch_entry_flag",
+      """WITH g AS (
+        |  SELECT user_id,
+        |         CASE WHEN lag(ts) OVER w IS NOT NULL
+        |                AND ts <= lag(ts) OVER w + INTERVAL 2 MINUTE
+        |              THEN 1 ELSE 0 END AS rapid
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(rapid) AS BIGINT) AS n_rapid,
+        |       round(sum(rapid) * 1.0 / count(*), 4) AS rapid_share
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val prev = lag(col("ts"), 1).over(byUserTime)
+      events(s, d)
+        .withColumn(
+          "rapid",
+          when(prev.isNotNull && col("ts") <= prev + expr("INTERVAL 2 MINUTES"), 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("rapid")).as("n_rapid"),
+          round(sum(col("rapid")) * lit(1.0) / count(lit(1)), 4).as("rapid_share"))
+        .orderBy("user_id")
+    },
+
+    // R6: regex-parse a source/version-like string into fields + classify.
+    Q(
+      "etl_device_parse",
+      """SELECT doc_id,
+        |       regexp_extract(source, '([a-z]+)([0-9]+)', 1) AS src_kind,
+        |       CAST(regexp_extract(source, '([a-z]+)([0-9]+)', 2) AS BIGINT) AS src_num,
+        |       CASE WHEN CAST(regexp_extract(source, '([a-z]+)([0-9]+)', 2) AS BIGINT) < 10
+        |            THEN 'low' ELSE 'high' END AS src_class
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val num = regexp_extract(col("source"), "([a-z]+)([0-9]+)", 2).cast("long")
+      Tables(s, d, "documents")
+        .select(
+          col("doc_id"),
+          regexp_extract(col("source"), "([a-z]+)([0-9]+)", 1).as("src_kind"),
+          num.as("src_num"),
+          when(num < 10, "low").otherwise("high").as("src_class"))
+        .orderBy("doc_id")
+    },
+
+    // R2/R5: point-in-time snapshot — latest state per entity as of T.
+    Q(
+      "etl_snapshot_scd",
+      """SELECT user_id, ts, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .where(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("user_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    }
+  )
+}
