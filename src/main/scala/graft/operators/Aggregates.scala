@@ -1,3 +1,207 @@
 package graft.operators
-import graft.Q
-object Aggregates { val qs: Seq[Q] = Seq() }
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.D aggregation (SURVEY.md). All hash aggregates with partial/final
+  * split (map-side combine) for free; the only authored decisions are
+  * determinism ones:
+  *  - money-like DOUBLE sums go through DECIMAL(18,4) so the result is
+  *    independent of partitioning/accumulation order (SURVEY.md §7.3.2),
+  *    then cast back to DOUBLE for a stable schema;
+  *  - counts are BIGINT on both engines (DuckDB sum(int) would be HUGEINT);
+  *  - every query ends in a total order.
+  */
+object Aggregates {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Order-insensitive exact sum of a money-like double column. */
+  private def moneySum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast("decimal(18,4)")).cast("double")
+
+  val qs: Seq[Q] = Seq(
+
+    // TPC-H Q1 shape — the canonical multi-key hash aggregate.
+    Q("agg_groupby",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          moneySum("l_quantity").as("sum_qty"),
+          moneySum("l_extendedprice").as("sum_base"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("sum_disc"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Exact distinct (Expand + two-phase agg) — daily active users.
+    Q("agg_count_distinct",
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(
+          countDistinct(col("user_id")).as("dau"),
+          count(lit(1)).as("n_events"))
+        .orderBy("day")
+    },
+
+    // Hierarchical subtotals region → nation (R8 reporting).
+    Q("agg_rollup",
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        // Expand's null-extended attribute copies trip the DataFrame-API
+        // ambiguity check on post-rollup references; the SQL analyzer path
+        // resolves ROLLUP cleanly, so register the joined input and use it.
+        t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .select("r_name", "n_name", "c_acctbal")
+          .createOrReplaceTempView("agg_rollup_src")
+        s.sql(
+          """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust,
+            |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+            |FROM agg_rollup_src
+            |GROUP BY ROLLUP (r_name, n_name)
+            |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    },
+
+    Q("agg_cube",
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        t(s, d, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), moneySum("o_totalprice").as("total"))
+          .orderBy(
+            col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+    },
+
+    // Explicit grouping sets + per-column grouping() disambiguation.
+    Q("agg_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        t(s, d, "orders")
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+            count(lit(1)).as("n"))
+          .orderBy(
+            col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+    },
+
+    // Pivot event_type → indicator columns (monthly-table shape, R4).
+    Q("agg_pivot",
+      """SELECT user_id,
+        |       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+        |       CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+        |       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+        |       CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+        |       CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(
+          col("user_id") +: types.map(tp =>
+            coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+        .orderBy("user_id")
+    },
+
+    // Exact interpolating percentile (median visit value, R4).
+    Q("agg_median_percentile",
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.9), 4) AS p90,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    Q("agg_stats",
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |       round(var_samp(l_discount), 6) AS var_disc,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+            round(var_samp(col("l_discount")), 6).as("var_disc"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+    },
+
+    Q("agg_distinct_rows",
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // Batch twin of the streaming tumbling window (§2.J) — oracle-checked
+    // here; the streaming variant shares the same grouping logic.
+    Q("win_tumbling_batch",
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin) {
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            col("window.start").as("hour_start"), col("event_type"), col("n"))
+          .orderBy("hour_start", "event_type")
+    }
+  )
+}

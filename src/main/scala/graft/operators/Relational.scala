@@ -1,3 +1,337 @@
 package graft.operators
-import graft.Q
-object Relational { val qs: Seq[Q] = Seq() }
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.A scans, §2.B projection/filter, §2.C joins, §2.F sort/limit,
+  * §2.G set ops (SURVEY.md §2). All thin assemblies of the DataFrame API —
+  * the point is the *plan* each produces:
+  *  - scans keep projection+filter pushed into the vectorized parquet reader;
+  *  - small dims are broadcast explicitly (`broadcast()`), facts shuffle on
+  *    join keys and AQE picks SMJ/SHJ;
+  *  - the as-of join is equi-key + range residual + windowed pick, the
+  *    100 TB-safe shape (no custom physical operator needed, SURVEY.md §4.3).
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val qs: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- §2.A
+    Q("scan_parquet",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") {
+      (s, d) => t(s, d, "region").orderBy("r_regionkey")
+    },
+
+    // Projection + predicate that must reach the scan (PushedFilters).
+    Q("scan_parquet_pruned",
+      """SELECT l_orderkey, l_shipdate FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |ORDER BY l_orderkey, l_shipdate""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+        .orderBy("l_orderkey", "l_shipdate")
+    },
+
+    // ---------------------------------------------------------------- §2.B
+    Q("project_select",
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)), 2) AS DOUBLE) AS revenue,
+        |       CAST(round(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)), 2) AS DOUBLE) AS charged
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charged""".stripMargin) { (s, d) =>
+      // price/discount/tax carry <=2 decimal digits, so the product is exact
+      // at 6 decimal digits: rounding in DECIMAL domain is deterministic and
+      // engine-independent (binary-double round differs at half boundaries).
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(rev.cast("decimal(18,6)"), 2).cast("double").as("revenue"),
+        round((rev * (lit(1) + col("l_tax"))).cast("decimal(18,6)"), 2).cast("double").as("charged"))
+        .orderBy("l_orderkey", "l_linenumber", "revenue", "charged")
+    },
+
+    Q("filter_predicate",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus IN ('F','O')
+        |  AND o_totalprice BETWEEN 50000 AND 200000
+        |  AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%')
+        |  AND NOT (o_orderstatus = 'O' AND o_totalprice < 100000)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .where(
+          col("o_orderstatus").isin("F", "O") &&
+            col("o_totalprice").between(50000, 200000) &&
+            (col("o_orderpriority").like("1%") || col("o_orderpriority").like("2%")) &&
+            !(col("o_orderstatus") === "O" && col("o_totalprice") < 100000))
+        .orderBy("o_orderkey")
+    },
+
+    // NULL three-valued logic incl. null-safe equality (<=>).
+    Q("filter_null_3vl",
+      """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_n,
+        |       nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F' AS same_as_f,
+        |       nullif(o_orderstatus, 'P') IS NULL AS is_null
+        |FROM orders
+        |WHERE nullif(o_orderstatus, 'P') IS NULL OR nullif(o_orderstatus, 'P') = 'F'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val st = nullif(col("o_orderstatus"), lit("P"))
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"), st.as("status_n"),
+          (st <=> "F").as("same_as_f"), st.isNull.as("is_null"))
+        .where(st.isNull || st === "F")
+        .orderBy("o_orderkey")
+    },
+
+    // ---------------------------------------------------------------- §2.C
+    Q("join_inner_equi",
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // Small dims broadcast explicitly — BroadcastHashJoin, no fact shuffle
+    // for the join itself (only for the final aggregation).
+    Q("join_broadcast",
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total_bal"))
+        .orderBy("r_name", "n_name")
+    },
+
+    Q("join_left_outer",
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |ORDER BY c_custkey, o_orderkey ASC NULLS FIRST""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left")
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    },
+
+    // R9 reconciliation: early vs late order counts per customer.
+    Q("join_full_outer",
+      """WITH a AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_early FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey
+        |), b AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_late FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY o_custkey
+        |)
+        |SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+        |       COALESCE(n_early, 0) AS n_early, COALESCE(n_late, 0) AS n_late
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val a = o.where(col("o_orderdate") < cutoff)
+        .groupBy(col("o_custkey").as("ck_a")).agg(count(lit(1)).as("n_early"))
+      val b = o.where(col("o_orderdate") >= cutoff)
+        .groupBy(col("o_custkey").as("ck_b")).agg(count(lit(1)).as("n_late"))
+      a.join(b, col("ck_a") === col("ck_b"), "full_outer")
+        .select(
+          coalesce(col("ck_a"), col("ck_b")).as("custkey"),
+          coalesce(col("n_early"), lit(0L)).as("n_early"),
+          coalesce(col("n_late"), lit(0L)).as("n_late"))
+        .orderBy("custkey")
+    },
+
+    Q("join_left_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(
+          t(s, d, "orders").where(col("o_totalprice") > 300000),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    Q("join_left_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Equi key + range residual: lineitems shipped within 30 days of order.
+    Q("join_range_theta",
+      """SELECT l_orderkey, l_linenumber, o_orderdate, l_shipdate
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | AND l_shipdate > o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |ORDER BY l_orderkey, l_linenumber, o_orderdate, l_shipdate""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .join(
+          t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .select("l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+    },
+
+    // Bounded cartesian product (basis for brute-force knn shapes).
+    Q("join_cross_topk",
+      """SELECT n_name, r_name FROM nation CROSS JOIN region
+        |ORDER BY n_name, r_name""".stripMargin) { (s, d) =>
+      t(s, d, "nation").select("n_name")
+        .crossJoin(t(s, d, "region").select("r_name"))
+        .orderBy("n_name", "r_name")
+    },
+
+    // As-of: each purchase matched to the user's latest at-or-before view.
+    // No native asof join in Spark — equi+range join then windowed pick;
+    // InferWindowGroupLimit turns the rn=1 filter into a group-limit.
+    Q("join_asof",
+      """WITH p AS (
+        |  SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+        |  WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT user_id AS v_user, ts AS v_ts, event_id AS v_id FROM events
+        |  WHERE event_type = 'view'
+        |), j AS (
+        |  SELECT p.user_id, p.p_id, p.p_ts, v.v_id, v.v_ts,
+        |         row_number() OVER (PARTITION BY p.p_id
+        |             ORDER BY v_ts DESC NULLS LAST, v_id DESC NULLS LAST) AS rn
+        |  FROM p LEFT JOIN v ON v.v_user = p.user_id AND v.v_ts <= p.p_ts
+        |)
+        |SELECT user_id, p_id, p_ts, v_id, v_ts FROM j WHERE rn = 1
+        |ORDER BY p_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("v_id"))
+      val w = Window.partitionBy("p_id")
+        .orderBy(col("v_ts").desc_nulls_last, col("v_id").desc_nulls_last)
+      p.join(v, col("v_user") === col("user_id") && col("v_ts") <= col("p_ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("user_id", "p_id", "p_ts", "v_id", "v_ts")
+        .orderBy("p_id")
+    },
+
+    // ---------------------------------------------------------------- §2.F
+    Q("sort_multi_nulls",
+      """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+        |FROM customer
+        |ORDER BY seg ASC NULLS FIRST, c_acctbal DESC, c_custkey""".stripMargin) {
+      (s, d) =>
+        t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+            col("c_acctbal"))
+          .orderBy(col("seg").asc_nulls_first, col("c_acctbal").desc, col("c_custkey"))
+    },
+
+    Q("limit_k",
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 10") {
+      (s, d) =>
+        t(s, d, "orders").select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey").offset(10).limit(50)
+    },
+
+    // ORDER BY + LIMIT fuses to TakeOrderedAndProject — no global sort.
+    Q("topk_global",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+    },
+
+    // ---------------------------------------------------------------- §2.G
+    Q("set_union_all",
+      """SELECT * FROM (
+        |  SELECT event_id, user_id, event_type FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-05'
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type FROM events
+        |  WHERE event_type = 'error'
+        |) ORDER BY event_id, user_id, event_type""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val a = ev.where(col("ts") < lit("2024-01-05").cast("timestamp"))
+        .select("event_id", "user_id", "event_type")
+      // by-name variant: right side deliberately built in another column
+      // order; unionByName aligns.
+      val b = ev.where(col("event_type") === "error")
+        .select("event_type", "user_id", "event_id")
+      a.unionByName(b).orderBy("event_id", "user_id", "event_type")
+    },
+
+    Q("set_union_distinct",
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |UNION
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      def yr(y: Int) = o
+        .where(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select("o_custkey")
+      yr(1995).union(yr(1996)).distinct().orderBy("o_custkey")
+    },
+
+    Q("set_intersect",
+      """(SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+        |INTERSECT
+        |(SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      def yr(y: Int) = o
+        .where(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select("o_custkey")
+      yr(1995).intersect(yr(1996)).orderBy("o_custkey")
+    },
+
+    // Multiset difference — incremental-load "new rows" semantics (R9).
+    Q("set_except",
+      """(SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+        |EXCEPT ALL
+        |(SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      def yr(y: Int) = o
+        .where(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select("o_custkey")
+      yr(1995).exceptAll(yr(1996)).orderBy("o_custkey")
+    }
+  )
+}

@@ -1,3 +1,192 @@
 package graft.operators
-import graft.Q
-object Scalars { val qs: Seq[Q] = Seq() }
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.H scalar function surface (SURVEY.md) — string/date/math/conditional/
+  * json/array/map/hash/cast/explode. Everything stays on
+  * `org.apache.spark.sql.functions._` built-ins so the expressions remain
+  * inside whole-stage codegen; no UDFs. Oracle-side dialect traps handled
+  * per SURVEY.md §7.3.4 (regex common subset, epoch truncation, string
+  * extraction for JSON).
+  */
+object Scalars {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val qs: Seq[Q] = Seq(
+
+    // R6 app-version-style string parsing + general string ops.
+    Q("fn_string",
+      """SELECT p_partkey,
+        |       lower(p_name) AS lo, upper(p_brand) AS up,
+        |       CAST(length(p_name) AS BIGINT) AS len,
+        |       substring(p_name, 1, 8) AS pre,
+        |       replace(p_type, ' ', '_') AS ty,
+        |       concat(p_brand, ':', p_type) AS br_ty,
+        |       trim('  ' || p_brand || ' ') AS trimmed,
+        |       regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+        |       string_split(p_type, ' ') AS words
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lo"), upper(col("p_brand")).as("up"),
+        length(col("p_name")).cast("long").as("len"),
+        substring(col("p_name"), 1, 8).as("pre"),
+        regexp_replace(col("p_type"), " ", "_").as("ty"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("br_ty"),
+        trim(concat(lit("  "), col("p_brand"), lit(" "))).as("trimmed"),
+        regexp_extract(col("p_type"), "([A-Z]+)", 1).as("first_word"),
+        split(col("p_type"), " ").as("words"))
+        .orderBy("p_partkey")
+    },
+
+    // R4/R5 date kit — month bucketing, diffs, month arithmetic, epoch.
+    Q("fn_date",
+      """SELECT o_orderkey,
+        |       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |       CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+        |       CAST(extract(month FROM o_orderdate) AS BIGINT) AS mth,
+        |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        |       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |       CAST(o_orderdate AS DATE) AS od
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mth"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long")
+          .as("days_since"),
+        add_months(col("o_orderdate"), 3).as("plus3m"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        col("o_orderdate").cast("date").as("od"))
+        .orderBy("o_orderkey")
+    },
+
+    Q("fn_math",
+      """SELECT l_orderkey, l_linenumber,
+        |       round(l_extendedprice, 1) AS r1,
+        |       abs(l_discount - 0.05) AS ad,
+        |       CAST(ceil(l_quantity / 7) AS BIGINT) AS ce,
+        |       CAST(floor(l_quantity / 7) AS BIGINT) AS fl,
+        |       round(ln(l_extendedprice), 6) AS lnp,
+        |       round(log10(l_extendedprice), 6) AS lg,
+        |       round(pow(l_quantity, 2), 2) AS sq,
+        |       l_linenumber % 3 AS md,
+        |       CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, r1, ad, sq, md""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("r1"),
+        abs(col("l_discount") - 0.05).as("ad"),
+        ceil(col("l_quantity") / 7).as("ce"),
+        floor(col("l_quantity") / 7).as("fl"),
+        round(log(col("l_extendedprice")), 6).as("lnp"),
+        round(log10(col("l_extendedprice")), 6).as("lg"),
+        round(pow(col("l_quantity"), 2), 2).as("sq"),
+        (col("l_linenumber") % 3).as("md"),
+        signum(col("l_discount") - 0.05).cast("double").as("sg"))
+        .orderBy("l_orderkey", "l_linenumber", "r1", "ad", "sq", "md")
+    },
+
+    // Indicator derivations: CASE ladder, coalesce/nullif, greatest/least.
+    Q("fn_conditional",
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice < 50000 THEN 'S'
+        |            WHEN o_totalprice < 150000 THEN 'M'
+        |            WHEN o_totalprice < 300000 THEN 'L'
+        |            ELSE 'XL' END AS band,
+        |       COALESCE(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+        |       greatest(o_totalprice, 150000.0) AS hi,
+        |       least(o_totalprice, 150000.0) AS lo
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") < 50000, "S")
+          .when(col("o_totalprice") < 150000, "M")
+          .when(col("o_totalprice") < 300000, "L")
+          .otherwise("XL").as("band"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+          .as("status_or_open"),
+        greatest(col("o_totalprice"), lit(150000.0)).as("hi"),
+        least(col("o_totalprice"), lit(150000.0)).as("lo"))
+        .orderBy("o_orderkey")
+    },
+
+    // R10: typed extraction from the JSON property bag.
+    Q("fn_json",
+      """SELECT event_id,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_int"))
+        .orderBy("event_id")
+    },
+
+    // NS: array kit over the embedding column — higher-order fns, no UDF.
+    Q("fn_array",
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS BIGINT) AS dim,
+        |       embedding[1:4] AS first4,
+        |       list_sort(embedding[1:4]) AS sorted4,
+        |       round(list_sum(list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS l2sq
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        slice(col("embedding"), 1, 4).as("first4"),
+        sort_array(slice(col("embedding"), 1, 4)).as("sorted4"),
+        round(
+          aggregate(
+            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0),
+            (acc, x) => acc + x),
+          6).as("l2sq"))
+        .orderBy("vec_id")
+    },
+
+    // R9/NS: content hashing for dedup keys.
+    Q("fn_hash",
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        md5(col("text")).as("h_md5"),
+        sha2(col("text"), 256).as("h_sha"))
+        .orderBy("doc_id")
+    },
+
+    // R1: dirty-ingest casts — try_cast null-on-error.
+    Q("fn_cast",
+      """SELECT event_id,
+        |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+        |       TRY_CAST(event_type AS BIGINT) AS bad_int,
+        |       CAST(ts AS DATE) AS ev_date,
+        |       CAST(user_id AS DOUBLE) AS user_dbl
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        expr("try_cast(get_json_object(props, '$.k') AS LONG)").as("k_int"),
+        expr("try_cast(event_type AS LONG)").as("bad_int"),
+        col("ts").cast("date").as("ev_date"),
+        col("user_id").cast("double").as("user_dbl"))
+        .orderBy("event_id")
+    },
+
+    // R10/NS: UDTF-class explode array → rows.
+    Q("fn_explode",
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |FROM documents ORDER BY doc_id, word""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .orderBy("doc_id", "word")
+    }
+  )
+}

@@ -1,3 +1,158 @@
 package graft.operators
-import graft.Q
-object Windows { val qs: Seq[Q] = Seq() }
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** §2.E window functions (SURVEY.md). One shuffle per distinct
+  * (partitionBy, orderBy) spec; all specs here partition on user_id or a
+  * fact key, so at scale each query is a single exchange + in-partition
+  * sort. Ordering keys always include a unique tie-break (event_id /
+  * orderkey) per the determinism checklist (SURVEY.md §7.4).
+  */
+object Windows {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private val byUserTime: WindowSpec =
+    Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+  val qs: Seq[Q] = Seq(
+
+    Q("win_row_number",
+      """SELECT event_id, user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          row_number().over(byUserTime).cast("long").as("rn"))
+        .orderBy("event_id")
+    },
+
+    // rank/dense_rank with real ties (l_quantity is discrete 1..50).
+    Q("win_rank_dense",
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC)
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("l_returnflag").orderBy(col("l_quantity").desc)
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    },
+
+    // Previous/next event per user — time-between-visits core (R4).
+    Q("win_lag_lead",
+      """SELECT event_id, user_id,
+        |       date_diff('second', lag(ts) OVER w, ts) AS gap_prev_s,
+        |       lead(event_type) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val prev = lag(col("ts"), 1).over(byUserTime)
+      t(s, d, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(prev)).as("gap_prev_s"),
+          lead(col("event_type"), 1).over(byUserTime).as("next_type"))
+        .orderBy("event_id")
+    },
+
+    // Running sum — accumulation order is the window order in both engines,
+    // so the double prefix-sums agree bit-for-bit.
+    Q("win_running_sum",
+      """SELECT event_id, user_id,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          round(
+            sum(col("value")).over(
+              byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            2).as("cum_value"))
+        .orderBy("event_id")
+    },
+
+    // Trailing 7-day activity — RANGE frame over epoch seconds.
+    Q("win_sliding_range",
+      """SELECT event_id, user_id,
+        |       CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+        |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-604800L, 0L)
+      t(s, d, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_7d"))
+        .orderBy("event_id")
+    },
+
+    Q("win_first_last",
+      """SELECT event_id, user_id,
+        |       first_value(event_type) OVER w AS first_type,
+        |       last_value(event_type) OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = byUserTime.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"))
+        .orderBy("event_id")
+    },
+
+    // Quartile bucketing of users by activity (R11).
+    Q("win_ntile",
+      """WITH ua AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT user_id, n_events,
+        |       CAST(ntile(4) OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS quartile
+        |FROM ua ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("n_events").desc, col("user_id"))
+      t(s, d, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"), col("n_events"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("user_id")
+    },
+
+    // Top-3 orders per customer — InferWindowGroupLimit prunes per group.
+    Q("win_topk_per_group",
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("o_custkey", "rn")
+    }
+  )
+}
