@@ -1,3 +1,456 @@
 package graft.operators
-import graft.Q
-object Llm { val qs: Seq[Q] = Seq() }
+
+import graft.{Q, Tables}
+import graft.functions.Aggregators
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorFunctions.{cosineSim, vectorDot}
+
+/** §2.K LLM-data-pipeline operators (SURVEY.md; north star). The patterns
+  * that matter at 100 TB:
+  *  - text ops are pure codegen expression chains over the scan (no UDFs);
+  *  - similarity ops broadcast the smaller side and keep the pair predicate
+  *    inside the join so Catalyst prunes before the cosine is evaluated;
+  *  - cosine is a native codegen `Expression` (org.apache.spark.sql.graft) —
+  *    no per-row array allocation;
+  *  - MinHash/LSH turn O(n²) near-dup search into an equi-join on band
+  *    keys — the only shuffle is on the band key, and band width r scales
+  *    with corpus size to keep bucket sizes bounded;
+  *  - the centroid is a typed `Aggregator` with map-side partials.
+  */
+object Llm {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+
+  /** lowercase → strip non-alnum → collapse runs of spaces → trim. */
+  private def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Distinct 3-token shingles per doc (word-level, space-joined). */
+  private def shingleDf(d: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    d.select(col("doc_id"), toks.as("t"))
+      .select(
+        col("doc_id"),
+        explode(
+          when(size(col("t")) >= 3,
+            transform(
+              sequence(lit(0), size(col("t")) - 3),
+              i => concat_ws(" ", slice(col("t"), i + 1, lit(3)))))
+            .otherwise(array())).as("s"))
+      .distinct()
+  }
+
+  private val shingleSql =
+    """SELECT DISTINCT doc_id,
+      |       unnest(list_transform(range(1, len(t) - 1),
+      |              i -> array_to_string(t[i:i+2], ' '))) AS s
+      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents""".stripMargin
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "les", "et", "des", "un"),
+    "zh" -> Seq("de0", "shi0", "bu0", "le0", "zai0"))
+
+  private def inList(vals: Seq[String]) = vals.map(v => s"'$v'").mkString("(", ", ", ")")
+
+  val qs: Seq[Q] = Seq(
+
+    Q("llm_text_normalize",
+      s"""SELECT doc_id, $normSql AS norm_text
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), normText(col("text")).as("norm_text"))
+        .orderBy("doc_id")
+    },
+
+    // Content-hash dedup groups over normalized text (R9 pattern at NS scale).
+    Q("llm_exact_dedup",
+      s"""SELECT md5($normSql) AS h, min(doc_id) AS keep_id,
+         |       CAST(count(*) AS BIGINT) AS n_copies
+         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .groupBy(md5(normText(col("text"))).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("h")
+    },
+
+    Q("llm_doc_stats",
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       round(avg(n_chars), 4) AS avg_chars,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin) {
+      (s, d) =>
+        docs(s, d)
+          .groupBy("lang", "source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg(col("n_chars")), 4).as("avg_chars"),
+            sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+          .orderBy("lang", "source")
+    },
+
+    // Tokenize → explode → term/document frequencies (UDTF-class op).
+    Q("llm_tokenize_tf",
+      """SELECT token, CAST(count(*) AS BIGINT) AS tf,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY token""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy("token")
+    },
+
+    // Token counting: whitespace tokens, regex word pieces, BPE-ish estimate.
+    Q("llm_token_count",
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re,
+        |       CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+          .cast("long").as("n_re"),
+        ceil(col("n_chars") / 4.0).as("n_bpe_est"))
+        .orderBy("doc_id")
+    },
+
+    // Heuristic quality scoring: length/stopword/alnum ratios.
+    Q("llm_quality_score",
+      s"""SELECT doc_id,
+         |       round(n_chars * 1.0 / nullif(nw, 0), 4) AS avg_tok_len,
+         |       round(stop_n * 1.0 / nullif(nw, 0), 4) AS stop_ratio,
+         |       round(alnum_n * 1.0 / nullif(n_chars, 0), 4) AS alnum_ratio,
+         |       round(least(nw / 100.0, 1.0) * 0.5 + stop_n * 0.5 / nullif(nw, 0), 4) AS quality
+         |FROM (
+         |  SELECT doc_id, n_chars,
+         |         len(string_split(text, ' ')) AS nw,
+         |         len(list_filter(string_split(text, ' '),
+         |             t -> t IN ${inList(stopwords("en"))})) AS stop_n,
+         |         length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS alnum_n
+         |  FROM documents
+         |) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      docs(s, d)
+        .select(
+          col("doc_id"), col("n_chars"),
+          size(toks).as("nw"),
+          size(expr(s"filter(split(text, ' '), t -> t IN ${inList(stopwords("en"))})"))
+            .as("stop_n"),
+          length(regexp_replace(col("text"), "[^a-z0-9]", "")).as("alnum_n"))
+        .select(
+          col("doc_id"),
+          round(col("n_chars") * 1.0 / nullif(col("nw"), lit(0)), 4).as("avg_tok_len"),
+          round(col("stop_n") * 1.0 / nullif(col("nw"), lit(0)), 4).as("stop_ratio"),
+          round(col("alnum_n") * 1.0 / nullif(col("n_chars"), lit(0)), 4)
+            .as("alnum_ratio"),
+          round(
+            least(col("nw") / 100.0, lit(1.0)) * 0.5 +
+              col("stop_n") * 0.5 / nullif(col("nw"), lit(0)), 4).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // n-gram language ID: stopword votes per language, argmax with a fixed
+    // tie-break ladder (identical CASE in both engines → deterministic).
+    Q("llm_lang_id", {
+      val counts = stopwords.keys.toSeq.sorted
+        .map(l => s"len(list_filter(t, x -> x IN ${inList(stopwords(l))})) AS c_$l")
+        .mkString(",\n         ")
+      val ladder = Seq("en", "de", "es", "fr", "zh")
+        .map(l => s"WHEN c_$l = mx THEN '$l'").mkString(" ")
+      s"""SELECT doc_id, lang,
+         |       CASE WHEN mx = 0 THEN 'und' $ladder END AS pred_lang
+         |FROM (
+         |  SELECT doc_id, lang,
+         |         greatest(c_de, c_en, c_es, c_fr, c_zh) AS mx,
+         |         c_de, c_en, c_es, c_fr, c_zh
+         |  FROM (
+         |    SELECT doc_id, lang, $counts
+         |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+         |  )
+         |) ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val withCounts = stopwords.keys.toSeq.sorted.foldLeft(
+        docs(s, d).select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))) {
+        case (df, l) =>
+          df.withColumn(s"c_$l",
+            size(expr(s"filter(t, x -> x IN ${inList(stopwords(l))})")))
+      }
+      val mx = greatest(col("c_de"), col("c_en"), col("c_es"), col("c_fr"), col("c_zh"))
+      val pred = Seq("en", "de", "es", "fr", "zh").foldLeft(
+        when(mx === 0, "und")) { case (w, l) => w.when(col(s"c_$l") === mx, l) }
+      withCounts
+        .select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
+    // Word-3-gram Jaccard similarity over candidate pairs that share a
+    // shingle (the scale-safe pattern: equi-join on shingle, never O(n²)).
+    Q("llm_ngram_jaccard",
+      s"""WITH sh AS (
+         |  $shingleSql WHERE doc_id < 100)
+         |), sz AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+         |), pr AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT d1, d2, inter,
+         |       round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
+         |FROM pr JOIN sz x ON pr.d1 = x.doc_id JOIN sz y ON pr.d2 = y.doc_id
+         |WHERE inter >= 2
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val sh = shingleDf(docs(s, d).where(col("doc_id") < 100))
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pr = sh.as("a")
+        .join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      pr.join(sz.as("x"), col("d1") === col("x.doc_id"))
+        .join(sz.as("y"), col("d2") === col("y.doc_id"))
+        .where(col("inter") >= 2)
+        .select(
+          col("d1"), col("d2"), col("inter"),
+          round(col("inter") * 1.0 / (col("x.n") + col("y.n") - col("inter")), 6)
+            .as("jaccard"))
+        .orderBy("d1", "d2")
+    },
+
+    // Global top-10 most-similar embedding pairs — native codegen cosine
+    // over a broadcast self-join; TakeOrderedAndProject caps the result.
+    Q("llm_cosine_topk",
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC, a_id, b_id LIMIT 10""".stripMargin) { (s, d) =>
+      val a = emb(s, d).select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = emb(s, d).select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      a.join(broadcast(b), col("a_id") < col("b_id"))
+        .select(
+          col("a_id"), col("b_id"),
+          round(cosineSim(col("a_emb"), col("b_emb")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+        .limit(10)
+    },
+
+    // k-NN per query vector (brute force; the LSH variant is llm_ann_lsh).
+    // Ranking uses the *rounded* similarity so both engines agree on ties.
+    Q("llm_knn_per_query",
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20
+        |), s AS (
+        |  SELECT q_id, c.vec_id AS n_id,
+        |         round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+        |                                      CAST(c.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM q JOIN embeddings c ON c.vec_id <> q_id
+        |), r AS (
+        |  SELECT q_id, n_id, sim,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |  FROM s
+        |)
+        |SELECT q_id, n_id, sim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+      val q = emb(s, d).where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = emb(s, d).select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      broadcast(q).join(c, col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          round(cosineSim(col("q_emb"), col("n_emb")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"), col("sim"), col("rn").cast("long").as("rn"))
+        .orderBy("q_id", "rn")
+    },
+
+    // All pairs above a similarity threshold — dedup-graph edges.
+    Q("llm_sim_join_threshold",
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val a = emb(s, d).select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = emb(s, d).select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      a.join(broadcast(b), col("a_id") < col("b_id"))
+        .select(
+          col("a_id"), col("b_id"),
+          round(cosineSim(col("a_emb"), col("b_emb")), 6).as("sim"))
+        .where(col("sim") >= 0.35)
+        .orderBy("a_id", "b_id")
+    },
+
+    // Per-label mean embedding — the custom typed Aggregator, with a pure
+    // SQL explode twin as the oracle.
+    Q("llm_centroid_udaf",
+      """WITH ex AS (
+        |  SELECT label,
+        |         unnest(embedding) AS v,
+        |         unnest(range(1, len(embedding) + 1)) AS dim
+        |  FROM embeddings
+        |), a AS (
+        |  SELECT label, dim, avg(CAST(v AS DOUBLE)) AS m FROM ex GROUP BY label, dim
+        |)
+        |SELECT label, list(round(m, 6) ORDER BY dim) AS centroid
+        |FROM a GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      emb(s, d)
+        .groupBy("label")
+        .agg(Aggregators.centroid(col("embedding")).as("c"))
+        .select(
+          col("label"),
+          transform(col("c"), x => round(x, 6)).as("centroid"))
+        .orderBy("label")
+    },
+
+    // ------------------------------------------------------------------
+    // Declared without oracle (driver rows-only check): hash-seeded ops
+    // whose hash family (xxhash64) has no DuckDB equivalent. Semantics are
+    // covered by ScalaTest specs with planted duplicates.
+    // ------------------------------------------------------------------
+
+    // MinHash near-dup: 16 seeded min-shingle-hashes per doc; LSH banding
+    // (here b=16, r=1 for recall at this corpus size; r grows with corpus)
+    // → candidate pairs via equi-join on (seed, minhash) → exact-Jaccard
+    // verify ≥ 0.2 → top-50 pairs.
+    Q.noOracle("llm_minhash_neardup") { (s, d) =>
+      val sh = shingleDf(docs(s, d))
+      val seeds = s.range(16).select(col("id").cast("int").as("seed"))
+      val minh = sh.crossJoin(broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(min(xxhash64(col("seed"), col("s"))).as("minh"))
+      val cand = minh.as("a")
+        .join(minh.as("b"),
+          col("a.seed") === col("b.seed") && col("a.minh") === col("b.minh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.as("x"), col("d1") === col("x.doc_id"))
+        .join(sh.as("y"), col("d2") === col("y.doc_id") && col("x.s") === col("y.s"))
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.as("p"), col("d1") === col("p.doc_id"))
+        .join(sz.as("q"), col("d2") === col("q.doc_id"))
+        .select(col("d1"), col("d2"),
+          round(col("inter") * 1.0 / (col("p.n") + col("q.n") - col("inter")), 6)
+            .as("est_jaccard"))
+        .where(col("est_jaccard") >= 0.2)
+        .orderBy(col("est_jaccard").desc, col("d1"), col("d2"))
+        .limit(50)
+    },
+
+    // 64-bit SimHash per doc via the typed Aggregator over token hashes.
+    Q.noOracle("llm_simhash") { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .select(col("doc_id"), xxhash64(col("token")).as("th"))
+        .groupBy("doc_id")
+        .agg(Aggregators.simhash(col("th")).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // Winnowing document fingerprint: char-8-gram rolling hashes, min per
+    // 4-window, distinct sorted — all built-in higher-order fns, no UDF.
+    Q.noOracle("llm_fingerprint") { (s, d) =>
+      val grams = when(length(col("text")) >= 8,
+        transform(
+          sequence(lit(1), length(col("text")) - 7),
+          i => xxhash64(col("text").substr(i, lit(8)))))
+        .otherwise(array())
+      docs(s, d)
+        .select(col("doc_id"), grams.as("h"))
+        .select(
+          col("doc_id"),
+          when(size(col("h")) >= 4,
+            array_sort(array_distinct(transform(
+              sequence(lit(0), size(col("h")) - 4),
+              j => array_min(slice(col("h"), j + 1, lit(4)))))))
+            .otherwise(array_sort(array_distinct(col("h")))).as("fingerprint"))
+        .select(col("doc_id"), col("fingerprint"),
+          size(col("fingerprint")).cast("long").as("n_fp"))
+        .orderBy("doc_id")
+    },
+
+    // LSH-bucketed approximate kNN: 16 deterministic hyperplanes → sign
+    // bits → 2 bands of 8 bits → candidates share a band bucket → exact
+    // cosine re-rank, top-5 per query. The scale path for llm_knn_per_query.
+    Q.noOracle("llm_ann_lsh") { (s, d) =>
+      val rnd = new scala.util.Random(42)
+      val planes: Seq[Array[Float]] =
+        Seq.fill(16)(Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+      val bits = planes.zipWithIndex.map { case (p, i) =>
+        (vectorDot(col("embedding"), typedlit(p)) > 0).cast("int").as(s"bit_$i")
+      }
+      val sig = emb(s, d).select(col("vec_id") +: bits: _*)
+      def bandKey(b: Int): Column =
+        (0 until 8).map(i => col(s"bit_${b * 8 + i}") * (1 << i)).reduce(_ + _)
+      val banded = (0 to 1).map { b =>
+        sig.select(col("vec_id"), lit(b).as("band"), bandKey(b).as("band_key"))
+      }.reduce(_.unionByName(_))
+      // Candidate id pairs via equi-join on (band, bucket); embeddings are
+      // re-attached afterwards so the distinct dedups ids, not vectors.
+      val cand = banded.where(col("vec_id") < 20).select(
+          col("vec_id").as("q_id"), col("band"), col("band_key"))
+        .join(banded.select(col("vec_id").as("n_id"), col("band"), col("band_key")),
+          Seq("band", "band_key"))
+        .where(col("n_id") =!= col("q_id"))
+        .select("q_id", "n_id")
+        .distinct()
+      val q = emb(s, d).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = emb(s, d).select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      cand
+        .join(broadcast(q), Seq("q_id"))
+        .join(c, Seq("n_id"))
+        .select(col("q_id"), col("n_id"),
+          round(cosineSim(col("q_emb"), col("n_emb")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"), col("sim"), col("rn").cast("long").as("rn"))
+        .orderBy("q_id", "rn")
+    },
+
+    // Multimodal column plumbing: binary payload + mime + typed metadata
+    // carried through ops. The decode step is a clearly-marked deterministic
+    // STUB (this container has no image/audio codecs); schema, partitioning
+    // and batch shape are real and unit-tested.
+    Q.noOracle("llm_multimodal_col") { (s, d) =>
+      val payload = encode(col("text"), "utf-8")
+      val mm = docs(s, d).select(
+        col("doc_id"),
+        struct(
+          payload.as("payload"),
+          when(col("doc_id") % 2 === 0, "image/png").otherwise("audio/wav").as("mime"),
+          map(
+            lit("n_bytes"), octet_length(payload).cast("string"),
+            lit("source"), col("source")).as("meta")).as("media"))
+      // STUB decode: a real pipeline would mapInArrow/mapPartitions to a
+      // codec here; we extract deterministic fake "features" from the bytes.
+      mm.select(
+        col("doc_id"),
+        col("media.mime").as("mime"),
+        octet_length(col("media.payload")).cast("long").as("n_bytes"),
+        transform(sequence(lit(0), lit(7)),
+          i => pmod(xxhash64(col("media.payload"), i), lit(256))).as("fake_features"))
+        .orderBy("doc_id")
+    }
+  )
+}
