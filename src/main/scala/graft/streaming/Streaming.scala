@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** §2.J Structured Streaming jobs (SURVEY.md). The reference is pure batch;
+  * these are the streaming twins of the batch operators, authored as
+  * DataFrame→DataFrame transforms so the SAME code runs over
+  * `spark.read` (batch, oracle-checked via the batch twins) and
+  * `spark.readStream` (tested with MemoryStream in StreamingSpec).
+  *
+  * State design for 100 TB streams: every stateful op is bounded —
+  * watermarks evict window/dedup state; the funnel state machine stores a
+  * fixed-size record per user and expires via processing-time timeout.
+  */
+object Streaming {
+
+  /** Per-1h-window event counts (twin of batch `win_tumbling_batch`). */
+  def tumblingCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+
+  /** 1h windows sliding every 15m. */
+  def slidingCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+
+  /** Session windows, 30-minute gap (streaming twin of etl_sessionize). */
+  def sessionCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Watermarked tumbling agg: events later than 2h behind max(ts) drop. */
+  def watermarkedCounts(ev: DataFrame): DataFrame =
+    tumblingCounts(ev.withWatermark("ts", "2 hours"))
+
+  /** Exactly-once-ish dedup by event_id within the watermark horizon. */
+  def dedupWithinWatermark(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom per-user state machine: signup→purchase funnel. Emits one row
+    * per user on their first post-signup purchase (conversion), carrying
+    * the lag between the two. State is one small record per user with a
+    * 1h idle timeout, so state size is O(active users), not O(events).
+    */
+  case class FunnelEvent(user_id: Long, event_type: String, tsMicros: Long)
+  case class FunnelState(signupTs: Long)
+  case class Conversion(user_id: Long, signup_ts: Long, purchase_ts: Long, lag_s: Long)
+
+  def funnel(ev: Dataset[FunnelEvent]): Dataset[Conversion] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (user: Long, events: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer[Conversion]()
+            events.toSeq.sortBy(e => (e.tsMicros, e.event_type)).foreach { e =>
+              e.event_type match {
+                case "signup" if !state.exists =>
+                  state.update(FunnelState(e.tsMicros))
+                  state.setTimeoutDuration("1 hour")
+                case "purchase" if state.exists =>
+                  val s = state.get
+                  out += Conversion(
+                    user, s.signupTs, e.tsMicros, (e.tsMicros - s.signupTs) / 1000000L)
+                  state.remove()
+                case _ =>
+              }
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Append stream → partitioned parquet with checkpoint (recovery-safe). */
+  def sinkParquet(ev: DataFrame, outDir: String, checkpointDir: String) =
+    ev.withColumn("event_date", to_date(col("ts")))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("event_date")
+      .outputMode(OutputMode.Append())
+}

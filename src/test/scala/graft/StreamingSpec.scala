@@ -1,0 +1,136 @@
+package graft
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** §2.J streaming tests: batch/stream parity over MemoryStream replays of
+  * the same rows (SURVEY.md §5.2.4) — the batch twins are oracle-checked,
+  * so parity transfers correctness to the streaming path.
+  */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String)
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import TestSpark.ts
+  import spark.implicits._
+
+  private val rows: Seq[Ev] = {
+    val rnd = new scala.util.Random(5)
+    val types = Vector("click", "view", "purchase", "signup")
+    (0 until 300).map { i =>
+      Ev(i.toLong,
+        new java.sql.Timestamp(
+          ts("2024-01-01 00:00:00").getTime + rnd.nextInt(6 * 3600) * 1000L),
+        rnd.nextInt(4).toLong, types(rnd.nextInt(types.size)))
+    }
+  }
+
+  private def runStream(
+      xform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      outputMode: String = "complete"): Seq[org.apache.spark.sql.Row] = {
+    val input = MemoryStream[Ev](spark)
+    val name = s"mem_out_${System.nanoTime()}"
+    val q = xform(input.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+    try {
+      input.addData(rows.take(150))
+      q.processAllAvailable()
+      input.addData(rows.drop(150))
+      q.processAllAvailable()
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
+
+  test("tumbling window: stream (complete mode) == batch") {
+    val streamed = runStream(Streaming.tumblingCounts)
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).sorted
+    val batch = Streaming.tumblingCounts(rows.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).sorted
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("sliding window: stream == batch") {
+    val streamed = runStream(Streaming.slidingCounts)
+      .map(r => (r.getTimestamp(0), r.getLong(1))).sorted
+    val batch = Streaming.slidingCounts(rows.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).sorted
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("session windows (30 min gap): stream == batch == etl_sessionize") {
+    val streamed = runStream(Streaming.sessionCounts)
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).sorted
+    val batch = Streaming.sessionCounts(rows.toDF())
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).sorted
+    assert(streamed.toSeq == batch.toSeq)
+    // parity with the oracle-checked batch sessionizer on session count
+    val viaEtl = graft.operators.Etl.sessionized(rows.toDF())
+      .select("user_id", "session_id").distinct().count()
+    assert(streamed.size.toLong == viaEtl)
+  }
+
+  test("watermark drops events later than horizon behind max(ts)") {
+    val input = MemoryStream[Ev](spark)
+    val name = s"mem_wm_${System.nanoTime()}"
+    val q = Streaming.watermarkedCounts(input.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(Ev(1, ts("2024-01-01 00:10:00"), 1, "click"))
+      q.processAllAvailable()
+      input.addData(Ev(2, ts("2024-01-01 06:00:00"), 1, "click"))
+      q.processAllAvailable() // advances watermark to 04:00 → 00:00 window final
+      // this event is 4h late, far beyond the 2h watermark → dropped
+      input.addData(Ev(3, ts("2024-01-01 00:20:00"), 1, "click"))
+      q.processAllAvailable()
+      input.addData(Ev(4, ts("2024-01-01 12:00:00"), 1, "click"))
+      q.processAllAvailable()
+      val finalized = spark.table(name)
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+      assert(finalized("2024-01-01 00:00:00.0") == 1L) // late event NOT counted
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replayed event ids") {
+    val input = MemoryStream[Ev](spark)
+    val name = s"mem_dd_${System.nanoTime()}"
+    val q = Streaming.dedupWithinWatermark(input.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val e = Ev(42, ts("2024-01-01 01:00:00"), 1, "click")
+      input.addData(e)
+      q.processAllAvailable()
+      input.addData(e) // exact replay within watermark
+      input.addData(Ev(43, ts("2024-01-01 01:05:00"), 1, "view"))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 2)
+    } finally q.stop()
+  }
+
+  test("funnel state machine emits one conversion per signup→purchase") {
+    val evs = Seq(
+      Streaming.FunnelEvent(1, "signup", 1000000L),
+      Streaming.FunnelEvent(1, "click", 2000000L),
+      Streaming.FunnelEvent(1, "purchase", 5000000L), // converts, lag 4s
+      Streaming.FunnelEvent(1, "purchase", 9000000L), // no active signup
+      Streaming.FunnelEvent(2, "purchase", 1000000L), // purchase before signup
+      Streaming.FunnelEvent(2, "signup", 2000000L)).toDS()
+    val out = Streaming.funnel(evs).collect().sortBy(_.user_id)
+    assert(out.length == 1)
+    assert(out.head.user_id == 1L && out.head.lag_s == 4L)
+  }
+
+  test("streaming parquet sink writes partitioned output with checkpoint") {
+    val d = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val input = MemoryStream[Ev](spark)
+    val q = Streaming.sinkParquet(input.toDF(), s"$d/out", s"$d/chk").start()
+    try {
+      input.addData(rows.take(50))
+      q.processAllAvailable()
+    } finally q.stop()
+    val written = spark.read.parquet(s"$d/out")
+    assert(written.count() == 50)
+    assert(written.columns.contains("event_date"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorFunctions.{cosineSim, vectorDot}
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df(rows: (Array[Float], Array[Float])*) =
+    rows.toSeq.toDF("a", "b")
+
+  test("cosine matches reference formula (both eval paths)") {
+    val a = Array(1f, 2f, 3f)
+    val b = Array(4f, 5f, 6f)
+    val expected = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    // codegen path
+    val got = df((a, b)).select(cosineSim($"a", $"b")).as[Double].head()
+    assert(math.abs(got - expected) < 1e-12)
+    // interpreted path (codegen off) — exercises nullSafeEval
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val got2 = df((a, b)).select(cosineSim($"a", $"b")).as[Double].head()
+      assert(math.abs(got2 - expected) < 1e-12)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("dot product") {
+    val got = df((Array(1f, 2f), Array(3f, 4f)))
+      .select(vectorDot($"a", $"b")).as[Double].head()
+    assert(got == 11.0)
+  }
+
+  test("zero vector yields NULL cosine, not NaN") {
+    val got = df((Array(0f, 0f), Array(1f, 2f)))
+      .select(cosineSim($"a", $"b")).as[Option[Double]].head()
+    assert(got.isEmpty)
+  }
+
+  test("length mismatch yields NULL") {
+    val got = df((Array(1f, 2f, 3f), Array(1f, 2f)))
+      .select(vectorDot($"a", $"b")).as[Option[Double]].head()
+    assert(got.isEmpty)
+  }
+
+  test("null input propagates NULL") {
+    val got = Seq((Some(Array(1f)), Option.empty[Array[Float]]))
+      .toDF("a", "b").select(cosineSim($"a", $"b")).as[Option[Double]].head()
+    assert(got.isEmpty)
+  }
+
+  test("identical vectors have cosine 1") {
+    val v = Array.tabulate(64)(i => (i % 7 + 1).toFloat)
+    val got = df((v, v)).select(cosineSim($"a", $"b")).as[Double].head()
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+}
