@@ -10,6 +10,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // One-time session warmup so JIT/codegen/scheduler startup is not
+    // attributed to whichever query happens to run first.
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(100000).selectExpr("sum(id)").collect()
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")), count(lit(1)))
+        .collect()
+      li.limit(1000).select(org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag").orderBy("l_orderkey"))).count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -31,8 +31,8 @@ object Llm {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
-  /** Distinct 3-token shingles per doc (word-level, space-joined). */
-  private def shingleDf(d: DataFrame): DataFrame = {
+  /** 3-token shingles per doc (word-level, space-joined), with multiplicity. */
+  private def shingleDfRaw(d: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     d.select(col("doc_id"), toks.as("t"))
       .select(
@@ -43,8 +43,10 @@ object Llm {
               sequence(lit(0), size(col("t")) - 3),
               i => concat_ws(" ", slice(col("t"), i + 1, lit(3)))))
             .otherwise(array())).as("s"))
-      .distinct()
   }
+
+  /** Distinct 3-token shingles per doc. */
+  private def shingleDf(d: DataFrame): DataFrame = shingleDfRaw(d).distinct()
 
   private val shingleSql =
     """SELECT DISTINCT doc_id,
@@ -237,7 +239,11 @@ object Llm {
         |                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |ORDER BY sim DESC, a_id, b_id LIMIT 10""".stripMargin) { (s, d) =>
+      // The 2k-row parquet is a single split; without a repartition the
+      // whole O(n^2) nested-loop probe runs in ONE task. Spreading the probe
+      // side across the cluster is the same move that matters at 100 TB.
       val a = emb(s, d).select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+        .repartition(32)
       val b = emb(s, d).select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
       a.join(broadcast(b), col("a_id") < col("b_id"))
         .select(
@@ -267,8 +273,9 @@ object Llm {
       val q = emb(s, d).where(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val c = emb(s, d).select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .repartition(32)
       val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-      broadcast(q).join(c, col("n_id") =!= col("q_id"))
+      c.join(broadcast(q), col("n_id") =!= col("q_id"))
         .select(col("q_id"), col("n_id"),
           round(cosineSim(col("q_emb"), col("n_emb")), 6).as("sim"))
         .withColumn("rn", row_number().over(w))
@@ -286,7 +293,11 @@ object Llm {
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      // The 2k-row parquet is a single split; without a repartition the
+      // whole O(n^2) nested-loop probe runs in ONE task. Spreading the probe
+      // side across the cluster is the same move that matters at 100 TB.
       val a = emb(s, d).select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+        .repartition(32)
       val b = emb(s, d).select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
       a.join(broadcast(b), col("a_id") < col("b_id"))
         .select(
@@ -325,19 +336,33 @@ object Llm {
     // ------------------------------------------------------------------
 
     // MinHash near-dup: 16 seeded min-shingle-hashes per doc; LSH banding
-    // (here b=16, r=1 for recall at this corpus size; r grows with corpus)
-    // → candidate pairs via equi-join on (seed, minhash) → exact-Jaccard
-    // verify ≥ 0.2 → top-50 pairs.
+    // with b=8 bands × r=2 rows — a candidate needs BOTH minhashes of some
+    // band equal (P ≈ J² per band), which keeps buckets tiny on corpora
+    // with shared vocabulary (r=1 degenerates: every doc sharing a global
+    // min-shingle lands in one bucket → quadratic candidates). Recall for
+    // real near-dups (J ≥ 0.8): 1-(1-J²)⁸ ≈ 1.
     Q.noOracle("llm_minhash_neardup") { (s, d) =>
       val sh = shingleDf(docs(s, d))
-      val seeds = s.range(16).select(col("id").cast("int").as("seed"))
-      val minh = sh.crossJoin(broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(min(xxhash64(col("seed"), col("s"))).as("minh"))
-      val cand = minh.as("a")
-        .join(minh.as("b"),
-          col("a.seed") === col("b.seed") && col("a.minh") === col("b.minh") &&
-            col("a.doc_id") < col("b.doc_id"))
+      // All 16 seeded minhashes in ONE aggregation pass over the raw
+      // shingles (min over multiset == min over set; a seeds-crossJoin
+      // would shuffle 16× the data), then unpivot to 8 band keys per doc.
+      val bands = shingleDfRaw(docs(s, d))
+        .groupBy("doc_id")
+        .agg(
+          min(xxhash64(lit(0), col("s"))).as("m_0"),
+          (1 until 16).map(i => min(xxhash64(lit(i), col("s"))).as(s"m_$i")): _*)
+        .select(
+          col("doc_id"),
+          explode(array((0 until 8).map(b =>
+            struct(lit(b).as("band"),
+              col(s"m_${2 * b}").as("k1"), col(s"m_${2 * b + 1}").as("k2"))): _*))
+            .as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+            col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
