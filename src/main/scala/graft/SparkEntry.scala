@@ -14,6 +14,7 @@ object SparkEntry {
       operators.Aggregates.qs ++
       operators.Windows.qs ++
       operators.Scalars.qs ++
+      operators.Extras.qs ++
       operators.Llm.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

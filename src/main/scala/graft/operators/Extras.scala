@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The remaining declare=opt rows of SURVEY.md §2: interval-overlap join
+  * (2.C), ordered per-group collection (2.D), map functions (2.H).
+  */
+object Extras {
+
+  val qs: Seq[Q] = Seq(
+
+    // Cross-user session-overlap pairs (visit-overlap QA, R3). The
+    // 100 TB-safe shape: explode each session to the calendar days it
+    // spans and equi-join on day first, so the quadratic theta predicate
+    // only runs within a day bucket, never across the whole table.
+    Q("join_interval_overlap",
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WHERE user_id < 30
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sm AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g
+        |), sess AS (
+        |  SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+        |  FROM sm GROUP BY user_id, session_id
+        |), days AS (
+        |  SELECT user_id, session_id, s, e,
+        |         unnest(generate_series(CAST(date_trunc('day', s) AS TIMESTAMP),
+        |                                CAST(date_trunc('day', e) AS TIMESTAMP),
+        |                                INTERVAL 1 DAY)) AS day
+        |  FROM sess
+        |)
+        |SELECT DISTINCT a.user_id AS a_user, a.session_id AS a_session,
+        |       b.user_id AS b_user, b.session_id AS b_session
+        |FROM days a JOIN days b
+        |  ON a.day = b.day AND a.user_id < b.user_id
+        | AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY a_user, a_session, b_user, b_session""".stripMargin) { (s, d) =>
+      val sess = Etl.sessionized(
+        Tables(s, d, "events").where(col("user_id") < 30))
+        .groupBy("user_id", "session_id")
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      val days = sess.select(
+        col("user_id"), col("session_id"), col("s"), col("e"),
+        explode(sequence(
+          date_trunc("day", col("s")), date_trunc("day", col("e")),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      days.as("a")
+        .join(days.as("b"),
+          col("a.day") === col("b.day") &&
+            col("a.user_id") < col("b.user_id") &&
+            col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+        .select(
+          col("a.user_id").as("a_user"), col("a.session_id").as("a_session"),
+          col("b.user_id").as("b_user"), col("b.session_id").as("b_session"))
+        .distinct()
+        .orderBy("a_user", "a_session", "b_user", "b_session")
+    },
+
+    // Ordered per-group event history (case event lists, R5): collect is
+    // unordered in both engines, so order is imposed by sorting (ts,
+    // event_id) structs and projecting the id — deterministic on both.
+    Q("agg_collect_sorted",
+      """SELECT user_id, list(event_id ORDER BY ts, event_id) AS event_ids
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id")))),
+            x => x.getField("event_id")).as("event_ids"))
+        .orderBy("user_id")
+    },
+
+    // Map build/lookup/keys (R10 property bags). DuckDB map extraction
+    // yields a LIST, so the oracle scalarizes with [1]; key order is made
+    // deterministic by sorting.
+    Q("fn_map",
+      """SELECT event_id,
+        |       m['k'][1] AS k_val,
+        |       m['type'][1] AS type_val,
+        |       list_sort(map_keys(m)) AS ks
+        |FROM (
+        |  SELECT event_id,
+        |         map(['k', 'type'],
+        |             [json_extract_string(props, '$.k'), event_type]) AS m
+        |  FROM events
+        |) ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables(s, d, "events")
+        .select(
+          col("event_id"),
+          map(
+            lit("k"), get_json_object(col("props"), "$.k"),
+            lit("type"), col("event_type")).as("m"))
+        .select(
+          col("event_id"),
+          element_at(col("m"), "k").as("k_val"),
+          element_at(col("m"), "type").as("type_val"),
+          sort_array(map_keys(col("m"))).as("ks"))
+        .orderBy("event_id")
+    }
+  )
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits (SURVEY.md §4, builder rule "explain the plan and
+  * iterate until it's the plan you'd want"). These pin the scale-critical
+  * plan properties so a refactor can't silently regress them:
+  * pushdown reaching the parquet scan, broadcast joins staying broadcast,
+  * top-k fusing, rank filters becoming group limits.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("scan_parquet_pruned pushes filter and prunes columns at the scan") {
+    val p = plan("scan_parquet_pruned")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"))
+    // sf0.001 parquet marks timestamps NTZ; either flavor proves pruning
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp"))
+  }
+
+  test("join_broadcast uses BroadcastHashJoin for both dims (no fact shuffle)") {
+    val p = plan("join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("topk_global fuses to TakeOrderedAndProject (no global sort)") {
+    assert(plan("topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("llm_cosine_topk: codegen cosine + TakeOrderedAndProject cap") {
+    val p = plan("llm_cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.toLowerCase.contains("cosinesimilarity"))
+  }
+
+  test("win_topk_per_group gets a WindowGroupLimit pushdown") {
+    assert(plan("win_topk_per_group").contains("WindowGroupLimit"))
+  }
+
+  test("agg_groupby is a two-phase HashAggregate over one exchange") {
+    val p = plan("agg_groupby")
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("etl_sessionize reuses one user_id exchange for window + aggregate") {
+    val p = plan("etl_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 user_id exchange, plan had $exchanges:\n$p")
+  }
+
+  test("join_inner_equi plans an equi hash/merge join, not nested loop") {
+    val p = plan("join_inner_equi")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("whole-stage codegen covers the scalar expression surface") {
+    // AQE only materializes codegen stages in the final executed plan.
+    val df = SparkEntry.queries("fn_math")(spark, sf)
+    df.collect()
+    // "*(n)" prefixes mark whole-stage-codegen spans in the final AQE plan
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+}
