@@ -50,7 +50,7 @@ object Scalars {
         |       CAST(extract(month FROM o_orderdate) AS BIGINT) AS mth,
         |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
         |       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
-        |       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
         |       CAST(o_orderdate AS DATE) AS od
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       t(s, d, "orders").select(

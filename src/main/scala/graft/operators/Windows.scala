@@ -86,7 +86,7 @@ object Windows {
     // Trailing 7-day activity — RANGE frame over epoch seconds.
     Q("win_sliding_range",
       """SELECT event_id, user_id,
-        |       CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+        |       CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("user_id")
