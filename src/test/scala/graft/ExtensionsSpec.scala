@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions hook makes the native vector expressions
+  * reachable from pure SQL — the full-surface claim of SURVEY.md §2.L.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("cosine_sim and vector_dot are SQL-callable via GraftExtensions") {
+    val row = spark.sql(
+      """SELECT
+        |  cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |             CAST(array(0.0, 1.0) AS ARRAY<FLOAT>)) AS orth,
+        |  cosine_sim(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |             CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)) AS same,
+        |  vector_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |             CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS dot
+        |""".stripMargin).head()
+    assert(row.getDouble(0) == 0.0)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+    assert(row.getDouble(2) == 11.0)
+  }
+
+  test("SQL surface composes with tables (top pair via SQL only)") {
+    Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .createOrReplaceTempView("emb_sql")
+    val n = spark.sql(
+      """SELECT a.vec_id, b.vec_id,
+        |       cosine_sim(a.embedding, b.embedding) AS sim
+        |FROM emb_sql a JOIN emb_sql b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC LIMIT 5""".stripMargin).count()
+    assert(n == 5)
+  }
+}
