@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorFunctions.cosineSim
+
+/** Scale smoke (dev-only): synthesizes events/embeddings ~100x the sf0.1
+  * bench scale IN MEMORY (testdata itself is read-only and fixed-size) and
+  * drives the core operator shapes, to check that the plans that pass at
+  * 600k rows still behave at 10-60M rows on 32 threads: no OOM, no
+  * single-task stragglers, near-linear wall time.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
+    }
+
+    // 60M events over 30k users, ~30 days
+    val ev = spark.range(60000000L).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(1704067200000000L) + (xxhash64(col("id")) % 2592000000000L + 2592000000000L) % 2592000000000L).as("ts"),
+      pmod(xxhash64(col("id"), lit(1)), lit(30000)).as("user_id"),
+      element_at(array(lit("click"), lit("view"), lit("purchase")),
+        (pmod(xxhash64(col("id"), lit(2)), lit(3)) + 1).cast("int")).as("event_type"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(10000)) / 100.0).as("value"))
+
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    time("sessionize 60M") {
+      val prev = lag(col("ts"), 1).over(byUser)
+      ev.withColumn("new_sess",
+          when(prev.isNull || col("ts") > prev + expr("INTERVAL 30 MINUTES"), 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid").agg(count(lit(1)))
+        .count()
+    }
+
+    time("monthly agg 60M") {
+      ev.groupBy(col("user_id"), date_trunc("month", col("ts")).as("m"))
+        .agg(count(lit(1)), countDistinct(date_trunc("day", col("ts"))),
+          round(sum(col("value")), 2))
+        .count()
+    }
+
+    time("exact distinct 60M") {
+      ev.groupBy(date_trunc("day", col("ts"))).agg(countDistinct(col("user_id")))
+        .count()
+    }
+
+    time("approx distinct 60M") {
+      ev.groupBy(date_trunc("day", col("ts")))
+        .agg(approx_count_distinct(col("user_id"), 0.02))
+        .count()
+    }
+
+    // 200k x 64-dim embeddings; kNN for 20 queries via broadcast (the
+    // brute-force probe side at this scale is 4M cosines)
+    val emb = spark.range(200000L).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(xxhash64(col("id"), i), lit(1000)) / 500.0 - 1.0).cast("float"))
+        .as("embedding"))
+    time("knn 20q x 200k corpus") {
+      val q = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .join(broadcast(q), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), cosineSim(col("q_emb"), col("n_emb")).as("sim"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .count()
+    }
+
+    // join at scale: 60M fact x 30k dim broadcast
+    val users = spark.range(30000L).select(col("id").as("user_id"),
+      pmod(col("id"), lit(20)).as("cohort"))
+    time("fact-dim join+agg 60M") {
+      ev.join(broadcast(users), Seq("user_id"))
+        .groupBy("cohort").agg(count(lit(1)), round(sum(col("value")), 2))
+        .count()
+    }
+
+    spark.stop()
+  }
+}
