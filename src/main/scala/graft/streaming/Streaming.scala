@@ -84,6 +84,57 @@ object Streaming {
       }
   }
 
+  /** Spark 4-native twin of [[funnel]] on the `transformWithState` API
+    * (arbitrary-state v2): explicit named `ValueState` per user instead of
+    * a whole-group state object. Requires the RocksDB state store provider
+    * when run as a stream (see StreamingSpec). At scale, run with
+    * `TimeMode.ProcessingTime` + a `TTLConfig` duration to bound state —
+    * with `TimeMode.None` (as tested) state eviction is the caller's job.
+    */
+  class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, FunnelEvent, Conversion] {
+    @transient private var signupTs: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      // TTL would bound state at scale (needs TimeMode.ProcessingTime);
+      // kept NONE here so the MemoryStream test runs in TimeMode.None.
+      signupTs = getHandle.getValueState[Long](
+        "signupTs", org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        user: Long, events: Iterator[FunnelEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Conversion] = {
+      val out = scala.collection.mutable.ArrayBuffer[Conversion]()
+      events.toSeq.sortBy(e => (e.tsMicros, e.event_type)).foreach { e =>
+        e.event_type match {
+          case "signup" if !signupTs.exists() =>
+            signupTs.update(e.tsMicros)
+          case "purchase" if signupTs.exists() =>
+            val s = signupTs.get()
+            out += Conversion(user, s, e.tsMicros, (e.tsMicros - s) / 1000000L)
+            signupTs.clear()
+          case _ =>
+        }
+      }
+      out.iterator
+    }
+  }
+
+  def funnelV2(ev: Dataset[FunnelEvent]): Dataset[Conversion] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .transformWithState(
+        new FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Append stream → partitioned parquet with checkpoint (recovery-safe). */
   def sinkParquet(ev: DataFrame, outDir: String, checkpointDir: String) =
     ev.withColumn("event_date", to_date(col("ts")))

@@ -121,6 +121,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.user_id == 1L && out.head.lag_s == 4L)
   }
 
+  test("transformWithState funnel (v2 API) matches flatMapGroupsWithState") {
+    val d = java.nio.file.Files.createTempDirectory("graft_tws").toString
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Streaming.FunnelEvent](spark)
+      val name = s"mem_tws_${System.nanoTime()}"
+      val q = Streaming.funnelV2(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$d/chk")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          Streaming.FunnelEvent(1, "signup", 1000000L),
+          Streaming.FunnelEvent(2, "purchase", 1000000L))
+        q.processAllAvailable()
+        input.addData(
+          Streaming.FunnelEvent(1, "purchase", 5000000L),
+          Streaming.FunnelEvent(2, "signup", 2000000L))
+        q.processAllAvailable()
+        val out = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(3))).sorted
+        assert(out.toSeq == Seq((1L, 4L))) // same verdict as the v1 funnel
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming parquet sink writes partitioned output with checkpoint") {
     val d = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val input = MemoryStream[Ev](spark)
