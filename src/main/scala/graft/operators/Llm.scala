@@ -329,6 +329,55 @@ object Llm {
         .orderBy("label")
     },
 
+    // Near-dup GROUPS: connected components over the cosine-threshold
+    // similarity graph via min-label propagation. A fixed iteration count
+    // (3) keeps both engines bit-identical whether or not the labels have
+    // fully converged; at 100 TB each round is one shuffle-join on ids and
+    // the iteration count grows log(diameter).
+    Q("llm_dedup_groups", {
+      val edges0 =
+        """SELECT a.vec_id AS ea, b.vec_id AS eb
+          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.35""".stripMargin
+      def step(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT v.vec_id, least(v.lbl, coalesce(min(n.lbl), v.lbl)) AS lbl
+           |  FROM $prev v
+           |  LEFT JOIN edges e ON e.a = v.vec_id
+           |  LEFT JOIN $prev n ON n.vec_id = e.b
+           |  GROUP BY v.vec_id, v.lbl
+           |)""".stripMargin
+      s"""WITH e0 AS (
+         |$edges0
+         |), edges AS (
+         |  SELECT ea AS a, eb AS b FROM e0 UNION ALL SELECT eb, ea FROM e0
+         |), l0 AS (
+         |  SELECT vec_id, vec_id AS lbl FROM embeddings
+         |), ${step("l0", "l1")}, ${step("l1", "l2")}, ${step("l2", "l3")}
+         |SELECT vec_id, lbl AS group_id FROM l3 ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      val a = emb(s, d).select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+        .repartition(32)
+      val b = emb(s, d).select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val e0 = a.join(broadcast(b), col("a_id") < col("b_id"))
+        .where(round(cosineSim(col("a_emb"), col("b_emb")), 6) >= 0.35)
+        .select(col("a_id").as("ea"), col("b_id").as("eb"))
+      val edges = e0.select(col("ea").as("a"), col("eb").as("b"))
+        .unionByName(e0.select(col("eb").as("a"), col("ea").as("b")))
+      var labels = emb(s, d).select(col("vec_id"), col("vec_id").as("lbl"))
+      for (_ <- 1 to 3) {
+        labels = labels.as("v")
+          .join(edges.as("e"), col("e.a") === col("v.vec_id"), "left")
+          .join(labels.select(col("vec_id").as("n_vec"), col("lbl").as("n_lbl")),
+            col("n_vec") === col("e.b"), "left")
+          .groupBy(col("v.vec_id").as("vec_id"), col("v.lbl").as("lbl"))
+          .agg(least(col("lbl"), coalesce(min(col("n_lbl")), col("lbl"))).as("nl"))
+          .select(col("vec_id"), col("nl").as("lbl"))
+      }
+      labels.select(col("vec_id"), col("lbl").as("group_id")).orderBy("vec_id")
+    },
+
     // ------------------------------------------------------------------
     // Declared without oracle (driver rows-only check): hash-seeded ops
     // whose hash family (xxhash64) has no DuckDB equivalent. Semantics are

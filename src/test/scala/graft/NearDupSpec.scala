@@ -95,6 +95,16 @@ class NearDupSpec extends AnyFunSuite {
     assert(agree.toDouble / common.size >= 0.8)
   }
 
+  test("dedup_groups recovers the three planted embedding clusters") {
+    val groups = queries("llm_dedup_groups")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.size == 30)
+    // each tight cluster of 10 collapses to its min vec_id label
+    for (c <- 0 until 3; i <- 0 until 10)
+      assert(groups((c * 10 + i).toLong) == (c * 10).toLong,
+        s"vec ${c * 10 + i} -> ${groups((c * 10 + i).toLong)}")
+  }
+
   test("exact dedup groups identical normalized docs") {
     val d2 = Files.createTempDirectory("graft_exact").toString
     Seq(
