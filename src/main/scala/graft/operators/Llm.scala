@@ -502,6 +502,58 @@ object Llm {
         .orderBy("q_id", "rn")
     },
 
+    // IVF approximate kNN: a 16-cell coarse quantizer trained with two
+    // deterministic Lloyd iterations (seeds = first 16 vectors), then each
+    // query probes its 2 nearest cells and exact-reranks only those
+    // candidates. Fully distributed: centroids move through broadcast
+    // joins + the centroid Aggregator, never a driver collect. At 100 TB
+    // the cell count grows ~sqrt(n) and assignment stays one broadcast
+    // pass per iteration.
+    Q.noOracle("llm_ann_ivf") { (s, d) =>
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      def toFloat(c: Column): Column = transform(c, x => x.cast("float"))
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
+        e.join(broadcast(cents), lit(true))
+          .select(col("vec_id"), col("embedding"), col("cell"),
+            cosineSim(col("embedding"), col("cent")).as("sim"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cell"))
+      }
+      var cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("cent"))
+      for (_ <- 1 to 2) {
+        cents = assign(cents)
+          .groupBy("cell")
+          .agg(Aggregators.centroid(col("embedding")).as("c"))
+          .select(col("cell"), toFloat(col("c")).as("cent"))
+      }
+      val assigned = assign(cents)
+      // queries probe their 2 closest cells
+      val wq = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cell"))
+      val probes = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .join(broadcast(cents), lit(true))
+        .select(col("q_id"), col("q_emb"), col("cell"),
+          cosineSim(col("q_emb"), col("cent")).as("sim"))
+        .withColumn("rn", row_number().over(wq))
+        .where(col("rn") <= 2)
+        .select(col("q_id"), col("q_emb"), col("cell"))
+      val wr = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      probes
+        .join(assigned.select(col("cell"), col("vec_id").as("n_id"),
+          col("embedding").as("n_emb")), Seq("cell"))
+        .where(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          round(cosineSim(col("q_emb"), col("n_emb")), 6).as("sim"))
+        .distinct()
+        .withColumn("rn", row_number().over(wr))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"), col("sim"), col("rn").cast("long").as("rn"))
+        .orderBy("q_id", "rn")
+    },
+
     // Multimodal column plumbing: binary payload + mime + typed metadata
     // carried through ops. The decode step is a clearly-marked deterministic
     // STUB (this container has no image/audio codecs); schema, partitioning

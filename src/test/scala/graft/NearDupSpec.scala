@@ -95,6 +95,18 @@ class NearDupSpec extends AnyFunSuite {
     assert(agree.toDouble / common.size >= 0.8)
   }
 
+  test("IVF ANN finds the planted nearest neighbor with top-1 agreement") {
+    val ivf = queries("llm_ann_ivf")(spark, dir)
+      .where($"rn" === 1).select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    val brute = queries("llm_knn_per_query")(spark, dir)
+      .where($"rn" === 1).select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    val common = ivf.keySet.intersect(brute.keySet)
+    assert(common.nonEmpty)
+    val agree = common.count(q => ivf(q) == brute(q))
+    assert(agree.toDouble / common.size >= 0.8,
+      s"IVF top-1 agreement ${agree.toDouble / common.size}")
+  }
+
   test("dedup_groups recovers the three planted embedding clusters") {
     val groups = queries("llm_dedup_groups")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
