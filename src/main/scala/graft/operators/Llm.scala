@@ -31,19 +31,17 @@ object Llm {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
-  /** 3-token shingles per doc (word-level, space-joined), with multiplicity. */
-  private def shingleDfRaw(d: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    d.select(col("doc_id"), toks.as("t"))
-      .select(
-        col("doc_id"),
-        explode(
-          when(size(col("t")) >= 3,
-            transform(
-              sequence(lit(0), size(col("t")) - 3),
-              i => concat_ws(" ", slice(col("t"), i + 1, lit(3)))))
-            .otherwise(array())).as("s"))
-  }
+  /** 3-token shingles per doc (word-level, space-joined), with
+    * multiplicity — via the custom [[ShingleGenerator]] UDTF, which emits
+    * rows directly instead of materializing a per-row shingle array
+    * (equivalence with the transform+explode formulation is pinned in
+    * ShingleGeneratorSpec).
+    */
+  private def shingleDfRaw(d: DataFrame): DataFrame =
+    d.select(
+      col("doc_id"),
+      org.apache.spark.sql.graft.ShingleGenerator
+        .shingles(split(col("text"), " "), 3).as("s"))
 
   /** Distinct 3-token shingles per doc. */
   private def shingleDf(d: DataFrame): DataFrame = shingleDfRaw(d).distinct()
