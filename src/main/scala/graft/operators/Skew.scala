@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-join fallback (SURVEY.md §7.3.8). AQE's OptimizeSkewedJoin is the
+  * first line of defense; this helper is the manual fallback for the cases
+  * AQE can't fix (e.g. a skewed AGGREGATION key, or a build side too large
+  * to broadcast but with a few hot probe keys).
+  *
+  * The probe side's hot keys are spread over `salt` sub-keys with a
+  * DETERMINISTIC salt (hash of a tie-break column, never `rand()` — results
+  * must not depend on task retries), and the build side is replicated
+  * `salt` times, so the join key becomes (key, salt) and a hot key's rows
+  * land on `salt` different reducers.
+  */
+object Skew {
+
+  /** Equi-join `probe ⋈ build` on `key`, spreading each probe key over
+    * `salt` partitions. `tieBreak` must be a deterministic probe column.
+    */
+  def saltedJoin(
+      probe: DataFrame, build: DataFrame, key: String, tieBreak: Column,
+      salt: Int): DataFrame = {
+    val p = probe.withColumn("__salt", pmod(xxhash64(tieBreak), lit(salt)).cast("int"))
+    val b = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    p.join(b, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase aggregation for skewed group keys: first aggregate on
+    * (key, salt), then combine the partials — the hot key's partial
+    * aggregation parallelizes over `salt` reducers. `partials` must be
+    * re-aggregable expressions (sum/count/min/max style).
+    */
+  def saltedAgg(
+      df: DataFrame, key: String, tieBreak: Column, salt: Int)(
+      partials: (String, Column)*)(
+      finals: (String, Column)*): DataFrame = {
+    val staged = df
+      .withColumn("__salt", pmod(xxhash64(tieBreak), lit(salt)).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(partials.head._2.as(partials.head._1),
+        partials.tail.map { case (n, c) => c.as(n) }: _*)
+    staged.groupBy(col(key))
+      .agg(finals.head._2.as(finals.head._1),
+        finals.tail.map { case (n, c) => c.as(n) }: _*)
+  }
+}
