@@ -46,6 +46,22 @@ object Llm {
   /** Distinct 3-token shingles per doc. */
   private def shingleDf(d: DataFrame): DataFrame = shingleDfRaw(d).distinct()
 
+  /** Embedding side for pairwise cosine with the norm PRECOMPUTED once per
+    * vector: the O(n²) pair stage then evaluates a single dot product per
+    * pair, with sim = dot/(na·nb) — bitwise-identical to CosineSimilarity
+    * (same accumulation order), at a third of the loop work.
+    */
+  private def embWithNorm(s: SparkSession, d: String, prefix: String): DataFrame =
+    emb(s, d).select(
+      col("vec_id").as(s"${prefix}_id"),
+      col("embedding").as(s"${prefix}_emb"),
+      sqrt(vectorDot(col("embedding"), col("embedding"))).as(s"${prefix}_norm"))
+
+  /** dot/(na·nb), NULL on zero norms — mirrors CosineSimilarity. */
+  private def pairCos(a: String, b: String): Column =
+    vectorDot(col(s"${a}_emb"), col(s"${b}_emb")) /
+      nullif(col(s"${a}_norm") * col(s"${b}_norm"), lit(0.0))
+
   private val shingleSql =
     """SELECT DISTINCT doc_id,
       |       unnest(list_transform(range(1, len(t) - 1),
@@ -240,13 +256,12 @@ object Llm {
       // The 2k-row parquet is a single split; without a repartition the
       // whole O(n^2) nested-loop probe runs in ONE task. Spreading the probe
       // side across the cluster is the same move that matters at 100 TB.
-      val a = emb(s, d).select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-        .repartition(32)
-      val b = emb(s, d).select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val a = embWithNorm(s, d, "a").repartition(32)
+      val b = embWithNorm(s, d, "b")
       a.join(broadcast(b), col("a_id") < col("b_id"))
         .select(
           col("a_id"), col("b_id"),
-          round(cosineSim(col("a_emb"), col("b_emb")), 6).as("sim"))
+          round(pairCos("a", "b"), 6).as("sim"))
         .orderBy(col("sim").desc, col("a_id"), col("b_id"))
         .limit(10)
     },
@@ -294,13 +309,12 @@ object Llm {
       // The 2k-row parquet is a single split; without a repartition the
       // whole O(n^2) nested-loop probe runs in ONE task. Spreading the probe
       // side across the cluster is the same move that matters at 100 TB.
-      val a = emb(s, d).select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-        .repartition(32)
-      val b = emb(s, d).select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val a = embWithNorm(s, d, "a").repartition(32)
+      val b = embWithNorm(s, d, "b")
       a.join(broadcast(b), col("a_id") < col("b_id"))
         .select(
           col("a_id"), col("b_id"),
-          round(cosineSim(col("a_emb"), col("b_emb")), 6).as("sim"))
+          round(pairCos("a", "b"), 6).as("sim"))
         .where(col("sim") >= 0.35)
         .orderBy("a_id", "b_id")
     },
@@ -355,11 +369,10 @@ object Llm {
          |), ${step("l0", "l1")}, ${step("l1", "l2")}, ${step("l2", "l3")}
          |SELECT vec_id, lbl AS group_id FROM l3 ORDER BY vec_id""".stripMargin
     }) { (s, d) =>
-      val a = emb(s, d).select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-        .repartition(32)
-      val b = emb(s, d).select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val a = embWithNorm(s, d, "a").repartition(32)
+      val b = embWithNorm(s, d, "b")
       val e0 = a.join(broadcast(b), col("a_id") < col("b_id"))
-        .where(round(cosineSim(col("a_emb"), col("b_emb")), 6) >= 0.35)
+        .where(round(pairCos("a", "b"), 6) >= 0.35)
         .select(col("a_id").as("ea"), col("b_id").as("eb"))
       val edges = e0.select(col("ea").as("a"), col("eb").as("b"))
         .unionByName(e0.select(col("eb").as("a"), col("ea").as("b")))
