@@ -142,6 +142,45 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // TF-IDF: top-5 characteristic terms per doc. Ranking uses the
+    // ROUNDED score (+ token tie-break) so both engines agree on order.
+    Q("llm_tfidf",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+        |), df AS (
+        |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1
+        |), nd AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+        |), sc AS (
+        |  SELECT doc_id, token, tf,
+        |         round(tf * ln((nd.n + 1) / (df.df + 1)), 6) AS tfidf
+        |  FROM tf JOIN df USING (token) CROSS JOIN nd
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY tfidf DESC, token) AS rn
+        |  FROM sc
+        |)
+        |SELECT doc_id, token, tf, tfidf, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+      val tok = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val nd = docs(s, d).agg(count(lit(1)).cast("double").as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+      tf.join(df, Seq("token"))
+        .crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("token"), col("tf"),
+          round(col("tf") * log((col("n") + 1) / (col("df") + 1)), 6).as("tfidf"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("doc_id"), col("token"), col("tf"), col("tfidf"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("doc_id", "rn")
+    },
+
     // Heuristic quality scoring: length/stopword/alnum ratios.
     Q("llm_quality_score",
       s"""SELECT doc_id,
