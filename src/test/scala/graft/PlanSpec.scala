@@ -32,10 +32,11 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("topk_global").contains("TakeOrderedAndProject"))
   }
 
-  test("llm_cosine_topk: codegen cosine + TakeOrderedAndProject cap") {
+  test("llm_cosine_topk: codegen dot product + TakeOrderedAndProject cap") {
     val p = plan("llm_cosine_topk")
     assert(p.contains("TakeOrderedAndProject"))
-    assert(p.toLowerCase.contains("cosinesimilarity"))
+    // cosine = vectordot / precomputed norms since the pair-join optimization
+    assert(p.toLowerCase.contains("vectordot"))
   }
 
   test("win_topk_per_group gets a WindowGroupLimit pushdown") {
