@@ -21,6 +21,12 @@ object Tables {
       // has no native type for. Read it as raw nanos (legacy conf) and
       // truncate to microseconds with integer division — exactly what
       // DuckDB's TIMESTAMP_NS → TIMESTAMP cast does, so the oracle agrees.
+      // The conf is deliberately NOT set/restored around this call: Spark
+      // consults it again at physical-plan build time (i.e. at the first
+      // action on the returned lazy DataFrame), so restoring it here would
+      // break execution. It only affects TIMESTAMP(NANOS) parquet columns —
+      // of the harness tables, only events.ts — so leaving it set cannot
+      // change any other table's read.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

@@ -21,17 +21,23 @@ object Aggregators {
     override def reduce(b: CentroidBuf, a: Array[Float]): CentroidBuf = {
       if (a == null) return b
       val s = if (b.sum.isEmpty) new Array[Double](a.length) else b.sum
+      // Ragged input must FAIL, not silently truncate to the shorter vector
+      // (which would diverge from the explode-based oracle semantics).
+      require(s.length == a.length,
+        s"CentroidAgg: vector length ${a.length} != expected ${s.length}")
       var i = 0
-      while (i < a.length && i < s.length) { s(i) += a(i); i += 1 }
+      while (i < a.length) { s(i) += a(i); i += 1 }
       CentroidBuf(s, b.n + 1)
     }
 
     override def merge(x: CentroidBuf, y: CentroidBuf): CentroidBuf = {
       if (x.sum.isEmpty) return y
       if (y.sum.isEmpty) return x
+      require(x.sum.length == y.sum.length,
+        s"CentroidAgg: partial length ${y.sum.length} != expected ${x.sum.length}")
       val s = x.sum.clone()
       var i = 0
-      while (i < s.length && i < y.sum.length) { s(i) += y.sum(i); i += 1 }
+      while (i < s.length) { s(i) += y.sum(i); i += 1 }
       CentroidBuf(s, x.n + y.n)
     }
 

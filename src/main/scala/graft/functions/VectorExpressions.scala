@@ -102,6 +102,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       val denom = ctx.freshName("denom")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -109,9 +111,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    final double x = (double) $a.getFloat($i);
-         |    final double y = (double) $b.getFloat($i);
-         |    $dot += x * y; $nx += x * x; $ny += y * y;
+         |    final double $x = (double) $a.getFloat($i);
+         |    final double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
          |  }
          |  final double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
          |  if ($denom == 0.0) { ${ev.isNull} = true; }

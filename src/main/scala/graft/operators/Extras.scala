@@ -67,16 +67,19 @@ object Extras {
 
     // Ordered per-group event history (case event lists, R5): collect is
     // unordered in both engines, so order is imposed by sorting (ts,
-    // event_id) structs and projecting the id — deterministic on both.
+    // event_id) structs and projecting the id — deterministic on both. The
+    // DECLARED output joins the ids with ',' (driver comparator cannot hash
+    // ARRAY cells); ArrayOutputSpec covers the array form.
     Q("agg_collect_sorted",
-      """SELECT user_id, list(event_id ORDER BY ts, event_id) AS event_ids
+      """SELECT user_id,
+        |       array_to_string(list(event_id ORDER BY ts, event_id), ',') AS event_ids
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       Tables(s, d, "events")
         .groupBy("user_id")
         .agg(
-          transform(
+          concat_ws(",", transform(
             sort_array(collect_list(struct(col("ts"), col("event_id")))),
-            x => x.getField("event_id")).as("event_ids"))
+            x => x.getField("event_id"))).as("event_ids"))
         .orderBy("user_id")
     },
 
@@ -87,7 +90,7 @@ object Extras {
       """SELECT event_id,
         |       m['k'][1] AS k_val,
         |       m['type'][1] AS type_val,
-        |       list_sort(map_keys(m)) AS ks
+        |       array_to_string(list_sort(map_keys(m)), ',') AS ks
         |FROM (
         |  SELECT event_id,
         |         map(['k', 'type'],
@@ -104,7 +107,7 @@ object Extras {
           col("event_id"),
           element_at(col("m"), "k").as("k_val"),
           element_at(col("m"), "type").as("type_val"),
-          sort_array(map_keys(col("m"))).as("ks"))
+          concat_ws(",", sort_array(map_keys(col("m")))).as("ks"))
         .orderBy("event_id")
     }
   )

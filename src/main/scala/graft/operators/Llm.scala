@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.Aggregators
+import graft.functions.{Aggregators, PortableHash}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -67,6 +67,54 @@ object Llm {
       |       unnest(list_transform(range(1, len(t) - 1),
       |              i -> array_to_string(t[i:i+2], ' '))) AS s
       |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents""".stripMargin
+
+  /** 16 deterministic random hyperplanes (seed 42) for sign-LSH. Shared by
+    * the Spark implementations AND the oracle SQL generators below — the
+    * oracle inlines each plane as a DOUBLE[] literal (float→double is
+    * exact, and Scala's Double.toString round-trips, so both engines see
+    * bit-identical plane values).
+    */
+  private lazy val lshPlanes: Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(16)(Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+  }
+
+  private def planeSqlLit(i: Int): String =
+    lshPlanes(i).map(f => f.toDouble.toString).mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  /** Oracle CTE body: one sign bit per hyperplane. Dot accumulation is
+    * left-to-right in double on both engines; the sign is robust to any
+    * residual ulp noise (|dot| ≪ 1e-12 would be required to flip it).
+    */
+  private def lshSigSql: String =
+    "SELECT vec_id,\n         " + (0 until 16).map(i =>
+      s"CASE WHEN list_sum(list_transform(range(1, 65), " +
+        s"j -> CAST(embedding[j] AS DOUBLE) * (${planeSqlLit(i)})[j])) > 0 " +
+        s"THEN 1 ELSE 0 END AS bit_$i").mkString(",\n         ") +
+      "\n  FROM embeddings"
+
+  private def lshBandedSql(nBands: Int, bits: Int): String =
+    (0 until nBands).map { b =>
+      val key = (0 until bits).map(i => s"bit_${b * bits + i} * ${1 << i}").mkString(" + ")
+      s"SELECT vec_id, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+
+  /** Spark side: vec_id + 16 sign bits (codegen dot via [[VectorDot]]). */
+  private def lshSig(s: SparkSession, d: String): DataFrame = {
+    val bits = lshPlanes.zipWithIndex.map { case (p, i) =>
+      (vectorDot(col("embedding"), typedlit(p)) > 0).cast("int").as(s"bit_$i")
+    }
+    emb(s, d).select(col("vec_id") +: bits: _*)
+  }
+
+  /** Spark side: unpivot the signature into (vec_id, band, band_key). */
+  private def lshBanded(sig: DataFrame, nBands: Int, bits: Int): DataFrame = {
+    def key(b: Int): Column =
+      (0 until bits).map(i => col(s"bit_${b * bits + i}") * (1 << i)).reduce(_ + _)
+    (0 until nBands).map(b =>
+      sig.select(col("vec_id"), lit(b).as("band"), key(b).as("band_key")))
+      .reduce(_.unionByName(_))
+  }
 
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a"),
@@ -359,7 +407,12 @@ object Llm {
     },
 
     // Per-label mean embedding — the custom typed Aggregator, with a pure
-    // SQL explode twin as the oracle.
+    // SQL explode twin as the oracle. The DECLARED output joins the vector
+    // as comma-separated micro-integers (round(round(m,6)·10⁶): the inner
+    // round is the proven-portable 6-dp quantization, the outer one kills
+    // binary-representation noise before the BIGINT cast) — the driver's
+    // comparator cannot hash ARRAY cells and double→string formatting
+    // differs between engines. ArrayOutputSpec covers the array form.
     Q("llm_centroid_udaf",
       """WITH ex AS (
         |  SELECT label,
@@ -369,14 +422,17 @@ object Llm {
         |), a AS (
         |  SELECT label, dim, avg(CAST(v AS DOUBLE)) AS m FROM ex GROUP BY label, dim
         |)
-        |SELECT label, list(round(m, 6) ORDER BY dim) AS centroid
+        |SELECT label,
+        |       array_to_string(list(CAST(round(round(m, 6) * 1000000) AS BIGINT)
+        |                            ORDER BY dim), ',') AS centroid
         |FROM a GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
       emb(s, d)
         .groupBy("label")
         .agg(Aggregators.centroid(col("embedding")).as("c"))
         .select(
           col("label"),
-          transform(col("c"), x => round(x, 6)).as("centroid"))
+          concat_ws(",", transform(col("c"),
+            x => round(round(x, 6) * 1000000).cast("long"))).as("centroid"))
         .orderBy("label")
     },
 
@@ -413,8 +469,17 @@ object Llm {
       val e0 = a.join(broadcast(b), col("a_id") < col("b_id"))
         .where(round(pairCos("a", "b"), 6) >= 0.35)
         .select(col("a_id").as("ea"), col("b_id").as("eb"))
+      // Iterative lineage control: each propagation step references `edges`
+      // (an O(n²) similarity join) and the previous `labels` twice, so
+      // without a cut the final plan re-evaluates ancestors combinatorially.
+      // `edges` is persisted (evaluated once, reused every iteration) and
+      // each iteration's `labels` is localCheckpoint-ed (lineage truncated
+      // to the materialized result — deterministic, so oracle-safe). At
+      // cluster scale the same pattern holds with checkpoint() to durable
+      // storage for fault tolerance.
       val edges = e0.select(col("ea").as("a"), col("eb").as("b"))
         .unionByName(e0.select(col("eb").as("a"), col("ea").as("b")))
+        .persist()
       var labels = emb(s, d).select(col("vec_id"), col("vec_id").as("lbl"))
       for (_ <- 1 to 3) {
         labels = labels.as("v")
@@ -424,14 +489,17 @@ object Llm {
           .groupBy(col("v.vec_id").as("vec_id"), col("v.lbl").as("lbl"))
           .agg(least(col("lbl"), coalesce(min(col("n_lbl")), col("lbl"))).as("nl"))
           .select(col("vec_id"), col("nl").as("lbl"))
+          .localCheckpoint()
       }
       labels.select(col("vec_id"), col("lbl").as("group_id")).orderBy("vec_id")
     },
 
     // ------------------------------------------------------------------
-    // Declared without oracle (driver rows-only check): hash-seeded ops
-    // whose hash family (xxhash64) has no DuckDB equivalent. Semantics are
-    // covered by ScalaTest specs with planted duplicates.
+    // Hash-seeded sketch ops. Round 1 these had no oracle (xxhash64 has no
+    // DuckDB equivalent); they now hash through [[graft.functions
+    // .PortableHash]] (md5-prefix 60-bit, identical in both engines), so
+    // every one is fully DuckDB-oracle-checked. ScalaTest specs with
+    // planted duplicates still cover the sketch semantics.
     // ------------------------------------------------------------------
 
     // MinHash near-dup: 16 seeded min-shingle-hashes per doc; LSH banding
@@ -440,16 +508,56 @@ object Llm {
     // with shared vocabulary (r=1 degenerates: every doc sharing a global
     // min-shingle lands in one bucket → quadratic candidates). Recall for
     // real near-dups (J ≥ 0.8): 1-(1-J²)⁸ ≈ 1.
-    Q.noOracle("llm_minhash_neardup") { (s, d) =>
+    Q("llm_minhash_neardup", {
+      val (h1, h2) = PortableHash.sql2("s")
+      val minhs = (0 until 16)
+        .map(i => s"min(h1 + $i * h2) AS m_$i")
+        .mkString(",\n         ")
+      val bandSelects = (0 until 8)
+        .map(b => s"SELECT doc_id, $b AS band, m_${2 * b} AS k1, m_${2 * b + 1} AS k2 FROM mh")
+        .mkString("\n  UNION ALL ")
+      s"""WITH sh AS (
+         |  $shingleSql)
+         |), mh AS (
+         |  SELECT doc_id,
+         |         $minhs
+         |  FROM (SELECT doc_id, $h1 AS h1, $h2 AS h2 FROM sh)
+         |  GROUP BY doc_id
+         |), bands AS (
+         |  $bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         |   AND a.doc_id < b.doc_id
+         |), sz AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT d1, d2, CAST(count(*) AS BIGINT) AS inter
+         |  FROM cand JOIN sh x ON cand.d1 = x.doc_id
+         |            JOIN sh y ON cand.d2 = y.doc_id AND x.s = y.s
+         |  GROUP BY d1, d2
+         |)
+         |SELECT d1, d2,
+         |       round(inter * 1.0 / (p.n + q.n - inter), 6) AS est_jaccard
+         |FROM inter JOIN sz p ON inter.d1 = p.doc_id
+         |           JOIN sz q ON inter.d2 = q.doc_id
+         |WHERE round(inter * 1.0 / (p.n + q.n - inter), 6) >= 0.2
+         |ORDER BY est_jaccard DESC, d1, d2 LIMIT 50""".stripMargin
+    }) { (s, d) =>
       val sh = shingleDf(docs(s, d))
-      // All 16 seeded minhashes in ONE aggregation pass over the raw
-      // shingles (min over multiset == min over set; a seeds-crossJoin
-      // would shuffle 16× the data), then unpivot to 8 band keys per doc.
+      // All 16 minhashes in ONE aggregation pass over the raw shingles
+      // (min over multiset == min over set; a seeds-crossJoin would
+      // shuffle 16× the data), with the h_i = h1 + i·h2 double-hash family
+      // — ONE md5 per shingle, not 16 — then unpivot to 8 band keys.
+      val (h1c, h2c) = PortableHash.pHash2(col("s"))
       val bands = shingleDfRaw(docs(s, d))
+        .select(col("doc_id"), h1c.as("h1"), h2c.as("h2"))
         .groupBy("doc_id")
         .agg(
-          min(xxhash64(lit(0), col("s"))).as("m_0"),
-          (1 until 16).map(i => min(xxhash64(lit(i), col("s"))).as(s"m_$i")): _*)
+          min(col("h1")).as("m_0"),
+          (1 until 16).map(i =>
+            min(col("h1") + lit(i) * col("h2")).as(s"m_$i")): _*)
         .select(
           col("doc_id"),
           explode(array((0 until 8).map(b =>
@@ -481,23 +589,60 @@ object Llm {
         .limit(50)
     },
 
-    // 64-bit SimHash per doc via the typed Aggregator over token hashes.
-    Q.noOracle("llm_simhash") { (s, d) =>
+    // SimHash per doc via the typed Aggregator over 60-bit portable token
+    // hashes (bits 60-63 always vote negative → 0 in both engines). The
+    // oracle folds the same per-bit majority vote in pure SQL: one
+    // conditional-sum aggregate per bit, recombined with shifts.
+    Q("llm_simhash", {
+      val bitTerms = (0 until 60)
+        .map(b => s"CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0" +
+          s" THEN CAST(1 AS BIGINT) << $b ELSE CAST(0 AS BIGINT) END")
+        .mkString("\n         + ")
+      s"""SELECT doc_id,
+         |       $bitTerms AS simhash
+         |FROM (
+         |  SELECT doc_id, ${PortableHash.sql("token")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         |)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
       docs(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .select(col("doc_id"), xxhash64(col("token")).as("th"))
+        .select(col("doc_id"), PortableHash.pHash(col("token")).as("th"))
         .groupBy("doc_id")
         .agg(Aggregators.simhash(col("th")).as("simhash"))
         .orderBy("doc_id")
     },
 
-    // Winnowing document fingerprint: char-8-gram rolling hashes, min per
+    // Winnowing document fingerprint: char-8-gram portable hashes, min per
     // 4-window, distinct sorted — all built-in higher-order fns, no UDF.
-    Q.noOracle("llm_fingerprint") { (s, d) =>
+    // The fingerprint set is emitted comma-joined (BIGINT→string is
+    // engine-identical; ARRAY cells are unhashable for the driver).
+    Q("llm_fingerprint",
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(text) >= 8
+         |              THEN list_transform(range(1, length(text) - 6),
+         |                   i -> ${PortableHash.sql("text[i:i+7]")})
+         |              ELSE [] END AS h
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(h) >= 4
+         |              THEN list_sort(list_distinct(list_transform(
+         |                   range(0, len(h) - 3),
+         |                   j -> list_aggregate(h[j+1:j+4], 'min'))))
+         |              ELSE list_sort(list_distinct(h)) END AS fp
+         |  FROM g
+         |)
+         |SELECT doc_id,
+         |       coalesce(array_to_string(fp, ','), '') AS fingerprint,
+         |       CAST(len(fp) AS BIGINT) AS n_fp
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
       val grams = when(length(col("text")) >= 8,
         transform(
           sequence(lit(1), length(col("text")) - 7),
-          i => xxhash64(col("text").substr(i, lit(8)))))
+          i => PortableHash.pHash(col("text").substr(i, lit(8)))))
         .otherwise(array())
       docs(s, d)
         .select(col("doc_id"), grams.as("h"))
@@ -507,28 +652,41 @@ object Llm {
             array_sort(array_distinct(transform(
               sequence(lit(0), size(col("h")) - 4),
               j => array_min(slice(col("h"), j + 1, lit(4)))))))
-            .otherwise(array_sort(array_distinct(col("h")))).as("fingerprint"))
-        .select(col("doc_id"), col("fingerprint"),
-          size(col("fingerprint")).cast("long").as("n_fp"))
+            .otherwise(array_sort(array_distinct(col("h")))).as("fp"))
+        .select(col("doc_id"),
+          concat_ws(",", col("fp")).as("fingerprint"),
+          size(col("fp")).cast("long").as("n_fp"))
         .orderBy("doc_id")
     },
 
     // LSH-bucketed approximate kNN: 16 deterministic hyperplanes → sign
     // bits → 2 bands of 8 bits → candidates share a band bucket → exact
     // cosine re-rank, top-5 per query. The scale path for llm_knn_per_query.
-    Q.noOracle("llm_ann_lsh") { (s, d) =>
-      val rnd = new scala.util.Random(42)
-      val planes: Seq[Array[Float]] =
-        Seq.fill(16)(Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
-      val bits = planes.zipWithIndex.map { case (p, i) =>
-        (vectorDot(col("embedding"), typedlit(p)) > 0).cast("int").as(s"bit_$i")
-      }
-      val sig = emb(s, d).select(col("vec_id") +: bits: _*)
-      def bandKey(b: Int): Column =
-        (0 until 8).map(i => col(s"bit_${b * 8 + i}") * (1 << i)).reduce(_ + _)
-      val banded = (0 to 1).map { b =>
-        sig.select(col("vec_id"), lit(b).as("band"), bandKey(b).as("band_key"))
-      }.reduce(_.unionByName(_))
+    // Oracle: the same hyperplanes inlined as DOUBLE[] literals.
+    Q("llm_ann_lsh",
+      s"""WITH sig AS (
+         |  $lshSigSql
+         |), banded AS (
+         |  ${lshBandedSql(2, 8)}
+         |), cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+         |  FROM banded q JOIN banded n
+         |    ON q.band = n.band AND q.band_key = n.band_key
+         |  WHERE q.vec_id < 20 AND n.vec_id <> q.vec_id
+         |), rr AS (
+         |  SELECT q_id, n_id,
+         |         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                                      CAST(ne.embedding AS DOUBLE[])), 6) AS sim
+         |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.q_id
+         |            JOIN embeddings ne ON ne.vec_id = cand.n_id
+         |), r AS (
+         |  SELECT q_id, n_id, sim,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+         |  FROM rr
+         |)
+         |SELECT q_id, n_id, sim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
+         |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+      val banded = lshBanded(lshSig(s, d), 2, 8)
       // Candidate id pairs via equi-join on (band, bucket); embeddings are
       // re-attached afterwards so the distinct dedups ids, not vectors.
       val cand = banded.where(col("vec_id") < 20).select(
@@ -552,21 +710,116 @@ object Llm {
         .orderBy("q_id", "rn")
     },
 
+    // The banded-LSH prefilter as a FIRST-CLASS similarity join: candidates
+    // from 4 bands × 4 bits (higher recall than 2×8 at moderate sims), then
+    // exact cosine verify at τ=0.4 — the documented scale default for
+    // llm_sim_join_threshold (SCALING.md §LSH; LshPrefilterSpec measures
+    // recall vs the brute-force edge set). The only shuffle is on the band
+    // key — never O(n²) pairs.
+    Q("llm_sim_join_lsh",
+      s"""WITH sig AS (
+         |  $lshSigSql
+         |), banded AS (
+         |  ${lshBandedSql(4, 4)}
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.vec_id < b.vec_id
+         |), v AS (
+         |  SELECT a_id, b_id,
+         |         round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+         |                                      CAST(y.embedding AS DOUBLE[])), 6) AS sim
+         |  FROM cand JOIN embeddings x ON x.vec_id = cand.a_id
+         |            JOIN embeddings y ON y.vec_id = cand.b_id
+         |)
+         |SELECT a_id, b_id, sim FROM v WHERE sim >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val banded = lshBanded(lshSig(s, d), 4, 4)
+      val cand = banded.as("x")
+        .join(banded.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+        .distinct()
+      val a = emb(s, d).select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = emb(s, d).select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(cosineSim(col("a_emb"), col("b_emb")), 6).as("sim"))
+        .where(col("sim") >= 0.4)
+        .orderBy("a_id", "b_id")
+    },
+
     // IVF approximate kNN: a 16-cell coarse quantizer trained with two
     // deterministic Lloyd iterations (seeds = first 16 vectors), then each
     // query probes its 2 nearest cells and exact-reranks only those
     // candidates. Fully distributed: centroids move through broadcast
     // joins + the centroid Aggregator, never a driver collect. At 100 TB
     // the cell count grows ~sqrt(n) and assignment stays one broadcast
-    // pass per iteration.
-    Q.noOracle("llm_ann_ivf") { (s, d) =>
+    // pass per iteration. Cross-engine determinism: assignment ranks by
+    // the 6-dp ROUNDED similarity (tie-break cell) and each trained
+    // centroid is 6-dp-rounded then float-quantized, so both engines rank
+    // on identical values; the oracle replays the same two Lloyd
+    // iterations as chained CTEs.
+    Q("llm_ann_ivf", {
+      def assignCte(centCte: String, out: String): String =
+        s"""$out AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell,
+           |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+           |                                          CAST(c.cent AS DOUBLE[])), 6)
+           |             DESC, c.cell) AS rn
+           |    FROM embeddings e CROSS JOIN $centCte c)
+           |  WHERE rn = 1
+           |)""".stripMargin
+      def centCte(assignCteName: String, out: String): String =
+        s"""$out AS (
+           |  SELECT cell, list(CAST(round(m, 6) AS FLOAT) ORDER BY dim) AS cent FROM (
+           |    SELECT cell, dim, avg(CAST(v AS DOUBLE)) AS m FROM (
+           |      SELECT cell, unnest(embedding) AS v,
+           |             unnest(range(1, len(embedding) + 1)) AS dim
+           |      FROM $assignCteName)
+           |    GROUP BY cell, dim)
+           |  GROUP BY cell
+           |)""".stripMargin
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS cell, embedding AS cent FROM embeddings WHERE vec_id < 16
+         |), ${assignCte("c0", "a1")}, ${centCte("a1", "c1")},
+         |${assignCte("c1", "a2")}, ${centCte("a2", "c2")},
+         |${assignCte("c2", "a3")},
+         |probes AS (
+         |  SELECT q_id, q_emb, cell FROM (
+         |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                                          CAST(c.cent AS DOUBLE[])), 6)
+         |             DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c
+         |    WHERE e.vec_id < 20)
+         |  WHERE rn <= 2
+         |), rr AS (
+         |  SELECT DISTINCT q_id, n.vec_id AS n_id,
+         |         round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+         |                                      CAST(n.embedding AS DOUBLE[])), 6) AS sim
+         |  FROM probes p JOIN a3 n ON n.cell = p.cell AND n.vec_id <> p.q_id
+         |), r AS (
+         |  SELECT q_id, n_id, sim,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+         |  FROM rr
+         |)
+         |SELECT q_id, n_id, sim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
+         |ORDER BY q_id, rn""".stripMargin
+    }) { (s, d) =>
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
       def toFloat(c: Column): Column = transform(c, x => x.cast("float"))
       def assign(cents: DataFrame): DataFrame = {
         val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
         e.join(broadcast(cents), lit(true))
           .select(col("vec_id"), col("embedding"), col("cell"),
-            cosineSim(col("embedding"), col("cent")).as("sim"))
+            round(cosineSim(col("embedding"), col("cent")), 6).as("sim"))
           .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
           .select(col("vec_id"), col("embedding"), col("cell"))
@@ -574,10 +827,14 @@ object Llm {
       var cents = e.where(col("vec_id") < 16)
         .select(col("vec_id").as("cell"), col("embedding").as("cent"))
       for (_ <- 1 to 2) {
+        // localCheckpoint cuts the per-iteration lineage (16 tiny rows):
+        // without it each Lloyd round re-plans ALL previous rounds and the
+        // final plan re-evaluates the whole training cascade per stage.
         cents = assign(cents)
           .groupBy("cell")
           .agg(Aggregators.centroid(col("embedding")).as("c"))
-          .select(col("cell"), toFloat(col("c")).as("cent"))
+          .select(col("cell"), toFloat(transform(col("c"), x => round(x, 6))).as("cent"))
+          .localCheckpoint()
       }
       val assigned = assign(cents)
       // queries probe their 2 closest cells
@@ -586,7 +843,7 @@ object Llm {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         .join(broadcast(cents), lit(true))
         .select(col("q_id"), col("q_emb"), col("cell"),
-          cosineSim(col("q_emb"), col("cent")).as("sim"))
+          round(cosineSim(col("q_emb"), col("cent")), 6).as("sim"))
         .withColumn("rn", row_number().over(wq))
         .where(col("rn") <= 2)
         .select(col("q_id"), col("q_emb"), col("cell"))
@@ -607,11 +864,24 @@ object Llm {
     // Multimodal column plumbing: binary payload + mime + typed metadata
     // carried through ops. The decode step is a clearly-marked deterministic
     // STUB (this container has no image/audio codecs); schema, partitioning
-    // and batch shape are real and unit-tested.
-    Q.noOracle("llm_multimodal_col") { (s, d) =>
+    // and batch shape are real and unit-tested. Fake features hash the
+    // utf-8 SOURCE TEXT of the payload via PortableHash so the oracle can
+    // replay them; output joined with ',' (ARRAY cells are unhashable for
+    // the driver's comparator).
+    Q("llm_multimodal_col", {
+      val feats = (0 until 8)
+        .map(i => s"(${PortableHash.sqlSeeded(i, "text")} % 256)")
+        .mkString(",\n                         ")
+      s"""SELECT doc_id,
+         |       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |       array_to_string([$feats], ',') AS fake_features
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
       val payload = encode(col("text"), "utf-8")
       val mm = docs(s, d).select(
         col("doc_id"),
+        col("text"),
         struct(
           payload.as("payload"),
           when(col("doc_id") % 2 === 0, "image/png").otherwise("audio/wav").as("mime"),
@@ -619,13 +889,15 @@ object Llm {
             lit("n_bytes"), octet_length(payload).cast("string"),
             lit("source"), col("source")).as("meta")).as("media"))
       // STUB decode: a real pipeline would mapInArrow/mapPartitions to a
-      // codec here; we extract deterministic fake "features" from the bytes.
+      // codec here; we extract deterministic fake "features" from the text
+      // behind the payload bytes.
       mm.select(
         col("doc_id"),
         col("media.mime").as("mime"),
         octet_length(col("media.payload")).cast("long").as("n_bytes"),
-        transform(sequence(lit(0), lit(7)),
-          i => pmod(xxhash64(col("media.payload"), i), lit(256))).as("fake_features"))
+        concat_ws(",", array((0 until 8).map(i =>
+          pmod(PortableHash.pHashSeeded(i, col("text")), lit(256))): _*))
+          .as("fake_features"))
         .orderBy("doc_id")
     }
   )

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** §2.H scalar function surface (SURVEY.md) — string/date/math/conditional/
@@ -17,7 +17,10 @@ object Scalars {
 
   val qs: Seq[Q] = Seq(
 
-    // R6 app-version-style string parsing + general string ops.
+    // R6 app-version-style string parsing + general string ops. The split
+    // result is re-joined with ',' in the DECLARED output (and
+    // array_to_string in the oracle) because the driver's pandas comparator
+    // cannot hash ARRAY cells; ArrayOutputSpec keeps the array form tested.
     Q("fn_string",
       """SELECT p_partkey,
         |       lower(p_name) AS lo, upper(p_brand) AS up,
@@ -27,7 +30,7 @@ object Scalars {
         |       concat(p_brand, ':', p_type) AS br_ty,
         |       trim('  ' || p_brand || ' ') AS trimmed,
         |       regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
-        |       string_split(p_type, ' ') AS words
+        |       array_to_string(string_split(p_type, ' '), ',') AS words
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
       t(s, d, "part").select(
         col("p_partkey"),
@@ -38,7 +41,7 @@ object Scalars {
         concat(col("p_brand"), lit(":"), col("p_type")).as("br_ty"),
         trim(concat(lit("  "), col("p_brand"), lit(" "))).as("trimmed"),
         regexp_extract(col("p_type"), "([A-Z]+)", 1).as("first_word"),
-        split(col("p_type"), " ").as("words"))
+        concat_ws(",", split(col("p_type"), " ")).as("words"))
         .orderBy("p_partkey")
     },
 
@@ -130,19 +133,27 @@ object Scalars {
     },
 
     // NS: array kit over the embedding column — higher-order fns, no UDF.
+    // Float-array outputs are projected to comma-joined MICRO-INTEGER
+    // strings (round(x·10⁶) per element): the driver's comparator cannot
+    // hash ARRAY cells, and float→string formatting differs between engines
+    // (Spark uses E-notation below 1e-3) while BIGINT→string is identical.
     Q("fn_array",
       """SELECT vec_id,
         |       CAST(len(embedding) AS BIGINT) AS dim,
-        |       embedding[1:4] AS first4,
-        |       list_sort(embedding[1:4]) AS sorted4,
+        |       array_to_string(list_transform(embedding[1:4],
+        |         x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), ',') AS first4,
+        |       array_to_string(list_transform(list_sort(embedding[1:4]),
+        |         x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), ',') AS sorted4,
         |       round(list_sum(list_transform(embedding,
         |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS l2sq
         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val micro: Column => Column = a =>
+        concat_ws(",", transform(a, x => round(x.cast("double") * 1000000).cast("long")))
       t(s, d, "embeddings").select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
-        slice(col("embedding"), 1, 4).as("first4"),
-        sort_array(slice(col("embedding"), 1, 4)).as("sorted4"),
+        micro(slice(col("embedding"), 1, 4)).as("first4"),
+        micro(sort_array(slice(col("embedding"), 1, 4))).as("sorted4"),
         round(
           aggregate(
             transform(col("embedding"), x => x.cast("double") * x.cast("double")),

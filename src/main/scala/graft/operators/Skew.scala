@@ -16,16 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Helper column name guaranteed absent from every input (a hardcoded
+    * `__salt` would silently collide with — and corrupt — an input that
+    * already carries that name).
+    */
+  private def freshSaltCol(inputs: DataFrame*): String = {
+    val taken = inputs.flatMap(_.columns).toSet
+    Iterator.from(0).map(i => if (i == 0) "__salt" else s"__salt$i")
+      .find(!taken.contains(_)).get
+  }
+
   /** Equi-join `probe ⋈ build` on `key`, spreading each probe key over
     * `salt` partitions. `tieBreak` must be a deterministic probe column.
     */
   def saltedJoin(
       probe: DataFrame, build: DataFrame, key: String, tieBreak: Column,
       salt: Int): DataFrame = {
-    val p = probe.withColumn("__salt", pmod(xxhash64(tieBreak), lit(salt)).cast("int"))
-    val b = build.withColumn("__salt",
+    val sc = freshSaltCol(probe, build)
+    val p = probe.withColumn(sc, pmod(xxhash64(tieBreak), lit(salt)).cast("int"))
+    val b = build.withColumn(sc,
       explode(sequence(lit(0), lit(salt - 1))))
-    p.join(b, Seq(key, "__salt")).drop("__salt")
+    p.join(b, Seq(key, sc)).drop(sc)
   }
 
   /** Two-phase aggregation for skewed group keys: first aggregate on
@@ -37,9 +48,10 @@ object Skew {
       df: DataFrame, key: String, tieBreak: Column, salt: Int)(
       partials: (String, Column)*)(
       finals: (String, Column)*): DataFrame = {
+    val sc = freshSaltCol(df)
     val staged = df
-      .withColumn("__salt", pmod(xxhash64(tieBreak), lit(salt)).cast("int"))
-      .groupBy(col(key), col("__salt"))
+      .withColumn(sc, pmod(xxhash64(tieBreak), lit(salt)).cast("int"))
+      .groupBy(col(key), col(sc))
       .agg(partials.head._2.as(partials.head._1),
         partials.tail.map { case (n, c) => c.as(n) }: _*)
     staged.groupBy(col(key))

@@ -76,7 +76,8 @@ class NearDupSpec extends AnyFunSuite {
   test("winnowing fingerprints overlap heavily for the planted pair") {
     val fp = queries("llm_fingerprint")(spark, dir)
       .select("doc_id", "fingerprint").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(',').filter(_.nonEmpty).map(_.toLong).toSet).toMap
     def jac(a: Set[Long], b: Set[Long]) =
       a.intersect(b).size.toDouble / a.union(b).size
     assert(jac(fp(0L), fp(1L)) > 0.5)
