@@ -116,6 +116,22 @@ object Llm {
       .reduce(_.unionByName(_))
   }
 
+  /** Candidate (a_id < b_id) pairs sharing any LSH band bucket — the
+    * prefilter stage of [[qs llm_sim_join_lsh]], exposed for
+    * LshPrefilterSpec's recall measurement against brute force.
+    */
+  private[graft] def lshCandidatePairs(
+      s: SparkSession, d: String, nBands: Int, bits: Int): DataFrame = {
+    val banded = lshBanded(lshSig(s, d), nBands, bits)
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+  }
+
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
@@ -735,14 +751,7 @@ object Llm {
          |)
          |SELECT a_id, b_id, sim FROM v WHERE sim >= 0.4
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val banded = lshBanded(lshSig(s, d), 4, 4)
-      val cand = banded.as("x")
-        .join(banded.as("y"),
-          col("x.band") === col("y.band") &&
-            col("x.band_key") === col("y.band_key") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-        .distinct()
+      val cand = lshCandidatePairs(s, d, 4, 4)
       val a = emb(s, d).select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
       val b = emb(s, d).select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
       cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
