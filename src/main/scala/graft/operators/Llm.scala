@@ -122,7 +122,9 @@ object Llm {
     */
   private[graft] def lshCandidatePairs(
       s: SparkSession, d: String, nBands: Int, bits: Int): DataFrame = {
-    val banded = lshBanded(lshSig(s, d), nBands, bits)
+    // persist: the self-join's two sides otherwise each recompute all 16
+    // signature dot products over the scan.
+    val banded = lshBanded(lshSig(s, d), nBands, bits).persist()
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -231,7 +233,9 @@ object Llm {
       val tok = docs(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      // df derived FROM tf (one row per (doc, token)) — skips a second
+      // explode + count-distinct shuffle over the raw token stream.
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val nd = docs(s, d).agg(count(lit(1)).cast("double").as("n"))
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
       tf.join(df, Seq("token"))
@@ -702,7 +706,9 @@ object Llm {
          |)
          |SELECT q_id, n_id, sim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
          |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
-      val banded = lshBanded(lshSig(s, d), 2, 8)
+      // persist: probe (vec_id<20) and build sides otherwise each recompute
+      // the 16-dot signature pass (the filter breaks exchange reuse).
+      val banded = lshBanded(lshSig(s, d), 2, 8).persist()
       // Candidate id pairs via equi-join on (band, bucket); embeddings are
       // re-attached afterwards so the distinct dedups ids, not vectors.
       val cand = banded.where(col("vec_id") < 20).select(
