@@ -93,6 +93,46 @@ object ScaleSmoke {
         .count()
     }
 
+    // Minhash band dedup over 500k synthetic ~40-token docs (20M shingles,
+    // ONE md5 each): the REAL operator pipeline (operators.Llm
+    // .minhashVerified), incl. 2% planted near-dups (id%50==0 duplicates
+    // doc id-1 with one token changed) so the verify stage has real work.
+    val vocab = array((0 until 1000).map(i => lit(f"w$i%03d")): _*)
+    val docsBig = spark.range(500000L).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(39)),
+        j => element_at(vocab,
+          (pmod(xxhash64(
+            when(col("id") % 50 === 0 && j =!= lit(0), col("id") - 1)
+              .otherwise(col("id")), j), lit(1000)) + 1).cast("int"))))
+        .as("text"))
+    time("minhash band+verify 500k docs") {
+      operators.Llm.minhashVerified(docsBig)
+        .where(col("est_jaccard") >= 0.2).count()
+    }
+
+    // Sign-LSH bucketing over 1M synthetic embeddings. The scale dial:
+    // band bits must track log2(n) — at 1M isotropic vectors a single
+    // 16-bit band gives ~15 vecs/bucket (candidates ~ n²/2¹⁶, bounded);
+    // the sf-scale 4×4 banding would degenerate (16 buckets per band).
+    val embBig = spark.range(1000000L).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(xxhash64(col("id"), i), lit(1000)) / 500.0 - 1.0).cast("float"))
+        .as("embedding"))
+    time("lsh 16-bit bucket 1M vecs") {
+      val banded = operators.Llm.lshBanded(operators.Llm.lshSig(embBig), 1, 16)
+        .persist()
+      val n = banded.as("x")
+        .join(banded.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .count()
+      banded.unpersist()
+      n
+    }
+
     spark.stop()
   }
 }

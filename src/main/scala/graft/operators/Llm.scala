@@ -99,16 +99,19 @@ object Llm {
       s"SELECT vec_id, $b AS band, $key AS band_key FROM sig"
     }.mkString("\n  UNION ALL ")
 
-  /** Spark side: vec_id + 16 sign bits (codegen dot via [[VectorDot]]). */
-  private def lshSig(s: SparkSession, d: String): DataFrame = {
+  /** Spark side: vec_id + 16 sign bits (codegen dot via [[VectorDot]]).
+    * Takes any (vec_id, embedding) frame so ScaleSmoke can drive it at
+    * synthetic scale.
+    */
+  private[graft] def lshSig(embDf: DataFrame): DataFrame = {
     val bits = lshPlanes.zipWithIndex.map { case (p, i) =>
       (vectorDot(col("embedding"), typedlit(p)) > 0).cast("int").as(s"bit_$i")
     }
-    emb(s, d).select(col("vec_id") +: bits: _*)
+    embDf.select(col("vec_id") +: bits: _*)
   }
 
   /** Spark side: unpivot the signature into (vec_id, band, band_key). */
-  private def lshBanded(sig: DataFrame, nBands: Int, bits: Int): DataFrame = {
+  private[graft] def lshBanded(sig: DataFrame, nBands: Int, bits: Int): DataFrame = {
     def key(b: Int): Column =
       (0 until bits).map(i => col(s"bit_${b * bits + i}") * (1 << i)).reduce(_ + _)
     (0 until nBands).map(b =>
@@ -124,7 +127,7 @@ object Llm {
       s: SparkSession, d: String, nBands: Int, bits: Int): DataFrame = {
     // persist: the self-join's two sides otherwise each recompute all 16
     // signature dot products over the scan.
-    val banded = lshBanded(lshSig(s, d), nBands, bits).persist()
+    val banded = lshBanded(lshSig(emb(s, d)), nBands, bits).persist()
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -132,6 +135,97 @@ object Llm {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .distinct()
+  }
+
+  /** Oracle CTE chain ending in `verified(d1, d2, est_jaccard)`: minhash
+    * banding (8 bands × 2 rows, h_i = h1 + i·h2 double-hash family from one
+    * md5) → candidate pairs → exact-Jaccard verification over distinct
+    * shingles. Shared by llm_minhash_neardup and llm_neardup_prune.
+    */
+  private lazy val minhashVerifiedCtes: String = {
+    val (h1, h2) = PortableHash.sql2("s")
+    val minhs = (0 until 16)
+      .map(i => s"min(h1 + $i * h2) AS m_$i")
+      .mkString(",\n         ")
+    val bandSelects = (0 until 8)
+      .map(b => s"SELECT doc_id, $b AS band, m_${2 * b} AS k1, m_${2 * b + 1} AS k2 FROM mh")
+      .mkString("\n  UNION ALL ")
+    s"""sh AS (
+       |  $shingleSql)
+       |), mh AS (
+       |  SELECT doc_id,
+       |         $minhs
+       |  FROM (SELECT doc_id, $h1 AS h1, $h2 AS h2 FROM sh)
+       |  GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       |   AND a.doc_id < b.doc_id
+       |), sz AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT d1, d2, CAST(count(*) AS BIGINT) AS inter
+       |  FROM cand JOIN sh x ON cand.d1 = x.doc_id
+       |            JOIN sh y ON cand.d2 = y.doc_id AND x.s = y.s
+       |  GROUP BY d1, d2
+       |), verified AS (
+       |  SELECT d1, d2,
+       |         round(inter * 1.0 / (p.n + q.n - inter), 6) AS est_jaccard
+       |  FROM inter JOIN sz p ON inter.d1 = p.doc_id
+       |             JOIN sz q ON inter.d2 = q.doc_id
+       |)""".stripMargin
+  }
+
+  private def minhashVerified(s: SparkSession, d: String): DataFrame =
+    minhashVerified(docs(s, d))
+
+  /** Spark twin of [[minhashVerifiedCtes]]: verified near-dup pairs
+    * (d1 < d2, exact Jaccard over distinct shingles) from minhash-banded
+    * candidates. All 16 minhashes in ONE aggregation pass over the raw
+    * shingles (min over multiset == min over set; a seeds-crossJoin would
+    * shuffle 16× the data) with ONE md5 per shingle, then unpivoted to 8
+    * band keys whose equi-self-join yields candidates. Takes any
+    * (doc_id, text) frame so ScaleSmoke can drive it at synthetic scale.
+    */
+  private[graft] def minhashVerified(docsDf: DataFrame): DataFrame = {
+    val sh = shingleDf(docsDf)
+    val (h1c, h2c) = PortableHash.pHash2(col("s"))
+    val bands = shingleDfRaw(docsDf)
+      .select(col("doc_id"), h1c.as("h1"), h2c.as("h2"))
+      .groupBy("doc_id")
+      .agg(
+        min(col("h1")).as("m_0"),
+        (1 until 16).map(i =>
+          min(col("h1") + lit(i) * col("h2")).as(s"m_$i")): _*)
+      .select(
+        col("doc_id"),
+        explode(array((0 until 8).map(b =>
+          struct(lit(b).as("band"),
+            col(s"m_${2 * b}").as("k1"), col(s"m_${2 * b + 1}").as("k2"))): _*))
+          .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+          col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("x"), col("d1") === col("x.doc_id"))
+      .join(sh.as("y"), col("d2") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.as("p"), col("d1") === col("p.doc_id"))
+      .join(sz.as("q"), col("d2") === col("q.doc_id"))
+      .select(col("d1"), col("d2"),
+        round(col("inter") * 1.0 / (col("p.n") + col("q.n") - col("inter")), 6)
+          .as("est_jaccard"))
   }
 
   private val stopwords: Map[String, Seq[String]] = Map(
@@ -527,86 +621,64 @@ object Llm {
     // band equal (P ≈ J² per band), which keeps buckets tiny on corpora
     // with shared vocabulary (r=1 degenerates: every doc sharing a global
     // min-shingle lands in one bucket → quadratic candidates). Recall for
-    // real near-dups (J ≥ 0.8): 1-(1-J²)⁸ ≈ 1.
-    Q("llm_minhash_neardup", {
-      val (h1, h2) = PortableHash.sql2("s")
-      val minhs = (0 until 16)
-        .map(i => s"min(h1 + $i * h2) AS m_$i")
-        .mkString(",\n         ")
-      val bandSelects = (0 until 8)
-        .map(b => s"SELECT doc_id, $b AS band, m_${2 * b} AS k1, m_${2 * b + 1} AS k2 FROM mh")
-        .mkString("\n  UNION ALL ")
-      s"""WITH sh AS (
-         |  $shingleSql)
-         |), mh AS (
-         |  SELECT doc_id,
-         |         $minhs
-         |  FROM (SELECT doc_id, $h1 AS h1, $h2 AS h2 FROM sh)
-         |  GROUP BY doc_id
-         |), bands AS (
-         |  $bandSelects
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
-         |   AND a.doc_id < b.doc_id
-         |), sz AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
-         |), inter AS (
-         |  SELECT d1, d2, CAST(count(*) AS BIGINT) AS inter
-         |  FROM cand JOIN sh x ON cand.d1 = x.doc_id
-         |            JOIN sh y ON cand.d2 = y.doc_id AND x.s = y.s
-         |  GROUP BY d1, d2
-         |)
-         |SELECT d1, d2,
-         |       round(inter * 1.0 / (p.n + q.n - inter), 6) AS est_jaccard
-         |FROM inter JOIN sz p ON inter.d1 = p.doc_id
-         |           JOIN sz q ON inter.d2 = q.doc_id
-         |WHERE round(inter * 1.0 / (p.n + q.n - inter), 6) >= 0.2
-         |ORDER BY est_jaccard DESC, d1, d2 LIMIT 50""".stripMargin
-    }) { (s, d) =>
-      val sh = shingleDf(docs(s, d))
-      // All 16 minhashes in ONE aggregation pass over the raw shingles
-      // (min over multiset == min over set; a seeds-crossJoin would
-      // shuffle 16× the data), with the h_i = h1 + i·h2 double-hash family
-      // — ONE md5 per shingle, not 16 — then unpivot to 8 band keys.
-      val (h1c, h2c) = PortableHash.pHash2(col("s"))
-      val bands = shingleDfRaw(docs(s, d))
-        .select(col("doc_id"), h1c.as("h1"), h2c.as("h2"))
-        .groupBy("doc_id")
-        .agg(
-          min(col("h1")).as("m_0"),
-          (1 until 16).map(i =>
-            min(col("h1") + lit(i) * col("h2")).as(s"m_$i")): _*)
-        .select(
-          col("doc_id"),
-          explode(array((0 until 8).map(b =>
-            struct(lit(b).as("band"),
-              col(s"m_${2 * b}").as("k1"), col(s"m_${2 * b + 1}").as("k2"))): _*))
-            .as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"),
-          col("bk.k1").as("k1"), col("bk.k2").as("k2"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
-            col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.as("x"), col("d1") === col("x.doc_id"))
-        .join(sh.as("y"), col("d2") === col("y.doc_id") && col("x.s") === col("y.s"))
-        .groupBy("d1", "d2")
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sz.as("p"), col("d1") === col("p.doc_id"))
-        .join(sz.as("q"), col("d2") === col("q.doc_id"))
-        .select(col("d1"), col("d2"),
-          round(col("inter") * 1.0 / (col("p.n") + col("q.n") - col("inter")), 6)
-            .as("est_jaccard"))
+    // real near-dups (J ≥ 0.8): 1-(1-J²)⁸ ≈ 1. The banding+verify pipeline
+    // lives in [[minhashVerified]]/[[minhashVerifiedCtes]], shared with
+    // llm_neardup_prune.
+    Q("llm_minhash_neardup",
+      s"""WITH $minhashVerifiedCtes
+         |SELECT d1, d2, est_jaccard
+         |FROM verified WHERE est_jaccard >= 0.2
+         |ORDER BY est_jaccard DESC, d1, d2 LIMIT 50""".stripMargin) { (s, d) =>
+      minhashVerified(s, d)
         .where(col("est_jaccard") >= 0.2)
         .orderBy(col("est_jaccard").desc, col("d1"), col("d2"))
         .limit(50)
+    },
+
+    // End-to-end training-corpus DEDUP: minhash candidates → exact-Jaccard
+    // verify → connected components over the ≥0.2 near-dup graph → keep the
+    // min-id doc of each group. One row per document with its group and
+    // keep flag — the operator a 100 TB pretraining pipeline actually runs:
+    // every stage is an equi-join/agg (band keys, shingles, ids), with the
+    // label-propagation lineage persisted per iteration, never O(n²) pairs.
+    Q("llm_neardup_prune", {
+      def step(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT v.doc_id, least(v.lbl, coalesce(min(n.lbl), v.lbl)) AS lbl
+           |  FROM $prev v
+           |  LEFT JOIN edges e ON e.a = v.doc_id
+           |  LEFT JOIN $prev n ON n.doc_id = e.b
+           |  GROUP BY v.doc_id, v.lbl
+           |)""".stripMargin
+      s"""WITH $minhashVerifiedCtes,
+         |e0 AS (
+         |  SELECT d1, d2 FROM verified WHERE est_jaccard >= 0.2
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM e0 UNION ALL SELECT d2, d1 FROM e0
+         |), l0 AS (
+         |  SELECT doc_id, doc_id AS lbl FROM documents
+         |), ${step("l0", "l1")}, ${step("l1", "l2")}, ${step("l2", "l3")}
+         |SELECT doc_id, lbl AS group_id, doc_id = lbl AS is_kept
+         |FROM l3 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val e0 = minhashVerified(s, d)
+        .where(col("est_jaccard") >= 0.2).select("d1", "d2")
+      val edges = e0.select(col("d1").as("a"), col("d2").as("b"))
+        .unionByName(e0.select(col("d2").as("a"), col("d1").as("b")))
+        .persist()
+      var labels = docs(s, d).select(col("doc_id"), col("doc_id").as("lbl"))
+      for (_ <- 1 to 3) {
+        labels = labels.as("v")
+          .join(edges.as("e"), col("e.a") === col("v.doc_id"), "left")
+          .join(labels.select(col("doc_id").as("n_doc"), col("lbl").as("n_lbl")),
+            col("n_doc") === col("e.b"), "left")
+          .groupBy(col("v.doc_id").as("doc_id"), col("v.lbl").as("lbl"))
+          .agg(least(col("lbl"), coalesce(min(col("n_lbl")), col("lbl"))).as("nl"))
+          .select(col("doc_id"), col("nl").as("lbl"))
+          .localCheckpoint()
+      }
+      labels.select(col("doc_id"), col("lbl").as("group_id"),
+        (col("doc_id") === col("lbl")).as("is_kept")).orderBy("doc_id")
     },
 
     // SimHash per doc via the typed Aggregator over 60-bit portable token
@@ -708,7 +780,7 @@ object Llm {
          |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
       // persist: probe (vec_id<20) and build sides otherwise each recompute
       // the 16-dot signature pass (the filter breaks exchange reuse).
-      val banded = lshBanded(lshSig(s, d), 2, 8).persist()
+      val banded = lshBanded(lshSig(emb(s, d)), 2, 8).persist()
       // Candidate id pairs via equi-join on (band, bucket); embeddings are
       // re-attached afterwards so the distinct dedups ids, not vectors.
       val cand = banded.where(col("vec_id") < 20).select(

@@ -73,6 +73,14 @@ class NearDupSpec extends AnyFunSuite {
     assert(near < unrelated.min)
   }
 
+  test("neardup_prune groups the planted pair and keeps the lower id") {
+    val out = queries("llm_neardup_prune")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(0L) == ((0L, true)), "canonical doc must keep itself")
+    assert(out(1L)._1 == 0L && !out(1L)._2, "near-dup must join group 0 and be pruned")
+    assert(out(5L) == ((5L, true)), "unrelated doc must survive in its own group")
+  }
+
   test("winnowing fingerprints overlap heavily for the planted pair") {
     val fp = queries("llm_fingerprint")(spark, dir)
       .select("doc_id", "fingerprint").collect()

@@ -67,4 +67,33 @@ class PlanSpec extends AnyFunSuite {
     // "*(n)" prefixes mark whole-stage-codegen spans in the final AQE plan
     assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
   }
+
+  test("minhash candidate generation is an equi-join on band keys, never all-pairs") {
+    val p = plan("llm_minhash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"minhash banding must never plan an all-pairs join:\n$p")
+  }
+
+  test("llm_sim_join_lsh: candidates via equi-join, signature computed once (persisted)") {
+    val p = plan("llm_sim_join_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("InMemoryTableScan"),
+      s"banded signature should be read from the persisted plan on both join sides:\n$p")
+  }
+
+  test("llm_neardup_prune / llm_dedup_groups: iterative lineage is cut per round") {
+    // After localCheckpoint the final plan must read the materialized
+    // labels (ExistingRDD), not re-derive 3 rounds of joins from the scan.
+    for (q <- Seq("llm_neardup_prune", "llm_dedup_groups")) {
+      val p = plan(q)
+      assert(p.contains("ExistingRDD"), s"$q lineage not truncated:\n$p")
+    }
+  }
+
+  test("llm_ann_ivf: trained centroids are materialized, not re-derived per stage") {
+    val p = plan("llm_ann_ivf")
+    assert(p.contains("ExistingRDD"), s"Lloyd lineage not truncated:\n$p")
+    // both assignment and probe stages broadcast the 16-row centroid side
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2)
+  }
 }
