@@ -228,6 +228,32 @@ object Llm {
           .as("est_jaccard"))
   }
 
+  /** Spark side of the per-doc SimHash: explode tokens → portable hash →
+    * [[Aggregators.simhash]] majority vote. Shared by llm_simhash and
+    * llm_simhash_neardup.
+    */
+  private def simhashDf(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), PortableHash.pHash(col("token")).as("th"))
+      .groupBy("doc_id")
+      .agg(Aggregators.simhash(col("th")).as("simhash"))
+
+  /** Oracle twin of [[simhashDf]] (no ORDER BY — used as a CTE body). */
+  private lazy val simhashSqlBody: String = {
+    val bitTerms = (0 until 60)
+      .map(b => s"CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0" +
+        s" THEN CAST(1 AS BIGINT) << $b ELSE CAST(0 AS BIGINT) END")
+      .mkString("\n         + ")
+    s"""SELECT doc_id,
+       |       $bitTerms AS simhash
+       |FROM (
+       |  SELECT doc_id, ${PortableHash.sql("token")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
@@ -685,25 +711,55 @@ object Llm {
     // hashes (bits 60-63 always vote negative → 0 in both engines). The
     // oracle folds the same per-bit majority vote in pure SQL: one
     // conditional-sum aggregate per bit, recombined with shifts.
-    Q("llm_simhash", {
-      val bitTerms = (0 until 60)
-        .map(b => s"CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0" +
-          s" THEN CAST(1 AS BIGINT) << $b ELSE CAST(0 AS BIGINT) END")
-        .mkString("\n         + ")
-      s"""SELECT doc_id,
-         |       $bitTerms AS simhash
-         |FROM (
-         |  SELECT doc_id, ${PortableHash.sql("token")} AS h
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    Q("llm_simhash",
+      s"""$simhashSqlBody
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      simhashDf(s, d).orderBy("doc_id")
+    },
+
+    // SimHash Hamming near-dup join (Manku et al., WWW'07 web-dedup
+    // design): split the 60-bit simhash into 4 × 15-bit segments — by
+    // pigeonhole, ANY pair with Hamming distance ≤ 3 shares at least one
+    // segment verbatim, so the segment equi-join is a COMPLETE (not
+    // probabilistic) prefilter for the ≤3 regime; candidates are verified
+    // with bit_count(xor). The only shuffle is on the 15-bit segment key.
+    Q("llm_simhash_neardup",
+      s"""WITH s AS (
+         |  $simhashSqlBody
+         |), seg AS (
+         |  SELECT doc_id, i, (simhash >> (i * 15)) & 32767 AS sk
+         |  FROM s, (SELECT unnest([0, 1, 2, 3]) AS i)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM seg a JOIN seg b ON a.i = b.i AND a.sk = b.sk
+         |   AND a.doc_id < b.doc_id
          |)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
-      docs(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .select(col("doc_id"), PortableHash.pHash(col("token")).as("th"))
-        .groupBy("doc_id")
-        .agg(Aggregators.simhash(col("th")).as("simhash"))
-        .orderBy("doc_id")
+         |SELECT d1, d2,
+         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM cand JOIN s x ON cand.d1 = x.doc_id
+         |          JOIN s y ON cand.d2 = y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val sh = simhashDf(s, d)
+      val seg = sh.select(col("doc_id"),
+          explode(array((0 until 4).map(i => struct(lit(i).as("i"),
+            shiftright(col("simhash"), i * 15).bitwiseAND(32767).as("sk"))): _*))
+            .as("g"))
+        .select(col("doc_id"), col("g.i").as("i"), col("g.sk").as("sk"))
+      val cand = seg.as("a")
+        .join(seg.as("b"),
+          col("a.i") === col("b.i") && col("a.sk") === col("b.sk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val hamming =
+        expr("bit_count(x.simhash ^ y.simhash)").cast("long")
+      cand
+        .join(sh.as("x"), col("d1") === col("x.doc_id"))
+        .join(sh.as("y"), col("d2") === col("y.doc_id"))
+        .select(col("d1"), col("d2"), hamming.as("hamming"))
+        .where(col("hamming") <= 3)
+        .orderBy("d1", "d2")
     },
 
     // Winnowing document fingerprint: char-8-gram portable hashes, min per

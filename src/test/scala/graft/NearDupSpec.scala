@@ -73,6 +73,19 @@ class NearDupSpec extends AnyFunSuite {
     assert(near < unrelated.min)
   }
 
+  test("simhash Hamming join is complete for distance ≤ 3 (pigeonhole)") {
+    import spark.implicits._
+    val got = queries("llm_simhash_neardup")(spark, dir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val sig = queries("llm_simhash")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      if java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute, "segment join must reproduce brute-force Hamming≤3 exactly")
+  }
+
   test("neardup_prune groups the planted pair and keeps the lower id") {
     val out = queries("llm_neardup_prune")(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
