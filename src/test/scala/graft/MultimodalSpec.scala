@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{MediaCodec, MediaRow, StubCodec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the REAL properties of the multimodal plumbing — schema, batch
+  * shape, partition preservation, determinism — around the honestly-stubbed
+  * codec (no image/audio libs in this container).
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def media = Multimodal.attachMedia(Tables(spark, sf, "documents"))
+
+  test("decodeFeatures: schema and deterministic per-row values") {
+    val out = Multimodal.decodeFeatures(media).collect()
+    assert(out.length == media.count())
+    assert(out.forall(_.features.length == 8))
+    // deterministic: same input → bitwise-same features
+    val again = Multimodal.decodeFeatures(media).collect()
+    assert(out.sortBy(_.doc_id).zip(again.sortBy(_.doc_id))
+      .forall { case (a, b) => a.features.sameElements(b.features) })
+    // stub features match a direct driver-side call per row
+    val byId = out.map(f => f.doc_id -> f).toMap
+    media.collect().foreach { r =>
+      val expect = StubCodec.decodeBatch(Seq(r.media.payload), r.media.mime).head
+      assert(byId(r.doc_id).features.sameElements(expect))
+      assert(byId(r.doc_id).n_bytes == r.media.payload.length.toLong)
+    }
+  }
+
+  test("decodeFeatures: codec is invoked batch-at-a-time within the cap") {
+    // task closures are serialized even in local mode, so batch sizes are
+    // reported through an accumulator, not a captured collection
+    val seen = spark.sparkContext.collectionAccumulator[Int]("batchSizes")
+    val countingCodec = new MediaCodec {
+      override def decodeBatch(
+          payloads: Seq[Array[Byte]], mime: String): Seq[Array[Float]] = {
+        seen.add(payloads.size)
+        StubCodec.decodeBatch(payloads, mime)
+      }
+    }
+    val n = Multimodal.decodeFeatures(media.repartition(2), countingCodec,
+      batchSize = 16).count()
+    val sizes = {
+      import scala.jdk.CollectionConverters._
+      seen.value.asScala.map(_.toInt).toSeq
+    }
+    assert(n == media.count())
+    assert(sizes.nonEmpty && sizes.forall(_ <= 16),
+      s"codec must never see more than batchSize rows: $sizes")
+    assert(sizes.sum == n, "every row decoded exactly once")
+    // full batches split ~evenly across the 2 mimes before the codec call,
+    // so a healthy batch is around batchSize/2 — not degenerate singletons
+    assert(sizes.max >= 8, s"batches degenerated: $sizes")
+  }
+
+  test("decodeFeatures and sampleFrames are narrow: no shuffle in the plan") {
+    for (plan <- Seq(
+      Multimodal.decodeFeatures(media).queryExecution.executedPlan.toString,
+      Multimodal.sampleFrames(media, 2).queryExecution.executedPlan.toString)) {
+      assert(!plan.contains("Exchange"),
+        s"multimodal ops must preserve partitioning:\n$plan")
+    }
+  }
+
+  test("sampleFrames emits every k-th 32-byte frame") {
+    val r: MediaRow = media.filter(_.doc_id == 0L).head()
+    val expectFrames = r.media.payload.grouped(32).zipWithIndex
+      .collect { case (b, i) if i % 2 == 0 => i }.toSeq
+    val got = Multimodal.sampleFrames(media, 2).filter(_.doc_id == 0L)
+      .collect().map(_.frame_no).toSeq.sorted
+    assert(got == expectFrames)
+    assert(got.length >= 1)
+  }
+}
