@@ -404,6 +404,62 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // Corpus-trained unigram LM scoring (CCNet-style quality filter): the
+    // LM is the corpus itself (p(t) = tf/N), each doc scored by mean token
+    // log-probability. Train + score is two aggs and one join on token —
+    // at 100 TB the LM table is a broadcast-sized vocab and scoring is one
+    // map-side pass.
+    Q("llm_lm_score",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), lm AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY token
+        |), tot AS (
+        |  SELECT CAST(sum(tf) AS DOUBLE) AS n FROM lm
+        |)
+        |SELECT doc_id,
+        |       round(avg(ln(lm.tf / tot.n)), 6) AS avg_logp,
+        |       CAST(count(*) AS BIGINT) AS n_tok
+        |FROM tok JOIN lm USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val lm = tok.groupBy("token").agg(count(lit(1)).as("tf"))
+      val tot = lm.agg(sum(col("tf")).cast("double").as("n"))
+      tok.join(lm, Seq("token"))
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+          round(avg(log(col("tf") / col("n"))), 6).as("avg_logp"),
+          count(lit(1)).as("n_tok"))
+        .orderBy("doc_id")
+    },
+
+    // Within-doc repetition ratio (pretraining boilerplate/spam filter):
+    // 1 − distinct/total word-3-grams. Pure per-doc aggregation — no join,
+    // embarrassingly parallel at any scale.
+    Q("llm_repetition",
+      s"""SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(count(DISTINCT s) AS BIGINT) AS n_uniq,
+         |       round(1.0 - count(DISTINCT s) * 1.0 / count(*), 6) AS rep_ratio
+         |FROM (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(t) - 1),
+         |                i -> array_to_string(t[i:i+2], ' '))) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      shingleDfRaw(docs(s, d))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          countDistinct(col("s")).as("n_uniq"),
+          round(lit(1.0) - countDistinct(col("s")) * 1.0 / count(lit(1)), 6)
+            .as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+
     // n-gram language ID: stopword votes per language, argmax with a fixed
     // tie-break ladder (identical CASE in both engines → deterministic).
     Q("llm_lang_id", {
