@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
 import org.apache.spark.sql.graft.{CosineSimilarity, VectorDot}
+import org.apache.spark.sql.types.{BinaryType, LongType}
 
 /** SparkSessionExtensions hook (SURVEY.md §4.3): registers the native
   * vector expressions as SQL functions, so the engine's surface is also
@@ -28,5 +29,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(binary("cosine_sim", CosineSimilarity))
     ext.injectFunction(binary("vector_dot", VectorDot))
+    // portable_hash(expr): the engine-portable 60-bit content hash
+    // (graft.functions.PortableHash) as a SQL function — composed from
+    // built-in expressions so it stays codegen'd end to end.
+    ext.injectFunction((
+      FunctionIdentifier("portable_hash"),
+      new ExpressionInfo(classOf[Conv].getName, "portable_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "portable_hash expects 1 argument")
+        Cast(
+          Conv(
+            Substring(Md5(Cast(children.head, BinaryType)),
+              Literal(1), Literal(15)),
+            Literal(16), Literal(10)),
+          LongType)
+      }))
   }
 }

@@ -23,6 +23,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(2) == 11.0)
   }
 
+  test("portable_hash is SQL-callable and matches the Column API") {
+    import org.apache.spark.sql.functions.col
+    val viaSql = spark.sql("SELECT portable_hash('hello world') AS h").head().getLong(0)
+    import spark.implicits._
+    val viaCol = Seq("hello world").toDF("t")
+      .select(graft.functions.PortableHash.pHash(col("t"))).head().getLong(0)
+    assert(viaSql == viaCol)
+    // known value: int(md5('hello world')[:15], 16) — same as the DuckDB twin
+    assert(viaSql == 426544247714475757L)
+  }
+
   test("SQL surface composes with tables (top pair via SQL only)") {
     Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .createOrReplaceTempView("emb_sql")
