@@ -24,10 +24,18 @@ object Bench {
         org.apache.spark.sql.expressions.Window
           .partitionBy("l_returnflag").orderBy("l_orderkey"))).count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Two timed passes per query, keep the min: external machine load
+    // contaminated round 1's single-pass numbers by up to 5× on trivial
+    // queries; min-of-2 keeps a load spike during one pass from being
+    // reported as engine time (runs=2 recorded in the output line).
+    def once(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> math.min(once(fn), once(fn))
     }
     // Driver tail-captures stdout; round 1 the single ~3 KB line with the
     // full per-query map got truncated → BENCH parsed:null. Emit the long
@@ -36,8 +44,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"runs":2,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"runs":2,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -46,12 +46,12 @@ final case class Q(
     oracle: Option[String])
 
 object Q {
-  /** Oracle-checked query. */
+  /** Oracle-checked query. Since round 2 EVERY declared query has an
+    * oracle (the driver treats oracle-less keys as failures, and
+    * PortableHash made even the hash-seeded ops SQL-expressible), so this
+    * is the only constructor.
+    */
   def apply(name: String, oracle: String)(
       fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, Some(oracle))
-
-  /** Declared but not SQL-expressible (driver records rows-only check). */
-  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
-    Q(name, fn, None)
 }
