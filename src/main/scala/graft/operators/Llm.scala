@@ -191,7 +191,10 @@ object Llm {
     * (doc_id, text) frame so ScaleSmoke can drive it at synthetic scale.
     */
   private[graft] def minhashVerified(docsDf: DataFrame): DataFrame = {
-    val sh = shingleDf(docsDf)
+    // persist: the distinct shingle set feeds three consumers (doc sizes +
+    // both sides of the exact-Jaccard verify join); without it each
+    // consumer re-runs the explode+distinct shuffle.
+    val sh = shingleDf(docsDf).persist()
     val (h1c, h2c) = PortableHash.pHash2(col("s"))
     val bands = shingleDfRaw(docsDf)
       .select(col("doc_id"), h1c.as("h1"), h2c.as("h2"))
