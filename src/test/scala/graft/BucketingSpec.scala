@@ -42,4 +42,31 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS usr_bucketed")
     }
   }
+
+  test("LSH band signatures bucketed on the band key self-join shuffle-free") {
+    // The dedup-at-100TB claim, end to end: if the banded signature table
+    // is written bucketed by (band, band_key), the candidate self-join —
+    // the ONLY shuffle in the LSH pipeline — needs no Exchange either.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      operators.Llm.lshBanded(
+        operators.Llm.lshSig(
+          Tables(spark, "/root/testdata/sf0.001", "embeddings")), 4, 4)
+        .write.mode("overwrite")
+        .bucketBy(8, "band", "band_key").sortBy("band", "band_key")
+        .saveAsTable("bands_bucketed")
+      val b = spark.table("bands_bucketed")
+      val selfJoin = b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      selfJoin.collect()
+      val plan = selfJoin.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed band self-join, got:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS bands_bucketed")
+    }
+  }
 }
