@@ -46,6 +46,23 @@ object Streaming {
   def dedupWithinWatermark(ev: DataFrame): DataFrame =
     ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CONTENT dedup (the ingest-time twin of llm_exact_dedup): a
+    * stream of (doc_id, ts, text) keeps only the first arrival of each
+    * normalized-content hash within the watermark horizon. State is one
+    * 60-bit PortableHash per distinct document seen inside the horizon —
+    * O(distinct docs in window), never O(stream) — which is what lets a
+    * pretraining ingest stream self-dedup at 100 TB without a batch join.
+    */
+  def contentDedupWithinWatermark(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    docs
+      .withColumn("content_hash", graft.functions.PortableHash.pHash(norm))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
+
   /** Custom per-user state machine: signup→purchase funnel. Emits one row
     * per user on their first post-signup purchase (conversion), carrying
     * the lag between the two. State is one small record per user with a

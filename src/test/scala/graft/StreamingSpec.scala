@@ -108,6 +108,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming content dedup keeps first arrival per normalized text") {
+    case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val name = s"mem_cd_${System.nanoTime()}"
+    val q = Streaming.contentDedupWithinWatermark(
+      input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 01:00:00"), "Hello, World!"))
+      q.processAllAvailable()
+      // same CONTENT after normalization (case/punct differ), new doc_id
+      input.addData((2L, ts("2024-01-01 01:10:00"), "hello world"))
+      // genuinely new content
+      input.addData((3L, ts("2024-01-01 01:15:00"), "something else"))
+      q.processAllAvailable()
+      val kept = spark.table(name).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L), s"expected first-arrival dedup, kept $kept")
+    } finally q.stop()
+  }
+
   test("funnel state machine emits one conversion per signup→purchase") {
     val evs = Seq(
       Streaming.FunnelEvent(1, "signup", 1000000L),
