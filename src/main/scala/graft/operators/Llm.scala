@@ -463,6 +463,66 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // Deterministic stratified sampling for training-data mixes: keep rate
+    // per source stratum, selection by content-independent hash bucket
+    // (portable_hash(doc_id) mod 100) — re-runs and retries select the SAME
+    // rows (no rand()), and the filter is a map-side predicate that scales
+    // to any corpus size with zero shuffle.
+    Q("llm_sample_mix", {
+      val rate = """CASE WHEN source IN ('src0', 'src1') THEN 100
+                   |            WHEN source LIKE 'src1%' THEN 50
+                   |            ELSE 20 END""".stripMargin
+      s"""SELECT doc_id, source, CAST(h % 100 AS BIGINT) AS bucket
+         |FROM (
+         |  SELECT doc_id, source,
+         |         ${PortableHash.sql("CAST(doc_id AS VARCHAR)")} AS h,
+         |         $rate AS rate
+         |  FROM documents
+         |)
+         |WHERE h % 100 < rate
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val rate = when(col("source").isin("src0", "src1"), 100)
+        .when(col("source").like("src1%"), 50)
+        .otherwise(20)
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          PortableHash.pHash(col("doc_id").cast("string")).as("h"), rate.as("rate"))
+        .where(pmod(col("h"), lit(100)) < col("rate"))
+        .select(col("doc_id"), col("source"),
+          pmod(col("h"), lit(100)).cast("long").as("bucket"))
+        .orderBy("doc_id")
+    },
+
+    // Greedy sequence packing (pretraining shard assembly): documents fill
+    // fixed 2048-token packs in doc_id order within each source shard —
+    // pack_id = floor(running-tokens-before-doc / budget), one window
+    // cumsum per shard. Each source partitions independently, so packing
+    // parallelizes across shards at any scale.
+    Q("llm_pack_sequences",
+      """SELECT doc_id, source, n_tok,
+        |       CAST(floor((cum - n_tok) * 1.0 / 2048) AS BIGINT) AS pack_id
+        |FROM (
+        |  SELECT doc_id, source, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM (
+        |    SELECT doc_id, source,
+        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |    FROM documents
+        |  )
+        |)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          floor((col("cum") - col("n_tok")) * 1.0 / 2048).as("pack_id"))
+        .orderBy("doc_id")
+    },
+
     // n-gram language ID: stopword votes per language, argmax with a fixed
     // tie-break ladder (identical CASE in both engines → deterministic).
     Q("llm_lang_id", {
