@@ -95,7 +95,8 @@ object RunConfig {
       startDate = Option(n.get("startDate")).map(_.asText),
       endDate = Option(n.get("endDate")).map(_.asText),
       where = Option(n.get("where"))
-        .map(_.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+        .map(w => w.fieldNames().asScala
+          .map(k => k -> w.get(k).asText).toMap)
         .getOrElse(Map.empty))
   }
 }

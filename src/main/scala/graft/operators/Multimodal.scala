@@ -45,7 +45,8 @@ object Multimodal {
       payloads.map { b =>
         val sum = b.foldLeft(0L)((a, x) => a + (x & 0xff))
         Array.tabulate(8)(i =>
-          (((sum + i * 31) % 256).toFloat + (if (b.isEmpty) 0f else (b(i % b.length) & 0xff))) / 256f)
+          (((sum + i * 31) % 256).toFloat +
+            (if (b.isEmpty) 0f else (b(i % b.length) & 0xff).toFloat)) / 256f)
       }
   }
 
