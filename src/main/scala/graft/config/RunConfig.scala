@@ -89,14 +89,33 @@ object RunConfig {
     require(bad.isEmpty, s"RunConfig: unknown config keys $bad")
     require(n.hasNonNull("sfDir") && n.hasNonNull("tables"),
       "RunConfig: sfDir and tables are required")
-    RunConfig(
+    // An explicit JSON null must behave like an absent key — NullNode is
+    // non-null to Option(), and .asText on it yields the literal string
+    // "null", which would cast to a NULL date and silently filter out
+    // every row.
+    def optText(field: String): Option[String] =
+      Option(n.get(field)).filterNot(_.isNull).map { v =>
+        require(v.isTextual, s"RunConfig: $field must be a JSON string")
+        v.asText
+      }
+    val cfg = RunConfig(
       sfDir = n.get("sfDir").asText,
       tables = n.get("tables").elements().asScala.map(_.asText).toSeq,
-      startDate = Option(n.get("startDate")).map(_.asText),
-      endDate = Option(n.get("endDate")).map(_.asText),
-      where = Option(n.get("where"))
-        .map(w => w.fieldNames().asScala
-          .map(k => k -> w.get(k).asText).toMap)
+      startDate = optText("startDate"),
+      endDate = optText("endDate"),
+      where = Option(n.get("where")).filterNot(_.isNull)
+        .map(w => w.fieldNames().asScala.map { k =>
+          val v = w.get(k)
+          require(v != null && v.isTextual,
+            s"RunConfig: where.$k must be a JSON string predicate")
+          k -> v.asText
+        }.toMap)
         .getOrElse(Map.empty))
+    // A predicate keyed on a table this run does not select would be
+    // silently dead (where.get(name) never consults it) — fail instead.
+    val orphans = cfg.where.keySet -- cfg.tables.toSet
+    require(orphans.isEmpty,
+      s"RunConfig: 'where' predicates for unselected tables $orphans")
+    cfg
   }
 }

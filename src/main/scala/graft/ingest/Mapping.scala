@@ -41,13 +41,16 @@ final case class MappingSpec(
 
 object Mapping {
 
-  private val elemCol = "__elem"
-
   /** Compile `spec` against `df`'s JSON string column `jsonCol`. Extracted
     * columns are APPENDED to the source columns (ids/timestamps survive;
     * callers project afterwards if they want the emitted fields only).
     */
   def compile(df: DataFrame, jsonCol: String, spec: MappingSpec): DataFrame = {
+    // helper column name guaranteed absent from the input — a hardcoded
+    // name would silently overwrite (then drop) a caller's column
+    val elemCol = Iterator.from(0)
+      .map(i => if (i == 0) "__elem" else s"__elem$i")
+      .find(!df.columns.contains(_)).get
     val filtered = spec.filter.fold(df)(p => df.where(expr(p)))
     val exploded = spec.flatMapPath.fold(filtered) { p =>
       // Array-of-anything: slice the array out with JSONPath, re-parse as
@@ -58,16 +61,17 @@ object Mapping {
           get_json_object(col(jsonCol), p), ArrayType(StringType))))
     }
     val emitted = spec.fields.map { f =>
-      extract(col(jsonCol), f).cast(f.dataType).as(f.name)
+      extract(col(jsonCol), elemCol, f).cast(f.dataType).as(f.name)
     }
     val out = exploded.select((exploded.columns.map(col).toSeq ++ emitted): _*)
     if (spec.flatMapPath.isEmpty) out else out.drop(elemCol)
   }
 
-  private def extract(doc: Column, f: FieldMap): Column = f.path match {
-    case "@"                      => col(elemCol)
-    case p if p.startsWith("@.")  => get_json_object(col(elemCol), "$" + p.drop(1))
-    case p if p.startsWith("$")   => get_json_object(doc, p)
-    case p => throw new IllegalArgumentException(s"MappingSpec: bad path '$p'")
-  }
+  private def extract(doc: Column, elemCol: String, f: FieldMap): Column =
+    f.path match {
+      case "@"                     => col(elemCol)
+      case p if p.startsWith("@.") => get_json_object(col(elemCol), "$" + p.drop(1))
+      case p if p.startsWith("$")  => get_json_object(doc, p)
+      case p => throw new IllegalArgumentException(s"MappingSpec: bad path '$p'")
+    }
 }

@@ -24,12 +24,13 @@ object Llm {
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
 
-  /** lowercase → strip non-alnum → collapse runs of spaces → trim. */
-  private def normText(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+  /** lowercase → strip non-alnum → collapse runs of spaces → trim —
+    * shared with the streaming ingest dedup via [[graft.functions
+    * .TextNorm]] so batch and stream keys can never diverge.
+    */
+  private def normText(c: Column): Column = graft.functions.TextNorm.normText(c)
 
-  private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private val normSql = graft.functions.TextNorm.normSql
 
   /** 3-token shingles per doc (word-level, space-joined), with
     * multiplicity — via the custom [[ShingleGenerator]] UDTF, which emits
@@ -1140,16 +1141,11 @@ object Llm {
          |       array_to_string([$feats], ',') AS fake_features
          |FROM documents ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      val payload = encode(col("text"), "utf-8")
       val mm = docs(s, d).select(
         col("doc_id"),
         col("text"),
-        struct(
-          payload.as("payload"),
-          when(col("doc_id") % 2 === 0, "image/png").otherwise("audio/wav").as("mime"),
-          map(
-            lit("n_bytes"), octet_length(payload).cast("string"),
-            lit("source"), col("source")).as("meta")).as("media"))
+        Multimodal.mediaStruct(col("doc_id"), col("text"), col("source"))
+          .as("media"))
       // STUB decode: a real pipeline would mapInArrow/mapPartitions to a
       // codec here; we extract deterministic fake "features" from the text
       // behind the payload bytes.

@@ -50,18 +50,31 @@ object Multimodal {
       }
   }
 
+  /** THE media-struct construction — payload bytes, mime by doc parity,
+    * (n_bytes, source) metadata — shared by [[attachMedia]] and the
+    * declared `llm_multimodal_col` query so the spec-pinned plumbing and
+    * the declared query can never carry diverging shapes.
+    */
+  def mediaStruct(docId: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column,
+      source: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val payload = encode(text, "utf-8")
+    struct(
+      payload.as("payload"),
+      when(docId % 2 === 0, "image/png").otherwise("audio/wav").as("mime"),
+      map(
+        lit("n_bytes"), octet_length(payload).cast("string"),
+        lit("source"), source).as("meta"))
+  }
+
   /** Wrap the documents table's text as utf-8 payloads with mime + meta —
     * the ingestion shape a binary-bearing parquet table would give.
     */
-  def attachMedia(docs: DataFrame): Dataset[MediaRow] = {
-    val withMedia = docs.select(
+  def attachMedia(docs: DataFrame): Dataset[MediaRow] =
+    docs.select(
       col("doc_id"),
-      struct(
-        encode(col("text"), "utf-8").as("payload"),
-        when(col("doc_id") % 2 === 0, "image/png").otherwise("audio/wav").as("mime"),
-        map(lit("source"), col("source")).as("meta")).as("media"))
-    withMedia.as[MediaRow](Encoders.product[MediaRow])
-  }
+      mediaStruct(col("doc_id"), col("text"), col("source")).as("media"))
+      .as[MediaRow](Encoders.product[MediaRow])
 
   /** Feature extraction: batch-at-a-time over each partition. Narrow — no
     * shuffle; output partitioning == input partitioning.

@@ -54,11 +54,10 @@ object Streaming {
     * pretraining ingest stream self-dedup at 100 TB without a batch join.
     */
   def contentDedupWithinWatermark(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    import org.apache.spark.sql.functions.col
     docs
-      .withColumn("content_hash", graft.functions.PortableHash.pHash(norm))
+      .withColumn("content_hash", graft.functions.PortableHash.pHash(
+        graft.functions.TextNorm.normText(col("text"))))
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("content_hash")
   }

@@ -1,0 +1,115 @@
+package graft
+
+import graft.functions.Aggregators
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 7 driver-declared queries that USED to emit ARRAY/MAP columns now
+  * emit comma-joined strings (the driver's comparator cannot hash array
+  * cells). This spec keeps the underlying ARRAY-form semantics tested —
+  * each array expression is checked against a driver-side recomputation
+  * from the raw data — so the string projection can never silently paper
+  * over a regression in the array logic itself.
+  */
+class ArrayOutputSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("fn_string words: split array equals driver-side split") {
+    val rows = Tables(spark, sf, "part")
+      .select(col("p_partkey"), col("p_type"), split(col("p_type"), " ").as("words"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](2) == r.getString(1).split(" ", -1).toSeq)
+    }
+  }
+
+  test("fn_array first4/sorted4: slice and sort_array semantics") {
+    val rows = Tables(spark, sf, "embeddings")
+      .select(col("embedding"),
+        slice(col("embedding"), 1, 4).as("first4"),
+        sort_array(slice(col("embedding"), 1, 4)).as("sorted4"))
+      .collect()
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](0)
+      assert(r.getSeq[Float](1) == emb.take(4))
+      assert(r.getSeq[Float](2) == emb.take(4).sorted)
+    }
+  }
+
+  test("agg_collect_sorted event_ids: per-user ids ordered by (ts, event_id)") {
+    val ev = Tables(spark, sf, "events")
+    val got = ev.groupBy("user_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id")))),
+        x => x.getField("event_id")).as("event_ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = ev.select("user_id", "ts", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (u, rows) =>
+        u -> rows.sortBy(r => (r._2.getTime, r._3)).map(_._3).toSeq
+      }
+    assert(got == want)
+  }
+
+  test("fn_map ks: sorted map keys") {
+    val row = Tables(spark, sf, "events")
+      .select(sort_array(map_keys(
+        map(lit("k"), lit("1"), lit("type"), lit("x")))).as("ks"))
+      .head()
+    assert(row.getSeq[String](0) == Seq("k", "type"))
+  }
+
+  test("centroid UDAF array equals driver-side elementwise mean") {
+    val got = Tables(spark, sf, "embeddings")
+      .groupBy("label")
+      .agg(Aggregators.centroid(col("embedding")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val want = Tables(spark, sf, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .groupBy(_._1)
+      .map { case (l, vs) =>
+        val n = vs.length
+        l -> (0 until 64).map(i => vs.map(_._2(i).toDouble).sum / n)
+      }
+    got.foreach { case (l, c) =>
+      c.zip(want(l)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
+  test("fingerprint array: winnowing window-min properties hold") {
+    // reconstruct the pre-stringify array form and check winnowing laws:
+    // every fingerprint value is the min of SOME 4-window of gram hashes,
+    // sorted distinct, and every 4-window's min IS in the fingerprint
+    val grams = transform(
+      sequence(lit(1), length(col("text")) - 7),
+      i => graft.functions.PortableHash.pHash(col("text").substr(i, lit(8))))
+    val rows = Tables(spark, sf, "documents").limit(50)
+      .select(col("doc_id"), grams.as("h"),
+        array_sort(array_distinct(transform(
+          sequence(lit(0), size(grams) - 4),
+          j => array_min(slice(grams, j + 1, lit(4)))))).as("fp"))
+      .collect()
+    rows.foreach { r =>
+      val h = r.getSeq[Long](1)
+      val fp = r.getSeq[Long](2)
+      val windowMins = h.sliding(4).map(_.min).toSet
+      assert(fp.toSet == windowMins, s"doc ${r.getLong(0)}")
+      assert(fp == fp.distinct.sorted)
+    }
+  }
+
+  test("multimodal media struct carries payload/mime/meta through ops") {
+    val row = operators.Multimodal.attachMedia(Tables(spark, sf, "documents"))
+      .filter(_.doc_id == 0L).head()
+    assert(row.media.mime == "image/png") // doc 0 is even
+    assert(row.media.meta("n_bytes").toLong == row.media.payload.length.toLong)
+    assert(row.media.meta.contains("source"))
+  }
+}

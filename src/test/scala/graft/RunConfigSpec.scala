@@ -71,4 +71,25 @@ class RunConfigSpec extends AnyFunSuite {
       RunConfig(sf, Seq("events")).table(spark, "orders") // not selected
     }
   }
+
+  test("explicit JSON null date = absent (not the string \"null\")") {
+    val cfg = RunConfig.fromJson(
+      s"""{"sfDir": "$sf", "tables": ["orders"], "startDate": null}""")
+    assert(cfg.startDate.isEmpty)
+    // and the table is NOT silently empty
+    assert(cfg.table(spark, "orders").count() ==
+      Tables(spark, sf, "orders").count())
+  }
+
+  test("'where' predicates keyed on unselected tables are rejected") {
+    intercept[IllegalArgumentException] {
+      RunConfig.fromJson(
+        s"""{"sfDir": "$sf", "tables": ["events"],
+           | "where": {"event": "event_type = 'signup'"}}""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      RunConfig.fromJson(
+        s"""{"sfDir": "$sf", "tables": ["events"], "startDate": 5}""")
+    }
+  }
 }
