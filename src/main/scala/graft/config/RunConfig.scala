@@ -40,6 +40,12 @@ final case class RunConfig(
   require(tables.nonEmpty, "RunConfig.tables must select at least one table")
   private val unknown = tables.filterNot(Tables.names.contains)
   require(unknown.isEmpty, s"RunConfig: unknown tables $unknown")
+  // a predicate keyed on an unselected table would be silently dead
+  // (table() only consults where.get(name)) — enforced here so BOTH
+  // construction paths (JSON and programmatic) are covered
+  private val orphanWhere = where.keySet -- tables.toSet
+  require(orphanWhere.isEmpty,
+    s"RunConfig: 'where' predicates for unselected tables $orphanWhere")
 
   /** One configured table: scan → date window → per-table predicate. */
   def table(spark: SparkSession, name: String): DataFrame = {
@@ -98,7 +104,11 @@ object RunConfig {
         require(v.isTextual, s"RunConfig: $field must be a JSON string")
         v.asText
       }
-    val cfg = RunConfig(
+    require(n.get("sfDir").isTextual, "RunConfig: sfDir must be a JSON string")
+    require(n.get("tables").isArray &&
+      n.get("tables").elements().asScala.forall(_.isTextual),
+      "RunConfig: tables must be an array of strings")
+    RunConfig(
       sfDir = n.get("sfDir").asText,
       tables = n.get("tables").elements().asScala.map(_.asText).toSeq,
       startDate = optText("startDate"),
@@ -111,11 +121,5 @@ object RunConfig {
           k -> v.asText
         }.toMap)
         .getOrElse(Map.empty))
-    // A predicate keyed on a table this run does not select would be
-    // silently dead (where.get(name) never consults it) — fail instead.
-    val orphans = cfg.where.keySet -- cfg.tables.toSet
-    require(orphans.isEmpty,
-      s"RunConfig: 'where' predicates for unselected tables $orphans")
-    cfg
   }
 }

@@ -46,11 +46,14 @@ object Mapping {
     * callers project afterwards if they want the emitted fields only).
     */
   def compile(df: DataFrame, jsonCol: String, spec: MappingSpec): DataFrame = {
-    // helper column name guaranteed absent from the input — a hardcoded
-    // name would silently overwrite (then drop) a caller's column
+    // helper column name guaranteed absent from the input AND from the
+    // emitted field names — a collision would silently overwrite a
+    // caller's column or drop an emitted one; comparison is
+    // case-insensitive to match Spark's default resolution
+    val taken = (df.columns ++ spec.fields.map(_.name)).map(_.toLowerCase).toSet
     val elemCol = Iterator.from(0)
       .map(i => if (i == 0) "__elem" else s"__elem$i")
-      .find(!df.columns.contains(_)).get
+      .find(n => !taken.contains(n.toLowerCase)).get
     val filtered = spec.filter.fold(df)(p => df.where(expr(p)))
     val exploded = spec.flatMapPath.fold(filtered) { p =>
       // Array-of-anything: slice the array out with JSONPath, re-parse as

@@ -52,7 +52,10 @@ class ArrayOutputSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
       .groupBy(_._1)
       .map { case (u, rows) =>
-        u -> rows.sortBy(r => (r._2.getTime, r._3)).map(_._3).toSeq
+        // full micro/nano precision: getTime is ms-truncated, so ordering
+        // by it alone could disagree with Spark's full-timestamp sort for
+        // same-millisecond events
+        u -> rows.sortBy(r => (r._2.getTime, r._2.getNanos, r._3)).map(_._3).toSeq
       }
     assert(got == want)
   }
@@ -84,22 +87,29 @@ class ArrayOutputSpec extends AnyFunSuite {
   }
 
   test("fingerprint array: winnowing window-min properties hold") {
-    // reconstruct the pre-stringify array form and check winnowing laws:
-    // every fingerprint value is the min of SOME 4-window of gram hashes,
-    // sorted distinct, and every 4-window's min IS in the fingerprint
-    val grams = transform(
-      sequence(lit(1), length(col("text")) - 7),
-      i => graft.functions.PortableHash.pHash(col("text").substr(i, lit(8))))
+    // reconstruct the pre-stringify array form WITH the production guards
+    // (length(text)>=8, size(h)>=4 — short docs fall back to the distinct
+    // gram set) and check winnowing laws: every fingerprint value is the
+    // min of SOME 4-window of gram hashes, sorted distinct, and every
+    // 4-window's min IS in the fingerprint
+    val grams = when(length(col("text")) >= 8,
+      transform(
+        sequence(lit(1), length(col("text")) - 7),
+        i => graft.functions.PortableHash.pHash(col("text").substr(i, lit(8)))))
+      .otherwise(array())
     val rows = Tables(spark, sf, "documents").limit(50)
       .select(col("doc_id"), grams.as("h"),
-        array_sort(array_distinct(transform(
-          sequence(lit(0), size(grams) - 4),
-          j => array_min(slice(grams, j + 1, lit(4)))))).as("fp"))
+        when(size(grams) >= 4,
+          array_sort(array_distinct(transform(
+            sequence(lit(0), size(grams) - 4),
+            j => array_min(slice(grams, j + 1, lit(4)))))))
+          .otherwise(array_sort(array_distinct(grams))).as("fp"))
       .collect()
     rows.foreach { r =>
       val h = r.getSeq[Long](1)
       val fp = r.getSeq[Long](2)
-      val windowMins = h.sliding(4).map(_.min).toSet
+      val windowMins =
+        if (h.length >= 4) h.sliding(4).map(_.min).toSet else h.toSet
       assert(fp.toSet == windowMins, s"doc ${r.getLong(0)}")
       assert(fp == fp.distinct.sorted)
     }
