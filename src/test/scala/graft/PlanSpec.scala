@@ -90,6 +90,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_sample_mix: map-side hash-bucket predicate, no shuffle before the output sort") {
+    val p = plan("llm_sample_mix")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"sampling must not shuffle (only the deterministic output sort may range-partition):\n$p")
+  }
+
+  test("llm_pack_sequences: exactly one shard exchange for the packing window") {
+    val p = plan("llm_pack_sequences")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 source-shard exchange, got $exchanges:\n$p")
+  }
+
   test("llm_ann_ivf: trained centroids are materialized, not re-derived per stage") {
     val p = plan("llm_ann_ivf")
     assert(p.contains("ExistingRDD"), s"Lloyd lineage not truncated:\n$p")
