@@ -143,7 +143,14 @@ object Llm {
     * md5) → candidate pairs → exact-Jaccard verification over distinct
     * shingles. Shared by llm_minhash_neardup and llm_neardup_prune.
     */
-  private lazy val minhashVerifiedCtes: String = {
+  private lazy val minhashVerifiedCtes: String = minhashVerifiedCtes(None)
+
+  /** `d2Min`: incremental mode — only candidate pairs whose HIGHER id is ≥
+    * the batch boundary are generated (new-vs-corpus and new-vs-new; the
+    * corpus×corpus quadrant is never probed). Mirrors
+    * [[minhashVerified(docsDf:*]]'s parameter.
+    */
+  private def minhashVerifiedCtes(d2Min: Option[Long]): String = {
     val (h1, h2) = PortableHash.sql2("s")
     val minhs = (0 until 16)
       .map(i => s"min(h1 + $i * h2) AS m_$i")
@@ -151,6 +158,7 @@ object Llm {
     val bandSelects = (0 until 8)
       .map(b => s"SELECT doc_id, $b AS band, m_${2 * b} AS k1, m_${2 * b + 1} AS k2 FROM mh")
       .mkString("\n  UNION ALL ")
+    val d2Cond = d2Min.map(m => s"\n   AND b.doc_id >= $m").getOrElse("")
     s"""sh AS (
        |  $shingleSql)
        |), mh AS (
@@ -164,7 +172,7 @@ object Llm {
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
-       |   AND a.doc_id < b.doc_id
+       |   AND a.doc_id < b.doc_id$d2Cond
        |), sz AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
        |), inter AS (
@@ -190,8 +198,13 @@ object Llm {
     * shuffle 16× the data) with ONE md5 per shingle, then unpivoted to 8
     * band keys whose equi-self-join yields candidates. Takes any
     * (doc_id, text) frame so ScaleSmoke can drive it at synthetic scale.
+    * `d2Min`: incremental mode — the b-side of the band join is restricted
+    * to the NEW batch (doc_id ≥ d2Min) BEFORE the join, so the
+    * corpus×corpus quadrant is never probed and the per-ingest cost scales
+    * with |batch| × bucket-overlap, not |corpus|².
     */
-  private[graft] def minhashVerified(docsDf: DataFrame): DataFrame = {
+  private[graft] def minhashVerified(
+      docsDf: DataFrame, d2Min: Option[Long] = None): DataFrame = {
     // persist: the distinct shingle set feeds three consumers (doc sizes +
     // both sides of the exact-Jaccard verify join); without it each
     // consumer re-runs the explode+distinct shuffle.
@@ -212,8 +225,9 @@ object Llm {
           .as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+    val bSide = d2Min.fold(bands)(m => bands.where(col("doc_id") >= m))
     val cand = bands.as("a")
-      .join(bands.as("b"),
+      .join(bSide.as("b"),
         col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
           col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -779,6 +793,24 @@ object Llm {
         .where(col("est_jaccard") >= 0.2)
         .orderBy(col("est_jaccard").desc, col("d1"), col("d2"))
         .limit(50)
+    },
+
+    // Incremental ingest dedup (R9's dedup-on-reimport × NS near-dup):
+    // docs with id ≥ 400 are "today's batch"; each is checked against the
+    // whole corpus (and earlier batch members) via minhash banding, but the
+    // corpus×corpus quadrant is never probed — the b-side of the band join
+    // is pre-filtered to the batch, so per-ingest cost scales with the
+    // batch, not the corpus². Output: one row per detected (earlier_doc,
+    // new_doc) near-dup pair.
+    Q("llm_incremental_neardup",
+      s"""WITH ${minhashVerifiedCtes(Some(400L))}
+         |SELECT d1 AS dup_of, d2 AS new_id, est_jaccard
+         |FROM verified WHERE est_jaccard >= 0.2
+         |ORDER BY new_id, dup_of""".stripMargin) { (s, d) =>
+      minhashVerified(docs(s, d), Some(400L))
+        .where(col("est_jaccard") >= 0.2)
+        .select(col("d1").as("dup_of"), col("d2").as("new_id"), col("est_jaccard"))
+        .orderBy("new_id", "dup_of")
     },
 
     // End-to-end training-corpus DEDUP: minhash candidates → exact-Jaccard
