@@ -28,19 +28,34 @@ object Bench {
     // contaminated round 1's single-pass numbers by up to 5× on trivial
     // queries; min-of-2 keeps a load spike during one pass from being
     // reported as engine time (runs=2 recorded in the output line).
+    // A failed query is recorded as an explicit error, never as a timing —
+    // elapsed-time-to-crash is not a measurement.
     def once(fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Double = {
+        org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t = math.min(once(fn), once(fn))
-      // release DataFrames persisted inside query fns (sketch pipelines
-      // cache shingles/signatures/edges) so caches don't accumulate across
-      // 87 queries × 2 runs in this one JVM; cleared AFTER both runs so
-      // the second (steady-state) pass still benefits
+      val first = once(fn)
+      // clearCache BETWEEN the passes too: persisted sketch frames
+      // (shingles/signatures/edges) from pass 1 would otherwise satisfy
+      // pass 2 via the CacheManager's canonicalized-plan match, and the
+      // reported min would exclude sketch-construction cost entirely.
+      // JIT/page-cache warmth (the legitimate steady-state effect) survives.
       spark.catalog.clearCache()
+      val second = once(fn)
+      spark.catalog.clearCache()
+      val t = (first, second) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (Left(e), _)         => Left(e)
+        case (_, Left(e))         => Left(e)
+      }
       name -> t
     }
     // Driver tail-captures stdout; round 1 the single ~3 KB line with the
@@ -52,11 +67,32 @@ object Bench {
     // JSON parse.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val ok = results.collect { case (k, Right(v)) => k -> v }
+    val errs = results.collect { case (k, Left(e)) => k -> e }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":2,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs":2,"sf":"$sfDir"}""")
+    val errJson = errs.map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }
+      .mkString("{", ",", "}")
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    val detail =
+      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"runs":2,"sf":"$sfDir"}"""
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"n_errors":${errs.size},"runs":2,"sf":"$sfDir"}"""
+    println(detail)
+    println(summary)
+    // Side-channel file: the driver's stdout tail-parse has failed two
+    // rounds running (sbt decorates the last line with [info]/[success]),
+    // so the same JSON also lands in BENCH_SELF.json next to the repo.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SELF.json"), detail + "\n" + summary + "\n")
+    catch { case _: Throwable => }
     spark.stop()
   }
 }

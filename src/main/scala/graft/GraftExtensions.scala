@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
 import org.apache.spark.sql.graft.{CosineSimilarity, VectorDot}
-import org.apache.spark.sql.types.{BinaryType, LongType}
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
 
 /** SparkSessionExtensions hook (SURVEY.md §4.3): registers the native
   * vector expressions as SQL functions, so the engine's surface is also
@@ -37,9 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Conv].getName, "portable_hash"),
       (children: Seq[Expression]) => {
         require(children.length == 1, "portable_hash expects 1 argument")
+        // cast through STRING first: a non-string argument (e.g. a BIGINT
+        // doc_id) would otherwise md5 its 8-byte binary encoding, diverging
+        // from both the Scala surface (always string-cast input) and the
+        // DuckDB twin (md5 of the VARCHAR form)
         Cast(
           Conv(
-            Substring(Md5(Cast(children.head, BinaryType)),
+            Substring(Md5(Cast(Cast(children.head, StringType), BinaryType)),
               Literal(1), Literal(15)),
             Literal(16), Literal(10)),
           LongType)

@@ -46,6 +46,19 @@ object Mapping {
     * callers project afterwards if they want the emitted fields only).
     */
   def compile(df: DataFrame, jsonCol: String, spec: MappingSpec): DataFrame = {
+    // Emitted names must not collide with source columns or each other
+    // (case-insensitive, matching Spark's default resolution): the output
+    // contract is APPEND, and a duplicate name would make every later
+    // reference ambiguous (or silently positional) — fail loudly here.
+    val emittedLower = spec.fields.map(_.name.toLowerCase)
+    require(emittedLower.distinct == emittedLower,
+      s"MappingSpec: duplicate emitted field names: " +
+        emittedLower.diff(emittedLower.distinct).distinct.mkString(", "))
+    val srcLower = df.columns.map(_.toLowerCase).toSet
+    val clash = emittedLower.filter(srcLower.contains)
+    require(clash.isEmpty,
+      s"MappingSpec: emitted field names collide with source columns: " +
+        clash.mkString(", "))
     // helper column name guaranteed absent from the input AND from the
     // emitted field names — a collision would silently overwrite a
     // caller's column or drop an emitted one; comparison is

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via min-label propagation iterated TO
+  * FIXPOINT (SURVEY.md §2.K dedup-group stage; used by llm_dedup_groups /
+  * llm_dedup_groups_lsh / llm_neardup_prune).
+  *
+  * Each round every node takes the min of its own label and its neighbors'
+  * labels — one equi-join + one aggregation on ids per round. Convergence
+  * is O(graph diameter) rounds (NOT log-diameter: that would need
+  * pointer-jumping / large-star-small-star contraction, a documented
+  * follow-up for adversarially deep graphs). The loop stops when a round
+  * changes no label, so the round count is DATA-DETERMINED — the DuckDB
+  * oracle can mirror the semantics with a recursive reachability CTE and
+  * both engines land on the same fixpoint: label = min id of the component.
+  *
+  * Round-2 note: a fixed 3-round truncation was measured to SPLIT real
+  * components on the harness testdata (the sf0.01 cosine≥0.35 graph needs
+  * 9 rounds, sf0.1 needs 10) — fixpoint is correctness, not polish.
+  *
+  * Scale posture (100 TB): per round the only exchange is on node id;
+  * `edges` must be persisted by the caller (it is reused every round) and
+  * each round's labels are localCheckpoint-ed so lineage stays flat (on a
+  * real cluster: checkpoint() to durable storage for fault tolerance).
+  * Label state is one (id, lbl) row per node — never O(edges²).
+  */
+object Components {
+
+  /** @param nodes frame containing one row per node
+    * @param idCol node-id column in `nodes` (labels start as the id)
+    * @param edges SYMMETRIC edge frame with columns (a, b), persisted by
+    *              the caller
+    * @return (id, lbl) — lbl is the min node id of the component
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String, edges: DataFrame): DataFrame = {
+    var labels = nodes
+      .select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val stepped = labels.as("v")
+        .join(edges.as("e"), col("e.a") === col("v.id"), "left")
+        .join(labels.select(col("id").as("n_id"), col("lbl").as("n_lbl")),
+          col("n_id") === col("e.b"), "left")
+        .groupBy(col("v.id").as("id"), col("v.lbl").as("old_lbl"))
+        .agg(least(col("old_lbl"), coalesce(min(col("n_lbl")), col("old_lbl"))).as("lbl"))
+        .localCheckpoint()
+      // labels only ever decrease; an unchanged round is the fixpoint.
+      converged = stepped.where(col("lbl") < col("old_lbl")).isEmpty
+      labels = stepped.select(col("id"), col("lbl"))
+    }
+    labels
+  }
+
+  /** DuckDB oracle twin: exact reachability min per node as a recursive
+    * CTE. `edgesCte` must name a SYMMETRIC (a, b) edge CTE and `nodesSql`
+    * must yield one `id` row per node. The UNION (set) semantics bound the
+    * recursion at O(sum of component sizes²) rows — fine at oracle scale.
+    * Requires the whole WITH clause to be declared RECURSIVE.
+    */
+  def reachMinCte(nodesSql: String, edgesCte: String): String =
+    s"""reach(node, r) AS (
+       |  SELECT id, id FROM ($nodesSql)
+       |  UNION
+       |  SELECT reach.node, e.b FROM reach JOIN $edgesCte e ON e.a = reach.r
+       |)""".stripMargin
+}

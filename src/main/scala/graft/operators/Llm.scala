@@ -210,6 +210,10 @@ object Llm {
     // consumer re-runs the explode+distinct shuffle.
     val sh = shingleDf(docsDf).persist()
     val (h1c, h2c) = PortableHash.pHash2(col("s"))
+    // persist: the band frame feeds BOTH sides of the candidate self-join,
+    // and in incremental mode the b-side filter (doc_id >= d2Min) makes the
+    // two subtrees non-identical, so ReusedExchange can never fire — without
+    // this the full shingle→md5→16-min sketch pipeline runs once per side.
     val bands = shingleDfRaw(docsDf)
       .select(col("doc_id"), h1c.as("h1"), h2c.as("h2"))
       .groupBy("doc_id")
@@ -225,6 +229,7 @@ object Llm {
           .as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+      .persist()
     val bSide = d2Min.fold(bands)(m => bands.where(col("doc_id") >= m))
     val cand = bands.as("a")
       .join(bSide.as("b"),
@@ -710,62 +715,88 @@ object Llm {
         .orderBy("label")
     },
 
-    // Near-dup GROUPS: connected components over the cosine-threshold
-    // similarity graph via min-label propagation. A fixed iteration count
-    // (3) keeps both engines bit-identical whether or not the labels have
-    // fully converged; at 100 TB each round is one shuffle-join on ids and
-    // the iteration count grows log(diameter).
+    // Near-dup GROUPS: EXACT connected components over the cosine-threshold
+    // similarity graph — min-label propagation iterated to FIXPOINT
+    // ([[Components.connectedComponents]]; O(diameter) rounds, the round
+    // count is data-determined so both engines land on the same labels).
+    // The edge stage here is the declared brute-force O(n²) semantics at
+    // τ=0.35 — sign-LSH cannot prefilter that moderate-τ regime
+    // (LshPrefilterSpec's threshold analysis); the scale-safe high-τ twin
+    // is llm_dedup_groups_lsh below, and the text-side flagship is
+    // llm_neardup_prune (minhash-bucketed edges).
     Q("llm_dedup_groups", {
       val edges0 =
         """SELECT a.vec_id AS ea, b.vec_id AS eb
           |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
           |                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.35""".stripMargin
-      def step(prev: String, cur: String) =
-        s"""$cur AS (
-           |  SELECT v.vec_id, least(v.lbl, coalesce(min(n.lbl), v.lbl)) AS lbl
-           |  FROM $prev v
-           |  LEFT JOIN edges e ON e.a = v.vec_id
-           |  LEFT JOIN $prev n ON n.vec_id = e.b
-           |  GROUP BY v.vec_id, v.lbl
-           |)""".stripMargin
-      s"""WITH e0 AS (
+      s"""WITH RECURSIVE e0 AS (
          |$edges0
          |), edges AS (
          |  SELECT ea AS a, eb AS b FROM e0 UNION ALL SELECT eb, ea FROM e0
-         |), l0 AS (
-         |  SELECT vec_id, vec_id AS lbl FROM embeddings
-         |), ${step("l0", "l1")}, ${step("l1", "l2")}, ${step("l2", "l3")}
-         |SELECT vec_id, lbl AS group_id FROM l3 ORDER BY vec_id""".stripMargin
+         |), ${Components.reachMinCte("SELECT vec_id AS id FROM embeddings", "edges")}
+         |SELECT node AS vec_id, min(r) AS group_id FROM reach
+         |GROUP BY node ORDER BY vec_id""".stripMargin
     }) { (s, d) =>
       val a = embWithNorm(s, d, "a").repartition(32)
       val b = embWithNorm(s, d, "b")
       val e0 = a.join(broadcast(b), col("a_id") < col("b_id"))
         .where(round(pairCos("a", "b"), 6) >= 0.35)
         .select(col("a_id").as("ea"), col("b_id").as("eb"))
-      // Iterative lineage control: each propagation step references `edges`
-      // (an O(n²) similarity join) and the previous `labels` twice, so
-      // without a cut the final plan re-evaluates ancestors combinatorially.
-      // `edges` is persisted (evaluated once, reused every iteration) and
-      // each iteration's `labels` is localCheckpoint-ed (lineage truncated
-      // to the materialized result — deterministic, so oracle-safe). At
-      // cluster scale the same pattern holds with checkpoint() to durable
-      // storage for fault tolerance.
+      // `edges` is persisted (evaluated once, reused every propagation
+      // round); per-round lineage control lives in Components.
       val edges = e0.select(col("ea").as("a"), col("eb").as("b"))
         .unionByName(e0.select(col("eb").as("a"), col("ea").as("b")))
         .persist()
-      var labels = emb(s, d).select(col("vec_id"), col("vec_id").as("lbl"))
-      for (_ <- 1 to 3) {
-        labels = labels.as("v")
-          .join(edges.as("e"), col("e.a") === col("v.vec_id"), "left")
-          .join(labels.select(col("vec_id").as("n_vec"), col("lbl").as("n_lbl")),
-            col("n_vec") === col("e.b"), "left")
-          .groupBy(col("v.vec_id").as("vec_id"), col("v.lbl").as("lbl"))
-          .agg(least(col("lbl"), coalesce(min(col("n_lbl")), col("lbl"))).as("nl"))
-          .select(col("vec_id"), col("nl").as("lbl"))
-          .localCheckpoint()
-      }
-      labels.select(col("vec_id"), col("lbl").as("group_id")).orderBy("vec_id")
+      Components.connectedComponents(emb(s, d), "vec_id", edges)
+        .select(col("id").as("vec_id"), col("lbl").as("group_id"))
+        .orderBy("vec_id")
+    },
+
+    // The scale-safe variant of llm_dedup_groups for the HIGH-similarity
+    // dedup regime (τ=0.8, where real near-duplicate embeddings live):
+    // edges come from the banded sign-LSH prefilter (equi-join on band
+    // keys — never O(n²) pairs) verified with exact cosine, then exact
+    // connected components. At τ≥0.8 per-bit agreement is ≥0.80 so the
+    // 4×4 banding's per-pair recall is ≥0.92 (≈1.0 at the 0.95+ sims of
+    // actual near-dups) — LshPrefilterSpec proves candidate⊇brute at this
+    // τ on planted clusters; NearDupSpec proves group equality. On the
+    // harness corpus (max pairwise sim ≈0.51) the true answer is all
+    // singletons — both engines compute it from the same empty edge set.
+    Q("llm_dedup_groups_lsh",
+      s"""WITH RECURSIVE sig AS (
+         |  $lshSigSql
+         |), banded AS (
+         |  ${lshBandedSql(4, 4)}
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS ea, b.vec_id AS eb
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.vec_id < b.vec_id
+         |), e0 AS (
+         |  SELECT ea, eb
+         |  FROM cand JOIN embeddings x ON x.vec_id = cand.ea
+         |            JOIN embeddings y ON y.vec_id = cand.eb
+         |  WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+         |                                     CAST(y.embedding AS DOUBLE[])), 6) >= 0.8
+         |), edges AS (
+         |  SELECT ea AS a, eb AS b FROM e0 UNION ALL SELECT eb, ea FROM e0
+         |), ${Components.reachMinCte("SELECT vec_id AS id FROM embeddings", "edges")}
+         |SELECT node AS vec_id, min(r) AS group_id FROM reach
+         |GROUP BY node ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val x = emb(s, d).select(col("vec_id").as("ea"), col("embedding").as("x_emb"))
+      val y = emb(s, d).select(col("vec_id").as("eb"), col("embedding").as("y_emb"))
+      val e0 = lshCandidatePairs(s, d, 4, 4)
+        .withColumnRenamed("a_id", "ea").withColumnRenamed("b_id", "eb")
+        .join(x, Seq("ea")).join(y, Seq("eb"))
+        .where(round(cosineSim(col("x_emb"), col("y_emb")), 6) >= 0.8)
+        .select("ea", "eb")
+      val edges = e0.select(col("ea").as("a"), col("eb").as("b"))
+        .unionByName(e0.select(col("eb").as("a"), col("ea").as("b")))
+        .persist()
+      Components.connectedComponents(emb(s, d), "vec_id", edges)
+        .select(col("id").as("vec_id"), col("lbl").as("group_id"))
+        .orderBy("vec_id")
     },
 
     // ------------------------------------------------------------------
@@ -814,49 +845,30 @@ object Llm {
     },
 
     // End-to-end training-corpus DEDUP: minhash candidates → exact-Jaccard
-    // verify → connected components over the ≥0.2 near-dup graph → keep the
-    // min-id doc of each group. One row per document with its group and
-    // keep flag — the operator a 100 TB pretraining pipeline actually runs:
-    // every stage is an equi-join/agg (band keys, shingles, ids), with the
-    // label-propagation lineage persisted per iteration, never O(n²) pairs.
-    Q("llm_neardup_prune", {
-      def step(prev: String, cur: String) =
-        s"""$cur AS (
-           |  SELECT v.doc_id, least(v.lbl, coalesce(min(n.lbl), v.lbl)) AS lbl
-           |  FROM $prev v
-           |  LEFT JOIN edges e ON e.a = v.doc_id
-           |  LEFT JOIN $prev n ON n.doc_id = e.b
-           |  GROUP BY v.doc_id, v.lbl
-           |)""".stripMargin
-      s"""WITH $minhashVerifiedCtes,
+    // verify → EXACT connected components over the ≥0.2 near-dup graph
+    // (fixpoint — [[Components.connectedComponents]]) → keep the min-id doc
+    // of each group. One row per document with its group and keep flag —
+    // the operator a 100 TB pretraining pipeline actually runs: every
+    // stage is an equi-join/agg (band keys, shingles, ids), never O(n²)
+    // pairs; duplicate CHAINS of any depth collapse to one group.
+    Q("llm_neardup_prune",
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
          |e0 AS (
          |  SELECT d1, d2 FROM verified WHERE est_jaccard >= 0.2
          |), edges AS (
          |  SELECT d1 AS a, d2 AS b FROM e0 UNION ALL SELECT d2, d1 FROM e0
-         |), l0 AS (
-         |  SELECT doc_id, doc_id AS lbl FROM documents
-         |), ${step("l0", "l1")}, ${step("l1", "l2")}, ${step("l2", "l3")}
-         |SELECT doc_id, lbl AS group_id, doc_id = lbl AS is_kept
-         |FROM l3 ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
+         |), ${Components.reachMinCte("SELECT doc_id AS id FROM documents", "edges")}
+         |SELECT node AS doc_id, min(r) AS group_id, node = min(r) AS is_kept
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
       val e0 = minhashVerified(s, d)
         .where(col("est_jaccard") >= 0.2).select("d1", "d2")
       val edges = e0.select(col("d1").as("a"), col("d2").as("b"))
         .unionByName(e0.select(col("d2").as("a"), col("d1").as("b")))
         .persist()
-      var labels = docs(s, d).select(col("doc_id"), col("doc_id").as("lbl"))
-      for (_ <- 1 to 3) {
-        labels = labels.as("v")
-          .join(edges.as("e"), col("e.a") === col("v.doc_id"), "left")
-          .join(labels.select(col("doc_id").as("n_doc"), col("lbl").as("n_lbl")),
-            col("n_doc") === col("e.b"), "left")
-          .groupBy(col("v.doc_id").as("doc_id"), col("v.lbl").as("lbl"))
-          .agg(least(col("lbl"), coalesce(min(col("n_lbl")), col("lbl"))).as("nl"))
-          .select(col("doc_id"), col("nl").as("lbl"))
-          .localCheckpoint()
-      }
-      labels.select(col("doc_id"), col("lbl").as("group_id"),
-        (col("doc_id") === col("lbl")).as("is_kept")).orderBy("doc_id")
+      Components.connectedComponents(docs(s, d), "doc_id", edges)
+        .select(col("id").as("doc_id"), col("lbl").as("group_id"),
+          (col("id") === col("lbl")).as("is_kept"))
+        .orderBy("doc_id")
     },
 
     // SimHash per doc via the typed Aggregator over 60-bit portable token

@@ -49,14 +49,19 @@ object Streaming {
   /** Streaming CONTENT dedup (the ingest-time twin of llm_exact_dedup): a
     * stream of (doc_id, ts, text) keeps only the first arrival of each
     * normalized-content hash within the watermark horizon. State is one
-    * 60-bit PortableHash per distinct document seen inside the horizon —
+    * full 128-bit md5 per distinct document seen inside the horizon —
     * O(distinct docs in window), never O(stream) — which is what lets a
     * pretraining ingest stream self-dedup at 100 TB without a batch join.
+    * The key is the FULL md5 (matching the batch twin llm_exact_dedup),
+    * not the 60-bit PortableHash: at billions of distinct docs a 60-bit
+    * key reaches ~50% birthday-collision odds around 1.2B docs and every
+    * collision silently drops a non-duplicate document; 128 bits keeps
+    * that negligible at any realistic corpus size.
     */
   def contentDedupWithinWatermark(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, md5}
     docs
-      .withColumn("content_hash", graft.functions.PortableHash.pHash(
+      .withColumn("content_hash", md5(
         graft.functions.TextNorm.normText(col("text"))))
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("content_hash")

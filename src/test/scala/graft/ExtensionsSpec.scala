@@ -34,6 +34,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql == 426544247714475757L)
   }
 
+  test("portable_hash(non-string) hashes the STRING form on all three surfaces") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // SQL surface on a BIGINT must equal the Column API on its string cast
+    // (and hence DuckDB's md5 of the VARCHAR form) — NOT the md5 of the
+    // 8-byte binary encoding.
+    val viaSql = spark.sql("SELECT portable_hash(CAST(12345 AS BIGINT)) AS h")
+      .head().getLong(0)
+    val viaCol = Seq(12345L).toDF("v")
+      .select(graft.functions.PortableHash.pHash(col("v").cast("string")))
+      .head().getLong(0)
+    assert(viaSql == viaCol)
+  }
+
   test("SQL surface composes with tables (top pair via SQL only)") {
     Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .createOrReplaceTempView("emb_sql")

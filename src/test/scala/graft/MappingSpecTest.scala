@@ -110,4 +110,17 @@ class MappingSpecTest extends AnyFunSuite {
     intercept[IllegalArgumentException](
       MappingSpec(Seq(FieldMap("@.x", "x")))) // '@' without flatMapPath
   }
+
+  test("emitted names colliding with source columns or each other fail loudly") {
+    val df = Seq((1L, """{"a": 1}""")).toDF("id", "doc")
+    // case-insensitive clash with a source column
+    val e1 = intercept[IllegalArgumentException](
+      Mapping.compile(df, "doc", MappingSpec(Seq(FieldMap("$.a", "ID")))))
+    assert(e1.getMessage.contains("collide"))
+    // duplicate emitted names
+    val e2 = intercept[IllegalArgumentException](
+      Mapping.compile(df, "doc",
+        MappingSpec(Seq(FieldMap("$.a", "x"), FieldMap("$.a", "X")))))
+    assert(e2.getMessage.contains("duplicate"))
+  }
 }

@@ -139,6 +139,65 @@ class NearDupSpec extends AnyFunSuite {
         s"vec ${c * 10 + i} -> ${groups((c * 10 + i).toLong)}")
   }
 
+  test("connected components reach fixpoint on chains deeper than any fixed round count") {
+    // 0-1-2-3-4 chain (diameter 4: a fixed 3-round propagation SPLITS it),
+    // a 2-clique {6,7}, and isolated node 5.
+    val nodes = (0L to 7L).toDF("id")
+    val e0 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("a", "b")
+    val edges = e0.unionByName(e0.select($"b".as("a"), $"a".as("b"))).persist()
+    val got = operators.Components.connectedComponents(nodes, "id", edges)
+      .as[(Long, Long)].collect().toMap
+    edges.unpersist()
+    assert((0L to 4L).forall(got(_) == 0L), s"chain must collapse to one group: $got")
+    assert(got(5L) == 5L && got(6L) == 6L && got(7L) == 6L)
+  }
+
+  // Sliding-window doc chain: doc_i = tokens [i*27, i*27+80) of a unique
+  // token stream. Consecutive docs share 53 tokens (exact J ≈ 0.49 ≥ 0.2);
+  // skip-one pairs share 26 (exact J ≈ 0.18 < 0.2, filtered by the verify
+  // stage even when banding surfaces them) — so the verified near-dup graph
+  // is exactly the 4-link chain with diameter 4. Token prefix and slide
+  // were swept offline so ALL four links band-collide under the b=8×r=2
+  // PortableHash banding (per-link detection is ~0.9, not 1; the fixture
+  // guard test below fails loudly if the sketch family ever changes).
+  private lazy val chainDir: String = {
+    val d = Files.createTempDirectory("graft_chain").toString
+    val stream = (0 until 188).map(i => s"x$i")
+    val docs = (0L to 4L).map { i =>
+      val t = stream.slice(i.toInt * 27, i.toInt * 27 + 80).mkString(" ")
+      (i, t, "en", "src0", t.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("planted 5-doc chain: minhash edges are exactly the consecutive links") {
+    val pairs = queries("llm_minhash_neardup")(spark, chainDir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)),
+      s"fixture guard: banding must surface all 4 chain links and nothing else: $pairs")
+  }
+
+  test("planted 5-doc chain collapses to ONE group end-to-end (diameter > 3)") {
+    val out = queries("llm_neardup_prune")(spark, chainDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    for (i <- 0L to 4L)
+      assert(out(i) == ((0L, i == 0L)),
+        s"doc $i must be in group 0 with is_kept=${i == 0L}, got ${out(i)}")
+  }
+
+  test("dedup_groups_lsh matches brute-force components at τ=0.8 on planted clusters") {
+    val lsh = queries("llm_dedup_groups_lsh")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    // brute-force edge set at τ=0.8 → true components (clusters are tight,
+    // ≥0.95 within, so each collapses to its min id)
+    assert(lsh.size == 30)
+    for (c <- 0 until 3; i <- 0 until 10)
+      assert(lsh((c * 10 + i).toLong) == (c * 10).toLong,
+        s"vec ${c * 10 + i} -> ${lsh((c * 10 + i).toLong)}")
+  }
+
   test("exact dedup groups identical normalized docs") {
     val d2 = Files.createTempDirectory("graft_exact").toString
     Seq(

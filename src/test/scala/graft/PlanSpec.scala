@@ -83,11 +83,36 @@ class PlanSpec extends AnyFunSuite {
 
   test("llm_neardup_prune / llm_dedup_groups: iterative lineage is cut per round") {
     // After localCheckpoint the final plan must read the materialized
-    // labels (ExistingRDD), not re-derive 3 rounds of joins from the scan.
-    for (q <- Seq("llm_neardup_prune", "llm_dedup_groups")) {
+    // labels (ExistingRDD), not re-derive the propagation rounds from the
+    // scan. (Components iterates to fixpoint; the round count is
+    // data-determined but every round is checkpoint-cut.)
+    for (q <- Seq("llm_neardup_prune", "llm_dedup_groups", "llm_dedup_groups_lsh")) {
       val p = plan(q)
       assert(p.contains("ExistingRDD"), s"$q lineage not truncated:\n$p")
     }
+  }
+
+  test("llm_incremental_neardup: corpus sketch built once (band frame persisted)") {
+    // the b-side batch filter makes the join subtrees non-identical, so
+    // only an explicit persist stops the shingle→md5→16-min pipeline
+    // running once per side: the 16-min sketch agg must live only inside
+    // the cached relation, never in the executable (non-cached) plan tree.
+    // (Tree collect does not descend into InMemoryTableScan's cached plan,
+    // unlike toString — exactly the distinction we want to pin.)
+    val qe = SparkEntry.queries("llm_incremental_neardup")(spark, sf).queryExecution
+    val root = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val sketchAggs = root.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if h.aggregateExpressions.size >= 16 => h
+    }
+    assert(sketchAggs.isEmpty,
+      s"minhash sketch agg re-derived outside the cache:\n$root")
+    assert(root.toString.contains("InMemoryTableScan"),
+      s"band frame should be read from cache on both join sides:\n$root")
   }
 
   test("llm_sample_mix: map-side hash-bucket predicate, no shuffle before the output sort") {
