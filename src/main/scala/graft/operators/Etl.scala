@@ -43,6 +43,28 @@ object Etl {
           .over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Case-aware visits (R3, full heuristic): a new session starts on a
+    * >30-min gap OR an entity-key change. `entity` is extracted from
+    * `props.$.k` (string, may be null); the change test is null-safe
+    * (`<=>` / IS DISTINCT FROM) so null→null is continuity and null→x is a
+    * split. Entity is constant within a session BY CONSTRUCTION.
+    */
+  def sessionizedEntity(ev: DataFrame): DataFrame = {
+    val prevTs = lag(col("ts"), 1).over(byUserTime)
+    val prevEnt = lag(col("entity"), 1).over(byUserTime)
+    ev.withColumn("entity", get_json_object(col("props"), "$.k"))
+      .withColumn(
+        "new_sess",
+        when(
+          prevTs.isNull || col("ts") > prevTs + expr("INTERVAL 30 MINUTES")
+            || !(col("entity") <=> prevEnt), 1)
+          .otherwise(0))
+      .withColumn(
+        "session_id",
+        sum(col("new_sess"))
+          .over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   private val sessionizeOracle =
     """WITH g AS (
       |  SELECT user_id, event_id, ts,
@@ -173,6 +195,47 @@ object Etl {
     Q("etl_sessionize", sessionizeOracle) { (s, d) =>
       sessionized(events(s, d))
         .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // R3: CASE-AWARE visit construction — the reference's full visit
+    // heuristic groups consecutive submissions by time proximity AND shared
+    // cases, not time alone (SURVEY.md §1.2 R3). The entity key is the
+    // `props.$.k` field (the testdata's case-id analog, same extraction as
+    // fn_json); a new visit starts on a >30-min gap OR when the entity
+    // under work changes (null-safe, so untagged events never silently glue
+    // to a case). Same plan shape as etl_sessionize: ONE exchange on
+    // user_id, two lags + running sum in the sorted partition — entity
+    // awareness costs zero extra shuffles at 100 TB.
+    Q(
+      "etl_sessionize_entity",
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         json_extract_string(props, '$.k') AS entity,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |                OR json_extract_string(props, '$.k') IS DISTINCT FROM
+        |                   lag(json_extract_string(props, '$.k')) OVER w
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, entity, ts,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id, entity,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, session_id, entity
+        |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      sessionizedEntity(events(s, d))
+        .groupBy(col("user_id"), col("session_id"), col("entity"))
         .agg(
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"),

@@ -57,6 +57,42 @@ object LawsProps extends Properties("graft.laws") {
       assigned.size == rows.size && assigned == shuffled
     }
 
+  private val entityEventsGen: Gen[List[(Long, java.sql.Timestamp, Long, String)]] = for {
+    n <- Gen.choose(1, 120)
+    rows <- Gen.listOfN(n, for {
+      u <- Gen.choose(0L, 4L)
+      off <- Gen.choose(0L, 3L * 86400)
+      k <- Gen.option(Gen.choose(0, 3))
+    } yield (u, off, k))
+  } yield rows.zipWithIndex.map { case ((u, off, k), i) =>
+    (i.toLong, new java.sql.Timestamp(base + off * 1000L), u,
+      k.map(n => s"""{"k": $n}""").orNull)
+  }
+
+  property("sessionize_entity: partition; entity constant per session; refines time sessions") =
+    Prop.forAll(entityEventsGen) { rows =>
+      val df = Etl.sessionizedEntity(rows.toDF("event_id", "ts", "user_id", "props"))
+        .select("event_id", "user_id", "session_id", "entity").collect()
+      val partition = df.map(_.getLong(0)).distinct.length == rows.size
+      val bySession = df.groupBy(r => (r.getLong(1), r.getLong(2)))
+      // the entity under work never changes inside one visit
+      val entConst = bySession.forall { case (_, rs) =>
+        rs.map(r => Option(r.getString(3))).distinct.length == 1
+      }
+      // entity awareness only ever SPLITS time sessions (never merges
+      // across a >30-min gap): each entity session maps into exactly one
+      // plain time session — identical tie-break (ts, event_id) on both
+      // sides makes this exact, not probabilistic
+      val timeSess = Etl.sessionized(
+        rows.map(t => (t._1, t._2, t._3)).toDF("event_id", "ts", "user_id"))
+        .select("event_id", "session_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val refines = bySession.forall { case (_, rs) =>
+        rs.map(r => timeSess(r.getLong(0))).distinct.length == 1
+      }
+      partition && entConst && refines
+    }
+
   private val kvGen: Gen[List[(Long, Long)]] = for {
     n <- Gen.choose(0, 60)
     rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 1000L)))
