@@ -67,4 +67,59 @@ object Sources {
   /** Plain parquet sink (what Verify does for every declared query). */
   def sinkParquet(df: DataFrame, outDir: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(outDir)
+
+  // ------------------------------------------------------------------
+  // R2 schema evolution — a migration-managed lake without a table format.
+  // The reference's warehouse survives schema drift via SQL migrations;
+  // the lake analog is versioned parquet snapshots whose schema changed
+  // over time. Two read paths cover the drift taxonomy:
+  //  - ADDED columns           → readEvolved (mergeSchema; old files NULL)
+  //  - RENAMED columns         → readEvolved (coalesce into canonical name)
+  //  - WIDENED / retyped cols  → readVersioned (parquet footers with e.g.
+  //    int32 vs int64 CANNOT schema-merge at scan time; read each snapshot
+  //    with its own schema, normalize, then unionByName)
+  // ------------------------------------------------------------------
+
+  /** Read a multi-snapshot lake dir with schema merging, then apply a
+    * migration spec: `renames` maps old column name → canonical name
+    * (values from files that used the old name are coalesced under the
+    * canonical one — parquet has no aliasing, so rename IS coalesce);
+    * `casts` maps column → target type, applied last so every version
+    * lands on one canonical type. At 100 TB `mergeSchema` reads ALL file
+    * footers — on a big lake pass a summary schema instead; the coalesce
+    * layer itself is a zero-shuffle projection.
+    */
+  def readEvolved(
+      spark: SparkSession, lakeDir: String,
+      renames: Map[String, String] = Map.empty,
+      casts: Map[String, String] = Map.empty): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(lakeDir)
+    val renamed = renames.foldLeft(raw) { case (df, (oldName, canon)) =>
+      val has = df.columns.map(_.toLowerCase).toSet
+      if (has(oldName.toLowerCase) && has(canon.toLowerCase))
+        df.withColumn(canon, coalesce(col(canon), col(oldName))).drop(oldName)
+      else if (has(oldName.toLowerCase)) df.withColumnRenamed(oldName, canon)
+      else df
+    }
+    casts.foldLeft(renamed) { case (df, (c, t)) =>
+      if (df.columns.map(_.toLowerCase).contains(c.toLowerCase))
+        df.withColumn(c, col(c).cast(t))
+      else df
+    }
+  }
+
+  /** Read snapshot dirs whose file-level types DIVERGED (mergeSchema would
+    * fail on e.g. int32 vs int64 footers): each version is read with its
+    * own schema, normalized by `migrate(df, versionIndex)` (casts/renames
+    * per version), and the results are unioned by NAME with missing
+    * columns null-filled — old data stays queryable under the newest
+    * schema. Union of parquet scans = no shuffle; version index doubles as
+    * provenance if `migrate` wants to stamp it.
+    */
+  def readVersioned(
+      spark: SparkSession, versionDirs: Seq[String],
+      migrate: (DataFrame, Int) => DataFrame = (df, _) => df): DataFrame =
+    versionDirs.zipWithIndex
+      .map { case (dir, i) => migrate(spark.read.parquet(dir), i) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 }

@@ -52,4 +52,68 @@ class SourcesSpec extends AnyFunSuite {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(event_date"))
   }
+
+  test("jdbc round-trip: sink to embedded Derby, partition-parallel read back") {
+    // Derby ships in /opt/spark/jars — an in-JVM warehouse stand-in, so
+    // the R1/R2 JDBC interop claim is exercised with real rows moving
+    // over a real JDBC connection, no network.
+    val d = Files.createTempDirectory("graft_derby").toString
+    val url = s"jdbc:derby:$d/db;create=true"
+    val props = Map("driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val df = (1L to 100L).map(i => (i, s"name_$i", i * 1.5))
+      .toDF("id", "name", "score")
+    Sources.writeJdbc(df, url, "events_wh", props)
+    val back = Sources.readJdbc(spark, url, "events_wh", "id", 1L, 100L, 3, props)
+    // the partition column split the read into range-bounded cursors
+    assert(back.rdd.getNumPartitions == 3)
+    assert(back.count() == 100)
+    val r = back.where(col("id") === 42L).collect().head
+    assert(r.getAs[String]("name") == "name_42" && r.getAs[Double]("score") == 63.0)
+    assert(back.agg(sum("id")).as[Long].head() == 5050L)
+    // documented contract is APPEND: a second write doubles the rows
+    Sources.writeJdbc(df, url, "events_wh", props)
+    assert(Sources.readJdbc(spark, url, "events_wh", "id", 1L, 100L, 2, props)
+      .count() == 200)
+  }
+
+  test("schema evolution: added + renamed columns keep v1 data queryable") {
+    val d = Files.createTempDirectory("graft_evo").toString
+    // v1 snapshot: (id, amt) — the original schema
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amt")
+      .write.parquet(s"$d/lake/v=1")
+    // v2 snapshot: amt RENAMED to total_amount, region ADDED
+    Seq((3L, 30.0, "eu"), (4L, 40.0, "us"))
+      .toDF("id", "total_amount", "region")
+      .write.parquet(s"$d/lake/v=2")
+    val df = Sources.readEvolved(spark, s"$d/lake",
+      renames = Map("amt" -> "total_amount"),
+      casts = Map("total_amount" -> "decimal(12,2)"))
+    assert(df.count() == 4)
+    assert(!df.columns.contains("amt"))
+    val byId = df.select("id", "total_amount", "region")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDecimal(1).doubleValue(), Option(r.getString(2))))).toMap
+    // v1 rows surface under the canonical name, with the added column null
+    assert(byId(1L) == ((10.0, None)) && byId(2L) == ((20.0, None)))
+    assert(byId(3L) == ((30.0, Some("eu"))) && byId(4L) == ((40.0, Some("us"))))
+    // the whole lake is queryable with the v2 schema
+    assert(df.where(col("region") === "us").count() == 1)
+  }
+
+  test("schema evolution: widened int->long type drift via readVersioned") {
+    val d = Files.createTempDirectory("graft_evo2").toString
+    Seq((1L, 7), (2L, 8)).toDF("id", "amount")          // amount: INT
+      .write.parquet(s"$d/v1")
+    Seq((3L, 9L)).toDF("id", "amount")                  // amount: BIGINT
+      .write.parquet(s"$d/v2")
+    // int32 vs int64 footers cannot schema-merge at scan time
+    intercept[Exception] {
+      spark.read.option("mergeSchema", "true").parquet(s"$d/v1", s"$d/v2")
+        .collect()
+    }
+    val df = Sources.readVersioned(spark, Seq(s"$d/v1", s"$d/v2"),
+      (v, _) => v.withColumn("amount", col("amount").cast("long")))
+    assert(df.schema("amount").dataType == LongType)
+    assert(df.agg(sum("amount")).as[Long].head() == 24L)
+  }
 }
