@@ -16,7 +16,39 @@ import org.apache.spark.sql.functions._
   * the scale-relevant property — uniform distribution for banding — is
   * unchanged.
   */
-object PortableHash {
+/** Pluggable hash family for sketch construction (minhash/simhash).
+  * [[PortableHash]] is the declared/oracle mode (DuckDB-twinnable);
+  * [[FastHash]] is the production mode (~2-3× cheaper per call, no oracle).
+  * Both yield a 60-bit non-negative `hash` and 52-bit `hash2` halves, so
+  * the Kirsch-Mitzenmacher combination h1 + i·h2 never overflows a signed
+  * BIGINT under either strategy and band keys are drop-in interchangeable.
+  */
+trait HashStrategy {
+  /** 60-bit non-negative hash of a (string-castable) column. */
+  def hash(c: Column): Column
+  /** Two independent 52-bit hashes (Kirsch-Mitzenmacher family basis). */
+  def hash2(c: Column): (Column, Column)
+}
+
+/** Production sketch hashing: xxhash64, truncated to the same bit widths
+  * as [[PortableHash]]. NOT oracle-twinnable (DuckDB has no xxhash64 with
+  * Spark's semantics) — never used by a declared query; the scale path
+  * (ScaleSmoke, library callers at 100 TB) saves the md5 digest cost on
+  * every shingle/token. NearDupSpec pins that both strategies verify the
+  * same near-dup pairs on planted duplicates (est_jaccard is computed
+  * from EXACT shingle sets, so agreement is over candidate recall).
+  */
+object FastHash extends HashStrategy {
+  def hash(c: Column): Column = shiftrightunsigned(xxhash64(c), 4)
+  def hash2(c: Column): (Column, Column) =
+    (shiftrightunsigned(xxhash64(c), 12),
+      shiftrightunsigned(xxhash64(lit("2:"), c), 12))
+}
+
+object PortableHash extends HashStrategy {
+
+  def hash(c: Column): Column = pHash(c)
+  def hash2(c: Column): (Column, Column) = pHash2(c)
 
   /** Spark side: 60-bit hash of a (string-castable) column. */
   def pHash(c: Column): Column =

@@ -204,12 +204,13 @@ object Llm {
     * with |batch| × bucket-overlap, not |corpus|².
     */
   private[graft] def minhashVerified(
-      docsDf: DataFrame, d2Min: Option[Long] = None): DataFrame = {
+      docsDf: DataFrame, d2Min: Option[Long] = None,
+      hashes: graft.functions.HashStrategy = PortableHash): DataFrame = {
     // persist: the distinct shingle set feeds three consumers (doc sizes +
     // both sides of the exact-Jaccard verify join); without it each
     // consumer re-runs the explode+distinct shuffle.
     val sh = shingleDf(docsDf).persist()
-    val (h1c, h2c) = PortableHash.pHash2(col("s"))
+    val (h1c, h2c) = hashes.hash2(col("s"))
     // persist: the band frame feeds BOTH sides of the candidate self-join,
     // and in incremental mode the b-side filter (doc_id >= d2Min) makes the
     // two subtrees non-identical, so ReusedExchange can never fire — without
@@ -256,9 +257,18 @@ object Llm {
     * llm_simhash_neardup.
     */
   private def simhashDf(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    simhashDf(docs(s, d))
+
+  /** Strategy-parameterized body (declared path: [[PortableHash]];
+    * production path: [[graft.functions.FastHash]] — same 60-bit domain,
+    * so the 4×15-bit segment join above it is unchanged).
+    */
+  private[graft] def simhashDf(
+      docsDf: DataFrame,
+      hashes: graft.functions.HashStrategy = PortableHash): DataFrame =
+    docsDf
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .select(col("doc_id"), PortableHash.pHash(col("token")).as("th"))
+      .select(col("doc_id"), hashes.hash(col("token")).as("th"))
       .groupBy("doc_id")
       .agg(Aggregators.simhash(col("th")).as("simhash"))
 

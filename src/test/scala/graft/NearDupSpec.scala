@@ -198,6 +198,39 @@ class NearDupSpec extends AnyFunSuite {
         s"vec ${c * 10 + i} -> ${lsh((c * 10 + i).toLong)}")
   }
 
+  test("hash strategies agree: FastHash finds the same verified near-dups") {
+    // est_jaccard comes from EXACT shingle sets, so any divergence between
+    // strategies is candidate-recall, not value noise.
+    def pairs(d: String, h: graft.functions.HashStrategy) =
+      operators.Llm.minhashVerified(
+        spark.read.parquet(s"$d/documents.parquet"), hashes = h)
+        .where(col("est_jaccard") >= 0.2)
+        .select("d1", "d2", "est_jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    // High-similarity fixture (planted pair J>0.8): per-link miss odds
+    // under b=8×r=2 are (1-J²)⁸ ≈ 1e-4, so BOTH strategies must verify
+    // the identical pair set.
+    assert(pairs(dir, graft.functions.FastHash) ==
+      pairs(dir, graft.functions.PortableHash))
+    // Mid-similarity chain (J≈0.49, per-link recall ≈0.88 for ANY hash
+    // family; chainDir was swept so all 4 links collide under
+    // PortableHash specifically): the fast strategy may miss links but
+    // must never FABRICATE a pair (exact verify kills false candidates)
+    // and every value it reports is the exact Jaccard.
+    val fast = pairs(chainDir, graft.functions.FastHash)
+    val truth = Set((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .map { case (a, b) => (a, b, 0.485714) }
+    assert(fast.nonEmpty && fast.subsetOf(truth), s"got $fast")
+    // simhash: the near-dup stays within radius 3 and unrelated docs stay
+    // far under the fast strategy too (signature VALUES differ by design)
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val sig = operators.Llm.simhashDf(docsDf, graft.functions.FastHash)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(0L), sig(1L)) <= 6)
+    assert((2L to 9L).map(i => ham(sig(0L), sig(i))).min > ham(sig(0L), sig(1L)))
+  }
+
   test("exact dedup groups identical normalized docs") {
     val d2 = Files.createTempDirectory("graft_exact").toString
     Seq(
