@@ -186,4 +186,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(written.count() == 50)
     assert(written.columns.contains("event_date"))
   }
+
+  test("parquet sink recovers from checkpoint exactly-once after a kill") {
+    // Kill-and-restart against the SAME checkpoint: the restarted query
+    // must resume from the committed offset — rows written before the
+    // kill are not re-written (no duplicates), rows queued while no query
+    // was running are not lost. This is the recovery contract a 100 TB
+    // ingest pipeline leans on when an executor/driver dies mid-stream.
+    val d = java.nio.file.Files.createTempDirectory("graft_recover").toString
+    val input = MemoryStream[Ev](spark)
+    def start() =
+      Streaming.sinkParquet(input.toDF(), s"$d/out", s"$d/chk").start()
+
+    val q1 = start()
+    try {
+      input.addData(rows.take(120))
+      q1.processAllAvailable()
+    } finally q1.stop()                       // simulated crash
+    assert(spark.read.parquet(s"$d/out").count() == 120)
+
+    input.addData(rows.slice(120, 300))       // arrives while query is down
+    val q2 = start()                          // same checkpoint dir
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(s"$d/out")
+    // exactly-once: 300 rows total, every event_id exactly once — a
+    // reprocessed first batch would double event_ids 0..119
+    assert(out.count() == 300)
+    assert(out.select("event_id").distinct().count() == 300)
+  }
 }
