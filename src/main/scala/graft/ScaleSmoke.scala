@@ -21,11 +21,14 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
-    }
+    // optional args = substring filters, so one section can be (re)run alone
+    val only = args.toSeq
+    def time(name: String)(f: => Long): Unit =
+      if (only.isEmpty || only.exists(name.contains)) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
+      }
 
     // 60M events over 30k users, ~30 days
     val ev = spark.range(60000000L).select(
@@ -63,6 +66,48 @@ object ScaleSmoke {
     time("approx distinct 60M") {
       ev.groupBy(date_trunc("day", col("ts")))
         .agg(approx_count_distinct(col("user_id"), 0.02))
+        .count()
+    }
+
+    // Zipf(1.1) user ids — real CommCare-like workloads are Zipfian, not
+    // uniform: inverse-CDF of the continuous Zipf over N=30k users, so the
+    // hottest user owns ~9% of all 60M events (~5.4M rows in ONE window
+    // partition). Stresses: (a) the sessionize window sort on the hot
+    // key's single task — AQE cannot split a window partition; (b) the
+    // per-(user,month) groupBy, where map-side partial aggregation is the
+    // built-in defense and Skew.saltedAgg the manual one.
+    val zipfU = (pmod(xxhash64(col("event_id"), lit(9)), lit(1000000)) + 0.5) / 1000000.0
+    val zipfEv = ev.withColumn("user_id",
+      (pow(lit(1.0) + zipfU * lit(math.pow(30000.0, -0.1) - 1.0), lit(-10.0)) - 1.0)
+        .cast("long"))
+
+    time("zipf sessionize 60M") {
+      val prev = lag(col("ts"), 1).over(byUser)
+      zipfEv.withColumn("new_sess",
+          when(prev.isNull || col("ts") > prev + expr("INTERVAL 30 MINUTES"), 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid").agg(count(lit(1)))
+        .count()
+    }
+
+    time("zipf monthly agg 60M") {
+      zipfEv.groupBy(col("user_id"), date_trunc("month", col("ts")).as("m"))
+        .agg(count(lit(1)), round(sum(col("value")), 2))
+        .count()
+    }
+
+    time("zipf lifetime agg 60M") {
+      zipfEv.groupBy(col("user_id"))
+        .agg(count(lit(1)), round(sum(col("value")), 2))
+        .count()
+    }
+
+    time("zipf lifetime saltedAgg 60M") {
+      operators.Skew.saltedAgg(zipfEv, "user_id", col("event_id"), 32)(
+        "n" -> count(lit(1)), "v" -> sum(col("value")))(
+        "n" -> sum(col("n")), "v" -> round(sum(col("v")), 2))
         .count()
     }
 
