@@ -92,6 +92,12 @@ object ScaleSmoke {
         .count()
     }
 
+    time("zipf sessionize 2level 60M") {
+      operators.Etl.sessionizedScalable(zipfEv, 1440)
+        .groupBy("user_id", "session_id").agg(count(lit(1)))
+        .count()
+    }
+
     time("zipf monthly agg 60M") {
       zipfEv.groupBy(col("user_id"), date_trunc("month", col("ts")).as("m"))
         .agg(count(lit(1)), round(sum(col("value")), 2))

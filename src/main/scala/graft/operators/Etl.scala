@@ -43,6 +43,71 @@ object Etl {
           .over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Skew-safe twin of [[sessionized]] for Zipfian user ids — SAME result
+    * (pinned by a LawsProps equality law), different plan. Plain
+    * sessionize sorts each user's whole history in ONE task; a hot user
+    * owning 10% of a 100 TB stream is a straggler AQE cannot split
+    * (window partitions, unlike joins/aggs, have no skew rule —
+    * SCALING.md round-3 measurement). Here:
+    *
+    *  1. events window over (user, coarse time bucket) — the hot user's
+    *     sort parallelizes across buckets; local session counter `__ls`
+    *     treats each bucket's first event as a start (maybe falsely);
+    *  2. per-(user, bucket) summaries (first/last ts, local start count) —
+    *     rows = non-empty buckets per user, orders of magnitude smaller —
+    *     get a per-user window: `__bridge` = this bucket's first event
+    *     continues the previous bucket's last session (≤30-min gap across
+    *     the boundary); `__base` = true session starts before this bucket;
+    *  3. join summaries back on (user, bucket) — the exchange from step 1
+    *     is reusable — and the global id is `__base + __ls - __bridge`
+    *     (the only locally-miscounted start is the bucket's first event).
+    *
+    * Sessions spanning MANY buckets chain correctly: each bridged bucket
+    * contributes `n_local - 1` starts, so the running base never counts a
+    * continuation as a start. Bucket width is the parallelism dial: it
+    * must be ≫ the session gap (a 30-min gap with 1-day buckets) so
+    * bridges stay rare, and small enough to split the hot key.
+    */
+  def sessionizedScalable(ev: DataFrame, bucketMinutes: Int = 1440): DataFrame = {
+    require(bucketMinutes * 60L > 30L * 60L,
+      s"bucket ($bucketMinutes min) must exceed the 30-min session gap")
+    // helper names collision-proofed against the input (Skew.scala pattern)
+    val taken = ev.columns.toSet
+    def fresh(base: String) = Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i").find(!taken.contains(_)).get
+    val bk = fresh("__bk"); val ls = fresh("__ls")
+    val bridge = fresh("__bridge"); val baseC = fresh("__base")
+
+    val bucketMicros = bucketMinutes * 60L * 1000000L
+    val byUserBucket = Window.partitionBy("user_id", bk).orderBy("ts", "event_id")
+    val prev = lag(col("ts"), 1).over(byUserBucket)
+    val local = ev
+      .withColumn(bk, floor(unix_micros(col("ts")) / bucketMicros))
+      .withColumn(ls,
+        sum(when(prev.isNull || col("ts") > prev + expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+          .over(byUserBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val summary = local.groupBy(col("user_id"), col(bk))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+        max(col(ls)).as("n_local"))
+    val byUser = Window.partitionBy("user_id").orderBy(bk)
+    val prevLast = lag(col("last_ts"), 1).over(byUser)
+    val stitched = summary
+      .withColumn(bridge,
+        when(prevLast.isNotNull &&
+          col("first_ts") <= prevLast + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn(baseC,
+        coalesce(
+          sum(col("n_local") - col(bridge))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("user_id"), col(bk), col(bridge), col(baseC))
+    local.join(stitched, Seq("user_id", bk))
+      .withColumn("session_id", col(baseC) + col(ls) - col(bridge))
+      .drop(bk, ls, bridge, baseC)
+  }
+
   /** Case-aware visits (R3, full heuristic): a new session starts on a
     * >30-min gap OR an entity-key change. `entity` is extracted from
     * `props.$.k` (string, may be null); the change test is null-safe

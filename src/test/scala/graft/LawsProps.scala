@@ -57,6 +57,15 @@ object LawsProps extends Properties("graft.laws") {
       assigned.size == rows.size && assigned == shuffled
     }
 
+  property("sessionizedScalable == sessionized for any bucket width") =
+    Prop.forAll(eventsGen, Gen.oneOf(31, 97, 240, 1440)) { (rows, w) =>
+      val df = rows.toDF("event_id", "ts", "user_id")
+      def ids(d: org.apache.spark.sql.DataFrame) =
+        d.select("event_id", "session_id")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ids(Etl.sessionizedScalable(df, w)) == ids(Etl.sessionized(df))
+    }
+
   private val entityEventsGen: Gen[List[(Long, java.sql.Timestamp, Long, String)]] = for {
     n <- Gen.choose(1, 120)
     rows <- Gen.listOfN(n, for {
