@@ -54,6 +54,63 @@ object Components {
     labels
   }
 
+  /** Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014):
+    * O(log n) rounds REGARDLESS of graph diameter — the scale path for
+    * adversarially deep graphs where [[connectedComponents]]'s
+    * O(diameter) propagation would mean thousands of shuffles (a 10⁶-link
+    * boilerplate chain at corpus scale). Per round:
+    *
+    *   large-star(u): every neighbor v > u re-attaches to
+    *                  m(u) = min(N(u) ∪ u) — long tails fold in half;
+    *   small-star(u): every neighbor v ≤ u re-attaches to m(u) —
+    *                  local minima collapse into stars.
+    *
+    * Both steps preserve connectivity (each rewritten edge (u,v) is
+    * replaced by a path through m(u)) and never create a cross-component
+    * edge, so the fixpoint — where every edge is (v, component-min) — has
+    * exactly the same labels as [[connectedComponents]]. Each step is one
+    * groupBy(min) + one equi-join on the node id; the edge frame is
+    * localCheckpoint-ed per round (flat lineage, same posture as the
+    * propagation loop). Not used by declared queries (the oracle mirrors
+    * the propagation semantics); ComponentsSpec pins label equality
+    * against a driver-side union-find and the logarithmic round count on
+    * a planted 200-node chain.
+    */
+  def connectedComponentsStar(
+      nodes: DataFrame, idCol: String, edges: DataFrame): DataFrame =
+    starLabels(nodes, idCol, edges)._1
+
+  private[graft] def starLabels(
+      nodes: DataFrame, idCol: String, edges: DataFrame): (DataFrame, Int) = {
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        .where(col("a") =!= col("b")).distinct()
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val m = e.groupBy("a")
+        .agg(least(min(col("b")), first(col("a"))).as("m"))
+      val kept = e.join(m, "a")
+        .where(if (large) col("b") > col("a") else col("b") <= col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+      sym(kept.unionByName(m.select(col("a"), col("m").as("b"))))
+    }
+    var e = sym(edges.select(col("a"), col("b"))).localCheckpoint()
+    var rounds = 0
+    var converged = e.isEmpty
+    while (!converged) {
+      val next = star(star(e, large = true), large = false).localCheckpoint()
+      rounds += 1
+      // fixpoint = identical edge set (stars only change if structure does)
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+    }
+    val minNbr = e.groupBy(col("a").as("id")).agg(min(col("b")).as("nbr_min"))
+    val labels = nodes.select(col(idCol).as("id"))
+      .join(minNbr, Seq("id"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("nbr_min"), col("id"))).as("lbl"))
+    (labels, rounds)
+  }
+
   /** DuckDB oracle twin: exact reachability min per node as a recursive
     * CTE. `edgesCte` must name a SYMMETRIC (a, b) edge CTE and `nodesSql`
     * must yield one `id` row per node. The UNION (set) semantics bound the

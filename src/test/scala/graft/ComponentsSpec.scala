@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Components
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected-components engines vs a driver-side union-find oracle, and
+  * the round-count claim that separates them: min-label propagation is
+  * O(diameter); large-star/small-star is O(log n) on the same chain.
+  */
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Driver-side union-find — the test oracle. */
+  private def unionFind(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0L until n).map(i => i -> find(i)).toMap
+  }
+
+  private def run(
+      engine: (org.apache.spark.sql.DataFrame, String,
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
+      n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = spark.range(n).toDF("id")
+    val e0 = edges.toDF("a", "b")
+    val sym = e0.unionByName(e0.select($"b".as("a"), $"a".as("b"))).persist()
+    val out = engine(nodes, "id", sym)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sym.unpersist()
+    out
+  }
+
+  test("both engines match union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 40L
+      val edges = Seq.fill(25 + trial * 10)(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(n, edges)
+      assert(run(Components.connectedComponents, n, edges) == expected)
+      assert(run(Components.connectedComponentsStar, n, edges) == expected)
+    }
+  }
+
+  test("star contraction solves a 200-node chain in logarithmic rounds") {
+    val n = 200L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val nodes = spark.range(n).toDF("id")
+    val e0 = chain.toDF("a", "b")
+    val sym = e0.unionByName(e0.select($"b".as("a"), $"a".as("b"))).persist()
+    val (labels, rounds) = Components.starLabels(nodes, "id", sym)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sym.unpersist()
+    assert(got == (0L until n).map(_ -> 0L).toMap,
+      "diameter-199 chain must collapse to one component rooted at 0")
+    // propagation would need 199 rounds here; star contraction is O(log n)
+    assert(rounds <= 12, s"expected logarithmic rounds, got $rounds")
+  }
+
+  test("isolated nodes label themselves; empty edge set is a no-op") {
+    val nodes = spark.range(5L).toDF("id")
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = Components.connectedComponentsStar(nodes, "id", empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until 5L).map(i => i -> i).toMap)
+  }
+}
