@@ -35,10 +35,18 @@ object Components {
     * @return (id, lbl) — lbl is the min node id of the component
     */
   def connectedComponents(nodes: DataFrame, idCol: String, edges: DataFrame): DataFrame = {
-    var labels = nodes
-      .select(col(idCol).as("id"), col(idCol).as("lbl"))
+    // Iterate ONLY over edge-touched nodes: a node with no edges is its
+    // own component and needs no propagation — in a near-dup graph that
+    // is the overwhelming majority of the corpus, so the per-round join
+    // frames shrink from |corpus| to |dup-ish docs|. Symmetric edges mean
+    // the `a` endpoints alone cover every touched node. Singletons rejoin
+    // with lbl = id after convergence (one left join, outside the loop).
+    var labels = edges
+      .select(col("a").as("id"))
+      .distinct()
+      .withColumn("lbl", col("id"))
       .localCheckpoint()
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged) {
       val stepped = labels.as("v")
         .join(edges.as("e"), col("e.a") === col("v.id"), "left")
@@ -51,7 +59,9 @@ object Components {
       converged = stepped.where(col("lbl") < col("old_lbl")).isEmpty
       labels = stepped.select(col("id"), col("lbl"))
     }
-    labels
+    nodes.select(col(idCol).as("id"))
+      .join(labels.select(col("id"), col("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
   }
 
   /** Alternating large-star / small-star contraction (Kiveris et al.,
