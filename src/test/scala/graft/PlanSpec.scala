@@ -55,6 +55,12 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 user_id exchange, plan had $exchanges:\n$p")
   }
 
+  test("etl_sessionize_entity: entity awareness adds no exchange") {
+    val p = plan("etl_sessionize_entity")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 user_id exchange, plan had $exchanges:\n$p")
+  }
+
   test("join_inner_equi plans an equi hash/merge join, not nested loop") {
     val p = plan("join_inner_equi")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
