@@ -39,15 +39,11 @@ object ScaleSmoke {
         (pmod(xxhash64(col("id"), lit(2)), lit(3)) + 1).cast("int")).as("event_type"),
       (pmod(xxhash64(col("id"), lit(3)), lit(10000)) / 100.0).as("value"))
 
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // the REAL operator (not an inline copy — the gap rule must stay the
+    // one definition in Etl)
     time("sessionize 60M") {
-      val prev = lag(col("ts"), 1).over(byUser)
-      ev.withColumn("new_sess",
-          when(prev.isNull || col("ts") > prev + expr("INTERVAL 30 MINUTES"), 1)
-            .otherwise(0))
-        .withColumn("sid", sum(col("new_sess")).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "sid").agg(count(lit(1)))
+      operators.Etl.sessionized(ev)
+        .groupBy("user_id", "session_id").agg(count(lit(1)))
         .count()
     }
 
@@ -71,24 +67,20 @@ object ScaleSmoke {
 
     // Zipf(1.1) user ids — real CommCare-like workloads are Zipfian, not
     // uniform: inverse-CDF of the continuous Zipf over N=30k users, so the
-    // hottest user owns ~9% of all 60M events (~5.4M rows in ONE window
-    // partition). Stresses: (a) the sessionize window sort on the hot
-    // key's single task — AQE cannot split a window partition; (b) the
-    // per-(user,month) groupBy, where map-side partial aggregation is the
-    // built-in defense and Skew.saltedAgg the manual one.
+    // hottest user owns ~10% of all 60M events (~6.2M rows in ONE window
+    // partition; P(id=0) = (2^-0.1 - 1)/(30000^-0.1 - 1) ≈ 0.104).
+    // Stresses: (a) the sessionize window sort on the hot key's single
+    // task — AQE cannot split a window partition; (b) the per-(user,month)
+    // groupBy, where map-side partial aggregation is the built-in defense
+    // and Skew.saltedAgg the manual one.
     val zipfU = (pmod(xxhash64(col("event_id"), lit(9)), lit(1000000)) + 0.5) / 1000000.0
     val zipfEv = ev.withColumn("user_id",
       (pow(lit(1.0) + zipfU * lit(math.pow(30000.0, -0.1) - 1.0), lit(-10.0)) - 1.0)
         .cast("long"))
 
     time("zipf sessionize 60M") {
-      val prev = lag(col("ts"), 1).over(byUser)
-      zipfEv.withColumn("new_sess",
-          when(prev.isNull || col("ts") > prev + expr("INTERVAL 30 MINUTES"), 1)
-            .otherwise(0))
-        .withColumn("sid", sum(col("new_sess")).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "sid").agg(count(lit(1)))
+      operators.Etl.sessionized(zipfEv)
+        .groupBy("user_id", "session_id").agg(count(lit(1)))
         .count()
     }
 
@@ -158,8 +150,10 @@ object ScaleSmoke {
               .otherwise(col("id")), j), lit(1000)) + 1).cast("int"))))
         .as("text"))
     time("minhash band+verify 500k docs") {
-      operators.Llm.minhashVerified(docsBig)
+      val n = operators.Llm.minhashVerified(docsBig)
         .where(col("est_jaccard") >= 0.2).count()
+      spark.catalog.clearCache() // release the 20M-shingle + band frames
+      n
     }
 
     // Sign-LSH bucketing over 1M synthetic embeddings. The scale dial:

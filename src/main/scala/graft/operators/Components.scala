@@ -105,14 +105,22 @@ object Components {
       sym(kept.unionByName(m.select(col("a"), col("m").as("b"))))
     }
     var e = sym(edges.select(col("a"), col("b"))).localCheckpoint()
+    var eCount = e.count()
     var rounds = 0
-    var converged = e.isEmpty
+    var converged = eCount == 0
     while (!converged) {
-      val next = star(star(e, large = true), large = false).localCheckpoint()
+      // checkpoint the intermediate star too: the outer star references
+      // its input three times (min-agg, kept join, union) — uncached, the
+      // whole large-star pass would re-execute per reference
+      val mid = star(e, large = true).localCheckpoint()
+      val next = star(mid, large = false).localCheckpoint()
       rounds += 1
-      // fixpoint = identical edge set (stars only change if structure does)
-      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // fixpoint = identical edge set; frames are deduped, so equal
+      // counts + one-sided except suffice for set equality
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.exceptAll(e).isEmpty
       e = next
+      eCount = nextCount
     }
     val minNbr = e.groupBy(col("a").as("id")).agg(min(col("b")).as("nbr_min"))
     val labels = nodes.select(col(idCol).as("id"))

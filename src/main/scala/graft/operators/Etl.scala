@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,6 +26,17 @@ object Etl {
   /** Per-user event ordering — unique tie-break on event_id (FIXTURES.md). */
   private val byUserTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
 
+  /** The visit gap rule, shared by every sessionize variant (and their
+    * DuckDB twins, which hardcode the same constant): strictly more than
+    * [[SessionGapMinutes]] since the previous event starts a new visit.
+    * One definition — the gap constant and strictness are load-bearing
+    * for the LawsProps equality laws between the variants.
+    */
+  val SessionGapMinutes = 30
+  private def gapExceeded(prevTs: Column): Column =
+    prevTs.isNull ||
+      col("ts") > prevTs + expr(s"INTERVAL $SessionGapMinutes MINUTES")
+
   /** Events annotated with a per-user session_id: a gap > 30 min (strict)
     * starts a new session (R3 visit construction). Comparison is done in
     * timestamp domain (`ts > prev + INTERVAL 30 MINUTES`) so Spark and the
@@ -35,8 +46,7 @@ object Etl {
     val prev = lag(col("ts"), 1).over(byUserTime)
     ev.withColumn(
         "new_sess",
-        when(prev.isNull || col("ts") > prev + expr("INTERVAL 30 MINUTES"), 1)
-          .otherwise(0))
+        when(gapExceeded(prev), 1).otherwise(0))
       .withColumn(
         "session_id",
         sum(col("new_sess"))
@@ -69,8 +79,8 @@ object Etl {
     * bridges stay rare, and small enough to split the hot key.
     */
   def sessionizedScalable(ev: DataFrame, bucketMinutes: Int = 1440): DataFrame = {
-    require(bucketMinutes * 60L > 30L * 60L,
-      s"bucket ($bucketMinutes min) must exceed the 30-min session gap")
+    require(bucketMinutes > SessionGapMinutes,
+      s"bucket ($bucketMinutes min) must exceed the $SessionGapMinutes-min session gap")
     // helper names collision-proofed against the input (Skew.scala pattern)
     val taken = ev.columns.toSet
     def fresh(base: String) = Iterator.from(0)
@@ -84,8 +94,7 @@ object Etl {
     val local = ev
       .withColumn(bk, floor(unix_micros(col("ts")) / bucketMicros))
       .withColumn(ls,
-        sum(when(prev.isNull || col("ts") > prev + expr("INTERVAL 30 MINUTES"), 1)
-          .otherwise(0))
+        sum(when(gapExceeded(prev), 1).otherwise(0))
           .over(byUserBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val summary = local.groupBy(col("user_id"), col(bk))
       .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
@@ -95,7 +104,8 @@ object Etl {
     val stitched = summary
       .withColumn(bridge,
         when(prevLast.isNotNull &&
-          col("first_ts") <= prevLast + expr("INTERVAL 30 MINUTES"), 1L)
+          col("first_ts") <= prevLast +
+            expr(s"INTERVAL $SessionGapMinutes MINUTES"), 1L)
           .otherwise(0L))
       .withColumn(baseC,
         coalesce(
@@ -120,9 +130,7 @@ object Etl {
     ev.withColumn("entity", get_json_object(col("props"), "$.k"))
       .withColumn(
         "new_sess",
-        when(
-          prevTs.isNull || col("ts") > prevTs + expr("INTERVAL 30 MINUTES")
-            || !(col("entity") <=> prevEnt), 1)
+        when(gapExceeded(prevTs) || !(col("entity") <=> prevEnt), 1)
           .otherwise(0))
       .withColumn(
         "session_id",

@@ -202,6 +202,13 @@ object Llm {
     * to the NEW batch (doc_id ≥ d2Min) BEFORE the join, so the
     * corpus×corpus quadrant is never probed and the per-ingest cost scales
     * with |batch| × bucket-overlap, not |corpus|².
+    *
+    * Cache contract: persists two internal frames (distinct shingles,
+    * bands) that CANNOT be unpersisted here — they back the returned lazy
+    * plan. Bench/Verify release them via `spark.catalog.clearCache()`
+    * between queries; any other long-lived caller owns the same duty
+    * after materializing the result (ScaleSmoke and the NearDupSpec
+    * parity test do).
     */
   private[graft] def minhashVerified(
       docsDf: DataFrame, d2Min: Option[Long] = None,

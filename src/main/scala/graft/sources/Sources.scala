@@ -118,8 +118,11 @@ object Sources {
     */
   def readVersioned(
       spark: SparkSession, versionDirs: Seq[String],
-      migrate: (DataFrame, Int) => DataFrame = (df, _) => df): DataFrame =
+      migrate: (DataFrame, Int) => DataFrame = (df, _) => df): DataFrame = {
+    require(versionDirs.nonEmpty,
+      "readVersioned: no snapshot dirs (an empty lake glob?)")
     versionDirs.zipWithIndex
       .map { case (dir, i) => migrate(spark.read.parquet(dir), i) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 }

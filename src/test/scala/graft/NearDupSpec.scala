@@ -221,6 +221,8 @@ class NearDupSpec extends AnyFunSuite {
     val truth = Set((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
       .map { case (a, b) => (a, b, 0.485714) }
     assert(fast.nonEmpty && fast.subsetOf(truth), s"got $fast")
+    // 4 minhashVerified calls persisted 8 internal frames — release them
+    spark.catalog.clearCache()
     // simhash: the near-dup stays within radius 3 and unrelated docs stay
     // far under the fast strategy too (signature VALUES differ by design)
     val docsDf = spark.read.parquet(s"$dir/documents.parquet")
