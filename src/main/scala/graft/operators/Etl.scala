@@ -275,6 +275,19 @@ object Etl {
         .orderBy("user_id", "session_id")
     },
 
+    // R3 at Zipf scale: the skew-safe two-level plan, declared with the
+    // SAME oracle as etl_sessionize — the driver hash-verifies that the
+    // bucketed+stitched plan is bit-identical to the single-window one.
+    Q("etl_sessionize_scalable", sessionizeOracle) { (s, d) =>
+      sessionizedScalable(events(s, d))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_id")
+    },
+
     // R3: CASE-AWARE visit construction — the reference's full visit
     // heuristic groups consecutive submissions by time proximity AND shared
     // cases, not time alone (SURVEY.md §1.2 R3). The entity key is the
