@@ -15,6 +15,7 @@ object SparkEntry {
       operators.Windows.qs ++
       operators.Scalars.qs ++
       operators.Extras.qs ++
+      operators.Tpch.qs ++
       operators.Llm.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Classic TPC-H composite queries (Q3, Q5, Q10) adapted to the testdata
+  * schema — multi-join reporting shapes that exercise the join PLANNER the
+  * way a warehouse user would: one fact-to-fact shuffle (lineitem⋈orders,
+  * sort-merge or AQE's choice), every true dimension broadcast, filters
+  * pushed below the joins, decimal-exact money sums (the agg_groupby
+  * pattern — per-row double product cast to DECIMAL(18,4), so both
+  * engines sum exactly and the hash compare is stable), and a
+  * deterministic total order with explicit tie-breaks.
+  *
+  * Schema adaptations vs. standard TPC-H: o_orderpriority stands in for
+  * o_shippriority (Q3); the testdata has no partsupp/returns tables, so
+  * Q5/Q10 keep their standard join graphs over the tables that exist.
+  * At 100 TB the same plans hold: lineitem/orders shuffle on the join
+  * key, customer/supplier/nation/region stay broadcast.
+  */
+object Tpch {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private def money(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  private val revenueExpr = "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+
+  val qs: Seq[Q] = Seq(
+
+    // Q3 — shipping-priority: unshipped orders of one segment, top revenue.
+    Q(
+      "tpch_q3",
+      s"""SELECT l_orderkey,
+         |       $revenueExpr AS revenue,
+         |       o_orderdate, o_orderpriority
+         |FROM customer
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-03-15'
+         |  AND l_shipdate > TIMESTAMP '1997-03-15'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey
+         |LIMIT 10""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = t(s, d, "orders")
+        .where(col("o_orderdate") < lit("1997-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = t(s, d, "lineitem")
+        .where(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    // Q5 — local-supplier volume: revenue by nation inside one region,
+    // where the supplier is in the customer's nation.
+    Q(
+      "tpch_q5",
+      s"""SELECT n_name,
+         |       $revenueExpr AS revenue
+         |FROM customer
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      val o = t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val l = t(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val n = t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val r = t(s, d, "region").where(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // Q10 — returned-item reporting: customers who returned the most
+    // revenue in a quarter.
+    Q(
+      "tpch_q10",
+      s"""SELECT c_custkey, c_name,
+         |       $revenueExpr AS revenue,
+         |       c_acctbal, n_name
+         |FROM customer
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val o = t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val l = t(s, d, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val n = t(s, d, "nation").select("n_nationkey", "n_name")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }
+  )
+}

@@ -61,6 +61,22 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 user_id exchange, plan had $exchanges:\n$p")
   }
 
+  test("tpch_q5: every dimension broadcast, no cartesian, filters pushed") {
+    val p = plan("tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"customer/supplier/nation/region must all broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // region filter reaches the scan, not a post-join Filter
+    assert(p.contains("EqualTo(r_name,ASIA)"))
+  }
+
+  test("tpch_q3: segment + date filters pushed to the scans") {
+    val p = plan("tpch_q3")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
+    assert(p.contains("GreaterThan(l_shipdate,"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("join_inner_equi plans an equi hash/merge join, not nested loop") {
     val p = plan("join_inner_equi")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
