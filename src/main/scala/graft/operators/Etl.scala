@@ -159,8 +159,13 @@ object Etl {
       |ORDER BY user_id, session_id""".stripMargin
 
   /** Monthly usage indicators per (user, month) — R4, the flagship. */
-  def monthlyUsage(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d)
+  def monthlyUsage(s: SparkSession, d: String): DataFrame =
+    monthlyUsage(events(s, d))
+
+  /** DataFrame-parameterized body, so config-driven runs ([[graft.config
+    * .Pipeline]]) can feed a date-windowed / predicate-filtered scan.
+    */
+  def monthlyUsage(ev: DataFrame): DataFrame = {
     val base = ev
       .groupBy(col("user_id"), date_trunc("month", col("ts")).as("month"))
       .agg(
