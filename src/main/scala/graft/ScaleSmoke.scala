@@ -156,6 +156,39 @@ object ScaleSmoke {
       n
     }
 
+    // Connected-components engine A/B at scale: 500k nodes in 50k
+    // chains of diameter 10 (the realistic near-dup regime), plus one
+    // adversarial 10k-node chain where O(diameter) propagation is
+    // structurally infeasible (10k shuffle rounds) and only the O(log n)
+    // star contraction terminates.
+    val ccNodes = spark.range(500000L).select(col("id"))
+    val ccEdges = spark.range(500000L)
+      .where(col("id") % 10 =!= 9)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val ccSym = ccEdges
+      .unionByName(ccEdges.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    time("cc propagate 500k d=10") {
+      operators.Components.connectedComponents(ccNodes, "id", ccSym)
+        .select(countDistinct(col("lbl"))).as[Long].head()
+    }
+    time("cc star 500k d=10") {
+      operators.Components.connectedComponentsStar(ccNodes, "id", ccSym)
+        .select(countDistinct(col("lbl"))).as[Long].head()
+    }
+    ccSym.unpersist()
+    val deepNodes = spark.range(10000L).select(col("id"))
+    val deepEdges = spark.range(9999L)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val deepSym = deepEdges
+      .unionByName(deepEdges.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    time("cc star 10k-deep chain") {
+      operators.Components.connectedComponentsStar(deepNodes, "id", deepSym)
+        .select(countDistinct(col("lbl"))).as[Long].head()
+    }
+    deepSym.unpersist()
+
     // Sign-LSH bucketing over 1M synthetic embeddings. The scale dial:
     // band bits must track log2(n) — at 1M isotropic vectors a single
     // 16-bit band gives ~15 vecs/bucket (candidates ~ n²/2¹⁶, bounded);
