@@ -103,6 +103,43 @@ object Tpch {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // Q18 — large-volume customers: orders whose total quantity clears a
+    // threshold (HAVING over a pre-aggregation), then the reporting join.
+    // Plan shape: the HAVING set is a semi-join filter on orders BEFORE
+    // the wide join — at 100 TB the pre-agg shuffles lineitem once on
+    // l_orderkey and the probe side only carries qualifying orders.
+    Q(
+      "tpch_q18",
+      s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+         |FROM customer
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM lineitem
+         |  GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+         |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+         |ORDER BY o_totalprice DESC, o_orderkey
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val l = t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+      val big = l.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("q"))
+        .where(col("q") > 300)
+        .select("l_orderkey")
+      val c = t(s, d, "customer").select("c_custkey", "c_name")
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
+          Seq("o_orderkey"), "left_semi")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(money(col("l_quantity")).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
     // Q10 — returned-item reporting: customers who returned the most
     // revenue in a quarter.
     Q(
