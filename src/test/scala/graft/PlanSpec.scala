@@ -77,6 +77,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("tpch_q18: HAVING set applied as a semi-join, no cartesian") {
+    val p = plan("tpch_q18")
+    assert(p.contains("LeftSemi"), s"orders must be semi-join filtered:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("join_inner_equi plans an equi hash/merge join, not nested loop") {
     val p = plan("join_inner_equi")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
