@@ -57,6 +57,52 @@ object Pipeline {
     } finally ev.unpersist()
   }
 
+  /** Incremental maintenance of the published `monthly_usage` table for an
+    * append-only event stream (R9: per-run delta loads) — recompute ONLY
+    * the months the new batch touches and overwrite ONLY those partitions
+    * (dynamic partition overwrite; untouched months keep their files).
+    *
+    * Exactness under the session gap rule: a month's `n_sessions` counts
+    * sessions STARTING in it, and whether the month's first per-user event
+    * starts a session depends on at most the previous
+    * [[Etl.SessionGapMinutes]] of history — so recomputing from a window
+    * that starts that far before the earliest affected month is EXACTLY
+    * the full rebuild for those months (an event older than the gap
+    * cannot suppress a start; appends cannot change earlier months at
+    * all). PipelineSpec pins equality with a full rebuild around a random
+    * split and that untouched partitions are physically untouched.
+    *
+    * The driver-side `collect` is the affected-MONTH list (bounded by the
+    * calendar, not the data). At 100 TB this is the nightly delta-load
+    * plan: one pushdown-filtered scan of [lookback, end), one shuffle per
+    * aggregate, and a partition-scoped commit.
+    */
+  def runIncrementalMonthly(
+      spark: SparkSession, cfg: RunConfig, outDir: String,
+      batchStart: String): TableResult = {
+    val path = s"$outDir/monthly_usage"
+    val ev = cfg.table(spark, "events")
+    val affected = ev
+      .where(col("ts") >= lit(batchStart).cast("timestamp"))
+      .select(date_trunc("month", col("ts")).as("m")).distinct()
+      .collect().map(_.getTimestamp(0))
+    if (affected.isEmpty)
+      return TableResult("monthly_usage", 0L, path)
+    val lookbackStart = new java.sql.Timestamp(
+      affected.map(_.getTime).min - Etl.SessionGapMinutes * 60L * 1000L)
+    val recomputed = Etl.monthlyUsage(ev.where(col("ts") >= lit(lookbackStart)))
+      .where(col("month").isin(affected.toSeq: _*))
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try recomputed.write.mode(SaveMode.Overwrite).partitionBy("month").parquet(path)
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    TableResult("monthly_usage",
+      spark.read.parquet(path).count(), path)
+  }
+
   private def write(df: DataFrame, partitionCol: Option[String], path: String): TableResult = {
     val w = df.write.mode(SaveMode.Overwrite)
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(path)

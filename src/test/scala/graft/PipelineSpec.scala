@@ -46,6 +46,62 @@ class PipelineSpec extends AnyFunSuite {
       results.map(r => r.table -> r.rows).toMap)
   }
 
+  test("incremental monthly == full rebuild; untouched partitions untouched") {
+    import spark.implicits._
+    // synthetic 3-month events dir (ts stored as raw nanos, the events
+    // layout Tables expects), with a planted 15-min-gap session CROSSING
+    // the Feb→Mar boundary: a lookback-free recompute of March would
+    // wrongly count a session start for user 42
+    val d = Files.createTempDirectory("graft_inc").toString
+    val rnd = new scala.util.Random(11)
+    def ns(s: String) = TestSpark.ts(s).getTime * 1000000L
+    val base = TestSpark.ts("2024-01-01 00:00:00").getTime
+    var id = 0L
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String, Double)]()
+    for (u <- 0L until 10L; _ <- 0 until 150) {
+      val t = base + (math.abs(rnd.nextLong()) % (89L * 86400 * 1000L))
+      rows += ((id, t * 1000000L, u,
+        Seq("click", "view", "purchase")(rnd.nextInt(3)),
+        rnd.nextInt(1000) / 100.0))
+      id += 1
+    }
+    rows += ((id, ns("2024-02-29 23:50:00"), 42L, "click", 1.0)); id += 1
+    rows += ((id, ns("2024-03-01 00:05:00"), 42L, "click", 1.0)); id += 1
+    rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+
+    def monthlyRows(out: String) =
+      Pipeline.readTable(spark, out, "monthly_usage")
+        .collect().map(_.toSeq).toSet
+
+    val outFull = Files.createTempDirectory("graft_inc_full").toString
+    Pipeline.run(spark, RunConfig(d, Seq("events")), outFull)
+
+    val outInc = Files.createTempDirectory("graft_inc_inc").toString
+    Pipeline.run(spark,
+      RunConfig(d, Seq("events"), endDate = Some("2024-03-01")), outInc)
+    def janState() = new java.io.File(s"$outInc/monthly_usage").listFiles()
+      .filter(_.getName.startsWith("month=2024-01"))
+      .flatMap(_.listFiles()).map(f => f.getName -> f.lastModified()).toSet
+    val janBefore = janState()
+    assert(janBefore.nonEmpty)
+
+    val res = Pipeline.runIncrementalMonthly(
+      spark, RunConfig(d, Seq("events")), outInc, "2024-03-01")
+    assert(res.rows > 0)
+    // exact equality with the full rebuild — including user 42's March
+    // row, whose n_sessions=0 needs the cross-boundary lookback
+    assert(monthlyRows(outInc) == monthlyRows(outFull))
+    val u42mar = Pipeline.readTable(spark, outInc, "monthly_usage",
+      month = Some("2024-03-01"))
+      .where(col("user_id") === 42L).select("n_events", "n_sessions")
+      .collect().head
+    assert(u42mar.getLong(0) == 1L && u42mar.getLong(1) == 0L,
+      "boundary-crossing session must not count as a March start")
+    // January partition files physically untouched by the incremental run
+    assert(janState() == janBefore)
+  }
+
   test("pipeline without the events table fails loudly") {
     val out = Files.createTempDirectory("graft_pipeline2").toString
     intercept[IllegalArgumentException] {
