@@ -888,6 +888,75 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // The FULL corpus build, end-to-end in one declared plan — what a
+    // 100 TB pretraining data pipeline actually ships: minhash near-dup
+    // prune (keep each group's min id) → quality filter (the
+    // llm_quality_score heuristic at τ=0.25, ~60% survival on the
+    // harness corpus) → pack survivors into 2048-token sequences per
+    // source shard. Every stage is the already-audited operator plan:
+    // banded candidates (never O(n²)), fixpoint CC over touched nodes,
+    // one shared documents scan feeding dedup/quality/packing, one
+    // window exchange per source shard for the packing.
+    Q("llm_corpus_build",
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         |e0 AS (
+         |  SELECT d1, d2 FROM verified WHERE est_jaccard >= 0.2
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM e0 UNION ALL SELECT d2, d1 FROM e0
+         |), ${Components.reachMinCte("SELECT doc_id AS id FROM documents", "edges")},
+         |keep AS (
+         |  SELECT node AS doc_id FROM reach GROUP BY node HAVING node = min(r)
+         |), q AS (
+         |  SELECT doc_id,
+         |         round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5 +
+         |               len(list_filter(string_split(text, ' '),
+         |                   t -> t IN ${inList(stopwords("en"))})) * 0.5
+         |               / nullif(len(string_split(text, ' ')), 0), 4) AS quality
+         |  FROM documents
+         |), kept AS (
+         |  SELECT d.doc_id, d.source,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents d
+         |  JOIN keep ON keep.doc_id = d.doc_id
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  WHERE q.quality >= 0.25
+         |)
+         |SELECT doc_id, source, n_tok,
+         |       CAST(floor((cum - n_tok) * 1.0 / 2048) AS BIGINT) AS pack_id
+         |FROM (
+         |  SELECT doc_id, source, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |  FROM kept
+         |)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val e0 = minhashVerified(s, d)
+        .where(col("est_jaccard") >= 0.2).select("d1", "d2")
+      val edges = e0.select(col("d1").as("a"), col("d2").as("b"))
+        .unionByName(e0.select(col("d2").as("a"), col("d1").as("b")))
+        .persist()
+      val keep = Components.connectedComponents(docs(s, d), "doc_id", edges)
+        .where(col("id") === col("lbl"))
+        .select(col("id").as("doc_id"))
+      val toks = split(col("text"), " ")
+      val quality = docs(s, d).select(
+        col("doc_id"),
+        round(
+          least(size(toks) / 100.0, lit(1.0)) * 0.5 +
+            size(expr(s"filter(split(text, ' '), t -> t IN ${inList(stopwords("en"))})")) *
+            0.5 / nullif(size(toks), lit(0)), 4).as("quality"))
+      val kept = docs(s, d)
+        .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tok"))
+        .join(keep, Seq("doc_id"))
+        .join(quality.where(col("quality") >= 0.25).select("doc_id"), Seq("doc_id"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      kept
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          floor((col("cum") - col("n_tok")) * 1.0 / 2048).as("pack_id"))
+        .orderBy("doc_id")
+    },
+
     // SimHash per doc via the typed Aggregator over 60-bit portable token
     // hashes (bits 60-63 always vote negative → 0 in both engines). The
     // oracle folds the same per-bit majority vote in pure SQL: one
