@@ -157,10 +157,11 @@ object ScaleSmoke {
     }
 
     // Connected-components engine A/B at scale: 500k nodes in 50k
-    // chains of diameter 10 (the realistic near-dup regime), plus one
-    // adversarial 10k-node chain where O(diameter) propagation is
-    // structurally infeasible (10k shuffle rounds) and only the O(log n)
-    // star contraction terminates.
+    // 10-node chains (diameter 9 — the realistic near-dup regime; the
+    // propagation loop runs 9 label-moving rounds + 1 no-change round),
+    // plus one adversarial 10k-node chain where O(diameter) propagation
+    // is structurally infeasible (~10k shuffle rounds) and only the
+    // O(log n) star contraction terminates.
     val ccNodes = spark.range(500000L).select(col("id"))
     val ccEdges = spark.range(500000L)
       .where(col("id") % 10 =!= 9)

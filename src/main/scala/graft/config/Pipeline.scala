@@ -81,7 +81,13 @@ object Pipeline {
       spark: SparkSession, cfg: RunConfig, outDir: String,
       batchStart: String): TableResult = {
     val path = s"$outDir/monthly_usage"
-    val ev = cfg.table(spark, "events")
+    // The cfg's startDate is STRIPPED for the recompute scan: a caller
+    // passing startDate = batchStart (the natural delta-load config)
+    // would otherwise clip the scan below the lookback and the affected
+    // months would be rebuilt from batch-only events — silently wrong
+    // counts. The batch boundary is `batchStart`; cfg.endDate still caps
+    // the data end; exactness needs the scan to reach lookbackStart.
+    val ev = cfg.copy(startDate = None).table(spark, "events")
     val affected = ev
       .where(col("ts") >= lit(batchStart).cast("timestamp"))
       .select(date_trunc("month", col("ts")).as("m")).distinct()

@@ -303,6 +303,20 @@ object Llm {
 
   private def inList(vals: Seq[String]) = vals.map(v => s"'$v'").mkString("(", ", ", ")")
 
+  // Quality heuristic — ONE definition per engine side, shared by
+  // llm_quality_score and llm_corpus_build so the corpus-build survivor
+  // set can never drift from the scoring query. Parameterized on the
+  // token-count / stopword-count expressions because the two queries
+  // compute them under different aliases.
+  private def qualitySql(nw: String, stopN: String): String =
+    s"round(least($nw / 100.0, 1.0) * 0.5 + $stopN * 0.5 / nullif($nw, 0), 4)"
+  private def qualityCol(nw: Column, stopN: Column): Column =
+    round(least(nw / 100.0, lit(1.0)) * 0.5 + stopN * 0.5 / nullif(nw, lit(0)), 4)
+  private lazy val stopCountSql: String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopwords("en"))}))"
+  private def stopCountCol: Column =
+    size(expr(s"filter(split(text, ' '), t -> t IN ${inList(stopwords("en"))})"))
+
   val qs: Seq[Q] = Seq(
 
     Q("llm_text_normalize",
@@ -415,12 +429,11 @@ object Llm {
          |       round(n_chars * 1.0 / nullif(nw, 0), 4) AS avg_tok_len,
          |       round(stop_n * 1.0 / nullif(nw, 0), 4) AS stop_ratio,
          |       round(alnum_n * 1.0 / nullif(n_chars, 0), 4) AS alnum_ratio,
-         |       round(least(nw / 100.0, 1.0) * 0.5 + stop_n * 0.5 / nullif(nw, 0), 4) AS quality
+         |       ${qualitySql("nw", "stop_n")} AS quality
          |FROM (
          |  SELECT doc_id, n_chars,
          |         len(string_split(text, ' ')) AS nw,
-         |         len(list_filter(string_split(text, ' '),
-         |             t -> t IN ${inList(stopwords("en"))})) AS stop_n,
+         |         $stopCountSql AS stop_n,
          |         length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS alnum_n
          |  FROM documents
          |) ORDER BY doc_id""".stripMargin) { (s, d) =>
@@ -429,8 +442,7 @@ object Llm {
         .select(
           col("doc_id"), col("n_chars"),
           size(toks).as("nw"),
-          size(expr(s"filter(split(text, ' '), t -> t IN ${inList(stopwords("en"))})"))
-            .as("stop_n"),
+          stopCountCol.as("stop_n"),
           length(regexp_replace(col("text"), "[^a-z0-9]", "")).as("alnum_n"))
         .select(
           col("doc_id"),
@@ -438,9 +450,7 @@ object Llm {
           round(col("stop_n") * 1.0 / nullif(col("nw"), lit(0)), 4).as("stop_ratio"),
           round(col("alnum_n") * 1.0 / nullif(col("n_chars"), lit(0)), 4)
             .as("alnum_ratio"),
-          round(
-            least(col("nw") / 100.0, lit(1.0)) * 0.5 +
-              col("stop_n") * 0.5 / nullif(col("nw"), lit(0)), 4).as("quality"))
+          qualityCol(col("nw"), col("stop_n")).as("quality"))
         .orderBy("doc_id")
     },
 
@@ -908,10 +918,7 @@ object Llm {
          |  SELECT node AS doc_id FROM reach GROUP BY node HAVING node = min(r)
          |), q AS (
          |  SELECT doc_id,
-         |         round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5 +
-         |               len(list_filter(string_split(text, ' '),
-         |                   t -> t IN ${inList(stopwords("en"))})) * 0.5
-         |               / nullif(len(string_split(text, ' ')), 0), 4) AS quality
+         |         ${qualitySql("len(string_split(text, ' '))", stopCountSql)} AS quality
          |  FROM documents
          |), kept AS (
          |  SELECT d.doc_id, d.source,
@@ -940,10 +947,7 @@ object Llm {
       val toks = split(col("text"), " ")
       val quality = docs(s, d).select(
         col("doc_id"),
-        round(
-          least(size(toks) / 100.0, lit(1.0)) * 0.5 +
-            size(expr(s"filter(split(text, ' '), t -> t IN ${inList(stopwords("en"))})")) *
-            0.5 / nullif(size(toks), lit(0)), 4).as("quality"))
+        qualityCol(size(toks), stopCountCol).as("quality"))
       val kept = docs(s, d)
         .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tok"))
         .join(keep, Seq("doc_id"))

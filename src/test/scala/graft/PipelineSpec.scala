@@ -86,8 +86,12 @@ class PipelineSpec extends AnyFunSuite {
     val janBefore = janState()
     assert(janBefore.nonEmpty)
 
+    // the natural delta-load config: startDate == batchStart — the
+    // implementation must strip it for the recompute scan, or March would
+    // be rebuilt from batch-only events without the lookback
     val res = Pipeline.runIncrementalMonthly(
-      spark, RunConfig(d, Seq("events")), outInc, "2024-03-01")
+      spark, RunConfig(d, Seq("events"), startDate = Some("2024-03-01")),
+      outInc, "2024-03-01")
     assert(res.rows > 0)
     // exact equality with the full rebuild — including user 42's March
     // row, whose n_sessions=0 needs the cross-boundary lookback
