@@ -266,6 +266,40 @@ object Llm {
   private def simhashDf(s: SparkSession, d: String): DataFrame =
     simhashDf(docs(s, d))
 
+  /** Frame-parameterized body of llm_corpus_build, so ScaleSmoke can
+    * drive the E2E corpus pipeline at synthetic scale. `docsDf` needs
+    * (doc_id, text, source); `hashes` picks the sketch family
+    * ([[graft.functions.FastHash]] off the declared path).
+    */
+  private[graft] def corpusBuild(
+      docsDf: DataFrame,
+      hashes: graft.functions.HashStrategy = PortableHash,
+      qualityMin: Double = 0.25): DataFrame = {
+    val e0 = minhashVerified(docsDf, hashes = hashes)
+      .where(col("est_jaccard") >= 0.2).select("d1", "d2")
+    val edges = e0.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(e0.select(col("d2").as("a"), col("d1").as("b")))
+      .persist()
+    val keep = Components.connectedComponents(docsDf, "doc_id", edges)
+      .where(col("id") === col("lbl"))
+      .select(col("id").as("doc_id"))
+    val toks = split(col("text"), " ")
+    val quality = docsDf.select(
+      col("doc_id"),
+      qualityCol(size(toks), stopCountCol).as("quality"))
+    val kept = docsDf
+      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tok"))
+      .join(keep, Seq("doc_id"))
+      .join(quality.where(col("quality") >= qualityMin).select("doc_id"), Seq("doc_id"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        floor((col("cum") - col("n_tok")) * 1.0 / 2048).as("pack_id"))
+      .orderBy("doc_id")
+  }
+
   /** Strategy-parameterized body (declared path: [[PortableHash]];
     * production path: [[graft.functions.FastHash]] — same 60-bit domain,
     * so the 4×15-bit segment join above it is unchanged).
@@ -936,29 +970,7 @@ object Llm {
          |  FROM kept
          |)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val e0 = minhashVerified(s, d)
-        .where(col("est_jaccard") >= 0.2).select("d1", "d2")
-      val edges = e0.select(col("d1").as("a"), col("d2").as("b"))
-        .unionByName(e0.select(col("d2").as("a"), col("d1").as("b")))
-        .persist()
-      val keep = Components.connectedComponents(docs(s, d), "doc_id", edges)
-        .where(col("id") === col("lbl"))
-        .select(col("id").as("doc_id"))
-      val toks = split(col("text"), " ")
-      val quality = docs(s, d).select(
-        col("doc_id"),
-        qualityCol(size(toks), stopCountCol).as("quality"))
-      val kept = docs(s, d)
-        .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tok"))
-        .join(keep, Seq("doc_id"))
-        .join(quality.where(col("quality") >= 0.25).select("doc_id"), Seq("doc_id"))
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      kept
-        .withColumn("cum", sum(col("n_tok")).over(w))
-        .select(col("doc_id"), col("source"), col("n_tok"),
-          floor((col("cum") - col("n_tok")) * 1.0 / 2048).as("pack_id"))
-        .orderBy("doc_id")
+      corpusBuild(docs(s, d))
     },
 
     // SimHash per doc via the typed Aggregator over 60-bit portable token
