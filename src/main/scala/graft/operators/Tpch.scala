@@ -103,6 +103,54 @@ object Tpch {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // Q7 — volume shipping between a nation PAIR: the same nation
+    // dimension joined twice under different roles (supplier side via
+    // lineitem, customer side via orders), symmetric pair filter, yearly
+    // revenue. Exercises aliased-dimension planning no other key does.
+    Q(
+      "tpch_q7",
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |       $revenueExpr AS revenue
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |         l_extendedprice, l_discount
+         |  FROM supplier
+         |    JOIN lineitem ON s_suppkey = l_suppkey
+         |    JOIN orders ON o_orderkey = l_orderkey
+         |    JOIN customer ON c_custkey = o_custkey
+         |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |)
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+      val l = t(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+          "l_extendedprice", "l_discount")
+      val o = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      val c = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val n1 = t(s, d, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .where(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
     // Q18 — large-volume customers: orders whose total quantity clears a
     // threshold (HAVING over a pre-aggregation), then the reporting join.
     // Plan shape: the HAVING set is a semi-join filter on orders BEFORE
