@@ -77,6 +77,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("tpch_q7: both nation roles broadcast, no cartesian") {
+    val p = plan("tpch_q7")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"supplier/customer/nation(x2) must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("tpch_q18: HAVING set applied as a semi-join, no cartesian") {
     val p = plan("tpch_q18")
     assert(p.contains("LeftSemi"), s"orders must be semi-join filtered:\n$p")
