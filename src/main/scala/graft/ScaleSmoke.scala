@@ -158,26 +158,22 @@ object ScaleSmoke {
 
     // The FULL corpus pipeline (llm_corpus_build body) at 500k docs with
     // the production FastHash sketch family: dedup → quality → pack E2E.
-    // Auto-broadcast OFF for this section: AQE's size estimate promotes a
-    // mid-pipeline frame (the persisted band side) to broadcast, and its
-    // REAL size (~8M rows) OOMs the driver-side relation build — the
-    // documented cluster setting for the sketch pipelines is shuffle
-    // joins (SCALING.md); explicit broadcast() hints elsewhere are
-    // unaffected by the threshold.
+    // Runs under DEFAULT autoBroadcastJoinThreshold on purpose: round 3
+    // measured AQE promoting the persisted ~8M-row band frame to a
+    // driver-built broadcast relation (OOM). The fix is IN the operator —
+    // SHUFFLE_HASH hints on every sketch-side join in minhashVerified and
+    // the CC round join — so this section is the regression gate that the
+    // pipeline is broadcast-safe under any caller conf.
     time("corpus build E2E 500k docs") {
-      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        // qualityMin=0: the synthetic vocab has no English stopwords, so
-        // the real threshold would filter everything and skip the pack
-        // stage; 0 keeps all 500k docs flowing through dedup AND packing.
-        val n = operators.Llm.corpusBuild(
-          docsBig.withColumn("source",
-            concat(lit("src"), pmod(col("doc_id"), lit(10)))),
-          graft.functions.FastHash, qualityMin = 0.0).count()
-        spark.catalog.clearCache()
-        n
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // qualityMin=0: the synthetic vocab has no English stopwords, so
+      // the real threshold would filter everything and skip the pack
+      // stage; 0 keeps all 500k docs flowing through dedup AND packing.
+      val n = operators.Llm.corpusBuild(
+        docsBig.withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(10)))),
+        graft.functions.FastHash, qualityMin = 0.0).count()
+      spark.catalog.clearCache()
+      n
     }
 
     // Connected-components engine A/B at scale: 500k nodes in 50k

@@ -48,9 +48,14 @@ object Components {
       .localCheckpoint()
     var converged = labels.isEmpty
     while (!converged) {
+      // shuffle_hash hints: the edge frame at corpus scale is far past any
+      // sane broadcast threshold, and AQE runtime stats must never promote
+      // it (or a large label frame) to a driver-built broadcast relation —
+      // same hygiene as the band joins in Llm.minhashVerified.
       val stepped = labels.as("v")
-        .join(edges.as("e"), col("e.a") === col("v.id"), "left")
-        .join(labels.select(col("id").as("n_id"), col("lbl").as("n_lbl")),
+        .join(edges.hint("shuffle_hash").as("e"), col("e.a") === col("v.id"), "left")
+        .join(labels.select(col("id").as("n_id"), col("lbl").as("n_lbl"))
+            .hint("shuffle_hash"),
           col("n_id") === col("e.b"), "left")
         .groupBy(col("v.id").as("id"), col("v.lbl").as("old_lbl"))
         .agg(least(col("old_lbl"), coalesce(min(col("n_lbl")), col("old_lbl"))).as("lbl"))

@@ -127,8 +127,11 @@ object Llm {
   private[graft] def lshCandidatePairs(
       s: SparkSession, d: String, nBands: Int, bits: Int): DataFrame = {
     // persist: the self-join's two sides otherwise each recompute all 16
-    // signature dot products over the scan.
-    val banded = lshBanded(lshSig(emb(s, d)), nBands, bits).persist()
+    // signature dot products over the scan. shuffle_hash: same broadcast
+    // hygiene as the minhash band join — at corpus scale the banded frame
+    // is n×nBands rows and must never be AQE-promoted to broadcast.
+    val banded = lshBanded(lshSig(emb(s, d)), nBands, bits)
+      .persist().hint("shuffle_hash")
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -239,21 +242,29 @@ object Llm {
         col("bk.k1").as("k1"), col("bk.k2").as("k2"))
       .persist()
     val bSide = d2Min.fold(bands)(m => bands.where(col("doc_id") >= m))
-    val cand = bands.as("a")
-      .join(bSide.as("b"),
+    // Broadcast hygiene (round-3 measured defect): at 500k docs AQE's
+    // runtime stats promote the persisted multi-million-row band frame to
+    // a broadcast relation and OOM the driver. SHUFFLE_HASH hints live in
+    // the logical plan and are honored by both static JoinSelection and
+    // every AQE re-plan, so the band/shingle frames can never be built
+    // driver-side no matter the caller's autoBroadcastJoinThreshold. The
+    // bucket-join shape (equi-join on sketch keys) is unchanged.
+    val cand = bands.hint("shuffle_hash").as("a")
+      .join(bSide.hint("shuffle_hash").as("b"),
         col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
           col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(sh.as("x"), col("d1") === col("x.doc_id"))
-      .join(sh.as("y"), col("d2") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .join(sh.hint("shuffle_hash").as("x"), col("d1") === col("x.doc_id"))
+      .join(sh.hint("shuffle_hash").as("y"),
+        col("d2") === col("y.doc_id") && col("x.s") === col("y.s"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sz.as("p"), col("d1") === col("p.doc_id"))
-      .join(sz.as("q"), col("d2") === col("q.doc_id"))
+      .join(sz.hint("shuffle_hash").as("p"), col("d1") === col("p.doc_id"))
+      .join(sz.hint("shuffle_hash").as("q"), col("d2") === col("q.doc_id"))
       .select(col("d1"), col("d2"),
         round(col("inter") * 1.0 / (col("p.n") + col("q.n") - col("inter")), 6)
           .as("est_jaccard"))

@@ -109,6 +109,21 @@ class PlanSpec extends AnyFunSuite {
       s"minhash banding must never plan an all-pairs join:\n$p")
   }
 
+  test("minhash pipeline: no broadcast on any sketch frame (AQE OOM hygiene)") {
+    // Round-3 measured defect: at 500k docs AQE promoted the persisted
+    // ~8M-row band frame to a driver-built broadcast relation and OOMed.
+    // The SHUFFLE_HASH hints inside minhashVerified must hold under any
+    // caller conf — so the whole plan (band self-join + both verify joins
+    // + both size joins) may contain ZERO BroadcastHashJoin.
+    for (q <- Seq("llm_minhash_neardup", "llm_incremental_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastHashJoin"),
+        s"$q must never broadcast a sketch-side frame:\n$p")
+      assert(p.contains("ShuffledHashJoin"),
+        s"$q band/verify joins should be shuffled hash joins:\n$p")
+    }
+  }
+
   test("llm_sim_join_lsh: candidates via equi-join, signature computed once (persisted)") {
     val p = plan("llm_sim_join_lsh")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
