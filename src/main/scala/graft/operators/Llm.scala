@@ -285,7 +285,9 @@ object Llm {
   private[graft] def corpusBuild(
       docsDf: DataFrame,
       hashes: graft.functions.HashStrategy = PortableHash,
-      qualityMin: Double = 0.25): DataFrame = {
+      qualityMin: Double = 0.25,
+      tokenizer: graft.functions.Tokenizer =
+        graft.functions.WhitespaceTokenizer): DataFrame = {
     val e0 = minhashVerified(docsDf, hashes = hashes)
       .where(col("est_jaccard") >= 0.2).select("d1", "d2")
     val edges = e0.select(col("d1").as("a"), col("d2").as("b"))
@@ -295,11 +297,15 @@ object Llm {
       .where(col("id") === col("lbl"))
       .select(col("id").as("doc_id"))
     val toks = split(col("text"), " ")
+    // quality stays word-denominated (stopword ratios are word-level
+    // semantics); only the PACK BUDGET is tokenizer-denominated — that is
+    // the quantity the training context window consumes.
     val quality = docsDf.select(
       col("doc_id"),
       qualityCol(size(toks), stopCountCol).as("quality"))
     val kept = docsDf
-      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("source"),
+        tokenizer.countCol(col("text")).as("n_tok"))
       .join(keep, Seq("doc_id"))
       .join(quality.where(col("quality") >= qualityMin).select("doc_id"), Seq("doc_id"))
     val w = Window.partitionBy("source").orderBy("doc_id")
@@ -609,6 +615,34 @@ object Llm {
       docs(s, d)
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          floor((col("cum") - col("n_tok")) * 1.0 / 2048).as("pack_id"))
+        .orderBy("doc_id")
+    },
+
+    // Same packing as llm_pack_sequences, but budgeted in SUBWORD tokens
+    // (greedy longest-match over the inlined vocab — graft.functions
+    // .SubwordTokenizer): the tokenizer-real accounting a training pipeline
+    // needs. Whitespace counting under-counts by the subword fan-out, so
+    // the same 2048 budget yields MORE packs here (TokenizerSpec plants
+    // CJK/compound text where the divergence is extreme). The oracle runs
+    // the identical greedy strip loop as a recursive CTE.
+    Q("llm_pack_sequences_bpe",
+      s"""WITH RECURSIVE ${graft.functions.SubwordTokenizer.ntokCtes},
+         |cum AS (
+         |  SELECT d.doc_id, d.source, n.n_tok,
+         |         sum(n.n_tok) OVER (PARTITION BY d.source ORDER BY d.doc_id) AS cum
+         |  FROM documents d JOIN sw_ntok n ON d.doc_id = n.doc_id
+         |)
+         |SELECT doc_id, source, n_tok,
+         |       CAST(floor((cum - n_tok) * 1.0 / 2048) AS BIGINT) AS pack_id
+         |FROM cum ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          graft.functions.SubwordTokenizer.countCol(col("text")).as("n_tok"))
         .withColumn("cum", sum(col("n_tok")).over(w))
         .select(col("doc_id"), col("source"), col("n_tok"),
           floor((col("cum") - col("n_tok")) * 1.0 / 2048).as("pack_id"))
