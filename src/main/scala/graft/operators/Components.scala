@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * Each round every node takes the min of its own label and its neighbors'
   * labels — one equi-join + one aggregation on ids per round. Convergence
-  * is O(graph diameter) rounds (NOT log-diameter: that would need
-  * pointer-jumping / large-star-small-star contraction, a documented
-  * follow-up for adversarially deep graphs). The loop stops when a round
-  * changes no label, so the round count is DATA-DETERMINED — the DuckDB
-  * oracle can mirror the semantics with a recursive reachability CTE and
-  * both engines land on the same fixpoint: label = min id of the component.
+  * is O(graph diameter) rounds; past [[DefaultMaxPropagationRounds]] the
+  * loop auto-switches to [[connectedComponentsStar]] (O(log n) regardless
+  * of diameter), so adversarially deep graphs are bounded too (round 4).
+  * The loop stops when a round changes no label, so the round count is
+  * DATA-DETERMINED — the DuckDB oracle can mirror the semantics with a
+  * recursive reachability CTE and both engines land on the same fixpoint:
+  * label = min id of the component (engine-independent, so the switch is
+  * invisible to the oracles).
   *
   * Round-2 note: a fixed 3-round truncation was measured to SPLIT real
   * components on the harness testdata (the sf0.01 cosine≥0.35 graph needs
@@ -28,13 +30,30 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Rounds of min-label propagation before [[connectedComponents]]
+    * abandons the O(diameter) loop for the O(log n) star contraction.
+    * Near-dup graphs have small diameters (sf0.1 fixpoint = 10 rounds;
+    * 500k-doc ScaleSmoke corpus = 9), so the declared pipelines never hit
+    * the cap — it exists for adversarial boilerplate chains where
+    * O(diameter) means thousands of shuffle rounds and the job would die
+    * long before converging. Labels are engine-independent (both reach
+    * lbl = component-min; ComponentsSpec pins equality vs union-find), so
+    * the switch can never change a declared answer.
+    */
+  val DefaultMaxPropagationRounds = 12
+
   /** @param nodes frame containing one row per node
     * @param idCol node-id column in `nodes` (labels start as the id)
     * @param edges SYMMETRIC edge frame with columns (a, b), persisted by
     *              the caller
+    * @param maxPropagationRounds diameter budget before auto-switching to
+    *              [[connectedComponentsStar]] (see
+    *              [[DefaultMaxPropagationRounds]])
     * @return (id, lbl) — lbl is the min node id of the component
     */
-  def connectedComponents(nodes: DataFrame, idCol: String, edges: DataFrame): DataFrame = {
+  def connectedComponents(
+      nodes: DataFrame, idCol: String, edges: DataFrame,
+      maxPropagationRounds: Int = DefaultMaxPropagationRounds): DataFrame = {
     // Iterate ONLY over edge-touched nodes: a node with no edges is its
     // own component and needs no propagation — in a near-dup graph that
     // is the overwhelming majority of the corpus, so the per-round join
@@ -47,7 +66,8 @@ object Components {
       .withColumn("lbl", col("id"))
       .localCheckpoint()
     var converged = labels.isEmpty
-    while (!converged) {
+    var rounds = 0
+    while (!converged && rounds < maxPropagationRounds) {
       // shuffle_hash hints: the edge frame at corpus scale is far past any
       // sane broadcast threshold, and AQE runtime stats must never promote
       // it (or a large label frame) to a driver-built broadcast relation —
@@ -63,7 +83,15 @@ object Components {
       // labels only ever decrease; an unchanged round is the fixpoint.
       converged = stepped.where(col("lbl") < col("old_lbl")).isEmpty
       labels = stepped.select(col("id"), col("lbl"))
+      rounds += 1
     }
+    // Diameter exceeded the budget: this graph is propagation-hostile
+    // (deep chains) — restart on the logarithmic engine instead of
+    // shuffling for O(diameter) more rounds. Discarding the partial
+    // labels is deliberate: star contraction works on the EDGE set, and
+    // seeding it with partial labels would complicate the algorithm for
+    // at most `maxPropagationRounds` saved hops.
+    if (!converged) return connectedComponentsStar(nodes, idCol, edges)
     nodes.select(col(idCol).as("id"))
       .join(labels.select(col("id"), col("lbl")), Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))

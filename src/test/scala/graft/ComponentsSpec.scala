@@ -49,9 +49,23 @@ class ComponentsSpec extends AnyFunSuite {
         (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
         .filter { case (a, b) => a != b }
       val expected = unionFind(n, edges)
-      assert(run(Components.connectedComponents, n, edges) == expected)
+      assert(run(Components.connectedComponents(_, _, _), n, edges) == expected)
       assert(run(Components.connectedComponentsStar, n, edges) == expected)
     }
+  }
+
+  test("deep chain exceeds the propagation cap and auto-switches to star") {
+    // diameter 99 >> DefaultMaxPropagationRounds: the O(diameter) loop
+    // must abandon propagation and the star fallback must still produce
+    // union-find-identical labels (one component rooted at 0).
+    val n = 100L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val expected = unionFind(n, chain)
+    assert(expected.values.toSet == Set(0L)) // sanity: one component
+    assert(run(Components.connectedComponents(_, _, _), n, chain) == expected)
+    // and an explicit tiny cap hits the same fallback on a shallow graph
+    assert(run(Components.connectedComponents(_, _, _, maxPropagationRounds = 1),
+      n, chain) == expected)
   }
 
   test("star contraction solves a 200-node chain in logarithmic rounds") {
