@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
   * Schema adaptations vs. standard TPC-H: o_orderpriority stands in for
   * o_shippriority (Q3); the testdata has no partsupp/returns tables, so
   * Q5/Q10 keep their standard join graphs over the tables that exist.
-  * At 100 TB the same plans hold: lineitem/orders shuffle on the join
-  * key, customer/supplier/nation/region stay broadcast.
+  * At 100 TB: lineitem/orders shuffle on the join key; nation/region are
+  * TRUE fixed-size dimensions (25/5 rows at every SF) and stay broadcast
+  * forever. customer/supplier scale LINEARLY with SF — the broadcast()
+  * hints on them here are right for the harness scales and for
+  * dimension-after-selective-filter shapes, but at warehouse scale an
+  * unfiltered customer/supplier broadcast would OOM the driver; there the
+  * hint must come off and AQE picks shuffle (Q7 below already pre-reduces
+  * via the nation filter instead of hinting the full dimensions).
   */
 object Tpch {
 
@@ -107,6 +113,19 @@ object Tpch {
     // dimension joined twice under different roles (supplier side via
     // lineitem, customer side via orders), symmetric pair filter, yearly
     // revenue. Exercises aliased-dimension planning no other key does.
+    //
+    // Plan (round 4): the symmetric OR predicate spans BOTH nation roles,
+    // so Catalyst cannot push it into either join on its own — naively
+    // every lineitem row survives both dimension probes before ~all are
+    // dropped. The IMPLIED per-role filter n_name IN (pair) is derived by
+    // hand and applied to each nation scan (PlanSpec pins the pushed In
+    // filter); supplier/customer then pre-join to their 2-row nation
+    // role map-side, so the lineitem probe drops ~(1 - 2/25) of the fact
+    // table BEFORE the lineitem⋈orders shuffle. The OR pair predicate
+    // stays (it still excludes the two same-nation combinations). No hard
+    // broadcast on the full customer/supplier dimensions (they scale with
+    // SF): only the 2-row nation roles are hinted, and the pre-reduced
+    // supplier/customer sides are left to AQE.
     Q(
       "tpch_q7",
       s"""SELECT supp_nation, cust_nation, l_year,
@@ -126,21 +145,22 @@ object Tpch {
          |)
          |GROUP BY supp_nation, cust_nation, l_year
          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+      val pair = Seq("NATION_1", "NATION_2")
       val l = t(s, d, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate",
           "l_extendedprice", "l_discount")
       val o = t(s, d, "orders").select("o_orderkey", "o_custkey")
-      val c = t(s, d, "customer").select("c_custkey", "c_nationkey")
-      val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
-      val n1 = t(s, d, "nation")
+      val n1 = t(s, d, "nation").where(col("n_name").isin(pair: _*))
         .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
-      val n2 = t(s, d, "nation")
+      val n2 = t(s, d, "nation").where(col("n_name").isin(pair: _*))
         .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      val supN = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
         .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      val custN = t(s, d, "customer").select("c_custkey", "c_nationkey")
         .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      l.join(supN, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(custN, col("o_custkey") === col("c_custkey"))
         .where(
           (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
             (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
