@@ -98,15 +98,131 @@ object Pipeline {
       affected.map(_.getTime).min - Etl.SessionGapMinutes * 60L * 1000L)
     val recomputed = Etl.monthlyUsage(ev.where(col("ts") >= lit(lookbackStart)))
       .where(col("month").isin(affected.toSeq: _*))
+    writeDynamic(recomputed, path)
+    TableResult("monthly_usage",
+      spark.read.parquet(path).count(), path)
+  }
+
+  /** Incremental maintenance of the published `sessions` table — a true
+    * STATE MERGE, not a recompute: no pre-batch event is ever rescanned.
+    * Append-only exactness argument: batch events all have
+    * ts ≥ batchStart > every published event, so the ONLY published
+    * session new events can extend is each user's temporally-last one
+    * (highest session_id). Sessionize the batch alone; the user's first
+    * batch session continues that last session iff its first event is
+    * within [[Etl.SessionGapMinutes]] of the published session_end (the
+    * same strict-gap rule, so ids/rows equal the full rebuild exactly —
+    * PipelineSpec pins equality around a boundary-crossing session);
+    * later batch sessions can never bridge (their preceding gap was
+    * already judged > gap within the batch). Global ids are
+    * last_sid + batch_sid − bridge.
+    *
+    * Only partitions holding a changed row (a bridged session keeps its
+    * OLD start month — that partition is rewritten; new sessions land in
+    * their own months) are overwritten; the new partition content is
+    * published-minus-replaced-plus-changed, localCheckpoint-ed before the
+    * dynamic overwrite because it is derived from the very files being
+    * replaced. At 100 TB the cost is one batch scan + one join against
+    * the per-user tail of the published table — independent of history
+    * length.
+    */
+  def runIncrementalSessions(
+      spark: SparkSession, cfg: RunConfig, outDir: String,
+      batchStart: String): TableResult = {
+    val path = s"$outDir/sessions"
+    val gap = expr(s"INTERVAL ${Etl.SessionGapMinutes} MINUTES")
+    val prior = spark.read.parquet(path)
+      .select("user_id", "session_id", "session_start", "session_end", "n_events")
+    val batch = cfg.copy(startDate = None).table(spark, "events")
+      .where(col("ts") >= lit(batchStart).cast("timestamp"))
+    val batchSessions = Etl.sessionizedScalable(batch)
+      .groupBy(col("user_id"), col("session_id").as("b_sid"))
+      .agg(min(col("ts")).as("b_start"), max(col("ts")).as("b_end"),
+        count(lit(1)).as("b_n"))
+    if (batchSessions.isEmpty)
+      return TableResult("sessions", spark.read.parquet(path).count(), path)
+    // each user's published tail: the only mergeable session
+    val lastPrior = prior
+      .groupBy("user_id").agg(max("session_id").as("last_sid"))
+      .join(prior.select(col("user_id"), col("session_id").as("last_sid"),
+        col("session_start").as("last_start"), col("session_end").as("last_end"),
+        col("n_events").as("last_n")), Seq("user_id", "last_sid"))
+    val perUser = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val bridged1 = col("b_sid") === 1 && col("user_bridge") === 1
+    val changed = batchSessions
+      .join(lastPrior, Seq("user_id"), "left")
+      .withColumn("user_bridge",
+        max(when(col("b_sid") === 1 && col("last_end").isNotNull &&
+          col("b_start") <= col("last_end") + gap, 1L).otherwise(0L))
+          .over(perUser))
+      .select(
+        col("user_id"),
+        (coalesce(col("last_sid"), lit(0L)) + col("b_sid") - col("user_bridge"))
+          .as("session_id"),
+        when(bridged1, col("last_start")).otherwise(col("b_start"))
+          .as("session_start"),
+        col("b_end").as("session_end"),
+        (when(bridged1, col("last_n")).otherwise(lit(0L)) + col("b_n"))
+          .as("n_events"))
+    val monthOf = date_trunc("month", col("session_start"))
+    val affected = changed.select(monthOf.as("m")).distinct()
+      .collect().map(_.getTimestamp(0)).toSeq
+    // published rows of the affected months, minus the rows a merged
+    // session replaces (same (user_id, session_id) key), plus the changes
+    val content = prior
+      .where(monthOf.isin(affected: _*))
+      .join(changed.select("user_id", "session_id"),
+        Seq("user_id", "session_id"), "left_anti")
+      .unionByName(changed)
+      .withColumn("month", monthOf)
+      .localCheckpoint() // materialize BEFORE overwriting the source files
+    writeDynamic(content, path)
+    TableResult("sessions", spark.read.parquet(path).count(), path)
+  }
+
+  /** Incremental maintenance of the published `user_lifetime` table: pure
+    * mergeable-state combine (min/max/count are commutative monoids), so
+    * the batch aggregate full-outer-merges with the published state — no
+    * event history rescan, exactly the HLL-style partial-aggregate
+    * posture. The table is one row per user (unpartitioned); the merged
+    * frame is localCheckpoint-ed, then the table is overwritten.
+    */
+  def runIncrementalLifetime(
+      spark: SparkSession, cfg: RunConfig, outDir: String,
+      batchStart: String): TableResult = {
+    val path = s"$outDir/user_lifetime"
+    val prior = spark.read.parquet(path)
+    val batch = cfg.copy(startDate = None).table(spark, "events")
+      .where(col("ts") >= lit(batchStart).cast("timestamp"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("b_first"), max(col("ts")).as("b_last"),
+        count(lit(1)).as("b_n"))
+    val merged = prior
+      .join(batch, Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        least(col("first_ts"), col("b_first")).as("first_ts"), // least/greatest skip nulls
+        greatest(col("last_ts"), col("b_last")).as("last_ts"),
+        (coalesce(col("n_events"), lit(0L)) + coalesce(col("b_n"), lit(0L)))
+          .as("n_events"))
+      .localCheckpoint() // materialize BEFORE overwriting the source files
+    merged.write.mode(SaveMode.Overwrite).parquet(path)
+    TableResult("user_lifetime", spark.read.parquet(path).count(), path)
+  }
+
+  /** Dynamic partition overwrite of `df` (month-partitioned) at `path`:
+    * only the partitions present in `df` are replaced; every other
+    * partition's files are physically untouched.
+    */
+  private def writeDynamic(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try recomputed.write.mode(SaveMode.Overwrite).partitionBy("month").parquet(path)
+    try df.write.mode(SaveMode.Overwrite).partitionBy("month").parquet(path)
     finally prevMode match {
       case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    TableResult("monthly_usage",
-      spark.read.parquet(path).count(), path)
   }
 
   private def write(df: DataFrame, partitionCol: Option[String], path: String): TableResult = {

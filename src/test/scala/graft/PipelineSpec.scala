@@ -46,7 +46,7 @@ class PipelineSpec extends AnyFunSuite {
       results.map(r => r.table -> r.rows).toMap)
   }
 
-  test("incremental monthly == full rebuild; untouched partitions untouched") {
+  test("incremental monthly/sessions/lifetime == full rebuild; untouched partitions untouched") {
     import spark.implicits._
     // synthetic 3-month events dir (ts stored as raw nanos, the events
     // layout Tables expects), with a planted 15-min-gap session CROSSING
@@ -70,9 +70,11 @@ class PipelineSpec extends AnyFunSuite {
     rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value")
       .coalesce(1).write.parquet(s"$d/events.parquet")
 
-    def monthlyRows(out: String) =
-      Pipeline.readTable(spark, out, "monthly_usage")
+    def tableRows(out: String, table: String) =
+      Pipeline.readTable(spark, out, table)
+        .drop("month") // partition col is derived; compare logical rows
         .collect().map(_.toSeq).toSet
+    def monthlyRows(out: String) = tableRows(out, "monthly_usage")
 
     val outFull = Files.createTempDirectory("graft_inc_full").toString
     Pipeline.run(spark, RunConfig(d, Seq("events")), outFull)
@@ -80,11 +82,13 @@ class PipelineSpec extends AnyFunSuite {
     val outInc = Files.createTempDirectory("graft_inc_inc").toString
     Pipeline.run(spark,
       RunConfig(d, Seq("events"), endDate = Some("2024-03-01")), outInc)
-    def janState() = new java.io.File(s"$outInc/monthly_usage").listFiles()
-      .filter(_.getName.startsWith("month=2024-01"))
-      .flatMap(_.listFiles()).map(f => f.getName -> f.lastModified()).toSet
+    def janState(table: String = "monthly_usage") =
+      new java.io.File(s"$outInc/$table").listFiles()
+        .filter(_.getName.startsWith("month=2024-01"))
+        .flatMap(_.listFiles()).map(f => f.getName -> f.lastModified()).toSet
     val janBefore = janState()
-    assert(janBefore.nonEmpty)
+    val janSessionsBefore = janState("sessions")
+    assert(janBefore.nonEmpty && janSessionsBefore.nonEmpty)
 
     // the natural delta-load config: startDate == batchStart — the
     // implementation must strip it for the recompute scan, or March would
@@ -104,6 +108,25 @@ class PipelineSpec extends AnyFunSuite {
       "boundary-crossing session must not count as a March start")
     // January partition files physically untouched by the incremental run
     assert(janState() == janBefore)
+
+    // sessions: state-merge incremental == full rebuild, including user
+    // 42's boundary-crossing session (the batch's first March event must
+    // EXTEND the published Feb session — same id, same start, n_events+1 —
+    // not open a new one)
+    val resS = Pipeline.runIncrementalSessions(
+      spark, RunConfig(d, Seq("events"), startDate = Some("2024-03-01")),
+      outInc, "2024-03-01")
+    assert(resS.rows > 0)
+    assert(tableRows(outInc, "sessions") == tableRows(outFull, "sessions"))
+    assert(janState("sessions") == janSessionsBefore,
+      "no January session changed, so its partition files must be untouched")
+
+    // lifetime: monoid merge (min/max/count combine) == full rebuild
+    val resL = Pipeline.runIncrementalLifetime(
+      spark, RunConfig(d, Seq("events"), startDate = Some("2024-03-01")),
+      outInc, "2024-03-01")
+    assert(resL.rows > 0)
+    assert(tableRows(outInc, "user_lifetime") == tableRows(outFull, "user_lifetime"))
   }
 
   test("pipeline without the events table fails loudly") {
