@@ -56,7 +56,7 @@ object Bench {
         case (Left(e), _)         => Left(e)
         case (_, Left(e))         => Left(e)
       }
-      name -> t
+      (name, t, first, second)
     }
     // Driver tail-captures stdout; round 1 the single ~3 KB line with the
     // full per-query map got truncated → BENCH parsed:null. Emit the long
@@ -74,25 +74,44 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val ok = results.collect { case (k, Right(v)) => k -> v }
-    val errs = results.collect { case (k, Left(e)) => k -> e }
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def qmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val ok = results.collect { case (k, Right(v), _, _) => k -> v }.toMap
+    val errs = results.collect { case (k, Left(e), _, _) => k -> e }
+    val cold = results.collect { case (k, _, Right(v), _) => k -> v }
+    val warm = results.collect { case (k, _, _, Right(v)) => k -> v }
     val errJson = errs.map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val detail =
-      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"runs":2,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":${qmap(ok)},"errors":$errJson,"runs":2,"sf":"$sfDir"}"""
     val summary =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"n_errors":${errs.size},"runs":2,"sf":"$sfDir"}"""
     println(detail)
     println(summary)
     // Side-channel file: the driver's stdout tail-parse has failed two
     // rounds running (sbt decorates the last line with [info]/[success]),
-    // so the same JSON also lands in BENCH_SELF.json next to the repo.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SELF.json"), detail + "\n" + summary + "\n")
-    catch { case _: Throwable => }
+    // so the same JSON also lands in BENCH_SELF.json. It additionally
+    // carries the per-pass maps the stdout line omits: `queries_cold`
+    // (pass 1 — honest-cold sketch construction) and `queries_warm`
+    // (pass 2 — JIT/page-cache steady state), which separate engine cost
+    // from first-touch cost and keep round-over-round comparisons robust.
+    // Path: anchored via SPARK_GRAFT_BENCH_OUT when set (the cwd of a
+    // forked sbt run is not guaranteed); failures are LOGGED, not
+    // swallowed — a silently-stale file misreports the round.
+    val coldWarm =
+      s"""{"metric":"cold_warm","queries_cold":${qmap(cold)},"queries_warm":${qmap(warm)},"sf":"$sfDir"}"""
+    val benchOut = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json"))
+      .toAbsolutePath
+    try {
+      java.nio.file.Files.writeString(
+        benchOut, detail + "\n" + summary + "\n" + coldWarm + "\n")
+      System.err.println(s"[bench] wrote $benchOut")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] FAILED writing $benchOut: $e")
+    }
     spark.stop()
   }
 }

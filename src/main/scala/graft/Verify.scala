@@ -27,6 +27,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release the sketch pipelines' persisted frames (shingles/bands/
+      // edges) — without this the six sketch-family queries accumulate
+      // cached frames across the ~98-query dump in one JVM (Llm.scala's
+      // cache contract: the caller that materializes releases)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -39,7 +39,12 @@ trait HashStrategy {
   * from EXACT shingle sets, so agreement is over candidate recall).
   */
 object FastHash extends HashStrategy {
-  def hash(c: Column): Column = shiftrightunsigned(xxhash64(c), 4)
+  // Each member is DISTINCTLY seeded (the "1:"/"2:" prefix arguments feed
+  // xxhash64's multi-arg avalanche): hash() and hash2()._1 under different
+  // truncations of the SAME unseeded digest would be fully correlated,
+  // which breaks the independent-family contract if a caller ever mixes
+  // the simhash token hash with the minhash h1 on the same tokens.
+  def hash(c: Column): Column = shiftrightunsigned(xxhash64(lit("1:"), c), 4)
   def hash2(c: Column): (Column, Column) =
     (shiftrightunsigned(xxhash64(c), 12),
       shiftrightunsigned(xxhash64(lit("2:"), c), 12))
