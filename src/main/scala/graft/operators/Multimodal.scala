@@ -50,6 +50,92 @@ object Multimodal {
       }
   }
 
+  /** REAL byte decoder (round 4): container-format header parsing for PNG
+    * and JPEG — actual decoding of actual image bytes, no libraries
+    * needed (both formats are public specs: PNG IHDR is the first chunk
+    * after the 8-byte signature; JPEG dimensions live in the SOF0/1/2
+    * segment). Deliberately header-only: a 100 TB media crawl needs
+    * (width, height, depth, channels) for filtering/bucketing WITHOUT
+    * paying a full pixel decode per object — header parsing touches <1 KB
+    * per payload regardless of image size. Non-image mimes and malformed
+    * payloads fall back to [[StubCodec]] features with the parsed-flag
+    * feature slot at 0, so the batch contract (one feature row per input,
+    * fixed arity) holds for mixed corpora.
+    *
+    * Feature layout (arity 8, same as StubCodec): [width, height,
+    * bit-depth/precision, channels, aspect (w/h), log2(n_bytes+1),
+    * parsed-flag = 1, 0].
+    */
+  object ImageHeaderCodec extends MediaCodec {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def u16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def u32(b: Array[Byte], i: Int): Long =
+      (u16(b, i).toLong << 16) | u16(b, i + 2)
+
+    private val pngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** PNG: signature, then IHDR is REQUIRED first chunk — width/height
+      * at fixed offsets 16/20 (big-endian), bit depth 24, color type 25.
+      */
+    private def png(b: Array[Byte]): Option[(Long, Long, Int, Int)] =
+      if (b.length >= 26 && b.take(8).sameElements(pngSig) &&
+        new String(b.slice(12, 16), "US-ASCII") == "IHDR") {
+        val channels = u8(b, 25) match {
+          case 0 => 1 case 2 => 3 case 3 => 1 case 4 => 2 case 6 => 4
+          case _ => 0
+        }
+        Some((u32(b, 16), u32(b, 20), u8(b, 24), channels))
+      } else None
+
+    /** JPEG: FF D8, then marker segments (FF xx, 2-byte big-endian length
+      * including itself); dimensions are in the first SOF segment
+      * (C0-CF minus C4/C8/CC): precision(1) height(2) width(2) ncomp(1).
+      */
+    private def jpeg(b: Array[Byte]): Option[(Long, Long, Int, Int)] = {
+      if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+      var i = 2
+      while (i + 3 < b.length && u8(b, i) == 0xff) {
+        val marker = u8(b, i + 1)
+        if (marker == 0xff) { i += 1 } // fill byte
+        else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+        else if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS: no SOF seen
+        else {
+          val len = u16(b, i + 2)
+          if (len < 2 || i + 2 + len > b.length) return None
+          if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            if (len < 8) return None
+            return Some((u16(b, i + 7).toLong, u16(b, i + 5).toLong,
+              u8(b, i + 4), u8(b, i + 9)))
+          }
+          i += 2 + len
+        }
+      }
+      None
+    }
+
+    override def decodeBatch(
+        payloads: Seq[Array[Byte]], mime: String): Seq[Array[Float]] =
+      payloads.map { b =>
+        val parsed = mime match {
+          case "image/png" => png(b)
+          case "image/jpeg" | "image/jpg" => jpeg(b)
+          case _ => None
+        }
+        parsed match {
+          case Some((w, h, depth, channels)) => Array(
+            w.toFloat, h.toFloat, depth.toFloat, channels.toFloat,
+            if (h == 0) 0f else w.toFloat / h.toFloat,
+            (math.log(b.length + 1.0) / math.log(2.0)).toFloat, 1f, 0f)
+          case None =>
+            val f = StubCodec.decodeBatch(Seq(b), mime).head
+            f(6) = 0f // parsed-flag slot: fell back to stub features
+            f
+        }
+      }
+  }
+
   /** THE media-struct construction — payload bytes, mime by doc parity,
     * (n_bytes, source) metadata — shared by [[attachMedia]] and the
     * declared `llm_multimodal_col` query so the spec-pinned plumbing and

@@ -66,6 +66,38 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageHeaderCodec decodes REAL planted PNG and JPEG bytes through the batch path") {
+    import graft.operators.Multimodal.{ImageHeaderCodec, Media}
+    import spark.implicits._
+    // real encoders from the JDK produce the planted bytes; the codec
+    // must recover the true dimensions by parsing the actual containers
+    def encodeImg(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y) << 8)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, Media(encodeImg(7, 5, "png"), "image/png", Map())),
+      MediaRow(2L, Media(encodeImg(33, 17, "png"), "image/png", Map())),
+      MediaRow(3L, Media(encodeImg(12, 9, "jpg"), "image/jpeg", Map())),
+      MediaRow(4L, Media("not an image".getBytes, "image/png", Map())),
+      MediaRow(5L, Media(encodeImg(4, 4, "png"), "audio/wav", Map())))
+    val got = Multimodal
+      .decodeFeatures(spark.createDataset(rows), ImageHeaderCodec)
+      .collect().map(f => f.doc_id -> f.features).toMap
+    // [w, h, depth, channels, aspect, log2 bytes, parsed, 0]
+    assert(got(1L).take(4).sameElements(Array(7f, 5f, 8f, 3f)) && got(1L)(6) == 1f)
+    assert(got(2L).take(4).sameElements(Array(33f, 17f, 8f, 3f)))
+    assert(got(2L)(4) == 33f / 17f)
+    assert(got(3L).take(4).sameElements(Array(12f, 9f, 8f, 3f)) && got(3L)(6) == 1f)
+    // malformed payload and non-image mime: stub fallback, parsed-flag 0
+    assert(got(4L)(6) == 0f && got(5L)(6) == 0f)
+    assert(got.values.forall(_.length == 8), "batch contract: fixed arity")
+  }
+
   test("sampleFrames emits every k-th 32-byte frame") {
     val r: MediaRow = media.filter(_.doc_id == 0L).head()
     val expectFrames = r.media.payload.grouped(32).zipWithIndex
