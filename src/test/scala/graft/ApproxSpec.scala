@@ -19,6 +19,42 @@ class ApproxSpec extends AnyFunSuite {
     assert(relErr < 0.06, s"exact=$exact approx=$approx relErr=$relErr")
   }
 
+  test("hll sketches persist per batch, merge losslessly, estimate within rsd") {
+    import org.apache.spark.sql.graft.HllFunctions.{hllEstimate, hllMerge, hllSketch}
+    val ev = Tables(spark, "/root/testdata/sf0.01", "events")
+    val exact = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+    // two disjoint batches with OVERLAPPING users, sketched separately and
+    // persisted to a lake dir — the across-runs shape
+    val d = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    for (par <- 0 to 1)
+      ev.where(col("event_id") % 2 === par)
+        .agg(hllSketch(col("user_id")).as("sk"))
+        .write.mode("overwrite").parquet(s"$d/batch$par")
+    val merged = spark.read.parquet(s"$d/batch0")
+      .unionByName(spark.read.parquet(s"$d/batch1"))
+      .agg(hllEstimate(hllMerge(col("sk"))).as("n")).head().getLong(0)
+    val whole = ev.agg(hllEstimate(hllSketch(col("user_id")))).head().getLong(0)
+    // merge is register-wise max: merging batch sketches must be LOSSLESS,
+    // i.e. identical to sketching everything in one pass — not just close
+    assert(merged == whole, s"merge must be lossless: merged=$merged whole=$whole")
+    // p=12 → rsd ≈ 1.6%; allow 3 sigma
+    val relErr = math.abs(merged - exact).toDouble / exact
+    assert(relErr < 0.05, s"exact=$exact merged=$merged relErr=$relErr")
+  }
+
+  test("hll per-group sketches track exact per-group counts") {
+    import org.apache.spark.sql.graft.HllFunctions.{hllEstimate, hllSketch}
+    val ev = Tables(spark, "/root/testdata/sf0.01", "events")
+    val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = ev.groupBy("event_type")
+      .agg(hllEstimate(hllSketch(col("user_id"))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((k, e) <- exact)
+      assert(math.abs(est(k) - e).toDouble / e < 0.05, s"$k: exact=$e est=${est(k)}")
+  }
+
   test("approx_percentile brackets the exact percentile") {
     val ev = Tables(spark, "/root/testdata/sf0.01", "events")
     val exact = ev.agg(percentile(col("value"), lit(0.5))).head().getDouble(0)
