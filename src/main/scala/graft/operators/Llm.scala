@@ -717,6 +717,51 @@ object Llm {
         .orderBy("d1", "d2")
     },
 
+    // Benchmark decontamination (round 4): flag training docs sharing any
+    // 3-token shingle with the benchmark set (here: doc_id % 97 == 0, the
+    // deterministic stand-in for a held-out eval suite). The real-pipeline
+    // shape: benchmark suites are BOUNDED (a few M shingles however big
+    // the corpus gets — nation-table-like, unlike customer/supplier), so
+    // the benchmark shingle set broadcasts and the corpus shingle stream
+    // is scanned ONCE map-side with no shuffle before the per-doc count —
+    // the decontamination pass costs one corpus scan at 100 TB.
+    Q("llm_decontaminate",
+      s"""WITH sh AS (
+         |  $shingleSql)
+         |), bs AS (
+         |  SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+         |), cs AS (
+         |  SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0
+         |), tot AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+         |  FROM cs GROUP BY doc_id
+         |), shr AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM cs WHERE s IN (SELECT s FROM bs) GROUP BY doc_id
+         |)
+         |SELECT tot.doc_id AS doc_id, n_shingles,
+         |       coalesce(n_shared, 0) AS n_shared,
+         |       round(coalesce(n_shared, 0) * 1.0 / n_shingles, 6) AS contamination,
+         |       CAST(CASE WHEN coalesce(n_shared, 0) > 0 THEN 1 ELSE 0 END AS INT)
+         |         AS is_contaminated
+         |FROM tot LEFT JOIN shr ON tot.doc_id = shr.doc_id
+         |ORDER BY tot.doc_id""".stripMargin) { (s, d) =>
+      val sh = shingleDf(docs(s, d))
+      val bs = sh.where(col("doc_id") % 97 === 0).select("s").distinct()
+      val cs = sh.where(col("doc_id") % 97 =!= 0)
+      val tot = cs.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val shr = cs.join(broadcast(bs), Seq("s"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      tot.join(shr, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_shingles"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          round(coalesce(col("n_shared"), lit(0L)) * 1.0 / col("n_shingles"), 6)
+            .as("contamination"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).cast("int").as("is_contaminated"))
+        .orderBy("doc_id")
+    },
+
     // Global top-10 most-similar embedding pairs — native codegen cosine
     // over a broadcast self-join; TakeOrderedAndProject caps the result.
     Q("llm_cosine_topk",
