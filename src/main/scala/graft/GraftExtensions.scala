@@ -48,5 +48,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             Literal(16), Literal(10)),
           LongType)
       }))
+    // Exposed-sketch HLL family (round 4): persistable distinct-count
+    // sketches from pure SQL — hll_sketch(x[, p]) → BINARY,
+    // hll_merge(sketch) → BINARY, hll_estimate(sketch) → BIGINT.
+    ext.injectFunction((
+      FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.HllSketchAgg].getName,
+        "hll_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.length <= 2,
+          "hll_sketch expects (expr[, precision])")
+        val p = children.lift(1).map {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hll_sketch precision must be an INT literal, got $other")
+        }.getOrElse(12)
+        org.apache.spark.sql.graft.HllSketchAgg(children.head, p)
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_merge"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.HllMergeAgg].getName,
+        "hll_merge"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "hll_merge expects 1 argument")
+        org.apache.spark.sql.graft.HllMergeAgg(children.head)
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_estimate"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.HllEstimate].getName,
+        "hll_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "hll_estimate expects 1 argument")
+        org.apache.spark.sql.graft.HllEstimate(children.head)
+      }))
   }
 }

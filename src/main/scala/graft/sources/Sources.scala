@@ -68,6 +68,18 @@ object Sources {
   def sinkParquet(df: DataFrame, outDir: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(outDir)
 
+  /** ORC read/write (round 4): the other columnar warehouse interchange
+    * format Spark ships natively — same vectorized reader, predicate
+    * pushdown, and column pruning posture as parquet (SourcesSpec pins
+    * the round-trip and the pushed filter), so a reference user with an
+    * ORC-based Hive warehouse can ingest without conversion.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def sinkOrc(df: DataFrame, outDir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(outDir)
+
   // ------------------------------------------------------------------
   // R2 schema evolution — a migration-managed lake without a table format.
   // The reference's warehouse survives schema drift via SQL migrations;

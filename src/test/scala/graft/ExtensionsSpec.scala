@@ -48,6 +48,35 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("hll_sketch / hll_merge / hll_estimate are SQL-callable") {
+    import org.apache.spark.sql.functions.col
+    Tables(spark, "/root/testdata/sf0.001", "events")
+      .createOrReplaceTempView("ev_hll_sql")
+    // one-pass estimate via SQL == Column API estimate
+    val viaSql = spark.sql(
+      "SELECT hll_estimate(hll_sketch(user_id)) FROM ev_hll_sql")
+      .head().getLong(0)
+    val viaCol = Tables(spark, "/root/testdata/sf0.001", "events")
+      .agg(org.apache.spark.sql.graft.HllFunctions.hllEstimate(
+        org.apache.spark.sql.graft.HllFunctions.hllSketch(col("user_id"))))
+      .head().getLong(0)
+    assert(viaSql == viaCol && viaSql > 0)
+    // per-group sketches merged via SQL == the one-pass sketch (lossless)
+    val merged = spark.sql(
+      """SELECT hll_estimate(hll_merge(sk)) FROM (
+        |  SELECT event_type, hll_sketch(user_id) AS sk
+        |  FROM ev_hll_sql GROUP BY event_type)""".stripMargin)
+      .head().getLong(0)
+    assert(merged == viaSql)
+    // explicit precision argument
+    val p8 = spark.sql(
+      "SELECT hll_estimate(hll_sketch(user_id, 8)) FROM ev_hll_sql")
+      .head().getLong(0)
+    val exact = spark.sql("SELECT count(DISTINCT user_id) FROM ev_hll_sql")
+      .head().getLong(0)
+    assert(math.abs(p8 - exact).toDouble / exact < 0.2) // rsd ~6.5% at p=8
+  }
+
   test("SQL surface composes with tables (top pair via SQL only)") {
     Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .createOrReplaceTempView("emb_sql")

@@ -59,6 +59,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("hll sketch aggregates under streaming state: stream == batch, bit-exact") {
+    // the TypedImperativeAggregate must survive state-store
+    // serialize/merge across micro-batches: per-type distinct-user
+    // sketches built incrementally over two batches must equal the batch
+    // one-pass sketch estimates exactly (register-max merge is lossless)
+    import org.apache.spark.sql.graft.HllFunctions.{hllEstimate, hllSketch}
+    def perType(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"event_type")
+        .agg(hllEstimate(hllSketch($"user_id")).as("nd"))
+    val streamed = runStream(perType)
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    val batch = perType(rows.toDF())
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("session windows (30 min gap): stream == batch == etl_sessionize") {
     val streamed = runStream(Streaming.sessionCounts)
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).sorted
