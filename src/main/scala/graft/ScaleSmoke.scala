@@ -109,6 +109,38 @@ object ScaleSmoke {
         .count()
     }
 
+    // Incremental sessions at scale: published state from 60M historical
+    // events vs a 1M-event append batch. The state merge (the REAL
+    // Pipeline.mergeSessions operator) must cost ~|batch|, not |history| —
+    // the full-rebuild timing on 61M events is the alternative a nightly
+    // delta load avoids. Batch events are all AFTER the historical max ts
+    // (append-only contract).
+    locally {
+      val published = config.Pipeline
+        .batchSessionSummaries(ev) // 60M events → per-user session summaries
+        .select(col("user_id"), col("b_sid").as("session_id"),
+          col("b_start").as("session_start"), col("b_end").as("session_end"),
+          col("b_n").as("n_events"))
+        .persist()
+      time("sessions publish 60M (one-off)") { published.count() }
+      val batchEv = spark.range(1000000L).select(
+        (col("id") + 60000000L).as("event_id"),
+        timestamp_micros(lit(1706745600000000L) +
+          (xxhash64(col("id")) % 86400000000L + 86400000000L) % 86400000000L).as("ts"),
+        pmod(xxhash64(col("id"), lit(1)), lit(30000)).as("user_id"),
+        lit("click").as("event_type"), lit(1.0).as("value"))
+      time("sessions incremental merge 1M batch") {
+        config.Pipeline.mergeSessions(
+          published, config.Pipeline.batchSessionSummaries(batchEv)).count()
+      }
+      time("sessions full rebuild 61M (the avoided cost)") {
+        operators.Etl.sessionizedScalable(ev.unionByName(batchEv))
+          .groupBy("user_id", "session_id").agg(count(lit(1)))
+          .count()
+      }
+      published.unpersist()
+    }
+
     // 200k x 64-dim embeddings; kNN for 20 queries via broadcast (the
     // brute-force probe side at this scale is 4M cosines)
     val emb = spark.range(200000L).select(
