@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.SubwordTokenizer
+import org.apache.spark.sql.graft.Hll
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** ScalaCheck laws for the round-4 sketch/tokenizer primitives. These run
+  * driver-side against the pure kernels (`Hll`, the reference greedy
+  * tokenizer), so they are cheap enough for full generator coverage; the
+  * Spark expression surfaces are pinned equal to these kernels in
+  * ApproxSpec / TokenizerSpec, so the laws transfer.
+  */
+object SketchLawsProps extends Properties("graft.sketchlaws") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(60).withWorkers(1)
+
+  private val hashes: Gen[List[Long]] =
+    Gen.listOf(Gen.long).map(_.take(500))
+
+  private def sketchOf(hs: Seq[Long], p: Int = 8): Array[Byte] = {
+    val r = Hll.registers(p)
+    hs.foreach(Hll.add(r, _))
+    r
+  }
+
+  property("hll merge == sketch of the union (lossless, any split)") =
+    Prop.forAll(hashes, hashes) { (a, b) =>
+      val merged = sketchOf(a)
+      Hll.mergeInto(merged, sketchOf(b))
+      merged.sameElements(sketchOf(a ++ b))
+    }
+
+  property("hll merge is commutative") =
+    Prop.forAll(hashes, hashes) { (a, b) =>
+      val ab = sketchOf(a); Hll.mergeInto(ab, sketchOf(b))
+      val ba = sketchOf(b); Hll.mergeInto(ba, sketchOf(a))
+      ab.sameElements(ba)
+    }
+
+  property("hll merge is idempotent (re-ingesting a batch changes nothing)") =
+    Prop.forAll(hashes) { a =>
+      val once = sketchOf(a)
+      val twice = sketchOf(a); Hll.mergeInto(twice, sketchOf(a))
+      once.sameElements(twice)
+    }
+
+  property("hll estimate is exact-ish on tiny sets (linear-counting range)") =
+    Prop.forAll(Gen.listOf(Gen.long).map(_.distinct.take(20))) { hs =>
+      val est = Hll.estimate(sketchOf(hs))
+      // p=8 → 256 registers; ≤20 distinct values sit deep in the
+      // linear-counting regime where collisions are the only error source
+      math.abs(est - hs.size) <= math.max(1L, hs.size / 5)
+    }
+
+  private val word: Gen[String] =
+    Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  property("tokenizer: doc count == sum of word counts (space additivity)") =
+    Prop.forAll(Gen.listOf(word).map(_.take(20))) { ws =>
+      ws.isEmpty || {
+        val doc = ws.mkString(" ")
+        SubwordTokenizer.referenceCount(doc) ==
+          ws.map(SubwordTokenizer.referenceWordTokens).sum
+      }
+    }
+
+  property("tokenizer: counts bounded by [ceil(len/maxPiece), len]") =
+    Prop.forAll(word) { w =>
+      val n = SubwordTokenizer.referenceWordTokens(w)
+      val maxPiece = SubwordTokenizer.vocab.map(_.length).max
+      n >= (w.length + maxPiece - 1) / maxPiece && n <= w.length
+    }
+}
