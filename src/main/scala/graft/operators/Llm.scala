@@ -218,8 +218,10 @@ object Llm {
       hashes: graft.functions.HashStrategy = PortableHash): DataFrame = {
     // persist: the distinct shingle set feeds three consumers (doc sizes +
     // both sides of the exact-Jaccard verify join); without it each
-    // consumer re-runs the explode+distinct shuffle.
-    val sh = shingleDf(docsDf).persist()
+    // consumer re-runs the explode+distinct shuffle. Partitioned by doc_id
+    // (round 4): the sz groupBy(doc_id) then reuses the cached partitioning
+    // instead of re-shuffling the full shingle set.
+    val sh = shingleDf(docsDf).repartition(col("doc_id")).persist()
     val (h1c, h2c) = hashes.hash2(col("s"))
     // persist: the band frame feeds BOTH sides of the candidate self-join,
     // and in incremental mode the b-side filter (doc_id >= d2Min) makes the
@@ -240,6 +242,13 @@ object Llm {
           .as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+      // partitioned by the band key ONCE at build time (round 4): the
+      // candidate self-join's equi-keys are exactly (band, k1, k2), so
+      // BOTH sides of the shuffled hash join read the cached partitioning
+      // and the join plans ZERO exchanges — in incremental mode this is
+      // what keeps per-ingest cost ∝ batch: the corpus band frame is
+      // never re-shuffled, only the batch side moves.
+      .repartition(col("band"), col("k1"), col("k2"))
       .persist()
     val bSide = d2Min.fold(bands)(m => bands.where(col("doc_id") >= m))
     // Broadcast hygiene (round-3 measured defect): at 500k docs AQE's
