@@ -130,7 +130,10 @@ object Llm {
     // signature dot products over the scan. shuffle_hash: same broadcast
     // hygiene as the minhash band join — at corpus scale the banded frame
     // is n×nBands rows and must never be AQE-promoted to broadcast.
+    // pre-partitioned on the equi-keys (round 4): both self-join sides
+    // read the cached partitioning — zero exchanges in the join.
     val banded = lshBanded(lshSig(emb(s, d)), nBands, bits)
+      .repartition(col("band"), col("band_key"))
       .persist().hint("shuffle_hash")
     banded.as("x")
       .join(banded.as("y"),
@@ -1201,7 +1204,10 @@ object Llm {
          |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
       // persist: probe (vec_id<20) and build sides otherwise each recompute
       // the 16-dot signature pass (the filter breaks exchange reuse).
-      val banded = lshBanded(lshSig(emb(s, d)), 2, 8).persist()
+      // Pre-partitioned on the bucket equi-keys — the candidate join reads
+      // the cached partitioning on both sides, zero exchanges.
+      val banded = lshBanded(lshSig(emb(s, d)), 2, 8)
+        .repartition(col("band"), col("band_key")).persist()
       // Candidate id pairs via equi-join on (band, bucket); embeddings are
       // re-attached afterwards so the distinct dedups ids, not vectors.
       val cand = banded.where(col("vec_id") < 20).select(
