@@ -299,7 +299,8 @@ object Llm {
       hashes: graft.functions.HashStrategy = PortableHash,
       qualityMin: Double = 0.25,
       tokenizer: graft.functions.Tokenizer =
-        graft.functions.WhitespaceTokenizer): DataFrame = {
+        graft.functions.WhitespaceTokenizer,
+      scrubPii: Boolean = false): DataFrame = {
     val e0 = minhashVerified(docsDf, hashes = hashes)
       .where(col("est_jaccard") >= 0.2).select("d1", "d2")
     val edges = e0.select(col("d1").as("a"), col("d2").as("b"))
@@ -308,16 +309,23 @@ object Llm {
     val keep = Components.connectedComponents(docsDf, "doc_id", edges)
       .where(col("id") === col("lbl"))
       .select(col("id").as("doc_id"))
-    val toks = split(col("text"), " ")
+    // Real-pipeline stage order: dedup runs on RAW text (a PII span is
+    // content for near-dup purposes), then the optional redaction pass
+    // rewrites what ships — so quality and the pack budget are computed
+    // on the text the model will actually train on.
+    val shippedText =
+      if (scrubPii) graft.functions.TextNorm.scrubPii(col("text"))
+      else col("text")
+    val toks = split(shippedText, " ")
     // quality stays word-denominated (stopword ratios are word-level
     // semantics); only the PACK BUDGET is tokenizer-denominated — that is
     // the quantity the training context window consumes.
     val quality = docsDf.select(
       col("doc_id"),
-      qualityCol(size(toks), stopCountCol).as("quality"))
+      qualityCol(size(toks), stopCountCol(shippedText)).as("quality"))
     val kept = docsDf
       .select(col("doc_id"), col("source"),
-        tokenizer.countCol(col("text")).as("n_tok"))
+        tokenizer.countCol(shippedText).as("n_tok"))
       .join(keep, Seq("doc_id"))
       .join(quality.where(col("quality") >= qualityMin).select("doc_id"), Seq("doc_id"))
     val w = Window.partitionBy("source").orderBy("doc_id")
@@ -377,8 +385,9 @@ object Llm {
     round(least(nw / 100.0, lit(1.0)) * 0.5 + stopN * 0.5 / nullif(nw, lit(0)), 4)
   private lazy val stopCountSql: String =
     s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopwords("en"))}))"
-  private def stopCountCol: Column =
-    size(expr(s"filter(split(text, ' '), t -> t IN ${inList(stopwords("en"))})"))
+  private def stopCountCol: Column = stopCountCol(col("text"))
+  private def stopCountCol(c: Column): Column =
+    size(filter(split(c, " "), t => t.isInCollection(stopwords("en"))))
 
   val qs: Seq[Q] = Seq(
 

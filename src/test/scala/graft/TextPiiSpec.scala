@@ -40,6 +40,37 @@ class TextPiiSpec extends AnyFunSuite {
     assert(scrub(once) == once)
   }
 
+  test("corpusBuild scrubPii stage: pack budget counts redacted text") {
+    // each doc carries a long email whose local-part would tokenize into
+    // many subwords; scrubbed it is ONE <EMAIL> whitespace token. Dedup
+    // still runs on raw text (distinct unique words per doc → no dedup).
+    val docs = (0L until 6L).map { i =>
+      (i, s"u${i}a report from alpha.beta.gamma.delta.u$i@example-corp.com sent", "src0")
+    }.toDF("doc_id", "text", "source")
+    def totTok(scrub: Boolean): Long = {
+      val t = graft.operators.Llm
+        .corpusBuild(docs, qualityMin = 0.0, scrubPii = scrub)
+        .agg(sum("n_tok")).as[Long].head()
+      spark.catalog.clearCache()
+      t
+    }
+    val (raw, scrubbed) = (totTok(false), totTok(true))
+    assert(raw == scrubbed,
+      "whitespace token count is insensitive here — email is one word either way")
+    // with the SUBWORD tokenizer the divergence is visible: the raw email
+    // fans out into many pieces, the <EMAIL> tag does not
+    def totSub(scrub: Boolean): Long = {
+      val t = graft.operators.Llm
+        .corpusBuild(docs, qualityMin = 0.0,
+          tokenizer = graft.functions.SubwordTokenizer, scrubPii = scrub)
+        .agg(sum("n_tok")).as[Long].head()
+      spark.catalog.clearCache()
+      t
+    }
+    assert(totSub(false) > totSub(true) + 6 * 10,
+      s"scrubbed email must cost far fewer subword tokens: raw=${totSub(false)} scrubbed=${totSub(true)}")
+  }
+
   test("piiCounts audit matches the redactions") {
     val row = Seq("a@b.io c@d.org 10.0.0.1 call 415-555-0123")
       .toDF("t").select(TextNorm.piiCounts($"t")).as[Map[String, Long]].head()
