@@ -83,5 +83,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "hll_estimate expects 1 argument")
         org.apache.spark.sql.graft.HllEstimate(children.head)
       }))
+    // Count-min family (round 4): cms_sketch(x[, w]) → BINARY,
+    // cms_merge(sketch) → BINARY (exact), cms_query(sketch, x) → BIGINT
+    // (overestimate-only point frequency).
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.CmsSketchAgg].getName,
+        "cms_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.length <= 2,
+          "cms_sketch expects (expr[, width])")
+        val w = children.lift(1).map {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"cms_sketch width must be an INT literal, got $other")
+        }.getOrElse(2048)
+        org.apache.spark.sql.graft.CmsSketchAgg(children.head, w)
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_merge"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.CmsMergeAgg].getName,
+        "cms_merge"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "cms_merge expects 1 argument")
+        org.apache.spark.sql.graft.CmsMergeAgg(children.head)
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_query"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.CmsQuery].getName,
+        "cms_query"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cms_query expects (sketch, value)")
+        org.apache.spark.sql.graft.CmsQuery(children(0), children(1))
+      }))
   }
 }

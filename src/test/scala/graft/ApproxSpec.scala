@@ -55,6 +55,37 @@ class ApproxSpec extends AnyFunSuite {
       assert(math.abs(est(k) - e).toDouble / e < 0.05, s"$k: exact=$e est=${est(k)}")
   }
 
+  test("cms sketches: overestimate-only point queries, exact merge across batches") {
+    import org.apache.spark.sql.graft.CmsFunctions.{cmsMerge, cmsQuery, cmsSketch}
+    val ev = Tables(spark, "/root/testdata/sf0.01", "events")
+    val exact = ev.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    // two disjoint batches sketched separately, merged — counters are
+    // linear, so the merge must equal the one-pass sketch EXACTLY
+    val parts = (0 to 1).map(p =>
+      ev.where(col("event_id") % 2 === p).agg(cmsSketch(col("user_id")).as("sk")))
+    val merged = parts.reduce(_ unionByName _)
+      .agg(cmsMerge(col("sk")).as("sk"))
+    val whole = ev.agg(cmsSketch(col("user_id")).as("sk"))
+    assert(merged.head().getAs[Array[Byte]](0)
+      .sameElements(whole.head().getAs[Array[Byte]](0)),
+      "merge of batch sketches must be exactly the one-pass sketch")
+    // point queries: never under, bounded over (eps = e/w of total mass)
+    val probe = exact.keys.take(50).toSeq
+    val est = probe.map { u =>
+      u -> whole.select(cmsQuery(col("sk"), lit(u))).head().getLong(0)
+    }
+    val bound = math.ceil(math.E / 2048 * n).toLong + 1
+    for ((u, e) <- est)
+      assert(e >= exact(u), s"CMS must never underestimate: user $u $e < ${exact(u)}")
+    // the e/w·N bound holds per query with prob 1 - e^-depth (~98%), not
+    // deterministically — assert the failure RATE, not every probe
+    val exceed = est.count { case (u, e) => e > exact(u) + bound }
+    assert(exceed <= probe.size / 10,
+      s"$exceed of ${probe.size} probes exceeded the e/w bound")
+  }
+
   test("approx_percentile brackets the exact percentile") {
     val ev = Tables(spark, "/root/testdata/sf0.01", "events")
     val exact = ev.agg(percentile(col("value"), lit(0.5))).head().getDouble(0)

@@ -53,6 +53,39 @@ object SketchLawsProps extends Properties("graft.sketchlaws") {
       math.abs(est - hs.size) <= math.max(1L, hs.size / 5)
     }
 
+  import org.apache.spark.sql.graft.Cms
+
+  private def cmsOf(hs: Seq[Long], w: Int = 64): Array[Long] = {
+    val c = Cms.counters(w)
+    hs.foreach(Cms.add(c, _))
+    c
+  }
+
+  property("cms merge == sketch of the union (exact, any split)") =
+    Prop.forAll(hashes, hashes) { (a, b) =>
+      val merged = cmsOf(a)
+      Cms.mergeInto(merged, cmsOf(b))
+      merged.sameElements(cmsOf(a ++ b))
+    }
+
+  property("cms never underestimates a key's frequency") =
+    Prop.forAll(hashes) { a =>
+      a.isEmpty || {
+        val c = cmsOf(a)
+        val byKey = a.groupBy(identity).view.mapValues(_.size.toLong)
+        byKey.forall { case (h, n) => Cms.query(c, h) >= n }
+      }
+    }
+
+  property("cms total mass per row == input size (counters are linear)") =
+    Prop.forAll(hashes) { a =>
+      val c = cmsOf(a)
+      val w = c.length / Cms.Depth
+      (0 until Cms.Depth).forall { r =>
+        c.slice(r * w, (r + 1) * w).sum == a.size.toLong
+      }
+    }
+
   private val word: Gen[String] =
     Gen.chooseNum(0, 8).flatMap(n =>
       Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
