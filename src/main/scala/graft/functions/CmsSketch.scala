@@ -58,8 +58,14 @@ object Cms {
     while (i < a.length) { a(i) += b(i); i += 1 }
   }
 
-  /** Point frequency estimate: min over rows — never underestimates. */
+  /** Point frequency estimate: min over rows — never underestimates.
+    * An EMPTY sketch (cms_merge over an all-NULL group keeps its
+    * zero-length init buffer) holds no observations, so every point
+    * estimate is 0 — guarded here rather than crashing on width 0,
+    * mirroring Hll.estimate's empty-case handling.
+    */
   def query(c: Array[Long], hash: Long): Long = {
+    if (c.isEmpty) return 0L
     val w = c.length / Depth
     var min = Long.MaxValue
     var r = 0

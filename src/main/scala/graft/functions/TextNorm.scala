@@ -31,26 +31,42 @@ object TextNorm {
   // RE2-compatible (no backrefs/lookarounds) for engine portability.
   // ------------------------------------------------------------------
 
-  /** (pattern, replacement tag), applied in order. */
-  val piiPatterns: Seq[(String, String)] = Seq(
-    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
-    ("\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b", "<IP>"),
-    ("(\\+[0-9]{1,3}[-. ]*)?(\\([0-9]{3}\\)|[0-9]{3})[-. ]*[0-9]{3}[-. ]*[0-9]{4}\\b",
-      "<PHONE>"))
+  /** (pattern, tag, replacement), applied in order. The replacement may
+    * carry a `$1` backref: the PHONE pattern anchors its start with a
+    * captured `(^|[^0-9])` boundary (round-5 advice fix — a bare trailing
+    * `\b` let it grab a 10-digit SUFFIX of a longer digit run, e.g. a
+    * 13-digit account id, leaving partial redactions like `991<PHONE>`),
+    * and the replacement re-emits that boundary character. Backrefs in
+    * the REPLACEMENT stay RE2-compatible; only pattern-side backrefs and
+    * lookarounds are avoided.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>", "<EMAIL>"),
+    ("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>", "<SSN>"),
+    ("\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b", "<IP>", "<IP>"),
+    ("(^|[^0-9])((\\+[0-9]{1,3}[-. ]*)?(\\([0-9]{3}\\)|[0-9]{3})[-. ]*[0-9]{3}[-. ]*[0-9]{4})\\b",
+      "<PHONE>", "$1<PHONE>"))
 
   /** Redact PII spans in `c`, in pattern order. */
   def scrubPii(c: Column): Column =
-    piiPatterns.foldLeft(c) { case (col, (pat, tag)) =>
-      regexp_replace(col, pat, tag)
+    piiPatterns.foldLeft(c) { case (col, (pat, _, repl)) =>
+      regexp_replace(col, pat, repl)
     }
 
   /** Count of redactions per pattern tag — the audit surface a corpus
-    * build logs per shard (`map(tag -> n)` via one pass per pattern).
+    * build logs per shard. Each pattern is counted on the text with all
+    * EARLIER patterns already scrubbed (the same fold order as
+    * [[scrubPii]]), so overlapping families can't double-count: an email
+    * whose local part contains a phone-shaped digit run is one `<EMAIL>`
+    * redaction, not an `<EMAIL>` plus a phantom `<PHONE>` (round-5 advice
+    * fix — the counts now agree with the redactions by construction).
     */
-  def piiCounts(c: Column): Column =
-    map(piiPatterns.flatMap { case (pat, tag) =>
-      Seq(lit(tag),
-        (size(split(c, pat, -1)) - 1).cast("long"))
-    }: _*)
+  def piiCounts(c: Column): Column = {
+    val (entries, _) = piiPatterns.foldLeft((Seq.empty[Column], c)) {
+      case ((acc, cur), (pat, tag, repl)) =>
+        val n = (size(split(cur, pat, -1)) - 1).cast("long")
+        (acc :+ lit(tag) :+ n, regexp_replace(cur, pat, repl))
+    }
+    map(entries: _*)
+  }
 }

@@ -63,6 +63,16 @@ object Llm {
     vectorDot(col(s"${a}_emb"), col(s"${b}_emb")) /
       nullif(col(s"${a}_norm") * col(s"${b}_norm"), lit(0.0))
 
+  /** Probe-side fan-out for the brute-force embedding ops. The harness
+    * parquet is a single split, so without a repartition the whole O(n²)
+    * probe runs in ONE task; spreading it is the same move that matters on
+    * a cluster. Derived from the session's shuffle parallelism — never a
+    * numeric literal, so a 1000-executor cluster keeps its configured
+    * width instead of being capped at the harness's 32.
+    */
+  private def probeFanout(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions").toInt
+
   private val shingleSql =
     """SELECT DISTINCT doc_id,
       |       unnest(list_transform(range(1, len(t) - 1),
@@ -794,7 +804,7 @@ object Llm {
       // The 2k-row parquet is a single split; without a repartition the
       // whole O(n^2) nested-loop probe runs in ONE task. Spreading the probe
       // side across the cluster is the same move that matters at 100 TB.
-      val a = embWithNorm(s, d, "a").repartition(32)
+      val a = embWithNorm(s, d, "a").repartition(probeFanout(s))
       val b = embWithNorm(s, d, "b")
       a.join(broadcast(b), col("a_id") < col("b_id"))
         .select(
@@ -824,7 +834,7 @@ object Llm {
       val q = emb(s, d).where(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val c = emb(s, d).select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-        .repartition(32)
+        .repartition(probeFanout(s))
       val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
       c.join(broadcast(q), col("n_id") =!= col("q_id"))
         .select(col("q_id"), col("n_id"),
@@ -847,7 +857,7 @@ object Llm {
       // The 2k-row parquet is a single split; without a repartition the
       // whole O(n^2) nested-loop probe runs in ONE task. Spreading the probe
       // side across the cluster is the same move that matters at 100 TB.
-      val a = embWithNorm(s, d, "a").repartition(32)
+      val a = embWithNorm(s, d, "a").repartition(probeFanout(s))
       val b = embWithNorm(s, d, "b")
       a.join(broadcast(b), col("a_id") < col("b_id"))
         .select(
@@ -910,7 +920,7 @@ object Llm {
          |SELECT node AS vec_id, min(r) AS group_id FROM reach
          |GROUP BY node ORDER BY vec_id""".stripMargin
     }) { (s, d) =>
-      val a = embWithNorm(s, d, "a").repartition(32)
+      val a = embWithNorm(s, d, "a").repartition(probeFanout(s))
       val b = embWithNorm(s, d, "b")
       val e0 = a.join(broadcast(b), col("a_id") < col("b_id"))
         .where(round(pairCos("a", "b"), 6) >= 0.35)

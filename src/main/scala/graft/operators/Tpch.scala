@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
   * o_shippriority (Q3); the testdata has no partsupp/returns tables, so
   * Q5/Q10 keep their standard join graphs over the tables that exist.
   * At 100 TB: lineitem/orders shuffle on the join key; nation/region are
-  * TRUE fixed-size dimensions (25/5 rows at every SF) and stay broadcast
-  * forever. customer/supplier scale LINEARLY with SF — the broadcast()
-  * hints on them here are right for the harness scales and for
-  * dimension-after-selective-filter shapes, but at warehouse scale an
-  * unfiltered customer/supplier broadcast would OOM the driver; there the
-  * hint must come off and AQE picks shuffle (Q7 below already pre-reduces
-  * via the nation filter instead of hinting the full dimensions).
+  * TRUE fixed-size dimensions (25/5 rows at every SF) and carry explicit
+  * broadcast() hints forever. customer/supplier scale LINEARLY with SF,
+  * so (round 5) they carry NO broadcast hint anywhere in this file: an
+  * explicit hint overrides AQE's size check and would driver-OOM at
+  * warehouse scale by construction. Instead each query pre-reduces the
+  * dimension through its selective filter/projection (the Q7 pattern) and
+  * leaves the join strategy to AQE, which broadcasts exactly when the
+  * runtime size clears spark.sql.autoBroadcastJoinThreshold and shuffles
+  * otherwise — the right call at every SF. PlanSpec pins that no
+  * customer/supplier relation is hint-broadcast in any tpch_* plan.
   */
 object Tpch {
 
@@ -60,7 +63,7 @@ object Tpch {
         .where(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
         .select("l_orderkey", "l_extendedprice", "l_discount")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
@@ -97,8 +100,8 @@ object Tpch {
       val r = t(s, d, "region").where(col("r_name") === "ASIA")
         .select("r_regionkey")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup),
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup,
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
@@ -200,7 +203,7 @@ object Tpch {
         .join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
           Seq("o_orderkey"), "left_semi")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"))
         .agg(money(col("l_quantity")).as("total_qty"))
@@ -236,7 +239,7 @@ object Tpch {
         .select("l_orderkey", "l_extendedprice", "l_discount")
       val n = t(s, d, "nation").select("n_nationkey", "n_name")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
         .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")))

@@ -86,6 +86,21 @@ class ApproxSpec extends AnyFunSuite {
       s"$exceed of ${probe.size} probes exceeded the e/w bound")
   }
 
+  test("cms empty sketch: merge over all-NULL group queries to 0, no crash") {
+    // round-5 advice fix: cms_merge over a group whose sketch column is
+    // all NULL keeps its zero-length init buffer; cms_query on that empty
+    // sketch must be 0 (no observations), not an ArithmeticException from
+    // a mod-by-zero width — mirroring Hll.estimate's empty-case guard.
+    import org.apache.spark.sql.graft.Cms
+    import org.apache.spark.sql.graft.CmsFunctions.{cmsMerge, cmsQuery}
+    assert(Cms.query(Array.emptyLongArray, 42L) == 0L)
+    import spark.implicits._
+    val allNull = Seq(null: Array[Byte], null: Array[Byte]).toDF("sk")
+    val est = allNull.agg(cmsMerge($"sk").as("m"))
+      .select(cmsQuery($"m", lit(7L))).head().getLong(0)
+    assert(est == 0L)
+  }
+
   test("approx_percentile brackets the exact percentile") {
     val ev = Tables(spark, "/root/testdata/sf0.01", "events")
     val exact = ev.agg(percentile(col("value"), lit(0.5))).head().getDouble(0)

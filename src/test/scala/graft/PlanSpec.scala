@@ -61,13 +61,48 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 user_id exchange, plan had $exchanges:\n$p")
   }
 
-  test("tpch_q5: every dimension broadcast, no cartesian, filters pushed") {
+  test("tpch_q5: bounded dims broadcast, no cartesian, filters pushed") {
     val p = plan("tpch_q5")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
-      s"customer/supplier/nation/region must all broadcast:\n$p")
+    // nation/region carry explicit hints (fixed 25/5 rows at every SF);
+    // customer/supplier are UNHINTED since round 5 — AQE may still
+    // size-broadcast them at harness SFs, which is fine (runtime-checked).
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"nation/region must broadcast:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     // region filter reaches the scan, not a post-join Filter
     assert(p.contains("EqualTo(r_name,ASIA)"))
+  }
+
+  test("tpch_*: no linear-SF dimension (customer/supplier) is hint-broadcast") {
+    // Round-4 verdict finding: an explicit broadcast() hint overrides AQE's
+    // size check, so a hinted customer/supplier driver-OOMs at warehouse
+    // scale BY CONSTRUCTION. Only the fixed-size nation/region dims may
+    // carry a BROADCAST hint; customer/supplier joins are left to AQE's
+    // runtime size decision. This audits the optimized logical plan, where
+    // EliminateResolvedHint has attached every surviving hint to its Join.
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join => LJoin}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    for (q <- Seq("tpch_q3", "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q18")) {
+      val opt = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      opt.foreach {
+        case j: LJoin =>
+          for (
+            (hint, side) <- Seq((j.hint.leftHint, j.left), (j.hint.rightHint, j.right))
+            if hint.exists(_.strategy.contains(BROADCAST))
+          ) {
+            val paths = side.collect {
+              case lr: LogicalRelation => lr.relation match {
+                case h: HadoopFsRelation => h.location.rootPaths.mkString(",")
+                case _ => ""
+              }
+            }.mkString(";")
+            assert(
+              !paths.contains("customer.parquet") && !paths.contains("supplier.parquet"),
+              s"$q hint-broadcasts a linear-SF dimension (scans: $paths)")
+          }
+        case _ =>
+      }
+    }
   }
 
   test("tpch_q3: segment + date filters pushed to the scans") {

@@ -79,4 +79,28 @@ class TextPiiSpec extends AnyFunSuite {
     assert(row("<PHONE>") == 1L)
     assert(row("<SSN>") == 0L)
   }
+
+  test("phone pattern is start-anchored: no partial redaction inside longer digit runs") {
+    // round-5 advice fix: with only a trailing \b, a 13-digit account id
+    // had its 10-digit SUFFIX redacted, leaving '991<PHONE>'.
+    val acct = "account 9914155550123 on file"
+    assert(scrub(acct) == acct, s"13-digit id must be untouched: ${scrub(acct)}")
+    // a real phone right after a non-digit boundary still redacts, and the
+    // boundary character survives the rewrite
+    assert(scrub("x:4155550123.") == "x:<PHONE>.")
+    assert(scrub("4155550123 leads the line") == "<PHONE> leads the line")
+  }
+
+  test("piiCounts does not double-count overlapping families") {
+    // the email's local part is phone-shaped (10 digits) and its domain is
+    // IP-shaped; counting each pattern on the already-scrubbed text means
+    // it is ONE <EMAIL>, zero <PHONE>/<IP> — exactly what scrubPii does.
+    val row = Seq("mail 4155550123@10.0.0.1.example.com sent")
+      .toDF("t").select(TextNorm.piiCounts($"t")).as[Map[String, Long]].head()
+    assert(row("<EMAIL>") == 1L)
+    assert(row("<PHONE>") == 0L)
+    assert(row("<IP>") == 0L)
+    val scrubbed = scrub("mail 4155550123@10.0.0.1.example.com sent")
+    assert(scrubbed == "mail <EMAIL> sent", scrubbed)
+  }
 }
