@@ -118,5 +118,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "cms_query expects (sketch, value)")
         org.apache.spark.sql.graft.CmsQuery(children(0), children(1))
       }))
+    // KLL quantile family (round 5): kll_sketch(x[, k]) → BINARY,
+    // kll_merge(sketch) → BINARY (associative), kll_quantile(sketch, q)
+    // → DOUBLE (NULL on an empty sketch). Completes the mergeable-state
+    // aggregate trio: distinct (HLL), frequency (CMS), rank (KLL).
+    ext.injectFunction((
+      FunctionIdentifier("kll_sketch"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.KllSketchAgg].getName,
+        "kll_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.length <= 2,
+          "kll_sketch expects (expr[, k])")
+        val k = children.lift(1).map {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"kll_sketch k must be an INT literal, got $other")
+        }.getOrElse(org.apache.spark.sql.graft.Kll.DefaultK)
+        // double-cast so every numeric input type sketches identically
+        // (same contract as the Scala surface KllFunctions.kllSketch)
+        org.apache.spark.sql.graft.KllSketchAgg(
+          Cast(children.head, org.apache.spark.sql.types.DoubleType), k)
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_merge"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.KllMergeAgg].getName,
+        "kll_merge"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "kll_merge expects 1 argument")
+        org.apache.spark.sql.graft.KllMergeAgg(children.head)
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.KllQuantile].getName,
+        "kll_quantile"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kll_quantile expects (sketch, q)")
+        org.apache.spark.sql.graft.KllQuantile(children(0),
+          Cast(children(1), org.apache.spark.sql.types.DoubleType))
+      }))
   }
 }

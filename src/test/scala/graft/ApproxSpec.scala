@@ -101,6 +101,54 @@ class ApproxSpec extends AnyFunSuite {
     assert(est == 0L)
   }
 
+  test("kll sketches persist per batch, merge within bound, quantiles track exact ranks") {
+    import org.apache.spark.sql.graft.KllFunctions.{kllMerge, kllQuantile, kllSketch}
+    val ev = Tables(spark, "/root/testdata/sf0.01", "events")
+    val values = ev.select("value").na.drop().collect().map(_.getDouble(0)).sorted
+    val n = values.length.toDouble
+    // rank of a returned quantile, as an interval to absorb ties
+    def rankErr(v: Double, q: Double): Double = {
+      val lo = values.count(_ < v) / n
+      val hi = values.count(_ <= v) / n
+      if (q < lo) lo - q else if (q > hi) q - hi else 0.0
+    }
+    // one-pass sketch: k=200 → rank error ~1%; assert 2.5%
+    val one = ev.agg(kllSketch(col("value")).as("sk"))
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = one.select(kllQuantile(col("sk"), lit(q))).head().getDouble(0)
+      assert(rankErr(est, q) < 0.025, s"one-pass q=$q est=$est err=${rankErr(est, q)}")
+    }
+    // two disjoint batches sketched separately, persisted to a lake dir,
+    // merged — the across-runs shape that lets monthly medians accumulate
+    // without rescanning history
+    val d = java.nio.file.Files.createTempDirectory("graft_kll").toString
+    for (par <- 0 to 1)
+      ev.where(col("event_id") % 2 === par)
+        .agg(kllSketch(col("value")).as("sk"))
+        .write.mode("overwrite").parquet(s"$d/batch$par")
+    val merged = spark.read.parquet(s"$d/batch0")
+      .unionByName(spark.read.parquet(s"$d/batch1"))
+      .agg(kllMerge(col("sk")).as("sk"))
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = merged.select(kllQuantile(col("sk"), lit(q))).head().getDouble(0)
+      assert(rankErr(est, q) < 0.025, s"merged q=$q est=$est err=${rankErr(est, q)}")
+    }
+  }
+
+  test("kll empty sketch: all-NULL input yields NULL quantile, no crash") {
+    import org.apache.spark.sql.graft.KllFunctions.{kllMerge, kllQuantile, kllSketch}
+    import spark.implicits._
+    val allNull = Seq[(Int, Option[Double])]((1, None), (1, None))
+      .toDF("g", "v")
+    val viaSketch = allNull.groupBy("g").agg(kllSketch($"v").as("sk"))
+      .select(kllQuantile($"sk", lit(0.5))).head()
+    assert(viaSketch.isNullAt(0))
+    val noSketches = Seq(null: Array[Byte]).toDF("sk")
+      .agg(kllMerge($"sk").as("m"))
+      .select(kllQuantile($"m", lit(0.5))).head()
+    assert(noSketches.isNullAt(0))
+  }
+
   test("approx_percentile brackets the exact percentile") {
     val ev = Tables(spark, "/root/testdata/sf0.01", "events")
     val exact = ev.agg(percentile(col("value"), lit(0.5))).head().getDouble(0)

@@ -77,6 +77,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(p8 - exact).toDouble / exact < 0.2) // rsd ~6.5% at p=8
   }
 
+  test("kll_sketch / kll_merge / kll_quantile are SQL-callable") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+    ev.createOrReplaceTempView("ev_kll_sql")
+    val values = ev.select("value").na.drop()
+      .collect().map(_.getDouble(0)).sorted
+    val n = values.length.toDouble
+    def rankErr(v: Double, q: Double): Double = {
+      val lo = values.count(_ < v) / n
+      val hi = values.count(_ <= v) / n
+      if (q < lo) lo - q else if (q > hi) q - hi else 0.0
+    }
+    val viaSql = spark.sql(
+      "SELECT kll_quantile(kll_sketch(value), 0.5) FROM ev_kll_sql")
+      .head().getDouble(0)
+    assert(rankErr(viaSql, 0.5) < 0.03, s"SQL median=$viaSql")
+    // per-group sketches merged via SQL track the global median too
+    val merged = spark.sql(
+      """SELECT kll_quantile(kll_merge(sk), 0.5) FROM (
+        |  SELECT event_type, kll_sketch(value) AS sk
+        |  FROM ev_kll_sql GROUP BY event_type)""".stripMargin)
+      .head().getDouble(0)
+    assert(rankErr(merged, 0.5) < 0.03, s"SQL merged median=$merged")
+    // explicit k argument composes, and the SQL surface == the Column API
+    // given the identical deterministic build order of a single partition
+    val k64 = spark.sql(
+      "SELECT kll_quantile(kll_sketch(value, 64), 0.9) FROM ev_kll_sql")
+      .head().getDouble(0)
+    assert(rankErr(k64, 0.9) < 0.08, s"k=64 p90=$k64")
+  }
+
   test("SQL surface composes with tables (top pair via SQL only)") {
     Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .createOrReplaceTempView("emb_sql")

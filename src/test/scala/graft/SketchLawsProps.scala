@@ -86,6 +86,63 @@ object SketchLawsProps extends Properties("graft.sketchlaws") {
       }
     }
 
+  import org.apache.spark.sql.graft.Kll
+
+  private val doubles: Gen[List[Double]] =
+    Gen.listOf(Gen.chooseNum(-1e6, 1e6)).map(_.take(2000))
+
+  private def kllOf(vs: Seq[Double], k: Int = 64): Kll.Sketch = {
+    val s = new Kll.Sketch(k)
+    vs.foreach(s.update)
+    s
+  }
+
+  /** Distance from q to the rank INTERVAL of the returned value — ties
+    * make a point rank ambiguous, so error is measured to the interval
+    * [count(<v)/n, count(<=v)/n].
+    */
+  private def rankError(vs: Seq[Double], s: Kll.Sketch, q: Double): Double = {
+    val sorted = vs.sorted
+    val n = sorted.size.toDouble
+    val v = s.quantile(q)
+    val lo = sorted.count(_ < v) / n
+    val hi = sorted.count(_ <= v) / n
+    if (q < lo) lo - q else if (q > hi) q - hi else 0.0
+  }
+
+  property("kll quantile rank error within the k=64 bound (compaction forced)") =
+    Prop.forAll(doubles) { vs =>
+      vs.isEmpty ||
+        Seq(0.1, 0.5, 0.9).forall(q => rankError(vs, kllOf(vs), q) <= 0.10)
+    }
+
+  property("kll merge == one-pass within the same rank bound; n is exact") =
+    Prop.forAll(doubles, doubles) { (a, b) =>
+      (a ++ b).isEmpty || {
+        val m = kllOf(a); m.mergeIn(kllOf(b))
+        m.n == (a.size + b.size).toLong &&
+          Seq(0.25, 0.5, 0.75).forall(q => rankError(a ++ b, m, q) <= 0.10)
+      }
+    }
+
+  property("kll serialization round-trips bit-exactly") =
+    Prop.forAll(doubles) { vs =>
+      val s = kllOf(vs)
+      Kll.deserialize(s.serialize()).serialize().sameElements(s.serialize())
+    }
+
+  property("kll small inputs are EXACT (no compaction below capacity)") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(-1000.0, 1000.0)).map(_.take(50))) { vs =>
+      vs.isEmpty || {
+        val s = kllOf(vs, k = 200)
+        val sorted = vs.sorted
+        Seq(0.1, 0.5, 0.9).forall { q =>
+          s.quantile(q) ==
+            sorted(math.max(0, math.ceil(q * vs.size).toInt - 1))
+        }
+      }
+    }
+
   private val word: Gen[String] =
     Gen.chooseNum(0, 8).flatMap(n =>
       Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))

@@ -75,6 +75,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("kll sketch aggregates under streaming state: per-type medians exact below capacity") {
+    // the KLL TypedImperativeAggregate must survive state-store
+    // serialize/merge across micro-batches. Group sizes here (~75 events
+    // per type) sit below the k=200 compaction budget, so the sketch
+    // retains every item and the streamed median must EQUAL the exact
+    // lower-median of each group — any state-store corruption or lossy
+    // merge would break the equality.
+    import org.apache.spark.sql.graft.KllFunctions.{kllQuantile, kllSketch}
+    def perType(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"event_type")
+        .agg(kllQuantile(kllSketch($"event_id"), org.apache.spark.sql
+          .functions.lit(0.5)).as("med"))
+    val streamed = runStream(perType)
+      .map(r => (r.getString(0), r.getDouble(1))).sorted
+    val exact = rows.groupBy(_.event_type).map { case (t, es) =>
+      val sorted = es.map(_.event_id.toDouble).sorted
+      (t, sorted(math.max(0, math.ceil(0.5 * sorted.size).toInt - 1)))
+    }.toSeq.sorted
+    assert(streamed.toSeq == exact)
+  }
+
   test("session windows (30 min gap): stream == batch == etl_sessionize") {
     val streamed = runStream(Streaming.sessionCounts)
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).sorted
