@@ -149,6 +149,24 @@ class ApproxSpec extends AnyFunSuite {
     assert(noSketches.isNullAt(0))
   }
 
+  test("llm_heavy_hitters: CMS candidate pruning is lossless vs the exact plan") {
+    // the declared key prunes the vocabulary through a cms sketch before
+    // exact verification; never-underestimate means no true heavy hitter
+    // can be pruned, so the result must EQUAL the sketch-free exact plan
+    val d = "/root/testdata/sf0.001"
+    val viaCms = SparkEntry.queries("llm_heavy_hitters")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val tok = Tables(spark, d, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+    val n = tok.count()
+    val exact = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 0.005 * n)
+      .orderBy(col("cnt").desc, col("token"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaCms == exact)
+    assert(exact.nonEmpty, "fixture must contain heavy hitters")
+  }
+
   test("approx_percentile brackets the exact percentile") {
     val ev = Tables(spark, "/root/testdata/sf0.01", "events")
     val exact = ev.agg(percentile(col("value"), lit(0.5))).head().getDouble(0)
