@@ -50,23 +50,28 @@ object Multimodal {
       }
   }
 
-  /** REAL byte decoder (round 4): container-format header parsing for PNG
-    * and JPEG — actual decoding of actual image bytes, no libraries
-    * needed (both formats are public specs: PNG IHDR is the first chunk
-    * after the 8-byte signature; JPEG dimensions live in the SOF0/1/2
-    * segment). Deliberately header-only: a 100 TB media crawl needs
-    * (width, height, depth, channels) for filtering/bucketing WITHOUT
-    * paying a full pixel decode per object — header parsing touches <1 KB
-    * per payload regardless of image size. Non-image mimes and malformed
+  /** REAL byte decoder (round 4 images, round 5 audio): container-format
+    * header parsing for PNG, JPEG, and WAV/RIFF — actual decoding of
+    * actual media bytes, no libraries needed (all three are public specs:
+    * PNG IHDR is the first chunk after the 8-byte signature; JPEG
+    * dimensions live in the SOF0/1/2 segment; WAV format metadata lives
+    * in the RIFF `fmt ` chunk). Deliberately header-only: a 100 TB media
+    * crawl needs (width, height, depth, channels) / (sample rate,
+    * channels, bits, duration) for filtering/bucketing WITHOUT paying a
+    * full pixel/sample decode per object — header parsing touches <1 KB
+    * per payload regardless of media size. Unknown mimes and malformed
     * payloads fall back to [[StubCodec]] features with the parsed-flag
     * feature slot at 0, so the batch contract (one feature row per input,
     * fixed arity) holds for mixed corpora.
     *
-    * Feature layout (arity 8, same as StubCodec): [width, height,
-    * bit-depth/precision, channels, aspect (w/h), log2(n_bytes+1),
-    * parsed-flag = 1, 0].
+    * Feature layout (arity 8, same as StubCodec; slot 7 = modality,
+    * 0 = image / 1 = audio):
+    *  - image: [width, height, bit-depth/precision, channels, aspect
+    *    (w/h), log2(n_bytes+1), parsed-flag = 1, 0]
+    *  - audio: [sample_rate, channels, bits_per_sample, duration_sec,
+    *    byte_rate, log2(n_bytes+1), parsed-flag = 1, 1]
     */
-  object ImageHeaderCodec extends MediaCodec {
+  object MediaHeaderCodec extends MediaCodec {
     private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
     private def u16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
     private def u32(b: Array[Byte], i: Int): Long =
@@ -115,26 +120,70 @@ object Multimodal {
       None
     }
 
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      le16(b, i).toLong | (le16(b, i + 2).toLong << 16)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b.slice(i, i + 4), "US-ASCII")
+
+    /** WAV/RIFF (round 5): "RIFF"<size>"WAVE", then word-aligned chunks
+      * of (id:4)(size:4 LE). The `fmt ` chunk carries audio_format(2)
+      * channels(2) sample_rate(4) byte_rate(4) block_align(2)
+      * bits_per_sample(2), all little-endian; the `data` chunk size over
+      * byte_rate gives the duration. Returns (sample_rate, channels,
+      * bits, byte_rate, data_bytes).
+      */
+    private def wav(b: Array[Byte]): Option[(Long, Int, Int, Long, Long)] = {
+      if (b.length < 36 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+      var i = 12
+      var fmt: Option[(Long, Int, Int, Long)] = None
+      var dataBytes = -1L
+      while (i + 8 <= b.length) {
+        val id = tag(b, i)
+        val size = le32(b, i + 4)
+        if (id == "fmt " && size >= 16 && i + 24 <= b.length)
+          fmt = Some((le32(b, i + 12), le16(b, i + 10), le16(b, i + 22),
+            le32(b, i + 16)))
+        if (id == "data") dataBytes = size
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        if (size < 0 || size > Int.MaxValue - 16) return fmt.map {
+          case (sr, ch, bits, br) => (sr, ch, bits, br, dataBytes)
+        }
+      }
+      fmt.map { case (sr, ch, bits, br) => (sr, ch, bits, br, dataBytes) }
+    }
+
     override def decodeBatch(
         payloads: Seq[Array[Byte]], mime: String): Seq[Array[Float]] =
       payloads.map { b =>
-        val parsed = mime match {
+        val image = mime match {
           case "image/png" => png(b)
           case "image/jpeg" | "image/jpg" => jpeg(b)
           case _ => None
         }
-        parsed match {
-          case Some((w, h, depth, channels)) => Array(
+        val audio = mime match {
+          case "audio/wav" | "audio/x-wav" | "audio/wave" => wav(b)
+          case _ => None
+        }
+        (image, audio) match {
+          case (Some((w, h, depth, channels)), _) => Array(
             w.toFloat, h.toFloat, depth.toFloat, channels.toFloat,
             if (h == 0) 0f else w.toFloat / h.toFloat,
             (math.log(b.length + 1.0) / math.log(2.0)).toFloat, 1f, 0f)
-          case None =>
+          case (_, Some((sr, ch, bits, byteRate, dataBytes))) => Array(
+            sr.toFloat, ch.toFloat, bits.toFloat,
+            if (byteRate > 0 && dataBytes >= 0) (dataBytes.toDouble / byteRate).toFloat
+            else 0f,
+            byteRate.toFloat,
+            (math.log(b.length + 1.0) / math.log(2.0)).toFloat, 1f, 1f)
+          case _ =>
             val f = StubCodec.decodeBatch(Seq(b), mime).head
             f(6) = 0f // parsed-flag slot: fell back to stub features
             f
         }
       }
   }
+
 
   /** THE media-struct construction — payload bytes, mime by doc parity,
     * (n_bytes, source) metadata — shared by [[attachMedia]] and the

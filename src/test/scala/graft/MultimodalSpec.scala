@@ -66,8 +66,8 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("ImageHeaderCodec decodes REAL planted PNG and JPEG bytes through the batch path") {
-    import graft.operators.Multimodal.{ImageHeaderCodec, Media}
+  test("MediaHeaderCodec decodes REAL planted PNG and JPEG bytes through the batch path") {
+    import graft.operators.Multimodal.{Media, MediaHeaderCodec}
     import spark.implicits._
     // real encoders from the JDK produce the planted bytes; the codec
     // must recover the true dimensions by parsing the actual containers
@@ -86,7 +86,7 @@ class MultimodalSpec extends AnyFunSuite {
       MediaRow(4L, Media("not an image".getBytes, "image/png", Map())),
       MediaRow(5L, Media(encodeImg(4, 4, "png"), "audio/wav", Map())))
     val got = Multimodal
-      .decodeFeatures(spark.createDataset(rows), ImageHeaderCodec)
+      .decodeFeatures(spark.createDataset(rows), MediaHeaderCodec)
       .collect().map(f => f.doc_id -> f.features).toMap
     // [w, h, depth, channels, aspect, log2 bytes, parsed, 0]
     assert(got(1L).take(4).sameElements(Array(7f, 5f, 8f, 3f)) && got(1L)(6) == 1f)
@@ -95,6 +95,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L).take(4).sameElements(Array(12f, 9f, 8f, 3f)) && got(3L)(6) == 1f)
     // malformed payload and non-image mime: stub fallback, parsed-flag 0
     assert(got(4L)(6) == 0f && got(5L)(6) == 0f)
+    assert(got.values.forall(_.length == 8), "batch contract: fixed arity")
+  }
+
+  test("MediaHeaderCodec decodes REAL planted WAV bytes: rate/channels/bits/duration") {
+    // round-5: the declared multimodal fixture emits audio/wav mimes that
+    // the round-4 codec could not touch. The planted bytes come from the
+    // JDK's own WAV writer (javax.sound.sampled), so the codec is parsing
+    // a genuine RIFF container, not a hand-rolled approximation.
+    import graft.operators.Multimodal.{Media, MediaHeaderCodec}
+    def encodeWav(sampleRate: Float, channels: Int, bits: Int,
+        nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate, bits, channels, true, false)
+      val frameBytes = channels * bits / 8
+      val pcm = Array.tabulate(nFrames * frameBytes)(i => (i * 37 % 251).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, Media(encodeWav(16000f, 1, 16, 16000), "audio/wav", Map())),
+      MediaRow(2L, Media(encodeWav(44100f, 2, 16, 4410), "audio/wav", Map())),
+      MediaRow(3L, Media(encodeWav(8000f, 1, 8, 800), "audio/x-wav", Map())),
+      MediaRow(4L, Media("not audio at all".getBytes, "audio/wav", Map())))
+    val got = Multimodal
+      .decodeFeatures(spark.createDataset(rows)(
+        org.apache.spark.sql.Encoders.product[MediaRow]), MediaHeaderCodec)
+      .collect().map(f => f.doc_id -> f.features).toMap
+    // [sample_rate, channels, bits, duration_sec, byte_rate, log2, parsed, 1]
+    assert(got(1L).take(3).sameElements(Array(16000f, 1f, 16f)))
+    assert(math.abs(got(1L)(3) - 1.0f) < 1e-3, s"1s clip: ${got(1L)(3)}")
+    assert(got(1L)(4) == 32000f && got(1L)(6) == 1f && got(1L)(7) == 1f)
+    assert(got(2L).take(3).sameElements(Array(44100f, 2f, 16f)))
+    assert(math.abs(got(2L)(3) - 0.1f) < 1e-3, s"0.1s clip: ${got(2L)(3)}")
+    assert(got(3L).take(3).sameElements(Array(8000f, 1f, 8f)))
+    // malformed payload: stub fallback, parsed-flag 0
+    assert(got(4L)(6) == 0f)
     assert(got.values.forall(_.length == 8), "batch contract: fixed arity")
   }
 
