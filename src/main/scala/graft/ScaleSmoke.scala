@@ -17,6 +17,8 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bucketed-layout stages saveAsTable into a scratch warehouse
+      .config("spark.sql.warehouse.dir", "/tmp/graft_scale_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -166,6 +168,50 @@ object ScaleSmoke {
       ev.join(broadcast(users), Seq("user_id"))
         .groupBy("cohort").agg(count(lit(1)), round(sum(col("value")), 2))
         .count()
+    }
+
+    // Bucketed fact⋈fact at scale (round 5): SCALING.md names bucketing
+    // as the 100 TB answer for REPEATED lineitem⋈orders-shaped joins and
+    // BucketingSpec proves shuffle-elimination at toy scale; this stage
+    // MEASURES it. The analog tables (30M lineitem × 7.5M orders) are
+    // written bucketed on the join key once, then the join runs with the
+    // join-side Exchanges asserted ABSENT from the plan — against the
+    // same join unbucketed. Broadcast is disabled in-section so both
+    // plans are genuine shuffle-vs-bucket sort-merge comparisons.
+    locally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders = spark.range(7500000L).select(
+        col("id").as("o_orderkey"),
+        pmod(xxhash64(col("id"), lit(4)), lit(30000)).as("o_custkey"))
+      val lineitem = spark.range(30000000L).select(
+        pmod(xxhash64(col("id"), lit(6)), lit(7500000)).as("l_orderkey"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(10000)) / 100.0).as("l_price"))
+      time("fact-fact join 30Mx7.5M shuffled") {
+        lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey").agg(round(sum(col("l_price")), 2)).count()
+      }
+      time("bucketed layout write (once)") {
+        orders.write.mode("overwrite")
+          .bucketBy(64, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("orders_bucketed")
+        lineitem.write.mode("overwrite")
+          .bucketBy(64, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("lineitem_bucketed")
+        spark.table("orders_bucketed").count() +
+          spark.table("lineitem_bucketed").count()
+      }
+      time("fact-fact join 30Mx7.5M bucketed") {
+        val j = spark.table("lineitem_bucketed")
+          .join(spark.table("orders_bucketed"),
+            col("l_orderkey") === col("o_orderkey"))
+        val plan = j.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed fact-fact join must plan zero Exchange:\n$plan")
+        j.groupBy("o_custkey").agg(round(sum(col("l_price")), 2)).count()
+      }
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
 
     // Minhash band dedup over 500k synthetic ~40-token docs (20M shingles,
