@@ -150,6 +150,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("kll_merge_pair"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.KllMergePair].getName,
+        "kll_merge_pair"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kll_merge_pair expects (sketch, sketch)")
+        org.apache.spark.sql.graft.KllMergePair(children(0), children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[org.apache.spark.sql.graft.KllQuantile].getName,
         "kll_quantile"),

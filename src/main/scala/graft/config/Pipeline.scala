@@ -3,6 +3,7 @@ package graft.config
 import graft.operators.Etl
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.KllFunctions
 
 /** One config-driven ETL RUN — the reference platform's scheduled-pipeline
   * analog (R6–R9: fetch the configured window, rebuild the aggregate
@@ -42,12 +43,20 @@ object Pipeline {
           max(col("ts")).as("session_end"),
           count(lit(1)).as("n_events"))
       val monthly = Etl.monthlyUsage(ev)
+      // lifetime state is pure mergeable aggregates: min/max/count are
+      // monoids, and (round 5) the per-user VALUE MEDIAN rides a KLL
+      // sketch — the published `value_kll` column is the state future
+      // incremental runs merge, `p50_value` its decoded indicator. Before
+      // KLL, any lifetime median needed a full event-history rescan.
       val lifetime = ev
         .groupBy(col("user_id"))
         .agg(
           min(col("ts")).as("first_ts"),
           max(col("ts")).as("last_ts"),
-          count(lit(1)).as("n_events"))
+          count(lit(1)).as("n_events"),
+          KllFunctions.kllSketch(col("value")).as("value_kll"))
+        .withColumn("p50_value",
+          KllFunctions.kllQuantile(col("value_kll"), lit(0.5)))
 
       Seq(
         write(sessions.withColumn("month", date_trunc("month", col("session_start"))),
@@ -202,11 +211,16 @@ object Pipeline {
   }
 
   /** Incremental maintenance of the published `user_lifetime` table: pure
-    * mergeable-state combine (min/max/count are commutative monoids), so
-    * the batch aggregate full-outer-merges with the published state — no
-    * event history rescan, exactly the HLL-style partial-aggregate
-    * posture. The table is one row per user (unpartitioned); the merged
-    * frame is localCheckpoint-ed, then the table is overwritten.
+    * mergeable-state combine — min/max/count are commutative monoids, and
+    * (round 5) the median indicator merges too: the batch's per-user KLL
+    * sketch row-wise-merges into the published `value_kll` state
+    * ([[org.apache.spark.sql.graft.KllMergePair]] inside the same
+    * full-outer join — zero extra shuffle) and `p50_value` is re-decoded
+    * from the merged sketch. No event history rescan for ANY lifetime
+    * indicator, including the one that used to require exact recompute —
+    * exactly the HLL-style partial-aggregate posture. The table is one
+    * row per user (unpartitioned); the merged frame is
+    * localCheckpoint-ed, then the table is overwritten.
     */
   def runIncrementalLifetime(
       spark: SparkSession, cfg: RunConfig, outDir: String,
@@ -217,7 +231,8 @@ object Pipeline {
       .where(col("ts") >= lit(batchStart).cast("timestamp"))
       .groupBy(col("user_id"))
       .agg(min(col("ts")).as("b_first"), max(col("ts")).as("b_last"),
-        count(lit(1)).as("b_n"))
+        count(lit(1)).as("b_n"),
+        KllFunctions.kllSketch(col("value")).as("b_kll"))
     val merged = prior
       .join(batch, Seq("user_id"), "full_outer")
       .select(
@@ -225,7 +240,11 @@ object Pipeline {
         least(col("first_ts"), col("b_first")).as("first_ts"), // least/greatest skip nulls
         greatest(col("last_ts"), col("b_last")).as("last_ts"),
         (coalesce(col("n_events"), lit(0L)) + coalesce(col("b_n"), lit(0L)))
-          .as("n_events"))
+          .as("n_events"),
+        KllFunctions.kllMergePair(col("value_kll"), col("b_kll"))
+          .as("value_kll"))
+      .withColumn("p50_value",
+        KllFunctions.kllQuantile(col("value_kll"), lit(0.5)))
       .localCheckpoint() // materialize BEFORE overwriting the source files
     merged.write.mode(SaveMode.Overwrite).parquet(path)
     TableResult("user_lifetime", spark.read.parquet(path).count(), path)

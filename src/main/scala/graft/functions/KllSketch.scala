@@ -254,6 +254,35 @@ case class KllMergeAgg(
   override def prettyName: String = "kll_merge"
 }
 
+/** `kll_merge_pair(a, b)` — ROW-WISE merge of two sketch columns, the
+  * state-combine a full-outer incremental merge needs (join published
+  * state with the batch aggregate, merge the two sketches in place —
+  * zero extra shuffle, unlike stacking rows for the kll_merge aggregate).
+  * NULL/empty on either side yields the other side unchanged.
+  * CodegenFallback: runs once per merged state row.
+  */
+case class KllMergePair(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    val lEmpty = l == null || l.asInstanceOf[Array[Byte]].isEmpty
+    val rEmpty = r == null || r.asInstanceOf[Array[Byte]].isEmpty
+    if (lEmpty) r
+    else if (rEmpty) l
+    else {
+      val a = Kll.deserialize(l.asInstanceOf[Array[Byte]])
+      a.mergeIn(Kll.deserialize(r.asInstanceOf[Array[Byte]]))
+      a.serialize()
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "kll_merge_pair"
+}
+
 /** `kll_quantile(sketch, q)` — decode the q-quantile (q in [0,1]) of a
   * binary KLL sketch; NULL on an empty sketch. CodegenFallback: runs on
   * aggregate outputs, not in a per-row hot path.
@@ -285,6 +314,11 @@ object KllFunctions {
   def kllMerge(c: Column): Column =
     ExpressionUtils.column(
       KllMergeAgg(ExpressionUtils.expression(c)).toAggregateExpression())
+
+  /** Row-wise merge of two sketch columns (NULL side → other side). */
+  def kllMergePair(a: Column, b: Column): Column =
+    ExpressionUtils.column(KllMergePair(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Decode the q-quantile of a sketch column (NULL if empty). */
   def kllQuantile(sketch: Column, q: Column): Column =

@@ -72,7 +72,13 @@ class PipelineSpec extends AnyFunSuite {
 
     def tableRows(out: String, table: String) =
       Pipeline.readTable(spark, out, table)
-        .drop("month") // partition col is derived; compare logical rows
+        // month is derived; value_kll BYTES legitimately differ between a
+        // one-pass build and an incremental merge (item order inside the
+        // level-0 buffer) — the DECODED p50_value stays in the compared
+        // rows, and at this spec's per-user cardinality (< the k=200
+        // compaction budget) the sketch is exact, so the incremental
+        // median must EQUAL the full-rebuild median, not just approximate
+        .drop("month", "value_kll")
         .collect().map(_.toSeq).toSet
     def monthlyRows(out: String) = tableRows(out, "monthly_usage")
 
@@ -121,12 +127,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(janState("sessions") == janSessionsBefore,
       "no January session changed, so its partition files must be untouched")
 
-    // lifetime: monoid merge (min/max/count combine) == full rebuild
+    // lifetime: monoid merge (min/max/count combine + KLL sketch merge
+    // for the p50_value indicator) == full rebuild — including the
+    // median, which before round 5 required an event-history rescan
     val resL = Pipeline.runIncrementalLifetime(
       spark, RunConfig(d, Seq("events"), startDate = Some("2024-03-01")),
       outInc, "2024-03-01")
     assert(resL.rows > 0)
     assert(tableRows(outInc, "user_lifetime") == tableRows(outFull, "user_lifetime"))
+    // belt-and-braces: the merged-sketch median column is populated and
+    // matches the exact per-user lower-median recomputed from raw events
+    val medInc = Pipeline.readTable(spark, outInc, "user_lifetime")
+      .select("user_id", "p50_value").as[(Long, Double)].collect().toMap
+    val exactMed = spark.read.parquet(s"$d/events.parquet")
+      .groupBy(col("user_id"))
+      .agg(collect_list(col("value")).as("vs"))
+      .as[(Long, Seq[Double])].collect().toMap
+      .map { case (u, vs) =>
+        val sorted = vs.sorted
+        u -> sorted(math.max(0, math.ceil(0.5 * sorted.size).toInt - 1))
+      }
+    assert(medInc == exactMed, "incrementally merged sketch median must be exact here")
   }
 
   test("pipeline without the events table fails loudly") {
