@@ -116,7 +116,15 @@ object Windows {
         .orderBy("event_id")
     },
 
-    // Quartile bucketing of users by activity (R11).
+    // Quartile bucketing of users by activity (R11). The global
+    // Window.orderBy is a deliberate single-task sort: exact global ntile
+    // is order-global by definition, and the input here is the PER-USER
+    // aggregate (rows = users, not events), so the sorted partition is
+    // the small side of the pipeline. At a cardinality where even that
+    // overflows one task, the scale escape is percent_rank over a
+    // range-partitioned global sort (orderBy + floor(pr·4)) — same
+    // buckets up to boundary ties, fully parallel — or approx quantile
+    // cutpoints joined map-side.
     Q("win_ntile",
       """WITH ua AS (
         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events

@@ -170,6 +170,30 @@ class PlanSpec extends AnyFunSuite {
       s"banded signature should be read from the persisted plan on both join sides:\n$p")
   }
 
+  test("llm_sim_join_threshold_lsh: moderate-τ path is banded equi-join, never all-pairs") {
+    // the round-5 sub-quadratic twin of the brute-force τ=0.35 join must
+    // keep the same plan hygiene as the high-τ scheme: candidates only
+    // from the (band, band_key) equi-join over the persisted signature
+    val p = plan("llm_sim_join_threshold_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"union-of-bands prefilter must never plan an all-pairs join:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"banded signature should be read from the persisted plan on both join sides:\n$p")
+  }
+
+  test("llm_heavy_hitters: sketch and candidate sides broadcast, stream never shuffled by token") {
+    // pass 1 reduces the corpus to ONE sketch row (broadcast); the pruned
+    // candidate set is bounded by ~1/φ so it broadcasts into a left-semi
+    // probe of the stream — the only token-keyed exchange is the final
+    // exact count over candidates-only rows
+    val p = plan("llm_heavy_hitters")
+    assert(p.contains("BroadcastExchange"),
+      s"sketch row + candidate set must broadcast:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"the exact pass must semi-join the candidate set:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("llm_neardup_prune / llm_dedup_groups: iterative lineage is cut per round") {
     // After localCheckpoint the final plan must read the materialized
     // labels (ExistingRDD), not re-derive the propagation rounds from the
