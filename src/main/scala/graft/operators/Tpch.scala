@@ -73,6 +73,15 @@ object Tpch {
 
     // Q5 — local-supplier volume: revenue by nation inside one region,
     // where the supplier is in the customer's nation.
+    //
+    // Plan (round 5): the r_name filter only constrains supplier through
+    // nation⋈region, and Catalyst won't reorder the join chain to exploit
+    // that without CBO stats — so the q7 pre-reduce pattern is applied by
+    // hand: supplier pre-joins the 5-row ASIA nation set map-side, which
+    // drops ~4/5 of the supplier rows BEFORE the fact-side join and
+    // removes the post-hoc nation/region joins entirely. customer cannot
+    // be pre-reduced (its nation is only constrained through the
+    // s_nationkey equality at join time) and carries no hint — AQE picks.
     Q(
       "tpch_q5",
       s"""SELECT n_name,
@@ -95,17 +104,19 @@ object Tpch {
         .select("o_orderkey", "o_custkey")
       val l = t(s, d, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-      val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
       val n = t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
       val r = t(s, d, "region").where(col("r_name") === "ASIA")
         .select("r_regionkey")
+      // ASIA nations (5 rows at every SF) pre-reduce supplier map-side
+      val nAsia = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(nAsia), col("s_nationkey") === col("n_nationkey"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(sup,
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))

@@ -75,6 +75,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("cms sketch aggregates under streaming state: stream == batch, bit-exact") {
+    // counters are linear (element-wise add), so like HLL the streamed
+    // sketch built incrementally across micro-batches must equal the
+    // batch one-pass sketch EXACTLY — any state-store corruption or
+    // double-count would change a counter
+    import org.apache.spark.sql.graft.CmsFunctions.{cmsQuery, cmsSketch}
+    def perType(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"event_type")
+        .agg(cmsQuery(cmsSketch($"user_id"), org.apache.spark.sql.functions
+          .lit(0L)).as("f0"))
+    val streamed = runStream(perType)
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    val batch = perType(rows.toDF())
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(streamed.toSeq == batch.toSeq)
+    // the probe tracks the exact per-type count of user 0 (CMS width 2048
+    // ≫ 4 distinct users here, so no collisions: estimate == exact)
+    val exact = rows.groupBy(_.event_type).map { case (t, es) =>
+      (t, es.count(_.user_id == 0L).toLong)
+    }.toSeq.sorted
+    assert(streamed.toSeq == exact)
+  }
+
   test("kll sketch aggregates under streaming state: per-type medians exact below capacity") {
     // the KLL TypedImperativeAggregate must survive state-store
     // serialize/merge across micro-batches. Group sizes here (~75 events
