@@ -50,26 +50,30 @@ object Multimodal {
       }
   }
 
-  /** REAL byte decoder (round 4 images, round 5 audio): container-format
-    * header parsing for PNG, JPEG, and WAV/RIFF — actual decoding of
-    * actual media bytes, no libraries needed (all three are public specs:
-    * PNG IHDR is the first chunk after the 8-byte signature; JPEG
-    * dimensions live in the SOF0/1/2 segment; WAV format metadata lives
-    * in the RIFF `fmt ` chunk). Deliberately header-only: a 100 TB media
-    * crawl needs (width, height, depth, channels) / (sample rate,
-    * channels, bits, duration) for filtering/bucketing WITHOUT paying a
-    * full pixel/sample decode per object — header parsing touches <1 KB
-    * per payload regardless of media size. Unknown mimes and malformed
-    * payloads fall back to [[StubCodec]] features with the parsed-flag
-    * feature slot at 0, so the batch contract (one feature row per input,
-    * fixed arity) holds for mixed corpora.
+  /** REAL byte decoder (round 4 images, round 5 audio + video):
+    * container-format header parsing for PNG, JPEG, WAV/RIFF, and
+    * MP4/ISO-BMFF — actual decoding of actual media bytes, no libraries
+    * needed (all four are public specs: PNG IHDR is the first chunk
+    * after the 8-byte signature; JPEG dimensions live in the SOF0/1/2
+    * segment; WAV format metadata lives in the RIFF `fmt ` chunk; MP4
+    * timing lives in `moov`→`mvhd`). Deliberately header-only: a 100 TB
+    * media crawl needs (width, height, depth, channels) / (sample rate,
+    * channels, bits, duration) / (timescale, duration, tracks) for
+    * filtering/bucketing WITHOUT paying a full pixel/sample decode per
+    * object — header parsing touches <1 KB per payload regardless of
+    * media size. Unknown mimes and malformed payloads fall back to
+    * [[StubCodec]] features with the parsed-flag feature slot at 0, so
+    * the batch contract (one feature row per input, fixed arity) holds
+    * for mixed corpora.
     *
     * Feature layout (arity 8, same as StubCodec; slot 7 = modality,
-    * 0 = image / 1 = audio):
+    * 0 = image / 1 = audio / 2 = video):
     *  - image: [width, height, bit-depth/precision, channels, aspect
     *    (w/h), log2(n_bytes+1), parsed-flag = 1, 0]
     *  - audio: [sample_rate, channels, bits_per_sample, duration_sec,
     *    byte_rate, log2(n_bytes+1), parsed-flag = 1, 1]
+    *  - video: [timescale, duration_sec, n_tracks, 0, 0,
+    *    log2(n_bytes+1), parsed-flag = 1, 2]
     */
   object MediaHeaderCodec extends MediaCodec {
     private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
@@ -153,6 +157,55 @@ object Multimodal {
       fmt.map { case (sr, ch, bits, br) => (sr, ch, bits, br, dataBytes) }
     }
 
+    /** MP4 / ISO-BMFF (round 5): a box tree of [size:4 BE][type:4]
+      * (size 1 → 64-bit largesize follows; size 0 → to EOF). The movie
+      * header `moov`→`mvhd` carries timescale + duration (v0: u32 at
+      * +12/+16 after the version byte block; v1: u64 duration), and the
+      * number of `trak` children is the track count. Header-only like
+      * the image/audio paths — no sample decode. Returns
+      * (timescale, duration_ticks, n_tracks).
+      */
+    private def mp4(b: Array[Byte]): Option[(Long, Long, Int)] = {
+      def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+        new Iterator[(String, Int, Int)] {
+          private var i = lo
+          def hasNext: Boolean = i + 8 <= hi
+          def next(): (String, Int, Int) = {
+            val size0 = u32(b, i)
+            val t = tag(b, i + 4)
+            val (hdr, size) =
+              if (size0 == 1L && i + 16 <= hi) {
+                val large = (u32(b, i + 8) << 32) | u32(b, i + 12)
+                (16, large)
+              } else if (size0 == 0L) (8, (hi - i).toLong)
+              else (8, size0)
+            val payloadStart = i + hdr
+            val end = math.min(hi.toLong, i + math.max(size, hdr.toLong)).toInt
+            i = end
+            (t, payloadStart, end)
+          }
+        }
+      if (b.length < 16) return None
+      // a conformant file leads with ftyp (or styp for segments)
+      val top = boxes(0, b.length).toSeq
+      if (!top.headOption.exists(t => t._1 == "ftyp" || t._1 == "styp")) return None
+      top.find(_._1 == "moov").flatMap { case (_, ms, me) =>
+        val inner = boxes(ms, me).toSeq
+        val nTracks = inner.count(_._1 == "trak")
+        inner.find(_._1 == "mvhd").flatMap { case (_, hs, he) =>
+          if (hs + 4 > he) None
+          else u8(b, hs) match { // mvhd version
+            case 0 if hs + 20 <= he =>
+              Some((u32(b, hs + 12), u32(b, hs + 16), nTracks))
+            case 1 if hs + 32 <= he =>
+              Some((u32(b, hs + 20),
+                (u32(b, hs + 24) << 32) | u32(b, hs + 28), nTracks))
+            case _ => None
+          }
+        }
+      }
+    }
+
     override def decodeBatch(
         payloads: Seq[Array[Byte]], mime: String): Seq[Array[Float]] =
       payloads.map { b =>
@@ -165,17 +218,26 @@ object Multimodal {
           case "audio/wav" | "audio/x-wav" | "audio/wave" => wav(b)
           case _ => None
         }
-        (image, audio) match {
-          case (Some((w, h, depth, channels)), _) => Array(
+        val video = mime match {
+          case "video/mp4" | "video/quicktime" => mp4(b)
+          case _ => None
+        }
+        (image, audio, video) match {
+          case (Some((w, h, depth, channels)), _, _) => Array(
             w.toFloat, h.toFloat, depth.toFloat, channels.toFloat,
             if (h == 0) 0f else w.toFloat / h.toFloat,
             (math.log(b.length + 1.0) / math.log(2.0)).toFloat, 1f, 0f)
-          case (_, Some((sr, ch, bits, byteRate, dataBytes))) => Array(
+          case (_, Some((sr, ch, bits, byteRate, dataBytes)), _) => Array(
             sr.toFloat, ch.toFloat, bits.toFloat,
             if (byteRate > 0 && dataBytes >= 0) (dataBytes.toDouble / byteRate).toFloat
             else 0f,
             byteRate.toFloat,
             (math.log(b.length + 1.0) / math.log(2.0)).toFloat, 1f, 1f)
+          case (_, _, Some((timescale, durTicks, nTracks))) => Array(
+            timescale.toFloat,
+            if (timescale > 0) (durTicks.toDouble / timescale).toFloat else 0f,
+            nTracks.toFloat, 0f, 0f,
+            (math.log(b.length + 1.0) / math.log(2.0)).toFloat, 1f, 2f)
           case _ =>
             val f = StubCodec.decodeBatch(Seq(b), mime).head
             f(6) = 0f // parsed-flag slot: fell back to stub features

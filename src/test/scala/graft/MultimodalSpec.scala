@@ -138,6 +138,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.values.forall(_.length == 8), "batch contract: fixed arity")
   }
 
+  test("MediaHeaderCodec decodes MP4/ISO-BMFF headers: timescale/duration/tracks") {
+    // no MP4 writer ships with the JDK, so the fixture is assembled
+    // box-by-box to the ISO-BMFF spec (the same bytes ffmpeg would lead
+    // with): ftyp, then moov containing a v0 or v1 mvhd and trak children
+    import graft.operators.Multimodal.{Media, MediaHeaderCodec}
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(payload.length + 8)
+      bb.putInt(payload.length + 8).put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    def mvhdV0(timescale: Int, duration: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(100) // spec size of mvhd v0 payload
+      bb.putInt(0) // version 0 + flags
+        .putInt(0).putInt(0) // ctime, mtime
+        .putInt(timescale).putInt(duration)
+      box("mvhd", bb.array())
+    }
+    def mvhdV1(timescale: Int, duration: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(112)
+      bb.put(1.toByte).put(new Array[Byte](3)) // version 1 + flags
+        .putLong(0L).putLong(0L) // ctime, mtime (64-bit in v1)
+        .putInt(timescale).putLong(duration)
+      box("mvhd", bb.array())
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 1) ++
+        "isomavc1".getBytes("US-ASCII"))
+    val trak = box("trak", box("tkhd", new Array[Byte](84)))
+    def mp4(mvhd: Array[Byte], nTrak: Int): Array[Byte] =
+      ftyp ++ box("moov", mvhd ++ Array.fill(nTrak)(trak).flatten) ++
+        box("mdat", Array.fill(64)(7.toByte))
+    val rows = Seq(
+      MediaRow(1L, Media(mp4(mvhdV0(600, 3000), 2), "video/mp4", Map())),
+      MediaRow(2L, Media(mp4(mvhdV1(90000, 2700000L), 1), "video/mp4", Map())),
+      MediaRow(3L, Media("definitely not an mp4".getBytes, "video/mp4", Map())))
+    val got = Multimodal
+      .decodeFeatures(spark.createDataset(rows)(
+        org.apache.spark.sql.Encoders.product[MediaRow]), MediaHeaderCodec)
+      .collect().map(f => f.doc_id -> f.features).toMap
+    // [timescale, duration_sec, n_tracks, 0, 0, log2, parsed, 2]
+    assert(got(1L).take(3).sameElements(Array(600f, 5f, 2f)), got(1L).mkString(","))
+    assert(got(1L)(6) == 1f && got(1L)(7) == 2f)
+    assert(got(2L).take(3).sameElements(Array(90000f, 30f, 1f)), got(2L).mkString(","))
+    assert(got(3L)(6) == 0f, "malformed payload must fall back to stub")
+  }
+
   test("sampleFrames emits every k-th 32-byte frame") {
     val r: MediaRow = media.filter(_.doc_id == 0L).head()
     val expectFrames = r.media.payload.grouped(32).zipWithIndex
