@@ -1494,7 +1494,9 @@ object Llm {
         .map(i => s"(${PortableHash.sqlSeeded(i, "text")} % 256)")
         .mkString(",\n                         ")
       s"""SELECT doc_id,
-         |       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+         |       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         |            ELSE 'video/mp4' END AS mime,
          |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          |       array_to_string([$feats], ',') AS fake_features
          |FROM documents ORDER BY doc_id""".stripMargin

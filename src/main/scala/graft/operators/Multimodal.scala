@@ -258,7 +258,10 @@ object Multimodal {
     val payload = encode(text, "utf-8")
     struct(
       payload.as("payload"),
-      when(docId % 2 === 0, "image/png").otherwise("audio/wav").as("mime"),
+      // all three modalities ride the fixture (round 5 adds video)
+      when(docId % 3 === 0, "image/png")
+        .when(docId % 3 === 1, "audio/wav")
+        .otherwise("video/mp4").as("mime"),
       map(
         lit("n_bytes"), octet_length(payload).cast("string"),
         lit("source"), source).as("meta"))

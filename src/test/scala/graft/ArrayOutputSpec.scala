@@ -118,7 +118,7 @@ class ArrayOutputSpec extends AnyFunSuite {
   test("multimodal media struct carries payload/mime/meta through ops") {
     val row = operators.Multimodal.attachMedia(Tables(spark, sf, "documents"))
       .filter(_.doc_id == 0L).head()
-    assert(row.media.mime == "image/png") // doc 0 is even
+    assert(row.media.mime == "image/png") // doc 0: doc_id % 3 == 0
     assert(row.media.meta("n_bytes").toLong == row.media.payload.length.toLong)
     assert(row.media.meta.contains("source"))
   }
