@@ -247,7 +247,7 @@ object Multimodal {
   }
 
 
-  /** THE media-struct construction — payload bytes, mime by doc parity,
+  /** THE media-struct construction — payload bytes, mime by doc_id mod 3,
     * (n_bytes, source) metadata — shared by [[attachMedia]] and the
     * declared `llm_multimodal_col` query so the spec-pinned plumbing and
     * the declared query can never carry diverging shapes.

@@ -106,6 +106,14 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT kll_quantile(kll_sketch(value, 64), 0.9) FROM ev_kll_sql")
       .head().getDouble(0)
     assert(rankErr(k64, 0.9) < 0.08, s"k=64 p90=$k64")
+    // row-wise pair merge from SQL: two half-sketches merged scalar-side
+    // must track the global median like the aggregate merge does
+    val paired = spark.sql(
+      """SELECT kll_quantile(kll_merge_pair(a.sk, b.sk), 0.5) FROM
+        |  (SELECT kll_sketch(value) AS sk FROM ev_kll_sql WHERE event_id % 2 = 0) a,
+        |  (SELECT kll_sketch(value) AS sk FROM ev_kll_sql WHERE event_id % 2 = 1) b""".stripMargin)
+      .head().getDouble(0)
+    assert(rankErr(paired, 0.5) < 0.03, s"pair-merged median=$paired")
   }
 
   test("SQL surface composes with tables (top pair via SQL only)") {
