@@ -143,6 +143,35 @@ object SketchLawsProps extends Properties("graft.sketchlaws") {
       }
     }
 
+  import graft.operators.Multimodal.MediaHeaderCodec
+
+  private val mimes = Seq("image/png", "image/jpeg", "audio/wav",
+    "video/mp4", "application/octet-stream")
+
+  private val junkBytes: Gen[Array[Byte]] = Gen.oneOf(
+    Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+    // adversarial: real magic numbers followed by garbage lengths/truncation
+    Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(tail =>
+      Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++ tail),
+    Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(tail =>
+      Array[Byte](0xff.toByte, 0xd8.toByte) ++ tail),
+    Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(tail =>
+      "RIFF".getBytes ++ Array[Byte](-1, -1, -1, 127) ++ "WAVE".getBytes ++ tail),
+    Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(tail =>
+      Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes ++ tail))
+
+  property("media header parsers never throw and keep fixed arity on ANY bytes") =
+    // a crawl-scale codec meets truncated, corrupt, and adversarial
+    // containers constantly — every (bytes, mime) combination must decode
+    // to exactly 8 floats (parsed or stub-fallback), deterministically
+    Prop.forAll(junkBytes) { b =>
+      mimes.forall { m =>
+        val f1 = MediaHeaderCodec.decodeBatch(Seq(b), m).head
+        val f2 = MediaHeaderCodec.decodeBatch(Seq(b), m).head
+        f1.length == 8 && f1.sameElements(f2)
+      }
+    }
+
   private val word: Gen[String] =
     Gen.chooseNum(0, 8).flatMap(n =>
       Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
