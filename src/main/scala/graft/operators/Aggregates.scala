@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.D aggregation (SURVEY.md). All hash aggregates with partial/final
@@ -202,6 +203,44 @@ object Aggregates {
           .select(
             col("window.start").as("hour_start"), col("event_type"), col("n"))
           .orderBy("hour_start", "event_type")
+    },
+
+    // R11: fixed-width histogram + CDF — the distribution report the
+    // reference's R analysis layer draws (bucket counts + cumulative
+    // share). Two-level plan: the data-sized pass is a plain hash
+    // aggregate (map-side partial combine, one shuffle on bucket); the
+    // windowed CDF then runs over the BUCKET frame, whose size is bounded
+    // by the value range / width — independent of row count — so the
+    // single-task global-order window is safe at any data scale.
+    Q(
+      "agg_histogram",
+      """SELECT bucket, bucket_lo, n,
+        |       CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n,
+        |       round(CAST(sum(n) OVER (ORDER BY bucket) AS DOUBLE)
+        |             / sum(n) OVER (), 6) AS cdf
+        |FROM (
+        |  SELECT CAST(floor(value / 100) AS BIGINT) AS bucket,
+        |         CAST(CAST(floor(value / 100) AS BIGINT) * 100 AS DOUBLE)
+        |           AS bucket_lo,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |) ORDER BY bucket""".stripMargin) { (s, d) =>
+      val byBucket = Window.orderBy("bucket")
+      val buckets = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .groupBy(floor(col("value") / 100).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("bucket_lo", col("bucket") * 100.0)
+      buckets
+        .withColumn("cum_n", sum(col("n")).over(byBucket))
+        .withColumn(
+          "cdf",
+          round(
+            col("cum_n").cast("double") /
+              sum(col("n")).over(Window.partitionBy()),
+            6))
+        .select("bucket", "bucket_lo", "n", "cum_n", "cdf")
+        .orderBy("bucket")
     }
   )
 }

@@ -449,6 +449,47 @@ object Etl {
         .where(col("rn") === 1)
         .select("user_id", "ts", "event_type", "value")
         .orderBy("user_id")
+    },
+
+    // R2/R9: SCD Type-2 history build — turn the event stream into a
+    // validity-interval dimension: per user, keep only the rows where the
+    // tracked attribute (event_type) CHANGED, then close each version with
+    // the next change's timestamp (valid_to = lead(ts); open-ended row is
+    // current). This is the standard warehouse history table the reference
+    // maintains by migration + upsert; here it is one declarative plan.
+    // Scale: both windows share the (user_id | ts, event_id) spec and the
+    // filter between them preserves sort order, so Catalyst plans ONE
+    // exchange + ONE sort for the whole build — the same single-shuffle
+    // posture as sessionize.
+    Q(
+      "etl_scd2",
+      """SELECT user_id, version_id, state, valid_from, valid_to, is_current
+        |FROM (
+        |  SELECT user_id, event_id AS version_id, event_type AS state,
+        |         ts AS valid_from,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS valid_to,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           IS NULL AS is_current
+        |  FROM (
+        |    SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS prev_state
+        |    FROM events
+        |  ) WHERE prev_state IS DISTINCT FROM event_type
+        |) ORDER BY user_id, valid_from, version_id""".stripMargin) { (s, d) =>
+      val changed = events(s, d)
+        .withColumn("prev_state", lag(col("event_type"), 1).over(byUserTime))
+        .where(!(col("prev_state") <=> col("event_type")))
+      changed
+        .withColumn("valid_to", lead(col("ts"), 1).over(byUserTime))
+        .select(
+          col("user_id"),
+          col("event_id").as("version_id"),
+          col("event_type").as("state"),
+          col("ts").as("valid_from"),
+          col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "version_id")
     }
   )
 }

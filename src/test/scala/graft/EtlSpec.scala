@@ -50,4 +50,25 @@ class EtlSpec extends AnyFunSuite {
     val b = Seq(1, 2).toDF("x")
     assert(a.exceptAll(b).as[Int].collect().sorted.toSeq == Seq(1, 1))
   }
+
+  test("etl_scd2: versions chain gaplessly, states alternate, one current row per user") {
+    val scd = SparkEntry.queries("etl_scd2")(spark, "/root/testdata/sf0.001")
+      .cache()
+    try {
+      // exactly one open-ended (current) version per user
+      val users = scd.select("user_id").distinct().count()
+      assert(scd.where($"is_current").count() == users)
+      assert(scd.where($"is_current" && $"valid_to".isNotNull).count() == 0)
+      val w = Window.partitionBy("user_id").orderBy("valid_from", "version_id")
+      val chained = scd
+        .withColumn("next_from", lead($"valid_from", 1).over(w))
+        .withColumn("next_state", lead($"state", 1).over(w))
+      // each closed version's valid_to is exactly the next version's start
+      assert(chained.where($"next_from".isNotNull &&
+        !($"valid_to" <=> $"next_from")).count() == 0)
+      // consecutive versions always change state (that is what a version IS)
+      assert(chained.where($"next_state".isNotNull &&
+        $"state" === $"next_state").count() == 0)
+    } finally scd.unpersist()
+  }
 }
