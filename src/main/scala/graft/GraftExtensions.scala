@@ -166,5 +166,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.graft.KllQuantile(children(0),
           Cast(children(1), org.apache.spark.sql.types.DoubleType))
       }))
+    // Misra-Gries top-k family (round 5): mg_sketch(x[, k]) → BINARY,
+    // mg_merge(sketch) → BINARY (mergeable-summaries combine),
+    // mg_topk(sketch, m) → ARRAY<STRUCT<item, est>>. Completes the
+    // mergeable quartet: distinct (HLL), frequency (CMS), rank (KLL),
+    // top-k items (MG) — MG carries the heavy items themselves, so the
+    // report needs no vocabulary second pass.
+    ext.injectFunction((
+      FunctionIdentifier("mg_sketch"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.MgSketchAgg].getName,
+        "mg_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.length <= 2,
+          "mg_sketch expects (expr[, k])")
+        val k = children.lift(1).map {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"mg_sketch k must be an INT literal, got $other")
+        }.getOrElse(org.apache.spark.sql.graft.Mg.DefaultK)
+        // string-cast so every key type sketches by its canonical form
+        // (same contract as the Scala surface MgFunctions.mgSketch)
+        org.apache.spark.sql.graft.MgSketchAgg(
+          Cast(children.head, StringType), k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("mg_merge"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.MgMergeAgg].getName,
+        "mg_merge"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "mg_merge expects 1 argument")
+        org.apache.spark.sql.graft.MgMergeAgg(children.head)
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.MgTopk].getName,
+        "mg_topk"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "mg_topk expects (sketch, m)")
+        org.apache.spark.sql.graft.MgTopk(children(0),
+          Cast(children(1), org.apache.spark.sql.types.IntegerType))
+      }))
   }
 }

@@ -149,6 +149,53 @@ class ApproxSpec extends AnyFunSuite {
     assert(noSketches.isNullAt(0))
   }
 
+  test("mg sketches: planted heavy item survives persisted-batch merge within bound") {
+    import org.apache.spark.sql.graft.MgFunctions.{mgMerge, mgSketch, mgTopk}
+    import org.apache.spark.sql.graft.Mg
+    import spark.implicits._
+    // 10k rows: "heavy" holds 30% of the stream, the rest spreads over
+    // 1000 cold items. k=16 → underestimate ≤ n/17 ≈ 5.9% of mass, so
+    // the heavy item MUST survive any partitioning with est ≥ 24.1%.
+    val rows = (0 until 10000).map { i =>
+      (i.toLong, if (i % 10 < 3) "heavy" else s"cold${i % 1000}")
+    }.toDF("id", "item")
+    val d = java.nio.file.Files.createTempDirectory("graft_mg").toString
+    for (par <- 0 to 1)
+      rows.where($"id" % 2 === par)
+        .agg(mgSketch($"item", 16).as("sk"))
+        .write.mode("overwrite").parquet(s"$d/batch$par")
+    val merged = spark.read.parquet(s"$d/batch0")
+      .unionByName(spark.read.parquet(s"$d/batch1"))
+      .agg(mgMerge($"sk").as("sk"))
+    val sk = merged.head().getAs[Array[Byte]](0)
+    val buf = Mg.deserialize(sk)
+    assert(buf.n == 10000L)
+    assert(Mg.maxUnderestimate(buf) <= 10000L / 17)
+    val top = merged.select(mgTopk($"sk", lit(3)).as("top"))
+      .selectExpr("inline(top)").as[(String, Long)].collect()
+    assert(top.head._1 == "heavy", s"top-1 was ${top.head}")
+    assert(top.head._2 <= 3000L && top.head._2 >= 3000L - Mg.maxUnderestimate(buf))
+    // exact regime: k above the distinct count ⇒ sketch == exact counts
+    // and the merge is bit-identical to the one-pass sketch
+    val wholeExact = rows.agg(mgSketch($"item", 2048).as("sk")).head().getAs[Array[Byte]](0)
+    val parts = (0 to 1).map(p =>
+      rows.where($"id" % 2 === p).agg(mgSketch($"item", 2048).as("sk")))
+    val mergedExact = parts.reduce(_ unionByName _)
+      .agg(mgMerge($"sk").as("sk")).head().getAs[Array[Byte]](0)
+    assert(mergedExact.sameElements(wholeExact),
+      "below capacity the MG merge must equal the one-pass sketch bit-exactly")
+    assert(Mg.deserialize(wholeExact).counts("heavy") == 3000L)
+  }
+
+  test("mg empty sketch: merge over all-NULL group yields empty top-k, no crash") {
+    import org.apache.spark.sql.graft.MgFunctions.{mgMerge, mgTopk}
+    import spark.implicits._
+    val allNull = Seq(null: Array[Byte], null: Array[Byte]).toDF("sk")
+    val top = allNull.agg(mgMerge($"sk").as("m"))
+      .select(mgTopk($"m", lit(5))).head().getSeq[Any](0)
+    assert(top.isEmpty)
+  }
+
   test("llm_heavy_hitters: CMS candidate pruning is lossless vs the exact plan") {
     // the declared key prunes the vocabulary through a cms sketch before
     // exact verification; never-underestimate means no true heavy hitter

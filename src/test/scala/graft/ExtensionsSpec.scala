@@ -116,6 +116,35 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rankErr(paired, 0.5) < 0.03, s"pair-merged median=$paired")
   }
 
+  test("mg_sketch / mg_merge / mg_topk are SQL-callable") {
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+    ev.createOrReplaceTempView("ev_mg_sql")
+    // 5 event types ≪ default k=64 → the sketch is EXACT: top-1 from SQL
+    // must equal the exact groupBy top-1
+    val exact = ev.groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }
+    val top = spark.sql(
+      """SELECT t.item, t.est
+        |FROM (SELECT mg_topk(mg_sketch(event_type), 2) AS top FROM ev_mg_sql)
+        |LATERAL VIEW inline(top) t""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq == exact.take(2).toSeq)
+    // per-group sketches merged via SQL reproduce the same exact top-1
+    val merged = spark.sql(
+      """SELECT mg_topk(mg_merge(sk), 1) AS top FROM (
+        |  SELECT user_id % 7 AS shard, mg_sketch(event_type) AS sk
+        |  FROM ev_mg_sql GROUP BY user_id % 7)""".stripMargin)
+      .selectExpr("inline(top)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(merged.toSeq == exact.take(1).toSeq)
+    // explicit k argument composes (k=1 keeps only a plurality candidate)
+    val k1 = spark.sql(
+      "SELECT size(mg_topk(mg_sketch(event_type, 1), 5)) FROM ev_mg_sql")
+      .head().getInt(0)
+    assert(k1 <= 1)
+  }
+
   test("SQL surface composes with tables (top pair via SQL only)") {
     Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .createOrReplaceTempView("emb_sql")

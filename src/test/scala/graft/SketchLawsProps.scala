@@ -86,6 +86,56 @@ object SketchLawsProps extends Properties("graft.sketchlaws") {
       }
     }
 
+  import org.apache.spark.sql.graft.Mg
+
+  /** Small item alphabet + small k so decrements actually fire. */
+  private val items: Gen[List[String]] =
+    Gen.listOf(Gen.chooseNum(0, 30).map(i => s"i$i")).map(_.take(600))
+
+  private def mgOf(vs: Seq[String], k: Int = 8): Mg.Buf = {
+    val b = new Mg.Buf(k)
+    vs.foreach(Mg.add(b, _))
+    b
+  }
+
+  property("mg estimates bracket truth: est ≤ true ≤ est + bound, any split") =
+    Prop.forAll(items, items) { (a, b) =>
+      val merged = mgOf(a)
+      Mg.mergeInto(merged, mgOf(b))
+      val truth = (a ++ b).groupBy(identity).view.mapValues(_.size.toLong)
+      val bound = Mg.maxUnderestimate(merged)
+      bound <= (a.size + b.size).toLong / 9 &&
+        merged.counts.forall { case (i, est) =>
+          est <= truth(i) && truth(i) <= est + bound
+        }
+    }
+
+  property("mg guarantees presence of every item above n/(k+1)") =
+    Prop.forAll(items, items) { (a, b) =>
+      val merged = mgOf(a)
+      Mg.mergeInto(merged, mgOf(b))
+      val n = (a.size + b.size).toLong
+      (a ++ b).groupBy(identity).view.mapValues(_.size.toLong)
+        .forall { case (i, c) => c <= n / 9 || merged.counts.contains(i) }
+    }
+
+  property("mg is EXACT and bit-stable when distinct ≤ k (any split)") =
+    Prop.forAll(items, items) { (a, b) =>
+      val k = 31 // alphabet ≤ 31 distinct, so no decrement can ever fire
+      val merged = mgOf(a, k)
+      Mg.mergeInto(merged, mgOf(b, k))
+      val truth = (a ++ b).groupBy(identity).view.mapValues(_.size.toLong)
+      merged.counts.toMap == truth.toMap &&
+        Mg.serialize(merged).sameElements(Mg.serialize(mgOf(a ++ b, k)))
+    }
+
+  property("mg serialization round-trips exactly") =
+    Prop.forAll(items) { a =>
+      val b = mgOf(a)
+      val rt = Mg.deserialize(Mg.serialize(b))
+      rt.k == b.k && rt.n == b.n && rt.counts.toMap == b.counts.toMap
+    }
+
   import org.apache.spark.sql.graft.Kll
 
   private val doubles: Gen[List[Double]] =

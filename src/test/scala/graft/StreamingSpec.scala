@@ -119,6 +119,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == exact)
   }
 
+  test("mg sketch aggregates under streaming state: exact top item per type below capacity") {
+    // the MG TypedImperativeAggregate must survive state-store
+    // serialize/merge across micro-batches. 4 distinct users ≪ default
+    // k=64 ⇒ the sketch stays in its exact regime, so the streamed top-1
+    // (item AND count) must EQUAL the exact per-type mode — any lossy
+    // state merge would first show up as a wrong count here.
+    import org.apache.spark.sql.graft.MgFunctions.{mgSketch, mgTopk}
+    import org.apache.spark.sql.functions.lit
+    def perType(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"event_type")
+        .agg(mgTopk(mgSketch($"user_id"), lit(1)).as("top"))
+        .selectExpr("event_type", "top[0].item AS item", "top[0].est AS est")
+    val streamed = runStream(perType)
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    val exact = rows.groupBy(_.event_type).map { case (t, es) =>
+      val (u, c) = es.groupBy(_.user_id).view.mapValues(_.size.toLong)
+        .toSeq.minBy { case (u, c) => (-c, u.toString) }
+      (t, u.toString, c)
+    }.toSeq.sorted
+    assert(streamed.toSeq == exact)
+  }
+
   test("session windows (30 min gap): stream == batch == etl_sessionize") {
     val streamed = runStream(Streaming.sessionCounts)
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).sorted
