@@ -67,6 +67,39 @@ object Streaming {
       .dropDuplicatesWithinWatermark("content_hash")
   }
 
+  /** Stream-stream join (closes the last §2.J surface gap, round 5):
+    * attribute each purchase to the same user's views in the preceding 30
+    * minutes. BOTH sides carry watermarks and the join condition bounds
+    * event time in BOTH directions, so Spark can derive a state-eviction
+    * horizon for each side — per-side join state is O(events inside
+    * range + watermark), never O(stream). That bounded-state shape is the
+    * only stream-stream join that survives a 100 TB/day firehose.
+    * `joinType="left_outer"` additionally emits unmatched views (with
+    * NULL purchase columns) once the watermark passes their window — the
+    * streaming twin of the batch attribution left join.
+    *
+    * Same code runs over static frames; StreamingSpec pins stream ==
+    * batch for both join types.
+    */
+  def viewPurchaseJoin(
+      views: DataFrame, purchases: DataFrame,
+      joinType: String = "inner"): DataFrame = {
+    val v = views.select(
+        col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val p = purchases.select(
+        col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+        joinType)
+      .select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+  }
+
   /** Custom per-user state machine: signup→purchase funnel. Emits one row
     * per user on their first post-signup purchase (conversion), carrying
     * the lag between the two. State is one small record per user with a

@@ -119,6 +119,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == exact)
   }
 
+  test("stream-stream join: purchase-to-view attribution, stream == batch") {
+    // batches are fed in timestamp order: a 1h-watermark join is ENTITLED
+    // to drop rows arriving later than the horizon, so exact parity with
+    // batch is the contract only for in-horizon arrivals (the watermark
+    // test below pins the late-drop behavior itself)
+    val views = rows.filter(_.event_type == "view").sortBy(_.ts.getTime)
+    val purchases = rows.filter(_.event_type == "purchase").sortBy(_.ts.getTime)
+    val vIn = MemoryStream[Ev](spark)
+    val pIn = MemoryStream[Ev](spark)
+    val name = s"mem_ssj_${System.nanoTime()}"
+    val q = Streaming.viewPurchaseJoin(vIn.toDF(), pIn.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // split point chosen on time, not count, so batch 2 never carries a
+      // row older than batch 1's max (which sets the watermark)
+      val cut = ts("2024-01-01 03:00:00").getTime
+      vIn.addData(views.filter(_.ts.getTime < cut))
+      pIn.addData(purchases.filter(_.ts.getTime < cut))
+      q.processAllAvailable()
+      vIn.addData(views.filter(_.ts.getTime >= cut))
+      pIn.addData(purchases.filter(_.ts.getTime >= cut))
+      q.processAllAvailable()
+      val streamed = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val batch = Streaming.viewPurchaseJoin(views.toDF(), purchases.toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("stream-stream LEFT OUTER join: unmatched views emit nulls after watermark") {
+    val views = rows.filter(_.event_type == "view")
+    val purchases = rows.filter(_.event_type == "purchase")
+    // sentinels far past the data push the watermark beyond every real
+    // event so outer state is evicted and null-extended rows emit; the
+    // second sentinel batch is what advances the watermark computed at
+    // the end of the first one
+    def sentinel(id: Long, offH: Int) = Ev(id,
+      new java.sql.Timestamp(ts("2024-01-02 00:00:00").getTime + offH * 3600_000L),
+      999L, "sentinel")
+    val vIn = MemoryStream[Ev](spark)
+    val pIn = MemoryStream[Ev](spark)
+    val name = s"mem_ssjo_${System.nanoTime()}"
+    val q = Streaming.viewPurchaseJoin(vIn.toDF(), pIn.toDF(), "left_outer")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      vIn.addData(views); pIn.addData(purchases)
+      q.processAllAvailable()
+      for (i <- 0 to 1) {
+        vIn.addData(sentinel(100000L + i, 6 * i))
+        pIn.addData(sentinel(200000L + i, 6 * i))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table(name)
+        .where($"view_id" < 100000L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).sorted
+      val batch = Streaming.viewPurchaseJoin(views.toDF(), purchases.toDF(), "left_outer")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).sorted
+      assert(streamed.toSeq == batch.toSeq)
+      // the outer side really fired: some views have no purchase match
+      assert(streamed.exists(_._3 == -1L))
+    } finally q.stop()
+  }
+
   test("mg sketch aggregates under streaming state: exact top item per type below capacity") {
     // the MG TypedImperativeAggregate must survive state-store
     // serialize/merge across micro-batches. 4 distinct users ≪ default
