@@ -207,5 +207,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.graft.MgTopk(children(0),
           Cast(children(1), org.apache.spark.sql.types.IntegerType))
       }))
+    // Bloom membership family (round 5): bloom_build(x[, bits[, hashes]])
+    // → BINARY, bloom_merge(filter) → BINARY (bitwise-OR union),
+    // bloom_contains(filter, x) → BOOLEAN (no false negatives) — the
+    // map-side join-pruning filter of the sketch family.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.BloomBuildAgg].getName,
+        "bloom_build"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.length <= 3,
+          "bloom_build expects (expr[, numBits[, numHashes]])")
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bloom_build $what must be an INT literal, got $other")
+        }
+        val bits = children.lift(1).map(intLit(_, "numBits"))
+          .getOrElse(org.apache.spark.sql.graft.Bloom.DefaultBits)
+        val hashes = children.lift(2).map(intLit(_, "numHashes"))
+          .getOrElse(org.apache.spark.sql.graft.Bloom.DefaultHashes)
+        org.apache.spark.sql.graft.BloomBuildAgg(children.head, bits, hashes)
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_merge"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.BloomMergeAgg].getName,
+        "bloom_merge"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "bloom_merge expects 1 argument")
+        org.apache.spark.sql.graft.BloomMergeAgg(children.head)
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.BloomContains].getName,
+        "bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "bloom_contains expects (filter, value)")
+        org.apache.spark.sql.graft.BloomContains(children(0), children(1))
+      }))
   }
 }

@@ -79,6 +79,31 @@ object Llm {
       |              i -> array_to_string(t[i:i+2], ' '))) AS s
       |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents""".stripMargin
 
+  /** Shared by llm_decontaminate and llm_decontaminate_bloom: the bloom
+    * prefilter is result-invisible (no false negatives + exact verify),
+    * so both plans answer the SAME oracle. */
+  private lazy val decontamOracle =
+    s"""WITH sh AS (
+       |  $shingleSql)
+       |), bs AS (
+       |  SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+       |), cs AS (
+       |  SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0
+       |), tot AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+       |  FROM cs GROUP BY doc_id
+       |), shr AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM cs WHERE s IN (SELECT s FROM bs) GROUP BY doc_id
+       |)
+       |SELECT tot.doc_id AS doc_id, n_shingles,
+       |       coalesce(n_shared, 0) AS n_shared,
+       |       round(coalesce(n_shared, 0) * 1.0 / n_shingles, 6) AS contamination,
+       |       CAST(CASE WHEN coalesce(n_shared, 0) > 0 THEN 1 ELSE 0 END AS INT)
+       |         AS is_contaminated
+       |FROM tot LEFT JOIN shr ON tot.doc_id = shr.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
+
   /** 16 deterministic random hyperplanes (seed 42) for sign-LSH. Shared by
     * the Spark implementations AND the oracle SQL generators below — the
     * oracle inlines each plane as a DOUBLE[] literal (float→double is
@@ -804,32 +829,44 @@ object Llm {
     // the benchmark shingle set broadcasts and the corpus shingle stream
     // is scanned ONCE map-side with no shuffle before the per-doc count —
     // the decontamination pass costs one corpus scan at 100 TB.
-    Q("llm_decontaminate",
-      s"""WITH sh AS (
-         |  $shingleSql)
-         |), bs AS (
-         |  SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
-         |), cs AS (
-         |  SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0
-         |), tot AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
-         |  FROM cs GROUP BY doc_id
-         |), shr AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
-         |  FROM cs WHERE s IN (SELECT s FROM bs) GROUP BY doc_id
-         |)
-         |SELECT tot.doc_id AS doc_id, n_shingles,
-         |       coalesce(n_shared, 0) AS n_shared,
-         |       round(coalesce(n_shared, 0) * 1.0 / n_shingles, 6) AS contamination,
-         |       CAST(CASE WHEN coalesce(n_shared, 0) > 0 THEN 1 ELSE 0 END AS INT)
-         |         AS is_contaminated
-         |FROM tot LEFT JOIN shr ON tot.doc_id = shr.doc_id
-         |ORDER BY tot.doc_id""".stripMargin) { (s, d) =>
+    Q("llm_decontaminate", decontamOracle) { (s, d) =>
       val sh = shingleDf(docs(s, d))
       val bs = sh.where(col("doc_id") % 97 === 0).select("s").distinct()
       val cs = sh.where(col("doc_id") % 97 =!= 0)
       val tot = cs.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
       val shr = cs.join(broadcast(bs), Seq("s"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      tot.join(shr, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_shingles"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          round(coalesce(col("n_shared"), lit(0L)) * 1.0 / col("n_shingles"), 6)
+            .as("contamination"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).cast("int").as("is_contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // Bloom-pruned decontamination (round 5) — same answer (and SAME
+    // oracle) as llm_decontaminate, the plan a BIG benchmark set needs.
+    // llm_decontaminate broadcasts the benchmark shingles as a hash
+    // relation, which stops fitting first as suites grow; here the set
+    // compresses to a fixed 128 KB Bloom filter (scalar broadcast), the
+    // corpus shingle stream is pruned MAP-SIDE by bloom_contains (no
+    // false negatives ⇒ survivors ⊇ true matches), and only the
+    // surviving sliver pays the exact SHUFFLE_HASH semi-join that
+    // removes false positives. At 100 TB: one corpus scan, a shuffle
+    // sized to (matches + ~0.3% fp), and no benchmark-sized broadcast.
+    Q("llm_decontaminate_bloom", decontamOracle) { (s, d) =>
+      import org.apache.spark.sql.graft.BloomFunctions.{bloomBuild, bloomContains}
+      val sh = shingleDf(docs(s, d))
+      val bs = sh.where(col("doc_id") % 97 === 0).select("s").distinct()
+      val cs = sh.where(col("doc_id") % 97 =!= 0)
+      val bloom = bs.agg(bloomBuild(col("s")).as("bf"))
+      val pref = cs.crossJoin(broadcast(bloom))
+        .where(bloomContains(col("bf"), col("s")))
+        .drop("bf")
+      val tot = cs.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val shr = pref.join(bs.hint("shuffle_hash"), Seq("s"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       tot.join(shr, Seq("doc_id"), "left")
         .select(

@@ -187,6 +187,36 @@ class ApproxSpec extends AnyFunSuite {
     assert(Mg.deserialize(wholeExact).counts("heavy") == 3000L)
   }
 
+  test("bloom filters: persisted-batch OR-merge, no false negatives, bounded fp rate") {
+    import org.apache.spark.sql.graft.BloomFunctions.{bloomBuild, bloomContains, bloomMerge}
+    import spark.implicits._
+    val members = (0 until 5000).map(i => s"key$i")
+    val df = members.toDF("k")
+    // two disjoint halves built separately, persisted, merged — the OR is
+    // exact, so the merge must equal the one-pass filter bit-for-bit
+    val d = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    for (par <- 0 to 1)
+      df.where(pmod(xxhash64($"k"), lit(2)) === par)
+        .agg(bloomBuild($"k").as("bf"))
+        .write.mode("overwrite").parquet(s"$d/batch$par")
+    val merged = spark.read.parquet(s"$d/batch0")
+      .unionByName(spark.read.parquet(s"$d/batch1"))
+      .agg(bloomMerge($"bf").as("bf"))
+    val one = df.agg(bloomBuild($"k").as("bf"))
+    assert(merged.head().getAs[Array[Byte]](0)
+      .sameElements(one.head().getAs[Array[Byte]](0)),
+      "bloom merge must equal the one-pass filter bit-exactly")
+    // every member answers true through the Spark surface...
+    val misses = df.crossJoin(merged)
+      .where(!bloomContains($"bf", $"k")).count()
+    assert(misses == 0L, "bloom false negatives are impossible by construction")
+    // ...and fresh non-members answer true at ~fpp only (128 KB, 5k keys
+    // → theory ~1e-9; even 1 hit in 20k probes would signal a bug)
+    val fp = (0 until 20000).map(i => s"other$i").toDF("k")
+      .crossJoin(merged).where(bloomContains($"bf", $"k")).count()
+    assert(fp <= 2L, s"false-positive count $fp far above theory")
+  }
+
   test("mg empty sketch: merge over all-NULL group yields empty top-k, no crash") {
     import org.apache.spark.sql.graft.MgFunctions.{mgMerge, mgTopk}
     import spark.implicits._

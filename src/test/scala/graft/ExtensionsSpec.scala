@@ -145,6 +145,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(k1 <= 1)
   }
 
+  test("bloom_build / bloom_merge / bloom_contains are SQL-callable") {
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+    ev.createOrReplaceTempView("ev_bloom_sql")
+    // filter built over the distinct user ids; every real id must probe
+    // true, a fresh id should probe false at 128 KB / ~60 keys
+    val hits = spark.sql(
+      """SELECT count(*) FROM ev_bloom_sql,
+        |  (SELECT bloom_build(user_id) AS bf FROM ev_bloom_sql)
+        |WHERE bloom_contains(bf, user_id)""".stripMargin).head().getLong(0)
+    assert(hits == ev.count())
+    val miss = spark.sql(
+      """SELECT bloom_contains(bf, CAST(1000000000 AS BIGINT))
+        |FROM (SELECT bloom_build(user_id) AS bf FROM ev_bloom_sql)""".stripMargin)
+      .head().getBoolean(0)
+    assert(!miss)
+    // per-shard filters merged via SQL behave like the one-pass filter
+    val mergedHits = spark.sql(
+      """SELECT count(*) FROM ev_bloom_sql,
+        |  (SELECT bloom_merge(bf) AS bf FROM (
+        |     SELECT user_id % 5 AS shard, bloom_build(user_id, 65536, 4) AS bf
+        |     FROM ev_bloom_sql GROUP BY user_id % 5))
+        |WHERE bloom_contains(bf, user_id)""".stripMargin).head().getLong(0)
+    assert(mergedHits == ev.count())
+  }
+
   test("SQL surface composes with tables (top pair via SQL only)") {
     Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .createOrReplaceTempView("emb_sql")

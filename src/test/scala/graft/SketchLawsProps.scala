@@ -86,6 +86,41 @@ object SketchLawsProps extends Properties("graft.sketchlaws") {
       }
     }
 
+  import org.apache.spark.sql.graft.Bloom
+
+  private def bloomOf(hs: Seq[Long], bits: Int = 4096, k: Int = 4): Array[Byte] = {
+    val b = Bloom.empty(bits, k)
+    hs.foreach(Bloom.add(b, _))
+    b
+  }
+
+  property("bloom never has false negatives (any split/merge)") =
+    Prop.forAll(hashes, hashes) { (a, b) =>
+      val merged = bloomOf(a)
+      Bloom.mergeInto(merged, bloomOf(b))
+      (a ++ b).forall(Bloom.contains(merged, _))
+    }
+
+  property("bloom merge == filter of the union, bit-exact") =
+    Prop.forAll(hashes, hashes) { (a, b) =>
+      val merged = bloomOf(a)
+      Bloom.mergeInto(merged, bloomOf(b))
+      merged.sameElements(bloomOf(a ++ b))
+    }
+
+  property("bloom false-positive rate stays near the m/k/n theory") =
+    Prop.forAll(hashes) { a =>
+      val f = bloomOf(a)
+      // probe keys disjoint from the input by construction
+      val probes = (1 to 2000).map(i => Long.MinValue / 3 + i * 7919L)
+        .filterNot(a.contains)
+      val fp = probes.count(Bloom.contains(f, _)).toDouble / probes.size
+      // theory: (1 - e^(-kn/m))^k; 500 keys in 4096 bits, k=4 → ~2.2%.
+      // allow generous slack — this is a rate law, not a point estimate
+      val theory = math.pow(1 - math.exp(-4.0 * a.size / 4096), 4)
+      fp <= theory * 3 + 0.01
+    }
+
   import org.apache.spark.sql.graft.Mg
 
   /** Small item alphabet + small k so decrements actually fire. */
