@@ -104,6 +104,21 @@ object Llm {
        |FROM tot LEFT JOIN shr ON tot.doc_id = shr.doc_id
        |ORDER BY tot.doc_id""".stripMargin
 
+  /** Shared by llm_heavy_hitters (CMS plan) and llm_heavy_hitters_mg (MG
+    * plan): both sketches only PRUNE candidates — the declared result is
+    * the exact φ=0.5% HAVING query either way. */
+  private lazy val heavyHittersOracle =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      |), tot AS (
+      |  SELECT count(*) AS n FROM tok
+      |)
+      |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |FROM tok
+      |GROUP BY token
+      |HAVING count(*) >= 0.005 * (SELECT n FROM tot)
+      |ORDER BY cnt DESC, token""".stripMargin
+
   /** 16 deterministic random hyperplanes (seed 42) for sign-LSH. Shared by
     * the Spark implementations AND the oracle SQL generators below — the
     * oracle inlines each plane as a DOUBLE[] literal (float→double is
@@ -495,17 +510,7 @@ object Llm {
     // result EXACT — the oracle is the plain HAVING query — while the
     // executed plan exercises the SQL-registered cms_* family end to end
     // (ApproxSpec pins the no-sketch plan equal).
-    Q("llm_heavy_hitters",
-      """WITH tok AS (
-        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
-        |), tot AS (
-        |  SELECT count(*) AS n FROM tok
-        |)
-        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
-        |FROM tok
-        |GROUP BY token
-        |HAVING count(*) >= 0.005 * (SELECT n FROM tot)
-        |ORDER BY cnt DESC, token""".stripMargin) { (s, d) =>
+    Q("llm_heavy_hitters", heavyHittersOracle) { (s, d) =>
       import org.apache.spark.sql.graft.CmsFunctions.{cmsQuery, cmsSketch}
       val tok = docs(s, d).select(explode(split(col("text"), " ")).as("token"))
       val sk = tok.agg(cmsSketch(col("token")).as("sk"), count(lit(1)).as("n"))
@@ -513,6 +518,34 @@ object Llm {
         .join(broadcast(sk), lit(true))
         .where(cmsQuery(col("sk"), col("token")) >= lit(0.005) * col("n"))
         .select("token")
+      tok.join(broadcast(cand), Seq("token"), "left_semi")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .join(broadcast(sk.select(col("n"))), lit(true))
+        .where(col("cnt") >= lit(0.005) * col("n"))
+        .select(col("token"), col("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+    },
+
+    // Heavy hitters via the Misra-Gries summary (round 5) — same exact
+    // answer and SAME oracle as llm_heavy_hitters, one structural pass
+    // fewer: MG carries the heavy items THEMSELVES, so the candidate set
+    // falls straight out of the one-row summary — no distinct-vocabulary
+    // probe stage at all (the stage the CMS plan needs, and the one its
+    // header documents as the 20×-if-done-wrong trap). k = 400 ⇒ any
+    // token ≥ φn = 0.5% of the stream is guaranteed present with
+    // est ≥ true − n/401, so keeping summary items with
+    // est ≥ (φ − 1/401)·n is a PROVABLE superset of the true heavy
+    // hitters, ≤ 400 rows whatever the corpus size (broadcast-safe by
+    // construction); the exact count over semi-joined candidates + θ
+    // re-filter makes the declared result exact.
+    Q("llm_heavy_hitters_mg", heavyHittersOracle) { (s, d) =>
+      import org.apache.spark.sql.graft.MgFunctions.{mgSketch, mgTopk}
+      val tok = docs(s, d).select(explode(split(col("text"), " ")).as("token"))
+      val sk = tok.agg(mgSketch(col("token"), 400).as("sk"), count(lit(1)).as("n"))
+      val cand = sk
+        .select(explode(mgTopk(col("sk"), lit(400))).as("e"), col("n"))
+        .where(col("e.est") >= (lit(0.005) - lit(1.0) / 401) * col("n"))
+        .select(col("e.item").as("token"))
       tok.join(broadcast(cand), Seq("token"), "left_semi")
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .join(broadcast(sk.select(col("n"))), lit(true))

@@ -242,6 +242,12 @@ class ApproxSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(viaCms == exact)
     assert(exact.nonEmpty, "fixture must contain heavy hitters")
+    // the MG twin prunes through the summary's own items instead of a
+    // vocabulary probe; presence-above-n/(k+1) makes that superset
+    // provable too, so it must EQUAL the same exact plan
+    val viaMg = SparkEntry.queries("llm_heavy_hitters_mg")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaMg == exact)
   }
 
   test("approx_percentile brackets the exact percentile") {
