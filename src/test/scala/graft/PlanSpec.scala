@@ -196,6 +196,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("etl_scd2: change filter + close-out share one exchange and one sort") {
+    // both windows use the (user_id | ts, event_id) spec and the filter
+    // between them preserves order, so the whole history build must plan
+    // exactly one hash exchange and one sort — a second sort would mean
+    // Catalyst stopped seeing the shared ordering
+    val p = plan("etl_scd2")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 user_id exchange, plan had $exchanges:\n$p")
+    // exactly one (user_id, ts, event_id) window sort feeds BOTH windows;
+    // the other Sort in the plan is the declared output's total orderBy
+    val windowSorts = "Sort \\[user_id#\\d+L ASC NULLS FIRST, ts#".r.findAllIn(p).size
+    assert(windowSorts == 1, s"expected 1 shared window sort, had $windowSorts:\n$p")
+  }
+
+  test("llm_heavy_hitters_mg: candidates off the summary row, no vocabulary distinct") {
+    // the MG plan's advantage over the CMS one: candidates explode out of
+    // the ONE summary row, so there must be no distinct-vocabulary
+    // aggregate before the candidate broadcast — only the exact-count
+    // aggregate over semi-joined survivors remains
+    val p = plan("llm_heavy_hitters_mg")
+    assert(p.contains("BroadcastExchange"))
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("mg_sketch"))
+    val aggs = "HashAggregate\\(keys=\\[token".r.findAllIn(p).size
+    // CMS plan: distinct-vocabulary agg (2 phases) + exact count (2) = 4;
+    // MG plan: exact count only = 2
+    assert(aggs == 2, s"expected only the exact-count token aggregate:\n$p")
+  }
+
+  test("llm_decontaminate_bloom: fixed-size filter broadcast, shuffled exact verify") {
+    // the point of the bloom plan: the benchmark set itself is NOT
+    // broadcast as a hash relation — the 128 KB filter is (via a 1-row
+    // cross join), the stream is pruned map-side, and the exact verify
+    // semi-join is a SHUFFLE_HASH join sized to the surviving sliver
+    val p = plan("llm_decontaminate_bloom")
+    assert(p.contains("bloom_contains"), s"map-side probe missing:\n$p")
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftSemi"),
+      s"exact verify must be a shuffled semi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
   test("llm_neardup_prune / llm_dedup_groups: iterative lineage is cut per round") {
     // After localCheckpoint the final plan must read the materialized
     // labels (ExistingRDD), not re-derive the propagation rounds from the
