@@ -214,6 +214,82 @@ object ScaleSmoke {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
 
+    // Lake-layout A/B (round 5): single-column sort vs Z-order, measured
+    // by what a 100 TB reader actually pays — the scan after parquet
+    // row-group min/max skipping. 20M rows over (user_id, t_s); each
+    // layout is a plain repartitionByRange + sortWithinPartitions write
+    // (no custom committer). Expectation: the time-sorted layout skips
+    // ~selectivity of row groups for time predicates but FULL-SCANS for
+    // user predicates; the z-ordered layout (graft.functions.ZOrder —
+    // codegen bit-interleave) skips on BOTH dimensions at ~√selectivity.
+    locally {
+      val layoutDir = "/tmp/graft_scale_layout"
+      val layoutN = 100000000L
+      val basePts = spark.range(layoutN).select(
+        pmod(xxhash64(col("id")), lit(30000)).as("user_id"),
+        pmod(xxhash64(col("id"), lit(1)), lit(2592000)).as("t_s"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(10000)) / 100.0).as("value"))
+      time("layout write time-sorted") {
+        basePts.repartitionByRange(64, col("t_s"))
+          .sortWithinPartitions("t_s")
+          .write.mode("overwrite").parquet(s"$layoutDir/bytime")
+        layoutN
+      }
+      time("layout write z-order") {
+        // both dimensions normalized onto the SAME 16-bit grid first —
+        // with raw values (15-bit user vs 22-bit seconds) the interleave
+        // degenerates: the wider dimension's high bits own the top z
+        // bits and the "z" sort is just a time sort (this smoke's
+        // pruning audit caught exactly that)
+        basePts
+          .withColumn("z", graft.functions.ZOrder.key(
+            expr("(user_id * 65536) DIV 30000"),
+            expr("(t_s * 65536) DIV 2592000")))
+          .repartitionByRange(64, col("z"))
+          .sortWithinPartitions("z")
+          .drop("z")
+          .write.mode("overwrite").parquet(s"$layoutDir/zorder")
+        layoutN
+      }
+      for (l <- Seq("bytime", "zorder")) {
+        val t = spark.read.parquet(s"$layoutDir/$l")
+        time(s"layout $l time-range scan 1/30") {
+          t.where(col("t_s").between(864000, 950399))
+            .agg(round(sum(col("value")), 2)).count()
+        }
+        time(s"layout $l user-range scan 1/30") {
+          t.where(col("user_id").between(10000, 10999))
+            .agg(round(sum(col("value")), 2)).count()
+        }
+        // wall time at 100M in-cache rows is decode-bound and flat; the
+        // 100 TB signal is how many FILES each predicate must touch given
+        // the layout's footer min/max stats (file granularity is what an
+        // object-store reader prunes on first — bytes NOT fetched).
+        time(s"layout $l min-max pruning audit") {
+          val st = t.groupBy(input_file_name().as("f"))
+            .agg(min("t_s").as("tlo"), max("t_s").as("thi"),
+              min("user_id").as("ulo"), max("user_id").as("uhi"))
+            .collect()
+          val nf = st.length
+          val timeHit = st.count(r =>
+            r.getAs[Long]("tlo") <= 950399L && r.getAs[Long]("thi") >= 864000L)
+          val userHit = st.count(r =>
+            r.getAs[Long]("ulo") <= 10999L && r.getAs[Long]("uhi") >= 10000L)
+          println(f"[scale] layout $l%-7s files=$nf time-pred touches $timeHit, user-pred touches $userHit")
+          if (l == "bytime") {
+            require(timeHit <= nf / 10,
+              s"time-sorted layout must prune the time predicate hard ($timeHit/$nf)")
+            require(userHit == nf,
+              s"single-column sort cannot prune the other dimension ($userHit/$nf)")
+          } else {
+            require(timeHit <= nf / 2 && userHit <= nf / 2,
+              s"z-order must prune BOTH dimensions ($timeHit+$userHit of $nf)")
+          }
+          nf.toLong
+        }
+      }
+    }
+
     // Minhash band dedup over 500k synthetic ~40-token docs (20M shingles,
     // ONE md5 each): the REAL operator pipeline (operators.Llm
     // .minhashVerified), incl. 2% planted near-dups (id%50==0 duplicates
