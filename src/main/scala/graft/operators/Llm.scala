@@ -1017,6 +1017,52 @@ object Llm {
         .orderBy("label")
     },
 
+    // Symmetric int8 embedding quantization (round 5) — the 4× storage /
+    // bandwidth path for vector corpora at 100 TB (serve the int8 column,
+    // keep per-vector scale for dequant; brute-force and IVF rerank both
+    // read 4× less). Per vector: scale = max|x|/127 (rounded 6dp so both
+    // engines quantize the IDENTICAL grid), q = round(x/scale) ∈ [-127,
+    // 127], plus the reconstruction MSE as the quality audit. Pure
+    // higher-order-function chain — one narrow map-side pass, no shuffle
+    // before the output sort, stays in codegen.
+    Q("llm_embedding_quantize",
+      """WITH sc AS (
+        |  SELECT vec_id,
+        |         round(list_max(list_transform(embedding,
+        |               x -> abs(CAST(x AS DOUBLE)))) / 127, 6) AS scale
+        |  FROM embeddings
+        |)
+        |SELECT e.vec_id AS vec_id, sc.scale AS scale,
+        |       array_to_string(list_transform(e.embedding, x ->
+        |         CAST(CASE WHEN sc.scale = 0 THEN 0
+        |                   ELSE round(CAST(x AS DOUBLE) / sc.scale) END AS BIGINT)),
+        |         ',') AS q8,
+        |       round(list_sum(list_transform(e.embedding, x ->
+        |         pow(CAST(x AS DOUBLE) - (CASE WHEN sc.scale = 0 THEN 0
+        |              ELSE round(CAST(x AS DOUBLE) / sc.scale) END) * sc.scale, 2)))
+        |         / len(e.embedding), 6) AS mse
+        |FROM embeddings e JOIN sc ON e.vec_id = sc.vec_id
+        |ORDER BY e.vec_id""".stripMargin) { (s, d) =>
+      def quant(x: Column): Column =
+        when(col("scale") === 0, lit(0.0))
+          .otherwise(round(x.cast("double") / col("scale")))
+      emb(s, d)
+        .withColumn("scale",
+          round(array_max(transform(col("embedding"),
+            x => abs(x.cast("double")))) / 127, 6))
+        .select(
+          col("vec_id"), col("scale"),
+          concat_ws(",",
+            transform(col("embedding"), x => quant(x).cast("long"))).as("q8"),
+          round(
+            aggregate(
+              transform(col("embedding"),
+                x => pow(x.cast("double") - quant(x) * col("scale"), 2)),
+              lit(0.0), (a, x) => a + x) / size(col("embedding")),
+            6).as("mse"))
+        .orderBy("vec_id")
+    },
+
     // Near-dup GROUPS: EXACT connected components over the cosine-threshold
     // similarity graph — min-label propagation iterated to FIXPOINT
     // ([[Components.connectedComponents]]; O(diameter) rounds, the round

@@ -115,6 +115,27 @@ class ArrayOutputSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: values in [-127,127], per-element error ≤ scale/2") {
+    val q = SparkEntry.queries("llm_embedding_quantize")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val embs = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(q.length == embs.size)
+    q.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val codes = r.getAs[String]("q8").split(",").map(_.toLong)
+      assert(codes.forall(c => c >= -127L && c <= 127L),
+        s"vec ${r.getLong(0)}: code outside int8 range")
+      // round-to-nearest on the 6dp-rounded grid: each element lands
+      // within half a step of its original value
+      val xs = embs(r.getLong(0))
+      codes.zip(xs).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-9)
+      }
+      assert(r.getAs[Double]("mse") <= scale * scale / 4 + 1e-9)
+    }
+  }
+
   test("multimodal media struct carries payload/mime/meta through ops") {
     val row = operators.Multimodal.attachMedia(Tables(spark, sf, "documents"))
       .filter(_.doc_id == 0L).head()
