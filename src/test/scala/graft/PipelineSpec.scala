@@ -5,6 +5,10 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Events-layout row (ts as raw nanos) for the streaming-ingest test. */
+case class PEv(event_id: Long, ts: Long, user_id: Long,
+    event_type: String, value: Double)
+
 /** End-to-end config-driven run: RunConfig window → aggregate DAG →
   * month-partitioned lake tables → pruned read-back.
   */
@@ -148,6 +152,73 @@ class PipelineSpec extends AnyFunSuite {
         u -> sorted(math.max(0, math.ceil(0.5 * sorted.size).toInt - 1))
       }
     assert(medInc == exactMed, "incrementally merged sketch median must be exact here")
+  }
+
+  test("streaming ingest maintains the lake tables exactly (foreachBatch incremental)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // the R9 × §2.J capstone: a micro-batched event stream lands in the
+    // lake through foreachBatch, and each batch triggers the SAME
+    // incremental maintenance a nightly delta load uses — monthly
+    // (gap-lookback recompute), sessions (state merge), lifetime (monoid
+    // + KLL merge). After the stream drains, all three tables must equal
+    // a from-scratch rebuild over everything ingested. Batches arrive in
+    // time order (month per batch), matching the append-only contract
+    // the incremental paths document.
+    val rnd = new scala.util.Random(23)
+    val base = TestSpark.ts("2024-01-01 00:00:00").getTime
+    val monthStarts = Seq("2024-01-01", "2024-02-01", "2024-03-01")
+    var id = 0L
+    val byMonth = (0 until 3).map { m =>
+      (0 until 5).flatMap { u =>
+        (0 until 40).map { _ =>
+          val t = TestSpark.ts(s"${monthStarts(m)} 00:00:00").getTime +
+            (math.abs(rnd.nextLong()) % (27L * 86400 * 1000L))
+          id += 1
+          PEv(id, t * 1000000L, u.toLong,
+            Seq("click", "view", "purchase")(rnd.nextInt(3)),
+            rnd.nextInt(1000) / 100.0)
+        }
+      }
+    }
+    val d = Files.createTempDirectory("graft_stream_lake").toString
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    // bootstrap: month 1 published by a normal batch run
+    byMonth(0).toDF().coalesce(1).write.mode("append")
+      .parquet(s"$d/events.parquet")
+    Pipeline.run(spark,
+      RunConfig(d, Seq("events"), endDate = Some(monthStarts(1))), out)
+
+    // months 2..3 arrive as micro-batches
+    val input = MemoryStream[PEv](spark)
+    val q = input.toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.write.mode("append").parquet(s"$d/events.parquet")
+          val minTs = batch.agg(min(col("ts"))).head().getLong(0) / 1000000L
+          val batchStart = new java.text.SimpleDateFormat("yyyy-MM-dd")
+            .format(new java.util.Date(minTs))
+          val cfg = RunConfig(d, Seq("events"), startDate = Some(batchStart))
+          Pipeline.runIncrementalMonthly(spark, cfg, out, batchStart)
+          Pipeline.runIncrementalSessions(spark, cfg, out, batchStart)
+          Pipeline.runIncrementalLifetime(spark, cfg, out, batchStart)
+          ()
+        }
+    }.start()
+    try {
+      input.addData(byMonth(1)); q.processAllAvailable()
+      input.addData(byMonth(2)); q.processAllAvailable()
+    } finally q.stop()
+
+    // the streamed lake == a from-scratch rebuild over all three months
+    val outFull = Files.createTempDirectory("graft_stream_full").toString
+    Pipeline.run(spark, RunConfig(d, Seq("events")), outFull)
+    def rowsOf(o: String, t: String) =
+      Pipeline.readTable(spark, o, t).drop("month", "value_kll")
+        .collect().map(_.toSeq).toSet
+    for (t <- Seq("monthly_usage", "sessions", "user_lifetime"))
+      assert(rowsOf(out, t) == rowsOf(outFull, t),
+        s"streamed $t diverged from the full rebuild")
   }
 
   test("pipeline without the events table fails loudly") {
