@@ -227,7 +227,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .getOrElse(org.apache.spark.sql.graft.Bloom.DefaultBits)
         val hashes = children.lift(2).map(intLit(_, "numHashes"))
           .getOrElse(org.apache.spark.sql.graft.Bloom.DefaultHashes)
-        org.apache.spark.sql.graft.BloomBuildAgg(children.head, bits, hashes)
+        // string-cast so build and probe hash the same canonical bytes
+        // whatever each side's column type is (type-mismatched XxHash64
+        // would be a SILENT false negative — see BloomFunctions)
+        org.apache.spark.sql.graft.BloomBuildAgg(
+          Cast(children.head, StringType), bits, hashes)
           .toAggregateExpression()
       }))
     ext.injectFunction((
@@ -245,7 +249,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "bloom_contains"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "bloom_contains expects (filter, value)")
-        org.apache.spark.sql.graft.BloomContains(children(0), children(1))
+        org.apache.spark.sql.graft.BloomContains(children(0),
+          Cast(children(1), StringType))
       }))
   }
 }

@@ -216,7 +216,7 @@ object ScaleSmoke {
 
     // Lake-layout A/B (round 5): single-column sort vs Z-order, measured
     // by what a 100 TB reader actually pays — the scan after parquet
-    // row-group min/max skipping. 20M rows over (user_id, t_s); each
+    // row-group min/max skipping. 100M rows over (user_id, t_s); each
     // layout is a plain repartitionByRange + sortWithinPartitions write
     // (no custom committer). Expectation: the time-sorted layout skips
     // ~selectivity of row groups for time predicates but FULL-SCANS for

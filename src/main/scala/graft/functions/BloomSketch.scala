@@ -150,7 +150,11 @@ case class BloomMergeAgg(
     val v = child.eval(input)
     if (v == null) return buffer
     val s = v.asInstanceOf[Array[Byte]]
-    if (buffer.isEmpty) s.clone()
+    // a persisted EMPTY filter (0 bytes, from bloom_merge over an
+    // all-NULL group) matches nothing — skip it regardless of arrival
+    // order (same guard as merge())
+    if (s.isEmpty) buffer
+    else if (buffer.isEmpty) s.clone()
     else { Bloom.mergeInto(buffer, s); buffer }
   }
 
@@ -192,22 +196,33 @@ case class BloomContains(left: Expression, right: Expression)
 }
 
 object BloomFunctions {
-  /** Aggregate a column into a persistable binary Bloom filter. */
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.types.StringType
+
+  /** Aggregate a column into a persistable binary Bloom filter. Keys are
+    * cast through STRING so build and probe hash the same bytes whatever
+    * each side's column type is — XxHash64 hashes INT and BIGINT
+    * differently, and a build/probe type mismatch would otherwise turn
+    * into SILENT false negatives, the one error class a Bloom filter
+    * must never have (same canonical-form contract as MgFunctions and
+    * portable_hash). */
   def bloomBuild(
       c: Column,
       numBits: Int = Bloom.DefaultBits,
       numHashes: Int = Bloom.DefaultHashes): Column =
     ExpressionUtils.column(
-      BloomBuildAgg(ExpressionUtils.expression(c), numBits, numHashes)
-        .toAggregateExpression())
+      BloomBuildAgg(Cast(ExpressionUtils.expression(c), StringType),
+        numBits, numHashes).toAggregateExpression())
 
   /** Aggregate (merge) persisted filters — exact union. */
   def bloomMerge(c: Column): Column =
     ExpressionUtils.column(
       BloomMergeAgg(ExpressionUtils.expression(c)).toAggregateExpression())
 
-  /** Membership probe of `value` against `filter`. */
+  /** Membership probe of `value` against `filter` (value string-cast —
+    * see [[bloomBuild]]). */
   def bloomContains(sketch: Column, value: Column): Column =
     ExpressionUtils.column(BloomContains(
-      ExpressionUtils.expression(sketch), ExpressionUtils.expression(value)))
+      ExpressionUtils.expression(sketch),
+      Cast(ExpressionUtils.expression(value), StringType)))
 }

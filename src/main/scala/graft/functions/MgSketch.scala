@@ -186,7 +186,12 @@ case class MgMergeAgg(
     val v = child.eval(input)
     if (v == null) return buffer
     val s = Mg.deserialize(v.asInstanceOf[Array[Byte]])
-    if (buffer.k == 0) s else { Mg.mergeInto(buffer, s); buffer }
+    // a persisted EMPTY summary (k=0, from mg_merge over an all-NULL
+    // group) carries nothing — skip it, whatever order it arrives in
+    // (same guard as merge(); KllMergeAgg.update set the pattern)
+    if (s.k == 0) buffer
+    else if (buffer.k == 0) s
+    else { Mg.mergeInto(buffer, s); buffer }
   }
 
   override def merge(a: Mg.Buf, b: Mg.Buf): Mg.Buf =

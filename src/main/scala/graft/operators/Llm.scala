@@ -883,21 +883,26 @@ object Llm {
     // oracle) as llm_decontaminate, the plan a BIG benchmark set needs.
     // llm_decontaminate broadcasts the benchmark shingles as a hash
     // relation, which stops fitting first as suites grow; here the set
-    // compresses to a fixed 128 KB Bloom filter (scalar broadcast), the
-    // corpus shingle stream is pruned MAP-SIDE by bloom_contains (no
-    // false negatives ⇒ survivors ⊇ true matches), and only the
-    // surviving sliver pays the exact SHUFFLE_HASH semi-join that
-    // removes false positives. At 100 TB: one corpus scan, a shuffle
-    // sized to (matches + ~0.3% fp), and no benchmark-sized broadcast.
+    // compresses to a fixed 128 KB Bloom filter (inlined as a literal —
+    // one task-local copy), the corpus shingle stream is pruned MAP-SIDE
+    // by bloom_contains (no false negatives ⇒ survivors ⊇ true matches),
+    // and only the surviving sliver pays the exact SHUFFLE_HASH
+    // semi-join that removes false positives. At 100 TB: one corpus
+    // scan, a shuffle sized to (matches + ~0.3% fp), and no
+    // benchmark-sized broadcast.
     Q("llm_decontaminate_bloom", decontamOracle) { (s, d) =>
       import org.apache.spark.sql.graft.BloomFunctions.{bloomBuild, bloomContains}
       val sh = shingleDf(docs(s, d))
       val bs = sh.where(col("doc_id") % 97 === 0).select("s").distinct()
       val cs = sh.where(col("doc_id") % 97 =!= 0)
-      val bloom = bs.agg(bloomBuild(col("s")).as("bf"))
-      val pref = cs.crossJoin(broadcast(bloom))
-        .where(bloomContains(col("bf"), col("s")))
-        .drop("bf")
+      // the built filter is ONE bounded row — collect it and inline as a
+      // BINARY literal, so the per-row probe reads the task-local literal
+      // bytes in place. The crossJoin-a-1-row-frame alternative was the
+      // trap the sketch family keeps hitting: every probed row would
+      // extract (copy) the 128 KB column value out of the joined row —
+      // 131 KB × corpus shingles of pure memcpy before any probing.
+      val bf = bs.agg(bloomBuild(col("s")).as("bf")).head().getAs[Array[Byte]](0)
+      val pref = cs.where(bloomContains(lit(bf), col("s")))
       val tot = cs.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
       val shr = pref.join(bs.hint("shuffle_hash"), Seq("s"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))

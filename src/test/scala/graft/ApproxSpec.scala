@@ -215,15 +215,41 @@ class ApproxSpec extends AnyFunSuite {
     val fp = (0 until 20000).map(i => s"other$i").toDF("k")
       .crossJoin(merged).where(bloomContains($"bf", $"k")).count()
     assert(fp <= 2L, s"false-positive count $fp far above theory")
+    // type canonicalization: build on INT, probe with BIGINT — the
+    // string cast on both sides makes the hashes agree (a raw-type hash
+    // would differ between INT and BIGINT and silently answer false)
+    val intBuilt = (1 to 100).toDF("i").agg(bloomBuild($"i").as("bf"))
+    assert(intBuilt.select(bloomContains($"bf", lit(50L))).head().getBoolean(0))
+    // a PERSISTED empty filter merged alongside real ones is skipped in
+    // any order — real-then-empty used to throw a shape mismatch
+    val emptyBf = Array.emptyByteArray
+    val realBf = one.head().getAs[Array[Byte]](0)
+    for (ordered <- Seq(Seq(realBf, emptyBf), Seq(emptyBf, realBf))) {
+      val m = ordered.toDF("bf").coalesce(1).agg(bloomMerge($"bf").as("m"))
+        .head().getAs[Array[Byte]](0)
+      assert(m.sameElements(realBf))
+    }
   }
 
   test("mg empty sketch: merge over all-NULL group yields empty top-k, no crash") {
-    import org.apache.spark.sql.graft.MgFunctions.{mgMerge, mgTopk}
+    import org.apache.spark.sql.graft.MgFunctions.{mgMerge, mgSketch, mgTopk}
+    import org.apache.spark.sql.graft.Mg
     import spark.implicits._
     val allNull = Seq(null: Array[Byte], null: Array[Byte]).toDF("sk")
     val top = allNull.agg(mgMerge($"sk").as("m"))
       .select(mgTopk($"m", lit(5))).head().getSeq[Any](0)
     assert(top.isEmpty)
+    // a PERSISTED empty summary (k=0) merged alongside real ones must be
+    // skipped whatever order rows arrive in — the real-then-empty order
+    // used to throw a k-mismatch from update()
+    val empty = Mg.serialize(new Mg.Buf(0))
+    val real = Seq("a", "a", "b").toDF("x")
+      .agg(mgSketch($"x").as("sk")).head().getAs[Array[Byte]](0)
+    for (ordered <- Seq(Seq(real, empty), Seq(empty, real))) {
+      val merged = ordered.toDF("sk").coalesce(1).agg(mgMerge($"sk").as("m"))
+        .head().getAs[Array[Byte]](0)
+      assert(Mg.deserialize(merged).counts.toMap == Map("a" -> 2L, "b" -> 1L))
+    }
   }
 
   test("llm_heavy_hitters: CMS candidate pruning is lossless vs the exact plan") {

@@ -8,14 +8,18 @@ class ZOrderSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("column z-key == bit-loop reference on random 32-bit points") {
+  test("column z-key == bit-loop reference on random grid points") {
     val rnd = new scala.util.Random(7)
-    val pts = Seq.fill(500)((rnd.nextInt() & 0xffffffffL, rnd.nextInt() & 0xffffffffL))
+    // the documented domain is a ≤31-bit grid per dimension
+    val pts = Seq.fill(500)((rnd.nextInt() & 0x7fffffffL, rnd.nextInt() & 0x7fffffffL))
     val got = pts.toDF("a", "b")
       .select(col("a"), col("b"), ZOrder.key(col("a"), col("b")).as("z"))
       .collect()
     got.foreach { r =>
       assert(r.getLong(2) == ZOrder.keyRef(r.getLong(0), r.getLong(1)))
+      // signed ordering == z-curve ordering requires a non-negative key —
+      // the reason the grid caps at 31 bits per dimension
+      assert(r.getLong(2) >= 0L)
     }
   }
 
@@ -26,8 +30,8 @@ class ZOrderSpec extends AnyFunSuite {
     // equal z(a >> s, b >> s)
     val rnd = new scala.util.Random(11)
     for (_ <- 0 until 200; s <- Seq(4, 8, 16)) {
-      val a = rnd.nextInt() & 0xffffffffL
-      val b = rnd.nextInt() & 0xffffffffL
+      val a = rnd.nextInt() & 0x7fffffffL
+      val b = rnd.nextInt() & 0x7fffffffL
       assert((ZOrder.keyRef(a, b) >>> (2 * s)) == ZOrder.keyRef(a >>> s, b >>> s))
     }
   }
@@ -40,6 +44,8 @@ class ZOrderSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.startsWith("*(1) Project"))
     // sanity: interleave of (1,0) is bit 0 set; of (0,1) is bit 1
     assert(ZOrder.keyRef(1, 0) == 1L && ZOrder.keyRef(0, 1) == 2L)
-    assert(ZOrder.keyRef(0xffffffffL, 0) == 0x5555555555555555L)
+    // 31 bits spread over even positions 0..60; the max key stays positive
+    assert(ZOrder.keyRef(0x7fffffffL, 0) == 0x1555555555555555L)
+    assert(ZOrder.keyRef(0x7fffffffL, 0x7fffffffL) == 0x3fffffffffffffffL)
   }
 }
