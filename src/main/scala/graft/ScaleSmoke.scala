@@ -67,6 +67,70 @@ object ScaleSmoke {
         .count()
     }
 
+    // Round-5 mergeable families at scale. MG: one fixed-size summary
+    // pass over a 24M-token Zipf-ish stream with a 20M-key vocabulary
+    // (idx = ⌊V·u³⌋ — ~10% of mass on token 0, a mostly-unique tail, ~5M
+    // realized distinct keys) vs the exact groupBy top-k, which must
+    // build and shuffle the whole distinct-key space. The MG pass
+    // carries ≤k counters per partition whatever the vocabulary; the
+    // measured gap GROWS with distinct keys, and at a web-scale
+    // vocabulary the exact plan's exchange is the bottleneck while MG's
+    // state stays 64 counters. (With a tiny 4k vocab the exact plan
+    // actually wins locally — its map-side combine collapses the stream
+    // and codegen beats the typed per-row update; fixed-size state is a
+    // SCALE property, not a local-CPU one.)
+    locally {
+      import org.apache.spark.sql.graft.MgFunctions.{mgSketch, mgTopk}
+      val toks = spark.range(24000000L).select(
+        concat(lit("t"), floor(lit(20000000) * pow(
+          (pmod(xxhash64(col("id")), lit(1000000)) + 0.5) / 1000000.0,
+          lit(3.0))).cast("long")).as("token"))
+      var mgTop: Seq[String] = Nil
+      time("mg top-k one-pass 24M") {
+        mgTop = toks.agg(mgTopk(mgSketch(col("token"), 64), lit(10)).as("top"))
+          .selectExpr("inline(top)").collect().map(_.getString(0)).toSeq
+        mgTop.size.toLong
+      }
+      var exactTop: Seq[String] = Nil
+      time("mg exact top-k baseline 24M") {
+        exactTop = toks.groupBy("token").count()
+          .orderBy(col("count").desc, col("token")).limit(10)
+          .collect().map(_.getString(0)).toSeq
+        exactTop.size.toLong
+      }
+      // presence guarantee: every token above n/(k+1) ≈ 1.5% of the
+      // stream is in the summary; the top-3 here hold ~10/3/2% of mass
+      require(exactTop.take(3).forall(mgTop.contains),
+        s"MG summary lost a guaranteed heavy token: exact=$exactTop mg=$mgTop")
+    }
+
+    // Bloom at scale: prune a 24M-row probe stream against a 100k-key
+    // set — the fixed 128 KB filter probes map-side (inlined literal, no
+    // join at all) vs the broadcast hash semi-join that must build and
+    // ship the whole key set. Survivor counts must agree after exact
+    // verification (no false negatives ⇒ bloom survivors ⊇ matches).
+    locally {
+      import org.apache.spark.sql.graft.BloomFunctions.{bloomBuild, bloomContains}
+      val keys = spark.range(100000L).select(concat(lit("k"), col("id") * 7).as("k"))
+      val probes = spark.range(24000000L).select(
+        concat(lit("k"), pmod(xxhash64(col("id")), lit(1400000))).as("k"))
+      var viaJoin = 0L
+      time("membership semi-join 24M") {
+        viaJoin = probes.join(broadcast(keys), Seq("k"), "left_semi").count()
+        viaJoin
+      }
+      time("membership bloom prune 24M") {
+        val bf = keys.agg(bloomBuild(col("k")).as("bf")).head().getAs[Array[Byte]](0)
+        val survivors = probes.where(bloomContains(lit(bf), col("k")))
+        // exact verify only over the pruned sliver
+        val exactOfSurvivors = survivors
+          .join(broadcast(keys), Seq("k"), "left_semi").count()
+        require(exactOfSurvivors == viaJoin,
+          s"bloom-pruned exact count $exactOfSurvivors != semi-join $viaJoin")
+        exactOfSurvivors
+      }
+    }
+
     // Zipf(1.1) user ids — real CommCare-like workloads are Zipfian, not
     // uniform: inverse-CDF of the continuous Zipf over N=30k users, so the
     // hottest user owns ~10% of all 60M events (~6.2M rows in ONE window
