@@ -136,6 +136,38 @@ class ArrayOutputSpec extends AnyFunSuite {
     }
   }
 
+  test("int8-quantized cosine preserves top-k search (recall@10 ≥ 0.9)") {
+    // the property that makes llm_embedding_quantize the serving path:
+    // ranking by cosine over DEQUANTIZED int8 vectors reproduces the
+    // exact float top-k almost verbatim (64-dim, |q·scale − x| ≤ scale/2
+    // per element ⇒ relative cosine perturbation ≪ neighbor gaps)
+    val vecs = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    def dequant(x: Array[Double]): Array[Double] = {
+      val scale = BigDecimal(x.map(math.abs).max / 127)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (scale == 0) x.map(_ => 0.0)
+      else x.map(v => math.round(v / scale).toDouble * scale)
+    }
+    val deq = vecs.map { case (id, v) => id -> dequant(v) }.toMap
+    val recalls = vecs.take(20).map { case (qid, qv) =>
+      def top10(space: Long => Array[Double], q: Array[Double]) =
+        vecs.filter(_._1 != qid)
+          .map { case (id, _) => id -> cos(space(id), q) }
+          .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      val exact = top10(id => vecs.find(_._1 == id).get._2, qv)
+      val viaInt8 = top10(deq, deq(qid))
+      exact.intersect(viaInt8).size / 10.0
+    }
+    val meanRecall = recalls.sum / recalls.length
+    assert(meanRecall >= 0.9, s"recall@10 over int8 = $meanRecall")
+  }
+
   test("multimodal media struct carries payload/mime/meta through ops") {
     val row = operators.Multimodal.attachMedia(Tables(spark, sf, "documents"))
       .filter(_.doc_id == 0L).head()
