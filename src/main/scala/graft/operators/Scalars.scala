@@ -132,6 +132,27 @@ object Scalars {
         .orderBy("event_id")
     },
 
+    // The Spark-4-native semi-structured path (R10): parse the property
+    // bag ONCE into a VARIANT (binary-encoded, shreddable) and extract
+    // typed fields from it — at 100 TB the parse is a single pass and
+    // every extraction reads the binary encoding, vs get_json_object
+    // re-parsing the raw text per call. Same answer (and same-shaped
+    // oracle) as fn_json; the DECLARED columns are plain string/bigint
+    // so DuckDB compares values, not encodings.
+    Q("fn_json_variant",
+      """SELECT event_id,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(
+          col("event_id"),
+          try_variant_get(col("v"), "$.k", "string").as("k_str"),
+          try_variant_get(col("v"), "$.k", "long").as("k_int"))
+        .orderBy("event_id")
+    },
+
     // NS: array kit over the embedding column — higher-order fns, no UDF.
     // Float-array outputs are projected to comma-joined MICRO-INTEGER
     // strings (round(x·10⁶) per element): the driver's comparator cannot
