@@ -266,9 +266,14 @@ object Pipeline {
   }
 
   private def write(df: DataFrame, partitionCol: Option[String], path: String): TableResult = {
-    val w = df.write.mode(SaveMode.Overwrite)
+    // the published-row count rides the WRITE pass via observe() —
+    // re-reading the table just to count it costs a full extra scan of
+    // the output at 100 TB. Observation blocks until the write action
+    // finishes, then hands back the in-flight metric.
+    val obs = org.apache.spark.sql.Observation(s"write_${path.split('/').last}")
+    val w = df.observe(obs, count(lit(1)).as("rows")).write.mode(SaveMode.Overwrite)
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(path)
-    TableResult(path.split('/').last, df.sparkSession.read.parquet(path).count(), path)
+    TableResult(path.split('/').last, obs.get("rows").asInstanceOf[Long], path)
   }
 
   /** Rehydrate a published table (month-pruned when `month` is given) —

@@ -205,6 +205,32 @@ object Aggregates {
           .orderBy("hour_start", "event_type")
     },
 
+    // R11: wide→long reshaping (the inverse of agg_pivot) — Spark 4's
+    // native unpivot/melt. Zero-shuffle: each input row explodes to one
+    // row per measure map-side (Expand), so the reshape costs one narrow
+    // pass at any scale. The oracle is the portable UNION ALL form.
+    Q(
+      "agg_unpivot",
+      """SELECT c_custkey, metric, value FROM (
+        |  SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'c_nationkey' AS metric,
+        |         CAST(c_nationkey AS DOUBLE) AS value
+        |  FROM customer
+        |) ORDER BY c_custkey, metric""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          col("c_acctbal"),
+          col("c_nationkey").cast("double").as("c_nationkey"))
+        .unpivot(
+          Array(col("c_custkey")),
+          Array(col("c_acctbal"), col("c_nationkey")),
+          "metric", "value")
+        .orderBy("c_custkey", "metric")
+    },
+
     // R11: fixed-width histogram + CDF — the distribution report the
     // reference's R analysis layer draws (bucket counts + cumulative
     // share). Two-level plan: the data-sized pass is a plain hash
