@@ -51,6 +51,23 @@ class EtlSpec extends AnyFunSuite {
     assert(a.exceptAll(b).as[Int].collect().sorted.toSeq == Seq(1, 1))
   }
 
+  test("etl_scd2 ⋈ as-of T reconstructs etl_snapshot_scd's state at T") {
+    // the two SCD representations must agree: filtering the history
+    // table to valid_from <= T < valid_to picks exactly the state the
+    // point-in-time snapshot reports (snapshot returns the latest EVENT
+    // row; its event_type is the open version's state by construction)
+    val sf = "/root/testdata/sf0.001"
+    val T = "2024-01-15 00:00:00"
+    val scd = SparkEntry.queries("etl_scd2")(spark, sf)
+    val asOf = scd.where($"valid_from" <= lit(T).cast("timestamp") &&
+        ($"valid_to".isNull || $"valid_to" > lit(T).cast("timestamp")))
+      .select($"user_id", $"state")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val snap = SparkEntry.queries("etl_snapshot_scd")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("event_type")).toMap
+    assert(asOf == snap)
+  }
+
   test("etl_scd2: versions chain gaplessly, states alternate, one current row per user") {
     val scd = SparkEntry.queries("etl_scd2")(spark, "/root/testdata/sf0.001")
       .cache()
