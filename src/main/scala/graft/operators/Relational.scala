@@ -210,6 +210,27 @@ object Relational {
     // As-of: each purchase matched to the user's latest at-or-before view.
     // No native asof join in Spark — equi+range join then windowed pick;
     // InferWindowGroupLimit turns the rn=1 filter into a group-limit.
+    // Correlated scalar subquery (round 5): customers holding their
+    // nation's top balance. Exercises Catalyst's DECORRELATION — the
+    // per-row subquery is rewritten into one aggregate + one join
+    // (RewriteCorrelatedScalarSubquery), so the declared plan runs two
+    // scans and a join, never a subquery per outer row (PlanSpec pins
+    // the aggregate-join shape). The reference delegates this rewrite to
+    // PostgreSQL's planner; here it is Catalyst's, for free.
+    Q(
+      "join_correlated_scalar",
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+        |WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables(s, d, "customer").createOrReplaceTempView("customer_corr_v")
+      s.sql(
+        """SELECT c_custkey, c_nationkey, c_acctbal FROM customer_corr_v c
+          |WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM customer_corr_v c2
+          |                   WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
     Q("join_asof",
       """WITH p AS (
         |  SELECT user_id, ts AS p_ts, event_id AS p_id FROM events

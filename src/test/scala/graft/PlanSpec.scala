@@ -129,6 +129,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("join_correlated_scalar decorrelates to one aggregate + one join") {
+    // the correlated scalar subquery must be rewritten into a per-nation
+    // max aggregate joined back — a per-outer-row subquery execution
+    // would show a Subquery/ScalarSubquery node in the physical plan
+    val p = plan("join_correlated_scalar")
+    assert(p.contains("HashAggregate"), s"decorrelated aggregate missing:\n$p")
+    assert(!p.toLowerCase.contains("scalarsubquery"),
+      s"subquery survived decorrelation:\n$p")
+  }
+
   test("join_inner_equi plans an equi hash/merge join, not nested loop") {
     val p = plan("join_inner_equi")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
