@@ -98,8 +98,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"cms_sketch width must be an INT literal, got $other")
         }.getOrElse(2048)
-        org.apache.spark.sql.graft.CmsSketchAgg(children.head, w)
-          .toAggregateExpression()
+        // string-cast: build and query must hash the same canonical
+        // bytes whatever each side's type (see CmsFunctions.cmsSketch)
+        org.apache.spark.sql.graft.CmsSketchAgg(
+          Cast(children.head, StringType), w).toAggregateExpression()
       }))
     ext.injectFunction((
       FunctionIdentifier("cms_merge"),
@@ -116,7 +118,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cms_query"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "cms_query expects (sketch, value)")
-        org.apache.spark.sql.graft.CmsQuery(children(0), children(1))
+        org.apache.spark.sql.graft.CmsQuery(children(0),
+          Cast(children(1), StringType))
       }))
     // KLL quantile family (round 5): kll_sketch(x[, k]) → BINARY,
     // kll_merge(sketch) → BINARY (associative), kll_quantile(sketch, q)

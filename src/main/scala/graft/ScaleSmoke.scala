@@ -68,23 +68,25 @@ object ScaleSmoke {
     }
 
     // Round-5 mergeable families at scale. MG: one fixed-size summary
-    // pass over a 24M-token Zipf-ish stream with a 20M-key vocabulary
-    // (idx = ⌊V·u³⌋ — ~10% of mass on token 0, a mostly-unique tail, ~5M
-    // realized distinct keys) vs the exact groupBy top-k, which must
-    // build and shuffle the whole distinct-key space. The MG pass
-    // carries ≤k counters per partition whatever the vocabulary; the
-    // measured gap GROWS with distinct keys, and at a web-scale
-    // vocabulary the exact plan's exchange is the bottleneck while MG's
-    // state stays 64 counters. (With a tiny 4k vocab the exact plan
-    // actually wins locally — its map-side combine collapses the stream
-    // and codegen beats the typed per-row update; fixed-size state is a
-    // SCALE property, not a local-CPU one.)
+    // pass over a 24M-token stream whose head is three hot tokens (5%,
+    // 3%, 2% of mass — each safely above the k=64 presence bound
+    // n/(k+1) ≈ 1.5%, so Misra-Gries GUARANTEES they survive) and whose
+    // tail is per-row-unique (~21.6M distinct keys) vs the exact groupBy
+    // top-k, which must build and shuffle the whole distinct-key space.
+    // The MG pass carries ≤k counters per partition whatever the
+    // vocabulary; the measured gap GROWS with distinct keys. (With a
+    // tiny 4k vocab the exact plan actually wins locally — its map-side
+    // combine collapses the stream and codegen beats the typed per-row
+    // update; fixed-size state is a SCALE property, not a local-CPU
+    // one.)
     locally {
       import org.apache.spark.sql.graft.MgFunctions.{mgSketch, mgTopk}
+      val bucket = pmod(xxhash64(col("id")), lit(100))
       val toks = spark.range(24000000L).select(
-        concat(lit("t"), floor(lit(20000000) * pow(
-          (pmod(xxhash64(col("id")), lit(1000000)) + 0.5) / 1000000.0,
-          lit(3.0))).cast("long")).as("token"))
+        when(bucket < 5, lit("hot0"))
+          .when(bucket < 8, lit("hot1"))
+          .when(bucket < 10, lit("hot2"))
+          .otherwise(concat(lit("t"), col("id"))).as("token"))
       var mgTop: Seq[String] = Nil
       time("mg top-k one-pass 24M") {
         mgTop = toks.agg(mgTopk(mgSketch(col("token"), 64), lit(10)).as("top"))
@@ -98,10 +100,10 @@ object ScaleSmoke {
           .collect().map(_.getString(0)).toSeq
         exactTop.size.toLong
       }
-      // presence guarantee: every token above n/(k+1) ≈ 1.5% of the
-      // stream is in the summary; the top-3 here hold ~10/3/2% of mass
-      require(exactTop.take(3).forall(mgTop.contains),
-        s"MG summary lost a guaranteed heavy token: exact=$exactTop mg=$mgTop")
+      // guarded so either section can still run alone via the name filter
+      if (mgTop.nonEmpty && exactTop.nonEmpty)
+        require(exactTop.take(3).forall(mgTop.contains),
+          s"MG summary lost a guaranteed heavy token: exact=$exactTop mg=$mgTop")
     }
 
     // Bloom at scale: prune a 24M-row probe stream against a 100k-key
@@ -125,8 +127,10 @@ object ScaleSmoke {
         // exact verify only over the pruned sliver
         val exactOfSurvivors = survivors
           .join(broadcast(keys), Seq("k"), "left_semi").count()
-        require(exactOfSurvivors == viaJoin,
-          s"bloom-pruned exact count $exactOfSurvivors != semi-join $viaJoin")
+        // guarded: the semi-join section may be filtered out of this run
+        if (viaJoin > 0)
+          require(exactOfSurvivors == viaJoin,
+            s"bloom-pruned exact count $exactOfSurvivors != semi-join $viaJoin")
         exactOfSurvivors
       }
     }

@@ -269,11 +269,23 @@ object Pipeline {
     // the published-row count rides the WRITE pass via observe() —
     // re-reading the table just to count it costs a full extra scan of
     // the output at 100 TB. Observation blocks until the write action
-    // finishes, then hands back the in-flight metric.
-    val obs = org.apache.spark.sql.Observation(s"write_${path.split('/').last}")
-    val w = df.observe(obs, count(lit(1)).as("rows")).write.mode(SaveMode.Overwrite)
-    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(path)
-    TableResult(path.split('/').last, obs.get("rows").asInstanceOf[Long], path)
+    // finishes, then hands back the in-flight metric. The overwrite mode
+    // is pinned STATIC for this full-rebuild write: under a caller
+    // session's partitionOverwriteMode=dynamic, Overwrite+partitionBy
+    // would replace only df's partitions and the observed input count
+    // would no longer equal the published table count.
+    val spark = df.sparkSession
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      val obs = org.apache.spark.sql.Observation(s"write_${path.split('/').last}")
+      val w = df.observe(obs, count(lit(1)).as("rows")).write.mode(SaveMode.Overwrite)
+      partitionCol.fold(w)(c => w.partitionBy(c)).parquet(path)
+      TableResult(path.split('/').last, obs.get("rows").asInstanceOf[Long], path)
+    } finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 
   /** Rehydrate a published table (month-pruned when `month` is given) —

@@ -185,18 +185,31 @@ case class CmsQuery(left: Expression, right: Expression)
 }
 
 object CmsFunctions {
-  /** Aggregate a column into a persistable binary count-min sketch. */
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.types.StringType
+
+  /** Aggregate a column into a persistable binary count-min sketch. Keys
+    * are cast through STRING so sketch and query hash the same bytes
+    * whatever each side's column type is — XxHash64 hashes INT and
+    * BIGINT differently, and a build/query type mismatch would read
+    * unrelated cells, silently UNDER-estimating and breaking the
+    * never-underestimate guarantee llm_heavy_hitters' candidate pruning
+    * rests on (same canonical-form contract as Mg/Bloom/portable_hash).
+    */
   def cmsSketch(c: Column, w: Int = 2048): Column =
     ExpressionUtils.column(
-      CmsSketchAgg(ExpressionUtils.expression(c), w).toAggregateExpression())
+      CmsSketchAgg(Cast(ExpressionUtils.expression(c), StringType), w)
+        .toAggregateExpression())
 
   /** Aggregate (merge) persisted binary sketches — exact. */
   def cmsMerge(c: Column): Column =
     ExpressionUtils.column(
       CmsMergeAgg(ExpressionUtils.expression(c)).toAggregateExpression())
 
-  /** Point frequency estimate of `value` in `sketch` (overestimate-only). */
+  /** Point frequency estimate of `value` in `sketch` (overestimate-only;
+    * value string-cast — see [[cmsSketch]]). */
   def cmsQuery(sketch: Column, value: Column): Column =
     ExpressionUtils.column(CmsQuery(
-      ExpressionUtils.expression(sketch), ExpressionUtils.expression(value)))
+      ExpressionUtils.expression(sketch),
+      Cast(ExpressionUtils.expression(value), StringType)))
 }

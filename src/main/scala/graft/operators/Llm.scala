@@ -883,8 +883,9 @@ object Llm {
     // oracle) as llm_decontaminate, the plan a BIG benchmark set needs.
     // llm_decontaminate broadcasts the benchmark shingles as a hash
     // relation, which stops fitting first as suites grow; here the set
-    // compresses to a fixed 128 KB Bloom filter (inlined as a literal —
-    // one task-local copy), the corpus shingle stream is pruned MAP-SIDE
+    // compresses to a fixed 128 KB Bloom filter (an uncorrelated scalar
+    // subquery — computed once, read in place per probe), the corpus
+    // shingle stream is pruned MAP-SIDE
     // by bloom_contains (no false negatives ⇒ survivors ⊇ true matches),
     // and only the surviving sliver pays the exact SHUFFLE_HASH
     // semi-join that removes false positives. At 100 TB: one corpus
@@ -895,14 +896,17 @@ object Llm {
       val sh = shingleDf(docs(s, d))
       val bs = sh.where(col("doc_id") % 97 === 0).select("s").distinct()
       val cs = sh.where(col("doc_id") % 97 =!= 0)
-      // the built filter is ONE bounded row — collect it and inline as a
-      // BINARY literal, so the per-row probe reads the task-local literal
-      // bytes in place. The crossJoin-a-1-row-frame alternative was the
-      // trap the sketch family keeps hitting: every probed row would
-      // extract (copy) the 128 KB column value out of the joined row —
-      // 131 KB × corpus shingles of pure memcpy before any probing.
-      val bf = bs.agg(bloomBuild(col("s")).as("bf")).head().getAs[Array[Byte]](0)
-      val pref = cs.where(bloomContains(lit(bf), col("s")))
+      // the built filter is ONE bounded value — deliver it through an
+      // uncorrelated scalar subquery: Spark computes it once per
+      // execution and every per-row probe reads the cached result in
+      // place (plan construction stays LAZY — no job just to build the
+      // DataFrame). The crossJoin-a-1-row-frame alternative was the trap
+      // the sketch family keeps hitting: every probed row would extract
+      // (copy) the 128 KB column value out of the joined row — 131 KB ×
+      // corpus shingles of pure memcpy before any probing.
+      bs.createOrReplaceTempView("graft_decontam_bs")
+      val pref = cs.where(bloomContains(
+        expr("(SELECT bloom_build(s) FROM graft_decontam_bs)"), col("s")))
       val tot = cs.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
       val shr = pref.join(bs.hint("shuffle_hash"), Seq("s"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))

@@ -141,28 +141,29 @@ class ArrayOutputSpec extends AnyFunSuite {
     // ranking by cosine over DEQUANTIZED int8 vectors reproduces the
     // exact float top-k almost verbatim (64-dim, |q·scale − x| ≤ scale/2
     // per element ⇒ relative cosine perturbation ≪ neighbor gaps)
-    val vecs = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val exactVecs = Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    // dequantize from the DECLARED query's own output (q8 codes + scale),
+    // so a change to the production quantizer is what this test exercises
+    val deq = SparkEntry.queries("llm_embedding_quantize")(spark, "/root/testdata/sf0.001")
+      .collect().map { r =>
+        val scale = r.getAs[Double]("scale")
+        r.getAs[Long]("vec_id") ->
+          r.getAs[String]("q8").split(",").map(_.toDouble * scale)
+      }.toMap
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0
       for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
       d / math.sqrt(na * nb)
     }
-    def dequant(x: Array[Double]): Array[Double] = {
-      val scale = BigDecimal(x.map(math.abs).max / 127)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      if (scale == 0) x.map(_ => 0.0)
-      else x.map(v => math.round(v / scale).toDouble * scale)
-    }
-    val deq = vecs.map { case (id, v) => id -> dequant(v) }.toMap
-    val recalls = vecs.take(20).map { case (qid, qv) =>
-      def top10(space: Long => Array[Double], q: Array[Double]) =
-        vecs.filter(_._1 != qid)
-          .map { case (id, _) => id -> cos(space(id), q) }
-          .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
-      val exact = top10(id => vecs.find(_._1 == id).get._2, qv)
-      val viaInt8 = top10(deq, deq(qid))
-      exact.intersect(viaInt8).size / 10.0
+    def top10(space: Map[Long, Array[Double]], qid: Long) =
+      space.iterator.filter(_._1 != qid)
+        .map { case (id, v) => id -> cos(v, space(qid)) }
+        .toSeq.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    val qids = exactVecs.keys.toSeq.sorted.take(20)
+    val recalls = qids.map { qid =>
+      top10(exactVecs, qid).intersect(top10(deq, qid)).size / 10.0
     }
     val meanRecall = recalls.sum / recalls.length
     assert(meanRecall >= 0.9, s"recall@10 over int8 = $meanRecall")

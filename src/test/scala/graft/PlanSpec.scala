@@ -135,7 +135,9 @@ class PlanSpec extends AnyFunSuite {
     // would show a Subquery/ScalarSubquery node in the physical plan
     val p = plan("join_correlated_scalar")
     assert(p.contains("HashAggregate"), s"decorrelated aggregate missing:\n$p")
-    assert(!p.toLowerCase.contains("scalarsubquery"),
+    // Spark renders a surviving scalar subquery as "scalar-subquery#<id>"
+    // (hyphenated) inside a Subquery node — check the real spellings
+    assert(!p.contains("scalar-subquery") && !p.contains("Subquery"),
       s"subquery survived decorrelation:\n$p")
   }
 
@@ -237,9 +239,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("llm_decontaminate_bloom: fixed-size filter broadcast, shuffled exact verify") {
     // the point of the bloom plan: the benchmark set itself is NOT
-    // broadcast as a hash relation — the 128 KB filter is (via a 1-row
-    // cross join), the stream is pruned map-side, and the exact verify
-    // semi-join is a SHUFFLE_HASH join sized to the surviving sliver
+    // broadcast as a hash relation — the 128 KB filter arrives through
+    // an uncorrelated scalar subquery (computed once), the stream is
+    // pruned map-side, and the exact verify semi-join is a SHUFFLE_HASH
+    // join sized to the surviving sliver
     val p = plan("llm_decontaminate_bloom")
     assert(p.contains("bloom_contains"), s"map-side probe missing:\n$p")
     assert(p.contains("ShuffledHashJoin") && p.contains("LeftSemi"),
