@@ -854,6 +854,61 @@ object Llm {
         .orderBy("d1", "d2")
     },
 
+    // PMI collocation mining (round 5): the R11 text-analysis report for
+    // "which word pairs belong together" — adjacent-bigram counts vs
+    // their margins, pmi = ln(p(a,b)/(p(a)·p(b))) over the bigram space.
+    // Plan shape: one explode pass → three hash aggregates off the SAME
+    // bigram frame (margins derived from the pair counts, not a second
+    // corpus scan) → broadcast margin joins (vocabulary-sized, the
+    // bounded side) → global top-20. All counts integer until the one
+    // rounded ln at the end, so both engines agree bit-for-bit.
+    Q("llm_pmi_bigrams",
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), bg AS (
+        |  SELECT t[i] AS a, t[i + 1] AS b
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM tok WHERE len(t) >= 2)
+        |), nab AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS nab FROM bg GROUP BY a, b
+        |), na AS (
+        |  SELECT a, CAST(count(*) AS BIGINT) AS na FROM bg GROUP BY a
+        |), nb AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS nb FROM bg GROUP BY b
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM bg
+        |)
+        |SELECT a, b, nab,
+        |       round(ln((CAST(nab AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |                (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6) AS pmi
+        |FROM nab JOIN na USING (a) JOIN nb USING (b) CROSS JOIN tot
+        |WHERE nab >= 5
+        |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+      val bg = docs(s, d)
+        .select(split(col("text"), " ").as("t"))
+        .where(size(col("t")) >= 2)
+        .select(expr(
+          "explode(transform(sequence(0, size(t) - 2)," +
+            " i -> struct(t[i] AS a, t[i + 1] AS b))) AS p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val nab = bg.groupBy("a", "b").agg(count(lit(1)).as("nab"))
+      val na = nab.groupBy("a").agg(sum(col("nab")).as("na"))
+      val nb = nab.groupBy("b").agg(sum(col("nab")).as("nb"))
+      val tot = nab.agg(sum(col("nab")).as("n"))
+      nab.join(broadcast(na), Seq("a"))
+        .join(broadcast(nb), Seq("b"))
+        .crossJoin(broadcast(tot))
+        .where(col("nab") >= 5)
+        .select(
+          col("a"), col("b"), col("nab"),
+          round(
+            log((col("nab").cast("double") * col("n").cast("double")) /
+              (col("na").cast("double") * col("nb").cast("double"))),
+            6).as("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+        .limit(20)
+    },
+
     // Benchmark decontamination (round 4): flag training docs sharing any
     // 3-token shingle with the benchmark set (here: doc_id % 97 == 0, the
     // deterministic stand-in for a held-out eval suite). The real-pipeline
