@@ -205,6 +205,76 @@ object Aggregates {
           .orderBy("hour_start", "event_type")
     },
 
+    // R9/R11: per-column data-quality profile — the nightly audit report
+    // (row count, nulls, distincts, min/max) a warehouse platform runs
+    // over every ingested table. ONE scan: a single aggregate row holds
+    // every column's metrics, then a stack() melt reshapes it to one row
+    // per column — profiling four columns costs the same pass as
+    // profiling one (the naive per-column UNION of aggregates, which the
+    // ORACLE deliberately uses, scans the table once per column).
+    // Doubles go through DECIMAL(18,2) before the string cast so both
+    // engines render identically.
+    Q(
+      "dq_profile",
+      """SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |       CAST(min(o_custkey) AS VARCHAR) AS min_v,
+        |       CAST(max(o_custkey) AS VARCHAR) AS max_v
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', CAST(count(*) AS BIGINT),
+        |       CAST(count(*) - count(o_orderkey) AS BIGINT),
+        |       CAST(count(DISTINCT o_orderkey) AS BIGINT),
+        |       CAST(min(o_orderkey) AS VARCHAR),
+        |       CAST(max(o_orderkey) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |       CAST(count(*) - count(o_orderstatus) AS BIGINT),
+        |       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |       min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+        |       CAST(count(*) - count(o_totalprice) AS BIGINT),
+        |       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |       CAST(CAST(round(min(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR),
+        |       CAST(CAST(round(max(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR)
+        |FROM orders
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      def dec(c: org.apache.spark.sql.Column) =
+        round(c, 2).cast("decimal(18,2)").cast("string")
+      val one = o.agg(
+        count(lit(1)).as("n"),
+        count(col("o_custkey")).as("cnt_ck"),
+        countDistinct(col("o_custkey")).as("nd_ck"),
+        min(col("o_custkey")).cast("string").as("min_ck"),
+        max(col("o_custkey")).cast("string").as("max_ck"),
+        count(col("o_orderkey")).as("cnt_ok"),
+        countDistinct(col("o_orderkey")).as("nd_ok"),
+        min(col("o_orderkey")).cast("string").as("min_ok"),
+        max(col("o_orderkey")).cast("string").as("max_ok"),
+        count(col("o_orderstatus")).as("cnt_os"),
+        countDistinct(col("o_orderstatus")).as("nd_os"),
+        min(col("o_orderstatus")).as("min_os"),
+        max(col("o_orderstatus")).as("max_os"),
+        count(col("o_totalprice")).as("cnt_tp"),
+        countDistinct(col("o_totalprice")).as("nd_tp"),
+        dec(min(col("o_totalprice"))).as("min_tp"),
+        dec(max(col("o_totalprice"))).as("max_tp"))
+      one.select(col("n"), expr(
+        """stack(4,
+          |  'o_custkey',    n - cnt_ck, nd_ck, min_ck, max_ck,
+          |  'o_orderkey',   n - cnt_ok, nd_ok, min_ok, max_ok,
+          |  'o_orderstatus', n - cnt_os, nd_os, min_os, max_os,
+          |  'o_totalprice', n - cnt_tp, nd_tp, min_tp, max_tp
+          |) AS (col_name, n_null, n_distinct, min_v, max_v)""".stripMargin))
+        .select("col_name", "n", "n_null", "n_distinct", "min_v", "max_v")
+        .orderBy("col_name")
+    },
+
     // R11: wide→long reshaping (the inverse of agg_pivot) — Spark 4's
     // native unpivot/melt. Zero-shuffle: each input row explodes to one
     // row per measure map-side (Expand), so the reshape costs one narrow

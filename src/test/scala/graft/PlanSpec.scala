@@ -129,6 +129,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dq_profile: one scan profiles every column (stack melt, not per-column UNION)") {
+    // the oracle's per-column UNION scans the table once per column; the
+    // declared plan must hold ONE scan feeding one aggregate row that a
+    // stack() melt reshapes — profiling N columns at the cost of one pass
+    val p = plan("dq_profile")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly 1 orders scan, plan had $scans:\n$p")
+  }
+
   test("join_correlated_scalar decorrelates to one aggregate + one join") {
     // the correlated scalar subquery must be rewritten into a per-nation
     // max aggregate joined back — a per-outer-row subquery execution
