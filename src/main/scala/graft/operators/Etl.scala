@@ -477,19 +477,22 @@ object Etl {
         |    FROM events
         |  ) WHERE prev_state IS DISTINCT FROM event_type
         |) ORDER BY user_id, valid_from, version_id""".stripMargin) { (s, d) =>
-      val changed = events(s, d)
-        .withColumn("prev_state", lag(col("event_type"), 1).over(byUserTime))
-        .where(!(col("prev_state") <=> col("event_type")))
-      changed
-        .withColumn("valid_to", lead(col("ts"), 1).over(byUserTime))
-        .select(
-          col("user_id"),
-          col("event_id").as("version_id"),
-          col("event_type").as("state"),
-          col("ts").as("valid_from"),
-          col("valid_to"),
-          col("valid_to").isNull.as("is_current"))
-        .orderBy("user_id", "valid_from", "version_id")
+      scd2(events(s, d)).orderBy("user_id", "valid_from", "version_id")
     }
   )
+
+  /** SCD Type-2 history build over any events-shaped frame (the declared
+    * etl_scd2 plan, minus its output ordering) — factored out so
+    * LawsProps can drive it with generated streams. */
+  def scd2(ev: DataFrame): DataFrame =
+    ev.withColumn("prev_state", lag(col("event_type"), 1).over(byUserTime))
+      .where(!(col("prev_state") <=> col("event_type")))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUserTime))
+      .select(
+        col("user_id"),
+        col("event_id").as("version_id"),
+        col("event_type").as("state"),
+        col("ts").as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
 }

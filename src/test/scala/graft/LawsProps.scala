@@ -102,6 +102,41 @@ object LawsProps extends Properties("graft.laws") {
       partition && entConst && refines
     }
 
+  private val typedEventsGen: Gen[List[(Long, java.sql.Timestamp, Long, String)]] =
+    for {
+      n <- Gen.choose(1, 100)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 3L)
+        off <- Gen.choose(0L, 86400L)
+        st <- Gen.oneOf("a", "b", "c")
+      } yield (u, off, st))
+    } yield rows.zipWithIndex.map { case ((u, off, st), i) =>
+      (i.toLong, new java.sql.Timestamp(base + off * 1000L), u, st)
+    }
+
+  property("scd2: replaying any event log through the history table reproduces it") =
+    Prop.forAll(typedEventsGen) { rows =>
+      val scd = Etl.scd2(rows.toDF("event_id", "ts", "user_id", "event_type"))
+        .collect()
+      // reference build: per user, order by (ts, event_id), keep change
+      // points, close each with the next change's ts
+      val expected = rows.groupBy(_._3).toSeq.flatMap { case (u, es) =>
+        val ordered = es.sortBy(e => (e._2.getTime, e._1))
+        val changes = ordered.foldLeft(List.empty[(Long, java.sql.Timestamp, String)]) {
+          case (acc, (id, ts, _, st)) =>
+            if (acc.headOption.forall(_._3 != st)) (id, ts, st) :: acc else acc
+        }.reverse
+        changes.zipAll(changes.drop(1).map(c => Some(c._2)), null, None).collect {
+          case ((id, ts, st), next) =>
+            (u, id, st, ts, next.asInstanceOf[Option[java.sql.Timestamp]])
+        }
+      }.toSet
+      val got = scd.map(r => (
+        r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3),
+        Option(r.getTimestamp(4)))).toSet
+      got == expected
+    }
+
   private val kvGen: Gen[List[(Long, Long)]] = for {
     n <- Gen.choose(0, 60)
     rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 1000L)))
