@@ -996,6 +996,53 @@ object Llm {
         .limit(10)
     },
 
+    // The int8 SERVING path, oracle-checked end-to-end (round 5): the
+    // same global top-10 as llm_cosine_topk but computed over
+    // llm_embedding_quantize's dequantized vectors — what a store
+    // holding int8 codes + per-vector scale actually serves. Both
+    // engines quantize on the identical 6dp grid, so the oracle is
+    // exact, not recall-approximate (the recall-vs-float question is
+    // ArrayOutputSpec's separate ≥0.9 proof).
+    Q("llm_cosine_topk_int8",
+      """WITH dq AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x ->
+        |           CASE WHEN scale = 0 THEN 0
+        |                ELSE round(CAST(x AS DOUBLE) / scale) * scale END) AS deq
+        |  FROM (SELECT vec_id, embedding,
+        |          round(list_max(list_transform(embedding,
+        |                x -> abs(CAST(x AS DOUBLE)))) / 127, 6) AS scale
+        |        FROM embeddings)
+        |)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       round(list_cosine_similarity(a.deq, b.deq), 6) AS sim
+        |FROM dq a JOIN dq b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC, a_id, b_id LIMIT 10""".stripMargin) { (s, d) =>
+      val base = emb(s, d)
+        .withColumn("scale",
+          round(array_max(transform(col("embedding"),
+            x => abs(x.cast("double")))) / 127, 6))
+        .withColumn("deq", transform(col("embedding"),
+          x => when(col("scale") === 0, lit(0.0))
+            .otherwise(round(x.cast("double") / col("scale")) * col("scale"))))
+        .withColumn("nrm", sqrt(expr(
+          "aggregate(transform(deq, x -> x * x), 0D, (acc, x) -> acc + x)")))
+        .select(col("vec_id"), col("deq"), col("nrm"))
+      val a = base.select(col("vec_id").as("a_id"), col("deq").as("a_deq"),
+        col("nrm").as("a_n")).repartition(probeFanout(s))
+      val b = base.select(col("vec_id").as("b_id"), col("deq").as("b_deq"),
+        col("nrm").as("b_n"))
+      a.join(broadcast(b), col("a_id") < col("b_id"))
+        .select(
+          col("a_id"), col("b_id"),
+          round(
+            expr("aggregate(zip_with(a_deq, b_deq, (x, y) -> x * y)," +
+              " 0D, (acc, v) -> acc + v)") / (col("a_n") * col("b_n")),
+            6).as("sim"))
+        .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+        .limit(10)
+    },
+
     // k-NN per query vector (brute force; the LSH variant is llm_ann_lsh).
     // Ranking uses the *rounded* similarity so both engines agree on ties.
     Q("llm_knn_per_query",
