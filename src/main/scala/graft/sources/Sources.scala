@@ -80,6 +80,19 @@ object Sources {
   def sinkOrc(df: DataFrame, outDir: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(outDir)
 
+  /** Binary-object ingest (R1 × the multimodal north star): every media
+    * object lands as one row — (path, modificationTime, length, content)
+    * — off Spark's native binaryFile source, the crawl-ingest entry that
+    * feeds the multimodal column (attach a mime from the path, wrap as
+    * the Media struct, header-decode batch-wise; SourcesSpec runs that
+    * loop end-to-end on JDK-encoded bytes). Listing and reads are
+    * partition-parallel across files, and `pathGlobFilter` prunes at
+    * LISTING time — non-matching objects cost a directory entry, never a
+    * byte fetch.
+    */
+  def readBinary(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+
   // ------------------------------------------------------------------
   // R2 schema evolution — a migration-managed lake without a table format.
   // The reference's warehouse survives schema drift via SQL migrations;

@@ -133,4 +133,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.schema("amount").dataType == LongType)
     assert(df.agg(sum("amount")).as[Long].head() == 24L)
   }
+
+  test("binaryFile source feeds the multimodal column end-to-end") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{Media, MediaHeaderCodec, MediaRow}
+    val d = Files.createTempDirectory("graft_bin").toString
+    // real JDK-encoded objects on disk — the crawl-ingest shape
+    val img = new java.awt.image.BufferedImage(
+      9, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    assert(javax.imageio.ImageIO.write(img, "png", new java.io.File(s"$d/a.png")))
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val pcm = new Array[Byte](3200)
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 1600L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE,
+      new java.io.File(s"$d/b.wav"))
+    Files.writeString(java.nio.file.Paths.get(s"$d/notes.txt"), "not media")
+
+    // glob prunes at listing time: the txt never costs a byte fetch
+    val bin = Sources.readBinary(spark, d, "*.{png,wav}")
+    assert(bin.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val rows = bin.select("path", "content")
+      .as[(String, Array[Byte])].collect()
+    assert(rows.length == 2)
+    val mediaRows = rows.zipWithIndex.map { case ((p, c), i) =>
+      val mime = if (p.endsWith(".png")) "image/png" else "audio/wav"
+      MediaRow(i.toLong, Media(c, mime, Map("path" -> p)))
+    }
+    val feats = Multimodal
+      .decodeFeatures(spark.createDataset(mediaRows.toSeq), MediaHeaderCodec)
+      .collect().map(f => f.mime -> f.features).toMap
+    // [w, h, depth, channels, ...] for the png; [rate, ch, bits, dur...] wav
+    assert(feats("image/png").take(2).sameElements(Array(9f, 6f)))
+    assert(feats("audio/wav").take(3).sameElements(Array(16000f, 1f, 16f)))
+    assert(feats.values.forall(_(6) == 1f), "both containers must parse")
+  }
 }
