@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.ProductQuantizer
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization properties on the real embedding fixture: 32×
+  * compression with enough ADC fidelity to shortlist true neighbors —
+  * the candidate-generation role PQ plays in a 100 TB vector store
+  * (shortlist by 8-byte codes, rerank the shortlist from int8/float).
+  */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val vecs: Map[Long, Array[Float]] =
+    Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  test("encode is a Spark-expression pass: codes in range, deterministic, 32x smaller") {
+    val pq = ProductQuantizer.train(vecs.values.toArray.sortBy(_.head))
+    val df = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), pq.encode(col("embedding")).as("codes"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(rows.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)),
+      "8 subspace codes of 4 bits each — 8 bytes per 256-byte vector")
+    // deterministic re-encode
+    val again = df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(rows == again)
+    // the plan is a pure projection: no shuffle, no UDF
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must be map-side:\n$plan")
+  }
+
+  test("ADC shortlist of 50 recovers most exact dot-product top-10 neighbors") {
+    val pq = ProductQuantizer.train(vecs.values.toArray.sortBy(_.head))
+    val codes = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), pq.encode(col("embedding")).as("codes"))
+      .cache()
+    try {
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var i = 0
+        while (i < a.length) { d += a(i).toDouble * b(i); i += 1 }
+        d
+      }
+      val qids = vecs.keys.toSeq.sorted.take(15)
+      val recalls = qids.map { qid =>
+        val q = vecs(qid)
+        val exactTop = vecs.iterator.filter(_._1 != qid)
+          .map { case (id, v) => id -> dot(q, v) }
+          .toSeq.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+        // the Spark-side ADC shortlist: score 8-byte codes, keep top-50
+        val shortlist = codes.where(col("vec_id") =!= qid)
+          .select(col("vec_id"), pq.adcScore(col("codes"), q).as("s"))
+          .orderBy(col("s").desc, col("vec_id")).limit(50)
+          .collect().map(_.getLong(0)).toSet
+        exactTop.intersect(shortlist).size / 10.0
+      }
+      val mean = recalls.sum / recalls.length
+      assert(mean >= 0.6,
+        s"ADC-50 shortlist recall of exact top-10 = $mean (want >= 0.6)")
+    } finally codes.unpersist()
+  }
+}
