@@ -479,7 +479,70 @@ object Etl {
         |) ORDER BY user_id, valid_from, version_id""".stripMargin) { (s, d) =>
       scd2(events(s, d)).orderBy("user_id", "valid_from", "version_id")
     }
-  )
+  ) :+ resampleQ
+
+  /** Gap-filled daily resample with forward fill (R4/R11: continuous
+    * per-user indicator series from sparse events — "carry the last
+    * reading forward"). The fill is the PORTABLE gaps-and-islands form
+    * (count-of-observed marks the island, first_value inside it carries
+    * the reading) rather than `last_value IGNORE NULLS`, so the DuckDB
+    * twin states the identical semantics. Scale: the grid explodes from
+    * per-user (min,max) bounds — one row per user-day, never a cross
+    * join — and every window shares the user_id partitioning.
+    */
+  // lazy: referenced from qs above its definition point
+  private[operators] lazy val resampleQ: Q = Q(
+    "etl_resample_ffill",
+    """WITH obs AS (
+      |  SELECT user_id, day, value FROM (
+      |    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |           value,
+      |           row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |                              ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1
+      |), grid AS (
+      |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+      |  FROM (SELECT user_id,
+      |          min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS mn,
+      |          max(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS mx
+      |        FROM events GROUP BY user_id)
+      |), joined AS (
+      |  SELECT g.user_id, g.day, o.value,
+      |         count(o.value) OVER (PARTITION BY g.user_id ORDER BY g.day) AS grp
+      |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
+      |)
+      |SELECT user_id, day,
+      |       round(first_value(value) OVER (PARTITION BY user_id, grp
+      |                                      ORDER BY day), 2) AS value_ffill,
+      |       CAST(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END AS INT)
+      |         AS is_observed
+      |FROM joined ORDER BY user_id, day""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val dayCol = date_trunc("day", col("ts"))
+    val obs = ev
+      .withColumn("day", dayCol)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("day"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .where(col("rn") === 1)
+      .select("user_id", "day", "value")
+    val grid = ev
+      .groupBy("user_id")
+      .agg(min(dayCol).as("mn"), max(dayCol).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 DAY"))).as("day"))
+    val byDay = Window.partitionBy("user_id").orderBy("day")
+    val joined = grid.join(obs, Seq("user_id", "day"), "left")
+      .withColumn("grp", count(col("value")).over(byDay))
+    joined
+      .withColumn("value_ffill",
+        round(first(col("value")).over(
+          Window.partitionBy("user_id", "grp").orderBy("day")), 2))
+      .select(
+        col("user_id"), col("day"), col("value_ffill"),
+        col("value").isNotNull.cast("int").as("is_observed"))
+      .orderBy("user_id", "day")
+  }
 
   /** SCD Type-2 history build over any events-shaped frame (the declared
     * etl_scd2 plan, minus its output ordering) — factored out so
