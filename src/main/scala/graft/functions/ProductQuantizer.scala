@@ -74,9 +74,15 @@ object ProductQuantizer {
     val codebooks = Array.tabulate(m) { j =>
       val subs = sample.map(v =>
         Array.tabulate(dsub)(i => v(j * dsub + i).toDouble))
-      // init: k distinct sampled points (wrap if the sample is small)
+      // init: k DISTINCT sampled points — a shuffled index draw, cycling
+      // only when the sample has fewer than k points. Sampling with
+      // replacement here would frequently seed duplicate centroids
+      // (birthday collisions at k=16 over a few hundred points), and a
+      // duplicated centroid never wins the first-min tie-break, so it
+      // stays a permanently dead code halving that subspace's codebook.
+      val order = rnd.shuffle(subs.indices.toList)
       var centroids = Array.tabulate(k)(c =>
-        subs(rnd.nextInt(subs.length)).clone())
+        subs(order(c % order.length)).clone())
       for (_ <- 0 until iters) {
         val sums = Array.fill(k)(new Array[Double](dsub))
         val counts = new Array[Long](k)

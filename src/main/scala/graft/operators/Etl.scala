@@ -526,9 +526,12 @@ object Etl {
           .orderBy(col("ts").desc, col("event_id").desc)))
       .where(col("rn") === 1)
       .select("user_id", "day", "value")
-    val grid = ev
+    // grid bounds come from obs (already one row per user-day), not from
+    // a second scan of the events table — obs's min/max day per user is
+    // identical and halves the base-table I/O
+    val grid = obs
       .groupBy("user_id")
-      .agg(min(dayCol).as("mn"), max(dayCol).as("mx"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
       .select(col("user_id"),
         explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 DAY"))).as("day"))
     val byDay = Window.partitionBy("user_id").orderBy("day")

@@ -73,6 +73,21 @@ object Llm {
   private def probeFanout(s: SparkSession): Int =
     s.conf.get("spark.sql.shuffle.partitions").toInt
 
+  /** The ONE int8 quantization grid. llm_embedding_quantize (the storage
+    * path) and llm_cosine_topk_int8 (the serving path) plus both their
+    * SQL twins must quantize identically — these four definitions are the
+    * only statement of the formula, so editing the grid cannot decouple
+    * the paths. scale = round(max|x|/127, 6); code = round(x/scale),
+    * 0 for the all-zero vector. */
+  private def quantScale(vec: Column): Column =
+    round(array_max(transform(vec, x => abs(x.cast("double")))) / 127, 6)
+  private def quantCode(x: Column, scale: Column): Column =
+    when(scale === 0, lit(0.0)).otherwise(round(x.cast("double") / scale))
+  private val quantScaleSql =
+    "round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127, 6)"
+  private def quantCodeSql(x: String, scale: String): String =
+    s"CASE WHEN $scale = 0 THEN 0 ELSE round(CAST($x AS DOUBLE) / $scale) END"
+
   private val shingleSql =
     """SELECT DISTINCT doc_id,
       |       unnest(list_transform(range(1, len(t) - 1),
@@ -1004,27 +1019,21 @@ object Llm {
     // exact, not recall-approximate (the recall-vs-float question is
     // ArrayOutputSpec's separate ≥0.9 proof).
     Q("llm_cosine_topk_int8",
-      """WITH dq AS (
-        |  SELECT vec_id,
-        |         list_transform(embedding, x ->
-        |           CASE WHEN scale = 0 THEN 0
-        |                ELSE round(CAST(x AS DOUBLE) / scale) * scale END) AS deq
-        |  FROM (SELECT vec_id, embedding,
-        |          round(list_max(list_transform(embedding,
-        |                x -> abs(CAST(x AS DOUBLE)))) / 127, 6) AS scale
-        |        FROM embeddings)
-        |)
-        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |       round(list_cosine_similarity(a.deq, b.deq), 6) AS sim
-        |FROM dq a JOIN dq b ON a.vec_id < b.vec_id
-        |ORDER BY sim DESC, a_id, b_id LIMIT 10""".stripMargin) { (s, d) =>
+      s"""WITH dq AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x ->
+         |           (${quantCodeSql("x", "scale")}) * scale) AS deq
+         |  FROM (SELECT vec_id, embedding, $quantScaleSql AS scale
+         |        FROM embeddings)
+         |)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |       round(list_cosine_similarity(a.deq, b.deq), 6) AS sim
+         |FROM dq a JOIN dq b ON a.vec_id < b.vec_id
+         |ORDER BY sim DESC, a_id, b_id LIMIT 10""".stripMargin) { (s, d) =>
       val base = emb(s, d)
-        .withColumn("scale",
-          round(array_max(transform(col("embedding"),
-            x => abs(x.cast("double")))) / 127, 6))
+        .withColumn("scale", quantScale(col("embedding")))
         .withColumn("deq", transform(col("embedding"),
-          x => when(col("scale") === 0, lit(0.0))
-            .otherwise(round(x.cast("double") / col("scale")) * col("scale"))))
+          x => quantCode(x, col("scale")) * col("scale")))
         .withColumn("nrm", sqrt(expr(
           "aggregate(transform(deq, x -> x * x), 0D, (acc, x) -> acc + x)")))
         .select(col("vec_id"), col("deq"), col("nrm"))
@@ -1032,12 +1041,16 @@ object Llm {
         col("nrm").as("a_n")).repartition(probeFanout(s))
       val b = base.select(col("vec_id").as("b_id"), col("deq").as("b_deq"),
         col("nrm").as("b_n"))
+      // zero-norm guard (pairCos's established invariant): NULL sim, not
+      // 0/0 — a NaN would sort ABOVE every real double and flood the
+      // descending top-10 if an all-zero vector ever entered the fixture
+      val denom = col("a_n") * col("b_n")
       a.join(broadcast(b), col("a_id") < col("b_id"))
         .select(
           col("a_id"), col("b_id"),
           round(
             expr("aggregate(zip_with(a_deq, b_deq, (x, y) -> x * y)," +
-              " 0D, (acc, v) -> acc + v)") / (col("a_n") * col("b_n")),
+              " 0D, (acc, v) -> acc + v)") / when(denom =!= 0, denom),
             6).as("sim"))
         .orderBy(col("sim").desc, col("a_id"), col("b_id"))
         .limit(10)
@@ -1137,38 +1150,32 @@ object Llm {
     // higher-order-function chain — one narrow map-side pass, no shuffle
     // before the output sort, stays in codegen.
     Q("llm_embedding_quantize",
-      """WITH sc AS (
-        |  SELECT vec_id,
-        |         round(list_max(list_transform(embedding,
-        |               x -> abs(CAST(x AS DOUBLE)))) / 127, 6) AS scale
-        |  FROM embeddings
-        |)
-        |SELECT e.vec_id AS vec_id, sc.scale AS scale,
-        |       array_to_string(list_transform(e.embedding, x ->
-        |         CAST(CASE WHEN sc.scale = 0 THEN 0
-        |                   ELSE round(CAST(x AS DOUBLE) / sc.scale) END AS BIGINT)),
-        |         ',') AS q8,
-        |       round(list_sum(list_transform(e.embedding, x ->
-        |         pow(CAST(x AS DOUBLE) - (CASE WHEN sc.scale = 0 THEN 0
-        |              ELSE round(CAST(x AS DOUBLE) / sc.scale) END) * sc.scale, 2)))
-        |         / len(e.embedding), 6) AS mse
-        |FROM embeddings e JOIN sc ON e.vec_id = sc.vec_id
-        |ORDER BY e.vec_id""".stripMargin) { (s, d) =>
-      def quant(x: Column): Column =
-        when(col("scale") === 0, lit(0.0))
-          .otherwise(round(x.cast("double") / col("scale")))
+      s"""WITH sc AS (
+         |  SELECT vec_id, $quantScaleSql AS scale
+         |  FROM embeddings
+         |)
+         |SELECT e.vec_id AS vec_id, sc.scale AS scale,
+         |       array_to_string(list_transform(e.embedding, x ->
+         |         CAST(${quantCodeSql("x", "sc.scale")} AS BIGINT)),
+         |         ',') AS q8,
+         |       round(list_sum(list_transform(e.embedding, x ->
+         |         pow(CAST(x AS DOUBLE)
+         |             - (${quantCodeSql("x", "sc.scale")}) * sc.scale, 2)))
+         |         / len(e.embedding), 6) AS mse
+         |FROM embeddings e JOIN sc ON e.vec_id = sc.vec_id
+         |ORDER BY e.vec_id""".stripMargin) { (s, d) =>
       emb(s, d)
-        .withColumn("scale",
-          round(array_max(transform(col("embedding"),
-            x => abs(x.cast("double")))) / 127, 6))
+        .withColumn("scale", quantScale(col("embedding")))
         .select(
           col("vec_id"), col("scale"),
           concat_ws(",",
-            transform(col("embedding"), x => quant(x).cast("long"))).as("q8"),
+            transform(col("embedding"),
+              x => quantCode(x, col("scale")).cast("long"))).as("q8"),
           round(
             aggregate(
               transform(col("embedding"),
-                x => pow(x.cast("double") - quant(x) * col("scale"), 2)),
+                x => pow(x.cast("double")
+                  - quantCode(x, col("scale")) * col("scale"), 2)),
               lit(0.0), (a, x) => a + x) / size(col("embedding")),
             6).as("mse"))
         .orderBy("vec_id")

@@ -23,7 +23,8 @@ class PqSpec extends AnyFunSuite {
       .select(col("vec_id"), pq.encode(col("embedding")).as("codes"))
     val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(rows.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)),
-      "8 subspace codes of 4 bits each — 8 bytes per 256-byte vector")
+      "8 subspace codes, each in [0,16) — stored one byte per code, " +
+        "8 B per 256 B vector (4-bit packing would halve that again)")
     // deterministic re-encode
     val again = df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(rows == again)
