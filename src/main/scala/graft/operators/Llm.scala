@@ -744,6 +744,33 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // HARD per-source cap (round 5) — the other half of training-mix
+    // control: llm_sample_mix keeps a RATE per source; this keeps at most
+    // k=15 docs per source however large the source is ("no single crawl
+    // may contribute more than k"), selected by portable_hash order so
+    // the draw is uniform-ish, rerun-stable, and engine-portable. Plan:
+    // one window per source (WindowGroupLimit pushes the rank filter),
+    // no join, no global sort before the capped output.
+    Q("llm_sample_cap_per_source",
+      s"""SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+         |FROM (
+         |  SELECT doc_id, source,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY ${PortableHash.sql("CAST(doc_id AS VARCHAR)")},
+         |                    doc_id) AS rn
+         |  FROM documents
+         |)
+         |WHERE rn <= 15
+         |ORDER BY source, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("source")
+        .orderBy(PortableHash.pHash(col("doc_id").cast("string")), col("doc_id"))
+      docs(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 15)
+        .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"))
+        .orderBy("source", "rn")
+    },
+
     // Greedy sequence packing (pretraining shard assembly): documents fill
     // fixed 2048-token packs in doc_id order within each source shard —
     // pack_id = floor(running-tokens-before-doc / budget), one window
