@@ -165,6 +165,55 @@ object ScaleSmoke {
       }
     }
 
+    // int8 embedding lake at 1M × 64-dim (round 5): the llm_embedding_
+    // quantize claim measured as BYTES ON DISK — the serving win is I/O,
+    // not local CPU (dequant costs arithmetic; the 100 TB effect is
+    // reading ~4× less). Codes stored as BINARY (1 B/dim) + one float
+    // scale.
+    locally {
+      val dir = "/tmp/graft_scale_emb"
+      // FULL-ENTROPY floats (hash / Long.MaxValue): real embeddings have
+      // ~no repeated values, so parquet cannot dictionary-encode them —
+      // a first cut with 2001 distinct values per dim dictionary-packed
+      // the float column to ~11 bits/value and faked the ratio down to
+      // 1.3×; entropy, not width, is what the codec sees
+      val vecs = spark.range(1000000L).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => xxhash64(col("id"), j).cast("double") / lit(9.223372036854776e18))
+          .cast("array<float>").as("embedding"))
+      def dirBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(p))
+      }
+      time("emb lake write float32 1M") {
+        vecs.write.mode("overwrite").parquet(s"$dir/f32")
+        1000000L
+      }
+      time("emb lake write int8 1M") {
+        val scale = round(array_max(transform(col("embedding"),
+          x => abs(x.cast("double")))) / 127, 6)
+        // codes as ARRAY<TINYINT> — parquet stores 1 B values (plus list
+        // levels, which RLE away for fixed-length 64)
+        vecs
+          .withColumn("scale", scale)
+          .select(
+            col("vec_id"), col("scale"),
+            transform(col("embedding"), x =>
+              when(col("scale") === 0, lit(0))
+                .otherwise(round(x.cast("double") / col("scale")))
+                .cast("byte")).as("q8"))
+          .write.mode("overwrite").parquet(s"$dir/int8")
+        1000000L
+      }
+      val f32 = dirBytes(s"$dir/f32"); val i8 = dirBytes(s"$dir/int8")
+      println(f"[scale] emb lake bytes: float32 ${f32 / 1048576}%d MiB, " +
+        f"int8 ${i8 / 1048576}%d MiB (${f32.toDouble / i8}%.1fx)")
+      require(i8 * 3 < f32, s"int8 lake must be ≥3x smaller ($i8 vs $f32)")
+    }
+
     // Zipf(1.1) user ids — real CommCare-like workloads are Zipfian, not
     // uniform: inverse-CDF of the continuous Zipf over N=30k users, so the
     // hottest user owns ~10% of all 60M events (~6.2M rows in ONE window
