@@ -4,18 +4,28 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Classic TPC-H composite queries (Q3, Q5, Q10) adapted to the testdata
-  * schema — multi-join reporting shapes that exercise the join PLANNER the
-  * way a warehouse user would: one fact-to-fact shuffle (lineitem⋈orders,
-  * sort-merge or AQE's choice), every true dimension broadcast, filters
-  * pushed below the joins, decimal-exact money sums (the agg_groupby
-  * pattern — per-row double product cast to DECIMAL(18,4), so both
-  * engines sum exactly and the hash compare is stable), and a
-  * deterministic total order with explicit tie-breaks.
+/** Classic TPC-H queries (Q1, Q3, Q4, Q5, Q6, Q7, Q10, Q13, Q14, Q18,
+  * Q19, Q22) adapted to the testdata schema — the scan/agg and multi-join
+  * reporting shapes that exercise the join PLANNER the way a warehouse
+  * user would: one fact-to-fact shuffle (lineitem⋈orders, sort-merge or
+  * AQE's choice), every true dimension broadcast, filters pushed below
+  * the joins, decimal-exact money sums (the agg_groupby pattern — per-row
+  * double product cast to DECIMAL(18,4), so both engines sum exactly and
+  * the hash compare is stable), and a deterministic total order with
+  * explicit tie-breaks. Averages divide the exact decimal sum (as DOUBLE)
+  * by the group count — one IEEE division on identical operands in both
+  * engines, so even the ratio columns hash-compare exactly.
   *
   * Schema adaptations vs. standard TPC-H: o_orderpriority stands in for
   * o_shippriority (Q3); the testdata has no partsupp/returns tables, so
-  * Q5/Q10 keep their standard join graphs over the tables that exist.
+  * Q5/Q10 keep their standard join graphs over the tables that exist;
+  * lineitem carries no commit/receipt dates, so Q4's "late order" is
+  * shipped >60 days after order date; no p_container/l_shipmode, so Q19's
+  * disjunction ranges over brand × size × quantity; no c_phone, so Q22
+  * groups dormant high-balance customers by nation instead of country
+  * code, with "no orders since 2000-01-01" as the dormancy predicate
+  * (the testdata generator gives every customer at least one order, so
+  * the verbatim NOT EXISTS would be vacuously empty).
   * At 100 TB: lineitem/orders shuffle on the join key; nation/region are
   * TRUE fixed-size dimensions (25/5 rows at every SF) and carry explicit
   * broadcast() hints forever. customer/supplier scale LINEARLY with SF,
@@ -257,6 +267,223 @@ object Tpch {
           .as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    },
+
+    // Q1 — pricing summary report: the canonical scan+aggregate. No join
+    // at all; the whole query is one parquet scan feeding a two-phase
+    // HashAggregate over a 6-group key space, so at 100 TB the exchange
+    // carries 6 rows per map partition. Every sum is decimal-exact; the
+    // averages are (exact decimal sum)/count in one double division.
+    Q(
+      "tpch_q1",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+        |       CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val cnt = count(lit(1))
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          money(col("l_quantity")).as("sum_qty"),
+          money(col("l_extendedprice")).as("sum_base_price"),
+          money(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          // charge is a TRIPLE product → 6 true decimal digits, so a
+          // scale-4 cast lands exactly on .00005 ties where Spark
+          // (exact-binary HALF_UP) and DuckDB (rounds v*10^scale in
+          // double space) disagree on 68/58k rows; at scale 6 the value
+          // is tie-free and both engines round identically (measured)
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).cast("decimal(18,6)")).cast("double")
+            .as("sum_charge"),
+          (money(col("l_quantity")) / cnt).as("avg_qty"),
+          (money(col("l_extendedprice")) / cnt).as("avg_price"),
+          (money(col("l_discount")) / cnt).as("avg_disc"),
+          cnt.as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Q4 — order-priority checking: EXISTS decorrelated to a left-semi
+    // join. The date window prunes orders at the scan; the semi join
+    // shuffles on the order key with the ship-lag predicate as a residual
+    // condition — at 100 TB the probe side carries only the window's
+    // orders and the build side never materializes more than the join.
+    Q(
+      "tpch_q4",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = t(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Q6 — forecasting revenue change: pure scan + filter + ONE global
+    // aggregate. All three predicates push to the parquet scan
+    // (PlanSpec pins the date range reaching PushedFilters); the global
+    // sum is a map-side partial per partition plus a 1-row reduce.
+    Q(
+      "tpch_q6",
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(money(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    },
+
+    // Q13 — customer order-count distribution: LEFT OUTER join (keeping
+    // order-less customers at count 0) then a two-level aggregation. The
+    // priority filter lives on the orders side BEFORE the join (the ON
+    // -clause filter of the spec), so the outer join probe carries only
+    // qualifying orders; the second groupBy is over ≤ a few hundred
+    // distinct counts — a trivially small exchange at any SF.
+    Q(
+      "tpch_q13",
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey
+        |)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer").select("c_custkey")
+      val o = t(s, d, "orders")
+        .where(col("o_orderpriority") =!= "5-LOW")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // Q14 — promotion effect: one month of lineitem against the part
+    // dimension, conditional/total revenue ratio. part scales with SF so
+    // it carries NO hint (AQE decides); the month filter prunes lineitem
+    // at the scan so the join probe is ~1/80th of the fact table. Both
+    // sums are decimal-exact; the ratio is one double division.
+    Q(
+      "tpch_q14",
+      """SELECT CAST((100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |           THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE))
+        |       / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |       AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin) { (s, d) =>
+      val l = t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val p = t(s, d, "part").select("p_partkey", "p_type")
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(((lit(100.0) *
+          money(when(col("p_type") === "PROMO", disc).otherwise(lit(0)))) /
+          money(disc)).as("promo_revenue"))
+    },
+
+    // Q19 — discounted revenue under a disjunction of brand × size ×
+    // quantity bands. The OR predicate spans BOTH join inputs, so
+    // Catalyst cannot factor it onto either scan on its own (same
+    // planner blind spot as Q7's symmetric pair) — the IMPLIED per-side
+    // envelopes (brand IN the three bands + the size/quantity hulls) are
+    // derived by hand and applied to each scan, shrinking both join
+    // inputs before the shuffle; the exact disjunction stays as the
+    // post-join residual. PlanSpec pins the pushed In/range filters.
+    Q(
+      "tpch_q19",
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, d) =>
+      val p = t(s, d, "part")
+        .where(col("p_brand").isin("Brand#1", "Brand#13", "Brand#23") &&
+          col("p_size").between(1, 30))
+        .select("p_partkey", "p_brand", "p_size")
+      val l = t(s, d, "lineitem")
+        .where(col("l_quantity").between(1, 30))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#13" && col("p_size").between(1, 20) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 30) &&
+              col("l_quantity").between(20, 30)))
+        .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+    },
+
+    // Q22 — dormant high-balance customers: an UNCORRELATED scalar
+    // subquery (the balance threshold) plus a NOT EXISTS anti-join,
+    // written as Spark SQL so Catalyst plans both rewrites itself: the
+    // scalar becomes a 1-row subquery broadcast to every filter task and
+    // the NOT EXISTS a left-anti join — no collect, no hint, nothing
+    // driver-sized. The threshold divides the exact decimal sum by the
+    // count so both engines compare against bit-identical doubles.
+    Q(
+      "tpch_q22",
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |                   FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer").createOrReplaceTempView("customer_q22_v")
+      t(s, d, "orders").createOrReplaceTempView("orders_q22_v")
+      s.sql(
+        """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+          |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+          |FROM customer_q22_v
+          |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+          |                   FROM customer_q22_v WHERE c_acctbal > 0)
+          |  AND NOT EXISTS (SELECT 1 FROM orders_q22_v
+          |                  WHERE o_custkey = c_custkey
+          |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+          |GROUP BY c_nationkey
+          |ORDER BY c_nationkey""".stripMargin)
     }
   )
 }

@@ -82,7 +82,11 @@ class PlanSpec extends AnyFunSuite {
     // EliminateResolvedHint has attached every surviving hint to its Join.
     import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join => LJoin}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    for (q <- Seq("tpch_q3", "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q18")) {
+    for (
+      q <- Seq("tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+        "tpch_q7", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q18",
+        "tpch_q19", "tpch_q22")
+    ) {
       val opt = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
       opt.foreach {
         case j: LJoin =>
@@ -127,6 +131,54 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("tpch_q18")
     assert(p.contains("LeftSemi"), s"orders must be semi-join filtered:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("tpch_q1: no join, one scan, two-phase aggregate, date filter pushed") {
+    val p = plan("tpch_q1")
+    assert("FileScan parquet".r.findAllIn(p).size == 1)
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
+    assert(p.contains("LessThanOrEqual(l_shipdate"), s"date filter must push:\n$p")
+    assert(!p.contains("Join"), s"Q1 must not plan any join:\n$p")
+  }
+
+  test("tpch_q4: EXISTS becomes a LeftSemi with the ship-lag residual") {
+    val p = plan("tpch_q4")
+    assert(p.contains("LeftSemi"), s"EXISTS must decorrelate to semi-join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date window must push to the orders scan:\n$p")
+  }
+
+  test("tpch_q6: all three predicates reach the lineitem scan, no shuffle of rows") {
+    val p = plan("tpch_q6")
+    // PushedFilters renders truncated here, so pin the Filter node text
+    assert("l_shipdate#\\d+ >= 1997-01-01".r.findFirstIn(p).isDefined,
+      s"date range must reach the scan filter:\n$p")
+    assert("l_discount#\\d+ >= 0.05".r.findFirstIn(p).isDefined,
+      s"discount range must reach the scan filter:\n$p")
+    assert("l_quantity#\\d+ < 24.0".r.findFirstIn(p).isDefined,
+      s"quantity bound must reach the scan filter:\n$p")
+    // global agg = partial per partition + 1-row final; the only exchange
+    // carries one partial row per map task
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("tpch_q19: implied per-side envelopes pushed to both scans") {
+    val p = plan("tpch_q19")
+    // the OR spans both join inputs (Catalyst can't factor it) — the
+    // hand-derived brand IN + quantity hull must reach the scans
+    assert(p.contains("In(p_brand, [Brand#1,Brand#13,Brand#23])"),
+      s"brand envelope must push to the part scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"quantity hull must push to the lineitem scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("tpch_q22: scalar subquery + NOT EXISTS planned as anti-join, no collect") {
+    val p = plan("tpch_q22")
+    assert(p.contains("Subquery"), s"threshold must plan as a scalar subquery:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("dq_profile: one scan profiles every column (stack melt, not per-column UNION)") {
