@@ -385,6 +385,60 @@ object Etl {
         .orderBy("cohort_week", "week_offset")
     },
 
+    // Funnel analysis (round 5): view → purchase-after-view → converted
+    // within 1 day — the ordered-step conversion report every event
+    // pipeline runs. The declared plan does the WHOLE funnel in one scan
+    // and ONE exchange: a user-partitioned window computes each user's
+    // first view, the groupBy on the same key reuses that partitioning
+    // (the sessionize move) to fold first-view/first-conversion per
+    // user, a global 4-counter aggregate reduces to one row, and a
+    // stack() melt reshapes it to (step, name, n_users). The oracle
+    // spells the same semantics as the textbook 3-CTE join — same
+    // counts, but the declared plan touches events once where the naive
+    // form scans it three times and joins twice.
+    Q(
+      "etl_funnel",
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS first_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS conv_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+        |  GROUP BY e.user_id
+        |), conv AS (
+        |  SELECT c.user_id FROM c JOIN v ON c.user_id = v.user_id
+        |  WHERE c.conv_ts <= v.first_view + INTERVAL 1 DAY
+        |)
+        |SELECT 1 AS step, 'any_event' AS name,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+        |UNION ALL SELECT 2, 'viewed', CAST(count(*) AS BIGINT) FROM v
+        |UNION ALL SELECT 3, 'purchased_after_view', CAST(count(*) AS BIGINT) FROM c
+        |UNION ALL SELECT 4, 'converted_1d', CAST(count(*) AS BIGINT) FROM conv
+        |ORDER BY step""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+      val perUser = events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("first_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("fv"),
+          min(when(col("event_type") === "purchase" &&
+            col("ts") >= col("first_view"), col("ts"))).as("conv_ts"))
+      perUser
+        .agg(
+          count(lit(1)).as("c1"),
+          count(col("fv")).as("c2"),
+          count(col("conv_ts")).as("c3"),
+          count(when(col("conv_ts") <= col("fv") + expr("INTERVAL 1 DAYS"),
+            lit(1))).as("c4"))
+        .select(expr("stack(4, 1, 'any_event', c1, 2, 'viewed', c2," +
+          " 3, 'purchased_after_view', c3, 4, 'converted_1d', c4)" +
+          " AS (step, name, n_users)"))
+        .orderBy("step")
+    },
+
     // R7: batch-entry detection — events in rapid succession (< 2 min gap).
     Q(
       "etl_batch_entry_flag",

@@ -807,6 +807,41 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // Deterministic train/val/test split (round 5): the assignment every
+    // training run needs before anything else. Split by content-stable
+    // hash bucket — portable_hash(doc_id) mod 100 → 98/1/1 — so the
+    // assignment is (a) reproducible across reruns and engines (no
+    // rand()), (b) a pure map-side projection with ZERO shuffle at any
+    // corpus size, and (c) leak-proof under re-ingestion: a document
+    // keeps its split forever because the hash depends only on its id,
+    // not on arrival order or partition layout. The summary proves the
+    // stratification: per (source, split) counts — val/test land within
+    // binomial noise of 1% per source.
+    Q("llm_split_assign",
+      s"""SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM (
+         |  SELECT source,
+         |         CASE WHEN b < 98 THEN 'train'
+         |              WHEN b = 98 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT source,
+         |           ${PortableHash.sql("CAST(doc_id AS VARCHAR)")} % 100 AS b
+         |    FROM documents
+         |  )
+         |)
+         |GROUP BY source, split
+         |ORDER BY source, split""".stripMargin) { (s, d) =>
+      val b = pmod(PortableHash.pHash(col("doc_id").cast("string")), lit(100))
+      docs(s, d)
+        .select(col("source"),
+          when(b < 98, "train").when(b === 98, "val").otherwise("test")
+            .as("split"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "split")
+    },
+
     // HARD per-source cap (round 5) — the other half of training-mix
     // control: llm_sample_mix keeps a RATE per source; this keeps at most
     // k=15 docs per source however large the source is ("no single crawl

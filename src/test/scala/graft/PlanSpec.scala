@@ -55,6 +55,14 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 user_id exchange, plan had $exchanges:\n$p")
   }
 
+  test("etl_funnel: whole funnel = one events scan, one user_id exchange") {
+    val p = plan("etl_funnel")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"the naive 3-scan/2-join funnel shape must not ship:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"window + groupBy must share one user_id exchange:\n$p")
+  }
+
   test("etl_sessionize_entity: entity awareness adds no exchange") {
     val p = plan("etl_sessionize_entity")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
