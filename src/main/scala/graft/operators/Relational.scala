@@ -339,6 +339,26 @@ object Relational {
       yr(1995).intersect(yr(1996)).orderBy("o_custkey")
     },
 
+    // Multiset intersection (round 5) — INTERSECT ALL keeps min(m, n)
+    // copies per value, the multiset twin of set_intersect the way
+    // set_except twins a would-be EXCEPT (DISTINCT). Spark's intersectAll
+    // plans the same partial-count + min trick both engines use — one
+    // shuffle per side on the full row.
+    Q("set_intersect_all",
+      """(SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+        |INTERSECT ALL
+        |(SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      def yr(y: Int) = o
+        .where(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select("o_custkey")
+      yr(1995).intersectAll(yr(1996)).orderBy("o_custkey")
+    },
+
     // Multiset difference — incremental-load "new rows" semantics (R9).
     Q("set_except",
       """(SELECT o_custkey FROM orders

@@ -49,6 +49,29 @@ object Windows {
         .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
     },
 
+    // Relative standing within a group (round 5): percent_rank and
+    // cume_dist — the remaining rank-family functions. Both are exact
+    // rationals evaluated in ONE integer-derived division ((rank−1)/(n−1)
+    // and rows≤current/n), so the doubles are bit-identical cross-engine
+    // with no rounding needed. Same scale shape as every rank window:
+    // one exchange on the partition key.
+    Q("win_percent_cume",
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC)
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("l_returnflag").orderBy(col("l_quantity").desc)
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    },
+
     // Previous/next event per user — time-between-visits core (R4).
     Q("win_lag_lead",
       """SELECT event_id, user_id,
