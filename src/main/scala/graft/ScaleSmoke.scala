@@ -208,10 +208,41 @@ object ScaleSmoke {
           .write.mode("overwrite").parquet(s"$dir/int8")
         1000000L
       }
-      val f32 = dirBytes(s"$dir/f32"); val i8 = dirBytes(s"$dir/int8")
-      println(f"[scale] emb lake bytes: float32 ${f32 / 1048576}%d MiB, " +
-        f"int8 ${i8 / 1048576}%d MiB (${f32.toDouble / i8}%.1fx)")
-      require(i8 * 3 < f32, s"int8 lake must be ≥3x smaller ($i8 vs $f32)")
+      // the audit lives in its own time() block so a section filter that
+      // skips the writes also skips reading their output
+      time("emb lake bytes audit") {
+        val f32 = dirBytes(s"$dir/f32"); val i8 = dirBytes(s"$dir/int8")
+        println(f"[scale] emb lake bytes: float32 ${f32 / 1048576}%d MiB, " +
+          f"int8 ${i8 / 1048576}%d MiB (${f32.toDouble / i8}%.1fx)")
+        require(i8 * 3 < f32, s"int8 lake must be ≥3x smaller ($i8 vs $f32)")
+        2L
+      }
+    }
+
+    // PageRank at 20M symmetrized edges over 1M nodes (round 5): the
+    // REAL operators.Extras.pageRank (one definition with the declared
+    // key). Each of the 3 rounds is one edges⋈ranks equi-join + one
+    // groupBy dst over the persisted pre-partitioned edge list — the
+    // measurement here is that iteration cost stays flat (no lineage
+    // blowup, no per-round rescans) and the integer mass actually
+    // conserves at 2×10⁷ truncations per round.
+    time("pagerank 20M edges x3 iters") {
+      val m = 1000000L
+      val e = spark.range(10000000L).select(
+        pmod(xxhash64(col("id")), lit(m)).as("src"),
+        pmod(xxhash64(col("id"), lit(1)), lit(m)).as("dst"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(5)) + 1).as("cnt"))
+      val sym = e.unionAll(
+        e.select(col("dst").as("src"), col("src").as("dst"), col("cnt")))
+      val r = operators.Extras.pageRank(sym, 3)
+      val row = r.agg(sum(col("rank")), count(lit(1))).head()
+      val mass = row.getLong(0); val nodes = row.getLong(1)
+      spark.catalog.clearCache() // release the pageRank edge/outw persists
+      // truncation bleeds ≤1 unit per edge per round (≤6e7 of 1e12 here);
+      // anything below that means a round dropped contributions
+      require(mass > 999900000000L && mass <= 1000000000000L,
+        s"integer mass must conserve up to truncation ($mass)")
+      nodes
     }
 
     // Zipf(1.1) user ids — real CommCare-like workloads are Zipfian, not

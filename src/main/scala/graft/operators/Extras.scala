@@ -9,6 +9,39 @@ import org.apache.spark.sql.functions._
   */
 object Extras {
 
+  /** Integer-mass PageRank over a weighted directed edge list (src, dst,
+    * cnt) — damping 0.85, total mass 10¹² BIGINT micro-units so every
+    * update is exact integer arithmetic (order-independent, engine-
+    * portable; see the graph_pagerank Q for the full rationale). Returns
+    * (node, rank). Assumes no dangling nodes (callers symmetrize).
+    *
+    * Cache contract: persists the edge list (pre-partitioned on src) and
+    * the out-weight frame — they feed every iteration and cannot be
+    * unpersisted here because the returned frame is lazy; callers doing
+    * repeated runs should clearCache() when done.
+    */
+  def pageRank(edges0: DataFrame, iterations: Int = 3): DataFrame = {
+    val edges = edges0.repartition(col("src")).persist()
+    val outw = edges.groupBy("src").agg(sum(col("cnt")).as("w"))
+      .withColumnRenamed("src", "o_src")
+      .persist()
+    val n = outw.agg(count(lit(1)).cast("long").as("n_nodes"))
+    var rank = outw.crossJoin(broadcast(n))
+      .select(col("o_src").as("node"),
+        expr("CAST(1000000000000 div n_nodes AS BIGINT)").as("rank"))
+    for (_ <- 1 to iterations) {
+      rank = edges
+        .join(rank, col("node") === col("src"))
+        .join(outw, col("o_src") === col("src"))
+        .crossJoin(broadcast(n))
+        .groupBy(col("dst"), col("n_nodes"))
+        .agg(expr("CAST((150000000000 div n_nodes)" +
+          " + (85 * sum((rank * cnt) div w)) div 100 AS BIGINT)").as("rank"))
+        .select(col("dst").as("node"), col("rank"))
+    }
+    rank
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Cross-user session-overlap pairs (visit-overlap QA, R3). The
@@ -180,32 +213,12 @@ object Extras {
         .groupBy((col("o_custkey") * 2).as("c"),
           (col("l_suppkey") * 2 + 1).as("s"))
         .agg(count(lit(1)).as("cnt"))
-      // persist: edges feeds every iteration (and outw's build) — the
-      // Components.scala move: materialize the edge list once,
-      // pre-partitioned on the join key, so each PageRank round shuffles
-      // only the rank vector. outw likewise joins every round.
+      // symmetrize and hand off to the ONE pageRank definition (also
+      // driven at 20M edges by ScaleSmoke): edges/outw are persisted
+      // pre-partitioned in there, so each round shuffles only the ranks
       val edges = pair.select(col("c").as("src"), col("s").as("dst"), col("cnt"))
         .unionAll(pair.select(col("s").as("src"), col("c").as("dst"), col("cnt")))
-        .repartition(col("src"))
-        .persist()
-      val outw = edges.groupBy("src").agg(sum(col("cnt")).as("w"))
-        .withColumnRenamed("src", "o_src")
-        .persist()
-      val n = outw.agg(count(lit(1)).cast("long").as("n_nodes"))
-      var rank = outw.crossJoin(broadcast(n))
-        .select(col("o_src").as("node"),
-          expr("CAST(1000000000000 div n_nodes AS BIGINT)").as("rank"))
-      for (_ <- 1 to 3) {
-        rank = edges
-          .join(rank, col("node") === col("src"))
-          .join(outw, col("o_src") === col("src"))
-          .crossJoin(broadcast(n))
-          .groupBy(col("dst"), col("n_nodes"))
-          .agg(expr("CAST((150000000000 div n_nodes)" +
-            " + (85 * sum((rank * cnt) div w)) div 100 AS BIGINT)").as("rank"))
-          .select(col("dst").as("node"), col("rank"))
-      }
-      rank.orderBy(col("rank").desc, col("node")).limit(20)
+      pageRank(edges, 3).orderBy(col("rank").desc, col("node")).limit(20)
     }
   )
 }
