@@ -398,12 +398,14 @@ object Etl {
     // form scans it three times and joins twice.
     Q(
       "etl_funnel",
-      """WITH v AS (
-        |  SELECT user_id, min(ts) AS first_view FROM events
+      """WITH ev AS (
+        |  SELECT user_id, event_type, ts FROM events WHERE user_id IS NOT NULL
+        |), v AS (
+        |  SELECT user_id, min(ts) AS first_view FROM ev
         |  WHERE event_type = 'view' GROUP BY user_id
         |), c AS (
         |  SELECT e.user_id, min(e.ts) AS conv_ts
-        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  FROM ev e JOIN v ON e.user_id = v.user_id
         |  WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
         |  GROUP BY e.user_id
         |), conv AS (
@@ -411,13 +413,17 @@ object Etl {
         |  WHERE c.conv_ts <= v.first_view + INTERVAL 1 DAY
         |)
         |SELECT 1 AS step, 'any_event' AS name,
-        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ev
         |UNION ALL SELECT 2, 'viewed', CAST(count(*) AS BIGINT) FROM v
         |UNION ALL SELECT 3, 'purchased_after_view', CAST(count(*) AS BIGINT) FROM c
         |UNION ALL SELECT 4, 'converted_1d', CAST(count(*) AS BIGINT) FROM conv
         |ORDER BY step""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("user_id")
+      // NULL users are dropped EXPLICITLY on both sides: without this the
+      // oracle's count(DISTINCT)/joins would silently exclude a NULL-user
+      // group that the window+groupBy path keeps
       val perUser = events(s, d)
+        .where(col("user_id").isNotNull)
         .select(col("user_id"), col("event_type"), col("ts"))
         .withColumn("first_view",
           min(when(col("event_type") === "view", col("ts"))).over(w))

@@ -699,8 +699,10 @@ object Llm {
     // TakeOrderedAndProject. At 100 TB nothing driver-sized exists and the
     // only wide shuffle carries one row per (matching doc, query term).
     // Every constant is the SAME literal in both engines (writing k1+1 as
-    // 2.2 etc.) so the arithmetic is bit-identical; ln + round(6) follows
-    // the llm_lm_score precedent.
+    // 2.2 etc.) and tf is cast to DOUBLE before its product (DuckDB would
+    // otherwise evaluate BIGINT*2.2 in exact DECIMAL, a 1-ulp divergence
+    // from Spark's double×double), so the arithmetic is bit-identical;
+    // ln + round(6) follows the llm_lm_score precedent.
     Q("llm_bm25_topk",
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
@@ -720,7 +722,7 @@ object Llm {
         |SELECT doc_id,
         |       CAST(count(*) AS BIGINT) AS n_hit,
         |       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-        |                 * (tf * 2.2)
+        |                 * (CAST(tf AS DOUBLE) * 2.2)
         |                 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
         |FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
         |GROUP BY doc_id
@@ -1291,8 +1293,7 @@ object Llm {
       val assign = e.crossJoin(broadcast(seeds))
         .select(col("a_id").as("vec_id"), col("a_emb"), col("a_norm"),
           col("seed_id"),
-          round(vectorDot(col("a_emb"), col("seed_emb")) /
-            nullif(col("a_norm") * col("seed_norm"), lit(0.0)), 6).as("sim"))
+          round(pairCos("a", "seed"), 6).as("sim"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("vec_id"), col("seed_id").as("cluster"),
@@ -1306,8 +1307,7 @@ object Llm {
         col("a_emb").as("y_emb"), col("a_norm").as("y_norm"))
       val dup = lhs
         .join(rhs, col("cluster") === col("y_cluster") && col("y_id") < col("x_id"))
-        .where(round(vectorDot(col("x_emb"), col("y_emb")) /
-          nullif(col("x_norm") * col("y_norm"), lit(0.0)), 6) >= 0.35)
+        .where(round(pairCos("x", "y"), 6) >= 0.35)
         .select(col("x_id")).distinct()
       assign.join(dup, col("vec_id") === col("x_id"), "left_anti")
         .select("vec_id", "cluster")
