@@ -21,18 +21,21 @@ object Extras {
     * repeated runs should clearCache() when done.
     */
   def pageRank(edges0: DataFrame, iterations: Int = 3): DataFrame = {
-    val edges = edges0.repartition(col("src")).persist()
-    val outw = edges.groupBy("src").agg(sum(col("cnt")).as("w"))
-      .withColumnRenamed("src", "o_src")
+    // out-weights are O(nodes); merging them INTO the persisted edge list
+    // up front means each iteration is ONE equi-join + one groupBy
+    // instead of two joins — the per-round network cost is exactly the
+    // rank vector, nothing else
+    val outw = edges0.groupBy("src").agg(sum(col("cnt")).as("w")).persist()
+    val edges = edges0.join(outw, Seq("src"))
+      .repartition(col("src"))
       .persist()
     val n = outw.agg(count(lit(1)).cast("long").as("n_nodes"))
     var rank = outw.crossJoin(broadcast(n))
-      .select(col("o_src").as("node"),
+      .select(col("src").as("node"),
         expr("CAST(1000000000000 div n_nodes AS BIGINT)").as("rank"))
     for (_ <- 1 to iterations) {
       rank = edges
         .join(rank, col("node") === col("src"))
-        .join(outw, col("o_src") === col("src"))
         .crossJoin(broadcast(n))
         .groupBy(col("dst"), col("n_nodes"))
         .agg(expr("CAST((150000000000 div n_nodes)" +
