@@ -1076,6 +1076,29 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // Cross-doc boilerplate span mining (round 5): the C4-style recipe —
+    // spans (3-token shingles here) recurring across MANY DISTINCT
+    // documents are navigation chrome / license headers / templates, and
+    // the pipeline strips or down-weights them. Distinct-per-doc
+    // shingling first (one explode), then doc-frequency is a two-phase
+    // map-side-partial aggregate and the report fuses to
+    // TakeOrderedAndProject — one corpus scan, one shuffle whose rows
+    // are (shingle, partial df), no per-doc state. Complements
+    // llm_repetition (WITHIN-doc repeats) with the ACROSS-doc signal.
+    Q("llm_boilerplate_spans",
+      s"""WITH sh AS (
+         |  $shingleSql)
+         |)
+         |SELECT s, CAST(count(*) AS BIGINT) AS df
+         |FROM sh GROUP BY s HAVING count(*) >= 5
+         |ORDER BY df DESC, s LIMIT 30""".stripMargin) { (s, d) =>
+      shingleDf(docs(s, d))
+        .groupBy("s").agg(count(lit(1)).as("df"))
+        .where(col("df") >= 5)
+        .orderBy(col("df").desc, col("s"))
+        .limit(30)
+    },
+
     // Bloom-pruned decontamination (round 5) — same answer (and SAME
     // oracle) as llm_decontaminate, the plan a BIG benchmark set needs.
     // llm_decontaminate broadcasts the benchmark shingles as a hash
