@@ -28,6 +28,19 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("n"))
 
+  /** Stream-static dimension enrichment (round 5): the join every
+    * streaming ingest runs — events against a slowly-changing user/dim
+    * table. The static side carries an explicit broadcast hint (a stream
+    * side can never be build-side, and a dim small enough to enrich a
+    * stream should never force a per-microbatch shuffle of the stream);
+    * stateless, so no watermark is needed and every micro-batch pays
+    * exactly one map-side probe.
+    */
+  def enrichWithDim(dim: DataFrame)(ev: DataFrame): DataFrame =
+    ev.join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
   /** Session windows, 30-minute gap (streaming twin of etl_sessionize). */
   def sessionCounts(ev: DataFrame): DataFrame =
     ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))

@@ -119,6 +119,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == exact)
   }
 
+  test("stream-static dimension enrichment: stream == batch, no state, nulls kept") {
+    // dim covers only users 0-2, so user 3's events prove the left join
+    // keeps unmatched stream rows (segment NULL) instead of dropping them
+    val dim = Seq((0L, "free"), (1L, "pro"), (2L, "pro"))
+      .toDF("user_id", "segment")
+    val streamed = runStream(Streaming.enrichWithDim(dim), outputMode = "complete")
+      .map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2))).sorted
+    val batch = Streaming.enrichWithDim(dim)(rows.toDF())
+      .collect().map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2))).sorted
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.exists(_._1.isEmpty), "uncovered user must surface as NULL segment")
+  }
+
   test("stream-stream join: purchase-to-view attribution, stream == batch") {
     // batches are fed in timestamp order: a 1h-watermark join is ENTITLED
     // to drop rows arriving later than the horizon, so exact parity with
