@@ -24,6 +24,35 @@ object Aggregates {
 
   val qs: Seq[Q] = Seq(
 
+    // Deterministic mode (round 5): most frequent value per group. Spark's
+    // (and DuckDB's) built-in mode() is tie-UNDEFINED, so the declared op
+    // is the argmax spelled explicitly — count per (group, value), then
+    // rn=1 over (count DESC, value ASC). The rank filter compiles to a
+    // WindowGroupLimit over the pre-aggregated (group, value) pairs, so
+    // the window never sees raw rows — at 100 TB the only full-data
+    // shuffle is the two-phase count's.
+    Q("agg_mode",
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity
+        |)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |                               ORDER BY n DESC, l_quantity) AS rn
+        |  FROM c)
+        |WHERE rn = 1
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("n").desc, col("l_quantity"))
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+        .orderBy("l_returnflag")
+    },
+
     // TPC-H Q1 shape — the canonical multi-key hash aggregate.
     Q("agg_groupby",
       """SELECT l_returnflag, l_linestatus,

@@ -184,6 +184,26 @@ object Scalars {
         .orderBy("vec_id")
     },
 
+    // Edit distance (round 5): levenshtein — the fuzzy-match primitive
+    // behind entity resolution and typo-tolerant dedup. Both engines
+    // implement the same integer DP, so the values compare exactly; the
+    // declared shape is a probe-string nearest-20 (map-side distance +
+    // TakeOrderedAndProject). At corpus scale the O(n) probe stays one
+    // scan; pairwise fuzzy JOINS would go through a blocking key first
+    // (the minhash/simhash families here), never raw O(n²) levenshtein.
+    Q("fn_edit_distance",
+      """SELECT c_custkey, c_name,
+        |       CAST(levenshtein(c_name, 'Customer#000000123') AS BIGINT) AS dist
+        |FROM customer
+        |ORDER BY dist, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          levenshtein(col("c_name"), lit("Customer#000000123")).cast("long")
+            .as("dist"))
+        .orderBy("dist", "c_custkey")
+        .limit(20)
+    },
+
     // R9/NS: content hashing for dedup keys.
     Q("fn_hash",
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha
