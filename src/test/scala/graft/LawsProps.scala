@@ -13,6 +13,7 @@ object LawsProps extends Properties("graft.laws") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(8).withWorkers(1)
+      .withInitialSeed(org.scalacheck.rng.Seed(20260813L))
 
   private lazy val spark = TestSpark.spark
   import spark.implicits._
