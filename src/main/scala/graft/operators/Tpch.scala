@@ -57,6 +57,19 @@ object Tpch {
 
   private val revenueExpr = "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** One region's (n_nationkey, n_name) set — a FIXED 5-row frame at every
+    * SF (25 nations / 5 regions in the generator and the spec), the only
+    * dimension shape this file ever broadcast-hints. Centralizing it keeps
+    * the hint policy PlanSpec pins in one place. Callers wrap the join side
+    * in broadcast(). */
+  private def regionNations(s: SparkSession, d: String, name: String) = {
+    val r = t(s, d, "region").where(col("r_name") === name)
+      .select("r_regionkey")
+    t(s, d, "nation")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Q3 — shipping-priority: unshipped orders of one segment, top revenue.
@@ -124,12 +137,8 @@ object Tpch {
         .select("o_orderkey", "o_custkey")
       val l = t(s, d, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-      val n = t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
-      val r = t(s, d, "region").where(col("r_name") === "ASIA")
-        .select("r_regionkey")
       // ASIA nations (5 rows at every SF) pre-reduce supplier map-side
-      val nAsia = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .select("n_nationkey", "n_name")
+      val nAsia = regionNations(s, d, "ASIA")
       val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
         .join(broadcast(nAsia), col("s_nationkey") === col("n_nationkey"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -503,9 +512,14 @@ object Tpch {
     // the decorrelation Catalyst would apply to the scalar subquery,
     // spelled as a plan. min() of doubles involves no summation, so the
     // equality join back on (partkey, cost) is bit-exact in both
-    // engines. At 100 TB the (part,supplier) cost table shuffles once
-    // on l_partkey+l_suppkey; the ASIA nation set (5 rows, fixed) is
-    // the only broadcast hint.
+    // engines. Both query filters are GROUP-preserving (supplier region
+    // and part size drop whole (part,supplier) groups, never individual
+    // lines), so lineitem semi-joins to the ASIA-supplier and size-15
+    // part key sets BEFORE the cost aggregate — the dominant shuffle
+    // carries ~2% of parts × ~1/5 of suppliers instead of the corpus,
+    // and every retained group still sees its full line set (min
+    // unchanged). The ASIA nation set (5 rows, fixed) is the only
+    // broadcast hint; AQE sizes the part/supplier key-set joins.
     Q(
       "tpch_q2",
       """WITH ps AS (
@@ -524,23 +538,23 @@ object Tpch {
         |  AND cost = (SELECT min(cost) FROM psr WHERE l_partkey = p_partkey)
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         |LIMIT 100""".stripMargin) { (s, d) =>
-      val ps = t(s, d, "lineitem")
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
-      val r = t(s, d, "region").where(col("r_name") === "ASIA")
-        .select("r_regionkey")
-      val nAsia = t(s, d, "nation")
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .select("n_nationkey", "n_name")
+      val nAsia = regionNations(s, d, "ASIA")
       val sup = t(s, d, "supplier")
         .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
         .join(broadcast(nAsia), col("s_nationkey") === col("n_nationkey"))
+      val p = t(s, d, "part").where(col("p_size") === 15)
+        .select("p_partkey", "p_type")
+      val ps = t(s, d, "lineitem")
+        .join(sup.select("s_suppkey"),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .join(p.select("p_partkey"),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
       val psr = ps.join(sup, col("l_suppkey") === col("s_suppkey"))
         .select("l_partkey", "cost", "s_name", "s_acctbal", "n_name")
       val minCost = psr.groupBy(col("l_partkey").as("mc_partkey"))
         .agg(min(col("cost")).as("min_cost"))
-      val p = t(s, d, "part").where(col("p_size") === 15)
-        .select("p_partkey", "p_type")
       p.join(psr, col("p_partkey") === col("l_partkey"))
         .join(minCost,
           col("l_partkey") === col("mc_partkey") &&
@@ -591,10 +605,7 @@ object Tpch {
         .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .select("o_orderkey", "o_custkey", "o_orderdate")
-      val r = t(s, d, "region").where(col("r_name") === "AMERICA")
-        .select("r_regionkey")
-      val nAmerica = t(s, d, "nation")
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val nAmerica = regionNations(s, d, "AMERICA")
         .select(col("n_nationkey").as("n1_key"))
       val c = t(s, d, "customer").select("c_custkey", "c_nationkey")
         .join(broadcast(nAmerica), col("c_nationkey") === col("n1_key"))
@@ -666,27 +677,23 @@ object Tpch {
     // broadcast by construction.
     Q(
       "tpch_q11",
-      """WITH asia_value AS (
-        |  SELECT l_partkey,
-        |         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS value
-        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |    JOIN nation ON s_nationkey = n_nationkey
-        |    JOIN region ON n_regionkey = r_regionkey
-        |  WHERE r_name = 'ASIA'
-        |  GROUP BY l_partkey
-        |)
-        |SELECT l_partkey, value
-        |FROM asia_value
-        |WHERE value > (SELECT CAST(2.0 AS DOUBLE) * (CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*))
-        |               FROM asia_value)
-        |ORDER BY value DESC, l_partkey""".stripMargin) { (s, d) =>
-      val r = t(s, d, "region").where(col("r_name") === "ASIA")
-        .select("r_regionkey")
-      val nAsia = t(s, d, "nation")
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .select("n_nationkey")
+      s"""WITH asia_value AS (
+         |  SELECT l_partkey,
+         |         $revenueExpr AS value
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |    JOIN nation ON s_nationkey = n_nationkey
+         |    JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'ASIA'
+         |  GROUP BY l_partkey
+         |)
+         |SELECT l_partkey, value
+         |FROM asia_value
+         |WHERE value > (SELECT CAST(2.0 AS DOUBLE) * (CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+         |               FROM asia_value)
+         |ORDER BY value DESC, l_partkey""".stripMargin) { (s, d) =>
       val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
-        .join(broadcast(nAsia), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(regionNations(s, d, "ASIA").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey")
       val value = t(s, d, "lineitem")
         .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
@@ -744,18 +751,18 @@ object Tpch {
     // joins AFTER the filter, touching only winner keys.
     Q(
       "tpch_q15",
-      """WITH revenue AS (
-        |  SELECT l_suppkey,
-        |         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
-        |  FROM lineitem
-        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        |    AND l_shipdate < TIMESTAMP '1997-04-01'
-        |  GROUP BY l_suppkey
-        |)
-        |SELECT s_suppkey, s_name, total_revenue
-        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
-        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey,
+         |         $revenueExpr AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY l_suppkey
+         |)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
       val rev = t(s, d, "lineitem")
         .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
@@ -806,8 +813,13 @@ object Tpch {
     // (correlated avg, decorrelated to a per-part aggregate joined
     // back). The threshold is spelled as exact-decimal-sum / count in
     // BOTH engines (never a bare avg()) so the < compares identical
-    // doubles. The per-part threshold frame is part-cardinality — AQE
-    // broadcasts it; lineitem shuffles once for the per-part agg.
+    // doubles. Only the Brand#23+PROMO parts' thresholds are ever
+    // consulted and the filter is part-attribute (group-preserving), so
+    // lineitem joins to the filtered part keys BEFORE the per-part
+    // aggregate: each qualifying part still sees its full line set
+    // (threshold values unchanged — the oracle's full-corpus qthr
+    // agrees on every probed key) and the dominant shuffle carries
+    // ~1/150 of the corpus instead of all of it.
     Q(
       "tpch_q17",
       """WITH qthr AS (
@@ -822,16 +834,16 @@ object Tpch {
         |  JOIN qthr ON t_partkey = l_partkey
         |WHERE p_brand = 'Brand#23' AND p_type = 'PROMO'
         |  AND l_quantity < thr""".stripMargin) { (s, d) =>
-      val l = t(s, d, "lineitem")
-      val thr = l.groupBy(col("l_partkey").as("t_partkey"))
-        .agg((lit(0.2).cast("double") *
-          (money(col("l_quantity")) / count(lit(1)))).as("thr"))
       val p = t(s, d, "part")
         .where(col("p_brand") === "Brand#23" && col("p_type") === "PROMO")
         .select("p_partkey")
-      l.select("l_partkey", "l_quantity", "l_extendedprice")
+      val lp = t(s, d, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
         .join(p, col("l_partkey") === col("p_partkey"))
-        .join(thr, col("l_partkey") === col("t_partkey"))
+      val thr = lp.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((lit(0.2).cast("double") *
+          (money(col("l_quantity")) / count(lit(1)))).as("thr"))
+      lp.join(thr, col("l_partkey") === col("t_partkey"))
         .where(col("l_quantity") < col("thr"))
         .agg((money(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
     },
@@ -867,14 +879,10 @@ object Tpch {
         .groupBy("l_suppkey", "l_partkey")
         .agg(sum(col("l_quantity")).as("q"))
         .where(col("q") > 50)
-        .select("l_suppkey").distinct()
-      val r = t(s, d, "region").where(col("r_name") === "ASIA")
-        .select("r_regionkey")
-      val nAsia = t(s, d, "nation")
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .select("n_nationkey")
+        .select("l_suppkey") // no distinct: the semi join's hash build dedups
       t(s, d, "supplier").select("s_suppkey", "s_name", "s_nationkey")
-        .join(broadcast(nAsia), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(regionNations(s, d, "ASIA").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
         .join(heavy.withColumnRenamed("l_suppkey", "s_suppkey"),
           Seq("s_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
@@ -921,13 +929,9 @@ object Tpch {
           countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
         .where(col("n_supp") >= 2 && col("n_late") === 1)
         .select("po_orderkey")
-      val r = t(s, d, "region").where(col("r_name") === "ASIA")
-        .select("r_regionkey")
-      val nAsia = t(s, d, "nation")
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .select("n_nationkey")
       val sup = t(s, d, "supplier").select("s_suppkey", "s_name", "s_nationkey")
-        .join(broadcast(nAsia), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(regionNations(s, d, "ASIA").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name")
       lo.where(col("late"))
         .join(perOrder, col("l_orderkey") === col("po_orderkey"), "left_semi")
