@@ -269,6 +269,62 @@ object Etl {
         .orderBy("o_orderkey")
     },
 
+    // R9 with hard deletes (round 5): apply a CDC changelog to reach
+    // final state. etl_incremental_merge is upsert-only and
+    // etl_dedup_latest keeps the latest version via a WINDOW — this key
+    // adds the missing DELETE semantics (a tombstone as the last event
+    // erases the key) and deliberately takes the AGGREGATE plan instead:
+    // max(struct(seq, payload)) is partially aggregable, so each mapper
+    // pre-folds its local versions and a Zipf-hot key receives one
+    // partial per mapper, never its raw history — the skew-immune shape
+    // SCALING.md round 3 measured, vs the window plan whose hot-key sort
+    // runs in one task. The changelog here is lineitem replayed as
+    // versioned events (seq = l_linenumber — NOT unique per order in
+    // this generator, as in any real at-least-once changelog), so the
+    // winner rule is the full lexicographic tuple (seq, op, payload):
+    // struct-max applies it natively and the oracle's window spells the
+    // identical DESC order — deterministic under seq ties in both
+    // engines. The tombstone flag derives via PortableHash so both
+    // engines see the same ops.
+    Q(
+      "etl_cdc_apply",
+      s"""WITH chg AS (
+         |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         |         CASE WHEN ${graft.functions.PortableHash.sql(
+        "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")} % 10 = 0
+         |              THEN 'D' ELSE 'U' END AS op
+         |  FROM lineitem
+         |)
+         |SELECT l_orderkey, l_quantity AS qty, l_extendedprice AS price, n_versions
+         |FROM (
+         |  SELECT *,
+         |         row_number() OVER (PARTITION BY l_orderkey
+         |                            ORDER BY l_linenumber DESC, op DESC,
+         |                                     l_quantity DESC, l_extendedprice DESC) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_versions
+         |  FROM chg)
+         |WHERE rn = 1 AND op <> 'D'
+         |ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      val opHash = graft.functions.PortableHash.pHash(concat(
+        col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")))
+      Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .withColumn("op",
+          when(pmod(opHash, lit(10)) === 0, "D").otherwise("U"))
+        .groupBy("l_orderkey")
+        .agg(
+          max(struct(col("l_linenumber"), col("op"), col("l_quantity"),
+            col("l_extendedprice"))).as("last"),
+          count(lit(1)).as("n_versions"))
+        .where(col("last.op") =!= "D")
+        .select(col("l_orderkey"),
+          col("last.l_quantity").as("qty"),
+          col("last.l_extendedprice").as("price"),
+          col("n_versions"))
+        .orderBy("l_orderkey")
+    },
+
     // R3: visit construction — gap-based sessionization (SURVEY.md §2.I).
     Q("etl_sessionize", sessionizeOracle) { (s, d) =>
       sessionized(events(s, d))

@@ -166,6 +166,50 @@ object Windows {
         .orderBy("user_id")
     },
 
+    // Longest consecutive-day activity streak per user (round 5) — the
+    // classic gaps-and-islands ISLANDS shape (etl_resample_ffill is its
+    // gap-filling sibling): distinct active days, then day − row_number
+    // is constant exactly within a consecutive run, so grouping on that
+    // anchor yields streak lengths. Purely integer date arithmetic —
+    // bit-exact cross-engine, no float risk anywhere.
+    //
+    // Scale shape: the distinct collapses events to one row per
+    // (user, day) BEFORE any window — the window and both aggregates see
+    // ≤ users×days rows, never raw events. Exchanges: one for the
+    // distinct (user, day), one on user_id for the window (the
+    // (user, day)-keyed distinct can't serve the user-keyed window), and
+    // the streak groupBy reuses the window's user_id partitioning. The
+    // per-user window sort is bounded by days-in-history (≤ a few
+    // thousand), so the Zipf hot-user exposure of raw-event windows
+    // (SCALING.md round 3) cannot arise.
+    Q("win_streak",
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), runs AS (
+        |  SELECT user_id, day,
+        |         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+        |  FROM days
+        |), streaks AS (
+        |  SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len
+        |  FROM runs GROUP BY user_id, anchor
+        |)
+        |SELECT user_id, max(len) AS longest_streak,
+        |       CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM streaks GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("day")
+      t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "anchor")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max(col("len")).as("longest_streak"),
+          sum(col("len")).as("n_active_days"))
+        .orderBy("user_id")
+    },
+
     // Top-3 orders per customer — InferWindowGroupLimit prunes per group.
     Q("win_topk_per_group",
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
