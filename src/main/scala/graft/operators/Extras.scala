@@ -236,9 +236,11 @@ object Extras {
     //
     // Scale shape: two equi-joins over the oriented edge list — wedge
     // build (join on the middle vertex) then closure probe (join on the
-    // (low, high) pair). The three references to the edge frame are one
-    // identical aggregate subtree, so ReusedExchange materializes the
-    // distinct once. Id-orientation keeps the enumeration exact at any
+    // (low, high) pair). The edge frame is referenced three times (wedge
+    // left, wedge right, closure probe), so it is persisted once — the
+    // same multiply-referenced-frame idiom as the LSH band frames;
+    // PlanSpec pins all three references read the cache. Id-orientation
+    // keeps the enumeration exact at any
     // scale; on a power-law graph the refinement is DEGREE orientation
     // (orient low→high degree, Suri & Vassilvitskii 2011), which caps
     // out-degree at O(√m) and wedge volume at O(m^1.5) — same plan, one
@@ -272,6 +274,7 @@ object Extras {
       val e = x.join(y, col("ok") === col("ok2") && col("pa") < col("pb"))
         .select(col("pa").as("a"), col("pb").as("b"))
         .distinct()
+        .persist()
       val bc = e.select(col("a").as("b2"), col("b").as("c"))
       val ac = e.select(col("a").as("a3"), col("b").as("c3"))
       val tri = e.join(bc, col("b") === col("b2"))

@@ -429,4 +429,43 @@ class PlanSpec extends AnyFunSuite {
     // both assignment and probe stages broadcast the 16-row centroid side
     assert("BroadcastExchange".r.findAllIn(p).size >= 2)
   }
+
+  test("win_streak: the (user, day) distinct collapses events below the window") {
+    // the window and streak aggregates must see one row per (user, day),
+    // never raw events — the distinct aggregate sits in the window's
+    // subtree (plan prints top-down, so it appears after the Window node)
+    val p = plan("win_streak")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, s"no Window in plan:\n$p")
+    assert(p.substring(winIdx).contains("HashAggregate"),
+      s"window consumes raw events instead of the (user, day) distinct:\n$p")
+  }
+
+  test("etl_cdc_apply: aggregate plan (partial+final fold), never a window") {
+    // the CDC winner fold must be the partially-aggregable struct-max —
+    // a Window here would reintroduce the hot-key single-task sort the
+    // operator exists to avoid. (struct-max plans as SortAggregate, not
+    // HashAggregate — the partial_max before the exchange is the claim.)
+    val p = plan("etl_cdc_apply")
+    assert(!p.contains("Window"), s"CDC apply planned a window:\n$p")
+    assert(p.contains("partial_max"),
+      s"no map-side partial fold before the key exchange:\n$p")
+    val keyExchanges = "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).size
+    assert(keyExchanges == 1, s"expected 1 key exchange, got $keyExchanges:\n$p")
+  }
+
+  test("graph_triangles: oriented equi-joins only, edge frame built once") {
+    val p = plan("graph_triangles")
+    // wedge build + closure probe are equi-joins; a cartesian here means
+    // the orientation predicate fell out of the keys. (The single 1-row ×
+    // 1-row scalar combine of the two counts IS a nested-loop join and is
+    // the only one allowed.)
+    assert(!p.contains("CartesianProduct"), s"all-pairs plan:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"non-equi join beyond the scalar combine:\n$p")
+    // wedge left, wedge right, and the closure probe must all read the
+    // persisted edge frame — never re-derive the distinct
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"edge frame rebuilt per reference:\n$p")
+  }
 }
