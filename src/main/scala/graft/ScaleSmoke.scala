@@ -289,6 +289,53 @@ object ScaleSmoke {
         .count()
     }
 
+    // CDC winner-fold A/B at Zipf 60M (round 5): the etl_cdc_apply
+    // design claim made measurable. Same changelog (key = Zipf user,
+    // seq = event_id, hot key ~6.2M versions), same winner rule — the
+    // AGGREGATE plan partial-folds each mapper's versions before the
+    // exchange (hot key receives one partial per mapper), the WINDOW
+    // plan must sort the hot key's full history in ONE task. The gap
+    // between these two timings is the skew penalty the declared key's
+    // aggregate shape avoids.
+    time("zipf cdc fold AGG 60M") {
+      zipfEv.groupBy("user_id")
+        .agg(max(struct(col("event_id"), col("value"))).as("last"),
+          count(lit(1)).as("n_versions"))
+        .select(col("user_id"), col("last.value"), col("n_versions"))
+        .count()
+    }
+
+    time("zipf cdc fold WINDOW 60M") {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("event_id").desc)
+      zipfEv.select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .count()
+    }
+
+    // Triangle counting at 2M-order scale (round 5): the REAL
+    // operators.Extras.triangles over a synthetic co-order graph
+    // (~3 lines per order on 200k parts → ~6M oriented edges). The
+    // measurement: wedge volume stays the id-orientation bound (no
+    // hub blowup on a uniform graph) and the persisted edge frame
+    // serves all three join references — the declared key's plan at
+    // 400× its sf0.1 edge count.
+    time("triangles 6M edges") {
+      val lp = spark.range(6000000L).select(
+        (col("id") / 3).cast("long").as("ok"),
+        pmod(xxhash64(col("id")), lit(200000)).as("p"))
+        .distinct()
+      val x = lp.select(col("ok"), col("p").as("pa"))
+      val y = lp.select(col("ok").as("ok2"), col("p").as("pb"))
+      val row = operators.Extras.triangles(
+        x.join(y, col("ok") === col("ok2") && col("pa") < col("pb"))
+          .select(col("pa").as("a"), col("pb").as("b"))
+          .distinct()).head()
+      spark.catalog.clearCache() // release the triangle edge persist
+      row.getLong(0) // n_edges
+    }
+
     // Incremental sessions at scale: published state from 60M historical
     // events vs a 1M-event append batch. The state merge (the REAL
     // Pipeline.mergeSessions operator) must cost ~|batch|, not |history| —

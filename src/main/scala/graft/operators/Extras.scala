@@ -45,6 +45,26 @@ object Extras {
     rank
   }
 
+  /** Triangle + edge counts over an id-ORIENTED distinct edge list
+    * (columns `a` < `b`): wedge join on the middle vertex, closing-edge
+    * probe on the (low, high) pair — each triangle counted exactly once
+    * (see the graph_triangles Q for the full rationale). Returns one row
+    * (n_edges, n_triangles).
+    *
+    * Cache contract: persists the edge frame (it feeds three join
+    * references); callers doing repeated runs should clearCache() when
+    * done, as with [[pageRank]].
+    */
+  def triangles(edges0: DataFrame): DataFrame = {
+    val e = edges0.persist()
+    val bc = e.select(col("a").as("b2"), col("b").as("c"))
+    val ac = e.select(col("a").as("a3"), col("b").as("c3"))
+    val tri = e.join(bc, col("b") === col("b2"))
+      .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges")).join(tri)
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Cross-user session-overlap pairs (visit-overlap QA, R3). The
@@ -271,16 +291,9 @@ object Extras {
         .distinct()
       val x = lp.select(col("ok"), col("p").as("pa"))
       val y = lp.select(col("ok").as("ok2"), col("p").as("pb"))
-      val e = x.join(y, col("ok") === col("ok2") && col("pa") < col("pb"))
+      triangles(x.join(y, col("ok") === col("ok2") && col("pa") < col("pb"))
         .select(col("pa").as("a"), col("pb").as("b"))
-        .distinct()
-        .persist()
-      val bc = e.select(col("a").as("b2"), col("b").as("c"))
-      val ac = e.select(col("a").as("a3"), col("b").as("c3"))
-      val tri = e.join(bc, col("b") === col("b2"))
-        .join(ac, col("a") === col("a3") && col("c") === col("c3"))
-        .agg(count(lit(1)).as("n_triangles"))
-      e.agg(count(lit(1)).as("n_edges")).join(tri)
+        .distinct())
     }
   )
 }

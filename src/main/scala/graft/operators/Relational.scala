@@ -261,6 +261,38 @@ object Relational {
         .orderBy("p_id")
     },
 
+    // Null-safe equi-join (round 5): <=> joins where NULL keys MATCH each
+    // other — the dimension-attach shape a plain `=` join silently drops
+    // NULL-keyed rows from. EqualNullSafe is still an EQUI predicate, so
+    // this hash-partitions (all NULLs co-locate in one group, like any
+    // other key value) — never a nested-loop. The NULL group is a
+    // built-in skew hazard at scale (every NULL row lands in ONE
+    // partition), which is why the dim side here is an aggregate of the
+    // fact itself (bounded groups) and the fact side stays the probe;
+    // a NULL-heavy fact⋈fact null-safe join would want the Skew.salted
+    // path instead.
+    Q("join_null_safe",
+      """WITH o AS (
+        |  SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_n,
+        |         o_totalprice
+        |  FROM orders
+        |), grp AS (
+        |  SELECT status_n AS g_status, CAST(count(*) AS BIGINT) AS n_same
+        |  FROM o GROUP BY status_n
+        |)
+        |SELECT o_orderkey, status_n, n_same
+        |FROM o JOIN grp ON status_n IS NOT DISTINCT FROM g_status
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("P")).as("status_n"))
+      val grp = o.groupBy(col("status_n").as("g_status"))
+        .agg(count(lit(1)).as("n_same"))
+      o.join(grp, col("status_n") <=> col("g_status"))
+        .select("o_orderkey", "status_n", "n_same")
+        .orderBy("o_orderkey")
+    },
+
     // ---------------------------------------------------------------- §2.F
     Q("sort_multi_nulls",
       """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal

@@ -215,6 +215,30 @@ object Scalars {
         .orderBy("doc_id")
     },
 
+    // Bitwise ops (round 5): mask/shift/popcount — the flag-field and
+    // hash-partition arithmetic of R9/NS (simhash segments, z-order
+    // interleaves, bloom bit probes all reduce to these). Pure codegen
+    // integer ops, bit-exact cross-engine by construction.
+    Q("fn_bitwise",
+      """SELECT event_id,
+        |       event_id & 255 AS masked,
+        |       event_id | 4096 AS flagged,
+        |       xor(event_id, 21845) AS mixed,
+        |       event_id << 3 AS shl,
+        |       event_id >> 2 AS shr,
+        |       CAST(bit_count(event_id) AS BIGINT) AS pop
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        col("event_id").bitwiseAND(lit(255L)).as("masked"),
+        col("event_id").bitwiseOR(lit(4096L)).as("flagged"),
+        col("event_id").bitwiseXOR(lit(21845L)).as("mixed"),
+        shiftleft(col("event_id"), 3).as("shl"),
+        shiftright(col("event_id"), 2).as("shr"),
+        bit_count(col("event_id")).cast("long").as("pop"))
+        .orderBy("event_id")
+    },
+
     // R1: dirty-ingest casts — try_cast null-on-error.
     Q("fn_cast",
       """SELECT event_id,
