@@ -113,6 +113,36 @@ object Streaming {
       .select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
   }
 
+  /** Streaming CDC materialization (round 5) — the streaming twin of the
+    * batch `etl_cdc_apply` key: keep each key's winning version under the
+    * SAME lexicographic (seq, op, payload) rule (real changelogs are
+    * at-least-once; the total tuple order makes seq ties deterministic),
+    * emitting a key's current winner whenever a micro-batch changes it
+    * (Update mode). State is ONE fixed-size tuple per key — O(live keys),
+    * never O(changelog) — so a 100 TB/day CDC firehose materializes with
+    * bounded state. Downstream treats op='D' as a retraction, exactly as
+    * the batch fold's tombstone filter. StreamingSpec pins stream == the
+    * batch max(struct) fold on replayed changelogs.
+    */
+  case class CdcEvent(key: Long, seq: Long, op: String, value: Double)
+  case class CdcWinner(key: Long, seq: Long, op: String, value: Double)
+
+  def cdcApply(chg: Dataset[CdcEvent]): Dataset[CdcWinner] = {
+    import chg.sparkSession.implicits._
+    chg.groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (k: Long, evs: Iterator[CdcEvent], st: GroupState[CdcWinner]) =>
+          val candidates =
+            evs.map(e => (e.seq, e.op, e.value)) ++
+              st.getOption.map(w => (w.seq, w.op, w.value)).iterator
+          val (seq, op, value) = candidates.max
+          val w = CdcWinner(k, seq, op, value)
+          if (st.getOption.contains(w)) Iterator.empty
+          else { st.update(w); Iterator.single(w) }
+      }
+  }
+
   /** Custom per-user state machine: signup→purchase funnel. Emits one row
     * per user on their first post-signup purchase (conversion), carrying
     * the lag between the two. State is one small record per user with a

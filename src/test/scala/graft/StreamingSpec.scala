@@ -291,6 +291,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC materialization == batch max(struct) fold, tombstones included") {
+    // a seeded at-least-once changelog: 400 events over 40 keys with
+    // COLLIDING seqs (seq drawn from just 5 values) so the lexicographic
+    // tie rule actually decides winners, plus ~10% tombstones
+    val rnd = new scala.util.Random(11)
+    val chg = (0 until 400).map { _ =>
+      Streaming.CdcEvent(
+        key = rnd.nextInt(40).toLong,
+        seq = rnd.nextInt(5).toLong,
+        op = if (rnd.nextInt(10) == 0) "D" else "U",
+        value = rnd.nextInt(1000) / 10.0)
+    }
+    // batch truth: the exact etl_cdc_apply fold shape
+    import org.apache.spark.sql.functions.{col, max, struct}
+    val batch = chg.toDS().groupBy(col("key"))
+      .agg(max(struct(col("seq"), col("op"), col("value"))).as("w"))
+      .select(col("key"), col("w.seq"), col("w.op"), col("w.value"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getDouble(3))))
+      .toMap
+
+    val input = MemoryStream[Streaming.CdcEvent](spark)
+    val name = s"mem_cdc_${System.nanoTime()}"
+    val q = Streaming.cdcApply(input.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    try {
+      chg.grouped(135).foreach { batchEvs =>
+        input.addData(batchEvs)
+        q.processAllAvailable()
+      }
+      // the key's final winner = the lexicographic max of everything the
+      // stream emitted for it (update mode re-emits only on change, so
+      // the max emitted IS the last emitted)
+      val streamed = spark.table(name).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getDouble(3))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(streamed == batch,
+        "streaming winners must equal the batch fold, including D tombstones")
+      assert(batch.values.exists(_._2 == "D"),
+        "fixture must exercise tombstone winners")
+    } finally q.stop()
+  }
+
   test("funnel state machine emits one conversion per signup→purchase") {
     val evs = Seq(
       Streaming.FunnelEvent(1, "signup", 1000000L),
