@@ -297,21 +297,27 @@ object ScaleSmoke {
     // plan must sort the hot key's full history in ONE task. The gap
     // between these two timings is the skew penalty the declared key's
     // aggregate shape avoids.
+    // Both sides reduce through a checksum over the FOLD OUTPUT — a bare
+    // .count() would let Catalyst prune the struct-max itself (leaving a
+    // distinct on one side and a full window on the other: not an A/B).
     time("zipf cdc fold AGG 60M") {
-      zipfEv.groupBy("user_id")
+      val r = zipfEv.groupBy("user_id")
         .agg(max(struct(col("event_id"), col("value"))).as("last"),
           count(lit(1)).as("n_versions"))
-        .select(col("user_id"), col("last.value"), col("n_versions"))
-        .count()
+        .agg(round(sum(col("last.value")), 2), sum(col("n_versions")))
+        .head()
+      r.getLong(1)
     }
 
     time("zipf cdc fold WINDOW 60M") {
       val w = Window.partitionBy("user_id")
         .orderBy(col("event_id").desc)
-      zipfEv.select(col("user_id"), col("event_id"), col("value"))
+      val r = zipfEv.select(col("user_id"), col("event_id"), col("value"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
-        .count()
+        .agg(round(sum(col("value")), 2), count(lit(1)))
+        .head()
+      r.getLong(1)
     }
 
     // Triangle counting at 2M-order scale (round 5): the REAL

@@ -273,12 +273,16 @@ object Etl {
     // final state. etl_incremental_merge is upsert-only and
     // etl_dedup_latest keeps the latest version via a WINDOW — this key
     // adds the missing DELETE semantics (a tombstone as the last event
-    // erases the key) and deliberately takes the AGGREGATE plan instead:
-    // max(struct(seq, payload)) is partially aggregable, so each mapper
-    // pre-folds its local versions and a Zipf-hot key receives one
-    // partial per mapper, never its raw history — the skew-immune shape
-    // SCALING.md round 3 measured, vs the window plan whose hot-key sort
-    // runs in one task. The changelog here is lineitem replayed as
+    // erases the key) and takes the AGGREGATE plan: max(struct(seq,
+    // payload)) partial-folds each mapper's versions before the exchange.
+    // Measured at Zipf 60M (SCALING.md) this runs at PARITY with the
+    // rn=1 window — InferWindowGroupLimit rescues that pattern from
+    // window skew too — so the aggregate is declared for what survives
+    // the measurement: the identical fold rides streaming state
+    // (stream_cdc_apply) and incremental maintenance (partials merge
+    // across batches), and it generalizes to payload folds no group-limit
+    // rewrite covers (sketch merges). The changelog here is lineitem
+    // replayed as
     // versioned events (seq = l_linenumber — NOT unique per order in
     // this generator, as in any real at-least-once changelog), so the
     // winner rule is the full lexicographic tuple (seq, op, payload):

@@ -273,8 +273,7 @@ object Relational {
     // path instead.
     Q("join_null_safe",
       """WITH o AS (
-        |  SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_n,
-        |         o_totalprice
+        |  SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_n
         |  FROM orders
         |), grp AS (
         |  SELECT status_n AS g_status, CAST(count(*) AS BIGINT) AS n_same

@@ -118,29 +118,60 @@ object Streaming {
     * SAME lexicographic (seq, op, payload) rule (real changelogs are
     * at-least-once; the total tuple order makes seq ties deterministic),
     * emitting a key's current winner whenever a micro-batch changes it
-    * (Update mode). State is ONE fixed-size tuple per key — O(live keys),
-    * never O(changelog) — so a 100 TB/day CDC firehose materializes with
-    * bounded state. Downstream treats op='D' as a retraction, exactly as
-    * the batch fold's tombstone filter. StreamingSpec pins stream == the
-    * batch max(struct) fold on replayed changelogs.
+    * (Update mode). State is one fixed-size tuple per LIVE key plus
+    * tombstoned keys inside a 1-hour redelivery horizon: a 'D' winner
+    * arms a processing-time timeout and the key's state is evicted when
+    * it fires (by then no late at-least-once redelivery can outrank the
+    * tombstone), so key churn cannot accrete dead state — without the
+    * eviction a 100 TB/day insert-then-delete workload would hold every
+    * key ever created. Downstream treats op='D' as a retraction, exactly
+    * as the batch fold's tombstone filter. StreamingSpec pins stream ==
+    * the batch max(struct) fold on replayed changelogs.
     */
   case class CdcEvent(key: Long, seq: Long, op: String, value: Double)
-  case class CdcWinner(key: Long, seq: Long, op: String, value: Double)
 
-  def cdcApply(chg: Dataset[CdcEvent]): Dataset[CdcWinner] = {
+  private implicit val cdcWinnerOrder: Ordering[CdcEvent] =
+    Ordering.by((e: CdcEvent) => (e.seq, e.op, e.value))
+
+  /** The per-group fold — factored out so the timeout/eviction branches
+    * are directly unit-testable via `TestGroupState` (the live streaming
+    * harness can't drive processing-time timers deterministically).
+    */
+  private[graft] def cdcFoldGroup(
+      evict: Boolean)(
+      key: Long, evs: Iterator[CdcEvent], st: GroupState[CdcEvent])
+      : Iterator[CdcEvent] = {
+    if (st.hasTimedOut) { // tombstone aged past the redelivery horizon
+      st.remove(); Iterator.empty
+    } else {
+      val w = (evs ++ st.getOption.iterator).max
+      val changed = !st.getOption.contains(w)
+      if (changed) st.update(w)
+      // Spark clears a group's timeout on every invocation, so a
+      // tombstone winner re-arms it EVERY time (even on a redundant
+      // redelivery that changes nothing) — live keys never expire,
+      // dead keys always do
+      if (evict && w.op == "D") st.setTimeoutDuration("1 hour")
+      if (changed) Iterator.single(w) else Iterator.empty
+    }
+  }
+
+  /** `evict = true` (the production default) arms processing-time
+    * eviction of tombstoned keys. Note the engine behavior it buys into:
+    * with processing-time timeouts Spark keeps scheduling micro-batches
+    * to service timers, so a MemoryStream test harness never quiesces —
+    * StreamingSpec therefore runs the parity replay with `evict = false`
+    * and pins the eviction branches through `TestGroupState` instead.
+    */
+  def cdcApply(
+      chg: Dataset[CdcEvent], evict: Boolean = true): Dataset[CdcEvent] = {
     import chg.sparkSession.implicits._
+    val timeout =
+      if (evict) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     chg.groupByKey(_.key)
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (k: Long, evs: Iterator[CdcEvent], st: GroupState[CdcWinner]) =>
-          val candidates =
-            evs.map(e => (e.seq, e.op, e.value)) ++
-              st.getOption.map(w => (w.seq, w.op, w.value)).iterator
-          val (seq, op, value) = candidates.max
-          val w = CdcWinner(k, seq, op, value)
-          if (st.getOption.contains(w)) Iterator.empty
-          else { st.update(w); Iterator.single(w) }
-      }
+        OutputMode.Update(), timeout)(cdcFoldGroup(evict))
   }
 
   /** Custom per-user state machine: signup→purchase funnel. Emits one row

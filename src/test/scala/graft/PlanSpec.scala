@@ -442,10 +442,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("etl_cdc_apply: aggregate plan (partial+final fold), never a window") {
-    // the CDC winner fold must be the partially-aggregable struct-max —
-    // a Window here would reintroduce the hot-key single-task sort the
-    // operator exists to avoid. (struct-max plans as SortAggregate, not
-    // HashAggregate — the partial_max before the exchange is the claim.)
+    // the CDC winner fold must stay the partially-aggregable struct-max —
+    // the shape that rides streaming state and incremental maintenance
+    // (the rn=1 window measures at parity thanks to InferWindowGroupLimit,
+    // but has neither property). struct-max plans as SortAggregate, not
+    // HashAggregate — the partial_max before the exchange is the claim.
     val p = plan("etl_cdc_apply")
     assert(!p.contains("Window"), s"CDC apply planned a window:\n$p")
     assert(p.contains("partial_max"),

@@ -314,7 +314,10 @@ class StreamingSpec extends AnyFunSuite {
 
     val input = MemoryStream[Streaming.CdcEvent](spark)
     val name = s"mem_cdc_${System.nanoTime()}"
-    val q = Streaming.cdcApply(input.toDS())
+    // evict=false: processing-time timers keep the engine scheduling
+    // batches forever, so processAllAvailable would never return — the
+    // eviction branches are pinned by the TestGroupState test below
+    val q = Streaming.cdcApply(input.toDS(), evict = false)
       .writeStream.format("memory").queryName(name).outputMode("update").start()
     try {
       chg.grouped(135).foreach { batchEvs =>
@@ -332,6 +335,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.values.exists(_._2 == "D"),
         "fixture must exercise tombstone winners")
     } finally q.stop()
+  }
+
+  test("streaming CDC eviction: tombstones arm the timeout, timed-out keys drop") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    def fresh(st: Optional[Streaming.CdcEvent], timedOut: Boolean) =
+      TestGroupState.create[Streaming.CdcEvent](
+        st, GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+        Optional.empty[Long](), timedOut)
+    val fold = Streaming.cdcFoldGroup(evict = true) _
+
+    // a tombstone winner arms the 1h timeout and is emitted
+    val s1 = fresh(Optional.empty(), timedOut = false)
+    val out1 = fold(7L, Iterator(Streaming.CdcEvent(7, 3, "D", 1.0)), s1).toSeq
+    assert(out1.map(_.op) == Seq("D") && s1.getTimeoutTimestampMs.isPresent)
+
+    // a live winner does NOT arm the timeout
+    val s2 = fresh(Optional.empty(), timedOut = false)
+    val out2 = fold(7L, Iterator(Streaming.CdcEvent(7, 3, "U", 1.0)), s2).toSeq
+    assert(out2.map(_.op) == Seq("U") && !s2.getTimeoutTimestampMs.isPresent)
+
+    // a redundant redelivery of the tombstone emits nothing but RE-arms
+    // (Spark clears timers per invocation; without re-arming, the key
+    // would leak forever)
+    val d = Streaming.CdcEvent(7, 3, "D", 1.0)
+    val s3 = fresh(Optional.of(d), timedOut = false)
+    val out3 = fold(7L, Iterator(d), s3).toSeq
+    assert(out3.isEmpty && s3.getTimeoutTimestampMs.isPresent)
+
+    // when the timer fires, the dead key's state is removed silently
+    val s4 = fresh(Optional.of(d), timedOut = true)
+    val out4 = fold(7L, Iterator.empty, s4).toSeq
+    assert(out4.isEmpty && s4.isRemoved)
   }
 
   test("funnel state machine emits one conversion per signup→purchase") {
