@@ -342,6 +342,45 @@ object ScaleSmoke {
       row.getLong(0) // n_edges
     }
 
+    // Power-law hub A/B (round 5): id-orientation's failure mode made
+    // measurable. The hub sits MID-RANGE in the id order (id 100000 of
+    // 200k, 20k random spokes + 3M background edges): under id
+    // orientation its ~10k out-edges pair into ~5×10⁷ hub wedges (a
+    // wedge = two out-edges of one vertex — a hub at the id extreme
+    // would be accidentally safe); degree orientation makes the hub the
+    // highest rank among its neighbors — zero out-edges, zero hub
+    // wedges. Counts must agree — orientation is just a total order.
+    locally {
+      val hubId = 100000L
+      val hub = spark.range(20000L)
+        .select(lit(hubId).as("x"),
+          pmod(xxhash64(col("id"), lit(7)), lit(200000)).as("y"))
+        .where(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+      val bg = spark.range(3000000L).select(
+        pmod(xxhash64(col("id")), lit(200000)).as("x"),
+        pmod(xxhash64(col("id"), lit(1)), lit(200000)).as("y"))
+        .where(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+      val g = bg.unionAll(hub).distinct().persist()
+      g.count()
+      var byId = -1L; var byDeg = -1L
+      time("triangles hub BY-ID") {
+        val r = operators.Extras.triangles(g).head()
+        byId = r.getLong(1); byId
+      }
+      time("triangles hub BY-DEGREE") {
+        val r = operators.Extras.trianglesByDegree(g).head()
+        byDeg = r.getLong(1); byDeg
+      }
+      g.unpersist()
+      spark.catalog.clearCache()
+      if (byId >= 0 && byDeg >= 0)
+        require(byId == byDeg, s"orientations disagree: $byId vs $byDeg")
+    }
+
     // Incremental sessions at scale: published state from 60M historical
     // events vs a 1M-event append batch. The state merge (the REAL
     // Pipeline.mergeSessions operator) must cost ~|batch|, not |history| —

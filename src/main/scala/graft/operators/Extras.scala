@@ -65,6 +65,51 @@ object Extras {
     e.agg(count(lit(1)).as("n_edges")).join(tri)
   }
 
+  /** DEGREE-oriented triangle counting (Suri & Vassilvitskii 2011, "the
+    * curse of the last reducer") — the power-law escape [[triangles]]
+    * documents: orient every edge from its lower-(degree, id) endpoint to
+    * the higher one. A wedge is two out-edges of one vertex, so a vertex
+    * contributes C(out-degree, 2) wedges; under id orientation a hub
+    * sitting MID-RANGE in the id order keeps ~half its degree as
+    * out-edges and contributes O(deg²) wedges (a hub at the low/high id
+    * extreme is accidentally safe — the hazard depends on where ids
+    * landed). Degree orientation makes every hub the HIGHEST rank among
+    * its neighbors — zero out-edges, zero hub wedges — capping any
+    * vertex's out-degree at O(√m) and total wedges at O(m^1.5)
+    * REGARDLESS of the degree distribution (ScaleSmoke measures the
+    * mid-id-hub A/B). Every triangle {x,y,z} with rank rx<ry<rz is
+    * enumerated exactly once at its lowest-rank vertex as wedge (y,z)
+    * closed by oriented edge y→z — same counts as [[triangles]]
+    * (equality law + brute-force oracle in ComponentsSpec), same input
+    * contract (distinct undirected edges as a<b), same output row. The
+    * total rank packs (degree, id) into one BIGINT — degree and id both
+    * fit 31 bits at any realistic node count.
+    */
+  def trianglesByDegree(edges0: DataFrame): DataFrame = {
+    val und = edges0.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges0.select(col("b").as("u"), col("a").as("v")))
+    val rank = und.groupBy("u")
+      .agg(count(lit(1)).as("d"))
+      .select(col("u").as("n"), (col("d") * lit(4294967296L) + col("u")).as("r"))
+    val or = und
+      .join(rank.select(col("n").as("nu"), col("r").as("ru")),
+        col("u") === col("nu"))
+      .join(rank.select(col("n").as("nv"), col("r").as("rv")),
+        col("v") === col("nv"))
+      .where(col("ru") < col("rv"))
+      .select(col("u").as("a"), col("v").as("b"), col("rv").as("rb"))
+    val e = or.persist()
+    // wedges at the lowest-rank vertex: two out-edges (a→b), (a→c) with
+    // rank(b) < rank(c); the closing edge must then be oriented b→c
+    val right = e.select(col("a").as("a2"), col("b").as("c"),
+      col("rb").as("rc"))
+    val closing = e.select(col("a").as("cb"), col("b").as("cc"))
+    val tri = e.join(right, col("a") === col("a2") && col("rb") < col("rc"))
+      .join(closing, col("b") === col("cb") && col("c") === col("cc"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges")).join(tri)
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Cross-user session-overlap pairs (visit-overlap QA, R3). The

@@ -90,4 +90,46 @@ class ComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L until 5L).map(i => i -> i).toMap)
   }
+
+  test("degree-oriented triangle counting == id-oriented, incl. a hub graph") {
+    // equality law on random graphs + a brute-force oracle: orientation
+    // is just a total order on vertices, so counts must be invariant
+    import graft.operators.Extras
+    val rnd = new scala.util.Random(13)
+    def count(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+      val e = edges.distinct.toDF("a", "b")
+      val byId = Extras.triangles(e).head()
+      val byDeg = Extras.trianglesByDegree(e).head()
+      spark.catalog.clearCache() // both persist their edge frames
+      (byId.getLong(0), byId.getLong(1), byDeg.getLong(0), byDeg.getLong(1))
+    }
+    def brute(edges: Seq[(Long, Long)]): Long = {
+      val s = edges.distinct.toSet
+      val vs = s.flatMap(e => Set(e._1, e._2)).toSeq.sorted
+      (for {
+        x <- vs; y <- vs if x < y && s((x, y))
+        z <- vs if y < z && s((y, z)) && s((x, z))
+      } yield 1).size.toLong
+    }
+    for (trial <- 0 until 3) {
+      val edges = Seq.fill(60 + trial * 30) {
+        val a = rnd.nextInt(20).toLong; val b = rnd.nextInt(20).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }
+      val (e1, t1, e2, t2) = count(edges)
+      assert(e1 == e2 && t1 == t2, s"orientations disagree on trial $trial")
+      assert(t1 == brute(edges), s"count wrong vs brute force on trial $trial")
+    }
+    // hub graph: the hub sits MID-RANGE in id order (the position where
+    // id orientation keeps ~half its degree as out-edges — the hazard
+    // shape) + a ring among the spokes
+    val spokes = (0L to 16L).filter(_ != 8L)
+    val hubEdges = spokes.map(s => (math.min(8L, s), math.max(8L, s)))
+    val ring = spokes.zip(spokes.tail :+ spokes.head)
+      .map { case (s, t) => (math.min(s, t), math.max(s, t)) }
+    val hub = hubEdges ++ ring
+    val (e1, t1, e2, t2) = count(hub)
+    assert(e1 == e2 && t1 == t2 && t1 == brute(hub))
+    assert(t1 == 16L, "hub+ring: one triangle per ring edge")
+  }
 }
