@@ -31,6 +31,29 @@ object Aggregates {
     // WindowGroupLimit over the pre-aggregated (group, value) pairs, so
     // the window never sees raw rows — at 100 TB the only full-data
     // shuffle is the two-phase count's.
+    // FILTER-clause aggregation (round 5): per-group conditional
+    // aggregates in ONE pass — the idiomatic SQL form of the CASE-sum
+    // ladder (fn_conditional covers the expression form; this covers the
+    // aggregate syntax both engines support natively). One two-phase
+    // hash aggregate; each FILTER is a codegen predicate on the update
+    // path, never a second scan.
+    Q("agg_count_filter",
+      """SELECT l_returnflag,
+        |       CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+        |       CAST(count(*) FILTER (WHERE l_discount = 0) AS BIGINT) AS n_nodisc,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |            FILTER (WHERE l_quantity > 25) AS DOUBLE) AS rev_big
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("count(*) FILTER (WHERE l_quantity > 25)").as("n_big"),
+          expr("count(*) FILTER (WHERE l_discount = 0)").as("n_nodisc"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))" +
+            " FILTER (WHERE l_quantity > 25) AS DOUBLE)").as("rev_big"))
+        .orderBy("l_returnflag")
+    },
+
     Q("agg_mode",
       """WITH c AS (
         |  SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS n

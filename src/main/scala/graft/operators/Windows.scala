@@ -166,6 +166,27 @@ object Windows {
         .orderBy("user_id")
     },
 
+    // nth_value with an explicit full frame (round 5) — completes the
+    // positional window family (first/last/nth): each order sees its
+    // customer's 2nd-highest order value. NULL for single-order
+    // customers, exercising the function's NULL-on-short-frame edge.
+    Q("win_nth_value",
+      """SELECT o_orderkey, o_custkey,
+        |       nth_value(o_totalprice, 2) OVER (
+        |         PARTITION BY o_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |       ) AS second_highest
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_highest"))
+        .orderBy("o_orderkey")
+    },
+
     // Longest consecutive-day activity streak per user (round 5) — the
     // classic gaps-and-islands ISLANDS shape (etl_resample_ffill is its
     // gap-filling sibling): distinct active days, then day − row_number
