@@ -327,6 +327,57 @@ object Aggregates {
         .orderBy("col_name")
     },
 
+    // R11 data-quality, continued: Tukey-fence outlier audit — per
+    // event type, how many values fall outside [q1 − 1.5·IQR,
+    // q3 + 1.5·IQR]. Two passes by necessity (exact quantiles need a
+    // full pass before anything can be classified); the bounds frame is
+    // DOMAIN-bounded (one row per event type) so its join back is a
+    // safe explicit broadcast — the nation/region argument, not the
+    // linear-dimension trap. Both engines compute lo/hi with the same
+    // expression shape on the same interpolated quantiles, and the
+    // fixture's 2-decimal values keep data points off the fence ulp.
+    // At 100 TB the bounds pass drops to one kll_sketch aggregate
+    // (mergeable, streamable) with the fences read off the sketch —
+    // same second pass, approximate fences.
+    Q(
+      "dq_outliers",
+      """WITH b AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.25) AS q1,
+        |         quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type
+        |), f AS (
+        |  SELECT e.event_type, e.value,
+        |         b.q1 - 1.5 * (b.q3 - b.q1) AS lo,
+        |         b.q3 + 1.5 * (b.q3 - b.q1) AS hi
+        |  FROM events e JOIN b ON e.event_type = b.event_type
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(CASE WHEN value < lo THEN 1 END) AS BIGINT) AS n_low,
+        |       CAST(count(CASE WHEN value > hi THEN 1 END) AS BIGINT) AS n_high,
+        |       round(min(lo), 4) AS lo_bound,
+        |       round(max(hi), 4) AS hi_bound
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val iqr = col("q3") - col("q1")
+      val b = ev.groupBy("event_type")
+        .agg(
+          percentile(col("value"), lit(0.25)).as("q1"),
+          percentile(col("value"), lit(0.75)).as("q3"))
+        .select(col("event_type"),
+          (col("q1") - lit(1.5) * iqr).as("lo"),
+          (col("q3") + lit(1.5) * iqr).as("hi"))
+      ev.join(broadcast(b), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("value") < col("lo"), 1)).as("n_low"),
+          count(when(col("value") > col("hi"), 1)).as("n_high"),
+          round(min(col("lo")), 4).as("lo_bound"),
+          round(max(col("hi")), 4).as("hi_bound"))
+        .orderBy("event_type")
+    },
+
     // R11: wide→long reshaping (the inverse of agg_pivot) — Spark 4's
     // native unpivot/melt. Zero-shuffle: each input row explodes to one
     // row per measure map-side (Expand), so the reshape costs one narrow

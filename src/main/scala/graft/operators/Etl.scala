@@ -598,6 +598,93 @@ object Etl {
         |  ) WHERE prev_state IS DISTINCT FROM event_type
         |) ORDER BY user_id, valid_from, version_id""".stripMargin) { (s, d) =>
       scd2(events(s, d)).orderBy("user_id", "valid_from", "version_id")
+    },
+
+    // Daily churn/retention ledger (round 5, continued) — the R4-style
+    // engagement report: per calendar day, how many users were active,
+    // how many were brand new, how many returned from yesterday, and how
+    // many of yesterday's actives churned (didn't come back). One scan:
+    // the user-partitioned lag marks each (user, day) as new/retained,
+    // the daily groupBy folds the flags, and churn falls out in
+    // AGGREGATE-land as yesterday's actives minus today's retained — no
+    // second scan, no self-join. The final lag window is global but runs
+    // over the BOUNDED daily report (30 rows here, ≤ a few thousand for
+    // years of data), the same bounded-frame argument as agg_histogram's
+    // CDF. The day-contiguity CASE guard keeps the ledger honest if a
+    // calendar day ever has zero actives.
+    Q(
+      "etl_churn_daily",
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL
+        |), f AS (
+        |  SELECT day, lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM act
+        |), daily AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+        |         CAST(count(CASE WHEN prev IS NULL THEN 1 END) AS BIGINT) AS n_new,
+        |         CAST(count(CASE WHEN prev = day - 1 THEN 1 END) AS BIGINT) AS n_retained
+        |  FROM f GROUP BY day
+        |)
+        |SELECT day, n_active, n_new, n_retained,
+        |       CASE WHEN lag(day) OVER (ORDER BY day) = day - 1
+        |            THEN lag(n_active) OVER (ORDER BY day) - n_retained
+        |       END AS n_churned
+        |FROM daily ORDER BY day""".stripMargin) { (s, d) =>
+      val act = events(s, d)
+        .where(col("user_id").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val prev = lag(col("day"), 1)
+        .over(Window.partitionBy("user_id").orderBy("day"))
+      val daily = act.withColumn("prev", prev)
+        .groupBy("day")
+        .agg(
+          count(lit(1)).as("n_active"),
+          count(when(col("prev").isNull, 1)).as("n_new"),
+          count(when(col("prev") === date_sub(col("day"), 1), 1))
+            .as("n_retained"))
+      val wd = Window.orderBy("day")
+      daily
+        .withColumn("n_churned",
+          when(lag(col("day"), 1).over(wd) === date_sub(col("day"), 1),
+            lag(col("n_active"), 1).over(wd) - col("n_retained")))
+        .orderBy("day")
+    },
+
+    // Event-type transition matrix (round 5, continued) — first-order
+    // Markov view of user journeys (view→purchase, error→error, …): per
+    // ordered consecutive event pair within a user, the count and the
+    // row-normalized transition probability. One scan + ONE exchange:
+    // the lag shuffles on user_id, the (prev, next) groupBy reduces to
+    // the 5×5 type matrix, and the normalizing window runs over that
+    // BOUNDED matrix, not the data. NULL user_ids deliberately form one
+    // lag partition on both engines (same 3VL posture as
+    // etl_batch_entry_flag).
+    Q(
+      "etl_transition_matrix",
+      """WITH t AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS prev_type
+        |  FROM events
+        |)
+        |SELECT prev_type, event_type AS next_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev_type), 4)
+        |         AS p_next
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, next_type""".stripMargin) { (s, d) =>
+      val p = events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUserTime))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      p.withColumn("p_next",
+          round(col("n") * lit(1.0) /
+            sum(col("n")).over(Window.partitionBy("prev_type")), 4))
+        .orderBy("prev_type", "next_type")
     }
   ) :+ resampleQ
 

@@ -339,6 +339,210 @@ object Extras {
       triangles(x.join(y, col("ok") === col("ok2") && col("pa") < col("pb"))
         .select(col("pa").as("a"), col("pb").as("b"))
         .distinct())
+    },
+
+    // Connected components as a DECLARED graph key (round 5, continued) —
+    // the general-graph twin of the near-dup CC the dedup family already
+    // oracle-proves (llm_dedup_groups_lsh): same Components machinery
+    // (O(diameter) min-label propagation with the O(log n) star-
+    // contraction fallback, edge frame pre-partitioned + checkpointed
+    // once), but over an arbitrary edge list rather than LSH candidates.
+    // Graph: parts co-ordered within January 1997 (one month keeps the
+    // component structure interesting — the full-year graph collapses
+    // into a giant component). Output: one row per component
+    // (label = min part id) with its node count.
+    //
+    // Scale shape: identical to the dedup-group path — per-round
+    // shuffles carry only the changing label vector, the diameter budget
+    // bounds the round count, and the recursive-CTE oracle replays the
+    // same min-label fixpoint in DuckDB (reachMinCte's UNION-set
+    // recursion is oracle-scale-only; the declared plan never does that).
+    Q("graph_cc",
+      s"""WITH RECURSIVE lp AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-02-01'
+        |), e0 AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+        |), edges AS (
+        |  SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+        |), ${Components.reachMinCte("SELECT DISTINCT a AS id FROM edges", "edges")},
+        |lab AS (
+        |  SELECT node, min(r) AS comp FROM reach GROUP BY node
+        |)
+        |SELECT CAST(comp AS BIGINT) AS component,
+        |       CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM lab GROUP BY comp
+        |ORDER BY n_nodes DESC, component""".stripMargin) { (s, d) =>
+      val e0 = coOrderEdges(s, d, "1997-01-01", "1997-02-01")
+      val sym = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+        .persist()
+      val nodes = sym.select(col("a").as("id")).distinct()
+      Components.connectedComponents(nodes, "id", sym)
+        .groupBy(col("lbl").cast("long").as("component"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("component"))
+    },
+
+    // Degree distribution (round 5, continued) — the graph-profile
+    // report (how skewed is this graph?) that decides whether the
+    // id-oriented triangle plan is safe or the degree-oriented one is
+    // required (see trianglesByDegree). Same 1997 co-order graph as
+    // graph_triangles. One symmetrize + two groupBys; the first groupBy
+    // keys on the node, the second on the (tiny) degree domain.
+    Q("graph_degree_dist",
+      """WITH lp AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |), e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+        |), deg AS (
+        |  SELECT u, count(*) AS degree FROM (
+        |    SELECT a AS u FROM e UNION ALL SELECT b AS u FROM e
+        |  ) GROUP BY u
+        |)
+        |SELECT CAST(degree AS BIGINT) AS degree,
+        |       CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin) { (s, d) =>
+      val e = coOrderEdges(s, d, "1997-01-01", "1998-01-01")
+      e.select(col("a").as("u")).unionAll(e.select(col("b").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    },
+
+    // Common-neighbors link prediction (round 5, continued): the
+    // classic "people you may know" score — for part pairs NOT directly
+    // co-ordered, count shared neighbors in the 1997 co-order graph and
+    // report the top 20. Completes the graph family's analytics trio:
+    // centrality (pagerank), density (triangles), link prediction.
+    //
+    // Scale shape: the wedge join on the shared neighbor is the same
+    // O(sum deg²) enumeration as triangle counting — the symmetric
+    // adjacency frame feeds both sides of the self-join plus the
+    // closing anti-join probe, so it is persisted once (the
+    // multiply-referenced-frame idiom); on a power-law graph the
+    // degree-orientation refinement (trianglesByDegree) applies here
+    // unchanged. The anti-join removes existing edges BEFORE the top-k,
+    // and TakeOrderedAndProject caps what crosses to the driver.
+    Q("graph_common_neighbors",
+      """WITH lp AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |), e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+        |), sym AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+        |), cn AS (
+        |  SELECT s1.u AS a, s2.u AS b, CAST(count(*) AS BIGINT) AS common_neighbors
+        |  FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+        |  GROUP BY s1.u, s2.u
+        |)
+        |SELECT cn.a, cn.b, common_neighbors FROM cn
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.a AND e.b = cn.b)
+        |ORDER BY common_neighbors DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+      val e = coOrderEdges(s, d, "1997-01-01", "1998-01-01").persist()
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val s2 = sym.select(col("u").as("u2"), col("v").as("v2"))
+      sym.join(s2, col("v") === col("v2") && col("u") < col("u2"))
+        .groupBy(col("u").as("a"), col("u2").as("b"))
+        .agg(count(lit(1)).as("common_neighbors"))
+        .join(e, Seq("a", "b"), "left_anti")
+        .orderBy(col("common_neighbors").desc, col("a"), col("b"))
+        .limit(20)
+    },
+
+    // Bounded-hop BFS (round 5, continued): shortest-hop rings from a
+    // seed node — reachability profiling (blast radius, neighborhood
+    // size) over the January-1997 co-order graph, reported as nodes per
+    // shortest-distance ring within 4 hops. The declared plan is the
+    // classic distributed frontier BFS: per level, ONE equi-join of the
+    // (small, shrinking) frontier against the pre-partitioned symmetric
+    // edge frame + one anti-join against the visited set — the edge
+    // frame crosses the network once (persisted hash-partitioned on the
+    // join key, the Components idiom), so each round shuffles only the
+    // frontier. The hop cap bounds the round count the way
+    // DefaultMaxPropagationRounds bounds CC; per-level persists truncate
+    // the unrolled lineage. The oracle replays the same semantics as a
+    // capped recursive walk with a min-distance fold (UNION-set
+    // recursion — oracle-scale-only, like reachMinCte).
+    Q("graph_bfs",
+      """WITH RECURSIVE lp AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |), e0 AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+        |), edges AS (
+        |  SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+        |), walk(node, dist) AS (
+        |  SELECT (SELECT min(a) FROM e0), 0
+        |  UNION
+        |  SELECT e.b, walk.dist + 1
+        |  FROM walk JOIN edges e ON e.a = walk.node
+        |  WHERE walk.dist < 4
+        |), d AS (
+        |  SELECT node, min(dist) AS dist FROM walk GROUP BY node
+        |)
+        |SELECT CAST(dist AS BIGINT) AS dist,
+        |       CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM d GROUP BY dist ORDER BY dist""".stripMargin) { (s, d) =>
+      val e0 = coOrderEdges(s, d, "1997-01-01", "1998-01-01")
+      val sym = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+        .repartition(col("a"))
+        .persist()
+      var visited = e0.agg(min(col("a")).as("node"))
+        .select(col("node"), lit(0).as("dist"))
+        .persist()
+      var frontier = visited
+      for (h <- 1 to 4) {
+        frontier = frontier.join(sym, col("node") === col("a"))
+          .select(col("b").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .select(col("node"), lit(h).as("dist"))
+          .persist()
+        visited = visited.unionAll(frontier).persist()
+      }
+      visited
+        .groupBy(col("dist").cast("long").as("dist"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
     }
   )
+
+  /** Distinct id-oriented (a < b) part pairs co-ordered within
+    * [from, to) — the shared edge derivation of the graph-family keys
+    * (graph_cc / graph_degree_dist / graph_common_neighbors;
+    * graph_triangles spells the same derivation inline, predating this
+    * helper). One fact-fact equi-join on the order key; the quadratic
+    * pair build runs WITHIN an order (bounded fan-out), never across
+    * the table.
+    */
+  private def coOrderEdges(
+      s: SparkSession, d: String, from: String, to: String): DataFrame = {
+    val lp = Tables(s, d, "orders")
+      .where(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(to).cast("timestamp"))
+      .select("o_orderkey")
+      .join(Tables(s, d, "lineitem").select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val y = lp.select(col("ok").as("ok2"), col("p").as("pb"))
+    lp.select(col("ok"), col("p").as("pa"))
+      .join(y, col("ok") === col("ok2") && col("pa") < col("pb"))
+      .select(col("pa").as("a"), col("pb").as("b"))
+      .distinct()
+  }
 }

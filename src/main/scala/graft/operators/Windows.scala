@@ -249,6 +249,50 @@ object Windows {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           col("rn").cast("long").as("rn"))
         .orderBy("o_custkey", "rn")
+    },
+
+    // Ratio-to-report (round 5, continued) — the share-of-total window
+    // every BI layer ships (value / SUM(value) OVER (PARTITION BY
+    // group)): top-5 users per event type by spend share. The per-user
+    // totals go through round(·,2) → DECIMAL(18,2) BEFORE the
+    // normalizing window, so the partition sum is EXACT decimal
+    // arithmetic (order-independent across engines — a raw double window
+    // sum would wobble in the last ulp with partial-agg order); the
+    // share division then runs in double space on identical inputs.
+    // Plan: one exchange for the (type, user) groupBy; the ranking and
+    // normalizing windows share the event_type partitioning, and
+    // WindowGroupLimit prunes the rank filter before the share division.
+    Q("win_ratio_to_report",
+      """WITH g AS (
+        |  SELECT event_type, user_id,
+        |         CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS total
+        |  FROM events WHERE user_id IS NOT NULL
+        |  GROUP BY event_type, user_id
+        |), r AS (
+        |  SELECT event_type, user_id, total,
+        |         round(CAST(total AS DOUBLE) /
+        |               CAST(sum(total) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+        |           AS share,
+        |         row_number() OVER (PARTITION BY event_type
+        |             ORDER BY total DESC, user_id) AS rn
+        |  FROM g
+        |)
+        |SELECT event_type, user_id, total, share, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin) { (s, d) =>
+      val g = t(s, d, "events")
+        .where(col("user_id").isNotNull)
+        .groupBy("event_type", "user_id")
+        .agg(round(sum(col("value")), 2).cast("decimal(18,2)").as("total"))
+      val wt = Window.partitionBy("event_type")
+      val wr = wt.orderBy(col("total").desc, col("user_id"))
+      g.select(col("event_type"), col("user_id"), col("total"),
+          round(col("total").cast("double") /
+            sum(col("total")).over(wt).cast("double"), 6).as("share"),
+          row_number().over(wr).as("rn"))
+        .where(col("rn") <= 5)
+        .select(col("event_type"), col("user_id"), col("total"), col("share"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("event_type", "rn")
     }
   )
 }

@@ -469,4 +469,58 @@ class PlanSpec extends AnyFunSuite {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
       s"edge frame rebuilt per reference:\n$p")
   }
+
+  test("graph_common_neighbors: persisted adjacency, equi wedge join, fused top-k") {
+    val p = plan("graph_common_neighbors")
+    assert(!p.contains("CartesianProduct"), s"all-pairs plan:\n$p")
+    // wedge self-join (both sides) + existing-edge anti probe all read
+    // the persisted oriented edge frame
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"edge frame rebuilt per reference:\n$p")
+    // the top-20 must fuse — never a global sort of all candidate pairs
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$p")
+  }
+
+  test("graph_bfs: per-level joins read caches, no per-level base rescans") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = opTree("graph_bfs")
+    // every level's frontier⋈edges and anti-join input is a persisted
+    // frame (edge frame pre-partitioned once, visited/frontier per
+    // level) — orders/lineitem are scanned only inside cache builds,
+    // never in the main tree
+    val rescans = root.collect { case s: FileSourceScanExec => s }
+    assert(rescans.isEmpty,
+      s"base tables rescanned outside the cached edge build:\n$root")
+    assert(!root.toString.contains("CartesianProduct"))
+  }
+
+  test("dq_outliers: bounded fence frame broadcast, two passes by necessity") {
+    val p = plan("dq_outliers")
+    // the bounds join must broadcast the 5-row fence frame, not shuffle
+    // the events fact
+    assert(p.contains("BroadcastHashJoin"), s"fence join shuffled the fact:\n$p")
+    // exact quantiles force a first full pass; the classify pass is the
+    // second — more scans would mean the fence frame re-derived per use
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"expected exactly 2 events scans, got $scans:\n$p")
+  }
+
+  test("win_ratio_to_report: rank filter pushed, windows share the type partition") {
+    val p = plan("win_ratio_to_report")
+    assert(p.contains("WindowGroupLimit"), s"rank filter not pushed:\n$p")
+    // one exchange for the (type, user) groupBy + one for the
+    // event_type windows (share + rank ride the same partitioning)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("etl_churn_daily / etl_transition_matrix: one events scan each") {
+    // both ledgers fold flags in aggregate-land — a second scan would
+    // mean the self-join formulation the oracle deliberately avoids too
+    for (name <- Seq("etl_churn_daily", "etl_transition_matrix")) {
+      val p = plan(name)
+      val scans = "FileScan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"$name: expected 1 events scan, got $scans:\n$p")
+    }
+  }
 }
