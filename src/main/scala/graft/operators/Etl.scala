@@ -685,6 +685,46 @@ object Etl {
           round(col("n") * lit(1.0) /
             sum(col("n")).over(Window.partitionBy("prev_type")), 4))
         .orderBy("prev_type", "next_type")
+    },
+
+    // RFM segmentation (round 5, cont.) — the classic user-value
+    // quartiling (Recency / Frequency / Monetary) every growth team
+    // runs: one groupBy folds each user's last-active day, event count,
+    // and exact-decimal spend; three ntile(4) windows assign quartile
+    // scores with user_id tie-breaks so bucket edges are deterministic
+    // cross-engine. The ntile windows are GLOBAL single-task sorts over
+    // the per-USER frame (not events) — fine for a report; at 100 TB the
+    // scale escape is percentile fences off kll_sketch broadcast as a
+    // bucket lookup (the dq_outliers pattern), trading exact quartile
+    // edges for a one-pass mergeable plan.
+    Q(
+      "etl_rfm",
+      """WITH u AS (
+        |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS monetary
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        |)
+        |SELECT user_id, last_day, n_events, monetary,
+        |       CAST(ntile(4) OVER (ORDER BY last_day DESC, user_id) AS BIGINT) AS r,
+        |       CAST(ntile(4) OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS f,
+        |       CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m
+        |FROM u ORDER BY user_id""".stripMargin) { (s, d) =>
+      val u = events(s, d)
+        .where(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).cast("decimal(18,2)").as("monetary"))
+      u.select(col("user_id"), col("last_day"), col("n_events"), col("monetary"),
+          ntile(4).over(Window.orderBy(col("last_day").desc, col("user_id")))
+            .cast("long").as("r"),
+          ntile(4).over(Window.orderBy(col("n_events").desc, col("user_id")))
+            .cast("long").as("f"),
+          ntile(4).over(Window.orderBy(col("monetary").desc, col("user_id")))
+            .cast("long").as("m"))
+        .orderBy("user_id")
     }
   ) :+ resampleQ
 

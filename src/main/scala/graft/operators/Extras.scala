@@ -500,26 +500,40 @@ object Extras {
         |FROM d GROUP BY dist ORDER BY dist""".stripMargin) { (s, d) =>
       val e0 = coOrderEdges(s, d, "1997-01-01", "1998-01-01")
       val sym = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
-        .repartition(col("a"))
-        .persist()
-      var visited = e0.agg(min(col("a")).as("node"))
-        .select(col("node"), lit(0).as("dist"))
-        .persist()
-      var frontier = visited
-      for (h <- 1 to 4) {
-        frontier = frontier.join(sym, col("node") === col("a"))
-          .select(col("b").as("node")).distinct()
-          .join(visited, Seq("node"), "left_anti")
-          .select(col("node"), lit(h).as("dist"))
-          .persist()
-        visited = visited.unionAll(frontier).persist()
-      }
-      visited
+      bfs(sym, e0.agg(min(col("a")).as("node")), maxHops = 4)
         .groupBy(col("dist").cast("long").as("dist"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy("dist")
     }
   )
+
+  /** Bounded-hop frontier BFS over a SYMMETRIC edge frame (a, b) from a
+    * seed frame with one `node` column — returns (node, dist) with dist =
+    * shortest hop count ≤ maxHops (also driven at 20M edges by
+    * ScaleSmoke). Per level: one frontier⋈edges equi-join + one anti-join
+    * against the visited set. The edge frame crosses the network ONCE
+    * (persisted hash-partitioned on the join key, the Components idiom) —
+    * each round shuffles only the frontier; per-level persists truncate
+    * the unrolled lineage.
+    *
+    * Cache contract: persists the edge frame and the per-level
+    * visited/frontier frames; callers doing repeated runs should
+    * clearCache() when done, as with [[pageRank]].
+    */
+  def bfs(edgesSym: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val sym = edgesSym.repartition(col("a")).persist()
+    var visited = seeds.select(col("node"), lit(0).as("dist")).persist()
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      frontier = frontier.join(sym, col("node") === col("a"))
+        .select(col("b").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("dist"))
+        .persist()
+      visited = visited.unionAll(frontier).persist()
+    }
+    visited
+  }
 
   /** Distinct id-oriented (a < b) part pairs co-ordered within
     * [from, to) — the shared edge derivation of the graph-family keys

@@ -293,6 +293,69 @@ object Windows {
         .select(col("event_type"), col("user_id"), col("total"), col("share"),
           col("rn").cast("long").as("rn"))
         .orderBy("event_type", "rn")
+    },
+
+    // Rolling z-score anomaly detection (round 5, cont.): flag events
+    // whose value sits >2σ from the mean of the user's previous 10
+    // events — the per-entity drift monitor of a metrics pipeline. The
+    // determinism trick: the rolling moments are INTEGER window sums
+    // over exact cents (Σc, Σc², n) — both engines then derive
+    // mean/σ/z through the same double expression on identical integer
+    // inputs, so the result is bit-identical and the >2σ cut can't
+    // wobble across engines (a raw double rolling avg/stddev would
+    // differ in the ulp between Spark's frame re-scan and DuckDB's
+    // segment tree, and a 1-ulp straddle at a round(·,4) tie or the 2σ
+    // fence flips rows). One user_id exchange; the three window sums
+    // share one frame spec. The display scaling is FLOOR-based, not
+    // round: mu = Σc/(100n) can land exactly on a decimal tie
+    // (s1=34853, n=8 → 43.56625 did, at sf0.1), where Spark rounds the
+    // exact binary value HALF_UP but DuckDB rounds v·10⁴ computed in
+    // double space — floor of the same double has no tie semantics, so
+    // it is deterministic cross-engine at every scale.
+    Q("win_rolling_stats",
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts, value,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), r AS (
+        |  SELECT event_id, user_id, value, cents,
+        |         CAST(sum(cents) OVER w AS DOUBLE) AS s1,
+        |         CAST(sum(cents * cents) OVER w AS DOUBLE) AS s2,
+        |         CAST(count(*) OVER w AS DOUBLE) AS n
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+        |), z AS (
+        |  SELECT event_id, user_id, value, n,
+        |         s1 / n / 100.0 AS mu,
+        |         (CAST(cents AS DOUBLE) - s1 / n)
+        |           / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS zs,
+        |         (s2 - s1 * s1 / n) / (n - 1) AS var_c
+        |  FROM r
+        |)
+        |SELECT event_id, user_id, value,
+        |       floor(mu * 100000) / 100000 AS mu,
+        |       floor(zs * 10000) / 10000 AS z
+        |FROM z WHERE n >= 5 AND var_c > 0 AND abs(zs) > 2
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = byUserTime.rowsBetween(-10, -1)
+      val cents = round(col("value") * 100).cast("long")
+      val r = t(s, d, "events")
+        .withColumn("cents", cents)
+        .select(col("event_id"), col("user_id"), col("value"), col("cents"),
+          sum(col("cents")).over(w).cast("double").as("s1"),
+          sum(col("cents") * col("cents")).over(w).cast("double").as("s2"),
+          count(lit(1)).over(w).cast("double").as("n"))
+      val varC = (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)
+      val zs = (col("cents").cast("double") - col("s1") / col("n")) / sqrt(varC)
+      r.select(col("event_id"), col("user_id"), col("value"), col("n"),
+          (col("s1") / col("n") / lit(100.0)).as("mu"), zs.as("zs"),
+          varC.as("var_c"))
+        .where(col("n") >= 5 && col("var_c") > 0 && abs(col("zs")) > 2)
+        .select(col("event_id"), col("user_id"), col("value"),
+          (floor(col("mu") * 100000) / lit(100000)).as("mu"),
+          (floor(col("zs") * 10000) / lit(10000)).as("z"))
+        .orderBy("event_id")
     }
   )
 }

@@ -514,6 +514,23 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
   }
 
+  test("win_rolling_stats: one user exchange, all three moments in one frame") {
+    val p = plan("win_rolling_stats")
+    // Σc, Σc², n share the one (user_id | ts, event_id) sliding frame —
+    // a second exchange would mean the moments split across specs
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges:\n$p")
+  }
+
+  test("etl_rfm: one groupBy exchange; quartiling runs on the user frame") {
+    val p = plan("etl_rfm")
+    // the three global ntile sorts are singlePartition over USERS (the
+    // documented report-scale tradeoff) — the events fact must cross the
+    // network exactly once, for the per-user groupBy
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges:\n$p")
+  }
+
   test("etl_churn_daily / etl_transition_matrix: one events scan each") {
     // both ledgers fold flags in aggregate-land — a second scan would
     // mean the self-join formulation the oracle deliberately avoids too
