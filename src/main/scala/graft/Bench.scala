@@ -51,7 +51,12 @@ object Bench {
         try src.mkString.split(" ")(0).toDouble finally src.close()
       } catch { case _: Throwable => -1.0 }
     val passCount = 3
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args = exact query-name filters for local iteration; the
+    // driver always runs with no args (full surface)
+    val only = args.toSet
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val passes = (1 to passCount).map { _ =>
         val ld = loadAvg()
         val r = once(fn)

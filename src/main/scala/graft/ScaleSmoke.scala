@@ -523,10 +523,12 @@ object ScaleSmoke {
         pmod(xxhash64(col("id")), lit(30000)).as("user_id"),
         pmod(xxhash64(col("id"), lit(1)), lit(2592000)).as("t_s"),
         (pmod(xxhash64(col("id"), lit(3)), lit(10000)) / 100.0).as("value"))
+      var layoutsWritten = Set.empty[String]
       time("layout write time-sorted") {
         basePts.repartitionByRange(64, col("t_s"))
           .sortWithinPartitions("t_s")
           .write.mode("overwrite").parquet(s"$layoutDir/bytime")
+        layoutsWritten += "bytime"
         layoutN
       }
       time("layout write z-order") {
@@ -543,14 +545,16 @@ object ScaleSmoke {
           .sortWithinPartitions("z")
           .drop("z")
           .write.mode("overwrite").parquet(s"$layoutDir/zorder")
+        layoutsWritten += "zorder"
         layoutN
       }
-      // existence guard: the eager parquet read below is OUTSIDE any
-      // time() filter, so a section-filtered run that skipped the layout
-      // writes must also skip the read-backs (a "bfs"-only run crashed
-      // here before this guard)
-      for (l <- Seq("bytime", "zorder")
-           if new java.io.File(s"$layoutDir/$l").exists) {
+      // this-session write flag, not on-disk existence: the eager
+      // parquet read below is OUTSIDE any time() filter, so a
+      // section-filtered run that skipped the writes must also skip the
+      // read-backs (a "bfs"-only run crashed here), and a stale/partial
+      // directory from an interrupted earlier run must not be trusted
+      // either (review finding)
+      for (l <- Seq("bytime", "zorder") if layoutsWritten(l)) {
         val t = spark.read.parquet(s"$layoutDir/$l")
         time(s"layout $l time-range scan 1/30") {
           t.where(col("t_s").between(864000, 950399))

@@ -376,8 +376,7 @@ object Extras {
         |       CAST(count(*) AS BIGINT) AS n_nodes
         |FROM lab GROUP BY comp
         |ORDER BY n_nodes DESC, component""".stripMargin) { (s, d) =>
-      val e0 = coOrderEdges(s, d, "1997-01-01", "1997-02-01")
-      val sym = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+      val sym = symmetrize(coOrderEdges(s, d, "1997-01-01", "1997-02-01"))
         .persist()
       val nodes = sym.select(col("a").as("id")).distinct()
       Components.connectedComponents(nodes, "id", sym)
@@ -409,8 +408,8 @@ object Extras {
         |SELECT CAST(degree AS BIGINT) AS degree,
         |       CAST(count(*) AS BIGINT) AS n_nodes
         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin) { (s, d) =>
-      val e = coOrderEdges(s, d, "1997-01-01", "1998-01-01")
-      e.select(col("a").as("u")).unionAll(e.select(col("b").as("u")))
+      coOrderEdges(s, d, "1997-01-01", "1998-01-01")
+        .select(explode(array(col("a"), col("b"))).as("u"))
         .groupBy("u").agg(count(lit(1)).as("degree"))
         .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
         .orderBy("degree")
@@ -450,8 +449,7 @@ object Extras {
         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.a AND e.b = cn.b)
         |ORDER BY common_neighbors DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
       val e = coOrderEdges(s, d, "1997-01-01", "1998-01-01").persist()
-      val sym = e.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val sym = symmetrize(e).select(col("a").as("u"), col("b").as("v"))
       val s2 = sym.select(col("u").as("u2"), col("v").as("v2"))
       sym.join(s2, col("v") === col("v2") && col("u") < col("u2"))
         .groupBy(col("u").as("a"), col("u2").as("b"))
@@ -498,9 +496,8 @@ object Extras {
         |SELECT CAST(dist AS BIGINT) AS dist,
         |       CAST(count(*) AS BIGINT) AS n_nodes
         |FROM d GROUP BY dist ORDER BY dist""".stripMargin) { (s, d) =>
-      val e0 = coOrderEdges(s, d, "1997-01-01", "1998-01-01")
-      val sym = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
-      bfs(sym, e0.agg(min(col("a")).as("node")), maxHops = 4)
+      val e0 = coOrderEdges(s, d, "1997-01-01", "1998-01-01").persist()
+      bfs(symmetrize(e0), e0.agg(min(col("a")).as("node")), maxHops = 4)
         .groupBy(col("dist").cast("long").as("dist"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy("dist")
@@ -522,6 +519,10 @@ object Extras {
     */
   def bfs(edgesSym: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     val sym = edgesSym.repartition(col("a")).persist()
+    // each LEVEL is persisted once; `visited` stays a lazy unionAll of
+    // the cached levels — persisting the growing superset per round
+    // would double the cache footprint and rewrite the whole visited
+    // set every level for no new information (review finding)
     var visited = seeds.select(col("node"), lit(0).as("dist")).persist()
     var frontier = visited
     for (h <- 1 to maxHops) {
@@ -530,10 +531,23 @@ object Extras {
         .join(visited, Seq("node"), "left_anti")
         .select(col("node"), lit(h).as("dist"))
         .persist()
-      visited = visited.unionAll(frontier).persist()
+      visited = visited.unionAll(frontier)
     }
     visited
   }
+
+  /** Symmetrize an oriented edge frame (a, b) → both directions in ONE
+    * pass: explode of a two-struct array instead of
+    * `e.unionAll(e.swap)` — the union form references `e` TWICE, so an
+    * unpersisted upstream derivation (the orders⋈lineitem pair build
+    * here) is evaluated twice per materialization (caught by the
+    * round-5 bench: graph_cc/graph_bfs paid the edge build 2–3×).
+    */
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
 
   /** Distinct id-oriented (a < b) part pairs co-ordered within
     * [from, to) — the shared edge derivation of the graph-family keys

@@ -292,6 +292,32 @@ object Relational {
         .orderBy("o_orderkey")
     },
 
+    // Salted join as a DECLARED key (round 5, cont.): the manual
+    // hot-key defense (Skew.saltedJoin — probe side salted by a content
+    // hash, build side exploded salt×) proven RESULT-TRANSPARENT
+    // against the plain-join oracle — salting redistributes rows, it
+    // must never change them. Spec-only until now (SkewSpec + Zipf
+    // ScaleSmoke measured the skew math); this key puts the actual
+    // operator under the driver's hash compare. When AQE's skew-join
+    // handles the shape, prefer it — saltedJoin is for the cases AQE
+    // can't see (single mega-key joins, non-sort-merge plans).
+    Q("join_salted",
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(round(sum(l_quantity), 2) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem")
+        .select("l_suppkey", "l_quantity", "l_orderkey", "l_linenumber")
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(li, sup, "l_suppkey",
+          tieBreak = col("l_orderkey") * 8 + col("l_linenumber"), salt = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).cast("decimal(18,2)").as("sum_qty"))
+        .orderBy("s_nationkey")
+    },
+
     // ---------------------------------------------------------------- §2.F
     Q("sort_multi_nulls",
       """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal

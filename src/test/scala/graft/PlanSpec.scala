@@ -514,6 +514,16 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
   }
 
+  test("join_salted: build side exploded salt-x, still an equi join") {
+    val p = plan("join_salted")
+    // the salt factor must appear as the build-side explode, and the
+    // join must stay equi on (key, salt) — a nested loop would mean the
+    // salt column fell out of the join keys
+    assert(p.contains("explode"), s"no salt explode on the build side:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"salt key fell out:\n$p")
+  }
+
   test("win_rolling_stats: one user exchange, all three moments in one frame") {
     val p = plan("win_rolling_stats")
     // Σc, Σc², n share the one (user_id | ts, event_id) sliding frame —
