@@ -62,7 +62,11 @@ object Pipeline {
         write(sessions.withColumn("month", date_trunc("month", col("session_start"))),
           Some("month"), s"$outDir/sessions"),
         write(monthly, Some("month"), s"$outDir/monthly_usage"),
-        write(lifetime, None, s"$outDir/user_lifetime"))
+        write(lifetime, None, s"$outDir/user_lifetime"),
+        // round-5 continuation: the daily churn/retention ledger joins
+        // the lake (same one-definition rule — Etl.churnDaily is the
+        // declared etl_churn_daily key)
+        write(Etl.churnDaily(ev), Some("day"), s"$outDir/churn_daily"))
     } finally ev.unpersist()
   }
 
@@ -250,15 +254,78 @@ object Pipeline {
     TableResult("user_lifetime", spark.read.parquet(path).count(), path)
   }
 
-  /** Dynamic partition overwrite of `df` (month-partitioned) at `path`:
-    * only the partitions present in `df` are replaced; every other
-    * partition's files are physically untouched.
+  /** Incremental maintenance of the published `churn_daily` ledger
+    * (round-5 continuation — the FOURTH incrementally-maintained lake
+    * table). Exactness argument, mirroring runIncrementalMonthly's
+    * lookback: a ledger row for day d depends on (a) activity of days
+    * d−1 and d — covered exactly by re-reading raw events from ONE day
+    * before the first affected day — and (b) whether each active user is
+    * brand new, which no bounded lookback can answer. (b) comes from
+    * STATE instead: the published `user_lifetime` first_ts, folded with
+    * the window's own first sighting via a null-skipping `least`, equals
+    * the all-history first day. The fold is idempotent, so it is correct
+    * whether runIncrementalLifetime has already absorbed this batch or
+    * not — the two incremental runs can execute in either order.
+    * Appends cannot change ledger rows before the batch day (activity is
+    * append-monotone and day(batch) ≥ batch day), so only partitions
+    * ≥ day(batchStart) are recomputed and dynamically overwritten;
+    * untouched day partitions keep their files (PipelineSpec pins
+    * equality with the full rebuild and the untouched-partition law).
     */
-  private def writeDynamic(df: DataFrame, path: String): Unit = {
+  def runIncrementalChurn(
+      spark: SparkSession, cfg: RunConfig, outDir: String,
+      batchStart: String): TableResult = {
+    val path = s"$outDir/churn_daily"
+    val startDay = java.time.LocalDate.parse(batchStart.take(10))
+    val lookback =
+      java.sql.Timestamp.valueOf(startDay.minusDays(1).atStartOfDay())
+    val win = cfg.copy(startDate = None).table(spark, "events")
+      .where(col("ts") >= lit(lookback))
+      .where(col("user_id").isNotNull)
+    val act = win
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    // all-history first day per window user: published lifetime state ∧
+    // the window's own min (least skips the null side for new users)
+    val priorFirst = spark.read.parquet(s"$outDir/user_lifetime")
+      .select(col("user_id"), to_date(col("first_ts")).as("pf"))
+    val first = act.groupBy("user_id").agg(min(col("day")).as("wf"))
+      .join(priorFirst, Seq("user_id"), "left")
+      .select(col("user_id"), least(col("wf"), col("pf")).as("first_day"))
+    val prev = lag(col("day"), 1)
+      .over(org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day"))
+    // daily fold over the WHOLE window (the day-1 row feeds the churn
+    // lag, then falls out of the published range below)
+    val daily = act.join(first, Seq("user_id"))
+      .withColumn("prev", prev)
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("n_active"),
+        count(when(col("day") === col("first_day"), 1)).as("n_new"),
+        count(when(col("prev") === date_sub(col("day"), 1), 1))
+          .as("n_retained"))
+    val wd = org.apache.spark.sql.expressions.Window.orderBy("day")
+    val ledger = daily
+      .withColumn("n_churned",
+        when(lag(col("day"), 1).over(wd) === date_sub(col("day"), 1),
+          lag(col("n_active"), 1).over(wd) - col("n_retained")))
+      .where(col("day") >= lit(java.sql.Date.valueOf(startDay)))
+      .localCheckpoint() // materialize BEFORE touching the target files
+    writeDynamic(ledger, path, "day")
+    TableResult("churn_daily", spark.read.parquet(path).count(), path)
+  }
+
+  /** Dynamic partition overwrite of `df` (partitioned on `partCol`) at
+    * `path`: only the partitions present in `df` are replaced; every
+    * other partition's files are physically untouched.
+    */
+  private def writeDynamic(
+      df: DataFrame, path: String, partCol: String = "month"): Unit = {
     val spark = df.sparkSession
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.write.mode(SaveMode.Overwrite).partitionBy("month").parquet(path)
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
     finally prevMode match {
       case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

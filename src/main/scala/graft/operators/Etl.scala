@@ -612,45 +612,7 @@ object Etl {
     // years of data), the same bounded-frame argument as agg_histogram's
     // CDF. The day-contiguity CASE guard keeps the ledger honest if a
     // calendar day ever has zero actives.
-    Q(
-      "etl_churn_daily",
-      """WITH act AS (
-        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
-        |  FROM events WHERE user_id IS NOT NULL
-        |), f AS (
-        |  SELECT day, lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
-        |  FROM act
-        |), daily AS (
-        |  SELECT day, CAST(count(*) AS BIGINT) AS n_active,
-        |         CAST(count(CASE WHEN prev IS NULL THEN 1 END) AS BIGINT) AS n_new,
-        |         CAST(count(CASE WHEN prev = day - 1 THEN 1 END) AS BIGINT) AS n_retained
-        |  FROM f GROUP BY day
-        |)
-        |SELECT day, n_active, n_new, n_retained,
-        |       CASE WHEN lag(day) OVER (ORDER BY day) = day - 1
-        |            THEN lag(n_active) OVER (ORDER BY day) - n_retained
-        |       END AS n_churned
-        |FROM daily ORDER BY day""".stripMargin) { (s, d) =>
-      val act = events(s, d)
-        .where(col("user_id").isNotNull)
-        .select(col("user_id"), to_date(col("ts")).as("day"))
-        .distinct()
-      val prev = lag(col("day"), 1)
-        .over(Window.partitionBy("user_id").orderBy("day"))
-      val daily = act.withColumn("prev", prev)
-        .groupBy("day")
-        .agg(
-          count(lit(1)).as("n_active"),
-          count(when(col("prev").isNull, 1)).as("n_new"),
-          count(when(col("prev") === date_sub(col("day"), 1), 1))
-            .as("n_retained"))
-      val wd = Window.orderBy("day")
-      daily
-        .withColumn("n_churned",
-          when(lag(col("day"), 1).over(wd) === date_sub(col("day"), 1),
-            lag(col("n_active"), 1).over(wd) - col("n_retained")))
-        .orderBy("day")
-    },
+    churnQ,
 
     // Event-type transition matrix (round 5, continued) — first-order
     // Markov view of user journeys (view→purchase, error→error, …): per
@@ -727,6 +689,61 @@ object Etl {
         .orderBy("user_id")
     }
   ) :+ resampleQ
+
+  /** Daily churn/retention ledger over raw events — ONE definition shared
+    * by the declared key (etl_churn_daily) and the published pipeline
+    * table (config.Pipeline `churn_daily`, incrementally maintained by
+    * runIncrementalChurn). One scan: the user-partitioned lag marks each
+    * (user, day) new/retained, the daily groupBy folds the flags, and
+    * churn is derived in AGGREGATE-land (yesterday's actives minus
+    * today's retained) via a lag over the BOUNDED daily report. The
+    * day-contiguity CASE guard keeps the ledger honest when a calendar
+    * day has no activity. Returns (day, n_active, n_new, n_retained,
+    * n_churned), unordered — callers sort.
+    */
+  def churnDaily(ev: DataFrame): DataFrame = {
+    val act = ev
+      .where(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val prev = lag(col("day"), 1)
+      .over(Window.partitionBy("user_id").orderBy("day"))
+    val daily = act.withColumn("prev", prev)
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("n_active"),
+        count(when(col("prev").isNull, 1)).as("n_new"),
+        count(when(col("prev") === date_sub(col("day"), 1), 1))
+          .as("n_retained"))
+    val wd = Window.orderBy("day")
+    daily.withColumn("n_churned",
+      when(lag(col("day"), 1).over(wd) === date_sub(col("day"), 1),
+        lag(col("n_active"), 1).over(wd) - col("n_retained")))
+  }
+
+  // Daily churn/retention ledger as a declared key — see [[churnDaily]].
+  // lazy: referenced from qs above its definition point
+  private[operators] lazy val churnQ: Q = Q(
+    "etl_churn_daily",
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |  FROM events WHERE user_id IS NOT NULL
+      |), f AS (
+      |  SELECT day, lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+      |  FROM act
+      |), daily AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+      |         CAST(count(CASE WHEN prev IS NULL THEN 1 END) AS BIGINT) AS n_new,
+      |         CAST(count(CASE WHEN prev = day - 1 THEN 1 END) AS BIGINT) AS n_retained
+      |  FROM f GROUP BY day
+      |)
+      |SELECT day, n_active, n_new, n_retained,
+      |       CASE WHEN lag(day) OVER (ORDER BY day) = day - 1
+      |            THEN lag(n_active) OVER (ORDER BY day) - n_retained
+      |       END AS n_churned
+      |FROM daily ORDER BY day""".stripMargin) { (s, d) =>
+    churnDaily(events(s, d)).orderBy("day")
+  }
 
   /** Gap-filled daily resample with forward fill (R4/R11: continuous
     * per-user indicator series from sparse events — "carry the last

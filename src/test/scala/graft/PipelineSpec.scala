@@ -22,8 +22,16 @@ class PipelineSpec extends AnyFunSuite {
       startDate = Some("2024-01-01"), endDate = Some("2024-02-01"))
     val results = Pipeline.run(spark, cfg, out)
     assert(results.map(_.table).toSet ==
-      Set("sessions", "monthly_usage", "user_lifetime"))
+      Set("sessions", "monthly_usage", "user_lifetime", "churn_daily"))
     assert(results.forall(_.rows > 0))
+
+    // published churn ledger must equal the declared operator over the
+    // same window (one-definition rule: both are Etl.churnDaily)
+    val churnDirect = operators.Etl.churnDaily(cfg.table(spark, "events"))
+    val churnPub = Pipeline.readTable(spark, out, "churn_daily")
+    assert(churnPub.count() == churnDirect.count())
+    assert(churnPub.agg(sum("n_active"), sum("n_new")).head.toSeq ==
+      churnDirect.agg(sum("n_active"), sum("n_new")).head.toSeq)
 
     // published sessions must equal the declared operator over the same
     // window (the pipeline uses the skew-safe plan; equality is the law)
@@ -152,6 +160,26 @@ class PipelineSpec extends AnyFunSuite {
         u -> sorted(math.max(0, math.ceil(0.5 * sorted.size).toInt - 1))
       }
     assert(medInc == exactMed, "incrementally merged sketch median must be exact here")
+
+    // churn ledger (the FOURTH incrementally-maintained table): one-day
+    // raw lookback + lifetime-state first-day fold == full rebuild.
+    // Deliberately run AFTER runIncrementalLifetime absorbed the batch —
+    // the least() first-day fold must be idempotent to the ordering.
+    val febState = new java.io.File(s"$outInc/churn_daily").listFiles()
+      .filter(_.getName.startsWith("day=2024-02"))
+      .flatMap(_.listFiles()).map(f => f.getName -> f.lastModified()).toSet
+    assert(febState.nonEmpty)
+    val resC = Pipeline.runIncrementalChurn(
+      spark, RunConfig(d, Seq("events"), startDate = Some("2024-03-01")),
+      outInc, "2024-03-01")
+    assert(resC.rows > 0)
+    assert(tableRows(outInc, "churn_daily") == tableRows(outFull, "churn_daily"))
+    // no February day can change under an append-only March batch, so
+    // its partition files must be physically untouched
+    assert(new java.io.File(s"$outInc/churn_daily").listFiles()
+      .filter(_.getName.startsWith("day=2024-02"))
+      .flatMap(_.listFiles()).map(f => f.getName -> f.lastModified()).toSet
+      == febState)
   }
 
   test("streaming ingest maintains the lake tables exactly (foreachBatch incremental)") {
@@ -202,6 +230,7 @@ class PipelineSpec extends AnyFunSuite {
           Pipeline.runIncrementalMonthly(spark, cfg, out, batchStart)
           Pipeline.runIncrementalSessions(spark, cfg, out, batchStart)
           Pipeline.runIncrementalLifetime(spark, cfg, out, batchStart)
+          Pipeline.runIncrementalChurn(spark, cfg, out, batchStart)
           ()
         }
     }.start()
@@ -216,7 +245,7 @@ class PipelineSpec extends AnyFunSuite {
     def rowsOf(o: String, t: String) =
       Pipeline.readTable(spark, o, t).drop("month", "value_kll")
         .collect().map(_.toSeq).toSet
-    for (t <- Seq("monthly_usage", "sessions", "user_lifetime"))
+    for (t <- Seq("monthly_usage", "sessions", "user_lifetime", "churn_daily"))
       assert(rowsOf(out, t) == rowsOf(outFull, t),
         s"streamed $t diverged from the full rebuild")
   }
