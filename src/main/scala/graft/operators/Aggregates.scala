@@ -378,6 +378,51 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // R11 data-quality, continued: referential-integrity audit — orphan
+    // counts for the star schema's FK edges (the ingest gate every
+    // warehouse runs before publishing). Each edge is one left join on
+    // the key with only the parent KEY column selected (pruned scans),
+    // counting child rows and NULL-parent orphans in the same pass; the
+    // unique parent keys mean no fan-out, so n_child doubles as the row
+    // audit. At 100 TB the parent side of each probe is a shuffle join
+    // by default; when orphans are expected to be rare, bloom_build over
+    // the parent keys broadcast as a map-side prefilter (the
+    // llm_decontaminate_bloom shape) turns the audit into one child scan
+    // + a sliver-sized exact join.
+    Q(
+      "dq_referential",
+      """SELECT 'lineitem.l_orderkey -> orders' AS fk,
+        |       CAST(count(*) AS BIGINT) AS n_child,
+        |       CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_orphan
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey -> part',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(count(CASE WHEN p_partkey IS NULL THEN 1 END) AS BIGINT)
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |UNION ALL
+        |SELECT 'orders.o_custkey -> customer',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(count(CASE WHEN c_custkey IS NULL THEN 1 END) AS BIGINT)
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY fk""".stripMargin) { (s, d) =>
+      def edge(label: String, child: DataFrame, childKey: String,
+          parent: DataFrame, parentKey: String) =
+        child.select(col(childKey))
+          .join(parent.select(col(parentKey)),
+            col(childKey) === col(parentKey), "left")
+          .agg(count(lit(1)).as("n_child"),
+            count(when(col(parentKey).isNull, 1)).as("n_orphan"))
+          .select(lit(label).as("fk"), col("n_child"), col("n_orphan"))
+      edge("lineitem.l_orderkey -> orders",
+          t(s, d, "lineitem"), "l_orderkey", t(s, d, "orders"), "o_orderkey")
+        .unionAll(edge("lineitem.l_partkey -> part",
+          t(s, d, "lineitem"), "l_partkey", t(s, d, "part"), "p_partkey"))
+        .unionAll(edge("orders.o_custkey -> customer",
+          t(s, d, "orders"), "o_custkey", t(s, d, "customer"), "c_custkey"))
+        .orderBy("fk")
+    },
+
     // R11: wide→long reshaping (the inverse of agg_pivot) — Spark 4's
     // native unpivot/melt. Zero-shuffle: each input row explodes to one
     // row per measure map-side (Expand), so the reshape costs one narrow

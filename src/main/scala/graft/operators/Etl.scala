@@ -687,6 +687,78 @@ object Etl {
           ntile(4).over(Window.orderBy(col("monetary").desc, col("user_id")))
             .cast("long").as("m"))
         .orderBy("user_id")
+    },
+
+    // A/B experiment readout (round 5, cont.): deterministic hash-split
+    // assignment (the llm_split_assign discipline — portable_hash, no
+    // rand(), leak-proof under re-ingestion) + conversion rates + the
+    // two-proportion z statistic, all in ONE events scan. Every input to
+    // the z formula is an exact integer count, and both engines derive
+    // rate/z through the SAME double expression on those integers —
+    // bit-identical, so the readout needs only floor display scaling
+    // (the win_rolling_stats argument). The per-user fold and the
+    // 2-variant pivot are the funnel plan shape: groupBy user, tiny
+    // aggregate, one row out. Conversion = purchased within the first
+    // active day (every fixture user purchases EVENTUALLY — a has-ever
+    // metric degenerates to p=1 and a 0/0 z statistic).
+    Q(
+      "etl_ab_test",
+      s"""WITH u AS (
+         |  SELECT ${graft.functions.PortableHash.sql("CAST(user_id AS VARCHAR)")} % 2
+         |           AS variant,
+         |         CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END)
+         |                   <= min(ts) + INTERVAL 1 DAY
+         |              THEN 1 ELSE 0 END AS conv
+         |  FROM events WHERE user_id IS NOT NULL
+         |  GROUP BY user_id
+         |), v AS (
+         |  SELECT variant, CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(CAST(sum(conv) AS BIGINT) AS DOUBLE) AS c
+         |  FROM u GROUP BY variant
+         |), w AS (
+         |  SELECT a.n AS na, a.c AS ca, b.n AS nb, b.c AS cb,
+         |         (a.c + b.c) / (a.n + b.n) AS p
+         |  FROM v a JOIN v b ON a.variant = 0 AND b.variant = 1
+         |)
+         |SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+         |       CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+         |       floor((ca / na) * 1000000) / 1000000 AS rate_a,
+         |       floor((cb / nb) * 1000000) / 1000000 AS rate_b,
+         |       floor(((cb / nb) - (ca / na))
+         |             / sqrt(p * (1 - p) * (1 / na + 1 / nb)) * 10000) / 10000
+         |         AS z
+         |FROM w""".stripMargin) { (s, d) =>
+      val u = events(s, d)
+        .where(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(when(
+          min(when(col("event_type") === "purchase", col("ts"))) <=
+            min(col("ts")) + expr("INTERVAL 1 DAYS"), 1).otherwise(0)
+          .as("conv"))
+        .select(
+          pmod(graft.functions.PortableHash
+            .pHash(col("user_id").cast("string")), lit(2)).as("variant"),
+          col("conv"))
+      // both variants fold in ONE conditional aggregate (the funnel
+      // move) — the oracle's textbook self-join pivot would scan events
+      // twice; PlanSpec pins the single scan
+      val w = u.agg(
+          count(when(col("variant") === 0, 1)).cast("double").as("na"),
+          sum(when(col("variant") === 0, col("conv")))
+            .cast("long").cast("double").as("ca"),
+          count(when(col("variant") === 1, 1)).cast("double").as("nb"),
+          sum(when(col("variant") === 1, col("conv")))
+            .cast("long").cast("double").as("cb"))
+        .withColumn("p", (col("ca") + col("cb")) / (col("na") + col("nb")))
+      val z = ((col("cb") / col("nb")) - (col("ca") / col("na"))) /
+        sqrt(col("p") * (lit(1) - col("p")) *
+          (lit(1) / col("na") + lit(1) / col("nb")))
+      w.select(
+        col("na").cast("long").as("n_a"), col("ca").cast("long").as("conv_a"),
+        col("nb").cast("long").as("n_b"), col("cb").cast("long").as("conv_b"),
+        (floor((col("ca") / col("na")) * 1000000) / lit(1000000)).as("rate_a"),
+        (floor((col("cb") / col("nb")) * 1000000) / lit(1000000)).as("rate_b"),
+        (floor(z * 10000) / lit(10000)).as("z"))
     }
   ) :+ resampleQ
 

@@ -524,6 +524,23 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"salt key fell out:\n$p")
   }
 
+  test("etl_ab_test: whole readout from one events scan") {
+    val p = plan("etl_ab_test")
+    // per-user fold → variant fold → 1-row pivot, all from one pass —
+    // a second scan would mean assignment and conversion split apart
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$p")
+  }
+
+  test("dq_referential: each FK edge reads only its key columns") {
+    val p = plan("dq_referential")
+    // six pruned scans (3 edges x child+parent), single-column each —
+    // an unpruned audit would drag whole fact rows through the joins
+    assert("FileScan parquet".r.findAllIn(p).size == 6, s"scan count:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      s"child scan not pruned to the key:\n$p")
+  }
+
   test("win_rolling_stats: one user exchange, all three moments in one frame") {
     val p = plan("win_rolling_stats")
     // Σc, Σc², n share the one (user_id | ts, event_id) sliding frame —
