@@ -134,8 +134,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val coldWarm =
       s"""{"metric":"cold_warm","queries_cold":${qmap(cold)},"queries_warm":${qmap(warm)},"loadavg_per_pass":$loadJson,"sf":"$sfDir"}"""
+    // a name-FILTERED local run must never overwrite the round's record:
+    // its partial per-query map is shape-identical to a full run and
+    // would silently misreport the surface (review finding) — divert it
     val benchOut = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        if (only.isEmpty) "BENCH_SELF.json" else "BENCH_SELF_FILTERED.json"))
       .toAbsolutePath
     try {
       java.nio.file.Files.writeString(

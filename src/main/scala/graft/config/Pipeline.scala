@@ -279,7 +279,13 @@ object Pipeline {
     val startDay = java.time.LocalDate.parse(batchStart.take(10))
     val lookback =
       java.sql.Timestamp.valueOf(startDay.minusDays(1).atStartOfDay())
-    val win = cfg.copy(startDate = None).table(spark, "events")
+    val ev = cfg.copy(startDate = None).table(spark, "events")
+    // empty-batch early return (the runIncrementalMonthly posture): a
+    // heartbeat batch with no events past batchStart must not pay the
+    // lookback scan + state join + overwrite machinery
+    if (ev.where(col("ts") >= lit(batchStart).cast("timestamp")).isEmpty)
+      return TableResult("churn_daily", 0L, path)
+    val win = ev
       .where(col("ts") >= lit(lookback))
       .where(col("user_id").isNotNull)
     val act = win

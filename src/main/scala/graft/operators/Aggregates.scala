@@ -355,8 +355,8 @@ object Aggregates {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       CAST(count(CASE WHEN value < lo THEN 1 END) AS BIGINT) AS n_low,
         |       CAST(count(CASE WHEN value > hi THEN 1 END) AS BIGINT) AS n_high,
-        |       round(min(lo), 4) AS lo_bound,
-        |       round(max(hi), 4) AS hi_bound
+        |       floor(min(lo) * 10000) / 10000 AS lo_bound,
+        |       floor(max(hi) * 10000) / 10000 AS hi_bound
         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       val ev = t(s, d, "events")
       val iqr = col("q3") - col("q1")
@@ -373,8 +373,13 @@ object Aggregates {
           count(lit(1)).as("n"),
           count(when(col("value") < col("lo"), 1)).as("n_low"),
           count(when(col("value") > col("hi"), 1)).as("n_high"),
-          round(min(col("lo")), 4).as("lo_bound"),
-          round(max(col("hi")), 4).as("hi_bound"))
+          // FLOOR display scaling, not round: the fences are eighth-step
+          // decimals (q ∓ 1.5·IQR over quarter-interpolated 2-decimal
+          // values), which land exactly on x.xx?25-style round-ties where
+          // Spark's exact-binary HALF_UP and DuckDB's double-space v·10⁴
+          // disagree (the win_rolling_stats lesson)
+          (floor(min(col("lo")) * 10000) / lit(10000)).as("lo_bound"),
+          (floor(max(col("hi")) * 10000) / lit(10000)).as("hi_bound"))
         .orderBy("event_type")
     },
 

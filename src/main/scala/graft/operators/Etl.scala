@@ -750,6 +750,10 @@ object Etl {
           sum(when(col("variant") === 1, col("conv")))
             .cast("long").cast("double").as("cb"))
         .withColumn("p", (col("ca") + col("cb")) / (col("na") + col("nb")))
+        // degenerate-input parity: if the hash split leaves a variant
+        // empty, the oracle's pivot join yields ZERO rows — the global
+        // aggregate must agree rather than emit a NaN/∞ readout
+        .where(col("na") > 0 && col("nb") > 0)
       val z = ((col("cb") / col("nb")) - (col("ca") / col("na"))) /
         sqrt(col("p") * (lit(1) - col("p")) *
           (lit(1) / col("na") + lit(1) / col("nb")))

@@ -326,19 +326,7 @@ object Extras {
         |FROM e e1
         |  JOIN e e2 ON e2.a = e1.b
         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin) { (s, d) =>
-      val lp = Tables(s, d, "orders")
-        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-        .select("o_orderkey")
-        .join(Tables(s, d, "lineitem").select("l_orderkey", "l_partkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val x = lp.select(col("ok"), col("p").as("pa"))
-      val y = lp.select(col("ok").as("ok2"), col("p").as("pb"))
-      triangles(x.join(y, col("ok") === col("ok2") && col("pa") < col("pb"))
-        .select(col("pa").as("a"), col("pb").as("b"))
-        .distinct())
+      triangles(coOrderEdges(s, d, "1997-01-01", "1998-01-01"))
     },
 
     // Connected components as a DECLARED graph key (round 5, continued) —
@@ -551,9 +539,9 @@ object Extras {
 
   /** Distinct id-oriented (a < b) part pairs co-ordered within
     * [from, to) — the shared edge derivation of the graph-family keys
-    * (graph_cc / graph_degree_dist / graph_common_neighbors;
-    * graph_triangles spells the same derivation inline, predating this
-    * helper). One fact-fact equi-join on the order key; the quadratic
+    * (graph_triangles / graph_cc / graph_degree_dist /
+    * graph_common_neighbors / graph_bfs — the ONE definition all five
+    * share). One fact-fact equi-join on the order key; the quadratic
     * pair build runs WITHIN an order (bounded fan-out), never across
     * the table.
     */
