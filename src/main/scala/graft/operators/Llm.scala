@@ -1206,6 +1206,29 @@ object Llm {
         .limit(10)
     },
 
+    // The SQL-registration surface proven through the driver gate
+    // (round 5, cont.): the same cosine retrieval expressed in PURE SQL
+    // via the GraftExtensions-injected `cosine_sim` — a user who only
+    // speaks spark.sql gets the codegen'd native expression, and this
+    // key pins that path end-to-end against the DuckDB oracle (until
+    // now the injected functions were spec-proven but not
+    // oracle-declared). Anchored top-10 for vec 0; the Expression
+    // accumulates in double over the float inputs, matching the
+    // oracle's DOUBLE[] cast to the rounded 6 decimals like every
+    // cosine key.
+    Q("llm_cosine_sql",
+      """SELECT b.vec_id AS b_id,
+        |       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings q JOIN embeddings b ON q.vec_id = 0 AND b.vec_id <> 0
+        |ORDER BY sim DESC, b_id LIMIT 10""".stripMargin) { (s, d) =>
+      Tables(s, d, "embeddings").createOrReplaceTempView("emb_sql")
+      s.sql("""SELECT b.vec_id AS b_id,
+              |       round(cosine_sim(q.embedding, b.embedding), 6) AS sim
+              |FROM emb_sql q JOIN emb_sql b ON q.vec_id = 0 AND b.vec_id <> 0
+              |ORDER BY sim DESC, b_id LIMIT 10""".stripMargin)
+    },
+
     // k-NN per query vector (brute force; the LSH variant is llm_ann_lsh).
     // Ranking uses the *rounded* similarity so both engines agree on ties.
     Q("llm_knn_per_query",
