@@ -180,6 +180,15 @@ class PipelineSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("day=2024-02"))
       .flatMap(_.listFiles()).map(f => f.getName -> f.lastModified()).toSet
       == febState)
+
+    // empty batch (heartbeat cycle past the data end): early return, no
+    // rows claimed, ledger untouched
+    val ledgerBefore = tableRows(outInc, "churn_daily")
+    val resE = Pipeline.runIncrementalChurn(
+      spark, RunConfig(d, Seq("events"), startDate = Some("2025-01-01")),
+      outInc, "2025-01-01")
+    assert(resE.rows == 0L)
+    assert(tableRows(outInc, "churn_daily") == ledgerBefore)
   }
 
   test("streaming ingest maintains the lake tables exactly (foreachBatch incremental)") {
