@@ -85,6 +85,14 @@ object Components {
       // sane broadcast threshold, and AQE runtime stats must never promote
       // it (or a large label frame) to a driver-built broadcast relation —
       // same hygiene as the band joins in Llm.minhashVerified.
+      // the convergence signal rides the checkpoint materialization via
+      // observe() (the Pipeline write-count idiom): the checkpoint is
+      // already an eager job over this exact plan, so folding the
+      // changed-label count into it makes each round ONE job instead of
+      // two (checkpoint + a separate isEmpty scan) — at any scale that
+      // halves the fixpoint's action count, and the saved job is pure
+      // scheduling overhead on small label frames.
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$rounds")
       val stepped = labels.as("v")
         .join(eByA.hint("shuffle_hash").as("e"), col("e.a") === col("v.id"), "left")
         .join(labels.select(col("id").as("n_id"), col("lbl").as("n_lbl"))
@@ -92,9 +100,10 @@ object Components {
           col("n_id") === col("e.b"), "left")
         .groupBy(col("v.id").as("id"), col("v.lbl").as("old_lbl"))
         .agg(least(col("old_lbl"), coalesce(min(col("n_lbl")), col("old_lbl"))).as("lbl"))
+        .observe(obs, count(when(col("lbl") < col("old_lbl"), 1)).as("changed"))
         .localCheckpoint()
       // labels only ever decrease; an unchanged round is the fixpoint.
-      converged = stepped.where(col("lbl") < col("old_lbl")).isEmpty
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = stepped.select(col("id"), col("lbl"))
       rounds += 1
     }
