@@ -366,6 +366,34 @@ object ScaleSmoke {
       row.getLong(0) // n_edges
     }
 
+    // Link prediction at scale (round 5, continuation): the REAL
+    // operators.Extras.commonNeighbors. NOTE the honest asymmetry vs
+    // triangles: common-neighbor COUNTS enumerate Σ C(deg(v), 2) wedges
+    // over FULL degrees — no orientation escape exists, because every
+    // wedge contributes to its endpoint pair's count (triangles count
+    // only CLOSED wedges, so orienting by rank quarters the volume). At
+    // the triangle stage's 6M-edge density this measured 234 s of pure
+    // wedge aggregation; the stage runs the 2M-edge graph (deg ≈ 20,
+    // ~80M wedges) to pin the plan shape, and the 100 TB posture for
+    // denser graphs is candidate restriction (per-source blocking or
+    // minhash over adjacency sets) BEFORE exact wedge counting.
+    time("common neighbors 2M edges") {
+      val lp = spark.range(2000000L).select(
+        (col("id") / 3).cast("long").as("ok"),
+        pmod(xxhash64(col("id")), lit(200000)).as("p"))
+        .distinct()
+      val x = lp.select(col("ok"), col("p").as("pa"))
+      val y = lp.select(col("ok").as("ok2"), col("p").as("pb"))
+      val top = operators.Extras.commonNeighbors(
+        x.join(y, col("ok") === col("ok2") && col("pa") < col("pb"))
+          .select(col("pa").as("a"), col("pb").as("b"))
+          .distinct(), 20).collect()
+      spark.catalog.clearCache() // release the edge persist
+      require(top.length == 20 && top.head.getLong(2) >= top.last.getLong(2),
+        "top-k must be full and rank-ordered")
+      top.length.toLong
+    }
+
     // Power-law hub A/B (round 5): id-orientation's failure mode made
     // measurable. The hub sits MID-RANGE in the id order (id 100000 of
     // 200k, 20k random spokes + 3M background edges): under id

@@ -436,15 +436,7 @@ object Extras {
         |SELECT cn.a, cn.b, common_neighbors FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.a AND e.b = cn.b)
         |ORDER BY common_neighbors DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
-      val e = coOrderEdges(s, d, "1997-01-01", "1998-01-01").persist()
-      val sym = symmetrize(e).select(col("a").as("u"), col("b").as("v"))
-      val s2 = sym.select(col("u").as("u2"), col("v").as("v2"))
-      sym.join(s2, col("v") === col("v2") && col("u") < col("u2"))
-        .groupBy(col("u").as("a"), col("u2").as("b"))
-        .agg(count(lit(1)).as("common_neighbors"))
-        .join(e, Seq("a", "b"), "left_anti")
-        .orderBy(col("common_neighbors").desc, col("a"), col("b"))
-        .limit(20)
+      commonNeighbors(coOrderEdges(s, d, "1997-01-01", "1998-01-01"), 20)
     },
 
     // Bounded-hop BFS (round 5, continued): shortest-hop rings from a
@@ -491,6 +483,28 @@ object Extras {
         .orderBy("dist")
     }
   )
+
+  /** Top-k common-neighbors link prediction over an id-ORIENTED distinct
+    * edge frame (a < b) — the wedge self-join on the shared neighbor,
+    * existing edges removed by anti-join BEFORE the fused top-k (also
+    * driven at 6M edges by ScaleSmoke). The oriented frame feeds the
+    * symmetric adjacency (both self-join sides) plus the anti probe, so
+    * it is persisted once — the multiply-referenced-frame idiom.
+    *
+    * Cache contract: persists the edge frame; callers doing repeated
+    * runs should clearCache() when done, as with [[pageRank]].
+    */
+  def commonNeighbors(edges0: DataFrame, k: Int): DataFrame = {
+    val e = edges0.persist()
+    val sym = symmetrize(e).select(col("a").as("u"), col("b").as("v"))
+    val s2 = sym.select(col("u").as("u2"), col("v").as("v2"))
+    sym.join(s2, col("v") === col("v2") && col("u") < col("u2"))
+      .groupBy(col("u").as("a"), col("u2").as("b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .join(e, Seq("a", "b"), "left_anti")
+      .orderBy(col("common_neighbors").desc, col("a"), col("b"))
+      .limit(k)
+  }
 
   /** Bounded-hop frontier BFS over a SYMMETRIC edge frame (a, b) from a
     * seed frame with one `node` column — returns (node, dist) with dist =
