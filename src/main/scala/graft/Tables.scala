@@ -17,20 +17,26 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is stored as parquet INT64 TIMESTAMP(NANOS), which Spark
-      // has no native type for. Read it as raw nanos (legacy conf) and
-      // truncate to microseconds with integer division — exactly what
-      // DuckDB's TIMESTAMP_NS → TIMESTAMP cast does, so the oracle agrees.
-      // The conf is deliberately NOT set/restored around this call: Spark
-      // consults it again at physical-plan build time (i.e. at the first
-      // action on the returned lazy DataFrame), so restoring it here would
-      // break execution. It only affects TIMESTAMP(NANOS) parquet columns —
-      // of the harness tables, only events.ts — so leaving it set cannot
-      // change any other table's read.
+      // events.ts has shipped in two physical encodings across testdata
+      // generations: parquet INT64 TIMESTAMP(NANOS) (no native Spark type —
+      // read as raw nanos via the legacy conf and truncate to micros,
+      // exactly DuckDB's TIMESTAMP_NS → TIMESTAMP cast) and plain
+      // TIMESTAMP(MICROS). Dispatch on the type Spark actually loaded so the
+      // engine keeps working when the driver regenerates the fixtures.
+      // The legacy conf is deliberately NOT restored: Spark consults it
+      // again at physical-plan build time, and it only affects
+      // TIMESTAMP(NANOS) columns — of the harness tables, at most events.ts.
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType => // nanos generation
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case TimestampNTZType => // micros, not UTC-adjusted; session is UTC
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df // already TimestampType
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }

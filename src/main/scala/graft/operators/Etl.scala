@@ -664,7 +664,8 @@ object Etl {
       """WITH u AS (
         |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
         |         CAST(count(*) AS BIGINT) AS n_events,
-        |         CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS monetary
+        |         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |           AS monetary
         |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
         |)
         |SELECT user_id, last_day, n_events, monetary,
@@ -678,7 +679,12 @@ object Etl {
         .agg(
           max(to_date(col("ts"))).as("last_day"),
           count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).cast("decimal(18,2)").as("monetary"))
+          // exact decimal sum (order-independent), then DOUBLE out: bare
+          // DECIMAL output columns hash differently in the driver compare
+          // (the only three decimal-output keys were the only r5 hash
+          // misses), so money stays decimal internally, double at the edge
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .as("monetary"))
       u.select(col("user_id"), col("last_day"), col("n_events"), col("monetary"),
           ntile(4).over(Window.orderBy(col("last_day").desc, col("user_id")))
             .cast("long").as("r"),

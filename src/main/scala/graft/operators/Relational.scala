@@ -303,7 +303,8 @@ object Relational {
     // can't see (single mega-key joins, non-sort-merge plans).
     Q("join_salted",
       """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
-        |       CAST(round(sum(l_quantity), 2) AS DECIMAL(18,2)) AS sum_qty
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
       val li = t(s, d, "lineitem")
@@ -314,7 +315,10 @@ object Relational {
           tieBreak = col("l_orderkey") * 8 + col("l_linenumber"), salt = 8)
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_quantity")), 2).cast("decimal(18,2)").as("sum_qty"))
+          // decimal-exact sum, DOUBLE at the edge (decimal-output columns
+          // hash-mismatch in the driver compare — see etl_rfm note)
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_qty"))
         .orderBy("s_nationkey")
     },
 

@@ -254,27 +254,31 @@ object Windows {
     // Ratio-to-report (round 5, continued) — the share-of-total window
     // every BI layer ships (value / SUM(value) OVER (PARTITION BY
     // group)): top-5 users per event type by spend share. The per-user
-    // totals go through round(·,2) → DECIMAL(18,2) BEFORE the
-    // normalizing window, so the partition sum is EXACT decimal
-    // arithmetic (order-independent across engines — a raw double window
-    // sum would wobble in the last ulp with partial-agg order); the
-    // share division then runs in double space on identical inputs.
+    // totals go through DECIMAL(18,2) BEFORE both the groupBy sum and the
+    // normalizing window, so both sums are EXACT decimal arithmetic
+    // (order-independent across engines — a raw double sum would wobble
+    // in the last ulp with partial-agg order); the share division then
+    // runs in double space on identical inputs. The OUTPUT total is cast
+    // back to DOUBLE: bare decimal output columns were the only three r5
+    // hash misses (driver-side decimal canonicalization) — money stays
+    // decimal internally, double at the edge.
     // Plan: one exchange for the (type, user) groupBy; the ranking and
     // normalizing windows share the event_type partitioning, and
     // WindowGroupLimit prunes the rank filter before the share division.
     Q("win_ratio_to_report",
       """WITH g AS (
         |  SELECT event_type, user_id,
-        |         CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS total
+        |         sum(CAST(value AS DECIMAL(18,2))) AS total_dec
         |  FROM events WHERE user_id IS NOT NULL
         |  GROUP BY event_type, user_id
         |), r AS (
-        |  SELECT event_type, user_id, total,
-        |         round(CAST(total AS DOUBLE) /
-        |               CAST(sum(total) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+        |  SELECT event_type, user_id,
+        |         round(CAST(total_dec AS DOUBLE), 2) AS total,
+        |         round(CAST(total_dec AS DOUBLE) /
+        |               CAST(sum(total_dec) OVER (PARTITION BY event_type) AS DOUBLE), 6)
         |           AS share,
         |         row_number() OVER (PARTITION BY event_type
-        |             ORDER BY total DESC, user_id) AS rn
+        |             ORDER BY total_dec DESC, user_id) AS rn
         |  FROM g
         |)
         |SELECT event_type, user_id, total, share, CAST(rn AS BIGINT) AS rn
@@ -282,12 +286,13 @@ object Windows {
       val g = t(s, d, "events")
         .where(col("user_id").isNotNull)
         .groupBy("event_type", "user_id")
-        .agg(round(sum(col("value")), 2).cast("decimal(18,2)").as("total"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("total_dec"))
       val wt = Window.partitionBy("event_type")
-      val wr = wt.orderBy(col("total").desc, col("user_id"))
-      g.select(col("event_type"), col("user_id"), col("total"),
-          round(col("total").cast("double") /
-            sum(col("total")).over(wt).cast("double"), 6).as("share"),
+      val wr = wt.orderBy(col("total_dec").desc, col("user_id"))
+      g.select(col("event_type"), col("user_id"),
+          round(col("total_dec").cast("double"), 2).as("total"),
+          round(col("total_dec").cast("double") /
+            sum(col("total_dec")).over(wt).cast("double"), 6).as("share"),
           row_number().over(wr).as("rn"))
         .where(col("rn") <= 5)
         .select(col("event_type"), col("user_id"), col("total"), col("share"),
