@@ -29,6 +29,11 @@ object Tables {
       import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
       import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The TimestampNTZ→timestamp cast below reinterprets wall-clock micros
+      // in the SESSION zone; only UTC matches the DuckDB oracle's reading of
+      // the same file. All entry points already run UTC — pin it here too so
+      // a non-UTC caller can't silently shift events.ts.
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       df.schema("ts").dataType match {
         case LongType => // nanos generation

@@ -682,7 +682,12 @@ object Etl {
           // exact decimal sum (order-independent), then DOUBLE out: bare
           // DECIMAL output columns hash differently in the driver compare
           // (the only three decimal-output keys were the only r5 hash
-          // misses), so money stays decimal internally, double at the edge
+          // misses), so money stays decimal internally, double at the edge.
+          // FIXTURE INVARIANT: casting each value BEFORE the sum is
+          // sum-the-rounded, exact only while events.value carries ≤2
+          // decimals (verified at sf0.001/0.01/0.1; see FIXTURES.md) — a
+          // regenerated fixture with ≥3 decimals could disagree with the
+          // oracle's round-the-sum at dyadic half-ties (e.g. x.125).
           round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
             .as("monetary"))
       u.select(col("user_id"), col("last_day"), col("n_events"), col("monetary"),

@@ -288,6 +288,9 @@ object Windows {
         .groupBy("event_type", "user_id")
         .agg(sum(col("value").cast("decimal(18,2)")).as("total_dec"))
       val wt = Window.partitionBy("event_type")
+      // Rank on the UNROUNDED exact decimal total (r6 change): deterministic,
+      // but top-5 membership can differ from pre-r6 output on totals that tie
+      // only after rounding — intentional; Spark and oracle moved in lockstep.
       val wr = wt.orderBy(col("total_dec").desc, col("user_id"))
       g.select(col("event_type"), col("user_id"),
           round(col("total_dec").cast("double"), 2).as("total"),
