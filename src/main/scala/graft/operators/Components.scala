@@ -184,6 +184,68 @@ object Components {
     (labels, rounds)
   }
 
+  /** Distributed k-core by iterative peeling (round 7): repeatedly drop
+    * every edge with an endpoint of degree < k until the edge set is
+    * stable; the survivors are the k-core (maximal subgraph where every
+    * node keeps ≥ k neighbors) — the standard dense-substructure filter
+    * (community cores, spam/bot rings, "only well-connected docs" corpus
+    * pruning).
+    *
+    * Removal is SIMULTANEOUS per round (degrees are computed on the
+    * round's input, then both endpoints are filtered against that same
+    * snapshot), which is exactly what the declared oracle's
+    * window-function peel replays — and the fixpoint is the same k-core
+    * either way, since peeling is confluent (the core is the unique
+    * maximal fixpoint; removal order only affects intermediate states).
+    *
+    * Scale shape (the [[connectedComponents]] idiom): the symmetric edge
+    * frame is hash-partitioned on `a` once; each round is one
+    * partition-local degree count + two semi-joins against the (small)
+    * qualifying-node frame, localCheckpoint-ed to keep lineage flat, with
+    * the round's edge count folded into the checkpoint job via observe()
+    * — one job per round. Rounds are data-bounded: each round strictly
+    * shrinks the edge set until the fixpoint, and `maxRounds` caps
+    * adversarial peel chains the way DefaultMaxPropagationRounds caps CC
+    * (the declared graph converges in ≤ 4 rounds at every harness SF;
+    * the oracle peels exactly `maxRounds` times, so a budget hit still
+    * agrees with it — both report the round-`maxRounds` state).
+    *
+    * @param edges SYMMETRIC (a, b) edge frame
+    * @return (node, core_degree) — one row per k-core node with its
+    *         within-core degree
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 8): DataFrame = {
+    var cur = edges.select(col("a"), col("b"))
+      .repartition(col("a")).localCheckpoint()
+    var n = cur.count()
+    var converged = n == 0L
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val keep = cur.groupBy(col("a"))
+        .agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select(col("a").as("node"))
+      val obs = org.apache.spark.sql.Observation(s"kcore_round_$rounds")
+      // keep is bounded by the current node set — but like the CC label
+      // frames it scales with the data, so shuffle_hash keeps AQE from
+      // ever promoting it to a driver-built broadcast at corpus scale.
+      val next = cur
+        .join(keep.hint("shuffle_hash"), col("a") === col("node"), "left_semi")
+        .join(keep.select(col("node").as("node_b")).hint("shuffle_hash"),
+          col("b") === col("node_b"), "left_semi")
+        .observe(obs, count(lit(1)).as("n_edges"))
+        .localCheckpoint()
+      val m = obs.get("n_edges").asInstanceOf[Long]
+      // edges only ever leave the frame: unchanged count = fixpoint
+      converged = m == n
+      cur = next
+      n = m
+      rounds += 1
+    }
+    cur.groupBy(col("a").cast("long").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+  }
+
   /** DuckDB oracle twin: exact reachability min per node as a recursive
     * CTE. `edgesCte` must name a SYMMETRIC (a, b) edge CTE and `nodesSql`
     * must yield one `id` row per node. The UNION (set) semantics bound the

@@ -481,6 +481,51 @@ object Extras {
         .groupBy(col("dist").cast("long").as("dist"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy("dist")
+    },
+
+    // k-core decomposition (round 7) — the dense-substructure filter that
+    // completes the graph family's structure trio (components = "what is
+    // connected", triangles = "how clustered", k-core = "what is DENSELY
+    // connected"): iteratively peel every edge with an endpoint of degree
+    // < k until stable; survivors are the maximal subgraph where every
+    // node keeps ≥ 4 neighbors. Same January-1997 co-order graph as
+    // graph_cc (fixpoint in ≤ 4 peels at every harness SF, measured;
+    // maxRounds = 8 is a 2× budget). Peeling is Components.kCore — the CC
+    // loop idiom (edge frame hash-partitioned once, per-round semi-joins
+    // against the small qualifying-node frame, observe-fused counts,
+    // localCheckpoint lineage) — while the oracle replays the SAME
+    // simultaneous-removal rounds as a capped recursive window-function
+    // peel: degrees computed over the round's snapshot, both endpoints
+    // filtered against it. Peel order can't change the answer (the core
+    // is the unique maximal fixpoint), and a budget hit still agrees —
+    // both sides report the round-8 state.
+    Q("graph_kcore",
+      """WITH RECURSIVE lp AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-02-01'
+        |), e0 AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+        |), edges AS (
+        |  SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+        |), peel(iter, a, b) AS (
+        |  SELECT 0, a, b FROM edges
+        |  UNION ALL
+        |  SELECT iter + 1, a, b FROM (
+        |    SELECT iter, a, b,
+        |           count(*) OVER (PARTITION BY a) AS da,
+        |           count(*) OVER (PARTITION BY b) AS db
+        |    FROM peel
+        |  ) WHERE iter < 8 AND da >= 4 AND db >= 4
+        |)
+        |SELECT CAST(a AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS core_degree
+        |FROM peel WHERE iter = 8
+        |GROUP BY a ORDER BY core_degree DESC, node""".stripMargin) { (s, d) =>
+      Components.kCore(
+          symmetrize(coOrderEdges(s, d, "1997-01-01", "1997-02-01")), k = 4)
+        .orderBy(col("core_degree").desc, col("node"))
     }
   )
 

@@ -928,6 +928,45 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // Sliding-window chunking (round 7): the context-window prep step
+    // between cleaning and packing — cut each document into 64-token
+    // windows at stride 48 (16-token overlap, the RAG/pretraining default
+    // shape), so long documents become trainable/retrievable units that
+    // preserve cross-boundary context. Chunk starts are generated
+    // ARITHMETICALLY (sequence(0, n_tok-1, stride) → explode) off ONE
+    // per-doc token array — no per-token explode and regroup, so the row
+    // count entering the shuffle-free stage is O(chunks), not O(tokens),
+    // and the whole plan is narrow (scan → project → generate): chunking
+    // 100 TB is embarrassingly parallel with zero exchanges. The tail
+    // chunk keeps whatever remains past the last full window (every
+    // token is covered; chunk_tokens < 64 only on the tail). The oracle
+    // replays the same starts with range(0, n, 48) + 1-based list
+    // slicing — llm_tokenize_tf's split parity.
+    Q("llm_chunk_sliding",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |x AS (
+        |  SELECT doc_id, len(toks) AS n, toks,
+        |         unnest(range(0, greatest(len(toks), 1), 48)) AS start
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+        |       array_to_string(toks[start + 1 : start + 64], ' ') AS chunk,
+        |       CAST(least(64, n - start) AS BIGINT) AS chunk_tokens
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("start",
+          explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(48))))
+        .select(col("doc_id"),
+          (col("start") / 48).cast("long").as("chunk_id"),
+          concat_ws(" ", slice(col("toks"), col("start") + 1, lit(64)))
+            .as("chunk"),
+          least(lit(64), col("n") - col("start")).cast("long")
+            .as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // n-gram language ID: stopword votes per language, argmax with a fixed
     // tie-break ladder (identical CASE in both engines → deterministic).
     Q("llm_lang_id", {

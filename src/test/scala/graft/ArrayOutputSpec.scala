@@ -176,4 +176,35 @@ class ArrayOutputSpec extends AnyFunSuite {
     assert(row.media.meta("n_bytes").toLong == row.media.payload.length.toLong)
     assert(row.media.meta.contains("source"))
   }
+
+  test("sliding chunks: coverage, stride, overlap, and tail laws") {
+    // declared llm_chunk_sliding (W=64, S=48) vs a driver-side re-chunk:
+    // chunk text/token counts match exactly, consecutive chunks overlap
+    // by W-S tokens, every token lands in some chunk, and only the tail
+    // may run short.
+    val chunks = SparkEntry.queries("llm_chunk_sliding")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    val docsById = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet == docsById.keySet, "every doc must be chunked")
+    docsById.foreach { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val starts = 0 until toks.length by 48
+      val got = chunks(id).sortBy(_._2)
+      assert(got.map(_._2).toSeq == starts.indices.map(_.toLong).toSeq,
+        s"doc $id chunk_ids must be dense from 0")
+      got.zip(starts).foreach { case ((_, _, chunk, nTok), st) =>
+        val want = toks.slice(st, st + 64)
+        assert(chunk == want.mkString(" "), s"doc $id start $st text")
+        assert(nTok == want.length.toLong, s"doc $id start $st count")
+      }
+      // coverage law: the last chunk ends exactly at the last token, so
+      // with stride < window every token is inside some chunk
+      assert(starts.last + got.last._4 == toks.length.toLong,
+        s"doc $id tail must end exactly at the last token")
+    }
+  }
 }

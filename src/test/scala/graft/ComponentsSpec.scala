@@ -132,4 +132,77 @@ class ComponentsSpec extends AnyFunSuite {
     assert(e1 == e2 && t1 == t2 && t1 == brute(hub))
     assert(t1 == 16L, "hub+ring: one triangle per ring edge")
   }
+
+  /** Driver-side k-core oracle: simultaneous peel to fixpoint (or a round
+    * budget) over a SYMMETRIC edge set — the same semantics the declared
+    * oracle's recursive window-function peel replays.
+    */
+  private def peelOracle(
+      edges: Set[(Long, Long)], k: Int,
+      rounds: Int = Int.MaxValue): Set[(Long, Long)] = {
+    var cur = edges
+    var r = 0
+    var changed = cur.nonEmpty
+    while (changed && r < rounds) {
+      val deg = cur.groupBy(_._1).map { case (u, es) => u -> es.size }
+      val next = cur.filter { case (a, b) =>
+        deg.getOrElse(a, 0) >= k && deg.getOrElse(b, 0) >= k }
+      changed = next != cur
+      cur = next
+      r += 1
+    }
+    cur
+  }
+
+  private def runKCore(
+      edges: Seq[(Long, Long)], k: Int,
+      maxRounds: Int = 8): Map[Long, Long] = {
+    val e0 = edges.toDF("a", "b")
+    val sym = e0.unionByName(e0.select($"b".as("a"), $"a".as("b")))
+    Components.kCore(sym, k, maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kCore matches the simultaneous-peel oracle on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3; k <- Seq(2, 3)) {
+      val edges = Seq.fill(50 + trial * 25) {
+        val a = rnd.nextInt(30).toLong; val b = rnd.nextInt(30).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }.distinct
+      val sym = edges.toSet ++ edges.map { case (a, b) => (b, a) }
+      val expected = peelOracle(sym, k)
+        .groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+      assert(runKCore(edges, k) == expected,
+        s"trial $trial k=$k disagrees with the driver peel")
+    }
+  }
+
+  test("kCore keeps exactly a planted clique and sheds its tendrils") {
+    // K6 (every node degree 5) with a pendant chain hanging off node 0:
+    // the 3-core is the clique alone, every core degree 5.
+    val clique = for (a <- 0L until 6L; b <- a + 1 until 6L) yield (a, b)
+    val chain = Seq((0L, 6L), (6L, 7L), (7L, 8L))
+    val got = runKCore(clique ++ chain, k = 3)
+    assert(got == (0L until 6L).map(_ -> 5L).toMap)
+    // k above the clique degree empties the core entirely
+    assert(runKCore(clique ++ chain, k = 6) == Map.empty)
+  }
+
+  test("kCore round budget reports the budget-round state, like the oracle") {
+    // path graph under k=2: each peel removes only the two endpoint
+    // edges, so the fixpoint (empty) needs ~n/2 rounds — a capped run
+    // must equal the oracle peeled exactly maxRounds times, which is
+    // what the declared oracle's iter-capped recursion reports too.
+    val path = (0L until 11L).map(i => (i, i + 1))
+    val sym = path.toSet ++ path.map { case (a, b) => (b, a) }
+    for (cap <- Seq(1, 2, 3)) {
+      val expected = peelOracle(sym, 2, rounds = cap)
+        .groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+      assert(runKCore(path, 2, maxRounds = cap) == expected,
+        s"cap=$cap state mismatch")
+    }
+    // and uncapped it reaches the empty fixpoint
+    assert(runKCore(path, 2) == Map.empty)
+  }
 }
