@@ -150,4 +150,48 @@ object Sources {
       .map { case (dir, i) => migrate(spark.read.parquet(dir), i) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Small-file compaction (lake maintenance, round 7): rewrite a parquet
+    * directory into ceil(totalBytes / targetBytes) files. Streaming
+    * ingest (one file per micro-batch per partition) and incremental
+    * merges accumulate thousands of KB-sized files; at 100 TB that turns
+    * every downstream scan into a listing + footer-read + task-scheduling
+    * storm (one task per file, seconds of overhead each) long before a
+    * byte of data is read — periodic compaction to ~128 MB files is the
+    * standing fix, and 128 MB ≈ one HDFS/object-store block ≈ one healthy
+    * scan task.
+    *
+    * Shape: ONE wide rewrite — a round-robin repartition (no key, so no
+    * skew risk) sized off the LISTED bytes, not a collect. The rewrite
+    * lands in a sibling temp dir first and swaps in via two renames, so a
+    * concurrent reader sees the old files or the new files, never a
+    * half-written mix. The swap is directory-level best-effort (object
+    * stores have no atomic rename — there, this utility is exactly the
+    * compaction loop a table format (Iceberg/Delta) runs under a real
+    * commit protocol; the Spark-side plan is identical).
+    *
+    * @return (files before, files after)
+    */
+  def compactSmallFiles(
+      spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(path)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new Path(path.getParent, path.getName + ".compacting")
+    fs.delete(tmp, true)
+    spark.read.parquet(dir)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new Path(path.getParent, path.getName + ".compacted_old")
+    fs.delete(old, true)
+    require(fs.rename(path, old), s"compact: could not retire $path")
+    require(fs.rename(tmp, path), s"compact: could not publish $tmp")
+    fs.delete(old, true)
+    (dataFiles.length, nOut)
+  }
 }

@@ -567,4 +567,39 @@ class PlanSpec extends AnyFunSuite {
       assert(scans == 1, s"$name: expected 1 events scan, got $scans:\n$p")
     }
   }
+
+  test("runtime bloom filter: selective dim filter reaches the fact side") {
+    // The 100 TB shuffle-join complement to broadcast pruning: when the
+    // dim side of a SHUFFLE join carries a selective filter, Catalyst's
+    // InjectRuntimeFilter plants a bloom-filter aggregate on the dim and
+    // a might_contain probe on the fact side, so non-joining fact rows
+    // die at/near the scan instead of crossing the exchange. The confs
+    // only LOWER the engagement thresholds (they're sized for clusters:
+    // 10 GiB application-side scans) — the rewrite itself is stock
+    // Catalyst, available to every declared plan at warehouse scale.
+    import org.apache.spark.sql.functions.col
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k =>
+      k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val dim = spark.read.parquet(s"$sf/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val p = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected an injected bloom-filter probe on the fact side:\n$p")
+      assert(p.contains("bloom_filter_agg"),
+        s"expected the dim-side bloom-filter build aggregate:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

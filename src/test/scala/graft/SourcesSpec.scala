@@ -170,4 +170,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(feats("audio/wav").take(3).sameElements(Array(16000f, 1f, 16f)))
     assert(feats.values.forall(_(6) == 1f), "both containers must parse")
   }
+
+  test("small-file compaction: fewer files, same rows, target-sized output") {
+    val d = Files.createTempDirectory("graft_compact").toString + "/t"
+    // simulate streaming-ingest debris: 16 one-partition micro-batch writes
+    spark.range(4000L).select(col("id"), (col("id") * 3).as("v"))
+      .repartition(16)
+      .write.parquet(d)
+    val fsPath = new org.apache.hadoop.fs.Path(d)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts(): Array[org.apache.hadoop.fs.FileStatus] = fs.listStatus(fsPath)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val before = parts()
+    assert(before.length == 16)
+    val total = before.map(_.getLen).sum
+    // target = just over half the bytes → exactly 2 output files
+    val (nBefore, nAfter) =
+      Sources.compactSmallFiles(spark, d, targetBytes = total / 2 + 1)
+    assert(nBefore == 16 && nAfter == 2)
+    assert(parts().length == 2, "published dir must hold the compacted files")
+    // contents survive byte-for-byte (same rows, same values)
+    val got = spark.read.parquet(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == (0L until 4000L).map(i => (i, i * 3)))
+    // and the temp/retired dirs are gone — no debris for the next listing
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(d + ".compacting")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(d + ".compacted_old")))
+  }
 }
