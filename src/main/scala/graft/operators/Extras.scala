@@ -367,7 +367,17 @@ object Extras {
       val sym = symmetrize(coOrderEdges(s, d, "1997-01-01", "1997-02-01"))
         .persist()
       val nodes = sym.select(col("a").as("id")).distinct()
-      Components.connectedComponents(nodes, "id", sym)
+      // Star contraction, NOT propagation (round 7): this is the
+      // general-graph key, and the co-order graph's diameter GROWS with
+      // SF (22 propagation rounds at sf0.1 — measured — already past the
+      // 12-round budget, so propagation burned its full budget and then
+      // restarted on the star engine anyway: 13 s → 3.4 s local). The
+      // near-dup keys keep propagation because LSH similarity graphs
+      // have small data-independent diameters; an arbitrary edge list
+      // gets the O(log n) engine directly, per SCALING.md's engine A/B.
+      // Labels are engine-independent (ComponentsSpec pins equality), so
+      // the oracle can't see the choice.
+      Components.connectedComponentsStar(nodes, "id", sym)
         .groupBy(col("lbl").cast("long").as("component"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("n_nodes").desc, col("component"))
