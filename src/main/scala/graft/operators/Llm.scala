@@ -475,6 +475,51 @@ object Llm {
         .orderBy("h")
     },
 
+    // Span-level exact dedup (round 7; Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"): mark every 8-token
+    // span that recurs in ≥2 DISTINCT documents — the cross-document
+    // repeated-substring signal (boilerplate, license headers, templated
+    // text) that DOC-level dedup (llm_exact_dedup) and near-dup pruning
+    // both miss when the surrounding text differs. The paper's suffix
+    // array is a single-machine structure; the distributed equivalent is
+    // exactly this shape: one positional n-gram explode (O(tokens) rows,
+    // map-side), one gram aggregate (THE shuffle), one semi-join back to
+    // positions. At 100 TB the gram key shuffles as a 64-bit
+    // portable_hash with the string kept as residual verify (the
+    // llm_heavy_hitters discipline); at harness SF the string key is
+    // exact and oracle-transparent. Docs shorter than the span width
+    // carry no 8-gram and are skipped by construction (fixture min is 10
+    // tokens, FIXTURES.md).
+    Q("llm_span_dedup",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(s AS BIGINT) AS pos,
+        |         array_to_string(toks[s : s + 7], ' ') AS gram
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS s
+        |        FROM t WHERE len(toks) >= 8)
+        |),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, pos, gram FROM g WHERE gram IN (SELECT gram FROM d)
+        |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      val grams = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .where(col("n") >= 8)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), col("n") - 7),
+            i => concat_ws(" ", slice(col("toks"), i, lit(8))))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("gram"))
+      val dup = grams.groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") >= 2)
+        .select("gram")
+      grams.join(dup.hint("shuffle_hash"), Seq("gram"), "left_semi")
+        .select(col("doc_id"), col("pos"), col("gram"))
+        .orderBy("doc_id", "pos")
+    },
+
     Q("llm_doc_stats",
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
         |       round(avg(n_chars), 4) AS avg_chars,

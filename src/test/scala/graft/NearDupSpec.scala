@@ -246,4 +246,18 @@ class NearDupSpec extends AnyFunSuite {
     val dupGroup = groups.find(_.getLong(2) == 2L).get
     assert(dupGroup.getLong(1) == 0L) // keeps min doc_id
   }
+
+  test("span dedup marks exactly the shared 8-gram windows of the planted pair") {
+    // docs 0 and 1 differ only at token index 30 (0-based) of 60, so the
+    // cross-document duplicated spans are every 8-token window that does
+    // NOT cover it: 1-based starts 1..53 minus 24..31. Random docs 2..9
+    // can't share an 8-gram with anything (15-word vocab, seeded) and
+    // within-doc repeats must not count (the predicate is ≥2 DISTINCT docs).
+    val marks = queries("llm_span_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = ((1L to 53L).toSet -- (24L to 31L).toSet)
+    assert(marks.keySet == Set(0L, 1L), s"only the planted pair: $marks")
+    assert(marks(0L) == want && marks(1L) == want)
+  }
 }
