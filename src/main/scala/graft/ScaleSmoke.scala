@@ -269,6 +269,33 @@ object ScaleSmoke {
       reached
     }
 
+    // k-core at the same 20M-edge scale (round 7): the REAL
+    // Components.kCore. Node degree ≈ Poisson(20) on this graph (20M
+    // symmetric edge rows / 1M nodes). k-core emergence is a PHASE
+    // TRANSITION (Pittel-Spencer-Wormald 1996): a giant k-core exists
+    // only when mean degree clears ≈ k + √(k·ln k) — k=15 (threshold
+    // ≈ 21) was MEASURED to collapse this c=20 graph to 11 flukish
+    // nodes, while k=10 (threshold ≈ 15) keeps ~99.5% of it. The stage
+    // runs the super-threshold side: each round is ONE partition-local
+    // degree count + two semi-joins against the qualifying-node frame
+    // over the once-partitioned edge frame. The hard requires pin the
+    // core LAW (every surviving degree ≥ k — a broken semi-join or
+    // degree agg breaks this first) and the giant-core size band.
+    time("kcore 20M edges k=10") {
+      val m = 1000000L
+      val e = spark.range(10000000L).select(
+        pmod(xxhash64(col("id")), lit(m)).as("a"),
+        pmod(xxhash64(col("id"), lit(1)), lit(m)).as("b"))
+      val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      val core = operators.Components.kCore(sym, k = 10, maxRounds = 8)
+        .agg(count(lit(1)).as("n"), min(col("core_degree")).as("mind"))
+        .head()
+      val (n, mind) = (core.getLong(0), core.getLong(1))
+      require(n > 900000L && n < 1000000L, s"k-core size off ($n)")
+      require(mind >= 10L, s"k-core law violated (min core degree $mind)")
+      n
+    }
+
     // Zipf(1.1) user ids — real CommCare-like workloads are Zipfian, not
     // uniform: inverse-CDF of the continuous Zipf over N=30k users, so the
     // hottest user owns ~10% of all 60M events (~6.2M rows in ONE window
