@@ -568,6 +568,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_chunk_sliding: narrow until the output sort (one range exchange)") {
+    // chunking must stay embarrassingly parallel: scan → project →
+    // generate, with the ONLY exchange being the deterministic output
+    // sort. A hash exchange here would mean chunking started shuffling
+    // O(tokens) rows — wrong at any scale.
+    val p = plan("llm_chunk_sliding")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not hash-shuffle:\n$p")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the output-sort exchange:\n$p")
+  }
+
+  test("llm_span_dedup: one gram aggregate, semi-join marks, no broadcast") {
+    // the gram aggregate is THE shuffle; the marks come back via a
+    // shuffled semi-join (the dup-gram frame scales with the corpus, so
+    // AQE must never promote it to a driver-built broadcast — the
+    // sketch-family hygiene), and nothing may go nested-loop.
+    val p = plan("llm_span_dedup")
+    assert(p.contains("LeftSemi"), s"marks must come from a semi-join:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      s"dup-gram side must stay a shuffled build:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"span dedup must never plan a product join:\n$p")
+  }
+
   test("runtime bloom filter: selective dim filter reaches the fact side") {
     // The 100 TB shuffle-join complement to broadcast pruning: when the
     // dim side of a SHUFFLE join carries a selective filter, Catalyst's
