@@ -610,24 +610,30 @@ object Extras {
     * [from, to) — the shared edge derivation of the graph-family keys
     * (graph_triangles / graph_cc / graph_degree_dist /
     * graph_common_neighbors / graph_bfs — the ONE definition all five
-    * share). One fact-fact equi-join on the order key; the quadratic
-    * pair build runs WITHIN an order (bounded fan-out), never across
-    * the table.
+    * share). The quadratic pair build runs WITHIN an order (bounded
+    * fan-out), never across the table — and entirely IN-ROW: one
+    * groupBy(order) collects the sorted distinct part set, then a
+    * nested `transform` explodes the i<j pairs map-side. Two wide
+    * shuffles total (the groupBy and the final pair distinct); the
+    * previous self-join form paid four (pre-distinct, both join
+    * sides, pair distinct) for the same output.
     */
   private def coOrderEdges(
-      s: SparkSession, d: String, from: String, to: String): DataFrame = {
-    val lp = Tables(s, d, "orders")
+      s: SparkSession, d: String, from: String, to: String): DataFrame =
+    Tables(s, d, "orders")
       .where(col("o_orderdate") >= lit(from).cast("timestamp") &&
         col("o_orderdate") < lit(to).cast("timestamp"))
       .select("o_orderkey")
       .join(Tables(s, d, "lineitem").select("l_orderkey", "l_partkey"),
         col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_orderkey").as("ok"), col("l_partkey").as("p"))
+      .groupBy(col("o_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      // ps is sorted ascending, so pairing ps[i] with every later
+      // element yields each a<b pair exactly once per order
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
-    val y = lp.select(col("ok").as("ok2"), col("p").as("pb"))
-    lp.select(col("ok"), col("p").as("pa"))
-      .join(y, col("ok") === col("ok2") && col("pa") < col("pb"))
-      .select(col("pa").as("a"), col("pb").as("b"))
-      .distinct()
-  }
 }

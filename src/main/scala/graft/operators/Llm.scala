@@ -284,18 +284,31 @@ object Llm {
   private[graft] def minhashVerified(
       docsDf: DataFrame, d2Min: Option[Long] = None,
       hashes: graft.functions.HashStrategy = PortableHash): DataFrame = {
-    // persist: the distinct shingle set feeds three consumers (doc sizes +
-    // both sides of the exact-Jaccard verify join); without it each
-    // consumer re-runs the explode+distinct shuffle. Partitioned by doc_id
-    // (round 4): the sz groupBy(doc_id) then reuses the cached partitioning
-    // instead of re-shuffling the full shingle set.
-    val sh = shingleDf(docsDf).repartition(col("doc_id")).persist()
+    // persist: the distinct shingle set feeds four consumers (doc sizes,
+    // the minhash sketch build, and both sides of the exact-Jaccard
+    // verify join); without it each consumer re-runs the explode+dedup
+    // shuffle. Round 7: built as groupBy(doc_id).collect_set + explode —
+    // per-doc dedup and doc_id partitioning in ONE wide shuffle (the
+    // explode is a projection, so the groupBy's hash-partitioning
+    // survives into the cache), where distinct().repartition(doc_id)
+    // paid two.
+    val sh = shingleDfRaw(docsDf)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("ss"))
+      .select(col("doc_id"), explode(col("ss")).as("s"))
+      .persist()
     val (h1c, h2c) = hashes.hash2(col("s"))
     // persist: the band frame feeds BOTH sides of the candidate self-join,
     // and in incremental mode the b-side filter (doc_id >= d2Min) makes the
     // two subtrees non-identical, so ReusedExchange can never fire — without
     // this the full shingle→md5→16-min sketch pipeline runs once per side.
-    val bands = shingleDfRaw(docsDf)
+    // Round 7: the sketch is built from the PERSISTED distinct-shingle
+    // frame, not a second raw-shingle pass — min over the distinct set
+    // equals min over the multiset (the hash is a pure function of the
+    // shingle), the double-hash runs once per DISTINCT shingle, and the
+    // groupBy(doc_id) reuses sh's cached hash-partitioning, so the whole
+    // sketch aggregation plans ZERO exchanges.
+    val bands = sh
       .select(col("doc_id"), h1c.as("h1"), h2c.as("h2"))
       .groupBy("doc_id")
       .agg(
