@@ -148,8 +148,14 @@ object Components {
 
   private[graft] def starLabels(
       nodes: DataFrame, idCol: String, edges: DataFrame): (DataFrame, Int) = {
+    // two-struct explode, not unionByName(e, e.swap): the union form
+    // references its input twice, doubling each round's min-agg + join
+    // work (the Extras.symmetrize double-evaluation finding)
     def sym(e: DataFrame): DataFrame =
-      e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      e.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
         .where(col("a") =!= col("b")).distinct()
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val m = e.groupBy("a")

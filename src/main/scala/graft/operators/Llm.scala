@@ -367,6 +367,20 @@ object Llm {
   private def simhashDf(s: SparkSession, d: String): DataFrame =
     simhashDf(docs(s, d))
 
+  /** Symmetrize an oriented pair frame (c1, c2) → both directions as
+    * (a, b) in ONE pass over the input: a two-struct explode instead of
+    * `e.unionByName(e.swap)` — the union form references the input
+    * TWICE, so an unpersisted upstream (here: the whole sketch+verify
+    * join pipeline) is evaluated twice when the edge frame materializes
+    * (the round-5/round-7 double-evaluation finding, same fix as the
+    * graph family's Extras.symmetrize).
+    */
+  private def symPairs(e0: DataFrame, c1: String, c2: String): DataFrame =
+    e0.select(explode(array(
+        struct(col(c1).as("a"), col(c2).as("b")),
+        struct(col(c2).as("a"), col(c1).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+
   /** Frame-parameterized body of llm_corpus_build, so ScaleSmoke can
     * drive the E2E corpus pipeline at synthetic scale. `docsDf` needs
     * (doc_id, text, source); `hashes` picks the sketch family
@@ -381,9 +395,7 @@ object Llm {
       scrubPii: Boolean = false): DataFrame = {
     val e0 = minhashVerified(docsDf, hashes = hashes)
       .where(col("est_jaccard") >= 0.2).select("d1", "d2")
-    val edges = e0.select(col("d1").as("a"), col("d2").as("b"))
-      .unionByName(e0.select(col("d2").as("a"), col("d1").as("b")))
-      .persist()
+    val edges = symPairs(e0, "d1", "d2").persist()
     val keep = Components.connectedComponents(docsDf, "doc_id", edges)
       .where(col("id") === col("lbl"))
       .select(col("id").as("doc_id"))
@@ -1557,10 +1569,9 @@ object Llm {
         .where(round(pairCos("a", "b"), 6) >= 0.35)
         .select(col("a_id").as("ea"), col("b_id").as("eb"))
       // `edges` is persisted (evaluated once, reused every propagation
-      // round); per-round lineage control lives in Components.
-      val edges = e0.select(col("ea").as("a"), col("eb").as("b"))
-        .unionByName(e0.select(col("eb").as("a"), col("ea").as("b")))
-        .persist()
+      // round); per-round lineage control lives in Components. symPairs
+      // keeps the O(n²) cosine scan to ONE evaluation.
+      val edges = symPairs(e0, "ea", "eb").persist()
       Components.connectedComponents(emb(s, d), "vec_id", edges)
         .select(col("id").as("vec_id"), col("lbl").as("group_id"))
         .orderBy("vec_id")
@@ -1604,9 +1615,7 @@ object Llm {
         .join(x, Seq("ea")).join(y, Seq("eb"))
         .where(round(cosineSim(col("x_emb"), col("y_emb")), 6) >= 0.8)
         .select("ea", "eb")
-      val edges = e0.select(col("ea").as("a"), col("eb").as("b"))
-        .unionByName(e0.select(col("eb").as("a"), col("ea").as("b")))
-        .persist()
+      val edges = symPairs(e0, "ea", "eb").persist()
       Components.connectedComponents(emb(s, d), "vec_id", edges)
         .select(col("id").as("vec_id"), col("lbl").as("group_id"))
         .orderBy("vec_id")
@@ -1675,9 +1684,7 @@ object Llm {
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
       val e0 = minhashVerified(s, d)
         .where(col("est_jaccard") >= 0.2).select("d1", "d2")
-      val edges = e0.select(col("d1").as("a"), col("d2").as("b"))
-        .unionByName(e0.select(col("d2").as("a"), col("d1").as("b")))
-        .persist()
+      val edges = symPairs(e0, "d1", "d2").persist()
       Components.connectedComponents(docs(s, d), "doc_id", edges)
         .select(col("id").as("doc_id"), col("lbl").as("group_id"),
           (col("id") === col("lbl")).as("is_kept"))
