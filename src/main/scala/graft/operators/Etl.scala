@@ -505,6 +505,56 @@ object Etl {
         .orderBy("step")
     },
 
+    // Last-touch marketing attribution (R8 cross-domain roll-up family):
+    // each purchase's value is credited to the user's most recent prior
+    // touch event (view/click); purchases with no prior touch are
+    // 'organic'. The portable gaps-and-islands form (same idiom as
+    // etl_resample_ffill): a running count of touch events marks the
+    // island each purchase falls in, and the island's FIRST row is the
+    // touch itself — no IGNORE NULLS, identical window semantics in both
+    // engines ((ts, event_id) is unique per user, so RANGE and ROWS
+    // frames agree). One scan, two windows sharing the user_id
+    // partitioning, then a tiny channel-domain aggregate.
+    Q(
+      "etl_attribution",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts, event_type, value
+        |  FROM events WHERE user_id IS NOT NULL
+        |), g AS (
+        |  SELECT *, count(CASE WHEN event_type IN ('view','click') THEN 1 END)
+        |       OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM ev
+        |), a AS (
+        |  SELECT *, first_value(
+        |         CASE WHEN event_type IN ('view','click') THEN event_type END)
+        |       OVER (PARTITION BY user_id, grp ORDER BY ts, event_id) AS ch
+        |  FROM g
+        |)
+        |SELECT coalesce(ch, 'organic') AS channel,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS revenue
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val isTouch = col("event_type").isin("view", "click")
+      val byUt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val g = events(s, d)
+        .where(col("user_id").isNotNull)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .withColumn("grp", count(when(isTouch, lit(1))).over(byUt))
+      g.withColumn("ch",
+          first(when(isTouch, col("event_type"))).over(
+            Window.partitionBy("user_id", "grp").orderBy("ts", "event_id")))
+        .where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("ch"), lit("organic")).as("channel"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .as("revenue"))
+        .orderBy("channel")
+    },
+
     // R7: batch-entry detection — events in rapid succession (< 2 min gap).
     Q(
       "etl_batch_entry_flag",

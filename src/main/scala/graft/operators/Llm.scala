@@ -253,7 +253,8 @@ object Llm {
        |  GROUP BY d1, d2
        |), verified AS (
        |  SELECT d1, d2,
-       |         round(inter * 1.0 / (p.n + q.n - inter), 6) AS est_jaccard
+       |         round(inter * 1.0 / (p.n + q.n - inter), 6) AS est_jaccard,
+       |         round(inter * 1.0 / least(p.n, q.n), 6) AS containment
        |  FROM inter JOIN sz p ON inter.d1 = p.doc_id
        |             JOIN sz q ON inter.d2 = q.doc_id
        |)""".stripMargin
@@ -357,7 +358,13 @@ object Llm {
       .join(sz.hint("shuffle_hash").as("q"), col("d2") === col("q.doc_id"))
       .select(col("d1"), col("d2"),
         round(col("inter") * 1.0 / (col("p.n") + col("q.n") - col("inter")), 6)
-          .as("est_jaccard"))
+          .as("est_jaccard"),
+        // overlap coefficient |A∩B| / min(|A|,|B|) — the containment
+        // signal for near-SUPERSET detection (Broder 1997's resemblance
+        // vs containment): a short doc quoted whole inside a long one
+        // has low Jaccard but containment ≈ 1
+        round(col("inter") * 1.0 / least(col("p.n"), col("q.n")), 6)
+          .as("containment"))
   }
 
   /** Spark side of the per-doc SimHash: explode tokens → portable hash →
@@ -1644,7 +1651,29 @@ object Llm {
          |ORDER BY est_jaccard DESC, d1, d2 LIMIT 50""".stripMargin) { (s, d) =>
       minhashVerified(s, d)
         .where(col("est_jaccard") >= 0.2)
+        .select("d1", "d2", "est_jaccard")
         .orderBy(col("est_jaccard").desc, col("d1"), col("d2"))
+        .limit(50)
+    },
+
+    // Containment / near-superset detection (Broder 1997: resemblance vs
+    // CONTAINMENT): among the minhash-banded candidate pairs, score by
+    // the overlap coefficient |A∩B|/min(|A|,|B|) instead of Jaccard — a
+    // short document quoted wholesale inside a longer one scores ≈1 here
+    // while its Jaccard can sit far below any near-dup threshold. The
+    // quote/subset signal a pretraining pipeline needs BESIDE near-dup
+    // dedup (e.g. boilerplate-wrapped reposts). Same bucketed sketch
+    // plan as llm_minhash_neardup: band equi-join candidates, exact
+    // shingle-intersection verify — never O(n²) pairs.
+    Q("llm_containment",
+      s"""WITH $minhashVerifiedCtes
+         |SELECT d1, d2, containment, est_jaccard
+         |FROM verified WHERE containment >= 0.5
+         |ORDER BY containment DESC, d1, d2 LIMIT 50""".stripMargin) { (s, d) =>
+      minhashVerified(s, d)
+        .where(col("containment") >= 0.5)
+        .select("d1", "d2", "containment", "est_jaccard")
+        .orderBy(col("containment").desc, col("d1"), col("d2"))
         .limit(50)
     },
 
