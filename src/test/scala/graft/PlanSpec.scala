@@ -247,6 +247,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!root.toString.contains("CartesianProduct"))
   }
 
+  test("graph edge derivation: within-order pairs explode in-row, no self-join") {
+    // round 7: coOrderEdges builds the i<j part pairs from ONE
+    // collect_set-per-order aggregate + a nested-transform explode, so
+    // the only join in the whole degree-dist plan is orders⋈lineitem;
+    // the previous form self-joined the (order, part) frame — two more
+    // wide shuffles for the same output
+    val p = plan("graph_degree_dist")
+    val joins =
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(p).size
+    assert(joins == 1, s"expected only the orders⋈lineitem join, got $joins:\n$p")
+    assert(p.contains("Generate explode"), s"in-row pair explode missing:\n$p")
+  }
+
   test("dq_profile: one scan profiles every column (stack melt, not per-column UNION)") {
     // the oracle's per-column UNION scans the table once per column; the
     // declared plan must hold ONE scan feeding one aggregate row that a
