@@ -668,6 +668,37 @@ object ScaleSmoke {
       n
     }
 
+    // Sketch-registry ingest at corpus scale (round 7): build the
+    // persisted sketch state once for the 500k corpus, then ingest a
+    // 5k batch (1% — the nightly-delta shape). The point being measured:
+    // per-ingest COMPUTE is ∝ batch (only 5k docs are shingled/hashed/
+    // sketched; stored state is read, never recomputed), vs the
+    // full-recompute incremental path whose sketch pass alone is the
+    // 500k-doc stage above. The batch reuses the corpus generator with
+    // shifted ids, planting dups of stored docs (id%50==0 copies corpus
+    // doc id-500000-1) so the verify stage has cross-batch work.
+    if (only.isEmpty || only.exists("registry ingest 500k corpus + 5k batch".contains)) {
+      val regDir = java.nio.file.Files
+        .createTempDirectory("graft_scale_registry").toString
+      config.SketchRegistry.build(spark, docsBig, regDir)
+      spark.catalog.clearCache()
+      val batch = spark.range(500000L, 505000L).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(39)),
+          j => element_at(vocab,
+            (pmod(xxhash64(
+              when(col("id") % 50 === 0 && j =!= lit(0), col("id") - 500001L)
+                .otherwise(col("id")), j), lit(1000)) + 1).cast("int"))))
+          .as("text"))
+      time("registry ingest 500k corpus + 5k batch") {
+        val pairs = config.SketchRegistry.ingest(spark, regDir, batch)
+        val n = pairs.count()
+        require(n >= 90, s"planted cross-batch dups must verify ($n)")
+        spark.catalog.clearCache()
+        n
+      }
+    }
+
     // The FULL corpus pipeline (llm_corpus_build body) at 500k docs with
     // the production FastHash sketch family: dedup → quality → pack E2E.
     // Runs under DEFAULT autoBroadcastJoinThreshold on purpose: round 3

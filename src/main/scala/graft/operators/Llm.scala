@@ -309,21 +309,8 @@ object Llm {
     // shingle), the double-hash runs once per DISTINCT shingle, and the
     // groupBy(doc_id) reuses sh's cached hash-partitioning, so the whole
     // sketch aggregation plans ZERO exchanges.
-    val bands = sh
-      .select(col("doc_id"), h1c.as("h1"), h2c.as("h2"))
-      .groupBy("doc_id")
-      .agg(
-        min(col("h1")).as("m_0"),
-        (1 until 16).map(i =>
-          min(col("h1") + lit(i) * col("h2")).as(s"m_$i")): _*)
-      .select(
-        col("doc_id"),
-        explode(array((0 until 8).map(b =>
-          struct(lit(b).as("band"),
-            col(s"m_${2 * b}").as("k1"), col(s"m_${2 * b + 1}").as("k2"))): _*))
-          .as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+    val bands = bandsFromHashes(
+        sh.select(col("doc_id"), h1c.as("h1"), h2c.as("h2")))
       // partitioned by the band key ONCE at build time (round 4): the
       // candidate self-join's equi-keys are exactly (band, k1, k2), so
       // BOTH sides of the shuffled hash join read the cached partitioning
@@ -366,6 +353,44 @@ object Llm {
         round(col("inter") * 1.0 / least(col("p.n"), col("q.n")), 6)
           .as("containment"))
   }
+
+  /** Per-doc DISTINCT shingle double-hashes (doc_id, h1, h2) — the
+    * persistable per-document sketch state a lake registry stores so
+    * incremental ingest never re-shingles or re-hashes the corpus
+    * (config.SketchRegistry). Same one-wide-shuffle build as
+    * [[minhashVerified]]'s internal shingle frame, hashes projected.
+    */
+  private[graft] def shingleHashes(
+      docsDf: DataFrame,
+      hashes: graft.functions.HashStrategy = PortableHash): DataFrame = {
+    val (h1c, h2c) = hashes.hash2(col("s"))
+    shingleDfRaw(docsDf)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("ss"))
+      .select(col("doc_id"), explode(col("ss")).as("s"))
+      .select(col("doc_id"), h1c.as("h1"), h2c.as("h2"))
+  }
+
+  /** LSH band keys (doc_id, band, k1, k2) from a shingle-hash frame:
+    * 16 Carter-Wegman minhashes in ONE aggregation pass, unpivoted to
+    * 8 bands × 2 rows — the ONE banding definition [[minhashVerified]]
+    * and config.SketchRegistry share (a registry sketched under a
+    * different banding could never candidate-join against live frames).
+    */
+  private[graft] def bandsFromHashes(shh: DataFrame): DataFrame =
+    shh.groupBy("doc_id")
+      .agg(
+        min(col("h1")).as("m_0"),
+        (1 until 16).map(i =>
+          min(col("h1") + lit(i) * col("h2")).as(s"m_$i")): _*)
+      .select(
+        col("doc_id"),
+        explode(array((0 until 8).map(b =>
+          struct(lit(b).as("band"),
+            col(s"m_${2 * b}").as("k1"), col(s"m_${2 * b + 1}").as("k2"))): _*))
+          .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.k1").as("k1"), col("bk.k2").as("k2"))
 
   /** Spark side of the per-doc SimHash: explode tokens → portable hash →
     * [[Aggregators.simhash]] majority vote. Shared by llm_simhash and

@@ -1,0 +1,79 @@
+package graft
+
+import graft.config.SketchRegistry
+import graft.operators.Llm
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted near-dup sketch registry (config.SketchRegistry): the
+  * lake-state twin of llm_incremental_neardup. Pins
+  *  (1) ingest pairs == the full minhashVerified recompute restricted to
+  *      the batch (the declared key's exact semantics),
+  *  (2) multi-batch sequential ingest == one full recompute over the
+  *      same split point (state accumulated across ingests is exact),
+  *  (3) append-only storage: ingest never rewrites an existing registry
+  *      file (the untouched-partition law of the Pipeline tables).
+  */
+class RegistrySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs: DataFrame = Tables(spark, sf, "documents")
+
+  private def fullPairs(d2Min: Long): Set[(Long, Long, Double)] =
+    Llm.minhashVerified(docs, Some(d2Min))
+      .where(col("est_jaccard") >= SketchRegistry.JaccardMin)
+      .select("d1", "d2", "est_jaccard")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+
+  private def got(pairs: DataFrame): Set[(Long, Long, Double)] =
+    pairs.select("dup_of", "new_id", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def files(dir: String): Set[String] = {
+    val d = new java.io.File(dir)
+    if (!d.exists) Set.empty
+    else d.listFiles.filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+  }
+
+  test("ingest == full recompute for the batch; registry files append-only") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_registry").toString
+    SketchRegistry.build(spark, docs.where(col("doc_id") < 400), dir)
+    spark.catalog.clearCache()
+    val before = files(s"$dir/shingles") ++ files(s"$dir/bands")
+    assert(before.nonEmpty)
+
+    val pairs = SketchRegistry.ingest(
+      spark, dir, docs.where(col("doc_id") >= 400))
+    val expected = fullPairs(400L)
+    assert(expected.nonEmpty, "fixture must contain cross-batch near-dups")
+    assert(got(pairs) === expected)
+    spark.catalog.clearCache()
+
+    // append-only: every pre-ingest file is still present, untouched
+    val after = files(s"$dir/shingles") ++ files(s"$dir/bands")
+    assert(before.subsetOf(after), "ingest must not rewrite registry files")
+    assert(after.size > before.size, "ingest must append the batch state")
+  }
+
+  test("two sequential ingests accumulate exact state") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_registry2").toString
+    SketchRegistry.build(spark, docs.where(col("doc_id") < 300), dir)
+    val p1 = got(SketchRegistry.ingest(spark, dir,
+      docs.where(col("doc_id") >= 300 && col("doc_id") < 400)))
+    // batch 2 must see batch 1's docs as stored corpus state
+    val p2 = got(SketchRegistry.ingest(spark, dir,
+      docs.where(col("doc_id") >= 400)))
+    spark.catalog.clearCache()
+    assert(p1.forall(_._2 < 400) && p2.forall(_._2 >= 400))
+    // pairs with d2 >= 300 from ONE full recompute == union of the two
+    // incremental emissions (d2 ∈ [300,400) surfaces in ingest 1,
+    // d2 >= 400 in ingest 2 — including d1 ∈ [300,400) vs stored state)
+    assert((p1 ++ p2) === fullPairs(300L))
+  }
+}
