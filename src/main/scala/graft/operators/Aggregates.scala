@@ -215,6 +215,102 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Benford first-digit audit (round 7, continued): the distribution
+    // of leading digits of order totals vs Benford's law expectation
+    // log10(1+1/d) — the classic fabricated-amounts fraud screen (a
+    // synthetic uniform fixture like this one FAILS Benford visibly,
+    // which is exactly what the report is for). Plan: digit extraction
+    // is a pure codegen projection — floor → BIGINT → first character
+    // (numeric-to-string, deterministic on both engines; floor+log10
+    // digit math would risk engine-specific 2.999..9 edge flips); one
+    // 9-bucket groupBy; the total rides in as a broadcast scalar. The
+    // expected/deviation columns round at 6 with ≥1e-8 margins from
+    // every rounding boundary (checked for all d ∈ 1..9), so libm ULP
+    // differences cannot flip a digit.
+    Q("agg_benford",
+      """SELECT CAST(digit AS BIGINT) AS digit, CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(count(*) AS DOUBLE) /
+        |             (SELECT count(*) FROM orders), 6) AS pct,
+        |       round(log10(1 + 1.0 / CAST(digit AS BIGINT)), 6) AS benford,
+        |       round(CAST(count(*) AS DOUBLE) /
+        |             (SELECT count(*) FROM orders)
+        |             - log10(1 + 1.0 / CAST(digit AS BIGINT)), 6) AS deviation
+        |FROM (
+        |  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+        |                1, 1) AS digit
+        |  FROM orders
+        |)
+        |GROUP BY digit ORDER BY digit""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders").select(
+        substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .as("digit"))
+      val tot = o.agg(count(lit(1)).as("total"))
+      val benford = log10(lit(1) + lit(1.0) / col("digit").cast("long"))
+      o.groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(
+          col("digit").cast("long").as("digit"),
+          col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("pct"),
+          round(benford, 6).as("benford"),
+          round(col("n").cast("double") / col("total") - benford, 6)
+            .as("deviation"))
+        .orderBy("digit")
+    },
+
+    // Robust outlier profile (round 7, continued): median / MAD
+    // anomaly flagging per event_type — the data-quality audit that
+    // survives the heavy tails that break mean±3σ (one whale purchase
+    // inflates σ until nothing is an outlier; the median and the
+    // median-of-absolute-deviations barely move). Threshold =
+    // 3·1.4826·MAD (1.4826 rescales MAD to σ under normality, Hampel's
+    // consistency constant). Plan: two exact-percentile passes over the
+    // same scan — per-type median, then per-type MAD of |x−med| — each
+    // an O(types) frame broadcast back (the event_type domain is fixed,
+    // NOT linear in SF, so the hint is scale-safe); the outlier count
+    // folds into the second pass's re-join as a conditional count, so
+    // the fact table is scanned twice and shuffled never (broadcast
+    // joins + map-side-combinable aggs on a 5-value key). Both engines
+    // build the threshold as (3·1.4826)·mad in identical IEEE order.
+    Q("agg_mad_outliers",
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type
+        |), dev AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med, m.n
+        |  FROM events e JOIN med m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type
+        |)
+        |SELECT d.event_type, round(max(d.med), 4) AS med,
+        |       round(max(ma.mad), 4) AS mad,
+        |       CAST(count(*) FILTER (WHERE d.adev > 3 * 1.4826 * ma.mad)
+        |            AS BIGINT) AS n_outliers,
+        |       max(d.n) AS n
+        |FROM dev d JOIN mad ma USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events").select("event_type", "value")
+      val med = ev.groupBy("event_type").agg(
+        percentile(col("value"), lit(0.5)).as("med"),
+        count(lit(1)).as("n"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(
+          round(max(col("med")), 4).as("med"),
+          round(max(col("mad")), 4).as("mad"),
+          count(when(
+            col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1))
+            .as("n_outliers"),
+          max(col("n")).as("n"))
+        .orderBy("event_type")
+    },
+
     Q("agg_stats",
       """SELECT l_returnflag,
         |       round(stddev_samp(l_quantity), 4) AS sd_qty,

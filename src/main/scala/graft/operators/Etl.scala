@@ -750,6 +750,101 @@ object Etl {
         .orderBy("user_id")
     },
 
+    // Revenue-concentration (Pareto) report (round 7, cont.): customers
+    // deciled by lifetime spend, each decile's revenue share and the
+    // cumulative curve — the "what fraction of customers carries 80% of
+    // revenue" readout every R11 dashboard opens with. Plan: one orders
+    // groupBy folds exact-DECIMAL spend per customer (order-independent;
+    // o_totalprice is 2-decimal by fixture, see FIXTURES.md); ntile(10)
+    // with custkey tie-break makes decile edges deterministic
+    // cross-engine (the etl_rfm discipline — a global sort over the
+    // per-CUSTOMER frame, report-scale; kll fences are the 100 TB
+    // escape); shares and the cumulative sum run as windows over the
+    // BOUNDED 10-row decile frame, decimal until the final double edge.
+    Q(
+      "etl_pareto_revenue",
+      """WITH cust AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY o_custkey
+        |), dec AS (
+        |  SELECT o_custkey, spend,
+        |         ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+        |  FROM cust
+        |), agg AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |         sum(spend) AS rev
+        |  FROM dec GROUP BY decile
+        |)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+        |       round(CAST(rev AS DOUBLE), 2) AS revenue,
+        |       round(CAST(rev AS DOUBLE) /
+        |             CAST(sum(rev) OVER () AS DOUBLE), 6) AS share,
+        |       round(CAST(sum(rev) OVER (ORDER BY decile) AS DOUBLE) /
+        |             CAST(sum(rev) OVER () AS DOUBLE), 6) AS cum_share
+        |FROM agg ORDER BY decile""".stripMargin) { (s, d) =>
+      val cust = Tables(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      val dec = cust.select(col("spend"),
+          ntile(10).over(Window.orderBy(col("spend").desc, col("o_custkey")))
+            .as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum(col("spend")).as("rev"))
+      dec.select(
+          col("decile").cast("long").as("decile"),
+          col("n_customers"),
+          round(col("rev").cast("double"), 2).as("revenue"),
+          round(col("rev").cast("double") /
+            sum(col("rev")).over(Window.partitionBy()).cast("double"), 6)
+            .as("share"),
+          round(sum(col("rev")).over(Window.orderBy("decile")).cast("double") /
+            sum(col("rev")).over(Window.partitionBy()).cast("double"), 6)
+            .as("cum_share"))
+        .orderBy("decile")
+    },
+
+    // Lag-1 autocorrelation of the daily activity series (round 7,
+    // cont.): per event_type, how strongly today's volume predicts
+    // tomorrow's — the seasonality/trend smell test that decides whether
+    // a forecasting pipeline needs differencing (the time-series
+    // complement of win_rolling_stats' level view). Plan: the events
+    // scan reduces to the BOUNDED (type × day) frame in one map-side-
+    // combinable groupBy; the lag window and the corr fold both run over
+    // that report-scale frame, so the fact table crosses the network
+    // once. corr inputs are exact BIGINT counts cast identically, and
+    // the result rounds at 6 (the agg_stats float discipline); corr and
+    // count(prev_n) both skip the per-type first day's NULL lag on both
+    // engines.
+    Q(
+      "etl_autocorr_daily",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type, day
+        |), lagd AS (
+        |  SELECT event_type, n,
+        |         lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+        |  FROM daily
+        |)
+        |SELECT event_type, CAST(count(prev_n) AS BIGINT) AS n_pairs,
+        |       round(corr(CAST(n AS DOUBLE), CAST(prev_n AS DOUBLE)), 6)
+        |         AS autocorr
+        |FROM lagd GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+        val daily = events(s, d)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        daily.select(col("event_type"), col("n"),
+            lag(col("n"), 1).over(
+              Window.partitionBy("event_type").orderBy("day")).as("prev_n"))
+          .groupBy("event_type")
+          .agg(
+            count(col("prev_n")).as("n_pairs"),
+            round(corr(col("n").cast("double"), col("prev_n").cast("double")),
+              6).as("autocorr"))
+          .orderBy("event_type")
+    },
+
     // A/B experiment readout (round 5, cont.): deterministic hash-split
     // assignment (the llm_split_assign discipline — portable_hash, no
     // rand(), leak-proof under re-ingestion) + conversion rates + the

@@ -465,6 +465,156 @@ object Extras {
       commonNeighbors(coOrderEdges(s, d, "1997-01-01", "1998-01-01"), 20)
     },
 
+    // Jaccard link prediction (round 7, continued): common-neighbors
+    // normalized by neighborhood-union size — the score that stops hub
+    // nodes from dominating the "people you may know" list (a raw
+    // common-neighbor count always favors high-degree pairs; Jaccard
+    // asks what FRACTION of their combined neighborhoods is shared).
+    // Same 1997 co-order graph and wedge plan as graph_common_neighbors;
+    // the only additions are the O(nodes) degree aggregate joined on the
+    // candidate keys and the free union size da+db−common. Both engines
+    // order by the ROUNDED score (ties → (a,b)) so the top-20 cut cannot
+    // be flipped by sub-1e-6 float noise.
+    Q("graph_jaccard_neighbors",
+      """WITH lp AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |), e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+        |), sym AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+        |), deg AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u
+        |), cn AS (
+        |  SELECT s1.u AS a, s2.u AS b, CAST(count(*) AS BIGINT) AS common_neighbors
+        |  FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+        |  GROUP BY s1.u, s2.u
+        |), nc AS (
+        |  SELECT cn.a, cn.b, common_neighbors FROM cn
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.a AND e.b = cn.b)
+        |)
+        |SELECT nc.a, nc.b, common_neighbors,
+        |       round(CAST(common_neighbors AS DOUBLE) /
+        |             (da.deg + db.deg - common_neighbors), 6) AS jaccard
+        |FROM nc JOIN deg da ON da.u = nc.a JOIN deg db ON db.u = nc.b
+        |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+      jaccardNeighbors(coOrderEdges(s, d, "1997-01-01", "1998-01-01"), 20)
+    },
+
+    // Degree assortativity (round 7, continued): Newman's r — the
+    // Pearson correlation of endpoint degrees across edges, the one
+    // scalar that says whether hubs attach to hubs (r>0, social-style)
+    // or to leaves (r<0, hub-and-spoke) — and hence whether the
+    // degree-oriented triangle/wedge plans must expect hub×hub wedge
+    // blowup. Completes the graph-profile pair with graph_degree_dist.
+    // Plan: the O(nodes) degree aggregate joins the symmetric edge
+    // frame on each endpoint (counting each undirected edge in both
+    // directions IS the standard undirected definition); the corr fold
+    // is one map-side-combinable pass; n_edges rides in as a broadcast
+    // scalar. Exact BIGINT degrees cast identically, round-6 output
+    // (the agg_stats float discipline).
+    Q("graph_assortativity",
+      """WITH lp AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |), e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+        |), sym AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+        |), deg AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u
+        |)
+        |SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+        |       round(corr(CAST(da.deg AS DOUBLE), CAST(db.deg AS DOUBLE)), 6)
+        |         AS assortativity
+        |FROM sym JOIN deg da ON da.u = sym.u
+        |         JOIN deg db ON db.u = sym.v""".stripMargin) { (s, d) =>
+      val e = coOrderEdges(s, d, "1997-01-01", "1998-01-01").persist()
+      val sym = symmetrize(e).select(col("a").as("u"), col("b").as("v"))
+        .persist()
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+      val r = sym
+        .join(deg.select(col("u"), col("deg").as("da")), Seq("u"))
+        .join(deg.select(col("u").as("v"), col("deg").as("db")), Seq("v"))
+        .agg(round(corr(col("da").cast("double"), col("db").cast("double")), 6)
+          .as("assortativity"))
+      e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(r))
+    },
+
+    // Market-basket affinity (round 7, continued): association-rule
+    // lift over parts co-ordered in 1997 — lift(a,b) =
+    // P(a,b)/(P(a)·P(b)) over the order universe, the R11 cross-sell
+    // report ("customers who bought X also bought Y") the co-order
+    // GRAPH keys deliberately strip out (they keep adjacency, this
+    // keeps the counts). Plan: the same in-row i<j pair explode as
+    // coOrderEdges but WITHOUT the final distinct — the per-(a,b) row
+    // count IS the pair support (ps is a set per order, so each order
+    // contributes a pair at most once); item supports are one O(parts)
+    // aggregate joined back on the pair keys, and the order-universe
+    // size rides in as a broadcast scalar (pageRank's crossJoin idiom —
+    // no driver collect). Lift stays a pure function of BIGINT counts
+    // cast once to double, so both engines compute identical IEEE
+    // values; ordering uses the rounded score, ties → (a,b).
+    Q("etl_basket_affinity",
+      """WITH op AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |), n AS (
+        |  SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM op
+        |), item AS (
+        |  SELECT p, CAST(count(*) AS BIGINT) AS cnt FROM op GROUP BY p
+        |), pair AS (
+        |  SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS pair_cnt
+        |  FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p
+        |  GROUP BY x.p, y.p
+        |)
+        |SELECT pair.a, pair.b, pair_cnt,
+        |       round(CAST(pair_cnt AS DOUBLE) * n_orders /
+        |             (ia.cnt * ib.cnt), 6) AS lift
+        |FROM pair CROSS JOIN n
+        |  JOIN item ia ON ia.p = pair.a
+        |  JOIN item ib ON ib.p = pair.b
+        |WHERE pair_cnt >= 2
+        |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+      val op = Tables(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey")
+        .join(Tables(s, d, "lineitem").select("l_orderkey", "l_partkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+        .persist()
+      val n = op.agg(countDistinct(col("ok")).as("n_orders"))
+      val item = op.groupBy("p").agg(count(lit(1)).as("cnt"))
+      val pairs = op.groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("p"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)),
+            |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("pair_cnt"))
+        .where(col("pair_cnt") >= 2)
+      pairs
+        .join(item.select(col("p").as("a"), col("cnt").as("ca")), Seq("a"))
+        .join(item.select(col("p").as("b"), col("cnt").as("cb")), Seq("b"))
+        .crossJoin(broadcast(n))
+        .select(col("a"), col("b"), col("pair_cnt"),
+          round(col("pair_cnt").cast("double") * col("n_orders") /
+            (col("ca") * col("cb")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("a"), col("b"))
+        .limit(20)
+    },
+
     // Bounded-hop BFS (round 5, continued): shortest-hop rings from a
     // seed node — reachability profiling (blast radius, neighborhood
     // size) over the January-1997 co-order graph, reported as nodes per
@@ -574,6 +724,36 @@ object Extras {
       .agg(count(lit(1)).as("common_neighbors"))
       .join(e, Seq("a", "b"), "left_anti")
       .orderBy(col("common_neighbors").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** Jaccard-coefficient link prediction (round 7, cont.): the
+    * normalized twin of [[commonNeighbors]] — |N(a)∩N(b)| / |N(a)∪N(b)|
+    * for non-adjacent pairs, so a 2-common-neighbor pair of degree-3
+    * nodes outranks a 5-common-neighbor pair of hubs. Same wedge
+    * enumeration (O(sum deg²), degree-orientation applies unchanged on
+    * power-law graphs); the degree frame is O(nodes) and joins the
+    * candidate frame on its grouping key, and union size comes free as
+    * deg(a)+deg(b)−common (no second set pass). Ordering uses the
+    * ROUNDED score so sub-1e-6 float noise can never flip the top-k cut
+    * between engines; ties break on (a, b).
+    */
+  def jaccardNeighbors(edges0: DataFrame, k: Int): DataFrame = {
+    val e = edges0.persist()
+    val sym = symmetrize(e).select(col("a").as("u"), col("b").as("v"))
+      .persist()
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    val s2 = sym.select(col("u").as("u2"), col("v").as("v2"))
+    sym.join(s2, col("v") === col("v2") && col("u") < col("u2"))
+      .groupBy(col("u").as("a"), col("u2").as("b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .join(e, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("u").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("common_neighbors"),
+        round(col("common_neighbors").cast("double") /
+          (col("da") + col("db") - col("common_neighbors")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
       .limit(k)
   }
 
