@@ -292,9 +292,14 @@ object Aggregates {
         |FROM dev d JOIN mad ma USING (event_type)
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin) { (s, d) =>
       val ev = t(s, d, "events").select("event_type", "value")
+      // the O(types) median frame feeds BOTH the MAD pass and the final
+      // classify pass — persisted so the first pass isn't re-derived
+      // (3 events scans is the exact-MAD necessity floor: median → MAD
+      // → classify; without the persist the plan paid 4)
       val med = ev.groupBy("event_type").agg(
         percentile(col("value"), lit(0.5)).as("med"),
         count(lit(1)).as("n"))
+        .persist()
       val dev = ev.join(broadcast(med), Seq("event_type"))
         .withColumn("adev", abs(col("value") - col("med")))
       val mad = dev.groupBy("event_type")

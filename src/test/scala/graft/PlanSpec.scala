@@ -606,6 +606,64 @@ class PlanSpec extends AnyFunSuite {
       s"span dedup must never plan a product join:\n$p")
   }
 
+  test("graph_jaccard_neighbors: persisted adjacency, equi wedges, fused top-k") {
+    val p = plan("graph_jaccard_neighbors")
+    assert(!p.contains("CartesianProduct"), s"all-pairs plan:\n$p")
+    // wedge self-join (both sides) + anti probe + the two degree joins
+    // all read persisted frames (sym feeds wedges+degrees, e feeds anti)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"edge/adjacency frame rebuilt per reference:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$p")
+  }
+
+  test("graph_assortativity: one persisted adjacency, corr folds map-side") {
+    val p = plan("graph_assortativity")
+    assert(!p.contains("CartesianProduct"), s"product join crept in:\n$p")
+    // sym feeds the two degree probes + the corr join; e feeds n_edges
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"edge/adjacency frame rebuilt per reference:\n$p")
+    // the corr aggregate must be two-phase (partial map-side, final)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"corr not partial:\n$p")
+  }
+
+  test("etl_basket_affinity: persisted order-part frame, fused top-k, no product") {
+    val p = plan("etl_basket_affinity")
+    assert(!p.contains("CartesianProduct"), s"all-pairs plan:\n$p")
+    // op persisted once, read by n_orders / item supports / pair build
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"order-part frame rebuilt per reference:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for top-20:\n$p")
+  }
+
+  test("agg_mad_outliers: three passes by necessity, stat frames broadcast") {
+    val p = plan("agg_mad_outliers")
+    // exact MAD's necessity floor: median pass → MAD-of-deviations pass
+    // → classify pass. The median frame is persisted, so the MAIN tree
+    // scans events exactly twice (the two dev instantiations) and the
+    // cached median build adds the third at runtime; raw string counting
+    // would double-count the cache build (it re-prints per reference).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = opTree("agg_mad_outliers")
+      .collect { case s: FileSourceScanExec => s }.size
+    assert(scans == 2, s"expected 2 main-tree events scans, got $scans:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"median frame not cached:\n$p")
+    // both O(types) stat frames must broadcast, never shuffle the fact
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"stat join shuffled the fact:\n$p")
+  }
+
+  test("etl_pareto_revenue / etl_autocorr_daily: one fact scan each") {
+    val p1 = plan("etl_pareto_revenue")
+    assert("FileScan parquet".r.findAllIn(p1).size == 1,
+      s"orders scanned more than once:\n$p1")
+    val p2 = plan("etl_autocorr_daily")
+    assert("FileScan parquet".r.findAllIn(p2).size == 1,
+      s"events scanned more than once:\n$p2")
+    // the lag window and the corr groupBy share the event_type-rooted
+    // reduction; everything after the daily groupBy is report-scale
+    assert(!p2.contains("CartesianProduct"))
+  }
+
   test("runtime bloom filter: selective dim filter reaches the fact side") {
     // The 100 TB shuffle-join complement to broadcast pruning: when the
     // dim side of a SHUFFLE join carries a selective filter, Catalyst's
