@@ -845,6 +845,45 @@ object Etl {
           .orderBy("event_type")
     },
 
+    // Journey pattern mining (round 7, cont.): MATCH_RECOGNIZE-style
+    // sequence detection without the dialect — each user's ordered
+    // event-type initials fold into one journey string, and a regex
+    // counts non-overlapping 'v+p' runs (views culminating in a
+    // purchase: the browse-then-buy motif). Reported as a histogram of
+    // users by motif count — the sequence-behavior complement of
+    // etl_funnel (which checks ORDER of first occurrences, not repeated
+    // runs) and etl_transition_matrix (adjacent pairs only). Plan: ONE
+    // events scan, one user_id exchange; the journey string is bounded
+    // by per-user activity (the sessionize per-entity argument), the
+    // regex is a codegen expression over that bounded string, and the
+    // final histogram groups a 10-value domain. Both engines count with
+    // greedy non-overlapping scanning ('v+p' has no backtracking
+    // subtleties), ties in ts broken by event_id on both sides.
+    Q(
+      "etl_journey_pattern",
+      """WITH j AS (
+        |  SELECT user_id,
+        |         string_agg(substr(event_type, 1, 1), ''
+        |                    ORDER BY ts, event_id) AS s
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        |)
+        |SELECT CAST(len(regexp_extract_all(s, 'v+p')) AS BIGINT) AS n_conv,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM j GROUP BY n_conv ORDER BY n_conv""".stripMargin) { (s, d) =>
+      events(s, d)
+        .where(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(array_join(expr(
+          """transform(
+            |  array_sort(collect_list(struct(ts, event_id,
+            |                                 substr(event_type, 1, 1) AS c))),
+            |  x -> x.c)""".stripMargin), "").as("s"))
+        .select(size(regexp_extract_all(col("s"), lit("v+p"), lit(0)))
+          .cast("long").as("n_conv"))
+        .groupBy("n_conv").agg(count(lit(1)).as("n_users"))
+        .orderBy("n_conv")
+    },
+
     // A/B experiment readout (round 5, cont.): deterministic hash-split
     // assignment (the llm_split_assign discipline — portable_hash, no
     // rand(), leak-proof under re-ingestion) + conversion rates + the

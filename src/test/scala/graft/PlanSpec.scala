@@ -664,6 +664,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.contains("CartesianProduct"))
   }
 
+  test("etl_journey_pattern: one events scan, one user exchange") {
+    val p = plan("etl_journey_pattern")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"events scanned more than once:\n$p")
+    // the journey fold is the only fact-scale exchange; the histogram
+    // groups a bounded motif-count domain
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected ≤2 exchanges, got $exchanges:\n$p")
+  }
+
   test("runtime bloom filter: selective dim filter reaches the fact side") {
     // The 100 TB shuffle-join complement to broadcast pruning: when the
     // dim side of a SHUFFLE join carries a selective filter, Catalyst's
