@@ -1942,6 +1942,94 @@ object Llm {
         .orderBy("q_id", "rn")
     },
 
+    // ANN quality readout (round 7, cont.): recall@5 of the LSH path
+    // against the brute-force ground truth, per query — the measurement
+    // that decides whether a banding config is shippable BEFORE anyone
+    // trusts llm_ann_lsh's output (LshPrefilterSpec measures recall in
+    // tests; this makes it a first-class, oracle-checked report). Plan:
+    // the exact side is the llm_knn_per_query broadcast-probe plan, the
+    // approximate side the llm_ann_lsh bucketed plan; both top-5 frames
+    // are O(queries·5) rows, so the hit join and the per-query fold are
+    // report-scale. At 100 TB the exact side caps to a SAMPLE of
+    // queries (recall is an estimate either way) — the structure is
+    // unchanged. Both sides rank on ROUNDED sims with n_id tie-breaks,
+    // so the top-5 cuts agree cross-engine.
+    Q("llm_ann_recall",
+      s"""WITH sig AS (
+         |  $lshSigSql
+         |), banded AS (
+         |  ${lshBandedSql(2, 8)}
+         |), cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+         |  FROM banded q JOIN banded n
+         |    ON q.band = n.band AND q.band_key = n.band_key
+         |  WHERE q.vec_id < 20 AND n.vec_id <> q.vec_id
+         |), rr AS (
+         |  SELECT q_id, n_id,
+         |         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                                      CAST(ne.embedding AS DOUBLE[])), 6) AS sim
+         |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.q_id
+         |            JOIN embeddings ne ON ne.vec_id = cand.n_id
+         |), lsh AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY sim DESC, n_id) AS rn
+         |    FROM rr) WHERE rn <= 5
+         |), ex AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                                        CAST(c.embedding AS DOUBLE[])), 6)
+         |             DESC, c.vec_id) AS rn
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 20
+         |), exact AS (
+         |  SELECT q_id, n_id FROM ex WHERE rn <= 5
+         |)
+         |SELECT e.q_id, CAST(count(l.n_id) AS BIGINT) AS n_hit,
+         |       round(CAST(count(l.n_id) AS DOUBLE) / 5, 6) AS recall
+         |FROM exact e LEFT JOIN lsh l
+         |  ON l.q_id = e.q_id AND l.n_id = e.n_id
+         |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      // exact ground truth: the llm_knn_per_query plan
+      val q = emb(s, d).where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = emb(s, d).select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .repartition(probeFanout(s))
+      val exact = c.join(broadcast(q), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          round(cosineSim(col("q_emb"), col("n_emb")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5).select("q_id", "n_id")
+      // approximate side: the llm_ann_lsh bucketed plan
+      val banded = lshBanded(lshSig(emb(s, d)), 2, 8)
+        .repartition(col("band"), col("band_key")).persist()
+      val cand = banded.where(col("vec_id") < 20).select(
+          col("vec_id").as("q_id"), col("band"), col("band_key"))
+        .join(banded.select(col("vec_id").as("n_id"), col("band"), col("band_key")),
+          Seq("band", "band_key"))
+        .where(col("n_id") =!= col("q_id"))
+        .select("q_id", "n_id")
+        .distinct()
+      val qe = emb(s, d).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val ne = emb(s, d).select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val lsh = cand
+        .join(broadcast(qe), Seq("q_id"))
+        .join(ne, Seq("n_id"))
+        .select(col("q_id"), col("n_id"),
+          round(cosineSim(col("q_emb"), col("n_emb")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+      exact.join(lsh, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(col("hit")).as("n_hit"),
+          round(count(col("hit")).cast("double") / lit(5), 6).as("recall"))
+        .orderBy("q_id")
+    },
+
     // The banded-LSH prefilter as a FIRST-CLASS similarity join: candidates
     // from 4 bands × 4 bits (higher recall than 2×8 at moderate sims), then
     // exact cosine verify at τ=0.4 — the documented scale default for
