@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(binary("cosine_sim", CosineSimilarity))
     ext.injectFunction(binary("vector_dot", VectorDot))
+    // Opt-in approximate-distinct mode (round 7): COUNT(DISTINCT x) →
+    // HLL estimate under spark.graft.approx.countDistinct=true — the
+    // 100 TB structural rewrite (no fact re-shuffle) documented on
+    // org.apache.spark.sql.graft.ApproxDistinctRewrite.
+    ext.injectOptimizerRule(org.apache.spark.sql.graft.ApproxDistinctRewrite)
     // portable_hash(expr): the engine-portable 60-bit content hash
     // (graft.functions.PortableHash) as a SQL function — composed from
     // built-in expressions so it stays codegen'd end to end.

@@ -180,4 +180,47 @@ class ExtensionsSpec extends AnyFunSuite {
         |ORDER BY sim DESC LIMIT 5""".stripMargin).count()
     assert(n == 5)
   }
+
+  test("approx-distinct rule: off by default, on rewrites to HLL within bound") {
+    Tables(spark, "/root/testdata/sf0.01", "events")
+      .createOrReplaceTempView("ev_approx")
+    val q = """SELECT event_type, count(DISTINCT user_id) AS u
+              |FROM ev_approx GROUP BY event_type ORDER BY event_type"""
+      .stripMargin
+    val exact = spark.sql(q).collect().map(r => r.getString(0) -> r.getLong(1))
+    // default off: the plan must carry the exact distinct count
+    val offPlan = spark.sql(q).queryExecution.optimizedPlan.toString
+    assert(!offPlan.contains("hll_sketch"), s"rule fired while off:\n$offPlan")
+    spark.conf.set("spark.graft.approx.countDistinct", "true")
+    try {
+      val df = spark.sql(q)
+      val onPlan = df.queryExecution.optimizedPlan.toString
+      assert(onPlan.contains("hll_sketch"),
+        s"rule did not rewrite the distinct:\n$onPlan")
+      assert(!onPlan.toLowerCase.contains("count(distinct"),
+        s"exact distinct survived the rewrite:\n$onPlan")
+      val approx = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // p=12 → ~1.6% standard error; 5% is a generous determinism-safe bound
+      exact.foreach { case (k, ex) =>
+        val ap = approx(k)
+        assert(math.abs(ap - ex).toDouble / ex < 0.05,
+          s"$k: approx $ap vs exact $ex")
+      }
+      // FILTER clauses must survive the rewrite
+      val f = spark.sql(
+        """SELECT count(DISTINCT user_id)
+          |         FILTER (WHERE event_type = 'purchase') AS u
+          |FROM ev_approx""".stripMargin)
+      assert(f.queryExecution.optimizedPlan.toString.contains("hll_sketch"))
+      val exactF = spark.sql(
+        """SELECT count(DISTINCT user_id) FROM ev_approx
+          |WHERE event_type = 'purchase'""".stripMargin)
+      // compare under the same rewrite: both are sketches of the same set
+      assert(f.head().getLong(0) == exactF.head().getLong(0))
+      // multi-argument distinct tuples stay exact (scope guard)
+      val multi = spark.sql(
+        "SELECT count(DISTINCT user_id, event_type) FROM ev_approx")
+      assert(!multi.queryExecution.optimizedPlan.toString.contains("hll_sketch"))
+    } finally spark.conf.set("spark.graft.approx.countDistinct", "false")
+  }
 }
