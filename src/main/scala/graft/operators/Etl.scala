@@ -845,6 +845,48 @@ object Etl {
           .orderBy("event_type")
     },
 
+    // Weekday seasonality profile (round 7, cont.): events per ISO
+    // weekday normalized by how many of each weekday the observation
+    // window actually contains (a raw per-dow count is biased when the
+    // range doesn't hold whole weeks — the per-day denominator fixes
+    // it). Index = (dow rate) / (overall rate); >1 means the weekday
+    // runs hot. The level complement of etl_autocorr_daily's lag view.
+    // Plan: one scan reduces to the BOUNDED (dow × day) frame, the
+    // profile folds to 7 rows, and the normalizing totals are windows
+    // over that 7-row frame. Index is a pure function of BIGINT counts
+    // divided in identical order on both engines; Spark weekday()+1 ==
+    // DuckDB isodow (Mon=1..Sun=7).
+    Q(
+      "etl_weekday_profile",
+      """WITH d AS (
+        |  SELECT isodow(ts) AS dow, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY dow, day
+        |), p AS (
+        |  SELECT dow, CAST(sum(n) AS BIGINT) AS n_events,
+        |         CAST(count(*) AS BIGINT) AS n_days
+        |  FROM d GROUP BY dow
+        |)
+        |SELECT CAST(dow AS BIGINT) AS dow, n_events, n_days,
+        |       round((CAST(n_events AS DOUBLE) / n_days) /
+        |             (CAST(sum(n_events) OVER () AS DOUBLE) /
+        |              sum(n_days) OVER ()), 6) AS idx
+        |FROM p ORDER BY dow""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy()
+      events(s, d)
+        .groupBy((expr("weekday(ts)") + lit(1)).as("dow"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("dow")
+        .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_days"))
+        .select(col("dow").cast("long").as("dow"),
+          col("n_events"), col("n_days"),
+          round((col("n_events").cast("double") / col("n_days")) /
+            (sum(col("n_events")).over(w).cast("double") /
+              sum(col("n_days")).over(w)), 6).as("idx"))
+        .orderBy("dow")
+    },
+
     // Journey pattern mining (round 7, cont.): MATCH_RECOGNIZE-style
     // sequence detection without the dialect — each user's ordered
     // event-type initials fold into one journey string, and a regex
