@@ -316,6 +316,186 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Gini coefficient of customer lifetime spend per nation (round 7,
+    // cont.) — the inequality audit that completes the concentration
+    // family (etl_pareto_revenue shows WHERE the revenue sits; Gini says
+    // HOW UNEQUAL the whole distribution is in one number). Rank-based
+    // identity G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over ascending-sorted spend:
+    // every sum is EXACT (rank BIGINT × DECIMAL spend), so both engines
+    // reach the final expression on bit-identical doubles and the
+    // FLOOR-scaled display (win_rolling_stats doctrine — no HALF_UP tie
+    // semantics) cannot wobble. Ties in spend can't move Σi·xᵢ: equal x
+    // under different i sum identically. Plan: one orders groupBy (THE
+    // fact shuffle), customer join pre-reduced to (custkey, nationkey) —
+    // AQE sizes it (tpch discipline: no linear-SF broadcast hint) — then
+    // a per-nation window over the O(customers) frame and a 25-row
+    // reduce; nation rides in on the pinned bounded-dim broadcast.
+    Q("agg_gini",
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+        |  FROM orders GROUP BY o_custkey
+        |), ranked AS (
+        |  SELECT c_nationkey, sp,
+        |         CAST(row_number() OVER (PARTITION BY c_nationkey
+        |             ORDER BY sp, o_custkey) AS BIGINT) AS i
+        |  FROM spend JOIN customer ON o_custkey = c_custkey
+        |), g AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |         CAST(sum(sp) AS DOUBLE) AS tot, CAST(sum(i * sp) AS DOUBLE) AS s
+        |  FROM ranked GROUP BY c_nationkey
+        |)
+        |SELECT n_name, n_customers, round(tot, 2) AS total,
+        |       floor((2.0 * s / (CAST(n_customers AS DOUBLE) * tot)
+        |              - (CAST(n_customers AS DOUBLE) + 1.0)
+        |                / CAST(n_customers AS DOUBLE)) * 1000000) / 1000000 AS gini
+        |FROM g JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val spend = t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
+      val ranked = spend
+        .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("i", row_number().over(
+          Window.partitionBy("c_nationkey").orderBy("sp", "o_custkey"))
+          .cast("long"))
+      val g = ranked.groupBy("c_nationkey").agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("sp")).cast("double").as("tot"),
+        sum(col("i") * col("sp")).cast("double").as("s"))
+      val dn = col("n_customers").cast("double")
+      g.join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("n_customers"),
+          round(col("tot"), 2).as("total"),
+          (floor((lit(2.0) * col("s") / (dn * col("tot"))
+            - (dn + lit(1.0)) / dn) * 1000000) / lit(1000000)).as("gini"))
+        .orderBy("n_name")
+    },
+
+    // Per-brand OLS regression (round 7, cont.): slope / intercept / R²
+    // of extended price on quantity — the "does X drive Y, per segment"
+    // profiling question (price elasticity shape). NO Welford/streaming
+    // moments anywhere: the five sufficient statistics Σx Σy Σxy Σx² Σy²
+    // are EXACT DECIMAL sums (inputs are ≤2-dp by fixture invariant, so
+    // the 4-dp products are exact; DECIMAL(38,4) holds them to ~1e34 —
+    // warehouse-scale headroom), and both engines derive slope =
+    // (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) through the identical double expression
+    // on identical inputs — bit-exact, unlike the engine-specific
+    // accumulation order inside built-in regr_slope/corr. One fact
+    // shuffle (the brand groupBy after the part join, which AQE sizes);
+    // map-side partial aggregation carries five decimals + a count.
+    // FLOOR-scaled display; intercept/slope may be negative — floor on
+    // bit-identical doubles is still deterministic (no tie semantics).
+    Q("agg_regression",
+      """WITH j AS (
+        |  SELECT p_brand,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), m AS (
+        |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |         CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |         CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM j GROUP BY p_brand
+        |)
+        |SELECT p_brand, n,
+        |       floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |             / (CAST(n AS DOUBLE) * sxx - sx * sx) * 1000000) / 1000000 AS slope,
+        |       floor((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |                   / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+        |             / CAST(n AS DOUBLE) * 1000000) / 1000000 AS intercept,
+        |       floor(((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |              * (CAST(n AS DOUBLE) * sxy - sx * sy))
+        |             / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |                * (CAST(n AS DOUBLE) * syy - sy * sy)) * 1000000) / 1000000 AS r2
+        |FROM m ORDER BY p_brand""".stripMargin) { (s, d) =>
+      val j = t(s, d, "lineitem")
+        .select(col("l_partkey"),
+          col("l_quantity").cast("decimal(18,2)").as("x"),
+          col("l_extendedprice").cast("decimal(18,2)").as("y"))
+        .join(t(s, d, "part").select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+      val m = j.groupBy("p_brand").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      val dn = col("n").cast("double")
+      val covNum = dn * col("sxy") - col("sx") * col("sy")
+      val varXNum = dn * col("sxx") - col("sx") * col("sx")
+      val varYNum = dn * col("syy") - col("sy") * col("sy")
+      val slope = covNum / varXNum
+      m.select(col("p_brand"), col("n"),
+          (floor(slope * 1000000) / lit(1000000)).as("slope"),
+          (floor((col("sy") - slope * col("sx")) / dn * 1000000)
+            / lit(1000000)).as("intercept"),
+          (floor(covNum * covNum / (varXNum * varYNum) * 1000000)
+            / lit(1000000)).as("r2"))
+        .orderBy("p_brand")
+    },
+
+    // Market-segment mix entropy per nation (round 7, cont.): Shannon
+    // entropy (bits) of each nation's customer-segment distribution —
+    // the diversity/balance profile (dq_profile's categorical sibling;
+    // H → log₂5 means a uniform mix, → 0 means one segment dominates).
+    // Float doctrine: the ≤5 per-nation terms are folded IN A PINNED
+    // ORDER (segment-sorted in-row fold on both engines — a plain
+    // grouped sum would accumulate in engine-specific partial order),
+    // each term computed by the identical −p·ln(p)/ln(2) expression on
+    // exact-integer-derived p, so pre-display doubles are bit-identical;
+    // FLOOR-scaled display. Plan: one customer groupBy to the O(nation ×
+    // segment) frame, everything after is 25-row work; zero fact joins.
+    Q("agg_entropy",
+      """WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM customer GROUP BY 1, 2
+        |), t AS (
+        |  SELECT c_nationkey, CAST(sum(cnt) AS BIGINT) AS n_customers,
+        |         CAST(count(*) AS BIGINT) AS n_segments
+        |  FROM c GROUP BY c_nationkey
+        |), terms AS (
+        |  SELECT c.c_nationkey, c_mktsegment,
+        |         -(CAST(cnt AS DOUBLE) / CAST(n_customers AS DOUBLE))
+        |           * ln(CAST(cnt AS DOUBLE) / CAST(n_customers AS DOUBLE))
+        |           / ln(2.0) AS term
+        |  FROM c JOIN t ON c.c_nationkey = t.c_nationkey
+        |), h AS (
+        |  SELECT c_nationkey,
+        |         list_reduce(list(term ORDER BY c_mktsegment),
+        |                     (a, b) -> a + b) AS hsum
+        |  FROM terms GROUP BY c_nationkey
+        |)
+        |SELECT n_name, n_customers, n_segments,
+        |       floor(hsum * 1000000) / 1000000 AS entropy_bits
+        |FROM h JOIN t ON h.c_nationkey = t.c_nationkey
+        |       JOIN nation ON h.c_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+      val g = c.groupBy("c_nationkey").agg(
+        sort_array(collect_list(struct(col("c_mktsegment"), col("cnt"))))
+          .as("segs"),
+        sum(col("cnt")).as("n_customers"),
+        count(lit(1)).as("n_segments"))
+      g.join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("n_customers"), col("n_segments"),
+          (floor(expr(
+            """aggregate(segs, 0d, (acc, s) ->
+              |  acc + (-(CAST(s.cnt AS DOUBLE) / CAST(n_customers AS DOUBLE))
+              |         * ln(CAST(s.cnt AS DOUBLE) / CAST(n_customers AS DOUBLE))
+              |         / ln(2.0d)))""".stripMargin) * 1000000)
+            / lit(1000000)).as("entropy_bits"))
+        .orderBy("n_name")
+    },
+
     Q("agg_stats",
       """SELECT l_returnflag,
         |       round(stddev_samp(l_quantity), 4) AS sd_qty,

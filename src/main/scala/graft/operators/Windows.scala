@@ -364,6 +364,57 @@ object Windows {
           (floor(col("mu") * 100000) / lit(100000)).as("mu"),
           (floor(col("zs") * 10000) / lit(10000)).as("z"))
         .orderBy("event_id")
+    },
+
+    // Exponentially-weighted moving average of daily spend per user
+    // (round 7, cont.): the recency-weighted activity level a
+    // metrics/feature pipeline keeps per entity (α = 0.3, seeded at the
+    // first observed day — pandas ewm(adjust=False) semantics). The
+    // recurrence ewmaₜ = α·xₜ + (1−α)·ewmaₜ₋₁ is inherently sequential,
+    // so it runs as an IN-ROW FOLD over each user's day-sorted daily
+    // series (≤ days-in-history elements — bounded the way win_streak's
+    // islands are): both engines execute the IDENTICAL 0.3·x + 0.7·acc
+    // op sequence on identical exact-decimal daily sums, so the
+    // pre-display doubles are bit-exact — no pow()/libm anywhere (the
+    // closed-form Σα(1−α)^(t−j)xⱼ would drag in engine-specific pow).
+    // Plan: one (user, day) groupBy collapses events map-side-combinably,
+    // one user groupBy folds — the day-keyed frame can't serve the
+    // user-keyed agg, so two exchanges is the floor; the fold itself is
+    // a codegen higher-order function, no UDF. FLOOR-scaled display.
+    Q("win_ewma",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS xd
+        |  FROM events GROUP BY 1, 2
+        |), ser AS (
+        |  SELECT user_id,
+        |         list(CAST(xd AS DOUBLE) ORDER BY day) AS xs,
+        |         CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(xd) AS DOUBLE) AS tot
+        |  FROM daily GROUP BY user_id
+        |)
+        |SELECT user_id, n_days, round(tot, 2) AS total,
+        |       floor(list_reduce(xs, (acc, x) -> 0.3 * x + 0.7 * acc)
+        |             * 100000) / 100000 AS ewma
+        |FROM ser ORDER BY user_id""".stripMargin) { (s, d) =>
+      val daily = t(s, d, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("xd"))
+      // struct sort on (day, x) = sort by day (unique per user); the
+      // projected xs array is the day-ascending series the fold walks
+      daily.groupBy("user_id")
+        .agg(
+          expr("transform(sort_array(collect_list(struct(day, CAST(xd AS DOUBLE) AS x))), e -> e.x)")
+            .as("xs"),
+          count(lit(1)).as("n_days"),
+          sum(col("xd")).cast("double").as("tot"))
+        .select(col("user_id"), col("n_days"),
+          round(col("tot"), 2).as("total"),
+          (floor(expr(
+            """aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1),
+              |          (acc, x) -> 0.3d * x + 0.7d * acc)""".stripMargin)
+            * 100000) / lit(100000)).as("ewma"))
+        .orderBy("user_id")
     }
   )
 }

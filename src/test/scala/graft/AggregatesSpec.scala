@@ -30,4 +30,115 @@ class AggregatesSpec extends AnyFunSuite {
     assert(cdfs.zip(cdfs.tail).forall { case (a, b) => a <= b })
     assert(cdfs.last == 1.0)
   }
+
+  test("agg_gini: bounds, degenerate cases, and a driver-side rank-formula oracle") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("agg_gini")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Gini of nonnegative spend lies in [0, 1)
+    assert(rows.forall { r =>
+      val g = r.getAs[Double]("gini"); g >= 0.0 && g < 1.0
+    })
+    // replay the rank identity driver-side from the raw tables
+    val spend = Tables(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
+      .join(Tables(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("sp").cast("double").as("sp"),
+        col("o_custkey"))
+      .collect()
+      .groupBy(_.getAs[Int]("c_nationkey"))
+    val nation = Tables(spark, sf, "nation")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+    rows.foreach { r =>
+      val key = nation.collectFirst {
+        case (k, v) if v == r.getAs[String]("n_name") => k
+      }.get
+      val xs = spend(key)
+        .sortBy(x => (x.getAs[Double]("sp"), x.getAs[Long]("o_custkey")))
+        .map(_.getAs[Double]("sp"))
+      val n = xs.length
+      val s = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val expected =
+        math.floor((2.0 * s / (n * xs.sum) - (n + 1.0) / n) * 1e6) / 1e6
+      assert(math.abs(r.getAs[Double]("gini") - expected) < 1e-9,
+        s"${r.getAs[String]("n_name")}: ${r.getAs[Double]("gini")} vs $expected")
+    }
+  }
+
+  test("agg_regression: moment formula matches a driver-side least-squares fit") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("agg_regression")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pts = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_quantity").as("x"),
+        col("l_extendedprice").as("y"))
+      .collect().groupBy(_.getAs[String]("p_brand"))
+    rows.foreach { r =>
+      val ps = pts(r.getAs[String]("p_brand"))
+        .map(p => (p.getAs[Double]("x"), p.getAs[Double]("y")))
+      val n = ps.length.toDouble
+      val (mx, my) = (ps.map(_._1).sum / n, ps.map(_._2).sum / n)
+      val cov = ps.map { case (x, y) => (x - mx) * (y - my) }.sum
+      val vx = ps.map { case (x, _) => (x - mx) * (x - mx) }.sum
+      val vy = ps.map { case (_, y) => (y - my) * (y - my) }.sum
+      val slope = cov / vx
+      assert(r.getAs[Long]("n") == ps.length)
+      // centered driver fit vs the engine's raw-moment fit: agreement to
+      // float-noise tolerance (the DuckDB oracle pins exactness; this
+      // pins that the moment algebra IS least squares)
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-4)
+      assert(math.abs(r.getAs[Double]("intercept") - (my - slope * mx)) < 1e-2)
+      assert(math.abs(r.getAs[Double]("r2") - cov * cov / (vx * vy)) < 1e-6)
+    }
+  }
+
+  test("agg_entropy: uniform mix hits log2(k), single segment hits 0, fixture in bounds") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("agg_entropy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_bits")
+      val k = r.getAs[Long]("n_segments")
+      assert(h >= 0.0 && h <= math.log(k.toDouble) / math.log(2.0) + 1e-9,
+        s"${r.getAs[String]("n_name")}: H=$h outside [0, log2($k)]")
+    }
+    // synthetic degenerate cases through the same fold expression
+    val segs = Seq(
+      ("u", "A", 10L), ("u", "B", 10L), ("u", "C", 10L), ("u", "D", 10L),
+      ("d", "A", 40L)).toDF("g", "seg", "cnt")
+    val folded = segs.groupBy("g").agg(
+      expr("sort_array(collect_list(struct(seg, cnt)))").as("segs"),
+      sum("cnt").as("n_customers"))
+      .select(col("g"), expr(
+        """aggregate(segs, 0d, (acc, s) ->
+          |  acc + (-(CAST(s.cnt AS DOUBLE) / CAST(n_customers AS DOUBLE))
+          |         * ln(CAST(s.cnt AS DOUBLE) / CAST(n_customers AS DOUBLE))
+          |         / ln(2.0d)))""".stripMargin).as("h"))
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("h")).toMap
+    assert(math.abs(folded("u") - 2.0) < 1e-12) // uniform over 4 = 2 bits
+    assert(folded("d") == 0.0)                  // single segment = 0 bits
+  }
+
+  test("win_ewma: fold equals the driver-side recurrence, seeded at day one") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("win_ewma")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables(spark, sf, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("x"))
+      .collect().groupBy(_.getAs[Long]("user_id"))
+    rows.foreach { r =>
+      val series = daily(r.getAs[Long]("user_id"))
+        .sortBy(_.getAs[java.sql.Date]("day").toString)
+        .map(_.getAs[Double]("x"))
+      val ewma = series.tail.foldLeft(series.head)((acc, x) => 0.3 * x + 0.7 * acc)
+      assert(r.getAs[Long]("n_days") == series.length)
+      // identical op sequence → bit-exact before the floor display scaling
+      assert(r.getAs[Double]("ewma") == math.floor(ewma * 100000) / 100000)
+    }
+  }
 }

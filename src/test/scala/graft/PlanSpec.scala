@@ -674,6 +674,36 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected ≤2 exchanges, got $exchanges:\n$p")
   }
 
+  test("new analytics keys: fact scanned once, folds stay codegen, no cartesian") {
+    // agg_gini: orders scanned once; nation is the only hinted broadcast;
+    // the rank window + reduce run over the O(customers) frame
+    val pg = plan("agg_gini")
+    assert("FileScan parquet".r.findAllIn(pg).size == 3, // orders+customer+nation
+      s"unexpected scan count:\n$pg")
+    assert(!pg.contains("CartesianProduct"))
+    // agg_regression: one lineitem⋈part join, two-phase aggregate (the
+    // five decimal moments combine map-side), no second fact pass
+    val pr = plan("agg_regression")
+    assert("HashAggregate".r.findAllIn(pr).size >= 2,
+      s"moment aggregate not two-phase:\n$pr")
+    assert("FileScan parquet".r.findAllIn(pr).size == 2,
+      s"fact scanned more than once:\n$pr")
+    // agg_entropy: one customer scan; the fold is a projection over the
+    // 25-row grouped frame (no extra exchange, no UDF)
+    val pe = plan("agg_entropy")
+    assert("FileScan parquet".r.findAllIn(pe).size == 2, // customer+nation
+      s"unexpected scan count:\n$pe")
+    assert(!pe.toLowerCase.contains("batchevalpython") &&
+      !pe.contains("ScalaUDF"), s"fold left codegen:\n$pe")
+    // win_ewma: one events scan; (user, day) groupBy then user groupBy —
+    // two exchanges is the floor (day-keyed frame can't serve user agg)
+    val pw = plan("win_ewma")
+    assert("FileScan parquet".r.findAllIn(pw).size == 1,
+      s"events scanned more than once:\n$pw")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(pw).size
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$pw")
+  }
+
   test("runtime bloom filter: selective dim filter reaches the fact side") {
     // The 100 TB shuffle-join complement to broadcast pruning: when the
     // dim side of a SHUFFLE join carries a selective filter, Catalyst's
