@@ -709,6 +709,55 @@ object Aggregates {
         .orderBy("fk")
     },
 
+    // Daily-volume anomaly trend (round 7, cont.): each day's event
+    // count scored against the trailing 7-day window — the
+    // pipeline-health monitor that catches ingest drops/spikes
+    // (dq_profile says what the data looks like; this says whether
+    // TODAY's batch looks like yesterday's). win_rolling_stats
+    // determinism transplanted to the daily grain: the rolling moments
+    // are INTEGER window sums (Σn, Σn², m) over exact daily counts, both
+    // engines derive mu/z through the same double expression on
+    // identical integers, FLOOR-scaled display. The global day-ordered
+    // window is a single-task sort BY DESIGN: the frame is O(days) —
+    // report-scale at any SF (100 TB of events still has ~3650 daily
+    // rows a decade) — because the fact-sized work all happens in the
+    // preceding map-side-combinable daily groupBy.
+    Q("dq_volume_anomaly",
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT day, n,
+        |         CAST(sum(n) OVER w AS DOUBLE) AS s1,
+        |         CAST(sum(n * n) OVER w AS DOUBLE) AS s2,
+        |         CAST(count(*) OVER w AS DOUBLE) AS m
+        |  FROM d WINDOW w AS (ORDER BY day
+        |                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT day, n,
+        |       floor(s1 / m * 100) / 100 AS mu,
+        |       floor((CAST(n AS DOUBLE) - s1 / m)
+        |             / sqrt((s2 - s1 * s1 / m) / (m - 1)) * 10000) / 10000 AS z
+        |FROM r WHERE m >= 4 AND (s2 - s1 * s1 / m) / (m - 1) > 0
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("day").rowsBetween(-7, -1)
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val r = daily.select(col("day"), col("n"),
+        sum(col("n")).over(w).cast("double").as("s1"),
+        sum(col("n") * col("n")).over(w).cast("double").as("s2"),
+        count(lit(1)).over(w).cast("double").as("m"))
+      val varN = (col("s2") - col("s1") * col("s1") / col("m")) / (col("m") - 1)
+      r.where(col("m") >= 4 && varN > 0)
+        .select(col("day"), col("n"),
+          (floor(col("s1") / col("m") * 100) / lit(100)).as("mu"),
+          (floor((col("n").cast("double") - col("s1") / col("m"))
+            / sqrt(varN) * 10000) / lit(10000)).as("z"))
+        .orderBy("day")
+    },
+
     // R11: wide→long reshaping (the inverse of agg_pivot) — Spark 4's
     // native unpivot/melt. Zero-shuffle: each input row explodes to one
     // row per measure map-side (Expand), so the reshape costs one narrow

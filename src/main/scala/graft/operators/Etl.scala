@@ -1000,6 +1000,61 @@ object Etl {
         (floor((col("ca") / col("na")) * 1000000) / lit(1000000)).as("rate_a"),
         (floor((col("cb") / col("nb")) * 1000000) / lit(1000000)).as("rate_b"),
         (floor(z * 10000) / lit(10000)).as("z"))
+    },
+
+    // Inter-purchase cadence per market segment (round 7, cont.): the
+    // "how often do customers come back" distribution behind
+    // replenishment forecasting and churn-risk scoring — consecutive
+    // order gaps per customer (the lag window), profiled per segment.
+    // Determinism: gaps are INTEGER day counts off midnight-normalized
+    // order dates (datediff == DuckDB date_diff bit-for-bit), the p50 of
+    // integers interpolates only at .0/.5 (exactly representable — the
+    // round(·,1) display can't tie), and the mean divides an exact
+    // integer sum — identical doubles, FLOOR-scaled. Plan: one orders
+    // window (THE fact exchange, custkey-partitioned), the customer join
+    // carries only (custkey, segment) and AQE sizes it (no linear-SF
+    // hint), and the 5-row segment aggregate combines map-side.
+    Q("etl_interpurchase",
+      """WITH gaps AS (
+        |  SELECT o_custkey,
+        |         date_diff('day',
+        |           lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey),
+        |           o_orderdate) AS gap_days
+        |  FROM orders
+        |), g AS (
+        |  SELECT c_mktsegment, gap_days FROM gaps
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE gap_days IS NOT NULL
+        |)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       round(quantile_cont(gap_days, 0.5), 1) AS p50_gap,
+        |       floor(CAST(sum(gap_days) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE) * 10000) / 10000 AS avg_gap,
+        |       CAST(max(gap_days) AS BIGINT) AS max_gap
+        |FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+      (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val gaps = orders(s, d)
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("gap_days",
+          datediff(to_date(col("o_orderdate")),
+            to_date(lag(col("o_orderdate"), 1).over(w))))
+        .where(col("gap_days").isNotNull)
+      gaps
+        .join(Tables(s, d, "customer").select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          round(percentile(col("gap_days"), lit(0.5)), 1).as("p50_gap"),
+          sum(col("gap_days")).cast("double").as("sum_gap"),
+          max(col("gap_days")).cast("long").as("max_gap"))
+        .select(col("c_mktsegment"), col("n_gaps"), col("p50_gap"),
+          (floor(col("sum_gap") / col("n_gaps").cast("double") * 10000)
+            / lit(10000)).as("avg_gap"),
+          col("max_gap"))
+        .orderBy("c_mktsegment")
     }
   ) :+ resampleQ
 

@@ -2255,6 +2255,68 @@ object Llm {
           pmod(PortableHash.pHashSeeded(i, col("text")), lit(256))): _*))
           .as("fake_features"))
         .orderBy("doc_id")
+    },
+
+    // Per-source language-mix KL divergence (round 7, cont.): how far
+    // each source's language distribution sits from the corpus-wide mix,
+    // in bits — the data-balance audit a pretraining recipe runs before
+    // setting sampling weights (llm_sample_mix rebalances; this MEASURES
+    // the imbalance it should correct; KL(source‖corpus) is finite by
+    // construction since the corpus marginal dominates every source).
+    // agg_entropy float doctrine: the ≤|langs| per-source terms fold in
+    // a PINNED lang-sorted in-row order, each term the identical
+    // p·ln(p/q)/ln2 expression on exact-integer-derived ratios, so
+    // pre-display doubles are bit-identical; FLOOR-scaled. Plan: ONE
+    // documents scan to the O(sources × langs) frame; the lang marginal
+    // and grand total re-aggregate that 100-row frame (no second fact
+    // pass — PlanSpec pins the single scan), and the marginal/total ride
+    // back in as bounded-domain broadcasts.
+    Q("llm_source_mix_kl",
+      """WITH c AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2
+        |), s AS (
+        |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs FROM c GROUP BY source
+        |), g AS (
+        |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS gcnt FROM c GROUP BY lang
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c
+        |), terms AS (
+        |  SELECT source, lang,
+        |         (CAST(cnt AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |         * ln((CAST(cnt AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |              / (CAST(gcnt AS DOUBLE) / CAST(total AS DOUBLE)))
+        |         / ln(2.0) AS term
+        |  FROM c JOIN s USING (source) JOIN g USING (lang) CROSS JOIN tot
+        |)
+        |SELECT source, max(n_docs) AS n_docs, CAST(count(*) AS BIGINT) AS n_langs,
+        |       floor(list_reduce(list(term ORDER BY lang), (a, b) -> a + b)
+        |             * 1000000) / 1000000 AS kl_bits
+        |FROM terms JOIN s USING (source)
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val c = docs(s, d)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("cnt"))
+        .persist() // feeds the source frame, the lang marginal, and the total
+      val gm = c.groupBy("lang").agg(sum(col("cnt")).as("gcnt"))
+      val tot = c.agg(sum(col("cnt")).as("total"))
+      c.join(broadcast(gm), Seq("lang"))
+        .crossJoin(broadcast(tot))
+        .groupBy("source")
+        .agg(
+          expr("sort_array(collect_list(struct(lang, cnt, gcnt, total)))")
+            .as("ls"),
+          sum(col("cnt")).as("n_docs"),
+          count(lit(1)).as("n_langs"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          (floor(expr(
+            """aggregate(ls, 0d, (acc, e) ->
+              |  acc + ((CAST(e.cnt AS DOUBLE) / CAST(n_docs AS DOUBLE))
+              |         * ln((CAST(e.cnt AS DOUBLE) / CAST(n_docs AS DOUBLE))
+              |              / (CAST(e.gcnt AS DOUBLE) / CAST(e.total AS DOUBLE)))
+              |         / ln(2.0d)))""".stripMargin) * 1000000)
+            / lit(1000000)).as("kl_bits"))
+        .orderBy("source")
     }
   )
 }

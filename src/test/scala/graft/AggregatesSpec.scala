@@ -123,6 +123,58 @@ class AggregatesSpec extends AnyFunSuite {
     assert(folded("d") == 0.0)                  // single segment = 0 bits
   }
 
+  test("dq_volume_anomaly: integer-moment z matches a driver-side replay") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("dq_volume_anomaly")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables(spark, sf, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day").collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("n"))
+    rows.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day").toString
+      val i = daily.indexWhere(_._1 == day)
+      val win = daily.slice(math.max(0, i - 7), i).map(_._2)
+      val (s1, s2, m) = (win.sum.toDouble,
+        win.map(x => x * x).sum.toDouble, win.size.toDouble)
+      assert(m >= 4)
+      val varN = (s2 - s1 * s1 / m) / (m - 1)
+      val z = (daily(i)._2.toDouble - s1 / m) / math.sqrt(varN)
+      assert(r.getAs[Long]("n") == daily(i)._2)
+      assert(r.getAs[Double]("mu") == math.floor(s1 / m * 100) / 100)
+      assert(r.getAs[Double]("z") == math.floor(z * 10000) / 10000)
+    }
+  }
+
+  test("llm_source_mix_kl: nonnegative, zero for a corpus-proportional source") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("llm_source_mix_kl")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Gibbs: KL(p‖q) ≥ 0, and the floor display can dip at most 1e-6 below
+    assert(rows.forall(_.getAs[Double]("kl_bits") >= -1e-6))
+    // a source whose lang mix IS the corpus mix scores exactly 0 — replay
+    // the fold on a two-source frame with identical distributions
+    val docs = Seq(
+      ("a", "en"), ("a", "en"), ("a", "fr"),
+      ("b", "en"), ("b", "en"), ("b", "fr")).toDF("source", "lang")
+    val c = docs.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+    val gm = c.groupBy("lang").agg(sum(col("cnt")).as("gcnt"))
+    val tot = c.agg(sum(col("cnt")).as("total"))
+    val kl = c.join(broadcast(gm), Seq("lang")).crossJoin(broadcast(tot))
+      .groupBy("source")
+      .agg(expr("sort_array(collect_list(struct(lang, cnt, gcnt, total)))").as("ls"),
+        sum(col("cnt")).as("n_docs"))
+      .select(col("source"), expr(
+        """aggregate(ls, 0d, (acc, e) ->
+          |  acc + ((CAST(e.cnt AS DOUBLE) / CAST(n_docs AS DOUBLE))
+          |         * ln((CAST(e.cnt AS DOUBLE) / CAST(n_docs AS DOUBLE))
+          |              / (CAST(e.gcnt AS DOUBLE) / CAST(e.total AS DOUBLE)))
+          |         / ln(2.0d)))""".stripMargin).as("kl"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(kl("a") == 0.0 && kl("b") == 0.0)
+  }
+
   test("win_ewma: fold equals the driver-side recurrence, seeded at day one") {
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("win_ewma")(spark, sf).collect()

@@ -88,4 +88,36 @@ class EtlSpec extends AnyFunSuite {
         $"state" === $"next_state").count() == 0)
     } finally scd.unpersist()
   }
+
+  test("etl_interpurchase: gap accounting matches a driver-side replay") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("etl_interpurchase")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("c_mktsegment")).toSeq ==
+      rows.map(_.getAs[String]("c_mktsegment")).sorted.toSeq)
+    // replay: per customer, day gaps between consecutive orders
+    val seg = Tables(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // read order dates as epoch DAYS (dates are midnight-normalized) so
+    // the replay is physical-timestamp-encoding-agnostic (NTZ vs TZ)
+    val byCust = Tables(spark, sf, "orders")
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("ed"),
+        col("o_orderkey"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    val gaps = byCust.toSeq.flatMap { case (ck, os) =>
+      val sorted = os.sortBy(o => (o._2, o._3))
+      sorted.sliding(2).collect { case Array(a, b) =>
+        seg(ck) -> (b._2 - a._2).toLong
+      }
+    }.groupBy(_._1)
+    rows.foreach { r =>
+      val g = gaps(r.getAs[String]("c_mktsegment")).map(_._2)
+      assert(r.getAs[Long]("n_gaps") == g.size)
+      assert(r.getAs[Long]("max_gap") == g.max)
+      val avg = math.floor(g.sum.toDouble / g.size * 10000) / 10000
+      assert(r.getAs[Double]("avg_gap") == avg)
+    }
+  }
 }

@@ -704,6 +704,31 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$pw")
   }
 
+  test("batch-2 keys: single fact scans, report-scale tails") {
+    // llm_source_mix_kl: documents scanned once (the grouped frame is
+    // persisted and re-read for the marginal/total — raw string counting
+    // would re-count the embedded cache-build plan per reference, the
+    // agg_mad_outliers lesson, so count main-tree scans via the op tree)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val pk = plan("llm_source_mix_kl")
+    val mainScans = opTree("llm_source_mix_kl")
+      .collect { case s: FileSourceScanExec => s }.size
+    assert(mainScans == 0, s"main tree must read the cache:\n$pk")
+    assert(pk.contains("InMemoryTableScan"),
+      s"grouped frame not reused:\n$pk")
+    // dq_volume_anomaly: daily groupBy is the only fact-scale exchange;
+    // the global day window runs over the O(days) frame by design
+    val pv = plan("dq_volume_anomaly")
+    assert("FileScan parquet".r.findAllIn(pv).size == 1,
+      s"events scanned more than once:\n$pv")
+    // etl_interpurchase: one orders window exchange + the segment join;
+    // no cartesian anywhere
+    val pi = plan("etl_interpurchase")
+    assert(!pi.contains("CartesianProduct"))
+    assert("FileScan parquet".r.findAllIn(pi).size == 2, // orders+customer
+      s"unexpected scan count:\n$pi")
+  }
+
   test("runtime bloom filter: selective dim filter reaches the fact side") {
     // The 100 TB shuffle-join complement to broadcast pruning: when the
     // dim side of a SHUFFLE join carries a selective filter, Catalyst's
