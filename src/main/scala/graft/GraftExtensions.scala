@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // 100 TB structural rewrite (no fact re-shuffle) documented on
     // org.apache.spark.sql.graft.ApproxDistinctRewrite.
     ext.injectOptimizerRule(org.apache.spark.sql.graft.ApproxDistinctRewrite)
+    // Native as-of join (round 7): the §2.L preference-(c) whole-operator
+    // extension — AsOfJoin logical node planned by AsOfJoinExec's
+    // one-pass co-partitioned merge (no fan-out join + group limit).
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
     // portable_hash(expr): the engine-portable 60-bit content hash
     // (graft.functions.PortableHash) as a SQL function — composed from
     // built-in expressions so it stays codegen'd end to end.

@@ -261,6 +261,46 @@ object Relational {
         .orderBy("p_id")
     },
 
+    // Native as-of join (round 7, cont.): the SAME attribution semantics
+    // as join_asof, executed by the engine's own physical operator
+    // (org.apache.spark.sql.graft.AsOfJoinPlan — custom LogicalPlan +
+    // Strategy + one-pass co-partitioned merge SparkPlan, §2.L
+    // preference (c), registered via GraftExtensions). Where the
+    // composed form fans out every historical view per purchase before
+    // the rank-1 window prunes, the native plan reads each side ONCE in
+    // sort-merge layout: one exchange + sort per side, then a linear
+    // per-partition merge holding a single candidate row — the 100 TB
+    // shape for "most recent observation at or before t". Same oracle
+    // as join_asof (the point: a user can swap operators and nothing
+    // about the answer moves).
+    Q("join_asof_native",
+      """WITH p AS (
+        |  SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+        |  WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT user_id AS v_user, ts AS v_ts, event_id AS v_id FROM events
+        |  WHERE event_type = 'view'
+        |), j AS (
+        |  SELECT p.user_id, p.p_id, p.p_ts, v.v_id, v.v_ts,
+        |         row_number() OVER (PARTITION BY p.p_id
+        |             ORDER BY v_ts DESC NULLS LAST, v_id DESC NULLS LAST) AS rn
+        |  FROM p LEFT JOIN v ON v.v_user = p.user_id AND v.v_ts <= p.p_ts
+        |)
+        |SELECT user_id, p_id, p_ts, v_id, v_ts FROM j WHERE rn = 1
+        |ORDER BY p_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("v_id"))
+      org.apache.spark.sql.graft.AsOfJoinPlan
+        .asof(p, v, "user_id", "v_user", "p_ts", "v_ts",
+          rightTie = Seq("v_id"))
+        .select("user_id", "p_id", "p_ts", "v_id", "v_ts")
+        .orderBy("p_id")
+    },
+
     // Null-safe equi-join (round 5): <=> joins where NULL keys MATCH each
     // other — the dimension-attach shape a plain `=` join silently drops
     // NULL-keyed rows from. EqualNullSafe is still an EQUI predicate, so
