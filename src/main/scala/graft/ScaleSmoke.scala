@@ -19,6 +19,8 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       // bucketed-layout stages saveAsTable into a scratch warehouse
       .config("spark.sql.warehouse.dir", "/tmp/graft_scale_warehouse")
+      // the as-of stages plan through the injected AsOfJoinStrategy
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -54,6 +56,53 @@ object ScaleSmoke {
         .agg(count(lit(1)), countDistinct(date_trunc("day", col("ts"))),
           round(sum(col("value")), 2))
         .count()
+    }
+
+    // Native as-of join at depth (round 7, cont.): ~20M purchases ⋈
+    // ~20M views over 30k users (≈667 views of history per user). The
+    // composed form's intermediate is sum-over-purchases of
+    // views-at-or-before ≈ 6.7B rows before the rank-1 window prunes;
+    // the native AsOfJoinExec merge reads each side once. Driven on a
+    // 10% user slice BOTH ways (the composed full run is the exact
+    // blow-up being avoided) with a matched-row-count equality check,
+    // then the native operator takes the full 20M×20M.
+    locally {
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("v_id"))
+      var composedMatched = -1L; var nativeMatched = -2L
+      time("asof composed 2M (fan-out)") {
+        val ps = p.where(col("user_id") < 3000)
+        val vs = v.where(col("v_user") < 3000)
+        val w = Window.partitionBy("p_id")
+          .orderBy(col("v_ts").desc_nulls_last, col("v_id").desc_nulls_last)
+        val out = ps.join(vs,
+            col("v_user") === col("user_id") && col("v_ts") <= col("p_ts"),
+            "left")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+        composedMatched = out.where(col("v_id").isNotNull).count()
+        composedMatched
+      }
+      time("asof native 2M") {
+        val out = org.apache.spark.sql.graft.AsOfJoinPlan.asof(
+          p.where(col("user_id") < 3000), v.where(col("v_user") < 3000),
+          "user_id", "v_user", "p_ts", "v_ts", Seq("v_id"))
+        nativeMatched = out.where(col("v_id").isNotNull).count()
+        nativeMatched
+      }
+      // both stages ran (stage filters may skip one) → must agree
+      if (composedMatched >= 0 && nativeMatched >= 0)
+        require(composedMatched == nativeMatched,
+          s"asof disagreement: composed=$composedMatched native=$nativeMatched")
+      time("asof native 20Mx20M") {
+        org.apache.spark.sql.graft.AsOfJoinPlan
+          .asof(p, v, "user_id", "v_user", "p_ts", "v_ts", Seq("v_id"))
+          .count()
+      }
     }
 
     time("exact distinct 60M") {
