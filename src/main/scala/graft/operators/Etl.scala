@@ -1055,6 +1055,82 @@ object Etl {
             / lit(10000)).as("avg_gap"),
           col("max_gap"))
         .orderBy("c_mktsegment")
+    },
+
+    // Day-cohort retention + LTV curve (round 7, cont.): users grouped
+    // by FIRST-ACTIVE day; for each day offset, the fraction still
+    // active and the cumulative revenue per cohort user — the
+    // day-granular activation curve behind "does week-1 monetization
+    // predict week-4 retention" (etl_retention_cohort is its monthly
+    // cohort-grid sibling; this is the offset curve with money on it).
+    // Determinism: offsets are integer day arithmetic; retention divides
+    // two BIGINTs; the LTV numerator is an exact DECIMAL running sum —
+    // both ratios derive through identical double ops, FLOOR-scaled.
+    // Plan: ONE events scan; the user-partitioned min-window stamps each
+    // row's cohort day (no firsts self-join), the (user, cohort, offset)
+    // groupBy reduces to per-user-days, the grid groupBy to O(days²/2)
+    // rows — everything after is report-scale; cohort sizes fall out of
+    // the offset-0 diagonal (first-day activity is definitional).
+    Q("etl_cohort_ltv",
+      """WITH f AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE user_id IS NOT NULL
+        |), firsts AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM f GROUP BY user_id
+        |), daily AS (
+        |  SELECT f.user_id, cohort_day,
+        |         date_diff('day', cohort_day, day) AS offset_days, sum(v) AS rev
+        |  FROM f JOIN firsts USING (user_id) GROUP BY 1, 2, 3
+        |), sizes AS (
+        |  SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM firsts GROUP BY 1
+        |), grid AS (
+        |  SELECT cohort_day, offset_days, CAST(count(*) AS BIGINT) AS n_active,
+        |         sum(rev) AS rev
+        |  FROM daily GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT cohort_day, offset_days, n_active,
+        |         sum(rev) OVER (PARTITION BY cohort_day
+        |             ORDER BY offset_days) AS cum_rev
+        |  FROM grid
+        |)
+        |SELECT cohort_day, CAST(offset_days AS BIGINT) AS offset_days,
+        |       n_active, n_users,
+        |       floor(CAST(n_active AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |             * 1000000) / 1000000 AS retention,
+        |       floor(CAST(cum_rev AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |             * 10000) / 10000 AS ltv_per_user
+        |FROM cum JOIN sizes USING (cohort_day)
+        |ORDER BY cohort_day, offset_days""".stripMargin) { (s, d) =>
+      val wU = Window.partitionBy("user_id")
+      val daily = events(s, d)
+        .where(col("user_id").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .withColumn("cohort_day", min(col("day")).over(wU))
+        .groupBy(col("user_id"), col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("offset_days"))
+        .agg(sum(col("v")).as("rev"))
+      // grid feeds BOTH the cum window and the offset-0 sizes probe —
+      // persisted so the fact-scale lineage is derived once (the
+      // multiply-referenced-frame idiom; the frame itself is O(days²))
+      val grid = daily.groupBy("cohort_day", "offset_days")
+        .agg(count(lit(1)).as("n_active"), sum(col("rev")).as("rev"))
+        .persist()
+      val sizes = grid.where(col("offset_days") === 0)
+        .select(col("cohort_day"), col("n_active").as("n_users"))
+      val wC = Window.partitionBy("cohort_day").orderBy("offset_days")
+      grid
+        .withColumn("cum_rev", sum(col("rev")).over(wC))
+        .join(broadcast(sizes), Seq("cohort_day"))
+        .select(col("cohort_day"), col("offset_days").cast("long").as("offset_days"),
+          col("n_active"), col("n_users"),
+          (floor(col("n_active").cast("double") / col("n_users").cast("double")
+            * 1000000) / lit(1000000)).as("retention"),
+          (floor(col("cum_rev").cast("double") / col("n_users").cast("double")
+            * 10000) / lit(10000)).as("ltv_per_user"))
+        .orderBy("cohort_day", "offset_days")
     }
   ) :+ resampleQ
 

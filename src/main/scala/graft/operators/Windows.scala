@@ -415,6 +415,37 @@ object Windows {
               |          (acc, x) -> 0.3d * x + 0.7d * acc)""".stripMargin)
             * 100000) / lit(100000)).as("ewma"))
         .orderBy("user_id")
+    },
+
+    // Rolling 7-day median of daily volume per event type (round 7,
+    // cont.): the robust trend line a monitoring dashboard draws —
+    // dq_volume_anomaly's z-score flags spikes, the rolling MEDIAN
+    // smooths past them (one outlier day barely moves it, unlike the
+    // rolling mean). Determinism: the window inputs are exact INTEGER
+    // daily counts, and the interpolating median of ≤7 integers lands
+    // only on .0/.5 fractions (exactly representable — round(·,1) can't
+    // tie). Plan: the fact-sized work is the map-side-combinable
+    // (type, day) groupBy; the percentile window runs over the O(types ×
+    // days) frame — report-scale at any SF, the dq_volume_anomaly
+    // argument — partitioned by type with a 7-row frame.
+    Q("win_rolling_median",
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, day, n,
+        |       round(median(n) OVER (PARTITION BY event_type ORDER BY day
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 1) AS med7
+        |FROM d ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, 0)
+      t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("day"), col("n"),
+          round(percentile(col("n"), lit(0.5)).over(w), 1).as("med7"))
+        .orderBy("event_type", "day")
     }
   )
 }

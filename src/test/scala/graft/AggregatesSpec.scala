@@ -175,6 +175,26 @@ class AggregatesSpec extends AnyFunSuite {
     assert(kl("a") == 0.0 && kl("b") == 0.0)
   }
 
+  test("win_rolling_median: window median equals a driver-side slice median") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("win_rolling_median")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.values.foreach { ts =>
+      val sorted = ts.sortBy(_.getAs[java.sql.Date]("day").toString)
+      val ns = sorted.map(_.getAs[Long]("n"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val win = ns.slice(math.max(0, i - 6), i + 1).sorted
+        val med =
+          if (win.length % 2 == 1) win(win.length / 2).toDouble
+          else (win(win.length / 2 - 1) + win(win.length / 2)) / 2.0
+        // integer medians land only on .0/.5 — round(·,1) is identity
+        assert(r.getAs[Double]("med7") == med,
+          s"${r.getAs[String]("event_type")} day $i: ${r.getAs[Double]("med7")} vs $med")
+      }
+    }
+  }
+
   test("win_ewma: fold equals the driver-side recurrence, seeded at day one") {
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("win_ewma")(spark, sf).collect()

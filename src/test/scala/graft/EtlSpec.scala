@@ -120,4 +120,26 @@ class EtlSpec extends AnyFunSuite {
       assert(r.getAs[Double]("avg_gap") == avg)
     }
   }
+
+  test("etl_cohort_ltv: offset-0 retention is 1, LTV is nondecreasing, counts bounded") {
+    val rows = SparkEntry.queries("etl_cohort_ltv")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_day").toString)
+    byCohort.values.foreach { cs =>
+      val sorted = cs.sortBy(_.getAs[Long]("offset_days"))
+      // the first offset present is 0 (first-day activity is definitional)
+      assert(sorted.head.getAs[Long]("offset_days") == 0L)
+      assert(sorted.head.getAs[Double]("retention") == 1.0)
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_users"))
+        val ret = r.getAs[Double]("retention")
+        assert(ret > 0.0 && ret <= 1.0)
+      }
+      // cumulative revenue per user never decreases with offset
+      val ltvs = sorted.map(_.getAs[Double]("ltv_per_user"))
+      // floor-scaling can shave ≤1e-4 off each point; allow that slack
+      assert(ltvs.zip(ltvs.tail).forall { case (a, b) => b >= a - 1e-4 })
+    }
+  }
 }

@@ -729,6 +729,24 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected scan count:\n$pi")
   }
 
+  test("batch-3 keys: one events scan each, windows over grouped frames") {
+    // win_rolling_median: the percentile window reads the (type, day)
+    // grouped frame, never raw events
+    val pm = plan("win_rolling_median")
+    assert("FileScan parquet".r.findAllIn(pm).size == 1,
+      s"events scanned more than once:\n$pm")
+    // etl_cohort_ltv: one scan; cohort stamping via window (no firsts
+    // self-join); grid persisted (feeds cum window + sizes probe), so
+    // the main tree reads the cache — count scans via the op tree
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val pl = plan("etl_cohort_ltv")
+    val mainScans = opTree("etl_cohort_ltv")
+      .collect { case s: FileSourceScanExec => s }.size
+    assert(mainScans == 0, s"main tree must read the grid cache:\n$pl")
+    assert(pl.contains("InMemoryTableScan"), s"grid not persisted:\n$pl")
+    assert(!pl.contains("CartesianProduct"))
+  }
+
   test("runtime bloom filter: selective dim filter reaches the fact side") {
     // The 100 TB shuffle-join complement to broadcast pruning: when the
     // dim side of a SHUFFLE join carries a selective filter, Catalyst's
