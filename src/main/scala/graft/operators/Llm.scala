@@ -2317,6 +2317,119 @@ object Llm {
               |         / ln(2.0d)))""".stripMargin) * 1000000)
             / lit(1000000)).as("kl_bits"))
         .orderBy("source")
+    },
+
+    // Token-trigram vocabulary coverage curve (round 7, cont.): what
+    // fraction of corpus trigram occurrences the top-k most frequent
+    // trigrams cover — the coverage/OOV readout behind vocabulary sizing
+    // (a BPE vocab build asks exactly this of its merge candidates; the
+    // fixture's 31-word unigram soup saturates instantly, trigrams give
+    // the real Zipf tail: 2% → 15% → 76% at k=100/1k/10k). Plan: one
+    // positional explode (map-side) → ONE gram aggregate (the shuffle);
+    // the counts frame is persisted and feeds the rank window + the
+    // totals row; the ranked frame is vocab-sized, so the global rank
+    // window and the 3-row k-report are report-scale. Integer counts
+    // divided once, FLOOR-scaled.
+    Q("llm_vocab_coverage",
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT array_to_string(toks[p : p + 2], ' ') AS gram
+        |  FROM (SELECT toks, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS p
+        |        FROM t WHERE len(toks) >= 3)
+        |), c AS (
+        |  SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram
+        |), r AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, gram) AS rn FROM c
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |         CAST(count(*) AS BIGINT) AS vocab
+        |  FROM c
+        |), ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |       least(CAST(k AS BIGINT), vocab) AS vocab_used,
+        |       CAST(sum(CASE WHEN rn <= k THEN cnt ELSE 0 END) AS BIGINT) AS covered,
+        |       total,
+        |       floor(CAST(sum(CASE WHEN rn <= k THEN cnt ELSE 0 END) AS DOUBLE)
+        |             / CAST(total AS DOUBLE) * 1000000) / 1000000 AS coverage
+        |FROM r CROSS JOIN ks CROSS JOIN tot
+        |GROUP BY k, total, vocab ORDER BY k""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = docs(s, d)
+        .select(split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .where(col("n") >= 3)
+        .select(explode(transform(sequence(lit(1), col("n") - 2),
+          i => concat_ws(" ", slice(col("toks"), i, lit(3))))).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .persist() // feeds the rank window AND the totals row
+      val r = c.select(col("cnt"),
+        row_number().over(Window.orderBy(col("cnt").desc, col("gram"))).as("rn"))
+      val ks = c.agg(sum(col("cnt")).as("total"), count(lit(1)).as("vocab"))
+        .select(col("total"), col("vocab"),
+          explode(array(lit(100), lit(1000), lit(10000))).as("k"))
+      r.crossJoin(broadcast(ks))
+        .groupBy("k", "total", "vocab")
+        .agg(sum(when(col("rn") <= col("k"), col("cnt")).otherwise(0L))
+          .as("covered"))
+        .select(col("k").cast("long").as("k"),
+          least(col("k").cast("long"), col("vocab")).as("vocab_used"),
+          col("covered"), col("total"),
+          (floor(col("covered").cast("double") / col("total").cast("double")
+            * 1000000) / lit(1000000)).as("coverage"))
+        .orderBy("k")
+    },
+
+    // Train→test span novelty (round 7, cont.): the memorization /
+    // generalization readout — what fraction of the test split's token
+    // trigrams never occur in the train split (the split is the
+    // llm_split_assign portable-hash rule, so the measurement is
+    // leak-proof under re-ingestion; llm_decontaminate removes benchmark
+    // overlap, this MEASURES residual train-test overlap). Plan: one
+    // positional explode over ONE documents scan (the gram frame is
+    // persisted — train distinct and test probe both read it), then a
+    // shuffled left join per the span_dedup hygiene (the train gram set
+    // is corpus-sized: never broadcast), 5-row report. Integer counts,
+    // FLOOR-scaled rate.
+    Q("llm_split_novelty", {
+      val ph = graft.functions.PortableHash.sql("CAST(doc_id AS VARCHAR)")
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, text, $ph % 100 AS b FROM documents
+         |), t AS (
+         |  SELECT doc_id, lang, b, string_split(text, ' ') AS toks FROM s
+         |), g AS (
+         |  SELECT lang, b, array_to_string(toks[p : p + 2], ' ') AS gram
+         |  FROM (SELECT lang, b, toks,
+         |               unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS p
+         |        FROM t WHERE len(toks) >= 3)
+         |), train AS (SELECT DISTINCT gram AS tg FROM g WHERE b < 90),
+         |test AS (SELECT lang, gram FROM g WHERE b >= 90)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_test_spans,
+         |       CAST(count(CASE WHEN tg IS NULL THEN 1 END) AS BIGINT) AS n_novel,
+         |       floor(CAST(count(CASE WHEN tg IS NULL THEN 1 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE) * 1000000) / 1000000 AS novelty
+         |FROM test LEFT JOIN train ON gram = tg
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    }) { (s, d) =>
+      val b = pmod(PortableHash.pHash(col("doc_id").cast("string")), lit(100))
+      val g = docs(s, d)
+        .select(col("lang"), b.as("b"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .where(col("n") >= 3)
+        .select(col("lang"), col("b"),
+          explode(transform(sequence(lit(1), col("n") - 2),
+            i => concat_ws(" ", slice(col("toks"), i, lit(3))))).as("gram"))
+        .persist() // feeds the train distinct AND the test probe
+      val train = g.where(col("b") < 90).select(col("gram").as("tg")).distinct()
+      g.where(col("b") >= 90).select("lang", "gram")
+        .join(train.hint("shuffle_hash"), col("gram") === col("tg"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_test_spans"),
+          count(when(col("tg").isNull, 1)).as("n_novel"))
+        .select(col("lang"), col("n_test_spans"), col("n_novel"),
+          (floor(col("n_novel").cast("double")
+            / col("n_test_spans").cast("double") * 1000000)
+            / lit(1000000)).as("novelty"))
+        .orderBy("lang")
     }
   )
 }

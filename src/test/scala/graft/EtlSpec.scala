@@ -142,4 +142,20 @@ class EtlSpec extends AnyFunSuite {
       assert(ltvs.zip(ltvs.tail).forall { case (a, b) => b >= a - 1e-4 })
     }
   }
+
+  test("etl_revenue_waterfall: decomposition identities hold per month") {
+    val rows = SparkEntry.queries("etl_revenue_waterfall")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (gross, disc, net) = (r.getAs[Double]("gross"),
+        r.getAs[Double]("discount_amt"), r.getAs[Double]("net"))
+      val (tax, charge) = (r.getAs[Double]("tax_amt"), r.getAs[Double]("charge"))
+      // gross − discount == net and net + tax == charge (exact in
+      // decimal; double display introduces ≤ulp-scale noise)
+      assert(math.abs(gross - disc - net) < 1e-6 * math.max(1.0, gross))
+      assert(math.abs(net + tax - charge) < 1e-6 * math.max(1.0, charge))
+      assert(disc >= 0 && tax >= 0 && net <= gross)
+    }
+  }
 }

@@ -260,4 +260,53 @@ class NearDupSpec extends AnyFunSuite {
     assert(marks.keySet == Set(0L, 1L), s"only the planted pair: $marks")
     assert(marks(0L) == want && marks(1L) == want)
   }
+
+  test("split novelty matches a driver-side replay of hash split + trigram sets") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = queries("llm_split_novelty")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // replay: portable hash bucket (md5 first 15 hex digits) and trigrams
+    def bucket(docId: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (BigInt(hex.substring(0, 15), 16) % 100).toLong
+    }
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(text: String): Seq[String] = {
+      val toks = text.split(" ", -1)
+      if (toks.length < 3) Seq.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    val train = docs.filter(d => bucket(d._1) < 90).flatMap(d => grams(d._3)).toSet
+    val test = docs.filter(d => bucket(d._1) >= 90)
+    val byLang = test.groupBy(_._2)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val spans = byLang(lang).flatMap(d => grams(d._3))
+      val novel = spans.count(g => !train.contains(g))
+      assert(r.getAs[Long]("n_test_spans") == spans.length)
+      assert(r.getAs[Long]("n_novel") == novel)
+      assert(r.getAs[Double]("novelty") ==
+        math.floor(novel.toDouble / spans.length * 1e6) / 1e6)
+    }
+  }
+
+  test("vocab coverage: monotone in k, bounded, totals consistent") {
+    val rows = queries("llm_vocab_coverage")(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.length == 3)
+    val covs = rows.map(_.getAs[Double]("coverage"))
+    assert(covs.zip(covs.tail).forall { case (a, b) => b >= a })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("covered") <= r.getAs[Long]("total"))
+      assert(r.getAs[Long]("vocab_used") <= r.getAs[Long]("k"))
+      val c = r.getAs[Double]("coverage")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+    // all rows report the same corpus total
+    assert(rows.map(_.getAs[Long]("total")).distinct.length == 1)
+  }
 }

@@ -747,6 +747,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!pl.contains("CartesianProduct"))
   }
 
+  test("batch-4 keys: persisted gram frames, shuffled train join, two-phase money agg") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // llm_vocab_coverage: counts persisted (rank window + totals row) —
+    // zero main-tree documents rescans
+    val pv = plan("llm_vocab_coverage")
+    assert(opTree("llm_vocab_coverage")
+      .collect { case s: FileSourceScanExec => s }.isEmpty,
+      s"main tree must read the counts cache:\n$pv")
+    assert(pv.contains("InMemoryTableScan"), s"counts not persisted:\n$pv")
+    // llm_split_novelty: the corpus-sized train gram set must never
+    // broadcast — the probe is the hinted shuffled hash join
+    val pn = plan("llm_split_novelty")
+    assert(pn.contains("ShuffledHashJoin"),
+      s"train-gram join must be shuffled:\n$pn")
+    assert(pn.contains("InMemoryTableScan"), s"gram frame not persisted:\n$pn")
+    // etl_revenue_waterfall: one scan per fact, map-side-combinable agg
+    val pw = plan("etl_revenue_waterfall")
+    assert("FileScan parquet".r.findAllIn(pw).size == 2,
+      s"facts scanned more than once each:\n$pw")
+    assert("HashAggregate".r.findAllIn(pw).size >= 2,
+      s"monthly agg not two-phase:\n$pw")
+  }
+
   test("runtime bloom filter: selective dim filter reaches the fact side") {
     // The 100 TB shuffle-join complement to broadcast pruning: when the
     // dim side of a SHUFFLE join carries a selective filter, Catalyst's
