@@ -301,6 +301,40 @@ object Relational {
         .orderBy("p_id")
     },
 
+    // FORWARD as-of (round 7, cont.): per signup, the user's FIRST
+    // purchase at-or-after — the time-to-convert attach (the mirror
+    // direction of join_asof_native's most-recent-before; pandas
+    // merge_asof direction='forward'). Same native operator, forward
+    // flag: the merge PEEKS instead of consuming (the matching right
+    // row may serve later left rows too), thresholds still only grow.
+    Q("join_asof_forward",
+      """WITH sg AS (
+        |  SELECT user_id, ts AS s_ts, event_id AS s_id FROM events
+        |  WHERE event_type = 'signup'
+        |), p AS (
+        |  SELECT user_id AS p_user, ts AS p_ts, event_id AS p_id FROM events
+        |  WHERE event_type = 'purchase'
+        |), j AS (
+        |  SELECT sg.user_id, sg.s_id, sg.s_ts, p.p_id, p.p_ts,
+        |         row_number() OVER (PARTITION BY sg.s_id
+        |             ORDER BY p_ts ASC NULLS LAST, p_id ASC NULLS LAST) AS rn
+        |  FROM sg LEFT JOIN p ON p_user = sg.user_id AND p_ts >= s_ts
+        |)
+        |SELECT user_id, s_id, s_ts, p_id, p_ts FROM j WHERE rn = 1
+        |ORDER BY s_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val sg = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("s_id"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      org.apache.spark.sql.graft.AsOfJoinPlan
+        .asof(sg, p, "user_id", "p_user", "s_ts", "p_ts",
+          rightTie = Seq("p_id"), forward = true)
+        .select("user_id", "s_id", "s_ts", "p_id", "p_ts")
+        .orderBy("s_id")
+    },
+
     // Null-safe equi-join (round 5): <=> joins where NULL keys MATCH each
     // other — the dimension-attach shape a plain `=` join silently drops
     // NULL-keyed rows from. EqualNullSafe is still an EQUI predicate, so

@@ -47,7 +47,8 @@ case class AsOfJoin(
     rightKey: Attribute,
     leftTs: Attribute,
     rightTs: Attribute,
-    rightTie: Seq[Attribute]) extends BinaryNode {
+    rightTie: Seq[Attribute],
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -58,8 +59,8 @@ case class AsOfJoin(
 /** Planner strategy: [[AsOfJoin]] → [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts, tie) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, tie, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -75,7 +76,8 @@ case class AsOfJoinExec(
     rightKey: Attribute,
     leftTs: Attribute,
     rightTs: Attribute,
-    rightTie: Seq[Attribute]) extends BinaryExecNode {
+    rightTie: Seq[Attribute],
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -123,8 +125,35 @@ case class AsOfJoinExec(
         val lTs = if (lRow.isNullAt(lTsIdx)) null
           else lRow.get(lTsIdx, tsType)
         if (lKey == null || lTs == null) {
-          // SQL equality/<= never hold through NULL: emit unmatched
+          // SQL equality/<=/>= never hold through NULL: emit unmatched
           resultProj(joined(lRow, nullRight))
+        } else if (forward) {
+          // FIRST right row with same key and rts >= lts: rows strictly
+          // before the (growing) threshold are dead for this and every
+          // later left row, so drop them; the surviving head is the
+          // match and is NOT consumed (it may serve later left rows too)
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val r = rBuf.head
+            if (r.isNullAt(rKeyIdx)) rBuf.next() // NULL keys sort first
+            else {
+              val kc = keyOrd.compare(r.get(rKeyIdx, keyType), lKey)
+              if (kc < 0) rBuf.next() // earlier key: never matches again
+              else if (kc == 0) {
+                // NULL ts sorts first within the key and never matches
+                if (r.isNullAt(rTsIdx)) rBuf.next()
+                else if (tsOrd.compare(r.get(rTsIdx, tsType), lTs) < 0)
+                  rBuf.next() // strictly before the threshold: dead
+                else advance = false // head IS the first at-or-after
+              } else advance = false // right is ahead: no match
+            }
+          }
+          val m =
+            if (rBuf.hasNext && !rBuf.head.isNullAt(rKeyIdx) &&
+              keyOrd.compare(rBuf.head.get(rKeyIdx, keyType), lKey) == 0)
+              rBuf.head
+            else nullRight
+          resultProj(joined(lRow, m))
         } else {
           if (matchRow != null && keyOrd.compare(matchKey, lKey) != 0) {
             matchRow = null; matchKey = null
@@ -171,7 +200,8 @@ object AsOfJoinPlan {
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
-      rightTie: Seq[String] = Nil): DataFrame = {
+      rightTie: Seq[String] = Nil,
+      forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.classic
     def attr(df: DataFrame, name: String): Attribute =
       df.queryExecution.analyzed.output
@@ -182,7 +212,7 @@ object AsOfJoinPlan {
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       attr(left, leftKey), attr(right, rightKey),
       attr(left, leftTs), attr(right, rightTs),
-      rightTie.map(attr(right, _)))
+      rightTie.map(attr(right, _)), forward)
     classic.Dataset.ofRows(
       left.sparkSession.asInstanceOf[classic.SparkSession], node)
   }

@@ -91,6 +91,48 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(outEmpty.length == 4 && outEmpty.forall(_.isNullAt(4)))
   }
 
+  test("forward direction: first at-or-after, shared matches, peek not consume") {
+    val left = Seq(
+      (1L, 10L, "l-a"), (1L, 12L, "l-b"), (1L, 16L, "l-c"),
+      (2L, 5L, "l-d")).toDF("k", "ts", "ltag")
+    val right = Seq(
+      (1L, 12L, 1L, "r-t12-1"), (1L, 12L, 2L, "r-t12-2"), // tie on ts
+      (1L, 20L, 3L, "r-t20"), (2L, 1L, 4L, "r-early"))
+      .toDF("rk", "rts", "id", "rtag")
+    val out = AsOfJoinPlan.asof(left, right, "k", "rk", "ts", "rts",
+        rightTie = Seq("id"), forward = true)
+      .select(col("ltag"), col("rtag"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // l-a and l-b both match the SAME first-at-or-after row (peek, not
+    // consume); ties on ts resolve to the LOWEST tie column
+    assert(out("l-a") == "r-t12-1")
+    assert(out("l-b") == "r-t12-1") // exact boundary matches
+    assert(out("l-c") == "r-t20")
+    assert(out("l-d") == null) // only earlier rows on that key
+  }
+
+  test("randomized forward: native == driver-side oracle") {
+    val rnd = new scala.util.Random(11)
+    val lrows = Seq.fill(800)((rnd.nextInt(40).toLong, rnd.nextInt(500).toLong))
+      .zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+    val rrows = Seq.fill(800)((rnd.nextInt(40).toLong, rnd.nextInt(500).toLong))
+      .zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+    val got = AsOfJoinPlan.asof(
+        lrows.toDF("k", "ts", "lid"), rrows.toDF("rk", "rts", "rid"),
+        "k", "rk", "ts", "rts", rightTie = Seq("rid"), forward = true)
+      .select("lid", "rid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    val byKey = rrows.groupBy(_._1)
+    lrows.foreach { case (k, ts, lid) =>
+      val want = byKey.getOrElse(k, Seq.empty)
+        .filter(_._2 >= ts)
+        .sortBy(x => (x._2, x._3))
+        .headOption.map(_._3).getOrElse(-1L)
+      assert(got(lid) == want, s"lid=$lid k=$k ts=$ts")
+    }
+  }
+
   test("randomized: native == driver-side oracle over 2000 rows × 50 keys") {
     val rnd = new scala.util.Random(7)
     val lrows = Seq.fill(1000)((rnd.nextInt(50).toLong, rnd.nextInt(1000).toLong))
