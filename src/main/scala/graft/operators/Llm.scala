@@ -2430,6 +2430,78 @@ object Llm {
             / col("n_test_spans").cast("double") * 1000000)
             / lit(1000000)).as("novelty"))
         .orderBy("lang")
+    },
+
+    // Minhash estimator quality (round 7, cont.): for every banded
+    // candidate pair, the 16-slot minhash AGREEMENT estimate k/16 vs the
+    // exact shingle Jaccard the verify pass computes — the llm_ann_recall
+    // of the dedup family (it answers "are 16 minhashes enough at my
+    // τ?", i.e. whether the verify pass can ever be dropped). Bucketed
+    // by exact-Jaccard 0.2-band. Float doctrine: everything is INTEGER
+    // micro-units until one final division — est = k·62500 µ (k/16
+    // exactly), exact = round(j·1e6) µ, error = |est−exact| µ; per-bucket
+    // sums are exact BIGINTs, so both engines divide identical integers
+    // (FLOOR to whole µ, then /1e6). Plan: the verified pairs come from
+    // the audited minhash pipeline; the agreement join reads the 8-row-
+    // per-doc band frame (persisted — both pair sides probe it,
+    // shuffle-hash-hinted per the sketch-family broadcast hygiene);
+    // the bucket report is 5 rows.
+    Q("llm_minhash_est_quality", {
+      val slots = (0 until 16)
+        .map(i => s"(CASE WHEN p.m_$i = q.m_$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $minhashVerifiedCtes,
+         |agree AS (
+         |  SELECT v.d1, v.d2,
+         |         CAST(round(v.est_jaccard * 1000000) AS BIGINT) AS exact_u,
+         |         CAST(($slots) * 62500 AS BIGINT) AS est_u
+         |  FROM verified v JOIN mh p ON v.d1 = p.doc_id
+         |                  JOIN mh q ON v.d2 = q.doc_id
+         |), u AS (
+         |  SELECT least(CAST(floor(exact_u / 200000.0) AS BIGINT), 4) AS bucket,
+         |         exact_u, est_u, abs(est_u - exact_u) AS err_u
+         |  FROM agree
+         |)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       floor(CAST(sum(est_u) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE)) / 1000000 AS mean_est,
+         |       floor(CAST(sum(exact_u) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE)) / 1000000 AS mean_exact,
+         |       floor(CAST(sum(err_u) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE)) / 1000000 AS mean_abs_err
+         |FROM u GROUP BY bucket ORDER BY bucket""".stripMargin
+    }) { (s, d) =>
+      val mhv = minhashVerified(s, d)
+      // the band frame carries all 16 mins as 8 × (k1, k2) rows; slot
+      // agreement = per-band k1/k2 equality counts summed. Persisted:
+      // both pair sides probe it.
+      val bands = bandsFromHashes(shingleHashes(docs(s, d))).persist()
+      val agree = mhv
+        .join(bands.hint("shuffle_hash").as("a"),
+          col("d1") === col("a.doc_id"))
+        .join(bands.hint("shuffle_hash").as("b"),
+          col("d2") === col("b.doc_id") && col("a.band") === col("b.band"))
+        .groupBy("d1", "d2", "est_jaccard")
+        .agg((sum(when(col("a.k1") === col("b.k1"), 1).otherwise(0)) +
+          sum(when(col("a.k2") === col("b.k2"), 1).otherwise(0))).as("k"))
+      val u = agree.select(
+        round(col("est_jaccard") * 1000000).cast("long").as("exact_u"),
+        (col("k") * 62500L).as("est_u"))
+        .withColumn("err_u", abs(col("est_u") - col("exact_u")))
+        .withColumn("bucket",
+          least(floor(col("exact_u") / 200000.0).cast("long"), lit(4L)))
+      u.groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("est_u")).as("se"), sum(col("exact_u")).as("sx"),
+          sum(col("err_u")).as("sr"))
+        .select(col("bucket"), col("n_pairs"),
+          (floor(col("se").cast("double") / col("n_pairs").cast("double"))
+            / lit(1000000)).as("mean_est"),
+          (floor(col("sx").cast("double") / col("n_pairs").cast("double"))
+            / lit(1000000)).as("mean_exact"),
+          (floor(col("sr").cast("double") / col("n_pairs").cast("double"))
+            / lit(1000000)).as("mean_abs_err"))
+        .orderBy("bucket")
     }
   )
 }

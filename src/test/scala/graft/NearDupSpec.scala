@@ -294,6 +294,28 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash estimator quality: pair accounting and bucket bounds") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = queries("llm_minhash_est_quality")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every banded candidate pair is scored exactly once
+    val nPairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    val verified = operators.Llm.minhashVerified(
+      Tables(spark, sf, "documents")).count()
+    assert(nPairs == verified, s"$nPairs scored vs $verified verified")
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 4)
+      val (me, mx, err) = (r.getAs[Double]("mean_est"),
+        r.getAs[Double]("mean_exact"), r.getAs[Double]("mean_abs_err"))
+      assert(me >= 0.0 && me <= 1.0 && mx >= 0.0 && mx <= 1.0)
+      // mean exact sits inside its bucket's band (floor display ≤1µ low)
+      assert(mx >= b * 0.2 - 1e-6 && (b == 4 || mx < (b + 1) * 0.2))
+      assert(err >= 0.0 && err <= 1.0)
+    }
+    spark.catalog.clearCache() // minhashVerified cache contract
+  }
+
   test("vocab coverage: monotone in k, bounded, totals consistent") {
     val rows = queries("llm_vocab_coverage")(spark, "/root/testdata/sf0.001")
       .collect().sortBy(_.getAs[Long]("k"))
