@@ -2502,6 +2502,84 @@ object Llm {
           (floor(col("sr").cast("double") / col("n_pairs").cast("double"))
             / lit(1000000)).as("mean_abs_err"))
         .orderBy("bucket")
+    },
+
+    // Per-label embedding drift (round 7, cont.): cosine between each
+    // label's centroid and the corpus-wide centroid — the
+    // embedding-space monitoring readout (a label whose centroid swings
+    // away from the global mean signals distribution shift in that
+    // slice; llm_centroid_udaf computes centroids, this SCORES them).
+    // Float doctrine taken all the way: every float sum in the pipeline
+    // is a PINNED-ORDER in-row fold — per-(label, dim) sums fold
+    // vec_id-sorted values, the global dim sums fold the label sums
+    // label-sorted, and the dot/norm reductions fold dim-ascending — so
+    // both engines execute identical IEEE op sequences and the
+    // pre-display doubles are bit-exact (a plain grouped sum would
+    // accumulate in engine/partition order). Plan: one embeddings scan →
+    // posexplode (map-side) → ONE (label, dim) shuffle; everything after
+    // is a 640-row/10-row frame.
+    Q("llm_embedding_drift",
+      """WITH e AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), comp AS (
+        |  SELECT label, i,
+        |         list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) AS sx,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY label, i
+        |), gcomp AS (
+        |  SELECT i, list_reduce(list(sx ORDER BY label), (a, b) -> a + b) AS gx,
+        |         CAST(list_reduce(list(n ORDER BY label), (a, b) -> a + b)
+        |              AS BIGINT) AS gn
+        |  FROM comp GROUP BY i
+        |), vecs AS (
+        |  SELECT label, max(comp.n) AS n_vecs,
+        |         list(comp.sx / comp.n ORDER BY comp.i) AS c,
+        |         list(gcomp.gx / gcomp.gn ORDER BY comp.i) AS g
+        |  FROM comp JOIN gcomp USING (i) GROUP BY label
+        |)
+        |SELECT label, n_vecs,
+        |       floor(list_reduce(list_transform(range(1, 65), k -> c[k] * g[k]),
+        |                         (a, b) -> a + b)
+        |             / sqrt(list_reduce(list_transform(range(1, 65),
+        |                                k -> c[k] * c[k]), (a, b) -> a + b))
+        |             / sqrt(list_reduce(list_transform(range(1, 65),
+        |                                k -> g[k] * g[k]), (a, b) -> a + b))
+        |             * 1000000) / 1000000 AS drift_cos
+        |FROM vecs ORDER BY label""".stripMargin) { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("label"), col("i"),
+          col("xf").cast("double").as("x"))
+      val comp = e.groupBy("label", "i")
+        .agg(
+          expr("""aggregate(transform(sort_array(collect_list(struct(vec_id, x))),
+                 |  e -> e.x), 0d, (a, b) -> a + b)""".stripMargin).as("sx"),
+          count(lit(1)).as("n"))
+        .persist() // feeds the global dim sums AND the per-label arrays
+      val gcomp = comp.groupBy("i")
+        .agg(
+          expr("""aggregate(transform(sort_array(collect_list(struct(label, sx))),
+                 |  e -> e.sx), 0d, (a, b) -> a + b)""".stripMargin).as("gx"),
+          sum(col("n")).as("gn"))
+      val vecs = comp.join(broadcast(gcomp), Seq("i"))
+        .groupBy("label")
+        .agg(max(col("n")).as("n_vecs"),
+          expr("""transform(sort_array(collect_list(named_struct('i', i, 'cv', sx / n))),
+                 |  e -> e.cv)""".stripMargin).as("c"),
+          expr("""transform(sort_array(collect_list(named_struct('i', i, 'gv', gx / gn))),
+                 |  e -> e.gv)""".stripMargin).as("g"))
+      def fold(arr: String) =
+        s"aggregate($arr, 0d, (a, b) -> a + b)"
+      vecs.select(col("label"), col("n_vecs"),
+          (floor(expr(
+            s"""${fold("zip_with(c, g, (p, q) -> p * q)")}
+               | / sqrt(${fold("transform(c, p -> p * p)")})
+               | / sqrt(${fold("transform(g, p -> p * p)")})""".stripMargin)
+            * 1000000) / lit(1000000)).as("drift_cos"))
+        .orderBy("label")
     }
   )
 }

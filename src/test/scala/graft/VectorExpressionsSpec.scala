@@ -63,4 +63,40 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val got = df((v, v)).select(cosineSim($"a", $"b")).as[Double].head()
     assert(math.abs(got - 1.0) < 1e-12)
   }
+
+  test("llm_embedding_drift matches a driver-side pinned-order replay") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("llm_embedding_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("drift_cos"); c >= -1.0 && c <= 1.0
+    })
+    // replay with the SAME fold orders: per-(label, dim) vec_id-sorted
+    // sums, label-sorted global sums, dim-ascending dot/norm folds
+    val raw = Tables(spark, sf, "embeddings").collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val labels = raw.map(_._2).distinct.sorted
+    val comp = (for {
+      l <- labels; i <- 0 until 64
+    } yield {
+      val xs = raw.filter(_._2 == l).sortBy(_._1).map(_._3(i).toDouble)
+      ((l, i), (xs.foldLeft(0.0)(_ + _), xs.length))
+    }).toMap
+    val g = (0 until 64).map { i =>
+      val sums = labels.map(l => comp((l, i))._1)
+      val n = labels.map(l => comp((l, i))._2).sum
+      sums.foldLeft(0.0)(_ + _) / n
+    }
+    rows.foreach { r =>
+      val l = r.getAs[Int]("label")
+      val c = (0 until 64).map(i => comp((l, i))._1 / comp((l, i))._2)
+      def fold(xs: Seq[Double]) = xs.foldLeft(0.0)(_ + _)
+      val cos = fold(c.zip(g).map { case (p, q) => p * q }) /
+        math.sqrt(fold(c.map(p => p * p))) / math.sqrt(fold(g.map(p => p * p)))
+      assert(r.getAs[Double]("drift_cos") == math.floor(cos * 1e6) / 1e6,
+        s"label $l")
+      assert(r.getAs[Long]("n_vecs") == raw.count(_._2 == l))
+    }
+  }
 }
