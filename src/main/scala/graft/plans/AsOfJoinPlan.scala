@@ -82,6 +82,12 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   // the merge preserves the left child's partitioning and ordering
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -104,6 +110,8 @@ case class AsOfJoinExec(
     val tsType = leftTs.dataType
     val rightWidth = right.output.length
     val outAttrs = output
+    val numOut = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatchedRows")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
@@ -124,6 +132,7 @@ case class AsOfJoinExec(
           else lRow.get(lKeyIdx, keyType)
         val lTs = if (lRow.isNullAt(lTsIdx)) null
           else lRow.get(lTsIdx, tsType)
+        numOut += 1
         if (lKey == null || lTs == null) {
           // SQL equality/<=/>= never hold through NULL: emit unmatched
           resultProj(joined(lRow, nullRight))
@@ -153,6 +162,7 @@ case class AsOfJoinExec(
               keyOrd.compare(rBuf.head.get(rKeyIdx, keyType), lKey) == 0)
               rBuf.head
             else nullRight
+          if (m ne nullRight) numMatched += 1
           resultProj(joined(lRow, m))
         } else {
           if (matchRow != null && keyOrd.compare(matchKey, lKey) != 0) {
@@ -180,6 +190,7 @@ case class AsOfJoinExec(
               } else advance = false // right is ahead: wait for left
             }
           }
+          if (matchRow ne null) numMatched += 1
           resultProj(joined(lRow, if (matchRow ne null) matchRow else nullRight))
         }
       }
