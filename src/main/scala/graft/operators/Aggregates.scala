@@ -758,6 +758,53 @@ object Aggregates {
         .orderBy("day")
     },
 
+    // Key-uniqueness audit (round 7, cont.): rows vs distinct keys per
+    // declared natural key — the dq companion of dq_referential (that
+    // one checks FKs point somewhere; this checks PKs are actually
+    // keys). The fixture itself demonstrates the value: lineitem's
+    // (l_orderkey, l_linenumber) carries ~24% duplicate rows at every
+    // SF, which any downstream "line number is unique per order"
+    // assumption would silently trip over. Plan: one pruned scan per
+    // table, each a single count + count-distinct aggregate (the
+    // distinct expands map-side; at 100 TB the approx path is one conf
+    // away via the injected HLL rewrite — single-arg keys only, the
+    // composite stays exact).
+    Q("dq_uniqueness",
+      """SELECT 'customer.c_custkey' AS key_col, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+        |       CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS n_dup_rows
+        |FROM customer
+        |UNION ALL
+        |SELECT 'events.event_id', CAST(count(*) AS BIGINT),
+        |       CAST(count(DISTINCT event_id) AS BIGINT),
+        |       CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'lineitem.(l_orderkey, l_linenumber)', CAST(count(*) AS BIGINT),
+        |       CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+        |       CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders.o_orderkey', CAST(count(*) AS BIGINT),
+        |       CAST(count(DISTINCT o_orderkey) AS BIGINT),
+        |       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |FROM orders
+        |ORDER BY key_col""".stripMargin) { (s, d) =>
+      def audit(label: String, df: DataFrame, keys: Seq[String]) =
+        df.select(keys.map(col): _*)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(keys.head), keys.tail.map(col): _*).as("n_keys"))
+          .select(lit(label).as("key_col"), col("n_rows"), col("n_keys"),
+            (col("n_rows") - col("n_keys")).as("n_dup_rows"))
+      audit("customer.c_custkey", t(s, d, "customer"), Seq("c_custkey"))
+        .unionAll(audit("events.event_id", t(s, d, "events"), Seq("event_id")))
+        .unionAll(audit("lineitem.(l_orderkey, l_linenumber)",
+          t(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber")))
+        .unionAll(audit("orders.o_orderkey", t(s, d, "orders"),
+          Seq("o_orderkey")))
+        .orderBy("key_col")
+    },
+
     // R11: wide→long reshaping (the inverse of agg_pivot) — Spark 4's
     // native unpivot/melt. Zero-shuffle: each input row explodes to one
     // row per measure map-side (Expand), so the reshape costs one narrow

@@ -301,6 +301,42 @@ object Relational {
         .orderBy("p_id")
     },
 
+    // Tolerance-bounded as-of (round 7, cont.): most recent view within
+    // ONE DAY before the purchase — stale matches (an attribution window
+    // older than a day) drop to NULL instead of attaching. pandas
+    // merge_asof(tolerance=...). The native merge needs NO plan change:
+    // the remembered candidate is already the nearest at-or-before, so
+    // the window is one comparison at emission — where the composed form
+    // grows a second range predicate in the join.
+    Q("join_asof_tolerance",
+      """WITH p AS (
+        |  SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+        |  WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT user_id AS v_user, ts AS v_ts, event_id AS v_id FROM events
+        |  WHERE event_type = 'view'
+        |), j AS (
+        |  SELECT p.user_id, p.p_id, p.p_ts, v.v_id, v.v_ts,
+        |         row_number() OVER (PARTITION BY p.p_id
+        |             ORDER BY v_ts DESC NULLS LAST, v_id DESC NULLS LAST) AS rn
+        |  FROM p LEFT JOIN v ON v.v_user = p.user_id AND v.v_ts <= p.p_ts
+        |                    AND v.v_ts >= p.p_ts - INTERVAL 1 DAY
+        |)
+        |SELECT user_id, p_id, p_ts, v_id, v_ts FROM j WHERE rn = 1
+        |ORDER BY p_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("v_id"))
+      org.apache.spark.sql.graft.AsOfJoinPlan
+        .asof(p, v, "user_id", "v_user", "p_ts", "v_ts",
+          rightTie = Seq("v_id"), toleranceMicros = Some(86400000000L))
+        .select("user_id", "p_id", "p_ts", "v_id", "v_ts")
+        .orderBy("p_id")
+    },
+
     // FORWARD as-of (round 7, cont.): per signup, the user's FIRST
     // purchase at-or-after — the time-to-convert attach (the mirror
     // direction of join_asof_native's most-recent-before; pandas

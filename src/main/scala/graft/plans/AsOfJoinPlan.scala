@@ -48,7 +48,8 @@ case class AsOfJoin(
     leftTs: Attribute,
     rightTs: Attribute,
     rightTie: Seq[Attribute],
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false,
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -59,8 +60,9 @@ case class AsOfJoin(
 /** Planner strategy: [[AsOfJoin]] → [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts, tie, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie, fwd) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, tie, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie, fwd,
+        tol) :: Nil
     case _ => Nil
   }
 }
@@ -77,7 +79,15 @@ case class AsOfJoinExec(
     leftTs: Attribute,
     rightTs: Attribute,
     rightTie: Seq[Attribute],
-    forward: Boolean = false) extends BinaryExecNode {
+    forward: Boolean = false,
+    toleranceMicros: Option[Long] = None) extends BinaryExecNode {
+
+  require(toleranceMicros.isEmpty ||
+    Seq(leftTs.dataType, rightTs.dataType).forall(t =>
+      t == org.apache.spark.sql.types.TimestampType ||
+        t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType),
+    "tolerance requires long-representable timestamp columns")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -126,6 +136,9 @@ case class AsOfJoinExec(
       // within a key because the left side is (key, ts)-sorted)
       var matchRow: InternalRow = null
       var matchKey: Any = null
+      var matchTs: Long = 0L
+      val tol = toleranceMicros
+      def asLong(v: Any): Long = v.asInstanceOf[Number].longValue
 
       lIter.map { lRow =>
         val lKey = if (lRow.isNullAt(lKeyIdx)) null
@@ -159,7 +172,11 @@ case class AsOfJoinExec(
           }
           val m =
             if (rBuf.hasNext && !rBuf.head.isNullAt(rKeyIdx) &&
-              keyOrd.compare(rBuf.head.get(rKeyIdx, keyType), lKey) == 0)
+              keyOrd.compare(rBuf.head.get(rKeyIdx, keyType), lKey) == 0 &&
+              // tolerance: the head is the NEAREST at-or-after, so if it
+              // is beyond the window nothing closer exists
+              tol.forall(t =>
+                asLong(rBuf.head.get(rTsIdx, tsType)) - asLong(lTs) <= t))
               rBuf.head
             else nullRight
           if (m ne nullRight) numMatched += 1
@@ -184,14 +201,19 @@ case class AsOfJoinExec(
                 else if (tsOrd.compare(r.get(rTsIdx, tsType), lTs) <= 0) {
                   // candidate; later qualifying rows overwrite (ties on
                   // ts resolve to the highest tie columns via the sort)
+                  if (tol.isDefined) matchTs = asLong(r.get(rTsIdx, tsType))
                   matchRow = rBuf.next().copy()
                   matchKey = lKey
                 } else advance = false // first right row beyond threshold
               } else advance = false // right is ahead: wait for left
             }
           }
-          if (matchRow ne null) numMatched += 1
-          resultProj(joined(lRow, if (matchRow ne null) matchRow else nullRight))
+          // tolerance: the remembered candidate is the NEAREST at-or-
+          // before; if it is beyond the window nothing closer exists
+          val ok = (matchRow ne null) &&
+            tol.forall(t => asLong(lTs) - matchTs <= t)
+          if (ok) numMatched += 1
+          resultProj(joined(lRow, if (ok) matchRow else nullRight))
         }
       }
     }
@@ -212,7 +234,8 @@ object AsOfJoinPlan {
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
       rightTie: Seq[String] = Nil,
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.classic
     def attr(df: DataFrame, name: String): Attribute =
       df.queryExecution.analyzed.output
@@ -223,7 +246,7 @@ object AsOfJoinPlan {
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       attr(left, leftKey), attr(right, rightKey),
       attr(left, leftTs), attr(right, rightTs),
-      rightTie.map(attr(right, _)), forward)
+      rightTie.map(attr(right, _)), forward, toleranceMicros)
     classic.Dataset.ofRows(
       left.sparkSession.asInstanceOf[classic.SparkSession], node)
   }

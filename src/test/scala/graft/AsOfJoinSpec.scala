@@ -133,6 +133,44 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("tolerance: nearest match beyond the window drops to null, both directions") {
+    val left = Seq((1L, 100L, "l-a"), (1L, 200L, "l-b")).toDF("k", "ts", "ltag")
+    val right = Seq((1L, 95L, "r-95"), (1L, 230L, "r-230"))
+      .toDF("rk", "rts", "rtag")
+    def run(fwd: Boolean, tol: Long) =
+      AsOfJoinPlan.asof(left, right, "k", "rk", "ts", "rts",
+          forward = fwd, toleranceMicros = Some(tol))
+        .select(col("ltag"), col("rtag"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val back = run(fwd = false, tol = 10L)
+    assert(back("l-a") == "r-95")  // gap 5 ≤ 10
+    assert(back("l-b") == null)    // nearest-before gap 105 > 10
+    val fwdOut = run(fwd = true, tol = 40L)
+    assert(fwdOut("l-a") == null)  // nearest-after gap 130 > 40
+    assert(fwdOut("l-b") == "r-230") // gap 30 ≤ 40
+    // randomized parity vs the filtered driver oracle
+    val rnd = new scala.util.Random(23)
+    val lrows = Seq.fill(600)((rnd.nextInt(30).toLong, rnd.nextInt(300).toLong))
+      .zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+    val rrows = Seq.fill(600)((rnd.nextInt(30).toLong, rnd.nextInt(300).toLong))
+      .zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+    val got = AsOfJoinPlan.asof(
+        lrows.toDF("k", "ts", "lid"), rrows.toDF("rk", "rts", "rid"),
+        "k", "rk", "ts", "rts", rightTie = Seq("rid"),
+        toleranceMicros = Some(20L))
+      .select("lid", "rid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    val byKey = rrows.groupBy(_._1)
+    lrows.foreach { case (k, ts, lid) =>
+      val want = byKey.getOrElse(k, Seq.empty)
+        .filter(r => r._2 <= ts && ts - r._2 <= 20L)
+        .sortBy(x => (x._2, x._3))
+        .lastOption.map(_._3).getOrElse(-1L)
+      assert(got(lid) == want, s"lid=$lid k=$k ts=$ts")
+    }
+  }
+
   test("randomized: native == driver-side oracle over 2000 rows × 50 keys") {
     val rnd = new scala.util.Random(7)
     val lrows = Seq.fill(1000)((rnd.nextInt(50).toLong, rnd.nextInt(1000).toLong))
