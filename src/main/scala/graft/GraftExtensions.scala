@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // extension — AsOfJoin logical node planned by AsOfJoinExec's
     // one-pass co-partitioned merge (no fan-out join + group limit).
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
+    // Opt-in cartesian guard (round 7): analysis-time rejection of
+    // unconditional cross joins under spark.graft.guard.noCartesian.
+    ext.injectCheckRule(org.apache.spark.sql.graft.CartesianGuard)
     // portable_hash(expr): the engine-portable 60-bit content hash
     // (graft.functions.PortableHash) as a SQL function — composed from
     // built-in expressions so it stays codegen'd end to end.

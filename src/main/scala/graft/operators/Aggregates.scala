@@ -758,6 +758,37 @@ object Aggregates {
         .orderBy("day")
     },
 
+    // k-anonymity audit (round 7, cont.): the privacy-engineering
+    // readout — the smallest quasi-identifier equivalence class over
+    // (nation, segment) is the dataset's k-anonymity (Sweeney 2002): a
+    // released table is k-anonymous iff every QI combination matches ≥ k
+    // rows, and the at-risk tail (combos below 5/20) is what a release
+    // review actually reads. Plan: one pruned scan → map-side-combinable
+    // QI groupBy → a single-row reduce over the O(|QI-domain|) frame;
+    // p50 of integer combo sizes interpolates only at .0/.5 (exact).
+    Q("dq_k_anonymity",
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT CAST(min(n) AS BIGINT) AS k_anonymity,
+        |       CAST(count(*) AS BIGINT) AS n_combos,
+        |       CAST(count(CASE WHEN n < 5 THEN 1 END) AS BIGINT) AS n_below_5,
+        |       CAST(count(CASE WHEN n < 20 THEN 1 END) AS BIGINT) AS n_below_20,
+        |       CAST(max(n) AS BIGINT) AS max_combo,
+        |       round(quantile_cont(n, 0.5), 1) AS p50_combo
+        |FROM g""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("k_anonymity"),
+          count(lit(1)).as("n_combos"),
+          count(when(col("n") < 5, 1)).as("n_below_5"),
+          count(when(col("n") < 20, 1)).as("n_below_20"),
+          max(col("n")).as("max_combo"),
+          round(percentile(col("n"), lit(0.5)), 1).as("p50_combo"))
+    },
+
     // Key-uniqueness audit (round 7, cont.): rows vs distinct keys per
     // declared natural key — the dq companion of dq_referential (that
     // one checks FKs point somewhere; this checks PKs are actually

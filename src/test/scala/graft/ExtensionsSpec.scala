@@ -223,4 +223,30 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(!multi.queryExecution.optimizedPlan.toString.contains("hll_sketch"))
     } finally spark.conf.set("spark.graft.approx.countDistinct", "false")
   }
+
+  test("cartesian guard: off by default, rejects unbounded products, allows scalar attaches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val a = spark.range(100).toDF("a")
+    val b = spark.range(100).toDF("b")
+    // off (default): cross joins analyze fine
+    assert(a.crossJoin(b).count() == 10000)
+    spark.conf.set("spark.graft.guard.noCartesian", "true")
+    try {
+      // unconditional product of two unbounded frames → analysis error
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        a.crossJoin(b).collect()
+      }
+      assert(e.getMessage.contains("noCartesian"))
+      // conditioned joins unaffected
+      assert(a.join(b, col("a") === col("b")).count() == 100)
+      // the repo's scalar-attach idiom (crossJoin of an ungrouped
+      // aggregate) is provably one row and passes
+      val tot = b.agg(count(lit(1)).as("n"))
+      assert(a.crossJoin(broadcast(tot)).count() == 100)
+      // literal frames and limits are bounded too
+      assert(a.crossJoin(Seq(1, 2).toDF("x")).count() == 200)
+      assert(a.crossJoin(b.limit(3)).count() == 300)
+    } finally spark.conf.set("spark.graft.guard.noCartesian", "false")
+  }
 }
