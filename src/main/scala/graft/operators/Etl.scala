@@ -1175,6 +1175,53 @@ object Etl {
           sum((ep * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
             .cast("decimal(18,6)")).cast("double").as("charge"))
         .orderBy("month")
+    },
+
+    // Seasonal-naive forecast backtest (round 7, cont.): predict each
+    // day's per-type volume with the SAME WEEKDAY LAST WEEK (lag-7) and
+    // score MAE/WAPE — the baseline every real forecasting model must
+    // beat, and the etl_weekday_profile seasonality claim turned into a
+    // measured error number. Pure integer arithmetic until the two
+    // final divisions (counts and absolute errors are exact BIGINTs),
+    // FLOOR-scaled. Plan: the fact-sized work is the (type, day)
+    // groupBy; the lag window and the 5-row score reduce run over the
+    // O(types × days) frame — report-scale at any SF.
+    Q("etl_forecast_snaive",
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT event_type, day, n,
+        |         lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS pred
+        |  FROM d
+        |)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_days_scored,
+        |       CAST(sum(abs(n - pred)) AS BIGINT) AS total_abs_err,
+        |       floor(CAST(sum(abs(n - pred)) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE) * 10000) / 10000 AS mae,
+        |       floor(CAST(sum(abs(n - pred)) AS DOUBLE)
+        |             / CAST(sum(n) AS DOUBLE) * 1000000) / 1000000 AS wape
+        |FROM p WHERE pred IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("day")
+      events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("pred", lag(col("n"), 7).over(w))
+        .where(col("pred").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days_scored"),
+          sum(abs(col("n") - col("pred"))).as("total_abs_err"),
+          sum(col("n")).as("vol"))
+        .select(col("event_type"), col("n_days_scored"), col("total_abs_err"),
+          (floor(col("total_abs_err").cast("double")
+            / col("n_days_scored").cast("double") * 10000) / lit(10000))
+            .as("mae"),
+          (floor(col("total_abs_err").cast("double")
+            / col("vol").cast("double") * 1000000) / lit(1000000)).as("wape"))
+        .orderBy("event_type")
     }
   ) :+ resampleQ
 

@@ -446,6 +446,65 @@ object Windows {
         .select(col("event_type"), col("day"), col("n"),
           round(percentile(col("n"), lit(0.5)).over(w), 1).as("med7"))
         .orderBy("event_type", "day")
+    },
+
+    // One-sided CUSUM drift detection per event type (round 7, cont.):
+    // sₜ = max(0, sₜ₋₁ + xₜ − μ·(1+slack)) over the daily volume series
+    // — the change-point monitor that catches a SUSTAINED small upward
+    // shift dq_volume_anomaly's per-day z-score never flags (each day
+    // is individually unremarkable; the cumulative exceedance is not).
+    // Like win_ewma the recurrence is inherently sequential, so it runs
+    // as in-row folds over the day-sorted series; the full CUSUM series
+    // is the prefix-fold family (O(days²) ops on an O(days) frame —
+    // arithmetic at the report grain, not data). Every input is an
+    // exact integer count; both engines execute identical
+    // greatest(0, a + x − thr) sequences — bit-exact, FLOOR-scaled.
+    Q("win_cusum",
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(n) AS BIGINT) AS tot,
+        |         list(CAST(n AS DOUBLE) ORDER BY day) AS xs
+        |  FROM d GROUP BY event_type
+        |), c AS (
+        |  SELECT event_type, n_days,
+        |         CAST(tot AS DOUBLE) / n_days AS mu,
+        |         list_transform(range(1, n_days + 1), t ->
+        |           list_reduce(list_prepend(0.0, xs[1:t]), (a, b) ->
+        |             greatest(0.0, a + b
+        |                      - CAST(tot AS DOUBLE) / n_days * 1.02))) AS ss
+        |  FROM m
+        |)
+        |SELECT event_type, n_days,
+        |       floor(mu * 10000) / 10000 AS mu,
+        |       floor(list_aggregate(ss, 'max') * 10000) / 10000 AS cusum_max,
+        |       CAST(len(list_filter(ss, v -> v > mu * 0.25)) AS BIGINT)
+        |         AS n_days_alarmed
+        |FROM c ORDER BY event_type""".stripMargin) { (s, d) =>
+      val m = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("tot"),
+          expr("transform(sort_array(collect_list(struct(day, CAST(n AS DOUBLE) AS x))), e -> e.x)")
+            .as("xs"))
+      m.select(col("event_type"), col("n_days"),
+          (col("tot").cast("double") / col("n_days")).as("mu"),
+          expr(
+            """transform(sequence(1, CAST(n_days AS INT)), t ->
+              |  aggregate(slice(xs, 1, t), 0d, (a, b) ->
+              |    greatest(0d, a + b
+              |             - CAST(tot AS DOUBLE) / n_days * 1.02d)))""".stripMargin)
+            .as("ss"))
+        .select(col("event_type"), col("n_days"),
+          (floor(col("mu") * 10000) / lit(10000)).as("mu"),
+          (floor(array_max(col("ss")) * 10000) / lit(10000)).as("cusum_max"),
+          expr("CAST(size(filter(ss, v -> v > mu * 0.25)) AS BIGINT)")
+            .as("n_days_alarmed"))
+        .orderBy("event_type")
     }
   )
 }

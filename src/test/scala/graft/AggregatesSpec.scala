@@ -195,6 +195,39 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("win_cusum / etl_forecast_snaive: driver-side recurrence and lag-7 replays") {
+    val sf = "/root/testdata/sf0.001"
+    val daily = Tables(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("n")))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3)).toMap
+
+    SparkEntry.queries("win_cusum")(spark, sf).collect().foreach { r =>
+      val xs = daily(r.getAs[String]("event_type")).map(_.toDouble)
+      val mu = xs.sum / xs.length // same fold order irrelevant at tol 1e-9
+      val series = xs.indices.map { t =>
+        xs.take(t + 1).foldLeft(0.0)((a, b) =>
+          math.max(0.0, a + b - mu * 1.02))
+      }
+      assert(r.getAs[Long]("n_days") == xs.length)
+      assert(math.abs(r.getAs[Double]("cusum_max") -
+        math.floor(series.max * 1e4) / 1e4) < 1e-9)
+      assert(r.getAs[Long]("n_days_alarmed") ==
+        series.count(_ > mu * 0.25))
+    }
+
+    SparkEntry.queries("etl_forecast_snaive")(spark, sf).collect().foreach { r =>
+      val xs = daily(r.getAs[String]("event_type"))
+      val scored = xs.drop(7).zip(xs).map { case (n, pred) => math.abs(n - pred) }
+      assert(r.getAs[Long]("n_days_scored") == scored.length)
+      assert(r.getAs[Long]("total_abs_err") == scored.sum)
+    }
+  }
+
   test("win_ewma: fold equals the driver-side recurrence, seeded at day one") {
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("win_ewma")(spark, sf).collect()
