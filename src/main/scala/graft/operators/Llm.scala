@@ -47,6 +47,64 @@ object Llm {
   /** Distinct 3-token shingles per doc. */
   private def shingleDf(d: DataFrame): DataFrame = shingleDfRaw(d).distinct()
 
+  /** Per-doc shingle sets in the All-Pairs/PPJoin canonical token order
+    * (ascending document frequency, token text as tie-break) plus the
+    * τ-prefix length p = n - ⌈τ·n⌉ + 1. Rarest-first ordering is what makes
+    * the prefix join selective: the tokens a record exposes are the ones
+    * fewest other records contain (Bayardo et al., WWW'07; Xiao et al.,
+    * WWW'08). One vocabulary-keyed shuffle computes the frequencies; the
+    * per-doc sort is in-row (`sort_array`), never a global sort.
+    */
+  private[graft] def ppjoinDocFrame(docsDf: DataFrame, tau: Double): DataFrame = {
+    val sh = shingleDf(docsDf)
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("s"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("p", (col("n") - ceil(lit(tau) * col("n")) + lit(1)).cast("int"))
+  }
+
+  /** Candidate pairs from the prefix filter: two records can reach
+    * Jaccard ≥ τ only if their τ-prefixes share a token (prefix-filter
+    * lemma: |x∩y| ≥ ⌈τ·max(|x|,|y|)⌉ forces the first |·|-⌈τ·|·|⌉+1 tokens
+    * of each, in ANY shared total order, to intersect) — so the equi-join
+    * on prefix tokens has NO false negatives and the verify stage makes the
+    * result exactly the brute-force threshold join. The length filter
+    * τ·|x| ≤ |y| ≤ |x|/τ is likewise implied by J ≥ τ.
+    */
+  private[graft] def ppjoinCandidates(docFrame: DataFrame, tau: Double): DataFrame = {
+    val prefix = docFrame.select(col("doc_id"), col("n"),
+      explode(expr("transform(slice(toks, 1, p), x -> x.s)")).as("tok"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") * lit(tau) <= col("b.n") && col("b.n") * lit(tau) <= col("a.n"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Prefix-filtered EXACT Jaccard join at threshold τ — candidates from
+    * [[ppjoinCandidates]], then one in-row `array_intersect` verify per
+    * candidate (the doc frame is persisted once and feeds the prefix
+    * explode and both verify sides). Result-identical to the all-shared-
+    * shingle-pairs plan, so the two keys share an oracle shape.
+    */
+  private[graft] def prefixJaccardJoin(docsDf: DataFrame, tau: Double): DataFrame = {
+    val docFrame = ppjoinDocFrame(docsDf, tau).persist()
+    val arrs = docFrame.select(col("doc_id"),
+      expr("transform(toks, x -> x.s)").as("ts"), col("n"))
+    ppjoinCandidates(docFrame, tau)
+      .join(arrs.as("x"), col("d1") === col("x.doc_id"))
+      .join(arrs.as("y"), col("d2") === col("y.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("x.ts"), col("y.ts"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("inter") * 1.0 / (col("x.n") + col("y.n") - col("inter")), 6))
+      .where(col("jaccard") >= tau)
+      .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
   /** Embedding side for pairwise cosine with the norm PRECOMPUTED once per
     * vector: the O(n²) pair stage then evaluates a single dot product per
     * pair, with sim = dot/(na·nb) — bitwise-identical to CosineSimilarity
@@ -1135,6 +1193,36 @@ object Llm {
           round(col("inter") * 1.0 / (col("x.n") + col("y.n") - col("inter")), 6)
             .as("jaccard"))
         .orderBy("d1", "d2")
+    },
+
+    // Prefix-filtered set-similarity join (All-Pairs / PPJoin): the EXACT
+    // alternative to the LSH candidate stage — no false negatives by the
+    // prefix-filter lemma, so (unlike minhash banding) the result needs no
+    // recall argument: it IS the brute-force threshold join, with candidate
+    // generation reduced from every-shared-shingle pairs to rare-prefix-token
+    // pairs. At 100 TB the wins compound: the prefix explode emits
+    // (1-τ)·|doc| tokens per doc instead of |doc|, the equi-join lands on
+    // the RAREST tokens (document frequency ascending = lowest join fanout),
+    // the length filter prunes skewed-size pairs before the shuffle, and the
+    // verify is one in-row array_intersect per surviving candidate. Oracle:
+    // the straightforward all-shared-shingle-pairs threshold join — the two
+    // plans must agree exactly (same doctrine as decontaminate_bloom).
+    Q("llm_sim_join_prefix",
+      s"""WITH sh AS (
+         |  $shingleSql)
+         |), sz AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+         |), pr AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT d1, d2, inter,
+         |       round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
+         |FROM pr JOIN sz x ON pr.d1 = x.doc_id JOIN sz y ON pr.d2 = y.doc_id
+         |WHERE round(inter * 1.0 / (x.n + y.n - inter), 6) >= 0.5
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      prefixJaccardJoin(docs(s, d), 0.5)
     },
 
     // PMI collocation mining (round 5): the R11 text-analysis report for

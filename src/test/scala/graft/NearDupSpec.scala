@@ -331,4 +331,65 @@ class NearDupSpec extends AnyFunSuite {
     // all rows report the same corpus total
     assert(rows.map(_.getAs[Long]("total")).distinct.length == 1)
   }
+
+  // ---- prefix-filtered (All-Pairs/PPJoin) exact similarity join ----
+
+  /** Brute-force threshold Jaccard join over distinct 3-shingles, computed
+    * driver-side — the ground truth the prefix-filtered plan must equal. */
+  private def bruteJaccard(tau: Double): Set[(Long, Long, Long)] = {
+    val docsRows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+    val sets = docsRows.map { r =>
+      val toks = r.getAs[String]("text").split(" ")
+      r.getAs[Long]("doc_id") -> toks.sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= tau
+    } yield (a, b, inter.toLong)).toSet
+  }
+
+  test("prefix-filtered join ≡ brute-force threshold join (planted pair found)") {
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val out = operators.Llm.prefixJaccardJoin(docsDf, 0.5)
+      .select("d1", "d2", "inter").as[(Long, Long, Long)].collect().toSet
+    val brute = bruteJaccard(0.5)
+    assert(brute.nonEmpty, "fixture must contain a qualifying pair")
+    assert(brute.exists { case (a, b, _) => a == 0L && b == 1L },
+      "planted near-dup pair must qualify at τ=0.5")
+    assert(out == brute, s"prefix join diverged: out=$out brute=$brute")
+    spark.catalog.clearCache()
+  }
+
+  test("prefix filter prunes the candidate space below every-shared-shingle") {
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val frame = operators.Llm.ppjoinDocFrame(docsDf, 0.5).persist()
+    val nCand = operators.Llm.ppjoinCandidates(frame, 0.5).count()
+    // every-shared-shingle candidate count (what llm_ngram_jaccard joins on)
+    val sh = docsDf.select(col("doc_id"),
+      explode(expr("transform(sequence(0, size(split(text,' ')) - 3), " +
+        "i -> array_join(slice(split(text,' '), i + 1, 3), ' '))")).as("s"))
+      .distinct()
+    val nAll = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    assert(nCand <= nAll,
+      s"prefix candidates ($nCand) exceed shared-shingle pairs ($nAll)")
+    assert(nCand < nAll,
+      s"prefix filter pruned nothing: $nCand vs $nAll")
+    spark.catalog.clearCache()
+  }
+
+  test("prefix length law: p = n - ceil(τ·n) + 1, 1 ≤ p ≤ n") {
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val rows = operators.Llm.ppjoinDocFrame(docsDf, 0.7)
+      .select("n", "p").as[(Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, p) =>
+      assert(p == n - math.ceil(0.7 * n).toInt + 1)
+      assert(p >= 1 && p <= n)
+    }
+  }
 }
