@@ -95,6 +95,70 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "hll_estimate expects 1 argument")
         org.apache.spark.sql.graft.HllEstimate(children.head)
       }))
+    // KMV/theta family (round 7): the INTERSECTION-capable distinct
+    // sketch — kmv_sketch(hash[, k[, bits]]) → BINARY over pre-hashed
+    // longs, kmv_merge(sketch) → BINARY, kmv_estimate/kmv_theta(sketch)
+    // → DOUBLE, kmv_union_pair(a, b) → BINARY,
+    // kmv_intersect_est(a, b) → DOUBLE.
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.KmvSketchAgg].getName,
+        "kmv_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.length <= 3,
+          "kmv_sketch expects (hash[, k[, bits]])")
+        def intLit(i: Int, what: String): Option[Int] = children.lift(i).map {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"kmv_sketch $what must be an INT literal, got $other")
+        }
+        org.apache.spark.sql.graft.KmvSketchAgg(
+          children.head,
+          intLit(1, "k").getOrElse(256),
+          intLit(2, "bits").getOrElse(60))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_merge"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.KmvMergeAgg].getName,
+        "kmv_merge"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "kmv_merge expects 1 argument")
+        org.apache.spark.sql.graft.KmvMergeAgg(children.head)
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_estimate"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.KmvEstimate].getName,
+        "kmv_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "kmv_estimate expects 1 argument")
+        org.apache.spark.sql.graft.KmvEstimate(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_theta"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.KmvTheta].getName,
+        "kmv_theta"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "kmv_theta expects 1 argument")
+        org.apache.spark.sql.graft.KmvTheta(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_union_pair"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.KmvUnionPair].getName,
+        "kmv_union_pair"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kmv_union_pair expects 2 arguments")
+        org.apache.spark.sql.graft.KmvUnionPair(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_intersect_est"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.KmvIntersectEst].getName,
+        "kmv_intersect_est"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kmv_intersect_est expects 2 arguments")
+        org.apache.spark.sql.graft.KmvIntersectEst(children.head, children(1))
+      }))
     // Count-min family (round 4): cms_sketch(x[, w]) → BINARY,
     // cms_merge(sketch) → BINARY (exact), cms_query(sketch, x) → BIGINT
     // (overestimate-only point frequency).

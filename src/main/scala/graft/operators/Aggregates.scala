@@ -1,9 +1,11 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.PortableHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.KmvFunctions._
 
 /** §2.D aggregation (SURVEY.md). All hash aggregates with partial/final
   * split (map-side combine) for free; the only authored decisions are
@@ -898,6 +900,122 @@ object Aggregates {
             6))
         .select("bucket", "bucket_lo", "n", "cum_n", "cdf")
         .orderBy("bucket")
+    },
+
+    // KMV/theta-sketch audience overlap (round 7, cont.): per event-type
+    // PAIR, estimated distinct users in each side, in the intersection,
+    // and in the union — the set-algebra readout HLL structurally cannot
+    // provide (HLL unions losslessly but |A∩B| via inclusion-exclusion
+    // inherits the union's absolute error). The sketch retains the k=256
+    // smallest PortableHash values per type (a uniform sample of the
+    // distinct-user domain below θ), so intersect/union estimates are
+    // c/θ* and (k-1)/θ_union. Exact columns ride along as the estimator-
+    // quality readout (the llm_minhash_est_quality doctrine); at 100 TB
+    // they drop and only the 2 KB sketches cross the network — the fact
+    // table is scanned ONCE, map-side partial-aggregated, and the pair
+    // join runs over the BOUNDED type-domain frame. Every derived number
+    // (θ, estimates, strict-< retention cut) is replayed by the oracle
+    // from md5 with identical IEEE ops, so the sketch itself is
+    // hash-verified — exact regime at sf≤0.01 (n<k), estimator regime at
+    // sf0.1 (n=1500≥k): both paths oracle-covered.
+    Q("agg_theta_overlap",
+      s"""WITH u AS (
+         |  SELECT DISTINCT event_type,
+         |         ${PortableHash.sql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events
+         |), r AS (
+         |  SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM u
+         |), sk AS (
+         |  SELECT event_type, h, rn, n FROM r WHERE rn <= 256
+         |), th AS (
+         |  SELECT event_type, max(n) AS n_exact,
+         |         CASE WHEN max(n) >= 256
+         |              THEN CAST(max(CASE WHEN rn = 256 THEN h END) AS DOUBLE)
+         |                   / 1152921504606846976.0
+         |              ELSE 1.0 END AS theta
+         |  FROM sk GROUP BY event_type
+         |), ex AS (
+         |  SELECT x.event_type AS t1, y.event_type AS t2,
+         |         CAST(count(*) AS BIGINT) AS inter_exact
+         |  FROM u x JOIN u y ON x.h = y.h AND x.event_type < y.event_type
+         |  GROUP BY 1, 2
+         |), co AS (
+         |  SELECT x.event_type AS t1, y.event_type AS t2,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM sk x JOIN sk y ON x.h = y.h AND x.event_type < y.event_type
+         |  JOIN th ta ON ta.event_type = x.event_type
+         |  JOIN th tb ON tb.event_type = y.event_type
+         |  WHERE CAST(x.h AS DOUBLE) / 1152921504606846976.0
+         |        < least(ta.theta, tb.theta)
+         |  GROUP BY 1, 2
+         |), pu AS (
+         |  SELECT a.event_type AS t1, b.event_type AS t2, u.h
+         |  FROM th a JOIN th b ON a.event_type < b.event_type
+         |  JOIN u ON u.event_type IN (a.event_type, b.event_type)
+         |  GROUP BY 1, 2, u.h
+         |), ur AS (
+         |  SELECT t1, t2, h,
+         |         row_number() OVER (PARTITION BY t1, t2 ORDER BY h) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY t1, t2) AS BIGINT) AS nu
+         |  FROM pu
+         |), ut AS (
+         |  SELECT t1, t2, max(nu) AS nu,
+         |         CASE WHEN max(nu) >= 256
+         |              THEN CAST(max(CASE WHEN rn = 256 THEN h END) AS DOUBLE)
+         |                   / 1152921504606846976.0
+         |              ELSE 1.0 END AS theta_u
+         |  FROM ur WHERE rn <= 256 GROUP BY t1, t2
+         |)
+         |SELECT a.event_type AS t1, b.event_type AS t2,
+         |       a.n_exact AS n1,
+         |       round(CASE WHEN a.n_exact >= 256 THEN 255.0 / a.theta
+         |                  ELSE CAST(a.n_exact AS DOUBLE) END, 4) AS est1,
+         |       b.n_exact AS n2,
+         |       round(CASE WHEN b.n_exact >= 256 THEN 255.0 / b.theta
+         |                  ELSE CAST(b.n_exact AS DOUBLE) END, 4) AS est2,
+         |       COALESCE(ex.inter_exact, 0) AS inter_exact,
+         |       round(COALESCE(co.c, 0) / least(a.theta, b.theta), 4)
+         |         AS inter_est,
+         |       round(CASE WHEN ut.nu >= 256 THEN 255.0 / ut.theta_u
+         |                  ELSE CAST(ut.nu AS DOUBLE) END, 4) AS union_est
+         |FROM th a JOIN th b ON a.event_type < b.event_type
+         |LEFT JOIN ex ON ex.t1 = a.event_type AND ex.t2 = b.event_type
+         |LEFT JOIN co ON co.t1 = a.event_type AND co.t2 = b.event_type
+         |JOIN ut ON ut.t1 = a.event_type AND ut.t2 = b.event_type
+         |ORDER BY t1, t2""".stripMargin) { (s, d) =>
+      val u = t(s, d, "events")
+        .select(col("event_type"),
+          PortableHash.pHash(col("user_id").cast("string")).as("h"))
+        .distinct()
+        .persist() // feeds the sketch agg AND both exact-overlap sides
+      val sk = u.groupBy("event_type").agg(
+        kmvSketch(col("h"), 256, 60).as("sk"),
+        count(lit(1)).as("n_exact")) // u is distinct → exact distinct count
+      val a = sk.select(col("event_type").as("t1"),
+        col("sk").as("ska"), col("n_exact").as("n1"))
+      val b = sk.select(col("event_type").as("t2"),
+        col("sk").as("skb"), col("n_exact").as("n2"))
+      val ex = u.as("x")
+        .join(u.as("y"),
+          col("x.h") === col("y.h") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("t1"), col("y.event_type").as("t2"))
+        .agg(count(lit(1)).as("inter_exact"))
+      a.join(b, col("t1") < col("t2"))
+        .join(ex, Seq("t1", "t2"), "left")
+        .select(
+          col("t1"), col("t2"), col("n1"),
+          round(kmvEstimate(col("ska")), 4).as("est1"),
+          col("n2"),
+          round(kmvEstimate(col("skb")), 4).as("est2"),
+          coalesce(col("inter_exact"), lit(0L)).as("inter_exact"),
+          round(kmvIntersectEst(col("ska"), col("skb")), 4).as("inter_est"),
+          round(kmvEstimate(kmvUnionPair(col("ska"), col("skb"))), 4)
+            .as("union_est"))
+        .orderBy("t1", "t2")
     }
   )
 }

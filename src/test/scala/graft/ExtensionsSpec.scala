@@ -77,6 +77,50 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(p8 - exact).toDouble / exact < 0.2) // rsd ~6.5% at p=8
   }
 
+  test("kmv sketch family is SQL-callable; merge lossless; intersect = exact below k") {
+    Tables(spark, "/root/testdata/sf0.001", "events")
+      .createOrReplaceTempView("ev_kmv_sql")
+    // pre-hashed input: the portable_hash SQL function (KMV's contract)
+    val onePass = spark.sql(
+      """SELECT kmv_estimate(kmv_sketch(portable_hash(user_id)))
+        |FROM ev_kmv_sql""".stripMargin).head().getDouble(0)
+    val exact = spark.sql(
+      "SELECT count(DISTINCT user_id) FROM ev_kmv_sql").head().getLong(0)
+    // sf0.001 has < 256 distinct users → exact regime
+    assert(onePass == exact.toDouble, s"kmv exact regime: $onePass vs $exact")
+    // per-group sketches merged via SQL == one-pass (k-smallest-of-union)
+    val merged = spark.sql(
+      """SELECT kmv_estimate(kmv_merge(sk)) FROM (
+        |  SELECT event_type, kmv_sketch(portable_hash(user_id)) AS sk
+        |  FROM ev_kmv_sql GROUP BY event_type)""".stripMargin)
+      .head().getDouble(0)
+    assert(merged == onePass)
+    // pairwise union + intersection over two type sketches: below k both
+    // are EXACT, so inclusion-exclusion must close exactly
+    val r = spark.sql(
+      """SELECT kmv_estimate(a.sk) AS ea, kmv_estimate(b.sk) AS eb,
+        |       kmv_intersect_est(a.sk, b.sk) AS ei,
+        |       kmv_estimate(kmv_union_pair(a.sk, b.sk)) AS eu,
+        |       kmv_theta(a.sk) AS ta
+        |FROM (SELECT kmv_sketch(portable_hash(user_id)) AS sk
+        |      FROM ev_kmv_sql WHERE event_type = 'click') a,
+        |     (SELECT kmv_sketch(portable_hash(user_id)) AS sk
+        |      FROM ev_kmv_sql WHERE event_type = 'view') b""".stripMargin)
+      .head()
+    assert(r.getDouble(4) == 1.0, "below-k sketch must have theta = 1")
+    assert(r.getDouble(0) + r.getDouble(1) - r.getDouble(2) == r.getDouble(3),
+      s"inclusion-exclusion must close exactly below k: $r")
+    // small-k estimator regime engages and stays within 4·rsd
+    val est32 = spark.sql(
+      """SELECT kmv_estimate(kmv_sketch(portable_hash(event_id), 32))
+        |FROM ev_kmv_sql""".stripMargin).head().getDouble(0)
+    val exactIds = spark.sql(
+      "SELECT count(DISTINCT event_id) FROM ev_kmv_sql").head().getLong(0)
+    assert(exactIds > 32, "fixture must push event_id past k=32")
+    assert(math.abs(est32 - exactIds) <= 4.0 * exactIds / math.sqrt(30.0),
+      s"kmv k=32 estimate $est32 vs exact $exactIds")
+  }
+
   test("kll_sketch / kll_merge / kll_quantile are SQL-callable") {
     import org.apache.spark.sql.functions.col
     val ev = Tables(spark, "/root/testdata/sf0.001", "events")

@@ -283,4 +283,64 @@ object SketchLawsProps extends Properties("graft.sketchlaws") {
       val maxPiece = SubwordTokenizer.vocab.map(_.length).max
       n >= (w.length + maxPiece - 1) / maxPiece && n <= w.length
     }
+
+  // ---- KMV/theta sketch (round 7) ----
+  import org.apache.spark.sql.graft.Kmv
+
+  private val kmvK = 64
+  // 60-bit non-negative hashes, PortableHash's domain
+  private val hash60: Gen[Long] = Gen.chooseNum(0L, (1L << 60) - 1)
+  private val hashes60: Gen[List[Long]] = Gen.listOf(hash60).map(_.take(400))
+
+  private def kmvOf(hs: Seq[Long]): Array[Byte] = {
+    val b = new Kmv.Buf(kmvK, 60)
+    hs.foreach(b.add)
+    Kmv.serialize(b)
+  }
+
+  property("kmv union == sketch of the union, bit-exact (any split)") =
+    Prop.forAll(hashes60, hashes60) { (a, b) =>
+      Kmv.unionSketch(kmvOf(a), kmvOf(b)).sameElements(kmvOf(a ++ b))
+    }
+
+  property("kmv union is commutative and idempotent") =
+    Prop.forAll(hashes60, hashes60) { (a, b) =>
+      Kmv.unionSketch(kmvOf(a), kmvOf(b))
+        .sameElements(Kmv.unionSketch(kmvOf(b), kmvOf(a))) &&
+        Kmv.unionSketch(kmvOf(a), kmvOf(a)).sameElements(kmvOf(a))
+    }
+
+  property("kmv estimate is EXACT below k (all values retained)") =
+    Prop.forAll(Gen.listOf(hash60).map(_.distinct.take(kmvK - 1))) { hs =>
+      Kmv.estimate(kmvOf(hs)) == hs.size.toDouble
+    }
+
+  property("kmv serialization round-trips bit-exactly") =
+    Prop.forAll(hashes60) { a =>
+      Kmv.serialize(Kmv.deserialize(kmvOf(a))).sameElements(kmvOf(a))
+    }
+
+  property("kmv estimate within 4·rsd of truth in the estimator regime") =
+    Prop.forAll(Gen.chooseNum(200, 2000), Gen.long) { (n, seed) =>
+      val r = new scala.util.Random(seed)
+      val hs = Seq.fill(n)(r.nextLong() & ((1L << 60) - 1)).distinct
+      val est = Kmv.estimate(kmvOf(hs))
+      // rsd ≈ 1/sqrt(k-2) ≈ 12.7% at k=64; 4σ keeps the fixed-seed run
+      // deterministic-green with full generator coverage
+      math.abs(est - hs.size) <= math.max(8.0, 4.0 * hs.size / math.sqrt(kmvK - 2))
+    }
+
+  property("kmv intersection ≈ |A∩B| (4·rsd) and exact when both below k") =
+    Prop.forAll(Gen.chooseNum(0, 40), Gen.chooseNum(0, 40), Gen.chooseNum(0, 20),
+      Gen.long) { (na, nb, nc, seed) =>
+      val r = new scala.util.Random(seed)
+      def draw(n: Int) = Seq.fill(n)(r.nextLong() & ((1L << 60) - 1)).distinct
+      val common = draw(nc)
+      val a = (draw(na) ++ common).distinct
+      val b = (draw(nb) ++ common).distinct.filterNot(a.diff(common).contains)
+      val est = Kmv.intersectEstimate(kmvOf(a), kmvOf(b))
+      val truth = a.toSet.intersect(b.toSet).size
+      // both sides < k → θ=1 → the estimate IS the exact overlap
+      est == truth.toDouble
+    }
 }
