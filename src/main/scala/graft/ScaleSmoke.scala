@@ -45,11 +45,26 @@ object ScaleSmoke {
 
     // the REAL operator (not an inline copy — the gap rule must stay the
     // one definition in Etl)
+    // Native one-pass sessionizer (round 7, cont.) vs the window compose
+    // at 60M: identical exchange+sort, but constant state instead of the
+    // window group buffer. Session-count equality is required — at this
+    // scale a flag/counter divergence would be visible here first.
+    var sessViaWindow = -1L; var sessViaNative = -2L
     time("sessionize 60M") {
-      operators.Etl.sessionized(ev)
+      sessViaWindow = operators.Etl.sessionized(ev)
         .groupBy("user_id", "session_id").agg(count(lit(1)))
         .count()
+      sessViaWindow
     }
+    time("sessionize native 60M") {
+      sessViaNative = org.apache.spark.sql.graft.SessionizePlan
+        .sessionize(ev, "user_id", "ts", Seq("event_id"))
+        .groupBy("user_id", "session_id").agg(count(lit(1))).count()
+      sessViaNative
+    }
+    if (sessViaWindow >= 0 && sessViaNative >= 0)
+      require(sessViaWindow == sessViaNative,
+        s"sessionize disagreement: window=$sessViaWindow native=$sessViaNative")
 
     time("monthly agg 60M") {
       ev.groupBy(col("user_id"), date_trunc("month", col("ts")).as("m"))

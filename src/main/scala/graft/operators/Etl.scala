@@ -353,6 +353,24 @@ object Etl {
         .orderBy("user_id", "session_id")
     },
 
+    // The native one-pass operator (plans/SessionizePlan.scala — §2.L
+    // preference-(c), the AsOfJoin pattern applied to sessionization),
+    // declared with the SAME oracle as etl_sessionize: the driver
+    // hash-verifies that swapping the two-window compose for the
+    // constant-state physical stream moves nothing. Same single exchange
+    // + sort (declared child requirements), but no window group buffer —
+    // a hot user's history streams instead of spilling.
+    Q("etl_sessionize_native", sessionizeOracle) { (s, d) =>
+      org.apache.spark.sql.graft.SessionizePlan
+        .sessionize(events(s, d), "user_id", "ts", Seq("event_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_id")
+    },
+
     // R3: CASE-AWARE visit construction — the reference's full visit
     // heuristic groups consecutive submissions by time proximity AND shared
     // cases, not time alone (SURVEY.md §1.2 R3). The entity key is the

@@ -75,4 +75,83 @@ class SessionizeSpec extends AnyFunSuite {
       .orderBy("user_id", "session_id").collect().toSeq
     assert(a == b)
   }
+
+  // ---- native one-pass operator (plans/SessionizePlan.scala) ----
+
+  private def nativeAnnotated(df: org.apache.spark.sql.DataFrame) =
+    org.apache.spark.sql.graft.SessionizePlan
+      .sessionize(df, "user_id", "ts", Seq("event_id"))
+
+  test("native operator ≡ window compose, row for row (randomized + nulls)") {
+    val rnd = new scala.util.Random(23)
+    val base = ts("2024-03-01 00:00:00").getTime
+    val rows = (0 until 300).map { i =>
+      val u: java.lang.Long =
+        if (rnd.nextInt(20) == 0) null else rnd.nextInt(4).toLong
+      val t: java.sql.Timestamp =
+        if (rnd.nextInt(25) == 0) null
+        else new java.sql.Timestamp(base + rnd.nextInt(86400) * 1000L)
+      (i.toLong, t, u)
+    }
+    val df = rows.toDF("event_id", "ts", "user_id")
+    val viaNative = nativeAnnotated(df)
+      .select("event_id", "session_id")
+      .as[(Long, Long)].collect().toMap
+    val viaWindow = Etl.sessionized(df)
+      .select("event_id", "session_id")
+      .as[(Long, Long)].collect().toMap
+    assert(viaNative.size == rows.size)
+    assert(viaNative == viaWindow,
+      s"diverging ids: ${viaNative.toSet.diff(viaWindow.toSet).take(5)}")
+  }
+
+  test("native plan: SessionizeExec present, NO Window node, one exchange") {
+    val df = ev(
+      (1, "2024-01-01 10:00:00", 1), (2, "2024-01-01 10:05:00", 2),
+      (3, "2024-01-01 12:00:00", 1))
+    val plan = nativeAnnotated(df).queryExecution.executedPlan.toString
+    // TreeNode.nodeName strips the Exec suffix: the node prints "Sessionize"
+    assert(plan.contains("Sessionize"), plan)
+    assert(!plan.contains("Window"), s"window leaked into the native plan:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"native sessionize must plan exactly one exchange:\n$plan")
+    assert(plan.contains("Sort [user_id") && plan.contains("Exchange hashpartitioning(user_id"),
+      s"EnsureRequirements must plan the declared layout:\n$plan")
+  }
+
+  test("native operator counts sessions in its SQL metric") {
+    val df = ev(
+      (1, "2024-01-01 10:00:00", 1), // user 1, session 1
+      (2, "2024-01-01 12:00:00", 1), // user 1, session 2 (gap)
+      (3, "2024-01-01 10:00:00", 2)) // user 2, session 1
+    val annotated = nativeAnnotated(df)
+    annotated.collect()
+    // AQE wraps the plan in query stages — descend through them
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findExec(p: SparkPlan): Seq[org.apache.spark.sql.graft.SessionizeExec] =
+      p match {
+        case e: org.apache.spark.sql.graft.SessionizeExec => Seq(e)
+        case a: AdaptiveSparkPlanExec => findExec(a.executedPlan)
+        case q: QueryStageExec => findExec(q.plan)
+        case other => other.children.flatMap(findExec)
+      }
+    val exec = findExec(annotated.queryExecution.executedPlan).head
+    assert(exec.metrics("numSessions").value == 3)
+    assert(exec.metrics("numOutputRows").value == 3)
+  }
+
+  test("native operator: downstream agg reuses the sessionize partitioning") {
+    // groupBy (user_id, session_id) after the operator must NOT add a
+    // second exchange: output partitioning (hash on user_id) satisfies
+    // the agg's ClusteredDistribution on a superset key
+    val df = ev(
+      (1, "2024-01-01 10:00:00", 1), (2, "2024-01-01 10:05:00", 2),
+      (3, "2024-01-01 12:00:00", 1))
+    val agged = nativeAnnotated(df)
+      .groupBy("user_id", "session_id").agg(count(lit(1)).as("n"))
+    val plan = agged.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"agg after native sessionize should reuse its partitioning:\n$plan")
+  }
 }
