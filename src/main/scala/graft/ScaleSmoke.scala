@@ -131,6 +131,42 @@ object ScaleSmoke {
         .count()
     }
 
+    // KMV/theta overlap at 60M (round 7, cont.): one fact-table pass
+    // builds a 2 KB sketch per event_type (FastHash — the production
+    // hash; PortableHash is the oracle mode), then pairwise
+    // intersect/union estimates on the bounded type frame. The exact
+    // overlap rides along ONLY to score the estimator here (a second
+    // distinct-pair pass the sketch path exists to avoid); estimates
+    // must land within 5·rsd ≈ 32% at k=256.
+    time("kmv theta overlap 60M") {
+      import org.apache.spark.sql.graft.KmvFunctions._
+      val hashed = ev.select(col("event_type"),
+        graft.functions.FastHash.hash(col("user_id").cast("string")).as("h"))
+      val sk = hashed.groupBy("event_type")
+        .agg(kmvSketch(col("h"), 256, 60).as("sk"))
+      val a = sk.select(col("event_type").as("t1"), col("sk").as("ska"))
+      val b = sk.select(col("event_type").as("t2"), col("sk").as("skb"))
+      val est = a.join(b, col("t1") < col("t2"))
+        .select(col("t1"), col("t2"),
+          kmvIntersectEst(col("ska"), col("skb")).as("est"))
+        .collect()
+      val u = hashed.distinct()
+      val exact = u.as("x")
+        .join(u.as("y"), col("x.h") === col("y.h") &&
+          col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("t1"), col("y.event_type").as("t2"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      est.foreach { r =>
+        val truth = exact((r.getString(0), r.getString(1)))
+        val e = r.getDouble(2)
+        require(math.abs(e - truth) <= 0.32 * truth,
+          s"kmv overlap ${r.getString(0)}/${r.getString(1)}: est=$e truth=$truth")
+      }
+      est.length.toLong
+    }
+
     // Semi-structured extraction at scale (round 5): N fields via
     // repeated get_json_object (re-parses the raw text per call) vs ONE
     // parse_json into a binary VARIANT + N variant_get reads — the
