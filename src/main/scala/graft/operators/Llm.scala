@@ -105,6 +105,94 @@ object Llm {
       .orderBy("d1", "d2")
   }
 
+  /** BPE merge-rule training over a (text) frame — see the llm_bpe_train
+    * Q for the full doctrine. Returns (round, pair, merged, cnt). Each
+    * round's word table and argmax are `localCheckpoint`ed (the CC-loop
+    * lineage idiom): round r references round r-1 TWICE (pair count +
+    * rewrite), so an unbroken lazy chain doubles the logical plan per
+    * round — 2^rounds subtrees analyzed (measured: OOMs the driver at 8
+    * rounds). The checkpoint truncates each round to its materialized
+    * result; the frames are vocabulary-sized, so the cost is a handful
+    * of tiny jobs while the fact table is still scanned exactly once.
+    */
+  private[graft] def bpeTrain(docsDf: DataFrame, rounds: Int): DataFrame = {
+    var words = docsDf
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(
+        concat(lit("|"), array_join(split(col("w"), ""), "|"), lit("|"))
+          .as("repr"),
+        col("freq"))
+      .localCheckpoint()
+    val merges = (1 to rounds).map { r =>
+      val pairs = words
+        .select(col("freq"),
+          split(trim(col("repr"), "|"), "\\|").as("s"))
+        .select(col("freq"), explode(expr(
+          // zip_with over the two shifted slices: empty when one symbol,
+          // no sequence() (whose DESCENDING stop<start behavior differs
+          // from the oracle's empty range())
+          "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1)," +
+            " (x, y) -> concat(x, ' ', y))")).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      val best = pairs
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .select(col("pair"), col("cnt"),
+          concat(lit("|"), regexp_replace(col("pair"), " ", "|"), lit("|"))
+            .as("pat"),
+          concat(lit("|"), regexp_replace(col("pair"), " ", ""), lit("|"))
+            .as("rep"))
+        .localCheckpoint()
+      words = words.crossJoin(broadcast(best))
+        .select(
+          expr("replace(replace(repr, pat, rep), pat, rep)").as("repr"),
+          col("freq"))
+        .localCheckpoint()
+      best.select(
+        lit(r.toLong).as("round"), col("pair"),
+        regexp_replace(col("pair"), " ", "").as("merged"), col("cnt"))
+    }
+    merges.reduce(_.unionByName(_)).orderBy("round")
+  }
+
+  /** Oracle twin of [[bpeTrain]]: the same rounds as a generated CTE
+    * chain (w0 → p1/b1/w1 → … → union of the b_r picks). */
+  private[graft] def bpeOracle(rounds: Int): String = {
+    val base =
+      """WITH w0 AS (
+        |  SELECT '|' || array_to_string(string_split(w, ''), '|') || '|' AS repr,
+        |         CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w
+        |)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT freq,
+         |           unnest(list_transform(range(1, len(s)),
+         |                  i -> s[i] || ' ' || s[i + 1])) AS pair
+         |    FROM (SELECT freq, string_split(trim(repr, '|'), '|') AS s
+         |          FROM w${r - 1})
+         |  ) GROUP BY pair
+         |), b$r AS (
+         |  SELECT pair, cnt,
+         |         '|' || replace(pair, ' ', '|') || '|' AS pat,
+         |         '|' || replace(pair, ' ', '') || '|' AS rep
+         |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1
+         |), w$r AS (
+         |  SELECT replace(replace(repr, b.pat, b.rep), b.pat, b.rep) AS repr,
+         |         freq
+         |  FROM w${r - 1}, b$r AS b
+         |)""".stripMargin
+    }.mkString(", ")
+    val picks = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, pair,
+         |       replace(pair, ' ', '') AS merged, cnt FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$base, $roundCtes\n$picks\nORDER BY round"
+  }
+
   /** Embedding side for pairwise cosine with the norm PRECOMPUTED once per
     * vector: the O(n²) pair stage then evaluates a single dot product per
     * pair, with sim = dot/(na·nb) — bitwise-identical to CosineSimilarity
@@ -649,6 +737,27 @@ object Llm {
             sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
           .orderBy("lang", "source")
     },
+
+    // In-engine BPE tokenizer TRAINING (Sennrich et al. 2016): learn the
+    // top-8 merge rules over the corpus — per round, count adjacent
+    // symbol pairs weighted by word frequency, take the argmax (count
+    // DESC, pair ASC), rewrite every word, repeat. The whole loop stays
+    // in-plan: the word table is VOCABULARY-sized (the groupBy collapses
+    // the 100 TB corpus to distinct words in one map-side-combinable
+    // pass — the only fact-table scan), each round is one tiny aggregate
+    // + a TakeOrderedAndProject(1) argmax attached via broadcast
+    // crossJoin (no driver collect), and the rewrite is a string
+    // replace. Symbols are '|'-delimited so multi-char symbols can never
+    // false-match across boundaries, and the replace runs TWICE per
+    // round: greedy non-overlapping matching leaves at most isolated
+    // blocked matches (two adjacent blocked matches would need three
+    // overlapping originals — impossible), so the second pass resolves
+    // exactly what delimiter-sharing blocked. Both engines' replace()
+    // scans left-to-right non-overlapping, replaying classic BPE's
+    // greedy merge order; the oracle rebuilds the identical 8-round CTE
+    // chain. BpeSpec checks the result against a driver-side reference
+    // BPE trainer on random corpora.
+    Q("llm_bpe_train", bpeOracle(8)) { (s, d) => bpeTrain(docs(s, d), 8) },
 
     // Tokenize → explode → term/document frequencies (UDTF-class op).
     Q("llm_tokenize_tf",
