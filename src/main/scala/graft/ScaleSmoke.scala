@@ -131,6 +131,22 @@ object ScaleSmoke {
         .count()
     }
 
+    // BPE training at 60M tokens (round 7, cont.): 4M synthetic docs ×
+    // 15 words drawn from a 10k-word vocabulary. The corpus collapses to
+    // the vocabulary-sized word-frequency frame in ONE scan; the 8 merge
+    // rounds then run over ≤10k rows each — corpus size should barely
+    // matter, which is exactly the property being smoked.
+    time("bpe train 60M tokens") {
+      val vocabSize = 10000
+      val docsBig = spark.range(4000000L).select(
+        col("id").as("doc_id"),
+        expr(s"""array_join(transform(sequence(1, 15), i ->
+             | concat('w', conv(cast(pmod(xxhash64(id, i), $vocabSize)
+             |   as string), 10, 36))), ' ')""".stripMargin.replace("\n", ""))
+          .as("text"))
+      operators.Llm.bpeTrain(docsBig, 8).count()
+    }
+
     // KMV/theta overlap at 60M (round 7, cont.): one fact-table pass
     // builds a 2 KB sketch per event_type (FastHash — the production
     // hash; PortableHash is the oracle mode), then pairwise

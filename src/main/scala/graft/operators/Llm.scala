@@ -115,11 +115,21 @@ object Llm {
     * result; the frames are vocabulary-sized, so the cost is a handful
     * of tiny jobs while the fact table is still scanned exactly once.
     */
-  private[graft] def bpeTrain(docsDf: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def bpeTrain(docsDf: DataFrame, rounds: Int): DataFrame =
+    bpeLoop(docsDf, rounds)._1
+
+  /** The trained word table: each distinct word with its final
+    * '|'-delimited symbol decomposition — the APPLY side's lookup
+    * (vocabulary-sized, broadcastable). */
+  private[graft] def bpeWords(docsDf: DataFrame, rounds: Int): DataFrame =
+    bpeLoop(docsDf, rounds)._2
+
+  private def bpeLoop(
+      docsDf: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     var words = docsDf
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(
+      .select(col("w"),
         concat(lit("|"), array_join(split(col("w"), ""), "|"), lit("|"))
           .as("repr"),
         col("freq"))
@@ -144,7 +154,7 @@ object Llm {
             .as("rep"))
         .localCheckpoint()
       words = words.crossJoin(broadcast(best))
-        .select(
+        .select(col("w"),
           expr("replace(replace(repr, pat, rep), pat, rep)").as("repr"),
           col("freq"))
         .localCheckpoint()
@@ -152,15 +162,17 @@ object Llm {
         lit(r.toLong).as("round"), col("pair"),
         regexp_replace(col("pair"), " ", "").as("merged"), col("cnt"))
     }
-    merges.reduce(_.unionByName(_)).orderBy("round")
+    (merges.reduce(_.unionByName(_)).orderBy("round"),
+      words.select(col("w"), col("repr")))
   }
 
-  /** Oracle twin of [[bpeTrain]]: the same rounds as a generated CTE
-    * chain (w0 → p1/b1/w1 → … → union of the b_r picks). */
-  private[graft] def bpeOracle(rounds: Int): String = {
+  /** The shared CTE chain of [[bpeOracle]]/[[bpeApplyOracle]]:
+    * w0 → p1/b1/w1 → … — each w_r carries (w, repr, freq). */
+  private def bpeOracleChain(rounds: Int): String = {
     val base =
       """WITH w0 AS (
-        |  SELECT '|' || array_to_string(string_split(w, ''), '|') || '|' AS repr,
+        |  SELECT w,
+        |         '|' || array_to_string(string_split(w, ''), '|') || '|' AS repr,
         |         CAST(count(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  GROUP BY w
@@ -181,17 +193,42 @@ object Llm {
          |         '|' || replace(pair, ' ', '') || '|' AS rep
          |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1
          |), w$r AS (
-         |  SELECT replace(replace(repr, b.pat, b.rep), b.pat, b.rep) AS repr,
+         |  SELECT w,
+         |         replace(replace(repr, b.pat, b.rep), b.pat, b.rep) AS repr,
          |         freq
          |  FROM w${r - 1}, b$r AS b
          |)""".stripMargin
     }.mkString(", ")
+    s"$base, $roundCtes"
+  }
+
+  /** Oracle twin of [[bpeTrain]]: the chain + union of the b_r picks. */
+  private[graft] def bpeOracle(rounds: Int): String = {
     val picks = (1 to rounds).map { r =>
       s"""SELECT CAST($r AS BIGINT) AS round, pair,
          |       replace(pair, ' ', '') AS merged, cnt FROM b$r""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"$base, $roundCtes\n$picks\nORDER BY round"
+    s"${bpeOracleChain(rounds)}\n$picks\nORDER BY round"
   }
+
+  /** Oracle twin of the llm_bpe_apply key: the chain + the per-source
+    * tokenization report off the final word table. */
+  private[graft] def bpeApplyOracle(rounds: Int): String =
+    s"""${bpeOracleChain(rounds)}
+       |SELECT source,
+       |       CAST(sum(n * len(w)) AS BIGINT) AS char_tokens,
+       |       CAST(sum(n * len(string_split(trim(repr, '|'), '|'))) AS BIGINT)
+       |         AS bpe_tokens,
+       |       round(sum(n * len(w)) * 1.0 /
+       |             sum(n * len(string_split(trim(repr, '|'), '|'))), 4)
+       |         AS compression
+       |FROM (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |  GROUP BY source, w
+       |) s JOIN w$rounds USING (w)
+       |GROUP BY source ORDER BY source""".stripMargin
 
   /** Embedding side for pairwise cosine with the norm PRECOMPUTED once per
     * vector: the O(n²) pair stage then evaluates a single dot product per
@@ -758,6 +795,32 @@ object Llm {
     // chain. BpeSpec checks the result against a driver-side reference
     // BPE trainer on random corpora.
     Q("llm_bpe_train", bpeOracle(8)) { (s, d) => bpeTrain(docs(s, d), 8) },
+
+    // APPLY the learned merges: tokenize the corpus with the trained
+    // table and report per-source char-tokens vs BPE-tokens compression —
+    // the train→encode loop closed in-engine. The merge table collapses
+    // encoding to a VOCABULARY-sized lookup (word → final symbol
+    // decomposition) broadcast onto a per-(source, word) count frame: at
+    // 100 TB the corpus is scanned once for the counts, the rewrite work
+    // is O(vocab · rounds), and no per-document string surgery happens at
+    // all — the same word is never re-encoded twice.
+    Q("llm_bpe_apply", bpeApplyOracle(8)) { (s, d) =>
+      val fin = bpeWords(docs(s, d), 8)
+        .select(col("w"),
+          size(split(trim(col("repr"), "|"), "\\|")).as("n_syms"))
+      val perSourceWord = docs(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("n"))
+      perSourceWord.join(broadcast(fin), Seq("w"))
+        .groupBy("source")
+        .agg(
+          sum(col("n") * length(col("w"))).as("char_tokens"),
+          sum(col("n") * col("n_syms")).as("bpe_tokens"))
+        .select(col("source"), col("char_tokens"), col("bpe_tokens"),
+          round(col("char_tokens") * 1.0 / col("bpe_tokens"), 4)
+            .as("compression"))
+        .orderBy("source")
+    },
 
     // Tokenize → explode → term/document frequencies (UDTF-class op).
     Q("llm_tokenize_tf",

@@ -96,6 +96,55 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("apply: compression laws on the harness corpus") {
+    val rows = SparkEntry.queries("llm_bpe_apply")(
+      spark, "/root/testdata/sf0.001").collect()
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val chars = r.getAs[Long]("char_tokens")
+      val bpe = r.getAs[Long]("bpe_tokens")
+      // every merge strictly shrinks a word's symbol count; no word grows
+      assert(bpe <= chars, s"bpe tokens exceed char tokens: $r")
+      assert(bpe > 0 && chars > 0)
+      val c = r.getAs[Double]("compression")
+      assert(c >= 1.0, s"compression below 1: $r")
+    }
+  }
+
+  test("apply ≡ reference encoding (symbol counts per word)") {
+    val corpus = Seq("abab abab cdcd", "abab cdcd cdcd ab cd")
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_bpe_apply").toString
+    corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val fin = operators.Llm
+      .bpeWords(spark.read.parquet(s"$d/documents.parquet"), 3)
+      .as[(String, String)].collect().toMap
+    spark.catalog.clearCache()
+    // replay the reference merges and re-encode each word
+    var reprs = corpus.flatMap(_.split(" ")).distinct
+      .map(w => w -> w.split("").toVector).toMap
+    referenceBpe(corpus, 3).foreach { case (_, pair, merged, _) =>
+      val Array(a, b) = pair.split(" ")
+      reprs = reprs.map { case (w, syms) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += merged; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        w -> out.result()
+      }
+    }
+    val expected = reprs.map { case (w, syms) =>
+      w -> syms.mkString("|", "|", "|")
+    }
+    assert(fin == expected, s"final word table diverged:\n $fin\n $expected")
+  }
+
   test("merges compose across rounds on the harness corpus (mer law)") {
     // sf0.001 corpus: a later round must consume an earlier round's
     // output symbol — the iterative dependency the CTE chain exists for
