@@ -1141,6 +1141,78 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // Temperature (α=0.5) sampling — the multilingual-balance recipe
+    // (UniMax / mT5-style): per-language sampling probability ∝ n^α,
+    // renormalized over a half-corpus budget and capped at one epoch, so
+    // dominant languages are DOWN-weighted and tail languages up-weighted
+    // relative to proportional sampling. Rates are DATA-DRIVEN (derived
+    // in-plan from corpus counts — llm_sample_mix's rates are authored
+    // constants), folded in pinned language order (the source_mix_kl
+    // fold idiom: engine-ordered double sums never decide output), made
+    // integral as permille thresholds, and applied with the deterministic
+    // portable-hash bucket — so both engines pick the IDENTICAL doc set.
+    // At 100 TB: two fact scans (count + filter), both map-side; the
+    // language-rate frame is bounded and broadcast.
+    Q("llm_sample_temperature",
+      s"""WITH c AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY lang
+         |), s AS (
+         |  SELECT list_reduce(list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang),
+         |                     (a, b) -> a + b) AS w_sum,
+         |         CAST(sum(n_docs) AS BIGINT) AS total
+         |  FROM c
+         |), r AS (
+         |  SELECT lang, n_docs,
+         |         sqrt(CAST(n_docs AS DOUBLE)) / w_sum AS share,
+         |         CAST(least(1000, floor(
+         |           sqrt(CAST(n_docs AS DOUBLE)) / w_sum
+         |           * floor(CAST(total AS DOUBLE) / 2) / n_docs * 1000))
+         |           AS BIGINT) AS rate_permille
+         |  FROM c CROSS JOIN s
+         |), p AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS picked
+         |  FROM (
+         |    SELECT d.lang
+         |    FROM documents d JOIN r USING (lang)
+         |    WHERE ${PortableHash.sql("CAST(doc_id AS VARCHAR)")} % 1000
+         |          < r.rate_permille
+         |  ) GROUP BY lang
+         |)
+         |SELECT r.lang, r.n_docs,
+         |       floor(r.share * 1000000) / 1000000 AS share,
+         |       r.rate_permille, COALESCE(p.picked, 0) AS picked
+         |FROM r LEFT JOIN p USING (lang)
+         |ORDER BY lang""".stripMargin) { (s, d) =>
+      val c = docs(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .persist() // feeds the pinned fold AND the per-lang rate rows
+      val sTot = c.agg(
+        expr("""aggregate(sort_array(collect_list(struct(lang, n_docs))),
+               | 0d, (a, e) -> a + sqrt(CAST(e.n_docs AS DOUBLE)))"""
+          .stripMargin).as("w_sum"),
+        sum(col("n_docs")).as("total"))
+      val rates = c.crossJoin(broadcast(sTot))
+        .select(col("lang"), col("n_docs"),
+          (sqrt(col("n_docs").cast("double")) / col("w_sum")).as("share"),
+          least(lit(1000L), floor(
+            sqrt(col("n_docs").cast("double")) / col("w_sum")
+              * floor(col("total").cast("double") / 2) / col("n_docs")
+              * 1000)).as("rate_permille"))
+      val picked = docs(s, d)
+        .select(col("lang"),
+          pmod(PortableHash.pHash(col("doc_id").cast("string")), lit(1000L))
+            .as("b"))
+        .join(broadcast(rates.select("lang", "rate_permille")), Seq("lang"))
+        .where(col("b") < col("rate_permille"))
+        .groupBy("lang").agg(count(lit(1)).as("picked"))
+      rates.join(picked, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          (floor(col("share") * 1000000) / 1000000).as("share"),
+          col("rate_permille"),
+          coalesce(col("picked"), lit(0L)).as("picked"))
+        .orderBy("lang")
+    },
+
     // Deterministic train/val/test split (round 5): the assignment every
     // training run needs before anything else. Split by content-stable
     // hash bucket — portable_hash(doc_id) mod 100 → 98/1/1 — so the

@@ -332,6 +332,27 @@ class NearDupSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("total")).distinct.length == 1)
   }
 
+  test("temperature sampling flattens the language mix (α=0.5 laws)") {
+    val rows = queries("llm_sample_temperature")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("rate_permille"), r.getAs[Long]("picked")))
+    assert(rows.length == 5)
+    val byN = rows.sortBy(_._2)
+    // rates are monotonically NON-INCREASING in corpus share: the biggest
+    // language gets the smallest sampling rate (the whole point of α<1)
+    assert(byN.zip(byN.tail).forall { case (small, big) => small._3 >= big._3 },
+      s"rates not anti-monotone in size: ${byN.mkString(", ")}")
+    rows.foreach { case (_, n, rate, picked) =>
+      assert(rate >= 0 && rate <= 1000)
+      assert(picked <= n)
+    }
+    // flattening: picked-count spread (max/min) must shrink vs raw spread
+    val rawSpread = byN.last._2.toDouble / byN.head._2
+    val pickedSpread = rows.map(_._4).max.toDouble / rows.map(_._4).min
+    assert(pickedSpread < rawSpread,
+      s"sampling did not flatten: raw $rawSpread picked $pickedSpread")
+  }
+
   // ---- prefix-filtered (All-Pairs/PPJoin) exact similarity join ----
 
   /** Brute-force threshold Jaccard join over distinct 3-shingles, computed
