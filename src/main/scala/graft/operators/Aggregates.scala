@@ -902,6 +902,108 @@ object Aggregates {
         .orderBy("bucket")
     },
 
+    // OHLC candlestick rollup (round 7, cont.): per (event_type, day)
+    // open/high/low/close/volume over the value stream — the time-series
+    // report finance and metrics dashboards both run. open/close are
+    // rank-1 picks under the unique (ts, event_id) order (SELECTIONS,
+    // not accumulations — no float-fold order risk); both directions ride
+    // ONE exchange on the group key (two Window sorts, same partitioning)
+    // and the rank filters fuse into the following hash agg. At 100 TB
+    // this is the standard pre-aggregation that turns a raw tick stream
+    // into a bounded (type × day) frame.
+    Q("agg_ohlc",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         value,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts, event_id) AS rn_a,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT event_type, day,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high,
+        |       min(value) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       CAST(count(*) AS BIGINT) AS volume
+        |FROM v GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val base = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+      val wa = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      base
+        .withColumn("rn_a", row_number().over(wa))
+        .withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          count(lit(1)).as("volume"))
+        .orderBy("event_type", "day")
+    },
+
+    // Cross-table money reconciliation (round 7, cont.): does each
+    // order's header total equal the sum of its line charges
+    // (extendedprice·(1-disc)·(1+tax))? The classic ledger-vs-detail
+    // audit — and a REAL finding on this fixture (the dq_uniqueness
+    // precedent): NO order reconciles within 1% and 257 orders at sf0.01
+    // have no lineitems at all, so the report is the banded error
+    // profile. Per-order charge sums fold in exact DECIMAL(18,6) (the
+    // tpch_q1 triple-product discipline — an engine-ordered double fold
+    // could flip band edges); the relative error and its band cut are
+    // then identical IEEE ops on both engines. At 100 TB: one shuffle
+    // each side on the join key (both fact-sized — no broadcast bait),
+    // partial agg collapses lineitem first, the band report is bounded.
+    Q("dq_reconciliation",
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |                       AS DECIMAL(18,6))) AS DOUBLE) AS s
+        |  FROM lineitem GROUP BY l_orderkey
+        |), j AS (
+        |  SELECT o_orderkey, o_totalprice, s,
+        |         abs(o_totalprice - s) / o_totalprice AS rel
+        |  FROM orders LEFT JOIN li ON l_orderkey = o_orderkey
+        |)
+        |SELECT CASE WHEN s IS NULL THEN 'no_lineitems'
+        |            WHEN rel < 0.01 THEN 'reconciled_1pct'
+        |            WHEN rel < 0.1 THEN 'off_10pct'
+        |            WHEN rel < 1.0 THEN 'off_100pct'
+        |            ELSE 'off_more' END AS band,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(min(rel), 6) AS min_rel,
+        |       round(max(rel), 6) AS max_rel
+        |FROM j GROUP BY 1 ORDER BY band""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).cast("decimal(18,6)"))
+          .cast("double").as("s"))
+      val j = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .join(li, col("l_orderkey") === col("o_orderkey"), "left")
+        .withColumn("rel",
+          abs(col("o_totalprice") - col("s")) / col("o_totalprice"))
+      j.withColumn("band",
+          when(col("s").isNull, "no_lineitems")
+            .when(col("rel") < 0.01, "reconciled_1pct")
+            .when(col("rel") < 0.1, "off_10pct")
+            .when(col("rel") < 1.0, "off_100pct")
+            .otherwise("off_more"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_orders"),
+          round(min(col("rel")), 6).as("min_rel"),
+          round(max(col("rel")), 6).as("max_rel"))
+        .orderBy("band")
+    },
+
     // KMV/theta-sketch audience overlap (round 7, cont.): per event-type
     // PAIR, estimated distinct users in each side, in the intersection,
     // and in the union — the set-algebra readout HLL structurally cannot
