@@ -3,7 +3,7 @@ package graft.config
 import graft.operators.Etl
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.KllFunctions
+import org.apache.spark.sql.graft.{KllFunctions, KmvFunctions}
 
 /** One config-driven ETL RUN — the reference platform's scheduled-pipeline
   * analog (R6–R9: fetch the configured window, rebuild the aggregate
@@ -66,8 +66,70 @@ object Pipeline {
         // round-5 continuation: the daily churn/retention ledger joins
         // the lake (same one-definition rule — Etl.churnDaily is the
         // declared etl_churn_daily key)
-        write(Etl.churnDaily(ev), Some("day"), s"$outDir/churn_daily"))
+        write(Etl.churnDaily(ev), Some("day"), s"$outDir/churn_daily"),
+        // round-7 continuation: per-type audience-reach KMV sketches —
+        // the FIFTH incrementally-maintained table, and the first whose
+        // state enables cross-row set algebra at read time (pairwise
+        // audience overlap via reachOverlap) that no scalar aggregate
+        // state could answer
+        write(typeReach(ev), None, s"$outDir/type_reach"))
     } finally ev.unpersist()
+  }
+
+  /** Per-type audience reach: a mergeable KMV sketch of distinct users
+    * plus its decoded estimate. FastHash (production mode — nothing here
+    * is oracle-compared; ApproxSpec/SketchLawsProps own the estimator). */
+  private[graft] def typeReach(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"))
+      .agg(KmvFunctions.kmvSketch(
+        graft.functions.FastHash.hash(col("user_id").cast("string")))
+        .as("reach_kmv"))
+      .withColumn("users_est",
+        KmvFunctions.kmvEstimate(col("reach_kmv")))
+
+  /** Incremental maintenance of `type_reach`: union the batch sketch into
+    * the published one. KMV union is k-smallest-of-unions — associative,
+    * commutative, idempotent-on-re-ingest only at the VALUE level (a
+    * replayed batch adds no new hash values), and bit-equal to the
+    * one-pass sketch (SketchLawsProps), so the incremental table is
+    * EXACTLY the full rebuild, not an approximation of it. */
+  def runIncrementalReach(
+      spark: SparkSession, cfg: RunConfig, outDir: String,
+      batchStart: String): TableResult = {
+    val path = s"$outDir/type_reach"
+    val prior = spark.read.parquet(path)
+    val batch = typeReach(
+      cfg.copy(startDate = None).table(spark, "events")
+        .where(col("ts") >= lit(batchStart).cast("timestamp")))
+      .select(col("event_type"), col("reach_kmv").as("b_kmv"))
+    val merged = prior
+      .join(batch, Seq("event_type"), "full_outer")
+      .select(
+        col("event_type"),
+        when(col("reach_kmv").isNull, col("b_kmv"))
+          .when(col("b_kmv").isNull, col("reach_kmv"))
+          .otherwise(KmvFunctions.kmvUnionPair(col("reach_kmv"), col("b_kmv")))
+          .as("reach_kmv"))
+      .withColumn("users_est",
+        KmvFunctions.kmvEstimate(col("reach_kmv")))
+      .localCheckpoint() // materialize BEFORE overwriting the source files
+    merged.write.mode(SaveMode.Overwrite).parquet(path)
+    TableResult("type_reach", spark.read.parquet(path).count(), path)
+  }
+
+  /** Read-time set algebra over the published sketches: pairwise audience
+    * overlap estimates — the query the KMV state exists to answer without
+    * rescanning history. */
+  def reachOverlap(spark: SparkSession, outDir: String): DataFrame = {
+    val t = spark.read.parquet(s"$outDir/type_reach")
+    val a = t.select(col("event_type").as("t1"), col("reach_kmv").as("ka"),
+      col("users_est").as("est1"))
+    val b = t.select(col("event_type").as("t2"), col("reach_kmv").as("kb"),
+      col("users_est").as("est2"))
+    a.join(b, col("t1") < col("t2"))
+      .select(col("t1"), col("t2"), col("est1"), col("est2"),
+        KmvFunctions.kmvIntersectEst(col("ka"), col("kb")).as("overlap_est"))
+      .orderBy("t1", "t2")
   }
 
   /** Incremental maintenance of the published `monthly_usage` table for an

@@ -22,7 +22,8 @@ class PipelineSpec extends AnyFunSuite {
       startDate = Some("2024-01-01"), endDate = Some("2024-02-01"))
     val results = Pipeline.run(spark, cfg, out)
     assert(results.map(_.table).toSet ==
-      Set("sessions", "monthly_usage", "user_lifetime", "churn_daily"))
+      Set("sessions", "monthly_usage", "user_lifetime", "churn_daily",
+        "type_reach"))
     assert(results.forall(_.rows > 0))
 
     // published churn ledger must equal the declared operator over the
@@ -189,6 +190,35 @@ class PipelineSpec extends AnyFunSuite {
       outInc, "2025-01-01")
     assert(resE.rows == 0L)
     assert(tableRows(outInc, "churn_daily") == ledgerBefore)
+
+    // type_reach (the FIFTH incrementally-maintained table): KMV union is
+    // bit-equal to the one-pass sketch (SketchLawsProps), so incremental
+    // must equal full rebuild INCLUDING the sketch bytes
+    def reachRows(out: String) = Pipeline.readTable(spark, out, "type_reach")
+      .select(col("event_type"), base64(col("reach_kmv")), col("users_est"))
+      .collect().map(_.toSeq).toSet
+    val resR = Pipeline.runIncrementalReach(
+      spark, RunConfig(d, Seq("events"), startDate = Some("2024-03-01")),
+      outInc, "2024-03-01")
+    assert(resR.rows > 0)
+    assert(reachRows(outInc) == reachRows(outFull),
+      "incrementally merged reach sketches must be bit-equal to rebuild")
+    // read-time set algebra: 10 users < k → exact regime, so the overlap
+    // estimate must EQUAL the true cross-type distinct-user overlap
+    val overlaps = Pipeline.reachOverlap(spark, outInc)
+      .select("t1", "t2", "overlap_est")
+      .as[(String, String, Double)].collect()
+    assert(overlaps.nonEmpty)
+    val evAll = spark.read.parquet(s"$d/events.parquet")
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)].collect()
+    val byType = evAll.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map(_._2).toSet
+    }
+    overlaps.foreach { case (t1, t2, est) =>
+      val truth = byType(t1).intersect(byType(t2)).size.toDouble
+      assert(est == truth, s"overlap $t1/$t2: est=$est truth=$truth")
+    }
   }
 
   test("streaming ingest maintains the lake tables exactly (foreachBatch incremental)") {

@@ -75,6 +75,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("kmv sketch aggregates under streaming state: stream == batch, exact regime") {
+    // k-smallest-of-union merging must survive state-store
+    // serialize/merge across micro-batches; below k the sketch retains
+    // everything, so the streamed estimate must equal BOTH the batch
+    // estimate and the true distinct count exactly
+    import org.apache.spark.sql.graft.KmvFunctions.{kmvEstimate, kmvSketch}
+    def perType(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"event_type")
+        .agg(kmvEstimate(kmvSketch(
+          graft.functions.PortableHash.pHash($"user_id".cast("string"))))
+          .as("nd"))
+    val streamed = runStream(perType)
+      .map(r => (r.getString(0), r.getDouble(1))).sorted
+    val batch = perType(rows.toDF())
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted
+    assert(streamed.toSeq == batch.toSeq)
+    val exact = rows.groupBy(_.event_type).map { case (t, es) =>
+      (t, es.map(_.user_id).distinct.size.toDouble)
+    }.toSeq.sorted
+    assert(streamed.toSeq == exact)
+  }
+
   test("cms sketch aggregates under streaming state: stream == batch, bit-exact") {
     // counters are linear (element-wise add), so like HLL the streamed
     // sketch built incrementally across micro-batches must equal the
