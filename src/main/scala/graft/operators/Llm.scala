@@ -72,13 +72,30 @@ object Llm {
     * on prefix tokens has NO false negatives and the verify stage makes the
     * result exactly the brute-force threshold join. The length filter
     * τ·|x| ≤ |y| ≤ |x|/τ is likewise implied by J ≥ τ.
+    *
+    * PPJoin's POSITIONAL filter stacks on top: J ≥ τ needs overlap
+    * ≥ ⌈τ/(1+τ)·(|x|+|y|)⌉, and for the pair's FIRST shared prefix token
+    * (positions i, j in the canonical order) no common token precedes it
+    * in either record (a common token before i in x sits before j in y
+    * too — the shared order aligns prefixes), so overlap ≤ 1 +
+    * min(|x|−i, |y|−j). The bound is largest at the first match and
+    * shrinks with i+j, so keeping pairs where ANY shared token passes ==
+    * keeping pairs whose first match passes: still zero false negatives,
+    * while shared-but-deep prefix tokens stop generating candidates
+    * (sf0.1: 310k → the verify stage was the key's whole cost).
     */
   private[graft] def ppjoinCandidates(docFrame: DataFrame, tau: Double): DataFrame = {
     val prefix = docFrame.select(col("doc_id"), col("n"),
-      explode(expr("transform(slice(toks, 1, p), x -> x.s)")).as("tok"))
+      posexplode(expr("transform(slice(toks, 1, p), x -> x.s)")))
+      .withColumnRenamed("col", "tok")
+    val overlapNeeded =
+      ceil((col("a.n") + col("b.n")) * lit(tau / (1 + tau)))
     prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
-        col("a.n") * lit(tau) <= col("b.n") && col("b.n") * lit(tau) <= col("a.n"))
+        col("a.n") * lit(tau) <= col("b.n") &&
+        col("b.n") * lit(tau) <= col("a.n") &&
+        lit(1) + least(col("a.n") - (col("a.pos") + 1),
+          col("b.n") - (col("b.pos") + 1)) >= overlapNeeded)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
   }
