@@ -902,6 +902,93 @@ object Aggregates {
         .orderBy("bucket")
     },
 
+    // PSI distribution drift (round 7, cont.): Population Stability
+    // Index of the value distribution, first half-month vs second, per
+    // event_type — THE deployed-model monitoring metric (PSI > 0.2 =
+    // investigate). Complements the mean-level drift family
+    // (dq_volume_anomaly z, win_cusum, llm_embedding_drift): PSI sees
+    // SHAPE changes the mean never moves. Bins are the agg_histogram
+    // $100 buckets; only bins present in BOTH periods enter the sum
+    // (ln(p/0) is undefined; the one-sided bin counts are reported
+    // alongside so mass appearing/vanishing is still visible). The
+    // per-type fold runs over the in-row bin list in pinned bin order
+    // (source_mix_kl idiom) with floor-truncation — engine-ordered
+    // double sums never decide output. One fact scan; the bin frame is
+    // bounded (types × ~100 buckets).
+    Q("dq_psi_drift",
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS period,
+        |         CAST(floor(value / 100) AS BIGINT) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2, 3
+        |), w AS (
+        |  SELECT event_type, bin,
+        |         CAST(sum(CASE WHEN period = 0 THEN n ELSE 0 END) AS BIGINT) AS n_ref,
+        |         CAST(sum(CASE WHEN period = 1 THEN n ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM b GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type,
+        |         CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+        |         CAST(sum(n_cur) AS BIGINT) AS tot_cur,
+        |         CAST(sum(CASE WHEN n_ref > 0 AND n_cur > 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS bins_common,
+        |         CAST(sum(CASE WHEN n_ref > 0 AND n_cur = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS bins_ref_only,
+        |         CAST(sum(CASE WHEN n_ref = 0 AND n_cur > 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS bins_cur_only,
+        |         list(struct_pack(bin := bin, n_ref := n_ref, n_cur := n_cur)
+        |              ORDER BY bin) AS bins
+        |  FROM w GROUP BY event_type
+        |)
+        |SELECT event_type, tot_ref, tot_cur, bins_common, bins_ref_only,
+        |       bins_cur_only,
+        |       floor(list_reduce(list_prepend(0.0, list_transform(bins, e ->
+        |         CASE WHEN e.n_ref > 0 AND e.n_cur > 0 THEN
+        |           (CAST(e.n_cur AS DOUBLE) / CAST(tot_cur AS DOUBLE)
+        |            - CAST(e.n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE))
+        |           * ln((CAST(e.n_cur AS DOUBLE) / CAST(tot_cur AS DOUBLE))
+        |                / (CAST(e.n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE)))
+        |         ELSE 0.0 END)), (a, x) -> a + x) * 1000000) / 1000000 AS psi
+        |FROM t ORDER BY event_type""".stripMargin) { (s, d) =>
+      val b = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          when(col("ts") < lit("2024-01-16").cast("timestamp"), 0)
+            .otherwise(1).as("period"),
+          floor(col("value") / 100).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+      val w = b.groupBy("event_type", "bin")
+        .agg(
+          sum(when(col("period") === 0, col("n")).otherwise(0L)).as("n_ref"),
+          sum(when(col("period") === 1, col("n")).otherwise(0L)).as("n_cur"))
+      w.groupBy("event_type")
+        .agg(
+          sum(col("n_ref")).as("tot_ref"),
+          sum(col("n_cur")).as("tot_cur"),
+          sum(when(col("n_ref") > 0 && col("n_cur") > 0, 1L).otherwise(0L))
+            .as("bins_common"),
+          sum(when(col("n_ref") > 0 && col("n_cur") === 0, 1L).otherwise(0L))
+            .as("bins_ref_only"),
+          sum(when(col("n_ref") === 0 && col("n_cur") > 0, 1L).otherwise(0L))
+            .as("bins_cur_only"),
+          expr("sort_array(collect_list(struct(bin, n_ref, n_cur)))")
+            .as("bins"))
+        .select(col("event_type"), col("tot_ref"), col("tot_cur"),
+          col("bins_common"), col("bins_ref_only"), col("bins_cur_only"),
+          (floor(expr(
+            """aggregate(bins, 0d, (a, e) ->
+              |  a + (CASE WHEN e.n_ref > 0 AND e.n_cur > 0 THEN
+              |    (CAST(e.n_cur AS DOUBLE) / CAST(tot_cur AS DOUBLE)
+              |     - CAST(e.n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE))
+              |    * ln((CAST(e.n_cur AS DOUBLE) / CAST(tot_cur AS DOUBLE))
+              |         / (CAST(e.n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE)))
+              |  ELSE 0d END))""".stripMargin) * 1000000) / lit(1000000))
+            .as("psi"))
+        .orderBy("event_type")
+    },
+
     // OHLC candlestick rollup (round 7, cont.): per (event_type, day)
     // open/high/low/close/volume over the value stream — the time-series
     // report finance and metrics dashboards both run. open/close are
