@@ -138,6 +138,29 @@ object Etl {
           .over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  private val sessionizeEntityOracle =
+    """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         json_extract_string(props, '$.k') AS entity,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |                OR json_extract_string(props, '$.k') IS DISTINCT FROM
+        |                   lag(json_extract_string(props, '$.k')) OVER w
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, entity, ts,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id, entity,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, session_id, entity
+        |ORDER BY user_id, session_id""".stripMargin
+
   private val sessionizeOracle =
     """WITH g AS (
       |  SELECT user_id, event_id, ts,
@@ -382,28 +405,28 @@ object Etl {
     // awareness costs zero extra shuffles at 100 TB.
     Q(
       "etl_sessionize_entity",
-      """WITH g AS (
-        |  SELECT user_id, event_id, ts,
-        |         json_extract_string(props, '$.k') AS entity,
-        |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
-        |                OR json_extract_string(props, '$.k') IS DISTINCT FROM
-        |                   lag(json_extract_string(props, '$.k')) OVER w
-        |              THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |), s AS (
-        |  SELECT user_id, entity, ts,
-        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM g
-        |)
-        |SELECT user_id, session_id, entity,
-        |       min(ts) AS session_start, max(ts) AS session_end,
-        |       CAST(count(*) AS BIGINT) AS n_events
-        |FROM s GROUP BY user_id, session_id, entity
-        |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      sessionizeEntityOracle) { (s, d) =>
       sessionizedEntity(events(s, d))
+        .groupBy(col("user_id"), col("session_id"), col("entity"))
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // The ENTITY-AWARE native operator: the same SessionizeExec stream
+    // with an optional null-safe entity split (a change of the case
+    // under work starts a new visit inside the time gap) — proving the
+    // physical operator generalizes past the plain gap rule. Same oracle
+    // as etl_sessionize_entity: three plans (window compose, native,
+    // native-entity) now pin two sessionize semantics between them.
+    Q("etl_sessionize_entity_native", sessionizeEntityOracle) { (s, d) =>
+      org.apache.spark.sql.graft.SessionizePlan
+        .sessionize(
+          events(s, d)
+            .withColumn("entity", get_json_object(col("props"), "$.k")),
+          "user_id", "ts", Seq("event_id"), entity = Some("entity"))
         .groupBy(col("user_id"), col("session_id"), col("entity"))
         .agg(
           min(col("ts")).as("session_start"),

@@ -43,6 +43,7 @@ case class Sessionize(
     ts: Attribute,
     tie: Seq[Attribute],
     gapMicros: Long,
+    entity: Option[Attribute],
     sessionAttr: AttributeReference) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ sessionAttr
   override def producedAttributes: AttributeSet = AttributeSet(sessionAttr)
@@ -53,8 +54,8 @@ case class Sessionize(
 /** Planner strategy: [[Sessionize]] → [[SessionizeExec]]. */
 object SessionizeStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case Sessionize(c, k, t, tie, gap, out) =>
-      SessionizeExec(planLater(c), k, t, tie, gap, out) :: Nil
+    case Sessionize(c, k, t, tie, gap, ent, out) =>
+      SessionizeExec(planLater(c), k, t, tie, gap, ent, out) :: Nil
     case _ => Nil
   }
 }
@@ -69,6 +70,7 @@ case class SessionizeExec(
     ts: Attribute,
     tie: Seq[Attribute],
     gapMicros: Long,
+    entity: Option[Attribute],
     sessionAttr: AttributeReference) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ sessionAttr
@@ -94,6 +96,9 @@ case class SessionizeExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val keyIdx = child.output.indexWhere(_.exprId == key.exprId)
     val tsIdx = child.output.indexWhere(_.exprId == ts.exprId)
+    val entIdx = entity.map(e =>
+      child.output.indexWhere(_.exprId == e.exprId)).getOrElse(-1)
+    val entType = entity.map(_.dataType).orNull
     val keyType = key.dataType
     val tsType = ts.dataType
     val outAttrs = output
@@ -107,10 +112,14 @@ case class SessionizeExec(
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val idRow = new GenericInternalRow(1)
 
+      val entOrd = if (entIdx >= 0) TypeUtils.getInterpretedOrdering(entType)
+        else null
       var hasPrev = false
       var prevKey: Any = null
       var prevTsNull = true
       var prevTs = 0L
+      var prevEnt: Any = null
+      var prevEntNull = true
       var counter = 0L
 
       iter.map { row =>
@@ -126,9 +135,22 @@ case class SessionizeExec(
         // composed-form flag: first row of the key, NULL previous ts, or a
         // strict gap. A NULL current ts never exceeds the gap (SQL 3VL) —
         // and under nulls-first ordering it can only follow another NULL.
-        val newSess = !sameKey || prevTsNull || (!tNull && t > prevTs + gap)
+        // entity split (null-safe <=>): a change of the entity under work
+        // starts a new visit even inside the time gap
+        val entNull = entIdx >= 0 && row.isNullAt(entIdx)
+        val ent = if (entIdx < 0 || entNull) null else row.get(entIdx, entType)
+        val entityChanged = entIdx >= 0 && sameKey &&
+          !(if (entNull || prevEntNull) entNull && prevEntNull
+            else entOrd.compare(ent, prevEnt) == 0)
+        val newSess = !sameKey || prevTsNull ||
+          (!tNull && t > prevTs + gap) || entityChanged
         if (newSess) { counter += 1L; numSessions += 1 }
         hasPrev = true
+        prevEntNull = entIdx < 0 || entNull
+        prevEnt = if (entIdx < 0 || entNull) null else ent match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+          case other => other
+        }
         prevKey = if (kNull) null else k match {
           // stable copies: unsafe-row-backed values are reused buffers
           case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
@@ -157,7 +179,8 @@ object SessionizePlan {
       ts: String,
       tie: Seq[String] = Nil,
       gapMinutes: Int = 30,
-      sessionCol: String = "session_id"): DataFrame = {
+      sessionCol: String = "session_id",
+      entity: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.classic
     def attr(name: String): Attribute =
       df.queryExecution.analyzed.output
@@ -168,6 +191,7 @@ object SessionizePlan {
       df.queryExecution.analyzed,
       attr(key), attr(ts), tie.map(attr),
       gapMinutes.toLong * 60L * 1000000L,
+      entity.map(attr),
       AttributeReference(sessionCol, LongType, nullable = false)())
     classic.Dataset.ofRows(
       df.sparkSession.asInstanceOf[classic.SparkSession], node)

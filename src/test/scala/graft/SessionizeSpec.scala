@@ -105,6 +105,34 @@ class SessionizeSpec extends AnyFunSuite {
       s"diverging ids: ${viaNative.toSet.diff(viaWindow.toSet).take(5)}")
   }
 
+  test("entity-aware native ≡ entity window compose (nulls + changes)") {
+    val rnd = new scala.util.Random(31)
+    val base = ts("2024-04-01 00:00:00").getTime
+    val rows = (0 until 300).map { i =>
+      val ent = rnd.nextInt(4) match {
+        case 0 => """{"k":"a"}"""
+        case 1 => """{"k":"b"}"""
+        case 2 => """{"x":1}""" // no k → entity NULL
+        case _ => """{"k":"c"}"""
+      }
+      (i.toLong, new java.sql.Timestamp(base + rnd.nextInt(86400) * 1000L),
+        rnd.nextInt(3).toLong, ent)
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "props")
+    val viaNative = org.apache.spark.sql.graft.SessionizePlan
+      .sessionize(df.withColumn("entity",
+          get_json_object(col("props"), "$.k")),
+        "user_id", "ts", Seq("event_id"), entity = Some("entity"))
+      .select("event_id", "session_id")
+      .as[(Long, Long)].collect().toMap
+    val viaWindow = Etl.sessionizedEntity(df)
+      .select("event_id", "session_id")
+      .as[(Long, Long)].collect().toMap
+    assert(viaNative.size == rows.size)
+    assert(viaNative == viaWindow,
+      s"diverging: ${viaNative.toSet.diff(viaWindow.toSet).take(5)}")
+  }
+
   test("native plan: SessionizeExec present, NO Window node, one exchange") {
     val df = ev(
       (1, "2024-01-01 10:00:00", 1), (2, "2024-01-01 10:05:00", 2),
