@@ -1222,7 +1222,7 @@ object Llm {
         .join(broadcast(rates.select("lang", "rate_permille")), Seq("lang"))
         .where(col("b") < col("rate_permille"))
         .groupBy("lang").agg(count(lit(1)).as("picked"))
-      rates.join(picked, Seq("lang"), "left")
+      rates.join(broadcast(picked), Seq("lang"), "left")
         .select(col("lang"), col("n_docs"),
           (floor(col("share") * 1000000) / 1000000).as("share"),
           col("rate_permille"),

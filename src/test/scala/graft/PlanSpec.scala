@@ -804,4 +804,40 @@ class PlanSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("agg_theta_overlap: object-hash sketch agg, type-pair join stays bounded") {
+    val p = plan("agg_theta_overlap")
+    // TypedImperativeAggregate plans as a two-phase ObjectHashAggregate —
+    // partial sketches merge map-side, 2 KB per (type × partition) shuffles
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.toLowerCase.contains("kmv_sketch"), p)
+    // the t1 < t2 pair join runs over the BOUNDED type frame as a
+    // broadcast nested loop — never a cartesian of unbounded relations
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("llm_sim_join_prefix: equi candidate join, no cartesian, doc frame reused") {
+    val p = plan("llm_sim_join_prefix")
+    assert(!p.contains("CartesianProduct"),
+      s"prefix join must never plan a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be an EQUI join on the prefix token:\n$p")
+    // the persisted ppjoin doc frame feeds prefix + both verify sides
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("dq_reconciliation: lineitem pre-aggregated below the join, no cartesian") {
+    val p = plan("dq_reconciliation")
+    assert(!p.contains("CartesianProduct"), p)
+    // per-order partial/final agg collapses lineitem BEFORE the join —
+    // the join reads order-grain rows, never raw line items
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("llm_sample_temperature: bounded rate frame broadcast onto the fact scan") {
+    val p = plan("llm_sample_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the lang-rate frame must broadcast (bounded domain):\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
