@@ -131,6 +131,31 @@ object ScaleSmoke {
         .count()
     }
 
+    // Prefix-filtered similarity join at 200k docs (round 7, cont.):
+    // 40-word docs over a 50k-word vocabulary (real corpora have LARGE
+    // vocabularies — exactly where rarest-first prefix tokens are
+    // selective; the harness fixture's 31-word vocab is the worst case).
+    // Every doc_id ≡ 0 (mod 1000) clones the previous doc's text, so
+    // ~200 planted pairs at Jaccard 1.0 must ALL surface — the filter is
+    // exact, recall below 1.0 is a correctness failure, not a tuning knob.
+    time("prefix simjoin 200k docs") {
+      val docsBig = spark.range(200000L).select(
+        col("id").as("doc_id"),
+        expr("""array_join(transform(sequence(1, 40), i ->
+             | concat('w', conv(cast(pmod(xxhash64(id - cast(id % 1000 = 0 as int), i), 50000)
+             |   as string), 10, 36))), ' ')""".stripMargin.replace("\n", ""))
+          .as("text"))
+      val out = operators.Llm.prefixJaccardJoin(docsBig, 0.5)
+        .select(col("d1"), col("d2"))
+      val planted = out.where(col("d2") === col("d1") + 1 &&
+        pmod(col("d2"), lit(1000)) === 0).count()
+      val total = out.count()
+      require(planted == 199L,
+        s"prefix join must find every planted clone pair: $planted/199")
+      spark.catalog.clearCache()
+      total
+    }
+
     // BPE training at 60M tokens (round 7, cont.): 4M synthetic docs ×
     // 15 words drawn from a 10k-word vocabulary. The corpus collapses to
     // the vocabulary-sized word-frequency frame in ONE scan; the 8 merge
