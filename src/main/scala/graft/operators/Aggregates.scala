@@ -902,6 +902,64 @@ object Aggregates {
         .orderBy("bucket")
     },
 
+    // Mann-Kendall trend test (round 7, cont.): per event_type, the
+    // nonparametric monotone-trend statistic over the daily count series
+    // — S = Σ_{i<j} sign(c_j − c_i), its normal approximation z with
+    // continuity correction. The rank-based complement of
+    // etl_autocorr_daily/win_cusum: no distribution assumption, robust
+    // to spikes, the standard environmental/ops "is this actually
+    // trending" test. All-pairs runs over the BOUNDED daily report frame
+    // (30 days → 435 pairs per type, never the fact table), S stays an
+    // exact BIGINT, and z is derived from integers in identical IEEE
+    // order on both engines.
+    Q("agg_trend_mk",
+      """WITH dtab AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT a.event_type,
+        |         CAST(sum(CASE WHEN b.c > a.c THEN 1
+        |                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM dtab a JOIN dtab b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1
+        |), n AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM dtab GROUP BY 1
+        |)
+        |SELECT event_type, n_days, s,
+        |       round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1)
+        |                    / sqrt(CAST(n_days AS DOUBLE) * (n_days - 1)
+        |                           * (2 * n_days + 5) / 18)
+        |                  WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1)
+        |                    / sqrt(CAST(n_days AS DOUBLE) * (n_days - 1)
+        |                           * (2 * n_days + 5) / 18)
+        |                  ELSE 0.0 END, 6) AS z
+        |FROM p JOIN n USING (event_type)
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dtab = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .persist() // bounded report frame feeds both pair sides + n
+      val pairs = dtab.as("a")
+        .join(dtab.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") < col("b.day"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(sum(when(col("b.c") > col("a.c"), 1L)
+          .when(col("b.c") < col("a.c"), -1L).otherwise(0L)).as("s"))
+      val n = dtab.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      val sd = sqrt(col("n_days").cast("double") * (col("n_days") - 1)
+        * (lit(2) * col("n_days") + 5) / 18)
+      pairs.join(n, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("s"),
+          round(
+            when(col("s") > 0, (col("s").cast("double") - 1) / sd)
+              .when(col("s") < 0, (col("s").cast("double") + 1) / sd)
+              .otherwise(0.0), 6).as("z"))
+        .orderBy("event_type")
+    },
+
     // PSI distribution drift (round 7, cont.): Population Stability
     // Index of the value distribution, first half-month vs second, per
     // event_type — THE deployed-model monitoring metric (PSI > 0.2 =

@@ -1750,6 +1750,48 @@ object Llm {
         .orderBy("q_id", "rn")
     },
 
+    // Hard-negative mining (round 7, cont.) — the contrastive-training
+    // data op (SimCSE/DPR recipe): for each anchor, the top-3 MOST
+    // similar vectors carrying a DIFFERENT label — maximally confusing
+    // negatives, where random negatives teach nothing. Same broadcast-
+    // anchors + probe-fanout + WindowGroupLimit shape as llm_knn_per_query
+    // with the label-inequality predicate fused into the join; at 100 TB
+    // the scale path swaps the brute probe for the IVF/LSH bucket join
+    // (llm_ann_ivf) with the label filter unchanged.
+    Q("llm_hard_negatives",
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 20
+        |), s AS (
+        |  SELECT q_id, q_label, c.vec_id AS n_id, c.label AS n_label,
+        |         round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+        |                                      CAST(c.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM q JOIN embeddings c ON c.label <> q_label
+        |), r AS (
+        |  SELECT q_id, q_label, n_id, n_label, sim,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |  FROM s
+        |)
+        |SELECT q_id, q_label, n_id, n_label, sim, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 3
+        |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+      val q = emb(s, d).where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"))
+      val c = emb(s, d).select(col("vec_id").as("n_id"),
+        col("label").as("n_label"), col("embedding").as("n_emb"))
+        .repartition(probeFanout(s))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      c.join(broadcast(q), col("n_label") =!= col("q_label"))
+        .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+          round(cosineSim(col("q_emb"), col("n_emb")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+          col("sim"), col("rn").cast("long").as("rn"))
+        .orderBy("q_id", "rn")
+    },
+
     // All pairs above a similarity threshold — dedup-graph edges. DECLARED
     // brute-force baseline; the sub-quadratic scale twin at the SAME τ is
     // llm_sim_join_threshold_lsh below (union-of-bands sign-LSH).
