@@ -777,6 +777,72 @@ object Llm {
         .orderBy("doc_id", "pos")
     },
 
+    // Dataset card (round 7, cont.) — the "datasheets for datasets"
+    // one-pager, per source: volume, token mass, quality, language mix
+    // with the dominant language, and the exact-duplicate rate. Every
+    // column reuses an audited per-key definition (quality =
+    // llm_quality_score's formula, dup rate = llm_exact_dedup's md5
+    // identity, mode = agg_mode's deterministic argmax) so the card can
+    // never drift from the operators it summarizes. avg_quality folds in
+    // DECIMAL(18,6) (engine-ordered double sums never decide output);
+    // everything else is integer-derived. One fact scan + the bounded
+    // per-(source, lang) frame; at 100 TB this is the nightly report
+    // that decides which sources ship.
+    Q("llm_dataset_card", {
+      val nw = "len(string_split(text, ' '))"
+      s"""WITH base AS (
+         |  SELECT source, lang, text,
+         |         CAST($nw AS BIGINT) AS n_tok,
+         |         md5(text) AS th,
+         |         ${qualitySql(nw, stopCountSql)} AS q
+         |  FROM documents
+         |), per_lang AS (
+         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+         |  FROM base GROUP BY 1, 2
+         |), top_lang AS (
+         |  SELECT source, lang AS top_lang FROM (
+         |    SELECT source, lang,
+         |           row_number() OVER (PARTITION BY source
+         |                              ORDER BY c DESC, lang) AS rn
+         |    FROM per_lang) WHERE rn = 1
+         |)
+         |SELECT b.source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |       round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE)
+         |             / count(*), 6) AS avg_quality,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |       max(t.top_lang) AS top_lang,
+         |       round((count(*) - count(DISTINCT th)) * 1.0 / count(*), 6)
+         |         AS exact_dup_rate
+         |FROM base b JOIN top_lang t ON b.source = t.source
+         |GROUP BY b.source ORDER BY b.source""".stripMargin
+    }) { (s, d) =>
+      val base = docs(s, d).select(
+        col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        md5(col("text")).as("th"),
+        qualityCol(size(split(col("text"), " ")), stopCountCol).as("q"))
+      val perLang = base.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      val wTop = Window.partitionBy("source").orderBy(col("c").desc, col("lang"))
+      val topLang = perLang
+        .withColumn("rn", row_number().over(wTop))
+        .where(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      base.join(broadcast(topLang), Seq("source"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          round(sum(col("q").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 6).as("avg_quality"),
+          countDistinct(col("lang")).as("n_langs"),
+          max(col("top_lang")).as("top_lang"),
+          round((count(lit(1)) - countDistinct(col("th"))) * 1.0
+            / count(lit(1)), 6).as("exact_dup_rate"))
+        .orderBy("source")
+    },
+
     Q("llm_doc_stats",
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
         |       round(avg(n_chars), 4) AS avg_chars,
