@@ -100,17 +100,13 @@ object Llm {
       .distinct()
   }
 
-  /** Prefix-filtered EXACT Jaccard join at threshold τ — candidates from
-    * [[ppjoinCandidates]], then one in-row `array_intersect` verify per
-    * candidate (the doc frame is persisted once and feeds the prefix
-    * explode and both verify sides). Result-identical to the all-shared-
-    * shingle-pairs plan, so the two keys share an oracle shape.
-    */
-  private[graft] def prefixJaccardJoin(docsDf: DataFrame, tau: Double): DataFrame = {
-    val docFrame = ppjoinDocFrame(docsDf, tau).persist()
+  /** The exact verify stage: one in-row `array_intersect` per candidate
+    * pair against the persisted doc frame. */
+  private def ppjoinVerify(
+      docFrame: DataFrame, cand: DataFrame, tau: Double): DataFrame = {
     val arrs = docFrame.select(col("doc_id"),
       expr("transform(toks, x -> x.s)").as("ts"), col("n"))
-    ppjoinCandidates(docFrame, tau)
+    cand
       .join(arrs.as("x"), col("d1") === col("x.doc_id"))
       .join(arrs.as("y"), col("d2") === col("y.doc_id"))
       .withColumn("inter",
@@ -120,6 +116,67 @@ object Llm {
       .where(col("jaccard") >= tau)
       .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
       .orderBy("d1", "d2")
+  }
+
+  /** Prefix-filtered EXACT Jaccard join at threshold τ — candidates from
+    * [[ppjoinCandidates]], then [[ppjoinVerify]] (the doc frame is
+    * persisted once and feeds the prefix explode and both verify sides).
+    * Result-identical to the all-shared-shingle-pairs plan, so the keys
+    * share an oracle shape.
+    */
+  private[graft] def prefixJaccardJoin(docsDf: DataFrame, tau: Double): DataFrame = {
+    val docFrame = ppjoinDocFrame(docsDf, tau).persist()
+    ppjoinVerify(docFrame, ppjoinCandidates(docFrame, tau), tau)
+  }
+
+  /** The no-prefix exact plan: every shared-shingle pair, intersection
+    * counted by the join itself (llm_ngram_jaccard's shape with a τ cut).
+    * No canonical-order doc frame, no per-pair array work — cheaper when
+    * prefixes wouldn't prune (small vocabularies make prefix tokens
+    * common). */
+  private[graft] def sharedShingleThreshold(
+      docsDf: DataFrame, tau: Double): DataFrame = {
+    val sh = shingleDf(docsDf).persist() // feeds sizes + both pair sides
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pr = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    pr.join(sz.as("x"), col("d1") === col("x.doc_id"))
+      .join(sz.as("y"), col("d2") === col("y.doc_id"))
+      .withColumn("jaccard",
+        round(col("inter") * 1.0 / (col("x.n") + col("y.n") - col("inter")), 6))
+      .where(col("jaccard") >= tau)
+      .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** ADAPTIVE exact similarity join: build the (cheap) prefix candidate
+    * set, OBSERVE its size, and only run the per-pair array verify if
+    * candidates stay within `candBudgetPerDoc`×docs — otherwise fall back
+    * to the shared-shingle aggregation, which counts intersections inside
+    * the join instead of per pair. The AQE move (decide after observing a
+    * stage) applied where Spark can't see: BOTH branches are exact and
+    * return identical rows, so the choice is invisible to results — the
+    * declared key answers the same oracle whichever branch fires. The
+    * observation costs one count() over the already-persisted candidate
+    * frame; vocabulary shape decides the branch (50k-vocab corpora prune
+    * to ~the true pair count, the 31-word harness corpus does not).
+    */
+  private[graft] def simJoinThresholdAuto(
+      docsDf: DataFrame, tau: Double,
+      candBudgetPerDoc: Long = 32L): DataFrame = {
+    val docFrame = ppjoinDocFrame(docsDf, tau).persist()
+    val nDocs = docFrame.count()
+    val cand = ppjoinCandidates(docFrame, tau).persist()
+    if (cand.count() <= candBudgetPerDoc * nDocs)
+      ppjoinVerify(docFrame, cand, tau)
+    else {
+      cand.unpersist()
+      docFrame.unpersist()
+      sharedShingleThreshold(docsDf, tau)
+    }
   }
 
   /** BPE merge-rule training over a (text) frame — see the llm_bpe_train
@@ -710,6 +767,24 @@ object Llm {
   private def stopCountCol: Column = stopCountCol(col("text"))
   private def stopCountCol(c: Column): Column =
     size(filter(split(c, " "), t => t.isInCollection(stopwords("en"))))
+
+  /** Shared oracle of llm_sim_join_prefix / llm_sim_join_auto: the plain
+    * all-shared-shingle-pairs threshold join at τ=0.5. */
+  private lazy val simJoinTauOracle: String =
+    s"""WITH sh AS (
+         |  $shingleSql)
+         |), sz AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+         |), pr AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT d1, d2, inter,
+         |       round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
+         |FROM pr JOIN sz x ON pr.d1 = x.doc_id JOIN sz y ON pr.d2 = y.doc_id
+         |WHERE round(inter * 1.0 / (x.n + y.n - inter), 6) >= 0.5
+         |ORDER BY d1, d2""".stripMargin
 
   val qs: Seq[Q] = Seq(
 
@@ -1534,22 +1609,18 @@ object Llm {
     // verify is one in-row array_intersect per surviving candidate. Oracle:
     // the straightforward all-shared-shingle-pairs threshold join — the two
     // plans must agree exactly (same doctrine as decontaminate_bloom).
-    Q("llm_sim_join_prefix",
-      s"""WITH sh AS (
-         |  $shingleSql)
-         |), sz AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
-         |), pr AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |)
-         |SELECT d1, d2, inter,
-         |       round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
-         |FROM pr JOIN sz x ON pr.d1 = x.doc_id JOIN sz y ON pr.d2 = y.doc_id
-         |WHERE round(inter * 1.0 / (x.n + y.n - inter), 6) >= 0.5
-         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    Q("llm_sim_join_prefix", simJoinTauOracle) { (s, d) =>
       prefixJaccardJoin(docs(s, d), 0.5)
+    },
+
+    // The ADAPTIVE twin (same oracle — the branch choice is result-
+    // invisible by construction): observe the prefix candidate count,
+    // verify per-pair only when the prefix actually pruned, otherwise
+    // take the shared-shingle aggregation. On the 31-word harness corpus
+    // the fallback branch fires (prefix tokens are common); NearDupSpec
+    // forces BOTH branches on the same corpus and pins equality.
+    Q("llm_sim_join_auto", simJoinTauOracle) { (s, d) =>
+      simJoinThresholdAuto(docs(s, d), 0.5)
     },
 
     // PMI collocation mining (round 5): the R11 text-analysis report for

@@ -403,6 +403,22 @@ class NearDupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("adaptive sim join: BOTH branches produce identical rows (≡ brute)") {
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("d1", "d2", "inter").as[(Long, Long, Long)].collect().toSet
+    // budget 0 forces the shared-shingle fallback; Long.MaxValue forces
+    // the prefix verify — the branch choice must be result-invisible
+    val viaFallback = rows(operators.Llm.simJoinThresholdAuto(docsDf, 0.5, 0L))
+    spark.catalog.clearCache()
+    val viaPrefix = rows(operators.Llm.simJoinThresholdAuto(
+      docsDf, 0.5, Long.MaxValue))
+    spark.catalog.clearCache()
+    val brute = bruteJaccard(0.5)
+    assert(viaFallback == brute, s"fallback diverged: $viaFallback vs $brute")
+    assert(viaPrefix == brute, s"prefix branch diverged: $viaPrefix vs $brute")
+  }
+
   test("prefix length law: p = n - ceil(τ·n) + 1, 1 ≤ p ≤ n") {
     val docsDf = spark.read.parquet(s"$dir/documents.parquet")
     val rows = operators.Llm.ppjoinDocFrame(docsDf, 0.7)
