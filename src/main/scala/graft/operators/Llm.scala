@@ -541,7 +541,16 @@ object Llm {
     */
   private[graft] def minhashVerified(
       docsDf: DataFrame, d2Min: Option[Long] = None,
-      hashes: graft.functions.HashStrategy = PortableHash): DataFrame = {
+      hashes: graft.functions.HashStrategy = PortableHash): DataFrame =
+    minhashVerifiedWithBands(docsDf, d2Min, hashes)._1
+
+  /** [[minhashVerified]] plus its internal persisted band frame — for
+    * callers that need the sketch itself (llm_minhash_est_quality scores
+    * slot agreement): reusing the pin avoids a SECOND full
+    * shingle→md5→16-min aggregation pass over the corpus. */
+  private[graft] def minhashVerifiedWithBands(
+      docsDf: DataFrame, d2Min: Option[Long] = None,
+      hashes: graft.functions.HashStrategy = PortableHash): (DataFrame, DataFrame) = {
     // persist: the distinct shingle set feeds four consumers (doc sizes,
     // the minhash sketch build, and both sides of the exact-Jaccard
     // verify join); without it each consumer re-runs the explode+dedup
@@ -597,7 +606,7 @@ object Llm {
         col("d2") === col("y.doc_id") && col("x.s") === col("y.s"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("inter"))
-    inter
+    val verified = inter
       .join(sz.hint("shuffle_hash").as("p"), col("d1") === col("p.doc_id"))
       .join(sz.hint("shuffle_hash").as("q"), col("d2") === col("q.doc_id"))
       .select(col("d1"), col("d2"),
@@ -609,6 +618,7 @@ object Llm {
         // has low Jaccard but containment ≈ 1
         round(col("inter") * 1.0 / least(col("p.n"), col("q.n")), 6)
           .as("containment"))
+    (verified, bands)
   }
 
   /** Per-doc DISTINCT shingle double-hashes (doc_id, h1, h2) — the
@@ -2999,11 +3009,10 @@ object Llm {
          |             / CAST(count(*) AS DOUBLE)) / 1000000 AS mean_abs_err
          |FROM u GROUP BY bucket ORDER BY bucket""".stripMargin
     }) { (s, d) =>
-      val mhv = minhashVerified(s, d)
-      // the band frame carries all 16 mins as 8 × (k1, k2) rows; slot
-      // agreement = per-band k1/k2 equality counts summed. Persisted:
-      // both pair sides probe it.
-      val bands = bandsFromHashes(shingleHashes(docs(s, d))).persist()
+      // reuse the pipeline's own persisted band frame (round-7 cont.
+      // fix: a separate bandsFromHashes(shingleHashes(…)) build here was
+      // a SECOND full shingle→md5→sketch pass over the corpus)
+      val (mhv, bands) = minhashVerifiedWithBands(docs(s, d))
       val agree = mhv
         .join(bands.hint("shuffle_hash").as("a"),
           col("d1") === col("a.doc_id"))
