@@ -415,6 +415,55 @@ object Etl {
         .orderBy("user_id", "session_id")
     },
 
+    // Out-of-order lateness profile (round 7, cont.): per stream
+    // (event_type), how late do events arrive relative to the ingest
+    // order — lateness = running max event-time over all PRIOR ingest
+    // positions minus this event's time, when positive. THE input for
+    // choosing the streaming family's watermark horizon (§2.J
+    // stream_watermark_late drops what exceeds it): p50/p95/max lateness
+    // say what a horizon would lose. One window per stream partition
+    // (ingest order is per-stream — partition-parallel, never a global
+    // sort), lateness in exact integer microseconds, exact percentiles
+    // over the per-type groups (agg_median discipline).
+    Q("etl_late_arrivals",
+      """WITH l AS (
+        |  SELECT event_type,
+        |         greatest(epoch_us(
+        |             max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |           - epoch_us(ts), 0) AS late_us
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_late,
+        |       round(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1.0
+        |             / count(*), 6) AS late_share,
+        |       round(quantile_cont(late_us, 0.5) / 1000000.0, 6) AS p50_late_s,
+        |       round(quantile_cont(late_us, 0.95) / 1000000.0, 6) AS p95_late_s,
+        |       round(max(late_us) / 1000000.0, 6) AS max_late_s
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val l = events(s, d).select(col("event_type"),
+        greatest(
+          unix_micros(max(col("ts")).over(w)) - unix_micros(col("ts")),
+          lit(0L)).as("late_us"))
+      l.groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+          round(sum(when(col("late_us") > 0, 1L).otherwise(0L)) * 1.0
+            / count(lit(1)), 6).as("late_share"),
+          round(percentile(col("late_us"), lit(0.5)) / 1000000.0, 6)
+            .as("p50_late_s"),
+          round(percentile(col("late_us"), lit(0.95)) / 1000000.0, 6)
+            .as("p95_late_s"),
+          round(max(col("late_us")) / 1000000.0, 6).as("max_late_s"))
+        .orderBy("event_type")
+    },
+
     // The ENTITY-AWARE native operator: the same SessionizeExec stream
     // with an optional null-safe entity split (a change of the case
     // under work starts a new visit inside the time gap) — proving the
