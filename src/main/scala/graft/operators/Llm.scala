@@ -862,6 +862,40 @@ object Llm {
         .orderBy("doc_id", "pos")
     },
 
+    // Character-entropy quality signal (round 7, cont.): Shannon entropy
+    // of each doc's character distribution — the Gopher-family gibberish
+    // detector (mashed-keys text scores low, natural text ~4 bits/char);
+    // the CHAR-level complement of the word-level llm_quality_score and
+    // the repeat-detector llm_repetition. Computed ENTIRELY in-row: the
+    // distinct-char loop runs over ≤ alphabet-size entries per doc, so
+    // the whole key is a map-side projection — zero exchanges at any
+    // scale. The fold iterates in sorted char order on both engines
+    // (pinned-order doctrine) with floor-truncation at 6 dp.
+    Q("llm_char_entropy",
+      """SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_chars,
+        |       floor(list_reduce(list_prepend(0.0,
+        |         list_transform(list_sort(list_distinct(cs)), ch ->
+        |           - (len(list_filter(cs, x -> x = ch))
+        |              / CAST(len(cs) AS DOUBLE))
+        |             * ln(len(list_filter(cs, x -> x = ch))
+        |                  / CAST(len(cs) AS DOUBLE)) / ln(2.0))),
+        |         (a, b) -> a + b) * 1000000) / 1000000 AS entropy_bits
+        |FROM (SELECT doc_id, string_split(text, '') AS cs
+        |      FROM documents WHERE doc_id < 300)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      docs(s, d).where(col("doc_id") < 300)
+        .select(col("doc_id"), split(col("text"), "").as("cs"))
+        .select(col("doc_id"), size(col("cs")).cast("long").as("n_chars"),
+          (floor(expr(
+            """aggregate(sort_array(array_distinct(cs)), 0d, (acc, ch) ->
+              |  acc + (- (size(filter(cs, x -> x = ch))
+              |            / CAST(size(cs) AS DOUBLE))
+              |           * ln(size(filter(cs, x -> x = ch))
+              |                / CAST(size(cs) AS DOUBLE)) / ln(2.0d)))"""
+              .stripMargin) * 1000000) / lit(1000000)).as("entropy_bits"))
+        .orderBy("doc_id")
+    },
+
     // Dataset card (round 7, cont.) — the "datasheets for datasets"
     // one-pager, per source: volume, token mass, quality, language mix
     // with the dominant language, and the exact-duplicate rate. Every
