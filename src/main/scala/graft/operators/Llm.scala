@@ -152,31 +152,38 @@ object Llm {
       .orderBy("d1", "d2")
   }
 
-  /** ADAPTIVE exact similarity join: build the (cheap) prefix candidate
-    * set, OBSERVE its size, and only run the per-pair array verify if
-    * candidates stay within `candBudgetPerDoc`×docs — otherwise fall back
-    * to the shared-shingle aggregation, which counts intersections inside
-    * the join instead of per pair. The AQE move (decide after observing a
-    * stage) applied where Spark can't see: BOTH branches are exact and
-    * return identical rows, so the choice is invisible to results — the
-    * declared key answers the same oracle whichever branch fires. The
-    * observation costs one count() over the already-persisted candidate
-    * frame; vocabulary shape decides the branch (50k-vocab corpora prune
-    * to ~the true pair count, the 31-word harness corpus does not).
+  /** ADAPTIVE exact similarity join: probe the corpus's VOCABULARY SHAPE
+    * first — shared-token pair mass Σ df·(df−1)/2 over the distinct
+    * shingle frame, scaled by (1−τ)² for the prefix fraction each side
+    * keeps — and run the prefix+per-pair-verify plan only when the
+    * estimate stays within `candBudgetPerDoc`×docs; otherwise take the
+    * shared-shingle aggregation, which counts intersections inside the
+    * join instead of per pair. The AQE move (decide from observed stats)
+    * applied where Spark can't see: BOTH branches are exact and return
+    * identical rows, so the choice is invisible to results — the declared
+    * key answers the same oracle whichever branch fires. The probe costs
+    * one vocabulary aggregate over the shingle frame, which stays
+    * persisted and (cache-manager plan matching) is REUSED by whichever
+    * branch runs — large-vocab corpora (rare prefixes, ~true-pair-count
+    * candidates) take the prefix path, the 31-word harness corpus falls
+    * back. A mis-estimate can only cost time, never rows.
     */
   private[graft] def simJoinThresholdAuto(
       docsDf: DataFrame, tau: Double,
       candBudgetPerDoc: Long = 32L): DataFrame = {
-    val docFrame = ppjoinDocFrame(docsDf, tau).persist()
-    val nDocs = docFrame.count()
-    val cand = ppjoinCandidates(docFrame, tau).persist()
-    if (cand.count() <= candBudgetPerDoc * nDocs)
-      ppjoinVerify(docFrame, cand, tau)
-    else {
-      cand.unpersist()
-      docFrame.unpersist()
-      sharedShingleThreshold(docsDf, tau)
-    }
+    val sh = shingleDf(docsDf).persist()
+    val probe = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * (col("df") - 1)).as("pair_mass2"))
+      .head()
+    val pairMass = Option(probe.get(0)).fold(0L)(_.asInstanceOf[Long]) / 2
+    val nDocs = docsDf.select("doc_id").distinct().count()
+    val estCand = ((1 - tau) * (1 - tau) * pairMass).toLong
+    if (estCand <= candBudgetPerDoc * math.max(nDocs, 1L)) {
+      // ppjoinDocFrame re-derives shingleDf(docsDf) — the cache manager
+      // matches the canonicalized plan, so the persisted frame is reused
+      val docFrame = ppjoinDocFrame(docsDf, tau).persist()
+      ppjoinVerify(docFrame, ppjoinCandidates(docFrame, tau), tau)
+    } else sharedShingleThreshold(docsDf, tau)
   }
 
   /** BPE merge-rule training over a (text) frame — see the llm_bpe_train
