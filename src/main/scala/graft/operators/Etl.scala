@@ -415,6 +415,69 @@ object Etl {
         .orderBy("user_id", "session_id")
     },
 
+    // Seasonal decomposition (round 7, cont.): the classical
+    // trend/seasonal/residual additive split of each type's daily count
+    // series — trend = centered 7-day moving average (shrinking at the
+    // edges), seasonal = per-weekday mean of the detrended series,
+    // residual = the rest. The etl_forecast_snaive/weekday_profile
+    // family's missing third piece: what remains AFTER trend and
+    // seasonality is what monitoring should alert on. Determinism: the
+    // trend is sum/count of exact BIGINTs over an identical window frame
+    // (one division), weekday means fold the detrended doubles in
+    // pinned day order (source_mix_kl idiom), outputs floor-truncated.
+    // Everything past the one fact scan runs on the BOUNDED type×day
+    // frame.
+    Q("etl_seasonal_decompose",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), tr AS (
+        |  SELECT event_type, day, c,
+        |         CAST(sum(c) OVER w AS DOUBLE) / count(c) OVER w AS trend,
+        |         date_part('dow', day) AS dow
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), se AS (
+        |  SELECT event_type, dow,
+        |         list_reduce(list_prepend(0.0, list(c - trend ORDER BY day)),
+        |                     (a, b) -> a + b) / count(*) AS seasonal
+        |  FROM tr GROUP BY 1, 2
+        |)
+        |SELECT t.event_type, t.day, t.c,
+        |       floor(t.trend * 1000000) / 1000000 AS trend,
+        |       floor(s.seasonal * 1000000) / 1000000 AS seasonal,
+        |       floor((t.c - t.trend - s.seasonal) * 1000000) / 1000000
+        |         AS residual
+        |FROM tr t JOIN se s ON t.event_type = s.event_type AND t.dow = s.dow
+        |ORDER BY t.event_type, t.day""".stripMargin) { (s, d) =>
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val tr = daily
+        .withColumn("trend",
+          sum(col("c")).over(w).cast("double") / count(col("c")).over(w))
+        // Spark dayofweek is 1-based Sunday=1; DuckDB dow is 0-based
+        .withColumn("dow", dayofweek(col("day")) - 1)
+        .persist() // bounded frame feeds the weekday means AND the output
+      val se = tr.groupBy("event_type", "dow")
+        .agg((expr(
+          """aggregate(sort_array(collect_list(struct(day, c - trend AS detr))),
+            | 0d, (a, e) -> a + e.detr)""".stripMargin)
+          / count(lit(1))).as("seasonal"))
+      tr.join(broadcast(se), Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("c"),
+          (floor(col("trend") * 1000000) / 1000000).as("trend"),
+          (floor(col("seasonal") * 1000000) / 1000000).as("seasonal"),
+          (floor((col("c") - col("trend") - col("seasonal")) * 1000000)
+            / 1000000).as("residual"))
+        .orderBy("event_type", "day")
+    },
+
     // Out-of-order lateness profile (round 7, cont.): per stream
     // (event_type), how late do events arrive relative to the ingest
     // order — lateness = running max event-time over all PRIOR ingest
