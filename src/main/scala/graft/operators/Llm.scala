@@ -869,6 +869,42 @@ object Llm {
         .orderBy("doc_id", "pos")
     },
 
+    // Curriculum ordering (round 7, cont.): the training-ORDER policy —
+    // quality bands descending (high-quality first), deterministic
+    // hash-shuffle WITHIN each band (ordered data hurts SGD; rand() is
+    // irreproducible — the hash bucket is the reshuffle-stable
+    // compromise), doc_id as the total tie-break. The ORDER BY IS the
+    // deliverable (the driver's compare is row-order-sensitive, so the
+    // curriculum itself is hash-verified); at 100 TB this is a
+    // range-partitioned sort writing sorted shards — no global
+    // row-number bottleneck, which is why the key emits no position
+    // column.
+    Q("llm_curriculum_order", {
+      val nw = "len(string_split(text, ' '))"
+      s"""SELECT doc_id, band, bucket, q
+         |FROM (
+         |  SELECT doc_id,
+         |         CAST(least(floor(q * 4), 3) AS BIGINT) AS band,
+         |         CAST(${PortableHash.sql("CAST(doc_id AS VARCHAR)")} % 1000
+         |              AS BIGINT) AS bucket,
+         |         q
+         |  FROM (SELECT doc_id,
+         |               ${qualitySql(nw, stopCountSql)} AS q
+         |        FROM documents)
+         |)
+         |ORDER BY band DESC, bucket, doc_id""".stripMargin
+    }) { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          qualityCol(size(split(col("text"), " ")), stopCountCol).as("q"))
+        .select(col("doc_id"),
+          least(floor(col("q") * 4), lit(3L)).cast("long").as("band"),
+          pmod(PortableHash.pHash(col("doc_id").cast("string")), lit(1000L))
+            .as("bucket"),
+          col("q"))
+        .orderBy(col("band").desc, col("bucket"), col("doc_id"))
+    },
+
     // Character-entropy quality signal (round 7, cont.): Shannon entropy
     // of each doc's character distribution — the Gopher-family gibberish
     // detector (mashed-keys text scores low, natural text ~4 bits/char);
