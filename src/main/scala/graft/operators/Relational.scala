@@ -231,6 +231,34 @@ object Relational {
           |ORDER BY c_custkey""".stripMargin)
     },
 
+    // LATERAL correlated join (round 7, cont.): per nation, its top-2
+    // customers by balance — the per-row-subquery SQL surface (Spark
+    // 3.2+ LATERAL). Catalyst DECORRELATES the lateral into a ranked
+    // window over ONE customer scan (DomainJoin → rewrite), so the plan
+    // the user writes row-at-a-time executes set-at-a-time — pinned
+    // semantics-twin of win_topk_per_group from the SQL side; nation
+    // stays a bounded broadcast.
+    Q(
+      "join_lateral_topk",
+      """SELECT n_name, c_custkey, c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        |) t
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin) { (s, d) =>
+      Tables(s, d, "nation").createOrReplaceTempView("nation_lat_v")
+      Tables(s, d, "customer").createOrReplaceTempView("customer_lat_v")
+      s.sql(
+        """SELECT n_name, c_custkey, c_acctbal
+          |FROM nation_lat_v n, LATERAL (
+          |  SELECT c_custkey, c_acctbal FROM customer_lat_v c
+          |  WHERE c.c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+          |) t
+          |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
+    },
+
     Q("join_asof",
       """WITH p AS (
         |  SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
