@@ -902,6 +902,60 @@ object Aggregates {
         .orderBy("bucket")
     },
 
+    // Exact weighted median (round 7, cont.): per return flag, the
+    // quantity-weighted median unit price — the "half the VOLUME sold
+    // below this price" statistic plain percentiles (agg_median, row-
+    // weighted) cannot answer. Classic cumulative-weight formulation:
+    // sort by value, running weight, first row whose cumulative weight
+    // reaches half the total. Weights fold in exact DECIMAL(18,4) (both
+    // the running and total sums — engine-ordered double folds would
+    // make the crossing row itself nondeterministic); the crossing test
+    // is cumw·2 ≥ total in decimal, and the pick is a rank-1 selection
+    // under a total order. One exchange on the group key; both windows
+    // share its sort.
+    Q("agg_weighted_median",
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         sum(CAST(l_quantity AS DECIMAL(18,4)))
+        |           OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice,
+        |                 l_orderkey, l_linenumber
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cumw,
+        |         sum(CAST(l_quantity AS DECIMAL(18,4)))
+        |           OVER (PARTITION BY l_returnflag) AS totw
+        |  FROM lineitem
+        |), x AS (
+        |  SELECT l_returnflag, l_extendedprice, totw,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY cumw, l_extendedprice) AS rn
+        |  FROM r WHERE cumw * 2 >= totw
+        |)
+        |SELECT l_returnflag, l_extendedprice AS weighted_median_price,
+        |       CAST(totw AS DOUBLE) AS total_qty
+        |FROM x WHERE rn = 1
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val wRun = Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("l_returnflag")
+      val r = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("cumw",
+          sum(col("l_quantity").cast("decimal(18,4)")).over(wRun))
+        .withColumn("totw",
+          sum(col("l_quantity").cast("decimal(18,4)")).over(wAll))
+        .where(col("cumw") * 2 >= col("totw"))
+      val wPick = Window.partitionBy("l_returnflag")
+        .orderBy("cumw", "l_extendedprice")
+      r.withColumn("rn", row_number().over(wPick))
+        .where(col("rn") === 1)
+        .select(col("l_returnflag"),
+          col("l_extendedprice").as("weighted_median_price"),
+          col("totw").cast("double").as("total_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // Mann-Kendall trend test (round 7, cont.): per event_type, the
     // nonparametric monotone-trend statistic over the daily count series
     // — S = Σ_{i<j} sign(c_j − c_i), its normal approximation z with
