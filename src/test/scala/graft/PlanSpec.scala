@@ -805,6 +805,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("join_lateral_topk: Catalyst decorrelates the LATERAL into a window") {
+    val p = plan("join_lateral_topk")
+    // the per-row subquery must NOT execute row-at-a-time: no nested-loop
+    // per-nation re-scan — one customer scan under a ranked window
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"),
+      s"expected the decorrelated ranked-window plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("FileScan parquet".r.findAllIn(p).size <= 2,
+      s"decorrelation must keep ONE scan per table:\n$p")
+  }
+
   test("agg_theta_overlap: object-hash sketch agg, type-pair join stays bounded") {
     val p = plan("agg_theta_overlap")
     // TypedImperativeAggregate plans as a two-phase ObjectHashAggregate —
