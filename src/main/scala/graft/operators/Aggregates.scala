@@ -902,6 +902,44 @@ object Aggregates {
         .orderBy("bucket")
     },
 
+    // Daily-volume correlation matrix (round 7, cont.): Pearson r
+    // between every pair of event-type daily count series — the ops
+    // question "do error spikes move with traffic?" answered for all
+    // pairs at once. The matrix complement of the single-series family
+    // (autocorr within a type, Mann-Kendall per type). Exact BIGINT
+    // daily counts cast identically on both engines feed one
+    // map-side-combinable corr fold per pair (the etl_autocorr_daily
+    // float discipline); the pair join runs on the BOUNDED type×day
+    // frame and the output is the 10-row upper triangle.
+    Q("agg_corr_matrix",
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT a.event_type AS t1, b.event_type AS t2,
+        |       CAST(count(*) AS BIGINT) AS n_days,
+        |       round(corr(CAST(a.c AS DOUBLE), CAST(b.c AS DOUBLE)), 6) AS r
+        |FROM daily a JOIN daily b
+        |  ON a.day = b.day AND a.event_type < b.event_type
+        |GROUP BY 1, 2
+        |ORDER BY t1, t2""".stripMargin) { (s, d) =>
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .persist() // bounded frame feeds both pair sides
+      daily.as("a")
+        .join(daily.as("b"),
+          col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          round(corr(col("a.c").cast("double"), col("b.c").cast("double")), 6)
+            .as("r"))
+        .orderBy("t1", "t2")
+    },
+
     // Exact weighted median (round 7, cont.): per return flag, the
     // quantity-weighted median unit price — the "half the VOLUME sold
     // below this price" statistic plain percentiles (agg_median, row-
