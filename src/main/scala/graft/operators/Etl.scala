@@ -415,6 +415,48 @@ object Etl {
         .orderBy("user_id", "session_id")
     },
 
+    // Field-level survivorship (round 7, cont.): the MDM golden-record
+    // rule — per user, each field survives from the LATEST row where it
+    // is populated, independently per field (etl_dedup_latest keeps the
+    // latest ROW wholesale; here a null in the newest row does NOT
+    // clobber an older value). Each field is one max(struct(ts, id,
+    // field)) selection gated on non-null — nulls never enter the max,
+    // struct comparison is lexicographic on both engines, and (ts,
+    // event_id) is a total order, so every survivor is a deterministic
+    // SELECTION (no float folds). ONE hash aggregate over one scan: at
+    // 100 TB field-level survivorship costs exactly what row-level
+    // dedup costs.
+    Q("etl_survivorship",
+      """SELECT user_id,
+        |       max(struct_pack(ts := ts, eid := event_id,
+        |                       v := event_type)).v AS last_type,
+        |       (max(struct_pack(ts := ts, eid := event_id, v := value))
+        |          FILTER (WHERE value IS NOT NULL)).v AS last_value,
+        |       (max(struct_pack(ts := ts, eid := event_id,
+        |                        v := json_extract_string(props, '$.k')))
+        |          FILTER (WHERE json_extract_string(props, '$.k')
+        |                  IS NOT NULL)).v AS last_entity,
+        |       min(ts) AS first_seen, max(ts) AS last_seen,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        val ev = events(s, d)
+          .withColumn("entity", get_json_object(col("props"), "$.k"))
+        def survive(field: org.apache.spark.sql.Column) =
+          max(when(field.isNotNull,
+            struct(col("ts"), col("event_id"), field.as("v"))))
+            .getField("v")
+        ev.groupBy("user_id")
+          .agg(
+            survive(col("event_type")).as("last_type"),
+            survive(col("value")).as("last_value"),
+            survive(col("entity")).as("last_entity"),
+            min(col("ts")).as("first_seen"),
+            max(col("ts")).as("last_seen"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+    },
+
     // Seasonal decomposition (round 7, cont.): the classical
     // trend/seasonal/residual additive split of each type's daily count
     // series — trend = centered 7-day moving average (shrinking at the
