@@ -1197,6 +1197,85 @@ object Etl {
         (floor(z * 10000) / lit(10000)).as("z"))
     },
 
+    // Welch t-test on a CONTINUOUS metric (round 7, cont.): the
+    // etl_ab_test z statistic covers conversion PROPORTIONS; real
+    // experiments also compare per-user revenue/engagement — unequal
+    // variances, so Welch's t with Satterthwaite df, not pooled
+    // Student's. Determinism discipline: per-user metric = exact
+    // DECIMAL(18,4) sum of 2-dp values; the group moments (Σm, Σm²)
+    // ALSO fold in decimal (the square stays exact at (38,8)) — only
+    // after both exact folds do the values cross to DOUBLE, where mean /
+    // variance / t / df are identical IEEE expressions on both engines.
+    // One scan, one per-user aggregate, one 2-row variant fold.
+    Q("etl_ab_ttest",
+      s"""WITH m AS (
+         |  SELECT ${graft.functions.PortableHash.sql("CAST(user_id AS VARCHAR)")} % 2
+         |           AS variant,
+         |         sum(CAST(value AS DECIMAL(18,4))) AS mv
+         |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+         |  GROUP BY user_id
+         |), v AS (
+         |  SELECT variant, CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(mv) AS DOUBLE) AS s1,
+         |         CAST(sum(mv * mv) AS DOUBLE) AS s2
+         |  FROM m GROUP BY variant
+         |), w AS (
+         |  SELECT a.n AS n0, a.s1 / a.n AS m0,
+         |         (a.s2 - a.n * (a.s1 / a.n) * (a.s1 / a.n)) / (a.n - 1) AS v0,
+         |         b.n AS n1, b.s1 / b.n AS m1,
+         |         (b.s2 - b.n * (b.s1 / b.n) * (b.s1 / b.n)) / (b.n - 1) AS v1
+         |  FROM v a JOIN v b ON a.variant = 0 AND b.variant = 1
+         |)
+         |SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+         |       floor(m0 * 10000) / 10000 AS mean_a,
+         |       floor(m1 * 10000) / 10000 AS mean_b,
+         |       floor((m1 - m0) / sqrt(v0 / n0 + v1 / n1) * 10000) / 10000
+         |         AS t,
+         |       floor((v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1)
+         |             / ((v0 / n0) * (v0 / n0) / (n0 - 1)
+         |                + (v1 / n1) * (v1 / n1) / (n1 - 1)) * 100) / 100
+         |         AS df
+         |FROM w WHERE n0 > 1 AND n1 > 1""".stripMargin) { (s, d) =>
+      val m = events(s, d)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(18,4)")).as("mv"))
+        .select(
+          pmod(graft.functions.PortableHash
+            .pHash(col("user_id").cast("string")), lit(2)).as("variant"),
+          col("mv"))
+      val w = m.agg(
+          count(when(col("variant") === 0, 1)).cast("double").as("n0"),
+          sum(when(col("variant") === 0, col("mv"))).cast("double").as("sa1"),
+          sum(when(col("variant") === 0, col("mv") * col("mv")))
+            .cast("double").as("sa2"),
+          count(when(col("variant") === 1, 1)).cast("double").as("n1"),
+          sum(when(col("variant") === 1, col("mv"))).cast("double").as("sb1"),
+          sum(when(col("variant") === 1, col("mv") * col("mv")))
+            .cast("double").as("sb2"))
+        .withColumn("m0", col("sa1") / col("n0"))
+        .withColumn("v0",
+          (col("sa2") - col("n0") * (col("sa1") / col("n0"))
+            * (col("sa1") / col("n0"))) / (col("n0") - 1))
+        .withColumn("m1", col("sb1") / col("n1"))
+        .withColumn("v1",
+          (col("sb2") - col("n1") * (col("sb1") / col("n1"))
+            * (col("sb1") / col("n1"))) / (col("n1") - 1))
+        .where(col("n0") > 1 && col("n1") > 1)
+      val se2 = col("v0") / col("n0") + col("v1") / col("n1")
+      w.select(
+        col("n0").cast("long").as("n_a"), col("n1").cast("long").as("n_b"),
+        (floor(col("m0") * 10000) / lit(10000)).as("mean_a"),
+        (floor(col("m1") * 10000) / lit(10000)).as("mean_b"),
+        (floor((col("m1") - col("m0")) / sqrt(se2) * 10000) / lit(10000))
+          .as("t"),
+        (floor(se2 * se2
+          / ((col("v0") / col("n0")) * (col("v0") / col("n0"))
+            / (col("n0") - 1)
+            + (col("v1") / col("n1")) * (col("v1") / col("n1"))
+            / (col("n1") - 1)) * 100) / lit(100)).as("df"))
+    },
+
     // Inter-purchase cadence per market segment (round 7, cont.): the
     // "how often do customers come back" distribution behind
     // replenishment forecasting and churn-risk scoring — consecutive
