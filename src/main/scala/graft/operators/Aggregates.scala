@@ -902,6 +902,41 @@ object Aggregates {
         .orderBy("bucket")
     },
 
+    // Equi-DEPTH histogram (round 7, cont.): order totals cut into ten
+    // equal-population buckets — the complement of agg_histogram's
+    // equi-WIDTH $100 bins (skewed money data leaves equi-width bins
+    // empty at the tail; equi-depth tracks the distribution's own
+    // shape). ntile over the (value, key) total order — the etl_rfm
+    // report-scale global-sort discipline, with KLL quantile fences as
+    // the documented 100 TB escape; per-bucket money sums fold in exact
+    // DECIMAL.
+    Q("agg_hist_equidepth",
+      """WITH r AS (
+        |  SELECT o_totalprice,
+        |         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders
+        |)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       min(o_totalprice) AS lo,
+        |       max(o_totalprice) AS hi,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS total
+        |FROM r GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
+      val w = Window.orderBy("o_totalprice", "o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_totalprice"), col("o_orderkey"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            .as("total"))
+        .orderBy("decile")
+    },
+
     // Sequence-integrity audit (round 7, cont.): is each order's
     // l_linenumber sequence the contiguous 1..n it claims to be?
     // Three independent defect classes from one per-order profile
