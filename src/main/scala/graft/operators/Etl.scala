@@ -415,6 +415,67 @@ object Etl {
         .orderBy("user_id", "session_id")
     },
 
+    // Peak session concurrency (round 7, cont.): per day, the maximum
+    // number of simultaneously-open sessions — capacity planning's
+    // first question, and the INTERVAL-STACKING idiom (explode each
+    // session to a +1 start / −1 end endpoint, running-sum the deltas
+    // over the time order, take the running max) that no
+    // per-row/per-group aggregate family covers. Convention: +1 sorts
+    // before −1 at the same instant (touching sessions count as
+    // overlapping), total order pinned by (ts, delta DESC, user,
+    // session). The running sum is a global window over the ENDPOINT
+    // frame (2 rows per session — report-scale; the etl_rfm global-sort
+    // discipline, with the two-level bucket trick as the 100 TB escape);
+    // counts stay integers end to end.
+    Q("etl_concurrency",
+      """WITH sess AS (
+        |  SELECT user_id, session_id,
+        |         min(ts) AS s_start, max(ts) AS s_end
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |           CAST(sum(CASE WHEN prev_ts IS NULL
+        |                          OR ts > prev_ts + INTERVAL 30 MINUTE
+        |                         THEN 1 ELSE 0 END)
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS BIGINT) AS session_id
+        |    FROM (SELECT user_id, event_id, ts,
+        |                 lag(ts) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_ts
+        |          FROM events)
+        |  ) GROUP BY user_id, session_id
+        |), ep AS (
+        |  SELECT user_id, session_id, s_start AS t, 1 AS delta FROM sess
+        |  UNION ALL
+        |  SELECT user_id, session_id, s_end AS t, -1 AS delta FROM sess
+        |), run AS (
+        |  SELECT t,
+        |         CAST(sum(delta) OVER (ORDER BY t, delta DESC, user_id,
+        |                               session_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS open_now
+        |  FROM ep
+        |)
+        |SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+        |       max(open_now) AS peak_concurrent
+        |FROM run GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+      val sess = sessionized(events(s, d))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      val ep = sess.select(col("user_id"), col("session_id"),
+          col("s_start").as("t"), lit(1).as("delta"))
+        .unionByName(sess.select(col("user_id"), col("session_id"),
+          col("s_end").as("t"), lit(-1).as("delta")))
+      val wRun = Window
+        .orderBy(col("t"), col("delta").desc, col("user_id"),
+          col("session_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ep.withColumn("open_now", sum(col("delta")).over(wRun).cast("long"))
+        .groupBy(date_trunc("day", col("t")).as("day"))
+        .agg(max(col("open_now")).as("peak_concurrent"))
+        .orderBy("day")
+    },
+
     // Field-level survivorship (round 7, cont.): the MDM golden-record
     // rule — per user, each field survives from the LATEST row where it
     // is populated, independently per field (etl_dedup_latest keeps the
