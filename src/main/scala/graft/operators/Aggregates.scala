@@ -902,6 +902,72 @@ object Aggregates {
         .orderBy("bucket")
     },
 
+    // Skewness + kurtosis (round 7, cont.): the 3rd/4th standardized
+    // moments per event_type — tail asymmetry and heaviness, the two
+    // shape numbers agg_stats's mean/stddev can't see (and the reason
+    // mean±3σ alerting lies on skewed data — agg_mad_outliers' robust
+    // complement from the parametric side). Engine-ordered float folds
+    // NEVER touch the data path: all four power sums fold in exact
+    // DECIMAL — value fits (7,2), so v⁴ lands at (31,8) and the sums at
+    // (38,8) with zero rounding on either engine — and only the final
+    // standardized expressions run in (identical-order) double.
+    Q("agg_skew_kurt",
+      """WITH p AS (
+        |  SELECT event_type, v, v2, CAST(v2 * v AS DECIMAL(29,6)) AS v3,
+        |         CAST(CAST(v2 * v AS DECIMAL(29,6)) * v AS DECIMAL(36,8)) AS v4
+        |  FROM (
+        |    SELECT event_type, CAST(value AS DECIMAL(7,2)) AS v,
+        |           CAST(CAST(value AS DECIMAL(7,2))
+        |                * CAST(value AS DECIMAL(7,2)) AS DECIMAL(22,4)) AS v2
+        |    FROM events WHERE value IS NOT NULL
+        |  )
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(v) AS DOUBLE) AS s1,
+        |         CAST(sum(v2) AS DOUBLE) AS s2,
+        |         CAST(sum(v3) AS DOUBLE) AS s3,
+        |         CAST(sum(v4) AS DOUBLE) AS s4
+        |  FROM p GROUP BY event_type
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |       floor((s1 / n) * 1000000) / 1000000 AS mean,
+        |       floor((s3 / n - 3 * (s1 / n) * (s2 / n)
+        |              + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+        |             / ((s2 / n - (s1 / n) * (s1 / n))
+        |                * sqrt(s2 / n - (s1 / n) * (s1 / n)))
+        |             * 1000000) / 1000000 AS skewness,
+        |       floor((s4 / n - 4 * (s1 / n) * (s3 / n)
+        |              + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+        |              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+        |             / ((s2 / n - (s1 / n) * (s1 / n))
+        |                * (s2 / n - (s1 / n) * (s1 / n)))
+        |             * 1000000) / 1000000 - 3 AS excess_kurtosis
+        |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+      val v = col("value").cast("decimal(7,2)")
+      val m = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(v).cast("double").as("s1"),
+          sum(v * v).cast("double").as("s2"),
+          sum(v * v * v).cast("double").as("s3"),
+          sum(v * v * v * v).cast("double").as("s4"))
+      val mean = col("s1") / col("n")
+      val m2 = col("s2") / col("n") - mean * mean
+      val skew = (col("s3") / col("n") - lit(3) * mean * (col("s2") / col("n"))
+        + lit(2) * mean * mean * mean) / (m2 * sqrt(m2))
+      val kurt = (col("s4") / col("n")
+        - lit(4) * mean * (col("s3") / col("n"))
+        + lit(6) * mean * mean * (col("s2") / col("n"))
+        - lit(3) * mean * mean * mean * mean) / (m2 * m2)
+      m.select(col("event_type"), col("n").cast("long").as("n"),
+          (floor(mean * 1000000) / 1000000).as("mean"),
+          (floor(skew * 1000000) / 1000000).as("skewness"),
+          (floor(kurt * 1000000) / 1000000 - 3).as("excess_kurtosis"))
+        .orderBy("event_type")
+    },
+
     // Equi-DEPTH histogram (round 7, cont.): order totals cut into ten
     // equal-population buckets — the complement of agg_histogram's
     // equi-WIDTH $100 bins (skewed money data leaves equi-width bins
