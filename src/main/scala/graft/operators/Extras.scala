@@ -345,6 +345,46 @@ object Extras {
       triangles(coOrderEdges(s, d, "1997-01-01", "1998-01-01"))
     },
 
+    // Per-node LOCAL clustering coefficient (round 7, cont.): for the
+    // top-20 highest-degree parts, C(v) = triangles-through-v /
+    // C(deg(v), 2) — "is this hub a community core or a pass-through
+    // star?", the node-level refinement of the global triangle count.
+    // All counts integer (triangle credit via an in-row explode of each
+    // enumerated a<b<c triangle to its three corners; wedges by integer
+    // division) until the one rounded division; the top-k cut orders by
+    // (degree DESC, node) so ties can't flip membership. Same persisted
+    // edge frame feeds degrees and the 3-join.
+    Q("graph_local_cc",
+      """WITH lp AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |), e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+        |), und AS (
+        |  SELECT a AS n FROM e UNION ALL SELECT b FROM e
+        |), deg AS (
+        |  SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
+        |  FROM und GROUP BY n
+        |), tn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT unnest([e1.a, e1.b, e2.b]) AS node
+        |    FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |  ) GROUP BY node
+        |)
+        |SELECT node, degree, COALESCE(n_tri, 0) AS n_tri,
+        |       degree * (degree - 1) // 2 AS wedges,
+        |       round(COALESCE(n_tri, 0) * 1.0
+        |             / (degree * (degree - 1) // 2), 6) AS local_cc
+        |FROM deg LEFT JOIN tn USING (node)
+        |WHERE degree >= 2
+        |ORDER BY degree DESC, node LIMIT 20""".stripMargin) { (s, d) =>
+      localClustering(coOrderEdges(s, d, "1997-01-01", "1998-01-01"), 20)
+    },
+
     // Connected components as a DECLARED graph key (round 5, continued) —
     // the general-graph twin of the near-dup CC the dedup family already
     // oracle-proves (llm_dedup_groups_lsh): same Components machinery
@@ -814,6 +854,35 @@ object Extras {
     * previous self-join form paid four (pre-distinct, both join
     * sides, pair distinct) for the same output.
     */
+  /** Per-node local clustering coefficient over an a<b edge frame:
+    * C(v) = triangles-through-v / C(deg(v), 2), reported for the top-k
+    * highest-degree nodes. Everything is INTEGER (per-node triangle and
+    * wedge counts) until the one rounded division — no float folds; the
+    * top-k cut orders by (degree DESC, node) so degree ties can't flip
+    * membership. Triangle enumeration reuses the id-oriented 3-join
+    * (each triangle found once as a<b<c, credited to all three nodes by
+    * an in-row explode). */
+  private[graft] def localClustering(edges0: DataFrame, k: Int): DataFrame = {
+    val e = edges0.persist()
+    val deg = symmetrize(e)
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+    val bc = e.select(col("a").as("b2"), col("b").as("c"))
+    val ac = e.select(col("a").as("a3"), col("b").as("c3"))
+    val triNodes = e.join(bc, col("b") === col("b2"))
+      .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(triNodes, Seq("node"), "left")
+      .where(col("degree") >= 2)
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("degree * (degree - 1) DIV 2").as("wedges"))
+      .withColumn("local_cc",
+        round(col("n_tri") * 1.0 / col("wedges"), 6))
+      .orderBy(col("degree").desc, col("node"))
+      .limit(k)
+  }
+
   private def coOrderEdges(
       s: SparkSession, d: String, from: String, to: String): DataFrame =
     Tables(s, d, "orders")
