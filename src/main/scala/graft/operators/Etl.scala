@@ -415,6 +415,56 @@ object Etl {
         .orderBy("user_id", "session_id")
     },
 
+    // Feature scaling (round 7, cont.): min-max normalization and
+    // z-score standardization of the value column against PER-TYPE
+    // statistics — the ML-preprocessing transform every feature pipeline
+    // runs before training. Stats come from the FULL table (one
+    // partial-agg pass; mean/std via exact decimal moment folds — the
+    // ab_ttest discipline), broadcast back onto the scored slice; the
+    // scaled values are single identical-order double expressions. At
+    // 100 TB the stats frame is type-domain bounded and the transform is
+    // map-side.
+    Q("etl_feature_scale",
+      """WITH st AS (
+        |  SELECT event_type,
+        |         min(value) AS mn, max(value) AS mx,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(value AS DECIMAL(7,2))
+        |                  * CAST(value AS DECIMAL(7,2))) AS DOUBLE) AS s2
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY event_type
+        |)
+        |SELECT event_id, e.event_type, value,
+        |       round((value - mn) / (mx - mn), 6) AS scaled_minmax,
+        |       round((value - s1 / n)
+        |             / sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)), 6)
+        |         AS z
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |WHERE value IS NOT NULL AND event_id < 200
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val v7 = col("value").cast("decimal(7,2)")
+      val st = events(s, d)
+        .where(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          min(col("value")).as("mn"), max(col("value")).as("mx"),
+          count(lit(1)).cast("double").as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("s1"),
+          sum(v7 * v7).cast("double").as("s2"))
+      val mean = col("s1") / col("n")
+      events(s, d)
+        .where(col("value").isNotNull && col("event_id") < 200)
+        .join(broadcast(st), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("value") - col("mn")) / (col("mx") - col("mn")), 6)
+            .as("scaled_minmax"),
+          round((col("value") - mean)
+            / sqrt((col("s2") - col("n") * mean * mean) / (col("n") - 1)), 6)
+            .as("z"))
+        .orderBy("event_id")
+    },
+
     // Peak session concurrency (round 7, cont.): per day, the maximum
     // number of simultaneously-open sessions — capacity planning's
     // first question, and the INTERVAL-STACKING idiom (explode each
