@@ -6,9 +6,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, DoubleType, LongType}
 
 /** KMV / theta distinct-count sketch (Bar-Yossef et al. 2002; the
   * Theta-sketch generalization of Dasgupta et al. 2016): keep the k
@@ -87,10 +87,17 @@ object Kmv {
   private def valAt(bytes: Array[Byte], i: Int): Long =
     ByteBuffer.wrap(bytes).getLong(12 + 8 * i)
 
+  /** A [[KmvMergeAgg]] group whose inputs were all NULL evals to its
+    * empty-byte-array sentinel (k/bits unknowable before the first
+    * sketch). Every decode entry point accepts that sentinel as the
+    * empty sketch — n=0, θ=1 — instead of reading past the buffer. */
+  private def isEmptySentinel(bytes: Array[Byte]): Boolean = bytes.length < 12
+
   /** θ ∈ (0,1]: k-th smallest normalized value when full, 1.0 in the
     * exact (n < k) regime. Same IEEE ops as the oracle's
     * `CAST(h AS DOUBLE) / 2^bits`. */
   def theta(bytes: Array[Byte]): Double = {
+    if (isEmptySentinel(bytes)) return 1.0
     val n = nOf(bytes)
     if (n < kOf(bytes)) 1.0
     else valAt(bytes, n - 1).toDouble / java.lang.Math.scalb(1.0, bitsOf(bytes))
@@ -98,6 +105,7 @@ object Kmv {
 
   /** Distinct-count estimate: exact n below k, else (k-1)/θ. */
   def estimate(bytes: Array[Byte]): Double = {
+    if (isEmptySentinel(bytes)) return 0.0
     val n = nOf(bytes)
     if (n < kOf(bytes)) n.toDouble
     else (kOf(bytes) - 1).toDouble / theta(bytes)
@@ -105,6 +113,7 @@ object Kmv {
 
   /** |A∩B| ≈ (common retained values strictly below θ*=min(θa,θb)) / θ*. */
   def intersectEstimate(a: Array[Byte], b: Array[Byte]): Double = {
+    if (isEmptySentinel(a) || isEmptySentinel(b)) return 0.0
     require(kOf(a) == kOf(b) && bitsOf(a) == bitsOf(b),
       "KMV intersect: parameter mismatch")
     val tStar = math.min(theta(a), theta(b))
@@ -130,6 +139,8 @@ object Kmv {
   /** Scalar (non-aggregate) union of two sketches — k smallest of the
     * union of retained sets, which equals the sketch of the set union. */
   def unionSketch(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (isEmptySentinel(a)) return b
+    if (isEmptySentinel(b)) return a
     val ba = deserialize(a)
     ba.mergeFrom(deserialize(b))
     serialize(ba)
@@ -144,12 +155,13 @@ case class KmvSketchAgg(
     bits: Int = 60,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Kmv.Buf] {
+  extends TypedImperativeAggregate[Kmv.Buf] with ExpectsInputTypes {
 
   require(k >= 2, s"kmv_sketch k=$k must be >= 2")
   require(bits >= 1 && bits <= 62, s"kmv_sketch bits=$bits outside [1,62]")
 
   override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
@@ -157,7 +169,16 @@ case class KmvSketchAgg(
 
   override def update(buffer: Kmv.Buf, input: InternalRow): Kmv.Buf = {
     val v = child.eval(input)
-    if (v != null) buffer.add(v.asInstanceOf[Long])
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      // Pre-hashed contract: θ arithmetic assumes uniform [0, 2^bits).
+      // Out-of-range input would make θ negative or > 1 and silently
+      // corrupt every downstream estimate — fail loudly instead.
+      if (h < 0L || (bits < 62 && h >= (1L << bits)))
+        throw new IllegalArgumentException(
+          s"kmv_sketch: hash value $h outside declared domain [0, 2^$bits)")
+      buffer.add(h)
+    }
     buffer
   }
 

@@ -118,6 +118,33 @@ object Llm {
       .orderBy("d1", "d2")
   }
 
+  /** Blocks persisted by the MOST RECENT prefix/auto/shared-shingle
+    * sim-join invocation. The multi-reference reuse inside one call needs
+    * the persist (the doc/shingle frame feeds the prefix explode and both
+    * verify sides), but a returned lazy DataFrame gives no "materialized,
+    * safe to unpersist" hook — so the lifecycle is scoped per invocation:
+    * each new call releases the previous call's blocks, and
+    * [[releaseSimJoinCaches]] releases the last. A long-lived session
+    * therefore holds at most ONE invocation's working set, never an
+    * unbounded accumulation (the 200k-doc ScaleSmoke previously needed a
+    * manual clearCache). Contract: the previous call's RESULT must be
+    * materialized before the next call — the natural sequential use.
+    */
+  private val simJoinCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Must run BEFORE the new call's persist: a repeated identical plan
+    * re-persists into the SAME cache entry (cache-manager plan matching),
+    * so unpersisting the old frame after would evict the new one too. */
+  private def registerSimJoinCaches(fresh: DataFrame*): Unit = synchronized {
+    simJoinCaches ++= fresh
+  }
+
+  /** Release the blocks persisted by the latest sim-join invocation. */
+  def releaseSimJoinCaches(): Unit = synchronized {
+    simJoinCaches.foreach(_.unpersist(blocking = false))
+    simJoinCaches.clear()
+  }
+
   /** Prefix-filtered EXACT Jaccard join at threshold τ — candidates from
     * [[ppjoinCandidates]], then [[ppjoinVerify]] (the doc frame is
     * persisted once and feeds the prefix explode and both verify sides).
@@ -125,7 +152,9 @@ object Llm {
     * share an oracle shape.
     */
   private[graft] def prefixJaccardJoin(docsDf: DataFrame, tau: Double): DataFrame = {
+    releaseSimJoinCaches()
     val docFrame = ppjoinDocFrame(docsDf, tau).persist()
+    registerSimJoinCaches(docFrame)
     ppjoinVerify(docFrame, ppjoinCandidates(docFrame, tau), tau)
   }
 
@@ -136,7 +165,16 @@ object Llm {
     * common). */
   private[graft] def sharedShingleThreshold(
       docsDf: DataFrame, tau: Double): DataFrame = {
+    releaseSimJoinCaches()
     val sh = shingleDf(docsDf).persist() // feeds sizes + both pair sides
+    registerSimJoinCaches(sh)
+    sharedShingleThresholdFrom(sh, tau)
+  }
+
+  /** Core of [[sharedShingleThreshold]] over an ALREADY-persisted shingle
+    * frame — cache lifecycle stays with the caller. */
+  private def sharedShingleThresholdFrom(
+      sh: DataFrame, tau: Double): DataFrame = {
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pr = sh.as("a")
       .join(sh.as("b"),
@@ -171,7 +209,9 @@ object Llm {
   private[graft] def simJoinThresholdAuto(
       docsDf: DataFrame, tau: Double,
       candBudgetPerDoc: Long = 32L): DataFrame = {
+    releaseSimJoinCaches()
     val sh = shingleDf(docsDf).persist()
+    registerSimJoinCaches(sh)
     val probe = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .agg(sum(col("df") * (col("df") - 1)).as("pair_mass2"))
       .head()
@@ -182,8 +222,11 @@ object Llm {
       // ppjoinDocFrame re-derives shingleDf(docsDf) — the cache manager
       // matches the canonicalized plan, so the persisted frame is reused
       val docFrame = ppjoinDocFrame(docsDf, tau).persist()
+      registerSimJoinCaches(docFrame)
       ppjoinVerify(docFrame, ppjoinCandidates(docFrame, tau), tau)
-    } else sharedShingleThreshold(docsDf, tau)
+    } else {
+      sharedShingleThresholdFrom(sh, tau)
+    }
   }
 
   /** BPE merge-rule training over a (text) frame — see the llm_bpe_train

@@ -147,15 +147,11 @@ case class SessionizeExec(
         if (newSess) { counter += 1L; numSessions += 1 }
         hasPrev = true
         prevEntNull = entIdx < 0 || entNull
-        prevEnt = if (entIdx < 0 || entNull) null else ent match {
-          case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
-          case other => other
-        }
-        prevKey = if (kNull) null else k match {
-          // stable copies: unsafe-row-backed values are reused buffers
-          case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-          case other => other
-        }
+        // stable copies: unsafe-row-backed values (UTF8String, binary,
+        // structs, arrays, decimals) are reused buffers; copyValue
+        // deep-copies every buffer-backed type, not just strings
+        prevEnt = if (entIdx < 0 || entNull) null else InternalRow.copyValue(ent)
+        prevKey = if (kNull) null else InternalRow.copyValue(k)
         prevTsNull = tNull
         prevTs = t
         numOut += 1

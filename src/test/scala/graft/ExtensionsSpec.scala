@@ -121,6 +121,37 @@ class ExtensionsSpec extends AnyFunSuite {
       s"kmv k=32 estimate $est32 vs exact $exactIds")
   }
 
+  test("kmv r8 hardening: all-NULL merge group decodes as empty; " +
+    "non-long input is an analysis error; out-of-range hash fails loudly") {
+    Tables(spark, "/root/testdata/sf0.001", "events")
+      .createOrReplaceTempView("ev_kmv_guard")
+    // a group whose kmv_merge inputs are all NULL evals to the empty
+    // sentinel — downstream decodes must read it as the empty sketch
+    val r = spark.sql(
+      """SELECT kmv_estimate(kmv_merge(sk)) AS est,
+        |       kmv_theta(kmv_merge(sk)) AS th,
+        |       kmv_intersect_est(kmv_merge(sk), kmv_merge(sk)) AS ei
+        |FROM (SELECT CAST(NULL AS BINARY) AS sk FROM ev_kmv_guard)"""
+        .stripMargin).head()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 1.0 &&
+      r.getDouble(2) == 0.0, s"empty-sentinel decode: $r")
+    // a STRING child must fail at analysis (ExpectsInputTypes), not with
+    // a runtime ClassCastException mid-job
+    val analysisErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kmv_sketch(event_type) FROM ev_kmv_guard").head()
+    }
+    assert(analysisErr.getMessage.toLowerCase.contains("bigint") ||
+      analysisErr.getMessage.toLowerCase.contains("type"), analysisErr.getMessage)
+    // negative input violates the pre-hashed [0, 2^bits) contract — the
+    // aggregate rejects it instead of silently corrupting θ
+    val runtimeErr = intercept[Exception] {
+      spark.sql("SELECT kmv_estimate(kmv_sketch(-1L))").head()
+    }
+    val chain = Iterator.iterate(runtimeErr: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.toString).mkString("; ")
+    assert(chain.contains("outside declared domain"), chain)
+  }
+
   test("kll_sketch / kll_merge / kll_quantile are SQL-callable") {
     import org.apache.spark.sql.functions.col
     val ev = Tables(spark, "/root/testdata/sf0.001", "events")

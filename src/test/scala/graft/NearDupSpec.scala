@@ -419,6 +419,31 @@ class NearDupSpec extends AnyFunSuite {
     assert(viaPrefix == brute, s"prefix branch diverged: $viaPrefix vs $brute")
   }
 
+  test("sim-join cache lifecycle: repeated invocations don't accumulate " +
+    "cached blocks (r8 advice — prior behavior leaked per call)") {
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    spark.catalog.clearCache()
+    def cachedEntries: Int = {
+      // distinct cached plans currently registered in this session
+      spark.sparkContext.getPersistentRDDs.size
+    }
+    // first invocation establishes the per-call working set…
+    operators.Llm.prefixJaccardJoin(docsDf, 0.5).count()
+    val afterFirst = cachedEntries
+    // …subsequent invocations (any variant) swap it, never stack on top
+    operators.Llm.simJoinThresholdAuto(docsDf, 0.5, Long.MaxValue).count()
+    operators.Llm.prefixJaccardJoin(docsDf, 0.5).count()
+    operators.Llm.sharedShingleThreshold(docsDf, 0.5).count()
+    val afterMany = cachedEntries
+    assert(afterMany <= afterFirst + 1,
+      s"sim-join caches accumulated: $afterFirst → $afterMany entries")
+    // explicit release drops the final invocation's blocks too
+    operators.Llm.releaseSimJoinCaches()
+    assert(cachedEntries == 0 ||
+      cachedEntries < afterFirst,
+      s"releaseSimJoinCaches left ${cachedEntries} persistent RDDs")
+  }
+
   test("prefix length law: p = n - ceil(τ·n) + 1, 1 ≤ p ≤ n") {
     val docsDf = spark.read.parquet(s"$dir/documents.parquet")
     val rows = operators.Llm.ppjoinDocFrame(docsDf, 0.7)

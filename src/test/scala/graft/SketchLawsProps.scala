@@ -343,4 +343,17 @@ object SketchLawsProps extends Properties("graft.sketchlaws") {
       // both sides < k → θ=1 → the estimate IS the exact overlap
       est == truth.toDouble
     }
+
+  // ---- r8 advice: the kmv_merge all-NULL-group sentinel (empty bytes)
+  // must decode as the empty sketch everywhere, never read past the buffer
+  property("kmv empty sentinel: estimate 0, θ 1, union/intersect total") =
+    Prop.forAll(hashes60) { hs =>
+      val empty = Array.emptyByteArray
+      Kmv.estimate(empty) == 0.0 &&
+        Kmv.theta(empty) == 1.0 &&
+        Kmv.intersectEstimate(empty, kmvOf(hs)) == 0.0 &&
+        Kmv.intersectEstimate(kmvOf(hs), empty) == 0.0 &&
+        Kmv.unionSketch(empty, kmvOf(hs)).sameElements(kmvOf(hs)) &&
+        Kmv.unionSketch(kmvOf(hs), empty).sameElements(kmvOf(hs))
+    }
 }
