@@ -24,6 +24,46 @@ object Aggregates {
   private def moneySum(c: String): org.apache.spark.sql.Column =
     sum(col(c).cast("decimal(18,4)")).cast("double")
 
+  /** Shared by agg_hist_equidepth (report-twin window plan) and
+    * agg_hist_equidepth_fenced (the KLL-fence scale plan) — ONE oracle,
+    * two plans, byte-identical results. */
+  private val histEquidepthOracle =
+    """WITH r AS (
+      |  SELECT o_totalprice,
+      |         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |  FROM orders
+      |)
+      |SELECT CAST(decile AS BIGINT) AS decile,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       min(o_totalprice) AS lo,
+      |       max(o_totalprice) AS hi,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |         AS total
+      |FROM r GROUP BY decile ORDER BY decile""".stripMargin
+
+  /** Shared by agg_weighted_median / agg_weighted_median_fenced. */
+  private val weightedMedianOracle =
+    """WITH r AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |         sum(CAST(l_quantity AS DECIMAL(18,4)))
+      |           OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice,
+      |                 l_orderkey, l_linenumber
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS cumw,
+      |         sum(CAST(l_quantity AS DECIMAL(18,4)))
+      |           OVER (PARTITION BY l_returnflag) AS totw
+      |  FROM lineitem
+      |), x AS (
+      |  SELECT l_returnflag, l_extendedprice, totw,
+      |         row_number() OVER (PARTITION BY l_returnflag
+      |                            ORDER BY cumw, l_extendedprice) AS rn
+      |  FROM r WHERE cumw * 2 >= totw
+      |)
+      |SELECT l_returnflag, l_extendedprice AS weighted_median_price,
+      |       CAST(totw AS DOUBLE) AS total_qty
+      |FROM x WHERE rn = 1
+      |ORDER BY l_returnflag""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // Deterministic mode (round 5): most frequent value per group. Spark's
@@ -976,23 +1016,37 @@ object Aggregates {
     // report-scale global-sort discipline, with KLL quantile fences as
     // the documented 100 TB escape; per-bucket money sums fold in exact
     // DECIMAL.
-    Q("agg_hist_equidepth",
-      """WITH r AS (
-        |  SELECT o_totalprice,
-        |         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
-        |  FROM orders
-        |)
-        |SELECT CAST(decile AS BIGINT) AS decile,
-        |       CAST(count(*) AS BIGINT) AS n,
-        |       min(o_totalprice) AS lo,
-        |       max(o_totalprice) AS hi,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-        |         AS total
-        |FROM r GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
+    Q("agg_hist_equidepth", histEquidepthOracle) { (s, d) =>
       val w = Window.orderBy("o_totalprice", "o_orderkey")
       t(s, d, "orders")
         .select(col("o_totalprice"), col("o_orderkey"))
         .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            .as("total"))
+        .orderBy("decile")
+    },
+
+    // The SCALE plan for the same report (round 8, closing VERDICT r7's
+    // weak class): exact decile histogram with NO global sort anywhere.
+    // RankFence: KLL fences route rows into ~64 intervals (one sketch
+    // pass), exact per-interval counts locate the 9 decile boundary
+    // ranks, a window over ONLY the candidate intervals (each ≈ n/64,
+    // partitioned per interval) picks the boundary tuples, and every
+    // row's decile is then 1 + #{boundaries < (price, key)} — a map-side
+    // comparison ladder feeding the same exact DECIMAL folds. Identical
+    // output to agg_hist_equidepth under the shared oracle; 3 pruned
+    // scans + 1 filtered scan instead of one scan into a single task.
+    Q("agg_hist_equidepth_fenced", histEquidepthOracle) { (s, d) =>
+      val base = t(s, d, "orders").select(col("o_totalprice"), col("o_orderkey"))
+      RankFence.ntileFenced(base,
+          Seq(RankFence.OrderCol("o_totalprice"), RankFence.OrderCol("o_orderkey")),
+          tiles = 10, out = "decile")
+        .withColumn("decile", col("decile").cast("long"))
         .groupBy("decile")
         .agg(
           count(lit(1)).as("n"),
@@ -1099,27 +1153,7 @@ object Aggregates {
     // is cumw·2 ≥ total in decimal, and the pick is a rank-1 selection
     // under a total order. One exchange on the group key; both windows
     // share its sort.
-    Q("agg_weighted_median",
-      """WITH r AS (
-        |  SELECT l_returnflag, l_extendedprice,
-        |         sum(CAST(l_quantity AS DECIMAL(18,4)))
-        |           OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice,
-        |                 l_orderkey, l_linenumber
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           AS cumw,
-        |         sum(CAST(l_quantity AS DECIMAL(18,4)))
-        |           OVER (PARTITION BY l_returnflag) AS totw
-        |  FROM lineitem
-        |), x AS (
-        |  SELECT l_returnflag, l_extendedprice, totw,
-        |         row_number() OVER (PARTITION BY l_returnflag
-        |                            ORDER BY cumw, l_extendedprice) AS rn
-        |  FROM r WHERE cumw * 2 >= totw
-        |)
-        |SELECT l_returnflag, l_extendedprice AS weighted_median_price,
-        |       CAST(totw AS DOUBLE) AS total_qty
-        |FROM x WHERE rn = 1
-        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Q("agg_weighted_median", weightedMedianOracle) { (s, d) =>
       val wRun = Window.partitionBy("l_returnflag")
         .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1139,6 +1173,30 @@ object Aggregates {
         .select(col("l_returnflag"),
           col("l_extendedprice").as("weighted_median_price"),
           col("totw").cast("double").as("total_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // The SCALE plan for the weighted median (round 8): the compose
+    // above partitions its windows by l_returnflag — THREE giant tasks
+    // at 100 TB. RankFence.weightedMedianFenced: one KLL fence pass,
+    // exact per-(flag, interval) decimal weights locate each flag's
+    // crossing interval on the driver, and the only running-sum window
+    // runs over that ONE interval per flag (≈ n/64 rows), seeded with
+    // the exact weight-before. Same first-crossing-row semantics, same
+    // oracle, byte-identical result.
+    Q("agg_weighted_median_fenced", weightedMedianOracle) { (s, d) =>
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_quantity").cast("decimal(18,4)").as("w"),
+          col("l_orderkey"), col("l_linenumber"))
+      RankFence.weightedMedianFenced(li, "l_returnflag",
+          Seq(RankFence.OrderCol("l_extendedprice"),
+            RankFence.OrderCol("l_orderkey"),
+            RankFence.OrderCol("l_linenumber")),
+          weightCol = "w")
+        .select(col("l_returnflag"),
+          col("median").as("weighted_median_price"),
+          col("total").cast("double").as("total_qty"))
         .orderBy("l_returnflag")
     },
 

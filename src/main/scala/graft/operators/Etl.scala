@@ -245,6 +245,44 @@ object Etl {
       |FROM base b LEFT JOIN sessm s ON b.user_id = s.user_id AND b.month = s.month
       |ORDER BY b.user_id, b.month""".stripMargin
 
+  /** Shared by etl_rfm (report-twin window plan) and etl_rfm_fenced
+    * (the KLL-fence scale plan) — one oracle, two plans. */
+  private val rfmOracle =
+    """WITH u AS (
+      |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+      |         CAST(count(*) AS BIGINT) AS n_events,
+      |         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |           AS monetary
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+      |)
+      |SELECT user_id, last_day, n_events, monetary,
+      |       CAST(ntile(4) OVER (ORDER BY last_day DESC, user_id) AS BIGINT) AS r,
+      |       CAST(ntile(4) OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS f,
+      |       CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m
+      |FROM u ORDER BY user_id""".stripMargin
+
+  /** Shared by etl_pareto_revenue / etl_pareto_revenue_fenced. */
+  private val paretoOracle =
+    """WITH cust AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY o_custkey
+      |), dec AS (
+      |  SELECT o_custkey, spend,
+      |         ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+      |  FROM cust
+      |), agg AS (
+      |  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+      |         sum(spend) AS rev
+      |  FROM dec GROUP BY decile
+      |)
+      |SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+      |       round(CAST(rev AS DOUBLE), 2) AS revenue,
+      |       round(CAST(rev AS DOUBLE) /
+      |             CAST(sum(rev) OVER () AS DOUBLE), 6) AS share,
+      |       round(CAST(sum(rev) OVER (ORDER BY decile) AS DOUBLE) /
+      |             CAST(sum(rev) OVER () AS DOUBLE), 6) AS cum_share
+      |FROM agg ORDER BY decile""".stripMargin
+
   val qs: Seq[Q] = Seq(
     // R9: idempotent re-import — keep the latest version per key.
     Q(
@@ -516,12 +554,31 @@ object Etl {
           col("s_start").as("t"), lit(1).as("delta"))
         .unionByName(sess.select(col("user_id"), col("session_id"),
           col("s_end").as("t"), lit(-1).as("delta")))
-      val wRun = Window
+        .withColumn("day", date_trunc("day", col("t")))
+      // Two-level prefix sum (round 8 — the endpoint frame is 2 rows per
+      // SESSION, which scales with the data, so the old single global
+      // running-sum window was the r7 weak class): (1) per-day delta
+      // totals fold map-side to a BOUNDED day frame; (2) the carry-in
+      // (sessions still open at each day's start) is a running sum over
+      // that day frame only; (3) the within-day running sum windows
+      // PARTITION BY day — every partition is one day's endpoints —
+      // seeded with the broadcast carry. Identical totals to the global
+      // window (prefix sums compose), same oracle.
+      val wDays = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      val carry = ep.groupBy("day")
+        .agg(sum(col("delta")).as("day_delta"))
+        .withColumn("carry",
+          coalesce(sum(col("day_delta")).over(wDays), lit(0)).cast("long"))
+        .select("day", "carry")
+      val wDay = Window.partitionBy("day")
         .orderBy(col("t"), col("delta").desc, col("user_id"),
           col("session_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ep.withColumn("open_now", sum(col("delta")).over(wRun).cast("long"))
-        .groupBy(date_trunc("day", col("t")).as("day"))
+      ep.join(broadcast(carry), Seq("day"))
+        .withColumn("open_now",
+          (col("carry") + sum(col("delta")).over(wDay)).cast("long"))
+        .groupBy(col("day"))
         .agg(max(col("open_now")).as("peak_concurrent"))
         .orderBy("day")
     },
@@ -1016,19 +1073,7 @@ object Etl {
     // bucket lookup (the dq_outliers pattern), trading exact quartile
     // edges for a one-pass mergeable plan.
     Q(
-      "etl_rfm",
-      """WITH u AS (
-        |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
-        |         CAST(count(*) AS BIGINT) AS n_events,
-        |         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
-        |           AS monetary
-        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
-        |)
-        |SELECT user_id, last_day, n_events, monetary,
-        |       CAST(ntile(4) OVER (ORDER BY last_day DESC, user_id) AS BIGINT) AS r,
-        |       CAST(ntile(4) OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS f,
-        |       CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m
-        |FROM u ORDER BY user_id""".stripMargin) { (s, d) =>
+      "etl_rfm", rfmOracle) { (s, d) =>
       val u = events(s, d)
         .where(col("user_id").isNotNull)
         .groupBy("user_id")
@@ -1056,6 +1101,43 @@ object Etl {
         .orderBy("user_id")
     },
 
+    // The SCALE plan for RFM (round 8): three EXACT quartile columns with
+    // no global sort. The per-user frame is persisted once (it feeds nine
+    // bounded fence/count/pick passes), then each quartile is a RankFence
+    // ntile — KLL fences + exact interval counts locate the three
+    // boundary users per ordering, and every user's quartile is a
+    // map-side comparison against those three boundary tuples. At 10⁸
+    // users the heaviest step is a 64-partition window over ≈3/64 of the
+    // frame, vs. the report twin's single task sorting all users three
+    // times. Same oracle as etl_rfm — byte-identical output.
+    Q(
+      "etl_rfm_fenced", rfmOracle) { (s, d) =>
+      import RankFence.OrderCol
+      val u = events(s, d)
+        .where(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .as("monetary"))
+        .persist()
+      val tiled =
+        RankFence.ntileFenced(
+          RankFence.ntileFenced(
+            RankFence.ntileFenced(u,
+              Seq(OrderCol("last_day", asc = false), OrderCol("user_id")),
+              tiles = 4, out = "r"),
+            Seq(OrderCol("n_events", asc = false), OrderCol("user_id")),
+            tiles = 4, out = "f"),
+          Seq(OrderCol("monetary", asc = false), OrderCol("user_id")),
+          tiles = 4, out = "m")
+      tiled.select(col("user_id"), col("last_day"), col("n_events"),
+          col("monetary"), col("r").cast("long").as("r"),
+          col("f").cast("long").as("f"), col("m").cast("long").as("m"))
+        .orderBy("user_id")
+    },
+
     // Revenue-concentration (Pareto) report (round 7, cont.): customers
     // deciled by lifetime spend, each decile's revenue share and the
     // cumulative curve — the "what fraction of customers carries 80% of
@@ -1068,32 +1150,45 @@ object Etl {
     // escape); shares and the cumulative sum run as windows over the
     // BOUNDED 10-row decile frame, decimal until the final double edge.
     Q(
-      "etl_pareto_revenue",
-      """WITH cust AS (
-        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
-        |  FROM orders GROUP BY o_custkey
-        |), dec AS (
-        |  SELECT o_custkey, spend,
-        |         ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
-        |  FROM cust
-        |), agg AS (
-        |  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
-        |         sum(spend) AS rev
-        |  FROM dec GROUP BY decile
-        |)
-        |SELECT CAST(decile AS BIGINT) AS decile, n_customers,
-        |       round(CAST(rev AS DOUBLE), 2) AS revenue,
-        |       round(CAST(rev AS DOUBLE) /
-        |             CAST(sum(rev) OVER () AS DOUBLE), 6) AS share,
-        |       round(CAST(sum(rev) OVER (ORDER BY decile) AS DOUBLE) /
-        |             CAST(sum(rev) OVER () AS DOUBLE), 6) AS cum_share
-        |FROM agg ORDER BY decile""".stripMargin) { (s, d) =>
+      "etl_pareto_revenue", paretoOracle) { (s, d) =>
       val cust = Tables(s, d, "orders")
         .groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
       val dec = cust.select(col("spend"),
           ntile(10).over(Window.orderBy(col("spend").desc, col("o_custkey")))
             .as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum(col("spend")).as("rev"))
+      dec.select(
+          col("decile").cast("long").as("decile"),
+          col("n_customers"),
+          round(col("rev").cast("double"), 2).as("revenue"),
+          round(col("rev").cast("double") /
+            sum(col("rev")).over(Window.partitionBy()).cast("double"), 6)
+            .as("share"),
+          round(sum(col("rev")).over(Window.orderBy("decile")).cast("double") /
+            sum(col("rev")).over(Window.partitionBy()).cast("double"), 6)
+            .as("cum_share"))
+        .orderBy("decile")
+    },
+
+    // The SCALE plan for the Pareto curve (round 8): the per-customer
+    // spend frame is deciled by RankFence (KLL fences + exact interval
+    // counts + candidate-interval boundary pick + map-side decile
+    // comparisons) instead of a single-task ntile sort; the share /
+    // cumulative windows still run over the BOUNDED 10-row decile frame,
+    // which is exactly where unpartitioned windows belong. Same oracle
+    // as etl_pareto_revenue — byte-identical output.
+    Q(
+      "etl_pareto_revenue_fenced", paretoOracle) { (s, d) =>
+      import RankFence.OrderCol
+      val cust = Tables(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+        .persist()
+      val dec = RankFence.ntileFenced(cust,
+          Seq(OrderCol("spend", asc = false), OrderCol("o_custkey")),
+          tiles = 10, out = "decile")
         .groupBy("decile")
         .agg(count(lit(1)).as("n_customers"), sum(col("spend")).as("rev"))
       dec.select(

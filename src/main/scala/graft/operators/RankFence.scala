@@ -1,0 +1,274 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.KllFunctions
+import org.apache.spark.sql.types._
+
+/** Exact global ranks WITHOUT a global sort — the scale-safe engine under
+  * the `*_fenced` exact-rank keys (ntile/equi-depth/weighted-median).
+  *
+  * The problem: `ntile(k) OVER (ORDER BY ...)` and friends plan an
+  * UNPARTITIONED WindowExec — one task sorts the whole input. Fine for a
+  * report frame, a 100 TB scale-killer over a fact table (VERDICT r7's
+  * only remaining weak class).
+  *
+  * The fix (the classic sketch-fence selection shape, cf. KLL —
+  * Karnin/Lang/Liberty, FOCS'16): exact rank selection needs a global
+  * sort only to FIND elements at target ranks; everything else is
+  * counting. So:
+  *
+  *   1. ONE pass aggregates a KLL quantile sketch of a monotone double
+  *      proxy of the leading sort key ("route"). The driver decodes
+  *      `buckets-1` fence values. Fence QUALITY only balances work — every
+  *      later step is exact regardless of where the fences land.
+  *   2. ONE pass counts rows per fence interval exactly (map-side
+  *      combinable groupBy; `buckets` rows to the driver).
+  *   3. The driver locates each target global rank: its interval + its
+  *      LOCAL rank inside that interval (pure arithmetic over the exact
+  *      counts).
+  *   4. ONE pass filters to just the candidate intervals (≤ one per
+  *      target rank, each ≈ n/buckets rows) and runs row_number
+  *      partitioned BY INTERVAL — every window partition is a bounded
+  *      slice, never the whole input — to pick the boundary elements.
+  *   5. Rank-derived columns (ntile etc.) become map-side comparisons
+  *      against the ≤ k-1 collected boundary tuples: tile(row) =
+  *      1 + #\{boundaries sorting strictly before row\}. No shuffle at all.
+  *
+  * Correctness does NOT depend on the sketch: the route proxy is monotone
+  * non-decreasing in the leading sort key, so interval order is consistent
+  * with the lexicographic order (rows in a lower interval sort strictly
+  * before rows in a higher one — equal leading keys always share an
+  * interval), the per-interval counts are exact, and the boundary pick
+  * sorts real rows under the real order. A bad sketch can only unbalance
+  * interval sizes, never move a boundary.
+  *
+  * 100 TB posture: cost = 3 column-pruned scans + 1 filtered scan instead
+  * of one scan into a single-task sort. The window in step 4 reads
+  * ≈ (#ranks/buckets)·n rows split across #candidate-interval partitions;
+  * `buckets` is the scale dial (64 here; set ≈ #ranks × executors on a
+  * cluster so each candidate slice is one task's comfortable sort).
+  * Ties on the leading key share an interval by construction — a value
+  * carrying pct ≫ 1/buckets of the corpus makes its interval that pct of
+  * n (documented residual; sub-fencing the tie-break key inside one
+  * interval is the recursive escape).
+  *
+  * Contract: order columns must be non-null (callers filter/construct
+  * accordingly); the leading column must be numeric, date, or timestamp.
+  */
+object RankFence {
+
+  /** One sort key: column name + direction. */
+  case class OrderCol(name: String, asc: Boolean = true)
+
+  private val IV = "__rf_iv"
+  private val RN = "__rf_rn"
+
+  /** Monotone (non-decreasing in the ORDER, i.e. negated for desc)
+    * double proxy of the leading sort key. Precision loss is harmless:
+    * the proxy only routes, and equal inputs stay equal. */
+  private def routeExpr(df: DataFrame, oc: OrderCol): Column = {
+    val base = df.schema(oc.name).dataType match {
+      case _: NumericType => col(oc.name).cast("double")
+      case DateType =>
+        datediff(col(oc.name), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("double")
+      case TimestampType => col(oc.name).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"RankFence leading sort key ${oc.name}: unsupported type $other")
+    }
+    if (oc.asc) base else -base
+  }
+
+  /** interval = #fences strictly below the route value — ≤ buckets-1
+    * codegen'd comparisons per row, no shuffle. */
+  private def intervalExpr(route: Column, fences: Seq[Double]): Column =
+    if (fences.isEmpty) lit(0)
+    else size(filter(typedLit(fences.toArray), f => f < route))
+
+  private def sortCols(order: Seq[OrderCol]): Seq[Column] =
+    order.map(oc => if (oc.asc) col(oc.name).asc else col(oc.name).desc)
+
+  /** Strict "row sorts after this boundary tuple" under the lex order —
+    * a literal comparison ladder, evaluated map-side. */
+  private def afterExpr(order: Seq[OrderCol], b: Seq[Any]): Column =
+    order.zip(b).foldRight(lit(false)) { case ((oc, v), tieRest) =>
+      val gt = if (oc.asc) col(oc.name) > lit(v) else col(oc.name) < lit(v)
+      gt || (col(oc.name) === lit(v) && tieRest)
+    }
+
+  /** Fence the frame: returns (df + interval column, interval→count map).
+    * Two passes (sketch, counts). */
+  private def prepare(
+      df: DataFrame, order: Seq[OrderCol],
+      buckets: Int): (DataFrame, Seq[(Int, Long)]) = {
+    val route = routeExpr(df, order.head)
+    val skBytes = df.agg(KllFunctions.kllSketch(route).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val sk = org.apache.spark.sql.graft.Kll.deserialize(skBytes)
+    val fences =
+      if (sk.n == 0L) Seq.empty[Double]
+      else (1 until buckets).map(i => sk.quantile(i.toDouble / buckets))
+        .filterNot(_.isNaN).distinct.sorted
+    val withIv = df.withColumn(IV, intervalExpr(route, fences))
+    val counts = withIv.groupBy(col(IV)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    (withIv, counts)
+  }
+
+  /** Elements at the given 1-based global ranks under the lex order:
+    * rank → ordered values of the order columns. One filtered pass whose
+    * window partitions are single intervals. */
+  private def pick(
+      withIv: DataFrame, order: Seq[OrderCol],
+      counts: Seq[(Int, Long)], ranks: Seq[Long]): Map[Long, Seq[Any]] = {
+    if (ranks.isEmpty || counts.isEmpty) return Map.empty
+    val n = counts.map(_._2).sum
+    require(ranks.forall(r => r >= 1 && r <= n),
+      s"ranks $ranks outside [1, $n]")
+    // locate: interval + local rank for each target rank (exact counts)
+    def locate(r: Long): (Int, Long) = {
+      var cum = 0L
+      counts.foreach { case (i, c) =>
+        if (r <= cum + c) return (i, r - cum)
+        cum += c
+      }
+      throw new IllegalStateException(s"rank $r not locatable (n=$n)")
+    }
+    val located: Seq[(Long, Int, Long)] =
+      ranks.distinct.map { r => val (iv, k) = locate(r); (r, iv, k) }
+    val cands = located.map(_._2).distinct
+    val win = Window.partitionBy(col(IV)).orderBy(sortCols(order): _*)
+    val hits = located
+      .map { case (_, iv, k) => col(IV) === lit(iv) && col(RN) === lit(k.toInt) }
+      .reduce(_ || _)
+    val picked = withIv
+      .where(col(IV).isin(cands.map(Integer.valueOf): _*))
+      .withColumn(RN, row_number().over(win))
+      .where(hits)
+      .select((order.map(oc => col(oc.name)) :+ col(IV) :+ col(RN)): _*)
+      .collect()
+      .map { r =>
+        val iv = r.getInt(order.length)
+        val k = r.getInt(order.length + 1).toLong
+        ((iv, k), order.indices.map(r.get): Seq[Any])
+      }.toMap
+    located.map { case (r, iv, k) => r -> picked((iv, k)) }.toMap
+  }
+
+  /** Exact `ntile(tiles) OVER (ORDER BY order)` as a fenced plan: same
+    * rows, same tile numbers as the window form (shared oracles pin it),
+    * no global sort anywhere. Runs 3 passes over `df` — persist the
+    * input when it is a derived frame referenced nowhere else. */
+  def ntileFenced(
+      df: DataFrame, order: Seq[OrderCol], tiles: Int,
+      out: String, buckets: Int = 64): DataFrame = {
+    require(tiles >= 1, s"tiles=$tiles")
+    val (withIv, counts) = prepare(df, order, buckets)
+    val n = counts.map(_._2).sum
+    if (n == 0L) return df.withColumn(out, lit(1))
+    // ntile sizes: first n%tiles tiles get ⌈n/tiles⌉, rest ⌊n/tiles⌋;
+    // boundary rank C_i = rows in tiles 1..i. tile(row) =
+    // 1 + #{i < tiles : C_i < rank(row)} = 1 + #{boundary elems < row}.
+    val base = n / tiles
+    val rem = n % tiles
+    val boundaryRanks = (1 until tiles).map { i =>
+      i * base + math.min(i.toLong, rem)
+    }.filter(r => r >= 1 && r <= n)
+    val elems = pick(withIv, order, counts, boundaryRanks)
+    val tile = boundaryRanks.foldLeft(lit(1)) { (acc, r) =>
+      acc + afterExpr(order, elems(r)).cast("int")
+    }
+    df.withColumn(out, tile)
+  }
+
+  /** Elements at explicit 1-based global ranks (public for specs and
+    * ad-hoc exact-percentile readouts). */
+  def elementsAtRanks(
+      df: DataFrame, order: Seq[OrderCol], ranks: Seq[Long],
+      buckets: Int = 64): Map[Long, Seq[Any]] = {
+    val (withIv, counts) = prepare(df, order, buckets)
+    pick(withIv, order, counts, ranks)
+  }
+
+  /** Exact per-group WEIGHTED median under the lex order, fenced: the
+    * first row (in order) whose running weight w satisfies 2·cum ≥ total,
+    * per group — identical to the two-window compose (shared oracle),
+    * but the only sort runs over ONE interval per group (≈ n/buckets
+    * rows), not the group's whole fact slice. `groupCol` must be
+    * low-cardinality (the per-group interval report collects
+    * groups × buckets rows); `weightCol` must be a non-negative DECIMAL
+    * so every comparison is exact on both engines.
+    *
+    * Returns (group, median = leading order value at the crossing row,
+    * total = exact decimal total weight per group).
+    */
+  def weightedMedianFenced(
+      df: DataFrame, groupCol: String, order: Seq[OrderCol],
+      weightCol: String, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    val route = routeExpr(df, order.head)
+    val skBytes = df.agg(KllFunctions.kllSketch(route).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val sk = org.apache.spark.sql.graft.Kll.deserialize(skBytes)
+    val fences =
+      if (sk.n == 0L) Seq.empty[Double]
+      else (1 until buckets).map(i => sk.quantile(i.toDouble / buckets))
+        .filterNot(_.isNaN).distinct.sorted
+    val withIv = df.withColumn(IV, intervalExpr(route, fences))
+    // exact per-(group, interval) weights — groups × buckets rows
+    val wsum = withIv.groupBy(col(groupCol), col(IV))
+      .agg(sum(col(weightCol)).as("w"))
+    val wType = wsum.schema("w").dataType
+    val gType = wsum.schema(groupCol).dataType
+    val grid = wsum.collect().map(r => (r.get(0), r.getInt(1), r.getDecimal(2)))
+    // driver: per group, total weight + the crossing interval (first
+    // where 2·cumulative ≥ total) + exact weight before it — BigDecimal
+    // arithmetic, the same exactness as the engine's decimal folds
+    val two = java.math.BigDecimal.valueOf(2L)
+    val perGroup: Seq[Row] = grid.groupBy(_._1).map { case (g, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val total = sorted.map(_._3).reduce(_.add(_))
+      var cum = java.math.BigDecimal.ZERO
+      var crossingIv = -1
+      var before = java.math.BigDecimal.ZERO
+      sorted.foreach { case (_, iv, w) =>
+        if (crossingIv < 0) {
+          if (cum.add(w).multiply(two).compareTo(total) >= 0) {
+            crossingIv = iv
+            before = cum
+          } else cum = cum.add(w)
+        }
+      }
+      Row(g, crossingIv, before, total)
+    }.toSeq
+    // broadcast the groups × 1 crossing lookup; the inner join both
+    // FILTERS to each group's crossing interval and attaches (w0, total)
+    val spark = df.sparkSession
+    val lkSchema = StructType(Seq(
+      StructField("__rf_g", gType), StructField("__rf_civ", IntegerType),
+      StructField("__rf_w0", wType), StructField("__rf_tot", wType)))
+    val lk = spark.createDataFrame(
+      spark.sparkContext.parallelize(perGroup, 1), lkSchema)
+    // partitioning by (group, interval) is equivalent to (group): the
+    // join keeps exactly ONE interval per group — and it makes the
+    // bounded-slice property visible to the plan guard
+    val run = Window.partitionBy(col(groupCol), col(IV))
+      .orderBy(sortCols(order): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withIv
+      .join(broadcast(lk),
+        col(groupCol) === col("__rf_g") && col(IV) === col("__rf_civ"))
+      .withColumn("__rf_cum", col("__rf_w0") + sum(col(weightCol)).over(run))
+      .where(col("__rf_cum") * 2 >= col("__rf_tot"))
+      // the crossing row = min cum among qualifiers (running weight is
+      // strictly increasing for positive weights) — a tiny agg, no more
+      // windows
+      .groupBy(col(groupCol))
+      .agg(min(struct(col("__rf_cum"), col(order.head.name))).as("m"),
+        first(col("__rf_tot")).as("t"))
+      .select(col(groupCol), col("m").getField(order.head.name).as("median"),
+        col("t").as("total"))
+  }
+}

@@ -851,4 +851,77 @@ class PlanSpec extends AnyFunSuite {
       s"the lang-rate frame must broadcast (bounded domain):\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  // ---- r8 guard: the exact-rank scale doctrine, enforced ----
+  //
+  // VERDICT r7's one remaining weak class: declared plans carrying a
+  // WindowExec whose partition cardinality is O(1) (unpartitioned, or
+  // partitioned only by a known handful-of-values column) while a
+  // FACT-scale table feeds it. This guard walks EVERY declared key's
+  // physical plan and fails on any such window unless the key is in the
+  // audit table below — so a new global-sort window can only ship by
+  // consciously documenting why its input is bounded (or by shipping a
+  // fenced scale twin alongside, the RankFence doctrine).
+  test("r8 guard: no undocumented O(1)-partition window over fact-backed input") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+
+    // Audit table: key → why its O(1)-partition window is acceptable.
+    // Two legitimate classes:
+    //   (twin)    deliberately-declared report twin; the *_fenced scale
+    //             plan of the SAME oracle ships alongside (RankFence)
+    //   (bounded) the window input is a domain-bounded report frame
+    //             (days/months/types/deciles — cardinality independent
+    //             of SF), even though a fact scan sits further below
+    val audited: Map[String, String] = Map(
+      "win_ntile" -> "(twin) deliberate 4-bucket report key; RankFence.ntileFenced is the scale path",
+      "agg_hist_equidepth" -> "(twin) of agg_hist_equidepth_fenced",
+      "agg_weighted_median" -> "(twin) of agg_weighted_median_fenced",
+      "etl_rfm" -> "(twin) of etl_rfm_fenced",
+      "etl_pareto_revenue" -> "(twin) of etl_pareto_revenue_fenced",
+      "win_percent_cume" -> "(twin) §2.E percent_rank/cume_dist surface demo; RankFence is the exact-rank scale path",
+      "win_rank_dense" -> "(twin) §2.E rank/dense_rank surface demo; RankFence is the exact-rank scale path",
+      "agg_histogram" -> "(bounded) CDF window runs over the BUCKET frame — cardinality = value range / width, SF-independent",
+      "agg_mode" -> "(bounded) rank window runs over the (flag × distinct l_quantity) pair frame — quantity domain is 1..50",
+      "dq_volume_anomaly" -> "(bounded) z window runs over the per-DAY volume frame — cardinality = days in span",
+      "etl_churn_daily" -> "(bounded) windows run over the per-DAY frame — cardinality = days in span",
+      "etl_weekday_profile" -> "(bounded) window runs over the 7-row weekday frame",
+      "etl_concurrency" -> "(bounded) only the CARRY window is day-global — it runs over the per-day delta frame; endpoint running sums partition by day (two-level prefix sum, r8)"
+    )
+    val factNames = Seq("lineitem", "orders", "events", "documents",
+      "embeddings", "customer", "supplier", "part")
+    val lowCard = Set("l_returnflag", "l_linestatus")
+
+    def windows(p: SparkPlan): Seq[WindowExec] =
+      p.collect { case w: WindowExec => w } ++
+        p.collect { case a: AdaptiveSparkPlanExec => a }
+          .flatMap(a => windows(a.executedPlan))
+
+    def factBelow(p: SparkPlan): Boolean =
+      p.collect { case f: FileSourceScanExec => f }.exists(f =>
+        factNames.exists(t =>
+          f.relation.location.rootPaths.exists(_.toString.contains(t))))
+
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val root = fn(spark, sf).queryExecution.executedPlan
+        windows(root).flatMap { w =>
+          val o1Partition = w.partitionSpec.isEmpty ||
+            w.partitionSpec.forall {
+              case a: AttributeReference => lowCard.contains(a.name)
+              case _ => false
+            }
+          if (o1Partition && factBelow(w) && !audited.contains(name))
+            Some(s"$name: ${w.partitionSpec.mkString("[", ",", "]")} " +
+              s"over fact-backed input")
+          else None
+        }
+    }
+    assert(violations.isEmpty,
+      s"undocumented O(1)-partition windows over fact-backed input:\n" +
+        violations.mkString("\n"))
+  }
 }

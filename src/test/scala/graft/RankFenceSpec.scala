@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RankFence
+import graft.operators.RankFence.OrderCol
+
+/** Laws for the KLL-fenced exact-rank engine (round 8): every fenced
+  * plan must be BYTE-IDENTICAL to its global-sort window twin — the
+  * fence can only move work, never a boundary. Random frames exercise
+  * ties on the leading key, n < tiles, skewed distributions, and every
+  * supported leading type.
+  */
+class RankFenceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def randFrame(seed: Long, n: Int, distinctVals: Int) = {
+    val r = new scala.util.Random(seed)
+    // deliberately collision-heavy leading values to exercise tie routing
+    (1 to n).map(i => (r.nextInt(distinctVals).toDouble / 4.0, i.toLong))
+      .toDF("v", "id")
+  }
+
+  test("ntileFenced == window ntile on random frames (ties, small n, skew)") {
+    for ((seed, n, dv, tiles, buckets) <- Seq(
+        (1L, 500, 40, 10, 16), // heavy ties
+        (2L, 500, 5000, 7, 16), // near-unique
+        (3L, 9, 1000, 4, 8), // n > tiles barely
+        (4L, 3, 1000, 10, 8), // n < tiles
+        (5L, 1000, 3, 4, 16), // 3 distinct values, massive ties
+        (6L, 800, 200, 10, 2) // 2 buckets: almost everything one interval
+      )) {
+      val df = randFrame(seed, n, dv)
+      val expected = df
+        .withColumn("t", ntile(tiles).over(Window.orderBy("v", "id")))
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      val got = RankFence
+        .ntileFenced(df, Seq(OrderCol("v"), OrderCol("id")), tiles, "t",
+          buckets = buckets)
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      assert(got == expected,
+        s"seed=$seed n=$n dv=$dv tiles=$tiles buckets=$buckets")
+    }
+  }
+
+  test("ntileFenced descending + tie-break law") {
+    val df = randFrame(11L, 400, 25)
+    val expected = df
+      .withColumn("t", ntile(4).over(Window.orderBy(col("v").desc, col("id"))))
+      .select("id", "t").as[(Long, Int)].collect().toMap
+    val got = RankFence
+      .ntileFenced(df, Seq(OrderCol("v", asc = false), OrderCol("id")), 4, "t")
+      .select("id", "t").as[(Long, Int)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("ntileFenced on DATE and LONG leading keys (the rfm shapes)") {
+    val r = new scala.util.Random(21L)
+    val rows = (1 to 300).map { i =>
+      (java.sql.Date.valueOf(s"2024-0${1 + r.nextInt(9)}-${10 + r.nextInt(19)}"),
+        r.nextInt(50).toLong, s"u$i")
+    }
+    val df = rows.toDF("d", "cnt", "uid")
+    val wD = Window.orderBy(col("d").desc, col("uid"))
+    val wL = Window.orderBy(col("cnt").desc, col("uid"))
+    val expected = df
+      .withColumn("td", ntile(4).over(wD)).withColumn("tl", ntile(4).over(wL))
+      .select("uid", "td", "tl").as[(String, Int, Int)].collect().toMap2
+    val got = RankFence.ntileFenced(
+        RankFence.ntileFenced(df,
+          Seq(OrderCol("d", asc = false), OrderCol("uid")), 4, "td"),
+        Seq(OrderCol("cnt", asc = false), OrderCol("uid")), 4, "tl")
+      .select("uid", "td", "tl").as[(String, Int, Int)].collect().toMap2
+    assert(got == expected)
+  }
+
+  test("elementsAtRanks == driver-side sort selection") {
+    val df = randFrame(31L, 700, 60)
+    val sorted = df.select("v", "id").as[(Double, Long)].collect()
+      .sortBy(identity)
+    val ranks = Seq(1L, 7L, 350L, 699L, 700L)
+    val got = RankFence.elementsAtRanks(
+      df, Seq(OrderCol("v"), OrderCol("id")), ranks, buckets = 16)
+    ranks.foreach { r =>
+      val e = sorted(r.toInt - 1)
+      assert(got(r) == Seq(e._1, e._2), s"rank $r")
+    }
+  }
+
+  test("weightedMedianFenced == two-window compose on random weighted groups") {
+    val r = new scala.util.Random(41L)
+    val rows = (1 to 600).map { i =>
+      (s"g${r.nextInt(3)}", r.nextInt(30).toDouble,
+        new java.math.BigDecimal(1 + r.nextInt(9)).setScale(4), i.toLong)
+    }
+    val df = rows.toDF("g", "v", "w", "id")
+      .withColumn("w", col("w").cast("decimal(18,4)"))
+    // the compose (the agg_weighted_median shape)
+    val wRun = Window.partitionBy("g").orderBy("v", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("g")
+    val composed = df
+      .withColumn("cumw", sum(col("w")).over(wRun))
+      .withColumn("totw", sum(col("w")).over(wAll))
+      .where(col("cumw") * 2 >= col("totw"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy("cumw", "v")))
+      .where(col("rn") === 1)
+      .select(col("g"), col("v"),
+        col("totw").cast("double").as("tot"))
+      .as[(String, Double, Double)].collect().toSet
+    val fenced = RankFence
+      .weightedMedianFenced(df, "g",
+        Seq(OrderCol("v"), OrderCol("id")), "w", buckets = 8)
+      .select(col("g"), col("median").cast("double"),
+        col("total").cast("double"))
+      .as[(String, Double, Double)].collect().toSet
+    assert(fenced == composed)
+  }
+
+  test("fenced plans carry no O(1)-partition window (the guard's promise)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    def windows(p: SparkPlan): Seq[WindowExec] =
+      p.collect { case w: WindowExec => w } ++
+        p.collect { case a: AdaptiveSparkPlanExec => a }
+          .flatMap(a => windows(a.executedPlan))
+    val df = randFrame(51L, 400, 30)
+    val plan = RankFence
+      .ntileFenced(df, Seq(OrderCol("v"), OrderCol("id")), 10, "t")
+      .queryExecution.executedPlan
+    windows(plan).foreach(w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"fenced plan grew an unpartitioned window:\n$w"))
+  }
+
+  private implicit class ToMap2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+}
