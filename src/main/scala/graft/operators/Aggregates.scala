@@ -1454,11 +1454,12 @@ object Aggregates {
     // inherits the union's absolute error). The sketch retains the k=256
     // smallest PortableHash values per type (a uniform sample of the
     // distinct-user domain below θ), so intersect/union estimates are
-    // c/θ* and (k-1)/θ_union. Exact columns ride along as the estimator-
-    // quality readout (the llm_minhash_est_quality doctrine); at 100 TB
-    // they drop and only the 2 KB sketches cross the network — the fact
-    // table is scanned ONCE, map-side partial-aggregated, and the pair
-    // join runs over the BOUNDED type-domain frame. Every derived number
+    // c/θ* and (k-1)/θ_union. The declared plan is SKETCH-ONLY (round 8):
+    // only the 2 KB sketches cross the network — the fact table is
+    // scanned ONCE, map-side partial-aggregated, and the pair join runs
+    // over the BOUNDED type-domain frame. The exact-intersection
+    // estimator-quality audit (previously inline, the one subplan a user
+    // must not copy at 100 TB) lives in ApproxSpec. Every derived number
     // (θ, estimates, strict-< retention cut) is replayed by the oracle
     // from md5 with identical IEEE ops, so the sketch itself is
     // hash-verified — exact regime at sf≤0.01 (n<k), estimator regime at
@@ -1482,11 +1483,6 @@ object Aggregates {
          |                   / 1152921504606846976.0
          |              ELSE 1.0 END AS theta
          |  FROM sk GROUP BY event_type
-         |), ex AS (
-         |  SELECT x.event_type AS t1, y.event_type AS t2,
-         |         CAST(count(*) AS BIGINT) AS inter_exact
-         |  FROM u x JOIN u y ON x.h = y.h AND x.event_type < y.event_type
-         |  GROUP BY 1, 2
          |), co AS (
          |  SELECT x.event_type AS t1, y.event_type AS t2,
          |         CAST(count(*) AS BIGINT) AS c
@@ -1521,21 +1517,24 @@ object Aggregates {
          |       b.n_exact AS n2,
          |       round(CASE WHEN b.n_exact >= 256 THEN 255.0 / b.theta
          |                  ELSE CAST(b.n_exact AS DOUBLE) END, 4) AS est2,
-         |       COALESCE(ex.inter_exact, 0) AS inter_exact,
          |       round(COALESCE(co.c, 0) / least(a.theta, b.theta), 4)
          |         AS inter_est,
          |       round(CASE WHEN ut.nu >= 256 THEN 255.0 / ut.theta_u
          |                  ELSE CAST(ut.nu AS DOUBLE) END, 4) AS union_est
          |FROM th a JOIN th b ON a.event_type < b.event_type
-         |LEFT JOIN ex ON ex.t1 = a.event_type AND ex.t2 = b.event_type
          |LEFT JOIN co ON co.t1 = a.event_type AND co.t2 = b.event_type
          |JOIN ut ON ut.t1 = a.event_type AND ut.t2 = b.event_type
          |ORDER BY t1, t2""".stripMargin) { (s, d) =>
+      // r8: the declared plan is SKETCH-ONLY — the u×u exact-intersection
+      // self-join that used to ride alongside (the one plan-shape a user
+      // must NOT copy at 100 TB) moved to ApproxSpec's estimator audit.
+      // What remains is exactly the scale shape: one distinct, one
+      // ObjectHashAggregate folding 2 KB sketches, a bounded type-pair
+      // join, in-row set algebra.
       val u = t(s, d, "events")
         .select(col("event_type"),
           PortableHash.pHash(col("user_id").cast("string")).as("h"))
         .distinct()
-        .persist() // feeds the sketch agg AND both exact-overlap sides
       val sk = u.groupBy("event_type").agg(
         kmvSketch(col("h"), 256, 60).as("sk"),
         count(lit(1)).as("n_exact")) // u is distinct → exact distinct count
@@ -1543,20 +1542,12 @@ object Aggregates {
         col("sk").as("ska"), col("n_exact").as("n1"))
       val b = sk.select(col("event_type").as("t2"),
         col("sk").as("skb"), col("n_exact").as("n2"))
-      val ex = u.as("x")
-        .join(u.as("y"),
-          col("x.h") === col("y.h") &&
-            col("x.event_type") < col("y.event_type"))
-        .groupBy(col("x.event_type").as("t1"), col("y.event_type").as("t2"))
-        .agg(count(lit(1)).as("inter_exact"))
       a.join(b, col("t1") < col("t2"))
-        .join(ex, Seq("t1", "t2"), "left")
         .select(
           col("t1"), col("t2"), col("n1"),
           round(kmvEstimate(col("ska")), 4).as("est1"),
           col("n2"),
           round(kmvEstimate(col("skb")), 4).as("est2"),
-          coalesce(col("inter_exact"), lit(0L)).as("inter_exact"),
           round(kmvIntersectEst(col("ska"), col("skb")), 4).as("inter_est"),
           round(kmvEstimate(kmvUnionPair(col("ska"), col("skb"))), 4)
             .as("union_est"))

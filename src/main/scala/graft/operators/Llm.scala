@@ -380,6 +380,72 @@ object Llm {
   private def probeFanout(s: SparkSession): Int =
     s.conf.get("spark.sql.shuffle.partitions").toInt
 
+  // ---- IVF ANN building blocks (llm_ann_ivf's plan, factored round 8 so
+  // ---- specs can pin trained-vs-untrained recall at a fixed probe budget)
+
+  /** Nearest-cell assignment: one broadcast of the bounded centroid frame,
+    * map-side cosine per (vector, cell), WindowGroupLimit rn=1. */
+  private[graft] def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
+    e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        round(cosineSim(col("embedding"), col("cent")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** Lloyd refinement from explicit seeds: each round reassigns and
+    * re-averages (exact pinned-order centroid fold, 6-dp grid so the
+    * oracle replays it). localCheckpoint cuts the per-iteration lineage
+    * (centroid frame is broadcast-bounded): without it each round
+    * re-plans ALL previous rounds and the final plan re-evaluates the
+    * whole training cascade per stage. `lloydRounds = 0` returns the raw
+    * seeds — the untrained baseline the recall spec compares against. */
+  private[graft] def ivfTrain(
+      e: DataFrame, seeds: DataFrame, lloydRounds: Int): DataFrame = {
+    def toFloat(c: Column): Column = transform(c, x => x.cast("float"))
+    var cents = seeds
+    for (_ <- 1 to lloydRounds) {
+      cents = ivfAssign(e, cents)
+        .groupBy("cell")
+        .agg(Aggregators.centroid(col("embedding")).as("c"))
+        .select(col("cell"),
+          toFloat(transform(col("c"), x => round(x, 6))).as("cent"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Probe the `nprobe` closest cells per query, exact-rerank within
+    * them, top-k per query. Candidates ∝ probed-cell population, never
+    * the corpus. */
+  private[graft] def ivfTopk(
+      assigned: DataFrame, cents: DataFrame, queries: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val wq = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cell"))
+    val probes = queries
+      .join(broadcast(cents), lit(true))
+      .select(col("q_id"), col("q_emb"), col("cell"),
+        round(cosineSim(col("q_emb"), col("cent")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    val wr = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    probes
+      .join(assigned.select(col("cell"), col("vec_id").as("n_id"),
+        col("embedding").as("n_emb")), Seq("cell"))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosineSim(col("q_emb"), col("n_emb")), 6).as("sim"))
+      .distinct()
+      .withColumn("rn", row_number().over(wr))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("q_id", "rn")
+  }
+
   /** The ONE int8 quantization grid. llm_embedding_quantize (the storage
     * path) and llm_cosine_topk_int8 (the serving path) plus both their
     * SQL twins must quantize identically — these four definitions are the
@@ -2831,51 +2897,12 @@ object Llm {
          |ORDER BY q_id, rn""".stripMargin
     }) { (s, d) =>
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      def toFloat(c: Column): Column = transform(c, x => x.cast("float"))
-      def assign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
-        e.join(broadcast(cents), lit(true))
-          .select(col("vec_id"), col("embedding"), col("cell"),
-            round(cosineSim(col("embedding"), col("cent")), 6).as("sim"))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cell"))
-      }
-      var cents = e.where(col("vec_id") < 16)
-        .select(col("vec_id").as("cell"), col("embedding").as("cent"))
-      for (_ <- 1 to 2) {
-        // localCheckpoint cuts the per-iteration lineage (16 tiny rows):
-        // without it each Lloyd round re-plans ALL previous rounds and the
-        // final plan re-evaluates the whole training cascade per stage.
-        cents = assign(cents)
-          .groupBy("cell")
-          .agg(Aggregators.centroid(col("embedding")).as("c"))
-          .select(col("cell"), toFloat(transform(col("c"), x => round(x, 6))).as("cent"))
-          .localCheckpoint()
-      }
-      val assigned = assign(cents)
-      // queries probe their 2 closest cells
-      val wq = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cell"))
-      val probes = e.where(col("vec_id") < 20)
+      val cents = ivfTrain(e, e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("cent")),
+        lloydRounds = 2)
+      val queries = e.where(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        .join(broadcast(cents), lit(true))
-        .select(col("q_id"), col("q_emb"), col("cell"),
-          round(cosineSim(col("q_emb"), col("cent")), 6).as("sim"))
-        .withColumn("rn", row_number().over(wq))
-        .where(col("rn") <= 2)
-        .select(col("q_id"), col("q_emb"), col("cell"))
-      val wr = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-      probes
-        .join(assigned.select(col("cell"), col("vec_id").as("n_id"),
-          col("embedding").as("n_emb")), Seq("cell"))
-        .where(col("n_id") =!= col("q_id"))
-        .select(col("q_id"), col("n_id"),
-          round(cosineSim(col("q_emb"), col("n_emb")), 6).as("sim"))
-        .distinct()
-        .withColumn("rn", row_number().over(wr))
-        .where(col("rn") <= 5)
-        .select(col("q_id"), col("n_id"), col("sim"), col("rn").cast("long").as("rn"))
-        .orderBy("q_id", "rn")
+      ivfTopk(ivfAssign(e, cents), cents, queries, nprobe = 2, k = 5)
     },
 
     // Multimodal column plumbing: binary payload + mime + typed metadata

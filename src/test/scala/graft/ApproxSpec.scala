@@ -283,4 +283,47 @@ class ApproxSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(math.abs(approx - exact) / math.abs(exact) < 0.05)
   }
+
+  test("theta overlap estimator audit: sketch set algebra vs the exact " +
+    "u×u self-join (moved out of the declared plan, r8)") {
+    // the estimator-quality readout that used to ride inside
+    // agg_theta_overlap — the declared key is sketch-only now; the
+    // exact-intersection self-join lives HERE, where audits belong
+    import graft.functions.PortableHash
+    for ((d, exactRegime) <- Seq(
+        ("/root/testdata/sf0.01", true), // n < k=256 → estimates EXACT
+        ("/root/testdata/sf0.1", false))) { // n=1500 ≥ k → 4·rsd bound
+      val u = Tables(spark, d, "events")
+        .select(col("event_type"),
+          PortableHash.pHash(col("user_id").cast("string")).as("h"))
+        .distinct()
+        .persist()
+      val exact = u.as("x")
+        .join(u.as("y"), col("x.h") === col("y.h") &&
+          col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("t1"), col("y.event_type").as("t2"))
+        .agg(count(lit(1)).as("inter_exact"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val est = SparkEntry.queries("agg_theta_overlap")(spark, d)
+        .select("t1", "t2", "n1", "inter_est")
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getDouble(3))))
+      u.unpersist()
+      assert(est.nonEmpty)
+      est.foreach { case (pair, (n1, interEst)) =>
+        val interExact = exact.getOrElse(pair, 0L).toDouble
+        if (exactRegime)
+          assert(interEst == interExact, s"$pair: $interEst vs $interExact")
+        else {
+          // |est − exact| ≤ 4·rsd·|A∩B|-scale bound; rsd ≈ 1/√(k−2) at
+          // k=256, with the n-scale floor the SketchLawsProps bound uses
+          val tol = math.max(16.0, 4.0 * n1 / math.sqrt(254.0))
+          assert(math.abs(interEst - interExact) <= tol,
+            s"$pair: est $interEst vs exact $interExact (tol $tol)")
+        }
+      }
+    }
+  }
 }
