@@ -423,6 +423,29 @@ object Pipeline {
     }
   }
 
+  /** ATOMIC publish of one pipeline table under the manifest protocol
+    * (round 8 — `Sources.publishVersion`): a reader concurrent with a
+    * rebuild sees the previous complete version until the single
+    * pointer move, never the in-progress overwrite the in-place `write`
+    * exposes. Same observe()-rides-the-write count discipline. Pair with
+    * [[readTableCurrent]] on the consumer side. */
+  def publishTable(
+      df: DataFrame, partitionCol: Option[String],
+      path: String): TableResult = {
+    val spark = df.sparkSession
+    val obs = org.apache.spark.sql.Observation(s"publish_${path.split('/').last}")
+    graft.sources.Sources.publishVersion(spark, path,
+      df.observe(obs, count(lit(1)).as("rows")), partitionCol)
+    TableResult(path.split('/').last, obs.get("rows").asInstanceOf[Long], path)
+  }
+
+  /** Current-version reader for tables published with [[publishTable]]. */
+  def readTableCurrent(spark: SparkSession, outDir: String, table: String,
+      month: Option[String] = None): DataFrame = {
+    val base = graft.sources.Sources.readCurrent(spark, s"$outDir/$table")
+    month.fold(base)(m => base.where(col("month") === lit(m).cast("timestamp")))
+  }
+
   /** Rehydrate a published table (month-pruned when `month` is given) —
     * what a downstream reader does; the month filter must prune partitions,
     * not scan them (Sources.sinkPartitioned posture, pinned in

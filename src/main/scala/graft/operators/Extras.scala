@@ -13,7 +13,20 @@ object Extras {
     * cnt) — damping 0.85, total mass 10¹² BIGINT micro-units so every
     * update is exact integer arithmetic (order-independent, engine-
     * portable; see the graph_pagerank Q for the full rationale). Returns
-    * (node, rank). Assumes no dangling nodes (callers symmetrize).
+    * (node, rank).
+    *
+    * DANGLING nodes (round 8 — a sink with no out-edges would silently
+    * LEAK its mass every round): a one-job probe counts sinks up front.
+    * Zero sinks (every symmetrized caller, incl. the declared key — its
+    * plan and output are bit-unchanged) takes the lean loop below; a
+    * directed graph with sinks takes the dangling-aware loop, which
+    * redistributes the sinks' total mass uniformly each round (one
+    * broadcast 1-row scalar per round — the standard PageRank dangling
+    * treatment, Page et al. 1999 §2.5) over the FULL node set (src ∪
+    * dst), and localCheckpoints each round because the rank vector is
+    * referenced twice (contribution join + sink-mass aggregate) — an
+    * unbroken lazy chain would double the plan per round (the BPE
+    * lesson). ComponentsSpec pins mass conservation on a sink graph.
     *
     * Cache contract: persists the edge list (pre-partitioned on src) and
     * the out-weight frame — they feed every iteration and cannot be
@@ -34,20 +47,55 @@ object Extras {
     val edges = e0p.join(outw, Seq("src"))
       .repartition(col("src"))
       .persist()
-    val n = outw.agg(count(lit(1)).cast("long").as("n_nodes"))
-    var rank = outw.crossJoin(broadcast(n))
-      .select(col("src").as("node"),
-        expr("CAST(1000000000000 div n_nodes AS BIGINT)").as("rank"))
-    for (_ <- 1 to iterations) {
-      rank = edges
-        .join(rank, col("node") === col("src"))
-        .crossJoin(broadcast(n))
-        .groupBy(col("dst"), col("n_nodes"))
-        .agg(expr("CAST((150000000000 div n_nodes)" +
-          " + (85 * sum((rank * cnt) div w)) div 100 AS BIGINT)").as("rank"))
-        .select(col("dst").as("node"), col("rank"))
+    val sinks = e0p.select(col("dst")).distinct()
+      .join(outw, col("dst") === col("src"), "left_anti")
+      .persist()
+    if (sinks.isEmpty) {
+      val n = outw.agg(count(lit(1)).cast("long").as("n_nodes"))
+      var rank = outw.crossJoin(broadcast(n))
+        .select(col("src").as("node"),
+          expr("CAST(1000000000000 div n_nodes AS BIGINT)").as("rank"))
+      for (_ <- 1 to iterations) {
+        rank = edges
+          .join(rank, col("node") === col("src"))
+          .crossJoin(broadcast(n))
+          .groupBy(col("dst"), col("n_nodes"))
+          .agg(expr("CAST((150000000000 div n_nodes)" +
+            " + (85 * sum((rank * cnt) div w)) div 100 AS BIGINT)").as("rank"))
+          .select(col("dst").as("node"), col("rank"))
+      }
+      rank
+    } else {
+      // full node set: sources ∪ sinks — sinks hold rank too
+      val nodes = outw.select(col("src").as("node"))
+        .unionByName(sinks.select(col("dst").as("node")))
+        .persist()
+      val n = nodes.agg(count(lit(1)).cast("long").as("n_nodes"))
+      var rank = nodes.crossJoin(broadcast(n))
+        .select(col("node"),
+          expr("CAST(1000000000000 div n_nodes AS BIGINT)").as("rank"))
+        .localCheckpoint()
+      for (_ <- 1 to iterations) {
+        // the round's ONE broadcast scalar: total mass sitting on sinks
+        val dangling = rank
+          .join(outw, col("node") === col("src"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
+        val contrib = edges
+          .join(rank, col("node") === col("src"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("(rank * cnt) div w")).as("c"))
+        rank = nodes
+          .join(contrib, col("node") === col("dst"), "left")
+          .crossJoin(broadcast(dangling))
+          .crossJoin(broadcast(n))
+          .select(col("node"),
+            expr("CAST((150000000000 div n_nodes) + (85 * " +
+              "(coalesce(c, 0) + dmass div n_nodes)) div 100 AS BIGINT)")
+              .as("rank"))
+          .localCheckpoint()
+      }
+      rank
     }
-    rank
   }
 
   /** Triangle + edge counts over an id-ORIENTED distinct edge list

