@@ -81,11 +81,19 @@ object RankFence {
     if (oc.asc) base else -base
   }
 
-  /** interval = #fences strictly below the route value — ≤ buckets-1
-    * codegen'd comparisons per row, no shuffle. */
+  /** interval = #fences strictly below the route value, as a CASE ladder
+    * over the sorted fences: first f with route ≤ f has index = that
+    * count. A WHEN chain stays inside whole-stage codegen and
+    * short-circuits; the array-HOF spelling (`size(filter(...))`) is
+    * CodegenFallback — interpreted per row, measured 3× slower on the
+    * weighted-median fact pass. No shuffle either way. */
   private def intervalExpr(route: Column, fences: Seq[Double]): Column =
     if (fences.isEmpty) lit(0)
-    else size(filter(typedLit(fences.toArray), f => f < route))
+    else fences.tail.zipWithIndex
+      .foldLeft(when(route <= lit(fences.head), lit(0))) {
+        case (acc, (f, i)) => acc.when(route <= lit(f), lit(i + 1))
+      }
+      .otherwise(lit(fences.length)) // one FLAT CaseWhen, codegen-friendly
 
   private def sortCols(order: Seq[OrderCol]): Seq[Column] =
     order.map(oc => if (oc.asc) col(oc.name).asc else col(oc.name).desc)
@@ -181,6 +189,111 @@ object RankFence {
       acc + afterExpr(order, elems(r)).cast("int")
     }
     df.withColumn(out, tile)
+  }
+
+  /** One ntile column to append: ordering + tile count + output name. */
+  case class NtileSpec(order: Seq[OrderCol], tiles: Int, out: String)
+
+  /** Batched [[ntileFenced]] for SEVERAL orderings over one frame
+    * (the RFM shape): ALL sketches fold in ONE aggregate pass, ALL
+    * interval counts in ONE grouping-sets aggregate (one shuffle), and
+    * ALL boundary picks in ONE unioned job — 3 passes total instead of
+    * 3 per ordering. Results are identical to chaining ntileFenced
+    * (RankFenceSpec law). Callers should persist `df`.
+    */
+  def ntileFencedMulti(
+      df: DataFrame, specs: Seq[NtileSpec], buckets: Int = 64): DataFrame = {
+    require(specs.nonEmpty)
+    if (specs.lengthCompare(1) == 0)
+      return ntileFenced(df, specs.head.order, specs.head.tiles,
+        specs.head.out, buckets)
+    val routes = specs.map(s => routeExpr(df, s.order.head))
+    // pass 1: every ordering's KLL sketch in one aggregate
+    val skRow = df.agg(
+      KllFunctions.kllSketch(routes.head).as("s0"),
+      routes.tail.zipWithIndex
+        .map { case (r, i) => KllFunctions.kllSketch(r).as(s"s${i + 1}") }: _*)
+      .head()
+    val fencesPer = specs.indices.map { i =>
+      val sk = org.apache.spark.sql.graft.Kll
+        .deserialize(skRow.getAs[Array[Byte]](i))
+      if (sk.n == 0L) Seq.empty[Double]
+      else (1 until buckets).map(j => sk.quantile(j.toDouble / buckets))
+        .filterNot(_.isNaN).distinct.sorted
+    }
+    def iv(i: Int) = s"${IV}_$i"
+    val withIv = specs.indices.foldLeft(df) { (acc, i) =>
+      acc.withColumn(iv(i), intervalExpr(routes(i), fencesPer(i)))
+    }
+    // pass 2: per-ordering interval counts in ONE shuffle — grouping
+    // sets [[iv_0], [iv_1], …]; a result row belongs to ordering i iff
+    // iv_i is the (single) non-null grouping column
+    val gs = withIv
+      .groupingSets(specs.indices.map(i => Seq(col(iv(i)))),
+        specs.indices.map(i => col(iv(i))): _*)
+      .agg(count(lit(1)).as("c"))
+      .collect()
+    val countsPer: Seq[Seq[(Int, Long)]] = specs.indices.map { i =>
+      gs.filter(r => !r.isNullAt(i) &&
+          specs.indices.forall(j => j == i || r.isNullAt(j)))
+        .map(r => r.getInt(i) -> r.getLong(specs.length))
+        .sortBy(_._1).toSeq
+    }
+    // locate every ordering's boundary ranks
+    val locatedPer = specs.indices.map { i =>
+      val counts = countsPer(i)
+      val n = counts.map(_._2).sum
+      val base = n / specs(i).tiles
+      val rem = n % specs(i).tiles
+      // duplicates KEPT: with n < tiles the same boundary rank repeats,
+      // and each repeat contributes its own +1 in the tile fold (exactly
+      // the single-ordering ntileFenced semantics)
+      val boundaryRanks = (1 until specs(i).tiles).map { t =>
+        t * base + math.min(t.toLong, rem)
+      }.filter(r => r >= 1 && r <= n)
+      boundaryRanks.map { r =>
+        var cum = 0L
+        var hit: Option[(Int, Long)] = None
+        counts.foreach { case (v, c) =>
+          if (hit.isEmpty) {
+            if (r <= cum + c) hit = Some((v, r - cum)) else cum += c
+          }
+        }
+        (r, hit.get._1, hit.get._2)
+      }
+    }
+    // pass 3: every ordering's boundary pick in ONE unioned job; each
+    // branch selects the SAME schema (ordering id, local rank, interval,
+    // then the full base row) so the union is well-typed
+    val baseCols = df.columns.toSeq
+    val frames = specs.indices.filter(locatedPer(_).nonEmpty).map { i =>
+      val w = Window.partitionBy(col(iv(i))).orderBy(sortCols(specs(i).order): _*)
+      val cands = locatedPer(i).map(_._2).distinct
+      val hits = locatedPer(i)
+        .map { case (_, v, k) => col(iv(i)) === lit(v) && col(RN) === lit(k.toInt) }
+        .reduce(_ || _)
+      withIv.where(col(iv(i)).isin(cands.map(Integer.valueOf): _*))
+        .withColumn(RN, row_number().over(w))
+        .where(hits)
+        .select((lit(i).as("__rf_spec") +: col(RN).as("__rf_rnx") +:
+          col(iv(i)).as("__rf_ivx") +: baseCols.map(col)): _*)
+    }
+    val picked =
+      if (frames.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else frames.reduce(_.unionByName(_)).collect()
+    // tile assignment per ordering: 1 + #{boundaries sorting before row}
+    specs.indices.foldLeft(df) { (acc, i) =>
+      val byIvRn = picked.filter(_.getInt(0) == i)
+        .map { r =>
+          val vals = specs(i).order
+            .map(oc => r.get(3 + baseCols.indexOf(oc.name)))
+          ((r.getInt(2), r.getInt(1).toLong), vals: Seq[Any])
+        }.toMap
+      val tile = locatedPer(i).foldLeft(lit(1)) { case (t, (_, v, k)) =>
+        t + afterExpr(specs(i).order, byIvRn((v, k))).cast("int")
+      }
+      acc.withColumn(specs(i).out, tile)
+    }
   }
 
   /** Elements at explicit 1-based global ranks (public for specs and

@@ -121,6 +121,31 @@ class RankFenceSpec extends AnyFunSuite {
     assert(fenced == composed)
   }
 
+  test("ntileFencedMulti == chained single-ordering ntileFenced (3 orderings, " +
+    "mixed types, incl. n < tiles)") {
+    import RankFence.NtileSpec
+    val r = new scala.util.Random(61L)
+    for (n <- Seq(300, 3)) {
+      val rows = (1 to n).map { i =>
+        (java.sql.Date.valueOf(s"2024-0${1 + r.nextInt(9)}-${10 + r.nextInt(19)}"),
+          r.nextInt(40).toLong, r.nextInt(500).toDouble / 4, s"u$i")
+      }
+      val df = rows.toDF("d", "cnt", "m", "uid")
+      val specs = Seq(
+        NtileSpec(Seq(OrderCol("d", asc = false), OrderCol("uid")), 4, "r"),
+        NtileSpec(Seq(OrderCol("cnt", asc = false), OrderCol("uid")), 4, "f"),
+        NtileSpec(Seq(OrderCol("m", asc = false), OrderCol("uid")), 4, "m2"))
+      val chained = specs.foldLeft(df)((acc, s) =>
+        RankFence.ntileFenced(acc, s.order, s.tiles, s.out, buckets = 8))
+        .select("uid", "r", "f", "m2")
+        .as[(String, Int, Int, Int)].collect().toSet
+      val batched = RankFence.ntileFencedMulti(df, specs, buckets = 8)
+        .select("uid", "r", "f", "m2")
+        .as[(String, Int, Int, Int)].collect().toSet
+      assert(batched == chained, s"n=$n")
+    }
+  }
+
   test("fenced plans carry no O(1)-partition window (the guard's promise)") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
