@@ -73,6 +73,68 @@ object ScaleSmoke {
         .count()
     }
 
+    // RankFence at scale (round 8): exact decile assignment of a 60M-row
+    // frame. The global-window form funnels all 60M rows through ONE
+    // task's sort; the fenced form's only windows read candidate
+    // intervals (≈ ranks/buckets of the input) partitioned per interval.
+    // Equality is required on a 6M slice BOTH ways (distribution-level:
+    // per-tile counts identical); the fenced plan then takes the full
+    // 60M alone — running the single-task sort at 60M is exactly the
+    // blow-up being avoided (the asof-stage measurement pattern).
+    locally {
+      import operators.RankFence
+      // persisted: the fenced plan reads its input 3× (sketch, counts,
+      // pick) — on real (parquet) data those are cheap re-scans, but the
+      // synthetic frame here pays 4 xxhash64 per row per regeneration,
+      // which would bill generation cost 3× against the fence only
+      val vals = ev.select(col("value").as("v"), col("event_id").as("id"))
+        .persist()
+      vals.count() // materialize untimed — neither A nor B pays it
+      // per-tile MEMBERSHIP fingerprint (count + xxhash64 sum of member
+      // ids): tile sizes alone are equal by arithmetic — the fingerprint
+      // catches any row assigned to a different tile
+      def tileFingerprint(
+          tiled: org.apache.spark.sql.DataFrame): Map[Int, (Long, Long)] =
+        tiled.groupBy("t")
+          .agg(count(lit(1)).as("n"),
+            expr("bit_xor(xxhash64(id))").as("h")) // no ANSI sum overflow
+          .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+          .toMap
+      var viaWindow: Map[Int, (Long, Long)] = Map(1 -> ((-1L, 0L)))
+      var viaFence: Map[Int, (Long, Long)] = Map(2 -> ((-2L, 0L)))
+      time("ntile global-sort 6M") {
+        val slice = vals.where(col("id") % 10 === 0)
+        viaWindow = tileFingerprint(slice
+          .withColumn("t", ntile(10).over(Window.orderBy("v", "id"))))
+        viaWindow.values.map(_._1).sum
+      }
+      time("ntile fenced 6M") {
+        val slice = vals.where(col("id") % 10 === 0)
+        viaFence = tileFingerprint(RankFence.ntileFenced(slice,
+          Seq(RankFence.OrderCol("v"), RankFence.OrderCol("id")), 10, "t",
+          buckets = 64))
+        viaFence.values.map(_._1).sum
+      }
+      if (viaWindow.keySet != Set(1) && viaFence.keySet != Set(2))
+        require(viaWindow == viaFence,
+          s"ntile disagreement: window=$viaWindow fenced=$viaFence")
+      time("ntile fenced 60M") {
+        RankFence.ntileFenced(vals,
+            Seq(RankFence.OrderCol("v"), RankFence.OrderCol("id")), 10, "t",
+            buckets = 64)
+          .groupBy("t").count().count()
+      }
+      time("weighted median fenced 60M") {
+        RankFence.weightedMedianFenced(
+          ev.select(col("event_type"), col("value").as("v"),
+            col("value").cast("decimal(18,4)").as("w"), col("event_id")),
+          "event_type",
+          Seq(RankFence.OrderCol("v"), RankFence.OrderCol("event_id")),
+          "w", buckets = 64).count()
+      }
+      vals.unpersist()
+    }
+
     // Native as-of join at depth (round 7, cont.): ~20M purchases ⋈
     // ~20M views over 30k users (≈667 views of history per user). The
     // composed form's intermediate is sum-over-purchases of
