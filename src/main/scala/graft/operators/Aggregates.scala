@@ -1184,6 +1184,40 @@ object Aggregates {
     // runs over that ONE interval per flag (≈ n/64 rows), seeded with
     // the exact weight-before. Same first-crossing-row semantics, same
     // oracle, byte-identical result.
+    // Exact GLOBAL percentiles, fenced (round 8): the element at rank
+    // max(1, ⌈q·n⌉) under the (price, key) total order for q ∈ {25, 50,
+    // 75, 90, 99}% — quantile_disc semantics, EXACT (approx_percentile's
+    // deterministic complement), with no global sort: RankFence locates
+    // all five ranks in the same 3 fenced passes. The oracle replays the
+    // identical rank arithmetic (⌈⌉ over the same IEEE q·n product), so
+    // the readout is value-verified, not bound-verified.
+    Q("agg_percentiles_fenced",
+      """WITH r AS (
+        |  SELECT o_totalprice,
+        |         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+        |         CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM orders
+        |)
+        |SELECT CAST(p.pct AS BIGINT) AS pct,
+        |       CAST(greatest(1, CAST(ceil(p.pct / 100.0 * r.n) AS BIGINT))
+        |            AS BIGINT) AS rnk,
+        |       CAST(o_totalprice AS DOUBLE) AS value
+        |FROM (VALUES (25), (50), (75), (90), (99)) p(pct)
+        |JOIN r ON r.rn = greatest(1, CAST(ceil(p.pct / 100.0 * r.n)
+        |                                  AS BIGINT))
+        |ORDER BY pct""".stripMargin) { (s, d) =>
+      val pcts = Seq(25, 50, 75, 90, 99)
+      val got = RankFence.quantilesFenced(
+        t(s, d, "orders").select(col("o_totalprice"), col("o_orderkey")),
+        Seq(RankFence.OrderCol("o_totalprice"), RankFence.OrderCol("o_orderkey")),
+        pcts.map(_ / 100.0))
+      val rows = pcts.zip(got).map { case (p, (_, rank, v)) =>
+        (p.toLong, rank, v.asInstanceOf[Number].doubleValue)
+      }
+      import s.implicits._
+      rows.toDF("pct", "rnk", "value").orderBy("pct")
+    },
+
     Q("agg_weighted_median_fenced", weightedMedianOracle) { (s, d) =>
       val li = t(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"),

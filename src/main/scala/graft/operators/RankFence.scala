@@ -305,6 +305,23 @@ object RankFence {
     pick(withIv, order, counts, ranks)
   }
 
+  /** EXACT discrete quantiles under the lex order, fenced: for each q,
+    * the element at rank max(1, ⌈q·n⌉) — quantile_disc semantics, so an
+    * oracle replays the rank arithmetic verbatim. Returns
+    * (q, rank, leading-order value) driver-side; the total work is the
+    * standard 3 fenced passes regardless of how many quantiles ride. */
+  def quantilesFenced(
+      df: DataFrame, order: Seq[OrderCol], qs: Seq[Double],
+      buckets: Int = 64): Seq[(Double, Long, Any)] = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"qs=$qs")
+    val (withIv, counts) = prepare(df, order, buckets)
+    val n = counts.map(_._2).sum
+    if (n == 0) return Seq.empty
+    val ranks = qs.map(q => math.max(1L, math.ceil(q * n).toLong))
+    val elems = pick(withIv, order, counts, ranks)
+    qs.zip(ranks).map { case (q, r) => (q, r, elems(r).head) }
+  }
+
   /** Exact per-group WEIGHTED median under the lex order, fenced: the
     * first row (in order) whose running weight w satisfies 2·cum ≥ total,
     * per group — identical to the two-window compose (shared oracle),
