@@ -51,8 +51,11 @@ import org.apache.spark.sql.types._
   * cluster so each candidate slice is one task's comfortable sort).
   * Ties on the leading key share an interval by construction — a value
   * carrying pct ≫ 1/buckets of the corpus makes its interval that pct of
-  * n (documented residual; sub-fencing the tie-break key inside one
-  * interval is the recursive escape).
+  * n. That residual is CLOSED (round 8) by [[selectAtLocalRank]]: any
+  * interval above `maxWindowRows` recurses — re-fenced with fresh
+  * sub-sketch pivots while it spans several leading values, descending
+  * to the tie-break ordering once it is one giant tie — a distributed
+  * quickselect with KLL pivots; only sub-budget slices ever see a sort.
   *
   * Contract: order columns must be non-null (callers filter/construct
   * accordingly); the leading column must be numeric, date, or timestamp.
@@ -64,6 +67,12 @@ object RankFence {
 
   private val IV = "__rf_iv"
   private val RN = "__rf_rn"
+
+  /** Can this type serve as a fence-routing key? */
+  private def routeSupported(dt: DataType): Boolean = dt match {
+    case _: NumericType | DateType | TimestampType => true
+    case _ => false
+  }
 
   /** Monotone (non-decreasing in the ORDER, i.e. negated for desc)
     * double proxy of the leading sort key. Precision loss is harmless:
@@ -125,12 +134,91 @@ object RankFence {
     (withIv, counts)
   }
 
+  /** Ties/skew escape depth cap — each level shrinks the slice by the
+    * fence factor or descends one tie-break column, so 20 is far beyond
+    * any real distribution; hitting it falls back to the terminal sort. */
+  private val MaxDepth = 20
+
+  /** The default single-task sort budget: an interval at or below this
+    * many rows is picked with one bounded window sort; above it the
+    * RECURSIVE fence engages ([[selectAtLocalRank]]). 2M rows of a few
+    * narrow columns sort in one task in seconds — and every declared key
+    * at harness SFs stays below it, so their plans are unchanged. */
+  val DefaultMaxWindowRows: Long = 2000000L
+
+  /** Recursive exact selection inside ONE oversized interval — the
+    * documented giant-tie/skew residual, closed (round 8): a distributed
+    * quickselect whose pivots come from a KLL sketch of the slice.
+    *
+    *  - slice still spans several leading-key values → re-fence the
+    *    slice (sub-sketch quantiles ∪ the slice minimum, so at least the
+    *    min tie-group always splits off → guaranteed progress), count
+    *    sub-intervals exactly, descend into the one holding the rank;
+    *  - slice is ONE giant tie on the leading key (min == max on the
+    *    TRUE column, not the double proxy) → descend to the tie-break
+    *    ordering over the same rows and prepend the constant;
+    *  - slice within the sort budget / unsupported tie-break type /
+    *    no progress (proxy collisions) / depth cap → ONE bounded sort of
+    *    ≤ max(budget, current slice) rows — correctness never depends on
+    *    the recursion, only the work bound does.
+    */
+  private def selectAtLocalRank(
+      slice: DataFrame, order: Seq[OrderCol], k: Long, cnt: Long,
+      buckets: Int, maxWindowRows: Long, depth: Int): Seq[Any] = {
+    def terminalSort(): Seq[Any] = {
+      require(k <= Int.MaxValue, s"local rank $k exceeds row_number range")
+      val w = Window.orderBy(sortCols(order): _*)
+      slice.withColumn(RN, row_number().over(w))
+        .where(col(RN) === lit(k.toInt))
+        .select(order.map(oc => col(oc.name)): _*)
+        .head().toSeq
+    }
+    if (cnt <= maxWindowRows || depth >= MaxDepth) return terminalSort()
+    val leading = order.head
+    val route = routeExpr(slice, leading)
+    val probe = slice.agg(
+      min(col(leading.name)).as("mnv"), max(col(leading.name)).as("mxv"),
+      min(route).as("mnr"),
+      KllFunctions.kllSketch(route).as("sk")).head()
+    if (probe.get(0) == probe.get(1)) {
+      // one giant tie on the leading key — descend to the tie-break order
+      val tail = order.tail
+      if (tail.isEmpty || !routeSupported(slice.schema(tail.head.name).dataType))
+        return terminalSort()
+      return probe.get(0) +: selectAtLocalRank(
+        slice, tail, k, cnt, buckets, maxWindowRows, depth + 1)
+    }
+    val sk = org.apache.spark.sql.graft.Kll.deserialize(
+      probe.getAs[Array[Byte]](3))
+    val fences = ((1 until buckets)
+      .map(i => sk.quantile(i.toDouble / buckets)) :+ probe.getDouble(2))
+      .filterNot(_.isNaN).distinct.sorted
+    val withIv = slice.withColumn(IV, intervalExpr(route, fences))
+    val counts = withIv.groupBy(col(IV)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var cum = 0L
+    var hit: Option[(Int, Long, Long)] = None
+    counts.foreach { case (i, c) =>
+      if (hit.isEmpty) {
+        if (k <= cum + c) hit = Some((i, k - cum, c)) else cum += c
+      }
+    }
+    val (j, k2, subCnt) = hit.getOrElse(
+      throw new IllegalStateException(s"rank $k not locatable in slice"))
+    if (subCnt == cnt) terminalSort() // route-proxy collision: no progress
+    else selectAtLocalRank(withIv.where(col(IV) === lit(j)).drop(IV),
+      order, k2, subCnt, buckets, maxWindowRows, depth + 1)
+  }
+
   /** Elements at the given 1-based global ranks under the lex order:
-    * rank → ordered values of the order columns. One filtered pass whose
-    * window partitions are single intervals. */
+    * rank → ordered values of the order columns. Intervals within the
+    * sort budget batch into ONE filtered pass whose window partitions
+    * are single intervals; oversized intervals (Zipf ties, fence-defying
+    * skew) recurse through [[selectAtLocalRank]]. */
   private def pick(
       withIv: DataFrame, order: Seq[OrderCol],
-      counts: Seq[(Int, Long)], ranks: Seq[Long]): Map[Long, Seq[Any]] = {
+      counts: Seq[(Int, Long)], ranks: Seq[Long],
+      buckets: Int, maxWindowRows: Long): Map[Long, Seq[Any]] = {
     if (ranks.isEmpty || counts.isEmpty) return Map.empty
     val n = counts.map(_._2).sum
     require(ranks.forall(r => r >= 1 && r <= n),
@@ -144,24 +232,41 @@ object RankFence {
       }
       throw new IllegalStateException(s"rank $r not locatable (n=$n)")
     }
+    val countMap = counts.toMap
     val located: Seq[(Long, Int, Long)] =
       ranks.distinct.map { r => val (iv, k) = locate(r); (r, iv, k) }
-    val cands = located.map(_._2).distinct
-    val win = Window.partitionBy(col(IV)).orderBy(sortCols(order): _*)
-    val hits = located
-      .map { case (_, iv, k) => col(IV) === lit(iv) && col(RN) === lit(k.toInt) }
-      .reduce(_ || _)
-    val picked = withIv
-      .where(col(IV).isin(cands.map(Integer.valueOf): _*))
-      .withColumn(RN, row_number().over(win))
-      .where(hits)
-      .select((order.map(oc => col(oc.name)) :+ col(IV) :+ col(RN)): _*)
-      .collect()
-      .map { r =>
-        val iv = r.getInt(order.length)
-        val k = r.getInt(order.length + 1).toLong
-        ((iv, k), order.indices.map(r.get): Seq[Any])
+    val (small, big) = located.partition {
+      case (_, iv, _) => countMap(iv) <= maxWindowRows
+    }
+    val pickedSmall: Map[(Int, Long), Seq[Any]] =
+      if (small.isEmpty) Map.empty
+      else {
+        val cands = small.map(_._2).distinct
+        val win = Window.partitionBy(col(IV)).orderBy(sortCols(order): _*)
+        val hits = small
+          .map { case (_, iv, k) =>
+            col(IV) === lit(iv) && col(RN) === lit(k.toInt)
+          }
+          .reduce(_ || _)
+        withIv
+          .where(col(IV).isin(cands.map(Integer.valueOf): _*))
+          .withColumn(RN, row_number().over(win))
+          .where(hits)
+          .select((order.map(oc => col(oc.name)) :+ col(IV) :+ col(RN)): _*)
+          .collect()
+          .map { r =>
+            val iv = r.getInt(order.length)
+            val k = r.getInt(order.length + 1).toLong
+            ((iv, k), order.indices.map(r.get): Seq[Any])
+          }.toMap
+      }
+    val pickedBig: Map[(Int, Long), Seq[Any]] =
+      big.map { case (_, iv, k) =>
+        (iv, k) -> selectAtLocalRank(
+          withIv.where(col(IV) === lit(iv)).drop(IV),
+          order, k, countMap(iv), buckets, maxWindowRows, 0)
       }.toMap
+    val picked = pickedSmall ++ pickedBig
     located.map { case (r, iv, k) => r -> picked((iv, k)) }.toMap
   }
 
@@ -171,7 +276,8 @@ object RankFence {
     * input when it is a derived frame referenced nowhere else. */
   def ntileFenced(
       df: DataFrame, order: Seq[OrderCol], tiles: Int,
-      out: String, buckets: Int = 64): DataFrame = {
+      out: String, buckets: Int = 64,
+      maxWindowRows: Long = DefaultMaxWindowRows): DataFrame = {
     require(tiles >= 1, s"tiles=$tiles")
     val (withIv, counts) = prepare(df, order, buckets)
     val n = counts.map(_._2).sum
@@ -184,7 +290,7 @@ object RankFence {
     val boundaryRanks = (1 until tiles).map { i =>
       i * base + math.min(i.toLong, rem)
     }.filter(r => r >= 1 && r <= n)
-    val elems = pick(withIv, order, counts, boundaryRanks)
+    val elems = pick(withIv, order, counts, boundaryRanks, buckets, maxWindowRows)
     val tile = boundaryRanks.foldLeft(lit(1)) { (acc, r) =>
       acc + afterExpr(order, elems(r)).cast("int")
     }
@@ -202,11 +308,12 @@ object RankFence {
     * (RankFenceSpec law). Callers should persist `df`.
     */
   def ntileFencedMulti(
-      df: DataFrame, specs: Seq[NtileSpec], buckets: Int = 64): DataFrame = {
+      df: DataFrame, specs: Seq[NtileSpec], buckets: Int = 64,
+      maxWindowRows: Long = DefaultMaxWindowRows): DataFrame = {
     require(specs.nonEmpty)
     if (specs.lengthCompare(1) == 0)
       return ntileFenced(df, specs.head.order, specs.head.tiles,
-        specs.head.out, buckets)
+        specs.head.out, buckets, maxWindowRows)
     val routes = specs.map(s => routeExpr(df, s.order.head))
     // pass 1: every ordering's KLL sketch in one aggregate
     val skRow = df.agg(
@@ -262,33 +369,48 @@ object RankFence {
         (r, hit.get._1, hit.get._2)
       }
     }
-    // pass 3: every ordering's boundary pick in ONE unioned job; each
-    // branch selects the SAME schema (ordering id, local rank, interval,
-    // then the full base row) so the union is well-typed
+    // pass 3: every ordering's SMALL-interval boundary picks in ONE
+    // unioned job; each branch selects the SAME schema (ordering id,
+    // local rank, interval, then the full base row) so the union is
+    // well-typed. Oversized intervals recurse individually through
+    // selectAtLocalRank (the giant-tie/skew escape).
+    val countMaps = countsPer.map(_.toMap)
     val baseCols = df.columns.toSeq
-    val frames = specs.indices.filter(locatedPer(_).nonEmpty).map { i =>
-      val w = Window.partitionBy(col(iv(i))).orderBy(sortCols(specs(i).order): _*)
-      val cands = locatedPer(i).map(_._2).distinct
-      val hits = locatedPer(i)
-        .map { case (_, v, k) => col(iv(i)) === lit(v) && col(RN) === lit(k.toInt) }
-        .reduce(_ || _)
-      withIv.where(col(iv(i)).isin(cands.map(Integer.valueOf): _*))
-        .withColumn(RN, row_number().over(w))
-        .where(hits)
-        .select((lit(i).as("__rf_spec") +: col(RN).as("__rf_rnx") +:
-          col(iv(i)).as("__rf_ivx") +: baseCols.map(col)): _*)
-    }
+    def isSmall(i: Int, v: Int): Boolean =
+      countMaps(i).getOrElse(v, 0L) <= maxWindowRows
+    val frames = specs.indices
+      .filter(i => locatedPer(i).exists { case (_, v, _) => isSmall(i, v) })
+      .map { i =>
+        val smalls = locatedPer(i).filter { case (_, v, _) => isSmall(i, v) }
+        val w = Window.partitionBy(col(iv(i))).orderBy(sortCols(specs(i).order): _*)
+        val cands = smalls.map(_._2).distinct
+        val hits = smalls
+          .map { case (_, v, k) => col(iv(i)) === lit(v) && col(RN) === lit(k.toInt) }
+          .reduce(_ || _)
+        withIv.where(col(iv(i)).isin(cands.map(Integer.valueOf): _*))
+          .withColumn(RN, row_number().over(w))
+          .where(hits)
+          .select((lit(i).as("__rf_spec") +: col(RN).as("__rf_rnx") +:
+            col(iv(i)).as("__rf_ivx") +: baseCols.map(col)): _*)
+      }
     val picked =
       if (frames.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else frames.reduce(_.unionByName(_)).collect()
     // tile assignment per ordering: 1 + #{boundaries sorting before row}
     specs.indices.foldLeft(df) { (acc, i) =>
-      val byIvRn = picked.filter(_.getInt(0) == i)
-        .map { r =>
-          val vals = specs(i).order
-            .map(oc => r.get(3 + baseCols.indexOf(oc.name)))
-          ((r.getInt(2), r.getInt(1).toLong), vals: Seq[Any])
-        }.toMap
+      val byIvRn: Map[(Int, Long), Seq[Any]] =
+        picked.filter(_.getInt(0) == i)
+          .map { r =>
+            val vals = specs(i).order
+              .map(oc => r.get(3 + baseCols.indexOf(oc.name)))
+            ((r.getInt(2), r.getInt(1).toLong), vals: Seq[Any])
+          }.toMap ++
+          locatedPer(i).filter { case (_, v, _) => !isSmall(i, v) }
+            .map { case (_, v, k) =>
+              (v, k) -> selectAtLocalRank(
+                withIv.where(col(iv(i)) === lit(v)),
+                specs(i).order, k, countMaps(i)(v), buckets, maxWindowRows, 0)
+            }.toMap
       val tile = locatedPer(i).foldLeft(lit(1)) { case (t, (_, v, k)) =>
         t + afterExpr(specs(i).order, byIvRn((v, k))).cast("int")
       }
@@ -300,9 +422,10 @@ object RankFence {
     * ad-hoc exact-percentile readouts). */
   def elementsAtRanks(
       df: DataFrame, order: Seq[OrderCol], ranks: Seq[Long],
-      buckets: Int = 64): Map[Long, Seq[Any]] = {
+      buckets: Int = 64,
+      maxWindowRows: Long = DefaultMaxWindowRows): Map[Long, Seq[Any]] = {
     val (withIv, counts) = prepare(df, order, buckets)
-    pick(withIv, order, counts, ranks)
+    pick(withIv, order, counts, ranks, buckets, maxWindowRows)
   }
 
   /** EXACT discrete quantiles under the lex order, fenced: for each q,
@@ -312,13 +435,14 @@ object RankFence {
     * standard 3 fenced passes regardless of how many quantiles ride. */
   def quantilesFenced(
       df: DataFrame, order: Seq[OrderCol], qs: Seq[Double],
-      buckets: Int = 64): Seq[(Double, Long, Any)] = {
+      buckets: Int = 64,
+      maxWindowRows: Long = DefaultMaxWindowRows): Seq[(Double, Long, Any)] = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"qs=$qs")
     val (withIv, counts) = prepare(df, order, buckets)
     val n = counts.map(_._2).sum
     if (n == 0) return Seq.empty
     val ranks = qs.map(q => math.max(1L, math.ceil(q * n).toLong))
-    val elems = pick(withIv, order, counts, ranks)
+    val elems = pick(withIv, order, counts, ranks, buckets, maxWindowRows)
     qs.zip(ranks).map { case (q, r) => (q, r, elems(r).head) }
   }
 

@@ -146,6 +146,68 @@ class RankFenceSpec extends AnyFunSuite {
     }
   }
 
+  test("recursive selection: giant-tie and skewed frames == window ntile " +
+    "with a 25-row sort budget (the r8 quickselect escape)") {
+    val r = new scala.util.Random(71L)
+    // three adversarial shapes for the fence:
+    //  a) 70% of rows share ONE leading value (the Zipf hot-key tie)
+    //  b) 99% share one value — sketch quantiles all collapse onto it
+    //  c) two tie values straddling a decile boundary
+    val shapes = Seq(
+      (1 to 1000).map(i =>
+        (if (r.nextInt(10) < 7) 5.0 else r.nextInt(100).toDouble, i.toLong)),
+      (1 to 1000).map(i =>
+        (if (r.nextInt(100) < 99) 7.0 else r.nextInt(50).toDouble, i.toLong)),
+      (1 to 1000).map(i => ((i % 2).toDouble, i.toLong)))
+    for ((rows, si) <- shapes.zipWithIndex) {
+      val df = rows.toDF("v", "id")
+      val expected = df
+        .withColumn("t", ntile(10).over(Window.orderBy("v", "id")))
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      // 25-row budget forces recursion on nearly every boundary interval,
+      // including the giant-tie descent to the id tie-break column
+      val got = RankFence.ntileFenced(df,
+          Seq(OrderCol("v"), OrderCol("id")), 10, "t",
+          buckets = 8, maxWindowRows = 25L)
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      assert(got == expected, s"shape $si")
+    }
+  }
+
+  test("recursive selection in the multi form and quantiles under a tiny budget") {
+    import RankFence.NtileSpec
+    val r = new scala.util.Random(81L)
+    val rows = (1 to 800).map { i =>
+      (if (r.nextInt(10) < 6) 3L else r.nextInt(40).toLong,
+        if (r.nextInt(10) < 8) 1.5 else r.nextInt(30).toDouble, s"u$i")
+    }
+    val df = rows.toDF("cnt", "m", "uid")
+    val specs = Seq(
+      NtileSpec(Seq(OrderCol("cnt", asc = false), OrderCol("uid")), 4, "f"),
+      NtileSpec(Seq(OrderCol("m", asc = false), OrderCol("uid")), 4, "m2"))
+    val expected = specs.foldLeft(df)((acc, s) =>
+      acc.withColumn(s.out, ntile(s.tiles).over(
+        Window.orderBy(s.order.map(oc =>
+          if (oc.asc) col(oc.name).asc else col(oc.name).desc): _*))))
+      .select("uid", "f", "m2").as[(String, Int, Int)].collect().toMap2
+    val got = RankFence.ntileFencedMulti(df, specs,
+        buckets = 8, maxWindowRows = 20L)
+      .select("uid", "f", "m2").as[(String, Int, Int)].collect().toMap2
+    assert(got == expected)
+    // quantiles on a 95%-tied frame under the same tiny budget
+    val qdf = (1 to 500).map(i =>
+      (if (i % 20 == 0) i.toDouble else 42.0, i.toLong)).toDF("v", "id")
+    val sorted = qdf.select("v", "id").as[(Double, Long)].collect()
+      .sortBy(identity)
+    val qs = Seq(0.5, 0.9, 0.99)
+    val gotQ = RankFence.quantilesFenced(qdf,
+      Seq(OrderCol("v"), OrderCol("id")), qs, buckets = 8, maxWindowRows = 15L)
+    qs.zip(gotQ).foreach { case (q, (_, rank, v)) =>
+      assert(rank == math.max(1L, math.ceil(q * 500).toLong))
+      assert(v == sorted(rank.toInt - 1)._1, s"q=$q")
+    }
+  }
+
   test("fenced plans carry no O(1)-partition window (the guard's promise)") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
