@@ -132,6 +132,42 @@ object ScaleSmoke {
           Seq(RankFence.OrderCol("v"), RankFence.OrderCol("event_id")),
           "w", buckets = 64).count()
       }
+      // giant-tie recursion at scale (round 8, cont.): HALF the 60M rows
+      // share one leading value, so several decile boundaries land inside
+      // a 30M-row tie interval — 15× the 2M sort budget. The recursive
+      // selector must descend to the id tie-break fence instead of
+      // sorting 30M rows in one task. Equality vs the window form is
+      // pinned on a 6M slice (where the single-task sort is still
+      // runnable); the full 60M runs fenced-only.
+      val tied = vals.select(
+        when(col("id") % 2 === 0, lit(500.0)).otherwise(col("v")).as("v"),
+        col("id")).persist()
+      tied.count()
+      var tiedWindow: Map[Int, (Long, Long)] = Map(1 -> ((-1L, 0L)))
+      var tiedFence: Map[Int, (Long, Long)] = Map(2 -> ((-2L, 0L)))
+      time("ntile 50%-tie global 6M") {
+        val slice = tied.where(col("id") % 10 === 0)
+        tiedWindow = tileFingerprint(slice
+          .withColumn("t", ntile(10).over(Window.orderBy("v", "id"))))
+        tiedWindow.values.map(_._1).sum
+      }
+      time("ntile 50%-tie fenced 6M") {
+        val slice = tied.where(col("id") % 10 === 0)
+        tiedFence = tileFingerprint(RankFence.ntileFenced(slice,
+          Seq(RankFence.OrderCol("v"), RankFence.OrderCol("id")), 10, "t",
+          buckets = 64, maxWindowRows = 200000L))
+        tiedFence.values.map(_._1).sum
+      }
+      if (tiedWindow.keySet != Set(1) && tiedFence.keySet != Set(2))
+        require(tiedWindow == tiedFence,
+          s"tied ntile disagreement: window=$tiedWindow fenced=$tiedFence")
+      time("ntile 50%-tie fenced 60M") {
+        RankFence.ntileFenced(tied,
+            Seq(RankFence.OrderCol("v"), RankFence.OrderCol("id")), 10, "t",
+            buckets = 64)
+          .groupBy("t").count().count()
+      }
+      tied.unpersist()
       vals.unpersist()
     }
 

@@ -104,6 +104,22 @@ object RankFence {
       }
       .otherwise(lit(fences.length)) // one FLAT CaseWhen, codegen-friendly
 
+  /** Interleaved `< f` / `== f` cuts over the sorted fences — interval
+    * 2i = strictly below fence i, 2i+1 = exactly fence i, 2k = above
+    * all. Monotone-consistent with the route order like [[intervalExpr]],
+    * but every fence VALUE's tie-group is isolated in its own interval —
+    * the recursion's 3-way-partition move. */
+  private def tieAwareIntervalExpr(route: Column, fences: Seq[Double]): Column =
+    if (fences.isEmpty) lit(0)
+    else {
+      val first = when(route < lit(fences.head), lit(0))
+        .when(route === lit(fences.head), lit(1))
+      fences.tail.zipWithIndex.foldLeft(first) { case (acc, (f, i)) =>
+        acc.when(route < lit(f), lit(2 * (i + 1)))
+          .when(route === lit(f), lit(2 * (i + 1) + 1))
+      }.otherwise(lit(2 * fences.length))
+    }
+
   private def sortCols(order: Seq[OrderCol]): Seq[Column] =
     order.map(oc => if (oc.asc) col(oc.name).asc else col(oc.name).desc)
 
@@ -134,11 +150,6 @@ object RankFence {
     (withIv, counts)
   }
 
-  /** Ties/skew escape depth cap — each level shrinks the slice by the
-    * fence factor or descends one tie-break column, so 20 is far beyond
-    * any real distribution; hitting it falls back to the terminal sort. */
-  private val MaxDepth = 20
-
   /** The default single-task sort budget: an interval at or below this
     * many rows is picked with one bounded window sort; above it the
     * RECURSIVE fence engages ([[selectAtLocalRank]]). 2M rows of a few
@@ -158,56 +169,73 @@ object RankFence {
     *    TRUE column, not the double proxy) → descend to the tie-break
     *    ordering over the same rows and prepend the constant;
     *  - slice within the sort budget / unsupported tie-break type /
-    *    no progress (proxy collisions) / depth cap → ONE bounded sort of
+    *    no progress (proxy collisions) → ONE bounded sort of
     *    ≤ max(budget, current slice) rows — correctness never depends on
     *    the recursion, only the work bound does.
     */
-  private def selectAtLocalRank(
-      slice: DataFrame, order: Seq[OrderCol], k: Long, cnt: Long,
-      buckets: Int, maxWindowRows: Long, depth: Int): Seq[Any] = {
-    def terminalSort(): Seq[Any] = {
-      require(k <= Int.MaxValue, s"local rank $k exceeds row_number range")
+  private def selectAtLocalRanks(
+      slice: DataFrame, order: Seq[OrderCol], ks: Seq[Long], cnt: Long,
+      buckets: Int, maxWindowRows: Long): Map[Long, Seq[Any]] = {
+    def terminalSort(): Map[Long, Seq[Any]] = {
+      require(ks.forall(_ <= Int.MaxValue), s"local ranks $ks exceed row_number range")
       val w = Window.orderBy(sortCols(order): _*)
       slice.withColumn(RN, row_number().over(w))
-        .where(col(RN) === lit(k.toInt))
-        .select(order.map(oc => col(oc.name)): _*)
-        .head().toSeq
+        .where(col(RN).isin(ks.distinct.map(k => Integer.valueOf(k.toInt)): _*))
+        .select((col(RN) +: order.map(oc => col(oc.name))): _*)
+        .collect()
+        .map(r => r.getInt(0).toLong ->
+          (order.indices.map(i => r.get(1 + i)): Seq[Any]))
+        .toMap
     }
-    if (cnt <= maxWindowRows || depth >= MaxDepth) return terminalSort()
+    // termination: every level either strictly shrinks the slice (the
+    // progress guard below sorts on any non-shrinking step) or strictly
+    // shortens the ordering (tie descent) — no depth cap needed
+    if (cnt <= maxWindowRows) return terminalSort()
     val leading = order.head
     val route = routeExpr(slice, leading)
-    val probe = slice.agg(
-      min(col(leading.name)).as("mnv"), max(col(leading.name)).as("mxv"),
-      min(route).as("mnr"),
-      KllFunctions.kllSketch(route).as("sk")).head()
-    if (probe.get(0) == probe.get(1)) {
-      // one giant tie on the leading key — descend to the tie-break order
-      val tail = order.tail
-      if (tail.isEmpty || !routeSupported(slice.schema(tail.head.name).dataType))
-        return terminalSort()
-      return probe.get(0) +: selectAtLocalRank(
-        slice, tail, k, cnt, buckets, maxWindowRows, depth + 1)
-    }
-    val sk = org.apache.spark.sql.graft.Kll.deserialize(
-      probe.getAs[Array[Byte]](3))
-    val fences = ((1 until buckets)
-      .map(i => sk.quantile(i.toDouble / buckets)) :+ probe.getDouble(2))
-      .filterNot(_.isNaN).distinct.sorted
-    val withIv = slice.withColumn(IV, intervalExpr(route, fences))
-    val counts = withIv.groupBy(col(IV)).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var cum = 0L
-    var hit: Option[(Int, Long, Long)] = None
-    counts.foreach { case (i, c) =>
-      if (hit.isEmpty) {
-        if (k <= cum + c) hit = Some((i, k - cum, c)) else cum += c
+    // slices get re-filtered by every recursion level below — persist
+    // this level's frame so the lineage above it is evaluated once
+    val cached = slice.persist()
+    try {
+      val probe = cached.agg(
+        min(col(leading.name)).as("mnv"), max(col(leading.name)).as("mxv"),
+        min(route).as("mnr"),
+        KllFunctions.kllSketch(route).as("sk")).head()
+      if (probe.get(0) == probe.get(1)) {
+        // one giant tie on the leading key — descend to the tie-break
+        // order ONCE for every rank in the slice (local ranks within the
+        // slice ARE global ranks of the slice frame, so the full
+        // fence/count/pick cycle applies recursively)
+        val tail = order.tail
+        if (tail.isEmpty || !routeSupported(cached.schema(tail.head.name).dataType))
+          return terminalSort()
+        return elementsAtRanks(cached, tail, ks, buckets, maxWindowRows)
+          .map { case (k, vals) => k -> (probe.get(0) +: vals) }
       }
-    }
-    val (j, k2, subCnt) = hit.getOrElse(
-      throw new IllegalStateException(s"rank $k not locatable in slice"))
-    if (subCnt == cnt) terminalSort() // route-proxy collision: no progress
-    else selectAtLocalRank(withIv.where(col(IV) === lit(j)).drop(IV),
-      order, k2, subCnt, buckets, maxWindowRows, depth + 1)
+      val sk = org.apache.spark.sql.graft.Kll.deserialize(
+        probe.getAs[Array[Byte]](3))
+      val fences = ((1 until buckets)
+        .map(i => sk.quantile(i.toDouble / buckets)) :+ probe.getDouble(2))
+        .filterNot(_.isNaN).distinct.sorted
+      // THREE-WAY cuts (< f | == f | …): when one value dominates the
+      // slice, every KLL quantile collapses onto it and plain ≤-cuts
+      // would peel only the min tie-group per level — measured thousands
+      // of ~30-row levels on a 50%-tie frame before overflowing the plan
+      // stack. With the == cut the dominant tie-group is ITS OWN
+      // interval: one level isolates it, the next descends to the
+      // tie-break ordering. Classic 3-way-partition quickselect.
+      val withIv = cached.withColumn(IV, tieAwareIntervalExpr(route, fences))
+      val counts = withIv.groupBy(col(IV)).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq
+      // no-progress guard (route-proxy collisions): if any rank's
+      // sub-interval still holds the whole slice, sort — otherwise hand
+      // the located ranks back to pick(), whose small path batches every
+      // sub-budget sub-interval into ONE windowed job and whose big path
+      // re-enters this function on the (strictly smaller) leftovers
+      val progress = counts.forall(_._2 < cnt)
+      if (!progress) terminalSort()
+      else pick(withIv, order, counts, ks, buckets, maxWindowRows)
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Elements at the given 1-based global ranks under the lex order:
@@ -261,10 +289,12 @@ object RankFence {
           }.toMap
       }
     val pickedBig: Map[(Int, Long), Seq[Any]] =
-      big.map { case (_, iv, k) =>
-        (iv, k) -> selectAtLocalRank(
+      big.groupBy(_._2).toSeq.flatMap { case (iv, group) =>
+        val ks = group.map(_._3).distinct
+        val sub = selectAtLocalRanks(
           withIv.where(col(IV) === lit(iv)).drop(IV),
-          order, k, countMap(iv), buckets, maxWindowRows, 0)
+          order, ks, countMap(iv), buckets, maxWindowRows)
+        ks.map(k => (iv, k) -> sub(k))
       }.toMap
     val picked = pickedSmall ++ pickedBig
     located.map { case (r, iv, k) => r -> picked((iv, k)) }.toMap
@@ -406,10 +436,13 @@ object RankFence {
             ((r.getInt(2), r.getInt(1).toLong), vals: Seq[Any])
           }.toMap ++
           locatedPer(i).filter { case (_, v, _) => !isSmall(i, v) }
-            .map { case (_, v, k) =>
-              (v, k) -> selectAtLocalRank(
+            .groupBy(_._2).toSeq.flatMap { case (v, group) =>
+              val ks = group.map(_._3).distinct
+              val sub = selectAtLocalRanks(
                 withIv.where(col(iv(i)) === lit(v)),
-                specs(i).order, k, countMaps(i)(v), buckets, maxWindowRows, 0)
+                specs(i).order, ks, countMaps(i)(v), buckets,
+                maxWindowRows)
+              ks.map(k => (v, k) -> sub(k))
             }.toMap
       val tile = locatedPer(i).foldLeft(lit(1)) { case (t, (_, v, k)) =>
         t + afterExpr(specs(i).order, byIvRn((v, k))).cast("int")
