@@ -490,6 +490,13 @@ object RankFence {
     *
     * Returns (group, median = leading order value at the crossing row,
     * total = exact decimal total weight per group).
+    *
+    * Residual (documented; the rank family's recursive escape does not
+    * yet extend here): a crossing interval dominated by ONE leading
+    * value sorts that tie-group in its single window partition. The
+    * weighted analogue of [[selectAtLocalRanks]] — weight sums per
+    * 3-way cut, recursive descent carrying the exact weight-before —
+    * is the dial if a real corpus ever hits it.
     */
   def weightedMedianFenced(
       df: DataFrame, groupCol: String, order: Seq[OrderCol],
