@@ -479,6 +479,79 @@ object RankFence {
     qs.zip(ranks).map { case (q, r) => (q, r, elems(r).head) }
   }
 
+  /** Exact crossing VALUE inside one oversized (already group-filtered)
+    * interval: the weighted analogue of [[selectAtLocalRanks]] — a
+    * weighted quickselect whose pivots come from a KLL sketch of the
+    * slice, carrying the group's exact decimal (weight-before, total)
+    * through the descent. Each level re-fences under THREE-WAY `<`/`==`
+    * cuts, sums count+weight per sub-interval exactly, and descends into
+    * the one crossing sub-interval. Terminals:
+    *
+    *  - slice is ONE tie on the leading key → that constant IS the
+    *    answer (only the leading value is reported — no tie-break
+    *    descent needed, unlike the rank family);
+    *  - slice within the sort budget / no progress (route-proxy
+    *    collisions) → one bounded sort replaying the declared plan's
+    *    min(struct(cum, leading)) readout with the carried weight-before;
+    *  - DESCENDING leading order with a zero weight in the slice → the
+    *    bounded-sort terminal too: the readout's raw-ascending tie-break
+    *    on the leading value means a zero-weight run at the crossing cum
+    *    can couple the minimum across sub-intervals (under ascending
+    *    order the run's minimum is the crossing row itself, so any
+    *    weights descend exactly).
+    */
+  private def weightedCrossingValue(
+      slice: DataFrame, order: Seq[OrderCol], weightCol: String,
+      before: java.math.BigDecimal, total: java.math.BigDecimal,
+      cnt: Long, buckets: Int, maxWindowRows: Long): Any = {
+    def terminalSort(): Any = {
+      val w = Window.orderBy(sortCols(order): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      slice.withColumn("__rf_cum", lit(before) + sum(col(weightCol)).over(w))
+        .where(col("__rf_cum") * 2 >= lit(total))
+        .agg(min(struct(col("__rf_cum"), col(order.head.name))).as("m"))
+        .head().getStruct(0).get(1)
+    }
+    if (cnt <= maxWindowRows) return terminalSort()
+    val leading = order.head
+    val route = routeExpr(slice, leading)
+    val cached = slice.persist()
+    try {
+      val probe = cached.agg(
+        min(col(leading.name)).as("mnv"), max(col(leading.name)).as("mxv"),
+        min(route).as("mnr"), KllFunctions.kllSketch(route).as("sk"),
+        min(col(weightCol)).as("mnw")).head()
+      if (probe.get(0) == probe.get(1)) return probe.get(0) // pure tie
+      if (!leading.asc && probe.getDecimal(4).signum() == 0)
+        return terminalSort()
+      val sk = org.apache.spark.sql.graft.Kll.deserialize(
+        probe.getAs[Array[Byte]](3))
+      val fences = ((1 until buckets)
+        .map(i => sk.quantile(i.toDouble / buckets)) :+ probe.getDouble(2))
+        .filterNot(_.isNaN).distinct.sorted
+      val withIv = cached.withColumn(IV, tieAwareIntervalExpr(route, fences))
+      val grid = withIv.groupBy(col(IV))
+        .agg(sum(col(weightCol)).as("w"), count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getDecimal(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val two = java.math.BigDecimal.valueOf(2L)
+      var cum = before; var civ = -1
+      var b2 = before; var c2 = 0L
+      grid.foreach { case (iv, w, c) =>
+        if (civ < 0) {
+          if (cum.add(w).multiply(two).compareTo(total) >= 0) {
+            civ = iv; b2 = cum; c2 = c
+          } else cum = cum.add(w)
+        }
+      }
+      require(civ >= 0, s"weighted crossing not locatable (total=$total)")
+      if (c2 >= cnt) terminalSort() // no-progress guard
+      else weightedCrossingValue(
+        withIv.where(col(IV) === lit(civ)).drop(IV),
+        order, weightCol, b2, total, c2, buckets, maxWindowRows)
+    } finally cached.unpersist(blocking = false)
+  }
+
   /** Exact per-group WEIGHTED median under the lex order, fenced: the
     * first row (in order) whose running weight w satisfies 2·cum ≥ total,
     * per group — identical to the two-window compose (shared oracle),
@@ -491,16 +564,16 @@ object RankFence {
     * Returns (group, median = leading order value at the crossing row,
     * total = exact decimal total weight per group).
     *
-    * Residual (documented; the rank family's recursive escape does not
-    * yet extend here): a crossing interval dominated by ONE leading
-    * value sorts that tie-group in its single window partition. The
-    * weighted analogue of [[selectAtLocalRanks]] — weight sums per
-    * 3-way cut, recursive descent carrying the exact weight-before —
-    * is the dial if a real corpus ever hits it.
+    * Giant-tie residual: CLOSED (round 8). A crossing interval above
+    * `maxWindowRows` (one leading value carrying ≫ 1/buckets of a
+    * group's rows) leaves the batched window plan and takes
+    * [[weightedCrossingValue]] — the recursive weighted quickselect —
+    * so no window partition ever exceeds the sort budget.
     */
   def weightedMedianFenced(
       df: DataFrame, groupCol: String, order: Seq[OrderCol],
-      weightCol: String, buckets: Int = 64): DataFrame = {
+      weightCol: String, buckets: Int = 64,
+      maxWindowRows: Long = DefaultMaxWindowRows): DataFrame = {
     import org.apache.spark.sql.Row
     val route = routeExpr(df, order.head)
     val skBytes = df.agg(KllFunctions.kllSketch(route).as("sk"))
@@ -511,32 +584,39 @@ object RankFence {
       else (1 until buckets).map(i => sk.quantile(i.toDouble / buckets))
         .filterNot(_.isNaN).distinct.sorted
     val withIv = df.withColumn(IV, intervalExpr(route, fences))
-    // exact per-(group, interval) weights — groups × buckets rows
+    // exact per-(group, interval) weights + counts — groups × buckets rows
     val wsum = withIv.groupBy(col(groupCol), col(IV))
-      .agg(sum(col(weightCol)).as("w"))
+      .agg(sum(col(weightCol)).as("w"), count(lit(1)).as("c"))
     val wType = wsum.schema("w").dataType
     val gType = wsum.schema(groupCol).dataType
-    val grid = wsum.collect().map(r => (r.get(0), r.getInt(1), r.getDecimal(2)))
+    val grid = wsum.collect()
+      .map(r => (r.get(0), r.getInt(1), r.getDecimal(2), r.getLong(3)))
     // driver: per group, total weight + the crossing interval (first
-    // where 2·cumulative ≥ total) + exact weight before it — BigDecimal
-    // arithmetic, the same exactness as the engine's decimal folds
+    // where 2·cumulative ≥ total) + exact weight before it + its row
+    // count — BigDecimal arithmetic, the same exactness as the engine's
+    // decimal folds
     val two = java.math.BigDecimal.valueOf(2L)
-    val perGroup: Seq[Row] = grid.groupBy(_._1).map { case (g, rows) =>
+    case class Crossing(g: Any, civ: Int, before: java.math.BigDecimal,
+      total: java.math.BigDecimal, cnt: Long)
+    val perGroup: Seq[Crossing] = grid.groupBy(_._1).map { case (g, rows) =>
       val sorted = rows.sortBy(_._2)
       val total = sorted.map(_._3).reduce(_.add(_))
       var cum = java.math.BigDecimal.ZERO
       var crossingIv = -1
       var before = java.math.BigDecimal.ZERO
-      sorted.foreach { case (_, iv, w) =>
+      var cnt = 0L
+      sorted.foreach { case (_, iv, w, c) =>
         if (crossingIv < 0) {
           if (cum.add(w).multiply(two).compareTo(total) >= 0) {
             crossingIv = iv
             before = cum
+            cnt = c
           } else cum = cum.add(w)
         }
       }
-      Row(g, crossingIv, before, total)
+      Crossing(g, crossingIv, before, total, cnt)
     }.toSeq
+    val (smallG, bigG) = perGroup.partition(_.cnt <= maxWindowRows)
     // broadcast the groups × 1 crossing lookup; the inner join both
     // FILTERS to each group's crossing interval and attaches (w0, total)
     val spark = df.sparkSession
@@ -544,14 +624,15 @@ object RankFence {
       StructField("__rf_g", gType), StructField("__rf_civ", IntegerType),
       StructField("__rf_w0", wType), StructField("__rf_tot", wType)))
     val lk = spark.createDataFrame(
-      spark.sparkContext.parallelize(perGroup, 1), lkSchema)
+      spark.sparkContext.parallelize(
+        smallG.map(c => Row(c.g, c.civ, c.before, c.total)), 1), lkSchema)
     // partitioning by (group, interval) is equivalent to (group): the
     // join keeps exactly ONE interval per group — and it makes the
     // bounded-slice property visible to the plan guard
     val run = Window.partitionBy(col(groupCol), col(IV))
       .orderBy(sortCols(order): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withIv
+    val batched = withIv
       .join(broadcast(lk),
         col(groupCol) === col("__rf_g") && col(IV) === col("__rf_civ"))
       .withColumn("__rf_cum", col("__rf_w0") + sum(col(weightCol)).over(run))
@@ -564,5 +645,25 @@ object RankFence {
         first(col("__rf_tot")).as("t"))
       .select(col(groupCol), col("m").getField(order.head.name).as("median"),
         col("t").as("total"))
+    if (bigG.isEmpty) batched
+    else {
+      // hot groups — the crossing interval exceeds the sort budget:
+      // per-group recursive weighted quickselect, result rows appended
+      // driver-side (one small union; #hot groups is tiny by the
+      // groupCol low-cardinality contract)
+      val medType = df.schema(order.head.name).dataType
+      val outSchema = StructType(Seq(
+        StructField(groupCol, gType), StructField("median", medType),
+        StructField("total", wType)))
+      val hotRows = bigG.map { c =>
+        val m = weightedCrossingValue(
+          withIv.where(col(groupCol) === lit(c.g) && col(IV) === lit(c.civ))
+            .drop(IV),
+          order, weightCol, c.before, c.total, c.cnt, buckets, maxWindowRows)
+        Row(c.g, m, c.total)
+      }
+      batched.unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(hotRows, 1), outSchema))
+    }
   }
 }

@@ -208,6 +208,58 @@ class RankFenceSpec extends AnyFunSuite {
     }
   }
 
+  // the two-window compose (the agg_weighted_median shape) with a
+  // direction-aware order — truth for the recursive-escape laws
+  private def composeWeightedMedian(
+      df: org.apache.spark.sql.DataFrame,
+      sort: Seq[org.apache.spark.sql.Column]): Set[(String, Double, Double)] = {
+    val wRun = Window.partitionBy("g").orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("g")
+    df.withColumn("cumw", sum(col("w")).over(wRun))
+      .withColumn("totw", sum(col("w")).over(wAll))
+      .where(col("cumw") * 2 >= col("totw"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy("cumw", "v")))
+      .where(col("rn") === 1)
+      .select(col("g"), col("v").cast("double"), col("totw").cast("double"))
+      .as[(String, Double, Double)].collect().toSet
+  }
+
+  test("weightedMedianFenced recursive escape: giant-tie crossing intervals " +
+    "== two-window compose under a 25-row sort budget") {
+    val r = new scala.util.Random(91L)
+    // (tiePct, zeroWeightPct, asc, groups): giant asc tie; desc with
+    // positive weights; zero weights asc; desc WITH zero weights (the
+    // documented sort fallback); mixed hot + cold groups
+    val cases = Seq(
+      (80, 0, true, 1), (80, 0, false, 1), (70, 30, true, 1),
+      (70, 30, false, 1), (90, 0, true, 3))
+    for (((tiePct, zeroPct, asc, groups), ci) <- cases.zipWithIndex) {
+      val rows = (1 to 1000).map { i =>
+        val g = if (groups == 1) "g0" else s"g${r.nextInt(groups)}"
+        val v = if (r.nextInt(100) < tiePct) 5.0 else r.nextInt(60).toDouble
+        val w = new java.math.BigDecimal(
+          if (r.nextInt(100) < zeroPct) 0 else 1 + r.nextInt(9)).setScale(4)
+        (g, v, w, i.toLong)
+      }
+      val df = rows.toDF("g", "v", "w", "id")
+        .withColumn("w", col("w").cast("decimal(18,4)"))
+      val order = Seq(OrderCol("v", asc = asc), OrderCol("id"))
+      val sort = order.map(oc =>
+        if (oc.asc) col(oc.name).asc else col(oc.name).desc)
+      val expected = composeWeightedMedian(df, sort)
+      val fenced = RankFence
+        .weightedMedianFenced(df, "g", order, "w",
+          buckets = 8, maxWindowRows = 25L)
+        .select(col("g"), col("median").cast("double"),
+          col("total").cast("double"))
+        .as[(String, Double, Double)].collect().toSet
+      assert(fenced == expected,
+        s"case $ci: tie=$tiePct zero=$zeroPct asc=$asc groups=$groups")
+    }
+  }
+
   test("fenced plans carry no O(1)-partition window (the guard's promise)") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
