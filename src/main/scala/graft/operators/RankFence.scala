@@ -479,6 +479,264 @@ object RankFence {
     qs.zip(ranks).map { case (q, r) => (q, r, elems(r).head) }
   }
 
+  /** The one batched window pass under [[globalRanksFenced]]: every
+    * frame is partitioned BY INTERVAL (bounded slices — never the whole
+    * input) and ordered by the full (prefix ++ tie-break) tuple, and all
+    * four integer rank readouts ride the SAME exchange + sort:
+    *
+    *   - `rnl` = local row_number;
+    *   - `flag` = prefix-group start (`lag(prefix) != prefix`) — groups
+    *     never span intervals because equal prefixes share a leading
+    *     value, hence a route, hence an interval;
+    *   - local dense_rank = running sum of flags; local rank = running
+    *     max of flagged row numbers; local rows≤group-end = next flagged
+    *     row number (forward frame) − 1, else the interval count.
+    *
+    * Global values = driver-computed interval offsets (rows before /
+    * distinct prefixes before) + the local readouts — exact longs, no
+    * doubles anywhere. `offs` rows: (interval, rowOffset, denseOffset,
+    * intervalCount). Output = input columns (minus IV) + rn, rnk, drnk,
+    * __rf_le.
+    */
+  private def rankWindowPass(
+      withIv: DataFrame, prefix: Seq[OrderCol], full: Seq[OrderCol],
+      offs: Seq[(Int, Long, Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = withIv.sparkSession
+    val lkSchema = StructType(Seq(
+      StructField("__rf_lkiv", IntegerType), StructField("__rf_ro", LongType),
+      StructField("__rf_do", LongType), StructField("__rf_c", LongType)))
+    val lk = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        offs.map { case (iv, ro, dof, c) => Row(iv, ro, dof, c) }, 1),
+      lkSchema)
+    val w = Window.partitionBy(col(IV)).orderBy(sortCols(full): _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = w.rowsBetween(1L, Window.unboundedFollowing)
+    val pfx = struct(prefix.map(oc => col(oc.name)): _*)
+    val baseCols = withIv.columns.filter(_ != IV).toSeq
+    withIv
+      .where(col(IV).isin(offs.map(o => Integer.valueOf(o._1)): _*))
+      .join(broadcast(lk), col(IV) === col("__rf_lkiv"))
+      .withColumn("__rf_rnl", row_number().over(w).cast("long"))
+      .withColumn("__rf_lg", lag(pfx, 1).over(w))
+      .withColumn("__rf_fl",
+        when(col("__rf_lg").isNull || col("__rf_lg") =!= pfx, 1L)
+          .otherwise(0L))
+      .withColumn("rnk",
+        col("__rf_ro") +
+          max(when(col("__rf_fl") === 1L, col("__rf_rnl"))).over(wRun))
+      .withColumn("drnk", col("__rf_do") + sum(col("__rf_fl")).over(wRun))
+      .withColumn("__rf_le",
+        col("__rf_ro") + coalesce(
+          min(when(col("__rf_fl") === 1L, col("__rf_rnl"))).over(wFwd) - 1L,
+          col("__rf_c")))
+      .withColumn("rn", col("__rf_ro") + col("__rf_rnl"))
+      .select((baseCols.map(col) ++
+        Seq(col("rn"), col("rnk"), col("drnk"), col("__rf_le"))): _*)
+  }
+
+  /** Per-(interval, prefix-group) stats for an interval-tagged frame:
+    * (interval, rowCount, distinctPrefixCount), sorted by interval. ONE
+    * prefix-granularity shuffle (map-side combinable) + a tiny rollup —
+    * the dense_rank offsets need the exact distinct counts anyway. */
+  private def intervalStats(
+      withIv: DataFrame, prefix: Seq[OrderCol]): Seq[(Int, Long, Long)] = {
+    val pcols = col(IV) +: prefix.map(oc => col(oc.name))
+    withIv.groupBy(pcols: _*).agg(count(lit(1)).as("c"))
+      .groupBy(col(IV))
+      .agg(sum(col("c")).as("rows"), count(lit(1)).as("dst"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Exact global row_number assignment for ONE oversized slice under
+    * `ord`: fence → offsets → bounded per-interval windows, recursing on
+    * oversized sub-intervals (pure tie on the leading key descends to
+    * the remaining ordering; exhausted/unsupported/no-progress slices
+    * take one bounded-as-possible sort). Row numbers among FULL-tuple
+    * ties follow the terminal sort's arbitrary-but-stable order — same
+    * contract as the window form. */
+  private def rowNumberAssign(
+      slice: DataFrame, ord: Seq[OrderCol], rowOff: Long, cnt: Long,
+      buckets: Int, maxWindowRows: Long): DataFrame = {
+    def terminal(): DataFrame = {
+      val effOrd = if (ord.nonEmpty) ord
+        else Seq(OrderCol(slice.columns.head)) // full tie: any stable order
+      val w = Window.partitionBy(lit(0)).orderBy(sortCols(effOrd): _*)
+      slice.withColumn("rn", lit(rowOff) + row_number().over(w).cast("long"))
+    }
+    if (cnt <= maxWindowRows || ord.isEmpty ||
+        !routeSupported(slice.schema(ord.head.name).dataType))
+      return terminal()
+    val route = routeExpr(slice, ord.head)
+    val probe = slice.agg(
+      min(col(ord.head.name)).as("mn"), max(col(ord.head.name)).as("mx"),
+      min(route).as("mnr"), KllFunctions.kllSketch(route).as("sk")).head()
+    if (probe.get(0) == probe.get(1))
+      return rowNumberAssign(slice, ord.tail, rowOff, cnt, buckets,
+        maxWindowRows)
+    val sk = org.apache.spark.sql.graft.Kll.deserialize(
+      probe.getAs[Array[Byte]](3))
+    val fences = ((1 until buckets)
+      .map(i => sk.quantile(i.toDouble / buckets)) :+ probe.getDouble(2))
+      .filterNot(_.isNaN).distinct.sorted
+    val withIv = slice.withColumn(IV, tieAwareIntervalExpr(route, fences))
+    val counts = withIv.groupBy(col(IV)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    if (!counts.forall(_._2 < cnt)) return terminal() // no progress
+    var ro = rowOff
+    val offs = counts.map { case (iv, c) => val o = (iv, ro, c); ro += c; o }
+    val (small, big) = offs.partition(_._3 <= maxWindowRows)
+    val baseCols = slice.columns.toSeq
+    val smallFrame =
+      if (small.isEmpty) Seq.empty[DataFrame]
+      else {
+        val lkSchema = StructType(Seq(
+          StructField("__rf_lkiv", IntegerType),
+          StructField("__rf_ro", LongType)))
+        val lk = slice.sparkSession.createDataFrame(
+          slice.sparkSession.sparkContext.parallelize(
+            small.map { case (iv, r, _) =>
+              org.apache.spark.sql.Row(iv, r)
+            }, 1), lkSchema)
+        val w = Window.partitionBy(col(IV)).orderBy(sortCols(ord): _*)
+        Seq(withIv
+          .where(col(IV).isin(small.map(o => Integer.valueOf(o._1)): _*))
+          .join(broadcast(lk), col(IV) === col("__rf_lkiv"))
+          .withColumn("rn", col("__rf_ro") + row_number().over(w).cast("long"))
+          .select((baseCols.map(col) :+ col("rn")): _*))
+      }
+    val bigFrames = big.map { case (iv, r, c) =>
+      rowNumberAssign(withIv.where(col(IV) === lit(iv)).drop(IV),
+        ord, r, c, buckets, maxWindowRows)
+    }
+    (smallFrame ++ bigFrames).reduce(_.unionByName(_))
+  }
+
+  /** Rank-column assignment for ONE oversized slice: the recursive
+    * escape under [[globalRanksFenced]]. `prefix` drives rank/dense-rank
+    * tie groups; `tieBreak` extends the ordering for row_number. */
+  private def assignRanks(
+      slice: DataFrame, prefix: Seq[OrderCol], tieBreak: Seq[OrderCol],
+      rowOff: Long, denseOff: Long, cnt: Long,
+      buckets: Int, maxWindowRows: Long): DataFrame = {
+    val full = prefix ++ tieBreak
+    def terminal(): DataFrame = rankWindowPass(
+      slice.withColumn(IV, lit(0)), prefix, full,
+      Seq((0, rowOff, denseOff, cnt)))
+    if (cnt <= maxWindowRows) return terminal()
+    val pfxStruct = struct(prefix.map(oc => col(oc.name)): _*)
+    val leading = prefix.head
+    val route = routeExpr(slice, leading)
+    val probe = slice.agg(
+      min(col(leading.name)).as("mn"), max(col(leading.name)).as("mx"),
+      min(pfxStruct).as("mnp"), max(pfxStruct).as("mxp"),
+      min(route).as("mnr"), KllFunctions.kllSketch(route).as("sk")).head()
+    if (probe.get(2) == probe.get(3)) {
+      // ONE rank group: rank/dense/rows≤ are constants; row_number
+      // descends into the tie-break ordering
+      return rowNumberAssign(slice, tieBreak, rowOff, cnt, buckets,
+          maxWindowRows)
+        .withColumn("rnk", lit(rowOff + 1L))
+        .withColumn("drnk", lit(denseOff + 1L))
+        .withColumn("__rf_le", lit(rowOff + cnt))
+    }
+    if (probe.get(0) == probe.get(1))
+      // leading key is one tie but the prefix isn't — drop the constant
+      // head (ordering and groups are unchanged) and re-fence on the next
+      return {
+        if (!routeSupported(slice.schema(prefix.tail.head.name).dataType))
+          terminal()
+        else assignRanks(slice, prefix.tail, tieBreak, rowOff, denseOff,
+          cnt, buckets, maxWindowRows)
+      }
+    val sk = org.apache.spark.sql.graft.Kll.deserialize(
+      probe.getAs[Array[Byte]](5))
+    val fences = ((1 until buckets)
+      .map(i => sk.quantile(i.toDouble / buckets)) :+ probe.getDouble(4))
+      .filterNot(_.isNaN).distinct.sorted
+    val withIv = slice.withColumn(IV, tieAwareIntervalExpr(route, fences))
+    val stats = intervalStats(withIv, prefix)
+    if (!stats.forall(_._2 < cnt)) return terminal() // no progress
+    var ro = rowOff; var dof = denseOff
+    val offs = stats.map { case (iv, r, d) =>
+      val o = (iv, ro, dof, r); ro += r; dof += d; o
+    }
+    val (small, big) = offs.partition(_._4 <= maxWindowRows)
+    val smallFrame =
+      if (small.isEmpty) Seq.empty[DataFrame]
+      else Seq(rankWindowPass(withIv, prefix, full, small))
+    val bigFrames = big.map { case (iv, r, d, c) =>
+      assignRanks(withIv.where(col(IV) === lit(iv)).drop(IV),
+        prefix, tieBreak, r, d, c, buckets, maxWindowRows)
+    }
+    (smallFrame ++ bigFrames).reduce(_.unionByName(_))
+  }
+
+  /** Exact GLOBAL rank columns for EVERY row — row_number, rank,
+    * dense_rank, percent_rank, cume_dist — with no global sort anywhere:
+    * the scale-safe twin of `fn() OVER (ORDER BY ...)` for the whole
+    * rank-function family (§2.E's remaining 100 TB gap — selection keys
+    * like ntile/percentile only need boundary ELEMENTS; these need a
+    * value PER ROW, so the fence turns into interval offsets + bounded
+    * per-interval windows instead of boundary picks).
+    *
+    *   - `order` is the rank ordering (ties allowed — rank/dense_rank/
+    *     percent_rank/cume_dist group on it);
+    *   - `tieBreak` extends it to a unique total order for a
+    *     deterministic row_number (may be empty if `order` is unique).
+    *
+    * Appends: rn, rnk, drnk (LONG), pct_rank = (rnk−1)/(n−1) (0.0 when
+    * n = 1), cume = rows≤group-end / n — bit-identical to the window
+    * builtins cross-engine because every numerator/denominator is an
+    * exact long before the one double division.
+    *
+    * Cost: 1 sketch pass + 1 prefix-granularity count shuffle + 1
+    * interval-partitioned window pass (every partition ≤ maxWindowRows
+    * after the recursive escape; oversized tie intervals split exactly
+    * like [[selectAtLocalRanks]], with the pure-tie case collapsing
+    * rank columns to driver constants).
+    */
+  def globalRanksFenced(
+      df: DataFrame, order: Seq[OrderCol], tieBreak: Seq[OrderCol] = Nil,
+      buckets: Int = 64,
+      maxWindowRows: Long = DefaultMaxWindowRows): DataFrame = {
+    require(order.nonEmpty, "globalRanksFenced needs a rank ordering")
+    val full = order ++ tieBreak
+    val route = routeExpr(df, order.head)
+    val skBytes = df.agg(KllFunctions.kllSketch(route).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val sk = org.apache.spark.sql.graft.Kll.deserialize(skBytes)
+    val fences =
+      if (sk.n == 0L) Seq.empty[Double]
+      else (1 until buckets).map(i => sk.quantile(i.toDouble / buckets))
+        .filterNot(_.isNaN).distinct.sorted
+    val withIv = df.withColumn(IV, intervalExpr(route, fences))
+    val stats = intervalStats(withIv, order)
+    val n = stats.map(_._2).sum
+    var ro = 0L; var dof = 0L
+    val offs = stats.map { case (iv, r, d) =>
+      val o = (iv, ro, dof, r); ro += r; dof += d; o
+    }
+    val (small, big) = offs.partition(_._4 <= maxWindowRows)
+    val smallFrame =
+      if (small.isEmpty && big.isEmpty) Seq(rankWindowPass(
+        withIv, order, full, Seq((0, 0L, 0L, 0L)))) // empty input
+      else if (small.isEmpty) Seq.empty[DataFrame]
+      else Seq(rankWindowPass(withIv, order, full, small))
+    val bigFrames = big.map { case (iv, r, d, c) =>
+      assignRanks(withIv.where(col(IV) === lit(iv)).drop(IV),
+        order, tieBreak, r, d, c, buckets, maxWindowRows)
+    }
+    (smallFrame ++ bigFrames).reduce(_.unionByName(_))
+      .withColumn("pct_rank",
+        if (n > 1L) (col("rnk") - 1L).cast("double") / lit((n - 1L).toDouble)
+        else lit(0.0))
+      .withColumn("cume", col("__rf_le").cast("double") / lit(n.toDouble))
+      .drop("__rf_le")
+  }
+
   /** Exact crossing VALUE inside one oversized (already group-filtered)
     * interval: the weighted analogue of [[selectAtLocalRanks]] — a
     * weighted quickselect whose pivots come from a KLL sketch of the

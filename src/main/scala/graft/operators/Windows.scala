@@ -20,6 +20,37 @@ object Windows {
 
   val qs: Seq[Q] = Seq(
 
+    // Round 8: the rank family's scale-safe representative — exact GLOBAL
+    // row_number/rank/dense_rank/percent_rank/cume_dist with NO global
+    // sort (the §2.E surface keys above partition on a data key; a truly
+    // global ordering would otherwise be one task sorting the fact).
+    // RankFence.globalRanksFenced: KLL fence → interval offsets → ONE
+    // window pass whose partitions are bounded intervals; rank/dense/
+    // cume ride the same exchange as integer group-start folds, and the
+    // doubles are single divisions of exact longs (bit-identical
+    // cross-engine). l_quantity is discrete 1..50 — every rank group is
+    // a real multi-thousand-row tie at sf0.1.
+    Q("win_rank_global_fenced",
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       CAST(row_number() OVER
+        |         (ORDER BY l_quantity, l_orderkey, l_linenumber) AS BIGINT)
+        |         AS rn,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM lineitem
+        |WINDOW w AS (ORDER BY l_quantity)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      RankFence.globalRanksFenced(
+          t(s, d, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity"),
+          Seq(RankFence.OrderCol("l_quantity")),
+          Seq(RankFence.OrderCol("l_orderkey"),
+            RankFence.OrderCol("l_linenumber")))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     Q("win_row_number",
       """SELECT event_id, user_id,
         |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn

@@ -260,6 +260,70 @@ class RankFenceSpec extends AnyFunSuite {
     }
   }
 
+  test("globalRanksFenced == the window rank family (ties, desc, full-tie, " +
+    "tiny-budget recursion)") {
+    val r = new scala.util.Random(101L)
+    def law(df: org.apache.spark.sql.DataFrame, asc: Boolean,
+        budget: Long, tag: String): Unit = {
+      val vCol = if (asc) col("v").asc else col("v").desc
+      val w = Window.orderBy(vCol)
+      val wFull = Window.orderBy(vCol, col("id").asc)
+      val expected = df.select(col("id"),
+          row_number().over(wFull).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("p"), cume_dist().over(w).as("c"))
+        .as[(Long, Long, Long, Long, Double, Double)].collect().toSet
+      val got = RankFence.globalRanksFenced(df,
+          Seq(OrderCol("v", asc = asc)), Seq(OrderCol("id")),
+          buckets = 8, maxWindowRows = budget)
+        .select(col("id"), col("rn"), col("rnk"), col("drnk"),
+          col("pct_rank"), col("cume"))
+        .as[(Long, Long, Long, Long, Double, Double)].collect().toSet
+      assert(got == expected, tag)
+    }
+    // tie-heavy frames at the default budget and at recursion-forcing ones
+    for ((n, hot, dv, budget, asc) <- Seq(
+        (900, 60, 12, RankFence.DefaultMaxWindowRows, true),
+        (900, 60, 12, 25L, true), // giant-tie recursion
+        (900, 60, 12, 25L, false), // descending
+        (1000, 99, 4, 20L, true), // 99% one value
+        (500, 0, 5000, 15L, true) // near-unique, every interval splits
+      )) {
+      val rows = (1 to n).map(i =>
+        (if (r.nextInt(100) < hot) 7.0 else r.nextInt(dv).toDouble, i.toLong))
+      law(rows.toDF("v", "id"), asc, budget, s"n=$n hot=$hot dv=$dv b=$budget")
+    }
+    // ONE value everywhere: a single rank group, rn descends to the
+    // tie-break ordering
+    law((1 to 400).map(i => (5.0, i.toLong)).toDF("v", "id"),
+      asc = true, budget = 30L, tag = "full-tie")
+  }
+
+  test("globalRanksFenced multi-column rank prefix (prefix ties, date+long)") {
+    val r = new scala.util.Random(111L)
+    val rows = (1 to 600).map { i =>
+      (java.sql.Date.valueOf(s"2024-0${1 + r.nextInt(3)}-1${r.nextInt(5)}"),
+        r.nextInt(4).toLong, i.toLong)
+    }
+    val df = rows.toDF("d", "k", "id")
+    val w = Window.orderBy(col("d").asc, col("k").desc)
+    val wFull = Window.orderBy(col("d").asc, col("k").desc, col("id").asc)
+    val expected = df.select(col("id"),
+        row_number().over(wFull).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("p"), cume_dist().over(w).as("c"))
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSet
+    val got = RankFence.globalRanksFenced(df,
+        Seq(OrderCol("d"), OrderCol("k", asc = false)), Seq(OrderCol("id")),
+        buckets = 8, maxWindowRows = 40L)
+      .select(col("id"), col("rn"), col("rnk"), col("drnk"),
+        col("pct_rank"), col("cume"))
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSet
+    assert(got == expected)
+  }
+
   test("fenced plans carry no O(1)-partition window (the guard's promise)") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
