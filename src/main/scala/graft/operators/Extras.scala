@@ -17,8 +17,12 @@ object Extras {
     *
     * DANGLING nodes (round 8 — a sink with no out-edges would silently
     * LEAK its mass every round): a one-job probe counts sinks up front.
-    * Zero sinks (every symmetrized caller, incl. the declared key — its
-    * plan and output are bit-unchanged) takes the lean loop below; a
+    * A caller whose edges have no sinks BY CONSTRUCTION (symmetrization
+    * puts an out-edge on every node — the declared key and every graph_*
+    * caller here) passes `noDanglings = true` and skips the probe
+    * entirely: the probe is a distinct(dst) + anti-join scan, measured
+    * ~1 s of pure overhead on the 2M-edge declared key (round-8 cont. 3
+    * bench). Zero sinks takes the lean loop below; a
     * directed graph with sinks takes the dangling-aware loop, which
     * redistributes the sinks' total mass uniformly each round (one
     * broadcast 1-row scalar per round — the standard PageRank dangling
@@ -33,7 +37,8 @@ object Extras {
     * unpersisted here because the returned frame is lazy; callers doing
     * repeated runs should clearCache() when done.
     */
-  def pageRank(edges0: DataFrame, iterations: Int = 3): DataFrame = {
+  def pageRank(edges0: DataFrame, iterations: Int = 3,
+      noDanglings: Boolean = false): DataFrame = {
     // the input is referenced twice below (out-weight aggregate + the
     // weight merge join) — persist it so an unpersisted upstream edge
     // derivation is evaluated once, not twice (the same
@@ -47,10 +52,10 @@ object Extras {
     val edges = e0p.join(outw, Seq("src"))
       .repartition(col("src"))
       .persist()
-    val sinks = e0p.select(col("dst")).distinct()
+    lazy val sinks = e0p.select(col("dst")).distinct()
       .join(outw, col("dst") === col("src"), "left_anti")
       .persist()
-    if (sinks.isEmpty) {
+    if (noDanglings || sinks.isEmpty) {
       val n = outw.agg(count(lit(1)).cast("long").as("n_nodes"))
       var rank = outw.crossJoin(broadcast(n))
         .select(col("src").as("node"),
@@ -350,7 +355,7 @@ object Extras {
           struct(col("s").as("src"), col("c").as("dst"), col("cnt")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"),
           col("e.cnt").as("cnt"))
-      pageRank(edges, 3).orderBy(col("rank").desc, col("node")).limit(20)
+      pageRank(edges, 3, noDanglings = true).orderBy(col("rank").desc, col("node")).limit(20)
     },
 
     // Triangle counting (round 5) — the graph-density/clustering op that

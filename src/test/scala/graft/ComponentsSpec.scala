@@ -238,6 +238,12 @@ class ComponentsSpec extends AnyFunSuite {
     // symmetric regular graph → uniform fixed point, exactly N^-1 each
     assert(out.values.toSet.size == 1, s"regular graph must be uniform: $out")
     assert(math.abs(out.values.sum - 1000000000000L) <= 10L)
+    // the probe-skipping caller-invariant path (noDanglings = true, the
+    // declared key's spelling) is the SAME loop — byte-identical output
+    val skipped = operators.Extras
+      .pageRank(sym, iterations = 3, noDanglings = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(skipped == out)
     spark.catalog.clearCache()
   }
 }
