@@ -167,6 +167,99 @@ object ScaleSmoke {
             buckets = 64)
           .groupBy("t").count().count()
       }
+
+      // Exact global rank COLUMNS at scale (round 8, cont. 3):
+      // rank()/dense_rank()/row_number() OVER (ORDER BY v) at 60M is ONE
+      // task's sort; globalRanksFenced assigns all of them through
+      // bounded interval windows (offsets + group-start folds). Equality
+      // (full membership fingerprint) pinned on a 6M slice; 60M runs
+      // fenced-only — including the 50%-tie frame, whose 30M-row rank
+      // group takes the recursive constant-rank + row-number descent.
+      def rankFp(df: org.apache.spark.sql.DataFrame): Long = df
+        .agg(expr("bit_xor(xxhash64(id, rn, rnk, drnk))")).head().getLong(0)
+      var grWindow = -1L; var grFence = -2L
+      time("global ranks window 6M") {
+        val slice = vals.where(col("id") % 10 === 0)
+        val wFull = Window.orderBy(col("v").asc, col("id").asc)
+        val wr = Window.orderBy(col("v").asc)
+        grWindow = rankFp(slice.select(col("id"),
+          row_number().over(wFull).cast("long").as("rn"),
+          rank().over(wr).cast("long").as("rnk"),
+          dense_rank().over(wr).cast("long").as("drnk")))
+        6000000L
+      }
+      time("global ranks fenced 6M") {
+        val slice = vals.where(col("id") % 10 === 0)
+        grFence = rankFp(RankFence.globalRanksFenced(slice,
+          Seq(RankFence.OrderCol("v")), Seq(RankFence.OrderCol("id")),
+          buckets = 64, maxWindowRows = 200000L))
+        6000000L
+      }
+      if (grWindow != -1L && grFence != -2L)
+        require(grWindow == grFence,
+          s"global-rank disagreement: window=$grWindow fenced=$grFence")
+      time("global ranks fenced 60M") {
+        RankFence.globalRanksFenced(vals,
+            Seq(RankFence.OrderCol("v")), Seq(RankFence.OrderCol("id")))
+          .agg(expr("bit_xor(xxhash64(id, rn, rnk, drnk))")).head()
+        60000000L
+      }
+      time("global ranks 50%-tie fenced 60M") {
+        RankFence.globalRanksFenced(tied,
+            Seq(RankFence.OrderCol("v")), Seq(RankFence.OrderCol("id")))
+          .agg(expr("bit_xor(xxhash64(id, rn, rnk, drnk))")).head()
+        60000000L
+      }
+
+      // Weighted-median giant-tie recursion (round 8, cont. 3): per-group
+      // crossing intervals of ~10M rows (5× the sort budget) — the batched
+      // window plan would sort each inside one task; weightedCrossingValue
+      // descends instead, terminating at the pure-tie constant. Equality
+      // vs the two-window compose pinned on a 6M slice.
+      val wm = tied.select(pmod(col("id"), lit(3)).cast("string").as("g"),
+        col("v"), lit(1).cast("decimal(18,4)").as("w"), col("id"))
+        .persist()
+      wm.count()
+      var wmWindow: Map[String, (Double, Double)] = Map("a" -> ((-1.0, 0.0)))
+      var wmFence: Map[String, (Double, Double)] = Map("b" -> ((-2.0, 0.0)))
+      time("wmedian 50%-tie compose 6M") {
+        val slice = wm.where(col("id") % 10 === 0)
+        val wRun = Window.partitionBy("g").orderBy("v", "id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("g")
+        wmWindow = slice
+          .withColumn("cumw", sum(col("w")).over(wRun))
+          .withColumn("totw", sum(col("w")).over(wAll))
+          .where(col("cumw") * 2 >= col("totw"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("g").orderBy("cumw", "v")))
+          .where(col("rn") === 1)
+          .select(col("g"), col("v"), col("totw").cast("double"))
+          .collect()
+          .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+          .toMap
+        wmWindow.size.toLong
+      }
+      time("wmedian 50%-tie fenced 6M") {
+        val slice = wm.where(col("id") % 10 === 0)
+        wmFence = RankFence.weightedMedianFenced(slice, "g",
+            Seq(RankFence.OrderCol("v"), RankFence.OrderCol("id")), "w",
+            buckets = 64, maxWindowRows = 200000L)
+          .select(col("g"), col("median"), col("total").cast("double"))
+          .collect()
+          .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+          .toMap
+        wmFence.size.toLong
+      }
+      if (wmWindow.keySet != Set("a") && wmFence.keySet != Set("b"))
+        require(wmWindow == wmFence,
+          s"wmedian disagreement: compose=$wmWindow fenced=$wmFence")
+      time("wmedian 50%-tie fenced 60M") {
+        RankFence.weightedMedianFenced(wm, "g",
+          Seq(RankFence.OrderCol("v"), RankFence.OrderCol("id")), "w",
+          buckets = 64).count()
+      }
+      wm.unpersist()
       tied.unpersist()
       vals.unpersist()
     }

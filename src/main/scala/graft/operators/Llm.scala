@@ -1495,6 +1495,47 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // WEIGHTED sampling without replacement (round 8, cont. 3) — the
+    // third leg of training-mix control: sample_mix keeps a RATE,
+    // cap_per_source a hard k PER source; this draws ONE global k where
+    // each doc's inclusion odds scale with an integer weight (upsample
+    // rare languages, downsample the dominant one). A-ES (Efraimidis &
+    // Spirakis 2006) ranks docs by u^(1/w); since max of w iid uniforms
+    // IS u^(1/w) in distribution (inverse-CDF), integer weights turn the
+    // key into greatest(h_1..h_w) of SEEDED portable hashes — exact
+    // integer comparison, no transcendentals in a compare position
+    // (§7.4), rerun-stable, engine-portable. Plan: map-side key + global
+    // top-k = TakeOrderedAndProject (per-partition heaps, no shuffle) —
+    // the same 100 TB shape as topk_global.
+    Q("llm_sample_weighted", {
+      val hs = (1 to 6)
+        .map(i => PortableHash.sqlSeeded(i, "CAST(doc_id AS VARCHAR)"))
+      s"""SELECT doc_id, lang, source,
+         |       CASE lang WHEN 'en' THEN ${hs(0)}
+         |                 WHEN 'de' THEN greatest(${hs(0)}, ${hs(1)})
+         |                 WHEN 'es' THEN greatest(${hs(0)}, ${hs(1)},
+         |                                         ${hs(2)})
+         |                 WHEN 'fr' THEN greatest(${hs(0)}, ${hs(1)},
+         |                                         ${hs(2)}, ${hs(3)})
+         |                 ELSE greatest(${hs(0)}, ${hs(1)}, ${hs(2)},
+         |                               ${hs(3)}, ${hs(4)}, ${hs(5)})
+         |       END AS wkey
+         |FROM documents
+         |ORDER BY wkey DESC, doc_id LIMIT 100""".stripMargin
+    }) { (s, d) =>
+      val h = (1 to 6)
+        .map(i => PortableHash.pHashSeeded(i, col("doc_id").cast("string")))
+      val wkey = when(col("lang") === "en", h(0))
+        .when(col("lang") === "de", greatest(h(0), h(1)))
+        .when(col("lang") === "es", greatest(h(0), h(1), h(2)))
+        .when(col("lang") === "fr", greatest(h(0), h(1), h(2), h(3)))
+        .otherwise(greatest(h(0), h(1), h(2), h(3), h(4), h(5)))
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), wkey.as("wkey"))
+        .orderBy(col("wkey").desc, col("doc_id"))
+        .limit(100)
+    },
+
     // Temperature (α=0.5) sampling — the multilingual-balance recipe
     // (UniMax / mT5-style): per-language sampling probability ∝ n^α,
     // renormalized over a half-corpus budget and capped at one epoch, so
