@@ -358,6 +358,103 @@ object Extras {
       pageRank(edges, 3, noDanglings = true).orderBy(col("rank").desc, col("node")).limit(20)
     },
 
+    // DIRECTED PageRank with dangling sinks (round 8, cont. 4) — the
+    // declared twin of [[Extras.pageRank]]'s dangling-aware loop (the
+    // round-8 fix that stopped a sink from silently leaking its mass
+    // every iteration). Graph: customer → supplier flow edges ONLY, so
+    // EVERY supplier is a sink by construction — the hostile shape for
+    // naive PageRank (here ~6% of nodes hold the entire damped inflow).
+    // Each round the sinks' total mass is re-spread uniformly over the
+    // full node set before damping (Page et al. 1999 §2.5), as one
+    // broadcast 1-row scalar — mass is conserved up to div truncation
+    // (ComponentsSpec pins the law on a star-into-sink graph).
+    //
+    // Same integer-mass determinism doctrine as graph_pagerank: BIGINT
+    // micro-units, every update a truncating div, so the oracle replays
+    // the identical arithmetic — including the per-round dmass div n —
+    // with zero float wobble. Plan: per round ONE rank shuffle (edges
+    // persisted pre-partitioned on src inside pageRank), one O(sinks)
+    // anti-join aggregate for dmass, rank vector localCheckpointed
+    // because it is referenced twice per round.
+    Q("graph_pagerank_directed",
+      """WITH pair AS (
+        |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2
+        |), edges AS (
+        |  SELECT c AS src, s AS dst, cnt FROM pair
+        |), outw AS (
+        |  SELECT src, CAST(sum(cnt) AS BIGINT) AS w FROM edges GROUP BY src
+        |), sinks AS (
+        |  SELECT DISTINCT dst AS node FROM edges
+        |  WHERE dst NOT IN (SELECT src FROM outw)
+        |), nodes AS (
+        |  SELECT src AS node FROM outw UNION ALL SELECT node FROM sinks
+        |), n AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes
+        |), r0 AS (
+        |  SELECT node, CAST(1000000000000 // n_nodes AS BIGINT) AS rank
+        |  FROM nodes CROSS JOIN n
+        |), d1 AS (
+        |  SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dmass FROM r0
+        |  WHERE node NOT IN (SELECT src FROM outw)
+        |), c1 AS (
+        |  SELECT e.dst, CAST(sum((r.rank * e.cnt) // o.w) AS BIGINT) AS c
+        |  FROM edges e JOIN r0 r ON r.node = e.src
+        |               JOIN outw o ON o.src = e.src
+        |  GROUP BY e.dst
+        |), r1 AS (
+        |  SELECT nd.node,
+        |         CAST((150000000000 // n_nodes)
+        |              + (85 * (coalesce(c.c, 0) + dmass // n_nodes))
+        |                // 100 AS BIGINT) AS rank
+        |  FROM nodes nd LEFT JOIN c1 c ON nd.node = c.dst
+        |       CROSS JOIN d1 CROSS JOIN n
+        |), d2 AS (
+        |  SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dmass FROM r1
+        |  WHERE node NOT IN (SELECT src FROM outw)
+        |), c2 AS (
+        |  SELECT e.dst, CAST(sum((r.rank * e.cnt) // o.w) AS BIGINT) AS c
+        |  FROM edges e JOIN r1 r ON r.node = e.src
+        |               JOIN outw o ON o.src = e.src
+        |  GROUP BY e.dst
+        |), r2 AS (
+        |  SELECT nd.node,
+        |         CAST((150000000000 // n_nodes)
+        |              + (85 * (coalesce(c.c, 0) + dmass // n_nodes))
+        |                // 100 AS BIGINT) AS rank
+        |  FROM nodes nd LEFT JOIN c2 c ON nd.node = c.dst
+        |       CROSS JOIN d2 CROSS JOIN n
+        |), d3 AS (
+        |  SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dmass FROM r2
+        |  WHERE node NOT IN (SELECT src FROM outw)
+        |), c3 AS (
+        |  SELECT e.dst, CAST(sum((r.rank * e.cnt) // o.w) AS BIGINT) AS c
+        |  FROM edges e JOIN r2 r ON r.node = e.src
+        |               JOIN outw o ON o.src = e.src
+        |  GROUP BY e.dst
+        |), r3 AS (
+        |  SELECT nd.node,
+        |         CAST((150000000000 // n_nodes)
+        |              + (85 * (coalesce(c.c, 0) + dmass // n_nodes))
+        |                // 100 AS BIGINT) AS rank
+        |  FROM nodes nd LEFT JOIN c3 c ON nd.node = c.dst
+        |       CROSS JOIN d3 CROSS JOIN n
+        |)
+        |SELECT node, rank FROM r3
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin) { (s, d) =>
+      val edges = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      // default noDanglings=false: the sink probe fires, finds every
+      // supplier dangling, and routes to the dangling-aware loop
+      pageRank(edges, 3).orderBy(col("rank").desc, col("node")).limit(20)
+    },
+
     // Triangle counting (round 5) — the graph-density/clustering op that
     // completes the graph family (components = Components.scala,
     // centrality = graph_pagerank). Graph: parts co-ordered within the
