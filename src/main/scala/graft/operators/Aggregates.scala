@@ -1379,6 +1379,108 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Two-sample Kolmogorov-Smirnov drift test (round 8, cont. 4): per
+    // event_type, the EXACT max ECDF gap of the value distribution,
+    // first half-month vs second — the nonparametric complement of
+    // dq_psi_drift (PSI needs binning and misses tail shifts inside a
+    // bin; KS is binning-free and distribution-assumption-free). The
+    // statistic is computed in INTEGER cross-multiplication the whole
+    // way: D = max |cum_ref·tot_cur − cum_cur·tot_ref| / (tot_ref·tot_cur),
+    // so the max is over exact BIGINTs and the one division happens at
+    // the end (floor to micro-units) — no engine-ordered float fold ever
+    // decides the output. Products stay < 2⁶³ to ~3e9 rows/side; past
+    // that the accumulator dial is DECIMAL(38,0).
+    //
+    // Plan: ONE fact scan → (type, value) groupBy (map-side combinable,
+    // bounded: the value domain is 10k ticks) → per-type sorted in-row
+    // fold over the bounded bin list (the dq_psi_drift idiom — no
+    // window, no second shuffle). The ECDF fold carries
+    // (max, cum_ref, cum_cur) as a struct accumulator; the max field is
+    // written FIRST and recomputes the new cums from the STALE
+    // accumulator because DuckDB's list_reduce mutates struct fields
+    // sequentially (later fields see earlier fields' new values) while
+    // Spark's aggregate() is functional — field order + explicit sums
+    // make both engines execute identical integer ops.
+    Q("dq_ks_test",
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type,
+        |         CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+        |         CAST(sum(n_cur) AS BIGINT) AS tot_cur,
+        |         list(struct_pack(m := CAST(0 AS BIGINT), c1 := n_ref,
+        |                          c2 := n_cur) ORDER BY value) AS bins
+        |  FROM b GROUP BY event_type
+        |), k AS (
+        |  SELECT event_type, tot_ref, tot_cur,
+        |         list_reduce(list_prepend(
+        |             struct_pack(m := CAST(0 AS BIGINT),
+        |                         c1 := CAST(0 AS BIGINT),
+        |                         c2 := CAST(0 AS BIGINT)), bins),
+        |           (a, x) -> struct_pack(
+        |             m := greatest(a.m, abs((a.c1 + x.c1) * tot_cur
+        |                                    - (a.c2 + x.c2) * tot_ref)),
+        |             c1 := a.c1 + x.c1,
+        |             c2 := a.c2 + x.c2)).m AS d_num
+        |  FROM g
+        |), r AS (
+        |  SELECT event_type, tot_ref, tot_cur, d_num,
+        |         (d_num * 1000000) // (tot_ref * tot_cur) AS d_micro,
+        |         CAST(floor(1.358 * sqrt(
+        |           CAST(tot_ref + tot_cur AS DOUBLE)
+        |           / CAST(tot_ref * tot_cur AS DOUBLE)) * 1000000)
+        |           AS BIGINT) AS crit_micro
+        |  FROM k
+        |)
+        |SELECT event_type, tot_ref, tot_cur, d_num,
+        |       CAST(d_micro AS DOUBLE) / 1000000 AS ks_d,
+        |       CAST(crit_micro AS DOUBLE) / 1000000 AS ks_crit_95,
+        |       d_micro > crit_micro AS drifted
+        |FROM r ORDER BY event_type""".stripMargin) { (s, d) =>
+      val split = lit("2024-01-16").cast("timestamp")
+      val b = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), col("value"))
+        .agg(
+          sum(when(col("ts") < split, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("ts") >= split, 1L).otherwise(0L)).as("n_cur"))
+      val k = b.groupBy("event_type")
+        .agg(
+          sum(col("n_ref")).as("tot_ref"),
+          sum(col("n_cur")).as("tot_cur"),
+          expr("sort_array(collect_list(struct(value, n_ref, n_cur)))")
+            .as("bins"))
+        .select(col("event_type"), col("tot_ref"), col("tot_cur"),
+          expr(
+            """aggregate(bins,
+              |  named_struct('m', CAST(0 AS BIGINT),
+              |               'c1', CAST(0 AS BIGINT),
+              |               'c2', CAST(0 AS BIGINT)),
+              |  (a, x) -> named_struct(
+              |    'm', greatest(a.m, abs((a.c1 + x.n_ref) * tot_cur
+              |                           - (a.c2 + x.n_cur) * tot_ref)),
+              |    'c1', a.c1 + x.n_ref,
+              |    'c2', a.c2 + x.n_cur)).m""".stripMargin).as("d_num"))
+      k.select(col("event_type"), col("tot_ref"), col("tot_cur"),
+          col("d_num"),
+          expr("(d_num * 1000000) div (tot_ref * tot_cur)").as("d_micro"),
+          floor(lit(1.358) * sqrt((col("tot_ref") + col("tot_cur"))
+            .cast("double") / (col("tot_ref") * col("tot_cur"))
+            .cast("double")) * 1000000).cast("long").as("crit_micro"))
+        .select(col("event_type"), col("tot_ref"), col("tot_cur"),
+          col("d_num"),
+          (col("d_micro").cast("double") / 1000000).as("ks_d"),
+          (col("crit_micro").cast("double") / 1000000).as("ks_crit_95"),
+          (col("d_micro") > col("crit_micro")).as("drifted"))
+        .orderBy("event_type")
+    },
+
     // OHLC candlestick rollup (round 7, cont.): per (event_type, day)
     // open/high/low/close/volume over the value stream — the time-series
     // report finance and metrics dashboards both run. open/close are

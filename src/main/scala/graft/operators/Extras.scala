@@ -103,6 +103,57 @@ object Extras {
     }
   }
 
+  /** HITS hub/authority scoring (Kleinberg 1999) over a weighted
+    * directed edge list (src, dst, cnt), L1-normalized in BIGINT mass
+    * units so both engines replay identical integer arithmetic (the
+    * graph_pagerank doctrine; classic L2 normalization would put a
+    * sqrt in a compare position). Per half-round: auth(v) = Σ_{u→v}
+    * hub(u)·cnt then rescale so Σauth snaps back to ~`mass`
+    * (score div greatest(1, Σ div mass) — the greatest guards the
+    * all-cnt-1 corner where truncated init mass dips just below
+    * `mass`); hubs symmetrically over out-edges. Rescaling each
+    * half-round keeps every product within BIGINT headroom at any data
+    * size (scores stay in [mass, 2·mass); products bounded by
+    * 2·mass·max-degree-weight). Returns (hubs, auths) score frames.
+    *
+    * Plan: edges persisted pre-partitioned once; each half-round is ONE
+    * equi-join + groupBy + a broadcast 1-row rescale scalar; score
+    * frames are node-sized and localCheckpointed per half-round (each
+    * is referenced twice: next contribution join + its own rescale
+    * aggregate — the pageRank dangling-loop lesson). Cache contract as
+    * with [[pageRank]]: callers doing repeated runs should clearCache().
+    */
+  def hits(edges0: DataFrame, rounds: Int = 2,
+      mass: Long = 1000000000L): (DataFrame, DataFrame) = {
+    val e = edges0.repartition(col("src")).persist()
+    def rescale(raw: DataFrame): DataFrame = {
+      val s = raw.agg(sum(col("raw")).as("s"))
+      raw.crossJoin(broadcast(s))
+        .select(col("node"),
+          expr(s"CAST(raw div greatest(1, s div ${mass}L) AS BIGINT)")
+            .as("sc"))
+        .localCheckpoint()
+    }
+    val nC = e.select(col("src")).distinct()
+      .agg(count(lit(1)).cast("long").as("n"))
+    var hub = e.select(col("src")).distinct().crossJoin(broadcast(nC))
+      .select(col("src").as("node"),
+        expr(s"CAST(${mass}L div n AS BIGINT)").as("sc"))
+      .localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      auth = rescale(e.join(hub, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("sc") * col("cnt")).as("raw"))
+        .select(col("dst").as("node"), col("raw")))
+      hub = rescale(e.join(auth, col("node") === col("dst"))
+        .groupBy(col("src"))
+        .agg(sum(col("sc") * col("cnt")).as("raw"))
+        .select(col("src").as("node"), col("raw")))
+    }
+    (hub, auth)
+  }
+
   /** Triangle + edge counts over an id-ORIENTED distinct edge list
     * (columns `a` < `b`): wedge join on the middle vertex, closing-edge
     * probe on the (low, high) pair — each triangle counted exactly once
@@ -453,6 +504,81 @@ object Extras {
       // default noDanglings=false: the sink probe fires, finds every
       // supplier dangling, and routes to the dangling-aware loop
       pageRank(edges, 3).orderBy(col("rank").desc, col("node")).limit(20)
+    },
+
+    // HITS hubs & authorities (round 8, cont. 4 — Kleinberg 1999): the
+    // OTHER classic link-analysis scoring, naturally two-sided where
+    // PageRank is one-sided — on the directed customer→supplier flow
+    // graph, hub score ranks customers by how much they buy from
+    // well-bought-from suppliers, authority score ranks suppliers by how
+    // much well-buying customers buy from them (the query/content duality
+    // a crawl-curation pipeline uses to separate portal pages from
+    // content pages). 2 full mutual-reinforcement rounds via
+    // [[Extras.hits]]: L1-normalized BIGINT mass (integer-exact
+    // cross-engine — L2's sqrt would sit in a compare position),
+    // per-half-round rescale as ONE broadcast scalar, score frames
+    // localCheckpointed (each referenced twice). Top-10 per role via
+    // TakeOrderedAndProject, never a global sort.
+    Q("graph_hits",
+      """WITH pair AS (
+        |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2
+        |), edges AS (
+        |  SELECT c AS src, s AS dst, cnt FROM pair
+        |), nc AS (
+        |  SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM edges
+        |), h0 AS (
+        |  SELECT src AS node, CAST(1000000000 // n AS BIGINT) AS sc
+        |  FROM (SELECT DISTINCT src FROM edges) CROSS JOIN nc
+        |), a1r AS (
+        |  SELECT e.dst AS node, CAST(sum(h.sc * e.cnt) AS BIGINT) AS raw
+        |  FROM edges e JOIN h0 h ON h.node = e.src GROUP BY e.dst
+        |), a1 AS (
+        |  SELECT node, CAST(raw // greatest(1, s // 1000000000) AS BIGINT) AS sc
+        |  FROM a1r CROSS JOIN (SELECT CAST(sum(raw) AS BIGINT) AS s FROM a1r)
+        |), h1r AS (
+        |  SELECT e.src AS node, CAST(sum(a.sc * e.cnt) AS BIGINT) AS raw
+        |  FROM edges e JOIN a1 a ON a.node = e.dst GROUP BY e.src
+        |), h1 AS (
+        |  SELECT node, CAST(raw // greatest(1, s // 1000000000) AS BIGINT) AS sc
+        |  FROM h1r CROSS JOIN (SELECT CAST(sum(raw) AS BIGINT) AS s FROM h1r)
+        |), a2r AS (
+        |  SELECT e.dst AS node, CAST(sum(h.sc * e.cnt) AS BIGINT) AS raw
+        |  FROM edges e JOIN h1 h ON h.node = e.src GROUP BY e.dst
+        |), a2 AS (
+        |  SELECT node, CAST(raw // greatest(1, s // 1000000000) AS BIGINT) AS sc
+        |  FROM a2r CROSS JOIN (SELECT CAST(sum(raw) AS BIGINT) AS s FROM a2r)
+        |), h2r AS (
+        |  SELECT e.src AS node, CAST(sum(a.sc * e.cnt) AS BIGINT) AS raw
+        |  FROM edges e JOIN a2 a ON a.node = e.dst GROUP BY e.src
+        |), h2 AS (
+        |  SELECT node, CAST(raw // greatest(1, s // 1000000000) AS BIGINT) AS sc
+        |  FROM h2r CROSS JOIN (SELECT CAST(sum(raw) AS BIGINT) AS s FROM h2r)
+        |), ta AS (
+        |  SELECT 'auth' AS role, node, sc AS score FROM a2
+        |  ORDER BY sc DESC, node LIMIT 10
+        |), th AS (
+        |  SELECT 'hub' AS role, node, sc AS score FROM h2
+        |  ORDER BY sc DESC, node LIMIT 10
+        |)
+        |SELECT role, node, score
+        |FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+        |ORDER BY role, score DESC, node""".stripMargin) { (s, d) =>
+      val edges = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      val (hub, auth) = hits(edges, rounds = 2)
+      val ta = auth.orderBy(col("sc").desc, col("node")).limit(10)
+        .select(lit("auth").as("role"), col("node"), col("sc").as("score"))
+      val th = hub.orderBy(col("sc").desc, col("node")).limit(10)
+        .select(lit("hub").as("role"), col("node"), col("sc").as("score"))
+      ta.unionByName(th)
+        .orderBy(col("role"), col("score").desc, col("node"))
     },
 
     // Triangle counting (round 5) — the graph-density/clustering op that

@@ -246,4 +246,42 @@ class ComponentsSpec extends AnyFunSuite {
     assert(skipped == out)
     spark.catalog.clearCache()
   }
+
+  test("hits: rescaled mass stays in [mass, 2*mass) and mutual " +
+    "reinforcement ranks the two-sided star correctly (r8)") {
+    // two hubs, three authorities: hub 0 points at ALL authorities
+    // (weight 2 at the popular one), hub 2 points only at authority 1.
+    // Authority 1 is in-degree-heaviest -> top authority; hub 0 buys
+    // from the best authorities broadly -> top hub.
+    val edges = Seq((0L, 1L, 2L), (0L, 3L, 1L), (0L, 5L, 1L),
+        (2L, 1L, 1L))
+      .toDF("src", "dst", "cnt")
+    val (hub, auth) = operators.Extras.hits(edges, rounds = 2)
+    val h = hub.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = auth.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.keySet == Set(0L, 2L) && a.keySet == Set(1L, 3L, 5L))
+    // the L1 rescale contract: each side's total lands in [mass, 2*mass)
+    // (div-by-floor(quotient) overshoots by < one quotient unit, and the
+    // greatest(1, _) guard never lets the total collapse below mass)
+    for (tot <- Seq(h.values.sum, a.values.sum)) {
+      assert(tot >= 1000000000L - 10L && tot < 2000000000L,
+        s"rescaled total out of band: $tot")
+    }
+    assert(a(1L) == a.values.max, s"in-weight-heaviest must lead: $a")
+    assert(h(0L) == h.values.max, s"broad hub must lead: $h")
+    spark.catalog.clearCache()
+  }
+
+  test("hits: symmetric biclique is a uniform fixed point per side (r8)") {
+    // K_{2,2} with unit weights: both hubs identical, both authorities
+    // identical — any asymmetry is an arithmetic bug, not data
+    val edges = (for (u <- Seq(0L, 2L); v <- Seq(1L, 3L))
+      yield (u, v, 1L)).toDF("src", "dst", "cnt")
+    val (hub, auth) = operators.Extras.hits(edges, rounds = 3)
+    val h = hub.collect().map(r => r.getLong(1)).toSet
+    val a = auth.collect().map(r => r.getLong(1)).toSet
+    assert(h.size == 1 && a.size == 1,
+      s"regular bipartite graph must be uniform per side: h=$h a=$a")
+    spark.catalog.clearCache()
+  }
 }
