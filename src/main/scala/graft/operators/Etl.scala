@@ -1673,6 +1673,116 @@ object Etl {
     // FLOOR-scaled. Plan: the fact-sized work is the (type, day)
     // groupBy; the lag window and the 5-row score reduce run over the
     // O(types × days) frame — report-scale at any SF.
+    // Holt linear-trend forecast (round 8, cont. 4): double exponential
+    // smoothing (α=0.3, β=0.1) of the per-type daily count series, fit on
+    // all but the last 7 days, backtested on the held-out week — the
+    // trend-aware complement of etl_forecast_snaive (snaive wins on pure
+    // weekly seasonality, Holt wins on drifting volume; running both
+    // gives the standard forecast-champion readout with comparable
+    // MAE/WAPE columns).
+    //
+    // Determinism: the (level, trend) recursion folds the day-ordered
+    // in-row series with an ARRAY accumulator [l, b] — array construction
+    // is FUNCTIONAL in both engines (all elements read the same incoming
+    // accumulator), unlike DuckDB struct_pack whose fields mutate
+    // sequentially (the dq_ks_test finding — a struct accumulator here
+    // would silently feed field 2 the round's NEW level). Every float op
+    // is replayed in identical IEEE order; holdout errors fold in pinned
+    // day order; displays floor-truncated. Plan: one fact scan → bounded
+    // (type, day) groupBy → per-type in-row fold; no window, no second
+    // fact shuffle.
+    Q("etl_forecast_holt",
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type,
+        |         list(struct_pack(day := day, n := n) ORDER BY day) AS series
+        |  FROM d GROUP BY event_type
+        |), f AS (
+        |  SELECT event_type,
+        |         CAST(len(series) - 7 AS BIGINT) AS n_train,
+        |         series[1 : len(series) - 7] AS train,
+        |         series[len(series) - 6 : len(series)] AS test
+        |  FROM g
+        |), fit AS (
+        |  SELECT event_type, n_train, test,
+        |         list_reduce(list_prepend(
+        |             [CAST(train[1].n AS DOUBLE),
+        |              CAST(train[2].n AS DOUBLE) - CAST(train[1].n AS DOUBLE)],
+        |             list_transform(train[3 : len(train)],
+        |                            e -> [CAST(e.n AS DOUBLE), CAST(0 AS DOUBLE)])),
+        |           (a, x) -> [
+        |             CAST(0.3 AS DOUBLE) * x[1]
+        |               + CAST(0.7 AS DOUBLE) * (a[1] + a[2]),
+        |             CAST(0.1 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * x[1]
+        |                 + CAST(0.7 AS DOUBLE) * (a[1] + a[2])) - a[1])
+        |               + CAST(0.9 AS DOUBLE) * a[2]]) AS lb
+        |  FROM f
+        |), sc AS (
+        |  SELECT event_type, n_train, lb[1] AS level, lb[2] AS trend,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |             list_transform(test, (e, i) ->
+        |               abs(CAST(e.n AS DOUBLE)
+        |                   - (lb[1] + CAST(i AS DOUBLE) * lb[2])))),
+        |           (a, x) -> a + x) AS tae,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(test, e -> e.n)), (a, x) -> a + x) AS vol
+        |  FROM fit
+        |)
+        |SELECT event_type, n_train, CAST(7 AS BIGINT) AS n_test,
+        |       floor(level * 10000) / 10000 AS level,
+        |       floor(trend * 10000) / 10000 AS trend,
+        |       floor(tae * 10000) / 10000 AS total_abs_err,
+        |       floor(tae / 7 * 10000) / 10000 AS mae,
+        |       floor(tae / CAST(vol AS DOUBLE) * 1000000) / 1000000 AS wape
+        |FROM sc ORDER BY event_type""".stripMargin) { (s, d) =>
+      val f = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(expr("sort_array(collect_list(struct(day, n)))").as("series"))
+        .select(col("event_type"),
+          (size(col("series")) - 7).cast("long").as("n_train"),
+          expr("slice(series, 1, size(series) - 7)").as("train"),
+          expr("slice(series, size(series) - 6, 7)").as("test"))
+      val fit = f.select(col("event_type"), col("n_train"), col("test"),
+        expr(
+          """aggregate(slice(train, 3, size(train) - 2),
+            |  array(CAST(element_at(train, 1).n AS DOUBLE),
+            |        CAST(element_at(train, 2).n AS DOUBLE)
+            |          - CAST(element_at(train, 1).n AS DOUBLE)),
+            |  (a, x) -> array(
+            |    CAST(0.3 AS DOUBLE) * CAST(x.n AS DOUBLE)
+            |      + CAST(0.7 AS DOUBLE) * (element_at(a, 1) + element_at(a, 2)),
+            |    CAST(0.1 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * CAST(x.n AS DOUBLE)
+            |        + CAST(0.7 AS DOUBLE) * (element_at(a, 1) + element_at(a, 2)))
+            |        - element_at(a, 1))
+            |      + CAST(0.9 AS DOUBLE) * element_at(a, 2)))""".stripMargin)
+          .as("lb"))
+      fit.select(col("event_type"), col("n_train"),
+          expr("element_at(lb, 1)").as("level"),
+          expr("element_at(lb, 2)").as("trend"),
+          expr(
+            """aggregate(transform(test, (e, i) ->
+              |    abs(CAST(e.n AS DOUBLE)
+              |        - (element_at(lb, 1)
+              |           + CAST(i + 1 AS DOUBLE) * element_at(lb, 2)))),
+              |  CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin).as("tae"),
+          expr("aggregate(test, CAST(0 AS BIGINT), (a, x) -> a + x.n)")
+            .as("vol"))
+        .select(col("event_type"), col("n_train"),
+          lit(7L).as("n_test"),
+          (floor(col("level") * 10000) / 10000).as("level"),
+          (floor(col("trend") * 10000) / 10000).as("trend"),
+          (floor(col("tae") * 10000) / 10000).as("total_abs_err"),
+          (floor(col("tae") / 7 * 10000) / 10000).as("mae"),
+          (floor(col("tae") / col("vol").cast("double") * 1000000)
+            / 1000000).as("wape"))
+        .orderBy("event_type")
+    },
+
     Q("etl_forecast_snaive",
       """WITH d AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -38,7 +38,8 @@ object Extras {
     * repeated runs should clearCache() when done.
     */
   def pageRank(edges0: DataFrame, iterations: Int = 3,
-      noDanglings: Boolean = false): DataFrame = {
+      noDanglings: Boolean = false,
+      knownDanglings: Boolean = false): DataFrame = {
     // the input is referenced twice below (out-weight aggregate + the
     // weight merge join) — persist it so an unpersisted upstream edge
     // derivation is evaluated once, not twice (the same
@@ -55,7 +56,11 @@ object Extras {
     lazy val sinks = e0p.select(col("dst")).distinct()
       .join(outw, col("dst") === col("src"), "left_anti")
       .persist()
-    if (noDanglings || sinks.isEmpty) {
+    // the probe job runs only when the caller asserts NEITHER direction:
+    // noDanglings (symmetrized callers) and knownDanglings (the directed
+    // declared key, where every supplier is a sink by construction) each
+    // skip the distinct+anti-join scan — same move, opposite branch
+    if (noDanglings || (!knownDanglings && sinks.isEmpty)) {
       val n = outw.agg(count(lit(1)).cast("long").as("n_nodes"))
       var rank = outw.crossJoin(broadcast(n))
         .select(col("src").as("node"),
@@ -501,9 +506,12 @@ object Extras {
         .groupBy((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .agg(count(lit(1)).as("cnt"))
-      // default noDanglings=false: the sink probe fires, finds every
-      // supplier dangling, and routes to the dangling-aware loop
-      pageRank(edges, 3).orderBy(col("rank").desc, col("node")).limit(20)
+      // knownDanglings: every supplier is a sink BY CONSTRUCTION (edges
+      // only run c→s), so the eager probe job is skipped and the sink
+      // frame evaluates inside the main plan instead — byte-identical
+      // output either way (ComponentsSpec pins it)
+      pageRank(edges, 3, knownDanglings = true)
+        .orderBy(col("rank").desc, col("node")).limit(20)
     },
 
     // HITS hubs & authorities (round 8, cont. 4 — Kleinberg 1999): the

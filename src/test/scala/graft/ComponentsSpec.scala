@@ -224,6 +224,12 @@ class ComponentsSpec extends AnyFunSuite {
       s"mass leaked: total=$total")
     // the sink holds the LARGEST rank (it receives five sources)
     assert(out(5L) == out.values.max, s"sink must accumulate rank: $out")
+    // the probe-skipping knownDanglings hint (the directed declared
+    // key's spelling) takes the SAME dangling loop — byte-identical
+    val hinted = operators.Extras
+      .pageRank(edges, iterations = 3, knownDanglings = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hinted == out)
     spark.catalog.clearCache()
   }
 
