@@ -658,13 +658,18 @@ object Llm {
   private[graft] def minhashVerified(
       docsDf: DataFrame, d2Min: Option[Long] = None,
       hashes: graft.functions.HashStrategy = PortableHash): DataFrame =
-    minhashVerifiedWithBands(docsDf, d2Min, hashes)._1
+    minhashVerifiedWithSketch(docsDf, d2Min, hashes)._1
 
-  /** [[minhashVerified]] plus its internal persisted band frame — for
-    * callers that need the sketch itself (llm_minhash_est_quality scores
-    * slot agreement): reusing the pin avoids a SECOND full
-    * shingle→md5→16-min aggregation pass over the corpus. */
-  private[graft] def minhashVerifiedWithBands(
+  /** [[minhashVerified]] plus the persisted 16-slot SKETCH frame
+    * (doc_id, m_0..m_15 — ONE narrow row per doc) — for callers that
+    * score the sketch itself (llm_minhash_est_quality): reusing the pin
+    * avoids a SECOND full shingle→md5→16-min aggregation pass over the
+    * corpus, and joining the sketch instead of the banded unpivot keeps
+    * the readout's probe 8× narrower AND doc_id-keyed (the band frame is
+    * partitioned on (band, k1, k2) for the candidate join — a doc_id
+    * probe against it would re-shuffle 8 rows per doc twice; round-8
+    * cont. 4 measured the swap at ~25% of the key's wall). */
+  private[graft] def minhashVerifiedWithSketch(
       docsDf: DataFrame, d2Min: Option[Long] = None,
       hashes: graft.functions.HashStrategy = PortableHash): (DataFrame, DataFrame) = {
     // persist: the distinct shingle set feeds four consumers (doc sizes,
@@ -691,8 +696,13 @@ object Llm {
     // shingle), the double-hash runs once per DISTINCT shingle, and the
     // groupBy(doc_id) reuses sh's cached hash-partitioning, so the whole
     // sketch aggregation plans ZERO exchanges.
-    val bands = bandsFromHashes(
+    // the narrow 16-slot sketch persists doc_id-keyed (one row per doc);
+    // the banded unpivot below derives from this cache, so exposing the
+    // sketch to the est-quality readout costs zero extra aggregation
+    val sk = sketchFromHashes(
         sh.select(col("doc_id"), h1c.as("h1"), h2c.as("h2")))
+      .persist()
+    val bands = bandExplode(sk)
       // partitioned by the band key ONCE at build time (round 4): the
       // candidate self-join's equi-keys are exactly (band, k1, k2), so
       // BOTH sides of the shuffled hash join read the cached partitioning
@@ -734,7 +744,7 @@ object Llm {
         // has low Jaccard but containment ≈ 1
         round(col("inter") * 1.0 / least(col("p.n"), col("q.n")), 6)
           .as("containment"))
-    (verified, bands)
+    (verified, sk)
   }
 
   /** Per-doc DISTINCT shingle double-hashes (doc_id, h1, h2) — the
@@ -761,12 +771,21 @@ object Llm {
     * different banding could never candidate-join against live frames).
     */
   private[graft] def bandsFromHashes(shh: DataFrame): DataFrame =
+    bandExplode(sketchFromHashes(shh))
+
+  /** The 16-minhash sketch (doc_id, m_0..m_15) in ONE aggregation pass —
+    * the narrow per-doc state [[bandExplode]] unpivots and
+    * llm_minhash_est_quality joins directly. */
+  private[graft] def sketchFromHashes(shh: DataFrame): DataFrame =
     shh.groupBy("doc_id")
       .agg(
         min(col("h1")).as("m_0"),
         (1 until 16).map(i =>
           min(col("h1") + lit(i) * col("h2")).as(s"m_$i")): _*)
-      .select(
+
+  /** Unpivot a 16-slot sketch frame to 8 band keys × 2 rows. */
+  private[graft] def bandExplode(sk: DataFrame): DataFrame =
+    sk.select(
         col("doc_id"),
         explode(array((0 until 8).map(b =>
           struct(lit(b).as("band"),
@@ -3197,18 +3216,20 @@ object Llm {
          |             / CAST(count(*) AS DOUBLE)) / 1000000 AS mean_abs_err
          |FROM u GROUP BY bucket ORDER BY bucket""".stripMargin
     }) { (s, d) =>
-      // reuse the pipeline's own persisted band frame (round-7 cont.
-      // fix: a separate bandsFromHashes(shingleHashes(…)) build here was
-      // a SECOND full shingle→md5→sketch pass over the corpus)
-      val (mhv, bands) = minhashVerifiedWithBands(docs(s, d))
+      // reuse the pipeline's own persisted SKETCH frame (round-7 cont.
+      // fix: a separate build here was a SECOND full shingle→md5→sketch
+      // pass; round-8 cont. 4: join the 1-row-per-doc sketch on doc_id
+      // instead of re-shuffling the 8-rows-per-doc band frame twice off
+      // its (band, k1, k2) partitioning — the slot agreement is a
+      // map-side 16-term comparison ladder, no groupBy at all)
+      val (mhv, sk) = minhashVerifiedWithSketch(docs(s, d))
+      val kExpr = (0 until 16)
+        .map(i => when(col(s"a.m_$i") === col(s"b.m_$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
       val agree = mhv
-        .join(bands.hint("shuffle_hash").as("a"),
-          col("d1") === col("a.doc_id"))
-        .join(bands.hint("shuffle_hash").as("b"),
-          col("d2") === col("b.doc_id") && col("a.band") === col("b.band"))
-        .groupBy("d1", "d2", "est_jaccard")
-        .agg((sum(when(col("a.k1") === col("b.k1"), 1).otherwise(0)) +
-          sum(when(col("a.k2") === col("b.k2"), 1).otherwise(0))).as("k"))
+        .join(sk.hint("shuffle_hash").as("a"), col("d1") === col("a.doc_id"))
+        .join(sk.hint("shuffle_hash").as("b"), col("d2") === col("b.doc_id"))
+        .select(col("d1"), col("d2"), col("est_jaccard"), kExpr.as("k"))
       val u = agree.select(
         round(col("est_jaccard") * 1000000).cast("long").as("exact_u"),
         (col("k") * 62500L).as("est_u"))
