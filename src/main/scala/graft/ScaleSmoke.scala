@@ -577,6 +577,44 @@ object ScaleSmoke {
       nodes
     }
 
+    // Directed + dangling PageRank and HITS at the same 10M-edge scale
+    // (round 8, cont. 4): the dangling loop adds a per-round sink-mass
+    // aggregate + localCheckpoint; HITS runs 2 rounds × 2 half-rounds of
+    // join+groupBy+rescale. Both must stay in the same cost class as the
+    // lean loop — a blow-up here means a rescale/checkpoint became a
+    // second edge shuffle.
+    time("pagerank directed+dangling 10M edges") {
+      val m = 1000000L
+      val e = spark.range(10000000L).select(
+        pmod(xxhash64(col("id")), lit(m)).as("src"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(m)) + m).as("dst"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(5)) + 1).as("cnt"))
+      val r = operators.Extras.pageRank(e, 3, knownDanglings = true)
+      val row = r.agg(sum(col("rank")), count(lit(1))).head()
+      val mass = row.getLong(0); val nodes = row.getLong(1)
+      spark.catalog.clearCache()
+      require(mass > 999900000000L && mass <= 1000000000000L,
+        s"dangling loop must conserve mass up to truncation ($mass)")
+      nodes
+    }
+    time("hits 10M edges x2 rounds") {
+      val m = 1000000L
+      val e = spark.range(10000000L).select(
+        pmod(xxhash64(col("id")), lit(m)).as("src"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(m)) + m).as("dst"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(5)) + 1).as("cnt"))
+      val (hub, auth) = operators.Extras.hits(e, rounds = 2)
+      val ht = hub.agg(sum(col("sc")), count(lit(1))).head()
+      val at = auth.agg(sum(col("sc")), count(lit(1))).head()
+      spark.catalog.clearCache()
+      // the L1 rescale band: each side's total in [mass, 2*mass) up to
+      // init truncation
+      for (tot <- Seq(ht.getLong(0), at.getLong(0)))
+        require(tot >= 999000000L && tot < 2000000000L,
+          s"hits rescale band violated ($tot)")
+      ht.getLong(1) + at.getLong(1)
+    }
+
     // BFS at the same 20M-edge scale (round 5, continued): the REAL
     // operators.Extras.bfs. On a random ~20-regular graph of 1M nodes
     // the frontier grows ≈ ×20 per hop (1 → 20 → 400 → 8k → 160k —

@@ -1673,6 +1673,74 @@ object Etl {
     // FLOOR-scaled. Plan: the fact-sized work is the (type, day)
     // groupBy; the lag window and the 5-row score reduce run over the
     // O(types × days) frame — report-scale at any SF.
+    // Clamped running ledger (round 8, cont. 4): per user, fold the
+    // event stream in (ts, event_id) order as a balance that CREDITS
+    // purchase value and DEBITS other activity, floored at zero — the
+    // inventory/credit/quota shape whose clamp makes the scan
+    // NON-ASSOCIATIVE: max(0, ·) does not distribute over +, so no
+    // window running sum, no segment tree, no two-level prefix trick can
+    // express it — it is the canonical sequential-scan-per-key operator.
+    // Reports ending balance and how often the clamp fired (every clamp
+    // is lost information a plain sum would silently carry negative).
+    //
+    // Determinism/plan: deltas in integer CENTS (round(value·100) —
+    // value is a 2-decimal tick, so the product is integer up to one ulp
+    // and round snaps it); per-user fold over the day-ordered in-row
+    // ledger with an ARRAY accumulator [balance, clamps] (functional in
+    // both engines — the etl_forecast_holt finding); ONE fact shuffle
+    // (the user groupBy), top-20 via TakeOrderedAndProject. Per-user
+    // event counts are bounded here (~20); for keys with unbounded
+    // history the dial is the SessionizePlan-style sorted-scan physical
+    // operator or flatMapGroupsWithState — the fold body is unchanged.
+    Q("etl_clamped_ledger",
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_type = 'purchase'
+        |              THEN CAST(round(value * 100) AS BIGINT)
+        |              ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |         list_reduce(list_prepend(
+        |             [CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+        |             list([delta, CAST(0 AS BIGINT)] ORDER BY ts, event_id)),
+        |           (a, x) -> [greatest(CAST(0 AS BIGINT), a[1] + x[1]),
+        |                      a[2] + CASE WHEN a[1] + x[1] < 0
+        |                                  THEN 1 ELSE 0 END]) AS fin
+        |  FROM e GROUP BY user_id
+        |)
+        |SELECT user_id, n_events, fin[1] AS balance_cents,
+        |       fin[2] AS n_clamps
+        |FROM g ORDER BY balance_cents DESC, user_id LIMIT 20""".stripMargin) {
+      (s, d) =>
+        val delta = when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))
+          .otherwise(-round(col("value") * 100).cast("long"))
+        events(s, d)
+          .where(col("user_id").isNotNull && col("value").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            delta.as("delta"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            expr("sort_array(collect_list(struct(ts, event_id, delta)))")
+              .as("ledger"))
+          .select(col("user_id"), col("n_events"),
+            expr(
+              """aggregate(ledger,
+                |  array(CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+                |  (a, x) -> array(
+                |    greatest(CAST(0 AS BIGINT), element_at(a, 1) + x.delta),
+                |    element_at(a, 2) + CASE WHEN element_at(a, 1) + x.delta < 0
+                |                            THEN CAST(1 AS BIGINT)
+                |                            ELSE CAST(0 AS BIGINT) END))"""
+                .stripMargin).as("fin"))
+          .select(col("user_id"), col("n_events"),
+            expr("element_at(fin, 1)").as("balance_cents"),
+            expr("element_at(fin, 2)").as("n_clamps"))
+          .orderBy(col("balance_cents").desc, col("user_id"))
+          .limit(20)
+    },
+
     // Holt linear-trend forecast (round 8, cont. 4): double exponential
     // smoothing (α=0.3, β=0.1) of the per-type daily count series, fit on
     // all but the last 7 days, backtested on the held-out week — the
