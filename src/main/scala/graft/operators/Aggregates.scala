@@ -1481,6 +1481,92 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Cramér's V (round 8, cont. 4): association strength between two
+    // CATEGORICALS — event_type × weekday — via the χ² of independence,
+    // normalized to [0,1]. The categorical complement of agg_corr_matrix
+    // (numeric Pearson) and the KS/PSI drift family (distribution vs
+    // time): "does traffic MIX depend on weekday" is a mix-design
+    // question a sampling recipe (llm_sample_mix) needs answered before
+    // weighting by day. All count cross-products are exact BIGINTs
+    // (o·n − rt·ct, with n·rt·ct ≤ ~2e17 at sf0.1 — the dial past ~1e6
+    // rows/cell-margin is DECIMAL(38,0)); per-cell χ² contributions are
+    // deterministic double ops folded in pinned (type, dow) order; one
+    // division + one sqrt at the end. Plan: ONE fact scan → bounded
+    // (type × 7) cell frame persisted; margins/totals derive from the
+    // 35-row cache, never a second fact pass; broadcast margin joins.
+    Q("dq_cramers_v",
+      """WITH cells AS (
+        |  SELECT event_type, isodow(ts) AS dow,
+        |         CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+        |  FROM cells GROUP BY 1
+        |), ct AS (
+        |  SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1
+        |), nr AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+        |         CAST(count(DISTINCT dow) AS BIGINT) AS c
+        |  FROM cells
+        |), j AS (
+        |  SELECT cells.event_type, cells.dow,
+        |         o * n - rt * ct AS num, n * rt * ct AS den, n, r, c
+        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
+        |       CROSS JOIN nr
+        |), g AS (
+        |  SELECT max(n) AS n, max(r) AS r, max(c) AS c,
+        |         list(struct_pack(event_type := event_type, dow := dow,
+        |                          num := num, den := den)
+        |              ORDER BY event_type, dow) AS cl
+        |  FROM j
+        |), k AS (
+        |  SELECT n, r, c,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |             list_transform(cl, x ->
+        |               (CAST(x.num AS DOUBLE) * CAST(x.num AS DOUBLE))
+        |                 / CAST(x.den AS DOUBLE))),
+        |           (a, x) -> a + x) AS chi2
+        |  FROM g
+        |)
+        |SELECT n, r, c,
+        |       floor(chi2 * 1000000) / 1000000 AS chi2,
+        |       floor(sqrt(chi2 / CAST(n * least(r - 1, c - 1) AS DOUBLE))
+        |             * 1000000) / 1000000 AS cramers_v
+        |FROM k""".stripMargin) { (s, d) =>
+      val cells = t(s, d, "events")
+        .select(col("event_type"), (weekday(col("ts")) + 1).as("dow"))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("o"))
+        .persist() // 35-row frame feeds margins, totals, and the cells
+      val rt = cells.groupBy("event_type").agg(sum("o").as("rt"))
+      val ctf = cells.groupBy("dow").agg(sum("o").as("ct"))
+      val nr = cells.agg(sum("o").as("n"),
+        countDistinct("event_type").as("r"), countDistinct("dow").as("c"))
+      cells
+        .join(broadcast(rt), Seq("event_type"))
+        .join(broadcast(ctf), Seq("dow"))
+        .crossJoin(broadcast(nr))
+        .select(col("event_type"), col("dow"),
+          (col("o") * col("n") - col("rt") * col("ct")).as("num"),
+          (col("n") * col("rt") * col("ct")).as("den"),
+          col("n"), col("r"), col("c"))
+        .groupBy()
+        .agg(max("n").as("n"), max("r").as("r"), max("c").as("c"),
+          expr("sort_array(collect_list(struct(event_type, dow, num, den)))")
+            .as("cl"))
+        .select(col("n"), col("r"), col("c"),
+          expr(
+            """aggregate(cl, CAST(0 AS DOUBLE), (a, x) ->
+              |  a + (CAST(x.num AS DOUBLE) * CAST(x.num AS DOUBLE))
+              |        / CAST(x.den AS DOUBLE))""".stripMargin).as("chi2"))
+        .select(col("n"), col("r"), col("c"),
+          (floor(col("chi2") * 1000000) / 1000000).as("chi2"),
+          (floor(sqrt(col("chi2")
+            / (col("n") * least(col("r") - 1, col("c") - 1)).cast("double"))
+            * 1000000) / 1000000).as("cramers_v"))
+    },
+
     // OHLC candlestick rollup (round 7, cont.): per (event_type, day)
     // open/high/low/close/volume over the value stream — the time-series
     // report finance and metrics dashboards both run. open/close are

@@ -174,6 +174,41 @@ object Streaming {
         OutputMode.Update(), timeout)(cdcFoldGroup(evict))
   }
 
+  /** Streaming twin of the etl_clamped_ledger declared key — the
+    * NON-ASSOCIATIVE clamped running balance as a mapGroupsWithState
+    * fold: state is ONE (balance, clamps, n) record per user however
+    * long the history, which is exactly the unbounded-history dial the
+    * batch key's scaladoc names (the batch form folds an in-row ledger,
+    * bounded by per-key event count; the stream form is O(users) state
+    * at any history length). Within a micro-batch events fold in
+    * (tsMicros, event_id) order; cross-batch order is arrival order —
+    * the standard at-least-once streaming contract (StreamingSpec feeds
+    * time-ordered batches and pins stream == driver-side reference).
+    */
+  case class LedgerEvent(
+      user_id: Long, tsMicros: Long, event_id: Long, deltaCents: Long)
+  case class LedgerState(bal: Long, clamps: Long, n: Long)
+  case class LedgerRow(
+      user_id: Long, balance_cents: Long, n_clamps: Long, n_events: Long)
+
+  def clampedLedger(ev: Dataset[LedgerEvent]): Dataset[LedgerRow] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, events: Iterator[LedgerEvent],
+            state: GroupState[LedgerState]) =>
+          val s0 = state.getOption.getOrElse(LedgerState(0L, 0L, 0L))
+          val s = events.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+            .foldLeft(s0) { (a, e) =>
+              val nb = a.bal + e.deltaCents
+              LedgerState(math.max(0L, nb),
+                a.clamps + (if (nb < 0) 1L else 0L), a.n + 1L)
+            }
+          state.update(s)
+          LedgerRow(user, s.bal, s.clamps, s.n)
+      }
+  }
+
   /** Custom per-user state machine: signup→purchase funnel. Emits one row
     * per user on their first post-signup purchase (conversion), carrying
     * the lag between the two. State is one small record per user with a

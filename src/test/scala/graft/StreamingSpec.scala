@@ -392,6 +392,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(out4.isEmpty && s4.isRemoved)
   }
 
+  test("clamped ledger under streaming state == sequential reference, " +
+    "clamps included (r8)") {
+    // seeded stream over 15 users with heavy debits so the clamp FIRES;
+    // events arrive in ts order across batches (the contract the batch
+    // twin's in-row fold assumes wholesale)
+    val rnd = new scala.util.Random(7)
+    val evs = (0 until 600).map { i =>
+      Streaming.LedgerEvent(
+        user_id = rnd.nextInt(15).toLong,
+        tsMicros = i.toLong * 1000000L,
+        event_id = i.toLong,
+        deltaCents = (rnd.nextInt(300) - 180).toLong) // debit-leaning
+    }
+    // driver-side sequential reference — the semantics the declared
+    // etl_clamped_ledger key folds in-row
+    val ref = evs.groupBy(_.user_id).map { case (u, es) =>
+      val fin = es.sortBy(e => (e.tsMicros, e.event_id))
+        .foldLeft((0L, 0L, 0L)) { case ((b, c, n), e) =>
+          val nb = b + e.deltaCents
+          (math.max(0L, nb), c + (if (nb < 0) 1L else 0L), n + 1L)
+        }
+      u -> fin
+    }
+    assert(ref.values.exists(_._2 > 0), "fixture must exercise the clamp")
+
+    val input = MemoryStream[Streaming.LedgerEvent](spark)
+    val name = s"mem_ledger_${System.nanoTime()}"
+    val q = Streaming.clampedLedger(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      evs.grouped(170).foreach { b => input.addData(b); q.processAllAvailable() }
+      // update mode re-emits per batch; the final state per user is the
+      // row with the largest n_events (monotone within a user)
+      val streamed = spark.table(name).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .groupBy(_._1)
+        .map { case (u, vs) => u -> {
+          val last = vs.map(_._2).maxBy(_._3)
+          (last._1, last._2, last._3)
+        } }
+      assert(streamed == ref,
+        "streaming ledger must equal the sequential reference fold")
+    } finally q.stop()
+  }
+
   test("funnel state machine emits one conversion per signup→purchase") {
     val evs = Seq(
       Streaming.FunnelEvent(1, "signup", 1000000L),
