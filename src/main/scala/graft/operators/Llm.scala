@@ -1760,6 +1760,66 @@ object Llm {
     // token is covered; chunk_tokens < 64 only on the tail). The oracle
     // replays the same starts with range(0, n, 48) + 1-based list
     // slicing — llm_tokenize_tf's split parity.
+    // Sentence-budget chunking report (round 8, cont. 4): split each doc
+    // into SENTENCES ('[.!?] +' — RE2/Java-agreeing, no lookbehind),
+    // greedy-pack consecutive sentences into chunks of ≤ 40 tokens, and
+    // report per-doc sentence/token/chunk counts — the SEMANTIC-chunking
+    // budget readout (llm_chunk_sliding cuts mid-sentence at fixed
+    // stride; RAG/embedding pipelines budget whole sentences and need to
+    // know the chunk count a budget implies BEFORE materializing chunks).
+    // The greedy pack is a NON-ASSOCIATIVE scan (chunk boundary depends
+    // on the running fill) — same array-accumulator fold doctrine as
+    // etl_clamped_ledger, here zero-exchange (pure map over the doc).
+    // An over-budget single sentence occupies its own chunk (cur > 0
+    // guard) rather than phantom-incrementing. Empty-text guard: Spark
+    // split('') = [] but DuckDB = [''] — filtered/CASE'd identically.
+    Q("llm_chunk_sentence_budget",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split_regex(text, '[.!?] +'),
+        |           s -> [CASE WHEN s = '' THEN CAST(0 AS BIGINT)
+        |                      ELSE CAST(len(string_split(s, ' ')) AS BIGINT)
+        |                 END, CAST(0 AS BIGINT)]) AS sl
+        |  FROM documents WHERE length(text) > 0
+        |), f AS (
+        |  SELECT doc_id, CAST(len(sl) AS BIGINT) AS n_sentences,
+        |         list_reduce(list_prepend(
+        |             [CAST(0 AS BIGINT), CAST(0 AS BIGINT)], sl),
+        |           (a, x) -> [a[1] + x[1], CAST(0 AS BIGINT)])[1]
+        |           AS total_tokens,
+        |         list_reduce(list_prepend(
+        |             [CAST(1 AS BIGINT), CAST(0 AS BIGINT)], sl),
+        |           (a, x) -> CASE WHEN a[2] + x[1] > 40 AND a[2] > 0
+        |                          THEN [a[1] + 1, x[1]]
+        |                          ELSE [a[1], a[2] + x[1]] END)[1] AS n_chunks
+        |  FROM t
+        |)
+        |SELECT doc_id, n_sentences, total_tokens, n_chunks
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"),
+          expr(
+            """transform(split(text, '[.!?] +'), s ->
+              |  CASE WHEN s = '' THEN CAST(0 AS BIGINT)
+              |       ELSE CAST(size(split(s, ' ')) AS BIGINT) END)"""
+              .stripMargin).as("sl"))
+        .select(col("doc_id"),
+          size(col("sl")).cast("long").as("n_sentences"),
+          expr("aggregate(sl, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("total_tokens"),
+          expr(
+            """element_at(aggregate(sl,
+              |  array(CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+              |  (a, x) -> CASE WHEN element_at(a, 2) + x > 40
+              |                  AND element_at(a, 2) > 0
+              |                 THEN array(element_at(a, 1) + 1, x)
+              |                 ELSE array(element_at(a, 1),
+              |                            element_at(a, 2) + x) END), 1)"""
+              .stripMargin).as("n_chunks"))
+        .orderBy("doc_id")
+    },
+
     Q("llm_chunk_sliding",
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |x AS (
