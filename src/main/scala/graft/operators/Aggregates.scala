@@ -1481,6 +1481,105 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Mann-Whitney U rank-sum test (round 8, cont. 4): per event_type,
+    // did the value distribution SHIFT between the two half-months —
+    // the location-sensitive nonparametric complement of dq_ks_test (KS
+    // reacts to any ECDF gap; MW asks specifically "does one period
+    // stochastically dominate"). Exact INTEGER arithmetic throughout:
+    // midranks with ties are half-integers, so the fold carries 2×(rank
+    // sum) — per tick, 2·ΣmidrankCur += c_cur·(2·cum_before + t + 1)
+    // with t = c_ref + c_cur — and the tie correction Σ(t³−t) is an
+    // exact BIGINT (overflow dial past ~1e6 rows/tick: DECIMAL(38,0)).
+    // The normal z (no continuity correction, documented) and the
+    // common-language effect size U/(n1·n2) take integers into identical
+    // IEEE op order at the very end. Plan: same as dq_ks_test — one fact
+    // scan, bounded (type, tick) groupBy, in-row sorted fold with an
+    // ARRAY accumulator [cum, 2R_cur, T].
+    Q("agg_mann_whitney",
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type,
+        |         CAST(sum(c1) AS BIGINT) AS n1,
+        |         CAST(sum(c2) AS BIGINT) AS n2,
+        |         list([c1, c2] ORDER BY value) AS bins
+        |  FROM b GROUP BY event_type
+        |), f AS (
+        |  SELECT event_type, n1, n2,
+        |         list_reduce(list_prepend(
+        |             [CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |              CAST(0 AS BIGINT)], bins),
+        |           (a, x) -> [
+        |             a[1] + x[1] + x[2],
+        |             a[2] + x[2] * (2 * a[1] + x[1] + x[2] + 1),
+        |             a[3] + (x[1] + x[2]) * (x[1] + x[2]) * (x[1] + x[2])
+        |                  - (x[1] + x[2])]) AS acc
+        |  FROM g
+        |), r AS (
+        |  SELECT event_type, n1, n2,
+        |         acc[2] - n2 * (n2 + 1) AS two_u, acc[3] AS tie_t,
+        |         n1 + n2 AS n
+        |  FROM f
+        |)
+        |SELECT event_type, n1 AS n_ref, n2 AS n_cur, two_u,
+        |       floor(CAST(two_u - n1 * n2 AS DOUBLE)
+        |             / (2 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |                 * (CAST(n + 1 AS DOUBLE)
+        |                    - CAST(tie_t AS DOUBLE)
+        |                      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+        |                 / 12)) * 1000000) / 1000000 AS z,
+        |       floor(CAST(two_u AS DOUBLE)
+        |             / (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |             * 1000000) / 1000000 AS cles
+        |FROM r ORDER BY event_type""".stripMargin) { (s, d) =>
+      val split = lit("2024-01-16").cast("timestamp")
+      val b = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), col("value"))
+        .agg(
+          sum(when(col("ts") < split, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("ts") >= split, 1L).otherwise(0L)).as("c2"))
+      val g = b.groupBy("event_type")
+        .agg(sum("c1").as("n1"), sum("c2").as("n2"),
+          expr("sort_array(collect_list(struct(value, c1, c2)))").as("bins"))
+        .select(col("event_type"), col("n1"), col("n2"),
+          expr(
+            """aggregate(bins,
+              |  array(CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+              |        CAST(0 AS BIGINT)),
+              |  (a, x) -> array(
+              |    element_at(a, 1) + x.c1 + x.c2,
+              |    element_at(a, 2)
+              |      + x.c2 * (2 * element_at(a, 1) + x.c1 + x.c2 + 1),
+              |    element_at(a, 3)
+              |      + (x.c1 + x.c2) * (x.c1 + x.c2) * (x.c1 + x.c2)
+              |      - (x.c1 + x.c2)))""".stripMargin).as("acc"))
+      g.select(col("event_type"), col("n1"), col("n2"),
+          (expr("element_at(acc, 2)") - col("n2") * (col("n2") + 1))
+            .as("two_u"),
+          expr("element_at(acc, 3)").as("tie_t"),
+          (col("n1") + col("n2")).as("n"))
+        .select(col("event_type"),
+          col("n1").as("n_ref"), col("n2").as("n_cur"), col("two_u"),
+          (floor((col("two_u") - col("n1") * col("n2")).cast("double")
+            / (lit(2) * sqrt(col("n1").cast("double")
+              * col("n2").cast("double")
+              * ((col("n") + 1).cast("double")
+                - col("tie_t").cast("double")
+                  / (col("n").cast("double") * (col("n") - 1).cast("double")))
+              / 12)) * 1000000) / 1000000).as("z"),
+          (floor(col("two_u").cast("double")
+            / (lit(2) * col("n1").cast("double") * col("n2").cast("double"))
+            * 1000000) / 1000000).as("cles"))
+        .orderBy("event_type")
+    },
+
     // Cramér's V (round 8, cont. 4): association strength between two
     // CATEGORICALS — event_type × weekday — via the χ² of independence,
     // normalized to [0,1]. The categorical complement of agg_corr_matrix
