@@ -1481,6 +1481,99 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Spearman rank correlation (round 8, cont. 4): per event_type, do
+    // days with more EVENTS also take more REVENUE — rank correlation
+    // over the daily series, the outlier-robust complement of
+    // agg_corr_matrix's raw-value Pearson (one whale purchase wrecks
+    // Pearson; ranks shrug). Midranks for ties carried as 2×rank
+    // (integers, the agg_mann_whitney trick): 2r = 2·|smaller| +
+    // |equal| + 1 via in-row filters over the 30-element list (O(days²)
+    // compares, bounded by the REPORT frame, never the fact — which also
+    // makes every moment sum integer-exact at ANY corpus scale, unlike
+    // raw-value moments whose squares outgrow BIGINT). Pearson over the
+    // 2×ranks (scale cancels) with one double division+sqrt at the end.
+    Q("agg_spearman_daily",
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS rev
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type,
+        |         list(struct_pack(n := n, rev := rev) ORDER BY day) AS l
+        |  FROM d GROUP BY event_type
+        |), rk AS (
+        |  SELECT event_type, CAST(len(l) AS BIGINT) AS n_days,
+        |         list_transform(l, e -> struct_pack(
+        |           x := CAST(2 * len(list_filter(l, z -> z.n < e.n))
+        |                     + len(list_filter(l, z -> z.n = e.n)) + 1
+        |                     AS BIGINT),
+        |           y := CAST(2 * len(list_filter(l, z -> z.rev < e.rev))
+        |                     + len(list_filter(l, z -> z.rev = e.rev)) + 1
+        |                     AS BIGINT))) AS r
+        |  FROM g
+        |), acc AS (
+        |  SELECT event_type, n_days,
+        |         list_reduce(list_prepend(
+        |             [CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |              CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |              CAST(0 AS BIGINT)],
+        |             list_transform(r, e ->
+        |               [e.x * e.y, e.x, e.y, e.x * e.x, e.y * e.y])),
+        |           (a, x) -> [a[1] + x[1], a[2] + x[2], a[3] + x[3],
+        |                      a[4] + x[4], a[5] + x[5]]) AS s
+        |  FROM rk
+        |)
+        |SELECT event_type, n_days,
+        |       floor(CAST(n_days * s[1] - s[2] * s[3] AS DOUBLE)
+        |             / sqrt(CAST(n_days * s[4] - s[2] * s[2] AS DOUBLE)
+        |                    * CAST(n_days * s[5] - s[3] * s[3] AS DOUBLE))
+        |             * 1000000) / 1000000 AS spearman_rho
+        |FROM acc ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("rev"))
+      daily.groupBy("event_type")
+        .agg(expr("sort_array(collect_list(struct(day, n, rev)))").as("l0"))
+        .select(col("event_type"),
+          expr("transform(l0, e -> struct(e.n, e.rev))").as("l"))
+        .select(col("event_type"),
+          size(col("l")).cast("long").as("n_days"),
+          expr(
+            """transform(l, e -> named_struct(
+              |  'x', CAST(2 * size(filter(l, z -> z.n < e.n))
+              |            + size(filter(l, z -> z.n = e.n)) + 1 AS BIGINT),
+              |  'y', CAST(2 * size(filter(l, z -> z.rev < e.rev))
+              |            + size(filter(l, z -> z.rev = e.rev)) + 1
+              |            AS BIGINT)))""".stripMargin).as("r"))
+        .select(col("event_type"), col("n_days"),
+          expr(
+            """aggregate(r,
+              |  array(CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+              |        CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+              |        CAST(0 AS BIGINT)),
+              |  (a, e) -> array(
+              |    element_at(a, 1) + e.x * e.y,
+              |    element_at(a, 2) + e.x,
+              |    element_at(a, 3) + e.y,
+              |    element_at(a, 4) + e.x * e.x,
+              |    element_at(a, 5) + e.y * e.y))""".stripMargin).as("s"))
+        .select(col("event_type"), col("n_days"),
+          (floor((col("n_days") * expr("element_at(s, 1)")
+            - expr("element_at(s, 2)") * expr("element_at(s, 3)"))
+            .cast("double")
+            / sqrt((col("n_days") * expr("element_at(s, 4)")
+              - expr("element_at(s, 2)") * expr("element_at(s, 2)"))
+              .cast("double")
+              * (col("n_days") * expr("element_at(s, 5)")
+                - expr("element_at(s, 3)") * expr("element_at(s, 3)"))
+                .cast("double")) * 1000000) / 1000000).as("spearman_rho"))
+        .orderBy("event_type")
+    },
+
     // Mann-Whitney U rank-sum test (round 8, cont. 4): per event_type,
     // did the value distribution SHIFT between the two half-months —
     // the location-sensitive nonparametric complement of dq_ks_test (KS
