@@ -710,6 +710,66 @@ object ScaleSmoke {
         .count()
     }
 
+    // Clamped ledger under Zipf (round 8, cont. 4): the declared key's
+    // in-row fold would collect the hot user's ~6.2M events into ONE
+    // row's array buffer; clampedLedgerScan streams them through the
+    // secondary-sort scan in O(1) state. Equality vs the fold is pinned
+    // on a uniform 6M slice (where per-user arrays stay small); the 60M
+    // Zipf frame runs scan-only — materializing a 6.2M-element
+    // collect_list is exactly the blow-up being avoided.
+    locally {
+      val led = zipfEv.select(col("user_id"),
+        expr("unix_micros(ts)").as("ts_micros"), col("event_id"),
+        (pmod(xxhash64(col("event_id"), lit(21)), lit(400)) - 200)
+          .as("delta"))
+      var viaFold = Map.empty[Long, (Long, Long, Long)]
+      var viaScan = Map(-1L -> ((0L, 0L, 0L)))
+      time("ledger fold uniform 6M") {
+        val slice = ev.select(col("user_id"),
+          expr("unix_micros(ts)").as("ts_micros"), col("event_id"),
+          (pmod(xxhash64(col("event_id"), lit(21)), lit(400)) - 200)
+            .as("delta"))
+          .where(col("event_id") % 10 === 0)
+        viaFold = slice.groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            expr("sort_array(collect_list(struct(ts_micros, event_id, delta)))")
+              .as("l"))
+          .select(col("user_id"), col("n"),
+            expr("""aggregate(l, array(CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+              |(a, x) -> array(greatest(CAST(0 AS BIGINT),
+              |  element_at(a, 1) + x.delta),
+              |  element_at(a, 2) + CASE WHEN element_at(a, 1) + x.delta < 0
+              |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END))"""
+              .stripMargin).as("f"))
+          .select(col("user_id"), col("n"), expr("f[0]"), expr("f[1]"))
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+          .toMap
+        viaFold.size.toLong
+      }
+      time("ledger scan uniform 6M") {
+        val slice = ev.select(col("user_id"),
+          expr("unix_micros(ts)").as("ts_micros"), col("event_id"),
+          (pmod(xxhash64(col("event_id"), lit(21)), lit(400)) - 200)
+            .as("delta"))
+          .where(col("event_id") % 10 === 0)
+        viaScan = operators.Etl.clampedLedgerScan(slice)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+          .toMap
+        viaScan.size.toLong
+      }
+      if (viaFold.nonEmpty && !viaScan.contains(-1L))
+        require(viaFold == viaScan,
+          s"ledger disagreement: fold=${viaFold.size} scan=${viaScan.size}")
+      time("zipf ledger scan 60M (6.2M-row hot key)") {
+        operators.Etl.clampedLedgerScan(led)
+          .agg(expr("bit_xor(xxhash64(user_id, n_events, balance_cents, n_clamps))"))
+          .head()
+        60000000L
+      }
+    }
+
     // CDC winner-fold A/B at Zipf 60M (round 5): the etl_cdc_apply
     // design claim made measurable. Same changelog (key = Zipf user,
     // seq = event_id, hot key ~6.2M versions), same winner rule — the

@@ -37,6 +37,59 @@ object Etl {
     prevTs.isNull ||
       col("ts") > prevTs + expr(s"INTERVAL $SessionGapMinutes MINUTES")
 
+  /** Secondary-sort SCAN twin of etl_clamped_ledger's in-row fold — the
+    * unbounded-history dial the declared key's scaladoc names, as code:
+    * repartition by user, sort (user, ts, event_id) WITHIN partitions
+    * (the classic secondary sort — one exchange, one partition-local
+    * sort, no per-key array ever materializes), then a sequential
+    * mapPartitions scan with key-change detection. A Zipf hot user whose
+    * history would blow the in-row collect_list buffer streams through
+    * this scan in O(1) state (ScaleSmoke drives it at 60M with a ~6M-row
+    * hot key; LawsProps-style equality vs the fold in EtlSpec).
+    *
+    * Input: (user_id LONG, ts_micros LONG, event_id LONG, delta LONG
+    * cents). Output: (user_id, n_events, balance_cents, n_clamps),
+    * unordered — callers sort.
+    */
+  def clampedLedgerScan(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev.select(col("user_id").cast("long"), col("ts_micros").cast("long"),
+        col("event_id").cast("long"), col("delta").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts_micros", "event_id")
+      .mapPartitions { it =>
+        new Iterator[(Long, Long, Long, Long)] {
+          private var cur = Option.empty[Long] // current user
+          private var bal = 0L; private var clamps = 0L; private var n = 0L
+          private var pending = Option.empty[(Long, Long, Long, Long)]
+          private def roll(u: Long): Unit = {
+            pending = Some((u, n, bal, clamps)); bal = 0L; clamps = 0L; n = 0L
+          }
+          private def advance(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val (u, _, _, d) = it.next()
+              if (cur.exists(_ != u)) roll(cur.get)
+              cur = Some(u)
+              val nb = bal + d
+              bal = math.max(0L, nb)
+              if (nb < 0) clamps += 1
+              n += 1
+            }
+            if (pending.isEmpty && !it.hasNext && cur.nonEmpty) {
+              roll(cur.get); cur = None
+            }
+          }
+          def hasNext: Boolean = { advance(); pending.nonEmpty }
+          def next(): (Long, Long, Long, Long) = {
+            advance(); val r = pending.get; pending = None; r
+          }
+        }
+      }
+      .toDF("user_id", "n_events", "balance_cents", "n_clamps")
+  }
+
   /** Events annotated with a per-user session_id: a gap > 30 min (strict)
     * starts a new session (R3 visit construction). Comparison is done in
     * timestamp domain (`ts > prev + INTERVAL 30 MINUTES`) so Spark and the

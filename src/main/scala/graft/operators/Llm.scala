@@ -3324,6 +3324,60 @@ object Llm {
     // accumulate in engine/partition order). Plan: one embeddings scan →
     // posexplode (map-side) → ONE (label, dim) shuffle; everything after
     // is a 640-row/10-row frame.
+    // Embedding-space outlier mining (round 8, cont. 4): the 20 vectors
+    // FARTHEST (lowest cosine) from the corpus centroid — the embedding
+    // complement of llm_quality_score's text heuristics (mislabeled,
+    // off-domain, or garbage items sit far from the mean direction; this
+    // is the standard first-pass filter before semantic dedup). Centroid
+    // dims are pinned vec_id-order folds (the llm_embedding_drift
+    // doctrine), then snapped to FLOAT so the probe side runs the same
+    // native float-array dot as every other cosine op (both engines
+    // round-to-nearest-float identically); per-vector sim is one
+    // broadcast map-side dot + round(6) (the llm_cosine_topk-proven
+    // cross-engine spelling), bottom-k via TakeOrderedAndProject. ONE
+    // (dim) shuffle for the centroid + one embeddings scan for the probe.
+    Q("llm_embedding_outliers",
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), comp AS (
+        |  SELECT i, list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) AS gx,
+        |         CAST(count(*) AS BIGINT) AS gn
+        |  FROM e GROUP BY i
+        |), gvec AS (
+        |  SELECT list(CAST(CAST(gx / gn AS FLOAT) AS DOUBLE) ORDER BY i) AS g
+        |  FROM comp
+        |)
+        |SELECT vec_id, label,
+        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), g), 6)
+        |         AS sim
+        |FROM embeddings CROSS JOIN gvec
+        |ORDER BY sim, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("i"), col("xf").cast("double").as("x"))
+      val comp = e.groupBy("i")
+        .agg(
+          expr("""aggregate(transform(sort_array(collect_list(struct(vec_id, x))),
+                 |  e -> e.x), 0d, (a, b) -> a + b)""".stripMargin).as("gx"),
+          count(lit(1)).as("gn"))
+        .select(col("i"), (col("gx") / col("gn")).as("cv"))
+      val gvec = comp.groupBy()
+        .agg(expr(
+          """transform(sort_array(collect_list(struct(i, cv))),
+            |  e -> CAST(e.cv AS FLOAT))""".stripMargin).as("gf"))
+      Tables(s, d, "embeddings")
+        .crossJoin(broadcast(gvec))
+        .select(col("vec_id"), col("label"),
+          round(vectorDot(col("embedding"), col("gf"))
+            / nullif(sqrt(vectorDot(col("embedding"), col("embedding")))
+              * sqrt(vectorDot(col("gf"), col("gf"))), lit(0.0)), 6)
+            .as("sim"))
+        .orderBy(col("sim"), col("vec_id"))
+        .limit(20)
+    },
+
     Q("llm_embedding_drift",
       """WITH e AS (
         |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,

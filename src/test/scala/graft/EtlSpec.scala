@@ -158,4 +158,43 @@ class EtlSpec extends AnyFunSuite {
       assert(disc >= 0 && tax >= 0 && net <= gross)
     }
   }
+
+  test("clampedLedgerScan == the declared key's in-row fold, hot key " +
+    "and multi-user partitions included (r8)") {
+    // seeded, debit-leaning stream; user 0 is HOT (half of all rows) so
+    // the scan's key-change path crosses a large run, and deltas swing
+    // negative often enough that the clamp fires
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 2000).map { i =>
+      val u = if (rnd.nextBoolean()) 0L else rnd.nextInt(20).toLong + 1L
+      (u, i.toLong * 1000L, i.toLong, (rnd.nextInt(300) - 170).toLong)
+    }
+    val df = rows.toDF("user_id", "ts_micros", "event_id", "delta")
+    // reference: the in-row array-accumulator fold the declared
+    // etl_clamped_ledger key runs (same expression text)
+    val fold = df.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("sort_array(collect_list(struct(ts_micros, event_id, delta)))")
+          .as("ledger"))
+      .select(col("user_id"), col("n_events"),
+        expr(
+          """aggregate(ledger,
+            |  array(CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+            |  (a, x) -> array(
+            |    greatest(CAST(0 AS BIGINT), element_at(a, 1) + x.delta),
+            |    element_at(a, 2) + CASE WHEN element_at(a, 1) + x.delta < 0
+            |                            THEN CAST(1 AS BIGINT)
+            |                            ELSE CAST(0 AS BIGINT) END))"""
+            .stripMargin).as("fin"))
+      .select(col("user_id"), col("n_events"),
+        expr("element_at(fin, 1)").as("balance_cents"),
+        expr("element_at(fin, 2)").as("n_clamps"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val scan = operators.Etl.clampedLedgerScan(df)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(scan == fold, "scan twin must equal the in-row fold")
+    assert(fold.values.exists(_._3 > 0), "fixture must exercise the clamp")
+  }
 }
