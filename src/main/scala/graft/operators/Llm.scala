@@ -2798,6 +2798,129 @@ object Llm {
     // queries (recall is an estimate either way) — the structure is
     // unchanged. Both sides rank on ROUNDED sims with n_id tie-breaks,
     // so the top-5 cuts agree cross-engine.
+    // Retrieval-eval MRR + nDCG (round 8, cont. 4): llm_ann_recall says
+    // how MUCH of the exact top-5 the LSH index returns; this says how
+    // EARLY — reciprocal rank of the first relevant hit and binary
+    // nDCG@10 over the approximate ranking (relevance = membership in
+    // the exact top-5), the two ranking-quality numbers a RAG/retrieval
+    // pipeline reports alongside recall. Same audited plans on both
+    // sides (bucketed LSH candidates, broadcast query side, exact
+    // brute-force ground truth); rank positions are integers; the only
+    // floats are 1/rank and 1/log2(rank+1), folded in PINNED rank order
+    // (log2 is ≤1-ulp across libm builds — the psi/ln precedent — and
+    // the micro-floor display absorbs it).
+    Q("llm_ann_mrr",
+      s"""WITH sig AS (
+         |  $lshSigSql
+         |), banded AS (
+         |  ${lshBandedSql(2, 8)}
+         |), cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+         |  FROM banded q JOIN banded n
+         |    ON q.band = n.band AND q.band_key = n.band_key
+         |  WHERE q.vec_id < 20 AND n.vec_id <> q.vec_id
+         |), rr AS (
+         |  SELECT q_id, n_id,
+         |         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                                      CAST(ne.embedding AS DOUBLE[])), 6) AS sim
+         |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.q_id
+         |            JOIN embeddings ne ON ne.vec_id = cand.n_id
+         |), lsh AS (
+         |  SELECT q_id, n_id, rn FROM (
+         |    SELECT q_id, n_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY sim DESC, n_id) AS rn
+         |    FROM rr) WHERE rn <= 10
+         |), ex AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                                        CAST(c.embedding AS DOUBLE[])), 6)
+         |             DESC, c.vec_id) AS rn
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 20
+         |), exact AS (
+         |  SELECT q_id, n_id FROM ex WHERE rn <= 5
+         |), hits AS (
+         |  SELECT l.q_id, CAST(l.rn AS BIGINT) AS rn
+         |  FROM lsh l JOIN exact e ON l.q_id = e.q_id AND l.n_id = e.n_id
+         |), per AS (
+         |  SELECT q.q_id,
+         |         coalesce(min(h.rn), CAST(0 AS BIGINT)) AS first_rel_rank,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |             coalesce(list(CAST(1 AS DOUBLE)
+         |                           / log2(CAST(h.rn + 1 AS DOUBLE))
+         |                           ORDER BY h.rn)
+         |                        FILTER (WHERE h.rn IS NOT NULL),
+         |                      CAST([] AS DOUBLE[]))),
+         |           (a, x) -> a + x) AS dcg
+         |  FROM (SELECT DISTINCT q_id FROM exact) q
+         |       LEFT JOIN hits h ON h.q_id = q.q_id
+         |  GROUP BY q.q_id
+         |), idcg AS (
+         |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |             list_transform(range(1, 6),
+         |               i -> CAST(1 AS DOUBLE) / log2(CAST(i + 1 AS DOUBLE)))),
+         |           (a, x) -> a + x) AS v
+         |)
+         |SELECT q_id, first_rel_rank,
+         |       CASE WHEN first_rel_rank = 0 THEN 0.0
+         |            ELSE floor(1000000.0 / first_rel_rank) / 1000000 END
+         |         AS reciprocal_rank,
+         |       floor(dcg / v * 1000000) / 1000000 AS ndcg10
+         |FROM per CROSS JOIN idcg ORDER BY q_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      val q = emb(s, d).where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = emb(s, d).select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .repartition(probeFanout(s))
+      val exact = c.join(broadcast(q), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          round(cosineSim(col("q_emb"), col("n_emb")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5).select("q_id", "n_id")
+        .persist() // feeds the hit join AND the query-id spine
+      val banded = lshBanded(lshSig(emb(s, d)), 2, 8)
+        .repartition(col("band"), col("band_key")).persist()
+      val cand = banded.where(col("vec_id") < 20).select(
+          col("vec_id").as("q_id"), col("band"), col("band_key"))
+        .join(banded.select(col("vec_id").as("n_id"), col("band"),
+          col("band_key")), Seq("band", "band_key"))
+        .where(col("n_id") =!= col("q_id"))
+        .select("q_id", "n_id")
+        .distinct()
+      val qe = emb(s, d).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val ne = emb(s, d).select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val lsh = cand
+        .join(broadcast(qe), Seq("q_id"))
+        .join(ne, Seq("n_id"))
+        .select(col("q_id"), col("n_id"),
+          round(cosineSim(col("q_emb"), col("n_emb")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10)
+        .select(col("q_id"), col("n_id"), col("rn").cast("long").as("rn"))
+      val hits = lsh.join(exact, Seq("q_id", "n_id")).select("q_id", "rn")
+      val per = exact.select("q_id").distinct()
+        .join(hits, Seq("q_id"), "left")
+        .groupBy("q_id")
+        .agg(coalesce(min(col("rn")), lit(0L)).as("first_rel_rank"),
+          expr(
+            """aggregate(array_sort(collect_list(rn)), CAST(0 AS DOUBLE),
+              |  (a, r) -> a + CAST(1 AS DOUBLE)
+              |                  / log2(CAST(r + 1 AS DOUBLE)))"""
+              .stripMargin).as("dcg"))
+      val idcg = expr(
+        """aggregate(sequence(1, 5), CAST(0 AS DOUBLE),
+          |  (a, i) -> a + CAST(1 AS DOUBLE) / log2(CAST(i + 1 AS DOUBLE)))"""
+          .stripMargin)
+      per.select(col("q_id"), col("first_rel_rank"),
+          when(col("first_rel_rank") === 0, lit(0.0))
+            .otherwise(floor(lit(1000000.0) / col("first_rel_rank")) / 1000000)
+            .as("reciprocal_rank"),
+          (floor(col("dcg") / idcg * 1000000) / 1000000).as("ndcg10"))
+        .orderBy("q_id")
+    },
+
     Q("llm_ann_recall",
       s"""WITH sig AS (
          |  $lshSigSql
