@@ -1481,6 +1481,63 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Theil-Sen robust trend slope (round 8, cont. 4): per event_type,
+    // the MEDIAN of all pairwise day-over-day slopes of the daily count
+    // series — the robust-regression complement of agg_regression (one
+    // outlier day drags OLS; the pairwise median shrugs) and the
+    // magnitude partner of agg_trend_mk (MK says IF there's a monotone
+    // trend, Theil-Sen says HOW STEEP). All 435 pairs enumerate in-row
+    // over the bounded 30-day list (O(days²) — report frame, never the
+    // fact); slopes are single double divisions of exact integer deltas
+    // (identical IEEE both engines), the median is a quantile_disc-style
+    // element pick from the sorted slope list (value-based double sort —
+    // no engine order anywhere), micro-floored for display.
+    Q("agg_theil_sen",
+      """WITH d AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type,
+        |         list(struct_pack(d := d, n := n) ORDER BY d) AS l
+        |  FROM d GROUP BY event_type
+        |), s AS (
+        |  SELECT event_type, CAST(len(l) AS BIGINT) AS n_days,
+        |         flatten(list_transform(l, (a, i) ->
+        |           list_transform(l[i + 1 :], b ->
+        |             (CAST(b.n AS DOUBLE) - CAST(a.n AS DOUBLE))
+        |               / (CAST(b.d AS DOUBLE) - CAST(a.d AS DOUBLE)))))
+        |           AS slopes
+        |  FROM g
+        |)
+        |SELECT event_type, n_days,
+        |       CAST(len(slopes) AS BIGINT) AS n_pairs,
+        |       floor(list_sort(slopes)[CAST((len(slopes) + 1) // 2 AS BIGINT)]
+        |             * 1000000) / 1000000 AS slope_per_day
+        |FROM s ORDER BY event_type""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_date(CAST(ts AS DATE))").cast("long").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(expr("sort_array(collect_list(struct(d, n)))").as("l"))
+        .select(col("event_type"),
+          size(col("l")).cast("long").as("n_days"),
+          expr(
+            """flatten(transform(l, (a, i) ->
+              |  transform(slice(l, i + 2, size(l)), b ->
+              |    (CAST(b.n AS DOUBLE) - CAST(a.n AS DOUBLE))
+              |      / (CAST(b.d AS DOUBLE) - CAST(a.d AS DOUBLE)))))"""
+              .stripMargin).as("slopes"))
+        .select(col("event_type"), col("n_days"),
+          size(col("slopes")).cast("long").as("n_pairs"),
+          (floor(expr(
+            "element_at(array_sort(slopes), CAST((size(slopes) + 1) div 2 AS INT))")
+            * 1000000) / 1000000).as("slope_per_day"))
+        .orderBy("event_type")
+    },
+
     // Spearman rank correlation (round 8, cont. 4): per event_type, do
     // days with more EVENTS also take more REVENUE — rank correlation
     // over the daily series, the outlier-robust complement of

@@ -1760,6 +1760,49 @@ object Llm {
     // token is covered; chunk_tokens < 64 only on the tail). The oracle
     // replays the same starts with range(0, n, 48) + 1-based list
     // slicing — llm_tokenize_tf's split parity.
+    // Prefix-cache savings (round 8, cont. 4): group documents by their
+    // first-32-token prefix and report, per duplicate-prefix group, the
+    // tokens a prefix-caching inference/training stack saves —
+    // (n_docs − 1) · prefix_tokens. Templated corpora (boilerplate
+    // headers, shared system prompts, scraped mirrors) make this the ROI
+    // readout that decides whether prefix caching or prefix-dedup is
+    // worth running at all; a curation pipeline runs it BEFORE packing.
+    // Plan: map-side prefix hash + ONE groupBy shuffle on the hash, then
+    // top-k via TakeOrderedAndProject; groups sharing an exact prefix
+    // string necessarily share token count, so max(ptok) is a constant
+    // pick, not a choice.
+    Q("llm_prefix_cache_savings",
+      """WITH p AS (
+        |  SELECT md5(array_to_string(string_split(text, ' ')[1 : 32], ' '))
+        |           AS prefix_hash,
+        |         CAST(least(len(string_split(text, ' ')), 32) AS BIGINT)
+        |           AS pt
+        |  FROM documents
+        |), g AS (
+        |  SELECT prefix_hash, CAST(count(*) AS BIGINT) AS n_docs,
+        |         max(pt) AS prefix_tokens
+        |  FROM p GROUP BY prefix_hash
+        |)
+        |SELECT prefix_hash, n_docs, prefix_tokens,
+        |       (n_docs - 1) * prefix_tokens AS saved_tokens
+        |FROM g WHERE n_docs >= 2
+        |ORDER BY saved_tokens DESC, prefix_hash LIMIT 20""".stripMargin) {
+      (s, d) =>
+        docs(s, d)
+          .select(
+            md5(concat_ws(" ", slice(split(col("text"), " "), 1, 32)))
+              .as("prefix_hash"),
+            least(size(split(col("text"), " ")), lit(32)).cast("long")
+              .as("pt"))
+          .groupBy("prefix_hash")
+          .agg(count(lit(1)).as("n_docs"), max(col("pt")).as("prefix_tokens"))
+          .where(col("n_docs") >= 2)
+          .select(col("prefix_hash"), col("n_docs"), col("prefix_tokens"),
+            ((col("n_docs") - 1) * col("prefix_tokens")).as("saved_tokens"))
+          .orderBy(col("saved_tokens").desc, col("prefix_hash"))
+          .limit(20)
+    },
+
     // Sentence-budget chunking report (round 8, cont. 4): split each doc
     // into SENTENCES ('[.!?] +' — RE2/Java-agreeing, no lookbehind),
     // greedy-pack consecutive sentences into chunks of ≤ 40 tokens, and
