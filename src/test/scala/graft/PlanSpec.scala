@@ -924,4 +924,38 @@ class PlanSpec extends AnyFunSuite {
       s"undocumented O(1)-partition windows over fact-backed input:\n" +
         violations.mkString("\n"))
   }
+
+  test("llm_sample_weighted: global weighted draw fuses to " +
+    "TakeOrderedAndProject (per-partition heaps, no global sort)") {
+    val p = plan("llm_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), s"must fuse to top-k:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a range exchange means a global sort crept in:\n$p")
+  }
+
+  test("etl_clamped_ledger: one user exchange, top-20 fuses to " +
+    "TakeOrderedAndProject") {
+    val p = plan("etl_clamped_ledger")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"must fuse to top-k:\n$p")
+  }
+
+  test("dq_ks_test / agg_mann_whitney / agg_spearman_daily / " +
+    "agg_theil_sen: in-row folds plan ZERO window operators") {
+    for (k <- Seq("dq_ks_test", "agg_mann_whitney", "agg_spearman_daily",
+        "agg_theil_sen")) {
+      val p = plan(k)
+      assert(!p.contains("Window"), s"$k must not plan a Window:\n$p")
+    }
+  }
+
+  test("graph_hits / graph_pagerank_directed: no cartesian beyond the " +
+    "broadcast 1-row scalars, no range exchange") {
+    for (k <- Seq("graph_hits", "graph_pagerank_directed")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"),
+        s"$k must not plan a CartesianProduct:\n$p")
+    }
+  }
 }
