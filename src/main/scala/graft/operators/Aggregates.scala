@@ -1481,6 +1481,66 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Candidate-key audit (round 8, cont. 4): exact uniqueness ratio of
+    // nested lineitem column prefixes — the data-contract check that
+    // answers "can I use this tuple as a key / sort tie-break". Born of
+    // a real incident: this harness's (l_orderkey, l_linenumber) is NOT
+    // unique (FIXTURES.md trap note) and win_rank_global_fenced's
+    // row_number tie-break silently depended on it until the sf0.1 hash
+    // caught it — this key turns that one-off discovery into a standing
+    // audit. Plan: ONE scan, five exact count-distincts in one aggregate
+    // (Expand-based — at 100 TB swap any individual combo to
+    // approx_count_distinct or the HLL sketch family when exactness
+    // isn't contractual); the report unpivots map-side.
+    Q("dq_candidate_keys",
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d1,
+        |         CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+        |           AS d2,
+        |         CAST(count(DISTINCT (l_orderkey, l_linenumber, l_partkey))
+        |              AS BIGINT) AS d3,
+        |         CAST(count(DISTINCT (l_orderkey, l_linenumber, l_partkey,
+        |                              l_suppkey)) AS BIGINT) AS d4,
+        |         CAST(count(DISTINCT (l_orderkey, l_linenumber, l_partkey,
+        |                              l_suppkey, l_shipdate)) AS BIGINT) AS d5
+        |  FROM lineitem
+        |), u AS (
+        |  SELECT n, unnest(['1_orderkey', '2_+linenumber', '3_+partkey',
+        |                    '4_+suppkey', '5_+shipdate']) AS combo,
+        |         unnest([d1, d2, d3, d4, d5]) AS n_distinct
+        |  FROM a
+        |)
+        |SELECT combo, n AS n_rows, n_distinct,
+        |       floor(CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE)
+        |             * 1000000) / 1000000 AS uniqueness,
+        |       n_distinct = n AS is_key
+        |FROM u ORDER BY combo""".stripMargin) { (s, d) =>
+      val a = t(s, d, "lineitem")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("d1"),
+          countDistinct(col("l_orderkey"), col("l_linenumber")).as("d2"),
+          countDistinct(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey")).as("d3"),
+          countDistinct(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")).as("d4"),
+          countDistinct(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"), col("l_shipdate")).as("d5"))
+      a.select(col("n"), explode(array(
+          struct(lit("1_orderkey").as("combo"), col("d1").as("n_distinct")),
+          struct(lit("2_+linenumber").as("combo"), col("d2").as("n_distinct")),
+          struct(lit("3_+partkey").as("combo"), col("d3").as("n_distinct")),
+          struct(lit("4_+suppkey").as("combo"), col("d4").as("n_distinct")),
+          struct(lit("5_+shipdate").as("combo"), col("d5").as("n_distinct"))))
+          .as("e"))
+        .select(col("e.combo").as("combo"), col("n").as("n_rows"),
+          col("e.n_distinct").as("n_distinct"),
+          (floor(col("e.n_distinct").cast("double") / col("n").cast("double")
+            * 1000000) / 1000000).as("uniqueness"),
+          (col("e.n_distinct") === col("n")).as("is_key"))
+        .orderBy("combo")
+    },
+
     // Theil-Sen robust trend slope (round 8, cont. 4): per event_type,
     // the MEDIAN of all pairwise day-over-day slopes of the daily count
     // series — the robust-regression complement of agg_regression (one
