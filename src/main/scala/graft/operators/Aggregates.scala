@@ -1481,6 +1481,102 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Wilcoxon signed-rank test (round 8, cont. 4): per event_type, pair
+    // each of the month's first 15 days with its +16-day partner and ask
+    // whether the PAIRED differences shift — the paired complement of
+    // agg_mann_whitney (unpaired): pairing by calendar slot removes the
+    // day-of-month trend variance the rank-sum test has to average over.
+    // Exact integers throughout (the family doctrine): zero differences
+    // drop (standard), |d| midranks as 2×rank via in-row filters over
+    // the ≤15-element list (the spearman idiom), 2W⁺ = Σ 2r over
+    // positive d, tie term Σ(t³−t) = Σ_elements(c²−1) exactly; the
+    // normal z takes exact longs into identical IEEE order at the end.
+    Q("agg_wilcoxon_signed",
+      """WITH d AS (
+        |  SELECT event_type, CAST(day(ts) AS BIGINT) AS dom,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT a.event_type, a.dom,
+        |         b.n - a.n AS diff
+        |  FROM d a JOIN d b
+        |    ON a.event_type = b.event_type AND b.dom = a.dom + 16
+        |  WHERE a.dom <= 15 AND a.n <> b.n
+        |), g AS (
+        |  SELECT event_type,
+        |         list(struct_pack(ad := abs(diff), pos := diff > 0)
+        |              ORDER BY abs(diff), diff, dom) AS l
+        |  FROM p GROUP BY event_type
+        |), r AS (
+        |  SELECT event_type, CAST(len(l) AS BIGINT) AS n_nz,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(l, e -> CASE WHEN e.pos
+        |               THEN CAST(2 * len(list_filter(l, z -> z.ad < e.ad))
+        |                         + len(list_filter(l, z -> z.ad = e.ad)) + 1
+        |                         AS BIGINT)
+        |               ELSE CAST(0 AS BIGINT) END)),
+        |           (a, x) -> a + x) AS two_w_plus,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(l, e ->
+        |               CAST(len(list_filter(l, z -> z.ad = e.ad))
+        |                    * len(list_filter(l, z -> z.ad = e.ad)) - 1
+        |                    AS BIGINT))),
+        |           (a, x) -> a + x) AS tie_t
+        |  FROM g
+        |)
+        |SELECT event_type, n_nz, two_w_plus,
+        |       floor(CAST(two_w_plus - n_nz * (n_nz + 1) // 2 AS DOUBLE)
+        |             / (2 * sqrt(CAST(n_nz AS DOUBLE)
+        |                 * CAST(n_nz + 1 AS DOUBLE)
+        |                 * CAST(2 * n_nz + 1 AS DOUBLE) / 24
+        |                 - CAST(tie_t AS DOUBLE) / 48)) * 1000000)
+        |         / 1000000 AS z
+        |FROM r ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), dayofmonth(col("ts")).cast("long").as("dom"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // bounded (type × 31) frame feeds both pair sides
+      val pairs = daily.as("a")
+        .join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("b.dom") === col("a.dom") + 16)
+        .where(col("a.dom") <= 15 && col("a.n") =!= col("b.n"))
+        .select(col("a.event_type").as("event_type"), col("a.dom").as("dom"),
+          (col("b.n") - col("a.n")).as("diff"))
+      pairs.groupBy("event_type")
+        .agg(expr(
+          """sort_array(collect_list(
+            |  struct(abs(diff) AS ad, diff AS df, dom)))""".stripMargin)
+          .as("l0"))
+        .select(col("event_type"),
+          expr("transform(l0, e -> struct(e.ad AS ad, e.df > 0 AS pos))")
+            .as("l"))
+        .select(col("event_type"), size(col("l")).cast("long").as("n_nz"),
+          expr(
+            """aggregate(transform(l, e -> CASE WHEN e.pos
+              |    THEN CAST(2 * size(filter(l, z -> z.ad < e.ad))
+              |              + size(filter(l, z -> z.ad = e.ad)) + 1
+              |              AS BIGINT)
+              |    ELSE CAST(0 AS BIGINT) END),
+              |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+            .as("two_w_plus"),
+          expr(
+            """aggregate(transform(l, e ->
+              |    CAST(size(filter(l, z -> z.ad = e.ad))
+              |         * size(filter(l, z -> z.ad = e.ad)) - 1 AS BIGINT)),
+              |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+            .as("tie_t"))
+        .select(col("event_type"), col("n_nz"), col("two_w_plus"),
+          (floor((col("two_w_plus")
+            - expr("(n_nz * (n_nz + 1)) div 2")).cast("double")
+            / (lit(2) * sqrt(col("n_nz").cast("double")
+              * (col("n_nz") + 1).cast("double")
+              * (lit(2) * col("n_nz") + 1).cast("double") / 24
+              - col("tie_t").cast("double") / 48)) * 1000000) / 1000000)
+            .as("z"))
+        .orderBy("event_type")
+    },
+
     // Candidate-key audit (round 8, cont. 4): exact uniqueness ratio of
     // nested lineitem column prefixes — the data-contract check that
     // answers "can I use this tuple as a key / sort tie-break". Born of

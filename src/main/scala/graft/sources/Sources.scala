@@ -25,6 +25,17 @@ object Sources {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** Raw text ingest (round 8): one row per line (`value` STRING) —
+    * the corpus-ingest entry for line-delimited raw dumps feeding
+    * llm_text_normalize and friends; `whole = true` reads one row per
+    * FILE (document-per-file layouts) — the text twin of the binaryFile
+    * source. Splittable per-line mode scales with executors; whole-file
+    * mode parallelizes across files (same posture as src_binary).
+    */
+  def readText(spark: SparkSession, path: String,
+      whole: Boolean = false): DataFrame =
+    spark.read.option("wholetext", whole.toString).text(path)
+
   /** Partition-parallel JDBC read (PostgreSQL warehouse interop, R1/R2).
     * `partitionColumn` splits the table into `numPartitions` range-bounded
     * queries so the read scales with executors instead of a single cursor.

@@ -37,6 +37,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.agg(sum("score")).as[Double].head() == 4.0)
   }
 
+  test("text ingest: per-line and whole-file modes (r8)") {
+    val d = Files.createTempDirectory("graft_txt").toString
+    Files.write(java.nio.file.Paths.get(s"$d/a.txt"),
+      "line one\nline two\n".getBytes)
+    Files.write(java.nio.file.Paths.get(s"$d/b.txt"),
+      "doc two body\n".getBytes)
+    val lines = Sources.readText(spark, d)
+    assert(lines.columns.toSeq == Seq("value"))
+    assert(lines.count() == 3)
+    val docs = Sources.readText(spark, d, whole = true)
+    assert(docs.count() == 2) // one row per FILE
+    val bodies = docs.collect().map(_.getString(0)).sorted
+    assert(bodies.exists(_.contains("line one\nline two")),
+      s"whole-file mode must keep newlines: ${bodies.toSeq}")
+  }
+
   test("partitioned sink lays out by event_date and prunes on read") {
     val d = Files.createTempDirectory("graft_lake").toString
     val df = Seq(
