@@ -1760,6 +1760,68 @@ object Llm {
     // token is covered; chunk_tokens < 64 only on the tail). The oracle
     // replays the same starts with range(0, n, 48) + 1-based list
     // slicing — llm_tokenize_tf's split parity.
+    // Largest-remainder quota allocation (round 8, cont. 4 — Hamilton's
+    // method): split a fixed sample budget (1000 slots) across sources
+    // proportionally to their doc counts, exactly — base_s = ⌊c_s·B/N⌋,
+    // then the B − Σbase leftover slots go to the largest REMAINDERS
+    // (c_s·B − base_s·N, an exact integer numerator — no fraction ever
+    // materializes). This is the missing piece between llm_sample_mix
+    // (rates) and llm_sample_cap_per_source (hard caps): a quota that
+    // sums EXACTLY to the budget, the number a sampling job is actually
+    // given. Integer arithmetic end to end; the remainder ranking is a
+    // count-ahead self-join over the bounded source frame (no window at
+    // all), ties broken by source name.
+    Q("llm_quota_allocate",
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source
+        |), t AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c
+        |), b AS (
+        |  SELECT source, n_docs,
+        |         (n_docs * 1000) // total AS base,
+        |         n_docs * 1000 - ((n_docs * 1000) // total) * total AS rem,
+        |         total
+        |  FROM c CROSS JOIN t
+        |), l AS (
+        |  SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM b
+        |), r AS (
+        |  SELECT x.source, x.n_docs, x.base, x.rem,
+        |         CAST(count(y.source) AS BIGINT) AS n_ahead
+        |  FROM b x LEFT JOIN b y
+        |    ON y.rem > x.rem OR (y.rem = x.rem AND y.source < x.source)
+        |  GROUP BY x.source, x.n_docs, x.base, x.rem
+        |)
+        |SELECT source, n_docs, base, rem,
+        |       CASE WHEN n_ahead < leftover THEN base + 1 ELSE base END
+        |         AS quota
+        |FROM r CROSS JOIN l ORDER BY source""".stripMargin) { (s, d) =>
+      val c = docs(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .persist() // bounded source frame feeds totals + both rank sides
+      val t = c.agg(sum(col("n_docs")).as("total"))
+      val b = c.crossJoin(broadcast(t))
+        .select(col("source"), col("n_docs"),
+          expr("(n_docs * 1000) div total").as("base"),
+          expr("n_docs * 1000 - ((n_docs * 1000) div total) * total")
+            .as("rem"))
+        .persist()
+      val lo = b.agg((lit(1000L) - sum(col("base"))).as("leftover"))
+      val ahead = b.as("x")
+        .join(b.as("y"),
+          col("y.rem") > col("x.rem") ||
+            (col("y.rem") === col("x.rem") &&
+              col("y.source") < col("x.source")), "left")
+        .groupBy(col("x.source").as("source"), col("x.n_docs").as("n_docs"),
+          col("x.base").as("base"), col("x.rem").as("rem"))
+        .agg(count(col("y.source")).as("n_ahead"))
+      ahead.crossJoin(broadcast(lo))
+        .select(col("source"), col("n_docs"), col("base"), col("rem"),
+          when(col("n_ahead") < col("leftover"), col("base") + 1)
+            .otherwise(col("base")).as("quota"))
+        .orderBy("source")
+    },
+
     // Prefix-cache savings (round 8, cont. 4): group documents by their
     // first-32-token prefix and report, per duplicate-prefix group, the
     // tokens a prefix-caching inference/training stack saves —

@@ -371,6 +371,91 @@ object Relational {
     // merge_asof direction='forward'). Same native operator, forward
     // flag: the merge PEEKS instead of consuming (the matching right
     // row may serve later left rows too), thresholds still only grow.
+    // Nearest-event as-of (round 8, cont. 4): for each signup, the
+    // purchase closest in time in EITHER direction — the remaining as-of
+    // flavor (backward = last-before, forward = first-after, tolerance =
+    // banded backward; sensor/trade alignment wants NEAREST). Composed
+    // as one backward + one forward pass through the native
+    // AsOfJoinExec (each side keeps its own audited tie rule: backward
+    // latest-ts/highest-id, forward earliest-ts/lowest-id) + a map-side
+    // pick on exact microsecond gaps (integer compare; equal gaps prefer
+    // the backward side — the trade-alignment convention). The oracle
+    // replays the SAME two-sided compose, so the pick semantics are
+    // hash-verified, not just plausible. Scale shape = 2× the as-of cost
+    // (both passes shuffle on the user key; a cluster run co-partitions
+    // both probes off one exchange).
+    Q("join_asof_nearest",
+      """WITH sg AS (
+        |  SELECT user_id, ts AS s_ts, event_id AS s_id FROM events
+        |  WHERE event_type = 'signup'
+        |), p AS (
+        |  SELECT user_id AS p_user, ts AS p_ts, event_id AS p_id FROM events
+        |  WHERE event_type = 'purchase'
+        |), bwd AS (
+        |  SELECT user_id, s_id, s_ts, p_id AS b_id, p_ts AS b_ts FROM (
+        |    SELECT sg.user_id, sg.s_id, sg.s_ts, p.p_id, p.p_ts,
+        |           row_number() OVER (PARTITION BY sg.s_id
+        |               ORDER BY p_ts DESC NULLS LAST, p_id DESC NULLS LAST)
+        |             AS rn
+        |    FROM sg LEFT JOIN p ON p_user = sg.user_id AND p_ts <= s_ts)
+        |  WHERE rn = 1
+        |), fwd AS (
+        |  SELECT s_id, p_id AS f_id, p_ts AS f_ts FROM (
+        |    SELECT sg.s_id, p.p_id, p.p_ts,
+        |           row_number() OVER (PARTITION BY sg.s_id
+        |               ORDER BY p_ts ASC NULLS LAST, p_id ASC NULLS LAST)
+        |             AS rn
+        |    FROM sg LEFT JOIN p ON p_user = sg.user_id AND p_ts >= s_ts)
+        |  WHERE rn = 1
+        |), j AS (
+        |  SELECT b.user_id, b.s_id, b.s_ts, b.b_id, b.b_ts, f.f_id, f.f_ts,
+        |         epoch_us(b.s_ts) - epoch_us(b.b_ts) AS bgap,
+        |         epoch_us(f.f_ts) - epoch_us(b.s_ts) AS fgap
+        |  FROM bwd b JOIN fwd f USING (s_id)
+        |)
+        |SELECT user_id, s_id, s_ts,
+        |       CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR bgap <= fgap)
+        |            THEN b_id ELSE f_id END AS n_id,
+        |       CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR bgap <= fgap)
+        |            THEN b_ts ELSE f_ts END AS n_ts,
+        |       CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+        |            WHEN b_id IS NOT NULL AND (f_id IS NULL OR bgap <= fgap)
+        |            THEN 'b' ELSE 'f' END AS dir,
+        |       CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR bgap <= fgap)
+        |            THEN bgap ELSE fgap END AS gap_us
+        |FROM j ORDER BY s_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val sg = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("s_ts"),
+          col("event_id").as("s_id"))
+        .persist() // probe side of BOTH native as-of passes
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+        .persist()
+      val bwd = org.apache.spark.sql.graft.AsOfJoinPlan
+        .asof(sg, p, "user_id", "p_user", "s_ts", "p_ts",
+          rightTie = Seq("p_id"), forward = false)
+        .select(col("user_id"), col("s_id"), col("s_ts"),
+          col("p_id").as("b_id"), col("p_ts").as("b_ts"))
+      val fwd = org.apache.spark.sql.graft.AsOfJoinPlan
+        .asof(sg, p, "user_id", "p_user", "s_ts", "p_ts",
+          rightTie = Seq("p_id"), forward = true)
+        .select(col("s_id"), col("p_id").as("f_id"), col("p_ts").as("f_ts"))
+      val bgap = expr("unix_micros(s_ts) - unix_micros(b_ts)")
+      val fgap = expr("unix_micros(f_ts) - unix_micros(s_ts)")
+      val takeB = col("b_id").isNotNull &&
+        (col("f_id").isNull || bgap <= fgap)
+      bwd.join(fwd, Seq("s_id"))
+        .select(col("user_id"), col("s_id"), col("s_ts"),
+          when(takeB, col("b_id")).otherwise(col("f_id")).as("n_id"),
+          when(takeB, col("b_ts")).otherwise(col("f_ts")).as("n_ts"),
+          when(col("b_id").isNull && col("f_id").isNull, lit(null))
+            .when(takeB, lit("b")).otherwise(lit("f")).as("dir"),
+          when(takeB, bgap).otherwise(fgap).as("gap_us"))
+        .orderBy("s_id")
+    },
+
     Q("join_asof_forward",
       """WITH sg AS (
         |  SELECT user_id, ts AS s_ts, event_id AS s_id FROM events
