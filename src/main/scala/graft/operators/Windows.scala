@@ -64,6 +64,72 @@ object Windows {
           "l_shipdate")
     },
 
+    // Rolling 7-day Pearson correlation (round 8, cont. 4): per
+    // event_type, the trailing-week correlation between daily VOLUME and
+    // daily REVENUE — the time-varying readout agg_spearman_daily
+    // summarizes into one number (a coupling that holds all month vs one
+    // that decays mid-month look identical in the scalar). All six
+    // rolling moments (c, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs over
+    // integer cents (revenue² fits to ~1e9 cents/day; past that the
+    // overflow-proof sibling is the rank-based spearman — its moments
+    // are bounded by the window LENGTH, not the values); the correlation
+    // is assembled from exact longs with doubles only in the final
+    // sqrt/divide, identical IEEE order. Windows partition by type over
+    // the BOUNDED daily frame (31 rows/type — report scale, the fact is
+    // reduced by the groupBy first).
+    Q("win_rolling_corr",
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS x,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, day,
+        |         CAST(count(*) OVER w AS BIGINT) AS c,
+        |         CAST(sum(x) OVER w AS BIGINT) AS sx,
+        |         CAST(sum(y) OVER w AS BIGINT) AS sy,
+        |         CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) OVER w AS BIGINT) AS syy
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |       CASE WHEN c * sxx - sx * sx = 0 OR c * syy - sy * sy = 0
+        |            THEN NULL
+        |            ELSE floor(CAST(c * sxy - sx * sy AS DOUBLE)
+        |                  / sqrt(CAST(c * sxx - sx * sx AS DOUBLE)
+        |                         * CAST(c * syy - sy * sy AS DOUBLE))
+        |                  * 1000000) / 1000000 END AS corr7
+        |FROM r WHERE c = 7
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val daily = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"),
+          sum(round(col("value") * 100).cast("long")).as("y"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+      val r = daily.select(col("event_type"), col("day"),
+        count(lit(1)).over(w).as("c"),
+        sum(col("x")).over(w).as("sx"),
+        sum(col("y")).over(w).as("sy"),
+        sum(col("x") * col("y")).over(w).as("sxy"),
+        sum(col("x") * col("x")).over(w).as("sxx"),
+        sum(col("y") * col("y")).over(w).as("syy"))
+      val vx = col("c") * col("sxx") - col("sx") * col("sx")
+      val vy = col("c") * col("syy") - col("sy") * col("sy")
+      r.where(col("c") === 7)
+        .select(col("event_type"), col("day"),
+          when(vx === 0 || vy === 0, lit(null))
+            .otherwise(floor(
+              (col("c") * col("sxy") - col("sx") * col("sy")).cast("double")
+                / sqrt(vx.cast("double") * vy.cast("double")) * 1000000)
+              / 1000000).as("corr7"))
+        .orderBy("event_type", "day")
+    },
+
     Q("win_row_number",
       """SELECT event_id, user_id,
         |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
