@@ -309,6 +309,54 @@ object ScaleSmoke {
           .asof(p, v, "user_id", "v_user", "p_ts", "v_ts", Seq("v_id"))
           .count()
       }
+      // nearest = backward + forward native passes + a map-side pick
+      // (the join_asof_nearest compose) — must cost ≈ 2× one pass
+      time("asof nearest 20Mx20M") {
+        val bwd = org.apache.spark.sql.graft.AsOfJoinPlan
+          .asof(p, v, "user_id", "v_user", "p_ts", "v_ts", Seq("v_id"))
+          .select(col("p_id"), col("v_id").as("b_id"), col("v_ts").as("b_ts"),
+            col("p_ts"))
+        val fwd = org.apache.spark.sql.graft.AsOfJoinPlan
+          .asof(p, v, "user_id", "v_user", "p_ts", "v_ts", Seq("v_id"),
+            forward = true)
+          .select(col("p_id"), col("v_id").as("f_id"), col("v_ts").as("f_ts"))
+        val bgap = expr("unix_micros(p_ts) - unix_micros(b_ts)")
+        val fgap = expr("unix_micros(f_ts) - unix_micros(p_ts)")
+        bwd.join(fwd, Seq("p_id"))
+          .select(when(col("b_id").isNotNull &&
+            (col("f_id").isNull || bgap <= fgap), col("b_id"))
+            .otherwise(col("f_id")).as("n_id"))
+          .where(col("n_id").isNotNull).count()
+      }
+    }
+
+    // The drift-test family at 60M (round 8, cont. 4): KS / Mann-Whitney
+    // reduce the fact to the bounded (type, value-tick) frame in ONE
+    // map-side-combinable shuffle, then fold in-row — the whole point of
+    // the integer-cross-multiplication design is that 100× the data only
+    // grows the first groupBy.
+    time("ks + mann-whitney 60M") {
+      val b = ev
+        .select(col("event_type"),
+          col("value"),
+          when(col("event_id") % 2 === 0, 1L).otherwise(0L).as("is_ref"))
+        .groupBy("event_type", "value")
+        .agg(sum(col("is_ref")).as("c1"),
+          sum(lit(1L) - col("is_ref")).as("c2"))
+      val g = b.groupBy("event_type")
+        .agg(sum("c1").as("n1"), sum("c2").as("n2"),
+          expr("sort_array(collect_list(struct(value, c1, c2)))").as("bins"))
+        .select(col("event_type"), col("n1"), col("n2"),
+          expr(
+            """aggregate(bins,
+              |  named_struct('m', CAST(0 AS BIGINT), 'a', CAST(0 AS BIGINT),
+              |               'b', CAST(0 AS BIGINT)),
+              |  (a, x) -> named_struct(
+              |    'm', greatest(a.m, abs((a.a + x.c1) * n2 - (a.b + x.c2) * n1)),
+              |    'a', a.a + x.c1, 'b', a.b + x.c2)).m""".stripMargin)
+            .as("d_num"))
+      g.agg(sum(col("d_num"))).head()
+      5L
     }
 
     time("exact distinct 60M") {

@@ -1726,6 +1726,67 @@ object Etl {
     // FLOOR-scaled. Plan: the fact-sized work is the (type, day)
     // groupBy; the lag window and the 5-row score reduce run over the
     // O(types × days) frame — report-scale at any SF.
+    // Price-volume decomposition (round 8, cont. 4 — Laspeyres): split
+    // each event_type's revenue change between the two half-months into
+    // a VOLUME effect ((Δvolume)·first-half price) and a PRICE effect
+    // (the remainder) — the first question finance asks of any revenue
+    // delta ("did we sell more, or at higher value?"), and the
+    // dashboard twin of etl_revenue_waterfall's within-month identity.
+    // Counts and cent-revenues are exact BIGINTs; the volume effect is
+    // ONE floored rational ((v2−v1)·r1·10⁴ div v1 — products stay under
+    // 2⁶³ to ~1e9 cents/period); the price effect is DEFINED as the
+    // remainder, so volume_effect + price_effect == delta_rev holds
+    // EXACTLY in both engines by construction.
+    Q("etl_price_volume_decomp",
+      """WITH h AS (
+        |  SELECT event_type,
+        |         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 2 END
+        |           AS half,
+        |         CAST(count(*) AS BIGINT) AS v,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS r
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN half = 1 THEN v ELSE 0 END) AS BIGINT) AS v1,
+        |         CAST(sum(CASE WHEN half = 2 THEN v ELSE 0 END) AS BIGINT) AS v2,
+        |         CAST(sum(CASE WHEN half = 1 THEN r ELSE 0 END) AS BIGINT) AS r1,
+        |         CAST(sum(CASE WHEN half = 2 THEN r ELSE 0 END) AS BIGINT) AS r2
+        |  FROM h GROUP BY event_type
+        |), e AS (
+        |  SELECT event_type, v1, v2, r1, r2, r2 - r1 AS delta_rev,
+        |         CAST(((v2 - v1) * r1 * 10000) // v1 AS BIGINT) AS ve4
+        |  FROM w WHERE v1 > 0
+        |)
+        |SELECT event_type, v1, v2, r1, r2, delta_rev,
+        |       CAST(ve4 AS DOUBLE) / 10000 AS volume_effect,
+        |       CAST(delta_rev AS DOUBLE) - CAST(ve4 AS DOUBLE) / 10000
+        |         AS price_effect
+        |FROM e ORDER BY event_type""".stripMargin) { (s, d) =>
+      val half = when(col("ts") < lit("2024-01-16").cast("timestamp"), 1)
+        .otherwise(2)
+      events(s, d)
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), half.as("half"))
+        .agg(count(lit(1)).as("v"),
+          sum(round(col("value") * 100).cast("long")).as("r"))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("half") === 1, col("v")).otherwise(0L)).as("v1"),
+          sum(when(col("half") === 2, col("v")).otherwise(0L)).as("v2"),
+          sum(when(col("half") === 1, col("r")).otherwise(0L)).as("r1"),
+          sum(when(col("half") === 2, col("r")).otherwise(0L)).as("r2"))
+        .where(col("v1") > 0)
+        .select(col("event_type"), col("v1"), col("v2"), col("r1"),
+          col("r2"), (col("r2") - col("r1")).as("delta_rev"),
+          expr("((v2 - v1) * r1 * 10000) div v1").as("ve4"))
+        .select(col("event_type"), col("v1"), col("v2"), col("r1"),
+          col("r2"), col("delta_rev"),
+          (col("ve4").cast("double") / 10000).as("volume_effect"),
+          (col("delta_rev").cast("double")
+            - col("ve4").cast("double") / 10000).as("price_effect"))
+        .orderBy("event_type")
+    },
+
     // Clamped running ledger (round 8, cont. 4): per user, fold the
     // event stream in (ts, event_id) order as a balance that CREDITS
     // purchase value and DEBITS other activity, floored at zero — the
