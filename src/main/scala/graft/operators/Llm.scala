@@ -1760,6 +1760,57 @@ object Llm {
     // token is covered; chunk_tokens < 64 only on the tail). The oracle
     // replays the same starts with range(0, n, 48) + 1-based list
     // slicing — llm_tokenize_tf's split parity.
+    // Length-band curation filter (round 8, cont. 4): flag documents
+    // outside the exact [p5, p95] length band per source — the standard
+    // too-short/too-long pre-filter (truncated scrapes, concatenation
+    // bugs) with DATA-DRIVEN thresholds instead of authored constants.
+    // The thresholds come from RankFence.quantilesFenced (exact
+    // quantile_disc elements under the (n_chars, doc_id) total order, NO
+    // global sort — the agg_percentiles_fenced machinery on its second
+    // table); classification is a map-side comparison, band counts one
+    // bounded groupBy. The oracle replays the identical
+    // max(1, ceil(q·n)) rank arithmetic.
+    Q("llm_length_filter",
+      """WITH r AS (
+        |  SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |         CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM documents
+        |), th AS (
+        |  SELECT
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(5 / 100.0 * n)
+        |                                        AS BIGINT))
+        |             THEN n_chars END) AS p5,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(95 / 100.0 * n)
+        |                                        AS BIGINT))
+        |             THEN n_chars END) AS p95
+        |  FROM r
+        |)
+        |SELECT source,
+        |       CASE WHEN n_chars < p5 THEN '1_short'
+        |            WHEN n_chars > p95 THEN '3_long'
+        |            ELSE '2_ok' END AS band,
+        |       CAST(count(*) AS BIGINT) AS n_docs, p5, p95
+        |FROM documents CROSS JOIN th
+        |GROUP BY source, band, p5, p95
+        |ORDER BY source, band""".stripMargin) { (s, d) =>
+      val th = RankFence.quantilesFenced(
+        docs(s, d).select(col("n_chars"), col("doc_id")),
+        Seq(RankFence.OrderCol("n_chars"), RankFence.OrderCol("doc_id")),
+        Seq(5 / 100.0, 95 / 100.0))
+      val p5 = th(0)._3.asInstanceOf[Number].longValue
+      val p95 = th(1)._3.asInstanceOf[Number].longValue
+      docs(s, d)
+        .select(col("source"),
+          when(col("n_chars") < p5, "1_short")
+            .when(col("n_chars") > p95, "3_long")
+            .otherwise("2_ok").as("band"))
+        .groupBy("source", "band")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("band"), col("n_docs"),
+          lit(p5).as("p5"), lit(p95).as("p95"))
+        .orderBy("source", "band")
+    },
+
     // Largest-remainder quota allocation (round 8, cont. 4 — Hamilton's
     // method): split a fixed sample budget (1000 slots) across sources
     // proportionally to their doc counts, exactly — base_s = ⌊c_s·B/N⌋,
