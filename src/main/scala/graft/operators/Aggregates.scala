@@ -1481,6 +1481,89 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Friedman test (round 8, cont. 4): per event_type, do the month's
+    // four full WEEKS differ once the weekday effect is blocked out —
+    // the k-related-samples member that completes the nonparametric
+    // family (MW = 2 unpaired, Wilcoxon = 2 paired, Friedman = k
+    // repeated measures over blocks). Blocks = the 7 weekday slots,
+    // treatments = weeks 1–4 (days 1–28), observation = the (week,
+    // weekday) daily count; only complete blocks (all 4 weeks present)
+    // enter, n is data-driven. Within-block midranks carried as 2×rank
+    // (integers, the family trick — with k=4 the within-block rank work
+    // is 16 compares in-row); χ²_F = 3·ΣR'²/(n·k·(k+1)) − 3·n·(k+1)
+    // with R' = 2×rank column sums, so ΣR'² is an exact BIGINT and the
+    // statistic is two double ops at the end (tie correction omitted —
+    // documented, identical on both engines either way).
+    Q("agg_friedman",
+      """WITH c AS (
+        |  SELECT event_type, isodow(ts) AS wd,
+        |         1 + (day(ts) - 1) // 7 AS wk,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE day(ts) <= 28 GROUP BY 1, 2, 3
+        |), b AS (
+        |  SELECT event_type, wd,
+        |         list(struct_pack(wk := wk, n := n) ORDER BY wk) AS l
+        |  FROM c GROUP BY 1, 2 HAVING count(*) = 4
+        |), r AS (
+        |  SELECT event_type, wd, u.wk, u.r2
+        |  FROM b, unnest(list_transform(l, e -> struct_pack(
+        |    wk := e.wk,
+        |    r2 := CAST(2 * len(list_filter(l, z -> z.n < e.n))
+        |               + len(list_filter(l, z -> z.n = e.n)) + 1
+        |               AS BIGINT)))) AS t(u)
+        |), s AS (
+        |  SELECT event_type, wk, CAST(sum(r2) AS BIGINT) AS rj
+        |  FROM r GROUP BY 1, 2
+        |), f AS (
+        |  SELECT event_type,
+        |         CAST(count(*) AS BIGINT) AS k,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list(rj * rj ORDER BY wk)), (a, x) -> a + x) AS sr2
+        |  FROM s GROUP BY event_type
+        |), nb AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks
+        |  FROM b GROUP BY event_type
+        |)
+        |SELECT event_type, n_blocks, k,
+        |       floor((CAST(3 AS DOUBLE) * sr2 / (n_blocks * k * (k + 1))
+        |              - CAST(3 AS DOUBLE) * n_blocks * (k + 1)) * 1000000)
+        |         / 1000000 AS chi2_f
+        |FROM f JOIN nb USING (event_type)
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val c = t(s, d, "events")
+        .where(dayofmonth(col("ts")) <= 28)
+        .groupBy(col("event_type"), (weekday(col("ts")) + 1).as("wd"),
+          (lit(1) + (dayofmonth(col("ts")) - 1).cast("long") / 7)
+            .cast("long").as("wk"))
+        .agg(count(lit(1)).as("n"))
+      val b = c.groupBy("event_type", "wd")
+        .agg(expr("sort_array(collect_list(struct(wk, n)))").as("l"))
+        .where(size(col("l")) === 4)
+        .persist() // bounded (type × 7) frame feeds ranks AND n_blocks
+      val r = b.select(col("event_type"), col("wd"),
+          explode(expr(
+            """transform(l, e -> struct(e.wk AS wk,
+              |  CAST(2 * size(filter(l, z -> z.n < e.n))
+              |       + size(filter(l, z -> z.n = e.n)) + 1 AS BIGINT)
+              |  AS r2))""".stripMargin)).as("u"))
+        .select(col("event_type"), col("u.wk").as("wk"),
+          col("u.r2").as("r2"))
+      val sj = r.groupBy("event_type", "wk").agg(sum(col("r2")).as("rj"))
+      val f = sj.groupBy("event_type")
+        .agg(count(lit(1)).as("k"),
+          expr("""aggregate(transform(sort_array(collect_list(struct(wk, rj))),
+                 |  e -> e.rj * e.rj), CAST(0 AS BIGINT),
+                 |  (a, x) -> a + x)""".stripMargin).as("sr2"))
+      val nb = b.groupBy("event_type").agg(count(lit(1)).as("n_blocks"))
+      f.join(nb, Seq("event_type"))
+        .select(col("event_type"), col("n_blocks"), col("k"),
+          (floor((lit(3.0) * col("sr2")
+            / (col("n_blocks") * col("k") * (col("k") + 1))
+            - lit(3.0) * col("n_blocks") * (col("k") + 1)) * 1000000)
+            / 1000000).as("chi2_f"))
+        .orderBy("event_type")
+    },
+
     // Wilcoxon signed-rank test (round 8, cont. 4): per event_type, pair
     // each of the month's first 15 days with its +16-day partner and ask
     // whether the PAIRED differences shift — the paired complement of
