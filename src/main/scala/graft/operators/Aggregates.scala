@@ -1481,6 +1481,105 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Wald-Wolfowitz runs test (round 8, cont. 4): per event_type, are
+    // the daily up/down moves RANDOM — count maximal runs of same-sign
+    // day-over-day changes and compare against the exact two-type runs
+    // distribution. The randomness complement of the family: trend_mk
+    // asks "is there a monotone trend", autocorr asks "does lag-1
+    // predict", the runs test asks the weaker-but-broader "is the
+    // up/down sequence exchangeable at all" (clustered volatility fails
+    // it without any trend). Zero changes drop (standard); R, n_up,
+    // n_down are exact integers from an in-row ARRAY-accumulator fold
+    // over the day-ordered sign list ([changes, prev] — functional in
+    // both engines); E[R] and Var(R) take the exact integers into
+    // identical IEEE order at the end.
+    Q("agg_runs_test",
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type, list(n ORDER BY day) AS l FROM d GROUP BY 1
+        |), sg AS (
+        |  SELECT event_type,
+        |         list_filter(list_transform(range(2, len(l) + 1), i ->
+        |           CASE WHEN l[i] > l[i - 1] THEN CAST(1 AS BIGINT)
+        |                WHEN l[i] < l[i - 1] THEN CAST(-1 AS BIGINT)
+        |                ELSE CAST(0 AS BIGINT) END), x -> x <> 0) AS s
+        |  FROM g
+        |), r AS (
+        |  SELECT event_type,
+        |         CAST(len(list_filter(s, x -> x = 1)) AS BIGINT) AS n_up,
+        |         CAST(len(list_filter(s, x -> x = -1)) AS BIGINT) AS n_down,
+        |         list_reduce(list_prepend([CAST(0 AS BIGINT),
+        |                                   CAST(0 AS BIGINT)],
+        |             list_transform(s, x -> [x, CAST(0 AS BIGINT)])),
+        |           (a, x) -> [CASE WHEN a[2] <> 0 AND x[1] <> a[2]
+        |                           THEN a[1] + 1 ELSE a[1] END,
+        |                      x[1]])[1] + 1 AS runs
+        |  FROM sg WHERE len(s) > 0
+        |), f AS (
+        |  SELECT event_type, n_up, n_down, runs,
+        |         CAST(n_up + n_down AS BIGINT) AS m,
+        |         CAST(2 * n_up * n_down AS BIGINT) AS p2
+        |  FROM r
+        |)
+        |SELECT event_type, n_up, n_down, runs,
+        |       CASE WHEN n_up = 0 OR n_down = 0 OR m = 1 THEN NULL
+        |            ELSE floor((CAST(runs AS DOUBLE)
+        |                   - (CAST(1 AS DOUBLE) + CAST(p2 AS DOUBLE)
+        |                      / CAST(m AS DOUBLE)))
+        |                  / sqrt(CAST(p2 AS DOUBLE)
+        |                         * (CAST(p2 AS DOUBLE) - CAST(m AS DOUBLE))
+        |                         / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+        |                            * CAST(m - 1 AS DOUBLE)))
+        |                  * 1000000) / 1000000 END AS z
+        |FROM f ORDER BY event_type""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(expr("transform(sort_array(collect_list(struct(day, n))), e -> e.n)")
+          .as("l"))
+        .select(col("event_type"),
+          expr(
+            """filter(transform(sequence(2, size(l)), i ->
+              |  CASE WHEN element_at(l, i) > element_at(l, i - 1)
+              |       THEN CAST(1 AS BIGINT)
+              |       WHEN element_at(l, i) < element_at(l, i - 1)
+              |       THEN CAST(-1 AS BIGINT)
+              |       ELSE CAST(0 AS BIGINT) END), x -> x != 0)"""
+              .stripMargin).as("sgn"))
+        .where(size(col("sgn")) > 0)
+        .select(col("event_type"),
+          expr("CAST(size(filter(sgn, x -> x = 1)) AS BIGINT)").as("n_up"),
+          expr("CAST(size(filter(sgn, x -> x = -1)) AS BIGINT)").as("n_down"),
+          (expr(
+            """element_at(aggregate(transform(sgn, x ->
+              |    array(x, CAST(0 AS BIGINT))),
+              |  array(CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+              |  (a, x) -> array(
+              |    CASE WHEN element_at(a, 2) != 0
+              |              AND element_at(x, 1) != element_at(a, 2)
+              |         THEN element_at(a, 1) + 1
+              |         ELSE element_at(a, 1) END,
+              |    element_at(x, 1))), 1)""".stripMargin) + 1).as("runs"))
+        .select(col("event_type"), col("n_up"), col("n_down"), col("runs"),
+          (col("n_up") + col("n_down")).as("m"),
+          (lit(2) * col("n_up") * col("n_down")).as("p2"))
+        .select(col("event_type"), col("n_up"), col("n_down"), col("runs"),
+          when(col("n_up") === 0 || col("n_down") === 0 || col("m") === 1,
+            lit(null))
+            .otherwise(floor((col("runs").cast("double")
+              - (lit(1.0) + col("p2").cast("double") / col("m").cast("double")))
+              / sqrt(col("p2").cast("double")
+                * (col("p2").cast("double") - col("m").cast("double"))
+                / (col("m").cast("double") * col("m").cast("double")
+                  * (col("m") - 1).cast("double"))) * 1000000) / 1000000)
+            .as("z"))
+        .orderBy("event_type")
+    },
+
     // Friedman test (round 8, cont. 4): per event_type, do the month's
     // four full WEEKS differ once the weekday effect is blocked out —
     // the k-related-samples member that completes the nonparametric
