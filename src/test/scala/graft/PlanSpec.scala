@@ -950,6 +950,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_kruskal_wallis / agg_anova_f / agg_kendall_tau / " +
+    "agg_jarque_bera: in-row folds / moment sums plan ZERO window " +
+    "operators") {
+    for (k <- Seq("agg_kruskal_wallis", "agg_anova_f", "agg_kendall_tau",
+        "agg_jarque_bera")) {
+      val p = plan(k)
+      assert(!p.contains("Window"), s"$k must not plan a Window:\n$p")
+    }
+  }
+
   test("graph_hits / graph_pagerank_directed: no cartesian beyond the " +
     "broadcast 1-row scalars, no range exchange") {
     for (k <- Seq("graph_hits", "graph_pagerank_directed")) {
