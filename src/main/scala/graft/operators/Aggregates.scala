@@ -2822,6 +2822,225 @@ object Aggregates {
       m.select(col("event_type"), n.cast("long").as("n"), jb.as("jb"),
           (jb > 5.991465).as("non_normal_95"))
         .orderBy("event_type")
+    },
+
+    // Chi-square goodness-of-fit (round 8, cont. 6): per order status, is
+    // order volume UNIFORM over the 7 weekdays? The GOF leg the test
+    // family still lacked (dq_cramers_v is the independence leg; this is
+    // the one-distribution-vs-expected verdict a seasonality/robot-traffic
+    // audit runs first). Under uniform expected E = N/7 the statistic
+    // collapses to chi2 = (7*sum(O_d^2) - N^2)/N, whose NUMERATOR is an
+    // exact BIGINT (weekdays with zero orders contribute 0 to sum(O^2) —
+    // exactly their (0-E)^2/E share after the algebra), so both engines
+    // divide the same integer once. Weekday bucket labels never surface,
+    // so Spark's 1-7 vs DuckDB's 0-6 dayofweek conventions cannot skew
+    // the compare — only the partition of dates matters, and both derive
+    // it from the same timestamps. Plan: one fact scan, bounded
+    // (status, dow) groupBy, in-row fold — ZERO windows, zero joins.
+    Q("dq_chi_square_gof",
+      """WITH c AS (
+        |  SELECT o_orderstatus, dayofweek(o_orderdate) AS dow,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2
+        |), g AS (
+        |  SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS n,
+        |         CAST(sum(n * n) AS BIGINT) AS s2
+        |  FROM c GROUP BY o_orderstatus
+        |)
+        |SELECT o_orderstatus, n,
+        |       floor(CAST(7 * s2 - n * n AS DOUBLE) / n * 1000000)
+        |         / 1000000 AS chi2,
+        |       CAST(7 * s2 - n * n AS DOUBLE) / n > 12.591587
+        |         AS non_uniform_95
+        |FROM g ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val g = t(s, d, "orders")
+        .groupBy(col("o_orderstatus"), dayofweek(col("o_orderdate")).as("dow"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("o_orderstatus")
+        .agg(sum(col("cnt")).as("n"),
+          sum(col("cnt") * col("cnt")).as("s2"))
+      val num = (lit(7) * col("s2") - col("n") * col("n")).cast("double")
+      g.select(col("o_orderstatus"), col("n"),
+          (floor(num / col("n") * 1000000) / 1000000).as("chi2"),
+          (num / col("n") > 12.591587).as("non_uniform_95"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Brown-Forsythe / Levene variance-homogeneity test (round 8, cont.
+    // 6): the ASSUMPTION AUDIT for agg_anova_f — ANOVA's F is only valid
+    // if the week groups share a variance, and Brown-Forsythe tests
+    // exactly that by running the same one-way F on the absolute
+    // deviations z_ij = |y_ij - median_j| (median-centered = the
+    // robust-to-skew variant, Brown & Forsythe 1974). Same weeks-of-
+    // daily-volume framing as agg_anova_f/agg_kruskal_wallis so the trio
+    // reads as one analysis. Exactness: daily counts are integers, the
+    // per-week LOWER median of a sorted integer list is an integer, so
+    // every z is an exact BIGINT and the cross-multiplied SSW/SSB
+    // spelling from agg_anova_f applies verbatim (one double division
+    // per week, folded in pinned week order). Plan: one fact scan,
+    // bounded (type, day) groupBy, in-row fold — zero windows.
+    Q("agg_levene",
+      """WITH c AS (
+        |  SELECT event_type, CAST(day(ts) AS BIGINT) AS dom,
+        |         CAST(1 + (day(ts) - 1) // 7 AS BIGINT) AS wk,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE day(ts) <= 28 GROUP BY 1, 2, 3
+        |), g AS (
+        |  SELECT event_type,
+        |         list(struct_pack(wk := wk, n := n) ORDER BY dom) AS l
+        |  FROM c GROUP BY event_type
+        |), z AS (
+        |  SELECT event_type,
+        |         list_transform(l, e -> struct_pack(
+        |           wk := e.wk,
+        |           z := abs(e.n - list_sort(list_transform(
+        |                  list_filter(l, x -> x.wk = e.wk), x -> x.n))
+        |                [(len(list_filter(l, x -> x.wk = e.wk)) + 1) // 2])))
+        |           AS l
+        |  FROM g
+        |), m AS (
+        |  SELECT event_type, l, CAST(len(l) AS BIGINT) AS n_days,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(l, e -> e.z)), (a, x) -> a + x) AS s
+        |  FROM z
+        |), w AS (
+        |  SELECT event_type, n_days,
+        |         CAST(len(list_filter(range(1, 5),
+        |              w -> len(list_filter(l, z -> z.wk = w)) > 0))
+        |              AS BIGINT) AS k,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |             list_transform(range(1, 5), w ->
+        |               CASE WHEN len(list_filter(l, z -> z.wk = w)) = 0
+        |                    THEN CAST(0 AS DOUBLE)
+        |                    ELSE CAST(CAST(len(list_filter(l, z -> z.wk = w))
+        |                              AS BIGINT)
+        |                           * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                               list_transform(list_filter(l,
+        |                                 z -> z.wk = w), z -> z.z * z.z)),
+        |                               (a, x) -> a + x)
+        |                           - list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                               list_transform(list_filter(l,
+        |                                 z -> z.wk = w), z -> z.z)),
+        |                               (a, x) -> a + x)
+        |                           * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                               list_transform(list_filter(l,
+        |                                 z -> z.wk = w), z -> z.z)),
+        |                               (a, x) -> a + x) AS DOUBLE)
+        |                         / CAST(len(list_filter(l, z -> z.wk = w))
+        |                                AS BIGINT)
+        |               END)),
+        |           (a, x) -> a + x) AS ssw,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |             list_transform(range(1, 5), w ->
+        |               CASE WHEN len(list_filter(l, z -> z.wk = w)) = 0
+        |                    THEN CAST(0 AS DOUBLE)
+        |                    ELSE CAST((n_days
+        |                            * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                                list_transform(list_filter(l,
+        |                                  z -> z.wk = w), z -> z.z)),
+        |                                (a, x) -> a + x)
+        |                            - CAST(len(list_filter(l, z -> z.wk = w))
+        |                                   AS BIGINT) * s)
+        |                           * (n_days
+        |                            * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                                list_transform(list_filter(l,
+        |                                  z -> z.wk = w), z -> z.z)),
+        |                                (a, x) -> a + x)
+        |                            - CAST(len(list_filter(l, z -> z.wk = w))
+        |                                   AS BIGINT) * s) AS DOUBLE)
+        |                         / (CAST(len(list_filter(l, z -> z.wk = w))
+        |                                 AS BIGINT) * n_days * n_days)
+        |               END)),
+        |           (a, x) -> a + x) AS ssb
+        |  FROM m
+        |)
+        |SELECT event_type, n_days, k,
+        |       CASE WHEN k < 2 OR n_days <= k OR ssw = 0 THEN NULL
+        |            ELSE floor((ssb / (k - 1)) / (ssw / (n_days - k))
+        |                       * 1000000) / 1000000
+        |       END AS bf_w,
+        |       CASE WHEN k = 4 AND n_days = 28 AND ssw > 0
+        |            THEN (ssb / 3) / (ssw / 24) > 3.008787
+        |       END AS heteroscedastic_95
+        |FROM w ORDER BY event_type""".stripMargin) { (s, d) =>
+      val c = t(s, d, "events")
+        .where(dayofmonth(col("ts")) <= 28)
+        .groupBy(col("event_type"),
+          dayofmonth(col("ts")).cast("long").as("dom"),
+          (lit(1) + (dayofmonth(col("ts")) - 1).cast("long") / 7)
+            .cast("long").as("wk"))
+        .agg(count(lit(1)).as("n"))
+      c.groupBy("event_type")
+        .agg(expr("sort_array(collect_list(struct(dom, wk, n)))").as("l0"))
+        .select(col("event_type"),
+          expr(
+            """transform(l0, e -> named_struct(
+              |  'wk', e.wk,
+              |  'z', abs(e.n - element_at(
+              |         array_sort(transform(filter(l0, x -> x.wk = e.wk),
+              |                              x -> x.n)),
+              |         CAST((size(filter(l0, x -> x.wk = e.wk)) + 1) / 2
+              |              AS INT)))))""".stripMargin).as("l"))
+        .select(col("event_type"), col("l"),
+          size(col("l")).cast("long").as("n_days"),
+          expr(
+            """aggregate(transform(l, e -> e.z), CAST(0 AS BIGINT),
+              |  (a, x) -> a + x)""".stripMargin).as("s"))
+        .select(col("event_type"), col("n_days"),
+          expr(
+            """CAST(size(filter(sequence(1, 4),
+              |  w -> size(filter(l, z -> z.wk = w)) > 0)) AS BIGINT)"""
+              .stripMargin).as("k"),
+          expr(
+            """aggregate(transform(sequence(1, 4), w ->
+              |    CASE WHEN size(filter(l, z -> z.wk = w)) = 0
+              |         THEN CAST(0 AS DOUBLE)
+              |         ELSE CAST(CAST(size(filter(l, z -> z.wk = w)) AS BIGINT)
+              |                * aggregate(transform(filter(l, z -> z.wk = w),
+              |                    z -> z.z * z.z), CAST(0 AS BIGINT),
+              |                    (a, x) -> a + x)
+              |                - aggregate(transform(filter(l, z -> z.wk = w),
+              |                    z -> z.z), CAST(0 AS BIGINT),
+              |                    (a, x) -> a + x)
+              |                * aggregate(transform(filter(l, z -> z.wk = w),
+              |                    z -> z.z), CAST(0 AS BIGINT),
+              |                    (a, x) -> a + x) AS DOUBLE)
+              |              / CAST(size(filter(l, z -> z.wk = w)) AS BIGINT)
+              |    END),
+              |  CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
+            .as("ssw"),
+          expr(
+            """aggregate(transform(sequence(1, 4), w ->
+              |    CASE WHEN size(filter(l, z -> z.wk = w)) = 0
+              |         THEN CAST(0 AS DOUBLE)
+              |         ELSE CAST((n_days
+              |                 * aggregate(transform(filter(l, z -> z.wk = w),
+              |                     z -> z.z), CAST(0 AS BIGINT),
+              |                     (a, x) -> a + x)
+              |                 - CAST(size(filter(l, z -> z.wk = w)) AS BIGINT)
+              |                   * s)
+              |                * (n_days
+              |                 * aggregate(transform(filter(l, z -> z.wk = w),
+              |                     z -> z.z), CAST(0 AS BIGINT),
+              |                     (a, x) -> a + x)
+              |                 - CAST(size(filter(l, z -> z.wk = w)) AS BIGINT)
+              |                   * s) AS DOUBLE)
+              |              / (CAST(size(filter(l, z -> z.wk = w)) AS BIGINT)
+              |                 * n_days * n_days)
+              |    END),
+              |  CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
+            .as("ssb"))
+        .select(col("event_type"), col("n_days"), col("k"),
+          when(col("k") < 2 || col("n_days") <= col("k") || col("ssw") === 0,
+            lit(null))
+            .otherwise(floor((col("ssb") / (col("k") - 1))
+              / (col("ssw") / (col("n_days") - col("k"))) * 1000000)
+              / 1000000)
+            .as("bf_w"),
+          when(col("k") === 4 && col("n_days") === 28 && col("ssw") > 0,
+            (col("ssb") / 3) / (col("ssw") / 24) > 3.008787)
+            .as("heteroscedastic_95"))
+        .orderBy("event_type")
     }
   )
 }

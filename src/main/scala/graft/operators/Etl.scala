@@ -2001,6 +2001,107 @@ object Etl {
           (floor(col("total_abs_err").cast("double")
             / col("vol").cast("double") * 1000000) / lit(1000000)).as("wape"))
         .orderBy("event_type")
+    },
+
+    // Single changepoint detection (round 8, cont. 6): where did the
+    // per-type daily revenue level SHIFT? The CUSUM-style estimator:
+    // cp = argmax_k |n*P_k - k*S| (P_k = prefix revenue through day k,
+    // S = total) — the maximum deviation of the observed prefix path from
+    // the constant-rate line, which for a single mean-shift is the
+    // maximum-likelihood split (Page 1954 / Hinkley 1970). EXACT: daily
+    // revenues fold to cents (BIGINT, the money invariant) and every D_k
+    // is an exact BIGINT. The argmax ENCODES (|D_k|, k) into one BIGINT —
+    // |D|*1024 + (1024 - k) — and takes a scalar array max, because
+    // DuckDB's list_reduce MISCOMPUTES when the accumulator is itself a
+    // LIST (values mix across rows — measured this session; the scalar
+    // and fixed-width-array-of-DOUBLE folds used elsewhere are fine).
+    // Larger |D| wins, ties prefer the EARLIEST day; the encoding is
+    // exact while |D| < 2^53/1024 ~ 9e15 (n_days <= 31 < 1024 by the
+    // day-grain contract; overflow dial: widen to DECIMAL). P_cp is then
+    // recomputed by one safe scalar prefix fold; one double division per
+    // display column. Plan: one fact scan, bounded (type, day) groupBy,
+    // O(n_days^2) in-row fold on a <=31-element list — zero windows,
+    // zero joins.
+    Q("etl_changepoint",
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type,
+        |         list(struct_pack(day := day, c := c) ORDER BY day) AS l
+        |  FROM d GROUP BY event_type
+        |), m AS (
+        |  SELECT event_type, l, CAST(len(l) AS BIGINT) AS n,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(l, e -> e.c)), (a, x) -> a + x) AS s
+        |  FROM g
+        |), b AS (
+        |  SELECT event_type, l, n, s,
+        |         list_max(list_transform(range(1, n), k ->
+        |             abs(n * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                   list_transform(l[1 : CAST(k AS INT)], e -> e.c)),
+        |                 (a, x) -> a + x) - k * s) * 1024
+        |             + (1024 - k))) AS best
+        |  FROM m WHERE n >= 2
+        |), r AS (
+        |  SELECT event_type, l, n AS n_days, s,
+        |         1024 - best % 1024 AS cp_k,
+        |         best // 1024 AS d_abs
+        |  FROM b
+        |), p AS (
+        |  SELECT event_type, n_days, cp_k,
+        |         l[CAST(cp_k AS INT)].day AS cp_day, d_abs,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(l[1 : CAST(cp_k AS INT)], e -> e.c)),
+        |           (a, x) -> a + x) AS p_cp, s
+        |  FROM r
+        |)
+        |SELECT event_type, n_days, cp_k, cp_day, d_abs,
+        |       floor(CAST(p_cp AS DOUBLE) / cp_k / 100 * 1000000)
+        |         / 1000000 AS mean_before,
+        |       floor(CAST(s - p_cp AS DOUBLE) / (n_days - cp_k) / 100
+        |             * 1000000) / 1000000 AS mean_after
+        |FROM p ORDER BY event_type""".stripMargin) { (s, d) =>
+      val m = events(s, d)
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+        .groupBy("event_type")
+        .agg(expr("sort_array(collect_list(struct(day, c)))").as("l"))
+        .select(col("event_type"), col("l"),
+          size(col("l")).cast("long").as("n"),
+          expr(
+            """aggregate(transform(l, e -> e.c), CAST(0 AS BIGINT),
+              |  (a, x) -> a + x)""".stripMargin).as("s"))
+        .where(col("n") >= 2)
+      val b = m.select(col("event_type"), col("l"), col("n"), col("s"),
+        expr(
+          """array_max(transform(sequence(1, n - 1), k ->
+            |  abs(n * aggregate(transform(slice(l, 1, CAST(k AS INT)),
+            |          e -> e.c),
+            |        CAST(0 AS BIGINT), (a, x) -> a + x) - k * s) * 1024
+            |  + (1024 - k)))""".stripMargin).as("best"))
+      b.select(col("event_type"), col("l"), col("n").as("n_days"), col("s"),
+          (lit(1024) - col("best") % 1024).as("cp_k"),
+          expr("best DIV 1024").as("d_abs"))
+        .select(col("event_type"), col("n_days"), col("cp_k"),
+          expr("element_at(l, CAST(cp_k AS INT)).day").as("cp_day"),
+          col("d_abs"),
+          expr(
+            """aggregate(transform(slice(l, 1, CAST(cp_k AS INT)),
+              |    e -> e.c),
+              |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+            .as("p_cp"),
+          col("s"))
+        .select(col("event_type"), col("n_days"), col("cp_k"), col("cp_day"),
+          col("d_abs"),
+          (floor(col("p_cp").cast("double") / col("cp_k") / 100 * 1000000)
+            / 1000000).as("mean_before"),
+          (floor((col("s") - col("p_cp")).cast("double")
+            / (col("n_days") - col("cp_k")) / 100 * 1000000) / 1000000)
+            .as("mean_after"))
+        .orderBy("event_type")
     }
   ) :+ resampleQ
 
