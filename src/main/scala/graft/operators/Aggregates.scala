@@ -3041,6 +3041,149 @@ object Aggregates {
             (col("ssb") / 3) / (col("ssw") / 24) > 3.008787)
             .as("heteroscedastic_95"))
         .orderBy("event_type")
+    },
+
+    // Percentile-bootstrap confidence interval (round 8, cont. 6): the
+    // resampling leg of the inference family — a 95% CI for the mean
+    // daily revenue per event_type, from B=200 bootstrap resamples of
+    // the (bounded, <=31-element) daily series. DETERMINISTIC bootstrap:
+    // resample b's j-th draw is day 1 + (portable_hash(type:b:j) mod n)
+    // — engine-portable, rerun-stable, no rand(). Every resample SUM is
+    // an exact BIGINT in cents (means would be rationals; dividing once
+    // at display keeps the compare exact), the 200 sums sort in-row, and
+    // the CI picks order statistics ceil(0.025*200)=5 and
+    // ceil(0.975*200)=195 — quantile_disc arithmetic, no interpolation.
+    // Plan: one fact scan, bounded (type, day) groupBy, 200*n in-row
+    // hash folds (~6k md5 per type) — zero windows, zero joins, and at
+    // 100 TB the only thing that grows is the one daily-rollup shuffle.
+    Q("agg_bootstrap_ci",
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type, list(c ORDER BY day) AS cs
+        |  FROM d GROUP BY event_type
+        |), m AS (
+        |  SELECT event_type, cs, CAST(len(cs) AS BIGINT) AS n,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+        |           (a, x) -> a + x) AS s
+        |  FROM g
+        |), b AS (
+        |  SELECT event_type, n, s,
+        |         list_sort(list_transform(range(0, 200), b ->
+        |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(range(1, n + 1), j ->
+        |                 cs[CAST(1 + CAST('0x' || substr(md5(
+        |                        event_type || ':' || CAST(b AS VARCHAR)
+        |                        || ':' || CAST(j AS VARCHAR)), 1, 15)
+        |                      AS BIGINT) % n AS INT)])),
+        |             (a, x) -> a + x))) AS sums
+        |  FROM m
+        |)
+        |SELECT event_type, n AS n_days, CAST(200 AS BIGINT) AS n_boot,
+        |       floor(CAST(s AS DOUBLE) / n / 100 * 1000000) / 1000000
+        |         AS mean_obs,
+        |       floor(CAST(sums[5] AS DOUBLE) / n / 100 * 1000000) / 1000000
+        |         AS ci_lo,
+        |       floor(CAST(sums[195] AS DOUBLE) / n / 100 * 1000000) / 1000000
+        |         AS ci_hi
+        |FROM b ORDER BY event_type""".stripMargin) { (s, d) =>
+      val m = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+        .groupBy("event_type")
+        .agg(expr("transform(sort_array(collect_list(struct(day, c))), "
+          + "e -> e.c)").as("cs"))
+        .select(col("event_type"), col("cs"),
+          size(col("cs")).cast("long").as("n"),
+          expr("aggregate(cs, CAST(0 AS BIGINT), (a, x) -> a + x)").as("s"))
+      m.select(col("event_type"), col("n"), col("s"),
+          expr(
+            """sort_array(transform(sequence(0, 199), b ->
+              |  aggregate(transform(sequence(1, n), j ->
+              |      element_at(cs, CAST(1 + CAST(conv(substring(md5(
+              |             concat(event_type, ':', CAST(b AS STRING), ':',
+              |                    CAST(j AS STRING))), 1, 15), 16, 10)
+              |           AS BIGINT) % n AS INT))),
+              |    CAST(0 AS BIGINT), (a, x) -> a + x)))""".stripMargin)
+            .as("sums"))
+        .select(col("event_type"), col("n").as("n_days"),
+          lit(200L).as("n_boot"),
+          (floor(col("s").cast("double") / col("n") / 100 * 1000000)
+            / 1000000).as("mean_obs"),
+          (floor(expr("element_at(sums, 5)").cast("double") / col("n") / 100
+            * 1000000) / 1000000).as("ci_lo"),
+          (floor(expr("element_at(sums, 195)").cast("double") / col("n")
+            / 100 * 1000000) / 1000000).as("ci_hi"))
+        .orderBy("event_type")
+    },
+
+    // Differentially-private counts (round 8, cont. 6): the release leg
+    // of the privacy family (dq_k_anonymity audits quasi-identifier
+    // risk; this key RELEASES a count under epsilon-DP). Mechanism: the
+    // discrete Laplace via two geometric draws, X = G1 - G2 with
+    // G ~ Geometric(1/2) — the Ghosh-Roughgarden-Sundararajan geometric
+    // mechanism at alpha = 1/2, i.e. epsilon = ln 2 per unit sensitivity
+    // (one event changes a count by 1). EXACT and engine-portable: the
+    // uniform draw is portable_hash mod 2^30, and G counts thresholds
+    // u >= 1 - 2^-j, i.e. h >= 2^30 - 2^(30-j) — pure BIGINT shifts, no
+    // ln(), no float CDF, so the noise REPLAYS exactly in both engines
+    // (truncation at j=30 is 2^-30 tail mass, replayed identically).
+    // The true count and noise columns are part of this AUDIT readout;
+    // a production release ships only (event_type, noisy_count,
+    // epsilon). Plan: one bounded groupBy, map-side hash fold.
+    Q("dq_dp_counts", {
+      val h1 = PortableHash.sqlSeeded(1, "'dp:' || event_type")
+      val h2 = PortableHash.sqlSeeded(2, "'dp:' || event_type")
+      s"""WITH c AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY event_type
+         |), u AS (
+         |  SELECT event_type, n,
+         |         $h1 % (CAST(1 AS BIGINT) << 30) AS u1,
+         |         $h2 % (CAST(1 AS BIGINT) << 30) AS u2
+         |  FROM c
+         |), gg AS (
+         |  SELECT event_type, n,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(range(1, 31), j ->
+         |               CASE WHEN u1 >= (CAST(1 AS BIGINT) << 30)
+         |                      - (CAST(1 AS BIGINT) << CAST(30 - j AS INT))
+         |                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+         |               END)), (a, x) -> a + x)
+         |         - list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(range(1, 31), j ->
+         |               CASE WHEN u2 >= (CAST(1 AS BIGINT) << 30)
+         |                      - (CAST(1 AS BIGINT) << CAST(30 - j AS INT))
+         |                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+         |               END)), (a, x) -> a + x) AS noise
+         |  FROM u
+         |)
+         |SELECT event_type, n AS n_true, noise, n + noise AS noisy_count,
+         |       CAST(0.693147 AS DOUBLE) AS epsilon
+         |FROM gg ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+      // geometric draw from the seeded portable hash: count thresholds
+      // h mod 2^30 >= 2^30 - 2^(30-j), j = 1..30 (see the oracle twin)
+      def gExpr(seed: Int): String =
+        s"""aggregate(transform(sequence(1, 30), j ->
+           |    IF(CAST(conv(substring(md5(concat('$seed:dp:', event_type)),
+           |              1, 15), 16, 10) AS BIGINT)
+           |         % shiftleft(CAST(1 AS BIGINT), 30)
+           |       >= shiftleft(CAST(1 AS BIGINT), 30)
+           |          - shiftleft(CAST(1 AS BIGINT), CAST(30 - j AS INT)),
+           |       CAST(1 AS BIGINT), CAST(0 AS BIGINT))),
+           |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin
+      val c = t(s, d, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          (expr(gExpr(1)) - expr(gExpr(2))).as("noise"))
+      c.select(col("event_type"), col("n").as("n_true"), col("noise"),
+          (col("n") + col("noise")).as("noisy_count"),
+          lit(0.693147).as("epsilon"))
+        .orderBy("event_type")
     }
   )
 }
