@@ -830,6 +830,92 @@ object Extras {
         .orderBy(col("n_nodes").desc, col("component"))
     },
 
+    // Label propagation communities (round 8, cont. 6): the INTRA-
+    // component structure graph_cc cannot see — LPA partitions a
+    // connected graph into densely-knit regions (Raghavan et al. 2007),
+    // the standard cheap community pass a graph-curation pipeline runs
+    // between CC and modularity scoring (graph_modularity evaluates a
+    // partition; this key PRODUCES one). Async LPA is run-order-
+    // dependent, so this is the DETERMINISTIC synchronous variant with a
+    // total tie-break: exactly 3 rounds, every node simultaneously
+    // adopts the most frequent label among its neighbors, ties to the
+    // SMALLEST label (max(struct(cnt, -label)) == the oracle's
+    // row_number ORDER BY cnt DESC, label). Fixed rounds instead of
+    // convergence because synchronous LPA can 2-cycle on bipartite-ish
+    // regions — a fixpoint loop would never terminate there, and the
+    // round budget IS the declared semantics (both engines replay it).
+    //
+    // Scale shape: per round ONE shuffle of the label vector to the
+    // edge partitioning (edges repartitioned by the probe side +
+    // checkpointed once) + one (node,label) count — O(1) edge-sized
+    // shuffles per round like the CC loop; labels localCheckpointed per
+    // round (each referenced by the next join twice: count + pick).
+    // Output: community-size histogram (bounded by sqrt-ish distinct
+    // sizes), not the node vector.
+    Q("graph_label_propagation",
+      """WITH lp AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-02-01'
+        |), e0 AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+        |), edges AS (
+        |  SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+        |), l0 AS (
+        |  SELECT DISTINCT a AS node, a AS label FROM edges
+        |), c1 AS (
+        |  SELECT e.a AS node, l.label, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM edges e JOIN l0 l ON e.b = l.node GROUP BY 1, 2
+        |), l1 AS (
+        |  SELECT node, label FROM (
+        |    SELECT node, label, row_number() OVER (
+        |      PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        |    FROM c1) WHERE rn = 1
+        |), c2 AS (
+        |  SELECT e.a AS node, l.label, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM edges e JOIN l1 l ON e.b = l.node GROUP BY 1, 2
+        |), l2 AS (
+        |  SELECT node, label FROM (
+        |    SELECT node, label, row_number() OVER (
+        |      PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        |    FROM c2) WHERE rn = 1
+        |), c3 AS (
+        |  SELECT e.a AS node, l.label, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM edges e JOIN l2 l ON e.b = l.node GROUP BY 1, 2
+        |), l3 AS (
+        |  SELECT node, label FROM (
+        |    SELECT node, label, row_number() OVER (
+        |      PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        |    FROM c3) WHERE rn = 1
+        |), comm AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS sz FROM l3 GROUP BY label
+        |)
+        |SELECT sz AS community_size,
+        |       CAST(count(*) AS BIGINT) AS n_communities
+        |FROM comm GROUP BY sz ORDER BY sz""".stripMargin) { (s, d) =>
+      val e = symmetrize(coOrderEdges(s, d, "1997-01-01", "1997-02-01"))
+        .repartition(col("b")).localCheckpoint()
+      var labels = e.select(col("a").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        labels = e.join(labels, e("b") === labels("node"))
+          .groupBy(e("a").as("n"), labels("label").as("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("n"))
+          .agg(max(struct(col("cnt").as("c"), (-col("lbl")).as("nl")))
+            .as("m"))
+          .select(col("n").as("node"), (-col("m.nl")).as("label"))
+          .localCheckpoint()
+      }
+      labels.groupBy("label").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("community_size"))
+        .agg(count(lit(1)).as("n_communities"))
+        .orderBy("community_size")
+    },
+
     // Degree distribution (round 5, continued) — the graph-profile
     // report (how skewed is this graph?) that decides whether the
     // id-oriented triangle plan is safe or the degree-oriented one is

@@ -130,6 +130,87 @@ object Windows {
         .orderBy("event_type", "day")
     },
 
+    // Rolling 7-day OLS regression (round 8, cont. 6): the effect-SIZE
+    // companion to win_rolling_corr over the same trailing week — how
+    // many dollars does one extra event buy today, and how much of the
+    // revenue variance does volume explain? slope and its numerator/
+    // denominator come from the same six exact-BIGINT rolling moments
+    // (one window pass, shared frame); r² must square a ~1e12 numerator,
+    // so it moves to DOUBLE before the square (2^63 would overflow) with
+    // identical IEEE order in both engines. Same bounded daily frame —
+    // the fact is reduced by the groupBy before any window.
+    Q("win_rolling_regression",
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS x,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, day,
+        |         CAST(count(*) OVER w AS BIGINT) AS c,
+        |         CAST(sum(x) OVER w AS BIGINT) AS sx,
+        |         CAST(sum(y) OVER w AS BIGINT) AS sy,
+        |         CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) OVER w AS BIGINT) AS syy
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |       CASE WHEN c * sxx - sx * sx = 0 THEN NULL
+        |            ELSE floor(CAST(c * sxy - sx * sy AS DOUBLE)
+        |                       / CAST(c * sxx - sx * sx AS DOUBLE)
+        |                       / 100 * 1000000) / 1000000 END AS slope7,
+        |       CASE WHEN c * sxx - sx * sx = 0 THEN NULL
+        |            ELSE floor((CAST(sy AS DOUBLE)
+        |                        - CAST(c * sxy - sx * sy AS DOUBLE)
+        |                          / CAST(c * sxx - sx * sx AS DOUBLE)
+        |                          * CAST(sx AS DOUBLE))
+        |                       / c / 100 * 1000000) / 1000000
+        |       END AS intercept7,
+        |       CASE WHEN c * sxx - sx * sx = 0 OR c * syy - sy * sy = 0
+        |            THEN NULL
+        |            ELSE floor(CAST(c * sxy - sx * sy AS DOUBLE)
+        |                       * CAST(c * sxy - sx * sy AS DOUBLE)
+        |                       / (CAST(c * sxx - sx * sx AS DOUBLE)
+        |                          * CAST(c * syy - sy * sy AS DOUBLE))
+        |                       * 1000000) / 1000000 END AS r2
+        |FROM r WHERE c = 7
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val daily = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"),
+          sum(round(col("value") * 100).cast("long")).as("y"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+      val r = daily.select(col("event_type"), col("day"),
+        count(lit(1)).over(w).as("c"),
+        sum(col("x")).over(w).as("sx"),
+        sum(col("y")).over(w).as("sy"),
+        sum(col("x") * col("y")).over(w).as("sxy"),
+        sum(col("x") * col("x")).over(w).as("sxx"),
+        sum(col("y") * col("y")).over(w).as("syy"))
+      val num = (col("c") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val vx = (col("c") * col("sxx") - col("sx") * col("sx"))
+      val vy = (col("c") * col("syy") - col("sy") * col("sy"))
+      r.where(col("c") === 7)
+        .select(col("event_type"), col("day"),
+          when(vx === 0, lit(null))
+            .otherwise(floor(num / vx.cast("double") / 100 * 1000000)
+              / 1000000).as("slope7"),
+          when(vx === 0, lit(null))
+            .otherwise(floor((col("sy").cast("double")
+              - num / vx.cast("double") * col("sx").cast("double"))
+              / col("c") / 100 * 1000000) / 1000000).as("intercept7"),
+          when(vx === 0 || vy === 0, lit(null))
+            .otherwise(floor(num * num
+              / (vx.cast("double") * vy.cast("double")) * 1000000)
+              / 1000000).as("r2"))
+        .orderBy("event_type", "day")
+    },
+
     Q("win_row_number",
       """SELECT event_id, user_id,
         |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
