@@ -2102,6 +2102,228 @@ object Etl {
             / (col("n_days") - col("cp_k")) / 100 * 1000000) / 1000000)
             .as("mean_after"))
         .orderBy("event_type")
+    },
+
+    // Holt-Winters additive forecast (round 8, cont. 6): triple
+    // exponential smoothing (alpha=0.3, beta=0.1, gamma=0.2, period 7)
+    // of the per-type daily count series — the SEASONAL member
+    // completing the forecast-champion trio (snaive = pure weekly
+    // pattern, holt = pure trend, HW = both), fit on all but the last
+    // week, backtested on the held-out 7 days with the same comparable
+    // MAE/WAPE columns.
+    //
+    // Determinism: the (t, level, trend, s1..s7) recursion folds the
+    // day-ordered in-row series with a 10-slot ARRAY-of-DOUBLE
+    // accumulator — arrays are FUNCTIONAL in both engines (the
+    // dq_ks_test struct-mutation finding; and per the cont.-6 finding
+    // DuckDB list_reduce is only safe with scalar or fixed-arity
+    // all-DOUBLE array accumulators, which this is, like
+    // etl_forecast_holt's 2-slot one). The seasonal slot updates via a
+    // 7-element functional rebuild (IF(i = slot, s', old)); level'
+    // is INLINED everywhere it appears (trend'/season') so both engines
+    // replay the identical IEEE op sequence with no CSE assumptions.
+    // Init: level = week-1 mean, trend = (week-2 mean - week-1 mean)/7,
+    // season_i = y_i - level (the standard two-season init). Plan: one
+    // fact scan -> bounded (type, day) groupBy -> in-row fold.
+    Q("etl_forecast_hw",
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type, list(n ORDER BY day) AS ys
+        |  FROM d GROUP BY event_type
+        |), f AS (
+        |  SELECT event_type, CAST(len(ys) - 7 AS BIGINT) AS n_train,
+        |         ys[1 : len(ys) - 7] AS train,
+        |         ys[len(ys) - 6 : len(ys)] AS test
+        |  FROM g WHERE len(ys) >= 22
+        |), ini AS (
+        |  SELECT event_type, n_train, train, test,
+        |         CAST(train[1] + train[2] + train[3] + train[4] + train[5]
+        |              + train[6] + train[7] AS DOUBLE) / 7 AS l0,
+        |         (CAST(train[8] + train[9] + train[10] + train[11]
+        |               + train[12] + train[13] + train[14] AS DOUBLE) / 7
+        |          - CAST(train[1] + train[2] + train[3] + train[4]
+        |                 + train[5] + train[6] + train[7] AS DOUBLE) / 7)
+        |           / 7 AS b0
+        |  FROM f
+        |), fit AS (
+        |  SELECT event_type, n_train, test,
+        |         list_reduce(list_prepend(
+        |             [CAST(7 AS DOUBLE), l0, b0,
+        |              CAST(train[1] AS DOUBLE) - l0,
+        |              CAST(train[2] AS DOUBLE) - l0,
+        |              CAST(train[3] AS DOUBLE) - l0,
+        |              CAST(train[4] AS DOUBLE) - l0,
+        |              CAST(train[5] AS DOUBLE) - l0,
+        |              CAST(train[6] AS DOUBLE) - l0,
+        |              CAST(train[7] AS DOUBLE) - l0],
+        |             list_transform(train[8 : len(train)],
+        |                            y -> [CAST(y AS DOUBLE)])),
+        |           (a, x) -> list_concat(
+        |             [a[1] + CAST(1 AS DOUBLE),
+        |              CAST(0.3 AS DOUBLE)
+        |                * (x[1] - a[CAST(3 + CAST(a[1] + CAST(1 AS DOUBLE)
+        |                     - 7 * floor((a[1] + CAST(1 AS DOUBLE) - 1) / 7)
+        |                     AS INT) AS INT)])
+        |                + CAST(0.7 AS DOUBLE) * (a[2] + a[3]),
+        |              CAST(0.1 AS DOUBLE)
+        |                * (CAST(0.3 AS DOUBLE)
+        |                     * (x[1] - a[CAST(3 + CAST(a[1]
+        |                          + CAST(1 AS DOUBLE)
+        |                          - 7 * floor((a[1] + CAST(1 AS DOUBLE) - 1)
+        |                                      / 7) AS INT) AS INT)])
+        |                   + CAST(0.7 AS DOUBLE) * (a[2] + a[3]) - a[2])
+        |                + CAST(0.9 AS DOUBLE) * a[3]],
+        |             list_transform(range(1, 8), i ->
+        |               CASE WHEN i = CAST(a[1] + CAST(1 AS DOUBLE)
+        |                      - 7 * floor((a[1] + CAST(1 AS DOUBLE) - 1) / 7)
+        |                      AS BIGINT)
+        |                    THEN CAST(0.2 AS DOUBLE)
+        |                           * (x[1] - (CAST(0.3 AS DOUBLE)
+        |                               * (x[1] - a[CAST(3 + CAST(a[1]
+        |                                    + CAST(1 AS DOUBLE)
+        |                                    - 7 * floor((a[1]
+        |                                        + CAST(1 AS DOUBLE) - 1) / 7)
+        |                                    AS INT) AS INT)])
+        |                               + CAST(0.7 AS DOUBLE)
+        |                                 * (a[2] + a[3])))
+        |                         + CAST(0.8 AS DOUBLE)
+        |                           * a[CAST(3 + CAST(a[1]
+        |                                + CAST(1 AS DOUBLE)
+        |                                - 7 * floor((a[1]
+        |                                    + CAST(1 AS DOUBLE) - 1) / 7)
+        |                                AS INT) AS INT)]
+        |                    ELSE a[CAST(3 + i AS INT)]
+        |               END))) AS st
+        |  FROM ini
+        |), sc AS (
+        |  SELECT event_type, n_train, st[2] AS level, st[3] AS trend,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |             list_transform(range(1, 8), h ->
+        |               abs(CAST(test[CAST(h AS INT)] AS DOUBLE)
+        |                   - (st[2] + CAST(h AS DOUBLE) * st[3]
+        |                      + st[CAST(3 + CAST(n_train + h
+        |                           - 7 * floor((n_train + h - 1) / 7)
+        |                           AS INT) AS INT)])))),
+        |           (a, x) -> a + x) AS tae,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT), test),
+        |           (a, x) -> a + x) AS vol
+        |  FROM fit
+        |)
+        |SELECT event_type, n_train, CAST(7 AS BIGINT) AS n_test,
+        |       floor(level * 10000) / 10000 AS level,
+        |       floor(trend * 10000) / 10000 AS trend,
+        |       floor(tae * 10000) / 10000 AS total_abs_err,
+        |       floor(tae / 7 * 10000) / 10000 AS mae,
+        |       floor(tae / CAST(vol AS DOUBLE) * 1000000) / 1000000 AS wape
+        |FROM sc ORDER BY event_type""".stripMargin) { (s, d) =>
+      val f = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(expr("transform(sort_array(collect_list(struct(day, n))), "
+          + "e -> e.n)").as("ys"))
+        .where(size(col("ys")) >= 22)
+        .select(col("event_type"),
+          (size(col("ys")) - 7).cast("long").as("n_train"),
+          expr("slice(ys, 1, size(ys) - 7)").as("train"),
+          expr("slice(ys, size(ys) - 6, 7)").as("test"))
+      val ini = f.select(col("event_type"), col("n_train"), col("train"),
+        col("test"),
+        expr(
+          """CAST(element_at(train, 1) + element_at(train, 2)
+            |  + element_at(train, 3) + element_at(train, 4)
+            |  + element_at(train, 5) + element_at(train, 6)
+            |  + element_at(train, 7) AS DOUBLE) / 7""".stripMargin).as("l0"),
+        expr(
+          """(CAST(element_at(train, 8) + element_at(train, 9)
+            |   + element_at(train, 10) + element_at(train, 11)
+            |   + element_at(train, 12) + element_at(train, 13)
+            |   + element_at(train, 14) AS DOUBLE) / 7
+            | - CAST(element_at(train, 1) + element_at(train, 2)
+            |   + element_at(train, 3) + element_at(train, 4)
+            |   + element_at(train, 5) + element_at(train, 6)
+            |   + element_at(train, 7) AS DOUBLE) / 7) / 7""".stripMargin)
+          .as("b0"))
+      // the recursion step below inlines level' into trend'/season' so
+      // the IEEE op order is explicit (no CSE assumptions), mirroring
+      // the oracle text operator-for-operator
+      val fit = ini.select(col("event_type"), col("n_train"), col("test"),
+        expr(
+          """aggregate(transform(slice(train, 8, size(train) - 7),
+            |    y -> CAST(y AS DOUBLE)),
+            |  concat(array(CAST(7 AS DOUBLE), l0, b0),
+            |         transform(sequence(1, 7), i ->
+            |           CAST(element_at(train, i) AS DOUBLE) - l0)),
+            |  (a, x) -> concat(
+            |    array(
+            |      element_at(a, 1) + CAST(1 AS DOUBLE),
+            |      CAST(0.3 AS DOUBLE)
+            |        * (x - element_at(a, CAST(3 + CAST(element_at(a, 1)
+            |             + CAST(1 AS DOUBLE)
+            |             - 7 * floor((element_at(a, 1) + CAST(1 AS DOUBLE)
+            |                          - 1) / 7) AS INT) AS INT)))
+            |        + CAST(0.7 AS DOUBLE)
+            |          * (element_at(a, 2) + element_at(a, 3)),
+            |      CAST(0.1 AS DOUBLE)
+            |        * (CAST(0.3 AS DOUBLE)
+            |             * (x - element_at(a, CAST(3 + CAST(element_at(a, 1)
+            |                  + CAST(1 AS DOUBLE)
+            |                  - 7 * floor((element_at(a, 1)
+            |                      + CAST(1 AS DOUBLE) - 1) / 7)
+            |                  AS INT) AS INT)))
+            |           + CAST(0.7 AS DOUBLE)
+            |             * (element_at(a, 2) + element_at(a, 3))
+            |           - element_at(a, 2))
+            |        + CAST(0.9 AS DOUBLE) * element_at(a, 3)),
+            |    transform(sequence(1, 7), i ->
+            |      CASE WHEN i = CAST(element_at(a, 1) + CAST(1 AS DOUBLE)
+            |             - 7 * floor((element_at(a, 1) + CAST(1 AS DOUBLE)
+            |                          - 1) / 7) AS BIGINT)
+            |           THEN CAST(0.2 AS DOUBLE)
+            |                  * (x - (CAST(0.3 AS DOUBLE)
+            |                      * (x - element_at(a, CAST(3
+            |                           + CAST(element_at(a, 1)
+            |                           + CAST(1 AS DOUBLE)
+            |                           - 7 * floor((element_at(a, 1)
+            |                               + CAST(1 AS DOUBLE) - 1) / 7)
+            |                           AS INT) AS INT)))
+            |                      + CAST(0.7 AS DOUBLE)
+            |                        * (element_at(a, 2) + element_at(a, 3))))
+            |                + CAST(0.8 AS DOUBLE)
+            |                  * element_at(a, CAST(3
+            |                      + CAST(element_at(a, 1)
+            |                      + CAST(1 AS DOUBLE)
+            |                      - 7 * floor((element_at(a, 1)
+            |                          + CAST(1 AS DOUBLE) - 1) / 7)
+            |                      AS INT) AS INT))
+            |           ELSE element_at(a, CAST(3 + i AS INT))
+            |      END)))""".stripMargin).as("st"))
+      fit.select(col("event_type"), col("n_train"),
+          expr("element_at(st, 2)").as("level"),
+          expr("element_at(st, 3)").as("trend"),
+          expr(
+            """aggregate(transform(sequence(1, 7), h ->
+              |    abs(CAST(element_at(test, CAST(h AS INT)) AS DOUBLE)
+              |        - (element_at(st, 2)
+              |           + CAST(h AS DOUBLE) * element_at(st, 3)
+              |           + element_at(st, CAST(3 + CAST(n_train + h
+              |                - 7 * floor((n_train + h - 1) / 7)
+              |                AS INT) AS INT))))),
+              |  CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
+            .as("tae"),
+          expr("aggregate(test, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("vol"))
+        .select(col("event_type"), col("n_train"), lit(7L).as("n_test"),
+          (floor(col("level") * 10000) / 10000).as("level"),
+          (floor(col("trend") * 10000) / 10000).as("trend"),
+          (floor(col("tae") * 10000) / 10000).as("total_abs_err"),
+          (floor(col("tae") / 7 * 10000) / 10000).as("mae"),
+          (floor(col("tae") / col("vol").cast("double") * 1000000)
+            / 1000000).as("wape"))
+        .orderBy("event_type")
     }
   ) :+ resampleQ
 

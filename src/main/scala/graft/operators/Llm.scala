@@ -1290,6 +1290,56 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // Tokenizer fertility by language (round 8, cont. 6): the standard
+    // tokenizer-efficiency eval a multilingual corpus runs before
+    // training — pieces-per-word ("fertility", Rust et al. 2021) and
+    // chars-per-piece per language. A tokenizer tuned on English
+    // typically shows fertility ~1.1-1.3 on en and 2x+ on zh/de; the
+    // readout decides vocab rebalancing and per-language token budgets
+    // (cost = tokens, not chars). Tokenization = the same [a-z]+|[0-9]+
+    // piece regex as llm_token_count (the engine-portable stand-in for
+    // a trained subword model; llm_bpe_apply is the trained path).
+    // Exact: per-doc piece/word/char counts are integers, per-lang sums
+    // fold map-side, two divisions at display. Plan: one scan, one
+    // bounded groupBy — zero windows, zero joins.
+    Q("llm_tokenizer_fertility",
+      """WITH c AS (
+        |  SELECT lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))
+        |              AS BIGINT) AS p,
+        |         n_chars
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(w) AS BIGINT) AS n_words,
+        |       CAST(sum(p) AS BIGINT) AS n_pieces,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |       floor(CAST(sum(p) AS DOUBLE) / CAST(sum(w) AS BIGINT)
+        |             * 1000000) / 1000000 AS fertility,
+        |       floor(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(p) AS BIGINT)
+        |             * 1000000) / 1000000 AS chars_per_piece
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("w"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+            .cast("long").as("p"),
+          col("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("n_words"),
+          sum(col("p")).as("n_pieces"),
+          sum(col("n_chars")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"),
+          col("n_chars"),
+          (floor(col("n_pieces").cast("double") / col("n_words") * 1000000)
+            / 1000000).as("fertility"),
+          (floor(col("n_chars").cast("double") / col("n_pieces") * 1000000)
+            / 1000000).as("chars_per_piece"))
+        .orderBy("lang")
+    },
+
     // TF-IDF: top-5 characteristic terms per doc. Ranking uses the
     // ROUNDED score (+ token tie-break) so both engines agree on order.
     Q("llm_tfidf",

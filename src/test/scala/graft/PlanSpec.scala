@@ -968,4 +968,21 @@ class PlanSpec extends AnyFunSuite {
         s"$k must not plan a CartesianProduct:\n$p")
     }
   }
+
+  test("cont-6 stats/privacy keys: in-row folds plan ZERO window " +
+    "operators and zero joins") {
+    for (k <- Seq("dq_chi_square_gof", "agg_levene", "etl_changepoint",
+        "agg_bootstrap_ci", "dq_dp_counts", "llm_tokenizer_fertility")) {
+      val p = plan(k)
+      assert(!p.contains("Window"), s"$k must not plan a Window:\n$p")
+      assert(!p.contains("Join"), s"$k must not plan a Join:\n$p")
+    }
+  }
+
+  test("graph_label_propagation: no cartesian, label vector joins are " +
+    "hash-partitioned (no broadcast of the SF-linear label frame)") {
+    val p = plan("graph_label_propagation")
+    assert(!p.contains("CartesianProduct"),
+      s"must not plan a CartesianProduct:\n$p")
+  }
 }
