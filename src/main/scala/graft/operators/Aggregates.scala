@@ -3184,6 +3184,129 @@ object Aggregates {
           (col("n") + col("noise")).as("noisy_count"),
           lit(0.693147).as("epsilon"))
         .orderBy("event_type")
+    },
+
+    // Trimmed + winsorized mean (round 8, cont. 6): the robust-MEAN leg
+    // beside agg_mad_outliers' robust-spread — what is the typical order
+    // value once the tails can't vote? Value-banded at the exact
+    // quantile_disc elements p10/p90 (trim = drop outside [lo, hi],
+    // winsorize = clamp into it) — value-banded rather than rank-banded
+    // so the definition is reproducible under ties and the thresholds
+    // are REUSABLE constants downstream. The thresholds come from
+    // RankFence.quantilesFenced under the (o_totalprice, o_orderkey)
+    // total order — the agg_percentiles_fenced machinery on the orders
+    // fact, NO global sort — and the oracle replays the identical
+    // max(1, ceil(q*n)) rank arithmetic. Money sums go through
+    // DECIMAL(18,4) (order-independent exactness); one division per
+    // display. Plan: fence passes + ONE map-side clamp/filter scan into
+    // a single-row aggregate — zero windows in the declared plan.
+    Q("agg_trimmed_mean",
+      """WITH r AS (
+        |  SELECT o_totalprice,
+        |         row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+        |           AS rn,
+        |         CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM orders
+        |), th AS (
+        |  SELECT
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(10 / 100.0 * n)
+        |                                        AS BIGINT))
+        |             THEN o_totalprice END) AS lo,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(90 / 100.0 * n)
+        |                                        AS BIGINT))
+        |             THEN o_totalprice END) AS hi
+        |  FROM r
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, lo, hi,
+        |         CAST(count(*) FILTER (WHERE o_totalprice >= lo
+        |                                 AND o_totalprice <= hi)
+        |              AS BIGINT) AS n_kept,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |              FILTER (WHERE o_totalprice >= lo
+        |                        AND o_totalprice <= hi) AS DOUBLE)
+        |           AS sum_kept,
+        |         CAST(sum(CAST(least(greatest(o_totalprice, lo), hi)
+        |                       AS DECIMAL(18,4))) AS DOUBLE) AS sum_wins
+        |  FROM orders CROSS JOIN th GROUP BY lo, hi
+        |)
+        |SELECT n, lo AS p10, hi AS p90, n_kept,
+        |       floor(sum_kept / n_kept * 1000000) / 1000000
+        |         AS trimmed_mean,
+        |       floor(sum_wins / n * 1000000) / 1000000 AS winsorized_mean
+        |FROM agg""".stripMargin) { (s, d) =>
+      val th = RankFence.quantilesFenced(
+        t(s, d, "orders").select(col("o_totalprice"), col("o_orderkey")),
+        Seq(RankFence.OrderCol("o_totalprice"),
+          RankFence.OrderCol("o_orderkey")),
+        Seq(10 / 100.0, 90 / 100.0))
+      val lo = th(0)._3.asInstanceOf[Number].doubleValue
+      val hi = th(1)._3.asInstanceOf[Number].doubleValue
+      val kept = col("o_totalprice") >= lo && col("o_totalprice") <= hi
+      t(s, d, "orders")
+        .agg(count(lit(1)).as("n"),
+          count(when(kept, 1)).as("n_kept"),
+          sum(when(kept, col("o_totalprice").cast("decimal(18,4)")))
+            .cast("double").as("sum_kept"),
+          sum(least(greatest(col("o_totalprice"), lit(lo)), lit(hi))
+            .cast("decimal(18,4)")).cast("double").as("sum_wins"))
+        .select(col("n"), lit(lo).as("p10"), lit(hi).as("p90"),
+          col("n_kept"),
+          (floor(col("sum_kept") / col("n_kept") * 1000000) / 1000000)
+            .as("trimmed_mean"),
+          (floor(col("sum_wins") / col("n") * 1000000) / 1000000)
+            .as("winsorized_mean"))
+    },
+
+    // DAU/MAU stickiness (round 8, cont. 6): per day, the active-user
+    // count, the trailing-28-day distinct-user count, and their ratio —
+    // THE product-engagement readout (how much of the monthly audience
+    // shows up daily) beside etl_churn_daily's flow view. The MAU is
+    // computed WITHOUT a distinct-over-range window (no engine does
+    // that efficiently): each (user, day) observation explodes
+    // arithmetically into the <=28 future report days it keeps the user
+    // active for, then ONE (day, user) distinct + count — a map-side
+    // *28 fan-out of the already-deduplicated user-day frame, the shape
+    // that survives 100 TB (fan-out bounded by the window length, never
+    // by the data). The bounded observed-days frame broadcast-semi-joins
+    // away phantom days past the horizon.
+    Q("etl_dau_mau",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), days AS (
+        |  SELECT DISTINCT day FROM ud
+        |)
+        |SELECT d.day,
+        |       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM ud
+        |        WHERE ud.day = d.day) AS dau,
+        |       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM ud
+        |        WHERE ud.day BETWEEN d.day - 27 AND d.day) AS mau28,
+        |       floor((SELECT CAST(count(DISTINCT user_id) AS DOUBLE)
+        |              FROM ud WHERE ud.day = d.day)
+        |             / (SELECT count(DISTINCT user_id) FROM ud
+        |                WHERE ud.day BETWEEN d.day - 27 AND d.day)
+        |             * 1000000) / 1000000 AS stickiness
+        |FROM days d ORDER BY d.day""".stripMargin) { (s, d) =>
+      val ud = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .persist() // referenced by dau, the mau fan-out, and days
+      val days = ud.select("day").distinct()
+      val dau = ud.groupBy("day")
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val mau = ud
+        .select(col("user_id"),
+          explode(expr(
+            "sequence(day, date_add(day, 27), interval 1 day)"))
+            .as("day"))
+        .join(broadcast(days), Seq("day"), "left_semi")
+        .distinct()
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("mau28"))
+      dau.join(mau, Seq("day"))
+        .select(col("day"), col("dau"), col("mau28"),
+          (floor(col("dau").cast("double") / col("mau28") * 1000000)
+            / 1000000).as("stickiness"))
+        .orderBy("day")
     }
   )
 }

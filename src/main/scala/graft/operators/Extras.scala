@@ -916,6 +916,99 @@ object Extras {
         .orderBy("community_size")
     },
 
+    // Harmonic centrality, 3-hop bounded (round 8, cont. 6): for the 8
+    // highest-degree hubs of the Jan-1997 co-order graph, how REACHABLE
+    // is the rest of the graph — harmonic_3 = n1 + n2/2 + n3/3
+    // (Boldi & Vigna 2014's harmonic variant of closeness, which a
+    // degree count alone misranks: a hub inside a dense clique can reach
+    // less at 3 hops than a moderate-degree bridge). Hop-BOUNDED because
+    // exact all-pairs closeness is O(V·E); bounded multi-source BFS from
+    // a fixed seed set is the shape that survives 100 TB (frontier
+    // frames ≤ seeds × nodes, three rounds, each ONE join + one
+    // anti-join against the visited set — the graph_bfs loop run 8-wide
+    // simultaneously). Exact: 6·harmonic = 6n1 + 3n2 + 2n3 is an exact
+    // BIGINT; one division at display. Seeds tie-break to the smallest
+    // node; the oracle replays hops as chained EXCEPT CTEs.
+    Q("graph_harmonic",
+      """WITH lp AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-02-01'
+        |), e0 AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+        |), edges AS (
+        |  SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+        |), deg AS (
+        |  SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+        |  FROM edges GROUP BY a
+        |), seeds AS (
+        |  SELECT node, degree FROM (
+        |    SELECT node, degree,
+        |           row_number() OVER (ORDER BY degree DESC, node) AS rn
+        |    FROM deg) WHERE rn <= 8
+        |), d1 AS (
+        |  SELECT DISTINCT s.node AS seed, e.b AS node
+        |  FROM seeds s JOIN edges e ON e.a = s.node
+        |), d2 AS (
+        |  SELECT DISTINCT d.seed, e.b AS node
+        |  FROM d1 d JOIN edges e ON e.a = d.node
+        |  EXCEPT SELECT seed, node FROM d1
+        |  EXCEPT SELECT node AS seed, node FROM seeds
+        |), d3 AS (
+        |  SELECT DISTINCT d.seed, e.b AS node
+        |  FROM d2 d JOIN edges e ON e.a = d.node
+        |  EXCEPT SELECT seed, node FROM d2
+        |  EXCEPT SELECT seed, node FROM d1
+        |  EXCEPT SELECT node AS seed, node FROM seeds
+        |), h AS (
+        |  SELECT s.node, s.degree,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM d1
+        |          WHERE d1.seed = s.node) AS n1,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM d2
+        |          WHERE d2.seed = s.node) AS n2,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM d3
+        |          WHERE d3.seed = s.node) AS n3
+        |  FROM seeds s
+        |)
+        |SELECT node, degree, n1, n2, n3,
+        |       floor(CAST(6 * n1 + 3 * n2 + 2 * n3 AS DOUBLE) / 6
+        |             * 1000000) / 1000000 AS harmonic3
+        |FROM h ORDER BY node""".stripMargin) { (s, d) =>
+      val e = symmetrize(coOrderEdges(s, d, "1997-01-01", "1997-02-01"))
+        .repartition(col("a")).localCheckpoint()
+      val deg = e.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("degree"))
+      val seeds = deg.orderBy(col("degree").desc, col("node")).limit(8)
+        .localCheckpoint()
+      var visited = seeds
+        .select(col("node").as("seed"), col("node"), lit(0).as("dist"))
+      var frontier = visited
+      for (h <- 1 to 3) {
+        val nxt = frontier.join(e, frontier("node") === e("a"))
+          .select(col("seed"), e("b").as("nx")).distinct()
+          .withColumnRenamed("nx", "node")
+        frontier = nxt
+          .join(visited.select("seed", "node"), Seq("seed", "node"),
+            "left_anti")
+          .withColumn("dist", lit(h)).localCheckpoint()
+        visited = visited.unionByName(frontier).localCheckpoint()
+      }
+      val counts = visited.where(col("dist") > 0)
+        .groupBy("seed")
+        .agg(sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("dist") === 3, 1L).otherwise(0L)).as("n3"))
+      seeds.join(broadcast(counts), seeds("node") === counts("seed"))
+        .select(col("node"), col("degree"),
+          col("n1"), col("n2"), col("n3"),
+          (floor((lit(6) * col("n1") + lit(3) * col("n2")
+            + lit(2) * col("n3")).cast("double") / 6 * 1000000) / 1000000)
+            .as("harmonic3"))
+        .orderBy("node")
+    },
+
     // Degree distribution (round 5, continued) — the graph-profile
     // report (how skewed is this graph?) that decides whether the
     // id-oriented triangle plan is safe or the degree-oriented one is
