@@ -714,6 +714,76 @@ object ScaleSmoke {
       n
     }
 
+    // Synchronous LPA at the same 20M-edge scale (round 8, cont. 6): the
+    // REAL operators.Extras.labelPropagation. Each of the 3 rounds is one
+    // label-vector shuffle + one (node, label) count against the
+    // once-partitioned edge frame — the measurement is that round cost
+    // stays flat (the CC-loop posture) and the label vector stays exactly
+    // node-sized. On a random ~20-regular graph LPA floods toward few
+    // giant labels fast; the require pins the vector size (a broken
+    // argmax pick would drop or duplicate nodes first).
+    time("lpa 20M edges x3 rounds") {
+      val m = 1000000L
+      val e = spark.range(10000000L).select(
+        pmod(xxhash64(col("id")), lit(m)).as("a"),
+        pmod(xxhash64(col("id"), lit(1)), lit(m)).as("b"))
+      val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      val labels = operators.Extras.labelPropagation(sym, rounds = 3)
+      val row = labels.agg(count(lit(1)), countDistinct(col("label"))).head()
+      val (nodes, comms) = (row.getLong(0), row.getLong(1))
+      spark.catalog.clearCache()
+      require(nodes > 999000L && nodes <= m,
+        s"label vector must stay node-sized ($nodes)")
+      require(comms >= 1L && comms < nodes,
+        s"LPA must coarsen the id partition ($comms)")
+      nodes
+    }
+
+    // Multi-source hop-bounded BFS (round 8, cont. 6): the REAL
+    // operators.Extras.multiSourceDistances — graph_harmonic's engine —
+    // from 8 seeds over the same 20M-edge graph. Frontier ≈ ×20 per hop
+    // per seed (8 → 160 → 3.2k → 64k rows); the measurement is that the
+    // 8-wide run pays the SAME three join+anti-join rounds as one seed
+    // (seed-count rides the rows, not the stage count).
+    time("harmonic bfs 8x 20M edges 3h") {
+      val m = 1000000L
+      val e = spark.range(10000000L).select(
+        pmod(xxhash64(col("id")), lit(m)).as("a"),
+        pmod(xxhash64(col("id"), lit(1)), lit(m)).as("b"))
+      val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      val seeds = sym.select(col("a").as("node")).distinct()
+        .orderBy(col("node")).limit(8)
+      val d = operators.Extras.multiSourceDistances(sym, seeds, maxHops = 3)
+        .count()
+      spark.catalog.clearCache()
+      // each 3-ball on a ~20-regular graph reaches ~8k nodes; 8 seeds
+      // far below 8×5k means a frontier join went dark
+      require(d > 40000L, s"3-hop balls too small ($d)")
+      d
+    }
+
+    // DAU/MAU stickiness at 60M events (round 8, cont. 6): the declared
+    // etl_dau_mau plan shape — deduplicated (user, day) frame (30k users
+    // × 30 days = 900k rows) explodes arithmetically ×28 into report
+    // days, one distinct + count. The measurement: the fan-out stage is
+    // map-side (never an extra shuffle), and total cost is dominated by
+    // the first user-day distinct of the 60M fact, not the ×28.
+    time("dau/mau 60M events") {
+      val ud = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct().persist()
+      val days = ud.select("day").distinct()
+      val mau = ud.select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 27), interval 1 day)"))
+            .as("day"))
+        .join(broadcast(days), Seq("day"), "left_semi")
+        .distinct()
+        .groupBy("day").agg(countDistinct(col("user_id")).as("mau28"))
+      val n = mau.count()
+      ud.unpersist(blocking = false)
+      require(n >= 29L && n <= 31L, s"expected ~30 report days ($n)")
+      n
+    }
+
     // Zipf(1.1) user ids — real CommCare-like workloads are Zipfian, not
     // uniform: inverse-CDF of the continuous Zipf over N=30k users, so the
     // hottest user owns ~10% of all 60M events (~6.2M rows in ONE window

@@ -895,22 +895,10 @@ object Extras {
         |SELECT sz AS community_size,
         |       CAST(count(*) AS BIGINT) AS n_communities
         |FROM comm GROUP BY sz ORDER BY sz""".stripMargin) { (s, d) =>
-      val e = symmetrize(coOrderEdges(s, d, "1997-01-01", "1997-02-01"))
-        .repartition(col("b")).localCheckpoint()
-      var labels = e.select(col("a").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
-        .localCheckpoint()
-      for (_ <- 1 to 3) {
-        labels = e.join(labels, e("b") === labels("node"))
-          .groupBy(e("a").as("n"), labels("label").as("lbl"))
-          .agg(count(lit(1)).as("cnt"))
-          .groupBy(col("n"))
-          .agg(max(struct(col("cnt").as("c"), (-col("lbl")).as("nl")))
-            .as("m"))
-          .select(col("n").as("node"), (-col("m.nl")).as("label"))
-          .localCheckpoint()
-      }
-      labels.groupBy("label").agg(count(lit(1)).as("sz"))
+      labelPropagation(
+          symmetrize(coOrderEdges(s, d, "1997-01-01", "1997-02-01")),
+          rounds = 3)
+        .groupBy("label").agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("community_size"))
         .agg(count(lit(1)).as("n_communities"))
         .orderBy("community_size")
@@ -982,20 +970,7 @@ object Extras {
         .agg(count(lit(1)).as("degree"))
       val seeds = deg.orderBy(col("degree").desc, col("node")).limit(8)
         .localCheckpoint()
-      var visited = seeds
-        .select(col("node").as("seed"), col("node"), lit(0).as("dist"))
-      var frontier = visited
-      for (h <- 1 to 3) {
-        val nxt = frontier.join(e, frontier("node") === e("a"))
-          .select(col("seed"), e("b").as("nx")).distinct()
-          .withColumnRenamed("nx", "node")
-        frontier = nxt
-          .join(visited.select("seed", "node"), Seq("seed", "node"),
-            "left_anti")
-          .withColumn("dist", lit(h)).localCheckpoint()
-        visited = visited.unionByName(frontier).localCheckpoint()
-      }
-      val counts = visited.where(col("dist") > 0)
+      val counts = multiSourceDistances(e, seeds.select("node"), maxHops = 3)
         .groupBy("seed")
         .agg(sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n1"),
           sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n2"),
@@ -1397,6 +1372,62 @@ object Extras {
       visited = visited.unionAll(frontier)
     }
     visited
+  }
+
+  /** Deterministic synchronous label propagation (Raghavan et al. 2007)
+    * over a SYMMETRIZED (a, b) edge frame: `rounds` rounds, every node
+    * simultaneously adopts the most frequent label among its neighbors,
+    * ties to the SMALLEST label (max(struct(cnt, −label)) — total order).
+    * Returns (node, label). The fixed round budget IS the semantics:
+    * synchronous LPA can 2-cycle on bipartite-ish regions, so a
+    * convergence loop would not terminate there.
+    *
+    * Scale shape: edge frame repartitioned on the probe side +
+    * checkpointed ONCE; per round one label-vector shuffle against it +
+    * one (node, label) count; labels localCheckpointed per round (flat
+    * lineage, the CC-loop posture).
+    */
+  def labelPropagation(edgesSym: DataFrame, rounds: Int): DataFrame = {
+    val e = edgesSym.repartition(col("b")).localCheckpoint()
+    var labels = e.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels, e("b") === labels("node"))
+        .groupBy(e("a").as("n"), labels("label").as("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("n"))
+        .agg(max(struct(col("cnt").as("c"), (-col("lbl")).as("nl")))
+          .as("m"))
+        .select(col("n").as("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Multi-source hop-bounded BFS distances over a SYMMETRIZED (a, b)
+    * edge frame: the [[bfs]] loop run seed-wide — per hop ONE
+    * frontier⋈edges join + one anti-join against the per-seed visited
+    * set; frontier size ≤ seeds × nodes. `seeds` must have a `node`
+    * column. Returns (seed, node, dist) for dist in 1..maxHops.
+    */
+  def multiSourceDistances(
+      edgesSym: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edgesSym.repartition(col("a")).localCheckpoint()
+    var visited = seeds
+      .select(col("node").as("seed"), col("node"), lit(0).as("dist"))
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      val nxt = frontier.join(e, frontier("node") === e("a"))
+        .select(col("seed"), e("b").as("nx")).distinct()
+        .withColumnRenamed("nx", "node")
+      frontier = nxt
+        .join(visited.select("seed", "node"), Seq("seed", "node"),
+          "left_anti")
+        .withColumn("dist", lit(h)).localCheckpoint()
+      visited = visited.unionByName(frontier).localCheckpoint()
+    }
+    visited.where(col("dist") > 0)
   }
 
   /** Symmetrize an oriented edge frame (a, b) → both directions in ONE
