@@ -3257,6 +3257,91 @@ object Aggregates {
             .as("winsorized_mean"))
     },
 
+    // Cohen's d effect size (round 8, cont. 6): the MAGNITUDE companion
+    // to etl_ab_ttest's significance — a t-test on fact-scale n flags
+    // differences too small to matter; d = (mean_A - mean_B)/s_pooled
+    // (with the Hedges' g small-sample correction) is what a rollout
+    // decision actually reads. Framing: first half of the month (days
+    // 1-14) vs second half (15-28) of daily revenue per event_type.
+    // Exact: daily cents are BIGINTs, both per-group variance numerators
+    // n*Sxx - S*S are exact BIGINTs (overflow ~3e9 cents/day: DECIMAL
+    // dial), so s_pooled and d assemble from exact integers in identical
+    // IEEE order with one sqrt at the end. Plan: one fact scan, bounded
+    // (type, half) groupBy, in-row assembly — zero windows, zero joins.
+    Q("agg_cohens_d",
+      """WITH d AS (
+        |  SELECT event_type, CAST(day(ts) AS BIGINT) AS dom,
+        |         CASE WHEN day(ts) <= 14 THEN 'a' ELSE 'b' END AS half,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS c
+        |  FROM events WHERE value IS NOT NULL AND day(ts) <= 28
+        |  GROUP BY 1, 2, 3
+        |), g AS (
+        |  SELECT event_type,
+        |         CAST(count(*) FILTER (WHERE half = 'a') AS BIGINT) AS na,
+        |         CAST(count(*) FILTER (WHERE half = 'b') AS BIGINT) AS nb,
+        |         CAST(sum(c) FILTER (WHERE half = 'a') AS BIGINT) AS sa,
+        |         CAST(sum(c) FILTER (WHERE half = 'b') AS BIGINT) AS sb,
+        |         CAST(sum(c * c) FILTER (WHERE half = 'a') AS BIGINT)
+        |           AS qa,
+        |         CAST(sum(c * c) FILTER (WHERE half = 'b') AS BIGINT)
+        |           AS qb
+        |  FROM d GROUP BY event_type
+        |), e AS (
+        |  SELECT event_type, na, nb,
+        |         CAST(sa AS DOUBLE) / na / 100 AS mean_a,
+        |         CAST(sb AS DOUBLE) / nb / 100 AS mean_b,
+        |         (CAST(na * qa - sa * sa AS DOUBLE) / na
+        |          + CAST(nb * qb - sb * sb AS DOUBLE) / nb)
+        |           / (na + nb - 2) AS s2p
+        |  FROM g WHERE na >= 2 AND nb >= 2
+        |)
+        |SELECT event_type, na, nb,
+        |       floor(mean_a * 1000000) / 1000000 AS mean_a,
+        |       floor(mean_b * 1000000) / 1000000 AS mean_b,
+        |       CASE WHEN s2p = 0 THEN NULL
+        |            ELSE floor((mean_a - mean_b) * 100 / sqrt(s2p)
+        |                       * 1000000) / 1000000 END AS cohens_d,
+        |       CASE WHEN s2p = 0 THEN NULL
+        |            ELSE floor((mean_a - mean_b) * 100 / sqrt(s2p)
+        |                       * (1 - CAST(3 AS DOUBLE)
+        |                              / (4 * (na + nb) - 9))
+        |                       * 1000000) / 1000000 END AS hedges_g
+        |FROM e ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dd = t(s, d, "events")
+        .where(col("value").isNotNull && dayofmonth(col("ts")) <= 28)
+        .groupBy(col("event_type"),
+          dayofmonth(col("ts")).cast("long").as("dom"),
+          when(dayofmonth(col("ts")) <= 14, "a").otherwise("b").as("half"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      val g = dd.groupBy("event_type")
+        .agg(count(when(col("half") === "a", 1)).as("na"),
+          count(when(col("half") === "b", 1)).as("nb"),
+          sum(when(col("half") === "a", col("c"))).as("sa"),
+          sum(when(col("half") === "b", col("c"))).as("sb"),
+          sum(when(col("half") === "a", col("c") * col("c"))).as("qa"),
+          sum(when(col("half") === "b", col("c") * col("c"))).as("qb"))
+        .where(col("na") >= 2 && col("nb") >= 2)
+      val meanA = col("sa").cast("double") / col("na") / 100
+      val meanB = col("sb").cast("double") / col("nb") / 100
+      val s2p = (((col("na") * col("qa") - col("sa") * col("sa"))
+        .cast("double") / col("na")
+        + (col("nb") * col("qb") - col("sb") * col("sb"))
+          .cast("double") / col("nb")) / (col("na") + col("nb") - 2))
+      g.select(col("event_type"), col("na"), col("nb"),
+          (floor(meanA * 1000000) / 1000000).as("mean_a"),
+          (floor(meanB * 1000000) / 1000000).as("mean_b"),
+          when(s2p === 0, lit(null))
+            .otherwise(floor((meanA - meanB) * 100 / sqrt(s2p) * 1000000)
+              / 1000000).as("cohens_d"),
+          when(s2p === 0, lit(null))
+            .otherwise(floor((meanA - meanB) * 100 / sqrt(s2p)
+              * (lit(1) - lit(3).cast("double")
+                / (lit(4) * (col("na") + col("nb")) - 9)) * 1000000)
+              / 1000000).as("hedges_g"))
+        .orderBy("event_type")
+    },
+
     // DAU/MAU stickiness (round 8, cont. 6): per day, the active-user
     // count, the trailing-28-day distinct-user count, and their ratio —
     // THE product-engagement readout (how much of the monthly audience

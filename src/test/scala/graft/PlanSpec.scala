@@ -972,7 +972,8 @@ class PlanSpec extends AnyFunSuite {
   test("cont-6 stats/privacy keys: in-row folds plan ZERO window " +
     "operators and zero joins") {
     for (k <- Seq("dq_chi_square_gof", "agg_levene", "etl_changepoint",
-        "agg_bootstrap_ci", "dq_dp_counts", "llm_tokenizer_fertility")) {
+        "agg_bootstrap_ci", "dq_dp_counts", "llm_tokenizer_fertility",
+        "agg_cohens_d")) {
       val p = plan(k)
       assert(!p.contains("Window"), s"$k must not plan a Window:\n$p")
       assert(!p.contains("Join"), s"$k must not plan a Join:\n$p")
