@@ -290,4 +290,55 @@ class ComponentsSpec extends AnyFunSuite {
       s"regular bipartite graph must be uniform per side: h=$h a=$a")
     spark.catalog.clearCache()
   }
+
+  test("labelPropagation: disjoint triangles each flood to one label; " +
+    "the label vector stays node-sized (r8 cont. 6)") {
+    val e0 = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val sym = e0.unionByName(e0.select($"b".as("a"), $"a".as("b")))
+    val got = operators.Extras.labelPropagation(sym, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    // on a triangle, round 1 maps each node to its min NEIGHBOR label,
+    // round 2 floods the component minimum everywhere, round 3 is stable
+    assert(Set(1L, 2L, 3L).map(got) == Set(1L),
+      s"triangle A must flood to label 1: $got")
+    assert(Set(10L, 11L, 12L).map(got) == Set(10L),
+      s"triangle B must flood to label 10: $got")
+    spark.catalog.clearCache()
+  }
+
+  test("labelPropagation: synchronous rounds replay EXACTLY (a 2-cycle " +
+    "graph does not converge — the fixed budget is the semantics)") {
+    // two nodes joined by one edge swap labels every synchronous round:
+    // after an odd round count each holds the OTHER's id
+    val e0 = Seq((1L, 2L)).toDF("a", "b")
+    val sym = e0.unionByName(e0.select($"b".as("a"), $"a".as("b")))
+    val odd = operators.Extras.labelPropagation(sym, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(odd == Map(1L -> 2L, 2L -> 1L), s"odd rounds must swap: $odd")
+    val even = operators.Extras.labelPropagation(sym, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(even == Map(1L -> 1L, 2L -> 2L),
+      s"even rounds must restore: $even")
+    spark.catalog.clearCache()
+  }
+
+  test("multiSourceDistances: exact hop distances on a path, per seed " +
+    "(r8 cont. 6)") {
+    // path 1-2-3-4-5-6, seeds {1, 4}, 3 hops
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val sym = e0.unionByName(e0.select($"b".as("a"), $"a".as("b")))
+    val seeds = Seq(1L, 4L).toDF("node")
+    val got = operators.Extras.multiSourceDistances(sym, seeds, maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    val want = Map(
+      (1L, 2L) -> 1, (1L, 3L) -> 2, (1L, 4L) -> 3,
+      (4L, 3L) -> 1, (4L, 5L) -> 1, (4L, 2L) -> 2, (4L, 6L) -> 2,
+      (4L, 1L) -> 3)
+    assert(got == want, s"got $got")
+    spark.catalog.clearCache()
+  }
 }
