@@ -3342,6 +3342,195 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Multiple OLS regression (round 8, cont. 6): daily revenue on
+    // daily volume AND day index per event_type — the 2-regressor step
+    // beyond agg_regression's simple OLS, separating "more events buy
+    // more revenue" from calendar drift (omitted-variable bias the
+    // simple slope conflates). Solved by the CENTERED normal equations
+    // with Cramer's rule: S_ij = n*Sum(x_i x_j) - Sum(x_i)Sum(x_j) are
+    // exact BIGINTs; the four b-numerator/denominator PRODUCTS (e.g.
+    // S22*S1y) can reach ~1e20, so exactly those products compute in
+    // DECIMAL(38,0) (oracle: HUGEINT) before ONE double division each —
+    // both engines round the same exact integer to double. R² =
+    // (b1*S1y + b2*S2y)/Syy from the same moments, identical IEEE
+    // order. Plan: one fact scan, bounded (type, day) groupBy, one
+    // moment aggregate, in-row assembly — zero windows/joins.
+    Q("agg_regression_multi",
+      """WITH d AS (
+        |  SELECT event_type, CAST(day(ts) AS BIGINT) AS x2,
+        |         CAST(count(*) AS BIGINT) AS x1,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x1) AS BIGINT) AS t1,
+        |         CAST(sum(x2) AS BIGINT) AS t2,
+        |         CAST(sum(y) AS BIGINT) AS ty,
+        |         CAST(sum(x1 * x1) AS BIGINT) AS q11,
+        |         CAST(sum(x1 * x2) AS BIGINT) AS q12,
+        |         CAST(sum(x2 * x2) AS BIGINT) AS q22,
+        |         CAST(sum(x1 * y) AS BIGINT) AS q1y,
+        |         CAST(sum(x2 * y) AS BIGINT) AS q2y,
+        |         CAST(sum(y * y) AS BIGINT) AS qyy
+        |  FROM d GROUP BY event_type
+        |), s AS (
+        |  SELECT event_type, n, t1, t2, ty,
+        |         n * q11 - t1 * t1 AS s11,
+        |         n * q12 - t1 * t2 AS s12,
+        |         n * q22 - t2 * t2 AS s22,
+        |         n * q1y - t1 * ty AS s1y,
+        |         n * q2y - t2 * ty AS s2y,
+        |         n * qyy - ty * ty AS syy
+        |  FROM m WHERE n >= 3
+        |), b AS (
+        |  SELECT event_type, n, t1, t2, ty, s1y, s2y, syy,
+        |         CAST(s11 AS HUGEINT) * CAST(s22 AS HUGEINT)
+        |           - CAST(s12 AS HUGEINT) * CAST(s12 AS HUGEINT) AS den,
+        |         CAST(s22 AS HUGEINT) * CAST(s1y AS HUGEINT)
+        |           - CAST(s12 AS HUGEINT) * CAST(s2y AS HUGEINT) AS nb1,
+        |         CAST(s11 AS HUGEINT) * CAST(s2y AS HUGEINT)
+        |           - CAST(s12 AS HUGEINT) * CAST(s1y AS HUGEINT) AS nb2
+        |  FROM s
+        |), r AS (
+        |  SELECT event_type, n, syy, s1y, s2y,
+        |         CAST(nb1 AS DOUBLE) / CAST(den AS DOUBLE) AS b1,
+        |         CAST(nb2 AS DOUBLE) / CAST(den AS DOUBLE) AS b2,
+        |         CAST(ty AS DOUBLE) AS tyd, CAST(t1 AS DOUBLE) AS t1d,
+        |         CAST(t2 AS DOUBLE) AS t2d
+        |  FROM b WHERE den <> 0
+        |)
+        |SELECT event_type, n AS n_days,
+        |       floor(b1 / 100 * 1000000) / 1000000 AS b_volume,
+        |       floor(b2 / 100 * 1000000) / 1000000 AS b_day,
+        |       floor((tyd - b1 * t1d - b2 * t2d) / n / 100 * 1000000)
+        |         / 1000000 AS intercept,
+        |       CASE WHEN syy = 0 THEN NULL
+        |            ELSE floor((b1 * CAST(s1y AS DOUBLE)
+        |                        + b2 * CAST(s2y AS DOUBLE))
+        |                       / CAST(syy AS DOUBLE) * 1000000) / 1000000
+        |       END AS r2
+        |FROM r ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dd = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          dayofmonth(col("ts")).cast("long").as("x2"))
+        .agg(count(lit(1)).as("x1"),
+          sum(round(col("value") * 100).cast("long")).as("y"))
+      val m = dd.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x1")).as("t1"), sum(col("x2")).as("t2"),
+          sum(col("y")).as("ty"),
+          sum(col("x1") * col("x1")).as("q11"),
+          sum(col("x1") * col("x2")).as("q12"),
+          sum(col("x2") * col("x2")).as("q22"),
+          sum(col("x1") * col("y")).as("q1y"),
+          sum(col("x2") * col("y")).as("q2y"),
+          sum(col("y") * col("y")).as("qyy"))
+        .where(col("n") >= 3)
+      val dec = "decimal(38,0)"
+      val withS = m.select(col("event_type"), col("n"), col("t1"),
+        col("t2"), col("ty"),
+        (col("n") * col("q11") - col("t1") * col("t1")).as("s11"),
+        (col("n") * col("q12") - col("t1") * col("t2")).as("s12"),
+        (col("n") * col("q22") - col("t2") * col("t2")).as("s22"),
+        (col("n") * col("q1y") - col("t1") * col("ty")).as("s1y"),
+        (col("n") * col("q2y") - col("t2") * col("ty")).as("s2y"),
+        (col("n") * col("qyy") - col("ty") * col("ty")).as("syy"))
+      val den = col("s11").cast(dec) * col("s22").cast(dec) -
+        col("s12").cast(dec) * col("s12").cast(dec)
+      val nb1 = col("s22").cast(dec) * col("s1y").cast(dec) -
+        col("s12").cast(dec) * col("s2y").cast(dec)
+      val nb2 = col("s11").cast(dec) * col("s2y").cast(dec) -
+        col("s12").cast(dec) * col("s1y").cast(dec)
+      val r = withS.where(den =!= 0)
+        .select(col("event_type"), col("n"), col("syy"), col("s1y"),
+          col("s2y"),
+          (nb1.cast("double") / den.cast("double")).as("b1"),
+          (nb2.cast("double") / den.cast("double")).as("b2"),
+          col("ty").cast("double").as("tyd"),
+          col("t1").cast("double").as("t1d"),
+          col("t2").cast("double").as("t2d"))
+      r.select(col("event_type"), col("n").as("n_days"),
+          (floor(col("b1") / 100 * 1000000) / 1000000).as("b_volume"),
+          (floor(col("b2") / 100 * 1000000) / 1000000).as("b_day"),
+          (floor((col("tyd") - col("b1") * col("t1d")
+            - col("b2") * col("t2d")) / col("n") / 100 * 1000000)
+            / 1000000).as("intercept"),
+          when(col("syy") === 0, lit(null))
+            .otherwise(floor((col("b1") * col("s1y").cast("double")
+              + col("b2") * col("s2y").cast("double"))
+              / col("syy").cast("double") * 1000000) / 1000000).as("r2"))
+        .orderBy("event_type")
+    },
+
+    // Herfindahl-Hirschman concentration index (round 8, cont. 6): how
+    // concentrated is revenue across customers — the market/mix
+    // concentration readout (HHI, its n-adjusted normalization, and the
+    // CR10 top-10 share) a marketplace/risk review runs beside
+    // etl_pareto_revenue's full curve. Exact: per-customer revenue folds
+    // to BIGINT cents (round-the-value, the money invariant), Σc² runs
+    // in DECIMAL(38,0) (oracle HUGEINT — BIGINT would overflow past
+    // ~3e18 at ~100× this SF), and HHI = Σc²/S² divides exact integers
+    // once. CR10's top-10 sum is tie-insensitive (equal boundary values
+    // sum the same), so no tie-break is needed. Plan: one fact scan →
+    // customer groupBy → single-row reduce + TakeOrderedAndProject
+    // top-10 — no window, no global sort.
+    Q("agg_hhi",
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |         CAST(sum(cents) AS BIGINT) AS s,
+        |         CAST(sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+        |              AS HUGEINT) AS q
+        |  FROM c
+        |), top AS (
+        |  SELECT CAST(sum(cents) AS BIGINT) AS top10 FROM (
+        |    SELECT cents FROM c ORDER BY cents DESC LIMIT 10)
+        |)
+        |SELECT n_customers,
+        |       floor(CAST(s AS DOUBLE) / 100 * 100) / 100
+        |         AS total_revenue,
+        |       floor(CAST(q AS DOUBLE)
+        |             / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |             * 1000000) / 1000000 AS hhi,
+        |       floor((CAST(q AS DOUBLE)
+        |              / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |              - CAST(1 AS DOUBLE) / n_customers)
+        |             / (1 - CAST(1 AS DOUBLE) / n_customers)
+        |             * 1000000) / 1000000 AS hhi_normalized,
+        |       floor(CAST(top10 AS DOUBLE) / CAST(s AS DOUBLE) * 1000000)
+        |         / 1000000 AS cr10
+        |FROM tot CROSS JOIN top""".stripMargin) { (s, d) =>
+      val c = t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+        .persist() // feeds the reduce AND the top-10 pick
+      val tot = c.agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("s"),
+        sum(col("cents").cast("decimal(38,0)")
+          * col("cents").cast("decimal(38,0)")).as("q"))
+      val top = c.orderBy(col("cents").desc).limit(10)
+        .agg(sum(col("cents")).as("top10"))
+      val hhi = (col("q").cast("double")
+        / (col("s").cast("double") * col("s").cast("double")))
+      tot.crossJoin(broadcast(top))
+        .select(col("n_customers"),
+          (floor(col("s").cast("double") / 100 * 100) / 100)
+            .as("total_revenue"),
+          (floor(hhi * 1000000) / 1000000).as("hhi"),
+          (floor((hhi - lit(1).cast("double") / col("n_customers"))
+            / (lit(1) - lit(1).cast("double") / col("n_customers"))
+            * 1000000) / 1000000).as("hhi_normalized"),
+          (floor(col("top10").cast("double") / col("s").cast("double")
+            * 1000000) / 1000000).as("cr10"))
+    },
+
     // DAU/MAU stickiness (round 8, cont. 6): per day, the active-user
     // count, the trailing-28-day distinct-user count, and their ratio —
     // THE product-engagement readout (how much of the monthly audience

@@ -2104,6 +2104,154 @@ object Etl {
         .orderBy("event_type")
     },
 
+    // New-vs-returning daily split (round 8, cont. 6): per day, how many
+    // active users are seen for the FIRST time vs returning — the
+    // acquisition/retention mix beside etl_dau_mau's stickiness and
+    // etl_retention_cohort's matrix. first_day = min(day) per user; a
+    // day's user is "new" iff day = first_day. Plan: deduplicated
+    // (user, day) frame → ONE user-keyed groupBy for first_day → one
+    // user-keyed join back (both sides fact-reduced and co-keyed — at
+    // cluster scale this is the canonical co-partitioned join, never a
+    // broadcast of a linear frame) → bounded per-day counts. Integer
+    // counts; one ratio division at display.
+    Q("etl_new_vs_returning",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), f AS (
+        |  SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id
+        |)
+        |SELECT day,
+        |       CAST(count(*) FILTER (WHERE day = first_day) AS BIGINT)
+        |         AS new_users,
+        |       CAST(count(*) FILTER (WHERE day > first_day) AS BIGINT)
+        |         AS returning_users,
+        |       floor(CAST(count(*) FILTER (WHERE day = first_day)
+        |                  AS DOUBLE) / count(*) * 1000000) / 1000000
+        |         AS new_ratio
+        |FROM ud JOIN f USING (user_id)
+        |GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+      val ud = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .persist() // feeds first-day agg AND the join probe
+      val f = ud.groupBy("user_id").agg(min(col("day")).as("first_day"))
+      ud.join(f, Seq("user_id"))
+        .groupBy("day")
+        .agg(count(when(col("day") === col("first_day"), 1))
+          .as("new_users"),
+          count(when(col("day") > col("first_day"), 1))
+            .as("returning_users"),
+          count(lit(1)).as("all_users"))
+        .select(col("day"), col("new_users"), col("returning_users"),
+          (floor(col("new_users").cast("double") / col("all_users")
+            * 1000000) / 1000000).as("new_ratio"))
+        .orderBy("day")
+    },
+
+    // Hourly gap-fill with linear interpolation (round 8, cont. 6): the
+    // INTERPOLATION leg beside etl_resample_ffill's step-fill — resample
+    // per-type revenue to an hourly grid and fill missing hours linearly
+    // between the surrounding observations (the standard prep before
+    // spectral/seasonal analysis on irregular telemetry; at low traffic
+    // the grid has real holes — sf0.001 exercises them, denser SFs
+    // degenerate to identity, which the oracle replays either way).
+    // Exact: observed hours carry BIGINT cents; an interpolated hour is
+    // prev + (next-prev)*pos/len with INTEGER pos/len hour offsets from
+    // epoch seconds — one double assembly per hole in identical IEEE
+    // order. Plan: bounded per-type hour spine (<=744 rows/type)
+    // generated arithmetically, left join of the hourly rollup, two
+    // IGNORE NULLS windows over the bounded spine — the fact is reduced
+    // by the (type, hour) groupBy first.
+    Q("etl_gap_fill_interp",
+      """WITH o AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+        |           AS hr,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), b AS (
+        |  SELECT event_type, min(hr) AS lo, max(hr) AS hi
+        |  FROM o GROUP BY event_type
+        |), spine AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi,
+        |           INTERVAL 1 HOUR)) AS hr
+        |  FROM b
+        |), j AS (
+        |  SELECT s.event_type, s.hr, o.cents,
+        |         CAST(floor(epoch(s.hr)) AS BIGINT) // 3600 AS hix
+        |  FROM spine s LEFT JOIN o
+        |    ON s.event_type = o.event_type AND s.hr = o.hr
+        |), w AS (
+        |  SELECT event_type, hr, cents, hix,
+        |         last_value(cents IGNORE NULLS) OVER
+        |           (PARTITION BY event_type ORDER BY hr
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS pv,
+        |         last_value(CASE WHEN cents IS NOT NULL THEN hix END
+        |                    IGNORE NULLS) OVER
+        |           (PARTITION BY event_type ORDER BY hr
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS ph,
+        |         first_value(cents IGNORE NULLS) OVER
+        |           (PARTITION BY event_type ORDER BY hr
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |           AS nv,
+        |         first_value(CASE WHEN cents IS NOT NULL THEN hix END
+        |                     IGNORE NULLS) OVER
+        |           (PARTITION BY event_type ORDER BY hr
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |           AS nh
+        |  FROM j
+        |)
+        |SELECT event_type, hr,
+        |       CASE WHEN cents IS NOT NULL
+        |            THEN floor(CAST(cents AS DOUBLE) / 100 * 1000000)
+        |                 / 1000000
+        |            ELSE floor((CAST(pv AS DOUBLE)
+        |                        + CAST(nv - pv AS DOUBLE)
+        |                          * (hix - ph) / (nh - ph))
+        |                       / 100 * 1000000) / 1000000
+        |       END AS value_filled,
+        |       cents IS NULL AS is_interpolated
+        |FROM w ORDER BY event_type, hr""".stripMargin) { (s, d) =>
+      val o = events(s, d)
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        .persist() // feeds the bounds AND the spine join
+      val spine = o.groupBy("event_type")
+        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(col("event_type"),
+          explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
+      val j = spine.join(o, Seq("event_type", "hr"), "left")
+        .withColumn("hix",
+          expr("CAST(floor(unix_timestamp(hr)) AS BIGINT) DIV 3600"))
+      val wPrev = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val w = j
+        .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wPrev))
+        .withColumn("ph",
+          last(when(col("cents").isNotNull, col("hix")), ignoreNulls = true)
+            .over(wPrev))
+        .withColumn("nv",
+          first(col("cents"), ignoreNulls = true).over(wNext))
+        .withColumn("nh",
+          first(when(col("cents").isNotNull, col("hix")),
+            ignoreNulls = true).over(wNext))
+      w.select(col("event_type"), col("hr"),
+          when(col("cents").isNotNull,
+            floor(col("cents").cast("double") / 100 * 1000000) / 1000000)
+            .otherwise(floor((col("pv").cast("double")
+              + (col("nv") - col("pv")).cast("double")
+                * (col("hix") - col("ph")) / (col("nh") - col("ph")))
+              / 100 * 1000000) / 1000000)
+            .as("value_filled"),
+          col("cents").isNull.as("is_interpolated"))
+        .orderBy("event_type", "hr")
+    },
+
     // Holt-Winters additive forecast (round 8, cont. 6): triple
     // exponential smoothing (alpha=0.3, beta=0.1, gamma=0.2, period 7)
     // of the per-type daily count series — the SEASONAL member

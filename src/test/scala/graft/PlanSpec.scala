@@ -973,7 +973,7 @@ class PlanSpec extends AnyFunSuite {
     "operators and zero joins") {
     for (k <- Seq("dq_chi_square_gof", "agg_levene", "etl_changepoint",
         "agg_bootstrap_ci", "dq_dp_counts", "llm_tokenizer_fertility",
-        "agg_cohens_d")) {
+        "agg_cohens_d", "agg_regression_multi")) {
       val p = plan(k)
       assert(!p.contains("Window"), s"$k must not plan a Window:\n$p")
       assert(!p.contains("Join"), s"$k must not plan a Join:\n$p")
@@ -985,5 +985,13 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("graph_label_propagation")
     assert(!p.contains("CartesianProduct"),
       s"must not plan a CartesianProduct:\n$p")
+  }
+
+  test("agg_hhi: top-10 customer pick fuses to TakeOrderedAndProject " +
+    "(no global sort of the customer frame)") {
+    val p = plan("agg_hhi")
+    assert(p.contains("TakeOrderedAndProject"), s"must fuse to top-k:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a range exchange means a global sort crept in:\n$p")
   }
 }
