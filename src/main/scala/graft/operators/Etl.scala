@@ -2104,6 +2104,100 @@ object Etl {
         .orderBy("event_type")
     },
 
+    // Kaplan-Meier survival estimate (round 8, cont. 6): time to FIRST
+    // PURCHASE per user, censoring-aware — the conversion-lag curve a
+    // funnel readout cannot give (users who have not purchased by the
+    // horizon are CENSORED, not failures; dropping or counting them
+    // either way biases the curve — Kaplan & Meier 1958). t = days from
+    // a user's first event to their first purchase (event) or to the
+    // horizon (censored); S(t) = P(no purchase by day t) =
+    // PRODUCT_{t'<=t} (1 - d_t'/n_t') with n_t' = users still
+    // unconverted and under observation at t'. Exact: d/n are integers
+    // from one user-keyed groupBy; the <=31-row (t, d, c) frame
+    // collects in-row and every S(t) folds the SAME rational factors in
+    // pinned t-order (O(31^3) worst case - report-frame bounded); one
+    // floor at display. Plan: user groupBy -> bounded duration groupBy
+    // -> in-row fold + explode - zero windows.
+    Q("etl_survival_km",
+      """WITH u AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS fe,
+        |         min(CASE WHEN event_type = 'purchase'
+        |                  THEN CAST(ts AS DATE) END) AS fp
+        |  FROM events GROUP BY user_id
+        |), h AS (
+        |  SELECT max(CAST(ts AS DATE)) AS horizon FROM events
+        |), dur AS (
+        |  SELECT CASE WHEN fp IS NOT NULL THEN CAST(fp - fe AS BIGINT)
+        |              ELSE CAST(horizon - fe AS BIGINT) END AS t,
+        |         CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM u CROSS JOIN h
+        |), g AS (
+        |  SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+        |         CAST(count(*) - sum(ev) AS BIGINT) AS c
+        |  FROM dur GROUP BY t
+        |), l0 AS (
+        |  SELECT list(struct_pack(t := t, d := d, c := c) ORDER BY t) AS l
+        |  FROM g
+        |), x AS (
+        |  SELECT unnest(list_transform(range(1, len(l) + 1), i ->
+        |    struct_pack(
+        |      t := l[CAST(i AS INT)].t,
+        |      n_at_risk := list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(l[CAST(i AS INT):], e -> e.d + e.c)),
+        |        (a, x) -> a + x),
+        |      d_events := l[CAST(i AS INT)].d,
+        |      censored := l[CAST(i AS INT)].c,
+        |      survival := list_reduce(list_prepend(CAST(1 AS DOUBLE),
+        |          list_transform(range(1, i + 1), j ->
+        |            CAST(1 AS DOUBLE) - CAST(l[CAST(j AS INT)].d AS DOUBLE)
+        |              / CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                  list_transform(l[CAST(j AS INT):],
+        |                                 e -> e.d + e.c)),
+        |                (a, x) -> a + x) AS DOUBLE))),
+        |        (a, x) -> a * x)))) AS r
+        |  FROM l0
+        |)
+        |SELECT r.t AS t, r.n_at_risk AS n_at_risk,
+        |       r.d_events AS d_events, r.censored AS censored,
+        |       floor(r.survival * 1000000) / 1000000 AS survival
+        |FROM x ORDER BY t""".stripMargin) { (s, d) =>
+      val u = events(s, d)
+        .groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("fe"),
+          min(when(col("event_type") === "purchase", to_date(col("ts"))))
+            .as("fp"))
+      val h = events(s, d).agg(max(to_date(col("ts"))).as("horizon"))
+      val g = u.crossJoin(broadcast(h))
+        .select(
+          when(col("fp").isNotNull, datediff(col("fp"), col("fe")))
+            .otherwise(datediff(col("horizon"), col("fe")))
+            .cast("long").as("t"),
+          when(col("fp").isNotNull, 1L).otherwise(0L).as("ev"))
+        .groupBy("t")
+        .agg(sum(col("ev")).as("d"),
+          (count(lit(1)) - sum(col("ev"))).as("c"))
+      g.agg(expr("sort_array(collect_list(struct(t, d, c)))").as("l"))
+        .select(explode(expr(
+          """transform(sequence(1, size(l)), i -> named_struct(
+            |  't', element_at(l, i).t,
+            |  'n_at_risk', aggregate(transform(
+            |      slice(l, i, size(l) - i + 1), e -> e.d + e.c),
+            |    CAST(0 AS BIGINT), (a, x) -> a + x),
+            |  'd_events', element_at(l, i).d,
+            |  'censored', element_at(l, i).c,
+            |  'survival', aggregate(transform(sequence(1, i), j ->
+            |      CAST(1 AS DOUBLE) - CAST(element_at(l, j).d AS DOUBLE)
+            |        / CAST(aggregate(transform(
+            |            slice(l, j, size(l) - j + 1), e -> e.d + e.c),
+            |          CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE)),
+            |    CAST(1 AS DOUBLE), (a, x) -> a * x)))""".stripMargin))
+          .as("r"))
+        .select(col("r.t").as("t"), col("r.n_at_risk").as("n_at_risk"),
+          col("r.d_events").as("d_events"), col("r.censored").as("censored"),
+          (floor(col("r.survival") * 1000000) / 1000000).as("survival"))
+        .orderBy("t")
+    },
+
     // New-vs-returning daily split (round 8, cont. 6): per day, how many
     // active users are seen for the FIRST time vs returning — the
     // acquisition/retention mix beside etl_dau_mau's stickiness and

@@ -417,6 +417,41 @@ object Llm {
     cents
   }
 
+  /** DuckDB oracle twin of one [[ivfAssign]] pass (shared by the IVF
+    * keys so the training replay cannot drift between them). */
+  private def ivfAssignCte(centCte: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                          CAST(c.cent AS DOUBLE[])), 6)
+       |             DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN $centCte c)
+       |  WHERE rn = 1
+       |)""".stripMargin
+
+  /** DuckDB oracle twin of one Lloyd re-averaging round of [[ivfTrain]]. */
+  private def ivfCentCte(assignCteName: String, out: String): String =
+    s"""$out AS (
+       |  SELECT cell, list(CAST(round(m, 6) AS FLOAT) ORDER BY dim) AS cent FROM (
+       |    SELECT cell, dim, avg(CAST(v AS DOUBLE)) AS m FROM (
+       |      SELECT cell, unnest(embedding) AS v,
+       |             unnest(range(1, len(embedding) + 1)) AS dim
+       |      FROM $assignCteName)
+       |    GROUP BY cell, dim)
+       |  GROUP BY cell
+       |)""".stripMargin
+
+  /** The shared oracle training chain: vec_id<16 seeds → 2 Lloyd rounds
+    * → final assignment `a3` over trained centroids `c2`. */
+  private def ivfTrainedAssignCtes: String =
+    s"""c0 AS (
+       |  SELECT vec_id AS cell, embedding AS cent FROM embeddings WHERE vec_id < 16
+       |), ${ivfAssignCte("c0", "a1")}, ${ivfCentCte("a1", "c1")},
+       |${ivfAssignCte("c1", "a2")}, ${ivfCentCte("a2", "c2")},
+       |${ivfAssignCte("c2", "a3")}""".stripMargin
+
   /** Probe the `nprobe` closest cells per query, exact-rerank within
     * them, top-k per query. Candidates ∝ probed-cell population, never
     * the corpus. */
@@ -3296,32 +3331,7 @@ object Llm {
     // on identical values; the oracle replays the same two Lloyd
     // iterations as chained CTEs.
     Q("llm_ann_ivf", {
-      def assignCte(centCte: String, out: String): String =
-        s"""$out AS (
-           |  SELECT vec_id, embedding, cell FROM (
-           |    SELECT e.vec_id, e.embedding, c.cell,
-           |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-           |                                          CAST(c.cent AS DOUBLE[])), 6)
-           |             DESC, c.cell) AS rn
-           |    FROM embeddings e CROSS JOIN $centCte c)
-           |  WHERE rn = 1
-           |)""".stripMargin
-      def centCte(assignCteName: String, out: String): String =
-        s"""$out AS (
-           |  SELECT cell, list(CAST(round(m, 6) AS FLOAT) ORDER BY dim) AS cent FROM (
-           |    SELECT cell, dim, avg(CAST(v AS DOUBLE)) AS m FROM (
-           |      SELECT cell, unnest(embedding) AS v,
-           |             unnest(range(1, len(embedding) + 1)) AS dim
-           |      FROM $assignCteName)
-           |    GROUP BY cell, dim)
-           |  GROUP BY cell
-           |)""".stripMargin
-      s"""WITH c0 AS (
-         |  SELECT vec_id AS cell, embedding AS cent FROM embeddings WHERE vec_id < 16
-         |), ${assignCte("c0", "a1")}, ${centCte("a1", "c1")},
-         |${assignCte("c1", "a2")}, ${centCte("a2", "c2")},
-         |${assignCte("c2", "a3")},
+      s"""WITH $ivfTrainedAssignCtes,
          |probes AS (
          |  SELECT q_id, q_emb, cell FROM (
          |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cell,
@@ -3352,6 +3362,74 @@ object Llm {
       val queries = e.where(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       ivfTopk(ivfAssign(e, cents), cents, queries, nprobe = 2, k = 5)
+    },
+
+    // Clustering purity (round 8, cont. 6): the EVALUATION readout for
+    // the k-means/IVF machinery — assign every embedding to the trained
+    // centroids (the exact llm_ann_ivf training chain, shared oracle
+    // CTEs so the replay cannot drift) and score each cluster by the
+    // fraction of its members carrying the majority ground-truth label,
+    // plus the size-weighted overall purity. This is what decides
+    // whether embedding clusters are usable as curation/topic buckets.
+    // Majority pick = max(struct(cnt, -label)) == the oracle's
+    // row_number(cnt DESC, label) — deterministic under ties. Plan: the
+    // broadcast-centroid assignment (map-side cosine + WindowGroupLimit)
+    // → one (cell, label) count → bounded cell-frame folds; the label
+    // join is vec_id-keyed against the already-assigned frame.
+    Q("llm_cluster_purity", {
+      s"""WITH $ivfTrainedAssignCtes,
+         |lab AS (
+         |  SELECT a3.cell, e.label FROM a3
+         |  JOIN embeddings e USING (vec_id)
+         |), cnt AS (
+         |  SELECT cell, label, CAST(count(*) AS BIGINT) AS c
+         |  FROM lab GROUP BY 1, 2
+         |), pick AS (
+         |  SELECT cell, label AS majority_label, c AS majority_n FROM (
+         |    SELECT cell, label, c, row_number() OVER (
+         |      PARTITION BY cell ORDER BY c DESC, label) AS rn
+         |    FROM cnt) WHERE rn = 1
+         |), sz AS (
+         |  SELECT cell, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY cell
+         |), tot AS (
+         |  SELECT CAST(sum(majority_n) AS BIGINT) AS mt FROM pick
+         |), tn AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS nt FROM sz
+         |)
+         |SELECT s.cell, s.n, p.majority_label, p.majority_n,
+         |       floor(CAST(p.majority_n AS DOUBLE) / s.n * 1000000)
+         |         / 1000000 AS purity,
+         |       floor(CAST(mt AS DOUBLE) / nt * 1000000) / 1000000
+         |         AS overall_purity
+         |FROM sz s JOIN pick p USING (cell) CROSS JOIN tot CROSS JOIN tn
+         |ORDER BY s.cell""".stripMargin
+    }) { (s, d) =>
+      val e = emb(s, d)
+      val ev = e.select(col("vec_id"), col("embedding"))
+      val cents = ivfTrain(ev, ev.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("cent")),
+        lloydRounds = 2)
+      val cnt = ivfAssign(ev, cents).select(col("vec_id"), col("cell"))
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy("cell", "label").agg(count(lit(1)).as("c"))
+        .persist() // feeds the majority pick AND the size fold
+      val pick = cnt.groupBy("cell")
+        .agg(max(struct(col("c").as("cc"), (-col("label")).as("nl")))
+          .as("m"))
+        .select(col("cell"), (-col("m.nl")).as("majority_label"),
+          col("m.cc").as("majority_n"))
+      val sz = cnt.groupBy("cell").agg(sum(col("c")).as("n"))
+      val tot = pick.agg(sum(col("majority_n")).as("mt"))
+      val tn = sz.agg(sum(col("n")).as("nt"))
+      sz.join(pick, Seq("cell"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(tn))
+        .select(col("cell"), col("n"), col("majority_label"),
+          col("majority_n"),
+          (floor(col("majority_n").cast("double") / col("n") * 1000000)
+            / 1000000).as("purity"),
+          (floor(col("mt").cast("double") / col("nt") * 1000000)
+            / 1000000).as("overall_purity"))
+        .orderBy("cell")
     },
 
     // Multimodal column plumbing: binary payload + mime + typed metadata
