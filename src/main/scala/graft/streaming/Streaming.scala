@@ -209,6 +209,43 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of the batch etl_new_vs_returning split (round 8,
+    * cont. 6): emit one (user, day, is_new) row the first time each
+    * (user, day) is observed, with is_new = the user has never been seen
+    * on an earlier day. State = TWO ints per user (first/last observed
+    * epoch day) — O(users) whatever the history length, the same
+    * unbounded-history dial as [[clampedLedger]]. Like the batch key's
+    * min(day) definition this assumes day-ordered arrival per user
+    * (StreamingSpec feeds time-ordered batches and pins stream ==
+    * batch); a late earlier-day event after the user was already emitted
+    * would need watermark-scoped reconciliation — the documented
+    * streaming contract.
+    */
+  case class UserDayEvent(user_id: Long, epochDay: Int)
+  case class NvrState(firstDay: Int, lastDay: Int)
+  case class NvrRow(user_id: Long, epoch_day: Int, is_new: Boolean)
+
+  def newVsReturning(ev: Dataset[UserDayEvent]): Dataset[NvrRow] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, events: Iterator[UserDayEvent],
+            state: GroupState[NvrState]) =>
+          val days = events.map(_.epochDay).toSeq.distinct.sorted
+          val s0 = state.getOption
+            .getOrElse(NvrState(Int.MaxValue, Int.MinValue))
+          var first = s0.firstDay
+          val out = days.filter(_ > s0.lastDay).map { d =>
+            if (d < first) first = d
+            NvrRow(user, d, d == first)
+          }
+          if (days.nonEmpty)
+            state.update(NvrState(first, math.max(s0.lastDay, days.max)))
+          out.iterator
+      }
+  }
+
   /** Custom per-user state machine: signup→purchase funnel. Emits one row
     * per user on their first post-signup purchase (conversion), carrying
     * the lag between the two. State is one small record per user with a

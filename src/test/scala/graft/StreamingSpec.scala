@@ -438,6 +438,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("new-vs-returning under streaming state == the batch min(day) " +
+    "definition (r8 cont. 6)") {
+    // seeded (user, day) stream arriving in day order — the contract the
+    // batch etl_new_vs_returning key's min(day) definition assumes
+    val rnd = new scala.util.Random(11)
+    val evs = (0 until 800).map { i =>
+      Streaming.UserDayEvent(
+        user_id = rnd.nextInt(40).toLong,
+        epochDay = 19000 + i / 40) // 20 days, day-ordered arrival
+    }
+    // batch reference: one row per (user, day), new iff day == min(day)
+    val ref = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+      val days = es.map(_.epochDay).distinct.sorted
+      days.map(d => (u, d, d == days.head))
+    }.toSet
+
+    val input = MemoryStream[Streaming.UserDayEvent](spark)
+    val name = s"mem_nvr_${System.nanoTime()}"
+    val q = Streaming.newVsReturning(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      evs.grouped(120).foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+      assert(streamed == ref,
+        "streamed first-seen split must equal the batch min(day) semantics")
+      // each (user, day) is emitted exactly once across all batches
+      assert(spark.table(name).count() == ref.size.toLong)
+    } finally q.stop()
+  }
+
   test("funnel state machine emits one conversion per signup→purchase") {
     val evs = Seq(
       Streaming.FunnelEvent(1, "signup", 1000000L),
