@@ -3432,6 +3432,204 @@ object Llm {
         .orderBy("cell")
     },
 
+    // PCA variance diagnostics (round 8, cont. 6): how much of the
+    // embedding corpus' variance the TOP principal component carries —
+    // the anisotropy readout (Mu & Viswanath 2018: dominant components
+    // make cosine similarities degenerate; a high var_explained says
+    // "mean-center / project before ANN"). EXACT distributed stage:
+    // components snap to a 1e-7 integer grid (floats have 7 significant
+    // digits), so the moment sums T_j = Σx_j and Q_jk = Σx_j·x_k are
+    // exact BIGINTs whatever the partitioning/order; the CENTERED
+    // scatter S = n·Q − T·Tᵀ assembles in DECIMAL(38,0) (oracle
+    // HUGEINT; n·Q ~ 4e20 overflows BIGINT). The bounded stage: S is a
+    // 64×64 = 4096-cell ONE-ROW frame; 3 power-iteration rounds from
+    // the all-ones vector (deterministic sign) + the Rayleigh quotient
+    // run as IN-ROW array folds written operator-for-operator
+    // identically in both engines — no driver math, no CSE assumptions.
+    // Scale shape: the only fact-sized stage is one explode of 2080
+    // upper-triangle products per vector into a map-side-combinable
+    // groupBy — 4096 rows per partition reach the shuffle however many
+    // vectors; everything after is O(dim²) per corpus.
+    Q("llm_embedding_pca_var", {
+      val sdD =
+        """list_transform(range(1, 4097), idx ->
+          |  CAST(CAST(n AS HUGEINT)
+          |         * CAST(ql[CAST((least((idx - 1) // 64 + 1,
+          |                              (idx - 1) % 64 + 1) - 1) * 65
+          |                  - ((least((idx - 1) // 64 + 1,
+          |                            (idx - 1) % 64 + 1) - 1)
+          |                     * least((idx - 1) // 64 + 1,
+          |                             (idx - 1) % 64 + 1)) // 2
+          |                  + (greatest((idx - 1) // 64 + 1,
+          |                              (idx - 1) % 64 + 1)
+          |                     - least((idx - 1) // 64 + 1,
+          |                             (idx - 1) % 64 + 1) + 1) AS INT)
+          |               ].q AS HUGEINT)
+          |       - CAST(tl[CAST((idx - 1) // 64 + 1 AS INT)] AS HUGEINT)
+          |         * CAST(tl[CAST((idx - 1) % 64 + 1 AS INT)] AS HUGEINT)
+          |       AS DOUBLE))""".stripMargin
+      def stepD(v: String) =
+        s"""list_transform(range(1, 65), j ->
+           |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list_transform(range(1, 65), k ->
+           |      sd[CAST((j - 1) * 64 + k AS INT)]
+           |        * $v[CAST(k AS INT)])),
+           |    (a, x) -> a + x))""".stripMargin
+      def normD(w: String) =
+        s"""list_transform($w, x -> x / sqrt(
+           |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list_transform($w, y -> y * y)), (a, x) -> a + x)))"""
+          .stripMargin
+      s"""WITH x AS (
+         |  SELECT list_transform(embedding, x ->
+         |           CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))
+         |           AS xi
+         |  FROM embeddings
+         |), ti AS (
+         |  SELECT j, CAST(sum(v) AS BIGINT) AS tj FROM (
+         |    SELECT unnest(range(1, 65)) AS j, unnest(xi) AS v FROM x)
+         |  GROUP BY j
+         |), qi AS (
+         |  SELECT j, k, CAST(sum(v) AS BIGINT) AS q FROM (
+         |    SELECT unnest(flatten(list_transform(range(1, 65), j ->
+         |             list_transform(range(j, 65), k -> struct_pack(
+         |               j := j, k := k,
+         |               v := xi[CAST(j AS INT)] * xi[CAST(k AS INT)])))),
+         |           recursive := true)
+         |    FROM x)
+         |  GROUP BY j, k
+         |), one AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM x) AS n,
+         |         (SELECT list(struct_pack(j := j, k := k, q := q)
+         |                      ORDER BY j, k) FROM qi) AS ql,
+         |         (SELECT list(tj ORDER BY j) FROM ti) AS tl
+         |), scat AS (
+         |  SELECT n, $sdD AS sd FROM one
+         |), p1 AS (
+         |  SELECT n, sd, ${normD(stepD(
+        "list_transform(range(1, 65), z -> CAST(1 AS DOUBLE))"))} AS v1
+         |  FROM scat
+         |), p2 AS (
+         |  SELECT n, sd, ${normD(stepD("v1"))} AS v2 FROM p1
+         |), p3 AS (
+         |  SELECT n, sd, ${normD(stepD("v2"))} AS v3 FROM p2
+         |), fin AS (
+         |  SELECT n, sd, v3,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform(range(1, 65), j ->
+         |             v3[CAST(j AS INT)]
+         |               * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |                   list_transform(range(1, 65), k ->
+         |                     sd[CAST((j - 1) * 64 + k AS INT)]
+         |                       * v3[CAST(k AS INT)])),
+         |                   (a, x) -> a + x))), (a, x) -> a + x)
+         |           AS rayleigh,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform(range(1, 65), j ->
+         |             sd[CAST((j - 1) * 64 + j AS INT)])), (a, x) -> a + x)
+         |           AS trace,
+         |         list_max(list_transform(v3, x -> abs(x))) AS mx
+         |  FROM p3
+         |)
+         |SELECT n AS n_vectors, CAST(64 AS BIGINT) AS dim,
+         |       floor(rayleigh / trace * 1000000) / 1000000
+         |         AS var_explained_pc1,
+         |       CAST(list_filter(range(1, 65),
+         |              j -> abs(v3[CAST(j AS INT)]) = mx)[1] AS BIGINT)
+         |         AS lead_dim,
+         |       floor(v3[CAST(list_filter(range(1, 65),
+         |              j -> abs(v3[CAST(j AS INT)]) = mx)[1] AS INT)]
+         |             * 1000000) / 1000000 AS lead_loading
+         |FROM fin""".stripMargin
+    }) { (s, d) =>
+      val x = emb(s, d).select(expr(
+        """transform(embedding, x ->
+          |  CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"""
+          .stripMargin).as("xi"))
+        .persist() // feeds T, Q, and n
+      val ti = x.select(explode(expr(
+          """transform(sequence(1, 64), j ->
+            |  named_struct('j', j, 'v', element_at(xi, j)))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.j").as("j")).agg(sum(col("p.v")).as("tj"))
+      val qi = x.select(explode(expr(
+          """flatten(transform(sequence(1, 64), j ->
+            |  transform(sequence(j, 64), k -> named_struct('j', j, 'k', k,
+            |    'v', element_at(xi, j) * element_at(xi, k)))))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.j").as("j"), col("p.k").as("k"))
+        .agg(sum(col("p.v")).as("q"))
+      val one = qi.agg(expr(
+          "sort_array(collect_list(struct(j, k, q)))").as("ql"))
+        .crossJoin(broadcast(ti.agg(expr(
+          "transform(sort_array(collect_list(struct(j, tj))), e -> e.tj)")
+          .as("tl"))))
+        .crossJoin(broadcast(x.agg(count(lit(1)).as("n"))))
+      val dec = "DECIMAL(38,0)"
+      val sdS =
+        s"""transform(sequence(1, 4096), idx ->
+           |  CAST(CAST(n AS $dec)
+           |         * CAST(element_at(ql,
+           |             CAST((least((idx - 1) DIV 64 + 1,
+           |                         (idx - 1) % 64 + 1) - 1) * 65
+           |               - ((least((idx - 1) DIV 64 + 1,
+           |                         (idx - 1) % 64 + 1) - 1)
+           |                  * least((idx - 1) DIV 64 + 1,
+           |                          (idx - 1) % 64 + 1)) DIV 2
+           |               + (greatest((idx - 1) DIV 64 + 1,
+           |                           (idx - 1) % 64 + 1)
+           |                  - least((idx - 1) DIV 64 + 1,
+           |                          (idx - 1) % 64 + 1) + 1) AS INT)
+           |             ).q AS $dec)
+           |       - CAST(element_at(tl, CAST((idx - 1) DIV 64 + 1 AS INT))
+           |              AS $dec)
+           |         * CAST(element_at(tl, CAST((idx - 1) % 64 + 1 AS INT))
+           |                AS $dec)
+           |       AS DOUBLE))""".stripMargin
+      def stepS(v: String) =
+        s"""transform(sequence(1, 64), j ->
+           |  aggregate(transform(sequence(1, 64), k ->
+           |      element_at(sd, CAST((j - 1) * 64 + k AS INT))
+           |        * element_at($v, CAST(k AS INT))),
+           |    CAST(0 AS DOUBLE), (a, x) -> a + x))""".stripMargin
+      def normS(w: String) =
+        s"""transform($w, x -> x / sqrt(
+           |  aggregate(transform($w, y -> y * y),
+           |    CAST(0 AS DOUBLE), (a, x) -> a + x)))""".stripMargin
+      val fin = one
+        .withColumn("sd", expr(sdS))
+        .withColumn("v1", expr(normS(stepS(
+          "transform(sequence(1, 64), z -> CAST(1 AS DOUBLE))"))))
+        .withColumn("v2", expr(normS(stepS("v1"))))
+        .withColumn("v3", expr(normS(stepS("v2"))))
+        .withColumn("rayleigh", expr(
+          """aggregate(transform(sequence(1, 64), j ->
+            |    element_at(v3, CAST(j AS INT))
+            |      * aggregate(transform(sequence(1, 64), k ->
+            |          element_at(sd, CAST((j - 1) * 64 + k AS INT))
+            |            * element_at(v3, CAST(k AS INT))),
+            |        CAST(0 AS DOUBLE), (a, x) -> a + x)),
+            |  CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin))
+        .withColumn("trace", expr(
+          """aggregate(transform(sequence(1, 64), j ->
+            |    element_at(sd, CAST((j - 1) * 64 + j AS INT))),
+            |  CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin))
+        .withColumn("mx",
+          expr("array_max(transform(v3, x -> abs(x)))"))
+      fin.select(col("n").as("n_vectors"), lit(64L).as("dim"),
+          (floor(col("rayleigh") / col("trace") * 1000000) / 1000000)
+            .as("var_explained_pc1"),
+          expr(
+            """CAST(element_at(filter(sequence(1, 64),
+              |  j -> abs(element_at(v3, CAST(j AS INT))) = mx), 1)
+              |  AS BIGINT)""".stripMargin).as("lead_dim"),
+          (floor(expr(
+            """element_at(v3, CAST(element_at(filter(sequence(1, 64),
+              |  j -> abs(element_at(v3, CAST(j AS INT))) = mx), 1)
+              |  AS INT))""".stripMargin) * 1000000) / 1000000)
+            .as("lead_loading"))
+    },
+
     // Multimodal column plumbing: binary payload + mime + typed metadata
     // carried through ops. The decode step is a clearly-marked deterministic
     // STUB (this container has no image/audio codecs); schema, partitioning

@@ -987,6 +987,14 @@ class PlanSpec extends AnyFunSuite {
       s"must not plan a CartesianProduct:\n$p")
   }
 
+  test("llm_embedding_pca_var: no window, no cartesian — the only " +
+    "fact-sized stage is the map-side-combinable moment groupBy") {
+    val p = plan("llm_embedding_pca_var")
+    assert(!p.contains("Window"), s"must not plan a Window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"must not plan a CartesianProduct:\n$p")
+  }
+
   test("agg_hhi: top-10 customer pick fuses to TakeOrderedAndProject " +
     "(no global sort of the customer frame)") {
     val p = plan("agg_hhi")
