@@ -452,6 +452,147 @@ object Llm {
        |${ivfAssignCte("c1", "a2")}, ${ivfCentCte("a2", "c2")},
        |${ivfAssignCte("c2", "a3")}""".stripMargin
 
+  // ---- shared exact-scatter PCA chain (llm_embedding_pca_var +
+  // llm_embedding_center_project — one definition so the two keys'
+  // replays cannot drift). Design doctrine in the pca_var key header. ----
+
+  /** DuckDB: centered 64×64 scatter as a 4096-double list from the
+    * one-row (n, ql, tl) moment frame. */
+  private val pcaSdD: String =
+    """list_transform(range(1, 4097), idx ->
+      |  CAST(CAST(n AS HUGEINT)
+      |         * CAST(ql[CAST((least((idx - 1) // 64 + 1,
+      |                              (idx - 1) % 64 + 1) - 1) * 65
+      |                  - ((least((idx - 1) // 64 + 1,
+      |                            (idx - 1) % 64 + 1) - 1)
+      |                     * least((idx - 1) // 64 + 1,
+      |                             (idx - 1) % 64 + 1)) // 2
+      |                  + (greatest((idx - 1) // 64 + 1,
+      |                              (idx - 1) % 64 + 1)
+      |                     - least((idx - 1) // 64 + 1,
+      |                             (idx - 1) % 64 + 1) + 1) AS INT)
+      |               ].q AS HUGEINT)
+      |       - CAST(tl[CAST((idx - 1) // 64 + 1 AS INT)] AS HUGEINT)
+      |         * CAST(tl[CAST((idx - 1) % 64 + 1 AS INT)] AS HUGEINT)
+      |       AS DOUBLE))""".stripMargin
+
+  private def pcaStepD(v: String): String =
+    s"""list_transform(range(1, 65), j ->
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, 65), k ->
+       |      sd[CAST((j - 1) * 64 + k AS INT)]
+       |        * $v[CAST(k AS INT)])),
+       |    (a, x) -> a + x))""".stripMargin
+
+  private def pcaNormD(w: String): String =
+    s"""list_transform($w, x -> x / sqrt(
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform($w, y -> y * y)), (a, x) -> a + x)))"""
+      .stripMargin
+
+  /** DuckDB: moments → scatter → 3 power rounds; ends with CTE `p3`
+    * carrying (n, tl, sd, v3). */
+  private def pcaChainCtes: String =
+    s"""x AS (
+       |  SELECT list_transform(embedding, x ->
+       |           CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))
+       |           AS xi
+       |  FROM embeddings
+       |), ti AS (
+       |  SELECT j, CAST(sum(v) AS BIGINT) AS tj FROM (
+       |    SELECT unnest(range(1, 65)) AS j, unnest(xi) AS v FROM x)
+       |  GROUP BY j
+       |), qi AS (
+       |  SELECT j, k, CAST(sum(v) AS BIGINT) AS q FROM (
+       |    SELECT unnest(flatten(list_transform(range(1, 65), j ->
+       |             list_transform(range(j, 65), k -> struct_pack(
+       |               j := j, k := k,
+       |               v := xi[CAST(j AS INT)] * xi[CAST(k AS INT)])))),
+       |           recursive := true)
+       |    FROM x)
+       |  GROUP BY j, k
+       |), one AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM x) AS n,
+       |         (SELECT list(struct_pack(j := j, k := k, q := q)
+       |                      ORDER BY j, k) FROM qi) AS ql,
+       |         (SELECT list(tj ORDER BY j) FROM ti) AS tl
+       |), scat AS (
+       |  SELECT n, tl, $pcaSdD AS sd FROM one
+       |), p1 AS (
+       |  SELECT n, tl, sd, ${pcaNormD(pcaStepD(
+      "list_transform(range(1, 65), z -> CAST(1 AS DOUBLE))"))} AS v1
+       |  FROM scat
+       |), p2 AS (
+       |  SELECT n, tl, sd, ${pcaNormD(pcaStepD("v1"))} AS v2 FROM p1
+       |), p3 AS (
+       |  SELECT n, tl, sd, ${pcaNormD(pcaStepD("v2"))} AS v3 FROM p2
+       |)""".stripMargin
+
+  /** Spark twin of [[pcaChainCtes]]: the ONE-ROW frame with columns
+    * (n, ql, tl, sd, v1, v2, v3). `e` = embeddings (vec_id, embedding). */
+  private def pcaTopFrame(e: DataFrame): DataFrame = {
+    val x = e.select(expr(
+      """transform(embedding, x ->
+        |  CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"""
+        .stripMargin).as("xi"))
+      .persist() // feeds T, Q, and n
+    val ti = x.select(explode(expr(
+        """transform(sequence(1, 64), j ->
+          |  named_struct('j', j, 'v', element_at(xi, j)))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.j").as("j")).agg(sum(col("p.v")).as("tj"))
+    val qi = x.select(explode(expr(
+        """flatten(transform(sequence(1, 64), j ->
+          |  transform(sequence(j, 64), k -> named_struct('j', j, 'k', k,
+          |    'v', element_at(xi, j) * element_at(xi, k)))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.j").as("j"), col("p.k").as("k"))
+      .agg(sum(col("p.v")).as("q"))
+    val one = qi.agg(expr(
+        "sort_array(collect_list(struct(j, k, q)))").as("ql"))
+      .crossJoin(broadcast(ti.agg(expr(
+        "transform(sort_array(collect_list(struct(j, tj))), e -> e.tj)")
+        .as("tl"))))
+      .crossJoin(broadcast(x.agg(count(lit(1)).as("n"))))
+    val dec = "DECIMAL(38,0)"
+    val sdS =
+      s"""transform(sequence(1, 4096), idx ->
+         |  CAST(CAST(n AS $dec)
+         |         * CAST(element_at(ql,
+         |             CAST((least((idx - 1) DIV 64 + 1,
+         |                         (idx - 1) % 64 + 1) - 1) * 65
+         |               - ((least((idx - 1) DIV 64 + 1,
+         |                         (idx - 1) % 64 + 1) - 1)
+         |                  * least((idx - 1) DIV 64 + 1,
+         |                          (idx - 1) % 64 + 1)) DIV 2
+         |               + (greatest((idx - 1) DIV 64 + 1,
+         |                           (idx - 1) % 64 + 1)
+         |                  - least((idx - 1) DIV 64 + 1,
+         |                          (idx - 1) % 64 + 1) + 1) AS INT)
+         |             ).q AS $dec)
+         |       - CAST(element_at(tl, CAST((idx - 1) DIV 64 + 1 AS INT))
+         |              AS $dec)
+         |         * CAST(element_at(tl, CAST((idx - 1) % 64 + 1 AS INT))
+         |                AS $dec)
+         |       AS DOUBLE))""".stripMargin
+    def stepS(v: String) =
+      s"""transform(sequence(1, 64), j ->
+         |  aggregate(transform(sequence(1, 64), k ->
+         |      element_at(sd, CAST((j - 1) * 64 + k AS INT))
+         |        * element_at($v, CAST(k AS INT))),
+         |    CAST(0 AS DOUBLE), (a, x) -> a + x))""".stripMargin
+    def normS(w: String) =
+      s"""transform($w, x -> x / sqrt(
+         |  aggregate(transform($w, y -> y * y),
+         |    CAST(0 AS DOUBLE), (a, x) -> a + x)))""".stripMargin
+    one
+      .withColumn("sd", expr(sdS))
+      .withColumn("v1", expr(normS(stepS(
+        "transform(sequence(1, 64), z -> CAST(1 AS DOUBLE))"))))
+      .withColumn("v2", expr(normS(stepS("v1"))))
+      .withColumn("v3", expr(normS(stepS("v2"))))
+  }
+
   /** Probe the `nprobe` closest cells per query, exact-rerank within
     * them, top-k per query. Candidates ∝ probed-cell population, never
     * the corpus. */
@@ -3451,69 +3592,7 @@ object Llm {
     // groupBy — 4096 rows per partition reach the shuffle however many
     // vectors; everything after is O(dim²) per corpus.
     Q("llm_embedding_pca_var", {
-      val sdD =
-        """list_transform(range(1, 4097), idx ->
-          |  CAST(CAST(n AS HUGEINT)
-          |         * CAST(ql[CAST((least((idx - 1) // 64 + 1,
-          |                              (idx - 1) % 64 + 1) - 1) * 65
-          |                  - ((least((idx - 1) // 64 + 1,
-          |                            (idx - 1) % 64 + 1) - 1)
-          |                     * least((idx - 1) // 64 + 1,
-          |                             (idx - 1) % 64 + 1)) // 2
-          |                  + (greatest((idx - 1) // 64 + 1,
-          |                              (idx - 1) % 64 + 1)
-          |                     - least((idx - 1) // 64 + 1,
-          |                             (idx - 1) % 64 + 1) + 1) AS INT)
-          |               ].q AS HUGEINT)
-          |       - CAST(tl[CAST((idx - 1) // 64 + 1 AS INT)] AS HUGEINT)
-          |         * CAST(tl[CAST((idx - 1) % 64 + 1 AS INT)] AS HUGEINT)
-          |       AS DOUBLE))""".stripMargin
-      def stepD(v: String) =
-        s"""list_transform(range(1, 65), j ->
-           |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           |    list_transform(range(1, 65), k ->
-           |      sd[CAST((j - 1) * 64 + k AS INT)]
-           |        * $v[CAST(k AS INT)])),
-           |    (a, x) -> a + x))""".stripMargin
-      def normD(w: String) =
-        s"""list_transform($w, x -> x / sqrt(
-           |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           |    list_transform($w, y -> y * y)), (a, x) -> a + x)))"""
-          .stripMargin
-      s"""WITH x AS (
-         |  SELECT list_transform(embedding, x ->
-         |           CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))
-         |           AS xi
-         |  FROM embeddings
-         |), ti AS (
-         |  SELECT j, CAST(sum(v) AS BIGINT) AS tj FROM (
-         |    SELECT unnest(range(1, 65)) AS j, unnest(xi) AS v FROM x)
-         |  GROUP BY j
-         |), qi AS (
-         |  SELECT j, k, CAST(sum(v) AS BIGINT) AS q FROM (
-         |    SELECT unnest(flatten(list_transform(range(1, 65), j ->
-         |             list_transform(range(j, 65), k -> struct_pack(
-         |               j := j, k := k,
-         |               v := xi[CAST(j AS INT)] * xi[CAST(k AS INT)])))),
-         |           recursive := true)
-         |    FROM x)
-         |  GROUP BY j, k
-         |), one AS (
-         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM x) AS n,
-         |         (SELECT list(struct_pack(j := j, k := k, q := q)
-         |                      ORDER BY j, k) FROM qi) AS ql,
-         |         (SELECT list(tj ORDER BY j) FROM ti) AS tl
-         |), scat AS (
-         |  SELECT n, $sdD AS sd FROM one
-         |), p1 AS (
-         |  SELECT n, sd, ${normD(stepD(
-        "list_transform(range(1, 65), z -> CAST(1 AS DOUBLE))"))} AS v1
-         |  FROM scat
-         |), p2 AS (
-         |  SELECT n, sd, ${normD(stepD("v1"))} AS v2 FROM p1
-         |), p3 AS (
-         |  SELECT n, sd, ${normD(stepD("v2"))} AS v3 FROM p2
-         |), fin AS (
+      s"""WITH $pcaChainCtes, fin AS (
          |  SELECT n, sd, v3,
          |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |           list_transform(range(1, 65), j ->
@@ -3542,66 +3621,7 @@ object Llm {
          |             * 1000000) / 1000000 AS lead_loading
          |FROM fin""".stripMargin
     }) { (s, d) =>
-      val x = emb(s, d).select(expr(
-        """transform(embedding, x ->
-          |  CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"""
-          .stripMargin).as("xi"))
-        .persist() // feeds T, Q, and n
-      val ti = x.select(explode(expr(
-          """transform(sequence(1, 64), j ->
-            |  named_struct('j', j, 'v', element_at(xi, j)))""".stripMargin))
-          .as("p"))
-        .groupBy(col("p.j").as("j")).agg(sum(col("p.v")).as("tj"))
-      val qi = x.select(explode(expr(
-          """flatten(transform(sequence(1, 64), j ->
-            |  transform(sequence(j, 64), k -> named_struct('j', j, 'k', k,
-            |    'v', element_at(xi, j) * element_at(xi, k)))))"""
-            .stripMargin)).as("p"))
-        .groupBy(col("p.j").as("j"), col("p.k").as("k"))
-        .agg(sum(col("p.v")).as("q"))
-      val one = qi.agg(expr(
-          "sort_array(collect_list(struct(j, k, q)))").as("ql"))
-        .crossJoin(broadcast(ti.agg(expr(
-          "transform(sort_array(collect_list(struct(j, tj))), e -> e.tj)")
-          .as("tl"))))
-        .crossJoin(broadcast(x.agg(count(lit(1)).as("n"))))
-      val dec = "DECIMAL(38,0)"
-      val sdS =
-        s"""transform(sequence(1, 4096), idx ->
-           |  CAST(CAST(n AS $dec)
-           |         * CAST(element_at(ql,
-           |             CAST((least((idx - 1) DIV 64 + 1,
-           |                         (idx - 1) % 64 + 1) - 1) * 65
-           |               - ((least((idx - 1) DIV 64 + 1,
-           |                         (idx - 1) % 64 + 1) - 1)
-           |                  * least((idx - 1) DIV 64 + 1,
-           |                          (idx - 1) % 64 + 1)) DIV 2
-           |               + (greatest((idx - 1) DIV 64 + 1,
-           |                           (idx - 1) % 64 + 1)
-           |                  - least((idx - 1) DIV 64 + 1,
-           |                          (idx - 1) % 64 + 1) + 1) AS INT)
-           |             ).q AS $dec)
-           |       - CAST(element_at(tl, CAST((idx - 1) DIV 64 + 1 AS INT))
-           |              AS $dec)
-           |         * CAST(element_at(tl, CAST((idx - 1) % 64 + 1 AS INT))
-           |                AS $dec)
-           |       AS DOUBLE))""".stripMargin
-      def stepS(v: String) =
-        s"""transform(sequence(1, 64), j ->
-           |  aggregate(transform(sequence(1, 64), k ->
-           |      element_at(sd, CAST((j - 1) * 64 + k AS INT))
-           |        * element_at($v, CAST(k AS INT))),
-           |    CAST(0 AS DOUBLE), (a, x) -> a + x))""".stripMargin
-      def normS(w: String) =
-        s"""transform($w, x -> x / sqrt(
-           |  aggregate(transform($w, y -> y * y),
-           |    CAST(0 AS DOUBLE), (a, x) -> a + x)))""".stripMargin
-      val fin = one
-        .withColumn("sd", expr(sdS))
-        .withColumn("v1", expr(normS(stepS(
-          "transform(sequence(1, 64), z -> CAST(1 AS DOUBLE))"))))
-        .withColumn("v2", expr(normS(stepS("v1"))))
-        .withColumn("v3", expr(normS(stepS("v2"))))
+      val fin = pcaTopFrame(emb(s, d).select(col("vec_id"), col("embedding")))
         .withColumn("rayleigh", expr(
           """aggregate(transform(sequence(1, 64), j ->
             |    element_at(v3, CAST(j AS INT))
@@ -3628,6 +3648,81 @@ object Llm {
               |  j -> abs(element_at(v3, CAST(j AS INT))) = mx), 1)
               |  AS INT))""".stripMargin) * 1000000) / 1000000)
             .as("lead_loading"))
+    },
+
+    // Center + project-out-PC1 transform (round 8, cont. 6): the FIX the
+    // llm_embedding_pca_var diagnostic prescribes, applied per vector —
+    // x_c = x - mean, proj = v.x_c (the anisotropy component), residual
+    // = ||x_c - proj*v|| (what similarity search actually has to work
+    // with after the dominant direction is removed; Mu & Viswanath
+    // 2018's all-but-the-top). The bounded model (n, T, v3 — one row)
+    // BROADCASTS to the embeddings fact and the transform is pure
+    // map-side in-row arithmetic: centered components stay EXACT
+    // integers via cross-multiplication (xc*n = x_int*n - T, never a
+    // float mean), one double assembly per vector folded in pinned
+    // dimension order. Scale shape: model build = the shared PCA chain;
+    // application = zero-shuffle map over any corpus size.
+    Q("llm_embedding_center_project", {
+      s"""WITH $pcaChainCtes, xv AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |           CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))
+         |           AS xi
+         |  FROM embeddings
+         |), r AS (
+         |  SELECT vec_id,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform(range(1, 65), j ->
+         |             v3[CAST(j AS INT)]
+         |               * (CAST(xi[CAST(j AS INT)] * n - tl[CAST(j AS INT)]
+         |                       AS DOUBLE) / n / 10000000))),
+         |           (a, x) -> a + x) AS proj,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform(range(1, 65), j ->
+         |             (CAST(xi[CAST(j AS INT)] * n - tl[CAST(j AS INT)]
+         |                   AS DOUBLE) / n / 10000000)
+         |             * (CAST(xi[CAST(j AS INT)] * n - tl[CAST(j AS INT)]
+         |                     AS DOUBLE) / n / 10000000))),
+         |           (a, x) -> a + x) AS cnorm2
+         |  FROM xv CROSS JOIN p3
+         |)
+         |SELECT vec_id,
+         |       floor(proj * 1000000) / 1000000 AS proj_pc1,
+         |       floor(sqrt(cnorm2 - proj * proj) * 1000000) / 1000000
+         |         AS residual_norm
+         |FROM r ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      val model = pcaTopFrame(
+        emb(s, d).select(col("vec_id"), col("embedding")))
+        .select("n", "tl", "v3")
+      val xv = emb(s, d).select(col("vec_id"), expr(
+        """transform(embedding, x ->
+          |  CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"""
+          .stripMargin).as("xi"))
+      val r = xv.crossJoin(broadcast(model))
+        .select(col("vec_id"),
+          expr(
+            """aggregate(transform(sequence(1, 64), j ->
+              |    element_at(v3, CAST(j AS INT))
+              |      * (CAST(element_at(xi, CAST(j AS INT)) * n
+              |              - element_at(tl, CAST(j AS INT)) AS DOUBLE)
+              |         / n / 10000000)),
+              |  CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
+            .as("proj"),
+          expr(
+            """aggregate(transform(sequence(1, 64), j ->
+              |    (CAST(element_at(xi, CAST(j AS INT)) * n
+              |          - element_at(tl, CAST(j AS INT)) AS DOUBLE)
+              |     / n / 10000000)
+              |    * (CAST(element_at(xi, CAST(j AS INT)) * n
+              |            - element_at(tl, CAST(j AS INT)) AS DOUBLE)
+              |       / n / 10000000)),
+              |  CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
+            .as("cnorm2"))
+      r.select(col("vec_id"),
+          (floor(col("proj") * 1000000) / 1000000).as("proj_pc1"),
+          (floor(sqrt(col("cnorm2") - col("proj") * col("proj")) * 1000000)
+            / 1000000).as("residual_norm"))
+        .orderBy("vec_id")
     },
 
     // Multimodal column plumbing: binary payload + mime + typed metadata
