@@ -784,6 +784,31 @@ object ScaleSmoke {
       n
     }
 
+    // Exact-scatter PCA at 1M 64-dim vectors (round 8, cont. 6): the
+    // REAL operators.Llm.pcaTopFrame — 500x the bench embeddings table.
+    // The only fact-sized stage is the 2080-products-per-vector explode
+    // into a map-side-combinable groupBy (4096 rows per partition reach
+    // the shuffle regardless of corpus size); the scatter + 3 power
+    // rounds are one-row work. A planted dominant axis (component 1
+    // carries +-100, others hash noise) must be recovered — at this
+    // scale a partial-aggregation bug (overflow, dropped combiner)
+    // would corrupt the moments first.
+    time("pca scatter 1M x 64d") {
+      val v = spark.range(1000000L).select(
+        col("id").as("vec_id"),
+        expr(
+          """transform(sequence(1, 64), j -> CAST(CASE WHEN j = 1
+            |  THEN IF(id % 2 = 0, 100.0, -100.0)
+            |  ELSE CAST(pmod(xxhash64(id, j), 17) - 8 AS DOUBLE) / 100
+            |END AS FLOAT))""".stripMargin).as("embedding"))
+      val v3 = operators.Llm.pcaTopFrame(v)
+        .select("v3").head().getSeq[Double](0)
+      spark.catalog.clearCache()
+      require(math.abs(v3.head) > 0.99,
+        s"planted axis lost at scale: v3(0)=${v3.head}")
+      1000000L
+    }
+
     // Zipf(1.1) user ids — real CommCare-like workloads are Zipfian, not
     // uniform: inverse-CDF of the continuous Zipf over N=30k users, so the
     // hottest user owns ~10% of all 60M events (~6.2M rows in ONE window

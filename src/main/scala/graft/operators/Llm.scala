@@ -499,11 +499,11 @@ object Llm {
        |           AS xi
        |  FROM embeddings
        |), ti AS (
-       |  SELECT j, CAST(sum(v) AS BIGINT) AS tj FROM (
+       |  SELECT j, CAST(sum(v) AS HUGEINT) AS tj FROM (
        |    SELECT unnest(range(1, 65)) AS j, unnest(xi) AS v FROM x)
        |  GROUP BY j
        |), qi AS (
-       |  SELECT j, k, CAST(sum(v) AS BIGINT) AS q FROM (
+       |  SELECT j, k, CAST(sum(v) AS HUGEINT) AS q FROM (
        |    SELECT unnest(flatten(list_transform(range(1, 65), j ->
        |             list_transform(range(j, 65), k -> struct_pack(
        |               j := j, k := k,
@@ -530,7 +530,7 @@ object Llm {
 
   /** Spark twin of [[pcaChainCtes]]: the ONE-ROW frame with columns
     * (n, ql, tl, sd, v1, v2, v3). `e` = embeddings (vec_id, embedding). */
-  private def pcaTopFrame(e: DataFrame): DataFrame = {
+  private[graft] def pcaTopFrame(e: DataFrame): DataFrame = {
     val x = e.select(expr(
       """transform(embedding, x ->
         |  CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"""
@@ -540,14 +540,15 @@ object Llm {
         """transform(sequence(1, 64), j ->
           |  named_struct('j', j, 'v', element_at(xi, j)))""".stripMargin))
         .as("p"))
-      .groupBy(col("p.j").as("j")).agg(sum(col("p.v")).as("tj"))
+      .groupBy(col("p.j").as("j"))
+      .agg(sum(col("p.v").cast("decimal(28,0)")).as("tj"))
     val qi = x.select(explode(expr(
         """flatten(transform(sequence(1, 64), j ->
           |  transform(sequence(j, 64), k -> named_struct('j', j, 'k', k,
           |    'v', element_at(xi, j) * element_at(xi, k)))))"""
           .stripMargin)).as("p"))
       .groupBy(col("p.j").as("j"), col("p.k").as("k"))
-      .agg(sum(col("p.v")).as("q"))
+      .agg(sum(col("p.v").cast("decimal(28,0)")).as("q"))
     val one = qi.agg(expr(
         "sort_array(collect_list(struct(j, k, q)))").as("ql"))
       .crossJoin(broadcast(ti.agg(expr(
@@ -3580,9 +3581,11 @@ object Llm {
     // "mean-center / project before ANN"). EXACT distributed stage:
     // components snap to a 1e-7 integer grid (floats have 7 significant
     // digits), so the moment sums T_j = Σx_j and Q_jk = Σx_j·x_k are
-    // exact BIGINTs whatever the partitioning/order; the CENTERED
-    // scatter S = n·Q − T·Tᵀ assembles in DECIMAL(38,0) (oracle
-    // HUGEINT; n·Q ~ 4e20 overflows BIGINT). The bounded stage: S is a
+    // exact integers whatever the partitioning/order — ACCUMULATED in
+    // DECIMAL(38,0) (oracle HUGEINT): a 1M-vector ScaleSmoke run caught
+    // BIGINT sums overflowing at ~1e20 (per-row products stay BIGINT;
+    // the 1e-7 grid bounds them below 2^63 for |x| ≤ 100). The CENTERED
+    // scatter S = n·Q − T·Tᵀ assembles in the same wide types. The bounded stage: S is a
     // 64×64 = 4096-cell ONE-ROW frame; 3 power-iteration rounds from
     // the all-ones vector (deterministic sign) + the Rayleigh quotient
     // run as IN-ROW array folds written operator-for-operator
@@ -3673,14 +3676,17 @@ object Llm {
          |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |           list_transform(range(1, 65), j ->
          |             v3[CAST(j AS INT)]
-         |               * (CAST(xi[CAST(j AS INT)] * n - tl[CAST(j AS INT)]
+         |               * (CAST(CAST(xi[CAST(j AS INT)] AS HUGEINT) * n
+         |                       - tl[CAST(j AS INT)]
          |                       AS DOUBLE) / n / 10000000))),
          |           (a, x) -> a + x) AS proj,
          |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |           list_transform(range(1, 65), j ->
-         |             (CAST(xi[CAST(j AS INT)] * n - tl[CAST(j AS INT)]
+         |             (CAST(CAST(xi[CAST(j AS INT)] AS HUGEINT) * n
+         |                   - tl[CAST(j AS INT)]
          |                   AS DOUBLE) / n / 10000000)
-         |             * (CAST(xi[CAST(j AS INT)] * n - tl[CAST(j AS INT)]
+         |             * (CAST(CAST(xi[CAST(j AS INT)] AS HUGEINT) * n
+         |                     - tl[CAST(j AS INT)]
          |                     AS DOUBLE) / n / 10000000))),
          |           (a, x) -> a + x) AS cnorm2
          |  FROM xv CROSS JOIN p3
@@ -3703,17 +3709,20 @@ object Llm {
           expr(
             """aggregate(transform(sequence(1, 64), j ->
               |    element_at(v3, CAST(j AS INT))
-              |      * (CAST(element_at(xi, CAST(j AS INT)) * n
+              |      * (CAST(CAST(element_at(xi, CAST(j AS INT))
+              |                   AS DECIMAL(38,0)) * n
               |              - element_at(tl, CAST(j AS INT)) AS DOUBLE)
               |         / n / 10000000)),
               |  CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
             .as("proj"),
           expr(
             """aggregate(transform(sequence(1, 64), j ->
-              |    (CAST(element_at(xi, CAST(j AS INT)) * n
+              |    (CAST(CAST(element_at(xi, CAST(j AS INT))
+              |               AS DECIMAL(38,0)) * n
               |          - element_at(tl, CAST(j AS INT)) AS DOUBLE)
               |     / n / 10000000)
-              |    * (CAST(element_at(xi, CAST(j AS INT)) * n
+              |    * (CAST(CAST(element_at(xi, CAST(j AS INT))
+              |               AS DECIMAL(38,0)) * n
               |            - element_at(tl, CAST(j AS INT)) AS DOUBLE)
               |       / n / 10000000)),
               |  CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)

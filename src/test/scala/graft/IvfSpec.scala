@@ -119,4 +119,25 @@ class IvfSpec extends AnyFunSuite {
     assert(work2 <= work0 * 1.1,
       f"training must not inflate rerank work: $work0%.0f -> $work2%.0f")
   }
+
+  test("pcaTopFrame recovers a planted dominant direction (r8 cont. 6)") {
+    // 200 vectors, 64-dim: component 1 carries +-3 (alternating sign, so
+    // the MEAN is ~0 and the centered scatter is dominated by dim 1);
+    // every other component is deterministic centered noise < 0.08
+    val rows = (0 until 200).map { i =>
+      val arr = Array.tabulate(64) { j =>
+        if (j == 0) (if (i % 2 == 0) 3.0f else -3.0f)
+        else ((i * 64 + j) % 17 - 8) / 100.0f
+      }
+      (i.toLong, arr.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val v3 = operators.Llm.pcaTopFrame(df)
+      .select("v3").head().getSeq[Double](0)
+    spark.catalog.clearCache()
+    assert(math.abs(v3.head) > 0.99,
+      s"power iteration must lock onto the planted axis: v3(0)=${v3.head}")
+    assert(v3.tail.forall(x => math.abs(x) < 0.1),
+      "no noise dimension may carry weight")
+  }
 }
