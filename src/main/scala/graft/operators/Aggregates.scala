@@ -3531,6 +3531,53 @@ object Aggregates {
             * 1000000) / 1000000).as("cr10"))
     },
 
+    // Cross-table temporal sanity (round 8, cont. 6): the data-contract
+    // audit dq_referential (key existence) cannot see — do the FACTS
+    // agree in TIME? Two invariants per order status: a line item must
+    // not ship BEFORE its order, nor more than 180 days AFTER it
+    // (stale-pipeline / clock-skew detectors; TPC-H ships within ~122
+    // days, so the 180-day band flags generator drift too). Plan: ONE
+    // co-keyed fact⋈fact join (both sides shuffle on orderkey — the
+    // canonical co-partitioned join, nothing broadcast) into a bounded
+    // per-status aggregate; integer counts, one rate division each.
+    Q("dq_temporal_sanity",
+      """SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(count(*) FILTER (WHERE l_shipdate < o_orderdate)
+        |            AS BIGINT) AS ship_before_order,
+        |       CAST(count(*) FILTER (
+        |              WHERE l_shipdate > o_orderdate + INTERVAL 180 DAY)
+        |            AS BIGINT) AS ship_beyond_180d,
+        |       floor((CAST(count(*) FILTER (WHERE l_shipdate < o_orderdate)
+        |                   AS DOUBLE)
+        |              + count(*) FILTER (
+        |                  WHERE l_shipdate > o_orderdate
+        |                        + INTERVAL 180 DAY))
+        |             / count(*) * 1000000) / 1000000 AS violation_rate
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, d) =>
+        val j = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+          .join(t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderdate"),
+              col("o_orderstatus")),
+            col("l_orderkey") === col("o_orderkey"))
+        val early = col("l_shipdate") < col("o_orderdate")
+        val late = col("l_shipdate") >
+          expr("o_orderdate + INTERVAL 180 DAY")
+        j.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_lines"),
+            count(when(early, 1)).as("ship_before_order"),
+            count(when(late, 1)).as("ship_beyond_180d"))
+          .select(col("o_orderstatus"), col("n_lines"),
+            col("ship_before_order"), col("ship_beyond_180d"),
+            (floor((col("ship_before_order").cast("double")
+              + col("ship_beyond_180d")) / col("n_lines") * 1000000)
+              / 1000000).as("violation_rate"))
+          .orderBy("o_orderstatus")
+    },
+
     // DAU/MAU stickiness (round 8, cont. 6): per day, the active-user
     // count, the trailing-28-day distinct-user count, and their ratio —
     // THE product-engagement readout (how much of the monthly audience

@@ -2104,6 +2104,89 @@ object Etl {
         .orderBy("event_type")
     },
 
+    // Discounted cohort LTV (round 8, cont. 6): monthly customer-cohort
+    // lifetime value with a 1%-per-month discount — the NPV view a
+    // finance/CAC decision reads (etl_cohort_ltv's raw cumulative
+    // overstates late revenue; at 79 months the last dollar is worth
+    // 0.99^78 ~ 0.46). Discount factor 0.99^age is computed by an
+    // EXPLICIT in-row multiply chain (identical IEEE order both
+    // engines), never pow() — cross-engine pow is not bit-contracted.
+    // Revenue folds in DECIMAL cents per (cohort, age) first (exact,
+    // order-independent); the discounted running sum rides the same
+    // bounded (cohorts × ages ~ 79²) frame as the raw one. Plan: one
+    // fact scan → customer-keyed first-month groupBy+join → bounded
+    // grid → per-cohort window over ages.
+    Q("etl_ltv_discounted",
+      """WITH f AS (
+        |  SELECT o_custkey,
+        |         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), firsts AS (
+        |  SELECT o_custkey, min(m) AS cohort FROM f GROUP BY o_custkey
+        |), grid AS (
+        |  SELECT cohort, CAST(date_diff('month', cohort, m) AS BIGINT)
+        |           AS age,
+        |         CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM f JOIN firsts USING (o_custkey) GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM firsts GROUP BY cohort
+        |), disc AS (
+        |  SELECT cohort, age, cents,
+        |         CAST(cents AS DOUBLE) / 100
+        |           * CASE WHEN age = 0 THEN CAST(1 AS DOUBLE)
+        |                  ELSE list_reduce(list_prepend(CAST(1 AS DOUBLE),
+        |                    list_transform(range(1, age + 1),
+        |                      z -> CAST(0.99 AS DOUBLE))), (a, x) -> a * x)
+        |             END AS drev
+        |  FROM grid
+        |), cum AS (
+        |  SELECT cohort, age,
+        |         sum(cents) OVER (PARTITION BY cohort ORDER BY age)
+        |           AS cum_cents,
+        |         sum(drev) OVER (PARTITION BY cohort ORDER BY age)
+        |           AS cum_drev
+        |  FROM disc
+        |)
+        |SELECT cohort, age, n_users,
+        |       floor(CAST(cum_cents AS DOUBLE) / 100 / n_users * 10000)
+        |         / 10000 AS ltv_per_user,
+        |       floor(cum_drev / n_users * 10000) / 10000
+        |         AS ltv_discounted
+        |FROM cum JOIN sizes USING (cohort)
+        |ORDER BY cohort, age""".stripMargin) { (s, d) =>
+      val f = orders(s, d)
+        .select(col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).as("m"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val firsts = f.groupBy("o_custkey").agg(min(col("m")).as("cohort"))
+      val grid = f.join(firsts, Seq("o_custkey"))
+        .groupBy(col("cohort"),
+          expr("CAST(months_between(m, cohort) AS BIGINT)").as("age"))
+        .agg(sum(col("cents")).as("cents"))
+      val sizes = firsts.groupBy("cohort")
+        .agg(count(lit(1)).as("n_users"))
+      val disc = grid.withColumn("drev",
+        col("cents").cast("double") / 100 *
+          expr(
+            """CASE WHEN age = 0 THEN CAST(1 AS DOUBLE)
+              |ELSE aggregate(transform(sequence(1, CAST(age AS INT)),
+              |       z -> CAST(0.99 AS DOUBLE)),
+              |     CAST(1 AS DOUBLE), (a, x) -> a * x) END""".stripMargin))
+      val wC = Window.partitionBy("cohort").orderBy("age")
+      disc
+        .withColumn("cum_cents", sum(col("cents")).over(wC))
+        .withColumn("cum_drev", sum(col("drev")).over(wC))
+        .join(broadcast(sizes), Seq("cohort"))
+        .select(col("cohort"), col("age"), col("n_users"),
+          (floor(col("cum_cents").cast("double") / 100 / col("n_users")
+            * 10000) / 10000).as("ltv_per_user"),
+          (floor(col("cum_drev") / col("n_users") * 10000) / 10000)
+            .as("ltv_discounted"))
+        .orderBy("cohort", "age")
+    },
+
     // Kaplan-Meier survival estimate (round 8, cont. 6): time to FIRST
     // PURCHASE per user, censoring-aware — the conversion-lag curve a
     // funnel readout cannot give (users who have not purchased by the
