@@ -3578,6 +3578,82 @@ object Aggregates {
           .orderBy("o_orderstatus")
     },
 
+    // Circular (hour-of-day) statistics (round 8, cont. 6): how
+    // CONCENTRATED is each event type around its peak hour — the mean
+    // resultant length R̄ = |Σ e^(iθ)|/n over θ = 2π·hour/24 (Fisher,
+    // Statistical Analysis of Circular Data): R̄ ~ 0 = around-the-clock
+    // traffic, R̄ → 1 = a single-hour spike; the 24h-seasonality scalar
+    // a linear mean of hours gets WRONG at midnight wraparound. NO libm
+    // trig in either engine: hours bucket to 24 cells and cos/sin come
+    // from a shared 6-dp LITERAL table (DECIMAL(8,6)), so C = Σn_k·c_k
+    // and S = Σn_k·s_k are EXACT DECIMAL sums (order-independent) and
+    // the only float ops are one sqrt + one division. Peak hour via the
+    // BIGINT encode n·24 + (23−hour) (max → largest count, ties to the
+    // earliest hour). Plan: one fact scan, bounded (type, hour) groupBy,
+    // map-side literal lookup — zero windows/joins.
+    Q("agg_circular_stats", {
+      val cos24 = Seq("1.0", "0.965926", "0.866025", "0.707107", "0.5",
+        "0.258819", "0.0", "-0.258819", "-0.5", "-0.707107", "-0.866025",
+        "-0.965926", "-1.0", "-0.965926", "-0.866025", "-0.707107",
+        "-0.5", "-0.258819", "0.0", "0.258819", "0.5", "0.707107",
+        "0.866025", "0.965926")
+      val sin24 = Seq("0.0", "0.258819", "0.5", "0.707107", "0.866025",
+        "0.965926", "1.0", "0.965926", "0.866025", "0.707107", "0.5",
+        "0.258819", "0.0", "-0.258819", "-0.5", "-0.707107", "-0.866025",
+        "-0.965926", "-1.0", "-0.965926", "-0.866025", "-0.707107",
+        "-0.5", "-0.258819")
+      def arr(xs: Seq[String]) =
+        xs.map(x => s"CAST($x AS DECIMAL(8,6))").mkString("[", ", ", "]")
+      s"""WITH c AS (
+         |  SELECT event_type, CAST(hour(ts) AS INT) AS h,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2
+         |), g AS (
+         |  SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+         |         sum(n * ${arr(cos24)}[h + 1]) AS cs,
+         |         sum(n * ${arr(sin24)}[h + 1]) AS sn,
+         |         max(n * 24 + (23 - h)) AS enc
+         |  FROM c GROUP BY event_type
+         |)
+         |SELECT event_type, n,
+         |       CAST(23 - enc % 24 AS BIGINT) AS peak_hour,
+         |       enc // 24 AS peak_n,
+         |       floor(sqrt(CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+         |                  + CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+         |             / n * 1000000) / 1000000 AS resultant
+         |FROM g ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+      val cos24 = Seq("1.0", "0.965926", "0.866025", "0.707107", "0.5",
+        "0.258819", "0.0", "-0.258819", "-0.5", "-0.707107", "-0.866025",
+        "-0.965926", "-1.0", "-0.965926", "-0.866025", "-0.707107",
+        "-0.5", "-0.258819", "0.0", "0.258819", "0.5", "0.707107",
+        "0.866025", "0.965926")
+      val sin24 = Seq("0.0", "0.258819", "0.5", "0.707107", "0.866025",
+        "0.965926", "1.0", "0.965926", "0.866025", "0.707107", "0.5",
+        "0.258819", "0.0", "-0.258819", "-0.5", "-0.707107", "-0.866025",
+        "-0.965926", "-1.0", "-0.965926", "-0.866025", "-0.707107",
+        "-0.5", "-0.258819")
+      def arr(xs: Seq[String]) =
+        xs.map(x => s"CAST($x AS DECIMAL(8,6))").mkString("array(", ", ", ")")
+      val g = t(s, d, "events")
+        .groupBy(col("event_type"), hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("event_type")
+        .agg(sum(col("cnt")).as("n"),
+          sum(col("cnt") * expr(s"element_at(${arr(cos24)}, h + 1)"))
+            .as("cs"),
+          sum(col("cnt") * expr(s"element_at(${arr(sin24)}, h + 1)"))
+            .as("sn"),
+          max(col("cnt") * 24 + (lit(23) - col("h"))).as("enc"))
+      g.select(col("event_type"), col("n"),
+          (lit(23) - col("enc") % 24).cast("long").as("peak_hour"),
+          expr("enc DIV 24").as("peak_n"),
+          (floor(sqrt(col("cs").cast("double") * col("cs").cast("double")
+            + col("sn").cast("double") * col("sn").cast("double"))
+            / col("n") * 1000000) / 1000000).as("resultant"))
+        .orderBy("event_type")
+    },
+
     // DAU/MAU stickiness (round 8, cont. 6): per day, the active-user
     // count, the trailing-28-day distinct-user count, and their ratio —
     // THE product-engagement readout (how much of the monthly audience
