@@ -3578,6 +3578,81 @@ object Aggregates {
           .orderBy("o_orderstatus")
     },
 
+    // Benford MAD conformity verdict (round 8, cont. 6): Nigrini's mean
+    // absolute deviation over the 9 first-digit shares, with the
+    // published verdict bands (<0.006 close, <0.012 acceptable, <0.015
+    // marginal, else nonconformity) — the ONE-NUMBER forensic verdict on
+    // top of agg_benford's per-digit table. EXACT: the 6-dp Benford
+    // expectations are integer LITERALS scaled by 1e6 (the
+    // agg_circular_stats literal-table doctrine — no libm log10 in the
+    // statistic), so MAD·N·9e6 = Σ_d |n_d·1e6 − E_d·N| is an exact
+    // BIGINT including ZERO-COUNT digits (the in-row fold walks 1..9,
+    // not just observed digits); one division chain at display, and the
+    // verdict branches on the FLOORED mad in both engines. Plan: one
+    // scan, 9-row groupBy, in-row fold — zero windows/joins.
+    Q("agg_benford_mad",
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |                          AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1
+        |), g AS (
+        |  SELECT list(struct_pack(digit := digit, n := n)
+        |              ORDER BY digit) AS l,
+        |         CAST(sum(n) AS BIGINT) AS total
+        |  FROM c
+        |), m AS (
+        |  SELECT total,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, 10), d ->
+        |             abs(coalesce(list_filter(l,
+        |                   e -> e.digit = d)[1].n, 0) * 1000000
+        |                 - [301030, 176091, 124939, 96910, 79181, 66947,
+        |                    57992, 51153, 45757][CAST(d AS INT)] * total))),
+        |           (a, x) -> a + x) AS sad
+        |  FROM g
+        |)
+        |SELECT total AS n,
+        |       floor(CAST(sad AS DOUBLE) / total / 9 / 1000000 * 1000000)
+        |         / 1000000 AS mad,
+        |       CASE WHEN floor(CAST(sad AS DOUBLE) / total / 9 / 1000000
+        |                       * 1000000) / 1000000 < 0.006
+        |              THEN '1_close'
+        |            WHEN floor(CAST(sad AS DOUBLE) / total / 9 / 1000000
+        |                       * 1000000) / 1000000 < 0.012
+        |              THEN '2_acceptable'
+        |            WHEN floor(CAST(sad AS DOUBLE) / total / 9 / 1000000
+        |                       * 1000000) / 1000000 < 0.015
+        |              THEN '3_marginal'
+        |            ELSE '4_nonconformity' END AS verdict
+        |FROM m""".stripMargin) { (s, d) =>
+      val c = t(s, d, "orders")
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val m = c.agg(
+        expr("sort_array(collect_list(struct(digit, n)))").as("l"),
+        sum(col("n")).as("total"))
+        .select(col("total"),
+          expr(
+            """aggregate(transform(sequence(1, 9), d ->
+              |    abs(coalesce(element_at(filter(l,
+              |          e -> e.digit = d), 1).n, CAST(0 AS BIGINT))
+              |          * 1000000
+              |        - element_at(array(301030L, 176091L, 124939L,
+              |            96910L, 79181L, 66947L, 57992L, 51153L,
+              |            45757L), CAST(d AS INT)) * total)),
+              |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+            .as("sad"))
+      val mad = floor(col("sad").cast("double") / col("total") / 9
+        / 1000000 * 1000000) / 1000000
+      m.select(col("total").as("n"), mad.as("mad"),
+        when(mad < 0.006, "1_close")
+          .when(mad < 0.012, "2_acceptable")
+          .when(mad < 0.015, "3_marginal")
+          .otherwise("4_nonconformity").as("verdict"))
+    },
+
     // Circular (hour-of-day) statistics (round 8, cont. 6): how
     // CONCENTRATED is each event type around its peak hour — the mean
     // resultant length R̄ = |Σ e^(iθ)|/n over θ = 2π·hour/24 (Fisher,
