@@ -2104,6 +2104,87 @@ object Etl {
         .orderBy("event_type")
     },
 
+    // Order-to-ship lead time SLA readout (round 8, cont. 6): the
+    // operational latency profile of the fulfillment pipeline — exact
+    // mean/p50/p90/p99/max days from order to line shipment, the
+    // companion to dq_temporal_sanity's violation counts (sanity says
+    // "nothing impossible"; this says how SLOW the possible is). Exact:
+    // lead times are integer days; the co-keyed fact⋈fact join reduces
+    // to a BOUNDED (lag, count) frame (~180 rows), and the quantiles
+    // are quantile_disc rank arithmetic over the in-row day-ordered
+    // list — smallest lag whose cumulative count reaches ceil(q·N);
+    // mean = one exact-integer division. Zero windows.
+    Q("etl_lead_time",
+      """WITH j AS (
+        |  SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+        |           AS lag
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), c AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY lag
+        |), g AS (
+        |  SELECT list(struct_pack(lag := lag, n := n) ORDER BY lag) AS l,
+        |         CAST(sum(n) AS BIGINT) AS total,
+        |         CAST(sum(lag * n) AS BIGINT) AS s,
+        |         CAST(max(lag) AS BIGINT) AS mx
+        |  FROM c
+        |), p AS (
+        |  SELECT total, s, mx,
+        |         list_filter(list_transform(range(1, len(l) + 1), i ->
+        |           CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                  list_transform(l[1 : CAST(i AS INT)], e -> e.n)),
+        |                  (a, x) -> a + x)
+        |                >= CAST(ceil(0.5 * total) AS BIGINT)
+        |                THEN l[CAST(i AS INT)].lag END),
+        |           x -> x IS NOT NULL)[1] AS p50,
+        |         list_filter(list_transform(range(1, len(l) + 1), i ->
+        |           CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                  list_transform(l[1 : CAST(i AS INT)], e -> e.n)),
+        |                  (a, x) -> a + x)
+        |                >= CAST(ceil(0.9 * total) AS BIGINT)
+        |                THEN l[CAST(i AS INT)].lag END),
+        |           x -> x IS NOT NULL)[1] AS p90,
+        |         list_filter(list_transform(range(1, len(l) + 1), i ->
+        |           CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                  list_transform(l[1 : CAST(i AS INT)], e -> e.n)),
+        |                  (a, x) -> a + x)
+        |                >= CAST(ceil(0.99 * total) AS BIGINT)
+        |                THEN l[CAST(i AS INT)].lag END),
+        |           x -> x IS NOT NULL)[1] AS p99
+        |  FROM g
+        |)
+        |SELECT total AS n_lines,
+        |       floor(CAST(s AS DOUBLE) / total * 1000000) / 1000000
+        |         AS mean_days,
+        |       p50 AS p50_days, p90 AS p90_days, p99 AS p99_days,
+        |       mx AS max_days
+        |FROM p""".stripMargin) { (s, d) =>
+      val c = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(datediff(col("l_shipdate"), col("o_orderdate"))
+          .cast("long").as("lag"))
+        .groupBy("lag").agg(count(lit(1)).as("n"))
+      def pick(q: String) =
+        s"""element_at(filter(transform(sequence(1, size(l)), i ->
+           |  CASE WHEN aggregate(transform(slice(l, 1, CAST(i AS INT)),
+           |         e -> e.n), CAST(0 AS BIGINT), (a, x) -> a + x)
+           |       >= CAST(ceil($q * total) AS BIGINT)
+           |       THEN element_at(l, CAST(i AS INT)).lag END),
+           |  x -> x IS NOT NULL), 1)""".stripMargin
+      c.agg(expr("sort_array(collect_list(struct(lag, n)))").as("l"),
+          sum(col("n")).as("total"),
+          sum(col("lag") * col("n")).as("s"),
+          max(col("lag")).as("mx"))
+        .select(col("total").as("n_lines"),
+          (floor(col("s").cast("double") / col("total") * 1000000)
+            / 1000000).as("mean_days"),
+          expr(pick("0.5")).as("p50_days"),
+          expr(pick("0.9")).as("p90_days"),
+          expr(pick("0.99")).as("p99_days"),
+          col("mx").as("max_days"))
+    },
+
     // Discounted cohort LTV (round 8, cont. 6): monthly customer-cohort
     // lifetime value with a 1%-per-month discount — the NPV view a
     // finance/CAC decision reads (etl_cohort_ltv's raw cumulative

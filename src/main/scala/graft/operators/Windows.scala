@@ -211,6 +211,72 @@ object Windows {
         .orderBy("event_type", "day")
     },
 
+    // Maximum drawdown (round 8, cont. 6): per event_type, the deepest
+    // peak-to-trough fall of CUMULATIVE daily revenue — the risk scalar
+    // beside win_cusum's change detector (a revenue stream can pass
+    // every mean test and still carry a brutal drawdown; this is the
+    // number an SLA/runway review reads). Exact: daily cents, prefix
+    // sums and running maxima fold in-row over the day-ordered ≤31-row
+    // list (the etl_changepoint idiom); the argmax ENCODES
+    // (drawdown, day) into one BIGINT — dd·1024 + (1024 − k) — and
+    // takes a scalar max (DuckDB's LIST-accumulator list_reduce bug),
+    // ties to the EARLIEST trough; one division at display. Plan: one
+    // fact scan, bounded (type, day) groupBy, O(n²) in-row fold — zero
+    // windows (the window-free spelling of a running-max window pair).
+    Q("win_drawdown",
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type,
+        |         list(struct_pack(day := day, c := c) ORDER BY day) AS l
+        |  FROM d GROUP BY event_type
+        |), b AS (
+        |  SELECT event_type, l, CAST(len(l) AS BIGINT) AS n,
+        |         list_max(list_transform(range(1, len(l) + 1), k ->
+        |           (list_max(list_transform(range(1, k + 1), j ->
+        |              list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                list_transform(l[1 : CAST(j AS INT)], e -> e.c)),
+        |                (a, x) -> a + x)))
+        |            - list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                list_transform(l[1 : CAST(k AS INT)], e -> e.c)),
+        |                (a, x) -> a + x)) * 1024
+        |           + (1024 - k))) AS best
+        |  FROM g
+        |)
+        |SELECT event_type, n AS n_days,
+        |       floor(CAST(best // 1024 AS DOUBLE) / 100 * 1000000)
+        |         / 1000000 AS max_drawdown,
+        |       l[CAST(1024 - best % 1024 AS INT)].day AS trough_day
+        |FROM b ORDER BY event_type""".stripMargin) { (s, d) =>
+      val g = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+        .groupBy("event_type")
+        .agg(expr("sort_array(collect_list(struct(day, c)))").as("l"))
+      g.select(col("event_type"), col("l"),
+          size(col("l")).cast("long").as("n"),
+          expr(
+            """array_max(transform(sequence(1, size(l)), k ->
+              |  (array_max(transform(sequence(1, k), j ->
+              |     aggregate(transform(slice(l, 1, CAST(j AS INT)),
+              |         e -> e.c),
+              |       CAST(0 AS BIGINT), (a, x) -> a + x)))
+              |   - aggregate(transform(slice(l, 1, CAST(k AS INT)),
+              |       e -> e.c),
+              |     CAST(0 AS BIGINT), (a, x) -> a + x)) * 1024
+              |  + (1024 - k)))""".stripMargin).as("best"))
+        .select(col("event_type"), col("n").as("n_days"),
+          (floor(expr("best DIV 1024").cast("double") / 100 * 1000000)
+            / 1000000).as("max_drawdown"),
+          expr("element_at(l, CAST(1024 - best % 1024 AS INT)).day")
+            .as("trough_day"))
+        .orderBy("event_type")
+    },
+
     Q("win_row_number",
       """SELECT event_id, user_id,
         |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
