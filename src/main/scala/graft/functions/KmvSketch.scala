@@ -174,7 +174,11 @@ case class KmvSketchAgg(
       // Pre-hashed contract: θ arithmetic assumes uniform [0, 2^bits).
       // Out-of-range input would make θ negative or > 1 and silently
       // corrupt every downstream estimate — fail loudly instead.
-      if (h < 0L || (bits < 62 && h >= (1L << bits)))
+      // 1L << 62 is representable (bits ≤ 62 by the constructor
+      // require), so the upper-bound check is uniform for every legal
+      // bits value — skipping it at bits == 62 would let a hash in
+      // [2^62, 2^63) through, the exact silent corruption this guards.
+      if (h < 0L || h >= (1L << bits))
         throw new IllegalArgumentException(
           s"kmv_sketch: hash value $h outside declared domain [0, 2^$bits)")
       buffer.add(h)

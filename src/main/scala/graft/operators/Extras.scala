@@ -130,6 +130,10 @@ object Extras {
     */
   def hits(edges0: DataFrame, rounds: Int = 2,
       mass: Long = 1000000000L): (DataFrame, DataFrame) = {
+    // the auth frame is only assigned inside the loop — rounds = 0 would
+    // return (hub, null) and NPE at first downstream use (same parameter
+    // discipline as pageRank)
+    require(rounds >= 1, s"hits: rounds=$rounds must be >= 1")
     val e = edges0.repartition(col("src")).persist()
     def rescale(raw: DataFrame): DataFrame = {
       val s = raw.agg(sum(col("raw")).as("s"))

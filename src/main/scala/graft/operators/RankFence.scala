@@ -68,6 +68,25 @@ object RankFence {
   private val IV = "__rf_iv"
   private val RN = "__rf_rn"
 
+  /** Hard bound on the rows any fenced operator may collect to the
+    * driver (interval grids, boundary tuples). The per-group interval
+    * grid is `groups × (≤ 2·buckets + 1)` rows, so this caps `groupCol`
+    * cardinality at ≈ MaxDriverGridRows / (2·buckets + 1) (~15k groups
+    * at the default 64 buckets) — far above any report-grain group key
+    * and far below a fact-scale one. Exceeding it throws an actionable
+    * error instead of silently OOM-ing the driver. */
+  val MaxDriverGridRows: Int = 2000000
+
+  /** Shared parameter guard for every public fenced entry point:
+    * local ranks inside an interval are narrowed to Int for the
+    * row_number boundary filters (pick / ntileFencedMulti), which is
+    * only sound while the sort budget itself fits an Int. */
+  private def requireBudget(maxWindowRows: Long): Unit =
+    require(maxWindowRows >= 1L && maxWindowRows <= Int.MaxValue.toLong,
+      s"maxWindowRows=$maxWindowRows outside [1, ${Int.MaxValue}]: " +
+        "interval-local ranks are compared as Int against row_number, " +
+        "so the single-task sort budget must fit an Int")
+
   /** Can this type serve as a fence-routing key? */
   private def routeSupported(dt: DataType): Boolean = dt match {
     case _: NumericType | DateType | TimestampType => true
@@ -309,6 +328,7 @@ object RankFence {
       out: String, buckets: Int = 64,
       maxWindowRows: Long = DefaultMaxWindowRows): DataFrame = {
     require(tiles >= 1, s"tiles=$tiles")
+    requireBudget(maxWindowRows)
     val (withIv, counts) = prepare(df, order, buckets)
     val n = counts.map(_._2).sum
     if (n == 0L) return df.withColumn(out, lit(1))
@@ -341,6 +361,7 @@ object RankFence {
       df: DataFrame, specs: Seq[NtileSpec], buckets: Int = 64,
       maxWindowRows: Long = DefaultMaxWindowRows): DataFrame = {
     require(specs.nonEmpty)
+    requireBudget(maxWindowRows)
     if (specs.lengthCompare(1) == 0)
       return ntileFenced(df, specs.head.order, specs.head.tiles,
         specs.head.out, buckets, maxWindowRows)
@@ -457,6 +478,7 @@ object RankFence {
       df: DataFrame, order: Seq[OrderCol], ranks: Seq[Long],
       buckets: Int = 64,
       maxWindowRows: Long = DefaultMaxWindowRows): Map[Long, Seq[Any]] = {
+    requireBudget(maxWindowRows)
     val (withIv, counts) = prepare(df, order, buckets)
     pick(withIv, order, counts, ranks, buckets, maxWindowRows)
   }
@@ -471,6 +493,7 @@ object RankFence {
       buckets: Int = 64,
       maxWindowRows: Long = DefaultMaxWindowRows): Seq[(Double, Long, Any)] = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"qs=$qs")
+    requireBudget(maxWindowRows)
     val (withIv, counts) = prepare(df, order, buckets)
     val n = counts.map(_._2).sum
     if (n == 0) return Seq.empty
@@ -703,6 +726,7 @@ object RankFence {
       buckets: Int = 64,
       maxWindowRows: Long = DefaultMaxWindowRows): DataFrame = {
     require(order.nonEmpty, "globalRanksFenced needs a rank ordering")
+    requireBudget(maxWindowRows)
     val full = order ++ tieBreak
     val route = routeExpr(df, order.head)
     val skBytes = df.agg(KllFunctions.kllSketch(route).as("sk"))
@@ -831,8 +855,10 @@ object RankFence {
   def weightedMedianFenced(
       df: DataFrame, groupCol: String, order: Seq[OrderCol],
       weightCol: String, buckets: Int = 64,
-      maxWindowRows: Long = DefaultMaxWindowRows): DataFrame = {
+      maxWindowRows: Long = DefaultMaxWindowRows,
+      maxGridRows: Int = MaxDriverGridRows): DataFrame = {
     import org.apache.spark.sql.Row
+    requireBudget(maxWindowRows)
     val route = routeExpr(df, order.head)
     val skBytes = df.agg(KllFunctions.kllSketch(route).as("sk"))
       .head().getAs[Array[Byte]](0)
@@ -847,7 +873,19 @@ object RankFence {
       .agg(sum(col(weightCol)).as("w"), count(lit(1)).as("c"))
     val wType = wsum.schema("w").dataType
     val gType = wsum.schema(groupCol).dataType
-    val grid = wsum.collect()
+    // groupCol-cardinality contract, ENFORCED (VERDICT r8): the grid is
+    // groups × intervals rows collected to the driver — a fact-scale
+    // group key would OOM it silently. The limit-probe costs nothing
+    // (the agg runs either way) and turns the overflow into an
+    // actionable error naming the contract.
+    val grid0 = wsum.limit(maxGridRows + 1).collect()
+    require(grid0.length <= maxGridRows,
+      s"weightedMedianFenced: per-(group, interval) grid exceeds " +
+        s"$maxGridRows rows — groupCol '$groupCol' must be " +
+        s"low-cardinality (≲ ${maxGridRows / (2 * buckets + 1)} " +
+        s"groups at buckets=$buckets); group by a report-grain key or " +
+        "pre-bucket the fact key")
+    val grid = grid0
       .map(r => (r.get(0), r.getInt(1), r.getDecimal(2), r.getLong(3)))
     // driver: per group, total weight + the crossing interval (first
     // where 2·cumulative ≥ total) + exact weight before it + its row

@@ -103,11 +103,20 @@ object Sources {
     withConnection(url, props) { conn =>
       val exists = {
         val md = conn.getMetaData
-        // unquoted identifiers fold per-dialect: Derby/Oracle upper,
-        // PostgreSQL lower — probe both
-        val up = md.getTables(null, null, table.toUpperCase, null)
-        val lo = md.getTables(null, null, table.toLowerCase, null)
-        try up.next() || lo.next() finally { up.close(); lo.close() }
+        // scope the probe to the connection's CURRENT schema (a
+        // same-named table in another schema must not false-positive —
+        // it would skip CREATE + PK setup and the merge would hit the
+        // wrong table or fail), restrict to real TABLEs, and probe the
+        // EXACT name alongside the per-dialect identifier folds
+        // (Derby/Oracle upper, PostgreSQL lower) so quoted mixed-case
+        // targets are found too
+        val schema = try conn.getSchema catch { case _: Throwable => null }
+        val types = Array("TABLE")
+        def probe(name: String): Boolean = {
+          val rs = md.getTables(null, schema, name, types)
+          try rs.next() finally rs.close()
+        }
+        Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists(probe)
       }
       val st = conn.createStatement()
       try {
@@ -396,7 +405,18 @@ object Sources {
   /** Publish `df` as the table's next version: stage the full version
     * dir, atomically repoint, lazily retire old versions. Returns the
     * new version name. A crash before the swap leaves a dangling
-    * staged dir and an untouched pointer — readers never notice. */
+    * staged dir and an untouched pointer — readers never notice, and
+    * the NEXT successful publish cleans the partial dir up.
+    *
+    * Retirement only counts PUBLISHED versions (name ≤ the pointer read
+    * at publish start): a dangling staged dir left by a crashed publish
+    * sorts NEWER than the current pointer, and counting it against
+    * `keepVersions` would delete the just-superseded CURRENT version
+    * immediately — exactly the in-flight-reader grace window the
+    * protocol exists to provide. Dangling dirs (never pointed at, so
+    * never readable) are deleted outright instead; the new version
+    * number still advances past them so a recovered writer can never
+    * collide with a half-written dir name. */
   def publishVersion(
       spark: SparkSession, tableDir: String, df: DataFrame,
       partitionCol: Option[String] = None,
@@ -405,17 +425,24 @@ object Sources {
     val dir = new Path(tableDir)
     val fs = hadoopFs(spark, dir)
     fs.mkdirs(dir)
+    val current = currentVersion(spark, tableDir)
     val existing = fs.listStatus(dir)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
       .map(_.getPath.getName).sorted
+    // zero-padded names order lexicographically == numerically; with no
+    // pointer nothing was ever published, so every v_* dir is dangling
+    val (published, dangling) = existing.partition(v => current.exists(v <= _))
     val next = f"v_${existing.lastOption
       .map(_.stripPrefix("v_").toInt).getOrElse(0) + 1}%05d"
     val w = df.write.mode(SaveMode.Overwrite)
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(s"$tableDir/$next")
     swapPointer(spark, tableDir, next)
-    // retire everything older than the keep window (never the new one)
-    existing.dropRight(keepVersions - 1)
+    // retire published versions older than the keep window (never the
+    // new one); clean crashed-publish leftovers unconditionally — no
+    // reader can hold a dir the pointer never named
+    published.dropRight(keepVersions - 1)
       .foreach(v => fs.delete(new Path(dir, v), true))
+    dangling.foreach(v => fs.delete(new Path(dir, v), true))
     next
   }
 

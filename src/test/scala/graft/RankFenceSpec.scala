@@ -341,6 +341,50 @@ class RankFenceSpec extends AnyFunSuite {
         s"fenced plan grew an unpartitioned window:\n$w"))
   }
 
+  test("driver-grid contract enforced (r9): fact-scale group key fails with " +
+    "an actionable error, not a silent driver collect") {
+    val r = new scala.util.Random(71L)
+    // every row its own group — the fact-scale key the API contract
+    // forbids; the tiny maxGridRows stands in for MaxDriverGridRows so
+    // the test overflows without building a 2M-group frame
+    val df = (1 to 500).map(i =>
+        (i.toLong, r.nextInt(30).toDouble,
+          new java.math.BigDecimal(1 + r.nextInt(9)).setScale(4), i.toLong))
+      .toDF("g", "v", "w", "id")
+      .withColumn("w", col("w").cast("decimal(18,4)"))
+    val e = intercept[IllegalArgumentException] {
+      RankFence.weightedMedianFenced(df, "g",
+        Seq(OrderCol("v"), OrderCol("id")), "w", buckets = 8,
+        maxGridRows = 100)
+    }
+    assert(e.getMessage.contains("low-cardinality") &&
+      e.getMessage.contains("'g'"), e.getMessage)
+    // and the real default bound is generous enough for report keys
+    assert(RankFence.MaxDriverGridRows >= 1000000)
+  }
+
+  test("maxWindowRows budget must fit an Int at every public entry (r9): " +
+    "local ranks are Int-narrowed against row_number") {
+    val df = randFrame(72L, 50, 10)
+    val tooBig = Int.MaxValue.toLong + 1L
+    val order = Seq(OrderCol("v"), OrderCol("id"))
+    for (call <- Seq[() => Any](
+        () => RankFence.ntileFenced(df, order, 4, "t", maxWindowRows = tooBig),
+        () => RankFence.ntileFencedMulti(df,
+          Seq(RankFence.NtileSpec(order, 4, "t"),
+            RankFence.NtileSpec(order.reverse, 3, "u")),
+          maxWindowRows = tooBig),
+        () => RankFence.elementsAtRanks(df, order, Seq(1L),
+          maxWindowRows = tooBig),
+        () => RankFence.quantilesFenced(df, order, Seq(0.5),
+          maxWindowRows = tooBig),
+        () => RankFence.globalRanksFenced(df, order, maxWindowRows = tooBig)
+      )) {
+      val e = intercept[IllegalArgumentException](call())
+      assert(e.getMessage.contains("maxWindowRows"), e.getMessage)
+    }
+  }
+
   private implicit class ToMap2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }

@@ -284,6 +284,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(dirs.toSeq == Seq("v_00002", "v_00003"), dirs.mkString(","))
   }
 
+  test("dangling staged dir never counts against keepVersions (r9 advice): " +
+    "the superseded CURRENT version keeps its grace window") {
+    import graft.sources.Sources
+    val d = java.nio.file.Files.createTempDirectory("graft_dangling").toString
+    val t = s"$d/tbl"
+    import spark.implicits._
+    Sources.publishVersion(spark, t, (1L to 10L).toDF("x"), keepVersions = 2)
+    Sources.publishVersion(spark, t, (1L to 20L).toDF("x"), keepVersions = 2)
+    // crashed publish: v_00003 fully staged, pointer never swapped
+    (1L to 99L).toDF("x").write.parquet(s"$t/v_00003")
+    val v = Sources.publishVersion(spark, t,
+      (1L to 30L).toDF("x"), keepVersions = 2)
+    // the dangling dir must not displace v_00002 (the version an
+    // in-flight reader may still hold) from the keep window; the
+    // partial dir itself is junk and gets cleaned; the new version
+    // number advances past the dangling name
+    assert(v == "v_00004", v)
+    val dirs = new java.io.File(t).list().filter(_.startsWith("v_")).sorted
+    assert(dirs.toSeq == Seq("v_00002", "v_00004"), dirs.mkString(","))
+    assert(Sources.readCurrent(spark, t).count() == 30)
+  }
+
   test("crash window: a reader concurrent with publishes/compactions never " +
     "observes a partial table (r8 atomic-publish contract)") {
     import graft.sources.Sources
