@@ -65,6 +65,74 @@ object SketchRegistry {
     } finally shh.unpersist()
   }
 
+  /** The read-only half of [[ingest]]: verified near-dup pairs of a
+    * sketched batch against the stored registry (plus batch-batch
+    * pairs), WITHOUT mutating any state — the declared
+    * `llm_incremental_neardup_registry` plan, and what a dry-run /
+    * what-if check calls. `bShh`/`bBands` are the batch's sketch frames
+    * (persisted by the caller — they feed multiple join sides here).
+    */
+  private def pairsReadOnly(
+      spark: SparkSession, dir: String,
+      bShh: DataFrame, bBands: DataFrame): DataFrame = {
+    val stored = spark.read.parquet(s"$dir/bands")
+    // candidates: (stored ∪ batch) × batch on the band key —
+    // batch-batch pairs surface here too (a.doc_id < b.doc_id keeps
+    // each once). Build-side discipline (round 9 — a 1M-corpus
+    // ScaleSmoke probe OOMed the old shape): every shuffle-hash hint
+    // sits on the BATCH-proportional side, so the in-memory hash maps
+    // are ∝ batch while the corpus-proportional frames (stored bands,
+    // stored shingles, sizes) STREAM through the probe side. The hint
+    // still forbids broadcast promotion of either side (the
+    // minhashVerified driver-OOM hygiene) — a SHUFFLE_HASH hint on one
+    // side rules out BroadcastHashJoin for the join.
+    val cand = stored.unionByName(bBands).as("a")
+      .join(bBands.hint("shuffle_hash").as("b"),
+        col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+          col("a.k2") === col("b.k2") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // exact verify over stored + batch shingle hashes: the stored
+    // scan appears once per join side (I/O, not recompute — and on a
+    // doc_id-bucketed layout each side prunes to its candidate docs);
+    // build sides: cand, then the per-candidate-doc shingle expansion —
+    // both ∝ batch × bucket-overlap, never ∝ corpus
+    val allSh = spark.read.parquet(s"$dir/shingles").unionByName(bShh)
+    val inter = cand.hint("shuffle_hash")
+      .join(allSh.as("x"), col("d1") === col("x.doc_id"))
+      .hint("shuffle_hash")
+      .join(allSh.as("y"),
+        col("d2") === col("y.doc_id") &&
+          col("x.h1") === col("y.h1") && col("x.h2") === col("y.h2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+    val szAll = spark.read.parquet(s"$dir/sizes")
+      .unionByName(bShh.groupBy("doc_id").agg(count(lit(1)).as("n")))
+    inter.hint("shuffle_hash")
+      .join(szAll.as("p"), col("d1") === col("p.doc_id"))
+      .hint("shuffle_hash")
+      .join(szAll.as("q"), col("d2") === col("q.doc_id"))
+      .select(col("d1").as("dup_of"), col("d2").as("new_id"),
+        round(col("inter") * 1.0 /
+          (col("p.n") + col("q.n") - col("inter")), 6).as("est_jaccard"))
+      .where(col("est_jaccard") >= JaccardMin)
+  }
+
+  /** Verified near-dup pairs of `batchDocs` against the stored registry,
+    * READ-ONLY (no appends): the declared-key entry. Compute ∝ batch —
+    * only the batch is shingled/hashed/sketched; stored state is read,
+    * never recomputed. The caller owns the cache-release duty
+    * (`spark.catalog.clearCache()` after materializing, the
+    * minhashVerified contract).
+    */
+  def pairs(
+      spark: SparkSession, dir: String, batchDocs: DataFrame): DataFrame = {
+    val bShh = Llm.shingleHashes(batchDocs).persist()
+    val bBands = Llm.bandsFromHashes(bShh).persist()
+    pairsReadOnly(spark, dir, bShh, bBands)
+  }
+
   /** Ingest a new document batch: emit verified near-dup pairs
     * (dup_of < new_id, new_id in the batch, exact Jaccard ≥
     * [[JaccardMin]]) and append the batch's sketch rows to the registry.
@@ -85,41 +153,7 @@ object SketchRegistry {
     // single-evaluation doctrine)
     val bBands = Llm.bandsFromHashes(bShh).persist()
     try {
-      val stored = spark.read.parquet(s"$dir/bands")
-        // candidates: (stored ∪ batch) × batch on the band key —
-        // batch-batch pairs surface here too (a.doc_id < b.doc_id keeps
-        // each once); shuffle-hash hints = the minhashVerified broadcast
-        // hygiene (neither side may ever be driver-built)
-        val cand = stored.unionByName(bBands).hint("shuffle_hash").as("a")
-          .join(bBands.hint("shuffle_hash").as("b"),
-            col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
-              col("a.k2") === col("b.k2") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .distinct()
-        // exact verify over stored + batch shingle hashes: the stored
-        // scan appears once per join side (I/O, not recompute — and on a
-        // doc_id-bucketed layout each side prunes to its candidate docs)
-        val allSh = spark.read.parquet(s"$dir/shingles").unionByName(bShh)
-        val inter = cand
-          .join(allSh.hint("shuffle_hash").as("x"),
-            col("d1") === col("x.doc_id"))
-          .join(allSh.hint("shuffle_hash").as("y"),
-            col("d2") === col("y.doc_id") &&
-              col("x.h1") === col("y.h1") && col("x.h2") === col("y.h2"))
-          .groupBy("d1", "d2")
-          .agg(count(lit(1)).as("inter"))
-      val szAll = spark.read.parquet(s"$dir/sizes")
-        .unionByName(bShh.groupBy("doc_id").agg(count(lit(1)).as("n")))
-      val pairs = inter
-        .join(szAll.hint("shuffle_hash").as("p"),
-          col("d1") === col("p.doc_id"))
-        .join(szAll.hint("shuffle_hash").as("q"),
-          col("d2") === col("q.doc_id"))
-        .select(col("d1").as("dup_of"), col("d2").as("new_id"),
-          round(col("inter") * 1.0 /
-            (col("p.n") + col("q.n") - col("inter")), 6).as("est_jaccard"))
-        .where(col("est_jaccard") >= JaccardMin)
+      val pairs = pairsReadOnly(spark, dir, bShh, bBands)
         .localCheckpoint()
       // state is appended only AFTER the checkpoint materialized the
       // pairs — a failed verify never half-commits the batch
@@ -132,5 +166,47 @@ object SketchRegistry {
       bBands.unpersist()
       bShh.unpersist()
     }
+  }
+
+  // ---- declared-key corpus registry (round 9): a cached, fingerprinted
+  // build of the corpus half so the DECLARED incremental key's per-run
+  // compute is ∝ batch. The fingerprint covers the documents table's
+  // file listing (names, sizes, mtimes) plus the corpus boundary — any
+  // change to the underlying parquet invalidates the cache, so a stale
+  // registry can never answer for fresh data. Build is atomic
+  // (stage-then-rename), so a crashed build never leaves a half-usable
+  // dir and concurrent first-runs race benignly (one rename wins, the
+  // loser reuses it).
+
+  /** Registry dir for `sfDir`'s documents table with corpus = doc_id <
+    * `boundary`, building it (one corpus sketch pass) if absent. */
+  def ensureCorpusRegistry(
+      spark: SparkSession, sfDir: String, boundary: Long): String = {
+    val docsPath = new java.io.File(s"$sfDir/documents.parquet")
+    val listing =
+      if (docsPath.isFile) Seq(docsPath)
+      else docsPath.listFiles().toSeq.sortBy(_.getName)
+    val fp = java.security.MessageDigest.getInstance("MD5").digest(
+      (docsPath.getCanonicalPath +: listing.map(f =>
+        s"${f.getName}:${f.length}:${f.lastModified}") :+ s"b=$boundary")
+        .mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_sketch_registry")
+    root.mkdirs()
+    val dst = new java.io.File(root, fp)
+    if (!dst.isDirectory) {
+      val tmp = new java.io.File(
+        root, s"$fp.tmp.${java.lang.ProcessHandle.current.pid}")
+      val corpus = graft.Tables(spark, sfDir, "documents")
+        .where(col("doc_id") < boundary)
+      build(spark, corpus, tmp.toString)
+      if (!tmp.renameTo(dst)) {
+        // another builder won the race — its complete dir serves
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        require(dst.isDirectory, s"registry build failed for $dst")
+      }
+    }
+    dst.toString
   }
 }

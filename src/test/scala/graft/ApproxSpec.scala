@@ -284,6 +284,64 @@ class ApproxSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / math.abs(exact) < 0.05)
   }
 
+  test("minhash estimator-quality audit: EXHAUSTIVE agreement sweep over " +
+    "every band candidate (moved out of the declared plan, r9); the " +
+    "sampled declared readout draws exactly from these pairs") {
+    import graft.functions.PortableHash
+    val d = "/root/testdata/sf0.001"
+    val docsDf = Tables(spark, d, "documents")
+    val (mhv, sk) = operators.Llm.minhashVerifiedWithSketch(docsDf)
+    val kExpr = (0 until 16)
+      .map(i => when(col(s"a.m_$i") === col(s"b.m_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val agree = mhv
+      .join(sk.as("a"), col("d1") === col("a.doc_id"))
+      .join(sk.as("b"), col("d2") === col("b.doc_id"))
+      .select(col("d1"), col("d2"), col("est_jaccard"),
+        (kExpr / 16.0).as("est"))
+      .collect()
+    assert(agree.nonEmpty, "fixture must produce band candidates")
+    // What the exhaustive sweep certifies on this corpus (and what the
+    // declared key reports in sampled form): the 16-slot estimate is
+    // heavily inflated on BAND CANDIDATES with low true J — candidacy
+    // conditions on ≥ 2 agreeing slots, and short docs sharing common
+    // vocabulary share global minimum shingles — while true near-dups
+    // saturate. So assert the DISCRIMINATION properties, not a raw
+    // error bound: near-dup pairs read ≥ 0.9, and their mean estimate
+    // clears the background candidates' by a wide margin. (This is
+    // exactly why the verify pass can never be dropped at τ ≈ 0.2 on a
+    // corpus like this — the answer the est-quality key exists to give.)
+    val (hi, lo) = agree.partition(_.getDouble(2) >= 0.8)
+    assert(hi.nonEmpty && lo.nonEmpty, "fixture must span both regimes")
+    def meanEst(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getDouble(3)).sum / rs.length
+    assert(agree.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    assert(meanEst(hi) >= 0.9, s"near-dup mean est ${meanEst(hi)}")
+    assert(meanEst(hi) - meanEst(lo) >= 0.2,
+      s"no discrimination: hi=${meanEst(hi)} lo=${meanEst(lo)}")
+    // the declared readout's deterministic 1-in-4 draw: a strict subset
+    // of the exhaustive pair set, at roughly the nominal rate
+    val all = agree.map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache() // minhashVerified cache contract
+    val sampled = operators.Llm
+      .minhashVerifiedWithSketch(docsDf, pairSampleMod = Some(4))._1
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(sampled.subsetOf(all), "sample must draw from the candidate set")
+    val rate = sampled.size.toDouble / all.size
+    assert(rate > 0.10 && rate < 0.45, s"1-in-4 draw rate off: $rate")
+    // and the draw replays: the same predicate applied to the exhaustive
+    // set reproduces the sampled set exactly (what lets the oracle twin it)
+    val replay = all.filter { case (d1, d2) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pq:$d1:$d2".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 4 == 0
+    }
+    assert(replay == sampled)
+  }
+
   test("theta overlap estimator audit: sketch set algebra vs the exact " +
     "u×u self-join (moved out of the declared plan, r8)") {
     // the estimator-quality readout that used to ride inside

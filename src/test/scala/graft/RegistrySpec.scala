@@ -76,4 +76,32 @@ class RegistrySpec extends AnyFunSuite {
     // d2 >= 400 in ingest 2 — including d1 ∈ [300,400) vs stored state)
     assert((p1 ++ p2) === fullPairs(300L))
   }
+
+  test("declared llm_incremental_neardup_registry == the recompute twin; " +
+    "the fingerprinted corpus registry is built once and reused (r9)") {
+    def run() = SparkEntry.queries("llm_incremental_neardup_registry")(
+        spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaRegistry = run()
+    spark.catalog.clearCache()
+    val viaRecompute = SparkEntry.queries("llm_incremental_neardup")(
+        spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    spark.catalog.clearCache()
+    // same rows, same order — the two keys share one oracle
+    assert(viaRegistry === viaRecompute)
+    assert(viaRegistry.nonEmpty)
+    // reuse: the second run resolves the same fingerprinted dir without
+    // rebuilding (no file in it is newer than after the first run)
+    val dir = SketchRegistry.ensureCorpusRegistry(spark, sf, 400L)
+    val stamp = new java.io.File(dir).lastModified
+    val again = run()
+    spark.catalog.clearCache()
+    assert(again === viaRegistry)
+    assert(SketchRegistry.ensureCorpusRegistry(spark, sf, 400L) == dir)
+    assert(new java.io.File(dir).lastModified == stamp,
+      "second run must reuse the built registry, not rebuild it")
+  }
 }
