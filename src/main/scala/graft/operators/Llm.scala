@@ -383,16 +383,126 @@ object Llm {
   // ---- IVF ANN building blocks (llm_ann_ivf's plan, factored round 8 so
   // ---- specs can pin trained-vs-untrained recall at a fixed probe budget)
 
-  /** Nearest-cell assignment: one broadcast of the bounded centroid frame,
-    * map-side cosine per (vector, cell), WindowGroupLimit rn=1. */
-  private[graft] def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+  /** Nearest-cell assignment KEEPING the winning similarity: one
+    * broadcast of the bounded centroid frame, map-side cosine per
+    * (vector, cell), WindowGroupLimit rn=1. The sim column feeds the
+    * k-means‖ cost round ([[ivfSeedScalable]]); [[ivfAssign]] drops it. */
+  private def ivfAssignSim(e: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
     e.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("embedding"), col("cell"),
         round(cosineSim(col("embedding"), col("cent")), 6).as("sim"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"), col("sim"))
+  }
+
+  /** Nearest-cell assignment: one broadcast of the bounded centroid frame,
+    * map-side cosine per (vector, cell), WindowGroupLimit rn=1. */
+  private[graft] def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    ivfAssignSim(e, cents).select(col("vec_id"), col("embedding"), col("cell"))
+
+  /** Scalable k-means‖-style seeding (round 9 — VERDICT r8 #5; replaces
+    * the arbitrary `vec_id < 16` draw): k cells whose seeds come from
+    * the CORPUS, not from insertion order, in three bounded passes —
+    *
+    *   1. UNIFORM deterministic draws: bucket every vector by a portable
+    *      hash of vec_id (mod k) and take each bucket's min-uniform-hash
+    *      vector — k independent uniform draws, one map-side-combinable
+    *      min_by shuffle, no window over the fact.
+    *   2. ONE cost round (the k-means‖ move, Bahmani et al. 2012):
+    *      assign all vectors to the stage-1 seeds, cost = 1 − sim in
+    *      exact INTEGER µ-units; draw an expected-ℓ oversample where
+    *      u·ΣC < ℓ·cost·2⁶⁰ — cost-weighted threshold draws with a
+    *      portable-hash uniform variate, every comparison exact integer
+    *      arithmetic (DECIMAL(38,0) / HUGEINT), so both engines draw
+    *      the IDENTICAL candidate set (no pow/ln in compare positions —
+    *      the trig-table doctrine).
+    *   3. Per-cell re-seed: each cell's max-cost candidate replaces its
+    *      uniform seed (cells the draw missed keep stage 1's) — the
+    *      weighted-reduction step, spreading seeds toward the mass the
+    *      uniform draw under-covered.
+    *
+    * Every stage is a broadcast/one-shuffle plan at any corpus size;
+    * the oracle replays the whole chain CTE-for-CTE
+    * ([[ivfSeedCtes]]). Lloyd rounds then refine as before. */
+  private[graft] def ivfSeedScalable(
+      e: DataFrame, k: Int = 16, ell: Int = 64): DataFrame = {
+    def ph(prefix: String): Column =
+      PortableHash.pHash(concat(lit(prefix), col("vec_id").cast("string")))
+    val c0 = e.select(col("vec_id"), col("embedding"),
+        (ph("ivfb:") % k).as("cell"), ph("ivfu:").as("uh"))
+      .groupBy("cell")
+      .agg(min_by(col("embedding"), struct(col("uh"), col("vec_id")))
+        .as("cent"))
+    val costed = ivfAssignSim(e, c0)
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        (lit(1000000L) - round(col("sim") * 1000000).cast("long")).as("c"),
+        ph("ivfd:").as("ud"))
+    val tot = costed.agg(sum(col("c")).cast("decimal(16,0)").as("t"))
+    // u/2⁶⁰ < ℓ·c/ΣC  ⇔  u·ΣC < ℓ·c·2⁶⁰ — cross-multiplied so the
+    // draw is an exact integer comparison (19+16+1 = 36 digits ≤ 38:
+    // no precision loss on either engine)
+    val cand = costed.crossJoin(broadcast(tot))
+      .where(col("ud").cast("decimal(19,0)") * col("t") <
+        col("c").cast("decimal(8,0)") * lit(ell).cast("decimal(3,0)") *
+          lit(1152921504606846976L).cast("decimal(19,0)"))
+    val re = cand.groupBy("cell")
+      .agg(max_by(col("embedding"), struct(col("c"), col("vec_id")))
+        .as("rcent"))
+    c0.join(re, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("rcent"), col("cent")).as("cent"))
+  }
+
+  /** DuckDB oracle twin of [[ivfSeedScalable]]: CTE chain ending in
+    * `s1(cell, cent)`. */
+  private def ivfSeedCtes(k: Int = 16, ell: Int = 64): String = {
+    def ph(prefix: String): String =
+      PortableHash.sql(s"'$prefix' || CAST(vec_id AS VARCHAR)")
+    s"""bs AS (
+       |  SELECT vec_id, embedding,
+       |         CAST(${ph("ivfb:")} % $k AS BIGINT) AS cell,
+       |         ${ph("ivfu:")} AS uh
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT cell, embedding AS cent FROM (
+       |    SELECT cell, embedding,
+       |           row_number() OVER (PARTITION BY cell
+       |             ORDER BY uh, vec_id) AS rn
+       |    FROM bs) WHERE rn = 1
+       |), costed AS (
+       |  SELECT vec_id, embedding, cell,
+       |         CAST(1000000 - round(sim * 1000000) AS BIGINT) AS c,
+       |         ${ph("ivfd:")} AS ud
+       |  FROM (
+       |    SELECT vec_id, embedding, cell, sim FROM (
+       |      SELECT e.vec_id, e.embedding, c.cell,
+       |             round(list_cosine_similarity(
+       |               CAST(e.embedding AS DOUBLE[]),
+       |               CAST(c.cent AS DOUBLE[])), 6) AS sim,
+       |             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |               round(list_cosine_similarity(
+       |                 CAST(e.embedding AS DOUBLE[]),
+       |                 CAST(c.cent AS DOUBLE[])), 6) DESC, c.cell) AS rn
+       |      FROM embeddings e CROSS JOIN c0 c)
+       |    WHERE rn = 1)
+       |), stot AS (
+       |  SELECT CAST(sum(c) AS HUGEINT) AS t FROM costed
+       |), scand AS (
+       |  SELECT cell, vec_id, embedding, c FROM costed, stot
+       |  WHERE CAST(ud AS HUGEINT) * t <
+       |        CAST(c AS HUGEINT) * $ell
+       |          * CAST(1152921504606846976 AS HUGEINT)
+       |), sre AS (
+       |  SELECT cell, embedding AS rcent FROM (
+       |    SELECT cell, embedding,
+       |           row_number() OVER (PARTITION BY cell
+       |             ORDER BY c DESC, vec_id DESC) AS rn
+       |    FROM scand) WHERE rn = 1
+       |), s1 AS (
+       |  SELECT c0.cell, coalesce(sre.rcent, c0.cent) AS cent
+       |  FROM c0 LEFT JOIN sre ON c0.cell = sre.cell
+       |)""".stripMargin
   }
 
   /** Lloyd refinement from explicit seeds: each round reassigns and
@@ -443,12 +553,12 @@ object Llm {
        |  GROUP BY cell
        |)""".stripMargin
 
-  /** The shared oracle training chain: vec_id<16 seeds → 2 Lloyd rounds
-    * → final assignment `a3` over trained centroids `c2`. */
+  /** The shared oracle training chain: k-means‖-style scalable seeds
+    * ([[ivfSeedCtes]] → `s1`) → 2 Lloyd rounds → final assignment `a3`
+    * over trained centroids `c2`. */
   private def ivfTrainedAssignCtes: String =
-    s"""c0 AS (
-       |  SELECT vec_id AS cell, embedding AS cent FROM embeddings WHERE vec_id < 16
-       |), ${ivfAssignCte("c0", "a1")}, ${ivfCentCte("a1", "c1")},
+    s"""${ivfSeedCtes()},
+       |${ivfAssignCte("s1", "a1")}, ${ivfCentCte("a1", "c1")},
        |${ivfAssignCte("c1", "a2")}, ${ivfCentCte("a2", "c2")},
        |${ivfAssignCte("c2", "a3")}""".stripMargin
 
@@ -3613,16 +3723,19 @@ object Llm {
     },
 
     // IVF approximate kNN: a 16-cell coarse quantizer trained with two
-    // deterministic Lloyd iterations (seeds = first 16 vectors), then each
-    // query probes its 2 nearest cells and exact-reranks only those
-    // candidates. Fully distributed: centroids move through broadcast
-    // joins + the centroid Aggregator, never a driver collect. At 100 TB
-    // the cell count grows ~sqrt(n) and assignment stays one broadcast
-    // pass per iteration. Cross-engine determinism: assignment ranks by
-    // the 6-dp ROUNDED similarity (tie-break cell) and each trained
-    // centroid is 6-dp-rounded then float-quantized, so both engines rank
-    // on identical values; the oracle replays the same two Lloyd
-    // iterations as chained CTEs.
+    // deterministic Lloyd iterations from k-means‖-style seeds (round 9:
+    // uniform per-bucket hash draws → one cost round → exact-integer
+    // cost-weighted oversample → per-cell re-seed; the former
+    // `vec_id < 16` pick was arbitrary at 100 TB — insertion order is
+    // not a sampling design). Each query probes its 2 nearest cells and
+    // exact-reranks only those candidates. Fully distributed: centroids
+    // move through broadcast joins + the centroid Aggregator, never a
+    // driver collect. At 100 TB the cell count grows ~sqrt(n) and
+    // assignment stays one broadcast pass per iteration. Cross-engine
+    // determinism: assignment ranks by the 6-dp ROUNDED similarity
+    // (tie-break cell), each trained centroid is 6-dp-rounded then
+    // float-quantized, and the seeding draw is pure integer arithmetic —
+    // the oracle replays seeding + both Lloyd iterations as chained CTEs.
     Q("llm_ann_ivf", {
       s"""WITH $ivfTrainedAssignCtes,
          |probes AS (
@@ -3649,9 +3762,7 @@ object Llm {
          |ORDER BY q_id, rn""".stripMargin
     }) { (s, d) =>
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val cents = ivfTrain(e, e.where(col("vec_id") < 16)
-        .select(col("vec_id").as("cell"), col("embedding").as("cent")),
-        lloydRounds = 2)
+      val cents = ivfTrain(e, ivfSeedScalable(e), lloydRounds = 2)
       val queries = e.where(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       ivfTopk(ivfAssign(e, cents), cents, queries, nprobe = 2, k = 5)
@@ -3699,9 +3810,7 @@ object Llm {
     }) { (s, d) =>
       val e = emb(s, d)
       val ev = e.select(col("vec_id"), col("embedding"))
-      val cents = ivfTrain(ev, ev.where(col("vec_id") < 16)
-        .select(col("vec_id").as("cell"), col("embedding").as("cent")),
-        lloydRounds = 2)
+      val cents = ivfTrain(ev, ivfSeedScalable(ev), lloydRounds = 2)
       val cnt = ivfAssign(ev, cents).select(col("vec_id"), col("cell"))
         .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
         .groupBy("cell", "label").agg(count(lit(1)).as("c"))

@@ -66,11 +66,16 @@ class IvfSpec extends AnyFunSuite {
 
   /** (mean recall@5, mean candidates reranked per query) at a fixed
     * nprobe=2 budget. Candidates = population of the probed cells — the
-    * number of exact cosines the rerank pays per query, THE scale cost. */
-  private def recallAndWork(lloydRounds: Int): (Double, Double) = {
+    * number of exact cosines the rerank pays per query, THE scale cost.
+    * `scalableSeeds`: seed via the r9 k-means‖-style pass instead of the
+    * adversarial first-16-ids draw. */
+  private def recallAndWork(
+      lloydRounds: Int, scalableSeeds: Boolean = false): (Double, Double) = {
     val e = planted.toDF("vec_id", "embedding")
-    val seeds = e.where(col("vec_id") < 16)
-      .select(col("vec_id").as("cell"), col("embedding").as("cent"))
+    val seeds =
+      if (scalableSeeds) Llm.ivfSeedScalable(e)
+      else e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("cent"))
     val cents = Llm.ivfTrain(e, seeds, lloydRounds)
     val assigned = Llm.ivfAssign(e, cents)
     val queries = e.where(col("vec_id") % 13 === 0)
@@ -118,6 +123,36 @@ class IvfSpec extends AnyFunSuite {
       f"trained IVF recall@5 $recall2%.3f below 0.9 on planted clusters")
     assert(work2 <= work0 * 1.1,
       f"training must not inflate rerank work: $work0%.0f -> $work2%.0f")
+  }
+
+  test("k-means|| seeding (r9): recall at the same probe budget >= the " +
+    "id-seeded trained baseline, and the draw is deterministic") {
+    val (recallId, workId) = recallAndWork(2)
+    val (recallSc, workSc) = recallAndWork(2, scalableSeeds = true)
+    info(f"id-seeded:       recall=$recallId%.3f candidates/query=$workId%.0f")
+    info(f"scalable-seeded: recall=$recallSc%.3f candidates/query=$workSc%.0f")
+    // the r8 verdict's Done bar: the trained baseline must not regress
+    // when the arbitrary insertion-order seeds are replaced by the
+    // corpus-drawn ones, at the SAME nprobe budget
+    assert(recallSc >= recallId,
+      f"scalable seeding regressed recall: $recallId%.3f -> $recallSc%.3f")
+    assert(recallSc >= 0.9,
+      f"scalable-seeded trained recall@5 $recallSc%.3f below 0.9")
+    assert(workSc <= workId * 1.5,
+      f"scalable seeding must not blow up rerank work: $workId%.0f -> $workSc%.0f")
+    // determinism: two independent seeding runs produce identical cells —
+    // the property the DuckDB replay depends on (pure hash draws + exact
+    // integer threshold comparisons; no rand(), no float compares)
+    val e = planted.toDF("vec_id", "embedding")
+    def seedSet() = Llm.ivfSeedScalable(e)
+      .select(col("cell"), col("cent"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toVector)).toSet
+    assert(seedSet() == seedSet())
+    // and the seeds span multiple planted clusters (the failure mode of
+    // first-16-ids was all seeds in cluster 0)
+    val cells = Llm.ivfSeedScalable(e).count()
+    assert(cells == 16L, s"expected 16 cells, got $cells")
   }
 
   test("pcaTopFrame recovers a planted dominant direction (r8 cont. 6)") {
