@@ -1002,4 +1002,91 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"),
       s"a range exchange means a global sort crept in:\n$p")
   }
+
+  // ---- r9 guard: no declared key collects an SF-growing frame to the
+  // ---- driver (VERDICT r8 #6 — the collect() complement of the r8
+  // ---- O(1)-window guard)
+  //
+  // Mechanism: a QueryExecutionListener records every row-returning
+  // driver action (collect/head/take/…) fired while each declared key's
+  // frame is CONSTRUCTED — the fenced sketch/count passes, adaptive
+  // probes, registry builds all run their driver jobs at build time —
+  // along with the rows the action's root plan produced. The audit runs
+  // the whole surface at sf0.001 AND sf0.01 and fails any key whose
+  // largest driver-action result GROWS with SF (≥2× across the 10× SF
+  // step AND >256 rows at the high SF — bounded grids like fence
+  // intervals may fill in a few more slots; fact-proportional frames
+  // jump ~10×), or whose any action exceeds an absolute 100k-row
+  // tripwire. Empirical, so it catches what static inspection cannot:
+  // a collect over a frame that LOOKS bounded but scales with the data.
+  test("r9 guard: no declared key collects an SF-growing frame to the driver") {
+    import org.apache.spark.sql.execution.{QueryExecution, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import scala.collection.mutable
+
+    val rowActions = Set("collect", "collectAsList", "head", "take",
+      "tail", "toLocalIterator")
+    def outRows(p: SparkPlan): Long = p match {
+      case a: AdaptiveSparkPlanExec => outRows(a.executedPlan)
+      // AQE query stages are LEAF wrappers — the real subtree (and its
+      // metrics) hangs off .plan, not .children
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        outRows(q.plan)
+      case w: WholeStageCodegenExec => outRows(w.child)
+      case _ => p.metrics.get("numOutputRows").map(_.value).getOrElse(
+        p.children.headOption.map(outRows).getOrElse(0L))
+    }
+    val events = mutable.ArrayBuffer[(String, String, Long)]()
+    @volatile var current = ""
+    val listener = new QueryExecutionListener {
+      override def onSuccess(
+          funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        if (rowActions(funcName)) {
+          val rows = outRows(qe.executedPlan)
+          events.synchronized { events += ((current, funcName, rows)) }
+        }
+      override def onFailure(
+          funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      def sweep(dir: String): Map[String, Long] = {
+        val maxRows = mutable.Map[String, Long]().withDefaultValue(0L)
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          current = name
+          fn(spark, dir) // construction runs the build-time driver jobs
+          org.apache.spark.graft.TestBusHook.waitUntilEmpty(spark)
+          spark.catalog.clearCache()
+        }
+        events.synchronized {
+          events.foreach { case (k, _, rows) =>
+            maxRows(k) = math.max(maxRows(k), rows)
+          }
+          events.clear()
+        }
+        maxRows.toMap.withDefaultValue(0L)
+      }
+      val lo = sweep("/root/testdata/sf0.001")
+      val hi = sweep("/root/testdata/sf0.01")
+      // the audit must be LIVE: the fenced family provably collects its
+      // bounded grids at build time — if the listener recorded nothing
+      // for these keys, the guard is watching a dead wire, not passing
+      for (k <- Seq("agg_hist_equidepth_fenced", "etl_rfm_fenced",
+          "agg_weighted_median_fenced", "win_rank_global_fenced"))
+        assert(hi(k) > 0L, s"listener recorded no driver action for $k " +
+          "— the guard is not observing events")
+      val growing = hi.toSeq.sortBy(_._1).flatMap { case (k, h) =>
+        val l = lo(k)
+        if (h > 100000L)
+          Some(s"$k: driver action returned $h rows at sf0.01 (absolute cap)")
+        else if (h > 256L && h >= 2L * math.max(l, 1L))
+          Some(s"$k: driver-action rows grew $l -> $h across the SF step")
+        else None
+      }
+      assert(growing.isEmpty,
+        "declared keys collecting SF-growing frames to the driver:\n" +
+          growing.mkString("\n"))
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
