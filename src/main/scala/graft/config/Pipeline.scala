@@ -17,9 +17,12 @@ import org.apache.spark.sql.graft.{KllFunctions, KmvFunctions}
   *       warehouse-table analog; partition pruning serves month-range
   *       readers)
   *
-  * Re-runs OVERWRITE each table dir — the reference rebuilds its aggregate
+  * Re-runs REBUILD each table — the reference rebuilds its aggregate
   * tables per run, and idempotent rebuild beats incremental mutation for
-  * a lake (PipelineSpec pins rerun-idempotence). At 100 TB each stage is
+  * a lake (PipelineSpec pins rerun-idempotence). How a rebuild or an
+  * incremental commit LANDS is the [[LakeIO]] strategy: in-place
+  * overwrite (historical default) or the round-8/9 manifest protocol
+  * (atomic pointer swaps, no torn-read hazard). At 100 TB each stage is
   * the already-audited operator plan (one user_id exchange feeds both the
   * session and monthly aggregates); the sink adds only the partition
   * columns. Sessions use the skew-safe two-level plan: a config-selected
@@ -29,7 +32,84 @@ object Pipeline {
 
   final case class TableResult(table: String, rows: Long, path: String)
 
-  def run(spark: SparkSession, cfg: RunConfig, outDir: String): Seq[TableResult] = {
+  /** Commit/read strategy for the maintained lake tables (round 9 —
+    * VERDICT r8 #7). The MERGE LOGIC of every maintainer is written once;
+    * what varies is how state is read back and how a commit lands:
+    *
+    *  - [[InPlaceIO]] — the historical path: plain parquet dirs,
+    *    dynamic-partition-overwrite for partition replacement, and a
+    *    `localCheckpoint()` materialization barrier before any commit
+    *    that rewrites the very files its input frame reads.
+    *  - [[ManifestedIO]] — the atomic path: unpartitioned state tables
+    *    go through the whole-table manifest ([[graft.sources.Sources.publishVersion]]),
+    *    partitioned calendar tables through the PARTITION-LEVEL manifest
+    *    ([[graft.sources.Sources.publishPartitions]]) so an incremental
+    *    run stages only the touched partitions and swaps each pointer
+    *    atomically — a concurrent reader sees every partition either
+    *    wholly old or wholly new, and NO materialization barrier is
+    *    needed because a staged version dir never overlaps the files the
+    *    input frame reads (the in-place path's torn-read hazard is
+    *    structural, not incidental).
+    *
+    * Contract for ManifestedIO partitioned tables: append-only calendar
+    * partitioning (a full rebuild replaces the partitions it produces and
+    * leaves absent ones in place — months never vanish from an
+    * append-only stream).
+    */
+  sealed trait LakeIO {
+    def read(spark: SparkSession, outDir: String, table: String): DataFrame
+    def overwrite(df: DataFrame, partitionCol: Option[String], path: String): TableResult
+    def replacePartitions(df: DataFrame, path: String, partCol: String): Unit
+    def materialize(df: DataFrame): DataFrame
+  }
+
+  case object InPlaceIO extends LakeIO {
+    def read(spark: SparkSession, outDir: String, table: String): DataFrame =
+      spark.read.parquet(s"$outDir/$table")
+    def overwrite(df: DataFrame, partitionCol: Option[String], path: String): TableResult =
+      write(df, partitionCol, path)
+    def replacePartitions(df: DataFrame, path: String, partCol: String): Unit =
+      writeDynamic(df, path, partCol)
+    def materialize(df: DataFrame): DataFrame = df.localCheckpoint()
+  }
+
+  case object ManifestedIO extends LakeIO {
+    def read(spark: SparkSession, outDir: String, table: String): DataFrame =
+      readManifested(spark, s"$outDir/$table", None)
+    def overwrite(df: DataFrame, partitionCol: Option[String], path: String): TableResult = {
+      val spark = df.sparkSession
+      val obs = org.apache.spark.sql.Observation(
+        s"publish_${path.split('/').last}")
+      val observed = df.observe(obs, count(lit(1)).as("rows"))
+      partitionCol match {
+        case Some(c) =>
+          graft.sources.Sources.publishPartitions(spark, path, observed, c)
+        case None =>
+          graft.sources.Sources.publishVersion(spark, path, observed, None)
+      }
+      TableResult(path.split('/').last, obs.get("rows").asInstanceOf[Long], path)
+    }
+    def replacePartitions(df: DataFrame, path: String, partCol: String): Unit =
+      graft.sources.Sources.publishPartitions(df.sparkSession, path, df, partCol)
+    // a staged version dir never overlaps its input's files — no barrier
+    def materialize(df: DataFrame): DataFrame = df
+  }
+
+  /** Layout-detecting manifested read: a table-level `_CURRENT` means the
+    * whole-table manifest; otherwise the partition-level one (pruned at
+    * LISTING time when `partValues` is given). */
+  private def readManifested(spark: SparkSession, path: String,
+      partValues: Option[Seq[String]]): DataFrame =
+    if (graft.sources.Sources.currentVersion(spark, path).isDefined)
+      graft.sources.Sources.readCurrent(spark, path)
+    else
+      graft.sources.Sources.readCurrentPartitions(spark, path, partValues)
+
+  def run(spark: SparkSession, cfg: RunConfig, outDir: String): Seq[TableResult] =
+    run(spark, cfg, outDir, InPlaceIO)
+
+  def run(spark: SparkSession, cfg: RunConfig, outDir: String,
+      io: LakeIO): Seq[TableResult] = {
     require(cfg.tables.contains("events"),
       "Pipeline.run: the aggregate DAG is built from 'events'; select it in RunConfig")
     val ev = cfg.table(spark, "events")
@@ -59,20 +139,20 @@ object Pipeline {
           KllFunctions.kllQuantile(col("value_kll"), lit(0.5)))
 
       Seq(
-        write(sessions.withColumn("month", date_trunc("month", col("session_start"))),
+        io.overwrite(sessions.withColumn("month", date_trunc("month", col("session_start"))),
           Some("month"), s"$outDir/sessions"),
-        write(monthly, Some("month"), s"$outDir/monthly_usage"),
-        write(lifetime, None, s"$outDir/user_lifetime"),
+        io.overwrite(monthly, Some("month"), s"$outDir/monthly_usage"),
+        io.overwrite(lifetime, None, s"$outDir/user_lifetime"),
         // round-5 continuation: the daily churn/retention ledger joins
         // the lake (same one-definition rule — Etl.churnDaily is the
         // declared etl_churn_daily key)
-        write(Etl.churnDaily(ev), Some("day"), s"$outDir/churn_daily"),
+        io.overwrite(Etl.churnDaily(ev), Some("day"), s"$outDir/churn_daily"),
         // round-7 continuation: per-type audience-reach KMV sketches —
         // the FIFTH incrementally-maintained table, and the first whose
         // state enables cross-row set algebra at read time (pairwise
         // audience overlap via reachOverlap) that no scalar aggregate
         // state could answer
-        write(typeReach(ev), None, s"$outDir/type_reach"))
+        io.overwrite(typeReach(ev), None, s"$outDir/type_reach"))
     } finally ev.unpersist()
   }
 
@@ -95,9 +175,9 @@ object Pipeline {
     * EXACTLY the full rebuild, not an approximation of it. */
   def runIncrementalReach(
       spark: SparkSession, cfg: RunConfig, outDir: String,
-      batchStart: String): TableResult = {
+      batchStart: String, io: LakeIO = InPlaceIO): TableResult = {
     val path = s"$outDir/type_reach"
-    val prior = spark.read.parquet(path)
+    val prior = io.read(spark, outDir, "type_reach")
     val batch = typeReach(
       cfg.copy(startDate = None).table(spark, "events")
         .where(col("ts") >= lit(batchStart).cast("timestamp")))
@@ -112,16 +192,17 @@ object Pipeline {
           .as("reach_kmv"))
       .withColumn("users_est",
         KmvFunctions.kmvEstimate(col("reach_kmv")))
-      .localCheckpoint() // materialize BEFORE overwriting the source files
-    merged.write.mode(SaveMode.Overwrite).parquet(path)
-    TableResult("type_reach", spark.read.parquet(path).count(), path)
+    // in-place: materialize BEFORE overwriting the source files
+    io.overwrite(io.materialize(merged), None, path)
+    TableResult("type_reach", io.read(spark, outDir, "type_reach").count(), path)
   }
 
   /** Read-time set algebra over the published sketches: pairwise audience
     * overlap estimates — the query the KMV state exists to answer without
     * rescanning history. */
-  def reachOverlap(spark: SparkSession, outDir: String): DataFrame = {
-    val t = spark.read.parquet(s"$outDir/type_reach")
+  def reachOverlap(spark: SparkSession, outDir: String,
+      io: LakeIO = InPlaceIO): DataFrame = {
+    val t = io.read(spark, outDir, "type_reach")
     val a = t.select(col("event_type").as("t1"), col("reach_kmv").as("ka"),
       col("users_est").as("est1"))
     val b = t.select(col("event_type").as("t2"), col("reach_kmv").as("kb"),
@@ -154,7 +235,7 @@ object Pipeline {
     */
   def runIncrementalMonthly(
       spark: SparkSession, cfg: RunConfig, outDir: String,
-      batchStart: String): TableResult = {
+      batchStart: String, io: LakeIO = InPlaceIO): TableResult = {
     val path = s"$outDir/monthly_usage"
     // The cfg's startDate is STRIPPED for the recompute scan: a caller
     // passing startDate = batchStart (the natural delta-load config)
@@ -173,9 +254,9 @@ object Pipeline {
       affected.map(_.getTime).min - Etl.SessionGapMinutes * 60L * 1000L)
     val recomputed = Etl.monthlyUsage(ev.where(col("ts") >= lit(lookbackStart)))
       .where(col("month").isin(affected.toSeq: _*))
-    writeDynamic(recomputed, path)
+    io.replacePartitions(recomputed, path, "month")
     TableResult("monthly_usage",
-      spark.read.parquet(path).count(), path)
+      io.read(spark, outDir, "monthly_usage").count(), path)
   }
 
   /** Incremental maintenance of the published `sessions` table — a true
@@ -250,30 +331,32 @@ object Pipeline {
 
   def runIncrementalSessions(
       spark: SparkSession, cfg: RunConfig, outDir: String,
-      batchStart: String): TableResult = {
+      batchStart: String, io: LakeIO = InPlaceIO): TableResult = {
     val path = s"$outDir/sessions"
-    val prior = spark.read.parquet(path)
+    val prior = io.read(spark, outDir, "sessions")
       .select("user_id", "session_id", "session_start", "session_end", "n_events")
     val batch = cfg.copy(startDate = None).table(spark, "events")
       .where(col("ts") >= lit(batchStart).cast("timestamp"))
     val batchSessions = batchSessionSummaries(batch)
     if (batchSessions.isEmpty)
-      return TableResult("sessions", spark.read.parquet(path).count(), path)
+      return TableResult("sessions", io.read(spark, outDir, "sessions").count(), path)
     val changed = mergeSessions(prior, batchSessions)
     val monthOf = date_trunc("month", col("session_start"))
     val affected = changed.select(monthOf.as("m")).distinct()
       .collect().map(_.getTimestamp(0)).toSeq
     // published rows of the affected months, minus the rows a merged
     // session replaces (same (user_id, session_id) key), plus the changes
-    val content = prior
+    // in-place: materialize BEFORE overwriting the source files (the
+    // content derives from the very files dynamic overwrite replaces);
+    // manifested: staged version dirs never overlap the input — no barrier
+    val content = io.materialize(prior
       .where(monthOf.isin(affected: _*))
       .join(changed.select("user_id", "session_id"),
         Seq("user_id", "session_id"), "left_anti")
       .unionByName(changed)
-      .withColumn("month", monthOf)
-      .localCheckpoint() // materialize BEFORE overwriting the source files
-    writeDynamic(content, path)
-    TableResult("sessions", spark.read.parquet(path).count(), path)
+      .withColumn("month", monthOf))
+    io.replacePartitions(content, path, "month")
+    TableResult("sessions", io.read(spark, outDir, "sessions").count(), path)
   }
 
   /** Incremental maintenance of the published `user_lifetime` table: pure
@@ -290,9 +373,9 @@ object Pipeline {
     */
   def runIncrementalLifetime(
       spark: SparkSession, cfg: RunConfig, outDir: String,
-      batchStart: String): TableResult = {
+      batchStart: String, io: LakeIO = InPlaceIO): TableResult = {
     val path = s"$outDir/user_lifetime"
-    val prior = spark.read.parquet(path)
+    val prior = io.read(spark, outDir, "user_lifetime")
     val batch = cfg.copy(startDate = None).table(spark, "events")
       .where(col("ts") >= lit(batchStart).cast("timestamp"))
       .groupBy(col("user_id"))
@@ -311,9 +394,10 @@ object Pipeline {
           .as("value_kll"))
       .withColumn("p50_value",
         KllFunctions.kllQuantile(col("value_kll"), lit(0.5)))
-      .localCheckpoint() // materialize BEFORE overwriting the source files
-    merged.write.mode(SaveMode.Overwrite).parquet(path)
-    TableResult("user_lifetime", spark.read.parquet(path).count(), path)
+    // in-place: materialize BEFORE overwriting the source files
+    io.overwrite(io.materialize(merged), None, path)
+    TableResult("user_lifetime",
+      io.read(spark, outDir, "user_lifetime").count(), path)
   }
 
   /** Incremental maintenance of the published `churn_daily` ledger
@@ -336,7 +420,7 @@ object Pipeline {
     */
   def runIncrementalChurn(
       spark: SparkSession, cfg: RunConfig, outDir: String,
-      batchStart: String): TableResult = {
+      batchStart: String, io: LakeIO = InPlaceIO): TableResult = {
     val path = s"$outDir/churn_daily"
     val startDay = java.time.LocalDate.parse(batchStart.take(10))
     val lookback =
@@ -355,7 +439,7 @@ object Pipeline {
       .distinct()
     // all-history first day per window user: published lifetime state ∧
     // the window's own min (least skips the null side for new users)
-    val priorFirst = spark.read.parquet(s"$outDir/user_lifetime")
+    val priorFirst = io.read(spark, outDir, "user_lifetime")
       .select(col("user_id"), to_date(col("first_ts")).as("pf"))
     val first = act.groupBy("user_id").agg(min(col("day")).as("wf"))
       .join(priorFirst, Seq("user_id"), "left")
@@ -374,14 +458,14 @@ object Pipeline {
         count(when(col("prev") === date_sub(col("day"), 1), 1))
           .as("n_retained"))
     val wd = org.apache.spark.sql.expressions.Window.orderBy("day")
-    val ledger = daily
+    // in-place: materialize BEFORE touching the target files
+    val ledger = io.materialize(daily
       .withColumn("n_churned",
         when(lag(col("day"), 1).over(wd) === date_sub(col("day"), 1),
           lag(col("n_active"), 1).over(wd) - col("n_retained")))
-      .where(col("day") >= lit(java.sql.Date.valueOf(startDay)))
-      .localCheckpoint() // materialize BEFORE touching the target files
-    writeDynamic(ledger, path, "day")
-    TableResult("churn_daily", spark.read.parquet(path).count(), path)
+      .where(col("day") >= lit(java.sql.Date.valueOf(startDay))))
+    io.replacePartitions(ledger, path, "day")
+    TableResult("churn_daily", io.read(spark, outDir, "churn_daily").count(), path)
   }
 
   /** Dynamic partition overwrite of `df` (partitioned on `partCol`) at
@@ -439,10 +523,17 @@ object Pipeline {
     TableResult(path.split('/').last, obs.get("rows").asInstanceOf[Long], path)
   }
 
-  /** Current-version reader for tables published with [[publishTable]]. */
+  /** Current-version reader for tables published with [[publishTable]] or
+    * [[ManifestedIO]]. Under the partition-level layout a `month` filter
+    * prunes at LISTING time (the unwanted partitions never reach a scan);
+    * the residual `where` keeps the row-level contract identical across
+    * layouts. */
   def readTableCurrent(spark: SparkSession, outDir: String, table: String,
       month: Option[String] = None): DataFrame = {
-    val base = graft.sources.Sources.readCurrent(spark, s"$outDir/$table")
+    // partition dir values are the cast-to-string timestamp images
+    val partVals = month.map(m =>
+      Seq(if (m.length == 10) s"$m 00:00:00" else m))
+    val base = readManifested(spark, s"$outDir/$table", partVals)
     month.fold(base)(m => base.where(col("month") === lit(m).cast("timestamp")))
   }
 

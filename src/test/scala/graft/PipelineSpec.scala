@@ -321,4 +321,115 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.sources.Sources.currentVersion(spark, s"$outB/monthly")
       .contains("v_00002"))
   }
+
+  test("manifested lake (r9): per-partition atomic incremental maintenance == " +
+    "in-place twin; untouched partitions keep their version; concurrent " +
+    "reader survives publish and compaction") {
+    import graft.sources.Sources
+    // sf0.001 events span January 2024 only — split mid-month
+    val pre = RunConfig(sf, Seq("events"), endDate = Some("2024-01-16"))
+    val batch = RunConfig(sf, Seq("events"), startDate = Some("2024-01-16"))
+    val outP = Files.createTempDirectory("graft_lake_inplace").toString
+    val outM = Files.createTempDirectory("graft_lake_manifest").toString
+    Pipeline.run(spark, pre, outP)
+    Pipeline.run(spark, pre, outM, Pipeline.ManifestedIO)
+
+    // layout law: calendar tables land as PARTITION-LEVEL manifests (one
+    // pointer per month/day dir), state tables as whole-table manifests
+    def partDirs(t: String) = new java.io.File(s"$outM/$t").listFiles()
+      .filter(_.getName.startsWith("__part=")).sortBy(_.getName)
+    assert(partDirs("monthly_usage").nonEmpty && partDirs("churn_daily").nonEmpty)
+    assert(partDirs("monthly_usage").forall(d =>
+      new java.io.File(d, "_CURRENT").isFile))
+    assert(Sources.currentVersion(spark, s"$outM/user_lifetime").contains("v_00001"))
+    assert(Sources.currentVersion(spark, s"$outM/type_reach").contains("v_00001"))
+
+    val tables = Seq("sessions", "monthly_usage", "user_lifetime",
+      "churn_daily", "type_reach")
+    def rowsOf(out: String, t: String, io: Pipeline.LakeIO) = {
+      // a parquet partition column reads back at the END of the schema;
+      // the manifested layout keeps the authored order — normalize
+      val df = io.read(spark, out, t).drop("month", "value_kll", "reach_kmv")
+      df.select(df.columns.sorted.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    }
+    for (t <- tables)
+      assert(rowsOf(outM, t, Pipeline.ManifestedIO) ==
+        rowsOf(outP, t, Pipeline.InPlaceIO), s"full rebuild diverged on $t")
+
+    // capture an untouchable early-January churn DAY partition and the
+    // (single, touched) month partition's version BEFORE the batch
+    val day5Dir = partDirs("churn_daily")
+      .find(_.getName.startsWith("__part=2024-01-05")).get
+    val day5VersionBefore = Sources.currentVersion(spark, day5Dir.getPath).get
+    val day5FilesBefore = new java.io.File(day5Dir, day5VersionBefore)
+      .listFiles().map(f => f.getName -> f.lastModified()).toSet
+    val janDir = partDirs("monthly_usage")
+      .find(_.getName.startsWith("__part=2024-01")).get
+    assert(Sources.currentVersion(spark, janDir.getPath).contains("v_00001"))
+
+    // a reader that resolved the CURRENT monthly table before the batch
+    // lands must keep reading the pre-batch content through the swap
+    // (immutable version dirs + keepVersions grace window)
+    val preBatchReader = Pipeline.ManifestedIO.read(spark, outM, "monthly_usage")
+    val preBatchRows = preBatchReader.drop("month").collect().map(_.toSeq).toSet
+
+    // the incremental batch through BOTH strategies
+    for ((out, io) <- Seq((outP, Pipeline.InPlaceIO), (outM, Pipeline.ManifestedIO))) {
+      assert(Pipeline.runIncrementalMonthly(spark, batch, out, "2024-01-16", io).rows > 0)
+      assert(Pipeline.runIncrementalSessions(spark, batch, out, "2024-01-16", io).rows > 0)
+      assert(Pipeline.runIncrementalLifetime(spark, batch, out, "2024-01-16", io).rows > 0)
+      assert(Pipeline.runIncrementalChurn(spark, batch, out, "2024-01-16", io).rows > 0)
+      assert(Pipeline.runIncrementalReach(spark, batch, out, "2024-01-16", io).rows > 0)
+    }
+    for (t <- tables)
+      assert(rowsOf(outM, t, Pipeline.ManifestedIO) ==
+        rowsOf(outP, t, Pipeline.InPlaceIO), s"incremental diverged on $t")
+
+    // the untouched early-January churn day kept its version AND files;
+    // the touched month partition advanced to v_00002
+    assert(Sources.currentVersion(spark, day5Dir.getPath)
+      .contains(day5VersionBefore))
+    assert(new java.io.File(day5Dir, day5VersionBefore).listFiles()
+      .map(f => f.getName -> f.lastModified()).toSet == day5FilesBefore)
+    assert(Sources.currentVersion(spark, janDir.getPath).contains("v_00002"))
+    // the pre-batch reader still sees exactly the pre-batch table
+    assert(preBatchReader.drop("month").collect().map(_.toSeq).toSet
+      == preBatchRows)
+
+    // listing-time pruning: a month filter must resolve ONLY that month's
+    // partition dir — unwanted partitions never reach a scan
+    val pruned = Pipeline.readTableCurrent(spark, outM, "monthly_usage",
+      month = Some("2024-01-01"))
+    assert(pruned.count() > 0)
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains("__part=2024-01")),
+      s"pruning leaked: ${pruned.inputFiles.take(3).mkString(", ")}")
+
+    // concurrent reader through a COMPACTION (whole-table manifest): the
+    // reader resolved v_k; compaction publishes v_{k+1} and the keep
+    // window preserves v_k for in-flight readers
+    val lifeReader = Pipeline.readTableCurrent(spark, outM, "user_lifetime")
+    val lifeRows = lifeReader.drop("value_kll").collect().map(_.toSeq).toSet
+    val (filesBefore, filesAfter) =
+      Sources.compactManifested(spark, s"$outM/user_lifetime")
+    assert(filesAfter <= filesBefore)
+    assert(lifeReader.drop("value_kll").collect().map(_.toSeq).toSet == lifeRows,
+      "in-flight reader lost its version during compaction")
+    assert(Pipeline.readTableCurrent(spark, outM, "user_lifetime")
+      .drop("value_kll").collect().map(_.toSeq).toSet == lifeRows,
+      "post-compaction reader diverged")
+
+    // concurrent reader through a PER-PARTITION compaction: each partition
+    // dir is itself a manifested table, so the same protocol compacts one
+    // month while readers of the whole table keep their resolution
+    val tableReader = Pipeline.ManifestedIO.read(spark, outM, "monthly_usage")
+    val tableRows = tableReader.drop("month").collect().map(_.toSeq).toSet
+    Sources.compactManifested(spark, janDir.getPath)
+    assert(tableReader.drop("month").collect().map(_.toSeq).toSet == tableRows,
+      "in-flight reader lost a partition version during partition compaction")
+    assert(Pipeline.ManifestedIO.read(spark, outM, "monthly_usage")
+      .drop("month").collect().map(_.toSeq).toSet == tableRows,
+      "post-compaction table content diverged")
+  }
 }
