@@ -3779,6 +3779,85 @@ object Aggregates {
           (floor(col("dau").cast("double") / col("mau28") * 1000000)
             / 1000000).as("stickiness"))
         .orderBy("day")
+    },
+
+    // Functional-dependency audit (round 9): given a CLAIMED dependency
+    // lhs → rhs (here l_partkey → l_suppkey, deliberately false — a part
+    // ships from many suppliers), report how badly the data violates it:
+    // total lhs values, violating lhs count and rate, and the top-10
+    // worst offenders with their distinct-rhs counts. This is the dq
+    // check that catches "we assumed order_id determines warehouse"
+    // before a dedup-by-lhs silently drops rows. Plan: ONE (lhs, rhs)
+    // distinct + lhs groupBy (both two-phase map-side), summary via a
+    // broadcast 1-row cross join, top-10 fused to TakeOrderedAndProject —
+    // no windows, no fact-side collect.
+    Q("dq_fd_violations",
+      """WITH pairs AS (
+        |  SELECT l_partkey, l_suppkey, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey
+        |), lhs AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rhs,
+        |         CAST(sum(n_rows) AS BIGINT) AS n_rows
+        |  FROM pairs GROUP BY l_partkey
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_lhs,
+        |         CAST(count(*) FILTER (WHERE n_rhs > 1) AS BIGINT)
+        |           AS n_violating,
+        |         floor(count(*) FILTER (WHERE n_rhs > 1) * 1.0 / count(*)
+        |               * 1000000) / 1000000 AS violation_rate
+        |  FROM lhs
+        |)
+        |SELECT l_partkey, n_rhs, n_rows, n_lhs, n_violating, violation_rate
+        |FROM lhs CROSS JOIN s
+        |WHERE n_rhs > 1
+        |ORDER BY n_rhs DESC, n_rows DESC, l_partkey LIMIT 10""".stripMargin) {
+      (s, d) =>
+      val pairs = t(s, d, "lineitem")
+        .groupBy("l_partkey", "l_suppkey").agg(count(lit(1)).as("n_rows"))
+      val lhs = pairs.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_rhs"), sum(col("n_rows")).as("n_rows"))
+      val summary = lhs.agg(
+        count(lit(1)).as("n_lhs"),
+        count(when(col("n_rhs") > 1, 1)).as("n_violating"),
+        (floor(count(when(col("n_rhs") > 1, 1)) * lit(1.0) / count(lit(1))
+          * 1000000) / 1000000).as("violation_rate"))
+      lhs.crossJoin(broadcast(summary))
+        .where(col("n_rhs") > 1)
+        .orderBy(col("n_rhs").desc, col("n_rows").desc, col("l_partkey"))
+        .limit(10)
+        .select("l_partkey", "n_rhs", "n_rows", "n_lhs", "n_violating",
+          "violation_rate")
+    },
+
+    // Freshness / staleness audit (round 9): per event type, how far its
+    // newest event lags the stream's global watermark — the "is source X
+    // still flowing?" check every ingest dashboard leads with (a stuck
+    // upstream shows up as one type's lag racing ahead while volume
+    // looks normal for days). Seconds via the floor(epoch) contract
+    // (§7.4). Plan: one fact scan → bounded per-type max + a broadcast
+    // 1-row global max — two map-side-partial aggregates, nothing else.
+    Q("dq_freshness",
+      """WITH per AS (
+        |  SELECT event_type, max(ts) AS last_ts,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY event_type
+        |), g AS (SELECT max(last_ts) AS wm FROM per)
+        |SELECT event_type, last_ts, n_events,
+        |       CAST(floor(epoch(wm)) AS BIGINT)
+        |         - CAST(floor(epoch(last_ts)) AS BIGINT) AS lag_seconds,
+        |       CAST(CAST(floor(epoch(wm)) AS BIGINT)
+        |              - CAST(floor(epoch(last_ts)) AS BIGINT) > 86400
+        |            AS INT) AS is_stale
+        |FROM per CROSS JOIN g ORDER BY event_type""".stripMargin) { (s, d) =>
+      val per = Tables(s, d, "events").groupBy("event_type")
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+      val g = per.agg(max(col("last_ts")).as("wm"))
+      per.crossJoin(broadcast(g))
+        .select(col("event_type"), col("last_ts"), col("n_events"),
+          (unix_timestamp(col("wm")) - unix_timestamp(col("last_ts")))
+            .as("lag_seconds"))
+        .withColumn("is_stale", (col("lag_seconds") > 86400).cast("int"))
+        .orderBy("event_type")
     }
   )
 }

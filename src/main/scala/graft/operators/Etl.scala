@@ -2730,6 +2730,55 @@ object Etl {
           (floor(col("tae") / col("vol").cast("double") * 1000000)
             / 1000000).as("wape"))
         .orderBy("event_type")
+    },
+
+    // Receivables-aging buckets (round 9): the finance-ops dunning view —
+    // OPEN orders (status <> 'F') bucketed by age at the ledger's
+    // reference date (max order date — derived from the data so re-runs
+    // are deterministic), outstanding value per market segment × bucket.
+    // Money through DECIMAL(18,2) (order-independent exactness), age in
+    // whole days on DATE arithmetic (timestamp-midnight safe on both
+    // engines). Plan: fact scan → broadcast customer-dim join + a
+    // broadcast 1-row reference date → bounded (segment, bucket)
+    // aggregate; the bucket CASE is map-side, no windows.
+    Q("etl_ar_aging",
+      """WITH ref AS (
+        |  SELECT CAST(max(o_orderdate) AS DATE) AS ref_day FROM orders
+        |), aged AS (
+        |  SELECT c_mktsegment,
+        |         CASE
+        |           WHEN date_diff('day', CAST(o_orderdate AS DATE), ref_day) <= 30 THEN 'a_0_30'
+        |           WHEN date_diff('day', CAST(o_orderdate AS DATE), ref_day) <= 90 THEN 'b_31_90'
+        |           WHEN date_diff('day', CAST(o_orderdate AS DATE), ref_day) <= 365 THEN 'c_91_365'
+        |           ELSE 'd_over_365' END AS bucket,
+        |         o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |       CROSS JOIN ref
+        |  WHERE o_orderstatus <> 'F'
+        |)
+        |SELECT c_mktsegment, bucket, CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |                  AS DOUBLE), 2) AS outstanding
+        |FROM aged GROUP BY c_mktsegment, bucket
+        |ORDER BY c_mktsegment, bucket""".stripMargin) { (s, d) =>
+      val o = orders(s, d).where(col("o_orderstatus") =!= "F")
+      val ref = orders(s, d)
+        .agg(max(col("o_orderdate")).cast("date").as("ref_day"))
+      val cust = Tables(s, d, "customer").select("c_custkey", "c_mktsegment")
+      val age = datediff(col("ref_day"), col("o_orderdate").cast("date"))
+      o.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .crossJoin(broadcast(ref))
+        .select(col("c_mktsegment"),
+          when(age <= 30, "a_0_30")
+            .when(age <= 90, "b_31_90")
+            .when(age <= 365, "c_91_365")
+            .otherwise("d_over_365").as("bucket"),
+          col("o_totalprice"))
+        .groupBy("c_mktsegment", "bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 2).as("outstanding"))
+        .orderBy("c_mktsegment", "bucket")
     }
   ) :+ resampleQ
 

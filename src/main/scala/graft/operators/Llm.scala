@@ -380,6 +380,40 @@ object Llm {
   private def probeFanout(s: SparkSession): Int =
     s.conf.get("spark.sql.shuffle.partitions").toInt
 
+  /** τ=0.35 cosine near-dup groups over the embeddings corpus — the
+    * llm_dedup_groups chain (brute edges + exact connected components),
+    * factored so llm_dedup_cluster_sizes reports over the SAME groups.
+    * `edges` is persisted (evaluated once, reused every propagation
+    * round); per-round lineage control lives in Components. symPairs
+    * keeps the O(n²) cosine scan to ONE evaluation.
+    */
+  private def cosineDedupGroups(s: SparkSession, d: String): DataFrame = {
+    val a = embWithNorm(s, d, "a").repartition(probeFanout(s))
+    val b = embWithNorm(s, d, "b")
+    val e0 = a.join(broadcast(b), col("a_id") < col("b_id"))
+      .where(round(pairCos("a", "b"), 6) >= 0.35)
+      .select(col("a_id").as("ea"), col("b_id").as("eb"))
+    val edges = symPairs(e0, "ea", "eb").persist()
+    Components.connectedComponents(emb(s, d), "vec_id", edges)
+      .select(col("id").as("vec_id"), col("lbl").as("group_id"))
+  }
+
+  /** The oracle CTE chain shared by llm_dedup_groups and
+    * llm_dedup_cluster_sizes: brute τ=0.35 cosine edges, symmetrized,
+    * reachability closure (use inside `WITH RECURSIVE`; exposes `reach`). */
+  private lazy val dedupGroupsCtes: String = {
+    val edges0 =
+      """SELECT a.vec_id AS ea, b.vec_id AS eb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.35""".stripMargin
+    s"""e0 AS (
+       |$edges0
+       |), edges AS (
+       |  SELECT ea AS a, eb AS b FROM e0 UNION ALL SELECT eb, ea FROM e0
+       |), ${Components.reachMinCte("SELECT vec_id AS id FROM embeddings", "edges")}""".stripMargin
+  }
+
   // ---- IVF ANN building blocks (llm_ann_ivf's plan, factored round 8 so
   // ---- specs can pin trained-vs-untrained recall at a fixed probe budget)
 
@@ -3043,32 +3077,11 @@ object Llm {
     // plug its verified pairs in as `edges` for the scale path), the
     // high-τ twin is llm_dedup_groups_lsh below, and the text-side
     // flagship is llm_neardup_prune (minhash-bucketed edges).
-    Q("llm_dedup_groups", {
-      val edges0 =
-        """SELECT a.vec_id AS ea, b.vec_id AS eb
-          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-          |                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.35""".stripMargin
-      s"""WITH RECURSIVE e0 AS (
-         |$edges0
-         |), edges AS (
-         |  SELECT ea AS a, eb AS b FROM e0 UNION ALL SELECT eb, ea FROM e0
-         |), ${Components.reachMinCte("SELECT vec_id AS id FROM embeddings", "edges")}
+    Q("llm_dedup_groups",
+      s"""WITH RECURSIVE $dedupGroupsCtes
          |SELECT node AS vec_id, min(r) AS group_id FROM reach
-         |GROUP BY node ORDER BY vec_id""".stripMargin
-    }) { (s, d) =>
-      val a = embWithNorm(s, d, "a").repartition(probeFanout(s))
-      val b = embWithNorm(s, d, "b")
-      val e0 = a.join(broadcast(b), col("a_id") < col("b_id"))
-        .where(round(pairCos("a", "b"), 6) >= 0.35)
-        .select(col("a_id").as("ea"), col("b_id").as("eb"))
-      // `edges` is persisted (evaluated once, reused every propagation
-      // round); per-round lineage control lives in Components. symPairs
-      // keeps the O(n²) cosine scan to ONE evaluation.
-      val edges = symPairs(e0, "ea", "eb").persist()
-      Components.connectedComponents(emb(s, d), "vec_id", edges)
-        .select(col("id").as("vec_id"), col("lbl").as("group_id"))
-        .orderBy("vec_id")
+         |GROUP BY node ORDER BY vec_id""".stripMargin) { (s, d) =>
+      cosineDedupGroups(s, d).orderBy("vec_id")
     },
 
     // The scale-safe variant of llm_dedup_groups for the HIGH-similarity
@@ -4376,6 +4389,215 @@ object Llm {
                | / sqrt(${fold("transform(g, p -> p * p)")})""".stripMargin)
             * 1000000) / lit(1000000)).as("drift_cos"))
         .orderBy("label")
+    },
+
+    // ------------------------------------------------------------------
+    // Round 9: corpus-report operators over the curation chain.
+
+    // Vocabulary richness per source (round 9): type-token ratio + hapax
+    // share — the lexical-diversity panel of a corpus datasheet (low TTR
+    // / low hapax flags templated or boilerplate-heavy sources BEFORE
+    // they dominate a training mix). Plan: one corpus scan → (source,
+    // term) counts (two-phase map-side partial) → bounded per-source
+    // aggregate. Zero windows, zero joins — scale cost is the one
+    // (source, term) shuffle, same asymptote as llm_tfidf's df stage.
+    Q("llm_ttr_hapax",
+      """WITH tf AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY source, w
+        |)
+        |SELECT source,
+        |       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(count(*) FILTER (WHERE cnt = 1) AS BIGINT) AS n_hapax,
+        |       floor(count(*) * 1.0 / sum(cnt) * 1000000) / 1000000 AS ttr,
+        |       floor(count(*) FILTER (WHERE cnt = 1) * 1.0 / count(*)
+        |             * 1000000) / 1000000 AS hapax_ratio
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val tf = docs(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+      tf.groupBy("source")
+        .agg(sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          count(when(col("cnt") === 1, 1)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          (floor(col("n_types") * lit(1.0) / col("n_tokens") * 1000000)
+            / 1000000).as("ttr"),
+          (floor(col("n_hapax") * lit(1.0) / col("n_types") * 1000000)
+            / 1000000).as("hapax_ratio"))
+        .orderBy("source")
+    },
+
+    // Zipf rank-frequency fit (round 9): OLS slope of ln(count) on
+    // ln(rank) over the global top-100 terms — natural text sits near
+    // −1; a flat slope flags synthetic/templated corpora and a cliff
+    // flags boilerplate dominance (the distributional sibling of
+    // llm_ttr_hapax). Plan: term counts (map-side partial) → fused
+    // TakeOrderedAndProject top-100 → ONE in-row pinned-order fold
+    // computes Σx/Σy/Σxy/Σxx and the closed-form OLS — no window, no
+    // driver collect; the only fact-sized stage is the token groupBy.
+    // Float doctrine: identical ln() expressions folded in the same
+    // rank order on both engines, FLOOR-scaled display (agg_entropy's
+    // contract).
+    Q("llm_zipf_slope",
+      """WITH tf AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w
+        |), top AS (
+        |  SELECT w, cnt FROM tf ORDER BY cnt DESC, w LIMIT 100
+        |), fold AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |         list_reduce(list_prepend(
+        |             CAST([0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[]),
+        |             list([CAST(cnt AS DOUBLE)] ORDER BY cnt DESC, w)),
+        |           (a, b) -> [a[1] + 1.0,
+        |                      a[2] + ln(a[1] + 1.0),
+        |                      a[3] + ln(b[1]),
+        |                      a[4] + ln(a[1] + 1.0) * ln(b[1]),
+        |                      a[5] + ln(a[1] + 1.0) * ln(a[1] + 1.0)]) AS f
+        |  FROM top
+        |)
+        |SELECT n_terms,
+        |       floor((n_terms * f[4] - f[2] * f[3])
+        |             / (n_terms * f[5] - f[2] * f[2]) * 1000000) / 1000000
+        |         AS zipf_slope,
+        |       floor((f[3] - (n_terms * f[4] - f[2] * f[3])
+        |                     / (n_terms * f[5] - f[2] * f[2]) * f[2])
+        |             / n_terms * 1000000) / 1000000 AS intercept
+        |FROM fold""".stripMargin) { (s, d) =>
+      val tf = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val top = tf.orderBy(col("cnt").desc, col("w")).limit(100)
+      val folded = top.agg(
+        count(lit(1)).as("n_terms"),
+        expr("""aggregate(
+               |  transform(sort_array(collect_list(struct(-cnt AS nc, w, cnt))),
+               |            e -> CAST(e.cnt AS DOUBLE)),
+               |  array(0d, 0d, 0d, 0d, 0d),
+               |  (a, b) -> array(a[0] + 1d,
+               |                  a[1] + ln(a[0] + 1d),
+               |                  a[2] + ln(b),
+               |                  a[3] + ln(a[0] + 1d) * ln(b),
+               |                  a[4] + ln(a[0] + 1d) * ln(a[0] + 1d)))"""
+          .stripMargin).as("f"))
+      val slope = (col("n_terms") * col("f")(3) - col("f")(1) * col("f")(2)) /
+        (col("n_terms") * col("f")(4) - col("f")(1) * col("f")(1))
+      folded.select(col("n_terms"),
+        (floor(slope * 1000000) / 1000000).as("zipf_slope"),
+        (floor((col("f")(2) - slope * col("f")(1)) / col("n_terms") * 1000000)
+          / 1000000).as("intercept"))
+    },
+
+    // Lexicon redaction audit (round 9): the PII-redaction PLAN SHAPE —
+    // per-row global regex match/replace, per-source hit and removed-char
+    // accounting — exercised against a lexicon that actually occurs in
+    // the harness corpus so the oracle check is non-vacuous (real PII
+    // regexes drop in unchanged; the word-salad corpus contains no
+    // emails/phones, and an all-zero answer would pin nothing).
+    // chars_redacted comes from length(text) − length(regexp_replace):
+    // one pass, no explode. Map-side only until the bounded per-source
+    // aggregate — the cheapest possible shape at 100 TB.
+    Q("llm_redact_lexicon",
+      """SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(*) FILTER (WHERE hits > 0) AS BIGINT) AS docs_with_hits,
+        |       CAST(sum(hits) AS BIGINT) AS total_hits,
+        |       CAST(sum(chars) AS BIGINT) AS chars_redacted
+        |FROM (
+        |  SELECT source,
+        |         len(regexp_extract_all(text, '\b(key|value|table)\b', 1)) AS hits,
+        |         length(text) - length(regexp_replace(text, '\b(key|value|table)\b', '', 'g')) AS chars
+        |  FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val pat = "\\b(key|value|table)\\b"
+      docs(s, d).select(col("source"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(1))).as("hits"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), pat, ""))).as("chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("hits") > 0, 1)).as("docs_with_hits"),
+          sum(col("hits")).cast("long").as("total_hits"),
+          sum(col("chars")).cast("long").as("chars_redacted"))
+        .orderBy("source")
+    },
+
+    // Token-balanced shard audit (round 9): the training-data loader
+    // contract — documents land in N=16 shards by deterministic portable
+    // hash (re-ingestion-stable, the llm_split_assign discipline), and
+    // the audit reports each shard's doc/token mass plus its balance
+    // ratio vs the uniform share (ratio → 1 everywhere means the loader
+    // streams shards without stragglers). Plan: map-side shard/token
+    // projection → bounded 16-row groupBy → broadcast 1-row total. At
+    // 100 TB the same hash IS the physical layout key
+    // (write.partitionBy(shard)); a skewed ratio here predicts a skewed
+    // training node before any data moves.
+    Q("llm_shard_assign", {
+      val h = graft.functions.PortableHash.sql(
+        "'shard:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH a AS (
+         |  SELECT $h % 16 AS shard,
+         |         len(string_split(text, ' ')) AS toks
+         |  FROM documents
+         |), sh AS (
+         |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(toks) AS BIGINT) AS n_tokens
+         |  FROM a GROUP BY shard
+         |), t AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+         |         CAST(count(*) AS BIGINT) AS n_shards
+         |  FROM sh
+         |)
+         |SELECT shard, n_docs, n_tokens,
+         |       floor(n_tokens * n_shards * 1.0 / tot * 1000000) / 1000000
+         |         AS balance
+         |FROM sh CROSS JOIN t ORDER BY shard""".stripMargin
+    }) { (s, d) =>
+      val a = docs(s, d).select(
+        (graft.functions.PortableHash.pHash(
+          concat(lit("shard:"), col("doc_id").cast("string"))) % 16)
+          .as("shard"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      val sh = a.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      val t = sh.agg(sum(col("n_tokens")).as("tot"),
+        count(lit(1)).as("n_shards"))
+      sh.crossJoin(broadcast(t))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          (floor(col("n_tokens") * col("n_shards") * lit(1.0) / col("tot")
+            * 1000000) / 1000000).as("balance"))
+        .orderBy("shard")
+    },
+
+    // Near-dup cluster-size distribution (round 9): the curation report
+    // over llm_dedup_groups' OWN groups (shared chain + shared oracle
+    // CTEs — the two keys cannot drift): how much of the corpus sits in
+    // duplicate clusters, and how big the clusters are. The histogram is
+    // what a dedup run's ticket shows — "n docs in m clusters of size
+    // ≥ k" — and its tail is the first place collapsed boilerplate
+    // shows up. Cost beyond the group chain: two bounded aggregates.
+    Q("llm_dedup_cluster_sizes",
+      s"""WITH RECURSIVE $dedupGroupsCtes, g AS (
+         |  SELECT node AS vec_id, min(r) AS group_id FROM reach GROUP BY node
+         |), cs AS (
+         |  SELECT group_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM g GROUP BY group_id
+         |)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(sum(cluster_size) AS BIGINT) AS n_vecs
+         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin) {
+      (s, d) =>
+      cosineDedupGroups(s, d)
+        .groupBy("group_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).cast("long").as("n_vecs"))
+        .orderBy("cluster_size")
     }
   )
 }

@@ -545,6 +545,43 @@ object Relational {
         .orderBy("s_nationkey")
     },
 
+    // Bloom runtime-filtered dim join (round 9): the classic bloom-join /
+    // runtime-filter move as a DECLARED key, RESULT-TRANSPARENT against
+    // the plain-join oracle (a Bloom filter has no false negatives, and
+    // the equi-join itself removes its false positives — the filter can
+    // only change the PLAN, never the rows; llm_decontaminate_bloom's
+    // contract on the relational fact-dim shape). The selective dim
+    // predicate compresses to one bounded filter delivered through an
+    // uncorrelated scalar subquery, the fact scan drops non-candidates
+    // MAP-SIDE, and only the surviving sliver pays the shuffle. At
+    // 100 TB this is the difference between shuffling the whole fact and
+    // shuffling ~the matching 10% — the hand-rolled analog of Spark's own
+    // runtime row-group filters, usable where AQE/DPP can't see the
+    // opportunity (non-partition keys, pre-aggregated dims, sketch
+    // reuse across queries via the persisted filter bytes).
+    Q("join_bloom_runtime",
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |                  AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graft.BloomFunctions.{bloomBuild, bloomContains}
+      val dim = t(s, d, "part").where(col("p_size") <= 5)
+        .select("p_partkey", "p_brand")
+      dim.select("p_partkey").createOrReplaceTempView("graft_bloom_dim")
+      val fact = t(s, d, "lineitem").select("l_partkey", "l_extendedprice")
+        .where(bloomContains(
+          expr("(SELECT bloom_build(p_partkey) FROM graft_bloom_dim)"),
+          col("l_partkey")))
+      fact.join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double"), 2).as("revenue"))
+        .orderBy("p_brand")
+    },
+
     // ---------------------------------------------------------------- §2.F
     Q("sort_multi_nulls",
       """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal

@@ -762,6 +762,53 @@ object Windows {
           expr("CAST(size(filter(ss, v -> v > mu * 0.25)) AS BIGINT)")
             .as("n_days_alarmed"))
         .orderBy("event_type")
+    },
+
+    // Irregular-interval time-decay EWMA (round 9): win_ewma's row-based
+    // recursion assumes equally spaced observations; real event streams
+    // are not, so each step must decay by the ACTUAL gap. The decay
+    // kernel is HYPERBOLIC — w(Δt) = H/(H+Δt), H = 1h in seconds —
+    // rather than exp(−Δt/τ): one IEEE division of exact integers is
+    // bit-identical across engines, where exp() is a libm call the
+    // float doctrine (§7.4) can't pin. Non-associative recursion ⇒
+    // in-row pinned-order fold per user (the clamped-ledger shape): one
+    // user_id shuffle, state [s, prev_sec], no windows. Fold order
+    // (sec, event_id) is a total order, so ties can't flip the result.
+    Q("win_ewma_time",
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+        |  FROM events WHERE user_id IS NOT NULL
+        |), f AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |         list_reduce(list_prepend(
+        |             CAST([0.0, -1.0] AS DOUBLE[]),
+        |             list([CAST(sec AS DOUBLE), value]
+        |                  ORDER BY sec, event_id)),
+        |           (a, b) -> CASE WHEN a[2] < 0
+        |             THEN [b[2], b[1]]
+        |             ELSE [b[2] + 3600.0 / (3600.0 + (b[1] - a[2])) * a[1],
+        |                   b[1]] END) AS st
+        |  FROM e GROUP BY user_id
+        |)
+        |SELECT user_id, n_events,
+        |       floor(st[1] * 1000000) / 1000000 AS ewma_last
+        |FROM f ORDER BY user_id""".stripMargin) { (s, d) =>
+      t(s, d, "events").where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).cast("double").as("sec"), col("value"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("""aggregate(
+                 |  sort_array(collect_list(struct(sec, event_id, value))),
+                 |  array(0d, -1d),
+                 |  (a, e) -> CASE WHEN a[1] < 0d
+                 |    THEN array(CAST(e.value AS DOUBLE), e.sec)
+                 |    ELSE array(e.value + 3600d / (3600d + (e.sec - a[1])) * a[0],
+                 |               e.sec) END)""".stripMargin).as("st"))
+        .select(col("user_id"), col("n_events"),
+          (floor(col("st")(0) * 1000000) / 1000000).as("ewma_last"))
+        .orderBy("user_id")
     }
   )
 }
