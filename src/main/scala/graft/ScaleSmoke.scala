@@ -1424,6 +1424,65 @@ object ScaleSmoke {
       n
     }
 
+    // ---- round 9 probes ------------------------------------------------
+
+    // Bloom runtime filter at fact scale: 60M fact rows, 3M-key domain,
+    // a 0.1%-selective dim predicate, join forced SORT-MERGE (the regime
+    // where the filter pays — a broadcastable dim needs no bloom). The
+    // plain plan shuffles all 60M fact rows; the bloom plan drops
+    // non-candidates map-side and shuffles ~the matching 60k (+ ~0.3%
+    // fp). Row-count equality is required — the filter must be
+    // result-transparent at this scale too.
+    locally {
+      import org.apache.spark.sql.graft.BloomFunctions.bloomContains
+      val fact = spark.range(60000000L).select(
+        pmod(xxhash64(col("id")), lit(3000000)).as("k"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(1000)) / 100.0).as("v"))
+      val dim = spark.range(3000000L)
+        .select(col("id").as("k"), pmod(xxhash64(col("id"), lit(9)), lit(1000)).as("attr"))
+        .where(col("attr") === 0) // ~3k keys survive
+        .persist()
+      dim.count() // materialize untimed
+      var plainN = -1L; var bloomN = -2L
+      time("bloom join plain SMJ 60M") {
+        plainN = fact.join(dim.hint("merge"), Seq("k")).count()
+        plainN
+      }
+      time("bloom join filtered 60M") {
+        dim.select("k").createOrReplaceTempView("graft_scale_bloom_dim")
+        bloomN = fact.where(bloomContains(
+            expr("(SELECT bloom_build(k) FROM graft_scale_bloom_dim)"),
+            col("k")))
+          .join(dim.hint("merge"), Seq("k")).count()
+        bloomN
+      }
+      if (plainN >= 0 && bloomN >= 0)
+        require(plainN == bloomN,
+          s"bloom filter changed the join: plain=$plainN bloom=$bloomN")
+      dim.unpersist()
+    }
+
+    // Irregular-gap EWMA in-row fold at 60M events / 30k users (~2k
+    // events per user): the win_ewma_time shape — one user_id shuffle
+    // into collect_list + a sequential in-row fold. The per-user state
+    // is bounded by events-per-entity (sessions-scale contract, same as
+    // the clamped ledger); watch: no straggler, no OOM.
+    time("ewma_time fold 60M") {
+      ev.where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).cast("double").as("sec"), col("value"))
+        .groupBy("user_id")
+        .agg(expr(
+          """aggregate(
+            |  sort_array(collect_list(struct(sec, event_id, value))),
+            |  array(0d, -1d),
+            |  (a, e) -> CASE WHEN a[1] < 0d
+            |    THEN array(CAST(e.value AS DOUBLE), e.sec)
+            |    ELSE array(e.value + 3600d / (3600d + (e.sec - a[1])) * a[0],
+            |               e.sec) END)""".stripMargin).as("st"))
+        .select(count(lit(1))).as[Long].head()
+    }
+
     spark.stop()
   }
 }
