@@ -3858,6 +3858,144 @@ object Aggregates {
             .as("lag_seconds"))
         .withColumn("is_stale", (col("lag_seconds") > 86400).cast("int"))
         .orderBy("event_type")
+    },
+
+    // Hodges-Lehmann pseudo-median (round 9): median of all pairwise
+    // Walsh averages (xᵢ+xⱼ)/2, i ≤ j, of the 1995 daily revenue per
+    // order priority — the location estimator dual to the Wilcoxon
+    // signed-rank test (agg_wilcoxon_signed), ~95% Gaussian efficiency
+    // with a 29% breakdown point where the mean's is 0 and the plain
+    // median's efficiency is 64%. Completes the robust-location panel:
+    // agg_trimmed_mean (fenced trim), agg_theil_sen (robust slope),
+    // agg_mad_outliers (robust spread) — HL is the one a revenue
+    // "typical day" readout should quote when a quarter of days are
+    // promo-spiked. EXACT: daily cents are BIGINT, each Walsh pair
+    // rides as w2 = cᵢ+cⱼ (= 2·avg, integer), the median of w2 comes
+    // from explicit order statistics over the in-row sorted array
+    // (lo+hi = 4·HL, integer), and the one display division by 4 is
+    // exact in binary. No window anywhere.
+    //
+    // Scale shape: the quadratic pair build runs on the calendar-
+    // BOUNDED daily frame (365 days × 5 priorities → ≤67k pairs per
+    // group from ONE map-side-combinable fact groupBy) — arithmetic at
+    // the report grain, not the fact; the in-row sorted array is
+    // ~67k longs ≈ 0.5 MB, SF-independent. 100× the fact grows only
+    // the first aggregate. (At an unbounded grain the dial is the
+    // RankFence exact-rank family over the w2 frame instead of the
+    // in-row array — same boundary-pick arithmetic, distributed.)
+    Q("agg_hodges_lehmann",
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY 1, 2
+        |), w AS (
+        |  SELECT a.pri, a.cents + b.cents AS w2
+        |  FROM daily a JOIN daily b ON a.pri = b.pri AND a.day <= b.day
+        |), g AS (
+        |  SELECT pri, CAST(count(*) AS BIGINT) AS n_walsh,
+        |         list(w2 ORDER BY w2) AS arr
+        |  FROM w GROUP BY pri
+        |)
+        |SELECT pri AS o_orderpriority, n_walsh,
+        |       CAST(arr[CAST((n_walsh + 1) // 2 AS INT)]
+        |            + arr[CAST((n_walsh + 2) // 2 AS INT)] AS BIGINT)
+        |         AS hl_x4,
+        |       CAST(arr[CAST((n_walsh + 1) // 2 AS INT)]
+        |            + arr[CAST((n_walsh + 2) // 2 AS INT)] AS DOUBLE) / 4.0
+        |         AS hl_cents
+        |FROM g ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val daily = t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .groupBy(col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"))
+      val b = daily.select(col("pri").as("pri2"), col("day").as("d2"),
+        col("cents").as("c2"))
+      daily.join(b, col("pri") === col("pri2") && col("day") <= col("d2"))
+        .select(col("pri"), (col("cents") + col("c2")).as("w2"))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_walsh"),
+          sort_array(collect_list(col("w2"))).as("arr"))
+        .select(col("pri").as("o_orderpriority"), col("n_walsh"),
+          expr("""element_at(arr, CAST((n_walsh + 1) DIV 2 AS INT))
+                 | + element_at(arr, CAST((n_walsh + 2) DIV 2 AS INT))"""
+            .stripMargin).as("hl_x4"))
+        .withColumn("hl_cents", col("hl_x4").cast("double") / 4.0)
+        .orderBy("o_orderpriority")
+    },
+
+    // Embedding-norm hygiene audit (round 9): per label — vector count,
+    // zero-vector count, min/max/RMS L2 norm on the shared 1e-7 tick
+    // grid. The vector-column entry of the dq_profile family: a
+    // mis-normalized batch (norms far from 1), an all-zeros failure
+    // mode from a crashed encoder, or one label's drifted scale all
+    // surface HERE before they poison cosine similarity (which
+    // silently ranks by magnitude when inputs aren't unit) — the gate
+    // a pipeline runs between embed and index/dedup
+    // (llm_ann_*/llm_semantic_dedup). EXACT: per-vector Σtick² folds
+    // in-row into DECIMAL(38,0)/HUGEINT (the PCA scatter's overflow
+    // lesson: 64·(1e9)² per vector can pass BIGINT range), per-label
+    // min/max/Σ of those integers are exact, and the three sqrt calls
+    // are correctly-rounded IEEE ops on identical operands.
+    //
+    // Scale shape: ONE map-side pass (the fold is in-row) + a bounded
+    // per-label aggregate — embarrassingly parallel at any SF.
+    Q("dq_embedding_norms",
+      """WITH x AS (
+        |  SELECT label,
+        |         list_transform(embedding, v ->
+        |           CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT))
+        |           AS xi
+        |  FROM embeddings
+        |), n2 AS (
+        |  SELECT label,
+        |         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |             list_transform(xi, v -> CAST(v AS HUGEINT) * v)),
+        |           (a, b) -> a + b) AS n2
+        |  FROM x
+        |)
+        |SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(min(n2) AS BIGINT) AS min_norm2_ticks,
+        |  CAST(max(n2) AS BIGINT) AS max_norm2_ticks,
+        |  floor(sqrt(CAST(min(n2) AS DOUBLE)) / 10000000 * 1000000)
+        |    / 1000000 AS min_norm,
+        |  floor(sqrt(CAST(max(n2) AS DOUBLE)) / 10000000 * 1000000)
+        |    / 1000000 AS max_norm,
+        |  floor(sqrt(CAST(sum(n2) AS DOUBLE) / count(*)) / 10000000
+        |        * 1000000) / 1000000 AS rms_norm
+        |FROM n2 GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      val n2 = t(s, d, "embeddings")
+        .select(col("label"),
+          expr("""aggregate(
+                 |  transform(embedding, v ->
+                 |    CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT)),
+                 |  CAST(0 AS DECIMAL(38,0)),
+                 |  (a, v) -> a + CAST(v AS DECIMAL(19,0))
+                 |                * CAST(v AS DECIMAL(19,0)))"""
+            .stripMargin).as("n2"))
+      n2.groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("n2") === 0, 1L).otherwise(0L)).as("n_zero"),
+          min(col("n2")).cast("long").as("min_norm2_ticks"),
+          max(col("n2")).cast("long").as("max_norm2_ticks"),
+          sum(col("n2")).as("sum_n2"))
+        .select(col("label"), col("n_vecs"), col("n_zero"),
+          col("min_norm2_ticks"), col("max_norm2_ticks"),
+          (floor(sqrt(col("min_norm2_ticks").cast("double")) / 10000000
+            * 1000000) / 1000000).as("min_norm"),
+          (floor(sqrt(col("max_norm2_ticks").cast("double")) / 10000000
+            * 1000000) / 1000000).as("max_norm"),
+          (floor(sqrt(col("sum_n2").cast("double") / col("n_vecs"))
+            / 10000000 * 1000000) / 1000000).as("rms_norm"))
+        .orderBy("label")
     }
   )
 }

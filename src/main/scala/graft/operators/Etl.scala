@@ -2779,6 +2779,186 @@ object Etl {
           round(sum(col("o_totalprice").cast("decimal(18,2)"))
             .cast("double"), 2).as("outstanding"))
         .orderBy("c_mktsegment", "bucket")
+    },
+
+    // Seasonality/trend strength (round 9): Hyndman's Fₜ = max(0, 1 −
+    // Var(R)/Var(T+R)) and Fₛ = max(0, 1 − Var(R)/Var(S+R)) over the
+    // SAME classical decomposition chain as etl_seasonal_decompose
+    // (7-day centered-MA trend, weekday-mean seasonal) — the one-number
+    // verdict per stream that decides the forecast-champion bracket:
+    // high Fₛ → the seasonal members (snaive/HW) are candidates, low →
+    // plain Holt; high Fₜ → differencing/trend terms matter. The
+    // decompose key shows the curves; this key makes the call. EXACT
+    // cross-engine: every decomposition value is a fixed sequence of
+    // IEEE ops (BIGINT window-sum / count division, pinned-order
+    // weekday-mean folds), and the four variance moments fold in-row
+    // over the day-sorted series with SCALAR double accumulators (two
+    // separate Σx / Σx² folds — the DuckDB list_reduce LIST-accumulator
+    // miscomputation recorded at etl_changepoint forbids a fused
+    // 2-slot fold), so both engines execute identical op sequences.
+    //
+    // Scale shape: one map-side-combinable fact groupBy → the
+    // calendar-bounded daily frame; everything after (window, weekday
+    // means, in-row folds) is report-grain arithmetic.
+    Q("etl_seasonality_strength",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), tr AS (
+        |  SELECT event_type, day, c,
+        |         CAST(sum(c) OVER w AS DOUBLE) / count(c) OVER w AS trend,
+        |         date_part('dow', day) AS dow
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), se AS (
+        |  SELECT event_type, dow,
+        |         list_reduce(list_prepend(0.0, list(c - trend ORDER BY day)),
+        |                     (a, b) -> a + b) / count(*) AS seasonal
+        |  FROM tr GROUP BY 1, 2
+        |), z AS (
+        |  SELECT t.event_type, t.day,
+        |         t.c - t.trend - s.seasonal AS r,
+        |         t.c - s.seasonal AS tpr,
+        |         t.c - t.trend AS spr
+        |  FROM tr t JOIN se s ON t.event_type = s.event_type
+        |                     AND t.dow = s.dow
+        |), l AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |         list(r ORDER BY day) AS rs,
+        |         list(tpr ORDER BY day) AS ts,
+        |         list(spr ORDER BY day) AS ss
+        |  FROM z GROUP BY event_type
+        |), v AS (
+        |  SELECT event_type, n_days,
+        |    list_reduce(list_prepend(0.0, rs), (a, b) -> a + b) AS sr,
+        |    list_reduce(list_prepend(0.0, list_transform(rs, x -> x * x)),
+        |                (a, b) -> a + b) AS sr2,
+        |    list_reduce(list_prepend(0.0, ts), (a, b) -> a + b) AS st,
+        |    list_reduce(list_prepend(0.0, list_transform(ts, x -> x * x)),
+        |                (a, b) -> a + b) AS st2,
+        |    list_reduce(list_prepend(0.0, ss), (a, b) -> a + b) AS ssum,
+        |    list_reduce(list_prepend(0.0, list_transform(ss, x -> x * x)),
+        |                (a, b) -> a + b) AS ss2
+        |  FROM l
+        |)
+        |SELECT event_type, n_days,
+        |  floor(greatest(0.0, 1 - (sr2 - sr * sr / n_days)
+        |                        / (st2 - st * st / n_days)) * 1000000)
+        |    / 1000000 AS f_trend,
+        |  floor(greatest(0.0, 1 - (sr2 - sr * sr / n_days)
+        |                        / (ss2 - ssum * ssum / n_days)) * 1000000)
+        |    / 1000000 AS f_seasonal
+        |FROM v ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val tr = daily
+        .withColumn("trend",
+          sum(col("c")).over(w).cast("double") / count(col("c")).over(w))
+        .withColumn("dow", dayofweek(col("day")) - 1)
+        .persist() // bounded frame feeds the weekday means AND the folds
+      val se = tr.groupBy("event_type", "dow")
+        .agg((expr(
+          """aggregate(sort_array(collect_list(struct(day, c - trend AS detr))),
+            | 0d, (a, e) -> a + e.detr)""".stripMargin)
+          / count(lit(1))).as("seasonal"))
+      val l = tr.join(broadcast(se), Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"),
+          (col("c") - col("trend") - col("seasonal")).as("r"),
+          (col("c") - col("seasonal")).as("tpr"),
+          (col("c") - col("trend")).as("spr"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          expr("transform(sort_array(collect_list(struct(day, r))), e -> e.r)")
+            .as("rs"),
+          expr("transform(sort_array(collect_list(struct(day, tpr))), e -> e.tpr)")
+            .as("ts"),
+          expr("transform(sort_array(collect_list(struct(day, spr))), e -> e.spr)")
+            .as("ss"))
+      l.select(col("event_type"), col("n_days"),
+          expr("aggregate(rs, 0d, (a, b) -> a + b)").as("sr"),
+          expr("aggregate(transform(rs, x -> x * x), 0d, (a, b) -> a + b)")
+            .as("sr2"),
+          expr("aggregate(ts, 0d, (a, b) -> a + b)").as("st"),
+          expr("aggregate(transform(ts, x -> x * x), 0d, (a, b) -> a + b)")
+            .as("st2"),
+          expr("aggregate(ss, 0d, (a, b) -> a + b)").as("ssum"),
+          expr("aggregate(transform(ss, x -> x * x), 0d, (a, b) -> a + b)")
+            .as("ss2"))
+        .select(col("event_type"), col("n_days"),
+          (floor(greatest(lit(0.0), lit(1) -
+            (col("sr2") - col("sr") * col("sr") / col("n_days")) /
+              (col("st2") - col("st") * col("st") / col("n_days")))
+            * 1000000) / 1000000).as("f_trend"),
+          (floor(greatest(lit(0.0), lit(1) -
+            (col("sr2") - col("sr") * col("sr") / col("n_days")) /
+              (col("ss2") - col("ssum") * col("ssum") / col("n_days")))
+            * 1000000) / 1000000).as("f_seasonal"))
+        .orderBy("event_type")
+    },
+
+    // Blocked entity resolution (round 9): the record-linkage plan
+    // shape — block on (nation, 16-char name prefix), generate
+    // candidate pairs ONLY within blocks, verify each candidate with an
+    // edit-distance predicate (levenshtein ≤ 1), report per-nation
+    // candidate/match counts and the match rate. The missing family
+    // between etl_dedup_latest (exact-key dedup) and the llm_* near-dup
+    // family (set-similarity on text): MDM-style fuzzy matching of
+    // structured entities, where the blocking key — not LSH banding —
+    // is what keeps the pair space sub-quadratic. The harness lexicon
+    // is real for this corpus (sequential Customer#NNNNNNNNN names make
+    // 1-edit neighbors genuinely common — 538 matches / 3013 candidates
+    // at sf0.01); production name blocking drops in by swapping the
+    // block expression (e.g. soundex/prefix+zip), the plan unchanged.
+    //
+    // Scale shape: the self-join is EQUI on (nation, block), so it
+    // shuffles each side once on the block key and the quadratic
+    // explosion is bounded per block (≤100 same-prefix names → ≤4,950
+    // pairs) regardless of SF; levenshtein runs on candidates only,
+    // never all pairs. At 100 TB this is the standard blocked-ER shape:
+    // block cardinality grows with the data, block SIZE does not.
+    Q("etl_entity_resolution",
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         substring(c_name, 1, 16) AS blk
+        |  FROM customer
+        |), p AS (
+        |  SELECT a.c_nationkey AS nk,
+        |         CAST(count(*) AS BIGINT) AS n_candidates,
+        |         CAST(sum(CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+        |  FROM c a JOIN c b
+        |    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+        |   AND a.c_custkey < b.c_custkey
+        |  GROUP BY 1
+        |)
+        |SELECT n.n_name, p.n_candidates, p.n_matches,
+        |       floor(CAST(p.n_matches AS DOUBLE) / p.n_candidates * 1000000)
+        |         / 1000000 AS match_rate
+        |FROM p JOIN nation n ON p.nk = n.n_nationkey
+        |ORDER BY n.n_name""".stripMargin) { (s, d) =>
+      val c = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          substring(col("c_name"), 1, 16).as("blk"))
+      val b = c.select(col("c_custkey").as("ck2"), col("c_name").as("nm2"),
+        col("c_nationkey").as("nk2"), col("blk").as("blk2"))
+      val p = c.join(b,
+          col("c_nationkey") === col("nk2") && col("blk") === col("blk2") &&
+            col("c_custkey") < col("ck2"))
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(levenshtein(col("c_name"), col("nm2")) <= 1, 1L)
+            .otherwise(0L)).as("n_matches"))
+      p.join(broadcast(Tables(s, d, "nation")),
+          col("nk") === col("n_nationkey"))
+        .select(col("n_name"), col("n_candidates"), col("n_matches"),
+          (floor(col("n_matches").cast("double") / col("n_candidates")
+            * 1000000) / 1000000).as("match_rate"))
+        .orderBy("n_name")
     }
   ) :+ resampleQ
 

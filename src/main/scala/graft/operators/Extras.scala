@@ -1291,8 +1291,92 @@ object Extras {
       Components.kCore(
           symmetrize(coOrderEdges(s, d, "1997-01-01", "1997-02-01")), k = 4)
         .orderBy(col("core_degree").desc, col("node"))
+    },
+
+    // Degree-stratified clustering (round 9): triangles/wedges ratio per
+    // power-of-two degree bucket over the 1997 co-order graph — C(k),
+    // the clustering-by-degree curve. This key is the DETECTOR for the
+    // escape hatch graph_triangles documents: a flat/high C(k) at large
+    // k says hubs sit in dense cores (id-orientation fine); a steep
+    // power-law decay with fat hub degrees says wedge volume
+    // concentrates at hubs and the degree-oriented plan
+    // (trianglesByDegree, Suri & Vassilvitskii 2011) should take over.
+    // Bucket cc = Σtri/Σwedges (per-bucket totals — exact BIGINTs, one
+    // display division), not a mean of per-node ratios, so low-wedge
+    // nodes can't dominate the bucket. Bucketing is an integer CASE
+    // ladder (shared text, both engines) — floor(log2()) would lean on
+    // libm rounding the determinism checklist forbids.
+    //
+    // Scale shape: the same persisted oriented edge frame feeds degrees
+    // and the triangle 3-join (the graph_local_cc chain); the bucket
+    // aggregate is bounded (≤20 rows). Cost class = graph_triangles.
+    Q("graph_clustering_by_degree",
+      s"""WITH lp AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |), e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+        |), und AS (
+        |  SELECT a AS n FROM e UNION ALL SELECT b FROM e
+        |), deg AS (
+        |  SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
+        |  FROM und GROUP BY n
+        |), tn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT unnest([e1.a, e1.b, e2.b]) AS node
+        |    FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |  ) GROUP BY node
+        |), nb AS (
+        |  SELECT degree, COALESCE(n_tri, 0) AS n_tri,
+        |         degree * (degree - 1) // 2 AS wedges,
+        |         $degreeBucketCase AS bucket_lo
+        |  FROM deg LEFT JOIN tn USING (node) WHERE degree >= 2
+        |)
+        |SELECT CAST(bucket_lo AS BIGINT) AS degree_bucket,
+        |       CAST(count(*) AS BIGINT) AS n_nodes,
+        |       CAST(sum(n_tri) AS BIGINT) AS sum_tri,
+        |       CAST(sum(wedges) AS BIGINT) AS sum_wedges,
+        |       floor(CAST(sum(n_tri) AS DOUBLE) / sum(wedges) * 1000000)
+        |         / 1000000 AS bucket_cc
+        |FROM nb GROUP BY bucket_lo ORDER BY degree_bucket""".stripMargin) {
+      (s, d) =>
+      val e = coOrderEdges(s, d, "1997-01-01", "1998-01-01").persist()
+      val deg = symmetrize(e)
+        .groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+      val bc = e.select(col("a").as("b2"), col("b").as("c"))
+      val ac = e.select(col("a").as("a3"), col("b").as("c3"))
+      val triNodes = e.join(bc, col("b") === col("b2"))
+        .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      deg.join(triNodes, Seq("node"), "left")
+        .where(col("degree") >= 2)
+        .select(col("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          expr("degree * (degree - 1) DIV 2").as("wedges"),
+          expr(degreeBucketCase).as("bucket_lo"))
+        .groupBy(col("bucket_lo").cast("long").as("degree_bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum("n_tri").as("sum_tri"),
+          sum("wedges").as("sum_wedges"))
+        .withColumn("bucket_cc",
+          floor(col("sum_tri").cast("double") / col("sum_wedges")
+            * 1000000) / 1000000)
+        .orderBy("degree_bucket")
     }
   )
+
+  /** Power-of-two degree-bucket CASE ladder — ONE text evaluated by both
+    * engines (a floor(log2()) bucket would ride libm; integer compares
+    * can't drift). Covers degree < 2^21; the ELSE arm labels the rest.
+    */
+  private lazy val degreeBucketCase: String =
+    (1 to 20).map(b => s"WHEN degree < ${1L << (b + 1)} THEN ${1L << b}")
+      .mkString("CASE ", " ", " ELSE 1048576 END")
 
   /** Top-k common-neighbors link prediction over an id-ORIENTED distinct
     * edge frame (a < b) — the wedge self-join on the shared neighbor,

@@ -809,6 +809,88 @@ object Windows {
         .select(col("user_id"), col("n_events"),
           (floor(col("st")(0) * 1000000) / 1000000).as("ewma_last"))
         .orderBy("user_id")
+    },
+
+    // Hampel filter (round 9): robust rolling outlier detection on the
+    // daily volume series — flag days where |x − med₇| > 3·1.4826·MAD₇
+    // over the trailing 7-day window. The robust sibling of
+    // win_rolling_stats' mean±σ band: one wild day inflates a rolling
+    // σ and masks the NEXT anomaly, while the median/MAD pair is
+    // unmoved by it (breakdown point ½ vs 0) — the standard despike
+    // pass before a forecast fit (etl_forecast_*). EXACT integer
+    // arithmetic throughout: the window's ≤7 counts are collected and
+    // sorted IN-ROW, medsum = lo+hi order statistics (= 2·median,
+    // integer), deviations |2v − medsum| are integers, madsum likewise
+    // (= 4·MAD), and the flag compares 20000·|2n − medsum| >
+    // 44478·madsum — the 3·1.4826 threshold cleared of every division.
+    // The two reported medians divide by 2 and 4 only at display
+    // (exact binary divisions). Flags fire only on FULL windows (k=7);
+    // MAD=0 (≥half the window identical) degenerates to "any deviation
+    // flags", the standard Hampel edge, deterministic here.
+    //
+    // Scale shape: identical to win_rolling_median — the window runs
+    // over the calendar-BOUNDED daily frame (one map-side-combinable
+    // fact groupBy first), partitioned by event_type; the ≤7-element
+    // in-row sorts are O(1) per row. 100× the fact grows only the
+    // first aggregate.
+    Q("win_hampel",
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, day, n,
+        |         list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
+        |                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM d
+        |), m AS (
+        |  SELECT event_type, day, n, arr, len(arr) AS k,
+        |         arr[CAST((len(arr) + 1) // 2 AS INT)]
+        |           + arr[CAST((len(arr) + 2) // 2 AS INT)] AS medsum
+        |  FROM w
+        |), f AS (
+        |  SELECT event_type, day, n, k, medsum,
+        |         list_sort(list_transform(arr, v -> abs(2 * v - medsum)))
+        |           AS darr
+        |  FROM m
+        |), g AS (
+        |  SELECT event_type, day, n, k, medsum,
+        |         darr[CAST((k + 1) // 2 AS INT)]
+        |           + darr[CAST((k + 2) // 2 AS INT)] AS madsum
+        |  FROM f
+        |)
+        |SELECT event_type, day, n,
+        |       CAST(medsum AS DOUBLE) / 2.0 AS med7,
+        |       CAST(madsum AS DOUBLE) / 4.0 AS mad7,
+        |       CAST(CASE WHEN k = 7
+        |                  AND 20000 * abs(2 * n - medsum) > 44478 * madsum
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM g ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, 0)
+      t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("arr", sort_array(collect_list(col("n")).over(w)))
+        .withColumn("k", size(col("arr")))
+        .withColumn("medsum",
+          expr("""element_at(arr, CAST((k + 1) DIV 2 AS INT))
+                 | + element_at(arr, CAST((k + 2) DIV 2 AS INT))"""
+            .stripMargin))
+        .withColumn("darr",
+          expr("sort_array(transform(arr, v -> abs(2 * v - medsum)))"))
+        .withColumn("madsum",
+          expr("""element_at(darr, CAST((k + 1) DIV 2 AS INT))
+                 | + element_at(darr, CAST((k + 2) DIV 2 AS INT))"""
+            .stripMargin))
+        .select(col("event_type"), col("day"), col("n"),
+          (col("medsum").cast("double") / 2.0).as("med7"),
+          (col("madsum").cast("double") / 4.0).as("mad7"),
+          when(col("k") === 7 &&
+            lit(20000) * abs(lit(2) * col("n") - col("medsum")) >
+              lit(44478) * col("madsum"), 1L).otherwise(0L)
+            .as("is_outlier"))
+        .orderBy("event_type", "day")
     }
   )
 }

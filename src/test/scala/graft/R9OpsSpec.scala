@@ -145,4 +145,134 @@ class R9OpsSpec extends AnyFunSuite {
     assert(f.min == 0L)
     assert(f.forall(_ >= 0L))
   }
+
+  // ---- round-9 continuation batch ----
+
+  test("win_hampel == JVM median/MAD recursion over the daily series") {
+    val got = run("win_hampel")
+      .select("event_type", "day", "n", "med7", "mad7", "is_outlier")
+      .as[(String, java.sql.Date, Long, Double, Double, Long)].collect()
+    val daily = got.groupBy(_._1).view.mapValues(_.sortBy(_._2.toString))
+    daily.foreach { case (_, rows) =>
+      val ns = rows.map(_._3)
+      rows.zipWithIndex.foreach { case ((_, _, n, med, mad, flag), i) =>
+        val win = ns.slice(math.max(0, i - 6), i + 1).sorted
+        val k = win.length
+        val medsum = win((k + 1) / 2 - 1) + win((k + 2) / 2 - 1)
+        val darr = win.map(v => math.abs(2 * v - medsum)).sorted
+        val madsum = darr((k + 1) / 2 - 1) + darr((k + 2) / 2 - 1)
+        assert(med == medsum / 2.0 && mad == madsum / 4.0)
+        val want =
+          if (k == 7 && 20000 * math.abs(2 * n - medsum) > 44478 * madsum) 1L
+          else 0L
+        assert(flag == want, s"hampel flag mismatch at row $i")
+      }
+    }
+  }
+
+  test("agg_hodges_lehmann == JVM Walsh-average median") {
+    val got = run("agg_hodges_lehmann")
+      .select("o_orderpriority", "n_walsh", "hl_x4")
+      .as[(String, Long, Long)].collect().toSeq
+    val daily = Tables(spark, sf, "orders")
+      .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("o_orderpriority").as("pri"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("c"))
+      .select("pri", "c").as[(String, Long)].collect()
+    val want = daily.groupBy(_._1).map { case (pri, rows) =>
+      val cs = rows.map(_._2)
+      val walsh = (for {
+        i <- cs.indices; j <- i until cs.length
+      } yield cs(i) + cs(j)).sorted
+      val m = walsh.length
+      (pri, m.toLong, walsh((m + 1) / 2 - 1) + walsh((m + 2) / 2 - 1))
+    }.toSeq.sortBy(_._1)
+    assert(got.sortBy(_._1) == want)
+  }
+
+  test("dq_embedding_norms == JVM tick-norm recomputation, full coverage") {
+    val got = run("dq_embedding_norms")
+      .select("label", "n_vecs", "min_norm2_ticks", "max_norm2_ticks")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (l, n, mn, mx) => l -> ((n, mn, mx)) }.toMap
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(col("label").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    // HALF_UP away from zero — the engines' round(), not math.round (which
+    // rounds .5 toward +inf and would drift on negative components)
+    def tick(v: Float): Long = BigDecimal(v.toDouble * 1e7)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val want = vecs.groupBy(_._1).map { case (l, rows) =>
+      val n2s = rows.map { case (_, e) =>
+        e.map(v => { val t = tick(v); t * t }).sum
+      }
+      l -> ((rows.length.toLong, n2s.min, n2s.max))
+    }
+    assert(got == want)
+    assert(got.values.map(_._1).sum ==
+      Tables(spark, sf, "embeddings").count())
+  }
+
+  test("etl_seasonality_strength stays in [0,1] and covers every stream") {
+    val got = run("etl_seasonality_strength")
+      .select("event_type", "n_days", "f_trend", "f_seasonal")
+      .as[(String, Long, Double, Double)].collect()
+    val types = Tables(spark, sf, "events")
+      .select("event_type").distinct().as[String].collect().toSet
+    assert(got.map(_._1).toSet == types)
+    got.foreach { case (_, n, ft, fs) =>
+      assert(n > 0 && ft >= 0.0 && ft <= 1.0 && fs >= 0.0 && fs <= 1.0)
+    }
+    spark.catalog.clearCache() // the key persists the daily trend frame
+  }
+
+  test("graph_clustering_by_degree: bucket triangle mass == 3x global count") {
+    val buckets = run("graph_clustering_by_degree")
+    val sumTri = buckets.agg(sum("sum_tri")).as[Long].head()
+    val global = run("graph_triangles")
+      .select("n_triangles").as[Long].head()
+    assert(sumTri == 3 * global,
+      "each triangle must be credited to exactly its three corners")
+    buckets.select("sum_tri", "sum_wedges").as[(Long, Long)].collect()
+      .foreach { case (t3, w) => assert(t3 <= w, "cc must be <= 1") }
+    // the key persists the shared 1997 edge lineage — drop it so a
+    // later suite's plan-shape assertions (PlanSpec scan counts) don't
+    // see an InMemoryRelation swapped under the same lineage
+    spark.catalog.clearCache()
+  }
+
+  test("etl_entity_resolution == JVM blocked levenshtein recomputation") {
+    val got = run("etl_entity_resolution")
+      .select("n_name", "n_candidates", "n_matches")
+      .as[(String, Long, Long)].collect()
+      .map { case (n, c, m) => n -> ((c, m)) }.toMap
+    val nations = Tables(spark, sf, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .as[(Long, String)].collect().toMap
+    val custs = Tables(spark, sf, "customer")
+      .select(col("c_custkey").cast("long"), col("c_name"),
+        col("c_nationkey").cast("long"))
+      .as[(Long, String, Long)].collect()
+    def lev(a: String, bStr: String): Int = {
+      val d = Array.tabulate(a.length + 1, bStr.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to bStr.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == bStr(j - 1)) 0 else 1))
+      d(a.length)(bStr.length)
+    }
+    val want = custs.groupBy(c => (c._3, c._2.substring(0, 16)))
+      .toSeq.flatMap { case ((nk, _), rows) =>
+        val sorted = rows.sortBy(_._1)
+        for {
+          i <- sorted.indices; j <- (i + 1) until sorted.length
+        } yield (nk, lev(sorted(i)._2, sorted(j)._2) <= 1)
+      }
+      .groupBy(_._1).map { case (nk, ps) =>
+        nations(nk) -> ((ps.size.toLong, ps.count(_._2).toLong))
+      }
+    assert(got == want)
+  }
 }
