@@ -1483,6 +1483,34 @@ object ScaleSmoke {
         .select(count(lit(1))).as[Long].head()
     }
 
+    // Blocked entity resolution at 2M entities (etl_entity_resolution's
+    // shape): block on (nation, 16-char name prefix) → equi self-join →
+    // levenshtein ≤ 1 verify on candidates only. The claim under test:
+    // block SIZE stays bounded (≤100 same-prefix names, ≤4,950 pairs)
+    // while block CARDINALITY carries the growth — so 400× the harness
+    // entity count costs one (nation, prefix) shuffle, never O(n²)
+    // pairs. Watch: candidate count ∝ entities (not entities²), no
+    // straggler block.
+    time("blocked ER 2M entities") {
+      val c = spark.range(2000000L).select(
+        col("id").as("ck"),
+        format_string("Customer#%09d", col("id")).as("nm"),
+        pmod(xxhash64(col("id"), lit(3)), lit(25)).as("nk"))
+        .withColumn("blk", substring(col("nm"), 1, 16))
+      val b = c.select(col("ck").as("ck2"), col("nm").as("nm2"),
+        col("nk").as("nk2"), col("blk").as("blk2"))
+      val stats = c.join(b,
+          col("nk") === col("nk2") && col("blk") === col("blk2") &&
+            col("ck") < col("ck2"))
+        .agg(count(lit(1)).as("cand"),
+          sum(when(levenshtein(col("nm"), col("nm2")) <= 1, 1L)
+            .otherwise(0L)).as("m"))
+        .select(col("cand"), col("m")).as[(Long, Long)].head()
+      require(stats._1 < 20000000L,
+        s"candidate pairs ${stats._1} should grow ~linearly, not n²")
+      stats._1
+    }
+
     spark.stop()
   }
 }

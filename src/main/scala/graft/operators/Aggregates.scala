@@ -3996,6 +3996,95 @@ object Aggregates {
           (floor(sqrt(col("sum_n2").cast("double") / col("n_vecs"))
             / 10000000 * 1000000) / 1000000).as("rms_norm"))
         .orderBy("label")
+    },
+
+    // Two-sample Anderson-Darling drift test (round 9, cont.): ref
+    // window (ts < 2024-01-16) vs current per event_type over value —
+    // the TAIL-WEIGHTED member completing the drift panel: dq_ks_test
+    // reacts to the biggest single ECDF gap (body shifts), dq_psi_drift
+    // to binned mass moves, agg_mann_whitney to location; AD's
+    // 1/(B(N−B)) weight amplifies discrepancies in the tails, where
+    // latency/fraud drift actually lives and KS is least powerful.
+    // Ties-adapted (right-inclusive ECDF) discrete form pinned in both
+    // engines (Scholz & Stephens 1987, k=2 — both samples' terms
+    // collapse onto one cross-product): A² = (1/(n₁·n₂·N)) ·
+    // Σ_{bins, B<N} l·(N·M − n₁·B)²/(B·(N−B)) with
+    // M/B cumulative inclusive ref/pooled counts — integer-valued
+    // doubles folded in-row over the value-sorted bin list (the
+    // mann_whitney shape) with a fixed-arity [M, B, acc] DOUBLE
+    // accumulator; identical op sequences both engines, floor-scaled.
+    //
+    // Scale shape: ONE map-side-combinable (type, value) groupBy
+    // collapses the fact; the fold runs over the bounded value-tick
+    // domain per type. Same asymptote as dq_ks_test.
+    Q("agg_anderson_darling",
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type,
+        |         CAST(sum(c1) AS BIGINT) AS n1,
+        |         CAST(sum(c2) AS BIGINT) AS n2,
+        |         list([CAST(c1 AS DOUBLE), CAST(c2 AS DOUBLE)]
+        |              ORDER BY value) AS bins
+        |  FROM b GROUP BY event_type
+        |), f AS (
+        |  SELECT event_type, n1, n2, n1 + n2 AS n,
+        |         list_reduce(list_prepend([0.0, 0.0, 0.0], bins),
+        |           (a, x) -> [
+        |             a[1] + x[1],
+        |             a[2] + x[1] + x[2],
+        |             a[3] + CASE WHEN a[2] + x[1] + x[2] < n1 + n2
+        |               THEN (x[1] + x[2])
+        |                    * ((n1 + n2) * (a[1] + x[1])
+        |                       - n1 * (a[2] + x[1] + x[2]))
+        |                    * ((n1 + n2) * (a[1] + x[1])
+        |                       - n1 * (a[2] + x[1] + x[2]))
+        |                    / ((a[2] + x[1] + x[2])
+        |                       * ((n1 + n2) - (a[2] + x[1] + x[2])))
+        |               ELSE 0.0 END]) AS acc
+        |  FROM g
+        |)
+        |SELECT event_type, n1 AS n_ref, n2 AS n_cur,
+        |       floor(acc[3] / n1 / n2 / n * 1000000) / 1000000 AS ad_stat
+        |FROM f ORDER BY event_type""".stripMargin) { (s, d) =>
+      val split = lit("2024-01-16").cast("timestamp")
+      val b = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), col("value"))
+        .agg(
+          sum(when(col("ts") < split, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("ts") >= split, 1L).otherwise(0L)).as("c2"))
+      b.groupBy("event_type")
+        .agg(sum("c1").as("n1"), sum("c2").as("n2"),
+          expr("""transform(sort_array(collect_list(struct(value, c1, c2))),
+                 |  e -> array(CAST(e.c1 AS DOUBLE), CAST(e.c2 AS DOUBLE)))"""
+            .stripMargin).as("bins"))
+        .select(col("event_type"), col("n1"), col("n2"),
+          (col("n1") + col("n2")).as("n"),
+          expr("""aggregate(bins, array(0d, 0d, 0d),
+                 |  (a, x) -> array(
+                 |    a[0] + x[0],
+                 |    a[1] + x[0] + x[1],
+                 |    a[2] + CASE WHEN a[1] + x[0] + x[1] < n1 + n2
+                 |      THEN (x[0] + x[1])
+                 |           * ((n1 + n2) * (a[0] + x[0])
+                 |              - n1 * (a[1] + x[0] + x[1]))
+                 |           * ((n1 + n2) * (a[0] + x[0])
+                 |              - n1 * (a[1] + x[0] + x[1]))
+                 |           / ((a[1] + x[0] + x[1])
+                 |              * ((n1 + n2) - (a[1] + x[0] + x[1])))
+                 |      ELSE 0d END))""".stripMargin).as("acc"))
+        .select(col("event_type"),
+          col("n1").as("n_ref"), col("n2").as("n_cur"),
+          (floor(expr("acc[2]") / col("n1") / col("n2") / col("n")
+            * 1000000) / 1000000).as("ad_stat"))
+        .orderBy("event_type")
     }
   )
 }

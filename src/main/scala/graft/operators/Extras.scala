@@ -1367,6 +1367,90 @@ object Extras {
           floor(col("sum_tri").cast("double") / col("sum_wedges")
             * 1000000) / 1000000)
         .orderBy("degree_bucket")
+    },
+
+    // Rich-club coefficient (round 9, cont.): φ(k) = 2·E_k/(N_k·(N_k−1))
+    // over the 1997 co-order graph for k ∈ {2,4,8,16,32} — do the hubs
+    // trade with EACH OTHER (φ→1, an interconnected core whose removal
+    // fragments nothing) or only with the periphery (φ→0, a hub-and-
+    // spoke where each hub is a single point of failure)? The
+    // connectivity complement of graph_clustering_by_degree's density
+    // curve and graph_assortativity's one-number mixing score (Colizza
+    // et al. 2006). EXACT: both the degree histogram and the
+    // min-endpoint-degree histogram are integer frames; per-k counts
+    // are inequality-joined sums of those BOUNDED histograms (domain =
+    // distinct degrees, the graph_degree_dist precedent); one display
+    // division per k.
+    //
+    // Scale shape: degrees join onto the oriented edge frame (two hash
+    // joins on node ids — the assortativity shape), then everything
+    // collapses to the two bounded histograms before the k-ladder
+    // touches anything; the ladder itself is a ≤5×degrees-domain
+    // nested-loop over broadcast-bounded frames.
+    Q("graph_richclub",
+      """WITH lp AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |), e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+        |), und AS (
+        |  SELECT a AS n FROM e UNION ALL SELECT b FROM e
+        |), deg AS (
+        |  SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
+        |  FROM und GROUP BY n
+        |), dh AS (
+        |  SELECT degree, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM deg GROUP BY degree
+        |), mh AS (
+        |  SELECT least(da.degree, db.degree) AS md,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM e JOIN deg da ON e.a = da.node
+        |         JOIN deg db ON e.b = db.node
+        |  GROUP BY 1
+        |), ks AS (
+        |  SELECT unnest([2, 4, 8, 16, 32]) AS k
+        |), agg AS (
+        |  SELECT k,
+        |    (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM dh
+        |     WHERE degree > k) AS n_nodes,
+        |    (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM mh
+        |     WHERE md > k) AS n_edges
+        |  FROM ks
+        |)
+        |SELECT CAST(k AS BIGINT) AS k, n_nodes, n_edges,
+        |       floor(2.0 * n_edges / n_nodes / (n_nodes - 1) * 1000000)
+        |         / 1000000 AS phi
+        |FROM agg WHERE n_nodes >= 2 ORDER BY k""".stripMargin) { (s, d) =>
+      val e = coOrderEdges(s, d, "1997-01-01", "1998-01-01").persist()
+      val deg = symmetrize(e)
+        .groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+      val dh = deg.groupBy("degree").agg(count(lit(1)).as("cnt"))
+      val mh = e
+        .join(deg.select(col("node").as("na"), col("degree").as("da")),
+          col("a") === col("na"))
+        .join(deg.select(col("node").as("nb"), col("degree").as("db")),
+          col("b") === col("nb"))
+        .select(least(col("da"), col("db")).as("md"))
+        .groupBy("md").agg(count(lit(1)).as("cnt"))
+      val ks = e.sparkSession.range(1, 6)
+        .select(expr("CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT)")
+          .as("k"))
+      val nodesK = ks.join(broadcast(dh), col("degree") > col("k"))
+        .groupBy("k").agg(sum("cnt").as("n_nodes"))
+      val edgesK = ks.join(broadcast(mh), col("md") > col("k"))
+        .groupBy("k").agg(sum("cnt").as("n_edges"))
+      ks.join(nodesK, Seq("k"), "left").join(edgesK, Seq("k"), "left")
+        .select(col("k").cast("long").as("k"),
+          coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+        .where(col("n_nodes") >= 2)
+        .withColumn("phi",
+          floor(lit(2.0) * col("n_edges") / col("n_nodes")
+            / (col("n_nodes") - 1) * 1000000) / 1000000)
+        .orderBy("k")
     }
   )
 

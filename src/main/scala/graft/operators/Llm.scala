@@ -1024,8 +1024,21 @@ object Llm {
     * portable pair-hash ≡ 0 (mod m). For estimator-QUALITY readouts, not
     * result keys: dedup/prune semantics need every verified pair.
     */
+  /** Ingest-batch boundary shared by the incremental near-dup keys:
+    * the newest ~20% of doc ids are "today's batch", the rest the
+    * corpus — data-DERIVED so the split holds at every SF (a literal
+    * tuned at one SF inverts at another: 400 splits sf0.01 80/20 but
+    * makes the "batch" 92% of the corpus at sf0.1). One text, two
+    * evaluators: the SQL rides the oracle as a scalar subquery; the
+    * Spark twin computes the same `(max+1)·4/5` floor division
+    * driver-side (a 1-row bounded action, the adaptive-probe idiom). */
+  private val batchBoundarySql =
+    "(SELECT (max(doc_id) + 1) * 4 // 5 FROM documents)"
+  private def batchBoundary(docsDf: DataFrame): Long =
+    (docsDf.agg(max(col("doc_id"))).head.getLong(0) + 1L) * 4L / 5L
+
   private def minhashVerifiedCtes(
-      d2Min: Option[Long],
+      d2Min: Option[String],
       pairSampleMod: Option[Int] = None): String = {
     val (h1, h2) = PortableHash.sql2("s")
     val minhs = (0 until 16)
@@ -3178,18 +3191,19 @@ object Llm {
     },
 
     // Incremental ingest dedup (R9's dedup-on-reimport × NS near-dup):
-    // docs with id ≥ 400 are "today's batch"; each is checked against the
-    // whole corpus (and earlier batch members) via minhash banding, but the
-    // corpus×corpus quadrant is never probed — the b-side of the band join
-    // is pre-filtered to the batch, so per-ingest cost scales with the
-    // batch, not the corpus². Output: one row per detected (earlier_doc,
-    // new_doc) near-dup pair.
+    // the newest ~20% of doc ids ([[batchBoundary]], data-derived so the
+    // split holds at every SF) are "today's batch"; each is checked
+    // against the whole corpus (and earlier batch members) via minhash
+    // banding, but the corpus×corpus quadrant is never probed — the
+    // b-side of the band join is pre-filtered to the batch, so per-ingest
+    // cost scales with the batch, not the corpus². Output: one row per
+    // detected (earlier_doc, new_doc) near-dup pair.
     Q("llm_incremental_neardup",
-      s"""WITH ${minhashVerifiedCtes(Some(400L))}
+      s"""WITH ${minhashVerifiedCtes(Some(batchBoundarySql))}
          |SELECT d1 AS dup_of, d2 AS new_id, est_jaccard
          |FROM verified WHERE est_jaccard >= 0.2
          |ORDER BY new_id, dup_of""".stripMargin) { (s, d) =>
-      minhashVerified(docs(s, d), Some(400L))
+      minhashVerified(docs(s, d), Some(batchBoundary(docs(s, d))))
         .where(col("est_jaccard") >= 0.2)
         .select(col("d1").as("dup_of"), col("d2").as("new_id"), col("est_jaccard"))
         .orderBy("new_id", "dup_of")
@@ -3211,13 +3225,14 @@ object Llm {
     // documented ~2⁻¹²⁰/pair tradeoff; identical results on any real
     // corpus). ScaleSmoke measures the flat-ingest-cost claim.
     Q("llm_incremental_neardup_registry",
-      s"""WITH ${minhashVerifiedCtes(Some(400L))}
+      s"""WITH ${minhashVerifiedCtes(Some(batchBoundarySql))}
          |SELECT d1 AS dup_of, d2 AS new_id, est_jaccard
          |FROM verified WHERE est_jaccard >= 0.2
          |ORDER BY new_id, dup_of""".stripMargin) { (s, d) =>
-      val dir = graft.config.SketchRegistry.ensureCorpusRegistry(s, d, 400L)
+      val bound = batchBoundary(docs(s, d))
+      val dir = graft.config.SketchRegistry.ensureCorpusRegistry(s, d, bound)
       graft.config.SketchRegistry
-        .pairs(s, dir, docs(s, d).where(col("doc_id") >= 400L))
+        .pairs(s, dir, docs(s, d).where(col("doc_id") >= bound))
         .orderBy("new_id", "dup_of")
     },
 
@@ -3774,7 +3789,11 @@ object Llm {
          |SELECT q_id, n_id, sim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
          |ORDER BY q_id, rn""".stripMargin
     }) { (s, d) =>
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      // persisted: the k-means‖ seed chain + 2 Lloyd rounds + the final
+      // assignment make ~6 passes over the corpus — one materialization
+      // feeds them all (at 100 TB this is the difference between one
+      // object-store scan and six)
+      val e = emb(s, d).select(col("vec_id"), col("embedding")).persist()
       val cents = ivfTrain(e, ivfSeedScalable(e), lloydRounds = 2)
       val queries = e.where(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -3822,7 +3841,8 @@ object Llm {
          |ORDER BY s.cell""".stripMargin
     }) { (s, d) =>
       val e = emb(s, d)
-      val ev = e.select(col("vec_id"), col("embedding"))
+      // persisted for the same ~6-pass training chain as llm_ann_ivf
+      val ev = e.select(col("vec_id"), col("embedding")).persist()
       val cents = ivfTrain(ev, ivfSeedScalable(ev), lloydRounds = 2)
       val cnt = ivfAssign(ev, cents).select(col("vec_id"), col("cell"))
         .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))

@@ -275,4 +275,52 @@ class R9OpsSpec extends AnyFunSuite {
       }
     assert(got == want)
   }
+
+  test("agg_anderson_darling == JVM fold over the value-sorted bins") {
+    val got = run("agg_anderson_darling")
+      .select("event_type", "n_ref", "n_cur", "ad_stat")
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (t, a, b, s) => t -> ((a, b, s)) }.toMap
+    val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val rows = Tables(spark, sf, "events")
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("value"), col("ts"))
+      .as[(String, Double, java.sql.Timestamp)].collect()
+    val want = rows.groupBy(_._1).map { case (et, rs) =>
+      val bins = rs.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, g) =>
+        (g.count(_._3.before(split)).toDouble,
+          g.count(!_._3.before(split)).toDouble)
+      }
+      val n1 = bins.map(_._1).sum
+      val n2 = bins.map(_._2).sum
+      val n = n1 + n2
+      var m = 0.0; var bCum = 0.0; var acc = 0.0
+      bins.foreach { case (c1, c2) =>
+        m += c1; bCum += c1 + c2
+        if (bCum < n) {
+          val x = n * m - n1 * bCum
+          acc += (c1 + c2) * x * x / (bCum * (n - bCum))
+        }
+      }
+      et -> ((n1.toLong, n2.toLong,
+        math.floor(acc / n1 / n2 / n * 1e6) / 1e6))
+    }
+    assert(got == want)
+  }
+
+  test("graph_richclub: monotone core shrinkage, edges within node budget") {
+    val rc = run("graph_richclub")
+      .select("k", "n_nodes", "n_edges", "phi")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    rc.sliding(2).foreach {
+      case Array((_, na, ea, _), (_, nb, eb, _)) =>
+        assert(nb <= na && eb <= ea, "richer clubs can only shrink")
+      case _ =>
+    }
+    rc.foreach { case (_, nk, ek, phi) =>
+      assert(ek <= nk * (nk - 1) / 2, "edges exceed the clique budget")
+      assert(phi >= 0.0 && phi <= 1.0)
+    }
+    spark.catalog.clearCache() // the key persists the shared edge lineage
+  }
 }
