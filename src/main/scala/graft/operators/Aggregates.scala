@@ -4085,6 +4085,58 @@ object Aggregates {
           (floor(expr("acc[2]") / col("n1") / col("n2") / col("n")
             * 1000000) / 1000000).as("ad_stat"))
         .orderBy("event_type")
+    },
+
+    // Class-balance audit (round 9, cont.): label distribution of the
+    // embeddings table in one row — label count, totals, max/min class
+    // share, imbalance ratio, Shannon entropy. The classification twin
+    // of llm_source_mix_kl's source-mix audit: a skewed label column
+    // silently biases every downstream consumer (llm_cluster_purity's
+    // majority vote, stratified splits, a probe classifier), and the
+    // imbalance ratio is the first number a resampling decision needs.
+    // Entropy's ln() calls fold in label order over the BOUNDED label
+    // list (both engines execute identical call sequences in
+    // compare-free positions — the agg_entropy / llm_zipf_slope
+    // contract), floor-scaled at display.
+    //
+    // Scale shape: ONE map-side-combinable label groupBy collapses the
+    // table; everything after is arithmetic on the ≤|labels| list.
+    Q("dq_label_balance",
+      """WITH c AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY label
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |         CAST(sum(n) AS BIGINT) AS tot,
+        |         CAST(max(n) AS BIGINT) AS mx,
+        |         CAST(min(n) AS BIGINT) AS mn,
+        |         list(CAST(n AS DOUBLE) ORDER BY label) AS ns
+        |  FROM c
+        |)
+        |SELECT k AS n_labels, tot AS n_vecs, mx AS max_n, mn AS min_n,
+        |  floor(CAST(mx AS DOUBLE) / tot * 1000000) / 1000000 AS max_share,
+        |  floor(CAST(mx AS DOUBLE) / mn * 1000000) / 1000000 AS imbalance,
+        |  floor(-list_reduce(list_prepend(0.0,
+        |          list_transform(ns, x -> x / tot * ln(x / tot))),
+        |        (a, b) -> a + b) * 1000000) / 1000000 AS entropy
+        |FROM t""".stripMargin) { (s, d) =>
+      t(s, d, "embeddings")
+        .groupBy("label").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("k"), sum("n").as("tot"),
+          max("n").as("mx"), min("n").as("mn"),
+          expr("""transform(sort_array(collect_list(
+                 |  struct(label, CAST(n AS DOUBLE) AS nd))), e -> e.nd)"""
+            .stripMargin).as("ns"))
+        .select(col("k").as("n_labels"), col("tot").as("n_vecs"),
+          col("mx").as("max_n"), col("mn").as("min_n"),
+          (floor(col("mx").cast("double") / col("tot") * 1000000)
+            / 1000000).as("max_share"),
+          (floor(col("mx").cast("double") / col("mn") * 1000000)
+            / 1000000).as("imbalance"),
+          (floor(-expr(
+            """aggregate(transform(ns, x -> x / tot * ln(x / tot)),
+              | 0d, (a, b) -> a + b)""".stripMargin) * 1000000)
+            / 1000000).as("entropy"))
     }
   )
 }

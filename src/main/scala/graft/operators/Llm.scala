@@ -3261,6 +3261,53 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // QUALITY-aware survivor pick (round 9, cont.): the same near-dup
+    // groups as llm_neardup_prune, but each group keeps its
+    // HIGHEST-QUALITY member (the shared llm_quality_score heuristic;
+    // ties → smallest id) instead of the smallest id. Min-id keep is
+    // arbitrary-but-deterministic; production dedup keeps the best
+    // writing of a duplicated text (the cleanest crawl of a mirrored
+    // page), and the swap is exactly one ranking expression — this key
+    // pins that the survivor POLICY is pluggable without touching the
+    // group machinery. Plan cost beyond llm_neardup_prune: one map-side
+    // quality projection joined doc_id-keyed + one row_number over the
+    // GROUP partitioning (groups scale with the corpus — never an O(1)
+    // partition).
+    Q("llm_neardup_prune_quality",
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         |e0 AS (
+         |  SELECT d1, d2 FROM verified WHERE est_jaccard >= 0.2
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM e0 UNION ALL SELECT d2, d1 FROM e0
+         |), ${Components.reachMinCte("SELECT doc_id AS id FROM documents", "edges")},
+         |g AS (
+         |  SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node
+         |), q AS (
+         |  SELECT doc_id,
+         |         ${qualitySql("len(string_split(text, ' '))", stopCountSql)}
+         |           AS quality
+         |  FROM documents
+         |)
+         |SELECT doc_id, group_id, quality,
+         |       row_number() OVER (PARTITION BY group_id
+         |         ORDER BY quality DESC, doc_id) = 1 AS is_kept
+         |FROM g JOIN q USING (doc_id) ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+      val e0 = minhashVerified(s, d)
+        .where(col("est_jaccard") >= 0.2).select("d1", "d2")
+      val edges = symPairs(e0, "d1", "d2").persist()
+      val groups = Components.connectedComponents(docs(s, d), "doc_id", edges)
+        .select(col("id").as("doc_id"), col("lbl").as("group_id"))
+      val q = docs(s, d).select(col("doc_id"),
+        qualityCol(size(split(col("text"), " ")), stopCountCol).as("quality"))
+      val w = Window.partitionBy("group_id")
+        .orderBy(col("quality").desc, col("doc_id"))
+      groups.join(q, Seq("doc_id"))
+        .withColumn("is_kept", row_number().over(w) === 1)
+        .select("doc_id", "group_id", "quality", "is_kept")
+        .orderBy("doc_id")
+    },
+
     // The FULL corpus build, end-to-end in one declared plan — what a
     // 100 TB pretraining data pipeline actually ships: minhash near-dup
     // prune (keep each group's min id) → quality filter (the

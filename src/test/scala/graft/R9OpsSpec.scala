@@ -323,4 +323,37 @@ class R9OpsSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache() // the key persists the shared edge lineage
   }
+
+  test("llm_neardup_prune_quality: same groups as min-id prune, one " +
+    "best-quality survivor per group") {
+    val byQ = run("llm_neardup_prune_quality")
+      .select("doc_id", "group_id", "quality", "is_kept")
+      .as[(Long, Long, Double, Boolean)].collect()
+    val byId = run("llm_neardup_prune")
+      .select("doc_id", "group_id").as[(Long, Long)].collect().toMap
+    // survivor POLICY changes; the group structure must not
+    assert(byQ.map(r => r._1 -> r._2).toMap == byId)
+    byQ.groupBy(_._2).foreach { case (_, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, "exactly one survivor per group")
+      val best = members.minBy(m => (-m._3, m._1))
+      assert(kept.head._1 == best._1,
+        "survivor must be the (quality DESC, id) argmax")
+    }
+    spark.catalog.clearCache() // the chain persists the band frames
+  }
+
+  test("dq_label_balance: consistent with per-label norms audit") {
+    val b = run("dq_label_balance")
+      .select("n_labels", "n_vecs", "max_n", "min_n", "max_share",
+        "imbalance", "entropy")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    val perLabel = run("dq_embedding_norms")
+      .select("n_vecs").as[Long].collect()
+    assert(b._1 == perLabel.length && b._2 == perLabel.sum)
+    assert(b._3 == perLabel.max && b._4 == perLabel.min)
+    assert(b._5 >= 1.0 / b._1 && b._5 <= 1.0)
+    assert(b._6 >= 1.0)
+    assert(b._7 >= 0.0 && b._7 <= math.log(b._1.toDouble) + 1e-9)
+  }
 }
