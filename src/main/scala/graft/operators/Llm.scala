@@ -2659,6 +2659,79 @@ object Llm {
         .limit(20)
     },
 
+    // Windowed co-occurrence PMI (round 9, cont.): unordered token
+    // pairs within a ±3 window, pair-normalized (a < b lexicographic,
+    // a ≠ b) — the distributional-semantics association llm_pmi_bigrams
+    // cannot see (bigram PMI finds COLLOCATIONS, adjacency-bound;
+    // window PMI finds TOPICAL association — "join … shuffle" three
+    // tokens apart scores here, never there). The classic
+    // count-based word-vector input (PPMI matrices) and the phrase/
+    // stop-list diagnostic beside it. Marginals are PAIR-side (token's
+    // appearances across extracted pairs) so the statistic is
+    // self-consistent within the pair universe; ln() rides compare-free
+    // (rounded before the ORDER BY cut, the pmi_bigrams contract).
+    //
+    // Scale shape: identical to llm_pmi_bigrams — the window fan-out
+    // (≤3 pairs/token) is IN-ROW via a nested transform (no self-join
+    // on position), then two-phase map-side counts; marginals derive
+    // from the pair frame, broadcast back.
+    Q("llm_cooccur_window",
+      """WITH tok AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |), pr AS (
+        |  SELECT a, b FROM (
+        |    SELECT unnest(flatten(list_transform(range(1, len(t)), i ->
+        |             list_transform(range(i + 1, least(i + 4, len(t) + 1)),
+        |               j -> struct_pack(a := least(t[i], t[j]),
+        |                                b := greatest(t[i], t[j]))))),
+        |           recursive := true)
+        |    FROM tok WHERE len(t) >= 2)
+        |  WHERE a <> b
+        |), nab AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS nab FROM pr GROUP BY a, b
+        |), marg AS (
+        |  SELECT tk, CAST(count(*) AS BIGINT) AS m FROM (
+        |    SELECT unnest([a, b]) AS tk FROM pr) GROUP BY tk
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM pr
+        |)
+        |SELECT a, b, nab,
+        |       round(ln((CAST(nab AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |                (CAST(ma.m AS DOUBLE) * CAST(mb.m AS DOUBLE))), 6)
+        |         AS pmi
+        |FROM nab JOIN marg ma ON nab.a = ma.tk
+        |         JOIN marg mb ON nab.b = mb.tk CROSS JOIN tot
+        |WHERE nab >= 5
+        |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+      val pr = docs(s, d)
+        .select(split(col("text"), " ").as("t"))
+        .where(size(col("t")) >= 2)
+        .select(expr(
+          """explode(flatten(transform(sequence(0, size(t) - 2), i ->
+            |  transform(sequence(i + 1, least(i + 3, size(t) - 1)), j ->
+            |    struct(least(t[i], t[j]) AS a,
+            |           greatest(t[i], t[j]) AS b))))) AS p""".stripMargin))
+        .where(col("p.a") =!= col("p.b"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val nab = pr.groupBy("a", "b").agg(count(lit(1)).as("nab"))
+      val marg = pr
+        .select(explode(array(col("a"), col("b"))).as("tk"))
+        .groupBy("tk").agg(count(lit(1)).as("m"))
+      val tot = pr.agg(count(lit(1)).as("n"))
+      nab.join(broadcast(marg.select(col("tk").as("a"), col("m").as("ma"))),
+          Seq("a"))
+        .join(broadcast(marg.select(col("tk").as("b"), col("m").as("mb"))),
+          Seq("b"))
+        .crossJoin(broadcast(tot))
+        .where(col("nab") >= 5)
+        .select(col("a"), col("b"), col("nab"),
+          round(log((col("nab").cast("double") * col("n").cast("double")) /
+            (col("ma").cast("double") * col("mb").cast("double"))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+        .limit(20)
+    },
+
     // Benchmark decontamination (round 4): flag training docs sharing any
     // 3-token shingle with the benchmark set (here: doc_id % 97 == 0, the
     // deterministic stand-in for a held-out eval suite). The real-pipeline

@@ -343,6 +343,31 @@ class R9OpsSpec extends AnyFunSuite {
     spark.catalog.clearCache() // the chain persists the band frames
   }
 
+  test("llm_cooccur_window == JVM windowed pair recomputation") {
+    val got = run("llm_cooccur_window")
+      .select("a", "b", "nab", "pmi")
+      .as[(String, String, Long, Double)].collect().toSeq
+    val texts = Tables(spark, sf, "documents")
+      .select("text").as[String].collect()
+    val pairs = texts.flatMap { t =>
+      val w = t.split(" ", -1)
+      for {
+        i <- w.indices; j <- (i + 1) to math.min(i + 3, w.length - 1)
+        if w(i) != w(j)
+      } yield (if (w(i) < w(j)) (w(i), w(j)) else (w(j), w(i)))
+    }
+    val nab = pairs.groupBy(identity).view.mapValues(_.size.toLong)
+    val marg = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    val n = pairs.size.toDouble
+    val want = nab.toSeq.filter(_._2 >= 5).map { case ((a, b), c) =>
+      // HALF_UP like the engines' round(), not rint (half-even)
+      (a, b, c, BigDecimal(math.log(c * n / (marg(a) * marg(b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(r => (-r._4, r._1, r._2)).take(20)
+    assert(got == want)
+  }
+
   test("dq_label_balance: consistent with per-label norms audit") {
     val b = run("dq_label_balance")
       .select("n_labels", "n_vecs", "max_n", "min_n", "max_share",
