@@ -1120,6 +1120,96 @@ object Etl {
         .orderBy("prev_type", "next_type")
     },
 
+    // Markov steady-state (round 9, cont.): three exact power-iteration
+    // rounds of the journey transition chain from a uniform start —
+    // where does user attention CONVERGE? etl_transition_matrix shows
+    // one step; this key iterates it, turning "view mostly goes to
+    // click" into "the chain parks X% of long-run mass on view" — the
+    // equilibrium readout funnel design actually wants. Fixed 3 rounds
+    // (not a convergence loop) so both engines replay the identical
+    // computation; EXACT arithmetic via the graph_pagerank_directed
+    // idiom — mass rides BIGINT micro-units (1e12 total), each step is
+    // Σ_src (v·n) DIV tot (integer flooring, order-free BIGINT sums,
+    // zero float accumulation). Flooring leaks ≤ K·rounds micro-units
+    // — deterministic and identical cross-engine.
+    //
+    // Scale shape: ONE user-partitioned lag window over the fact
+    // builds the transition counts; everything after is arithmetic on
+    // the bounded K×K matrix (K = event types).
+    Q("etl_markov_steady",
+      """WITH t AS (
+        |  SELECT event_type AS nxt,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS src
+        |  FROM events
+        |), e AS (
+        |  SELECT src, nxt, CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE src IS NOT NULL GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM e GROUP BY src
+        |), nodes AS (
+        |  SELECT src AS ty FROM e UNION SELECT nxt FROM e
+        |), kk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k FROM nodes
+        |), v0 AS (
+        |  SELECT ty, CAST(1000000000000 // k AS BIGINT) AS v
+        |  FROM nodes CROSS JOIN kk
+        |), v1 AS (
+        |  SELECT nd.ty,
+        |         CAST(coalesce(sum((p.v * e.n) // rt.tot), 0) AS BIGINT) AS v
+        |  FROM nodes nd
+        |  LEFT JOIN e ON e.nxt = nd.ty
+        |  LEFT JOIN v0 p ON p.ty = e.src
+        |  LEFT JOIN rt ON rt.src = e.src
+        |  GROUP BY nd.ty
+        |), v2 AS (
+        |  SELECT nd.ty,
+        |         CAST(coalesce(sum((p.v * e.n) // rt.tot), 0) AS BIGINT) AS v
+        |  FROM nodes nd
+        |  LEFT JOIN e ON e.nxt = nd.ty
+        |  LEFT JOIN v1 p ON p.ty = e.src
+        |  LEFT JOIN rt ON rt.src = e.src
+        |  GROUP BY nd.ty
+        |), v3 AS (
+        |  SELECT nd.ty,
+        |         CAST(coalesce(sum((p.v * e.n) // rt.tot), 0) AS BIGINT) AS v
+        |  FROM nodes nd
+        |  LEFT JOIN e ON e.nxt = nd.ty
+        |  LEFT JOIN v2 p ON p.ty = e.src
+        |  LEFT JOIN rt ON rt.src = e.src
+        |  GROUP BY nd.ty
+        |)
+        |SELECT ty AS event_type, v AS steady_micro,
+        |       floor(CAST(v AS DOUBLE) / 1000000) / 1000000 AS steady_share
+        |FROM v3 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val e = events(s, d)
+        .withColumn("src", lag(col("event_type"), 1).over(byUserTime))
+        .where(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("nxt"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // bounded K×K frame feeds rt + all three rounds
+      val rt = e.groupBy(col("src").as("rsrc")).agg(sum("n").as("tot"))
+      val nodes = e.select(col("src").as("ty"))
+        .union(e.select(col("nxt"))).distinct()
+      val kk = nodes.agg(count(lit(1)).as("k"))
+      var v = nodes.crossJoin(broadcast(kk))
+        .select(col("ty"), expr("CAST(1000000000000 DIV k AS BIGINT)").as("v"))
+      for (_ <- 1 to 3) {
+        val contrib = e
+          .join(v.select(col("ty").as("sty"), col("v").as("sv")),
+            col("src") === col("sty"))
+          .join(rt, col("src") === col("rsrc"))
+          .groupBy(col("nxt").as("cty"))
+          .agg(sum(expr("(sv * n) DIV tot")).as("cv"))
+        v = nodes.join(broadcast(contrib), col("ty") === col("cty"), "left")
+          .select(col("ty"), coalesce(col("cv"), lit(0L)).cast("long").as("v"))
+      }
+      v.select(col("ty").as("event_type"), col("v").as("steady_micro"),
+          (floor(col("v").cast("double") / 1000000) / 1000000)
+            .as("steady_share"))
+        .orderBy("event_type")
+    },
+
     // RFM segmentation (round 5, cont.) — the classic user-value
     // quartiling (Recency / Frequency / Monetary) every growth team
     // runs: one groupBy folds each user's last-active day, event count,

@@ -368,6 +368,33 @@ class R9OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("etl_markov_steady == JVM integer power iteration, mass conserved") {
+    val got = run("etl_markov_steady")
+      .select("event_type", "steady_micro")
+      .as[(String, Long)].collect().toMap
+    val trans: Seq[(String, String)] = Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+      .groupBy(_._1).values.flatMap { rows =>
+        val seq = rows.sortBy(r => (r._2.getTime, r._3)).map(_._4).toSeq
+        seq.zip(seq.drop(1))
+      }.toSeq
+    val e = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rt = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (e.keys.map(_._1) ++ e.keys.map(_._2)).toSeq.distinct.sorted
+    var v = nodes.map(_ -> 1000000000000L / nodes.length).toMap
+    for (_ <- 1 to 3)
+      v = nodes.map { ty =>
+        ty -> e.collect { case ((s0, d0), n) if d0 == ty =>
+          v(s0) * n / rt(s0)
+        }.sum
+      }.toMap
+    assert(got == v)
+    // integer flooring only ever LEAKS mass, never creates it
+    assert(got.values.sum <= 1000000000000L)
+    assert(got.values.sum > 1000000000000L - 1000000L)
+  }
+
   test("dq_label_balance: consistent with per-label norms audit") {
     val b = run("dq_label_balance")
       .select("n_labels", "n_vecs", "max_n", "min_n", "max_share",
