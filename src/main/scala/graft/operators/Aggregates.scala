@@ -3963,11 +3963,15 @@ object Aggregates {
         |SELECT CAST(label AS BIGINT) AS label,
         |  CAST(count(*) AS BIGINT) AS n_vecs,
         |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
-        |  CAST(min(n2) AS BIGINT) AS min_norm2_ticks,
-        |  CAST(max(n2) AS BIGINT) AS max_norm2_ticks,
-        |  floor(sqrt(CAST(min(n2) AS DOUBLE)) / 10000000 * 1000000)
+        |  CAST(least(min(n2), 9223372036854775807) AS BIGINT)
+        |    AS min_norm2_ticks,
+        |  CAST(least(max(n2), 9223372036854775807) AS BIGINT)
+        |    AS max_norm2_ticks,
+        |  floor(sqrt(CAST(CAST(least(min(n2), 9223372036854775807) AS BIGINT)
+        |                  AS DOUBLE)) / 10000000 * 1000000)
         |    / 1000000 AS min_norm,
-        |  floor(sqrt(CAST(max(n2) AS DOUBLE)) / 10000000 * 1000000)
+        |  floor(sqrt(CAST(CAST(least(max(n2), 9223372036854775807) AS BIGINT)
+        |                  AS DOUBLE)) / 10000000 * 1000000)
         |    / 1000000 AS max_norm,
         |  floor(sqrt(CAST(sum(n2) AS DOUBLE) / count(*)) / 10000000
         |        * 1000000) / 1000000 AS rms_norm
@@ -3981,11 +3985,19 @@ object Aggregates {
                  |  (a, v) -> a + CAST(v AS DECIMAL(19,0))
                  |                * CAST(v AS DECIMAL(19,0)))"""
             .stripMargin).as("n2"))
+      // ticks clamp (round 10 — ADVICE r9: the DECIMAL accumulator exists
+      // BECAUSE per-vector Σtick² can pass BIGINT range, but the readout
+      // cast then overflowed differently per engine: DuckDB throws,
+      // non-ANSI Spark yields null. least() against Long.MaxValue makes
+      // the guarded case saturate identically in both engines; the norm
+      // columns derive from the SAME clamped value)
       n2.groupBy(col("label").cast("long").as("label"))
         .agg(count(lit(1)).as("n_vecs"),
           sum(when(col("n2") === 0, 1L).otherwise(0L)).as("n_zero"),
-          min(col("n2")).cast("long").as("min_norm2_ticks"),
-          max(col("n2")).cast("long").as("max_norm2_ticks"),
+          least(min(col("n2")), lit(Long.MaxValue).cast("decimal(38,0)"))
+            .cast("long").as("min_norm2_ticks"),
+          least(max(col("n2")), lit(Long.MaxValue).cast("decimal(38,0)"))
+            .cast("long").as("max_norm2_ticks"),
           sum(col("n2")).as("sum_n2"))
         .select(col("label"), col("n_vecs"), col("n_zero"),
           col("min_norm2_ticks"), col("max_norm2_ticks"),

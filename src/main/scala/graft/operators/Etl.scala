@@ -1130,8 +1130,12 @@ object Etl {
     // computation; EXACT arithmetic via the graph_pagerank_directed
     // idiom — mass rides BIGINT micro-units (1e12 total), each step is
     // Σ_src (v·n) DIV tot (integer flooring, order-free BIGINT sums,
-    // zero float accumulation). Flooring leaks ≤ K·rounds micro-units
-    // — deterministic and identical cross-engine.
+    // zero float accumulation). SINK nodes (types appearing only as a
+    // transition TARGET — an absorbing last event) get a self-loop
+    // (round 10 — ADVICE r9: without it a sink dropped its whole held
+    // mass each round, making conservation data-dependent rather than
+    // structural), so the chain is row-stochastic on EVERY node and
+    // flooring leak ≤ K·rounds micro-units holds for any event stream.
     //
     // Scale shape: ONE user-partitioned lag window over the fact
     // builds the transition counts; everything after is arithmetic on
@@ -1142,13 +1146,18 @@ object Etl {
         |         lag(event_type) OVER (PARTITION BY user_id
         |           ORDER BY ts, event_id) AS src
         |  FROM events
-        |), e AS (
+        |), e0 AS (
         |  SELECT src, nxt, CAST(count(*) AS BIGINT) AS n
         |  FROM t WHERE src IS NOT NULL GROUP BY 1, 2
+        |), nodes AS (
+        |  SELECT src AS ty FROM e0 UNION SELECT nxt FROM e0
+        |), e AS (
+        |  SELECT src, nxt, n FROM e0
+        |  UNION ALL
+        |  SELECT ty, ty, CAST(1 AS BIGINT) FROM nodes
+        |  WHERE ty NOT IN (SELECT src FROM e0)
         |), rt AS (
         |  SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM e GROUP BY src
-        |), nodes AS (
-        |  SELECT src AS ty FROM e UNION SELECT nxt FROM e
         |), kk AS (
         |  SELECT CAST(count(*) AS BIGINT) AS k FROM nodes
         |), v0 AS (
@@ -1182,15 +1191,23 @@ object Etl {
         |SELECT ty AS event_type, v AS steady_micro,
         |       floor(CAST(v AS DOUBLE) / 1000000) / 1000000 AS steady_share
         |FROM v3 ORDER BY event_type""".stripMargin) { (s, d) =>
-      val e = events(s, d)
+      val e0 = events(s, d)
         .withColumn("src", lag(col("event_type"), 1).over(byUserTime))
         .where(col("src").isNotNull)
         .groupBy(col("src"), col("event_type").as("nxt"))
         .agg(count(lit(1)).as("n"))
+        .persist() // bounded K×K frame feeds nodes, sinks, and e
+      val nodes = e0.select(col("src").as("ty"))
+        .union(e0.select(col("nxt"))).distinct()
+      // self-loop every SINK node (bounded K-row anti-join) — the chain
+      // must be row-stochastic on every node or held mass evaporates
+      val sinks = nodes
+        .join(e0.select(col("src")).distinct(),
+          col("ty") === col("src"), "left_anti")
+        .select(col("ty").as("src"), col("ty").as("nxt"), lit(1L).as("n"))
+      val e = e0.unionByName(sinks)
         .persist() // bounded K×K frame feeds rt + all three rounds
       val rt = e.groupBy(col("src").as("rsrc")).agg(sum("n").as("tot"))
-      val nodes = e.select(col("src").as("ty"))
-        .union(e.select(col("nxt"))).distinct()
       val kk = nodes.agg(count(lit(1)).as("k"))
       var v = nodes.crossJoin(broadcast(kk))
         .select(col("ty"), expr("CAST(1000000000000 DIV k AS BIGINT)").as("v"))
@@ -2934,11 +2951,13 @@ object Etl {
         |  FROM l
         |)
         |SELECT event_type, n_days,
-        |  floor(greatest(0.0, 1 - (sr2 - sr * sr / n_days)
-        |                        / (st2 - st * st / n_days)) * 1000000)
+        |  floor(greatest(0.0, coalesce(1 - (sr2 - sr * sr / n_days)
+        |                        / nullif(st2 - st * st / n_days, 0), 0.0))
+        |        * 1000000)
         |    / 1000000 AS f_trend,
-        |  floor(greatest(0.0, 1 - (sr2 - sr * sr / n_days)
-        |                        / (ss2 - ssum * ssum / n_days)) * 1000000)
+        |  floor(greatest(0.0, coalesce(1 - (sr2 - sr * sr / n_days)
+        |                        / nullif(ss2 - ssum * ssum / n_days, 0), 0.0))
+        |        * 1000000)
         |    / 1000000 AS f_seasonal
         |FROM v ORDER BY event_type""".stripMargin) { (s, d) =>
       val daily = events(s, d)
@@ -2980,13 +2999,20 @@ object Etl {
           expr("aggregate(transform(ss, x -> x * x), 0d, (a, b) -> a + b)")
             .as("ss2"))
         .select(col("event_type"), col("n_days"),
-          (floor(greatest(lit(0.0), lit(1) -
+          // zero-variance guard (round 10 — ADVICE r9): a constant (or
+          // single-day) per-type series makes Var(T+R)/Var(S+R) zero;
+          // without the nullif the 0/0 NaN rode through greatest/floor.
+          // NULL-out the denominator, coalesce the strength to 0 — a
+          // flat series has nothing for trend/seasonality to explain.
+          (floor(greatest(lit(0.0), coalesce(lit(1) -
             (col("sr2") - col("sr") * col("sr") / col("n_days")) /
-              (col("st2") - col("st") * col("st") / col("n_days")))
+              nullif(col("st2") - col("st") * col("st") / col("n_days"),
+                lit(0)), lit(0.0)))
             * 1000000) / 1000000).as("f_trend"),
-          (floor(greatest(lit(0.0), lit(1) -
+          (floor(greatest(lit(0.0), coalesce(lit(1) -
             (col("sr2") - col("sr") * col("sr") / col("n_days")) /
-              (col("ss2") - col("ssum") * col("ssum") / col("n_days")))
+              nullif(col("ss2") - col("ssum") * col("ssum") / col("n_days"),
+                lit(0)), lit(0.0)))
             * 1000000) / 1000000).as("f_seasonal"))
         .orderBy("event_type")
     },

@@ -3291,8 +3291,11 @@ object Llm {
     // ∝ batch, not corpus (that key's join was already ∝ batch; its
     // sketch pass was not). The registry builds once per corpus
     // fingerprint (stage-then-rename, content-invalidated); the
-    // declared plan sketches ONLY the ≥ 400 batch and band-joins it
-    // against the stored keys. SAME oracle shape as the recompute twin
+    // declared plan sketches ONLY the batch above the DERIVED
+    // `(max+1)·4/5` boundary ([[batchBoundary]] — the literal 400 this
+    // comment once named split 80/20 at sf0.01 but inverted at sf0.1,
+    // the round-9 lesson in SCALING.md) and band-joins it against the
+    // stored keys. SAME oracle shape as the recompute twin
     // — the driver enforces that stored-state reads and live recompute
     // can never drift (hash-verify vs string-verify is the registry's
     // documented ~2⁻¹²⁰/pair tradeoff; identical results on any real

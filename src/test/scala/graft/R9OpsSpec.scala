@@ -263,7 +263,9 @@ class R9OpsSpec extends AnyFunSuite {
           d(i - 1)(j - 1) + (if (a(i - 1) == bStr(j - 1)) 0 else 1))
       d(a.length)(bStr.length)
     }
-    val want = custs.groupBy(c => (c._3, c._2.substring(0, 16)))
+    // take(16), not substring(0, 16): SQL substring is length-safe, and
+    // the mirror must not throw if the generator ever emits a short name
+    val want = custs.groupBy(c => (c._3, c._2.take(16)))
       .toSeq.flatMap { case ((nk, _), rows) =>
         val sorted = rows.sortBy(_._1)
         for {
