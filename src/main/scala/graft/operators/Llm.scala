@@ -1107,7 +1107,8 @@ object Llm {
   private[graft] def minhashVerified(
       docsDf: DataFrame, d2Min: Option[Long] = None,
       hashes: graft.functions.HashStrategy = PortableHash): DataFrame =
-    minhashVerifiedWithSketch(docsDf, d2Min, hashes)._1
+    minhashVerifiedWithSketch(docsDf, d2Min, hashes,
+      persistSketch = false)._1
 
   /** [[minhashVerified]] plus the persisted 16-slot SKETCH frame
     * (doc_id, m_0..m_15 — ONE narrow row per doc) — for callers that
@@ -1121,7 +1122,8 @@ object Llm {
   private[graft] def minhashVerifiedWithSketch(
       docsDf: DataFrame, d2Min: Option[Long] = None,
       hashes: graft.functions.HashStrategy = PortableHash,
-      pairSampleMod: Option[Int] = None): (DataFrame, DataFrame) = {
+      pairSampleMod: Option[Int] = None,
+      persistSketch: Boolean = true): (DataFrame, DataFrame) = {
     // persist: the distinct shingle set feeds four consumers (doc sizes,
     // the minhash sketch build, and both sides of the exact-Jaccard
     // verify join); without it each consumer re-runs the explode+dedup
@@ -1146,12 +1148,17 @@ object Llm {
     // shingle), the double-hash runs once per DISTINCT shingle, and the
     // groupBy(doc_id) reuses sh's cached hash-partitioning, so the whole
     // sketch aggregation plans ZERO exchanges.
-    // the narrow 16-slot sketch persists doc_id-keyed (one row per doc);
-    // the banded unpivot below derives from this cache, so exposing the
-    // sketch to the est-quality readout costs zero extra aggregation
-    val sk = sketchFromHashes(
-        sh.select(col("doc_id"), h1c.as("h1"), h2c.as("h2")))
-      .persist()
+    // the narrow 16-slot sketch persists doc_id-keyed (one row per doc)
+    // ONLY when the caller scores the sketch itself (persistSketch —
+    // round 10: the r8 unconditional persist materialized a second
+    // cached copy of the sketch for EVERY minhash-family key while only
+    // llm_minhash_est_quality ever read it; the band frame below is the
+    // sole other consumer and it persists its own derivation, so for
+    // everyone else the extra cache was pure build+memory overhead —
+    // part of the r9 minhash-family cost-delta adjudication)
+    val sk0 = sketchFromHashes(
+      sh.select(col("doc_id"), h1c.as("h1"), h2c.as("h2")))
+    val sk = if (persistSketch) sk0.persist() else sk0
     val bands = bandExplode(sk)
       // partitioned by the band key ONCE at build time (round 4): the
       // candidate self-join's equi-keys are exactly (band, k1, k2), so
