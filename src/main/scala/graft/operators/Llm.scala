@@ -873,11 +873,17 @@ object Llm {
   private def quantCodeSql(x: String, scale: String): String =
     s"CASE WHEN $scale = 0 THEN 0 ELSE round(CAST($x AS DOUBLE) / $scale) END"
 
-  private val shingleSql =
-    """SELECT DISTINCT doc_id,
-      |       unnest(list_transform(range(1, len(t) - 1),
-      |              i -> array_to_string(t[i:i+2], ' '))) AS s
-      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents""".stripMargin
+  /** Distinct doc shingles, with an optional WHERE pushed into the doc
+    * scan (the est-quality DOC sample — the filter must prune documents
+    * BEFORE shingling or the sample saves nothing). */
+  private def shingleSqlWhere(docWhere: Option[String]): String = {
+    val w = docWhere.map(p => s" WHERE $p").getOrElse("")
+    s"""SELECT DISTINCT doc_id,
+       |       unnest(list_transform(range(1, len(t) - 1),
+       |              i -> array_to_string(t[i:i+2], ' '))) AS s
+       |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents$w""".stripMargin
+  }
+  private val shingleSql = shingleSqlWhere(None)
 
   /** Shared by llm_decontaminate and llm_decontaminate_bloom: the bloom
     * prefilter is result-invisible (no false negatives + exact verify),
@@ -1001,19 +1007,25 @@ object Llm {
     */
   private lazy val minhashVerifiedCtes: String = minhashVerifiedCtes(None)
 
-  /** Deterministic candidate-pair sample modulus for the
-    * llm_minhash_est_quality READOUT (round 9 — closes the VERDICT r7/r8
-    * weak carry-over): the estimator-quality statistic is a QA audit,
-    * and paying an exhaustive exact-Jaccard verify over EVERY band
-    * candidate just to report 5 bucket means is the one declared plan
-    * whose cost was an audit, not a production shape. A 1-in-4
-    * portable-hash draw over the (d1, d2) pair id is re-run-stable,
-    * engine-independent (the oracle replays the identical predicate),
-    * and keeps thousands of pairs per bucket at any SF — the verify
-    * join, the sketch-agreement joins, and the bucket fold all shrink
-    * by the rate. The EXHAUSTIVE audit lives in ApproxSpec, where a QA
-    * sweep belongs. */
-  private val EstQualityPairMod = 4
+  /** Deterministic DOCUMENT sample modulus for the
+    * llm_minhash_est_quality READOUT (round 10 — the r9 pair-level
+    * 1-in-4 draw pruned the verify/agreement joins but never touched
+    * the key's true floor, the full corpus shingle→md5→sketch pass; the
+    * estimator statistic doesn't need every document any more than it
+    * needed every pair). A 1-in-3 portable-hash draw over doc_id is
+    * re-run-stable, engine-independent (the oracle pushes the identical
+    * predicate into its doc scan), shrinks the sketch pass by the rate
+    * AND the candidate pair set quadratically (~1/9 — the r9 pair draw
+    * kept 1/4), while still leaving many pairs per Jaccard bucket at
+    * any SF. The EXHAUSTIVE audit lives in ApproxSpec, where a QA sweep
+    * belongs. */
+  private val EstQualityDocMod = 3
+  private def estQualityDocPred: Column =
+    PortableHash.pHash(concat(lit("eqd:"), col("doc_id").cast("string"))) %
+      EstQualityDocMod === 0
+  private def estQualityDocPredSql: String =
+    PortableHash.sql("'eqd:' || CAST(doc_id AS VARCHAR)") +
+      s" % $EstQualityDocMod = 0"
 
   /** `d2Min`: incremental mode — only candidate pairs whose HIGHER id is ≥
     * the batch boundary are generated (new-vs-corpus and new-vs-new; the
@@ -1039,7 +1051,8 @@ object Llm {
 
   private def minhashVerifiedCtes(
       d2Min: Option[String],
-      pairSampleMod: Option[Int] = None): String = {
+      pairSampleMod: Option[Int] = None,
+      docWhere: Option[String] = None): String = {
     val (h1, h2) = PortableHash.sql2("s")
     val minhs = (0 until 16)
       .map(i => s"min(h1 + $i * h2) AS m_$i")
@@ -1053,7 +1066,7 @@ object Llm {
         "'pq:' || CAST(a.doc_id AS VARCHAR) || ':' || " +
           "CAST(b.doc_id AS VARCHAR)") + s" % $m = 0").getOrElse("")
     s"""sh AS (
-       |  $shingleSql)
+       |  ${shingleSqlWhere(docWhere)})
        |), mh AS (
        |  SELECT doc_id,
        |         $minhs
@@ -1123,7 +1136,21 @@ object Llm {
       docsDf: DataFrame, d2Min: Option[Long] = None,
       hashes: graft.functions.HashStrategy = PortableHash,
       pairSampleMod: Option[Int] = None,
-      persistSketch: Boolean = true): (DataFrame, DataFrame) = {
+      persistSketch: Boolean = true,
+      persistFrames: Boolean = true): (DataFrame, DataFrame) = {
+    // persistFrames=false (round 10, the est-quality readout): skip ALL
+    // block-manager pins. The persists exist so the corpus-scale frames
+    // evaluate once across the pipeline's consumers — but they also FIX
+    // the cached partitioning (the session's shuffle width) through
+    // every downstream stage, so on a SAMPLED readout the plan runs a
+    // dozen full-width stages over kilobyte frames and wall time is pure
+    // task-launch latency. Unpersisted, the identical subtrees dedup via
+    // ReusedExchange (the self-join/verify sides ARE identical when
+    // d2Min=None) and AQE coalesces every post-shuffle stage to the
+    // data's actual width. NOT for the result keys: in incremental mode
+    // the b-side filter breaks subtree identity (ReusedExchange can't
+    // fire), and across separate ACTIONS only the block manager reuses.
+    def pin(df: DataFrame): DataFrame = if (persistFrames) df.persist() else df
     // persist: the distinct shingle set feeds four consumers (doc sizes,
     // the minhash sketch build, and both sides of the exact-Jaccard
     // verify join); without it each consumer re-runs the explode+dedup
@@ -1132,11 +1159,10 @@ object Llm {
     // explode is a projection, so the groupBy's hash-partitioning
     // survives into the cache), where distinct().repartition(doc_id)
     // paid two.
-    val sh = shingleDfRaw(docsDf)
+    val sh = pin(shingleDfRaw(docsDf)
       .groupBy(col("doc_id"))
       .agg(collect_set(col("s")).as("ss"))
-      .select(col("doc_id"), explode(col("ss")).as("s"))
-      .persist()
+      .select(col("doc_id"), explode(col("ss")).as("s")))
     val (h1c, h2c) = hashes.hash2(col("s"))
     // persist: the band frame feeds BOTH sides of the candidate self-join,
     // and in incremental mode the b-side filter (doc_id >= d2Min) makes the
@@ -1158,16 +1184,15 @@ object Llm {
     // part of the r9 minhash-family cost-delta adjudication)
     val sk0 = sketchFromHashes(
       sh.select(col("doc_id"), h1c.as("h1"), h2c.as("h2")))
-    val sk = if (persistSketch) sk0.persist() else sk0
-    val bands = bandExplode(sk)
+    val sk = if (persistSketch && persistFrames) sk0.persist() else sk0
+    val bands = pin(bandExplode(sk)
       // partitioned by the band key ONCE at build time (round 4): the
       // candidate self-join's equi-keys are exactly (band, k1, k2), so
       // BOTH sides of the shuffled hash join read the cached partitioning
       // and the join plans ZERO exchanges — in incremental mode this is
       // what keeps per-ingest cost ∝ batch: the corpus band frame is
       // never re-shuffled, only the batch side moves.
-      .repartition(col("band"), col("k1"), col("k2"))
-      .persist()
+      .repartition(col("band"), col("k1"), col("k2")))
     val bSide = d2Min.fold(bands)(m => bands.where(col("doc_id") >= m))
     // Broadcast hygiene (round-3 measured defect): at 500k docs AQE's
     // runtime stats promote the persisted multi-million-row band frame to
@@ -4333,11 +4358,13 @@ object Llm {
         .orderBy("lang")
     },
 
-    // Minhash estimator quality (round 7, cont.): for every banded
-    // candidate pair, the 16-slot minhash AGREEMENT estimate k/16 vs the
-    // exact shingle Jaccard the verify pass computes — the llm_ann_recall
-    // of the dedup family (it answers "are 16 minhashes enough at my
-    // τ?", i.e. whether the verify pass can ever be dropped). Bucketed
+    // Minhash estimator quality (round 7, cont.): over a deterministic
+    // 1-in-3 DOCUMENT sample ([[EstQualityDocMod]] — a QA statistic, not
+    // a result key), for every banded candidate pair the 16-slot minhash
+    // AGREEMENT estimate k/16 vs the exact shingle Jaccard the verify
+    // pass computes — the llm_ann_recall of the dedup family (it answers
+    // "are 16 minhashes enough at my τ?", i.e. whether the verify pass
+    // can ever be dropped). Bucketed
     // by exact-Jaccard 0.2-band. Float doctrine: everything is INTEGER
     // micro-units until one final division — est = k·62500 µ (k/16
     // exactly), exact = round(j·1e6) µ, error = |est−exact| µ; per-bucket
@@ -4351,7 +4378,7 @@ object Llm {
       val slots = (0 until 16)
         .map(i => s"(CASE WHEN p.m_$i = q.m_$i THEN 1 ELSE 0 END)")
         .mkString(" + ")
-      s"""WITH ${minhashVerifiedCtes(None, Some(EstQualityPairMod))},
+      s"""WITH ${minhashVerifiedCtes(None, None, Some(estQualityDocPredSql))},
          |agree AS (
          |  SELECT v.d1, v.d2,
          |         CAST(round(v.est_jaccard * 1000000) AS BIGINT) AS exact_u,
@@ -4377,11 +4404,13 @@ object Llm {
       // pass; round-8 cont. 4: join the 1-row-per-doc sketch on doc_id
       // instead of re-shuffling the 8-rows-per-doc band frame twice off
       // its (band, k1, k2) partitioning — the slot agreement is a
-      // map-side 16-term comparison ladder, no groupBy at all; round 9:
-      // the DECLARED readout estimates over a deterministic 1-in-4 pair
-      // sample — the exhaustive sweep moved to ApproxSpec)
-      val (mhv, sk) = minhashVerifiedWithSketch(docs(s, d),
-        pairSampleMod = Some(EstQualityPairMod))
+      // map-side 16-term comparison ladder, no groupBy at all; round 10:
+      // the DECLARED readout estimates over a deterministic 1-in-3
+      // DOCUMENT sample — the r9 pair-level draw left the corpus sketch
+      // pass, the key's actual floor, untouched; the exhaustive sweep
+      // stays in ApproxSpec)
+      val (mhv, sk) = minhashVerifiedWithSketch(
+        docs(s, d).where(estQualityDocPred), persistFrames = false)
       val kExpr = (0 until 16)
         .map(i => when(col(s"a.m_$i") === col(s"b.m_$i"), 1L).otherwise(0L))
         .reduce(_ + _)

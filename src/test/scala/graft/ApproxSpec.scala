@@ -319,8 +319,9 @@ class ApproxSpec extends AnyFunSuite {
     assert(meanEst(hi) >= 0.9, s"near-dup mean est ${meanEst(hi)}")
     assert(meanEst(hi) - meanEst(lo) >= 0.2,
       s"no discrimination: hi=${meanEst(hi)} lo=${meanEst(lo)}")
-    // the declared readout's deterministic 1-in-4 draw: a strict subset
-    // of the exhaustive pair set, at roughly the nominal rate
+    // the pair-level 1-in-4 draw (retained PLUMBING — the r9 declared
+    // readout; r10 moved the declared key to a document draw, below):
+    // a strict subset of the exhaustive pair set, at the nominal rate
     val all = agree.map(r => (r.getLong(0), r.getLong(1))).toSet
     spark.catalog.clearCache() // minhashVerified cache contract
     val sampled = operators.Llm
@@ -333,13 +334,34 @@ class ApproxSpec extends AnyFunSuite {
     assert(rate > 0.10 && rate < 0.45, s"1-in-4 draw rate off: $rate")
     // and the draw replays: the same predicate applied to the exhaustive
     // set reproduces the sampled set exactly (what lets the oracle twin it)
-    val replay = all.filter { case (d1, d2) =>
+    def md5Mod(sIn: String, m: Int): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"pq:$d1:$d2".getBytes("UTF-8"))
+        .digest(sIn.getBytes("UTF-8"))
       val hex = md.map("%02x".format(_)).mkString.take(15)
-      java.lang.Long.parseLong(hex, 16) % 4 == 0
+      java.lang.Long.parseLong(hex, 16) % m
     }
+    val replay = all.filter { case (d1, d2) => md5Mod(s"pq:$d1:$d2", 4) == 0 }
     assert(replay == sampled)
+    // the r10 DECLARED readout's 1-in-3 DOCUMENT draw: per-doc sketches
+    // are corpus-independent, so the subset corpus's candidate pairs are
+    // EXACTLY the exhaustive pairs with both ends sampled — the property
+    // that makes the doc sample a faithful (and oracle-replayable)
+    // estimator readout while pruning the sketch pass by the rate
+    val docPred = graft.functions.PortableHash.pHash(
+      concat(lit("eqd:"), col("doc_id").cast("string"))) % 3 === 0
+    val keptSpark = docsDf.where(docPred)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptJvm = docsDf.select("doc_id").collect().map(_.getLong(0))
+      .filter(id => md5Mod(s"eqd:$id", 3) == 0).toSet
+    assert(keptSpark == keptJvm, "doc draw must replay in the JVM mirror")
+    val docSampled = operators.Llm
+      .minhashVerifiedWithSketch(docsDf.where(docPred))._1
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(docSampled ==
+      all.filter(p => keptJvm(p._1) && keptJvm(p._2)),
+      "doc-sampled candidates must equal the exhaustive set's restriction")
   }
 
   test("theta overlap estimator audit: sketch set algebra vs the exact " +
