@@ -54,6 +54,14 @@ object Prof {
       stages.forEach(s => println(s))
       stages.clear()
     }
+    locally {
+      val p = SparkEntry.queries("llm_ann_ivf")(spark, d)
+        .queryExecution.executedPlan.toString
+      println("[prof] ann_ivf dynamicpruning=" +
+        "dynamicpruning".r.findAllIn(p.toLowerCase).size +
+        " PartitionFilters=" + "PartitionFilters: \\[[^\\]]".r.findAllIn(p).size)
+      SparkEntry.queries("llm_ann_ivf")(spark, d).count()
+    }
     val docsAll = Tables(spark, d, "documents")
     val pred = graft.functions.PortableHash.pHash(
       concat(lit("eqd:"), col("doc_id").cast("string"))) % 3 === 0

@@ -1401,6 +1401,46 @@ object ScaleSmoke {
       }
     }
 
+    // IVF index build-vs-serve separation (round 10 — VERDICT r9 #1):
+    // the declared llm_ann_ivf now READS config.IvfIndex's persisted
+    // state instead of training per query. The 100 TB law this probe
+    // records: with cell count grown ~√n (here k 32 → 64 as the corpus
+    // doubles 500k → 1M, holding per-cell population flat), SERVE cost
+    // stays flat while BUILD cost (the k-means‖ + Lloyd training the
+    // old declared plan paid on every execution) scales with the
+    // corpus. The inverted file is partitioned by cell and carries the
+    // vectors, so the probe is a dynamic-partition-pruned read that
+    // never touches the base table.
+    if (only.isEmpty || only.exists("ivf index serve".contains)) {
+      def synthEmb(n: Long): org.apache.spark.sql.DataFrame =
+        spark.range(n).select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(16)), j =>
+            ((pmod(xxhash64(col("id"), j), lit(2000)).cast("double")
+              / 1000.0) - 1.0).cast("float")).as("embedding"))
+      for ((n, k) <- Seq((500000L, 32), (1000000L, 64))) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_scale_ivf_${n / 1000}k").toString
+        val e = synthEmb(n).persist()
+        time(f"ivf index build ${n / 1000}%dk k=$k") {
+          config.IvfIndex.build(spark, e, dir, k, 4 * k, lloydRounds = 1)
+          e.unpersist()
+          n
+        }
+        time(f"ivf index serve ${n / 1000}%dk k=$k") {
+          val cents = config.IvfIndex.centroids(spark, dir)
+          val q = synthEmb(20L)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+          val r = operators.Llm.ivfTopk(
+            config.IvfIndex.assignments(spark, dir), cents, q,
+            nprobe = 2, k = 5).count()
+          require(r == 100, s"20 queries x top-5 expected, got $r")
+          spark.catalog.clearCache()
+          r
+        }
+      }
+    }
+
     // The FULL corpus pipeline (llm_corpus_build body) at 500k docs with
     // the production FastHash sketch family: dedup → quality → pack E2E.
     // Runs under DEFAULT autoBroadcastJoinThreshold on purpose: round 3

@@ -181,30 +181,60 @@ object SketchRegistry {
   /** Registry dir for `sfDir`'s documents table with corpus = doc_id <
     * `boundary`, building it (one corpus sketch pass) if absent. */
   def ensureCorpusRegistry(
-      spark: SparkSession, sfDir: String, boundary: Long): String = {
-    val docsPath = new java.io.File(s"$sfDir/documents.parquet")
+      spark: SparkSession, sfDir: String, boundary: Long): String =
+    LakeCache.ensure(
+      s"$sfDir/documents.parquet", s"b=$boundary", "graft_sketch_registry") {
+      tmp =>
+        build(spark,
+          graft.Tables(spark, sfDir, "documents")
+            .where(col("doc_id") < boundary),
+          tmp)
+    }
+}
+
+/** The ONE fingerprinted, atomically-published derived-state cache the
+  * lake-side registries share (round 10 — factored from round 9's
+  * [[SketchRegistry.ensureCorpusRegistry]] so the IVF index reuses the
+  * exact protocol rather than a second copy of it):
+  *
+  *   - fingerprint = MD5 over the SOURCE parquet's file listing (path,
+  *     per-file name/size/mtime) + a caller tag (params/boundary), so any
+  *     change to the underlying data or to the derivation's parameters
+  *     invalidates the cache — stale state can never answer for fresh
+  *     data;
+  *   - build is staged into `<fp>.tmp.<pid>` and RENAMED into place — a
+  *     crashed build never leaves a half-usable dir, and concurrent
+  *     first-runs race benignly (one rename wins, the loser deletes its
+  *     stage and reuses the winner's).
+  *
+  * On a cluster the root would be a lake prefix and the rename the
+  * object-store manifest-swap publish (graft.sources' versioned-publish
+  * protocol); the local tmpdir build keeps the identical lifecycle.
+  */
+private[graft] object LakeCache {
+
+  def ensure(sourcePath: String, tag: String, rootName: String)(
+      build: String => Unit): String = {
+    val src = new java.io.File(sourcePath)
     val listing =
-      if (docsPath.isFile) Seq(docsPath)
-      else docsPath.listFiles().toSeq.sortBy(_.getName)
+      if (src.isFile) Seq(src)
+      else src.listFiles().toSeq.sortBy(_.getName)
     val fp = java.security.MessageDigest.getInstance("MD5").digest(
-      (docsPath.getCanonicalPath +: listing.map(f =>
-        s"${f.getName}:${f.length}:${f.lastModified}") :+ s"b=$boundary")
+      (src.getCanonicalPath +: listing.map(f =>
+        s"${f.getName}:${f.length}:${f.lastModified}") :+ tag)
         .mkString("|").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val root = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_sketch_registry")
+    val root = new java.io.File(sys.props("java.io.tmpdir"), rootName)
     root.mkdirs()
     val dst = new java.io.File(root, fp)
     if (!dst.isDirectory) {
       val tmp = new java.io.File(
         root, s"$fp.tmp.${java.lang.ProcessHandle.current.pid}")
-      val corpus = graft.Tables(spark, sfDir, "documents")
-        .where(col("doc_id") < boundary)
-      build(spark, corpus, tmp.toString)
+      build(tmp.toString)
       if (!tmp.renameTo(dst)) {
         // another builder won the race — its complete dir serves
         org.apache.commons.io.FileUtils.deleteDirectory(tmp)
-        require(dst.isDirectory, s"registry build failed for $dst")
+        require(dst.isDirectory, s"cache build failed for $dst")
       }
     }
     dst.toString

@@ -155,6 +155,33 @@ class IvfSpec extends AnyFunSuite {
     assert(cells == 16L, s"expected 16 cells, got $cells")
   }
 
+  test("stored IVF index serves results identical to live training, " +
+    "idempotently, with the probe scan partition-pruned (r10)") {
+    val d = "/root/testdata/sf0.001"
+    val dir = graft.config.IvfIndex.ensure(spark, d)
+    val stored = SparkEntry.queries("llm_ann_ivf")(spark, d).collect().toSeq
+    val live = SparkEntry.queries("llm_ann_ivf_train")(spark, d)
+      .collect().toSeq
+    // the twin contract: the stored index answers EXACTLY what live
+    // training answers (the driver additionally pins both to the same
+    // replayed oracle CTE chain)
+    assert(stored == live)
+    assert(stored.nonEmpty)
+    // ensure() is idempotent per fingerprint — the second call serves
+    // the same dir without rebuilding (mtime of the stored artifacts
+    // must not change)
+    val mt0 = new java.io.File(s"$dir/centroids").lastModified
+    assert(graft.config.IvfIndex.ensure(spark, d) == dir)
+    assert(new java.io.File(s"$dir/centroids").lastModified == mt0)
+    // the served plan dynamic-partition-prunes the inverted file: only
+    // the probed cells' partitions are read
+    val plan = SparkEntry.queries("llm_ann_ivf")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"probe scan must carry a DPP filter:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("pcaTopFrame recovers a planted dominant direction (r8 cont. 6)") {
     // 200 vectors, 64-dim: component 1 carries +-3 (alternating sign, so
     // the MEAN is ~0 and the centered scatter is dominated by dim 1);
