@@ -315,6 +315,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_dedup_cluster_sizes_lsh: the curation report plans NO all-pairs " +
+    "cosine stage (r10 — the brute chain is audit-only)") {
+    val p = plan("llm_dedup_cluster_sizes_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the LSH dedup report must never plan an all-pairs join:\n$p")
+  }
+
   test("llm_sim_join_lsh: candidates via equi-join, signature computed once (persisted)") {
     val p = plan("llm_sim_join_lsh")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
