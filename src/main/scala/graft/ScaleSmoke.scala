@@ -1399,6 +1399,26 @@ object ScaleSmoke {
         spark.catalog.clearCache()
         n
       }
+      // E2E incremental corpus build (round 10 — the declared
+      // llm_corpus_build_incremental at ingest scale): registry near-dup
+      // → quality → pack for ONLY the 5k batch against the 1M stored
+      // corpus. Wall must sit near the registry-ingest number above
+      // (the quality/pack stages are batch-grain arithmetic), while the
+      // recompute llm_corpus_build at this corpus pays the 1M sketch
+      // pass before packing — the "corpus build E2E 500k" section's cost
+      // at twice the size. qualityMin=0: the synthetic vocab has no
+      // English stopwords (same note as the E2E section).
+      time("registry incr corpus build 1M+5k") {
+        val batchSrc = batch1M.withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(10))))
+        val n = operators.Llm
+          .corpusBuildIncremental(spark, regDir1M, batchSrc, qualityMin = 0.0)
+          .count()
+        require(n >= 4800 && n <= 5000,
+          s"packed batch survivors must be ~5k minus planted dups ($n)")
+        spark.catalog.clearCache()
+        n
+      }
     }
 
     // IVF index build-vs-serve separation (round 10 — VERDICT r9 #1):

@@ -322,6 +322,52 @@ class PipelineSpec extends AnyFunSuite {
       .contains("v_00002"))
   }
 
+  test("incremental corpus build publishes through the manifested lake; " +
+    "concurrent readers only ever see whole versions (r10)") {
+    val d = sf
+    val docsDf = Tables(spark, d, "documents")
+    val bound = (docsDf.agg(max(col("doc_id"))).head.getLong(0) + 1L) * 4L / 5L
+    val regDir =
+      graft.config.SketchRegistry.ensureCorpusRegistry(spark, d, bound)
+    val out = Files.createTempDirectory("graft_corpus_lake").toString
+    // nightly shape: the corpus half's full build is the published base
+    // table; each batch's incremental build publishes beside it and the
+    // training consumer reads the UNION of the two current pointers
+    val corpusPacked = graft.operators.Llm
+      .corpusBuild(docsDf.where(col("doc_id") < bound))
+    val rc = Pipeline.publishTable(corpusPacked, None, s"$out/packed_corpus")
+    val batchPacked = graft.operators.Llm
+      .corpusBuildIncremental(spark, regDir,
+        docsDf.where(col("doc_id") >= bound))
+    val r1 = Pipeline.publishTable(batchPacked, None, s"$out/packed_batch")
+    assert(rc.rows > 0 && r1.rows > 0)
+    // concurrent reader through a re-publish: every read must land on a
+    // WHOLE version's count — the pointer swap is atomic, so a reader
+    // can observe the old version or the new one, never a torn mix
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    @volatile var stop = false
+    val reader = new Thread(() => while (!stop) {
+      seen.add(
+        Pipeline.readTableCurrent(spark, out, "packed_batch").count())
+    })
+    reader.start()
+    try {
+      val r2 = Pipeline.publishTable(
+        batchPacked.limit(3), None, s"$out/packed_batch")
+      assert(r2.rows == 3)
+      Thread.sleep(300) // let the reader observe the new pointer too
+    } finally { stop = true; reader.join() }
+    assert(!seen.isEmpty, "the concurrent reader must have read something")
+    val counts = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSet
+    assert(counts.subsetOf(Set(r1.rows, 3L)),
+      s"reader saw a torn version: $counts not in {${r1.rows}, 3}")
+    // the union read a training job runs: published corpus + current batch
+    val unioned = Pipeline.readTableCurrent(spark, out, "packed_corpus")
+      .unionByName(Pipeline.readTableCurrent(spark, out, "packed_batch"))
+    assert(unioned.count() == rc.rows + 3)
+    spark.catalog.clearCache() // registry pairs' batch-sketch pins
+  }
+
   test("manifested lake (r9): per-partition atomic incremental maintenance == " +
     "in-place twin; untouched partitions keep their version; concurrent " +
     "reader survives publish and compaction") {
