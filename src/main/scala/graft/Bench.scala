@@ -54,9 +54,17 @@ object Bench {
     // optional args = exact query-name filters for local iteration; the
     // driver always runs with no args (full surface)
     val only = args.toSet
+    // run_index (VERDICT r9 #8): the position each key ran at in THIS
+    // process. Map iteration order is hash-based, so cross-round full-run
+    // comparisons need the actual order on the record to control for
+    // position effects (JIT/page-cache warmup, drift in external load
+    // over the run) — r9's adjudication had to reconstruct it from dict
+    // order.
+    var runIdx = -1
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      runIdx += 1
       val passes = (1 to passCount).map { _ =>
         val ld = loadAvg()
         val r = once(fn)
@@ -73,7 +81,7 @@ object Bench {
       val t: Either[String, Double] =
         passes.collectFirst { case (Left(e), _) => e }
           .toLeft(times.min)
-      (name, t, passes)
+      (name, t, passes, runIdx)
     }
     // Driver tail-captures stdout; round 1 the single ~3 KB line with the
     // full per-query map got truncated → BENCH parsed:null. Emit the long
@@ -93,21 +101,23 @@ object Bench {
       } + "\""
     def qmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val ok = results.collect { case (k, Right(v), _) => k -> v }.toMap
-    val errs = results.collect { case (k, Left(e), _) => k -> e }
+    val ok = results.collect { case (k, Right(v), _, _) => k -> v }.toMap
+    val errs = results.collect { case (k, Left(e), _, _) => k -> e }
     // cold/warm only for queries whose COMBINED result is a success
     // (round-5 advice fix: a query must never appear in both a per-pass
     // map and the errors map — consumers summing cold vs warm now see
     // consistent query sets).
-    val cold = results.collect { case (k, Right(_), passes) =>
+    val cold = results.collect { case (k, Right(_), passes, _) =>
       k -> passes.head._1.toOption.get
     }
-    val warm = results.collect { case (k, Right(_), passes) =>
+    val warm = results.collect { case (k, Right(_), passes, _) =>
       k -> passes.tail.collect { case (Right(v), _) => v }.min
     }
-    val loads = results.map { case (k, _, passes) =>
+    val loads = results.map { case (k, _, passes, _) =>
       k -> passes.map(_._2)
     }
+    val idxJson = results.map { case (k, _, _, i) => s"${jstr(k)}:$i" }
+      .mkString("{", ",", "}")
     val errJson = errs.map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
@@ -133,7 +143,7 @@ object Bench {
       s"${jstr(k)}:[${ls.map(fmt).mkString(",")}]"
     }.mkString("{", ",", "}")
     val coldWarm =
-      s"""{"metric":"cold_warm","queries_cold":${qmap(cold)},"queries_warm":${qmap(warm)},"loadavg_per_pass":$loadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"cold_warm","queries_cold":${qmap(cold)},"queries_warm":${qmap(warm)},"loadavg_per_pass":$loadJson,"run_index":$idxJson,"sf":"$sfDir"}"""
     // a name-FILTERED local run must never overwrite the round's record:
     // its partial per-query map is shape-identical to a full run and
     // would silently misreport the surface (review finding) — divert it

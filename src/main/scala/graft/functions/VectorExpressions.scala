@@ -127,6 +127,98 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** PQ code assignment (round 10 — llm_pq_topk): argmin over a codebook
+  * of integer-tick centroids by squared L2, first-min tie-break, code
+  * ids read from the parallel `cs` array (codebooks may have holes, so
+  * position ≠ code id). The higher-order-function formulation
+  * (`transform(cents, c -> aggregate(zip_with(...)))`) evaluates ~2·k·d
+  * boxed lambdas per row — this expression is one fused long-arithmetic
+  * loop inside WholeStageCodegen, which is the difference between the
+  * PQ training pass riding the scan and dominating it. All arithmetic
+  * is exact BIGINT (ticks ≤ ~10⁶ → per-dim square ≤ 4·10¹², ×64 dims
+  * far below 2⁶³), matching the oracle's integer replay bit-for-bit.
+  */
+case class PqArgminCode(sub: Expression, cents: Expression, cs: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+  import org.apache.spark.sql.types.LongType
+  override def first: Expression = sub
+  override def second: Expression = cents
+  override def third: Expression = cs
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(ArrayType(LongType)), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(s: Any, c: Any, ids: Any): Any = {
+    val x = s.asInstanceOf[ArrayData]
+    val cb = c.asInstanceOf[ArrayData]
+    val code = ids.asInstanceOf[ArrayData]
+    val d = x.numElements()
+    val k = cb.numElements()
+    if (k == 0 || k != code.numElements()) return null
+    var best = 0
+    var bestD = Long.MaxValue
+    var ci = 0
+    while (ci < k) {
+      val cent = cb.getArray(ci)
+      if (cent.numElements() == d) {
+        var dist = 0L
+        var i = 0
+        while (i < d) {
+          val diff = x.getLong(i) - cent.getLong(i)
+          dist += diff * diff
+          i += 1
+        }
+        if (dist < bestD) { bestD = dist; best = ci }
+      }
+      ci += 1
+    }
+    code.getLong(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, c, ids) => {
+      val d = ctx.freshName("d")
+      val k = ctx.freshName("k")
+      val ci = ctx.freshName("ci")
+      val i = ctx.freshName("i")
+      val cent = ctx.freshName("cent")
+      val dist = ctx.freshName("dist")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |final int $d = $s.numElements();
+         |final int $k = $c.numElements();
+         |if ($k == 0 || $k != $ids.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $best = 0;
+         |  long $bestD = Long.MAX_VALUE;
+         |  for (int $ci = 0; $ci < $k; $ci++) {
+         |    final org.apache.spark.sql.catalyst.util.ArrayData $cent =
+         |      $c.getArray($ci);
+         |    if ($cent.numElements() == $d) {
+         |      long $dist = 0L;
+         |      for (int $i = 0; $i < $d; $i++) {
+         |        final long $diff = $s.getLong($i) - $cent.getLong($i);
+         |        $dist += $diff * $diff;
+         |      }
+         |      if ($dist < $bestD) { $bestD = $dist; $best = $ci; }
+         |    }
+         |  }
+         |  ${ev.value} = $ids.getLong($best);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(sub = newFirst, cents = newSecond, cs = newThird)
+}
+
 /** Column-level entry points (bridge lives in this package to reach the
   * `private[sql]` classic Column constructor).
   */
@@ -138,4 +230,9 @@ object VectorFunctions {
   def vectorDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       VectorDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def pqArgminCode(sub: Column, cents: Column, cs: Column): Column =
+    ExpressionUtils.column(
+      PqArgminCode(ExpressionUtils.expression(sub),
+        ExpressionUtils.expression(cents), ExpressionUtils.expression(cs)))
 }

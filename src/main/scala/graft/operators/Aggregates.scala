@@ -4149,6 +4149,101 @@ object Aggregates {
             """aggregate(transform(ns, x -> x / tot * ln(x / tot)),
               | 0d, (a, b) -> a + b)""".stripMargin) * 1000000)
             / 1000000).as("entropy"))
+    },
+
+    // Ljung–Box portmanteau test (round 10; Ljung & Box 1978): per
+    // event_type, are the daily-volume autocorrelations at lags 1..7
+    // jointly zero — the white-noise test run on forecast RESIDUALS to
+    // decide whether etl_forecast_holt/_hw left structure on the table
+    // (a high lb_q at lag 7 says the model missed a weekly cycle;
+    // etl_autocorr_daily is the lag-1 smell test this generalizes).
+    // Determinism doctrine: autocovariances are computed from n²-scaled
+    // integer moments — num_k = Σ(N·x_t − S)(N·x_{t−k} − S), den =
+    // Σ(N·x_t − S)² are exact BIGINTs (n²·c_k with x̄ cleared), so
+    // ρ_k = round(num/den, 6) is ONE double division of two exact
+    // integers and the statistic assembles from 6-dp-pinned terms; the
+    // cumulative Q_k fold runs over the ≤7-row per-type lag frame.
+    // Plan: events reduce to the bounded (type × day) frame map-side;
+    // 7 lag columns in one window pass; one moment aggregate; the
+    // lag unpivot and Q fold touch 35 rows.
+    Q("agg_ljung_box",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |         CAST(sum(n) AS BIGINT) AS s
+        |  FROM daily GROUP BY 1
+        |), lg AS (
+        |  SELECT d.event_type, nd, s, n,
+        |         lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2,
+        |         lag(n, 3) OVER w AS l3, lag(n, 4) OVER w AS l4,
+        |         lag(n, 5) OVER w AS l5, lag(n, 6) OVER w AS l6,
+        |         lag(n, 7) OVER w AS l7
+        |  FROM daily d JOIN st USING (event_type)
+        |  WINDOW w AS (PARTITION BY d.event_type ORDER BY day)
+        |), mo AS (
+        |  SELECT event_type, max(nd) AS nd,
+        |    CAST(sum((nd*n - s) * (nd*n - s)) AS BIGINT) AS den,
+        |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN (nd*n - s) * (nd*l1 - s) END) AS BIGINT) AS m1,
+        |    CAST(sum(CASE WHEN l2 IS NOT NULL THEN (nd*n - s) * (nd*l2 - s) END) AS BIGINT) AS m2,
+        |    CAST(sum(CASE WHEN l3 IS NOT NULL THEN (nd*n - s) * (nd*l3 - s) END) AS BIGINT) AS m3,
+        |    CAST(sum(CASE WHEN l4 IS NOT NULL THEN (nd*n - s) * (nd*l4 - s) END) AS BIGINT) AS m4,
+        |    CAST(sum(CASE WHEN l5 IS NOT NULL THEN (nd*n - s) * (nd*l5 - s) END) AS BIGINT) AS m5,
+        |    CAST(sum(CASE WHEN l6 IS NOT NULL THEN (nd*n - s) * (nd*l6 - s) END) AS BIGINT) AS m6,
+        |    CAST(sum(CASE WHEN l7 IS NOT NULL THEN (nd*n - s) * (nd*l7 - s) END) AS BIGINT) AS m7
+        |  FROM lg GROUP BY event_type
+        |), up AS (
+        |  SELECT event_type, nd, den, CAST(k AS BIGINT) AS lag,
+        |         CASE k WHEN 1 THEN m1 WHEN 2 THEN m2 WHEN 3 THEN m3
+        |                WHEN 4 THEN m4 WHEN 5 THEN m5 WHEN 6 THEN m6
+        |                ELSE m7 END AS num
+        |  FROM mo CROSS JOIN (SELECT unnest(range(1, 8)) AS k)
+        |), rho AS (
+        |  SELECT event_type, nd, lag,
+        |         round(CAST(num AS DOUBLE) / nullif(den, 0), 6) AS rho
+        |  FROM up
+        |)
+        |SELECT event_type, lag, nd AS n_days, rho,
+        |       round(nd * (nd + 2) * sum(rho * rho / (nd - lag)) OVER (
+        |         PARTITION BY event_type ORDER BY lag
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS lb_q
+        |FROM rho WHERE nd > lag
+        |ORDER BY event_type, lag""".stripMargin) { (s, d) =>
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val st = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum("n").as("s"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lg = daily
+        .select(col("event_type") +: col("n") +:
+          (1 to 7).map(k => lag(col("n"), k).over(w).as(s"l$k")): _*)
+        .join(broadcast(st), Seq("event_type"))
+      def c0 = col("nd") * col("n") - col("s")
+      val moCols = max("nd").as("nd") +: sum(c0 * c0).as("den") +:
+        (1 to 7).map(k => sum(when(col(s"l$k").isNotNull,
+          c0 * (col("nd") * col(s"l$k") - col("s")))).as(s"m$k"))
+      val mo = lg.groupBy("event_type").agg(moCols.head, moCols.tail: _*)
+      val up = mo.crossJoin(
+          broadcast(s.range(1, 8).select(col("id").as("lag"))))
+        .select(col("event_type"), col("nd"), col("den"), col("lag"),
+          (2 to 7).foldLeft(when(col("lag") === 1, col("m1"))) {
+            (acc, k) => acc.when(col("lag") === k, col(s"m$k"))
+          }.as("num"))
+      val wq = Window.partitionBy("event_type").orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      up.select(col("event_type"), col("lag"), col("nd").as("n_days"),
+          round(col("num").cast("double") /
+            when(col("den") =!= 0, col("den")), 6).as("rho"),
+          col("nd"), col("den"))
+        .where(col("nd") > col("lag"))
+        .select(col("event_type"), col("lag"), col("n_days"), col("rho"),
+          round(col("nd") * (col("nd") + 2) *
+            sum(col("rho") * col("rho") / (col("nd") - col("lag"))).over(wq),
+            6).as("lb_q"))
+        .orderBy("event_type", "lag")
     }
   )
 }

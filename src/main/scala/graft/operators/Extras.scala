@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The remaining declare=opt rows of SURVEY.md §2: interval-overlap join
@@ -1093,6 +1093,88 @@ object Extras {
       jaccardNeighbors(coOrderEdges(s, d, "1997-01-01", "1998-01-01"), 20)
     },
 
+    // Adamic–Adar link prediction (round 10; Adamic & Adar 2003): the
+    // third member of the common-neighbors scoring family — each shared
+    // neighbor contributes 1/ln(deg(w)), so a RARE shared neighbor
+    // (deg 2) is worth ~1.44 while a hub everyone co-occurs with is
+    // worth ~0.1 and can't flood the list the way raw counts do.
+    // Same 1997 co-order wedge chain as graph_common_neighbors; the
+    // degree frame attaches before the wedge self-join. Determinism:
+    // each wedge's term is floored onto the 1e-6 grid BEFORE the sum
+    // (floor(1e6/ln(dw)) — deg ≥ 2 for any common neighbor, so ln > 0),
+    // making the per-pair score an exact BIGINT — the ranking can never
+    // be flipped by double fold order; ln sits inside a floor with ~9
+    // guard digits, never in a raw compare.
+    Q("graph_adamic_adar",
+      """WITH lp AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |), e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+        |), sym AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+        |), deg AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u
+        |), cn AS (
+        |  SELECT s1.u AS a, s2.u AS b, CAST(count(*) AS BIGINT) AS common_neighbors,
+        |         CAST(sum(CAST(floor(1000000 / ln(d.deg)) AS BIGINT)) AS BIGINT)
+        |           AS score_micro
+        |  FROM sym s1 JOIN deg d ON d.u = s1.v
+        |              JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+        |  GROUP BY s1.u, s2.u
+        |)
+        |SELECT cn.a, cn.b, common_neighbors, score_micro,
+        |       round(score_micro / 1000000.0, 6) AS adamic_adar
+        |FROM cn
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.a AND e.b = cn.b)
+        |ORDER BY score_micro DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+      degreeWeightedLinkPred(
+        coOrderEdges(s, d, "1997-01-01", "1998-01-01"), 20,
+        dw => floor(lit(1000000.0) / log(dw.cast("double"))).cast("long"),
+        "adamic_adar")
+    },
+
+    // Resource-Allocation link prediction (round 10; Zhou, Lü & Zhang
+    // 2009): 1/deg(w) per shared neighbor — the harsher hub discount
+    // that beats Adamic–Adar on dense co-occurrence graphs (each
+    // neighbor "sends one unit of resource" split across its links).
+    // Identical wedge plan to graph_adamic_adar; the term 1e6 div deg
+    // is PURE integer arithmetic — this key has zero float operations
+    // before the final display division.
+    Q("graph_resource_alloc",
+      """WITH lp AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |), e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+        |), sym AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+        |), deg AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u
+        |), cn AS (
+        |  SELECT s1.u AS a, s2.u AS b, CAST(count(*) AS BIGINT) AS common_neighbors,
+        |         CAST(sum(1000000 // d.deg) AS BIGINT) AS score_micro
+        |  FROM sym s1 JOIN deg d ON d.u = s1.v
+        |              JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+        |  GROUP BY s1.u, s2.u
+        |)
+        |SELECT cn.a, cn.b, common_neighbors, score_micro,
+        |       round(score_micro / 1000000.0, 6) AS resource_alloc
+        |FROM cn
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.a AND e.b = cn.b)
+        |ORDER BY score_micro DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+      degreeWeightedLinkPred(
+        coOrderEdges(s, d, "1997-01-01", "1998-01-01"), 20,
+        dw => expr("1000000 div dw"),
+        "resource_alloc")
+    },
+
     // Degree assortativity (round 7, continued): Newman's r — the
     // Pearson correlation of endpoint degrees across edges, the one
     // scalar that says whether hubs attach to hubs (r>0, social-style)
@@ -1511,6 +1593,37 @@ object Extras {
         round(col("common_neighbors").cast("double") /
           (col("da") + col("db") - col("common_neighbors")), 6).as("jaccard"))
       .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** Degree-weighted link prediction (round 10): the wedge chain of
+    * [[commonNeighbors]] with each common neighbor's degree attached
+    * BEFORE the wedge self-join (the degree frame is O(nodes) and
+    * joins `sym` on its own key once — attaching after the join would
+    * carry the equi-join over the Σdeg² wedge frame instead), folded
+    * per candidate pair by `termMicro(dw)` — an exact-BIGINT per-wedge
+    * score so the SUM (and therefore the top-k cut) is deterministic
+    * across engines regardless of fold order. Adamic–Adar and
+    * Resource-Allocation differ only in the term. */
+  private def degreeWeightedLinkPred(
+      edges0: DataFrame, k: Int, termMicro: Column => Column,
+      scoreName: String): DataFrame = {
+    val e = edges0.persist()
+    val sym = symmetrize(e).select(col("a").as("u"), col("b").as("v"))
+      .persist()
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    val s1 = sym.join(
+      deg.select(col("u").as("v"), col("deg").as("dw")), Seq("v"))
+    val s2 = sym.select(col("u").as("u2"), col("v").as("v2"))
+    s1.join(s2, col("v") === col("v2") && col("u") < col("u2"))
+      .groupBy(col("u").as("a"), col("u2").as("b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(termMicro(col("dw"))).as("score_micro"))
+      .join(e, Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), col("common_neighbors"),
+        col("score_micro"),
+        round(col("score_micro") / 1000000.0, 6).as(scoreName))
+      .orderBy(col("score_micro").desc, col("a"), col("b"))
       .limit(k)
   }
 

@@ -944,6 +944,159 @@ object Llm {
   private def quantCodeSql(x: String, scale: String): String =
     s"CASE WHEN $scale = 0 THEN 0 ELSE round(CAST($x AS DOUBLE) / $scale) END"
 
+  // -------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid, TPAMI 2011 — the
+  // driver-side double-precision variant lives in functions/
+  // ProductQuantizer.scala with PqSpec): m=8 subspaces × 8 dims, k=16
+  // codes per subspace, so a 64-dim float vector (256 B) stores as 8
+  // codes (8 B, 32×) and queries score candidates by Asymmetric
+  // Distance Computation — a per-(query, subspace) lookup table of
+  // code dot-products, summed by stored code. The DECLARED chain runs
+  // every training / encode / ADC step on an exact integer TICK grid
+  // (t = round(x·10⁴) per dimension — the int8 key's fixed-point
+  // discipline applied to a whole codebook): squared-L2 assignment
+  // distances, centroid re-averages (floor division), LUT entries and
+  // ADC scores are all BIGINT arithmetic, so both engines pick the
+  // IDENTICAL codebook, codes, and candidate cut — no float compare
+  // anywhere before the final exact-cosine re-rank.
+  // -------------------------------------------------------------------
+  private[graft] val PqM = 8 // subspaces
+  private[graft] val PqD = 8 // dims per subspace (PqM·PqD = embedding dim)
+  private[graft] val PqK = 256 // codes per subspace (8-bit codes — the PQ8 recipe)
+
+  /** (vec_id, j, sub): one row per vector per subspace; sub = that
+    * subspace's PqD ticks. The explode is map-side (×PqM fan-out of an
+    * already-narrow frame) — at 100 TB this frame is the PQ build's
+    * working set and is ~2.5× the PACKED code size, far below raw
+    * vectors. */
+  private[graft] def pqSubFrame(e: DataFrame): DataFrame = {
+    val ticks = transform(col("embedding"),
+      x => round(x.cast("double") * 10000).cast("long"))
+    e.select(col("vec_id"), ticks.as("t"))
+      .select(col("vec_id"), posexplode(
+        array((0 until PqM).map(j => slice(col("t"), j * PqD + 1, PqD)): _*))
+        .as(Seq("j", "sub")))
+  }
+
+  /** Exact-integer squared L2 between two PqD-tick arrays. */
+  private def pqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Uniform deterministic seeds: per (subspace, hash-bucket) the
+    * min-uniform-hash vector's sub-ticks — PqK independent draws per
+    * subspace, one map-side-combinable min_by shuffle (the
+    * [[ivfSeedScalable]] stage-1 idiom, per subspace). */
+  private[graft] def pqSeeds(sv: DataFrame): DataFrame = {
+    def ph(prefix: String): Column = PortableHash.pHash(concat(
+      lit(prefix), col("j").cast("string"), lit(":"),
+      col("vec_id").cast("string")))
+    sv.select(col("j"), col("sub"), col("vec_id"),
+        (ph("pqb") % PqK).as("c"), ph("pqu").as("uh"))
+      .groupBy("j", "c")
+      .agg(min_by(col("sub"), struct(col("uh"), col("vec_id"))).as("cent"))
+  }
+
+  /** The codebook re-shaped for in-row argmin: ONE row per subspace,
+    * code ids and centroids as parallel arrays sorted by code (c is
+    * unique per j, so the struct sort is total). PqM rows — broadcast
+    * at any corpus size. */
+  private def pqCodebookArr(cb: DataFrame): DataFrame = {
+    val sorted = array_sort(collect_list(struct(col("c"), col("cent"))))
+    cb.groupBy("j").agg(
+      transform(sorted, x => x("c")).as("cs"),
+      transform(sorted, x => x("cent")).as("cents"))
+  }
+
+  /** argmin code assignment of every (vec_id, j) row against its
+    * subspace codebook — IN-ROW over the broadcast array codebook
+    * (map-side, zero shuffle: the join+groupBy formulation pushed
+    * n·PqM·PqK rows through an agg exchange and cost ~4× the whole
+    * chain) via the native codegen [[org.apache.spark.sql.graft
+    * .PqArgminCode]] (one fused long loop; the HOF formulation
+    * evaluated ~2·k·d boxed lambdas per row and was just as slow as
+    * the shuffle it replaced). First-min over the code-sorted array ==
+    * the oracle's ORDER BY (dist, c) rn=1. Keeps sub for the
+    * re-average pass. */
+  private[graft] def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions.pqArgminCode
+    sv.join(broadcast(pqCodebookArr(cb)), Seq("j"))
+      .select(col("vec_id"), col("j"), col("sub"),
+        pqArgminCode(col("sub"), col("cents"), col("cs")).as("code"))
+  }
+
+  /** One Lloyd re-average in exact integers: per (j, code, dim) the
+    * floor of sum/count — (s − pmod(s, n)) is divisible by n, so `div`
+    * is exact and both engines floor identically for negative sums. */
+  private[graft] def pqRecenter(a: DataFrame): DataFrame =
+    a.select(col("j"), col("code").as("c"),
+        posexplode(col("sub")).as(Seq("dim", "t")))
+      .groupBy("j", "c", "dim")
+      .agg(sum(col("t")).as("sl"), count(lit(1)).as("n"))
+      .select(col("j"), col("c"), col("dim"),
+        expr("(sl - pmod(sl, n)) div n").as("v"))
+      .groupBy("j", "c")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
+        x => x("v")).as("cent"))
+
+  /** Pack per-subspace codes into the stored-index row shape: one row
+    * per vector, codes ordered by subspace — what a real PQ index
+    * stores (8 small ints per vector, 32× below the raw floats). */
+  private[graft] def pqCodesPacked(assigned: DataFrame): DataFrame =
+    assigned.groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
+        x => x("code")).as("codes"))
+
+  /** DuckDB twin of the squared-L2 between list columns `a` and `b`. */
+  private def pqDistSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, ${PqD + 1}),
+       |             i -> (list_extract($a, i) - list_extract($b, i))
+       |                * (list_extract($a, i) - list_extract($b, i))))""".stripMargin
+
+  /** DuckDB twin of one [[pqAssign]] pass from codebook CTE `cb` into
+    * CTE `out` (columns vec_id, j, sub, code). */
+  private def pqAssignCte(cb: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, j, sub, c AS code FROM (
+       |    SELECT sv.vec_id, sv.j, sv.sub, $cb.c,
+       |           row_number() OVER (PARTITION BY sv.vec_id, sv.j
+       |             ORDER BY ${pqDistSql("sv.sub", s"$cb.cent")}, $cb.c) AS rn
+       |    FROM sv JOIN $cb ON sv.j = $cb.j) WHERE rn = 1
+       |)""".stripMargin
+
+  /** The shared PQ training replay: tick subspaces → hash-bucket seeds
+    * → assign → exact-integer re-average into trained codebook `cb`. */
+  private def pqTrainCtes: String = {
+    def ph(prefix: String): String = PortableHash.sql(
+      s"'$prefix' || CAST(j AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)")
+    s"""tk AS (
+       |  SELECT vec_id, list_transform(embedding, x ->
+       |           CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS t
+       |  FROM embeddings
+       |), sv AS (
+       |  SELECT vec_id, j, list_transform(range(1, ${PqD + 1}),
+       |           i -> list_extract(t, j * $PqD + i)) AS sub
+       |  FROM tk CROSS JOIN (SELECT unnest(range(0, $PqM)) AS j)
+       |), sd AS (
+       |  SELECT j, c, sub AS cent FROM (
+       |    SELECT j, ${ph("pqb")} % $PqK AS c, sub,
+       |           row_number() OVER (PARTITION BY j, ${ph("pqb")} % $PqK
+       |             ORDER BY ${ph("pqu")}, vec_id) AS rn
+       |    FROM sv) WHERE rn = 1
+       |), ${pqAssignCte("sd", "pa1")}, cb AS (
+       |  SELECT j, code AS c, list(v ORDER BY dim) AS cent FROM (
+       |    SELECT j, code, dim,
+       |           (s - ((s % n) + n) % n) // n AS v
+       |    FROM (
+       |      SELECT j, code, dim, CAST(sum(t) AS BIGINT) AS s,
+       |             CAST(count(*) AS BIGINT) AS n
+       |      FROM (SELECT j, code, unnest(sub) AS t,
+       |                   unnest(range(1, ${PqD + 1})) AS dim FROM pa1)
+       |      GROUP BY 1, 2, 3))
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
   /** Distinct doc shingles, with an optional WHERE pushed into the doc
     * scan (the est-quality DOC sample — the filter must prune documents
     * BEFORE shingling or the sample saves nothing). */
@@ -4930,6 +5083,237 @@ object Llm {
         .agg(count(lit(1)).as("n_clusters"),
           sum(col("cluster_size")).cast("long").as("n_vecs"))
         .orderBy("cluster_size")
+    },
+
+    // PQ/ADC top-k, SERVED from the persisted index (round 10 — VERDICT
+    // r9 #6, built straight onto the r9-#1 index precedent so per-query
+    // PQ training never becomes next round's scale wart):
+    // product-quantize the corpus (8 subspaces × 256 codes over 10⁻⁴
+    // ticks, one hash-seeded Lloyd round — every arithmetic step exact
+    // BIGINT, see pqTrainCtes) ONCE per corpus fingerprint into
+    // config.PqIndex's lake state (codebook + packed codes); the
+    // declared plan READS both, builds each query's 8×256 LUT of
+    // subspace dot-products, ADC-scores EVERY stored code row (8
+    // integer lookups + adds per candidate — the compressed linear
+    // scan PQ exists for), cuts to the top-64 ADC candidates per
+    // query, and exact-cosine re-ranks to the final top-5. The integer
+    // discipline is what makes the candidate CUT itself deterministic
+    // across engines — adc ties at the boundary break on n_id, never
+    // on a float. At 100 TB the ADC scan rides the stored IVF cells
+    // instead of the full corpus — that composition is declared as
+    // llm_ivfpq_topk. Shuffles: one (q_id, n_id) ADC sum — LUT,
+    // codebook, candidate and query sides all broadcast.
+    Q("llm_pq_topk", pqTopkOracle) { (s, d) =>
+      val dir = graft.config.PqIndex.ensure(s, d)
+      val codes = graft.config.PqIndex.codes(s, dir)
+        .select(col("vec_id").as("n_id"),
+          posexplode(col("codes")).as(Seq("j", "code")))
+      pqTopkFrom(codes, graft.config.PqIndex.codebook(s, dir),
+        emb(s, d).select(col("vec_id"), col("embedding")))
+    },
+
+    // The RECOMPUTE twin of llm_pq_topk (the llm_ann_ivf_train /
+    // near-dup-registry precedent): identical semantics, identical
+    // oracle, training kept INSIDE the declared plan — stored codebook
+    // + codes and the live recipe can never drift unnoticed, because
+    // both keys must hash-match the same replayed CTE chain.
+    Q("llm_pq_topk_train", pqTopkOracle) { (s, d) =>
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      // the subspace tick-frame feeds seeding + two assignment passes +
+      // the query LUT — one materialization instead of four scans
+      val sv = pqSubFrame(e).persist()
+      // trained codebook: ≤2048 rows; localCheckpoint cuts the training
+      // lineage so encode/LUT don't each replan seeding + Lloyd
+      val cb = pqRecenter(pqAssign(sv, pqSeeds(sv))).localCheckpoint()
+      val codes = pqAssign(sv, cb)
+        .select(col("vec_id").as("n_id"), col("j"), col("code"))
+      pqTopkFrom(codes, cb, e)
+    },
+
+    // IVFADC (round 10; Jégou et al. 2011 §IV — the composition the
+    // 100 TB ANN recipe actually runs): the stored IVF coarse quantizer
+    // routes each query to its 2 nearest cells, the stored PQ codes
+    // ADC-score ONLY those cells' members (8 integer lookups per
+    // candidate over the 32×-compressed code table), the top-16 ADC
+    // candidates re-rank by exact cosine against the inverted file's
+    // embedded vectors — the base embeddings table is read only for the
+    // 20 bounded query rows. Per-query cost = probe + ∝ probed-cell
+    // population; neither index trains in this plan (both ride their
+    // fingerprinted lake state; the recompute twins pin the recipes).
+    // Both CTE chains replay in the oracle, so a drift in EITHER stored
+    // index hash-mismatches this key too.
+    Q("llm_ivfpq_topk", ivfpqTopkOracle) { (s, d) =>
+      val ivfDir = graft.config.IvfIndex.ensure(s, d)
+      val pqDir = graft.config.PqIndex.ensure(s, d)
+      val cents = graft.config.IvfIndex.centroids(s, ivfDir)
+      val inv = graft.config.IvfIndex.assignments(s, ivfDir)
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val queries = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wq = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cell"))
+      val probes = queries.join(broadcast(cents), lit(true))
+        .select(col("q_id"), col("cell"),
+          round(cosineSim(col("q_emb"), col("cent")), 6).as("sim"))
+        .withColumn("rn", row_number().over(wq))
+        .where(col("rn") <= 2)
+        .select(col("q_id"), col("cell"))
+      // inverted-file members of the probed cells: the broadcast probe
+      // frame's cell keys dynamic-partition-prune the cell-partitioned
+      // scan to the probed cells' files
+      val cm = inv.select(col("cell"), col("vec_id").as("n_id"))
+        .join(broadcast(probes), Seq("cell"))
+        .where(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"))
+      val codes = graft.config.PqIndex.codes(s, pqDir)
+        .select(col("vec_id").as("n_id"),
+          posexplode(col("codes")).as(Seq("j", "code")))
+      val lut = pqLut(graft.config.PqIndex.codebook(s, pqDir), e)
+        .withColumnRenamed("c", "code")
+      val adc = cm.join(codes, Seq("n_id"))
+        .join(broadcast(lut), Seq("q_id", "j", "code"))
+        .groupBy("q_id", "n_id").agg(sum(col("v")).as("adc"))
+      val wc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
+      val cand = adc.withColumn("crn", row_number().over(wc))
+        .where(col("crn") <= 16).select(col("q_id"), col("n_id"), col("adc"))
+      val ne = inv.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val wr = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      ne.join(broadcast(cand), Seq("n_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .select(col("q_id"), col("n_id"), col("adc"),
+          round(cosineSim(col("q_emb"), col("n_emb")), 6).as("sim"))
+        .withColumn("rn", row_number().over(wr))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"), col("adc"), col("sim"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("q_id", "rn")
     }
   )
+
+  /** The ONE PQ top-k oracle text, shared verbatim by the stored-index
+    * key (llm_pq_topk) and its recompute twin (llm_pq_topk_train) —
+    * the driver hash-comparing both against the same replayed training
+    * chain is what pins stored state to the live recipe. */
+  private lazy val pqTopkOracle: String =
+    s"""WITH $pqTrainCtes, ${pqAssignCte("cb", "penc")}, lut AS (
+       |  SELECT sv.vec_id AS q_id, sv.j, cb.c,
+       |         CAST(list_sum(list_transform(range(1, ${PqD + 1}),
+       |           i -> list_extract(sv.sub, i) * list_extract(cb.cent, i)))
+       |           AS BIGINT) AS v
+       |  FROM sv JOIN cb ON sv.j = cb.j
+       |  WHERE sv.vec_id < 20
+       |), adc AS (
+       |  SELECT q_id, penc.vec_id AS n_id, CAST(sum(v) AS BIGINT) AS adc
+       |  FROM penc JOIN lut ON penc.j = lut.j AND penc.code = lut.c
+       |  WHERE penc.vec_id <> lut.q_id
+       |  GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT q_id, n_id, adc FROM (
+       |    SELECT q_id, n_id, adc, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY adc DESC, n_id) AS crn
+       |    FROM adc) WHERE crn <= 64
+       |), rr AS (
+       |  SELECT c.q_id, c.n_id, c.adc,
+       |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                      CAST(n.embedding AS DOUBLE[])), 6)
+       |           AS sim
+       |  FROM cand c JOIN embeddings q ON q.vec_id = c.q_id
+       |              JOIN embeddings n ON n.vec_id = c.n_id
+       |)
+       |SELECT q_id, n_id, adc, sim, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT q_id, n_id, adc, sim, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+       |  FROM rr) WHERE rn <= 5
+       |ORDER BY q_id, rn""".stripMargin
+
+  /** The IVFADC oracle: BOTH stored-index training chains replayed
+    * (coarse quantizer + PQ codebook), then probe → cell-restricted ADC
+    * → exact re-rank from the inverted file. */
+  private lazy val ivfpqTopkOracle: String =
+    s"""WITH $ivfTrainedAssignCtes, $pqTrainCtes,
+       |${pqAssignCte("cb", "penc")}, lut AS (
+       |  SELECT sv.vec_id AS q_id, sv.j, cb.c,
+       |         CAST(list_sum(list_transform(range(1, ${PqD + 1}),
+       |           i -> list_extract(sv.sub, i) * list_extract(cb.cent, i)))
+       |           AS BIGINT) AS v
+       |  FROM sv JOIN cb ON sv.j = cb.j
+       |  WHERE sv.vec_id < 20
+       |), probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT e.vec_id AS q_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                          CAST(c.cent AS DOUBLE[])), 6)
+       |             DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c
+       |    WHERE e.vec_id < 20)
+       |  WHERE rn <= 2
+       |), cm AS (
+       |  SELECT p.q_id, a3.vec_id AS n_id
+       |  FROM probes p JOIN a3 ON a3.cell = p.cell
+       |  WHERE a3.vec_id <> p.q_id
+       |), adcq AS (
+       |  SELECT cm.q_id, cm.n_id, CAST(sum(lut.v) AS BIGINT) AS adc
+       |  FROM cm JOIN penc ON penc.vec_id = cm.n_id
+       |          JOIN lut ON lut.q_id = cm.q_id AND lut.j = penc.j
+       |                  AND lut.c = penc.code
+       |  GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT q_id, n_id, adc FROM (
+       |    SELECT q_id, n_id, adc, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY adc DESC, n_id) AS crn
+       |    FROM adcq) WHERE crn <= 16
+       |), rr AS (
+       |  SELECT c.q_id, c.n_id, c.adc,
+       |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                      CAST(n.embedding AS DOUBLE[])), 6)
+       |           AS sim
+       |  FROM cand c JOIN embeddings q ON q.vec_id = c.q_id
+       |              JOIN a3 n ON n.vec_id = c.n_id
+       |)
+       |SELECT q_id, n_id, adc, sim, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT q_id, n_id, adc, sim, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+       |  FROM rr) WHERE rn <= 5
+       |ORDER BY q_id, rn""".stripMargin
+
+  /** LUT build + ADC scan + top-64 cut + exact re-rank — the PQ serving
+    * chain shared by the stored-index key and its recompute twin.
+    * `codes`: (n_id, j, code); `cb`: codebook rows (j, c, cent);
+    * `e`: (vec_id, embedding). Queries are ticked in-plan (20 rows). */
+  /** Per-query ADC lookup table: (q_id, j, c, v = qsub·cent in exact
+    * tick² BIGINTs) — one row per (query, subspace, code), broadcast-
+    * sized (queries are a bounded anchor set). */
+  private def pqLut(cb: DataFrame, e: DataFrame): DataFrame =
+    pqSubFrame(e.where(col("vec_id") < 20))
+      .select(col("vec_id").as("q_id"), col("j"), col("sub").as("qsub"))
+      .join(broadcast(cb), Seq("j"))
+      .select(col("q_id"), col("j"), col("c"),
+        aggregate(zip_with(col("qsub"), col("cent"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("v"))
+
+  private def pqTopkFrom(
+      codes: DataFrame, cb: DataFrame, e: DataFrame): DataFrame = {
+    val lut = pqLut(cb, e)
+    val adc = codes
+      .join(broadcast(lut),
+        codes("j") === lut("j") && codes("code") === lut("c"))
+      .where(col("n_id") =!= col("q_id"))
+      .groupBy("q_id", "n_id").agg(sum(col("v")).as("adc"))
+    val wc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
+    val cand = adc.withColumn("crn", row_number().over(wc))
+      .where(col("crn") <= 64).select(col("q_id"), col("n_id"), col("adc"))
+    val qe = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val ne = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val wr = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    ne.join(broadcast(cand), Seq("n_id"))
+      .join(broadcast(qe), Seq("q_id"))
+      .select(col("q_id"), col("n_id"), col("adc"),
+        round(cosineSim(col("q_emb"), col("n_emb")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wr))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("n_id"), col("adc"), col("sim"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("q_id", "rn")
+  }
 }

@@ -62,4 +62,46 @@ class PqSpec extends AnyFunSuite {
         s"ADC-50 shortlist recall of exact top-10 = $mean (want >= 0.6)")
     } finally codes.unpersist()
   }
+
+  test("PqArgminCode: codegen == eval, first-min tie-break, codebook " +
+    "holes honored, length-mismatched centroids skipped") {
+    import org.apache.spark.sql.graft.VectorFunctions.pqArgminCode
+    // codebook with a HOLE (code ids 0, 3, 7) and a tie: sub [1,1]
+    // is equidistant from cents[0]=[0,0] and cents[1]=[2,2] (d=2 each)
+    // → first-min picks position 0 → code 0. cents[2] has the wrong
+    // arity and must be skipped, never crash.
+    val df = Seq(
+      (Seq(1L, 1L), Seq(Seq(0L, 0L), Seq(2L, 2L), Seq(9L)), Seq(0L, 3L, 7L)),
+      (Seq(5L, 5L), Seq(Seq(0L, 0L), Seq(2L, 2L), Seq(9L)), Seq(0L, 3L, 7L)),
+      (Seq(9L, 9L), Seq(Seq(9L)), Seq(7L))) // no valid centroid → first kept
+      .toDF("sub", "cents", "cs")
+      .select(pqArgminCode(col("sub"), col("cents"), col("cs")).as("code"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 3L, 7L))
+    // codegen and interpreted eval agree on the declared chain's shapes
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(64).select(col("vec_id"), col("embedding"))
+    val sv = graft.operators.Llm.pqSubFrame(e)
+    val cb = graft.operators.Llm.pqRecenter(graft.operators.Llm.pqAssign(
+      sv, graft.operators.Llm.pqSeeds(sv)))
+    val assigned = graft.operators.Llm.pqAssign(sv, cb)
+      .select("vec_id", "j", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interpreted = graft.operators.Llm.pqAssign(sv, cb)
+        .select("vec_id", "j", "code").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(interpreted == assigned,
+        "interpreted eval must equal codegen for PqArgminCode")
+    }
+  }
+
+  private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
