@@ -1461,6 +1461,44 @@ object ScaleSmoke {
       }
     }
 
+    // PQ index build + full-scan ADC serve at 500k/1M 64-dim vectors
+    // (round 10 — the llm_pq_topk machinery at 250/500× the bench
+    // embeddings). Pins two claims: (a) the one-per-fingerprint BUILD
+    // is a handful of map-side passes dominated by the native
+    // PqArgminCode encode (n·m·k integer distance loops), (b) the
+    // SERVE is the honest compressed linear scan — cost ∝ corpus
+    // (doubling n should ~double serve wall), but over the 32×-smaller
+    // code table with a broadcast LUT, never the raw vectors. The FLAT
+    // serve path at 100 TB is IVFADC (llm_ivfpq_topk: same codes, cell-
+    // restricted), whose candidate population is pinned by the ivf
+    // probes above.
+    if (only.isEmpty || only.exists("pq index".contains)) {
+      def synthEmb64(n: Long): org.apache.spark.sql.DataFrame =
+        spark.range(n).select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(64)), j =>
+            ((pmod(xxhash64(col("id"), j), lit(2000)).cast("double")
+              / 1000.0) - 1.0).cast("float")).as("embedding"))
+      for (n <- Seq(500000L, 1000000L)) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_scale_pq_${n / 1000}k").toString
+        time(f"pq index build ${n / 1000}%dk") {
+          config.PqIndex.build(spark, synthEmb64(n), dir)
+          n
+        }
+        time(f"pq adc serve ${n / 1000}%dk") {
+          val codes = config.PqIndex.codes(spark, dir)
+            .select(col("vec_id").as("n_id"),
+              posexplode(col("codes")).as(Seq("j", "code")))
+          val r = operators.Llm.pqTopkFrom(codes,
+            config.PqIndex.codebook(spark, dir), synthEmb64(n)).count()
+          require(r == 100, s"20 queries x top-5 expected, got $r")
+          spark.catalog.clearCache()
+          r
+        }
+      }
+    }
+
     // The FULL corpus pipeline (llm_corpus_build body) at 500k docs with
     // the production FastHash sketch family: dedup → quality → pack E2E.
     // Runs under DEFAULT autoBroadcastJoinThreshold on purpose: round 3

@@ -4244,6 +4244,58 @@ object Aggregates {
             sum(col("rho") * col("rho") / (col("nd") - col("lag"))).over(wq),
             6).as("lb_q"))
         .orderBy("event_type", "lag")
+    },
+
+    // Durbin–Watson statistic (round 10; Durbin & Watson 1950): the
+    // lag-1 residual-autocorrelation diagnostic agg_ljung_box
+    // generalizes — DW ≈ 2(1−ρ₁), so ~2 = white noise, →0 = positive
+    // serial correlation, →4 = negative. Same (type × day) bounded
+    // frame; same integer doctrine: the numerator Σ(xₜ−xₜ₋₁)² is exact
+    // BIGINT as-is, the denominator clears x̄ by N-scaling — num·N² /
+    // Σ(N·x−S)² is a single double division of two exact integers.
+    Q("agg_durbin_watson",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |         CAST(sum(n) AS BIGINT) AS s
+        |  FROM daily GROUP BY 1
+        |), lg AS (
+        |  SELECT d.event_type, nd, s, n,
+        |         lag(n) OVER (PARTITION BY d.event_type ORDER BY day) AS pn
+        |  FROM daily d JOIN st USING (event_type)
+        |), mo AS (
+        |  SELECT event_type, max(nd) AS n_days,
+        |    CAST(sum(CASE WHEN pn IS NOT NULL
+        |                  THEN (n - pn) * (n - pn) END) AS BIGINT) AS num,
+        |    CAST(sum((nd*n - s) * (nd*n - s)) AS BIGINT) AS den
+        |  FROM lg GROUP BY event_type
+        |)
+        |SELECT event_type, n_days,
+        |       round(CAST(num AS DOUBLE) * n_days * n_days
+        |             / nullif(den, 0), 6) AS dw_stat
+        |FROM mo ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val st = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum("n").as("s"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lg = daily
+        .select(col("event_type"), col("n"), lag(col("n"), 1).over(w).as("pn"))
+        .join(broadcast(st), Seq("event_type"))
+      def c0 = col("nd") * col("n") - col("s")
+      lg.groupBy("event_type")
+        .agg(max("nd").as("n_days"),
+          sum(when(col("pn").isNotNull,
+            (col("n") - col("pn")) * (col("n") - col("pn")))).as("num"),
+          sum(c0 * c0).as("den"))
+        .select(col("event_type"), col("n_days"),
+          round(col("num").cast("double") * col("n_days") * col("n_days") /
+            when(col("den") =!= 0, col("den")), 6).as("dw_stat"))
+        .orderBy("event_type")
     }
   )
 }

@@ -3075,6 +3075,54 @@ object Etl {
           (floor(col("n_matches").cast("double") / col("n_candidates")
             * 1000000) / 1000000).as("match_rate"))
         .orderBy("n_name")
+    },
+
+    // Month-over-month / year-over-year growth (round 10): the revenue
+    // trend readout every monthly business review opens with — monthly
+    // order revenue with its MoM growth and the CALENDAR-join YoY (the
+    // year-ago month is matched by month arithmetic, not by "12 rows
+    // back", so a gap month can never silently shift the comparison —
+    // the etl_monthly_usage family's level view gains its growth view).
+    // Plan: the fact reduces map-side to the bounded month frame
+    // (DECIMAL sums — order-insensitive); the lag window and the
+    // year-ago self-join run over ~80 rows. Each growth ratio is one
+    // double division of exact DECIMAL sums, rounded at 6.
+    Q("etl_mom_yoy",
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS rev,
+        |         CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1
+        |), lagd AS (
+        |  SELECT month, rev, n_orders,
+        |         lag(rev) OVER (ORDER BY month) AS prev_rev
+        |  FROM m
+        |)
+        |SELECT l.month, round(l.rev, 2) AS revenue, l.n_orders,
+        |       round(l.rev / nullif(l.prev_rev, 0) - 1, 6) AS mom_pct,
+        |       round(l.rev / nullif(y.rev, 0) - 1, 6) AS yoy_pct
+        |FROM lagd l LEFT JOIN m y
+        |  ON y.month = l.month - INTERVAL 12 MONTH
+        |ORDER BY l.month""".stripMargin) { (s, d) =>
+      val m = orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("rev"), count(lit(1)).as("n_orders"))
+      // ~80-row month frame: the unpartitioned lag window and the
+      // year-ago self-join belong exactly here
+      val lagd = m.select(col("month"), col("rev"), col("n_orders"),
+        lag(col("rev"), 1).over(Window.orderBy("month")).as("prev_rev"))
+      val y = m.select(col("month").as("y_month"), col("rev").as("y_rev"))
+      lagd.join(broadcast(y),
+          col("y_month") === col("month") - expr("INTERVAL 12 MONTH"), "left")
+        .select(col("month"), round(col("rev"), 2).as("revenue"),
+          col("n_orders"),
+          round(col("rev") / when(col("prev_rev") =!= 0, col("prev_rev")) - 1,
+            6).as("mom_pct"),
+          round(col("rev") / when(col("y_rev") =!= 0, col("y_rev")) - 1,
+            6).as("yoy_pct"))
+        .orderBy("month")
     }
   ) :+ resampleQ
 

@@ -1175,6 +1175,54 @@ object Extras {
         "resource_alloc")
     },
 
+    // Preferential-attachment link prediction (round 10; Barabási &
+    // Albert 1999): score = deg(a)·deg(b) — the "rich get richer" null
+    // model that completes the link-prediction family (CN counts shared
+    // structure, Jaccard/AA/RA discount hubs, PA *is* the hub prior a
+    // real ranker calibrates against). Candidates stay the wedge-
+    // connected non-adjacent pairs (scoring ALL n² non-edges is the
+    // textbook definition and the cluster outage); score is a pure
+    // BIGINT product — zero float operations anywhere.
+    Q("graph_pref_attachment",
+      """WITH lp AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |), e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+        |), sym AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+        |), deg AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u
+        |), cn AS (
+        |  SELECT DISTINCT s1.u AS a, s2.u AS b
+        |  FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+        |), nc AS (
+        |  SELECT a, b FROM cn
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.a AND e.b = cn.b)
+        |)
+        |SELECT nc.a, nc.b, da.deg AS deg_a, db.deg AS deg_b,
+        |       da.deg * db.deg AS pa_score
+        |FROM nc JOIN deg da ON da.u = nc.a JOIN deg db ON db.u = nc.b
+        |ORDER BY pa_score DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+      val e = coOrderEdges(s, d, "1997-01-01", "1998-01-01").persist()
+      val sym = symmetrize(e).select(col("a").as("u"), col("b").as("v"))
+        .persist()
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+      val s2 = sym.select(col("u").as("u2"), col("v").as("v2"))
+      sym.join(s2, col("v") === col("v2") && col("u") < col("u2"))
+        .select(col("u").as("a"), col("u2").as("b")).distinct()
+        .join(e, Seq("a", "b"), "left_anti")
+        .join(deg.select(col("u").as("a"), col("deg").as("deg_a")), Seq("a"))
+        .join(deg.select(col("u").as("b"), col("deg").as("deg_b")), Seq("b"))
+        .select(col("a"), col("b"), col("deg_a"), col("deg_b"),
+          (col("deg_a") * col("deg_b")).as("pa_score"))
+        .orderBy(col("pa_score").desc, col("a"), col("b"))
+        .limit(20)
+    },
+
     // Degree assortativity (round 7, continued): Newman's r — the
     // Pearson correlation of endpoint degrees across edges, the one
     // scalar that says whether hubs attach to hubs (r>0, social-style)

@@ -5291,7 +5291,7 @@ object Llm {
         aggregate(zip_with(col("qsub"), col("cent"), (x, y) => x * y),
           lit(0L), (acc, v) => acc + v).as("v"))
 
-  private def pqTopkFrom(
+  private[graft] def pqTopkFrom(
       codes: DataFrame, cb: DataFrame, e: DataFrame): DataFrame = {
     val lut = pqLut(cb, e)
     val adc = codes

@@ -96,6 +96,36 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("stored PQ index serves results identical to live training, " +
+    "idempotently (r10 — the IVF stored-index contract applied to PQ)") {
+    val d = "/root/testdata/sf0.001"
+    val dir = graft.config.PqIndex.ensure(spark, d)
+    val stored = SparkEntry.queries("llm_pq_topk")(spark, d).collect().toSeq
+    val live = SparkEntry.queries("llm_pq_topk_train")(spark, d)
+      .collect().toSeq
+    // the twin contract: stored codebook + codes answer EXACTLY what
+    // live training answers (the driver additionally pins both to the
+    // same replayed oracle CTE chain)
+    assert(stored == live)
+    assert(stored.nonEmpty)
+    // ensure() is idempotent per fingerprint — the second call serves
+    // the same dir without rebuilding
+    val mt0 = new java.io.File(s"$dir/codebook").lastModified
+    assert(graft.config.PqIndex.ensure(spark, d) == dir)
+    assert(new java.io.File(s"$dir/codebook").lastModified == mt0)
+    // the stored code table really is the compressed representation:
+    // one row per vector, PqM codes each, every code inside [0, PqK)
+    val codes = graft.config.PqIndex.codes(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val nVecs = Tables(spark, d, "embeddings").count()
+    assert(codes.length == nVecs)
+    assert(codes.forall { case (_, cs) =>
+      cs.length == graft.operators.Llm.PqM &&
+        cs.forall(c => c >= 0 && c < graft.operators.Llm.PqK)
+    })
+    spark.catalog.clearCache()
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
