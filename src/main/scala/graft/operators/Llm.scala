@@ -5130,6 +5130,57 @@ object Llm {
       pqTopkFrom(codes, cb, e)
     },
 
+    // PQ retrieval eval (round 10): recall@5 of the stored-index PQ/ADC
+    // chain against brute-force exact cosine, per query — the
+    // llm_ann_recall readout applied to the new index family, so "are
+    // 8 one-byte codes enough at my k?" is an oracle-verified number on
+    // the dashboard, not a spec-only claim. Exact side = the
+    // llm_knn_per_query plan; PQ side = the llm_pq_topk serving chain.
+    Q("llm_pq_recall",
+      s"""WITH $pqTopkCtes, ex AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                                        CAST(c.embedding AS DOUBLE[])), 6)
+         |             DESC, c.vec_id) AS rn
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 20
+         |), exact AS (
+         |  SELECT q_id, n_id FROM ex WHERE rn <= 5
+         |)
+         |SELECT e.q_id, CAST(count(p.n_id) AS BIGINT) AS n_hit,
+         |       round(CAST(count(p.n_id) AS DOUBLE) / 5, 6) AS recall
+         |FROM exact e LEFT JOIN pq5 p
+         |  ON p.q_id = e.q_id AND p.n_id = e.n_id
+         |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin) { (s, d) =>
+      val dir = graft.config.PqIndex.ensure(s, d)
+      val codes = graft.config.PqIndex.codes(s, dir)
+        .select(col("vec_id").as("n_id"),
+          posexplode(col("codes")).as(Seq("j", "code")))
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val pq5 = pqTopkFrom(codes, graft.config.PqIndex.codebook(s, dir), e)
+        .select(col("q_id"), col("n_id"))
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .repartition(probeFanout(s))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      val exact = c.join(broadcast(q), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          round(cosineSim(col("q_emb"), col("n_emb")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"))
+      exact.join(pq5.withColumnRenamed("n_id", "p_nid")
+          .withColumnRenamed("q_id", "p_qid"),
+          col("p_qid") === col("q_id") && col("p_nid") === col("n_id"),
+          "left")
+        .groupBy("q_id")
+        .agg(count(col("p_nid")).as("n_hit"),
+          round(count(col("p_nid")).cast("double") / 5, 6).as("recall"))
+        .orderBy("q_id")
+    },
+
     // IVFADC (round 10; Jégou et al. 2011 §IV — the composition the
     // 100 TB ANN recipe actually runs): the stored IVF coarse quantizer
     // routes each query to its 2 nearest cells, the stored PQ codes
@@ -5193,8 +5244,8 @@ object Llm {
     * key (llm_pq_topk) and its recompute twin (llm_pq_topk_train) —
     * the driver hash-comparing both against the same replayed training
     * chain is what pins stored state to the live recipe. */
-  private lazy val pqTopkOracle: String =
-    s"""WITH $pqTrainCtes, ${pqAssignCte("cb", "penc")}, lut AS (
+  private lazy val pqTopkCtes: String =
+    s"""$pqTrainCtes, ${pqAssignCte("cb", "penc")}, lut AS (
        |  SELECT sv.vec_id AS q_id, sv.j, cb.c,
        |         CAST(list_sum(list_transform(range(1, ${PqD + 1}),
        |           i -> list_extract(sv.sub, i) * list_extract(cb.cent, i)))
@@ -5218,11 +5269,16 @@ object Llm {
        |           AS sim
        |  FROM cand c JOIN embeddings q ON q.vec_id = c.q_id
        |              JOIN embeddings n ON n.vec_id = c.n_id
-       |)
-       |SELECT q_id, n_id, adc, sim, CAST(rn AS BIGINT) AS rn FROM (
-       |  SELECT q_id, n_id, adc, sim, row_number() OVER (
-       |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
-       |  FROM rr) WHERE rn <= 5
+       |), pq5 AS (
+       |  SELECT q_id, n_id, adc, sim, CAST(rn AS BIGINT) AS rn FROM (
+       |    SELECT q_id, n_id, adc, sim, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+       |    FROM rr) WHERE rn <= 5
+       |)""".stripMargin
+
+  private lazy val pqTopkOracle: String =
+    s"""WITH $pqTopkCtes
+       |SELECT q_id, n_id, adc, sim, rn FROM pq5
        |ORDER BY q_id, rn""".stripMargin
 
   /** The IVFADC oracle: BOTH stored-index training chains replayed

@@ -298,21 +298,30 @@ class NearDupSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.001"
     val rows = queries("llm_minhash_est_quality")(spark, sf).collect()
     assert(rows.nonEmpty)
-    // every SAMPLED banded candidate pair is scored exactly once (r9:
-    // the declared readout draws a deterministic 1-in-4 pair sample;
-    // replay the predicate over the full verified set to count them —
-    // the exhaustive sweep itself is audited in ApproxSpec)
+    // every banded candidate pair of the SAMPLED documents is scored
+    // exactly once (round 10: the declared readout draws a
+    // deterministic 1-in-3 DOCUMENT sample — replay the doc predicate
+    // in the JVM, re-run the verified pipeline on exactly those docs,
+    // and the scored pair count must match; the exhaustive sweep
+    // itself is audited in ApproxSpec)
     val nPairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    def docSampled(docId: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"eqd:$docId".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 3 == 0
+    }
+    val sampledIds = Tables(spark, sf, "documents").select("doc_id")
+      .collect().map(_.getLong(0)).filter(docSampled).toSet
+    import org.apache.spark.sql.functions.col
     val verified = operators.Llm.minhashVerified(
-        Tables(spark, sf, "documents"))
+        Tables(spark, sf, "documents")
+          .where(col("doc_id").isin(sampledIds.toSeq: _*)))
       .select("d1", "d2").collect()
-      .count { r =>
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"pq:${r.getLong(0)}:${r.getLong(1)}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(15)
-        java.lang.Long.parseLong(hex, 16) % 4 == 0
-      }
-    assert(nPairs == verified, s"$nPairs scored vs $verified sampled")
+    assert(verified.forall(r =>
+      sampledIds(r.getLong(0)) && sampledIds(r.getLong(1))))
+    assert(nPairs == verified.length,
+      s"$nPairs scored vs ${verified.length} sampled-doc pairs")
     rows.foreach { r =>
       val b = r.getAs[Long]("bucket")
       assert(b >= 0 && b <= 4)

@@ -443,11 +443,20 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 source-shard exchange, got $exchanges:\n$p")
   }
 
-  test("llm_ann_ivf: trained centroids are materialized, not re-derived per stage") {
+  test("llm_ann_ivf serves the stored index; the _train twin materializes " +
+    "its Lloyd lineage (r10 split)") {
+    // the SERVING key must not train in-plan: no checkpoint RDD, and the
+    // probe side reads the stored parquet index (centroids broadcast)
     val p = plan("llm_ann_ivf")
-    assert(p.contains("ExistingRDD"), s"Lloyd lineage not truncated:\n$p")
-    // both assignment and probe stages broadcast the 16-row centroid side
-    assert("BroadcastExchange".r.findAllIn(p).size >= 2)
+    assert(!p.contains("ExistingRDD"),
+      s"serving plan contains in-plan training lineage:\n$p")
+    assert(p.contains("BroadcastExchange"))
+    // the RECOMPUTE twin keeps training in-plan with the lineage
+    // truncated once (localCheckpoint → ExistingRDD), centroids
+    // broadcast into both the assignment and probe stages
+    val t = plan("llm_ann_ivf_train")
+    assert(t.contains("ExistingRDD"), s"Lloyd lineage not truncated:\n$t")
+    assert("BroadcastExchange".r.findAllIn(t).size >= 2)
   }
 
   test("win_streak: the (user, day) distinct collapses events below the window") {
@@ -896,7 +905,8 @@ class PlanSpec extends AnyFunSuite {
       "dq_volume_anomaly" -> "(bounded) z window runs over the per-DAY volume frame — cardinality = days in span",
       "etl_churn_daily" -> "(bounded) windows run over the per-DAY frame — cardinality = days in span",
       "etl_weekday_profile" -> "(bounded) window runs over the 7-row weekday frame",
-      "etl_concurrency" -> "(bounded) only the CARRY window is day-global — it runs over the per-day delta frame; endpoint running sums partition by day (two-level prefix sum, r8)"
+      "etl_concurrency" -> "(bounded) only the CARRY window is day-global — it runs over the per-day delta frame; endpoint running sums partition by day (two-level prefix sum, r8)",
+      "etl_mom_yoy" -> "(bounded) lag window + YoY calendar join run over the per-MONTH frame — cardinality = months in span, SF-independent"
     )
     val factNames = Seq("lineitem", "orders", "events", "documents",
       "embeddings", "customer", "supplier", "part")
