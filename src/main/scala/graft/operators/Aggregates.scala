@@ -4296,6 +4296,58 @@ object Aggregates {
           round(col("num").cast("double") * col("n_days") * col("n_days") /
             when(col("den") =!= 0, col("den")), 6).as("dw_stat"))
         .orderBy("event_type")
+    },
+
+    // Calendar-gap audit (round 10): per event_type, how complete is the
+    // daily series — span vs observed days, missing-day count, and the
+    // longest silent stretch. The freshness pair: dq_freshness asks "how
+    // stale is the newest row", this asks "were there holes on the way"
+    // — the check run BEFORE trusting any daily-series key (forecast,
+    // autocorr, Ljung-Box all assume a dense calendar). Exact integer
+    // day arithmetic; one bounded (type × day) frame, one lag window
+    // over it, one bounded rollup.
+    Q("dq_calendar_gaps",
+      """WITH daily AS (
+        |  SELECT DISTINCT event_type,
+        |         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, day,
+        |         lag(day) OVER (PARTITION BY event_type ORDER BY day) AS prev_day
+        |  FROM daily
+        |)
+        |SELECT event_type,
+        |       CAST(min(day) AS TIMESTAMP) AS first_day,
+        |       CAST(max(day) AS TIMESTAMP) AS last_day,
+        |       CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT)
+        |         AS span_days,
+        |       CAST(count(*) AS BIGINT) AS observed_days,
+        |       CAST(date_diff('day', min(day), max(day)) + 1 - count(*)
+        |         AS BIGINT) AS missing_days,
+        |       CAST(coalesce(max(CASE WHEN prev_day IS NOT NULL
+        |                     THEN date_diff('day', prev_day, day) - 1 END), 0)
+        |         AS BIGINT) AS max_gap_days
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+        val daily = t(s, d, "events")
+          .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .distinct()
+        val g = daily.select(col("event_type"), col("day"),
+          lag(col("day"), 1).over(
+            Window.partitionBy("event_type").orderBy("day")).as("prev_day"))
+        g.groupBy("event_type")
+          .agg(
+            min(col("day")).as("first_day"),
+            max(col("day")).as("last_day"),
+            (datediff(max(col("day")), min(col("day"))) + 1).cast("long")
+              .as("span_days"),
+            count(lit(1)).as("observed_days"),
+            (datediff(max(col("day")), min(col("day"))) + 1 - count(lit(1)))
+              .cast("long").as("missing_days"),
+            coalesce(max(when(col("prev_day").isNotNull,
+              datediff(col("day"), col("prev_day")) - 1)), lit(0))
+              .cast("long").as("max_gap_days"))
+          .orderBy("event_type")
     }
   )
 }

@@ -3123,6 +3123,48 @@ object Etl {
           round(col("rev") / when(col("y_rev") =!= 0, col("y_rev")) - 1,
             6).as("yoy_pct"))
         .orderBy("month")
+    },
+
+    // Resurrection tracking (round 10): per day, how many active users
+    // came back from ≥14 days of silence — the third activity cohort
+    // after new (etl_new_vs_returning) and churned (etl_churn_daily);
+    // growth accounting is new + resurrected − churned, and a spike
+    // here after an outage/winback campaign is the signal the other two
+    // keys can't show. Plan: the fact reduces to the (user, day)
+    // distinct map-side; ONE user-partitioned lag window computes each
+    // user's previous active day; the per-day rollup is bounded. All
+    // arithmetic is exact integer day-diffs.
+    Q("etl_resurrection_daily",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, day,
+        |         lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+        |  FROM ud
+        |)
+        |SELECT day, CAST(count(*) AS BIGINT) AS active_users,
+        |       CAST(sum(CASE WHEN prev_day IS NOT NULL AND
+        |                          date_diff('day', prev_day, day) >= 14
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+        |       round(CAST(sum(CASE WHEN prev_day IS NOT NULL AND
+        |                               date_diff('day', prev_day, day) >= 14
+        |                          THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS resurrection_rate
+        |FROM g GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+      val ud = events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val g = ud.select(col("user_id"), col("day"),
+        lag(col("day"), 1).over(
+          Window.partitionBy("user_id").orderBy("day")).as("prev_day"))
+      val res = sum(when(col("prev_day").isNotNull &&
+        datediff(col("day"), col("prev_day")) >= 14, 1L).otherwise(0L))
+      g.groupBy("day")
+        .agg(count(lit(1)).as("active_users"), res.as("resurrected"),
+          round(res.cast("double") / count(lit(1)), 6)
+            .as("resurrection_rate"))
+        .orderBy("day")
     }
   ) :+ resampleQ
 

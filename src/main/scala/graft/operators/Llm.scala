@@ -5220,7 +5220,9 @@ object Llm {
           posexplode(col("codes")).as(Seq("j", "code")))
       val lut = pqLut(graft.config.PqIndex.codebook(s, pqDir), e)
         .withColumnRenamed("c", "code")
-      val adc = cm.join(codes, Seq("n_id"))
+      // candidate list broadcasts INTO the corpus-sized code table —
+      // the codes side must never be the built/shuffled side at scale
+      val adc = codes.join(broadcast(cm), Seq("n_id"))
         .join(broadcast(lut), Seq("q_id", "j", "code"))
         .groupBy("q_id", "n_id").agg(sum(col("v")).as("adc"))
       val wc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))

@@ -891,6 +891,61 @@ object Windows {
               lit(44478) * col("madsum"), 1L).otherwise(0L)
             .as("is_outlier"))
         .orderBy("event_type", "day")
+    },
+
+    // Bollinger bands (round 10): trailing-7-day mean ± 2σ envelope on
+    // daily volume per event_type with breach flags — the parametric
+    // twin of win_hampel (hampel = median/MAD robust fence; bollinger =
+    // mean/σ envelope, the volatility-expansion readout ops dashboards
+    // plot). Determinism: the ±2σ BREACH TESTS never touch a float —
+    // x > mean + 2σ cross-multiplies to (7x−s1 > 0) ∧ (7x−s1)² > 4(7s2−s1²)
+    // over exact BIGINT rolling sums s1=Σx, s2=Σx² (same trick for the
+    // lower band), so the flag can't flip on a sqrt ulp; ma7/sd7 are
+    // display-only doubles (single division / one sqrt of an exact
+    // integer, round-6). One window pass over the bounded (type × day)
+    // frame; flags only on complete 7-day windows.
+    Q("win_bollinger",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, day, n,
+        |         sum(n) OVER w7 AS s1, sum(n * n) OVER w7 AS s2,
+        |         CAST(count(*) OVER w7 AS BIGINT) AS k
+        |  FROM daily
+        |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day, n,
+        |       round(CAST(s1 AS DOUBLE) / 7, 6) AS ma7,
+        |       round(sqrt(CAST(7 * s2 - s1 * s1 AS DOUBLE)) / 7, 6) AS sd7,
+        |       CAST(CASE WHEN 7 * n - s1 > 0 AND
+        |                 (7 * n - s1) * (7 * n - s1) > 4 * (7 * s2 - s1 * s1)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS breach_up,
+        |       CAST(CASE WHEN 7 * n - s1 < 0 AND
+        |                 (7 * n - s1) * (7 * n - s1) > 4 * (7 * s2 - s1 * s1)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS breach_dn
+        |FROM w WHERE k = 7
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val w7 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+      val d7 = col("n") * 7 - col("s1")
+      val v7 = col("s2") * 7 - col("s1") * col("s1")
+      t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("day"), col("n"),
+          sum(col("n")).over(w7).as("s1"),
+          sum(col("n") * col("n")).over(w7).as("s2"),
+          count(lit(1)).over(w7).as("k"))
+        .where(col("k") === 7)
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("s1").cast("double") / 7, 6).as("ma7"),
+          round(sqrt(v7.cast("double")) / 7, 6).as("sd7"),
+          when(d7 > 0 && d7 * d7 > v7 * 4, 1L).otherwise(0L).as("breach_up"),
+          when(d7 < 0 && d7 * d7 > v7 * 4, 1L).otherwise(0L).as("breach_dn"))
+        .orderBy("event_type", "day")
     }
   )
 }
