@@ -16,7 +16,8 @@ object SparkEntry {
       operators.Scalars.qs ++
       operators.Extras.qs ++
       operators.Tpch.qs ++
-      operators.Llm.qs
+      operators.Llm.qs ++
+      operators.SourcesOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

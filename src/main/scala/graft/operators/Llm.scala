@@ -2195,6 +2195,66 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // Corpus-trained BIGRAM LM scoring (round 10): the order-2 extension
+    // of llm_lm_score — each doc's mean log P(w₂|w₁) under add-one
+    // smoothing, P = (c(w₁w₂)+1)/(c(w₁)+V). Shuffled or templated text
+    // keeps its unigram distribution (invisible to llm_lm_score) but
+    // craters here — the perplexity-style filter CCNet actually ranks
+    // with. Plan: bigrams emit IN-ROW from the split array (no
+    // self-join); the bigram LM and unigram LM are vocabulary-sized
+    // aggregates joined back on their keys; V is a 1-row broadcast.
+    // Cast-to-DOUBLE before the division (the bm25 1-ulp lesson);
+    // ln + avg + round(6) follows the llm_lm_score precedent.
+    Q("llm_bigram_lm_score",
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t)),
+        |           i -> array_to_string(t[i:i+1], ' '))) AS b,
+        |         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |), c2 AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY b
+        |), tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), c1 AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cw FROM tok GROUP BY token
+        |), v AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS v FROM c1
+        |)
+        |SELECT doc_id,
+        |       round(avg(ln(CAST(cb + 1 AS DOUBLE) / CAST(cw + v AS DOUBLE))), 6)
+        |         AS avg_logp2,
+        |       CAST(count(*) AS BIGINT) AS n_bigrams
+        |FROM bg JOIN c2 USING (b) JOIN c1 ON c1.token = bg.w1 CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val split = docs(s, d).select(col("doc_id"),
+        org.apache.spark.sql.functions.split(col("text"), " ").as("t"))
+      // size<2 docs filter BEFORE sequence(1, size-1): Spark's sequence
+      // DESCENDS when start > stop (sequence(1,0) = [1,0]) — the filter
+      // yields no bigram rows for them, matching DuckDB's empty range
+      val bg = split.where(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("t")) - 1), i => struct(
+            concat(element_at(col("t"), i), lit(" "),
+              element_at(col("t"), i + 1)).as("b"),
+            element_at(col("t"), i).as("w1")))).as("p"))
+        .select(col("doc_id"), col("p.b").as("b"), col("p.w1").as("w1"))
+      val c2 = bg.groupBy("b").agg(count(lit(1)).as("cb"))
+      val tok = docs(s, d)
+        .select(col("doc_id"), explode(org.apache.spark.sql.functions
+          .split(col("text"), " ")).as("token"))
+      val c1 = tok.groupBy("token").agg(count(lit(1)).as("cw"))
+      val v = c1.agg(count(lit(1)).as("v"))
+      bg.join(c2, Seq("b"))
+        .join(c1, col("token") === col("w1"))
+        .crossJoin(broadcast(v))
+        .groupBy("doc_id")
+        .agg(round(avg(log((col("cb") + 1).cast("double") /
+            (col("cw") + col("v")).cast("double"))), 6).as("avg_logp2"),
+          count(lit(1)).as("n_bigrams"))
+        .orderBy("doc_id")
+    },
+
     // BM25 top-k retrieval (round 5): the classic lexical ranking function
     // (Robertson/Spärck Jones, k1=1.2 b=0.75) for a fixed query term set —
     // the retrieval path a training-data pipeline uses for targeted corpus
