@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
-import org.apache.spark.sql.graft.{CosineSimilarity, VectorDot}
+import org.apache.spark.sql.graft.{CosineSimilarity, JaroWinkler, VectorDot}
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
 
 /** SparkSessionExtensions hook (SURVEY.md §4.3): registers the native
@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(binary("cosine_sim", CosineSimilarity))
     ext.injectFunction(binary("vector_dot", VectorDot))
+    ext.injectFunction(binary("jaro_winkler", JaroWinkler))
     // Opt-in approximate-distinct mode (round 7): COUNT(DISTINCT x) →
     // HLL estimate under spark.graft.approx.countDistinct=true — the
     // 100 TB structural rewrite (no fact re-shuffle) documented on

@@ -1,0 +1,105 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro–Winkler similarity (Winkler 1990) as a native codegen expression
+  * — the fuzzy-match scorer entity resolution actually ranks with
+  * (levenshtein counts edits; JW weights agreeing PREFIXES, which is
+  * where human-keyed names and IDs agree). Spark ships levenshtein but
+  * no JW `[SPARK]`; DuckDB ships `jaro_winkler_similarity`, which is the
+  * oracle twin — this implementation matches its definition: match
+  * window ⌊max(l₁,l₂)/2⌋−1, transpositions = half the out-of-order
+  * matches, Winkler boost (scaling 0.1, prefix ≤ 4) applied when jaro
+  * exceeds the 0.7 threshold. Both-empty → 1.0, one-empty → 0.0,
+  * zero matches → 0.0.
+  *
+  * The comparison runs on Unicode code points (UTF8String.toString),
+  * like DuckDB's on its UTF-8 text. doGenCode emits one static call —
+  * the expression stays inside WholeStageCodegen (the levenshtein
+  * pattern), no row-at-a-time fallback.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.JaroWinkler.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+
+  /** Static entry shared by eval and generated code. */
+  def compute(a: UTF8String, b: UTF8String): Double = {
+    val s = a.toString
+    val t = b.toString
+    val l1 = s.length
+    val l2 = t.length
+    if (l1 == 0 && l2 == 0) return 1.0
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val matched1 = new Array[Boolean](l1)
+    val matched2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!matched2(j) && s.charAt(i) == t.charAt(j)) {
+          matched1(i) = true
+          matched2(j) = true
+          m += 1
+          found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: matched chars read out in order from both sides
+    var k = 0
+    var half = 0
+    i = 0
+    while (i < l1) {
+      if (matched1(i)) {
+        while (!matched2(k)) k += 1
+        if (s.charAt(i) != t.charAt(k)) half += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    // transpositions = FLOOR(half/2) — DuckDB floors (verified: 3
+    // mismatched matched-positions score t=1, same as 2), so integer
+    // division here, not /2.0
+    val jaro = (md / l1 + md / l2 + (md - half / 2) / md) / 3.0
+    // Winkler boost: common prefix up to 4, scaling 0.1, threshold 0.7
+    if (jaro <= 0.7) return jaro
+    var p = 0
+    val maxP = math.min(4, math.min(l1, l2))
+    while (p < maxP && s.charAt(p) == t.charAt(p)) p += 1
+    jaro + p * 0.1 * (1.0 - jaro)
+  }
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      JaroWinkler(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

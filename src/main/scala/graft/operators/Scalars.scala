@@ -204,6 +204,31 @@ object Scalars {
         .limit(20)
     },
 
+    // Jaro-Winkler fuzzy match (round 10): the prefix-weighted scorer
+    // entity resolution ranks with — levenshtein counts raw edits, JW
+    // rewards agreeing prefixes (where human-keyed names/IDs agree).
+    // Spark has no built-in [SPARK]; graft.JaroWinkler is a native
+    // codegen Expression (one static call inside WholeStageCodegen, the
+    // levenshtein pattern) matching DuckDB's jaro_winkler_similarity
+    // definition: window max(l1,l2)/2-1, half-transpositions/2, boost
+    // 0.1 on <=4 prefix above the 0.7 threshold. Ranking uses the
+    // ROUNDED score + custkey tie-break (the fn_edit_distance shape);
+    // also SQL-registered as jaro_winkler via GraftExtensions.
+    Q("fn_jaro_winkler",
+      """SELECT c_custkey, c_name,
+        |       round(jaro_winkler_similarity(c_name, 'Customer#000000123'), 6)
+        |         AS jw
+        |FROM customer
+        |ORDER BY jw DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graft.JaroWinkler.jaroWinkler
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          round(jaroWinkler(col("c_name"), lit("Customer#000000123")), 6)
+            .as("jw"))
+        .orderBy(col("jw").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // R9/NS: content hashing for dedup keys.
     Q("fn_hash",
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha

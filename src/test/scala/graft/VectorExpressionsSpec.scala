@@ -99,4 +99,43 @@ class VectorExpressionsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_vecs") == raw.count(_._2 == l))
     }
   }
+
+  test("JaroWinkler: edge cases, known values, codegen == eval, SQL surface") {
+    import org.apache.spark.sql.graft.JaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinkler.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(jw("", "") == 1.0)
+    assert(jw("abc", "") == 0.0)
+    assert(jw("", "abc") == 0.0)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("abc", "xyz") == 0.0) // no matches
+    // the textbook MARTHA/MARHTA value: jaro 0.944..., prefix 3 → 0.9611
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    // DuckDB agreement on the floor(half/2) transposition rule: 3
+    // mismatched matched-positions score the same as 2 (t = 1 both)
+    assert(jw("Customer#000000231", "Customer#000000123") ==
+      jw("Customer#000000321", "Customer#000000123"))
+    // symmetric
+    assert(jw("DWAYNE", "DUANE") == jw("DUANE", "DWAYNE"))
+    // codegen (declared plan) equals interpreted eval
+    import org.apache.spark.sql.graft.JaroWinkler.jaroWinkler
+    import org.apache.spark.sql.functions._
+    val df = Tables(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_custkey"),
+        jaroWinkler(col("c_name"), lit("Customer#000000042")).as("s"))
+    val viaPlan = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaEval = Tables(spark, "/root/testdata/sf0.001", "customer")
+      .collect().map(r => r.getLong(0) ->
+        jw(r.getAs[String]("c_name"), "Customer#000000042")).toMap
+    assert(viaPlan == viaEval)
+    // SQL registration end-to-end
+    Tables(spark, "/root/testdata/sf0.001", "customer")
+      .createOrReplaceTempView("jw_cust")
+    val sqlTop = spark.sql(
+      """SELECT c_custkey FROM jw_cust
+        |ORDER BY jaro_winkler(c_name, 'Customer#000000042') DESC, c_custkey
+        |LIMIT 1""".stripMargin).head().getLong(0)
+    assert(sqlTop == 42L)
+  }
 }
