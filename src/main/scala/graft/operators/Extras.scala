@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The remaining declare=opt rows of SURVEY.md §2: interval-overlap join
@@ -1091,6 +1092,71 @@ object Extras {
         |FROM nc JOIN deg da ON da.u = nc.a JOIN deg db ON db.u = nc.b
         |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
       jaccardNeighbors(coOrderEdges(s, d, "1997-01-01", "1998-01-01"), 20)
+    },
+
+    // Weighted reciprocity of the journey transition graph (round 10;
+    // Squartini et al. 2013): per unordered event-type pair, how much
+    // of the A→B transition mass comes back B→A — min(w_fwd, w_rev) is
+    // the reciprocated flow; Σmin / Σall is the one-number symmetry
+    // score (browse↔search loops vs one-way funnels — the structural
+    // readout etl_transition_matrix's per-edge probabilities don't
+    // summarize). Self-loops excluded (trivially reciprocal). Pure
+    // integer arithmetic: weights are exact transition counts, the
+    // ratio is one floor-grid division of exact BIGINT sums broadcast
+    // from the bounded K×K frame.
+    Q("graph_reciprocity",
+      """WITH t AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS prev_type
+        |  FROM events
+        |), w AS (
+        |  SELECT prev_type AS src, event_type AS dst,
+        |         CAST(count(*) AS BIGINT) AS w
+        |  FROM t WHERE prev_type IS NOT NULL AND prev_type <> event_type
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT least(f.src, f.dst) AS t1, greatest(f.src, f.dst) AS t2,
+        |         CAST(sum(CASE WHEN f.src < f.dst THEN f.w ELSE 0 END) AS BIGINT)
+        |           AS w_fwd,
+        |         CAST(sum(CASE WHEN f.src > f.dst THEN f.w ELSE 0 END) AS BIGINT)
+        |           AS w_rev
+        |  FROM w f GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT CAST(sum(w_fwd + w_rev) AS BIGINT) AS mass,
+        |         CAST(sum(2 * least(w_fwd, w_rev)) AS BIGINT) AS recip
+        |  FROM pairs
+        |)
+        |SELECT t1, t2, w_fwd, w_rev,
+        |       CAST(2 * least(w_fwd, w_rev) AS BIGINT) AS w_recip,
+        |       floor(CAST(recip AS DOUBLE) / mass * 1000000) / 1000000
+        |         AS reciprocity
+        |FROM pairs CROSS JOIN tot
+        |ORDER BY t1, t2""".stripMargin) { (s, d) =>
+      val w = Tables(s, d, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .where(col("prev_type").isNotNull &&
+          col("prev_type") =!= col("event_type"))
+        .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val pairs = w
+        .groupBy(least(col("src"), col("dst")).as("t1"),
+          greatest(col("src"), col("dst")).as("t2"))
+        .agg(
+          sum(when(col("src") < col("dst"), col("w")).otherwise(0L))
+            .as("w_fwd"),
+          sum(when(col("src") > col("dst"), col("w")).otherwise(0L))
+            .as("w_rev"))
+      val tot = pairs.agg(
+        sum(col("w_fwd") + col("w_rev")).as("mass"),
+        sum(least(col("w_fwd"), col("w_rev")) * 2).as("recip"))
+      pairs.crossJoin(broadcast(tot))
+        .select(col("t1"), col("t2"), col("w_fwd"), col("w_rev"),
+          (least(col("w_fwd"), col("w_rev")) * 2).as("w_recip"),
+          (floor(col("recip").cast("double") / col("mass") * 1000000)
+            / 1000000).as("reciprocity"))
+        .orderBy("t1", "t2")
     },
 
     // Adamic–Adar link prediction (round 10; Adamic & Adar 2003): the

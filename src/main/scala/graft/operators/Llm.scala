@@ -3694,6 +3694,49 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // Per-source duplication rate (round 10): the same minhash near-dup
+    // groups as llm_neardup_prune, rolled up by SOURCE — the curation
+    // ticket that says WHICH feed to fix (the cluster-size histogram
+    // says how bad duplication is; this says where it comes from —
+    // a mirrored crawl shows up as one source with a 40% dup rate, not
+    // as a corpus-wide smear). Cost beyond the shared group chain: one
+    // bounded group-size aggregate + the doc_id-keyed source join +
+    // a bounded per-source rollup.
+    Q("llm_dedup_rate_by_source",
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         |e0 AS (
+         |  SELECT d1, d2 FROM verified WHERE est_jaccard >= 0.2
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM e0 UNION ALL SELECT d2, d1 FROM e0
+         |), ${Components.reachMinCte("SELECT doc_id AS id FROM documents", "edges")},
+         |g AS (
+         |  SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node
+         |), grpsz AS (
+         |  SELECT group_id, CAST(count(*) AS BIGINT) AS gsz FROM g GROUP BY 1
+         |)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN grpsz.gsz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_in_dup_clusters,
+         |       floor(CAST(sum(CASE WHEN grpsz.gsz >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*) * 1000000) / 1000000 AS dup_rate
+         |FROM g JOIN grpsz USING (group_id) JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+      val e0 = minhashVerified(s, d)
+        .where(col("est_jaccard") >= 0.2).select("d1", "d2")
+      val edges = symPairs(e0, "d1", "d2").persist()
+      val g = Components.connectedComponents(docs(s, d), "doc_id", edges)
+        .select(col("id").as("doc_id"), col("lbl").as("group_id"))
+      val sz = g.groupBy("group_id").agg(count(lit(1)).as("gsz"))
+      val dup = sum(when(col("gsz") >= 2, 1L).otherwise(0L))
+      g.join(sz, Seq("group_id"))
+        .join(docs(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), dup.as("n_in_dup_clusters"),
+          (floor(dup.cast("double") / count(lit(1)) * 1000000) / 1000000)
+            .as("dup_rate"))
+        .orderBy("source")
+    },
+
     // QUALITY-aware survivor pick (round 9, cont.): the same near-dup
     // groups as llm_neardup_prune, but each group keeps its
     // HIGHEST-QUALITY member (the shared llm_quality_score heuristic;
