@@ -3724,8 +3724,13 @@ object Llm {
       val e0 = minhashVerified(s, d)
         .where(col("est_jaccard") >= 0.2).select("d1", "d2")
       val edges = symPairs(e0, "d1", "d2").persist()
+      // the group frame feeds TWO consumers (the size aggregate and the
+      // source join) — unpinned, the whole minhash+CC chain executes
+      // twice (measured: 5.9 s vs llm_neardup_prune's 3.8 on the shared
+      // chain)
       val g = Components.connectedComponents(docs(s, d), "doc_id", edges)
         .select(col("id").as("doc_id"), col("lbl").as("group_id"))
+        .persist()
       val sz = g.groupBy("group_id").agg(count(lit(1)).as("gsz"))
       val dup = sum(when(col("gsz") >= 2, 1L).otherwise(0L))
       g.join(sz, Seq("group_id"))
