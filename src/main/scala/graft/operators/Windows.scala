@@ -946,6 +946,62 @@ object Windows {
           when(d7 > 0 && d7 * d7 > v7 * 4, 1L).otherwise(0L).as("breach_up"),
           when(d7 < 0 && d7 * d7 > v7 * 4, 1L).otherwise(0L).as("breach_dn"))
         .orderBy("event_type", "day")
+    },
+
+    // 14-day RSI (round 10; Wilder 1978, simple-average form): per
+    // event_type, 100·Σgains/(Σgains+Σlosses) over the trailing 14
+    // daily revenue deltas — the momentum oscillator (>70 overbought /
+    // <30 oversold) completing the volatility panel: bollinger flags
+    // band exits, RSI flags one-sided runs. With simple averages the
+    // /14 cancels, so RSI is ONE division of two exact BIGINT cent
+    // sums — no float before the display rounding; flat 14-day windows
+    // (all deltas 0) are NULL in both engines. Same bounded
+    // (type × day) frame, two window passes sharing one exchange.
+    Q("win_rsi",
+      """WITH d AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT event_type, day,
+        |         y - lag(y) OVER (PARTITION BY event_type ORDER BY day) AS delta
+        |  FROM d
+        |), w AS (
+        |  SELECT event_type, day,
+        |         CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+        |           OVER w14 AS BIGINT) AS sg,
+        |         CAST(sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+        |           OVER w14 AS BIGINT) AS sl,
+        |         CAST(count(delta) OVER w14 AS BIGINT) AS k
+        |  FROM dl
+        |  WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |       round(100.0 * sg / nullif(sg + sl, 0), 6) AS rsi14
+        |FROM w WHERE k = 14
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val daily = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      val wl = Window.partitionBy("event_type").orderBy("day")
+      val w14 = wl.rowsBetween(-13, Window.currentRow)
+      daily
+        .select(col("event_type"), col("day"),
+          (col("y") - lag(col("y"), 1).over(wl)).as("delta"))
+        .select(col("event_type"), col("day"),
+          sum(when(col("delta") > 0, col("delta")).otherwise(0L)).over(w14)
+            .as("sg"),
+          sum(when(col("delta") < 0, -col("delta")).otherwise(0L)).over(w14)
+            .as("sl"),
+          count(col("delta")).over(w14).as("k"))
+        .where(col("k") === 14)
+        .select(col("event_type"), col("day"),
+          round(lit(100.0) * col("sg") /
+            when(col("sg") + col("sl") =!= 0, col("sg") + col("sl")), 6)
+            .as("rsi14"))
+        .orderBy("event_type", "day")
     }
   )
 }
