@@ -34,6 +34,15 @@ object ScaleSmoke {
         println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
       }
 
+    // Scratch dirs for the index/registry probes, all deleted when the
+    // run ends — a fresh createTempDirectory per probe stranded multi-GB
+    // synthetic state across smoke runs (round-11 advice fix).
+    val scratch = scala.collection.mutable.ListBuffer.empty[String]
+    def scratchDir(name: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(name).toString
+      scratch += d; d
+    }
+
     // 60M events over 30k users, ~30 days
     val ev = spark.range(60000000L).select(
       col("id").as("event_id"),
@@ -1328,8 +1337,7 @@ object ScaleSmoke {
     // shifted ids, planting dups of stored docs (id%50==0 copies corpus
     // doc id-500000-1) so the verify stage has cross-batch work.
     if (only.isEmpty || only.exists("registry ingest 500k corpus + 5k batch".contains)) {
-      val regDir = java.nio.file.Files
-        .createTempDirectory("graft_scale_registry").toString
+      val regDir = scratchDir("graft_scale_registry")
       config.SketchRegistry.build(spark, docsBig, regDir)
       spark.catalog.clearCache()
       val batch = spark.range(500000L, 505000L).select(
@@ -1366,8 +1374,7 @@ object ScaleSmoke {
               when(col("id") % 50 === 0 && j =!= lit(0), col("id") - 1)
                 .otherwise(col("id")), j), lit(1000)) + 1).cast("int"))))
           .as("text"))
-      val regDir1M = java.nio.file.Files
-        .createTempDirectory("graft_scale_registry_1m").toString
+      val regDir1M = scratchDir("graft_scale_registry_1m")
       config.SketchRegistry.build(spark, docs1M, regDir1M)
       spark.catalog.clearCache()
       val batch1M = spark.range(1000000L, 1005000L).select(
@@ -1439,8 +1446,7 @@ object ScaleSmoke {
             ((pmod(xxhash64(col("id"), j), lit(2000)).cast("double")
               / 1000.0) - 1.0).cast("float")).as("embedding"))
       for ((n, k) <- Seq((500000L, 32), (1000000L, 64))) {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft_scale_ivf_${n / 1000}k").toString
+        val dir = scratchDir(s"graft_scale_ivf_${n / 1000}k")
         val e = synthEmb(n).persist()
         time(f"ivf index build ${n / 1000}%dk k=$k") {
           config.IvfIndex.build(spark, e, dir, k, 4 * k, lloydRounds = 1)
@@ -1480,8 +1486,7 @@ object ScaleSmoke {
             ((pmod(xxhash64(col("id"), j), lit(2000)).cast("double")
               / 1000.0) - 1.0).cast("float")).as("embedding"))
       for (n <- Seq(500000L, 1000000L)) {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft_scale_pq_${n / 1000}k").toString
+        val dir = scratchDir(s"graft_scale_pq_${n / 1000}k")
         time(f"pq index build ${n / 1000}%dk") {
           config.PqIndex.build(spark, synthEmb64(n), dir)
           n
@@ -1662,6 +1667,8 @@ object ScaleSmoke {
       stats._1
     }
 
+    scratch.foreach(d => org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(d)))
     spark.stop()
   }
 }

@@ -18,10 +18,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * exceeds the 0.7 threshold. Both-empty → 1.0, one-empty → 0.0,
   * zero matches → 0.0.
   *
-  * The comparison runs on Unicode code points (UTF8String.toString),
-  * like DuckDB's on its UTF-8 text. doGenCode emits one static call —
-  * the expression stays inside WholeStageCodegen (the levenshtein
-  * pattern), no row-at-a-time fallback.
+  * The comparison runs on Unicode CODE POINTS (a codePoints() walk, so
+  * supplementary-plane characters count as one symbol, never a
+  * surrogate pair). KNOWN oracle divergence: DuckDB's implementation
+  * walks UTF-8 BYTES, so any multi-byte character makes its lengths,
+  * match window, and prefix differ — the scores agree exactly on ASCII
+  * (the customer fixture the declared key runs on) and may differ on
+  * non-ASCII text, where the code-point definition is the standard one
+  * (Winkler 1990 is defined over characters, not encodings). doGenCode
+  * emits one static call — the expression stays inside
+  * WholeStageCodegen (the levenshtein pattern), no row-at-a-time
+  * fallback.
   */
 case class JaroWinkler(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -46,8 +53,8 @@ object JaroWinkler {
 
   /** Static entry shared by eval and generated code. */
   def compute(a: UTF8String, b: UTF8String): Double = {
-    val s = a.toString
-    val t = b.toString
+    val s = a.toString.codePoints().toArray
+    val t = b.toString.codePoints().toArray
     val l1 = s.length
     val l2 = t.length
     if (l1 == 0 && l2 == 0) return 1.0
@@ -63,7 +70,7 @@ object JaroWinkler {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!matched2(j) && s.charAt(i) == t.charAt(j)) {
+        if (!matched2(j) && s(i) == t(j)) {
           matched1(i) = true
           matched2(j) = true
           m += 1
@@ -81,7 +88,7 @@ object JaroWinkler {
     while (i < l1) {
       if (matched1(i)) {
         while (!matched2(k)) k += 1
-        if (s.charAt(i) != t.charAt(k)) half += 1
+        if (s(i) != t(k)) half += 1
         k += 1
       }
       i += 1
@@ -95,7 +102,7 @@ object JaroWinkler {
     if (jaro <= 0.7) return jaro
     var p = 0
     val maxP = math.min(4, math.min(l1, l2))
-    while (p < maxP && s.charAt(p) == t.charAt(p)) p += 1
+    while (p < maxP && s(p) == t(p)) p += 1
     jaro + p * 0.1 * (1.0 - jaro)
   }
 

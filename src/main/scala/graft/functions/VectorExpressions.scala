@@ -174,7 +174,10 @@ case class PqArgminCode(sub: Expression, cents: Expression, cs: Expression)
       }
       ci += 1
     }
-    code.getLong(best)
+    // no centroid of matching arity seen → a malformed codebook must
+    // surface as null, not as a valid-looking first code (round-11
+    // advice fix)
+    if (bestD == Long.MaxValue) null else code.getLong(best)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -208,7 +211,8 @@ case class PqArgminCode(sub: Expression, cents: Expression, cs: Expression)
          |      if ($dist < $bestD) { $bestD = $dist; $best = $ci; }
          |    }
          |  }
-         |  ${ev.value} = $ids.getLong($best);
+         |  if ($bestD == Long.MAX_VALUE) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $ids.getLong($best); }
          |}
        """.stripMargin
     })

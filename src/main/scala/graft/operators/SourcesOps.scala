@@ -20,8 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object SourcesOps {
 
+  /** ONE fixed spill dir per format, overwritten on every execution —
+    * a fresh createTempDirectory per run accumulated ~600k-row text
+    * exports across bench passes without bound (round-11 advice fix).
+    * Single-process discipline matches the harness (bench/verify never
+    * run this key concurrently); the write below is mode(overwrite). */
   private def roundTripDir(fmt: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_src_$fmt").toString
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_src_roundtrip_$fmt").toString
 
   private val oracleSql =
     """SELECT l_returnflag,

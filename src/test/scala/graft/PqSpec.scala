@@ -73,10 +73,15 @@ class PqSpec extends AnyFunSuite {
     val df = Seq(
       (Seq(1L, 1L), Seq(Seq(0L, 0L), Seq(2L, 2L), Seq(9L)), Seq(0L, 3L, 7L)),
       (Seq(5L, 5L), Seq(Seq(0L, 0L), Seq(2L, 2L), Seq(9L)), Seq(0L, 3L, 7L)),
-      (Seq(9L, 9L), Seq(Seq(9L)), Seq(7L))) // no valid centroid → first kept
+      (Seq(9L, 9L), Seq(Seq(9L)), Seq(7L))) // NO valid centroid → null
       .toDF("sub", "cents", "cs")
       .select(pqArgminCode(col("sub"), col("cents"), col("cs")).as("code"))
-    assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 3L, 7L))
+    // a codebook whose every centroid mismatches the sub-vector arity is
+    // malformed — it must surface as null, never as a valid-looking code
+    // (round-11 advice fix; was "first code kept")
+    assert(df.collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq ==
+      Seq(Some(0L), Some(3L), None))
     // codegen and interpreted eval agree on the declared chain's shapes
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .limit(64).select(col("vec_id"), col("embedding"))
