@@ -96,12 +96,64 @@ class RegistrySpec extends AnyFunSuite {
     // reuse: the second run resolves the same fingerprinted dir without
     // rebuilding (no file in it is newer than after the first run)
     val dir = SketchRegistry.ensureCorpusRegistry(spark, sf, 400L)
-    val stamp = new java.io.File(dir).lastModified
+    // the dir's own mtime is the retention sweep's LRU clock (touched on
+    // every ensure) — no-rebuild is pinned by the CONTENT files' mtimes
+    def contentStamps(d: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(d)).map(f => f.getPath -> f.lastModified).toMap
+    }
+    val stamps = contentStamps(dir)
     val again = run()
     spark.catalog.clearCache()
     assert(again === viaRegistry)
     assert(SketchRegistry.ensureCorpusRegistry(spark, sf, 400L) == dir)
-    assert(new java.io.File(dir).lastModified == stamp,
+    assert(contentStamps(dir) == stamps,
       "second run must reuse the built registry, not rebuild it")
+  }
+
+  test("LakeCache retention: superseded fingerprints swept to the keep " +
+    "cap, the just-served dir always survives (r11)") {
+    import graft.config.LakeCache
+    val rootName = s"graft_lakecache_spec_${System.nanoTime()}"
+    val root = new java.io.File(sys.props("java.io.tmpdir"), rootName)
+    val srcF = java.io.File.createTempFile("graft_lc_src", ".txt")
+    try {
+      java.nio.file.Files.write(srcF.toPath, "state".getBytes)
+      // K rebuilds beyond the cap: each tag is a new fingerprint (the
+      // nightly-ingest churn shape — same source, evolving recipe)
+      val dirs = (1 to LakeCache.KeepFingerprints + 5).map { i =>
+        val d = LakeCache.ensure(srcF.getPath, s"tag=$i", rootName) { tmp =>
+          new java.io.File(tmp).mkdirs()
+          java.nio.file.Files.write(
+            new java.io.File(tmp, "state.bin").toPath, s"v$i".getBytes)
+        }
+        // distinct LRU stamps even when the loop outruns mtime
+        // granularity
+        new java.io.File(d).setLastModified(1700000000000L + i * 60000L)
+        d
+      }
+      val kept = root.listFiles.filter(_.isDirectory).map(_.getName).toSet
+      assert(kept.size == LakeCache.KeepFingerprints,
+        s"sweep must cap retained fingerprints (${kept.size})")
+      // the newest dirs survive, the oldest were swept
+      assert(kept.contains(new java.io.File(dirs.last).getName))
+      assert(!kept.contains(new java.io.File(dirs.head).getName))
+      // a re-ensure of a RETAINED fingerprint serves without rebuilding
+      var rebuilt = false
+      val served = LakeCache.ensure(srcF.getPath,
+        s"tag=${dirs.length}", rootName)(_ => rebuilt = true)
+      assert(served == dirs.last && !rebuilt)
+      // a re-ensure of a SWEPT fingerprint transparently rebuilds
+      val back = LakeCache.ensure(srcF.getPath, "tag=1", rootName) { tmp =>
+        new java.io.File(tmp).mkdirs()
+        java.nio.file.Files.write(
+          new java.io.File(tmp, "state.bin").toPath, "v1".getBytes)
+      }
+      assert(new java.io.File(back, "state.bin").isFile)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+      srcF.delete()
+    }
   }
 }
