@@ -248,16 +248,36 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("graph edge derivation: within-order pairs explode in-row, no self-join") {
-    // round 7: coOrderEdges builds the i<j part pairs from ONE
+    // round 7: the LIVE builder derives the i<j part pairs from ONE
     // collect_set-per-order aggregate + a nested-transform explode, so
-    // the only join in the whole degree-dist plan is orders⋈lineitem;
-    // the previous form self-joined the (order, part) frame — two more
-    // wide shuffles for the same output
-    val p = plan("graph_degree_dist")
+    // its only join is orders⋈lineitem; the previous form self-joined
+    // the (order, part) frame — two more wide shuffles for the same
+    // output. Round 11: the declared keys now read the MATERIALIZED
+    // frame, so the pin moves to the builder the lake build runs.
+    val p = graft.operators.Extras
+      .coOrderEdgesLive(spark, sf, "1997-01-01", "1998-01-01")
+      .queryExecution.executedPlan.toString
     val joins =
       "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(p).size
     assert(joins == 1, s"expected only the orders⋈lineitem join, got $joins:\n$p")
     assert(p.contains("Generate explode"), s"in-row pair explode missing:\n$p")
+  }
+
+  test("graph keys serve the MATERIALIZED co-order frame: no base-table " +
+    "rescan, no join in the degree-dist plan (r11)") {
+    // the stored-lake read replaces the per-key orders⋈lineitem rebuild
+    // (8+ keys × ~1.5 s of identical derivation); the serving plan must
+    // be a bare parquet scan of the cached edge frame feeding the two
+    // groupBys — zero joins, zero orders/lineitem scans
+    val p = plan("graph_degree_dist")
+    val joins =
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct)"
+        .r.findAllIn(p).size
+    assert(joins == 0, s"stored-frame serve must not join:\n$p")
+    assert(p.contains("graft_coorder_graph"),
+      s"must scan the materialized co-order frame:\n$p")
+    assert(!p.contains("orders.parquet") && !p.contains("lineitem.parquet"),
+      s"must not rescan the base tables:\n$p")
   }
 
   test("dq_profile: one scan profiles every column (stack melt, not per-column UNION)") {
