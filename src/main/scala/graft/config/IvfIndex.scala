@@ -46,30 +46,76 @@ object IvfIndex {
   def ensure(spark: SparkSession, sfDir: String): String =
     LakeCache.ensure(
       s"$sfDir/embeddings.parquet",
-      // v2: inverted file carries vectors + cell partitioning. The
-      // format version lives in the fingerprint so a layout change can
-      // never be answered by a dir built under the old one.
-      s"ivf:v2:k=$K:ell=$Ell:lloyd=$LloydRounds",
+      // v3: inverted file carries vectors + the label metadata column +
+      // cell partitioning (round 11 — filtered ANN reads the predicate
+      // column from the inverted lists, never a base-table re-join).
+      // The format version lives in the fingerprint so a layout change
+      // can never be answered by a dir built under the old one.
+      s"ivf:v3:k=$K:ell=$Ell:lloyd=$LloydRounds",
       "graft_ivf_index") { tmp =>
       // one materialization feeds the ~6 training passes + the final
       // assignment (the llm_ann_ivf_train persist rationale)
       val e = graft.Tables(spark, sfDir, "embeddings")
-        .select(col("vec_id"), col("embedding")).persist()
+        .select(col("vec_id"), col("embedding"), col("label")).persist()
       try build(spark, e, tmp, K, Ell, LloydRounds)
       finally e.unpersist()
     }
 
-  /** Train on `e` (vec_id, embedding) and write both index tables —
-    * frame-parameterized so ScaleSmoke can build synthetic-scale
-    * indexes through the same code. */
+  /** BASE-slice index for the declared ingest key (round 11 — VERDICT
+    * r10 #1): trained on vec_id < `boundary` only, the static-trained
+    * state a production deployment APPENDS to. The boundary lives in
+    * the fingerprint, so base and full indexes coexist per SF. */
+  def ensureBase(spark: SparkSession, sfDir: String, boundary: Long): String =
+    LakeCache.ensure(
+      s"$sfDir/embeddings.parquet",
+      s"ivf:v3:k=$K:ell=$Ell:lloyd=$LloydRounds:base=$boundary",
+      "graft_ivf_index") { tmp =>
+      val e = graft.Tables(spark, sfDir, "embeddings")
+        .where(col("vec_id") < boundary)
+        .select(col("vec_id"), col("embedding"), col("label")).persist()
+      try build(spark, e, tmp, K, Ell, LloydRounds)
+      finally e.unpersist()
+    }
+
+  /** Train on `e` (vec_id, embedding, + any metadata columns) and write
+    * both index tables — frame-parameterized so ScaleSmoke can build
+    * synthetic-scale indexes through the same code. Metadata columns
+    * beyond (vec_id, embedding) ride into the inverted file unchanged
+    * (the filtered-ANN predicate columns); training sees only the
+    * vectors. */
   def build(
       spark: SparkSession, e: DataFrame, dir: String,
       k: Int, ell: Int, lloydRounds: Int): Unit = {
-    val cents = Llm.ivfTrain(e, Llm.ivfSeedScalable(e, k, ell), lloydRounds)
+    val core = e.select(col("vec_id"), col("embedding"))
+    val cents = Llm.ivfTrain(core, Llm.ivfSeedScalable(core, k, ell), lloydRounds)
     cents.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
-    Llm.ivfAssign(e, cents)
+    withMeta(e, Llm.ivfAssign(core, cents))
       .write.partitionBy("cell").mode(SaveMode.Overwrite)
       .parquet(s"$dir/assign")
+  }
+
+  /** Ingest a new vector batch (round 11 — VERDICT r10 #1): assign ONLY
+    * the batch against the STORED centroids and APPEND its inverted-file
+    * rows — compute ∝ batch, the SketchRegistry append protocol. The
+    * coarse quantizer is static-trained production state: it retrains
+    * only on a parameter change (new fingerprint) or an explicit drift
+    * trigger (the llm_embedding_drift readout), never per ingest.
+    * Exactly-once is the caller's contract (replaying a batch would
+    * duplicate its rows), as with SketchRegistry.ingest. */
+  def ingest(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    val core = batch.select(col("vec_id"), col("embedding"))
+    withMeta(batch, Llm.ivfAssign(core, centroids(spark, dir)))
+      .write.partitionBy("cell").mode(SaveMode.Append)
+      .parquet(s"$dir/assign")
+  }
+
+  /** Attach `src`'s metadata columns (anything beyond vec_id/embedding)
+    * to an assignment frame by vec_id. */
+  private def withMeta(src: DataFrame, assigned: DataFrame): DataFrame = {
+    val extra = src.columns.filterNot(Set("vec_id", "embedding")).toSeq
+    if (extra.isEmpty) assigned
+    else assigned.join(
+      src.select("vec_id", extra: _*), Seq("vec_id"))
   }
 
   def centroids(spark: SparkSession, dir: String): DataFrame =

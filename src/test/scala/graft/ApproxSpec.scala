@@ -442,4 +442,65 @@ class ApproxSpec extends AnyFunSuite {
     assert(recallVsIvf >= 0.90,
       s"IVFADC recall@5 vs the exact-rerank IVF twin = $recallVsIvf")
   }
+
+  test("llm_ann_ivf_recall reports exactly the overlap of its two " +
+    "declared twins (r11 consistency law)") {
+    // the recall readout must be arithmetic over the SAME frames the
+    // dashboard's other keys serve: per-query recall == |top-5 of the
+    // stored-IVF probe ∩ brute exact top-5| / 5, where both sides are
+    // themselves declared keys (llm_ann_ivf, llm_knn_per_query)
+    val d = "/root/testdata/sf0.01"
+    val ivf = SparkEntry.queries("llm_ann_ivf")(spark, d)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SparkEntry.queries("llm_knn_per_query")(spark, d)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reported = SparkEntry.queries("llm_ann_ivf_recall")(spark, d)
+      .select("q_id", "n_hit").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = exact.groupBy(_._1).map { case (q, s) =>
+      q -> s.count(p => ivf.contains(p)).toLong
+    }
+    assert(reported == expected)
+    assert(reported.size == 20)
+  }
+
+  test("llm_ann_ivf_filtered: label invariant holds; recall vs brute " +
+    "FILTERED kNN reported and floored (r11)") {
+    val d = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("llm_ann_ivf_filtered")(spark, d)
+      .select("q_id", "q_label", "n_id", "n_label").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    // the predicate is structural: no returned neighbor may carry the
+    // query's label, and it must come from the stored inverted file
+    assert(rows.forall { case (_, ql, _, nl) => ql != nl })
+    // recall floor vs the brute filtered truth (the llm_hard_negatives
+    // rule, top-5): the probe inherits the unfiltered probe's recall
+    // ceiling on this diffuse fixture, so the floor is a regression
+    // tripwire, not a quality claim — the honest number lives in the
+    // recall dashboard keys
+    val emb = Tables(spark, d, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = emb.filter(_._1 < 20).flatMap { case (q, ql, qv) =>
+      emb.filter(c => c._1 != q && c._2 != ql)
+        .map { case (n, _, nv) => (n, cos(qv, nv)) }
+        .sortBy { case (n, s) => (-s, n) }.take(5)
+        .map { case (n, _) => (q, n) }
+    }.toSet
+    val got = rows.map { case (q, _, n, _) => (q, n) }.toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.15, s"filtered probe recall collapsed: $recall")
+  }
 }

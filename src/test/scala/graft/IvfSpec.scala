@@ -182,6 +182,98 @@ class IvfSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("IvfIndex.ingest: batch assign-and-append == assign-everything " +
+    "against the stored centroids; append-only files (r11)") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_ingest").toString
+    try {
+      graft.config.IvfIndex.build(spark, e.where(col("vec_id") < 400),
+        dir, 16, 64, 2)
+      def assignFiles: Set[String] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$dir/assign"))
+          .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+      }
+      val before = assignFiles
+      assert(before.nonEmpty)
+      graft.config.IvfIndex.ingest(spark, dir, e.where(col("vec_id") >= 400))
+      // append-only: every base file survives untouched, batch appended
+      val after = assignFiles
+      assert(before.subsetOf(after), "ingest must not rewrite the inverted file")
+      assert(after.size > before.size)
+      // base-assign ∪ batch-assign == assign-everything against the
+      // SAME stored centroids (assignment is per-vector independent) —
+      // labels ride along
+      val got = graft.config.IvfIndex.assignments(spark, dir)
+        .select("vec_id", "cell", "label").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+      val cents = graft.config.IvfIndex.centroids(spark, dir)
+      val labels = e.select("vec_id", "label").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val expect = Llm.ivfAssign(
+          e.select(col("vec_id"), col("embedding")), cents)
+        .select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), labels(r.getLong(0))))).toMap
+      assert(got == expect)
+      assert(got.size == e.count())
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("PqIndex.ingest: batch encode-and-append == encode-everything " +
+    "against the stored codebook; append-only files (r11)") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_ingest").toString
+    try {
+      graft.config.PqIndex.build(spark, e.where(col("vec_id") < 400), dir)
+      def codeFiles: Set[String] = new java.io.File(s"$dir/codes")
+        .listFiles.filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      val before = codeFiles
+      graft.config.PqIndex.ingest(spark, dir, e.where(col("vec_id") >= 400))
+      assert(before.subsetOf(codeFiles), "ingest must not rewrite codes")
+      assert(codeFiles.size > before.size)
+      val got = graft.config.PqIndex.codes(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+      val cb = graft.config.PqIndex.codebook(spark, dir)
+      val expect = Llm.pqCodesPacked(
+          Llm.pqAssign(Llm.pqSubFrame(e), cb)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+      assert(got == expect)
+      assert(got.size == e.count())
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("declared llm_ann_ivf_ingest == live base-trained recompute; " +
+    "base state built once per fingerprint (r11)") {
+    val d = "/root/testdata/sf0.001"
+    val declared = SparkEntry.queries("llm_ann_ivf_ingest")(spark, d)
+      .collect().toSeq
+    assert(declared.nonEmpty)
+    // live twin: train on the base slice IN-PLAN, assign everything,
+    // same probe — must answer identically (the driver additionally
+    // pins both to the replayed base-trained oracle chain)
+    val core = Tables(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding")).persist()
+    try {
+      val base = core.where(col("vec_id") < 400)
+      val cents = Llm.ivfTrain(base, Llm.ivfSeedScalable(base), 2)
+      val queries = core.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val live = Llm.ivfTopk(Llm.ivfAssign(core, cents), cents,
+        queries, nprobe = 2, k = 5).collect().toSeq
+      assert(declared == live)
+    } finally core.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("pcaTopFrame recovers a planted dominant direction (r8 cont. 6)") {
     // 200 vectors, 64-dim: component 1 carries +-3 (alternating sign, so
     // the MEAN is ~0 and the centered scatter is dominated by dim 1);
