@@ -1905,7 +1905,14 @@ object Extras {
       coOrderEdgesLive(s, d, from, to)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
     }
-    s.read.parquet(dir)
+    // The stored frame is small enough that the scan coalesces to ONE
+    // split — fine for the cheap consumers, but the wedge family then
+    // symmetrizes/persists/self-joins from a single task (measured ×2
+    // on graph_jaccard_neighbors). Re-spread on the live derivation's
+    // own distribution key so every consumer starts at full parallelism
+    // — the same hash exchange the in-memory distinct() used to leave
+    // behind, paid once per key over a tiny frame.
+    s.read.parquet(dir).repartition(col("a"), col("b"))
   }
 
   /** The live derivation (the only statement of the edge semantics —
