@@ -1504,6 +1504,62 @@ object ScaleSmoke {
       }
     }
 
+    // ANN-index ingest law (round 11 — VERDICT r10 #1): per-ingest
+    // compute ∝ batch while a rebuild pays the corpus — the
+    // SketchRegistry flat-ingest law applied to the vector indexes.
+    // Build a 1M-vector IVF index and a 1M-vector PQ index once (the
+    // static-trained production state), then ingest a 10k batch (1%)
+    // through IvfIndex.ingest / PqIndex.ingest: assign/encode ONLY the
+    // batch against the stored centroids/codebook, append. The recorded
+    // fact: ingest wall sits 1–2 orders below the build wall directly
+    // above it, at ~1% of its input — appending a nightly delta never
+    // re-pays training or the corpus encode.
+    if (only.isEmpty || only.exists("ann index ingest".contains)) {
+      def emb16(lo: Long, hi: Long): org.apache.spark.sql.DataFrame =
+        spark.range(lo, hi).select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(16)), j =>
+            ((pmod(xxhash64(col("id"), j), lit(2000)).cast("double")
+              / 1000.0) - 1.0).cast("float")).as("embedding"))
+      def emb64(lo: Long, hi: Long): org.apache.spark.sql.DataFrame =
+        spark.range(lo, hi).select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(64)), j =>
+            ((pmod(xxhash64(col("id"), j), lit(2000)).cast("double")
+              / 1000.0) - 1.0).cast("float")).as("embedding"))
+      val ivfDir = scratchDir("graft_scale_ivf_ingest")
+      val base = emb16(0L, 1000000L).persist()
+      time("ann index ingest: ivf build 1M") {
+        config.IvfIndex.build(spark, base, ivfDir, 64, 256, lloydRounds = 1)
+        base.unpersist()
+        1000000L
+      }
+      time("ann index ingest: ivf +10k") {
+        // timed = the ingest itself (assign the batch against stored
+        // centroids + append); the corpus-proportional verification
+        // count below is the CHECK, not the ingest cost
+        config.IvfIndex.ingest(spark, ivfDir, emb16(1000000L, 1010000L))
+        spark.catalog.clearCache()
+        10000L
+      }
+      val nIvf = config.IvfIndex.assignments(spark, ivfDir).count()
+      require(nIvf == 1010000L,
+        s"base+delta inverted file must hold all ($nIvf)")
+      val pqDir = scratchDir("graft_scale_pq_ingest")
+      time("ann index ingest: pq build 1M") {
+        config.PqIndex.build(spark, emb64(0L, 1000000L), pqDir)
+        1000000L
+      }
+      time("ann index ingest: pq +10k") {
+        config.PqIndex.ingest(spark, pqDir, emb64(1000000L, 1010000L))
+        spark.catalog.clearCache()
+        10000L
+      }
+      val nPq = config.PqIndex.codes(spark, pqDir).count()
+      require(nPq == 1010000L,
+        s"base+delta code table must hold all ($nPq)")
+    }
+
     // The FULL corpus pipeline (llm_corpus_build body) at 500k docs with
     // the production FastHash sketch family: dedup → quality → pack E2E.
     // Runs under DEFAULT autoBroadcastJoinThreshold on purpose: round 3

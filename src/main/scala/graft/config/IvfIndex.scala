@@ -89,7 +89,13 @@ object IvfIndex {
     val core = e.select(col("vec_id"), col("embedding"))
     val cents = Llm.ivfTrain(core, Llm.ivfSeedScalable(core, k, ell), lloydRounds)
     cents.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    // repartition on cell BEFORE the partitionBy write: without it every
+    // upstream task opens a file in every cell dir (tasks × cells tiny
+    // files — measured 8.9 s for a 10k ingest); with it each cell's
+    // rows land in one compact segment, which is also what the probed
+    // read wants
     withMeta(e, Llm.ivfAssign(core, cents))
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode(SaveMode.Overwrite)
       .parquet(s"$dir/assign")
   }
@@ -105,6 +111,7 @@ object IvfIndex {
   def ingest(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
     val core = batch.select(col("vec_id"), col("embedding"))
     withMeta(batch, Llm.ivfAssign(core, centroids(spark, dir)))
+      .repartition(col("cell")) // one compact appended segment per cell
       .write.partitionBy("cell").mode(SaveMode.Append)
       .parquet(s"$dir/assign")
   }
