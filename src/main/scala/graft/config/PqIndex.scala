@@ -43,6 +43,21 @@ object PqIndex {
       build(spark, e, tmp)
     }
 
+  /** BASE-slice index for the declared ingest key (round 11 — the
+    * IvfIndex.ensureBase pattern): codebook trained and corpus encoded
+    * on vec_id < `boundary` only; new batches are ENCODED against this
+    * stored codebook and appended via [[ingest]]. */
+  def ensureBase(spark: SparkSession, sfDir: String, boundary: Long): String =
+    LakeCache.ensure(
+      s"$sfDir/embeddings.parquet",
+      s"pq:v1:m=${Llm.PqM}:dsub=${Llm.PqD}:k=${Llm.PqK}:lloyd=1:base=$boundary",
+      "graft_pq_index") { tmp =>
+      build(spark,
+        graft.Tables(spark, sfDir, "embeddings")
+          .where(col("vec_id") < boundary)
+          .select(col("vec_id"), col("embedding")), tmp)
+    }
+
   /** Train on `e` (vec_id, embedding) and write both index tables —
     * frame-parameterized so ScaleSmoke can build synthetic-scale
     * indexes through the same code. */

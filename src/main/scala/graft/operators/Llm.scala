@@ -727,6 +727,55 @@ object Llm {
        |  ON p.q_id = e.q_id AND p.n_id = e.n_id
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
+  /** nprobe tuning curve (round 11): mean recall@5 of the stored-IVF
+    * probe at nprobe ∈ {1, 2, 4} — the dial llm_ann_ivf_recall says to
+    * turn, AS a curve. Candidate sets nest as the budget grows, so the
+    * curve is non-decreasing (ApproxSpec pins it). */
+  private lazy val ivfNprobeOracle: String =
+    s"""WITH $ivfTrainedAssignCtes,
+       |pr AS (
+       |  SELECT q_id, q_emb, cell, rn AS pr FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                          CAST(c.cent AS DOUBLE[])), 6)
+       |             DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c
+       |    WHERE e.vec_id < 20)
+       |  WHERE rn <= 4
+       |), cand AS (
+       |  SELECT p.q_id, p.pr, n.vec_id AS n_id,
+       |         round(list_cosine_similarity(CAST(p.q_emb AS DOUBLE[]),
+       |                                      CAST(n.embedding AS DOUBLE[])), 6) AS sim
+       |  FROM pr p JOIN a3 n ON n.cell = p.cell AND n.vec_id <> p.q_id
+       |), bud AS (
+       |  SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe
+       |), t5 AS (
+       |  SELECT nprobe, q_id, n_id FROM (
+       |    SELECT b.nprobe, c.q_id, c.n_id, row_number() OVER (
+       |      PARTITION BY b.nprobe, c.q_id ORDER BY c.sim DESC, c.n_id) AS rn
+       |    FROM bud b JOIN cand c ON c.pr <= b.nprobe) WHERE rn <= 5
+       |), ex AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                        CAST(c.embedding AS DOUBLE[])), 6)
+       |             DESC, c.vec_id) AS rn
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 20
+       |), exact AS (
+       |  SELECT q_id, n_id FROM ex WHERE rn <= 5
+       |), hits AS (
+       |  SELECT b.nprobe, e.q_id, CAST(count(t.n_id) AS BIGINT) AS h
+       |  FROM bud b CROSS JOIN exact e
+       |  LEFT JOIN t5 t ON t.nprobe = b.nprobe AND t.q_id = e.q_id
+       |                AND t.n_id = e.n_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT nprobe, CAST(count(*) AS BIGINT) AS n_queries,
+       |       round(avg(CAST(h AS DOUBLE)) / 5, 6) AS mean_recall
+       |FROM hits GROUP BY nprobe ORDER BY nprobe""".stripMargin
+
   /** Filtered-ANN oracle (round 11 — VERDICT r10 #2): the IVF probe
     * with the llm_hard_negatives label-inequality rule applied to the
     * inverted-file members BEFORE the top-k cut — candidates carry
@@ -1150,19 +1199,26 @@ object Llm {
        |                * (list_extract($a, i) - list_extract($b, i))))""".stripMargin
 
   /** DuckDB twin of one [[pqAssign]] pass from codebook CTE `cb` into
-    * CTE `out` (columns vec_id, j, sub, code). */
-  private def pqAssignCte(cb: String, out: String): String =
+    * CTE `out` (columns vec_id, j, sub, code). `src` is the encoded
+    * subframe — training rounds encode the training slice, the final
+    * corpus encode covers everything (round 11, the ivfAssignCte
+    * parameterization applied to PQ). */
+  private def pqAssignCte(cb: String, out: String, src: String = "sv"): String =
     s"""$out AS (
        |  SELECT vec_id, j, sub, c AS code FROM (
-       |    SELECT sv.vec_id, sv.j, sv.sub, $cb.c,
-       |           row_number() OVER (PARTITION BY sv.vec_id, sv.j
-       |             ORDER BY ${pqDistSql("sv.sub", s"$cb.cent")}, $cb.c) AS rn
-       |    FROM sv JOIN $cb ON sv.j = $cb.j) WHERE rn = 1
+       |    SELECT $src.vec_id, $src.j, $src.sub, $cb.c,
+       |           row_number() OVER (PARTITION BY $src.vec_id, $src.j
+       |             ORDER BY ${pqDistSql(s"$src.sub", s"$cb.cent")}, $cb.c) AS rn
+       |    FROM $src JOIN $cb ON $src.j = $cb.j) WHERE rn = 1
        |)""".stripMargin
 
   /** The shared PQ training replay: tick subspaces → hash-bucket seeds
-    * → assign → exact-integer re-average into trained codebook `cb`. */
-  private def pqTrainCtes: String = {
+    * → assign → exact-integer re-average into trained codebook `cb`.
+    * `trainSrc`/`extraCte`: the ingest twin trains on a base slice
+    * (`svb`) while tk/sv still cover the whole corpus for the final
+    * encode (round 11 — the ivfBaseTrainedAssignCtes pattern). */
+  private def pqTrainCtesFrom(
+      trainSrc: String, extraCte: String = ""): String = {
     def ph(prefix: String): String = PortableHash.sql(
       s"'$prefix' || CAST(j AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)")
     s"""tk AS (
@@ -1173,13 +1229,13 @@ object Llm {
        |  SELECT vec_id, j, list_transform(range(1, ${PqD + 1}),
        |           i -> list_extract(t, j * $PqD + i)) AS sub
        |  FROM tk CROSS JOIN (SELECT unnest(range(0, $PqM)) AS j)
-       |), sd AS (
+       |)$extraCte, sd AS (
        |  SELECT j, c, sub AS cent FROM (
        |    SELECT j, ${ph("pqb")} % $PqK AS c, sub,
        |           row_number() OVER (PARTITION BY j, ${ph("pqb")} % $PqK
        |             ORDER BY ${ph("pqu")}, vec_id) AS rn
-       |    FROM sv) WHERE rn = 1
-       |), ${pqAssignCte("sd", "pa1")}, cb AS (
+       |    FROM $trainSrc) WHERE rn = 1
+       |), ${pqAssignCte("sd", "pa1", trainSrc)}, cb AS (
        |  SELECT j, code AS c, list(v ORDER BY dim) AS cent FROM (
        |    SELECT j, code, dim,
        |           (s - ((s % n) + n) % n) // n AS v
@@ -1192,6 +1248,16 @@ object Llm {
        |  GROUP BY 1, 2
        |)""".stripMargin
   }
+
+  private def pqTrainCtes: String = pqTrainCtesFrom("sv")
+
+  /** Base-trained PQ chain for the ingest twin: seeds + Lloyd see only
+    * vec_id < `boundary`; the final encode still covers everything. */
+  private def pqBaseTrainCtes(boundary: Long): String =
+    pqTrainCtesFrom("svb",
+      s""", svb AS (
+         |  SELECT * FROM sv WHERE vec_id < $boundary
+         |)""".stripMargin)
 
   /** Distinct doc shingles, with an optional WHERE pushed into the doc
     * scan (the est-quality DOC sample — the filter must prune documents
@@ -4578,6 +4644,67 @@ object Llm {
         .orderBy("q_id")
     },
 
+    // nprobe TUNING CURVE (round 11): mean recall@5 of the stored-IVF
+    // probe at nprobe ∈ {1, 2, 4} — llm_ann_ivf_recall says the single
+    // operating point is low on this fixture; THIS key is the curve a
+    // deployment reads to pick the budget (more probed cells = more
+    // exact re-ranks = higher recall; candidate sets nest, so the curve
+    // is non-decreasing — ApproxSpec pins the law). Plan: ONE probe
+    // pass keeps each query's 4 nearest cells with their probe rank,
+    // one candidate join against the stored inverted file, then the 3
+    // budgets materialize as a broadcast 3-row frame joined on
+    // pr <= nprobe — the candidate fan-out is paid once, not per
+    // budget.
+    Q("llm_ann_ivf_nprobe", ivfNprobeOracle) { (s, d) =>
+      val dir = graft.config.IvfIndex.ensure(s, d)
+      val cents = graft.config.IvfIndex.centroids(s, dir)
+      val inv = graft.config.IvfIndex.assignments(s, dir)
+        .select(col("cell"), col("vec_id").as("n_id"),
+          col("embedding").as("n_emb"))
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val queries = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wq = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cell"))
+      val pr = queries.join(broadcast(cents), lit(true))
+        .select(col("q_id"), col("q_emb"), col("cell"),
+          round(cosineSim(col("q_emb"), col("cent")), 6).as("sim"))
+        .withColumn("pr", row_number().over(wq))
+        .where(col("pr") <= 4)
+        .select(col("q_id"), col("q_emb"), col("cell"), col("pr"))
+      val cand = pr.join(inv, Seq("cell"))
+        .where(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("pr"), col("n_id"),
+          round(cosineSim(col("q_emb"), col("n_emb")), 6).as("sim"))
+      val bud = s.range(1)
+        .select(explode(array(lit(1L), lit(2L), lit(4L))).as("nprobe"))
+      val w5 = Window.partitionBy("nprobe", "q_id")
+        .orderBy(col("sim").desc, col("n_id"))
+      val t5 = cand.join(broadcast(bud), col("pr") <= col("nprobe"))
+        .withColumn("rn", row_number().over(w5))
+        .where(col("rn") <= 5)
+        .select(col("nprobe").as("t_np"), col("q_id").as("t_qid"),
+          col("n_id").as("t_nid"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .repartition(probeFanout(s))
+      val we = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      val exact = c.join(broadcast(queries), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          round(cosineSim(col("q_emb"), col("n_emb")), 6).as("sim"))
+        .withColumn("rn", row_number().over(we))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"))
+      exact.crossJoin(broadcast(bud))
+        .join(t5,
+          col("t_np") === col("nprobe") && col("t_qid") === col("q_id") &&
+            col("t_nid") === col("n_id"), "left")
+        .groupBy("nprobe", "q_id")
+        .agg(count(col("t_nid")).as("h"))
+        .groupBy("nprobe")
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("h").cast("double")) / 5, 6).as("mean_recall"))
+        .orderBy("nprobe")
+    },
+
     // FILTERED ANN on the served IVF path (round 11 — VERDICT r10 #2):
     // per-query top-5 under a metadata predicate — the single most
     // common real retrieval shape (RAG tenant/source filters, curation
@@ -5493,6 +5620,30 @@ object Llm {
       pqTopkFrom(codes, cb, e)
     },
 
+    // INGEST-INCREMENTAL PQ serving (round 11 — the llm_ann_ivf_ingest
+    // posture applied to the code table): codebook STATIC-TRAINED on
+    // the vec_id < 400 base (once per fingerprint, PqIndex.ensureBase),
+    // new vectors only ENCODED against the stored codebook — the plan
+    // reads the stored base codes, encodes the batch in-plan (∝ batch),
+    // unions, and serves the standard ADC top-5. Because encoding is
+    // per-vector independent, base-encode ∪ batch-encode ≡
+    // encode-everything — the oracle replays base-only training then
+    // encodes the whole corpus, so drifted stored codes hash-mismatch.
+    // The mutating append is PqIndex.ingest (spec + ScaleSmoke: 0.9 s
+    // for a 10k batch vs 14 s for the 1M rebuild).
+    Q("llm_pq_topk_ingest", pqTopkIngestOracle) { (s, d) =>
+      val dir = graft.config.PqIndex.ensureBase(s, d, 400L)
+      val cb = graft.config.PqIndex.codebook(s, dir)
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val batchCodes = pqCodesPacked(pqAssign(
+        pqSubFrame(e.where(col("vec_id") >= 400)), cb))
+      val codes = graft.config.PqIndex.codes(s, dir)
+        .unionByName(batchCodes)
+        .select(col("vec_id").as("n_id"),
+          posexplode(col("codes")).as(Seq("j", "code")))
+      pqTopkFrom(codes, cb, e)
+    },
+
     // PQ retrieval eval (round 10): recall@5 of the stored-index PQ/ADC
     // chain against brute-force exact cosine, per query — the
     // llm_ann_recall readout applied to the new index family, so "are
@@ -5609,8 +5760,8 @@ object Llm {
     * key (llm_pq_topk) and its recompute twin (llm_pq_topk_train) —
     * the driver hash-comparing both against the same replayed training
     * chain is what pins stored state to the live recipe. */
-  private lazy val pqTopkCtes: String =
-    s"""$pqTrainCtes, ${pqAssignCte("cb", "penc")}, lut AS (
+  private def pqTopkCtesFrom(trainChain: String): String =
+    s"""$trainChain, ${pqAssignCte("cb", "penc")}, lut AS (
        |  SELECT sv.vec_id AS q_id, sv.j, cb.c,
        |         CAST(list_sum(list_transform(range(1, ${PqD + 1}),
        |           i -> list_extract(sv.sub, i) * list_extract(cb.cent, i)))
@@ -5641,8 +5792,17 @@ object Llm {
        |    FROM rr) WHERE rn <= 5
        |)""".stripMargin
 
+  private lazy val pqTopkCtes: String = pqTopkCtesFrom(pqTrainCtes)
+
   private lazy val pqTopkOracle: String =
     s"""WITH $pqTopkCtes
+       |SELECT q_id, n_id, adc, sim, rn FROM pq5
+       |ORDER BY q_id, rn""".stripMargin
+
+  /** The ingest twin's oracle: base-trained codebook, whole-corpus
+    * encode — what stored-base-codes ∪ encode-the-batch must equal. */
+  private lazy val pqTopkIngestOracle: String =
+    s"""WITH ${pqTopkCtesFrom(pqBaseTrainCtes(400L))}
        |SELECT q_id, n_id, adc, sim, rn FROM pq5
        |ORDER BY q_id, rn""".stripMargin
 

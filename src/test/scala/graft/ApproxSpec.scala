@@ -503,4 +503,24 @@ class ApproxSpec extends AnyFunSuite {
     val recall = (truth & got).size.toDouble / truth.size
     assert(recall >= 0.15, s"filtered probe recall collapsed: $recall")
   }
+
+  test("llm_ann_ivf_nprobe: the tuning curve is non-decreasing and its " +
+    "nprobe=2 point equals the recall key's mean (r11)") {
+    val d = "/root/testdata/sf0.01"
+    val curve = SparkEntry.queries("llm_ann_ivf_nprobe")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(curve.keySet == Set(1L, 2L, 4L))
+    // candidate sets nest as the budget grows — a higher-sim candidate
+    // surfacing at a larger budget is itself in the exact top-5, so
+    // hits cannot drop (measured 0.22 / 0.31 / 0.56 at sf0.01)
+    assert(curve(1L) <= curve(2L) && curve(2L) <= curve(4L),
+      s"recall must not drop as nprobe grows: $curve")
+    // the curve's nprobe=2 point IS the recall dashboard's mean
+    val rec = SparkEntry.queries("llm_ann_ivf_recall")(spark, d)
+      .agg(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.avg("recall"), 6))
+      .head().getDouble(0)
+    assert(math.abs(curve(2L) - rec) < 1e-9,
+      s"curve(2)=${curve(2L)} recall-key mean=$rec")
+  }
 }
