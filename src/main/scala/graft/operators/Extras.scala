@@ -1019,6 +1019,53 @@ object Extras {
         .orderBy("degree")
     },
 
+    // Average neighbor degree by degree class — knn(k) (round 11): the
+    // LOCAL readout of graph_assortativity's single coefficient
+    // (Pastor-Satorras et al. 2001: knn(k) falling with k =
+    // disassortative hubs-link-leaves, rising = assortative core). Same
+    // materialized 1997 co-order frame. EXACT arithmetic: per-node
+    // neighbor-degree SUMS are BIGINT; within a degree class the
+    // divisor is constant (deg == k), so the class mean collapses to
+    // Σsnd / (k·n) — ONE float division per output row, no
+    // order-dependent double summation anywhere (the doctrine that a
+    // per-node avg-then-avg would violate).
+    Q("graph_avg_neighbor_degree",
+      """WITH lp AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |), e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+        |), sym AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+        |), deg AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY u
+        |), nb AS (
+        |  SELECT s.u, CAST(sum(d2.degree) AS BIGINT) AS snd
+        |  FROM sym s JOIN deg d2 ON d2.u = s.v
+        |  GROUP BY s.u
+        |)
+        |SELECT d.degree, CAST(count(*) AS BIGINT) AS n_nodes,
+        |       round(CAST(sum(nb.snd) AS DOUBLE)
+        |             / (d.degree * count(*)), 6) AS avg_neighbor_degree
+        |FROM deg d JOIN nb ON nb.u = d.u
+        |GROUP BY d.degree ORDER BY d.degree""".stripMargin) { (s, d) =>
+      val sym = symmetrize(coOrderEdges(s, d, "1997-01-01", "1998-01-01"))
+        .select(col("a").as("u"), col("b").as("v")).persist()
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("degree"))
+      val nb = sym
+        .join(deg.select(col("u").as("v"), col("degree").as("nd")), Seq("v"))
+        .groupBy("u").agg(sum(col("nd")).as("snd"))
+      deg.join(nb, Seq("u"))
+        .groupBy("degree")
+        .agg(count(lit(1)).as("n_nodes"),
+          round(sum(col("snd")).cast("double") /
+            (col("degree") * count(lit(1))), 6).as("avg_neighbor_degree"))
+        .orderBy("degree")
+    },
+
     // Common-neighbors link prediction (round 5, continued): the
     // classic "people you may know" score — for part pairs NOT directly
     // co-ordered, count shared neighbors in the 1997 co-order graph and

@@ -1904,6 +1904,57 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // Link extraction (round 11 — llm_markup_extract's sibling): pull
+    // every href out of the planted page — the op that FEEDS a crawl
+    // frontier and the host-level link graph (PageRank's input at
+    // CommonCrawl scale starts exactly here). Same deterministic
+    // in-plan HTML construction; regexp_extract_all with one capture
+    // group in both engines, matches in document order. Per doc: link
+    // count, the ordered link list, and how many are absolute (the
+    // frontier-vs-site-relative split a crawler budgets by). One
+    // codegen'd regex pass, no explode needed for the declared readout.
+    Q("llm_markup_links", {
+      val html =
+        "'<html><body><a href=\"https://ex' || " +
+          "CAST(doc_id % 7 AS VARCHAR) || '.com/d/' || " +
+          "CAST(doc_id AS VARCHAR) || '\">x</a> <p>' || text || " +
+          "'</p> <a class=\"nav\" href=\"/home\">home</a> " +
+          "<a href=\"https://ex' || CAST(doc_id % 3 AS VARCHAR) || " +
+          "'.com/t\">t</a></body></html>'"
+      s"""WITH raw AS (
+         |  SELECT doc_id, $html AS html FROM documents
+         |), ex AS (
+         |  SELECT doc_id,
+         |         regexp_extract_all(html, 'href="([^"]+)"', 1) AS links
+         |  FROM raw
+         |)
+         |SELECT doc_id, CAST(len(links) AS BIGINT) AS n_links,
+         |       array_to_string(links, ' ') AS links_str,
+         |       CAST(len(list_filter(links, x -> x LIKE 'http%'))
+         |            AS BIGINT) AS n_abs
+         |FROM ex ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val html = concat(
+        lit("<html><body><a href=\"https://ex"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".com/d/"), col("doc_id").cast("string"),
+        lit("\">x</a> <p>"), col("text"),
+        lit("</p> <a class=\"nav\" href=\"/home\">home</a> " +
+          "<a href=\"https://ex"),
+        (col("doc_id") % 3).cast("string"),
+        lit(".com/t\">t</a></body></html>"))
+      docs(s, d)
+        .select(col("doc_id"),
+          regexp_extract_all(html, lit("href=\"([^\"]+)\""), lit(1))
+            .as("links"))
+        .select(col("doc_id"),
+          size(col("links")).cast("long").as("n_links"),
+          array_join(col("links"), " ").as("links_str"),
+          size(expr("filter(links, x -> x LIKE 'http%')")).cast("long")
+            .as("n_abs"))
+        .orderBy("doc_id")
+    },
+
     // Content-hash dedup groups over normalized text (R9 pattern at NS scale).
     Q("llm_exact_dedup",
       s"""SELECT md5($normSql) AS h, min(doc_id) AS keep_id,

@@ -1002,6 +1002,120 @@ object Windows {
             when(col("sg") + col("sl") =!= 0, col("sg") + col("sl")), 6)
             .as("rsi14"))
         .orderBy("event_type", "day")
+    },
+
+    // Running VWAP (round 11): cumulative volume-weighted average price
+    // per supplier over its daily shipments — THE execution-quality /
+    // cost-basis line every trading and procurement dashboard draws
+    // (was the daily price above or below the running average paid?).
+    // Determinism: prices enter as exact BIGINT cents and quantities as
+    // exact BIGINT units (the win_rsi cent-grid), both cumulative sums
+    // are integer window folds, and the only float op is the final
+    // single division — bit-identical cross-engine. One exchange on
+    // suppkey serves both running sums; suppkey < 20 bounds the report tail at every SF.
+    Q("win_vwap",
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS pv,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem WHERE l_suppkey < 20 GROUP BY 1, 2
+        |), c AS (
+        |  SELECT l_suppkey, day,
+        |         CAST(sum(pv) OVER w AS BIGINT) AS cpv,
+        |         CAST(sum(q) OVER w AS BIGINT) AS cq
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY day
+        |               ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT l_suppkey, day, cpv, cq,
+        |       round(CAST(cpv AS DOUBLE) / 100 / cq, 6) AS vwap
+        |FROM c ORDER BY l_suppkey, day""".stripMargin) { (s, d) =>
+      val daily = t(s, d, "lineitem")
+        .where(col("l_suppkey") < 20)
+        .groupBy(col("l_suppkey"), date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("pv"),
+          sum(round(col("l_quantity")).cast("long")).as("q"))
+      val w = Window.partitionBy("l_suppkey").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .select(col("l_suppkey"), col("day"),
+          sum(col("pv")).over(w).as("cpv"),
+          sum(col("q")).over(w).as("cq"))
+        .select(col("l_suppkey"), col("day"), col("cpv"), col("cq"),
+          round(col("cpv").cast("double") / 100 / col("cq"), 6).as("vwap"))
+        .orderBy("l_suppkey", "day")
+    },
+
+    // MACD (round 11): the EWMA crossover indicator — fast EWMA(12) −
+    // slow EWMA(26) with a 9-period signal line over each event type's
+    // daily cent volume; histogram = macd − signal. The win_ewma
+    // single-α fold generalized to a THREE-state recursion, run as one
+    // in-row fixed-arity DOUBLE-array fold (the etl_forecast_holt
+    // list_reduce discipline: scalar observations lifted to 1-element
+    // lists, accumulator [e12, e26, sig] — the shape both engines fold
+    // identically; no per-row list_transform feeds a list accumulator,
+    // so the DuckDB list_reduce miscompute class is avoided). α as the
+    // literal ratios 2/13, 2/27, 2/10 written identically in both
+    // texts; outputs floor-scaled 1e5 (the win_ewma grid).
+    Q("win_macd",
+      """WITH d AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type,
+        |         list(CAST(y AS DOUBLE) ORDER BY day) AS xs,
+        |         CAST(count(*) AS BIGINT) AS n_days
+        |  FROM d GROUP BY event_type
+        |), f AS (
+        |  SELECT event_type, n_days,
+        |         list_reduce(list_prepend([xs[1], xs[1], CAST(0 AS DOUBLE)],
+        |             list_transform(xs[2 : len(xs)],
+        |                            x -> [x, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+        |           (a, o) -> [
+        |             (CAST(2 AS DOUBLE) / 13) * o[1]
+        |               + (1 - CAST(2 AS DOUBLE) / 13) * a[1],
+        |             (CAST(2 AS DOUBLE) / 27) * o[1]
+        |               + (1 - CAST(2 AS DOUBLE) / 27) * a[2],
+        |             (CAST(2 AS DOUBLE) / 10)
+        |               * (((CAST(2 AS DOUBLE) / 13) * o[1]
+        |                     + (1 - CAST(2 AS DOUBLE) / 13) * a[1])
+        |                  - ((CAST(2 AS DOUBLE) / 27) * o[1]
+        |                     + (1 - CAST(2 AS DOUBLE) / 27) * a[2]))
+        |               + (1 - CAST(2 AS DOUBLE) / 10) * a[3]]) AS st
+        |  FROM g
+        |)
+        |SELECT event_type, n_days,
+        |       floor((st[1] - st[2]) * 100000) / 100000 AS macd,
+        |       floor(st[3] * 100000) / 100000 AS signal,
+        |       floor((st[1] - st[2] - st[3]) * 100000) / 100000 AS histogram
+        |FROM f ORDER BY event_type""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+        .groupBy("event_type")
+        .agg(
+          expr("transform(sort_array(collect_list(struct(day, CAST(y AS DOUBLE) AS x))), e -> e.x)")
+            .as("xs"),
+          count(lit(1)).as("n_days"))
+        .select(col("event_type"), col("n_days"),
+          expr(
+            """aggregate(slice(xs, 2, size(xs) - 1),
+              |          array(element_at(xs, 1), element_at(xs, 1), 0.0d),
+              |          (a, x) -> array(
+              |            (2.0d / 13) * x + (1 - 2.0d / 13) * a[0],
+              |            (2.0d / 27) * x + (1 - 2.0d / 27) * a[1],
+              |            (2.0d / 10)
+              |              * (((2.0d / 13) * x + (1 - 2.0d / 13) * a[0])
+              |                 - ((2.0d / 27) * x + (1 - 2.0d / 27) * a[1]))
+              |              + (1 - 2.0d / 10) * a[2]))""".stripMargin).as("st"))
+        .select(col("event_type"), col("n_days"),
+          (floor((col("st")(0) - col("st")(1)) * 100000) / 100000).as("macd"),
+          (floor(col("st")(2) * 100000) / 100000).as("signal"),
+          (floor((col("st")(0) - col("st")(1) - col("st")(2)) * 100000)
+            / 100000).as("histogram"))
+        .orderBy("event_type")
     }
   )
 }
