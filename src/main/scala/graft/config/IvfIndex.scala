@@ -116,6 +116,50 @@ object IvfIndex {
       .parquet(s"$dir/assign")
   }
 
+  /** Tombstone a set of vec_ids (round 11 — the third index lifecycle
+    * verb after build and ingest): deletes in an append-only inverted
+    * file are MARKERS, not rewrites — an append of the ids to a
+    * `tombstones` table. Serving anti-joins [[tombstones]] (the
+    * llm_ann_ivf_deleted plan shape); [[compact]] folds the markers
+    * into the file when they accumulate. Deleting an id twice, or an id
+    * the index never held, is harmlessly idempotent (anti-join
+    * semantics). */
+  def delete(spark: SparkSession, dir: String, vecIds: DataFrame): Unit =
+    vecIds.select(col("vec_id")).distinct().coalesce(1)
+      .write.mode(SaveMode.Append).parquet(s"$dir/tombstones")
+
+  /** The tombstoned vec_ids — empty frame when none were ever deleted. */
+  def tombstones(spark: SparkSession, dir: String): DataFrame =
+    if (new java.io.File(s"$dir/tombstones").isDirectory)
+      spark.read.parquet(s"$dir/tombstones").distinct()
+    else
+      spark.range(0).select(col("id").as("vec_id"))
+
+  /** Fold accumulated tombstones into the inverted file: rewrite the
+    * live rows into a staged dir, swap it in, drop the marker table —
+    * the LSM-style compaction every append-only index runs when the
+    * dead fraction grows. The swap is rename-based (stage → retire →
+    * publish), so a reader holding the OLD listing still completes
+    * against the retired dir until the final cleanup, and a crash
+    * before the publish rename leaves the original serving state
+    * intact. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val dead = new java.io.File(s"$dir/tombstones")
+    if (!dead.isDirectory) return
+    val live = assignments(spark, dir)
+      .join(tombstones(spark, dir), Seq("vec_id"), "left_anti")
+    live.repartition(col("cell"))
+      .write.partitionBy("cell").mode(SaveMode.Overwrite)
+      .parquet(s"$dir/assign.stage")
+    val cur = new java.io.File(s"$dir/assign")
+    val old = new java.io.File(s"$dir/assign.old")
+    require(cur.renameTo(old), s"compact: cannot retire $cur")
+    require(new java.io.File(s"$dir/assign.stage").renameTo(cur),
+      s"compact: cannot publish staged inverted file into $dir")
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
+    org.apache.commons.io.FileUtils.deleteDirectory(dead)
+  }
+
   /** Attach `src`'s metadata columns (anything beyond vec_id/embedding)
     * to an assignment frame by vec_id. */
   private def withMeta(src: DataFrame, assigned: DataFrame): DataFrame = {

@@ -776,6 +776,41 @@ object Llm {
        |       round(avg(CAST(h AS DOUBLE)) / 5, 6) AS mean_recall
        |FROM hits GROUP BY nprobe ORDER BY nprobe""".stripMargin
 
+  /** Tombstone-aware serving oracle (round 11): the IVF probe with a
+    * deleted-id set excluded from the candidates — deletes in an
+    * append-only inverted file are markers anti-joined at serve time
+    * (IvfIndex.delete/tombstones/compact own the lifecycle; the
+    * declared key pins the serving shape on a deterministic delete
+    * set). */
+  private lazy val ivfDeletedOracle: String =
+    s"""WITH $ivfTrainedAssignCtes,
+       |dead AS (
+       |  SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0
+       |),
+       |probes AS (
+       |  SELECT q_id, q_emb, cell FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                          CAST(c.cent AS DOUBLE[])), 6)
+       |             DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c
+       |    WHERE e.vec_id < 20)
+       |  WHERE rn <= 2
+       |), rr AS (
+       |  SELECT DISTINCT q_id, n.vec_id AS n_id,
+       |         round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+       |                                      CAST(n.embedding AS DOUBLE[])), 6) AS sim
+       |  FROM probes p JOIN a3 n ON n.cell = p.cell AND n.vec_id <> p.q_id
+       |  WHERE n.vec_id NOT IN (SELECT vec_id FROM dead)
+       |), r AS (
+       |  SELECT q_id, n_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+       |  FROM rr
+       |)
+       |SELECT q_id, n_id, sim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
+       |ORDER BY q_id, rn""".stripMargin
+
   /** Filtered-ANN oracle (round 11 — VERDICT r10 #2): the IVF probe
     * with the llm_hard_negatives label-inequality rule applied to the
     * inverted-file members BEFORE the top-k cut — candidates carry
@@ -4693,6 +4728,30 @@ object Llm {
         .agg(count(col("p_nid")).as("n_hit"),
           round(count(col("p_nid")).cast("double") / 5, 6).as("recall"))
         .orderBy("q_id")
+    },
+
+    // TOMBSTONE-AWARE IVF serving (round 11 — the DELETE verb of the
+    // index lifecycle, completing build / ingest / delete / compact):
+    // an append-only inverted file deletes by MARKER, not rewrite —
+    // IvfIndex.delete appends ids to a tombstone table, serving
+    // anti-joins it, IvfIndex.compact folds markers into the file when
+    // the dead fraction grows (all three spec-proven in IvfSpec with
+    // the serve-equivalence and compact-preserves-answers laws). The
+    // DECLARED key pins the serving shape on a deterministic delete set
+    // (vec_id % 50 = 0 — GDPR-style removals a real corpus accrues):
+    // the stored index is READ as-is, the tombstone frame anti-joins
+    // the probed candidates, top-5 re-ranks among survivors.
+    Q("llm_ann_ivf_deleted", ivfDeletedOracle) { (s, d) =>
+      val dir = graft.config.IvfIndex.ensure(s, d)
+      val cents = graft.config.IvfIndex.centroids(s, dir)
+      val dead = emb(s, d).where(col("vec_id") % 50 === 0)
+        .select(col("vec_id"))
+      val live = graft.config.IvfIndex.assignments(s, dir)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .join(dead, Seq("vec_id"), "left_anti")
+      val queries = emb(s, d).where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      ivfTopk(live, cents, queries, nprobe = 2, k = 5)
     },
 
     // nprobe TUNING CURVE (round 11): mean recall@5 of the stored-IVF

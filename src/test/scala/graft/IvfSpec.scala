@@ -274,6 +274,55 @@ class IvfSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("IvfIndex delete/compact: idempotent markers, serve-equivalence, " +
+    "compact folds tombstones and preserves answers (r11)") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_delete").toString
+    try {
+      graft.config.IvfIndex.build(spark, e.where(col("vec_id") < 400),
+        dir, 16, 64, 2)
+      val dead = e.where(col("vec_id") % 50 === 0 && col("vec_id") < 400)
+        .select(col("vec_id"))
+      val nDead = dead.count()
+      assert(nDead > 0)
+      graft.config.IvfIndex.delete(spark, dir, dead)
+      // idempotent: deleting the same set again changes nothing
+      graft.config.IvfIndex.delete(spark, dir, dead)
+      assert(graft.config.IvfIndex.tombstones(spark, dir).count() == nDead)
+      val cents = graft.config.IvfIndex.centroids(spark, dir)
+      def serve(): Seq[org.apache.spark.sql.Row] = {
+        val live = graft.config.IvfIndex.assignments(spark, dir)
+          .select(col("vec_id"), col("embedding"), col("cell"))
+          .join(graft.config.IvfIndex.tombstones(spark, dir),
+            Seq("vec_id"), "left_anti")
+        val q = e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        Llm.ivfTopk(live, cents, q, nprobe = 2, k = 5).collect().toSeq
+      }
+      val before = serve()
+      assert(before.nonEmpty)
+      assert(!before.exists(_.getLong(1) % 50 == 0),
+        "no tombstoned id may be served")
+      // compact: markers folded into the file, same answers, no stage
+      // or retired dirs left behind
+      val preLive = 400L - nDead
+      graft.config.IvfIndex.compact(spark, dir)
+      assert(!new java.io.File(s"$dir/tombstones").exists)
+      assert(!new java.io.File(s"$dir/assign.stage").exists)
+      assert(!new java.io.File(s"$dir/assign.old").exists)
+      assert(graft.config.IvfIndex.assignments(spark, dir).count() == preLive)
+      assert(serve() == before,
+        "compaction must not change what the index serves")
+      // compact with no tombstones is a no-op
+      graft.config.IvfIndex.compact(spark, dir)
+      assert(serve() == before)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("pcaTopFrame recovers a planted dominant direction (r8 cont. 6)") {
     // 200 vectors, 64-dim: component 1 carries +-3 (alternating sign, so
     // the MEAN is ~0 and the centered scatter is dominated by dim 1);
