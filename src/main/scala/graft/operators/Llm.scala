@@ -1939,6 +1939,143 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // Token-length histogram (round 11): corpus docs bucketed by
+    // power-of-two token-length bands with per-band token mass and
+    // share — the seq-len planning readout that sizes max_len and
+    // predicts packing waste BEFORE a pack run (llm_pack_efficiency is
+    // the what-if twin). Bands are an explicit CASE ladder (never
+    // floor(log2(n)) — a log boundary ulp must not move a doc across a
+    // band between engines). One scan, one bounded groupBy, broadcast
+    // 1-row total.
+    Q("llm_token_len_hist",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, n,
+        |         CAST(CASE WHEN n < 16 THEN 0 WHEN n < 32 THEN 16
+        |              WHEN n < 64 THEN 32 WHEN n < 128 THEN 64
+        |              WHEN n < 256 THEN 128 ELSE 256 END AS BIGINT)
+        |           AS bucket_lo
+        |  FROM t
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS tt FROM b
+        |)
+        |SELECT bucket_lo, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       round(CAST(sum(n) AS DOUBLE) / tt, 6) AS token_share
+        |FROM b CROSS JOIN tot
+        |GROUP BY bucket_lo, tt ORDER BY bucket_lo""".stripMargin) { (s, d) =>
+      val t = docs(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+      val b = t.select(col("doc_id"), col("n"),
+        when(col("n") < 16, 0L).when(col("n") < 32, 16L)
+          .when(col("n") < 64, 32L).when(col("n") < 128, 64L)
+          .when(col("n") < 256, 128L).otherwise(256L).as("bucket_lo"))
+      val tot = b.agg(sum(col("n")).as("tt"))
+      b.crossJoin(broadcast(tot))
+        .groupBy("bucket_lo", "tt")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        .select(col("bucket_lo"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("tt"), 6)
+            .as("token_share"))
+        .orderBy("bucket_lo")
+    },
+
+    // Packing-efficiency what-if (round 11): for max_len ∈ {64, 128,
+    // 256}, how many docs fit whole, how many chunks the corpus
+    // shreds into, and the padded-slot fill ratio — the readout that
+    // picks the training sequence length (the llm_ann_ivf_nprobe
+    // budget-frame pattern: the corpus length frame is scanned ONCE
+    // and the three budgets materialize as a broadcast 3-row frame;
+    // chunk counts and padded slots are exact integer arithmetic, one
+    // float division per output row).
+    Q("llm_pack_efficiency",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents
+        |), bud AS (
+        |  SELECT CAST(unnest([64, 128, 256]) AS BIGINT) AS max_len
+        |)
+        |SELECT max_len,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN n <= max_len THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_fit_whole,
+        |       CAST(sum((n + max_len - 1) // max_len) AS BIGINT) AS n_chunks,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       round(CAST(sum(n) AS DOUBLE)
+        |             / sum(((n + max_len - 1) // max_len) * max_len), 6)
+        |         AS fill_ratio
+        |FROM t CROSS JOIN bud
+        |GROUP BY max_len ORDER BY max_len""".stripMargin) { (s, d) =>
+      val t = docs(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+      val bud = s.range(1)
+        .select(explode(array(lit(64L), lit(128L), lit(256L))).as("max_len"))
+      t.crossJoin(broadcast(bud))
+        .groupBy("max_len")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n") <= col("max_len"), 1L).otherwise(0L))
+            .as("n_fit_whole"),
+          sum(expr("(n + max_len - 1) DIV max_len")).as("n_chunks"),
+          sum(col("n")).as("n_tokens"),
+          round(sum(col("n")).cast("double") /
+            sum(expr("((n + max_len - 1) DIV max_len) * max_len")), 6)
+            .as("fill_ratio"))
+        .orderBy("max_len")
+    },
+
+    // Per-doc n-gram novelty (round 11): for each doc in doc_id order,
+    // the fraction of its DISTINCT 3-grams appearing for the FIRST time
+    // in the corpus at this doc — the marginal-novelty curve dataset
+    // curation reads to find where a crawl goes stale (novelty decaying
+    // to boilerplate ≈ stop ingesting this source; per-source rollup is
+    // llm_dedup_rate_by_source's sibling readout). Scale shape: gram
+    // explode → map-side-combinable min(doc_id) per gram → one equi
+    // join back on the gram key; no window, no all-pairs.
+    Q("llm_ngram_novelty",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(toks[p : p + 2], ' ') AS gram
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS p
+        |        FROM t WHERE len(toks) >= 3)
+        |), first AS (
+        |  SELECT gram, CAST(min(doc_id) AS BIGINT) AS fd FROM g GROUP BY gram
+        |)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_novel,
+        |       round(CAST(sum(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / count(*), 6) AS novelty
+        |FROM g JOIN first f ON f.gram = g.gram
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, d) =>
+      val g = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks) - 2),
+            |          p -> concat_ws(' ', slice(toks, p, 3)))""".stripMargin))
+          .as("gram"))
+        .distinct()
+      val first = g.groupBy("gram").agg(min(col("doc_id")).as("fd"))
+      g.join(first, Seq("gram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6)
+            .as("novelty"))
+        .orderBy("doc_id")
+    },
+
     // Link extraction (round 11 — llm_markup_extract's sibling): pull
     // every href out of the planted page — the op that FEEDS a crawl
     // frontier and the host-level link graph (PageRank's input at

@@ -288,6 +288,49 @@ object Scalars {
       t(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .orderBy("doc_id", "word")
+    },
+
+    // URL decomposition (round 11): scheme/host/path/query/fragment via
+    // one anchored regex — Spark ships parse_url but DuckDB does not,
+    // so the PORTABLE form is a capture-group regexp_extract chain
+    // (RE2-safe: no backrefs/lookarounds), which is also what a crawl
+    // pipeline's host-bucketing actually runs. URLs are planted
+    // deterministically from order rows (every component present, so
+    // every group participates in the match on both engines);
+    // o_orderkey < 2000 bounds the report at every SF.
+    Q("fn_url_parse", {
+      val url = "'https://shop' || CAST(o_custkey % 10 AS VARCHAR) || " +
+        "'.example.com/order/' || CAST(o_orderkey AS VARCHAR) || " +
+        "'?src=em' || CAST(o_orderkey % 5 AS VARCHAR) || '#s' || " +
+        "CAST(o_orderkey % 3 AS VARCHAR)"
+      val pat = "^([a-z]+)://([^/?#]+)([^?#]*)\\?([^#]*)#(.*)$"
+      s"""WITH u AS (
+         |  SELECT o_orderkey, $url AS url FROM orders WHERE o_orderkey < 2000
+         |)
+         |SELECT o_orderkey,
+         |       regexp_extract(url, '$pat', 1) AS scheme,
+         |       regexp_extract(url, '$pat', 2) AS host,
+         |       regexp_extract(url, '$pat', 3) AS path,
+         |       regexp_extract(url, '$pat', 4) AS query,
+         |       regexp_extract(url, '$pat', 5) AS fragment
+         |FROM u ORDER BY o_orderkey""".stripMargin
+    }) { (s, d) =>
+      val url = concat(lit("https://shop"),
+        (col("o_custkey") % 10).cast("string"),
+        lit(".example.com/order/"), col("o_orderkey").cast("string"),
+        lit("?src=em"), (col("o_orderkey") % 5).cast("string"),
+        lit("#s"), (col("o_orderkey") % 3).cast("string"))
+      val pat = "^([a-z]+)://([^/?#]+)([^?#]*)\\?([^#]*)#(.*)$"
+      t(s, d, "orders")
+        .where(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), url.as("url"))
+        .select(col("o_orderkey"),
+          regexp_extract(col("url"), pat, 1).as("scheme"),
+          regexp_extract(col("url"), pat, 2).as("host"),
+          regexp_extract(col("url"), pat, 3).as("path"),
+          regexp_extract(col("url"), pat, 4).as("query"),
+          regexp_extract(col("url"), pat, 5).as("fragment"))
+        .orderBy("o_orderkey")
     }
   )
 }
