@@ -2598,6 +2598,94 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // Near-dup threshold tuning curve (round 11): pair count and
+    // would-be-pruned doc count at τ ∈ {0.2, 0.4, 0.6, 0.8} over the
+    // SAME banded-minhash verified pairs the dedup keys act on — the
+    // readout that picks the production τ (too low collapses distinct
+    // docs, too high keeps boilerplate twins). ONE chain pass, one
+    // aggregate row: each threshold is a conditional sum / conditional
+    // count-distinct over the pair-bounded verified frame — no
+    // threshold join, no re-run of the chain per τ, zero-safe when a
+    // band is empty. A doc is "pruned at τ" if ANY pair marks it as
+    // the d2 (keep-min-id convention — the llm_neardup_prune rule).
+    Q("llm_neardup_threshold_curve",
+      s"""WITH $minhashVerifiedCtes
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs_verified,
+         |       CAST(sum(CASE WHEN est_jaccard >= 0.2 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_pairs_02,
+         |       CAST(count(DISTINCT CASE WHEN est_jaccard >= 0.2 THEN d2 END)
+         |            AS BIGINT) AS n_pruned_02,
+         |       CAST(sum(CASE WHEN est_jaccard >= 0.4 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_pairs_04,
+         |       CAST(count(DISTINCT CASE WHEN est_jaccard >= 0.4 THEN d2 END)
+         |            AS BIGINT) AS n_pruned_04,
+         |       CAST(sum(CASE WHEN est_jaccard >= 0.6 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_pairs_06,
+         |       CAST(count(DISTINCT CASE WHEN est_jaccard >= 0.6 THEN d2 END)
+         |            AS BIGINT) AS n_pruned_06,
+         |       CAST(sum(CASE WHEN est_jaccard >= 0.8 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_pairs_08,
+         |       CAST(count(DISTINCT CASE WHEN est_jaccard >= 0.8 THEN d2 END)
+         |            AS BIGINT) AS n_pruned_08
+         |FROM verified""".stripMargin) { (s, d) =>
+      def pairsAt(t: Double) =
+        sum(when(col("est_jaccard") >= t, 1L).otherwise(0L))
+      def prunedAt(t: Double) =
+        countDistinct(when(col("est_jaccard") >= t, col("d2")))
+      minhashVerified(s, d)
+        .agg(count(lit(1)).as("n_pairs_verified"),
+          pairsAt(0.2).as("n_pairs_02"), prunedAt(0.2).as("n_pruned_02"),
+          pairsAt(0.4).as("n_pairs_04"), prunedAt(0.4).as("n_pruned_04"),
+          pairsAt(0.6).as("n_pairs_06"), prunedAt(0.6).as("n_pruned_06"),
+          pairsAt(0.8).as("n_pairs_08"), prunedAt(0.8).as("n_pruned_08"))
+    },
+
+    // Per-source quality profile (round 11): the llm_quality_score
+    // components rolled up to source grain — the curation ticket's
+    // per-feed panel (WHICH source is short/punctuation-heavy/
+    // stopword-poor, next to llm_dedup_rate_by_source's dup rate).
+    // Determinism doctrine: NO averaging of per-doc doubles (a
+    // source-grain avg() over doubles is order-dependent) — every ratio
+    // is ONE division of two exact BIGINT sums, which is also the
+    // corpus-weighted rollup a datasheet actually wants; the one
+    // per-doc double (quality) enters only as a threshold count, and
+    // both engines compute it identically before comparing.
+    Q("llm_quality_by_source",
+      s"""WITH c AS (
+         |  SELECT source, doc_id, n_chars,
+         |         len(string_split(text, ' ')) AS nw,
+         |         $stopCountSql AS stop_n,
+         |         length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS alnum_n
+         |  FROM documents
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nw) AS BIGINT) AS n_tokens,
+         |       round(CAST(sum(n_chars) AS DOUBLE) / sum(nw), 6) AS avg_tok_len,
+         |       round(CAST(sum(stop_n) AS DOUBLE) / sum(nw), 6) AS stop_ratio,
+         |       round(CAST(sum(alnum_n) AS DOUBLE) / sum(n_chars), 6)
+         |         AS alnum_ratio,
+         |       CAST(sum(CASE WHEN ${qualitySql("nw", "stop_n")} >= 0.5
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
+         |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).as("nw"),
+          stopCountCol.as("stop_n"),
+          length(regexp_replace(col("text"), "[^a-z0-9]", "")).as("alnum_n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).cast("long").as("n_tokens"),
+          round(sum(col("n_chars")).cast("double") / sum(col("nw")), 6)
+            .as("avg_tok_len"),
+          round(sum(col("stop_n")).cast("double") / sum(col("nw")), 6)
+            .as("stop_ratio"),
+          round(sum(col("alnum_n")).cast("double") / sum(col("n_chars")), 6)
+            .as("alnum_ratio"),
+          sum(when(qualityCol(col("nw"), col("stop_n")) >= 0.5, 1L)
+            .otherwise(0L)).as("n_high_quality"))
+        .orderBy("source")
+    },
+
     // Corpus-trained unigram LM scoring (CCNet-style quality filter): the
     // LM is the corpus itself (p(t) = tf/N), each doc scored by mean token
     // log-probability. Train + score is two aggs and one join on token —
