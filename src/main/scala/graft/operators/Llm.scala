@@ -4955,6 +4955,46 @@ object Llm {
         .orderBy("q_id")
     },
 
+    // Label-separability matrix (round 11): pairwise cosine between the
+    // ground-truth label centroids — the readout that says whether the
+    // embedding space actually SEPARATES the labels a curation plan
+    // wants to stratify on (high off-diagonal similarity = the labels
+    // are not distinguishable in this embedding; llm_cluster_purity is
+    // the unsupervised twin). Exact-integer discipline rides the
+    // llm_ann_ivf_train centroid contract: per-label means on the 6-dp
+    // grid + float quantization (ivfCentCte's replay), then an 8×8
+    // bounded self-join of the centroid frame — broadcast-sized at any
+    // corpus scale; the only corpus-sized stage is one map-side
+    // combinable per-label sum.
+    Q("llm_label_centroid_sim",
+      """WITH lc AS (
+        |  SELECT label, list(CAST(round(m, 6) AS FLOAT) ORDER BY dim) AS cent
+        |  FROM (
+        |    SELECT label, dim, avg(CAST(v AS DOUBLE)) AS m FROM (
+        |      SELECT label, unnest(embedding) AS v,
+        |             unnest(range(1, len(embedding) + 1)) AS dim
+        |      FROM embeddings)
+        |    GROUP BY label, dim)
+        |  GROUP BY label
+        |)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |       round(list_cosine_similarity(CAST(a.cent AS DOUBLE[]),
+        |                                    CAST(b.cent AS DOUBLE[])), 6) AS sim
+        |FROM lc a JOIN lc b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin) { (s, d) =>
+      def toFloat(c: Column): Column = transform(c, x => x.cast("float"))
+      val lc = emb(s, d)
+        .groupBy("label")
+        .agg(graft.functions.Aggregators.centroid(col("embedding")).as("c"))
+        .select(col("label"),
+          toFloat(transform(col("c"), x => round(x, 6))).as("cent"))
+      lc.as("a")
+        .join(broadcast(lc.as("b")), col("a.label") < col("b.label"))
+        .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+          round(cosineSim(col("a.cent"), col("b.cent")), 6).as("sim"))
+        .orderBy("label_a", "label_b")
+    },
+
     // TOMBSTONE-AWARE IVF serving (round 11 — the DELETE verb of the
     // index lifecycle, completing build / ingest / delete / compact):
     // an append-only inverted file deletes by MARKER, not rewrite —

@@ -280,6 +280,44 @@ class PlanSpec extends AnyFunSuite {
       s"must not rescan the base tables:\n$p")
   }
 
+  test("filtered/deleted/nprobe/ingest ANN serving reads the stored " +
+    "index; every base-table scan is bounded or pruned; no in-plan " +
+    "training (r11)") {
+    // the v3 inverted file carries vectors + label, so candidates come
+    // from the index dirs; the base table may appear ONLY as (a) the
+    // bounded query-row read (vec_id < 20 pushed to the scan — DPP
+    // duplicates of that subtree inside dynamicpruningexpression are
+    // fine), (b) the ingest batch read (vec_id >= 400 pushed), or
+    // (c) the tombstone-set derivation, column-pruned to vec_id alone.
+    // And NO key may train in-plan (a Lloyd chain would plan the
+    // centroid UDAF over the corpus).
+    // llm_ann_ivf_nprobe additionally holds the brute-force EXACT side
+    // (its recall ground truth is a corpus-wide cosine by definition) —
+    // that scan must still be column-pruned to (vec_id, embedding)
+    val allowed = Seq(
+      "LessThan(vec_id,20)",
+      "GreaterThanOrEqual(vec_id,400)",
+      "ReadSchema: struct<vec_id:bigint>")
+    val exactSide = "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"
+    for (key <- Seq("llm_ann_ivf_filtered", "llm_ann_ivf_nprobe",
+      "llm_ann_ivf_deleted", "llm_ann_ivf_ingest")) {
+      val p = plan(key)
+      assert(p.contains("graft_ivf_index"),
+        s"$key must scan the stored index:\n$p")
+      val baseScanLines = p.linesIterator
+        .filter(_.contains("embeddings.parquet")).toSeq
+      assert(baseScanLines.nonEmpty, s"$key: query rows come from the base")
+      val ok = allowed ++
+        (if (key == "llm_ann_ivf_nprobe") Seq(exactSide) else Nil)
+      baseScanLines.foreach { l =>
+        assert(ok.exists(l.contains),
+          s"$key holds an unbounded, unpruned base-table scan:\n$l")
+      }
+      assert(!p.toLowerCase.contains("centroidagg"),
+        s"$key must not train in-plan:\n$p")
+    }
+  }
+
   test("dq_profile: one scan profiles every column (stack melt, not per-column UNION)") {
     // the oracle's per-column UNION scans the table once per column; the
     // declared plan must hold ONE scan feeding one aggregate row that a
