@@ -2598,6 +2598,42 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // Cross-source near-dup overlap matrix (round 11): which feeds
+    // MIRROR each other — near-dup pairs at the production τ rolled up
+    // by unordered source pair (least/greatest normalization), with the
+    // pair count and the max estimated Jaccard per cell. A mirrored
+    // crawl shows up as one hot off-diagonal cell; within-source
+    // templating stays on the diagonal (llm_dedup_rate_by_source says
+    // HOW MUCH to fix per feed, this says WHERE the copies flow
+    // between feeds). max(est) not avg(est): max is order-independent
+    // (an avg of rounded doubles could flip a 6-dp boundary with
+    // partial-aggregation order). Cost beyond the shared chain: two
+    // doc_id-keyed joins of the pair frame + a bounded rollup.
+    Q("llm_source_overlap",
+      s"""WITH $minhashVerifiedCtes
+         |SELECT least(a.source, b.source) AS source_a,
+         |       greatest(a.source, b.source) AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       max(est_jaccard) AS max_est
+         |FROM verified v
+         |JOIN documents a ON v.d1 = a.doc_id
+         |JOIN documents b ON v.d2 = b.doc_id
+         |WHERE v.est_jaccard >= 0.2
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      minhashVerified(s, d)
+        .where(col("est_jaccard") >= 0.2)
+        .join(src.select(col("doc_id").as("d1"), col("source").as("sa")),
+          Seq("d1"))
+        .join(src.select(col("doc_id").as("d2"), col("source").as("sb")),
+          Seq("d2"))
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          max(col("est_jaccard")).as("max_est"))
+        .orderBy("source_a", "source_b")
+    },
+
     // Near-dup threshold tuning curve (round 11): pair count and
     // would-be-pruned doc count at τ ∈ {0.2, 0.4, 0.6, 0.8} over the
     // SAME banded-minhash verified pairs the dedup keys act on — the
