@@ -87,6 +87,38 @@ object PqIndex {
       .write.mode(SaveMode.Append).parquet(s"$dir/codes")
   }
 
+  /** Tombstone vec_ids — [[IvfIndex.delete]]'s marker protocol applied
+    * to the code table: deletes append ids, serving anti-joins
+    * [[tombstones]], [[compact]] folds. Idempotent on repeats. */
+  def delete(spark: SparkSession, dir: String, vecIds: DataFrame): Unit =
+    vecIds.select(col("vec_id")).distinct().coalesce(1)
+      .write.mode(SaveMode.Append).parquet(s"$dir/tombstones")
+
+  def tombstones(spark: SparkSession, dir: String): DataFrame =
+    if (new java.io.File(s"$dir/tombstones").isDirectory)
+      spark.read.parquet(s"$dir/tombstones").distinct()
+    else
+      spark.range(0).select(col("id").as("vec_id"))
+
+  /** Fold accumulated tombstones into the code table (the
+    * [[IvfIndex.compact]] rename-swap: stage → retire → publish; a
+    * crash before the publish rename leaves the original serving
+    * state intact). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val dead = new java.io.File(s"$dir/tombstones")
+    if (!dead.isDirectory) return
+    codes(spark, dir)
+      .join(tombstones(spark, dir), Seq("vec_id"), "left_anti")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/codes.stage")
+    val cur = new java.io.File(s"$dir/codes")
+    val old = new java.io.File(s"$dir/codes.old")
+    require(cur.renameTo(old), s"compact: cannot retire $cur")
+    require(new java.io.File(s"$dir/codes.stage").renameTo(cur),
+      s"compact: cannot publish staged code table into $dir")
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
+    org.apache.commons.io.FileUtils.deleteDirectory(dead)
+  }
+
   def codebook(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/codebook")
 

@@ -323,6 +323,83 @@ class IvfSpec extends AnyFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("PqIndex delete/compact mirrors the IVF lifecycle: markers " +
+    "idempotent, compact preserves the live code table (r11)") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_delete").toString
+    try {
+      graft.config.PqIndex.build(spark, e.where(col("vec_id") < 400), dir)
+      val dead = e.where(col("vec_id") % 50 === 0 && col("vec_id") < 400)
+        .select(col("vec_id"))
+      val nDead = dead.count()
+      graft.config.PqIndex.delete(spark, dir, dead)
+      graft.config.PqIndex.delete(spark, dir, dead)
+      assert(graft.config.PqIndex.tombstones(spark, dir).count() == nDead)
+      def live(): Map[Long, Seq[Long]] =
+        graft.config.PqIndex.codes(spark, dir)
+          .join(graft.config.PqIndex.tombstones(spark, dir),
+            Seq("vec_id"), "left_anti")
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val before = live()
+      assert(before.size == 400 - nDead)
+      assert(!before.keySet.exists(_ % 50 == 0))
+      graft.config.PqIndex.compact(spark, dir)
+      assert(!new java.io.File(s"$dir/tombstones").exists)
+      assert(!new java.io.File(s"$dir/codes.stage").exists)
+      assert(graft.config.PqIndex.codes(spark, dir).count() ==
+        400 - nDead)
+      assert(live() == before)
+      graft.config.PqIndex.compact(spark, dir) // no-op without markers
+      assert(live() == before)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("streaming embedding batches drive IvfIndex.ingest through " +
+    "foreachBatch: final index == one-shot assign of everything (r11)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val e = Tables(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_stream").toString
+    try {
+      // static-trained base (the nightly posture): first 300 vectors
+      graft.config.IvfIndex.build(spark, e.where(col("vec_id") < 300),
+        dir, 16, 64, 2)
+      val rows = e.where(col("vec_id") >= 300).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = input.toDF().toDF("vec_id", "embedding")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.config.IvfIndex.ingest(spark, dir, batch)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // two micro-batches — the index must accumulate across epochs
+      input.addData(rows.take(100).toSeq)
+      input.addData(rows.drop(100).toSeq)
+      q.awaitTermination(120000)
+      val got = graft.config.IvfIndex.assignments(spark, dir)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = Llm.ivfAssign(e,
+          graft.config.IvfIndex.centroids(spark, dir))
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect)
+      assert(got.size == e.count())
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("pcaTopFrame recovers a planted dominant direction (r8 cont. 6)") {
     // 200 vectors, 64-dim: component 1 carries +-3 (alternating sign, so
     // the MEAN is ~0 and the centered scatter is dominated by dim 1);
