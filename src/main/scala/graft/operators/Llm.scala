@@ -1519,6 +1519,33 @@ object Llm {
   private def minhashVerified(s: SparkSession, d: String): DataFrame =
     minhashVerified(docs(s, d))
 
+  /** The verified near-dup pair frame as a MATERIALIZED lake table
+    * (round 11 — the co-order-graph precedent applied to the dedup
+    * chain): six report/curation keys consume the SAME verified pairs
+    * (prune ×2, rate-by-source, threshold curve, source overlap,
+    * containment), and each used to re-run the full
+    * shingle→minhash→band→verify chain (~2 s each at sf0.1). The frame
+    * now builds ONCE per documents fingerprint; `llm_minhash_neardup`
+    * deliberately keeps the chain IN-PLAN as the live recompute twin,
+    * and every lake-served consumer's oracle still replays the chain
+    * from the base table — a stale or drifted stored frame
+    * hash-mismatches all of them immediately. Pair-bounded (never
+    * corpus²) and re-spread on read (the materialized-frame
+    * parallelism lesson, BASELINE.md round 11). */
+  private def minhashVerifiedLake(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.config.LakeCache.ensure(
+      s"$d/documents.parquet",
+      "neardup_pairs:v1:shingle3:minhash16:bands8x2:portablehash",
+      "graft_neardup_pairs") { tmp =>
+      minhashVerified(s, d)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+      // release the chain's persisted sketch frames (the caller-that-
+      // materializes contract)
+      s.catalog.clearCache()
+    }
+    s.read.parquet(dir).repartition(col("d1"))
+  }
+
   /** Spark twin of [[minhashVerifiedCtes]]: verified near-dup pairs
     * (d1 < d2, exact Jaccard over distinct shingles) from minhash-banded
     * candidates. All 16 minhashes in ONE aggregation pass over the raw
@@ -2621,7 +2648,7 @@ object Llm {
          |WHERE v.est_jaccard >= 0.2
          |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
       val src = docs(s, d).select(col("doc_id"), col("source"))
-      minhashVerified(s, d)
+      minhashVerifiedLake(s, d)
         .where(col("est_jaccard") >= 0.2)
         .join(src.select(col("doc_id").as("d1"), col("source").as("sa")),
           Seq("d1"))
@@ -2668,7 +2695,7 @@ object Llm {
         sum(when(col("est_jaccard") >= t, 1L).otherwise(0L))
       def prunedAt(t: Double) =
         countDistinct(when(col("est_jaccard") >= t, col("d2")))
-      minhashVerified(s, d)
+      minhashVerifiedLake(s, d)
         .agg(count(lit(1)).as("n_pairs_verified"),
           pairsAt(0.2).as("n_pairs_02"), prunedAt(0.2).as("n_pruned_02"),
           pairsAt(0.4).as("n_pairs_04"), prunedAt(0.4).as("n_pruned_04"),
@@ -4171,7 +4198,7 @@ object Llm {
          |SELECT d1, d2, containment, est_jaccard
          |FROM verified WHERE containment >= 0.5
          |ORDER BY containment DESC, d1, d2 LIMIT 50""".stripMargin) { (s, d) =>
-      minhashVerified(s, d)
+      minhashVerifiedLake(s, d)
         .where(col("containment") >= 0.5)
         .select("d1", "d2", "containment", "est_jaccard")
         .orderBy(col("containment").desc, col("d1"), col("d2"))
@@ -4243,7 +4270,7 @@ object Llm {
          |), ${Components.reachMinCte("SELECT doc_id AS id FROM documents", "edges")}
          |SELECT node AS doc_id, min(r) AS group_id, node = min(r) AS is_kept
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val e0 = minhashVerified(s, d)
+      val e0 = minhashVerifiedLake(s, d)
         .where(col("est_jaccard") >= 0.2).select("d1", "d2")
       val edges = symPairs(e0, "d1", "d2").persist()
       Components.connectedComponents(docs(s, d), "doc_id", edges)
@@ -4279,7 +4306,7 @@ object Llm {
          |             / count(*) * 1000000) / 1000000 AS dup_rate
          |FROM g JOIN grpsz USING (group_id) JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
-      val e0 = minhashVerified(s, d)
+      val e0 = minhashVerifiedLake(s, d)
         .where(col("est_jaccard") >= 0.2).select("d1", "d2")
       val edges = symPairs(e0, "d1", "d2").persist()
       // the group frame feeds TWO consumers (the size aggregate and the
@@ -4332,7 +4359,7 @@ object Llm {
          |         ORDER BY quality DESC, doc_id) = 1 AS is_kept
          |FROM g JOIN q USING (doc_id) ORDER BY doc_id""".stripMargin) {
       (s, d) =>
-      val e0 = minhashVerified(s, d)
+      val e0 = minhashVerifiedLake(s, d)
         .where(col("est_jaccard") >= 0.2).select("d1", "d2")
       val edges = symPairs(e0, "d1", "d2").persist()
       val groups = Components.connectedComponents(docs(s, d), "doc_id", edges)
