@@ -5413,6 +5413,50 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // REAL media-header decode under the oracle gate (round 11): r10
+    // left the MediaHeaderCodec spec-only ("no oracle for binary by
+    // design") — but the binary can be PLANTED: each doc gets an
+    // in-plan synthetic PNG whose IHDR encodes doc_id-derived
+    // dimensions (hex-string construction → unhex), and the declared
+    // plan must recover exactly those planted values THROUGH the real
+    // codec (Multimodal.decodeFeatures + MediaHeaderCodec — the same
+    // mapPartitions batch shape a production Arrow-UDF codec runs; the
+    // oracle states the planted ground truth directly, so any parse
+    // defect in signature/IHDR/offset/channel logic hash-mismatches).
+    // The typed mapPartitions is the documented production shape for
+    // codec work, bounded by doc count — not a per-row scalar UDF in a
+    // relational hot path.
+    Q("llm_media_header_parse",
+      """SELECT doc_id, 'image/png' AS mime, CAST(33 AS BIGINT) AS n_bytes,
+        |       CAST(100 + doc_id % 900 AS BIGINT) AS width,
+        |       CAST(50 + doc_id % 500 AS BIGINT) AS height,
+        |       CAST(8 AS BIGINT) AS bit_depth,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       CAST(1 AS BIGINT) AS parsed
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // PNG signature + IHDR length/tag, then 4-byte BE width/height,
+      // depth 8, color type 2 (truecolor, 3 channels), filler + CRC
+      // slot — 33 bytes, the minimal header the codec contract reads
+      val hexp = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(lit(100) + col("doc_id") % 900), 8, "0"),
+        lpad(hex(lit(50) + col("doc_id") % 500), 8, "0"),
+        lit("0802000000"), lit("00000000"))
+      val mediaDs = docs(s, d)
+        .select(col("doc_id"),
+          struct(unhex(hexp).as("payload"), lit("image/png").as("mime"),
+            map(lit("planted"), lit("true")).as("meta")).as("media"))
+        .as[Multimodal.MediaRow](
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+      Multimodal.decodeFeatures(mediaDs, Multimodal.MediaHeaderCodec)
+        .select(col("doc_id"), col("mime"), col("n_bytes"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 3).cast("long").as("bit_depth"),
+          element_at(col("features"), 4).cast("long").as("channels"),
+          element_at(col("features"), 7).cast("long").as("parsed"))
+        .orderBy("doc_id")
+    },
+
     // Per-source language-mix KL divergence (round 7, cont.): how far
     // each source's language distribution sits from the corpus-wide mix,
     // in bits — the data-balance audit a pretraining recipe runs before
