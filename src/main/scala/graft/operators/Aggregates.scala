@@ -242,6 +242,36 @@ object Aggregates {
     },
 
     // Exact interpolating percentile (median visit value, R4).
+    // Latency-tail panel (round 11): p50/p95/p99 + the p99/p50 tail
+    // ratio per event type — the SLO readout every ops dashboard leads
+    // with (a fat tail at flat medians is the first sign of queueing).
+    // Same exact-percentile machinery as agg_median_percentile
+    // (percentile ↔ quantile_cont, one grouped pass); the ratio is one
+    // division of two already-rounded display values, identical order
+    // of operations in both engines.
+    Q("agg_tail_ratio",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.95), 4) AS p95,
+        |       round(quantile_cont(value, 0.99), 4) AS p99,
+        |       round(round(quantile_cont(value, 0.99), 4)
+        |             / nullif(round(quantile_cont(value, 0.5), 4), 0), 6)
+        |         AS tail_ratio
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .where(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("value"), lit(0.95)), 4).as("p95"),
+          round(percentile(col("value"), lit(0.99)), 4).as("p99"))
+        .select(col("event_type"), col("n"), col("p50"), col("p95"),
+          col("p99"),
+          round(col("p99") / nullif(col("p50"), lit(0)), 6).as("tail_ratio"))
+        .orderBy("event_type")
+    },
+
     Q("agg_median_percentile",
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 4) AS p50,

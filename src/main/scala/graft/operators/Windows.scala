@@ -1046,6 +1046,51 @@ object Windows {
         .orderBy("l_suppkey", "day")
     },
 
+    // On-balance volume (round 11): OBV per event_type — cumulative
+    // event volume signed by the daily revenue delta (Granville 1963:
+    // volume flowing with rising prices confirms a move; OBV diverging
+    // from price flags distribution). Completes the volatility/momentum
+    // panel (bollinger = envelope, rsi = one-sidedness, macd =
+    // crossover, obv = volume confirmation). Exact arithmetic
+    // throughout: cent revenue deltas and event counts are BIGINT, the
+    // signed accumulation is an integer running sum — no float anywhere
+    // (the first day contributes 0: no prior delta, both engines via
+    // the same CASE on a NULL lag).
+    Q("win_obv",
+      """WITH d AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y,
+        |         CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), s AS (
+        |  SELECT event_type, day, v,
+        |         y - lag(y) OVER (PARTITION BY event_type ORDER BY day)
+        |           AS delta
+        |  FROM d
+        |)
+        |SELECT event_type, day,
+        |       CAST(sum(CASE WHEN delta > 0 THEN v
+        |                     WHEN delta < 0 THEN -v ELSE 0 END)
+        |         OVER (PARTITION BY event_type ORDER BY day
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+        |FROM s ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val daily = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"),
+          count(lit(1)).as("v"))
+      val wl = Window.partitionBy("event_type").orderBy("day")
+      val wc = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .select(col("event_type"), col("day"), col("v"),
+          (col("y") - lag(col("y"), 1).over(wl)).as("delta"))
+        .select(col("event_type"), col("day"),
+          sum(when(col("delta") > 0, col("v"))
+            .when(col("delta") < 0, -col("v")).otherwise(0L)).over(wc)
+            .as("obv"))
+        .orderBy("event_type", "day")
+    },
+
     // MACD (round 11): the EWMA crossover indicator — fast EWMA(12) −
     // slow EWMA(26) with a 9-period signal line over each event type's
     // daily cent volume; histogram = macd − signal. The win_ewma
