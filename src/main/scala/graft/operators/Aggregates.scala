@@ -242,6 +242,52 @@ object Aggregates {
     },
 
     // Exact interpolating percentile (median visit value, R4).
+    // Winsorized mean (round 11): clamp to the [p05, p95] fences then
+    // average — the robust-location sibling of agg_trimmed_mean (trim
+    // DROPS the tails and shrinks n; winsorize PINS them and keeps n —
+    // the estimator metric pipelines prefer when tail rows carry other
+    // columns that must stay in the denominator). Determinism: values
+    // enter as exact BIGINT cents, the interpolated fences ROUND TO THE
+    // CENT GRID before clamping (documented definitional choice — a
+    // double-valued fence would make the clamped sum order-dependent),
+    // so the clamped sum is integer and the mean is ONE division. The
+    // bounded per-type fence frame broadcasts onto the second pass.
+    Q("agg_winsorized_mean",
+      """WITH c AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), f AS (
+        |  SELECT event_type,
+        |         CAST(round(quantile_cont(v, 0.05)) AS BIGINT) AS lo,
+        |         CAST(round(quantile_cont(v, 0.95)) AS BIGINT) AS hi
+        |  FROM c GROUP BY event_type
+        |)
+        |SELECT c.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(f.lo AS DOUBLE) / 100, 2) AS fence_lo,
+        |       round(CAST(f.hi AS DOUBLE) / 100, 2) AS fence_hi,
+        |       round(CAST(sum(least(greatest(c.v, f.lo), f.hi)) AS DOUBLE)
+        |             / 100 / count(*), 6) AS winsorized_mean
+        |FROM c JOIN f ON c.event_type = f.event_type
+        |GROUP BY c.event_type, f.lo, f.hi
+        |ORDER BY c.event_type""".stripMargin) { (s, d) =>
+      val c = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+      val f = c.groupBy("event_type")
+        .agg(round(percentile(col("v"), lit(0.05))).cast("long").as("lo"),
+          round(percentile(col("v"), lit(0.95))).cast("long").as("hi"))
+      c.join(broadcast(f), Seq("event_type"))
+        .groupBy("event_type", "lo", "hi")
+        .agg(count(lit(1)).as("n"),
+          sum(least(greatest(col("v"), col("lo")), col("hi"))).as("sw"))
+        .select(col("event_type"), col("n"),
+          round(col("lo").cast("double") / 100, 2).as("fence_lo"),
+          round(col("hi").cast("double") / 100, 2).as("fence_hi"),
+          round(col("sw").cast("double") / 100 / col("n"), 6)
+            .as("winsorized_mean"))
+        .orderBy("event_type")
+    },
+
     // Latency-tail panel (round 11): p50/p95/p99 + the p99/p50 tail
     // ratio per event type — the SLO readout every ops dashboard leads
     // with (a fat tail at flat medians is the first sign of queueing).

@@ -1661,6 +1661,93 @@ object Etl {
     // window (THE fact exchange, custkey-partitioned), the customer join
     // carries only (custkey, segment) and AQE sizes it (no linear-SF
     // hint), and the 5-row segment aggregate combines map-side.
+    // Basket-size distribution (round 11): orders banded by line-item
+    // count with order share and revenue share per band — the retail
+    // merchandising readout (are we a single-item shop or a
+    // full-basket shop, and which band carries the money?). Exact
+    // integer discipline: per-order line counts and cent revenues are
+    // BIGINT sums, band cuts are integer CASE comparisons, the two
+    // shares are single divisions against broadcast 1-row totals.
+    Q("etl_basket_size_dist",
+      """WITH o AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |              AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY l_orderkey
+        |), b AS (
+        |  SELECT CASE WHEN n_lines <= 2 THEN '1-2'
+        |              WHEN n_lines <= 4 THEN '3-4'
+        |              WHEN n_lines <= 6 THEN '5-6'
+        |              ELSE '7+' END AS basket_band, n_lines, rev
+        |  FROM o
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(sum(rev) AS BIGINT) AS t_rev
+        |  FROM b
+        |)
+        |SELECT basket_band, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+        |       round(CAST(count(*) AS DOUBLE) / tot.n_orders, 6)
+        |         AS order_share,
+        |       round(CAST(sum(rev) AS DOUBLE) / tot.t_rev, 6)
+        |         AS revenue_share
+        |FROM b CROSS JOIN tot
+        |GROUP BY basket_band, tot.n_orders, tot.t_rev
+        |ORDER BY basket_band""".stripMargin) { (s, d) =>
+      val o = Tables(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+      val b = o.select(
+        when(col("n_lines") <= 2, "1-2").when(col("n_lines") <= 4, "3-4")
+          .when(col("n_lines") <= 6, "5-6").otherwise("7+")
+          .as("basket_band"),
+        col("n_lines"), col("rev"))
+      val tot = b.agg(count(lit(1)).as("n_orders"), sum(col("rev")).as("t_rev"))
+      b.crossJoin(broadcast(tot))
+        .groupBy("basket_band", "n_orders", "t_rev")
+        .agg(count(lit(1)).as("n_o"), sum(col("n_lines")).as("n_lines"),
+          sum(col("rev")).as("band_rev"))
+        .select(col("basket_band"), col("n_o").as("n_orders"),
+          col("n_lines"),
+          round(col("n_o").cast("double") / col("n_orders"), 6)
+            .as("order_share"),
+          round(col("band_rev").cast("double") / col("t_rev"), 6)
+            .as("revenue_share"))
+        .orderBy("basket_band")
+    },
+
+    // Repeat-purchase rate (round 11): per month, the share of that
+    // month's active customers who ordered 2+ times within it — the
+    // loyalty headline next to etl_new_vs_returning (new/returning
+    // slices WHO is active; this says how intensely they repeat).
+    // Two bounded groupBys over one orders scan; the rate is one
+    // division of two exact counts.
+    Q("etl_repeat_purchase_rate",
+      """WITH cm AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |         o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT month, CAST(count(*) AS BIGINT) AS n_active,
+        |       CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_repeat,
+        |       round(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / count(*), 6) AS repeat_rate
+        |FROM cm GROUP BY month ORDER BY month""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+          col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+        .select(col("month"), col("n_active"), col("n_repeat"),
+          round(col("n_repeat").cast("double") / col("n_active"), 6)
+            .as("repeat_rate"))
+        .orderBy("month")
+    },
+
     Q("etl_interpurchase",
       """WITH gaps AS (
         |  SELECT o_custkey,

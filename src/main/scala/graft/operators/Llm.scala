@@ -4242,6 +4242,46 @@ object Llm {
     // can never drift (hash-verify vs string-verify is the registry's
     // documented ~2⁻¹²⁰/pair tradeoff; identical results on any real
     // corpus). ScaleSmoke measures the flat-ingest-cost claim.
+    // Registry state audit (round 11): the monitoring query a lake
+    // operator runs against the persisted sketch registry — doc count,
+    // shingle-row and band-row cardinality, and the shingle-set size
+    // profile, all read from the STORED tables and oracle-verified
+    // against a fresh recompute over the base tables, so a corrupted /
+    // stale / half-ingested registry hash-mismatches here before any
+    // dedup answer goes wrong. Boundary is the same DATA-DERIVED split
+    // the registry itself was built on (the r9 literal-400 lesson).
+    Q("llm_dedup_registry_stats",
+      s"""WITH sh AS (
+         |  ${shingleSqlWhere(Some(s"doc_id < $batchBoundarySql"))})
+         |), t AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM sh GROUP BY doc_id
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n) AS BIGINT) AS n_shingle_rows,
+         |       CAST(count(*) * 8 AS BIGINT) AS n_band_rows,
+         |       CAST(min(n) AS BIGINT) AS min_shingles,
+         |       CAST(max(n) AS BIGINT) AS max_shingles,
+         |       round(CAST(sum(n) AS DOUBLE) / count(*), 6)
+         |         AS avg_shingles_per_doc
+         |FROM t""".stripMargin) { (s, d) =>
+      val dir = graft.config.SketchRegistry.ensureCorpusRegistry(
+        s, d, batchBoundary(docs(s, d)))
+      val nb = s.read.parquet(s"$dir/bands")
+        .agg(count(lit(1)).as("n_band_rows"))
+      s.read.parquet(s"$dir/sizes")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("n_shingle_rows"),
+          min(col("n")).as("min_shingles"),
+          max(col("n")).as("max_shingles"),
+          round(sum(col("n")).cast("double") / count(lit(1)), 6)
+            .as("avg_shingles_per_doc"))
+        .crossJoin(broadcast(nb))
+        .select(col("n_docs"), col("n_shingle_rows"), col("n_band_rows"),
+          col("min_shingles"), col("max_shingles"),
+          col("avg_shingles_per_doc"))
+    },
+
     Q("llm_incremental_neardup_registry",
       s"""WITH ${minhashVerifiedCtes(Some(batchBoundarySql))}
          |SELECT d1 AS dup_of, d2 AS new_id, est_jaccard
