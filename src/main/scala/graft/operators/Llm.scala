@@ -2154,6 +2154,40 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // Prefix-duplicate groups (round 11): docs sharing the same
+    // normalized 64-char PREFIX — the truncation/pagination artifact
+    // class full-hash dedup misses (a crawl cut mid-page hashes
+    // differently but is the same document; a templated site shares
+    // openers across distinct pages — n_distinct_texts tells the two
+    // apart). One normalize pass + one groupBy on the prefix key; the
+    // md5(prefix) projection keeps the output narrow.
+    Q("llm_prefix_dup_groups",
+      s"""WITH n AS (
+         |  SELECT doc_id, $normSql AS nt FROM documents
+         |), p AS (
+         |  SELECT doc_id, substr(nt, 1, 64) AS prefix, md5(nt) AS full_h
+         |  FROM n WHERE length(nt) >= 64
+         |)
+         |SELECT md5(prefix) AS prefix_h, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT full_h) AS BIGINT) AS n_distinct_texts,
+         |       CAST(min(doc_id) AS BIGINT) AS keep_id
+         |FROM p GROUP BY prefix HAVING count(*) >= 2
+         |ORDER BY prefix_h""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), normText(col("text")).as("nt"))
+        .where(length(col("nt")) >= 64)
+        .select(col("doc_id"), substring(col("nt"), 1, 64).as("prefix"),
+          md5(col("nt")).as("full_h"))
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("full_h")).as("n_distinct_texts"),
+          min(col("doc_id")).as("keep_id"))
+        .where(col("n_docs") >= 2)
+        .select(md5(col("prefix")).as("prefix_h"), col("n_docs"),
+          col("n_distinct_texts"), col("keep_id"))
+        .orderBy("prefix_h")
+    },
+
     // Content-hash dedup groups over normalized text (R9 pattern at NS scale).
     Q("llm_exact_dedup",
       s"""SELECT md5($normSql) AS h, min(doc_id) AS keep_id,

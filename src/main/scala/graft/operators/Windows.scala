@@ -1046,6 +1046,71 @@ object Windows {
         .orderBy("l_suppkey", "day")
     },
 
+    // ATR — average true range (round 11; Wilder 1978, simple-average
+    // form like win_rsi): 14-day mean of the TRUE range
+    // max(high−low, |high−prev_close|, |low−prev_close|) over each
+    // event type's daily cent OHLC (the agg_ohlc frame with values on
+    // the cent grid) — the volatility SIZE readout next to bollinger's
+    // envelope (band width says "wide vs narrow"; ATR prices the move a
+    // stop-loss must absorb). All range arithmetic is exact BIGINT
+    // cents; the /14 happens once at display. Complete windows only
+    // (k = 14), first day dropped (no prev_close).
+    Q("win_atr",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(c) AS BIGINT) AS h, CAST(min(c) AS BIGINT) AS l,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), tr AS (
+        |  SELECT event_type, day,
+        |         greatest(h - l,
+        |                  abs(h - lag(cl) OVER w), abs(l - lag(cl) OVER w))
+        |           AS t
+        |  FROM o WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |), s AS (
+        |  SELECT event_type, day,
+        |         CAST(sum(t) OVER w14 AS BIGINT) AS st,
+        |         CAST(count(t) OVER w14 AS BIGINT) AS k
+        |  FROM tr WHERE t IS NOT NULL
+        |  WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |       round(CAST(st AS DOUBLE) / 14 / 100, 4) AS atr14
+        |FROM s WHERE k = 14
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(col("c")).as("h"), min(col("c")).as("l"),
+          max(when(col("rn_d") === 1, col("c"))).as("cl"))
+      val wl = Window.partitionBy("event_type").orderBy("day")
+      val w14 = wl.rowsBetween(-13, Window.currentRow)
+      o.select(col("event_type"), col("day"),
+          greatest(col("h") - col("l"),
+            abs(col("h") - lag(col("cl"), 1).over(wl)),
+            abs(col("l") - lag(col("cl"), 1).over(wl))).as("t"))
+        .where(col("t").isNotNull)
+        .select(col("event_type"), col("day"),
+          sum(col("t")).over(w14).as("st"),
+          count(col("t")).over(w14).as("k"))
+        .where(col("k") === 14)
+        .select(col("event_type"), col("day"),
+          round(col("st").cast("double") / 14 / 100, 4).as("atr14"))
+        .orderBy("event_type", "day")
+    },
+
     // On-balance volume (round 11): OBV per event_type — cumulative
     // event volume signed by the daily revenue delta (Granville 1963:
     // volume flowing with rising prices confirms a move; OBV diverging
