@@ -400,14 +400,9 @@ object Extras {
         |)
         |SELECT node, rank FROM r3
         |ORDER BY rank DESC, node LIMIT 20""".stripMargin) { (s, d) =>
-      val pair = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
-        .join(Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .groupBy((col("o_custkey") * 2).as("c"),
-          (col("l_suppkey") * 2 + 1).as("s"))
-        .agg(count(lit(1)).as("cnt"))
+      val pair = custSuppPairs(s, d)
       // symmetrize via two-struct explode (ONE evaluation of the
-      // orders⋈lineitem pair aggregate — the unionAll form ran it twice)
+      // materialized pair frame — the unionAll form read it twice)
       // and hand off to the ONE pageRank definition (also driven at 20M
       // edges by ScaleSmoke): edges/outw are persisted pre-partitioned
       // in there, so each round shuffles only the ranks
@@ -505,12 +500,8 @@ object Extras {
         |)
         |SELECT node, rank FROM r3
         |ORDER BY rank DESC, node LIMIT 20""".stripMargin) { (s, d) =>
-      val edges = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
-        .join(Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .groupBy((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .agg(count(lit(1)).as("cnt"))
+      val edges = custSuppPairs(s, d)
+        .select(col("c").as("src"), col("s").as("dst"), col("cnt"))
       // knownDanglings: every supplier is a sink BY CONSTRUCTION (edges
       // only run c→s), so the eager probe job is skipped and the sink
       // frame evaluates inside the main plan instead — byte-identical
@@ -579,12 +570,8 @@ object Extras {
         |SELECT role, node, score
         |FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
         |ORDER BY role, score DESC, node""".stripMargin) { (s, d) =>
-      val edges = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
-        .join(Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .groupBy((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .agg(count(lit(1)).as("cnt"))
+      val edges = custSuppPairs(s, d)
+        .select(col("c").as("src"), col("s").as("dst"), col("cnt"))
       val (hub, auth) = hits(edges, rounds = 2)
       val ta = auth.orderBy(col("sc").desc, col("node")).limit(10)
         .select(lit("auth").as("role"), col("node"), col("sc").as("score"))
@@ -1928,6 +1915,29 @@ object Extras {
         round(col("n_tri") * 1.0 / col("wedges"), 6))
       .orderBy(col("degree").desc, col("node"))
       .limit(k)
+  }
+
+  /** The customer↔supplier transaction pair frame (c = 2·cust,
+    * s = 2·supp+1, cnt), MATERIALIZED once per (orders, lineitem)
+    * fingerprint (round 11 — the co-order precedent): the pagerank /
+    * pagerank_directed / hits trio each re-derived the same
+    * orders⋈lineitem aggregate per key. Oracles still replay the
+    * derivation from the base tables; re-spread on read per the
+    * 1-split lesson. */
+  private def custSuppPairs(
+      s: SparkSession, d: String): DataFrame = {
+    val dir = graft.config.LakeCache.ensure(
+      Seq(s"$d/orders.parquet", s"$d/lineitem.parquet"),
+      "custsupp:v1", "graft_custsupp_graph") { tmp =>
+      Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .agg(count(lit(1)).as("cnt"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    }
+    s.read.parquet(dir).repartition(col("c"), col("s"))
   }
 
   /** The 1997 co-order graph, served as a MATERIALIZED lake table
