@@ -318,6 +318,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("lake-served dedup reports read the materialized pair frame, " +
+    "never re-run the minhash chain; the live twin keeps it in-plan (r11)") {
+    // report keys consume the stored verified-pairs frame — their
+    // plans must scan graft_neardup_pairs and hold NO documents scan of
+    // the text column (the chain's shingle explode starts there). The
+    // CC-based consumers (prune, rate_by_source) checkpoint during
+    // construction so their FINAL plan is lineage-cut — the lake read
+    // is pinned through these lineage-keeping siblings, which share the
+    // same minhashVerifiedLake entry. llm_source_overlap additionally
+    // joins documents for the SOURCE column — the scan must be pruned
+    // to (doc_id, source), never text.
+    for (key <- Seq("llm_neardup_threshold_curve", "llm_containment",
+      "llm_source_overlap")) {
+      val p = plan(key)
+      assert(p.contains("graft_neardup_pairs"),
+        s"$key must serve the stored pair frame:\n$p")
+      val textScan = p.linesIterator.exists(l =>
+        l.contains("documents.parquet") && l.contains("text:string"))
+      assert(!textScan,
+        s"$key must not re-shingle the corpus (text column scanned):\n$p")
+    }
+    val live = plan("llm_minhash_neardup")
+    assert(!live.contains("graft_neardup_pairs") &&
+      live.contains("documents.parquet"),
+      s"the live twin must keep the chain in-plan:\n$live")
+  }
+
   test("dq_profile: one scan profiles every column (stack melt, not per-column UNION)") {
     // the oracle's per-column UNION scans the table once per column; the
     // declared plan must hold ONE scan feeding one aggregate row that a
