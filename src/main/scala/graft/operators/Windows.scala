@@ -1046,6 +1046,72 @@ object Windows {
         .orderBy("l_suppkey", "day")
     },
 
+    // Stochastic oscillator (round 11; Lane): %K = 100·(close −
+    // min14(low)) / (max14(high) − min14(low)) over daily cent OHLC,
+    // %D = 3-period mean of %K — where the close sits INSIDE the
+    // recent range (rsi asks how one-sided the moves were; %K asks
+    // where we ended up). Rolling extrema are exact BIGINT cents; %K
+    // is one division per row; %D averages exactly 3 %K doubles in
+    // frame order — the same ordered 3-value sum in both engines.
+    // Complete 14-day windows only; flat ranges NULL via nullif.
+    Q("win_stochastic",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(c) AS BIGINT) AS h, CAST(min(c) AS BIGINT) AS l,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), k AS (
+        |  SELECT event_type, day,
+        |         CAST(min(l) OVER w14 AS BIGINT) AS lo14,
+        |         CAST(max(h) OVER w14 AS BIGINT) AS hi14,
+        |         cl, CAST(count(*) OVER w14 AS BIGINT) AS n14
+        |  FROM o
+        |  WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |), pk AS (
+        |  SELECT event_type, day,
+        |         round(100.0 * (cl - lo14) / nullif(hi14 - lo14, 0), 4)
+        |           AS pct_k
+        |  FROM k WHERE n14 = 14
+        |)
+        |SELECT event_type, day, pct_k,
+        |       round(avg(pct_k) OVER (PARTITION BY event_type ORDER BY day
+        |                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |             4) AS pct_d
+        |FROM pk ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(col("c")).as("h"), min(col("c")).as("l"),
+          max(when(col("rn_d") === 1, col("c"))).as("cl"))
+      val w14 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-13, Window.currentRow)
+      val w3 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-2, Window.currentRow)
+      o.select(col("event_type"), col("day"),
+          min(col("l")).over(w14).as("lo14"),
+          max(col("h")).over(w14).as("hi14"),
+          col("cl"), count(lit(1)).over(w14).as("n14"))
+        .where(col("n14") === 14)
+        .select(col("event_type"), col("day"),
+          round(lit(100.0) * (col("cl") - col("lo14")) /
+            nullif(col("hi14") - col("lo14"), lit(0)), 4).as("pct_k"))
+        .select(col("event_type"), col("day"), col("pct_k"),
+          round(avg(col("pct_k")).over(w3), 4).as("pct_d"))
+        .orderBy("event_type", "day")
+    },
+
     // ATR — average true range (round 11; Wilder 1978, simple-average
     // form like win_rsi): 14-day mean of the TRUE range
     // max(high−low, |high−prev_close|, |low−prev_close|) over each
