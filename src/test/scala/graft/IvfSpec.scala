@@ -358,6 +358,36 @@ class IvfSpec extends AnyFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("compact recovery: a stage dir left by a crashed compaction is " +
+    "overwritten, never served; pre-publish state stays intact (r11)") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_crash").toString
+    try {
+      graft.config.IvfIndex.build(spark, e.where(col("vec_id") < 200),
+        dir, 16, 64, 1)
+      // simulate a compact that crashed AFTER staging but BEFORE the
+      // renames: a stale stage dir with garbage content
+      val stage = new java.io.File(s"$dir/assign.stage")
+      stage.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(stage, "junk.bin").toPath, "not parquet".getBytes)
+      // the original index still serves (the crash never touched it)
+      assert(graft.config.IvfIndex.assignments(spark, dir).count() == 200)
+      // a re-run compact with tombstones overwrites the stale stage and
+      // completes the swap
+      graft.config.IvfIndex.delete(spark, dir,
+        e.where(col("vec_id") < 10).select(col("vec_id")))
+      graft.config.IvfIndex.compact(spark, dir)
+      assert(!new java.io.File(s"$dir/assign.stage").exists)
+      assert(!new java.io.File(s"$dir/tombstones").exists)
+      assert(graft.config.IvfIndex.assignments(spark, dir).count() == 190)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("streaming embedding batches drive IvfIndex.ingest through " +
     "foreachBatch: final index == one-shot assign of everything (r11)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

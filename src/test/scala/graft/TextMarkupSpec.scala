@@ -47,6 +47,34 @@ class TextMarkupSpec extends AnyFunSuite {
     assert(ex("a &amp;lt; b") == "a &lt; b")
   }
 
+  test("fuzz: random nestings of blocks/tags/comments around known " +
+    "visible words always recover exactly those words in order") {
+    // a deterministic structural fuzz (seeded) — every generated page
+    // interleaves visible words with markup noise; extraction must
+    // return the visible words, whole and in order, for every shape
+    val rnd = new scala.util.Random(20260816L)
+    val noise = Seq(
+      () => s"<div class='x${rnd.nextInt(9)}'>",
+      () => "</div>",
+      () => s"<script>var a = ${rnd.nextInt(9)} < ${rnd.nextInt(9)};</script>",
+      () => s"<style>.c${rnd.nextInt(9)} { k: v; }</style>",
+      () => s"<!-- n${rnd.nextInt(9)} -->",
+      () => "<br/>",
+      () => "\n", () => "  ")
+    (1 to 50).foreach { _ =>
+      val words = (1 to 1 + rnd.nextInt(6)).map(i => s"w${rnd.nextInt(100)}i$i")
+      val page = words.map { w =>
+        val pre = (0 until rnd.nextInt(3)).map(_ =>
+          noise(rnd.nextInt(noise.length))()).mkString
+        val post = (0 until rnd.nextInt(3)).map(_ =>
+          noise(rnd.nextInt(noise.length))()).mkString
+        s"$pre $w $post"
+      }.mkString(" ")
+      assert(ex(page) == words.mkString(" "),
+        s"extraction diverged for page:\n$page")
+    }
+  }
+
   test("idempotent on markup-free text; declared key output is exact " +
     "over a planted doc") {
     val clean = "plain words stay exactly as they are"
