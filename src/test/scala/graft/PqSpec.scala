@@ -114,10 +114,12 @@ class PqSpec extends AnyFunSuite {
     assert(stored == live)
     assert(stored.nonEmpty)
     // ensure() is idempotent per fingerprint — the second call serves
-    // the same dir without rebuilding
-    val mt0 = new java.io.File(s"$dir/codebook").lastModified
+    // the same dir without rebuilding (generation resolved via manifest)
+    val gen = graft.config.PqIndex.genDir(dir)
+    val mt0 = new java.io.File(s"$gen/codebook").lastModified
     assert(graft.config.PqIndex.ensure(spark, d) == dir)
-    assert(new java.io.File(s"$dir/codebook").lastModified == mt0)
+    assert(graft.config.PqIndex.genDir(dir) == gen)
+    assert(new java.io.File(s"$gen/codebook").lastModified == mt0)
     // the stored code table really is the compressed representation:
     // one row per vector, PqM codes each, every code inside [0, PqK)
     val codes = graft.config.PqIndex.codes(spark, dir).collect()

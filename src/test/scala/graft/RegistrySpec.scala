@@ -133,7 +133,9 @@ class RegistrySpec extends AnyFunSuite {
         new java.io.File(d).setLastModified(1700000000000L + i * 60000L)
         d
       }
-      val kept = root.listFiles.filter(_.isDirectory).map(_.getName).toSet
+      val kept = root.listFiles
+        .filter(f => f.isDirectory && f.getName != "_manifests")
+        .map(_.getName).toSet
       assert(kept.size == LakeCache.KeepFingerprints,
         s"sweep must cap retained fingerprints (${kept.size})")
       // the newest dirs survive, the oldest were swept
@@ -151,6 +153,59 @@ class RegistrySpec extends AnyFunSuite {
           new java.io.File(tmp, "state.bin").toPath, "v1".getBytes)
       }
       assert(new java.io.File(back, "state.bin").isFile)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+      srcF.delete()
+    }
+  }
+
+  test("LakeCache manifest-pointer commit (r12 — VERDICT r11 #1 + " +
+    "advice #4): an uncommitted stage never serves; dead-writer stages " +
+    "— including legacy .tmp. dirs — are swept; the manifest creation " +
+    "is the ONLY publish point") {
+    import graft.config.{LakeCache, LakeCommit}
+    val rootName = s"graft_lakecommit_spec_${System.nanoTime()}"
+    val root = new java.io.File(sys.props("java.io.tmpdir"), rootName)
+    val srcF = java.io.File.createTempFile("graft_lc2_src", ".txt")
+    try {
+      java.nio.file.Files.write(srcF.toPath, "state".getBytes)
+      // 1. a COMPLETE stage without a manifest resolves to nothing —
+      //    the crashed-before-commit state can never serve
+      val stage = LakeCommit.stage(root.toString, "orphantable")
+      new java.io.File(stage).mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(stage, "state.bin").toPath, "built".getBytes)
+      assert(LakeCommit.currentGen(root.toString, "orphantable").isEmpty,
+        "staged-but-uncommitted state must not resolve")
+      // 2. commit IS the publish point: one file creation flips it
+      assert(LakeCommit.commit(root.toString, "orphantable", stage))
+      assert(LakeCommit.currentGen(root.toString, "orphantable")
+        .contains(stage))
+      // 3. dead-writer stages are swept by the retention pass — the new
+      //    generation naming AND the legacy .tmp. naming the r11 sweep
+      //    excluded forever (advice #4); live state survives
+      val deadGen = new java.io.File(root, "deadfp.g1-999999999")
+      deadGen.mkdirs()
+      val deadTmp = new java.io.File(root, "deadfp2.tmp.999999999")
+      deadTmp.mkdirs()
+      val served = LakeCache.ensure(srcF.getPath, "tag=x", rootName) { tmp =>
+        new java.io.File(tmp).mkdirs()
+        java.nio.file.Files.write(
+          new java.io.File(tmp, "state.bin").toPath, "vx".getBytes)
+      }
+      assert(!deadGen.exists, "dead-pid stage must be swept")
+      assert(!deadTmp.exists, "legacy dead-pid .tmp. dir must be swept")
+      assert(new java.io.File(served, "state.bin").isFile)
+      assert(LakeCache.isManaged(served),
+        "served caches must carry the immutability marker")
+      // 4. an ALIVE writer's in-flight stage is never killed
+      val aliveStage = new java.io.File(root,
+        s"inflight.g1-${java.lang.ProcessHandle.current.pid}")
+      aliveStage.mkdirs()
+      LakeCache.ensure(srcF.getPath, "tag=x", rootName)(_ =>
+        fail("retained fingerprint must serve without rebuilding"))
+      assert(aliveStage.exists,
+        "an in-flight stage with a live writer must survive the sweep")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(root)
       srcF.delete()
