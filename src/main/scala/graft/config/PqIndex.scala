@@ -68,7 +68,8 @@ object PqIndex {
   /** Train on `e` (vec_id, embedding) and publish generation 1 —
     * frame-parameterized so ScaleSmoke can build synthetic-scale
     * indexes through the same code. */
-  def build(spark: SparkSession, e: DataFrame, dir: String): Unit = {
+  def build(spark: SparkSession, e: DataFrame, dir: String,
+      compactTauMicro: Long = IvfIndex.CompactTauMicro): Unit = {
     // the subspace tick-frame feeds seeding + two assignment passes —
     // one materialization instead of three scans
     val sv = Llm.pqSubFrame(e).persist()
@@ -79,10 +80,33 @@ object PqIndex {
       cb.write.parquet(s"$stage/codebook")
       Llm.pqCodesPacked(Llm.pqAssign(sv, cb))
         .write.parquet(s"$stage/codes")
+      // policy meta (round 12): the compaction threshold lives in the
+      // index state, so the maintenance decision replays from storage
+      spark.range(1)
+        .select(lit(compactTauMicro).as("compact_tau_micro"))
+        .coalesce(1).write.parquet(s"$stage/meta")
       require(LakeCommit.commit(dir, Table, stage),
         s"build: another writer published $stage first")
       LakeCommit.cleanup(dir, Table)
     } finally sv.unpersist()
+  }
+
+  /** Maintenance entry point (round 12 — the [[IvfIndex.maintain]]
+    * policy loop applied to PQ's simpler state): ingest the batch
+    * (∝ batch — the codebook is static-trained; PQ's retrain trigger is
+    * the IVF drift gate upstream when the two serve together, as in
+    * llm_ivfpq_topk), then fold the tombstones when their fraction
+    * exceeds the STORED τ. Returns "ingest" or "ingest+compact". */
+  def maintain(spark: SparkSession, dir: String, batch: DataFrame): String = {
+    ingest(spark, dir, batch)
+    val tauMicro = spark.read.parquet(s"${genDir(dir)}/meta")
+      .head().getLong(0)
+    val deadN = tombstones(spark, dir).count()
+    val totalN = codes(spark, dir).count()
+    if (totalN > 0 && BigInt(deadN) * 1000000 > BigInt(tauMicro) * totalN) {
+      compact(spark, dir)
+      "ingest+compact"
+    } else "ingest"
   }
 
   /** Ingest a new vector batch (round 11 — VERDICT r10 #1): encode ONLY
@@ -139,6 +163,8 @@ object PqIndex {
     val live = codes(spark, dir).join(dead, Seq("vec_id"), "left_anti")
     val stage = LakeCommit.stage(dir, Table)
     codebook(spark, dir).write.parquet(s"$stage/codebook")
+    spark.read.parquet(s"${genDir(dir)}/meta")
+      .coalesce(1).write.parquet(s"$stage/meta")
     live.write.parquet(s"$stage/codes")
     if (steps < 2) return
     require(LakeCommit.commit(dir, Table, stage),

@@ -463,7 +463,7 @@ object Llm {
     * broadcast of the bounded centroid frame, map-side cosine per
     * (vector, cell), WindowGroupLimit rn=1. The sim column feeds the
     * k-means‖ cost round ([[ivfSeedScalable]]); [[ivfAssign]] drops it. */
-  private def ivfAssignSim(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def ivfAssignSim(e: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
     e.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("embedding"), col("cell"),

@@ -510,6 +510,132 @@ class IvfSpec extends AnyFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("maintain drift gate (r12 — VERDICT r11 #2): an in-distribution " +
+    "batch INGESTS, a shifted batch RETRAINS exactly once, and every " +
+    "decision replays from the stored maintlog numbers alone") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_maintain").toString
+    // replay a decision from its log row — the audit's math over the
+    // exact integer moment sums the row carries
+    def replayDrifted(r: org.apache.spark.sql.Row): Boolean =
+      graft.config.IvfIndex.driftT2Micro(
+        r.getSeq[Long](2), r.getSeq[Long](3), r.getLong(4),
+        r.getSeq[Long](5), r.getLong(6)) > r.getLong(8)
+    try {
+      graft.config.IvfIndex.build(spark, e.where(col("vec_id") < 300),
+        dir, 16, 64, 2)
+      // 1. same-distribution batch: fits the trained distribution →
+      //    ingest, and the decision precomputed from stored state
+      //    (meta moments + batch moments) matches what maintain does
+      val b1 = e.where(col("vec_id") >= 300 && col("vec_id") < 400)
+      val m = graft.config.IvfIndex.meta(spark, dir)
+      val (bSum, _, bN) = graft.config.IvfIndex.moments(b1)
+      val t2 = graft.config.IvfIndex.driftT2Micro(
+        m.getSeq[Long](0), m.getSeq[Long](1), m.getLong(2),
+        bSum.toSeq, bN)
+      info(s"same-distribution batch T2/dim micro = $t2")
+      assert(t2 <= m.getLong(3),
+        "a same-distribution batch must sit under the drift threshold")
+      val a1 = graft.config.IvfIndex.maintain(spark, dir, b1)
+      assert(a1 == "ingest", s"got $a1")
+      assert(graft.config.IvfIndex.assignments(spark, dir).count() == 400)
+      // the log row carries exactly the precomputed inputs
+      val log1 = graft.config.IvfIndex.maintlog(spark, dir).head()
+      assert(log1.getString(1) == "ingest")
+      assert(log1.getSeq[Long](5) == bSum.toSeq && log1.getLong(6) == bN)
+      assert(log1.getLong(7) == t2)
+      assert(!replayDrifted(log1))
+      // 2. a SHIFTED batch (+1.0 every component ≈ 8σ — a distribution
+      //    the quantizer was never trained for) must cross the gate and
+      //    retrain ON the live corpus ∪ batch, publishing one generation
+      val b2 = e.where(col("vec_id") >= 400 && col("vec_id") < 500)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => (x + lit(1.0f)).cast("float"))
+            .as("embedding"))
+      val a2 = graft.config.IvfIndex.maintain(spark, dir, b2)
+      assert(a2 == "retrain", s"got $a2")
+      assert(graft.config.IvfIndex.assignments(spark, dir).count() == 500)
+      assert(new java.io.File(dir).listFiles
+        .count(f => f.isDirectory && f.getName.startsWith("index.g")) == 1,
+        "retrain must publish one generation and retire the old")
+      val logs = graft.config.IvfIndex.maintlog(spark, dir)
+        .orderBy("gen_seq").collect()
+      assert(logs.map(_.getString(1)).toSeq == Seq("ingest", "retrain"))
+      assert(logs.forall(r => replayDrifted(r) == (r.getString(1) == "retrain")),
+        "every logged decision must replay from its stored numbers")
+      // 3. the retrained baseline admits the next same-distribution
+      //    batch again — the corpus was paid exactly once (ScaleSmoke
+      //    pins the ∝-batch vs ∝-corpus wall-clock law at 1M)
+      val b3 = e.where(col("vec_id") >= 300 && col("vec_id") < 320)
+        .select(col("vec_id") + 200, col("embedding"))
+        .toDF("vec_id", "embedding")
+      assert(graft.config.IvfIndex.maintain(spark, dir, b3) == "ingest")
+      assert(graft.config.IvfIndex.assignments(spark, dir).count() == 520)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("auto-compact policy (r12 — VERDICT r11 #3): below the stored τ " +
+    "the serve plan pays the tombstone anti-join; past it the next " +
+    "maintain compacts and the anti-join DISAPPEARS from the plan") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_autocompact").toString
+    def servePlan(): String = graft.config.IvfIndex
+      .liveAssignments(spark, dir)
+      .queryExecution.executedPlan.toString
+    try {
+      graft.config.IvfIndex.build(spark, e.where(col("vec_id") < 300),
+        dir, 16, 64, 1)
+      // a fresh index serves with NO anti-join at all
+      assert(!servePlan().contains("LeftAnti"))
+      // 30/300 dead = 10% < τ=20%: serve pays the anti-join, maintain
+      // leaves the markers alone
+      graft.config.IvfIndex.delete(spark, dir,
+        e.where(col("vec_id") < 30).select(col("vec_id")))
+      assert(servePlan().contains("LeftAnti"),
+        "below τ the serve must anti-join the markers")
+      val a1 = graft.config.IvfIndex.maintain(spark, dir,
+        e.where(col("vec_id") >= 300 && col("vec_id") < 350))
+      assert(a1 == "ingest", s"got $a1")
+      assert(servePlan().contains("LeftAnti"))
+      // push the dead fraction past τ: 80/360 = 22% > 20% → the next
+      // maintenance call compacts and the anti-join vanishes
+      graft.config.IvfIndex.delete(spark, dir,
+        e.where(col("vec_id") >= 30 && col("vec_id") < 80)
+          .select(col("vec_id")))
+      val a2 = graft.config.IvfIndex.maintain(spark, dir,
+        e.where(col("vec_id") >= 350 && col("vec_id") < 360))
+      assert(a2 == "ingest+compact", s"got $a2")
+      assert(!servePlan().contains("LeftAnti"),
+        "past τ the compacted serve must drop the anti-join")
+      // 360 ingested total, 80 folded away
+      assert(graft.config.IvfIndex.assignments(spark, dir).count() == 280)
+      assert(graft.config.IvfIndex.tombstones(spark, dir).count() == 0)
+      // PQ mirrors the policy from ITS stored τ
+      val pqDir = java.nio.file.Files
+        .createTempDirectory("graft_pq_autocompact").toString
+      try {
+        graft.config.PqIndex.build(spark,
+          e.where(col("vec_id") < 300), pqDir)
+        graft.config.PqIndex.delete(spark, pqDir,
+          e.where(col("vec_id") < 100).select(col("vec_id")))
+        val pa = graft.config.PqIndex.maintain(spark, pqDir,
+          e.where(col("vec_id") >= 300 && col("vec_id") < 310))
+        assert(pa == "ingest+compact", s"got $pa")
+        assert(graft.config.PqIndex.codes(spark, pqDir).count() == 210)
+        assert(graft.config.PqIndex.tombstones(spark, pqDir).count() == 0)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(pqDir))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("pcaTopFrame recovers a planted dominant direction (r8 cont. 6)") {
     // 200 vectors, 64-dim: component 1 carries +-3 (alternating sign, so
     // the MEAN is ~0 and the centered scatter is dominated by dim 1);
