@@ -731,8 +731,8 @@ object Llm {
     * probe at nprobe ∈ {1, 2, 4} — the dial llm_ann_ivf_recall says to
     * turn, AS a curve. Candidate sets nest as the budget grows, so the
     * curve is non-decreasing (ApproxSpec pins it). */
-  private lazy val ivfNprobeOracle: String =
-    s"""WITH $ivfTrainedAssignCtes,
+  private lazy val ivfNprobeCtes: String =
+    s"""$ivfTrainedAssignCtes,
        |pr AS (
        |  SELECT q_id, q_emb, cell, rn AS pr FROM (
        |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cell,
@@ -771,10 +771,41 @@ object Llm {
        |  LEFT JOIN t5 t ON t.nprobe = b.nprobe AND t.q_id = e.q_id
        |                AND t.n_id = e.n_id
        |  GROUP BY 1, 2
-       |)
+       |)""".stripMargin
+
+  private lazy val ivfNprobeOracle: String =
+    s"""WITH $ivfNprobeCtes
        |SELECT nprobe, CAST(count(*) AS BIGINT) AS n_queries,
        |       round(avg(CAST(h AS DOUBLE)) / 5, 6) AS mean_recall
        |FROM hits GROUP BY nprobe ORDER BY nprobe""".stripMargin
+
+  /** Recall-targeted serving oracle (round 12 — VERDICT r11 #5): the
+    * nprobe curve chain, a pick CTE choosing the SMALLEST budget whose
+    * mean recall meets the floor (max when unreachable), and the serve
+    * replayed at exactly that pick. mean_recall values are exact
+    * 1/100ths (Σh over 20 queries × 5), so the floor comparison can
+    * never sit on an engine-rounding tie. */
+  val IvfRecallFloor = 0.5
+  private lazy val ivfAutoprobeOracle: String =
+    s"""WITH $ivfNprobeCtes, curve AS (
+       |  SELECT nprobe, round(avg(CAST(h AS DOUBLE)) / 5, 6) AS mean_recall
+       |  FROM hits GROUP BY nprobe
+       |), pick AS (
+       |  SELECT coalesce(
+       |           min(CASE WHEN mean_recall >= $IvfRecallFloor
+       |               THEN nprobe END),
+       |           max(nprobe)) AS np
+       |  FROM curve
+       |), r AS (
+       |  SELECT q_id, n_id, sim,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY sim DESC, n_id) AS rn
+       |  FROM cand, pick WHERE cand.pr <= pick.np
+       |)
+       |SELECT q_id, n_id, sim, CAST(rn AS BIGINT) AS rn,
+       |       (SELECT np FROM pick) AS nprobe_used
+       |FROM r WHERE rn <= 5
+       |ORDER BY q_id, rn""".stripMargin
 
   /** Tombstone-aware serving oracle (round 11): the IVF probe with a
     * deleted-id set excluded from the candidates — deletes in an
@@ -5217,6 +5248,79 @@ object Llm {
         .orderBy("nprobe")
     },
 
+    // RECALL-TARGETED serving (round 12 — VERDICT r11 #5): the nprobe
+    // curve existed as a readout, but no operator PICKED the dial —
+    // the call a deployment actually makes is "give me ≥ floor recall
+    // as cheaply as possible". This key computes the curve in-plan
+    // (ONE candidate fan-out at the max budget, the llm_ann_ivf_nprobe
+    // plan), picks the SMALLEST nprobe whose mean recall@5 meets the
+    // floor (falls back to the max budget when unreachable — ApproxSpec
+    // pins minimality + fallback), and serves top-5 at exactly that
+    // pick from the SAME candidate frame — the budgets fan out once,
+    // the pick is a broadcast 1-row frame, and no driver-side decision
+    // exists anywhere. At deployment scale the curve half runs on a
+    // query SAMPLE offline and only the serve half stays per-query; the
+    // declared plan keeps both halves under one oracle so the pick can
+    // never drift from the curve it claims to read.
+    Q("llm_ann_ivf_autoprobe", ivfAutoprobeOracle) { (s, d) =>
+      val dir = graft.config.IvfIndex.ensure(s, d)
+      val cents = graft.config.IvfIndex.centroids(s, dir)
+      val inv = graft.config.IvfIndex.assignments(s, dir)
+        .select(col("cell"), col("vec_id").as("n_id"),
+          col("embedding").as("n_emb"))
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val queries = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wq = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cell"))
+      val pr = queries.join(broadcast(cents), lit(true))
+        .select(col("q_id"), col("q_emb"), col("cell"),
+          round(cosineSim(col("q_emb"), col("cent")), 6).as("sim"))
+        .withColumn("pr", row_number().over(wq))
+        .where(col("pr") <= 4)
+        .select(col("q_id"), col("q_emb"), col("cell"), col("pr"))
+      val cand = pr.join(inv, Seq("cell"))
+        .where(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("pr"), col("n_id"),
+          round(cosineSim(col("q_emb"), col("n_emb")), 6).as("sim"))
+      val bud = s.range(1)
+        .select(explode(array(lit(1L), lit(2L), lit(4L))).as("nprobe"))
+      val w5 = Window.partitionBy("nprobe", "q_id")
+        .orderBy(col("sim").desc, col("n_id"))
+      val t5 = cand.join(broadcast(bud), col("pr") <= col("nprobe"))
+        .withColumn("rn", row_number().over(w5))
+        .where(col("rn") <= 5)
+        .select(col("nprobe").as("t_np"), col("q_id").as("t_qid"),
+          col("n_id").as("t_nid"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .repartition(probeFanout(s))
+      val we = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      val exact = c.join(broadcast(queries), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          round(cosineSim(col("q_emb"), col("n_emb")), 6).as("sim"))
+        .withColumn("rn", row_number().over(we))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"))
+      val curve = exact.crossJoin(broadcast(bud))
+        .join(t5,
+          col("t_np") === col("nprobe") && col("t_qid") === col("q_id") &&
+            col("t_nid") === col("n_id"), "left")
+        .groupBy("nprobe", "q_id")
+        .agg(count(col("t_nid")).as("h"))
+        .groupBy("nprobe")
+        .agg(round(avg(col("h").cast("double")) / 5, 6).as("mean_recall"))
+      val pick = curve.agg(coalesce(
+        min(when(col("mean_recall") >= IvfRecallFloor, col("nprobe"))),
+        max(col("nprobe"))).as("np"))
+      val wr = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      cand.crossJoin(broadcast(pick))
+        .where(col("pr") <= col("np"))
+        .withColumn("rn", row_number().over(wr))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"), col("sim"),
+          col("rn").cast("long").as("rn"), col("np").as("nprobe_used"))
+        .orderBy("q_id", "rn")
+    },
+
     // FILTERED ANN on the served IVF path (round 11 — VERDICT r10 #2):
     // per-query top-5 under a metadata predicate — the single most
     // common real retrieval shape (RAG tenant/source filters, curation
@@ -5527,6 +5631,138 @@ object Llm {
           element_at(col("features"), 2).cast("long").as("height"),
           element_at(col("features"), 3).cast("long").as("bit_depth"),
           element_at(col("features"), 4).cast("long").as("channels"),
+          element_at(col("features"), 7).cast("long").as("parsed"))
+        .orderBy("doc_id")
+    },
+
+    // JPEG header decode under the oracle gate (round 12 — VERDICT r11
+    // #4: the PNG planting precedent applied to the remaining codecs,
+    // moving them from spec-only to hash-verified). In-plan minimal
+    // JPEG: SOI, then one SOF0 segment (len 17: precision 8,
+    // doc_id-derived height/width, 3 components), EOI — the marker-walk
+    // path of MediaHeaderCodec.jpeg must recover exactly the planted
+    // dimensions through the same typed mapPartitions batch shape.
+    Q("llm_media_header_jpeg",
+      """SELECT doc_id, 'image/jpeg' AS mime, CAST(23 AS BIGINT) AS n_bytes,
+        |       CAST(100 + doc_id % 900 AS BIGINT) AS width,
+        |       CAST(50 + doc_id % 500 AS BIGINT) AS height,
+        |       CAST(8 AS BIGINT) AS bit_depth,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       CAST(1 AS BIGINT) AS parsed
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // FFD8 (SOI), FFC0 (SOF0) len=0x11, precision 8, height(2 BE),
+      // width(2 BE), ncomp=3 + 3×3 component specs, FFD9 (EOI)
+      val hexp = concat(lit("FFD8FFC0001108"),
+        lpad(hex(lit(50) + col("doc_id") % 500), 4, "0"),
+        lpad(hex(lit(100) + col("doc_id") % 900), 4, "0"),
+        lit("03011100021100031100FFD9"))
+      val mediaDs = docs(s, d)
+        .select(col("doc_id"),
+          struct(unhex(hexp).as("payload"), lit("image/jpeg").as("mime"),
+            map(lit("planted"), lit("true")).as("meta")).as("media"))
+        .as[Multimodal.MediaRow](
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+      Multimodal.decodeFeatures(mediaDs, Multimodal.MediaHeaderCodec)
+        .select(col("doc_id"), col("mime"), col("n_bytes"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 3).cast("long").as("bit_depth"),
+          element_at(col("features"), 4).cast("long").as("channels"),
+          element_at(col("features"), 7).cast("long").as("parsed"))
+        .orderBy("doc_id")
+    },
+
+    // WAV/RIFF header decode under the oracle gate (round 12 — the
+    // audio member of the planting family): RIFF/WAVE with a 16-byte
+    // `fmt ` chunk carrying doc_id-derived little-endian channel count,
+    // sample rate and bit depth, plus a `data` chunk header whose size
+    // over the byte rate gives an exact integer duration. The
+    // little-endian fields are planted as per-case hex literals (the
+    // same CASE ladders the oracle states), so any LE/offset/word-align
+    // defect in the RIFF walk hash-mismatches.
+    Q("llm_media_header_wav",
+      """SELECT doc_id, 'audio/wav' AS mime, CAST(44 AS BIGINT) AS n_bytes,
+        |       CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 22050
+        |            ELSE 44100 END AS BIGINT) AS sample_rate,
+        |       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |       CAST(8 + (doc_id % 3) * 8 AS BIGINT) AS bits,
+        |       CAST(1 + doc_id % 5 AS BIGINT) AS duration_sec,
+        |       CAST(1 AS BIGINT) AS parsed
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val m3 = col("doc_id") % 3
+      val srHex = when(m3 === 0, "401F0000") // 8000
+        .when(m3 === 1, "22560000") // 22050
+        .otherwise("44AC0000") // 44100
+      val chHex = when(col("doc_id") % 2 === 0, "0100").otherwise("0200")
+      val bitsHex = when(m3 === 0, "0800").when(m3 === 1, "1000")
+        .otherwise("1800")
+      // data-chunk size = 32000 (the planted byte rate) × duration —
+      // LE literals per duration case
+      val dataHex = when(col("doc_id") % 5 === 0, "007D0000") // 32000
+        .when(col("doc_id") % 5 === 1, "00FA0000") // 64000
+        .when(col("doc_id") % 5 === 2, "00770100") // 96000
+        .when(col("doc_id") % 5 === 3, "00F40100") // 128000
+        .otherwise("00710200") // 160000
+      val hexp = concat(
+        lit("52494646"), lit("24000000"), lit("57415645"), // RIFF/WAVE
+        lit("666D7420"), lit("10000000"), lit("0100"), // fmt , 16, PCM
+        chHex, srHex, lit("007D0000"), lit("0400"), bitsHex,
+        lit("64617461"), dataHex) // data chunk header
+      val mediaDs = docs(s, d)
+        .select(col("doc_id"),
+          struct(unhex(hexp).as("payload"), lit("audio/wav").as("mime"),
+            map(lit("planted"), lit("true")).as("meta")).as("media"))
+        .as[Multimodal.MediaRow](
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+      Multimodal.decodeFeatures(mediaDs, Multimodal.MediaHeaderCodec)
+        .select(col("doc_id"), col("mime"), col("n_bytes"),
+          element_at(col("features"), 1).cast("long").as("sample_rate"),
+          element_at(col("features"), 2).cast("long").as("channels"),
+          element_at(col("features"), 3).cast("long").as("bits"),
+          element_at(col("features"), 4).cast("long").as("duration_sec"),
+          element_at(col("features"), 7).cast("long").as("parsed"))
+        .orderBy("doc_id")
+    },
+
+    // MP4/ISO-BMFF header decode under the oracle gate (round 12 — the
+    // video member): ftyp, then a moov whose mvhd (version 0) carries a
+    // constant timescale and a doc_id-derived tick duration, plus 1–3
+    // empty trak boxes — the box-tree walk (sizes big-endian, 64-bit
+    // largesize and to-EOF cases exercised by MultimodalSpec) must
+    // recover timescale, exact integer seconds, and the track count.
+    Q("llm_media_header_mp4",
+      """SELECT doc_id, 'video/mp4' AS mime,
+        |       CAST(60 + (doc_id % 3) * 8 AS BIGINT) AS n_bytes,
+        |       CAST(600 AS BIGINT) AS timescale,
+        |       CAST(1 + doc_id % 10 AS BIGINT) AS duration_sec,
+        |       CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+        |       CAST(1 AS BIGINT) AS parsed
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nTrakM = col("doc_id") % 3 // 0..2 → 1..3 traks
+      val moovHex = when(nTrakM === 0, "0000002C")
+        .when(nTrakM === 1, "00000034").otherwise("0000003C")
+      val trak = "000000087472616B"
+      val trakHex = when(nTrakM === 0, trak)
+        .when(nTrakM === 1, trak * 2).otherwise(trak * 3)
+      val hexp = concat(
+        lit("000000106674797069736F6D00000000"), // ftyp isom
+        moovHex, lit("6D6F6F76"), // moov
+        lit("0000001C6D766864"), lit("00000000"), // mvhd v0+flags
+        lit("00000000"), lit("00000000"), // ctime, mtime
+        lit("00000258"), // timescale 600
+        lpad(hex((lit(1) + col("doc_id") % 10) * 600), 8, "0"), // ticks
+        trakHex)
+      val mediaDs = docs(s, d)
+        .select(col("doc_id"),
+          struct(unhex(hexp).as("payload"), lit("video/mp4").as("mime"),
+            map(lit("planted"), lit("true")).as("meta")).as("media"))
+        .as[Multimodal.MediaRow](
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+      Multimodal.decodeFeatures(mediaDs, Multimodal.MediaHeaderCodec)
+        .select(col("doc_id"), col("mime"), col("n_bytes"),
+          element_at(col("features"), 1).cast("long").as("timescale"),
+          element_at(col("features"), 2).cast("long").as("duration_sec"),
+          element_at(col("features"), 3).cast("long").as("n_tracks"),
           element_at(col("features"), 7).cast("long").as("parsed"))
         .orderBy("doc_id")
     },

@@ -523,4 +523,40 @@ class ApproxSpec extends AnyFunSuite {
     assert(math.abs(curve(2L) - rec) < 1e-9,
       s"curve(2)=${curve(2L)} recall-key mean=$rec")
   }
+
+  test("llm_ann_ivf_autoprobe: the chosen nprobe is the MINIMAL curve " +
+    "point meeting the recall floor (max fallback when unreachable), " +
+    "and the serve equals the fixed-nprobe probe at that pick (r12)") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val curve = SparkEntry.queries("llm_ann_ivf_nprobe")(spark, d)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val floor = graft.operators.Llm.IvfRecallFloor
+      val expected = curve.filter(_._2 >= floor).keys
+        .minOption.getOrElse(curve.keys.max)
+      val served = SparkEntry.queries("llm_ann_ivf_autoprobe")(spark, d)
+        .collect()
+      info(s"$d: curve=$curve floor=$floor picked=$expected " +
+        s"(fallback=${!curve.values.exists(_ >= floor)})")
+      assert(served.nonEmpty)
+      assert(served.map(_.getLong(4)).toSet == Set(expected),
+        s"every served row must carry the minimal-meeting pick $expected")
+      // the auto-picked serve answers exactly what the fixed-nprobe
+      // probe at that pick answers (columns minus the pick rider)
+      val dir = graft.config.IvfIndex.ensure(spark, d)
+      val e = Tables(spark, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val queries = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val fixed = operators.Llm.ivfTopk(
+        graft.config.IvfIndex.assignments(spark, dir)
+          .select(col("vec_id"), col("embedding"), col("cell")),
+        graft.config.IvfIndex.centroids(spark, dir),
+        queries, nprobe = expected.toInt, k = 5).collect()
+      assert(served.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq ==
+        fixed.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq)
+    }
+    spark.catalog.clearCache()
+  }
 }
