@@ -1614,6 +1614,53 @@ object ScaleSmoke {
         s"maintlog must record the decision sequence (${acts.toSeq})")
     }
 
+    // Analytic-frame ingest law (round 12 — VERDICT r11 #6): the
+    // materialized co-order and cust-supp frames accept a nightly
+    // batch ∝ batch instead of invalidating their fingerprint and
+    // re-deriving the corpus. 1M synthetic orders × 6 lines ≈ 15M
+    // co-order edge rows; the +10k-order (1%) ingest derives its delta
+    // from the batch alone (zero stored-frame reads) — the recorded
+    // fact is the build wall vs the 1–2 orders smaller ingest wall.
+    // (The verified-pairs frame's ∝-batch law is the registry ingest
+    // probes above — AnalyticFrames.ingestNearDupPairs IS
+    // SketchRegistry.ingest plus an append.)
+    if (only.isEmpty || only.exists("frame ingest".contains)) {
+      def sOrders(lo: Long, hi: Long): org.apache.spark.sql.DataFrame =
+        spark.range(lo, hi).select(col("id").as("o_orderkey"),
+          pmod(xxhash64(col("id")), lit(50000)).as("o_custkey"))
+      def sLines(lo: Long, hi: Long): org.apache.spark.sql.DataFrame =
+        spark.range(lo * 6, hi * 6).select(
+          (col("id") / 6).cast("long").as("l_orderkey"),
+          pmod(xxhash64(col("id"), lit(1)), lit(20000)).as("l_partkey"),
+          pmod(xxhash64(col("id"), lit(2)), lit(5000)).as("l_suppkey"))
+      val coDir = scratchDir("graft_scale_frame_coorder")
+      time("frame ingest: co-order build 1M orders") {
+        config.AnalyticFrames.buildCoOrder(spark,
+          sOrders(0L, 1000000L), sLines(0L, 1000000L), coDir)
+        1000000L
+      }
+      time("frame ingest: co-order +10k orders (∝ batch)") {
+        config.AnalyticFrames.ingestCoOrder(spark, coDir,
+          sOrders(1000000L, 1010000L), sLines(1000000L, 1010000L))
+        10000L
+      }
+      val nEdges = config.AnalyticFrames.coOrderEdges(spark, coDir).count()
+      require(nEdges > 12000000L, s"edge set must cover the corpus ($nEdges)")
+      val csDir = scratchDir("graft_scale_frame_custsupp")
+      time("frame ingest: cust-supp build 1M orders") {
+        config.AnalyticFrames.buildCustSupp(spark,
+          sOrders(0L, 1000000L), sLines(0L, 1000000L), csDir)
+        1000000L
+      }
+      time("frame ingest: cust-supp +10k orders (∝ batch)") {
+        config.AnalyticFrames.ingestCustSupp(spark, csDir,
+          sOrders(1000000L, 1010000L), sLines(1000000L, 1010000L))
+        10000L
+      }
+      val nPairs = config.AnalyticFrames.custSuppPairs(spark, csDir).count()
+      require(nPairs > 2000000L, s"pair frame must cover the corpus ($nPairs)")
+    }
+
     // The FULL corpus pipeline (llm_corpus_build body) at 500k docs with
     // the production FastHash sketch family: dedup → quality → pack E2E.
     // Runs under DEFAULT autoBroadcastJoinThreshold on purpose: round 3

@@ -1929,16 +1929,26 @@ object Extras {
     val dir = graft.config.LakeCache.ensure(
       Seq(s"$d/orders.parquet", s"$d/lineitem.parquet"),
       "custsupp:v1", "graft_custsupp_graph") { tmp =>
-      Tables(s, d, "orders").select("o_orderkey", "o_custkey")
-        .join(Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .groupBy((col("o_custkey") * 2).as("c"),
-          (col("l_suppkey") * 2 + 1).as("s"))
-        .agg(count(lit(1)).as("cnt"))
+      custSuppPairsFrom(Tables(s, d, "orders"), Tables(s, d, "lineitem"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
     }
     s.read.parquet(dir).repartition(col("c"), col("s"))
   }
+
+  /** The customer↔supplier pair derivation, frame-parameterized
+    * (round 12 — the incremental-frame protocol derives batch partials
+    * through the SAME definition the full build uses): cnt is a plain
+    * count over joined lineitem rows, so partials over disjoint
+    * lineitem batches merge ADDITIVELY — the property
+    * [[graft.config.AnalyticFrames]] merge-on-read relies on. */
+  private[graft] def custSuppPairsFrom(
+      orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.select("o_orderkey", "o_custkey")
+      .join(lineitem.select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .agg(count(lit(1)).as("cnt"))
 
   /** The 1997 co-order graph, served as a MATERIALIZED lake table
     * (round 11 — VERDICT r10 #6): 8+ declared graph keys consume the
@@ -1979,11 +1989,23 @@ object Extras {
     * orders⋈lineitem (PlanSpec pins the shape). */
   private[graft] def coOrderEdgesLive(
       s: SparkSession, d: String, from: String, to: String): DataFrame =
-    Tables(s, d, "orders")
-      .where(col("o_orderdate") >= lit(from).cast("timestamp") &&
-        col("o_orderdate") < lit(to).cast("timestamp"))
+    coOrderEdgesFrom(
+      Tables(s, d, "orders")
+        .where(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(to).cast("timestamp")),
+      Tables(s, d, "lineitem"))
+
+  /** The co-order edge derivation, frame-parameterized (round 12):
+    * every edge lives WITHIN one order, so a batch of complete new
+    * orders derives its edges from the batch alone — the ∝-batch
+    * property [[graft.config.AnalyticFrames.ingestCoOrder]] uses. The
+    * caller owns completeness (an order's lineitems must not split
+    * across batches). */
+  private[graft] def coOrderEdgesFrom(
+      orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
       .select("o_orderkey")
-      .join(Tables(s, d, "lineitem").select("l_orderkey", "l_partkey"),
+      .join(lineitem.select("l_orderkey", "l_partkey"),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))

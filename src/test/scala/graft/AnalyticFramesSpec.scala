@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.AnalyticFrames
+
+/** Round 12 (VERDICT r11 #6): the materialized analytic frames accept
+  * ∝-batch appends instead of full rebuilds. The binding law for every
+  * frame: build-on-part + ingest-the-rest ≡ derive-everything, files
+  * append-only between publishes, and compaction folds segments without
+  * changing what the frame serves.
+  */
+class AnalyticFramesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  private def rm(dir: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+
+  private def frameFiles(dir: String, sub: String): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+    val g = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("frame.g"))
+    assert(g.length == 1, s"expected one committed generation: ${g.toSeq}")
+    walk(new java.io.File(g.head, sub))
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+  }
+
+  test("co-order frame: build + two ∝-batch ingests ≡ full derivation; " +
+    "append-only segments; compact folds without changing the served set") {
+    val orders = Tables(spark, d, "orders")
+    val lines = Tables(spark, d, "lineitem")
+    val dir = tmp("graft_frame_coorder")
+    try {
+      val base = orders.where(col("o_orderkey") % 5 =!= 0)
+      AnalyticFrames.buildCoOrder(spark, base, lines, dir)
+      val before = frameFiles(dir, "edges")
+      AnalyticFrames.ingestCoOrder(spark, dir,
+        orders.where(col("o_orderkey") % 5 === 0 &&
+          col("o_orderkey") % 2 === 0), lines)
+      AnalyticFrames.ingestCoOrder(spark, dir,
+        orders.where(col("o_orderkey") % 5 === 0 &&
+          col("o_orderkey") % 2 =!= 0), lines)
+      assert(before.subsetOf(frameFiles(dir, "edges")),
+        "ingest must never rewrite stored segments")
+      def served: Set[(Long, Long)] = AnalyticFrames.coOrderEdges(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = operators.Extras.coOrderEdgesFrom(orders, lines)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = served
+      assert(got == full, "accumulated frame must equal the full derivation")
+      AnalyticFrames.compactCoOrder(spark, dir)
+      assert(served == full, "compaction must not change the served set")
+      assert(new java.io.File(dir).listFiles
+        .count(f => f.isDirectory && f.getName.startsWith("frame.g")) == 1)
+    } finally rm(dir)
+  }
+
+  test("cust-supp frame: additive partials merge-on-read to the full " +
+    "aggregate; compact folds them") {
+    val orders = Tables(spark, d, "orders")
+    val lines = Tables(spark, d, "lineitem")
+    val dir = tmp("graft_frame_custsupp")
+    try {
+      AnalyticFrames.buildCustSupp(spark,
+        orders.where(col("o_orderkey") % 3 === 0), lines, dir)
+      AnalyticFrames.ingestCustSupp(spark, dir,
+        orders.where(col("o_orderkey") % 3 === 1), lines)
+      AnalyticFrames.ingestCustSupp(spark, dir,
+        orders.where(col("o_orderkey") % 3 === 2), lines)
+      def served: Map[(Long, Long), Long] =
+        AnalyticFrames.custSuppPairs(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val full = operators.Extras.custSuppPairsFrom(orders, lines)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(served == full,
+        "summed partials must equal the full aggregate")
+      AnalyticFrames.compactCustSupp(spark, dir)
+      assert(served == full)
+    } finally rm(dir)
+  }
+
+  test("near-dup pair frame: registry-backed ∝-batch ingests accumulate " +
+    "exactly the full recompute's verified pairs") {
+    val docs = Tables(spark, d, "documents").select("doc_id", "text")
+    val dir = tmp("graft_frame_neardup")
+    try {
+      AnalyticFrames.buildNearDupPairs(spark,
+        docs.where(col("doc_id") < 300), dir)
+      AnalyticFrames.ingestNearDupPairs(spark, dir,
+        docs.where(col("doc_id") >= 300 && col("doc_id") < 400))
+      AnalyticFrames.ingestNearDupPairs(spark, dir,
+        docs.where(col("doc_id") >= 400))
+      val served = AnalyticFrames.nearDupPairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val full = operators.Llm.minhashVerified(docs)
+        .where(col("est_jaccard") >= config.SketchRegistry.JaccardMin)
+        .select("d1", "d2", "est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      spark.catalog.clearCache()
+      assert(served == full,
+        "accumulated pair frame must equal the full recompute")
+      assert(served.nonEmpty)
+    } finally rm(dir)
+  }
+}
