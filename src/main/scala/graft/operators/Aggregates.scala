@@ -614,6 +614,107 @@ object Aggregates {
         .orderBy("n_name")
     },
 
+    // Mutual information between two categorical columns, per ship
+    // year (round 12): the dependence audit a feature/leakage review
+    // runs — MI(returnflag; linestatus) in bits plus both marginal
+    // entropies and the normalized MI (MI/√(H·H), 0 = independent,
+    // 1 = determined). agg_entropy float doctrine throughout: every
+    // input is an exact BIGINT count, the ≤6 per-year cell terms and
+    // ≤3 marginal terms fold in PINNED category order (sorted in-row
+    // lists — never a float partial aggregation), each term the
+    // identical p·ln(·)/ln2 expression in both engines, FLOOR-scaled at
+    // display. Plan: ONE lineitem scan to the bounded (year, flag,
+    // status) cell frame; marginals and totals re-aggregate that frame;
+    // three bounded in-row folds — no windows, no second fact pass.
+    Q("dq_mutual_info",
+      """WITH c AS (
+        |  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |         l_returnflag AS x, l_linestatus AS y,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2, 3
+        |), mx AS (
+        |  SELECT yr, x, CAST(sum(cnt) AS BIGINT) AS cx FROM c GROUP BY 1, 2
+        |), my AS (
+        |  SELECT yr, y, CAST(sum(cnt) AS BIGINT) AS cy FROM c GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT yr, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY yr
+        |), mi AS (
+        |  SELECT c.yr,
+        |         list_reduce(
+        |           list((CAST(cnt AS DOUBLE) / n)
+        |                * ln(CAST(cnt AS DOUBLE) * n
+        |                     / (CAST(cx AS DOUBLE) * cy)) / ln(2.0)
+        |                ORDER BY c.x, c.y),
+        |           (a, b) -> a + b) AS v
+        |  FROM c JOIN mx ON c.yr = mx.yr AND c.x = mx.x
+        |         JOIN my ON c.yr = my.yr AND c.y = my.y
+        |         JOIN tot ON c.yr = tot.yr
+        |  GROUP BY c.yr
+        |), hx AS (
+        |  SELECT mx.yr,
+        |         list_reduce(
+        |           list(-(CAST(cx AS DOUBLE) / n)
+        |                * ln(CAST(cx AS DOUBLE) / n) / ln(2.0)
+        |                ORDER BY x),
+        |           (a, b) -> a + b) AS v
+        |  FROM mx JOIN tot ON mx.yr = tot.yr GROUP BY mx.yr
+        |), hy AS (
+        |  SELECT my.yr,
+        |         list_reduce(
+        |           list(-(CAST(cy AS DOUBLE) / n)
+        |                * ln(CAST(cy AS DOUBLE) / n) / ln(2.0)
+        |                ORDER BY y),
+        |           (a, b) -> a + b) AS v
+        |  FROM my JOIN tot ON my.yr = tot.yr GROUP BY my.yr
+        |)
+        |SELECT tot.yr AS ship_year, n AS n_rows,
+        |       floor(mi.v * 1000000) / 1000000 AS mi_bits,
+        |       floor(hx.v * 1000000) / 1000000 AS h_flag_bits,
+        |       floor(hy.v * 1000000) / 1000000 AS h_status_bits,
+        |       floor(mi.v / sqrt(hx.v * hy.v) * 1000000) / 1000000 AS nmi
+        |FROM tot JOIN mi ON tot.yr = mi.yr JOIN hx ON tot.yr = hx.yr
+        |         JOIN hy ON tot.yr = hy.yr
+        |ORDER BY ship_year""".stripMargin) { (s, d) =>
+      val c = t(s, d, "lineitem")
+        .groupBy(year(col("l_shipdate")).cast("long").as("yr"),
+          col("l_returnflag").as("x"), col("l_linestatus").as("y"))
+        .agg(count(lit(1)).as("cnt"))
+      val mx = c.groupBy("yr", "x").agg(sum(col("cnt")).as("cx"))
+      val my = c.groupBy("yr", "y").agg(sum(col("cnt")).as("cy"))
+      val tot = c.groupBy("yr").agg(sum(col("cnt")).as("n"))
+      val mi = c.join(mx, Seq("yr", "x")).join(my, Seq("yr", "y"))
+        .join(broadcast(tot), Seq("yr"))
+        .groupBy("yr")
+        .agg(expr(
+          """aggregate(
+            |  transform(sort_array(collect_list(named_struct(
+            |    'x', x, 'y', y, 'cnt', cnt, 'cx', cx, 'cy', cy, 'n', n))),
+            |    e -> (CAST(e.cnt AS DOUBLE) / e.n)
+            |         * ln(CAST(e.cnt AS DOUBLE) * e.n
+            |              / (CAST(e.cx AS DOUBLE) * e.cy)) / ln(2.0d)),
+            |  0d, (a, b) -> a + b)""".stripMargin).as("miv"))
+      def marginalFold(m: org.apache.spark.sql.DataFrame, cc: String) =
+        m.join(broadcast(tot), Seq("yr"))
+          .groupBy("yr")
+          .agg(expr(
+            s"""aggregate(
+               |  transform(sort_array(collect_list(named_struct(
+               |    'k', $cc, 'c', c$cc, 'n', n))),
+               |    e -> -(CAST(e.c AS DOUBLE) / e.n)
+               |         * ln(CAST(e.c AS DOUBLE) / e.n) / ln(2.0d)),
+               |  0d, (a, b) -> a + b)""".stripMargin).as(s"h$cc"))
+      tot.join(mi, Seq("yr"))
+        .join(marginalFold(mx, "x"), Seq("yr"))
+        .join(marginalFold(my, "y"), Seq("yr"))
+        .select(col("yr").as("ship_year"), col("n").as("n_rows"),
+          (floor(col("miv") * 1000000) / 1000000).as("mi_bits"),
+          (floor(col("hx") * 1000000) / 1000000).as("h_flag_bits"),
+          (floor(col("hy") * 1000000) / 1000000).as("h_status_bits"),
+          (floor(col("miv") / sqrt(col("hx") * col("hy")) * 1000000)
+            / 1000000).as("nmi"))
+        .orderBy("ship_year")
+    },
+
     Q("agg_stats",
       """SELECT l_returnflag,
         |       round(stddev_samp(l_quantity), 4) AS sd_qty,

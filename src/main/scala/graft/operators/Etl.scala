@@ -1931,6 +1931,72 @@ object Etl {
     // 2⁶³ to ~1e9 cents/period); the price effect is DEFINED as the
     // remainder, so volume_effect + price_effect == delta_rev holds
     // EXACTLY in both engines by construction.
+    // Log-log price elasticity per brand (round 12): the pricing-
+    // analytics composite — elasticity = d ln(qty)/d ln(price), the OLS
+    // slope on log-transformed pairs, with fit quality (r²) so a flat
+    // brand is not mistaken for an inelastic one. Float doctrine: each
+    // log is quantized PER ROW to exact integer micro-ticks
+    // (round(ln·1e6) — the cosine-sim 6-dp precedent), so every sum is
+    // an exact DECIMAL(38,0) integer fold (order-independent at any
+    // scale, no Long overflow) and the slope/r² doubles derive from
+    // exact integers, FLOOR-scaled at display. One lineitem⋈part pass,
+    // map-side partials, bounded brand frame.
+    Q("etl_elasticity",
+      """WITH j AS (
+        |  SELECT p_brand,
+        |         CAST(round(ln(CAST(l_extendedprice AS DOUBLE)) * 1000000)
+        |              AS BIGINT) AS lx,
+        |         CAST(round(ln(CAST(l_quantity AS DOUBLE)) * 1000000)
+        |              AS BIGINT) AS ly
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_quantity > 0 AND l_extendedprice > 0
+        |), m AS (
+        |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(lx AS HUGEINT)) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(ly AS HUGEINT)) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(lx AS HUGEINT) * ly) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(lx AS HUGEINT) * lx) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(ly AS HUGEINT) * ly) AS DOUBLE) AS syy
+        |  FROM j GROUP BY p_brand
+        |)
+        |SELECT p_brand, n,
+        |       floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |             / (CAST(n AS DOUBLE) * sxx - sx * sx)
+        |             * 1000000) / 1000000 AS elasticity,
+        |       floor(((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |              * (CAST(n AS DOUBLE) * sxy - sx * sy))
+        |             / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |                * (CAST(n AS DOUBLE) * syy - sy * sy))
+        |             * 1000000) / 1000000 AS r2
+        |FROM m ORDER BY p_brand""".stripMargin) { (s, d) =>
+      val j = Tables(s, d, "lineitem")
+        .where(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+        .select(col("l_partkey"),
+          round(log(col("l_extendedprice").cast("double")) * 1000000)
+            .cast("long").as("lx"),
+          round(log(col("l_quantity").cast("double")) * 1000000)
+            .cast("long").as("ly"))
+        .join(Tables(s, d, "part").select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+      val dec = "decimal(38,0)"
+      val m = j.groupBy("p_brand").agg(
+        count(lit(1)).as("n"),
+        sum(col("lx").cast(dec)).cast("double").as("sx"),
+        sum(col("ly").cast(dec)).cast("double").as("sy"),
+        sum((col("lx").cast(dec) * col("ly"))).cast("double").as("sxy"),
+        sum((col("lx").cast(dec) * col("lx"))).cast("double").as("sxx"),
+        sum((col("ly").cast(dec) * col("ly"))).cast("double").as("syy"))
+      val dn = col("n").cast("double")
+      val covNum = dn * col("sxy") - col("sx") * col("sy")
+      val varXNum = dn * col("sxx") - col("sx") * col("sx")
+      val varYNum = dn * col("syy") - col("sy") * col("sy")
+      m.select(col("p_brand"), col("n"),
+          (floor(covNum / varXNum * 1000000) / 1000000).as("elasticity"),
+          (floor(covNum * covNum / (varXNum * varYNum) * 1000000)
+            / 1000000).as("r2"))
+        .orderBy("p_brand")
+    },
+
     Q("etl_price_volume_decomp",
       """WITH h AS (
         |  SELECT event_type,

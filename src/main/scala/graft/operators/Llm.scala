@@ -420,16 +420,22 @@ object Llm {
     * Factored (round 10) so llm_dedup_groups_lsh and the
     * llm_dedup_cluster_sizes_lsh curation report run the SAME groups. */
   private def lshDedupGroups(s: SparkSession, d: String): DataFrame = {
+    val edges = symPairs(lshVerifiedEdges(s, d), "ea", "eb").persist()
+    Components.connectedComponents(emb(s, d), "vec_id", edges)
+      .select(col("id").as("vec_id"), col("lbl").as("group_id"))
+  }
+
+  /** The τ=0.8 LSH-verified edge frame (ea < eb) — factored round 12 so
+    * the group chain and the group-density audit read ONE edge
+    * definition. */
+  private def lshVerifiedEdges(s: SparkSession, d: String): DataFrame = {
     val x = emb(s, d).select(col("vec_id").as("ea"), col("embedding").as("x_emb"))
     val y = emb(s, d).select(col("vec_id").as("eb"), col("embedding").as("y_emb"))
-    val e0 = lshCandidatePairs(s, d, 4, 4)
+    lshCandidatePairs(s, d, 4, 4)
       .withColumnRenamed("a_id", "ea").withColumnRenamed("b_id", "eb")
       .join(x, Seq("ea")).join(y, Seq("eb"))
       .where(round(cosineSim(col("x_emb"), col("y_emb")), 6) >= 0.8)
       .select("ea", "eb")
-    val edges = symPairs(e0, "ea", "eb").persist()
-    Components.connectedComponents(emb(s, d), "vec_id", edges)
-      .select(col("id").as("vec_id"), col("lbl").as("group_id"))
   }
 
   /** Oracle CTE chain shared by llm_dedup_groups_lsh and
@@ -2185,6 +2191,60 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    // Document OUTLINE extraction (round 12 — the markup family's
+    // structure pass): title, section-heading count + first heading,
+    // list-item count from the planted page — the signals a crawl
+    // curator uses to separate articles (deep heading outline, few list
+    // items) from link farms and nav pages (list-dominated) BEFORE the
+    // text-only quality heuristics run. Same discipline as
+    // llm_markup_links: identical page construction both engines,
+    // extraction mirrored regex-for-regex (RE2-portable, no backrefs),
+    // one codegen'd pass over the scan.
+    Q("llm_markup_headings", {
+      val html =
+        "'<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || " +
+          "'</h1><h2>Overview</h2><p>' || text || '</p>' || " +
+          "'<h2>Part ' || CAST(doc_id % 4 AS VARCHAR) || '</h2><ul>' || " +
+          "repeat('<li>item</li>', CAST(2 + doc_id % 3 AS INTEGER)) || " +
+          "'</ul></body></html>'"
+      s"""WITH raw AS (
+         |  SELECT doc_id, $html AS html FROM documents
+         |)
+         |SELECT doc_id,
+         |       regexp_extract(html, '<h1>([^<]*)</h1>', 1) AS title,
+         |       CAST(len(regexp_extract_all(html, '<h2>([^<]*)</h2>', 1))
+         |            AS BIGINT) AS n_h2,
+         |       regexp_extract_all(html, '<h2>([^<]*)</h2>', 1)[1]
+         |         AS first_h2,
+         |       CAST(len(regexp_extract_all(html, '<li>')) AS BIGINT)
+         |         AS n_li,
+         |       CAST(CASE WHEN len(regexp_extract_all(html, '<li>')) >
+         |                      2 * len(regexp_extract_all(html, '<p>'))
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS list_dominated
+         |FROM raw ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val html = concat(
+        lit("<html><body><h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1><h2>Overview</h2><p>"), col("text"),
+        lit("</p><h2>Part "), (col("doc_id") % 4).cast("string"),
+        lit("</h2><ul>"),
+        expr("repeat('<li>item</li>', CAST(2 + doc_id % 3 AS INT))"),
+        lit("</ul></body></html>"))
+      docs(s, d)
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          regexp_extract(col("html"), "<h1>([^<]*)</h1>", 1).as("title"),
+          size(regexp_extract_all(col("html"),
+            lit("<h2>([^<]*)</h2>"), lit(1))).cast("long").as("n_h2"),
+          element_at(regexp_extract_all(col("html"),
+            lit("<h2>([^<]*)</h2>"), lit(1)), 1).as("first_h2"),
+          regexp_count(col("html"), lit("<li>")).cast("long").as("n_li"),
+          when(regexp_count(col("html"), lit("<li>")) >
+            lit(2) * regexp_count(col("html"), lit("<p>")), 1L)
+            .otherwise(0L).as("list_dominated"))
+        .orderBy("doc_id")
+    },
+
     // Prefix-duplicate groups (round 11): docs sharing the same
     // normalized 64-char PREFIX — the truncation/pagination artifact
     // class full-hash dedup misses (a crawl cut mid-page hashes
@@ -2726,6 +2786,42 @@ object Llm {
         .orderBy("source_a", "source_b")
     },
 
+    // Cross-LANGUAGE near-dup overlap matrix (round 12 — the lang twin
+    // of llm_source_overlap): where near-duplicate mass crosses
+    // language labels. An off-diagonal cell is a translation-pair /
+    // transliteration / mislabeled-language signal — content a
+    // contamination review treats differently from same-language
+    // mirrors (a translated eval set leaks across the lang split that
+    // llm_split_assign stratifies on). Same shape discipline: unordered
+    // lang-pair rollup of the shared verified-pair chain at the
+    // production τ, max-not-avg cell stat (max is
+    // partial-aggregation-order-independent), two doc_id-keyed joins +
+    // a bounded rollup beyond the materialized chain.
+    Q("llm_lang_overlap",
+      s"""WITH $minhashVerifiedCtes
+         |SELECT least(a.lang, b.lang) AS lang_a,
+         |       greatest(a.lang, b.lang) AS lang_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       max(est_jaccard) AS max_est
+         |FROM verified v
+         |JOIN documents a ON v.d1 = a.doc_id
+         |JOIN documents b ON v.d2 = b.doc_id
+         |WHERE v.est_jaccard >= 0.2
+         |GROUP BY 1, 2 ORDER BY lang_a, lang_b""".stripMargin) { (s, d) =>
+      val lang = docs(s, d).select(col("doc_id"), col("lang"))
+      minhashVerifiedLake(s, d)
+        .where(col("est_jaccard") >= 0.2)
+        .join(lang.select(col("doc_id").as("d1"), col("lang").as("la")),
+          Seq("d1"))
+        .join(lang.select(col("doc_id").as("d2"), col("lang").as("lb")),
+          Seq("d2"))
+        .groupBy(least(col("la"), col("lb")).as("lang_a"),
+          greatest(col("la"), col("lb")).as("lang_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          max(col("est_jaccard")).as("max_est"))
+        .orderBy("lang_a", "lang_b")
+    },
+
     // Near-dup threshold tuning curve (round 11): pair count and
     // would-be-pruned doc count at τ ∈ {0.2, 0.4, 0.6, 0.8} over the
     // SAME banded-minhash verified pairs the dedup keys act on — the
@@ -2811,6 +2907,63 @@ object Llm {
             .as("alnum_ratio"),
           sum(when(qualityCol(col("nw"), col("stop_n")) >= 0.5, 1L)
             .otherwise(0L)).as("n_high_quality"))
+        .orderBy("source")
+    },
+
+    // Readability panel per source (round 12): Flesch reading ease and
+    // Flesch–Kincaid grade from exact integer corpus sums — words,
+    // syllable proxy (non-overlapping vowel-group runs, the standard
+    // no-dictionary estimator), and the ≥7-char long-word share
+    // (LIX/Gunning family signal). CONVENTION, stated because the
+    // fixture has no sentence punctuation: sentences := documents (each
+    // synthetic doc is one unpunctuated token stream) — on punctuated
+    // corpora the sentence count would come from the [.!?]+ splitter
+    // and nothing else changes. The corpus-weighted per-source sums ARE
+    // the datasheet aggregate (llm_quality_by_source's no-double-
+    // averaging doctrine); every displayed double is a linear combo of
+    // two exact-integer ratios, FLOOR-scaled. One scan, bounded groupBy.
+    Q("llm_readability",
+      """WITH c AS (
+        |  SELECT source,
+        |         len(string_split(text, ' ')) AS nw,
+        |         len(regexp_extract_all(text, '[aeiou]+')) AS syl,
+        |         len(regexp_extract_all(text, '[a-z0-9]{7,}')) AS lw
+        |  FROM documents
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(nw) AS BIGINT) AS n_words,
+        |       CAST(sum(syl) AS BIGINT) AS n_syllables,
+        |       floor((206.835
+        |              - 1.015 * (CAST(sum(nw) AS DOUBLE) / count(*))
+        |              - 84.6 * (CAST(sum(syl) AS DOUBLE) / sum(nw)))
+        |             * 1000000) / 1000000 AS reading_ease,
+        |       floor((0.39 * (CAST(sum(nw) AS DOUBLE) / count(*))
+        |              + 11.8 * (CAST(sum(syl) AS DOUBLE) / sum(nw))
+        |              - 15.59) * 1000000) / 1000000 AS fk_grade,
+        |       floor(CAST(sum(lw) AS DOUBLE) / sum(nw) * 1000000)
+        |         / 1000000 AS long_word_share
+        |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("nw"),
+          regexp_count(col("text"), lit("[aeiou]+")).as("syl"),
+          regexp_count(col("text"), lit("[a-z0-9]{7,}")).as("lw"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_words"),
+          sum(col("syl")).as("n_syllables"),
+          sum(col("lw")).as("n_long"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_syllables"),
+          (floor((lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_docs"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+            * 1000000) / 1000000).as("reading_ease"),
+          (floor((lit(0.39) * (col("n_words").cast("double") / col("n_docs"))
+            + lit(11.8) * (col("n_syllables").cast("double") / col("n_words"))
+            - lit(15.59)) * 1000000) / 1000000).as("fk_grade"),
+          (floor(col("n_long").cast("double") / col("n_words") * 1000000)
+            / 1000000).as("long_word_share"))
         .orderBy("source")
     },
 
@@ -4219,6 +4372,62 @@ object Llm {
         .agg(count(lit(1)).as("n_clusters"),
           sum(col("cluster_size")).cast("long").as("n_vecs"))
         .orderBy("cluster_size")
+    },
+
+    // Near-dup group DENSITY audit (round 12): per multi-member group
+    // of the TEXT near-dup chain, member count, verified internal edge
+    // count, and edge density 2E/(n(n−1)) — the readout that separates
+    // a genuine duplicate clique (density ≈ 1: every member verifies
+    // against every other) from a CHAINED group (density → 0: the
+    // transitive closure glued near-dups through bridge docs — the
+    // classic over-merge failure a dedup ticket investigates before
+    // keeping one survivor per group). Rides the SAME materialized
+    // verified-pair frame and CC construction as llm_neardup_prune
+    // (one definition — the audit cannot disagree with the dedup it
+    // audits); cost beyond the shared chain: one edge→group equi-join
+    // + two bounded aggregates. Every verified edge is intra-group by
+    // CC construction, so the d1 endpoint's group IS the edge's group.
+    Q("llm_dedup_group_density",
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         |e0 AS (
+         |  SELECT d1, d2 FROM verified WHERE est_jaccard >= 0.2
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM e0 UNION ALL SELECT d2, d1 FROM e0
+         |), ${Components.reachMinCte("SELECT doc_id AS id FROM documents", "edges")},
+         |g AS (
+         |  SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node
+         |), gs AS (
+         |  SELECT group_id, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM g GROUP BY group_id
+         |), ge AS (
+         |  SELECT ga.group_id, CAST(count(*) AS BIGINT) AS n_edges
+         |  FROM e0 JOIN g ga ON e0.d1 = ga.doc_id
+         |  GROUP BY ga.group_id
+         |)
+         |SELECT gs.group_id AS group_id, n_members,
+         |       CAST(coalesce(n_edges, 0) AS BIGINT) AS n_edges,
+         |       floor(CAST(coalesce(n_edges, 0) AS DOUBLE) * 2
+         |             / (n_members * (n_members - 1)) * 1000000) / 1000000
+         |         AS density
+         |FROM gs LEFT JOIN ge ON gs.group_id = ge.group_id
+         |WHERE n_members >= 2
+         |ORDER BY gs.group_id""".stripMargin) { (s, d) =>
+      val e0 = minhashVerifiedLake(s, d)
+        .where(col("est_jaccard") >= 0.2).select("d1", "d2")
+      val edges = symPairs(e0, "d1", "d2").persist()
+      val g = Components.connectedComponents(docs(s, d), "doc_id", edges)
+        .select(col("id").as("doc_id"), col("lbl").as("group_id"))
+      val gs = g.groupBy("group_id").agg(count(lit(1)).as("n_members"))
+      val ge = e0.join(g.withColumnRenamed("doc_id", "d1"), Seq("d1"))
+        .groupBy("group_id").agg(count(lit(1)).as("n_edges"))
+      gs.join(ge, Seq("group_id"), "left")
+        .where(col("n_members") >= 2)
+        .select(col("group_id"), col("n_members"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          (floor(coalesce(col("n_edges"), lit(0L)).cast("double") * 2
+            / (col("n_members") * (col("n_members") - 1)) * 1000000)
+            / 1000000).as("density"))
+        .orderBy("group_id")
     },
 
     // ------------------------------------------------------------------
@@ -6337,6 +6546,49 @@ object Llm {
         .orderBy("shard")
     },
 
+    // Shard-balance SKEW audit (round 12): the one-row verdict on
+    // llm_shard_assign's layout — max/min/mean token mass per shard and
+    // the max-over-mean straggler ratio. THE number that predicts
+    // data-parallel training step time (a step waits for the heaviest
+    // shard; ratio 1.15 = 15% of every step idles the other workers).
+    // One bounded fold over the 16-row shard frame beyond the shared
+    // assign chain; exact integer masses, one division at display.
+    Q("llm_shard_balance", {
+      val h = graft.functions.PortableHash.sql(
+        "'shard:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH a AS (
+         |  SELECT $h % 16 AS shard,
+         |         len(string_split(text, ' ')) AS toks
+         |  FROM documents
+         |), sh AS (
+         |  SELECT shard, CAST(sum(toks) AS BIGINT) AS n_tokens
+         |  FROM a GROUP BY shard
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_shards,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+         |       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+         |       floor(max(n_tokens) * count(*) * 1.0 / sum(n_tokens)
+         |             * 1000000) / 1000000 AS max_over_mean
+         |FROM sh""".stripMargin
+    }) { (s, d) =>
+      docs(s, d)
+        .select(
+          (graft.functions.PortableHash.pHash(
+            concat(lit("shard:"), col("doc_id").cast("string"))) % 16)
+            .as("shard"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy("shard").agg(sum(col("toks")).as("n_tokens"))
+        .agg(count(lit(1)).as("n_shards"),
+          sum(col("n_tokens")).as("total_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          min(col("n_tokens")).as("min_tokens"))
+        .select(col("n_shards"), col("total_tokens"), col("max_tokens"),
+          col("min_tokens"),
+          (floor(col("max_tokens") * col("n_shards") * lit(1.0)
+            / col("total_tokens") * 1000000) / 1000000).as("max_over_mean"))
+    },
+
     // Near-dup cluster-size distribution (round 9; round 10: explicitly
     // the small-corpus AUDIT twin — the PRODUCTION report is
     // llm_dedup_cluster_sizes_lsh, whose groups come from the banded
@@ -6392,6 +6644,53 @@ object Llm {
           posexplode(col("codes")).as(Seq("j", "code")))
       pqTopkFrom(codes, graft.config.PqIndex.codebook(s, dir),
         emb(s, d).select(col("vec_id"), col("embedding")))
+    },
+
+    // Rerank-budget TUNING CURVE (round 12 — the llm_ann_ivf_nprobe
+    // doctrine applied to PQ's OTHER dial): mean recall@5 of the
+    // stored-PQ ADC shortlist at rerank budgets L ∈ {8, 16, 64} — the
+    // curve that prices the exact-rerank cost (every shortlist member
+    // pays one full-precision cosine against the base table; 8× fewer
+    // candidates is 8× less base-table I/O per query at 100 TB). A
+    // true top-5 neighbor is recovered iff it survives the ADC cut —
+    // exact re-rank can only reorder, never drop, a true member below
+    // rank 5 — so ONE ADC rank pass serves all three budgets (broadcast
+    // budget frame, no per-budget re-run, no re-rank replay anywhere).
+    // ApproxSpec pins monotonicity + curve(64) == llm_pq_recall's mean.
+    Q("llm_pq_rerank_curve", pqRerankCurveOracle) { (s, d) =>
+      val dir = graft.config.PqIndex.ensure(s, d)
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val codes = graft.config.PqIndex.codes(s, dir)
+        .select(col("vec_id").as("n_id"),
+          posexplode(col("codes")).as(Seq("j", "code")))
+      val adc = pqAdc(codes, graft.config.PqIndex.codebook(s, dir), e)
+      val wc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
+      val ranked = adc.withColumn("crn", row_number().over(wc))
+        .select(col("q_id").as("t_qid"), col("n_id").as("t_nid"), col("crn"))
+      val bud = s.range(1)
+        .select(explode(array(lit(8L), lit(16L), lit(64L)))
+          .as("rerank_budget"))
+      val queries = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .repartition(probeFanout(s))
+      val we = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      val exact = c.join(broadcast(queries), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          round(cosineSim(col("q_emb"), col("n_emb")), 6).as("sim"))
+        .withColumn("rn", row_number().over(we))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"))
+      exact.crossJoin(broadcast(bud))
+        .join(ranked,
+          col("t_qid") === col("q_id") && col("t_nid") === col("n_id") &&
+            col("crn") <= col("rerank_budget"), "left")
+        .groupBy("rerank_budget", "q_id")
+        .agg(count(col("t_nid")).as("h"))
+        .groupBy("rerank_budget")
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("h").cast("double")) / 5, 6).as("mean_recall"))
+        .orderBy("rerank_budget")
     },
 
     // The RECOMPUTE twin of llm_pq_topk (the llm_ann_ivf_train /
@@ -6591,6 +6890,40 @@ object Llm {
        |SELECT q_id, n_id, adc, sim, rn FROM pq5
        |ORDER BY q_id, rn""".stripMargin
 
+  /** Rerank-budget curve oracle (round 12): ADC ranks from the replayed
+    * PQ chain, brute exact top-5, hit counts per (budget, query) — a
+    * true top-5 neighbor is recovered iff it survives the ADC cut
+    * (exact re-rank of the shortlist can only reorder, never drop, a
+    * true top-5 member below rank 5), so recall@L needs no re-rank
+    * replay. */
+  private lazy val pqRerankCurveOracle: String =
+    s"""WITH $pqTopkCtes, ranked AS (
+       |  SELECT q_id, n_id, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY adc DESC, n_id) AS crn
+       |  FROM adc
+       |), bud AS (
+       |  SELECT CAST(unnest([8, 16, 64]) AS BIGINT) AS rerank_budget
+       |), ex AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                        CAST(c.embedding AS DOUBLE[])), 6)
+       |             DESC, c.vec_id) AS rn
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 20
+       |), exact AS (
+       |  SELECT q_id, n_id FROM ex WHERE rn <= 5
+       |), hits AS (
+       |  SELECT b.rerank_budget, e.q_id, CAST(count(t.n_id) AS BIGINT) AS h
+       |  FROM bud b CROSS JOIN exact e
+       |  LEFT JOIN ranked t ON t.q_id = e.q_id AND t.n_id = e.n_id
+       |                    AND t.crn <= b.rerank_budget
+       |  GROUP BY 1, 2
+       |)
+       |SELECT rerank_budget, CAST(count(*) AS BIGINT) AS n_queries,
+       |       round(avg(CAST(h AS DOUBLE)) / 5, 6) AS mean_recall
+       |FROM hits GROUP BY rerank_budget ORDER BY rerank_budget""".stripMargin
+
   /** The ingest twin's oracle: base-trained codebook, whole-corpus
     * encode — what stored-base-codes ∪ encode-the-batch must equal. */
   private lazy val pqTopkIngestOracle: String =
@@ -6664,14 +6997,22 @@ object Llm {
         aggregate(zip_with(col("qsub"), col("cent"), (x, y) => x * y),
           lit(0L), (acc, v) => acc + v).as("v"))
 
-  private[graft] def pqTopkFrom(
+  /** The ADC score frame (q_id, n_id, adc) over a code table — factored
+    * round 12 so the serving chain and the rerank-budget curve read ONE
+    * scan definition. */
+  private def pqAdc(
       codes: DataFrame, cb: DataFrame, e: DataFrame): DataFrame = {
     val lut = pqLut(cb, e)
-    val adc = codes
+    codes
       .join(broadcast(lut),
         codes("j") === lut("j") && codes("code") === lut("c"))
       .where(col("n_id") =!= col("q_id"))
       .groupBy("q_id", "n_id").agg(sum(col("v")).as("adc"))
+  }
+
+  private[graft] def pqTopkFrom(
+      codes: DataFrame, cb: DataFrame, e: DataFrame): DataFrame = {
+    val adc = pqAdc(codes, cb, e)
     val wc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
     val cand = adc.withColumn("crn", row_number().over(wc))
       .where(col("crn") <= 64).select(col("q_id"), col("n_id"), col("adc"))

@@ -331,6 +331,68 @@ object Scalars {
           regexp_extract(col("url"), pat, 4).as("query"),
           regexp_extract(col("url"), pat, 5).as("fragment"))
         .orderBy("o_orderkey")
+    },
+
+    // IPv4 parse + classification (round 12): the log-enrichment scalar
+    // every clickstream/flow pipeline runs — octet split, numeric /32
+    // form, /24 subnet bucket, RFC-1918 private-range flag. Addresses
+    // are planted deterministically from order keys (both engines build
+    // the identical string), so any split/arith/range defect
+    // hash-mismatches. One codegen'd expression chain over the scan —
+    // no UDF, no shuffle beyond the bounded orderBy.
+    Q("fn_ip_parse", {
+      val ip = "CAST(CASE WHEN o_orderkey % 3 = 0 THEN 10 " +
+        "WHEN o_orderkey % 3 = 1 THEN 172 ELSE 203 END AS VARCHAR) || " +
+        "'.' || CAST(CASE WHEN o_orderkey % 3 = 1 THEN " +
+        "16 + o_orderkey % 16 ELSE o_orderkey % 256 END AS VARCHAR) || " +
+        "'.' || CAST((o_orderkey // 7) % 256 AS VARCHAR) || " +
+        "'.' || CAST(1 + o_orderkey % 254 AS VARCHAR)"
+      s"""WITH u AS (
+         |  SELECT o_orderkey, $ip AS ip FROM orders WHERE o_orderkey < 2000
+         |), o AS (
+         |  SELECT o_orderkey, ip,
+         |         CAST(string_split(ip, '.')[1] AS BIGINT) AS o1,
+         |         CAST(string_split(ip, '.')[2] AS BIGINT) AS o2,
+         |         CAST(string_split(ip, '.')[3] AS BIGINT) AS o3,
+         |         CAST(string_split(ip, '.')[4] AS BIGINT) AS o4
+         |  FROM u
+         |)
+         |SELECT o_orderkey, ip,
+         |       CAST(o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS BIGINT)
+         |         AS ip_num,
+         |       string_split(ip, '.')[1] || '.' || string_split(ip, '.')[2]
+         |         || '.' || string_split(ip, '.')[3] || '.0/24' AS subnet24,
+         |       CAST(CASE WHEN o1 = 10 THEN 1
+         |            WHEN o1 = 172 AND o2 BETWEEN 16 AND 31 THEN 1
+         |            WHEN o1 = 192 AND o2 = 168 THEN 1
+         |            ELSE 0 END AS BIGINT) AS is_private
+         |FROM o ORDER BY o_orderkey""".stripMargin
+    }) { (s, d) =>
+      val ip = concat(
+        when(col("o_orderkey") % 3 === 0, 10)
+          .when(col("o_orderkey") % 3 === 1, 172)
+          .otherwise(203).cast("string"),
+        lit("."),
+        when(col("o_orderkey") % 3 === 1, lit(16) + col("o_orderkey") % 16)
+          .otherwise(col("o_orderkey") % 256).cast("string"),
+        lit("."), (floor(col("o_orderkey") / 7) % 256).cast("long")
+          .cast("string"),
+        lit("."), (lit(1) + col("o_orderkey") % 254).cast("string"))
+      val oc = split(col("ip"), "\\.")
+      def o(i: Int) = element_at(oc, i).cast("long")
+      t(s, d, "orders")
+        .where(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), ip.as("ip"))
+        .select(col("o_orderkey"), col("ip"),
+          (o(1) * 16777216L + o(2) * 65536L + o(3) * 256L + o(4))
+            .as("ip_num"),
+          concat(element_at(oc, 1), lit("."), element_at(oc, 2),
+            lit("."), element_at(oc, 3), lit(".0/24")).as("subnet24"),
+          when(o(1) === 10, 1L)
+            .when(o(1) === 172 && o(2).between(16, 31), 1L)
+            .when(o(1) === 192 && o(2) === 168, 1L)
+            .otherwise(0L).as("is_private"))
+        .orderBy("o_orderkey")
     }
   )
 }

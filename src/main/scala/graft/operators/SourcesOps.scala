@@ -62,6 +62,13 @@ object SourcesOps {
     // read-back, aggregate must hash-match the parquet truth.
     Q("src_csv_roundtrip", oracleSql)((s, d) => roundTrip(s, d, "csv")),
     // src_json (newline-delimited) through the same gate.
-    Q("src_json_roundtrip", oracleSql)((s, d) => roundTrip(s, d, "json"))
+    Q("src_json_roundtrip", oracleSql)((s, d) => roundTrip(s, d, "json")),
+    // src_orc through the same gate (round 12): the second COLUMNAR
+    // lake format, previously spec-only — Spark's native ORC reader
+    // (vectorized, predicate-pushdown-capable like the parquet path)
+    // round-trips the fact columns and must hash-match the parquet
+    // truth; any encoding/typing/row-loss defect in either direction
+    // surfaces at the gate.
+    Q("src_orc_roundtrip", oracleSql)((s, d) => roundTrip(s, d, "orc"))
   )
 }

@@ -1177,6 +1177,93 @@ object Windows {
         .orderBy("event_type", "day")
     },
 
+    // Keltner channel (round 12 — Chester Keltner's original 1960
+    // ten-day-rule form, which used SIMPLE averages; the EMA variant is
+    // the modern restatement): mid = SMA20 of the typical price
+    // (h+l+c)/3, bands at ±2·ATR10 — the volatility envelope that
+    // complements win_bollinger (stddev envelope) with a true-range
+    // envelope. Exact arithmetic throughout: cent prices, tp3 = h+l+c
+    // kept as 3× integer (never a per-row /3), true range via the
+    // win_atr greatest construction, BIGINT window sums; every display
+    // double derives from exact integer sums and FLOOR-scales at 4dp.
+    // Cost: the win_atr daily-OHLC frame + two ROWS-window sums over
+    // the bounded per-type day series.
+    Q("win_keltner",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(c) AS BIGINT) AS h, CAST(min(c) AS BIGINT) AS l,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), tr AS (
+        |  SELECT event_type, day, h + l + cl AS tp3,
+        |         greatest(h - l,
+        |                  abs(h - lag(cl) OVER w), abs(l - lag(cl) OVER w))
+        |           AS t
+        |  FROM o WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |), s AS (
+        |  SELECT event_type, day,
+        |         CAST(sum(tp3) OVER w20 AS BIGINT) AS s20,
+        |         CAST(count(tp3) OVER w20 AS BIGINT) AS k20,
+        |         CAST(sum(t) OVER w10 AS BIGINT) AS st10,
+        |         CAST(count(t) OVER w10 AS BIGINT) AS k10
+        |  FROM tr
+        |  WINDOW w20 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+        |         w10 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |       floor(CAST(s20 AS DOUBLE) / 6000 * 10000) / 10000 AS mid20,
+        |       floor((CAST(s20 AS DOUBLE) / 6000
+        |              + 2 * CAST(st10 AS DOUBLE) / 1000) * 10000) / 10000
+        |         AS upper_band,
+        |       floor((CAST(s20 AS DOUBLE) / 6000
+        |              - 2 * CAST(st10 AS DOUBLE) / 1000) * 10000) / 10000
+        |         AS lower_band
+        |FROM s WHERE k20 = 20 AND k10 = 10
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(col("c")).as("h"), min(col("c")).as("l"),
+          max(when(col("rn_d") === 1, col("c"))).as("cl"))
+      val wl = Window.partitionBy("event_type").orderBy("day")
+      val w20 = wl.rowsBetween(-19, Window.currentRow)
+      val w10 = wl.rowsBetween(-9, Window.currentRow)
+      o.select(col("event_type"), col("day"),
+          (col("h") + col("l") + col("cl")).as("tp3"),
+          greatest(col("h") - col("l"),
+            abs(col("h") - lag(col("cl"), 1).over(wl)),
+            abs(col("l") - lag(col("cl"), 1).over(wl))).as("t"))
+        .select(col("event_type"), col("day"),
+          sum(col("tp3")).over(w20).as("s20"),
+          count(col("tp3")).over(w20).as("k20"),
+          sum(col("t")).over(w10).as("st10"),
+          count(col("t")).over(w10).as("k10"))
+        .where(col("k20") === 20 && col("k10") === 10)
+        .select(col("event_type"), col("day"),
+          (floor(col("s20").cast("double") / 6000 * 10000) / 10000)
+            .as("mid20"),
+          (floor((col("s20").cast("double") / 6000
+            + lit(2) * col("st10").cast("double") / 1000) * 10000) / 10000)
+            .as("upper_band"),
+          (floor((col("s20").cast("double") / 6000
+            - lit(2) * col("st10").cast("double") / 1000) * 10000) / 10000)
+            .as("lower_band"))
+        .orderBy("event_type", "day")
+    },
+
     // On-balance volume (round 11): OBV per event_type — cumulative
     // event volume signed by the daily revenue delta (Granville 1963:
     // volume flowing with rising prices confirms a move; OBV diverging

@@ -524,6 +524,24 @@ class ApproxSpec extends AnyFunSuite {
       s"curve(2)=${curve(2L)} recall-key mean=$rec")
   }
 
+  test("llm_pq_rerank_curve: non-decreasing in the budget, and the " +
+    "64-budget point equals llm_pq_recall's mean (the served shortlist " +
+    "IS the 64 cut) (r12)") {
+    val d = "/root/testdata/sf0.01"
+    val curve = SparkEntry.queries("llm_pq_rerank_curve")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(curve.keySet == Set(8L, 16L, 64L))
+    assert(curve(8L) <= curve(16L) && curve(16L) <= curve(64L),
+      s"recall must not drop as the rerank budget grows: $curve")
+    val rec = SparkEntry.queries("llm_pq_recall")(spark, d)
+      .agg(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.avg("recall"), 6))
+      .head().getDouble(0)
+    assert(math.abs(curve(64L) - rec) < 1e-9,
+      s"curve(64)=${curve(64L)} pq-recall mean=$rec")
+    spark.catalog.clearCache()
+  }
+
   test("llm_ann_ivf_autoprobe: the chosen nprobe is the MINIMAL curve " +
     "point meeting the recall floor (max fallback when unreachable), " +
     "and the serve equals the fixed-nprobe probe at that pick (r12)") {
