@@ -977,6 +977,58 @@ object Aggregates {
         .orderBy("day")
     },
 
+    // NULL-burst profile (round 12 — dq_volume_anomaly's completeness
+    // twin): per-day null rate of the value column plus a burst flag
+    // against the trailing-7-day rate (exclusive window — today must
+    // not mask its own burst). A schema/ingest regression shows up as
+    // a null-rate step before any downstream aggregate goes visibly
+    // wrong; rate-vs-trailing-rate comparison is a cross-multiplied
+    // exact-integer inequality (no float threshold anywhere in the
+    // FLAG), FLOOR-scaled rates at display only.
+    Q("dq_null_profile",
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_null
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT day, n, n_null,
+        |         CAST(sum(n) OVER w AS BIGINT) AS tn,
+        |         CAST(sum(n_null) OVER w AS BIGINT) AS tnull,
+        |         CAST(count(*) OVER w AS BIGINT) AS m
+        |  FROM d WINDOW w AS (ORDER BY day
+        |                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT day, n, n_null,
+        |       floor(CAST(n_null AS DOUBLE) / n * 1000000) / 1000000
+        |         AS null_rate,
+        |       floor(CAST(tnull AS DOUBLE) / tn * 1000000) / 1000000
+        |         AS trailing_rate,
+        |       CAST(CASE WHEN n_null * tn > 2 * tnull * n
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS burst
+        |FROM r WHERE m >= 4
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("day").rowsBetween(-7, -1)
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"))
+      daily.select(col("day"), col("n"), col("n_null"),
+          sum(col("n")).over(w).as("tn"),
+          sum(col("n_null")).over(w).as("tnull"),
+          count(lit(1)).over(w).as("m"))
+        .where(col("m") >= 4)
+        .select(col("day"), col("n"), col("n_null"),
+          (floor(col("n_null").cast("double") / col("n") * 1000000)
+            / 1000000).as("null_rate"),
+          (floor(col("tnull").cast("double") / col("tn") * 1000000)
+            / 1000000).as("trailing_rate"),
+          when(col("n_null") * col("tn") > lit(2) * col("tnull") * col("n"),
+            1L).otherwise(0L).as("burst"))
+        .orderBy("day")
+    },
+
     // k-anonymity audit (round 7, cont.): the privacy-engineering
     // readout — the smallest quasi-identifier equivalence class over
     // (nation, segment) is the dataset's k-anonymity (Sweeney 2002): a

@@ -2719,6 +2719,56 @@ object Llm {
         .orderBy("doc_id", "rn")
     },
 
+    // Per-SOURCE distinctive-term signature (round 12): top-3 terms per
+    // source by source-grain TF-IDF (source term mass × ln(n_sources+1
+    // / sources-containing+1) — llm_tfidf's formula lifted from doc
+    // grain to source grain). THE corpus-datasheet line that says what
+    // a feed is actually about, and the drift readout a recrawl diffs
+    // against the previous snapshot's signature. Source-grain df keeps
+    // every frame bounded by (sources × vocab); the only corpus-sized
+    // stage is the one (source, token) count, map-side combinable.
+    Q("llm_source_signature",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2
+        |), df AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), ns AS (
+        |  SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n FROM documents
+        |), sc AS (
+        |  SELECT source, token, tf,
+        |         round(tf * ln((ns.n + 1) / (df.df + 1)), 6) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN ns
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |            ORDER BY score DESC, token) AS rn
+        |  FROM sc
+        |)
+        |SELECT source, CAST(rn AS BIGINT) AS rn, token, tf, score
+        |FROM r WHERE rn <= 3 ORDER BY source, rn""".stripMargin) { (s, d) =>
+      val tf = docs(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val ns = docs(s, d)
+        .agg(countDistinct(col("source")).cast("double").as("n"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("token"))
+      tf.join(df, Seq("token"))
+        .crossJoin(broadcast(ns))
+        .select(col("source"), col("token"), col("tf"),
+          round(col("tf") * log((col("n") + 1) / (col("df") + 1)), 6)
+            .as("score"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("source"), col("rn").cast("long").as("rn"),
+          col("token"), col("tf"), col("score"))
+        .orderBy("source", "rn")
+    },
+
     // Heuristic quality scoring: length/stopword/alnum ratios.
     Q("llm_quality_score",
       s"""SELECT doc_id,
@@ -3698,6 +3748,77 @@ object Llm {
       withCounts
         .select(col("doc_id"), col("lang"), pred.as("pred_lang"))
         .orderBy("doc_id")
+    },
+
+    // Language-LABEL noise audit (round 12): the llm_lang_id heuristic
+    // disagreeing with the stored lang label, rolled up per source —
+    // the labeling-QA readout that finds the feed whose language tags
+    // are wrong (mislabeled lang corrupts the stratified split, the
+    // sampling mix, and every per-lang panel downstream). Exactly the
+    // lang_id chain (shared stopword tables and argmax ladder — the
+    // audit cannot disagree with the classifier it audits) plus one
+    // bounded per-source rollup; 'und' predictions are counted
+    // separately, never as mismatches (no evidence ≠ contrary
+    // evidence).
+    Q("llm_lang_mismatch", {
+      val counts = stopwords.keys.toSeq.sorted
+        .map(l => s"len(list_filter(t, x -> x IN ${inList(stopwords(l))})) AS c_$l")
+        .mkString(",\n         ")
+      val ladder = Seq("en", "de", "es", "fr", "zh")
+        .map(l => s"WHEN c_$l = mx THEN '$l'").mkString(" ")
+      s"""WITH p AS (
+         |  SELECT source, lang,
+         |         CASE WHEN mx = 0 THEN 'und' $ladder END AS pred_lang
+         |  FROM (
+         |    SELECT source, lang,
+         |           greatest(c_de, c_en, c_es, c_fr, c_zh) AS mx,
+         |           c_de, c_en, c_es, c_fr, c_zh
+         |    FROM (
+         |      SELECT source, lang, $counts
+         |      FROM (SELECT source, lang, string_split(text, ' ') AS t
+         |            FROM documents)
+         |    )
+         |  )
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN pred_lang = 'und' THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_und,
+         |       CAST(sum(CASE WHEN pred_lang <> 'und'
+         |                      AND pred_lang <> lang THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_mismatch,
+         |       floor(CAST(sum(CASE WHEN pred_lang <> 'und'
+         |                           AND pred_lang <> lang THEN 1 ELSE 0 END)
+         |                  AS DOUBLE)
+         |             / greatest(sum(CASE WHEN pred_lang <> 'und'
+         |                            THEN 1 ELSE 0 END), 1)
+         |             * 1000000) / 1000000 AS mismatch_rate
+         |FROM p GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      val withCounts = stopwords.keys.toSeq.sorted.foldLeft(
+        docs(s, d).select(col("source"), col("lang"),
+          split(col("text"), " ").as("t"))) {
+        case (df, l) =>
+          df.withColumn(s"c_$l",
+            size(expr(s"filter(t, x -> x IN ${inList(stopwords(l))})")))
+      }
+      val mx = greatest(col("c_de"), col("c_en"), col("c_es"),
+        col("c_fr"), col("c_zh"))
+      val pred = Seq("en", "de", "es", "fr", "zh").foldLeft(
+        when(mx === 0, "und")) { case (w, l) => w.when(col(s"c_$l") === mx, l) }
+      val mism = when(col("pred_lang") =!= "und" &&
+        col("pred_lang") =!= col("lang"), 1L).otherwise(0L)
+      withCounts
+        .select(col("source"), col("lang"), pred.as("pred_lang"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred_lang") === "und", 1L).otherwise(0L))
+            .as("n_und"),
+          sum(mism).as("n_mismatch"),
+          (floor(sum(mism).cast("double")
+            / greatest(sum(when(col("pred_lang") =!= "und", 1L)
+              .otherwise(0L)), lit(1L)) * 1000000) / 1000000)
+            .as("mismatch_rate"))
+        .orderBy("source")
     },
 
     // Word-3-gram Jaccard similarity over candidate pairs that share a

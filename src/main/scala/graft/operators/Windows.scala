@@ -1177,6 +1177,128 @@ object Windows {
         .orderBy("event_type", "day")
     },
 
+    // Donchian channel (round 12 — Richard Donchian's four-week rule,
+    // the oldest breakout system): 20-day rolling high/low of the daily
+    // cent series plus the close's position inside the channel — the
+    // range readout next to the bollinger/keltner envelopes. Exact
+    // integers end-to-end (max/min of cents, one guarded division at
+    // display, FLOOR-scaled); the same daily-OHLC frame and ROWS
+    // window as the rest of the finance panel.
+    Q("win_donchian",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(c) AS BIGINT) AS h, CAST(min(c) AS BIGINT) AS l,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), s AS (
+        |  SELECT event_type, day, cl,
+        |         CAST(max(h) OVER w20 AS BIGINT) AS dc_high,
+        |         CAST(min(l) OVER w20 AS BIGINT) AS dc_low,
+        |         CAST(count(h) OVER w20 AS BIGINT) AS k
+        |  FROM o
+        |  WINDOW w20 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |       round(CAST(dc_high AS DOUBLE) / 100, 2) AS dc_high,
+        |       round(CAST(dc_low AS DOUBLE) / 100, 2) AS dc_low,
+        |       floor(CASE WHEN dc_high = dc_low THEN 0.5
+        |             ELSE CAST(cl - dc_low AS DOUBLE) / (dc_high - dc_low)
+        |             END * 1000000) / 1000000 AS channel_pos
+        |FROM s WHERE k = 20
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(col("c")).as("h"), min(col("c")).as("l"),
+          max(when(col("rn_d") === 1, col("c"))).as("cl"))
+      val w20 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-19, Window.currentRow)
+      o.select(col("event_type"), col("day"), col("cl"),
+          max(col("h")).over(w20).as("dc_high"),
+          min(col("l")).over(w20).as("dc_low"),
+          count(col("h")).over(w20).as("k"))
+        .where(col("k") === 20)
+        .select(col("event_type"), col("day"),
+          round(col("dc_high").cast("double") / 100, 2).as("dc_high"),
+          round(col("dc_low").cast("double") / 100, 2).as("dc_low"),
+          (floor(when(col("dc_high") === col("dc_low"), 0.5)
+            .otherwise((col("cl") - col("dc_low")).cast("double")
+              / (col("dc_high") - col("dc_low"))) * 1000000) / 1000000)
+            .as("channel_pos"))
+        .orderBy("event_type", "day")
+    },
+
+    // Aroon indicator (round 12 — Chande 1995): days since the 25-day
+    // high/low, scaled to [0,100] — the trend-age readout (aroon_up
+    // near 100 = the high is fresh, a trend in force; both near 50 =
+    // drift). Recency must break ties DETERMINISTICALLY across engines,
+    // so the argmax rides a PACKED integer (cents·1e5 + day-ordinal:
+    // max picks the highest high, then the most recent — the Aroon
+    // convention) and the argmin packs the negated ordinal — no
+    // arg_max/max_by whose tie rule differs between engines. Exact
+    // BIGINT arithmetic end-to-end; aroon values are exact multiples
+    // of 4 (25-day window).
+    Q("win_aroon",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(c) AS BIGINT) AS h, CAST(min(c) AS BIGINT) AS l,
+        |         CAST(datediff('day', DATE '2024-01-01', day) AS BIGINT) AS dd
+        |  FROM v GROUP BY event_type, day
+        |), s AS (
+        |  SELECT event_type, day, dd,
+        |         CAST(max(h * 100000 + dd) OVER w25 AS BIGINT) AS hp,
+        |         CAST(min(l * 100000 + (99999 - dd)) OVER w25 AS BIGINT) AS lp,
+        |         CAST(count(h) OVER w25 AS BIGINT) AS k
+        |  FROM o
+        |  WINDOW w25 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |       CAST((25 - (dd - hp % 100000)) * 4 AS BIGINT) AS aroon_up,
+        |       CAST((25 - (dd - (99999 - lp % 100000))) * 4 AS BIGINT)
+        |         AS aroon_down
+        |FROM s WHERE k = 25
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val o = v.groupBy("event_type", "day")
+        .agg(max(col("c")).as("h"), min(col("c")).as("l"))
+        .withColumn("dd",
+          datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
+      val w25 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-24, Window.currentRow)
+      o.select(col("event_type"), col("day"), col("dd"),
+          max(col("h") * 100000 + col("dd")).over(w25).as("hp"),
+          min(col("l") * 100000 + (lit(99999) - col("dd"))).over(w25)
+            .as("lp"),
+          count(col("h")).over(w25).as("k"))
+        .where(col("k") === 25)
+        .select(col("event_type"), col("day"),
+          ((lit(25) - (col("dd") - col("hp") % 100000)) * 4)
+            .cast("long").as("aroon_up"),
+          ((lit(25) - (col("dd") - (lit(99999) - col("lp") % 100000))) * 4)
+            .cast("long").as("aroon_down"))
+        .orderBy("event_type", "day")
+    },
+
     // Keltner channel (round 12 — Chester Keltner's original 1960
     // ten-day-rule form, which used SIMPLE averages; the EMA variant is
     // the modern restatement): mid = SMA20 of the typical price
