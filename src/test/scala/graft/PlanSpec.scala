@@ -988,6 +988,7 @@ class PlanSpec extends AnyFunSuite {
       "agg_histogram" -> "(bounded) CDF window runs over the BUCKET frame — cardinality = value range / width, SF-independent",
       "agg_mode" -> "(bounded) rank window runs over the (flag × distinct l_quantity) pair frame — quantity domain is 1..50",
       "dq_volume_anomaly" -> "(bounded) z window runs over the per-DAY volume frame — cardinality = days in span",
+      "dq_null_profile" -> "(bounded) trailing-rate window runs over the per-DAY null-count frame — cardinality = days in span (r12, the volume_anomaly shape)",
       "etl_churn_daily" -> "(bounded) windows run over the per-DAY frame — cardinality = days in span",
       "etl_weekday_profile" -> "(bounded) window runs over the 7-row weekday frame",
       "etl_concurrency" -> "(bounded) only the CARRY window is day-global — it runs over the per-day delta frame; endpoint running sums partition by day (two-level prefix sum, r8)",
