@@ -977,6 +977,80 @@ object Aggregates {
         .orderBy("day")
     },
 
+    // 1-Wasserstein drift (round 12 — the INTEGRAL-gap companion to
+    // dq_ks_test's max-gap statistic, same ref/cur halves): earth-mover
+    // distance between the two halves' value distributions per event
+    // type. KS sees only the worst single point; W1 integrates the
+    // whole CDF gap, so a broad small shift (the way drift usually
+    // arrives) registers even when no single quantile moves much.
+    // Exact arithmetic: distributions live on the bounded cent-tick
+    // domain, W1 = Σ|cumRef·totCur − cumCur·totRef|·gap over the tick
+    // frame — DECIMAL(38,0) integer folds (order-independent, no
+    // overflow at any SF), ONE division at display. Cost: one fact
+    // scan to the (type, tick) frame, one bounded per-type window.
+    Q("dq_wasserstein_drift",
+      """WITH b AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS tick,
+        |         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), tt AS (
+        |  SELECT event_type, CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+        |         CAST(sum(n_cur) AS BIGINT) AS tot_cur
+        |  FROM b GROUP BY event_type
+        |), c AS (
+        |  SELECT b.event_type, tick,
+        |         CAST(sum(n_ref) OVER w AS BIGINT) AS cum_ref,
+        |         CAST(sum(n_cur) OVER w AS BIGINT) AS cum_cur,
+        |         lead(tick) OVER w - tick AS gap,
+        |         tot_ref, tot_cur
+        |  FROM b JOIN tt USING (event_type)
+        |  WINDOW w AS (PARTITION BY b.event_type ORDER BY tick)
+        |)
+        |SELECT event_type,
+        |       CAST(max(tot_ref) AS BIGINT) AS tot_ref,
+        |       CAST(max(tot_cur) AS BIGINT) AS tot_cur,
+        |       floor(CAST(sum(CAST(abs(cum_ref * tot_cur
+        |                               - cum_cur * tot_ref) AS HUGEINT)
+        |                      * coalesce(gap, 0)) AS DOUBLE)
+        |             / max(tot_ref) / max(tot_cur) / 100
+        |             * 1000000) / 1000000 AS w1_drift
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val b = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          round(col("value") * 100).cast("long").as("tick"))
+        .agg(
+          sum(when(col("ts") < lit("2024-01-16").cast("timestamp"), 1L)
+            .otherwise(0L)).as("n_ref"),
+          sum(when(col("ts") >= lit("2024-01-16").cast("timestamp"), 1L)
+            .otherwise(0L)).as("n_cur"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("tick")
+      val tot = b.groupBy("event_type")
+        .agg(sum(col("n_ref")).as("tot_ref"), sum(col("n_cur")).as("tot_cur"))
+      val c = b.select(col("event_type"), col("tick"),
+          sum(col("n_ref")).over(w).as("cum_ref"),
+          sum(col("n_cur")).over(w).as("cum_cur"),
+          (lead(col("tick"), 1).over(w) - col("tick")).as("gap"))
+        .join(broadcast(tot), Seq("event_type"))
+      c.groupBy("event_type")
+        .agg(
+          sum(abs(col("cum_ref").cast("decimal(38,0)") * col("tot_cur")
+            - col("cum_cur").cast("decimal(38,0)") * col("tot_ref"))
+            * coalesce(col("gap"), lit(0L))).cast("double").as("s"),
+          max(col("cum_ref")).as("tot_ref_o"),
+          max(col("cum_cur")).as("tot_cur_o"))
+        .select(col("event_type"),
+          col("tot_ref_o").as("tot_ref"), col("tot_cur_o").as("tot_cur"),
+          (floor(col("s") / col("tot_ref_o") / col("tot_cur_o") / 100
+            * 1000000) / 1000000).as("w1_drift"))
+        .orderBy("event_type")
+    },
+
     // NULL-burst profile (round 12 — dq_volume_anomaly's completeness
     // twin): per-day null rate of the value column plus a burst flag
     // against the trailing-7-day rate (exclusive window — today must

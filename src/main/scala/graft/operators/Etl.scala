@@ -838,6 +838,61 @@ object Etl {
         .orderBy("user_id")
     },
 
+    // Rolling Dn retention (round 12): per first-seen day, the share of
+    // new users active again EXACTLY on day+1 and day+7 — the daily
+    // D1/D7 panel a growth dashboard tracks next to the weekly cohort
+    // matrix (etl_retention_cohort). Exact integer counts; the two
+    // "retained on day k" probes are semi-joins of the bounded cohort
+    // frame against the distinct (user, day) activity frame — no
+    // windows, no per-offset re-scan of the fact.
+    Q("etl_retention_dn",
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), c AS (
+        |  SELECT user_id, min(day) AS d0 FROM act GROUP BY user_id
+        |), d1 AS (
+        |  SELECT c.user_id FROM c JOIN act
+        |    ON act.user_id = c.user_id AND act.day = c.d0 + 1
+        |), d7 AS (
+        |  SELECT c.user_id FROM c JOIN act
+        |    ON act.user_id = c.user_id AND act.day = c.d0 + 7
+        |)
+        |SELECT d0 AS cohort_day, CAST(count(*) AS BIGINT) AS n_new,
+        |       CAST(sum(CASE WHEN c.user_id IN (SELECT user_id FROM d1)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS d1_retained,
+        |       CAST(sum(CASE WHEN c.user_id IN (SELECT user_id FROM d7)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS d7_retained,
+        |       floor(CAST(sum(CASE WHEN c.user_id IN (SELECT user_id FROM d1)
+        |                           THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*) * 1000000) / 1000000 AS d1_rate,
+        |       floor(CAST(sum(CASE WHEN c.user_id IN (SELECT user_id FROM d7)
+        |                           THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*) * 1000000) / 1000000 AS d7_rate
+        |FROM c GROUP BY d0 ORDER BY cohort_day""".stripMargin) { (s, d) =>
+      val act = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val c = act.groupBy("user_id").agg(min(col("day")).as("d0"))
+      def retained(k: Int) = c.join(act,
+          act("user_id") === c("user_id") &&
+            act("day") === date_add(c("d0"), k), "left_semi")
+        .select(c("user_id").as("u"), lit(1L).as(s"r$k"))
+      c.join(retained(1).withColumnRenamed("u", "user_id"),
+          Seq("user_id"), "left")
+        .join(retained(7).withColumnRenamed("u", "user_id"),
+          Seq("user_id"), "left")
+        .groupBy(col("d0").as("cohort_day"))
+        .agg(count(lit(1)).as("n_new"),
+          sum(coalesce(col("r1"), lit(0L))).as("d1_retained"),
+          sum(coalesce(col("r7"), lit(0L))).as("d7_retained"))
+        .select(col("cohort_day"), col("n_new"),
+          col("d1_retained"), col("d7_retained"),
+          (floor(col("d1_retained").cast("double") / col("n_new") * 1000000)
+            / 1000000).as("d1_rate"),
+          (floor(col("d7_retained").cast("double") / col("n_new") * 1000000)
+            / 1000000).as("d7_rate"))
+        .orderBy("cohort_day")
+    },
+
     // R5: cohort retention — first-active week × week offset. The events
     // table spans one calendar month (FIXTURES.md), so weekly cohorts are
     // the meaningful granularity; both engines truncate weeks to Monday.

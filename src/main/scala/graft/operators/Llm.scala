@@ -2836,6 +2836,120 @@ object Llm {
         .orderBy("source_a", "source_b")
     },
 
+    // Embedding similarity LANDSCAPE (round 12): histogram of exact
+    // cosine over the LSH-bucketed candidate pairs — the readout that
+    // picks llm_semantic_dedup's τ the way llm_neardup_threshold_curve
+    // picks the text τ (a bimodal landscape = clean dup/non-dup
+    // separation; mass piling just under a proposed τ = the threshold
+    // sits on a cliff). Pair-bounded (banded candidates only — never
+    // all-pairs); buckets are an explicit 0.2-wide CASE ladder on the
+    // 6-dp-rounded sim (identical double both engines, so the compare
+    // can never straddle), one bounded groupBy + broadcast total.
+    Q("llm_embedding_sim_hist",
+      s"""WITH sig AS (
+         |  $lshSigSql
+         |), banded AS (
+         |  ${lshBandedSql(8, 2)}
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.vec_id < b.vec_id
+         |), sims AS (
+         |  SELECT round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+         |                                      CAST(y.embedding AS DOUBLE[])), 6)
+         |           AS sim
+         |  FROM cand JOIN embeddings x ON x.vec_id = cand.a_id
+         |            JOIN embeddings y ON y.vec_id = cand.b_id
+         |), h AS (
+         |  SELECT CAST(CASE WHEN sim >= 0.8 THEN 8 WHEN sim >= 0.6 THEN 6
+         |              WHEN sim >= 0.4 THEN 4 WHEN sim >= 0.2 THEN 2
+         |              WHEN sim >= 0.0 THEN 0 WHEN sim >= -0.2 THEN -2
+         |              WHEN sim >= -0.4 THEN -4 WHEN sim >= -0.6 THEN -6
+         |              WHEN sim >= -0.8 THEN -8 ELSE -10 END AS BIGINT)
+         |           AS bucket_lo10,
+         |         CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM sims GROUP BY 1
+         |), tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM h)
+         |SELECT bucket_lo10, n_pairs,
+         |       floor(CAST(n_pairs AS DOUBLE) / t * 1000000) / 1000000
+         |         AS share
+         |FROM h CROSS JOIN tot ORDER BY bucket_lo10""".stripMargin) { (s, d) =>
+      val a = emb(s, d).select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = emb(s, d).select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val sims = lshCandidatePairs(s, d, 8, 2)
+        .join(a, Seq("a_id")).join(b, Seq("b_id"))
+        .select(round(cosineSim(col("a_emb"), col("b_emb")), 6).as("sim"))
+      val bucket = when(col("sim") >= 0.8, 8L).when(col("sim") >= 0.6, 6L)
+        .when(col("sim") >= 0.4, 4L).when(col("sim") >= 0.2, 2L)
+        .when(col("sim") >= 0.0, 0L).when(col("sim") >= -0.2, -2L)
+        .when(col("sim") >= -0.4, -4L).when(col("sim") >= -0.6, -6L)
+        .when(col("sim") >= -0.8, -8L).otherwise(-10L)
+      val h = sims.groupBy(bucket.as("bucket_lo10"))
+        .agg(count(lit(1)).as("n_pairs"))
+      // total via a window over the ≤10-row bucket frame (PlanSpec
+      // audit: bounded) — a second aggregate would re-evaluate the
+      // whole candidate chain (measured 2.7 s vs 1.4 s)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      h.select(col("bucket_lo10"), col("n_pairs"),
+          (floor(col("n_pairs").cast("double")
+            / sum(col("n_pairs")).over(wAll) * 1000000)
+            / 1000000).as("share"))
+        .orderBy("bucket_lo10")
+    },
+
+    // Dedup SAVINGS estimate (round 12): the ticket number a dedup run
+    // is justified by — token mass before/after keeping one survivor
+    // per near-dup group at the production τ, and the share saved
+    // (storage, and more importantly training-compute, scales with
+    // tokens). Rides the SAME materialized pair frame + CC construction
+    // as llm_neardup_prune; cost beyond the chain: one token-count
+    // projection joined to the keep flags, three exact BIGINT sums.
+    Q("llm_dedup_savings",
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         |e0 AS (
+         |  SELECT d1, d2 FROM verified WHERE est_jaccard >= 0.2
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM e0 UNION ALL SELECT d2, d1 FROM e0
+         |), ${Components.reachMinCte("SELECT doc_id AS id FROM documents", "edges")},
+         |keepf AS (
+         |  SELECT node AS doc_id, node = min(r) AS is_kept
+         |  FROM reach GROUP BY node
+         |), tk AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN is_kept THEN 0 ELSE 1 END) AS BIGINT)
+         |         AS n_pruned,
+         |       CAST(sum(toks) AS BIGINT) AS tokens_total,
+         |       CAST(sum(CASE WHEN is_kept THEN toks ELSE 0 END) AS BIGINT)
+         |         AS tokens_kept,
+         |       floor(CAST(sum(CASE WHEN is_kept THEN 0 ELSE toks END)
+         |                  AS DOUBLE) / sum(toks) * 1000000) / 1000000
+         |         AS savings_share
+         |FROM keepf JOIN tk USING (doc_id)""".stripMargin) { (s, d) =>
+      val e0 = minhashVerifiedLake(s, d)
+        .where(col("est_jaccard") >= 0.2).select("d1", "d2")
+      val edges = symPairs(e0, "d1", "d2").persist()
+      val keepf = Components.connectedComponents(docs(s, d), "doc_id", edges)
+        .select(col("id").as("doc_id"), (col("id") === col("lbl")).as("is_kept"))
+      val tk = docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      keepf.join(tk, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_kept"), 0L).otherwise(1L)).as("n_pruned"),
+          sum(col("toks")).as("tokens_total"),
+          sum(when(col("is_kept"), col("toks")).otherwise(0L))
+            .as("tokens_kept"))
+        .select(col("n_docs"), col("n_pruned"), col("tokens_total"),
+          col("tokens_kept"),
+          (floor((col("tokens_total") - col("tokens_kept")).cast("double")
+            / col("tokens_total") * 1000000) / 1000000)
+            .as("savings_share"))
+    },
+
     // Cross-LANGUAGE near-dup overlap matrix (round 12 — the lang twin
     // of llm_source_overlap): where near-duplicate mass crosses
     // language labels. An off-diagonal cell is a translation-pair /

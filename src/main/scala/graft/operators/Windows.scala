@@ -1177,6 +1177,134 @@ object Windows {
         .orderBy("event_type", "day")
     },
 
+    // Ulcer index (round 12 — Martin & McCann 1989): RMS of the 14-day
+    // percentage drawdown from the rolling high — the downside-only
+    // volatility readout (stddev penalizes upside; ulcer prices only
+    // the pain). Float doctrine: each day's squared drawdown is
+    // quantized PER ROW to integer 1e-12-ticks (round((dd)²·1e12) —
+    // deterministic double from exact cents, the cosine-sim per-row
+    // precedent), so the WINDOW sum is an exact BIGINT fold — immune to
+    // the engines' different sliding-sum strategies (Spark re-folds the
+    // frame in row order; DuckDB uses segment-tree aggregation — a
+    // double sum could disagree in the last ulp, an integer sum cannot).
+    Q("win_ulcer_index",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), dd AS (
+        |  SELECT event_type, day,
+        |         CAST(round(
+        |           CAST(max(cl) OVER w14 - cl AS DOUBLE)
+        |           * (max(cl) OVER w14 - cl)
+        |           / (max(cl) OVER w14) / (max(cl) OVER w14)
+        |           * 1000000000000) AS BIGINT) AS ddq,
+        |         CAST(count(cl) OVER w14 AS BIGINT) AS k
+        |  FROM o
+        |  WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |), s AS (
+        |  SELECT event_type, day,
+        |         CAST(sum(ddq) OVER w14 AS BIGINT) AS sq,
+        |         CAST(count(ddq) OVER w14 AS BIGINT) AS k2, k
+        |  FROM dd
+        |  WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |       floor(sqrt(CAST(sq AS DOUBLE) / 14 / 1000000000000)
+        |             * 1000000) / 1000000 AS ulcer14
+        |FROM s WHERE k = 14 AND k2 = 14
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(when(col("rn_d") === 1, col("c"))).as("cl"))
+      val w14 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-13, Window.currentRow)
+      val mx = max(col("cl")).over(w14)
+      val dd = o.select(col("event_type"), col("day"),
+        round((mx - col("cl")).cast("double") * (mx - col("cl"))
+          / mx / mx * 1000000000000L).cast("long").as("ddq"),
+        count(col("cl")).over(w14).as("k"))
+      dd.select(col("event_type"), col("day"),
+          sum(col("ddq")).over(w14).as("sq"),
+          count(col("ddq")).over(w14).as("k2"), col("k"))
+        .where(col("k") === 14 && col("k2") === 14)
+        .select(col("event_type"), col("day"),
+          (floor(sqrt(col("sq").cast("double") / 14 / 1000000000000L)
+            * 1000000) / 1000000).as("ulcer14"))
+        .orderBy("event_type", "day")
+    },
+
+    // Daily pivot points (round 12 — the floor-trader levels): P =
+    // (H+L+C)/3 of the PRIOR day, R1 = 2P − L_prev, S1 = 2P − H_prev —
+    // the support/resistance scaffold quoted on every trading desk.
+    // Exact integers throughout: the 3× basis (p3 = h+l+c) and the
+    // ×300 level numerators never divide until display (FLOOR at 4dp).
+    Q("win_pivot_points",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(c) AS BIGINT) AS h, CAST(min(c) AS BIGINT) AS l,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), p AS (
+        |  SELECT event_type, day,
+        |         lag(h + l + cl) OVER w AS p3,
+        |         lag(h) OVER w AS ph, lag(l) OVER w AS pl
+        |  FROM o WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |)
+        |SELECT event_type, day,
+        |       floor(CAST(p3 AS DOUBLE) / 300 * 10000) / 10000 AS pivot,
+        |       floor(CAST(2 * p3 - 3 * pl AS DOUBLE) / 300 * 10000) / 10000
+        |         AS r1,
+        |       floor(CAST(2 * p3 - 3 * ph AS DOUBLE) / 300 * 10000) / 10000
+        |         AS s1
+        |FROM p WHERE p3 IS NOT NULL
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(col("c")).as("h"), min(col("c")).as("l"),
+          max(when(col("rn_d") === 1, col("c"))).as("cl"))
+      val wl = Window.partitionBy("event_type").orderBy("day")
+      o.select(col("event_type"), col("day"),
+          lag(col("h") + col("l") + col("cl"), 1).over(wl).as("p3"),
+          lag(col("h"), 1).over(wl).as("ph"),
+          lag(col("l"), 1).over(wl).as("pl"))
+        .where(col("p3").isNotNull)
+        .select(col("event_type"), col("day"),
+          (floor(col("p3").cast("double") / 300 * 10000) / 10000)
+            .as("pivot"),
+          (floor((lit(2) * col("p3") - lit(3) * col("pl")).cast("double")
+            / 300 * 10000) / 10000).as("r1"),
+          (floor((lit(2) * col("p3") - lit(3) * col("ph")).cast("double")
+            / 300 * 10000) / 10000).as("s1"))
+        .orderBy("event_type", "day")
+    },
+
     // Donchian channel (round 12 — Richard Donchian's four-week rule,
     // the oldest breakout system): 20-day rolling high/low of the daily
     // cent series plus the close's position inside the channel — the

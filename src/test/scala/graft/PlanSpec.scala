@@ -986,6 +986,7 @@ class PlanSpec extends AnyFunSuite {
       "win_percent_cume" -> "(twin) §2.E percent_rank/cume_dist surface demo; RankFence is the exact-rank scale path",
       "win_rank_dense" -> "(twin) §2.E rank/dense_rank surface demo; RankFence is the exact-rank scale path",
       "agg_histogram" -> "(bounded) CDF window runs over the BUCKET frame — cardinality = value range / width, SF-independent",
+      "llm_embedding_sim_hist" -> "(bounded) share window runs over the ≤10-row cosine-bucket frame (r12; a second aggregate would re-pay the candidate chain)",
       "agg_mode" -> "(bounded) rank window runs over the (flag × distinct l_quantity) pair frame — quantity domain is 1..50",
       "dq_volume_anomaly" -> "(bounded) z window runs over the per-DAY volume frame — cardinality = days in span",
       "dq_null_profile" -> "(bounded) trailing-rate window runs over the per-DAY null-count frame — cardinality = days in span (r12, the volume_anomaly shape)",
