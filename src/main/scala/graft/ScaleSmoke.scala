@@ -1609,7 +1609,7 @@ object ScaleSmoke {
       val nM = config.IvfIndex.assignments(spark, dir).count()
       require(nM == 1030000L, s"maintained index must hold all ($nM)")
       val acts = config.IvfIndex.maintlog(spark, dir)
-        .orderBy("gen_seq").select("action").collect().map(_.getString(0))
+        .orderBy("log_seq").select("action").collect().map(_.getString(0))
       require(acts.toSeq == Seq("ingest", "retrain", "ingest"),
         s"maintlog must record the decision sequence (${acts.toSeq})")
     }

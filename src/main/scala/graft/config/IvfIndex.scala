@@ -307,16 +307,22 @@ object IvfIndex {
       action = "ingest+compact"
     }
     // the decision record: every input needed to replay it, so an
-    // audit recomputes ANY past decision from stored numbers alone
+    // audit recomputes ANY past decision from stored numbers alone.
+    // log_seq = one-plus-existing-entries (each maintain appends one
+    // coalesced file) — a monotonic order under the single-writer
+    // contract, since gen_seq alone cannot order decisions within one
+    // generation
     {
       import spark.implicits._
-      Seq((LakeCommit.currentEntry(dir, Table).map(_._1).getOrElse(0L),
+      val logSeq = LakeCommit.dataFiles(s"$dir/maintlog").length + 1L
+      Seq((logSeq,
+        LakeCommit.currentEntry(dir, Table).map(_._1).getOrElse(0L),
         action, baseSum, baseSq, baseN, bSum.toSeq, bN, t2, thrMicro,
         deadN, totalN, tauMicro))
-        .toDF("gen_seq", "action", "base_sum_micro", "base_sumsq_micro",
-          "base_n", "batch_sum_micro", "batch_n", "drift_t2_micro",
-          "drift_t2_threshold_micro", "dead_n", "total_n",
-          "compact_tau_micro")
+        .toDF("log_seq", "gen_seq", "action", "base_sum_micro",
+          "base_sumsq_micro", "base_n", "batch_sum_micro", "batch_n",
+          "drift_t2_micro", "drift_t2_threshold_micro", "dead_n",
+          "total_n", "compact_tau_micro")
         .coalesce(1).write.mode("append").parquet(s"$dir/maintlog")
     }
     action

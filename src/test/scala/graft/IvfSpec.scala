@@ -522,8 +522,8 @@ class IvfSpec extends AnyFunSuite {
     // exact integer moment sums the row carries
     def replayDrifted(r: org.apache.spark.sql.Row): Boolean =
       graft.config.IvfIndex.driftT2Micro(
-        r.getSeq[Long](2), r.getSeq[Long](3), r.getLong(4),
-        r.getSeq[Long](5), r.getLong(6)) > r.getLong(8)
+        r.getSeq[Long](3), r.getSeq[Long](4), r.getLong(5),
+        r.getSeq[Long](6), r.getLong(7)) > r.getLong(9)
     try {
       graft.config.IvfIndex.build(spark, e.where(col("vec_id") < 300),
         dir, 16, 64, 2)
@@ -544,9 +544,9 @@ class IvfSpec extends AnyFunSuite {
       assert(graft.config.IvfIndex.assignments(spark, dir).count() == 400)
       // the log row carries exactly the precomputed inputs
       val log1 = graft.config.IvfIndex.maintlog(spark, dir).head()
-      assert(log1.getString(1) == "ingest")
-      assert(log1.getSeq[Long](5) == bSum.toSeq && log1.getLong(6) == bN)
-      assert(log1.getLong(7) == t2)
+      assert(log1.getString(2) == "ingest")
+      assert(log1.getSeq[Long](6) == bSum.toSeq && log1.getLong(7) == bN)
+      assert(log1.getLong(8) == t2)
       assert(!replayDrifted(log1))
       // 2. a SHIFTED batch (+1.0 every component ≈ 8σ — a distribution
       //    the quantizer was never trained for) must cross the gate and
@@ -562,9 +562,9 @@ class IvfSpec extends AnyFunSuite {
         .count(f => f.isDirectory && f.getName.startsWith("index.g")) == 1,
         "retrain must publish one generation and retire the old")
       val logs = graft.config.IvfIndex.maintlog(spark, dir)
-        .orderBy("gen_seq").collect()
-      assert(logs.map(_.getString(1)).toSeq == Seq("ingest", "retrain"))
-      assert(logs.forall(r => replayDrifted(r) == (r.getString(1) == "retrain")),
+        .orderBy("log_seq").collect()
+      assert(logs.map(_.getString(2)).toSeq == Seq("ingest", "retrain"))
+      assert(logs.forall(r => replayDrifted(r) == (r.getString(2) == "retrain")),
         "every logged decision must replay from its stored numbers")
       // 3. the retrained baseline admits the next same-distribution
       //    batch again — the corpus was paid exactly once (ScaleSmoke
@@ -632,6 +632,61 @@ class IvfSpec extends AnyFunSuite {
         assert(graft.config.PqIndex.tombstones(spark, pqDir).count() == 0)
       } finally org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(pqDir))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("streaming batches drive the POLICY LOOP through foreachBatch " +
+    "(r12): maintain decides per micro-batch — in-distribution epochs " +
+    "ingest, a shifted epoch retrains, the maintlog records the " +
+    "sequence, and the final index holds every vector exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val e = Tables(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_stream_maintain").toString
+    try {
+      graft.config.IvfIndex.build(spark, e.where(col("vec_id") < 300),
+        dir, 16, 64, 2)
+      val normal = e.where(col("vec_id") >= 300 && col("vec_id") < 400)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val shifted = e.where(col("vec_id") >= 400)
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(x => x + 1.0f).toArray))
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = input.toDF().toDF("vec_id", "embedding")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.config.IvfIndex.maintain(spark, dir, batch)
+          ()
+        }
+        .start()
+      // three epochs: in-distribution, SHIFTED (the drift gate must
+      // fire mid-stream), in-distribution again (the retrained
+      // baseline admits it). processAllAvailable between adds pins the
+      // epoch boundaries — AvailableNow would coalesce pending adds
+      // into one micro-batch and the gate would see a mixed batch.
+      input.addData(normal.take(50).toSeq)
+      q.processAllAvailable()
+      input.addData(shifted.toSeq)
+      q.processAllAvailable()
+      input.addData(normal.drop(50).toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val acts = graft.config.IvfIndex.maintlog(spark, dir)
+        .orderBy("log_seq").select("action").collect().map(_.getString(0))
+      assert(acts.toSeq == Seq("ingest", "retrain", "ingest"),
+        s"policy sequence must be ingest/retrain/ingest (${acts.toSeq})")
+      // exactly-once across epochs AND across the mid-stream retrain:
+      // every vector present once, none lost in the generation swap
+      val ids = graft.config.IvfIndex.assignments(spark, dir)
+        .select("vec_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == (0L until 500L).toSeq,
+        s"index must hold each vector exactly once (${ids.length})")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
