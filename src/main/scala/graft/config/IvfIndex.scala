@@ -72,21 +72,44 @@ object IvfIndex {
   val DriftT2ThresholdMicro = 25L * 1000000 // T²/dim > 25
   val CompactTauMicro = 200000L // 20% dead
 
+  /** Generation layout version (round 13 — VERDICT r12 #6): stamped
+    * into every generation this code writes ([[LakeCommit.stampLayout]])
+    * and required back on every read, so a code upgrade that changes
+    * the generation's table set can never silently misread old state —
+    * deployment dirs have no fingerprint to churn. 6 = the v6 layout:
+    * centroids + assign + meta + the stored autoprobe curve/pick. */
+  val Layout = 6
+
+  /** Fold the maintlog into one compacted generation once its current
+    * generation accumulates this many decision files (round 13 —
+    * VERDICT r12 #2): each [[maintain]] appends one coalesced file, so
+    * without a fold the log dir's file count — and the LIST every
+    * reader pays — grows forever at nightly cadence. */
+  val MaintlogFoldFiles = 16
+
   /** The logical table name a generation publishes under. */
   private val Table = "index"
+
+  /** The maintenance log's own manifest table (round 13): the log
+    * rides the SAME generation protocol as the index — appends land
+    * inside the current log generation, a fold is one atomic manifest
+    * swap, and `log_seq` is read from the stored rows (monotonic across
+    * folds), not from a file count that a fold would reset. */
+  private val LogTable = "maintlog"
 
   /** Index dir for `sfDir`'s embeddings table, training it (once per
     * corpus fingerprint) if absent. */
   def ensure(spark: SparkSession, sfDir: String): String =
     LakeCache.ensure(
       s"$sfDir/embeddings.parquet",
-      // v5: inverted file carries vectors + the label metadata column +
-      // cell partitioning (round 11) + the per-row assignment sim and
-      // the policy meta table (round 12), published through the
-      // manifest-pointer generation layout. The format version lives in
-      // the fingerprint so a layout change can never be answered by a
-      // dir built under the old one.
-      s"ivf:v5:k=$K:ell=$Ell:lloyd=$LloydRounds",
+      // v6: v5 (vectors + label metadata in the inverted file, cell
+      // partitioning, the policy meta table, manifest-pointer
+      // generations) plus the stored autoprobe curve/pick table and the
+      // explicit layout stamp (round 13 — VERDICT r12 #4/#6). The
+      // format version lives in the fingerprint so a layout change can
+      // never be answered by a dir built under the old one; the stamp
+      // enforces the same law for unfingerprinted deployment dirs.
+      s"ivf:v6:k=$K:ell=$Ell:lloyd=$LloydRounds",
       "graft_ivf_index") { tmp =>
       // one materialization feeds the ~6 training passes + the final
       // assignment (the llm_ann_ivf_train persist rationale)
@@ -108,7 +131,7 @@ object IvfIndex {
   def ensureBase(spark: SparkSession, sfDir: String, boundary: Long): String =
     LakeCache.ensure(
       s"$sfDir/embeddings.parquet",
-      s"ivf:v5:k=$K:ell=$Ell:lloyd=$LloydRounds:base=$boundary",
+      s"ivf:v6:k=$K:ell=$Ell:lloyd=$LloydRounds:base=$boundary",
       "graft_ivf_index") { tmp =>
       val e = graft.Tables(spark, sfDir, "embeddings")
         .where(col("vec_id") < boundary)
@@ -127,7 +150,8 @@ object IvfIndex {
       spark: SparkSession, e: DataFrame, dir: String,
       k: Int, ell: Int, lloydRounds: Int,
       driftT2ThresholdMicro: Long = DriftT2ThresholdMicro,
-      compactTauMicro: Long = CompactTauMicro): Unit = {
+      compactTauMicro: Long = CompactTauMicro): Unit =
+    LakeCommit.withLease(dir, Table) {
     val core = e.select(col("vec_id"), col("embedding"))
     val cents = Llm.ivfTrain(core, Llm.ivfSeedScalable(core, k, ell), lloydRounds)
     val stage = LakeCommit.stage(dir, Table)
@@ -157,9 +181,23 @@ object IvfIndex {
           "k", "ell", "lloyd")
         .coalesce(1).write.parquet(s"$stage/meta")
     }
+    // stored autoprobe state (round 13 — VERDICT r12 #4): the nprobe
+    // recall curve on the offline query sample, and the smallest budget
+    // meeting the recall floor, computed ONCE per publish (build /
+    // retrain / compact refresh it; appends between publishes serve the
+    // stored pick) — serving reads the decision instead of re-deriving
+    // the curve per query. The brute-force exact half prices the corpus
+    // once per TRAINING, where the ~6 k-means passes already dwarf it.
+    Llm.ivfAutoprobeState(spark, core,
+        spark.read.parquet(s"$stage/centroids"),
+        spark.read.parquet(s"$stage/assign")
+          .withColumn("cell", col("cell").cast("long")))
+      .coalesce(1).write.parquet(s"$stage/autoprobe")
+    LakeCommit.stampLayout(stage, Layout)
     require(LakeCommit.commit(dir, Table, stage),
       s"build: another writer published generation ${stage} first")
-    LakeCommit.cleanup(dir, Table)
+    LakeCommit.cleanup(dir, Table,
+      retireMs = LakeCommit.RetireSupersededMs)
   }
 
   /** Per-dimension exact moment sums of an embedding frame:
@@ -216,14 +254,15 @@ object IvfIndex {
     * quantizer is static-trained production state: it retrains only on
     * a parameter change (new fingerprint) or the drift trigger
     * ([[maintain]]), never per ingest. */
-  def ingest(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
-    requireMutable(dir, "ingest")
-    val core = batch.select(col("vec_id"), col("embedding"))
-    withMeta(batch, Llm.ivfAssign(core, centroids(spark, dir)))
-      .repartition(col("cell")) // one compact appended segment per cell
-      .write.partitionBy("cell").mode("append")
-      .parquet(s"${genDir(dir)}/assign")
-  }
+  def ingest(spark: SparkSession, dir: String, batch: DataFrame): Unit =
+    LakeCommit.withLease(dir, Table) {
+      requireMutable(dir, "ingest")
+      val core = batch.select(col("vec_id"), col("embedding"))
+      withMeta(batch, Llm.ivfAssign(core, centroids(spark, dir)))
+        .repartition(col("cell")) // one compact appended segment per cell
+        .write.partitionBy("cell").mode("append")
+        .parquet(s"${genDir(dir)}/assign")
+    }
 
   /** The stored policy/baseline row — (base_sum_micro ARRAY,
     * base_sumsq_micro ARRAY, base_n, drift_t2_threshold_micro,
@@ -267,7 +306,8 @@ object IvfIndex {
     * (IvfSpec pins replayability). Returns the action taken:
     * "ingest", "ingest+compact", or "retrain". Single-writer, like the
     * verbs it drives. */
-  def maintain(spark: SparkSession, dir: String, batch: DataFrame): String = {
+  def maintain(spark: SparkSession, dir: String, batch: DataFrame): String =
+    LakeCommit.withLease(dir, Table) {
     requireMutable(dir, "maintain")
     val m = meta(spark, dir)
     val baseSum = m.getSeq[Long](0)
@@ -308,29 +348,80 @@ object IvfIndex {
     }
     // the decision record: every input needed to replay it, so an
     // audit recomputes ANY past decision from stored numbers alone.
-    // log_seq = one-plus-existing-entries (each maintain appends one
-    // coalesced file) — a monotonic order under the single-writer
-    // contract, since gen_seq alone cannot order decisions within one
-    // generation
+    // log_seq = one-plus-stored-max (round 13 — VERDICT r12 #2: the old
+    // one-plus-file-count paid an O(n) LIST per decision on an
+    // unbounded dir and a fold would have reset it; reading the max
+    // from the rows is a bounded aggregate and survives any fold)
     {
       import spark.implicits._
-      val logSeq = LakeCommit.dataFiles(s"$dir/maintlog").length + 1L
-      Seq((logSeq,
+      val logSeq = nextLogSeq(spark, dir)
+      appendMaintlog(spark, dir, Seq((logSeq,
         LakeCommit.currentEntry(dir, Table).map(_._1).getOrElse(0L),
         action, baseSum, baseSq, baseN, bSum.toSeq, bN, t2, thrMicro,
         deadN, totalN, tauMicro))
         .toDF("log_seq", "gen_seq", "action", "base_sum_micro",
           "base_sumsq_micro", "base_n", "batch_sum_micro", "batch_n",
           "drift_t2_micro", "drift_t2_threshold_micro", "dead_n",
-          "total_n", "compact_tau_micro")
-        .coalesce(1).write.mode("append").parquet(s"$dir/maintlog")
+          "total_n", "compact_tau_micro"))
     }
     action
   }
 
-  /** The maintenance decision audit trail — one row per [[maintain]]. */
-  def maintlog(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/maintlog")
+  /** The maintenance decision audit trail — one row per [[maintain]].
+    * Round 13: the log is its own manifest table (generations under
+    * `<dir>/maintlog.g*`), so it shares the index's crash-safety and
+    * its fold is one atomic generation swap. */
+  def maintlog(spark: SparkSession, dir: String): DataFrame = {
+    val g = LakeCommit.currentGen(dir, LogTable).getOrElse(
+      sys.error(s"no committed maintlog generation under $dir"))
+    LakeCommit.requireLayout(g, Layout, "maintlog")
+    spark.read.parquet(s"$g/log")
+  }
+
+  private def nextLogSeq(spark: SparkSession, dir: String): Long =
+    LakeCommit.currentGen(dir, LogTable) match {
+      case None => 1L
+      case Some(g) =>
+        spark.read.parquet(s"$g/log")
+          .agg(coalesce(max(col("log_seq")), lit(0L))).head().getLong(0) + 1
+    }
+
+  /** Append one decision row: the first decision publishes log
+    * generation 1; later ones append a single coalesced file inside the
+    * current generation and fold it once [[MaintlogFoldFiles]] is
+    * exceeded. Runs under the caller's writer lease. */
+  private def appendMaintlog(
+      spark: SparkSession, dir: String, row: DataFrame): Unit =
+    LakeCommit.currentGen(dir, LogTable) match {
+      case Some(g) =>
+        row.coalesce(1).write.mode("append").parquet(s"$g/log")
+        if (LakeCommit.dataFiles(s"$g/log").length > MaintlogFoldFiles)
+          foldMaintlog(spark, dir)
+      case None =>
+        val stage = LakeCommit.stage(dir, LogTable)
+        row.coalesce(1).write.parquet(s"$stage/log")
+        LakeCommit.stampLayout(stage, Layout)
+        require(LakeCommit.commit(dir, LogTable, stage),
+          s"maintlog: another writer published $stage first")
+    }
+
+  /** Fold the maintlog's accumulated per-decision files into ONE file
+    * in a fresh generation — the same manifest swap every compact in
+    * this repo rides. `log_seq` lives in the rows, so ordering is
+    * untouched by the fold (IvfSpec pins replay across it). */
+  private[graft] def foldMaintlog(spark: SparkSession, dir: String): Unit =
+    LakeCommit.currentGen(dir, LogTable).foreach { g =>
+      LakeCommit.withLease(dir, Table) {
+      val stage = LakeCommit.stage(dir, LogTable)
+      spark.read.parquet(s"$g/log")
+        .coalesce(1).write.parquet(s"$stage/log")
+      LakeCommit.stampLayout(stage, Layout)
+      require(LakeCommit.commit(dir, LogTable, stage),
+        s"maintlog fold: another writer published $stage first")
+      LakeCommit.cleanup(dir, LogTable,
+        retireMs = LakeCommit.RetireSupersededMs)
+      }
+    }
 
   /** Tombstone a set of vec_ids (round 11 — the third index lifecycle
     * verb after build and ingest): deletes in an append-only inverted
@@ -341,11 +432,12 @@ object IvfIndex {
     * anti-joins [[tombstones]] (the llm_ann_ivf_deleted plan shape).
     * Deleting an id twice, or an id the index never held, is harmlessly
     * idempotent (anti-join semantics). */
-  def delete(spark: SparkSession, dir: String, vecIds: DataFrame): Unit = {
-    requireMutable(dir, "delete")
-    vecIds.select(col("vec_id")).distinct().coalesce(1)
-      .write.mode("append").parquet(s"$dir/tombstones")
-  }
+  def delete(spark: SparkSession, dir: String, vecIds: DataFrame): Unit =
+    LakeCommit.withLease(dir, Table) {
+      requireMutable(dir, "delete")
+      vecIds.select(col("vec_id")).distinct().coalesce(1)
+        .write.mode("append").parquet(s"$dir/tombstones")
+    }
 
   /** The tombstoned vec_ids — empty frame when none were ever deleted. */
   def tombstones(spark: SparkSession, dir: String): DataFrame = {
@@ -371,41 +463,58 @@ object IvfIndex {
     * clear, 4 = +retire), so the spec can simulate a kill after EVERY
     * step and assert the index still serves. */
   private[graft] def compactSteps(
-      spark: SparkSession, dir: String, steps: Int): Unit = {
+      spark: SparkSession, dir: String, steps: Int,
+      retireMs: Long = LakeCommit.RetireSupersededMs): Unit =
+    LakeCommit.withLease(dir, Table) {
     requireMutable(dir, "compact")
     // snapshot: fold only the marker files visible NOW — late arrivals
     // from a racing delete() stay in place and keep anti-joining
     val snap = LakeCommit.dataFiles(s"$dir/tombstones")
     if (snap.isEmpty) {
-      // nothing to fold — but still retire superseded generations, so a
-      // re-run converges after a crash that cleared markers but died
-      // before the retire step
-      if (steps >= 4) LakeCommit.cleanup(dir, Table)
-      return
-    }
+      // nothing to fold — but still retire aged superseded generations,
+      // so a re-run converges after a crash that cleared markers but
+      // died before the retire step
+      if (steps >= 4) LakeCommit.cleanup(dir, Table, retireMs = retireMs)
+    } else {
     val dead = spark.read.parquet(snap: _*).select("vec_id").distinct()
     val live = assignments(spark, dir)
       .join(dead, Seq("vec_id"), "left_anti")
     val stage = LakeCommit.stage(dir, Table)
-    // 1. stage a complete generation (centroids and the policy meta are
-    //    broadcast-sized — rewriting them buys one-manifest consistency)
+    // 1. stage a complete generation (centroids, the policy meta and
+    //    the autoprobe state are broadcast-sized — rewriting them buys
+    //    one-manifest consistency; the autoprobe pick is refreshed from
+    //    the post-fold corpus, the VERDICT r12 #4 "recompute at
+    //    maintenance time" dial)
     centroids(spark, dir).write.parquet(s"$stage/centroids")
     spark.read.parquet(s"${genDir(dir)}/meta")
       .coalesce(1).write.parquet(s"$stage/meta")
     live.repartition(col("cell"))
       .write.partitionBy("cell").parquet(s"$stage/assign")
-    if (steps < 2) return
+    Llm.ivfAutoprobeState(spark,
+        spark.read.parquet(s"$stage/assign")
+          .select(col("vec_id"), col("embedding")),
+        spark.read.parquet(s"$stage/centroids"),
+        spark.read.parquet(s"$stage/assign")
+          .withColumn("cell", col("cell").cast("long")))
+      .coalesce(1).write.parquet(s"$stage/autoprobe")
+    LakeCommit.stampLayout(stage, Layout)
+    if (steps >= 2) {
     // 2. COMMIT: one atomic manifest creation — the publish point
     require(LakeCommit.commit(dir, Table, stage),
       s"compact: a racing writer published $stage first")
-    if (steps < 3) return
+    if (steps >= 3) {
     // 3. clear exactly the folded markers (re-running after a crash
     //    here re-folds already-absent ids — a no-op by anti-join)
     snap.foreach(LakeCommit.deleteFile)
     LakeCommit.deleteDirIfEmpty(s"$dir/tombstones")
-    if (steps < 4) return
-    // 4. retire superseded generations + stale stages
-    LakeCommit.cleanup(dir, Table)
+    if (steps >= 4)
+    // 4. retire AGED superseded generations + dead/stale stages — a
+    //    reader that resolved the previous generation keeps its files
+    //    for the retention window (round 13 — ADVICE r12 #4)
+    LakeCommit.cleanup(dir, Table, retireMs = retireMs)
+    }
+    }
+    }
   }
 
   /** Attach `src`'s metadata columns (anything beyond vec_id/embedding)
@@ -418,10 +527,24 @@ object IvfIndex {
   }
 
   /** The serving generation dir — resolved through the manifest, so
-    * readers always see ONE complete, committed index. */
-  private[graft] def genDir(dir: String): String =
-    LakeCommit.currentGen(dir, Table).getOrElse(
+    * readers always see ONE complete, committed index, and layout-
+    * checked (round 13 — VERDICT r12 #6) so an upgraded reader refuses
+    * an old-layout generation instead of misreading it. */
+  private[graft] def genDir(dir: String): String = {
+    val g = LakeCommit.currentGen(dir, Table).getOrElse(
       sys.error(s"no committed index generation under $dir"))
+    LakeCommit.requireLayout(g, Layout, "ivf index")
+    g
+  }
+
+  /** The stored autoprobe state — (nprobe, mean_recall, picked), one
+    * row per budget, exactly one picked (round 13 — VERDICT r12 #4):
+    * the recall curve measured on the offline query sample at the last
+    * publish, and the smallest budget meeting the recall floor. The
+    * declared autoprobe key SERVES the pick; its oracle replays
+    * curve-and-pick from the same stored training chain. */
+  def autoprobe(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${genDir(dir)}/autoprobe")
 
   /** Guard (round 12 — VERDICT r11 advice #2): LakeCache-managed dirs
     * are derived caches — fingerprinted, rebuilt on any source change,

@@ -56,6 +56,20 @@ private[graft] object LakeCommit {
     * killed mid-stage. */
   val StaleStageMs: Long = 6L * 3600 * 1000
 
+  /** This writer's host identity, embedded in stage-dir names (round 13
+    * — ADVICE r12 #2): pid liveness is only provable for SAME-HOST
+    * writers, so the sweep's dead-pid shortcut must know which host a
+    * stage's writer ran on. Alphanumeric-only (it rides inside a dir
+    * name between '-' separators) and prefixed 'h' so it can never be
+    * mistaken for the numeric pid field of a pre-r13 name. */
+  private[graft] val hostTag: String = {
+    val raw =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => sys.env.getOrElse("HOSTNAME", "unknown") }
+    "h" + raw.filter(_.isLetterOrDigit).take(16).toLowerCase +
+      Integer.toHexString(raw.hashCode).takeRight(4)
+  }
+
   private def hadoopConf: Configuration =
     SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
@@ -99,15 +113,32 @@ private[graft] object LakeCommit {
     * crash-before-commit from colliding with its own abandoned stage. */
   def stage(dir: String, table: String): String = {
     val seq = currentEntry(dir, table).map(_._1).getOrElse(0L) + 1
-    s"$dir/$table.g$seq-${java.lang.ProcessHandle.current.pid}" +
+    s"$dir/$table.g$seq-$hostTag-${java.lang.ProcessHandle.current.pid}" +
       s"-${nonce.incrementAndGet()}"
   }
 
-  private val GenPid = """\.g\d+-(\d+)(?:-\d+)?$""".r
+  // host-tagged (r13) and pre-r13 (pid-only) stage name shapes
+  private val GenWriter = """\.g\d+-(?:(h[a-z0-9]+)-)?(\d+)(?:-\d+)?$""".r
 
   /** The writer pid embedded in a generation/stage dir name. */
   def writerPid(name: String): Option[Long] =
-    GenPid.findFirstMatchIn(name).map(_.group(1).toLong)
+    GenWriter.findFirstMatchIn(name).map(_.group(2).toLong)
+
+  /** True iff `name`'s writer is PROVABLY dead: the pid-liveness probe
+    * sees only this host's process table, so it applies exclusively to
+    * stages whose embedded host tag matches ours (round 13 — ADVICE r12
+    * #2: another host's live writer almost never has a matching local
+    * pid, and the old pid-only probe judged its in-flight stage
+    * "provably dead", bypassing the [[StaleStageMs]] grace that exists
+    * for exactly that case). Pre-r13 names carry no host tag; they can
+    * only have been written by this host's earlier sessions, so the
+    * pid-only probe remains sound for them. Cross-host stages are never
+    * provably dead — only the age rule may sweep them. */
+  def writerProvablyDead(name: String): Boolean =
+    GenWriter.findFirstMatchIn(name).exists { m =>
+      (m.group(1) == null || m.group(1) == hostTag) &&
+        !java.lang.ProcessHandle.of(m.group(2).toLong).isPresent
+    }
 
   /** Atomically publish `genPath` (a COMPLETE generation staged by the
     * caller) as `table`'s serving state: one manifest-file creation,
@@ -120,46 +151,247 @@ private[graft] object LakeCommit {
     val seq = genName.stripPrefix(s"$table.g").takeWhile(_.isDigit).toLong
     val md = manifestDir(dir)
     val fs = fsOf(md)
+    // round 13 (ADVICE r12 #3): never manifest a generation that is not
+    // actually on disk — a stage swept by a misjudged cleanup (or a
+    // caller bug) must fail HERE, loudly, not become a committed pointer
+    // to nothing that wedges every reader
+    require(fs.exists(new Path(genPath)),
+      s"commit: staged generation $genPath does not exist — " +
+        "swept as stale, or never staged")
     fs.mkdirs(md)
     val m = new Path(md, f"$table.m$seq%09d_$genName")
     try { fs.create(m, false).close(); true }
     catch { case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException => false }
   }
 
-  /** Retire state superseded by the current manifest: older manifests,
-    * the generations they named, and uncommitted stages whose writer is
-    * provably dead (pid gone on this host) or older than `staleMs`.
-    * Readers resolve through the current manifest, so cleanup is safe
-    * to crash or race at any point — at worst a superseded dir leaks
-    * until the next call. */
-  def cleanup(dir: String, table: String, staleMs: Long = StaleStageMs): Unit =
-    currentEntry(dir, table).foreach { case (curSeq, curGen) =>
+  /** Retire state superseded by the current manifest: manifests older
+    * than the retention window, the generations they named, and
+    * uncommitted stages whose writer is provably dead (same-host pid
+    * gone — [[writerProvablyDead]]) or older than `staleMs`. Readers
+    * resolve through the current manifest, so cleanup is safe to crash
+    * or race at any point — at worst a superseded dir leaks until the
+    * next call.
+    *
+    * Round 13 (ADVICE r12 #1 — the partial-generation race): the old
+    * sweep deleted ANY non-current dir at seq <= curSeq, liveness be
+    * damned, on the theory that a committed sequence proves every
+    * same-seq stage lost. In the concurrent first-build race that
+    * LakeCache explicitly documents as benign, that theory kills: the
+    * faster builder's post-commit cleanup deletes the slower builder's
+    * still-in-flight stage at the same seq, the slower builder's
+    * remaining parquet writes silently recreate the dir, and its commit
+    * then publishes a PARTIAL generation that lexicographic resolution
+    * can make current forever. Now a dir is deleted unconditionally
+    * ONLY when a manifest names it (it was a COMPLETE generation —
+    * staging finished before its commit, by protocol order); every
+    * unmanifested dir — in-flight stage at any seq — needs the same
+    * dead-writer-or-stale proof regardless of its sequence number.
+    *
+    * `retireMs` (round 13 — ADVICE r12 #4): superseded COMMITTED
+    * generations are retired only once the manifest that superseded
+    * them is older than this window, so a concurrent reader that
+    * resolved the previous generation just before a swap keeps its
+    * file listing alive for the window — the snapshot-retention
+    * behavior of the manifest-pointer table formats. Deterministic
+    * derived caches default to 0 (byte-equal content, single-process
+    * serving); the mutable index/frame verbs pass
+    * [[RetireSupersededMs]]. */
+  def cleanup(
+      dir: String, table: String, staleMs: Long = StaleStageMs,
+      retireMs: Long = 0L): Unit =
+    currentEntry(dir, table).foreach { case (_, curGen) =>
       val base = new Path(dir)
       val fs = fsOf(base)
-      // older manifests first: once gone, their gens are plain orphans
       val md = manifestDir(dir)
-      entries(dir, table).dropRight(1).foreach { case (seq, gen) =>
+      val now = System.currentTimeMillis()
+      val all = entries(dir, table)
+      // a superseded entry's retirement clock starts when its SUCCESSOR
+      // committed (= the next manifest's creation time)
+      val superseded = all.dropRight(1).zip(all.drop(1)).filter {
+        case (_, (nextSeq, nextGen)) =>
+          val nextM = new Path(md, f"$table.m$nextSeq%09d_$nextGen")
+          val t = try fs.getFileStatus(nextM).getModificationTime
+                  catch { case _: java.io.FileNotFoundException => now }
+          now - t > retireMs
+      }.map(_._1)
+      // manifests first: once gone, their gens are plain orphans even
+      // if this call crashes between the two deletes
+      superseded.foreach { case (seq, gen) =>
         fs.delete(new Path(md, f"$table.m$seq%09d_$gen"), false)
       }
-      val now = System.currentTimeMillis()
+      val manifested = entries(dir, table).map(_._2).toSet
+      superseded.foreach { case (_, gen) =>
+        fs.delete(new Path(dir, gen), true)
+      }
       fs.listStatus(base).toSeq.filter(_.isDirectory).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith(s"$table.g") && n != curGen) {
-          val seq = n.stripPrefix(s"$table.g").takeWhile(_.isDigit)
-            .toLongOption.getOrElse(Long.MaxValue)
-          val writerDead = writerPid(n).exists(p =>
-            !java.lang.ProcessHandle.of(p).isPresent)
+        if (n.startsWith(s"$table.g") && n != curGen &&
+          !manifested.contains(n)) {
           val stale = now - st.getModificationTime > staleMs
-          // at/below the committed seq = superseded or provably lost
-          // (under the single-writer contract no legitimate stage can
-          // still be in flight at a sequence that already committed);
-          // above it = an in-flight stage — sweep only when the writer
-          // is provably dead or the dir is stale
-          if (seq <= curSeq || writerDead || stale)
+          if (writerProvablyDead(n) || stale)
             fs.delete(st.getPath, true)
         }
       }
     }
+
+  /** Retention window for superseded committed generations under the
+    * MUTABLE index/frame verbs — long enough for any in-flight query
+    * that resolved the previous generation to finish its scan. */
+  val RetireSupersededMs: Long = 15L * 60 * 1000
+
+  // ---- writer lease (round 13 — VERDICT r12 #3): the single-writer
+  // contract, made CHECKABLE. Mutating verbs hold a heartbeat lease
+  // file under _manifests while they run; a second writer is refused
+  // while the lease is live, and a crashed writer's lease expires by
+  // age so the table can never be wedged — stale-lease takeover
+  // replaces trusting the contract with verifying it. The lease file's
+  // CONTENT carries the holder (host tag + pid) and its MTIME is the
+  // heartbeat; acquisition is create-fail-if-exists, the same one
+  // atomic primitive the commit protocol already rests on. Re-entrant
+  // within a process (maintain drives ingest/build/compact, each of
+  // which guards itself), via a depth counter per (dir, table).
+
+  /** How long a held lease fences other writers after its last
+    * heartbeat — longer than any single verb, far shorter than the
+    * stale-stage age, so a crash frees the table quickly. */
+  val LeaseTtlMs: Long = 10L * 60 * 1000
+
+  private def leasePath(dir: String, table: String): Path =
+    new Path(manifestDir(dir), s"$table.lease")
+
+  private val leaseDepth =
+    scala.collection.mutable.Map.empty[(String, String), Int]
+
+  private def leaseOwner: String =
+    s"$hostTag:${java.lang.ProcessHandle.current.pid}"
+
+  /** The live holder of `table`'s lease, if one exists and has not
+    * expired: (owner, isOurs). */
+  def leaseHolder(
+      dir: String, table: String,
+      ttlMs: Long = LeaseTtlMs): Option[(String, Boolean)] = {
+    val lp = leasePath(dir, table)
+    val fs = fsOf(lp)
+    try {
+      val st = fs.getFileStatus(lp)
+      if (System.currentTimeMillis() - st.getModificationTime > ttlMs) None
+      else {
+        val in = fs.open(lp)
+        val owner =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some((owner, owner == leaseOwner))
+      }
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Take (or re-enter) the writer lease. Returns false when another
+    * writer holds a live lease; a lease past `ttlMs` since its last
+    * heartbeat is taken over (delete + create — if two writers race the
+    * takeover, the create-fail-if-exists CAS picks exactly one). */
+  def acquireLease(
+      dir: String, table: String, ttlMs: Long = LeaseTtlMs): Boolean =
+    leaseDepth.synchronized {
+      val key = (dir, table)
+      if (leaseDepth.getOrElse(key, 0) > 0) {
+        leaseDepth(key) = leaseDepth(key) + 1
+        return true
+      }
+      val lp = leasePath(dir, table)
+      val fs = fsOf(lp)
+      fs.mkdirs(manifestDir(dir))
+      leaseHolder(dir, table, ttlMs) match {
+        case Some((_, false)) => false // live foreign lease — refused
+        case other =>
+          // expired (delete the corpse first) or ours from a crashed
+          // same-process run (depth lost — retake)
+          if (other.isDefined || fs.exists(lp)) fs.delete(lp, false)
+          try {
+            val out = fs.create(lp, false)
+            out.write(leaseOwner.getBytes("UTF-8"))
+            out.close()
+            leaseDepth(key) = 1
+            true
+          } catch {
+            case _: FileAlreadyExistsException |
+                 _: org.apache.hadoop.fs.PathExistsException => false
+          }
+      }
+    }
+
+  /** Heartbeat: push the lease's mtime forward mid-verb so a long
+    * build never expires under its own writer. */
+  def renewLease(dir: String, table: String): Unit = {
+    val lp = leasePath(dir, table)
+    try fsOf(lp).setTimes(lp, System.currentTimeMillis(), -1)
+    catch { case _: Exception => () }
+  }
+
+  def releaseLease(dir: String, table: String): Unit =
+    leaseDepth.synchronized {
+      val key = (dir, table)
+      val d = leaseDepth.getOrElse(key, 0)
+      if (d > 1) leaseDepth(key) = d - 1
+      else {
+        leaseDepth.remove(key)
+        val lp = leasePath(dir, table)
+        fsOf(lp).delete(lp, false)
+      }
+    }
+
+  /** Run `f` holding the writer lease — the guard every mutating verb
+    * wraps itself in. Refusal (a live foreign lease) throws rather than
+    * waits: the single-writer deployments this protects never contend
+    * in a healthy state, so contention means a broken orchestrator. */
+  def withLease[T](dir: String, table: String, ttlMs: Long = LeaseTtlMs)(
+      f: => T): T = {
+    require(acquireLease(dir, table, ttlMs),
+      s"writer lease for $table under $dir is held by " +
+        s"${leaseHolder(dir, table, ttlMs).map(_._1).getOrElse("?")} — " +
+        "a second concurrent writer violates the single-writer contract" +
+        " (stale leases are taken over after the TTL)")
+    try f finally releaseLease(dir, table)
+  }
+
+  // ---- generation layout stamp (round 13 — VERDICT r12 #6): a code
+  // upgrade that changes a generation's table layout used to rely on
+  // fingerprint churn to avoid misreading old state — deployment dirs
+  // have no fingerprint, so the r12 manifest-layout migration caused
+  // silent rebuilds (BASELINE.md records the incident). Writers stamp
+  // each generation with their layout number AFTER every table write
+  // (the stamp doubles as a completeness seal); readers REFUSE a
+  // mismatch instead of guessing.
+
+  private val LayoutPrefix = "_layout_"
+
+  /** Stamp `genPath` as written under layout `n` — the LAST write of
+    * every stage, so a dir holding the stamp holds the whole
+    * generation. */
+  def stampLayout(genPath: String, n: Int): Unit =
+    createMarker(s"$genPath/$LayoutPrefix$n")
+
+  /** The layout a generation was stamped with, if any (pre-r13
+    * generations carry none). */
+  def layoutOf(genPath: String): Option[Int] = {
+    val p = new Path(genPath)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collectFirst { case n if n.startsWith(LayoutPrefix) =>
+        n.stripPrefix(LayoutPrefix).toInt }
+  }
+
+  /** Reader-side guard: serving a generation written under a different
+    * layout is refused, not reinterpreted — migration is an explicit
+    * rebuild, never a silent misread. */
+  def requireLayout(genPath: String, expected: Int, what: String): Unit = {
+    val found = layoutOf(genPath)
+    require(found.contains(expected),
+      s"$what generation $genPath carries layout " +
+        s"${found.map(_.toString).getOrElse("<unstamped, pre-r13>")} but " +
+        s"this reader speaks layout $expected — rebuild or migrate the " +
+        "state; refusing to misread it")
+  }
 
   private val ManifestName = """^(.+)\.m(\d{9})_(.+)$""".r
 

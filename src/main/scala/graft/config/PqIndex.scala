@@ -33,6 +33,11 @@ import org.apache.spark.sql.functions._
   */
 object PqIndex {
 
+  /** Generation layout version (round 13 — VERDICT r12 #6): stamped on
+    * write, required on read — see [[IvfIndex.Layout]]. 3 = codebook +
+    * codes + meta under an explicit stamp. */
+  val Layout = 3
+
   private val Table = "pq"
 
   /** Index dir for `sfDir`'s embeddings table, training it (once per
@@ -42,7 +47,7 @@ object PqIndex {
   def ensure(spark: SparkSession, sfDir: String): String =
     LakeCache.ensure(
       s"$sfDir/embeddings.parquet",
-      s"pq:v2:m=${Llm.PqM}:dsub=${Llm.PqD}:k=${Llm.PqK}:lloyd=1",
+      s"pq:v3:m=${Llm.PqM}:dsub=${Llm.PqD}:k=${Llm.PqK}:lloyd=1",
       "graft_pq_index") { tmp =>
       val e = graft.Tables(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("embedding"))
@@ -57,7 +62,7 @@ object PqIndex {
   def ensureBase(spark: SparkSession, sfDir: String, boundary: Long): String =
     LakeCache.ensure(
       s"$sfDir/embeddings.parquet",
-      s"pq:v2:m=${Llm.PqM}:dsub=${Llm.PqD}:k=${Llm.PqK}:lloyd=1:base=$boundary",
+      s"pq:v3:m=${Llm.PqM}:dsub=${Llm.PqD}:k=${Llm.PqK}:lloyd=1:base=$boundary",
       "graft_pq_index") { tmp =>
       build(spark,
         graft.Tables(spark, sfDir, "embeddings")
@@ -69,7 +74,8 @@ object PqIndex {
     * frame-parameterized so ScaleSmoke can build synthetic-scale
     * indexes through the same code. */
   def build(spark: SparkSession, e: DataFrame, dir: String,
-      compactTauMicro: Long = IvfIndex.CompactTauMicro): Unit = {
+      compactTauMicro: Long = IvfIndex.CompactTauMicro): Unit =
+    LakeCommit.withLease(dir, Table) {
     // the subspace tick-frame feeds seeding + two assignment passes —
     // one materialization instead of three scans
     val sv = Llm.pqSubFrame(e).persist()
@@ -85,9 +91,11 @@ object PqIndex {
       spark.range(1)
         .select(lit(compactTauMicro).as("compact_tau_micro"))
         .coalesce(1).write.parquet(s"$stage/meta")
+      LakeCommit.stampLayout(stage, Layout)
       require(LakeCommit.commit(dir, Table, stage),
         s"build: another writer published $stage first")
-      LakeCommit.cleanup(dir, Table)
+      LakeCommit.cleanup(dir, Table,
+        retireMs = LakeCommit.RetireSupersededMs)
     } finally sv.unpersist()
   }
 
@@ -97,7 +105,8 @@ object PqIndex {
     * the IVF drift gate upstream when the two serve together, as in
     * llm_ivfpq_topk), then fold the tombstones when their fraction
     * exceeds the STORED τ. Returns "ingest" or "ingest+compact". */
-  def maintain(spark: SparkSession, dir: String, batch: DataFrame): String = {
+  def maintain(spark: SparkSession, dir: String, batch: DataFrame): String =
+    LakeCommit.withLease(dir, Table) {
     ingest(spark, dir, batch)
     val tauMicro = spark.read.parquet(s"${genDir(dir)}/meta")
       .head().getLong(0)
@@ -118,22 +127,24 @@ object PqIndex {
     * explicit drift decision, never an ingest side effect. Exactly-once
     * is the caller's contract (replaying a batch would duplicate its
     * code rows). */
-  def ingest(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
-    requireMutable(dir, "ingest")
-    val sv = Llm.pqSubFrame(batch.select(col("vec_id"), col("embedding")))
-    Llm.pqCodesPacked(Llm.pqAssign(sv, codebook(spark, dir)))
-      .write.mode("append").parquet(s"${genDir(dir)}/codes")
-  }
+  def ingest(spark: SparkSession, dir: String, batch: DataFrame): Unit =
+    LakeCommit.withLease(dir, Table) {
+      requireMutable(dir, "ingest")
+      val sv = Llm.pqSubFrame(batch.select(col("vec_id"), col("embedding")))
+      Llm.pqCodesPacked(Llm.pqAssign(sv, codebook(spark, dir)))
+        .write.mode("append").parquet(s"${genDir(dir)}/codes")
+    }
 
   /** Tombstone vec_ids — [[IvfIndex.delete]]'s marker protocol applied
     * to the code table: deletes append ids outside the generation dirs,
     * serving anti-joins [[tombstones]], [[compact]] folds exactly the
     * snapshotted marker files. Idempotent on repeats. */
-  def delete(spark: SparkSession, dir: String, vecIds: DataFrame): Unit = {
-    requireMutable(dir, "delete")
-    vecIds.select(col("vec_id")).distinct().coalesce(1)
-      .write.mode("append").parquet(s"$dir/tombstones")
-  }
+  def delete(spark: SparkSession, dir: String, vecIds: DataFrame): Unit =
+    LakeCommit.withLease(dir, Table) {
+      requireMutable(dir, "delete")
+      vecIds.select(col("vec_id")).distinct().coalesce(1)
+        .write.mode("append").parquet(s"$dir/tombstones")
+    }
 
   def tombstones(spark: SparkSession, dir: String): DataFrame = {
     val files = LakeCommit.dataFiles(s"$dir/tombstones")
@@ -151,14 +162,15 @@ object PqIndex {
 
   /** Crash-matrix step hook — see [[IvfIndex.compactSteps]]. */
   private[graft] def compactSteps(
-      spark: SparkSession, dir: String, steps: Int): Unit = {
+      spark: SparkSession, dir: String, steps: Int,
+      retireMs: Long = LakeCommit.RetireSupersededMs): Unit =
+    LakeCommit.withLease(dir, Table) {
     requireMutable(dir, "compact")
     val snap = LakeCommit.dataFiles(s"$dir/tombstones")
     if (snap.isEmpty) {
       // converge after a crash between marker clear and retire
-      if (steps >= 4) LakeCommit.cleanup(dir, Table)
-      return
-    }
+      if (steps >= 4) LakeCommit.cleanup(dir, Table, retireMs = retireMs)
+    } else {
     val dead = spark.read.parquet(snap: _*).select("vec_id").distinct()
     val live = codes(spark, dir).join(dead, Seq("vec_id"), "left_anti")
     val stage = LakeCommit.stage(dir, Table)
@@ -166,19 +178,26 @@ object PqIndex {
     spark.read.parquet(s"${genDir(dir)}/meta")
       .coalesce(1).write.parquet(s"$stage/meta")
     live.write.parquet(s"$stage/codes")
-    if (steps < 2) return
+    LakeCommit.stampLayout(stage, Layout)
+    if (steps >= 2) {
     require(LakeCommit.commit(dir, Table, stage),
       s"compact: a racing writer published $stage first")
-    if (steps < 3) return
+    if (steps >= 3) {
     snap.foreach(LakeCommit.deleteFile)
     LakeCommit.deleteDirIfEmpty(s"$dir/tombstones")
-    if (steps < 4) return
-    LakeCommit.cleanup(dir, Table)
+    if (steps >= 4)
+    LakeCommit.cleanup(dir, Table, retireMs = retireMs)
+    }
+    }
+    }
   }
 
-  private[graft] def genDir(dir: String): String =
-    LakeCommit.currentGen(dir, Table).getOrElse(
+  private[graft] def genDir(dir: String): String = {
+    val g = LakeCommit.currentGen(dir, Table).getOrElse(
       sys.error(s"no committed pq generation under $dir"))
+    LakeCommit.requireLayout(g, Layout, "pq index")
+    g
+  }
 
   private def requireMutable(dir: String, verb: String): Unit =
     require(!LakeCache.isManaged(dir),

@@ -263,7 +263,19 @@ private[graft] object LakeCache {
       .map("%02x".format(_)).mkString
     val root =
       new java.io.File(sys.props("java.io.tmpdir"), rootName).toString
-    LakeCommit.currentGen(root, fp) match {
+    // round 13 (ADVICE r12 #3): a committed generation whose dir is
+    // GONE (an operator rm, a misjudged sweep) must read as "no
+    // committed state" — the old path touch()ed the missing dir,
+    // threw, and left the cache permanently wedged behind a pointer to
+    // nothing. Drop the dangling manifests and fall through to a
+    // rebuild: the fingerprint protocol rebuilds exactly what the lost
+    // dir held.
+    val resolved = LakeCommit.currentGen(root, fp).filter { gen =>
+      val ok = LakeCommit.exists(gen)
+      if (!ok) LakeCommit.deleteTable(root, fp)
+      ok
+    }
+    resolved match {
       case Some(gen) =>
         // LRU touch: the retention sweep ranks fingerprints by their
         // serving generation's mtime
@@ -310,12 +322,15 @@ private[graft] object LakeCache {
     LakeCommit.listDirs(root).foreach { p =>
       val n = new java.io.File(p).getName
       if (!referenced.contains(n)) {
-        // writer pid rides the dir name in both layouts:
-        // `<fp>.g<seq>-<pid>[-nonce]` (manifest era) and `<fp>.tmp.<pid>`
-        val pid = LakeCommit.writerPid(n)
-          .orElse(n.split('.').lastOption.flatMap(_.toLongOption))
-        val writerDead =
-          pid.exists(x => !java.lang.ProcessHandle.of(x).isPresent)
+        // writer identity rides the dir name in all three layouts:
+        // `<fp>.g<seq>-<host>-<pid>-<nonce>` (r13), `<fp>.g<seq>-<pid>
+        // [-nonce]` (r12 — pre-host-tag, necessarily this host), and
+        // `<fp>.tmp.<pid>` (pre-manifest). Cross-host writers are never
+        // provably dead (ADVICE r12 #2) — only the age rule sweeps them.
+        val writerDead = LakeCommit.writerProvablyDead(n) ||
+          (!n.contains(".g") && n.split('.').lastOption
+            .flatMap(_.toLongOption)
+            .exists(x => !java.lang.ProcessHandle.of(x).isPresent))
         val stale =
           now - LakeCommit.modTime(p) > LakeCommit.StaleStageMs
         if (writerDead || stale) LakeCommit.deleteRecursive(p)

@@ -359,47 +359,7 @@ object Extras {
     // plan, so Spark's ReusedExchange serves the edge/outw subtrees from
     // the first shuffle instead of rescanning; an open-ended production
     // loop would checkpoint per round like operators/Components does.
-    Q("graph_pagerank",
-      """WITH pair AS (
-        |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
-        |         CAST(count(*) AS BIGINT) AS cnt
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |  GROUP BY 1, 2
-        |), edges AS (
-        |  SELECT c AS src, s AS dst, cnt FROM pair
-        |  UNION ALL
-        |  SELECT s AS src, c AS dst, cnt FROM pair
-        |), outw AS (
-        |  SELECT src, CAST(sum(cnt) AS BIGINT) AS w FROM edges GROUP BY src
-        |), n AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM outw
-        |), r0 AS (
-        |  SELECT src AS node, CAST(1000000000000 // n_nodes AS BIGINT) AS rank
-        |  FROM outw CROSS JOIN n
-        |), r1 AS (
-        |  SELECT e.dst AS node,
-        |         CAST((150000000000 // n_nodes)
-        |              + (85 * sum((r.rank * e.cnt) // o.w)) // 100 AS BIGINT) AS rank
-        |  FROM edges e JOIN r0 r ON r.node = e.src
-        |               JOIN outw o ON o.src = e.src CROSS JOIN n
-        |  GROUP BY e.dst, n_nodes
-        |), r2 AS (
-        |  SELECT e.dst AS node,
-        |         CAST((150000000000 // n_nodes)
-        |              + (85 * sum((r.rank * e.cnt) // o.w)) // 100 AS BIGINT) AS rank
-        |  FROM edges e JOIN r1 r ON r.node = e.src
-        |               JOIN outw o ON o.src = e.src CROSS JOIN n
-        |  GROUP BY e.dst, n_nodes
-        |), r3 AS (
-        |  SELECT e.dst AS node,
-        |         CAST((150000000000 // n_nodes)
-        |              + (85 * sum((r.rank * e.cnt) // o.w)) // 100 AS BIGINT) AS rank
-        |  FROM edges e JOIN r2 r ON r.node = e.src
-        |               JOIN outw o ON o.src = e.src CROSS JOIN n
-        |  GROUP BY e.dst, n_nodes
-        |)
-        |SELECT node, rank FROM r3
-        |ORDER BY rank DESC, node LIMIT 20""".stripMargin) { (s, d) =>
+    Q("graph_pagerank", pagerankOracle) { (s, d) =>
       val pair = custSuppPairs(s, d)
       // symmetrize via two-struct explode (ONE evaluation of the
       // materialized pair frame — the unionAll form read it twice)
@@ -982,28 +942,55 @@ object Extras {
     // required (see trianglesByDegree). Same 1997 co-order graph as
     // graph_triangles. One symmetrize + two groupBys; the first groupBy
     // keys on the node, the second on the (tiny) degree domain.
-    Q("graph_degree_dist",
-      """WITH lp AS (
-        |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-        |    AND o_orderdate < TIMESTAMP '1998-01-01'
-        |), e AS (
-        |  SELECT DISTINCT x.p AS a, y.p AS b
-        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
-        |), deg AS (
-        |  SELECT u, count(*) AS degree FROM (
-        |    SELECT a AS u FROM e UNION ALL SELECT b AS u FROM e
-        |  ) GROUP BY u
-        |)
-        |SELECT CAST(degree AS BIGINT) AS degree,
-        |       CAST(count(*) AS BIGINT) AS n_nodes
-        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin) { (s, d) =>
+    Q("graph_degree_dist", degreeDistOracle) { (s, d) =>
       coOrderEdges(s, d, "1997-01-01", "1998-01-01")
         .select(explode(array(col("a"), col("b"))).as("u"))
         .groupBy("u").agg(count(lit(1)).as("degree"))
         .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
         .orderBy("degree")
+    },
+
+    // MAINTAINED-frame twin of graph_degree_dist (round 13 — VERDICT
+    // r12 #1, the round's top ask): the same degree distribution, but
+    // SERVED from the incrementally-maintained AnalyticFrames co-order
+    // frame — built on the 1997 H1 orders, then two ∝-batch ingests
+    // (Q3, Q4) append their edge segments, exactly the nightly
+    // deployment lifecycle. The serve is the frame's merge-on-read
+    // shape: a multi-segment scan + ONE distinct restoring set
+    // semantics across segments (PlanSpec pins segments>1 and the
+    // distinct). The oracle is the FULL derivation from the base
+    // tables — identical text to graph_degree_dist — so maintained
+    // state that drifted from the derivation hash-mismatches the
+    // moment it serves: the llm_incremental_neardup_registry doctrine
+    // extended to the graph frames, which until this round were
+    // spec-proven but never oracle-verified as served product.
+    Q("graph_degree_dist_maintained", degreeDistOracle) { (s, d) =>
+      coOrderEdgesMaintained(s, d)
+        .select(explode(array(col("a"), col("b"))).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    },
+
+    // MAINTAINED-frame twin of graph_pagerank (round 13 — VERDICT r12
+    // #1): the identical integer-mass 3-round PageRank, but the
+    // customer↔supplier pair frame arrives from AnalyticFrames after
+    // build-on-a-third + two ∝-batch ingests. cnt partials over
+    // disjoint order batches merge ADDITIVELY, so the serve is one
+    // bounded groupBy-sum over (build ∪ segments) — the frame's
+    // merge-on-read law, here under the full DuckDB oracle replay of
+    // the derivation + all three rank rounds. Identical oracle text to
+    // graph_pagerank: two declared keys, one truth — recompute twin
+    // and maintained-serving twin can never drift apart silently.
+    Q("graph_pagerank_maintained", pagerankOracle) { (s, d) =>
+      val pair = custSuppPairsMaintained(s, d)
+      val edges = pair.select(explode(array(
+          struct(col("c").as("src"), col("s").as("dst"), col("cnt")),
+          struct(col("s").as("src"), col("c").as("dst"), col("cnt")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.cnt").as("cnt"))
+      pageRank(edges, 3, noDanglings = true)
+        .orderBy(col("rank").desc, col("node")).limit(20)
     },
 
     // Average neighbor degree by degree class — knn(k) (round 11): the
@@ -1915,6 +1902,121 @@ object Extras {
         round(col("n_tri") * 1.0 / col("wedges"), 6))
       .orderBy(col("degree").desc, col("node"))
       .limit(k)
+  }
+
+  /** The ONE degree-distribution oracle text — shared verbatim by
+    * graph_degree_dist (live-derivation serving) and
+    * graph_degree_dist_maintained (incrementally-maintained frame
+    * serving), so the two can never drift (round 13 — VERDICT r12 #1). */
+  private lazy val degreeDistOracle: String =
+    """WITH lp AS (
+      |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01'
+      |), e AS (
+      |  SELECT DISTINCT x.p AS a, y.p AS b
+      |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+      |), deg AS (
+      |  SELECT u, count(*) AS degree FROM (
+      |    SELECT a AS u FROM e UNION ALL SELECT b AS u FROM e
+      |  ) GROUP BY u
+      |)
+      |SELECT CAST(degree AS BIGINT) AS degree,
+      |       CAST(count(*) AS BIGINT) AS n_nodes
+      |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+
+  /** The ONE weighted-PageRank oracle text — shared by graph_pagerank
+    * and graph_pagerank_maintained (round 13 — VERDICT r12 #1). */
+  private lazy val pagerankOracle: String =
+      """WITH pair AS (
+        |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2
+        |), edges AS (
+        |  SELECT c AS src, s AS dst, cnt FROM pair
+        |  UNION ALL
+        |  SELECT s AS src, c AS dst, cnt FROM pair
+        |), outw AS (
+        |  SELECT src, CAST(sum(cnt) AS BIGINT) AS w FROM edges GROUP BY src
+        |), n AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM outw
+        |), r0 AS (
+        |  SELECT src AS node, CAST(1000000000000 // n_nodes AS BIGINT) AS rank
+        |  FROM outw CROSS JOIN n
+        |), r1 AS (
+        |  SELECT e.dst AS node,
+        |         CAST((150000000000 // n_nodes)
+        |              + (85 * sum((r.rank * e.cnt) // o.w)) // 100 AS BIGINT) AS rank
+        |  FROM edges e JOIN r0 r ON r.node = e.src
+        |               JOIN outw o ON o.src = e.src CROSS JOIN n
+        |  GROUP BY e.dst, n_nodes
+        |), r2 AS (
+        |  SELECT e.dst AS node,
+        |         CAST((150000000000 // n_nodes)
+        |              + (85 * sum((r.rank * e.cnt) // o.w)) // 100 AS BIGINT) AS rank
+        |  FROM edges e JOIN r1 r ON r.node = e.src
+        |               JOIN outw o ON o.src = e.src CROSS JOIN n
+        |  GROUP BY e.dst, n_nodes
+        |), r3 AS (
+        |  SELECT e.dst AS node,
+        |         CAST((150000000000 // n_nodes)
+        |              + (85 * sum((r.rank * e.cnt) // o.w)) // 100 AS BIGINT) AS rank
+        |  FROM edges e JOIN r2 r ON r.node = e.src
+        |               JOIN outw o ON o.src = e.src CROSS JOIN n
+        |  GROUP BY e.dst, n_nodes
+        |)
+        |SELECT node, rank FROM r3
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+
+  /** MAINTAINED co-order frame root for `d` (round 13 — VERDICT r12
+    * #1): the declared twin builds the [[graft.config.AnalyticFrames]]
+    * co-order frame on the 1997 H1 orders and ∝-batch-ingests Q3 and
+    * Q4 — the deployment lifecycle, replayed once per source
+    * fingerprint so the cached state IS the segmented frame a nightly
+    * pipeline serves (the ensureCorpusRegistry pattern). Serving is the
+    * frame's own merge-on-read read (multi-segment scan + distinct),
+    * re-spread on the distribution key per the 1-split lesson. */
+  private def coOrderEdgesMaintained(
+      s: SparkSession, d: String): DataFrame = {
+    val dir = graft.config.LakeCache.ensure(
+      Seq(s"$d/orders.parquet", s"$d/lineitem.parquet"),
+      "coorder:maintained:v1:1997", "graft_frames_maintained") { tmp =>
+      val lines = Tables(s, d, "lineitem")
+      def ordersIn(from: String, to: String) = Tables(s, d, "orders")
+        .where(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(to).cast("timestamp"))
+      graft.config.AnalyticFrames.buildCoOrder(
+        s, ordersIn("1997-01-01", "1997-07-01"), lines, tmp)
+      graft.config.AnalyticFrames.ingestCoOrder(
+        s, tmp, ordersIn("1997-07-01", "1997-10-01"), lines)
+      graft.config.AnalyticFrames.ingestCoOrder(
+        s, tmp, ordersIn("1997-10-01", "1998-01-01"), lines)
+    }
+    graft.config.AnalyticFrames.coOrderEdges(s, dir)
+      .repartition(col("a"), col("b"))
+  }
+
+  /** MAINTAINED customer↔supplier pair frame for `d` (round 13): build
+    * on a third of the orders, ingest the other two thirds as complete-
+    * order batches; the serve's bounded groupBy-sum merges the additive
+    * cnt partials — [[graft.config.AnalyticFrames.custSuppPairs]]'s
+    * merge-on-read law under a declared oracle. */
+  private def custSuppPairsMaintained(
+      s: SparkSession, d: String): DataFrame = {
+    val dir = graft.config.LakeCache.ensure(
+      Seq(s"$d/orders.parquet", s"$d/lineitem.parquet"),
+      "custsupp:maintained:v1", "graft_frames_maintained") { tmp =>
+      val lines = Tables(s, d, "lineitem")
+      def slice(r: Int) = Tables(s, d, "orders")
+        .where(pmod(col("o_orderkey"), lit(3)) === r)
+      graft.config.AnalyticFrames.buildCustSupp(s, slice(0), lines, tmp)
+      graft.config.AnalyticFrames.ingestCustSupp(s, tmp, slice(1), lines)
+      graft.config.AnalyticFrames.ingestCustSupp(s, tmp, slice(2), lines)
+    }
+    graft.config.AnalyticFrames.custSuppPairs(s, dir)
+      .repartition(col("c"), col("s"))
   }
 
   /** The customer↔supplier transaction pair frame (c = 2·cust,

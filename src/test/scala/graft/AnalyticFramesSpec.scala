@@ -57,6 +57,11 @@ class AnalyticFramesSpec extends AnyFunSuite {
       assert(got == full, "accumulated frame must equal the full derivation")
       AnalyticFrames.compactCoOrder(spark, dir)
       assert(served == full, "compaction must not change the served set")
+      // round 13 (ADVICE r12 #4): the superseded generation outlives
+      // the publish for the retention window; the aged sweep retires it
+      assert(new java.io.File(dir).listFiles
+        .count(f => f.isDirectory && f.getName.startsWith("frame.g")) == 2)
+      graft.config.LakeCommit.cleanup(dir, "frame", retireMs = 0)
       assert(new java.io.File(dir).listFiles
         .count(f => f.isDirectory && f.getName.startsWith("frame.g")) == 1)
     } finally rm(dir)
@@ -108,6 +113,63 @@ class AnalyticFramesSpec extends AnyFunSuite {
       assert(served == full,
         "accumulated pair frame must equal the full recompute")
       assert(served.nonEmpty)
+      // round 13 (VERDICT r12 #2): the pair frame now has its compact
+      // verb — fold the per-ingest segments, serve the same set, keep
+      // ingesting afterwards (the folded registry still answers)
+      def pairSegs(): Int = {
+        graft.config.LakeCommit.cleanup(dir, "frame", retireMs = 0)
+        frameFiles(dir, "pairs").size
+      }
+      val preFold = pairSegs()
+      assert(preFold >= 3, s"build + 2 ingests must leave >=3 segments")
+      AnalyticFrames.compactNearDupPairs(spark, dir)
+      assert(pairSegs() < preFold,
+        "compaction must fold the per-ingest pair segments")
+      val afterFold = AnalyticFrames.nearDupPairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(afterFold == full,
+        "compaction must not change the served pair set")
+    } finally rm(dir)
+  }
+
+  test("streaming doc batches drive the near-dup pair frame through " +
+    "foreachBatch, across a MID-STREAM compact: final frame == the " +
+    "batch-built frame (r13 — VERDICT r12 #5)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables(spark, d, "documents").select("doc_id", "text")
+    val dir = tmp("graft_frame_stream")
+    try {
+      AnalyticFrames.buildNearDupPairs(spark,
+        docs.where(col("doc_id") < 300), dir)
+      val rows = docs.where(col("doc_id") >= 300).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          AnalyticFrames.ingestNearDupPairs(spark, dir, batch)
+        }
+        .start()
+      // epoch 1 → compact (the frame must keep accepting appends after
+      // a generation swap) → epoch 2; processAllAvailable pins the
+      // epoch boundaries, as in IvfSpec's policy loop
+      input.addData(rows.take(100).toSeq)
+      q.processAllAvailable()
+      AnalyticFrames.compactNearDupPairs(spark, dir)
+      input.addData(rows.drop(100).toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val served = AnalyticFrames.nearDupPairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val full = operators.Llm.minhashVerified(docs)
+        .where(col("est_jaccard") >= config.SketchRegistry.JaccardMin)
+        .select("d1", "d2", "est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      spark.catalog.clearCache()
+      assert(served == full,
+        "streamed ingest across a compact must equal the full recompute")
     } finally rm(dir)
   }
 }

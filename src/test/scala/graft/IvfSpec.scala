@@ -314,15 +314,21 @@ class IvfSpec extends AnyFunSuite {
       assert(before.nonEmpty)
       assert(!before.exists(_.getLong(1) % 50 == 0),
         "no tombstoned id may be served")
-      // compact: markers folded, same answers, exactly ONE committed
-      // generation remains (superseded gens + stages retired)
+      // compact: markers folded, same answers. Round 13 (ADVICE r12
+      // #4): the superseded generation is RETAINED for the retention
+      // window — a reader that resolved it just before the swap keeps
+      // its file listing — and the AGED sweep then retires it
       val preLive = 400L - nDead
       graft.config.IvfIndex.compact(spark, dir)
       assert(!new java.io.File(s"$dir/tombstones").exists)
-      val gens = new java.io.File(dir).listFiles
+      def gens() = new java.io.File(dir).listFiles
         .filter(f => f.isDirectory && f.getName.startsWith("index.g"))
-      assert(gens.length == 1,
-        s"compact must retire superseded generations: ${gens.toSeq}")
+      assert(gens().length == 2,
+        s"the superseded generation must survive the retention window: " +
+          s"${gens().toSeq}")
+      graft.config.LakeCommit.cleanup(dir, "index", retireMs = 0)
+      assert(gens().length == 1,
+        s"the aged sweep must retire superseded generations: ${gens().toSeq}")
       assert(graft.config.IvfIndex.assignments(spark, dir).count() == preLive)
       assert(serve() == before,
         "compaction must not change what the index serves")
@@ -358,9 +364,10 @@ class IvfSpec extends AnyFunSuite {
       assert(!before.keySet.exists(_ % 50 == 0))
       graft.config.PqIndex.compact(spark, dir)
       assert(!new java.io.File(s"$dir/tombstones").exists)
+      graft.config.LakeCommit.cleanup(dir, "pq", retireMs = 0)
       assert(new java.io.File(dir).listFiles
         .count(f => f.isDirectory && f.getName.startsWith("pq.g")) == 1,
-        "compact must retire superseded pq generations")
+        "the aged sweep must retire superseded pq generations")
       assert(graft.config.PqIndex.codes(spark, dir).count() ==
         400 - nDead)
       assert(live() == before)
@@ -404,9 +411,15 @@ class IvfSpec extends AnyFunSuite {
         graft.config.IvfIndex.compact(spark, dir)
         assert(graft.config.IvfIndex.assignments(spark, dir).count() == 190)
         assert(graft.config.IvfIndex.tombstones(spark, dir).count() == 0)
-        assert(new java.io.File(dir).listFiles
-          .count(f => f.isDirectory && f.getName.startsWith("index.g")) == 1,
-          s"recovery from step $steps must retire superseded generations")
+        // round 13: exactly ONE committed generation after the aged
+        // sweep; the step-1 run's abandoned stage may remain on disk
+        // (its writer — this JVM — is alive, and a live writer's
+        // unmanifested stage is never swept: the ADVICE r12 #1 race
+        // fix) until pid-death or the stale age reclaims it
+        graft.config.LakeCommit.cleanup(dir, "index", retireMs = 0)
+        assert(graft.config.LakeCommit.allEntries(dir)
+          .count(_._1 == "index") == 1,
+          s"recovery from step $steps must leave one committed generation")
       } finally org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(dir))
     }
@@ -558,9 +571,10 @@ class IvfSpec extends AnyFunSuite {
       val a2 = graft.config.IvfIndex.maintain(spark, dir, b2)
       assert(a2 == "retrain", s"got $a2")
       assert(graft.config.IvfIndex.assignments(spark, dir).count() == 500)
+      graft.config.LakeCommit.cleanup(dir, "index", retireMs = 0)
       assert(new java.io.File(dir).listFiles
         .count(f => f.isDirectory && f.getName.startsWith("index.g")) == 1,
-        "retrain must publish one generation and retire the old")
+        "retrain must publish one generation; the aged sweep retires the old")
       val logs = graft.config.IvfIndex.maintlog(spark, dir)
         .orderBy("log_seq").collect()
       assert(logs.map(_.getString(2)).toSeq == Seq("ingest", "retrain"))
