@@ -1614,6 +1614,47 @@ object ScaleSmoke {
         s"maintlog must record the decision sequence (${acts.toSeq})")
     }
 
+    // Append-only state stays BOUNDED (round 13 — VERDICT r12 #2): the
+    // maintlog used to append one file per decision FOREVER and derive
+    // log_seq from an O(n) dir LIST; it now folds itself into a fresh
+    // generation once MaintlogFoldFiles accumulate, and log_seq rides
+    // the rows — so across N decisions the file count any reader LISTs
+    // is capped at fold+1 and the sequence stays gapless through every
+    // fold. 20 decisions cross the 16-file fold threshold once; the
+    // cap and the 1..20 sequence are the recorded law. (The near-dup
+    // pair frame's segment fold is the same law for dedup state —
+    // AnalyticFramesSpec pins served-set invariance across it.)
+    if (only.isEmpty || only.exists("state bounded".contains)) {
+      def emb16b(lo: Long, hi: Long): org.apache.spark.sql.DataFrame =
+        spark.range(lo, hi).select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(16)), j =>
+            ((pmod(xxhash64(col("id"), j), lit(2000)).cast("double")
+              / 1000.0) - 1.0).cast("float")).as("embedding"))
+      val dir = scratchDir("graft_scale_state_bounded")
+      time("state bounded: 20 maintains, maintlog files capped") {
+        config.IvfIndex.build(spark, emb16b(0L, 2000L), dir,
+          8, 32, lloydRounds = 1)
+        var maxFiles = 0
+        for (i <- 0 until 20) {
+          val a = config.IvfIndex.maintain(spark, dir,
+            emb16b(2000L + i * 50, 2050L + i * 50))
+          require(a == "ingest", s"in-distribution batch $i must ingest ($a)")
+          val g = config.LakeCommit.currentGen(dir, "maintlog").get
+          maxFiles = math.max(maxFiles,
+            config.LakeCommit.dataFiles(s"$g/log").length)
+          spark.catalog.clearCache()
+        }
+        require(maxFiles <= config.IvfIndex.MaintlogFoldFiles + 1,
+          s"maintlog LIST must stay capped by the fold ($maxFiles files)")
+        val seqs = config.IvfIndex.maintlog(spark, dir)
+          .orderBy("log_seq").select("log_seq").collect().map(_.getLong(0))
+        require(seqs.toSeq == (1L to 20L),
+          s"log_seq must stay gapless across the fold (${seqs.toSeq})")
+        20L
+      }
+    }
+
     // Analytic-frame ingest law (round 12 — VERDICT r11 #6): the
     // materialized co-order and cust-supp frames accept a nightly
     // batch ∝ batch instead of invalidating their fingerprint and

@@ -878,6 +878,199 @@ object Llm {
        |FROM r WHERE rn <= 5
        |ORDER BY q_id, rn""".stripMargin
 
+  /** Oracle for llm_ivf_maintain_audit (round 13 — VERDICT r12 #8):
+    * replay the WHOLE maintenance decision history from the base
+    * parquet alone — per-dim exact integer micro-moments for every
+    * baseline/batch, the variance-standardized centroid-shift T² in the
+    * SAME left-to-right double summation order as
+    * [[graft.config.IvfIndex.driftT2Micro]]'s loop (a recursive CTE
+    * over dims 1..64 — a plain SUM() would let the engine reorder the
+    * float adds), the threshold compare, and the action/generation/
+    * count bookkeeping. Baselines CHAIN: decision k's baseline depends
+    * on which earlier decision last retrained, so the oracle selects
+    * mA/mAB/mABC per the replayed drift flags — a stored maintlog that
+    * disagrees with ANY part of this derivation hash-mismatches. */
+  private lazy val ivfMaintainAuditOracle: String = {
+    val thr = graft.config.IvfIndex.DriftT2ThresholdMicro
+    s"""WITH RECURSIVE dims AS (SELECT unnest(range(1, 65)) AS i),
+       |bounds AS (
+       |  SELECT (max(vec_id) + 1) * 3 // 5 AS b,
+       |         (max(vec_id) + 1) * 4 // 5 AS b1 FROM embeddings
+       |),
+       |mA AS MATERIALIZED (
+       |  SELECT i,
+       |         sum(CAST(round(x * 1000000) AS BIGINT)) AS s,
+       |         sum(CAST(round(x * x * 1000000) AS BIGINT)) AS q,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM (
+       |    SELECT CAST(embedding[i] AS DOUBLE) AS x, i
+       |    FROM embeddings, dims WHERE vec_id < (SELECT b FROM bounds))
+       |  GROUP BY i
+       |),
+       |mAB AS MATERIALIZED (
+       |  SELECT i,
+       |         sum(CAST(round(x * 1000000) AS BIGINT)) AS s,
+       |         sum(CAST(round(x * x * 1000000) AS BIGINT)) AS q,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM (
+       |    SELECT CAST(embedding[i] AS DOUBLE) AS x, i
+       |    FROM embeddings, dims WHERE vec_id < (SELECT b1 FROM bounds))
+       |  GROUP BY i
+       |),
+       |b1m AS MATERIALIZED (
+       |  SELECT i,
+       |         sum(CAST(round(x * 1000000) AS BIGINT)) AS s,
+       |         sum(CAST(round(x * x * 1000000) AS BIGINT)) AS q,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM (
+       |    SELECT CAST(embedding[i] AS DOUBLE) AS x, i
+       |    FROM embeddings, dims WHERE vec_id >= (SELECT b FROM bounds) AND vec_id < (SELECT b1 FROM bounds))
+       |  GROUP BY i
+       |),
+       |b2m AS MATERIALIZED (
+       |  SELECT i,
+       |         sum(CAST(round(x * 1000000) AS BIGINT)) AS s,
+       |         sum(CAST(round(x * x * 1000000) AS BIGINT)) AS q,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM (
+       |    SELECT CAST(CAST(CAST(embedding[i] AS DOUBLE) + 1.0 AS FLOAT)
+       |                AS DOUBLE) AS x, i
+       |    FROM embeddings, dims WHERE vec_id >= (SELECT b1 FROM bounds))
+       |  GROUP BY i
+       |),
+       |b3m AS MATERIALIZED (
+       |  SELECT i,
+       |         sum(CAST(round(x * 1000000) AS BIGINT)) AS s,
+       |         sum(CAST(round(x * x * 1000000) AS BIGINT)) AS q,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM (
+       |    SELECT CAST(embedding[i] AS DOUBLE) AS x, i
+       |    FROM embeddings, dims WHERE vec_id < 10)
+       |  GROUP BY i
+       |),
+       |mABC AS MATERIALIZED (
+       |  SELECT a.i, a.s + c.s AS s, a.q + c.q AS q, a.n + c.n AS n
+       |  FROM mAB a JOIN b2m c USING (i)
+       |),
+       |cnts AS MATERIALIZED (
+       |  SELECT (SELECT n FROM b1m LIMIT 1) AS n1,
+       |         (SELECT n FROM b2m LIMIT 1) AS n2,
+       |         (SELECT n FROM b3m LIMIT 1) AS n3,
+       |         (SELECT n FROM mAB LIMIT 1) AS tot0,
+       |         (SELECT n FROM mABC LIMIT 1) AS totAll
+       |),
+       |d1dims AS MATERIALIZED (
+       |  SELECT b.i, b.s AS bs, b.q AS bq, b.n AS bn, c.s AS cs, c.n AS cn
+       |  FROM mA b JOIN b1m c USING (i)
+       |),
+       |r1 AS (
+       |  SELECT 0 AS i, CAST(0 AS DOUBLE) AS t2
+       |  UNION ALL
+       |  SELECT r.i + 1, r.t2 +
+       |    (CAST(d.cs AS DOUBLE) / d.cn - CAST(d.bs AS DOUBLE) / d.bn)
+       |      * (CAST(d.cs AS DOUBLE) / d.cn - CAST(d.bs AS DOUBLE) / d.bn)
+       |      / greatest(CAST(d.bq AS DOUBLE) / d.bn * 1000000
+       |                 - (CAST(d.bs AS DOUBLE) / d.bn)
+       |                   * (CAST(d.bs AS DOUBLE) / d.bn), 1.0)
+       |  FROM r1 r JOIN d1dims d ON d.i = r.i + 1
+       |),
+       |d1 AS MATERIALIZED (
+       |  SELECT t2m, t2m > $thr AS drifted FROM (
+       |    SELECT CAST(floor(t2 * (SELECT n1 FROM cnts) / 64 * 1000000)
+       |                AS BIGINT) AS t2m
+       |    FROM r1 WHERE i = 64)
+       |),
+       |base2 AS MATERIALIZED (
+       |  SELECT a.i,
+       |         CASE WHEN (SELECT drifted FROM d1) THEN ab.s ELSE a.s END AS s,
+       |         CASE WHEN (SELECT drifted FROM d1) THEN ab.q ELSE a.q END AS q,
+       |         CASE WHEN (SELECT drifted FROM d1) THEN ab.n ELSE a.n END AS n
+       |  FROM mA a JOIN mAB ab USING (i)
+       |),
+       |d2dims AS MATERIALIZED (
+       |  SELECT b.i, b.s AS bs, b.q AS bq, b.n AS bn, c.s AS cs, c.n AS cn
+       |  FROM base2 b JOIN b2m c USING (i)
+       |),
+       |r2 AS (
+       |  SELECT 0 AS i, CAST(0 AS DOUBLE) AS t2
+       |  UNION ALL
+       |  SELECT r.i + 1, r.t2 +
+       |    (CAST(d.cs AS DOUBLE) / d.cn - CAST(d.bs AS DOUBLE) / d.bn)
+       |      * (CAST(d.cs AS DOUBLE) / d.cn - CAST(d.bs AS DOUBLE) / d.bn)
+       |      / greatest(CAST(d.bq AS DOUBLE) / d.bn * 1000000
+       |                 - (CAST(d.bs AS DOUBLE) / d.bn)
+       |                   * (CAST(d.bs AS DOUBLE) / d.bn), 1.0)
+       |  FROM r2 r JOIN d2dims d ON d.i = r.i + 1
+       |),
+       |d2 AS MATERIALIZED (
+       |  SELECT t2m, t2m > $thr AS drifted FROM (
+       |    SELECT CAST(floor(t2 * (SELECT n2 FROM cnts) / 64 * 1000000)
+       |                AS BIGINT) AS t2m
+       |    FROM r2 WHERE i = 64)
+       |),
+       |base3 AS MATERIALIZED (
+       |  SELECT a.i,
+       |         CASE WHEN (SELECT drifted FROM d2) THEN abc.s
+       |              WHEN (SELECT drifted FROM d1) THEN ab.s
+       |              ELSE a.s END AS s,
+       |         CASE WHEN (SELECT drifted FROM d2) THEN abc.q
+       |              WHEN (SELECT drifted FROM d1) THEN ab.q
+       |              ELSE a.q END AS q,
+       |         CASE WHEN (SELECT drifted FROM d2) THEN abc.n
+       |              WHEN (SELECT drifted FROM d1) THEN ab.n
+       |              ELSE a.n END AS n
+       |  FROM mA a JOIN mAB ab USING (i) JOIN mABC abc USING (i)
+       |),
+       |d3dims AS MATERIALIZED (
+       |  SELECT b.i, b.s AS bs, b.q AS bq, b.n AS bn, c.s AS cs, c.n AS cn
+       |  FROM base3 b JOIN b3m c USING (i)
+       |),
+       |r3 AS (
+       |  SELECT 0 AS i, CAST(0 AS DOUBLE) AS t2
+       |  UNION ALL
+       |  SELECT r.i + 1, r.t2 +
+       |    (CAST(d.cs AS DOUBLE) / d.cn - CAST(d.bs AS DOUBLE) / d.bn)
+       |      * (CAST(d.cs AS DOUBLE) / d.cn - CAST(d.bs AS DOUBLE) / d.bn)
+       |      / greatest(CAST(d.bq AS DOUBLE) / d.bn * 1000000
+       |                 - (CAST(d.bs AS DOUBLE) / d.bn)
+       |                   * (CAST(d.bs AS DOUBLE) / d.bn), 1.0)
+       |  FROM r3 r JOIN d3dims d ON d.i = r.i + 1
+       |),
+       |d3 AS MATERIALIZED (
+       |  SELECT t2m, t2m > $thr AS drifted FROM (
+       |    SELECT CAST(floor(t2 * (SELECT n3 FROM cnts) / 64 * 1000000)
+       |                AS BIGINT) AS t2m
+       |    FROM r3 WHERE i = 64)
+       |)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS log_seq,
+       |         CAST(1 + CASE WHEN d1.drifted THEN 1 ELSE 0 END AS BIGINT)
+       |           AS gen_seq,
+       |         CASE WHEN d1.drifted THEN 'retrain' ELSE 'ingest' END
+       |           AS action,
+       |         c.n1 AS batch_n, c.tot0 AS total_n,
+       |         d1.t2m AS drift_t2_micro,
+       |         CAST($thr AS BIGINT) AS drift_t2_threshold_micro
+       |  FROM d1, cnts c
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT),
+       |         CAST(1 + CASE WHEN d1.drifted THEN 1 ELSE 0 END
+       |                + CASE WHEN d2.drifted THEN 1 ELSE 0 END AS BIGINT),
+       |         CASE WHEN d2.drifted THEN 'retrain' ELSE 'ingest' END,
+       |         c.n2, c.totAll, d2.t2m, CAST($thr AS BIGINT)
+       |  FROM d1, d2, cnts c
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT),
+       |         CAST(1 + CASE WHEN d1.drifted THEN 1 ELSE 0 END
+       |                + CASE WHEN d2.drifted THEN 1 ELSE 0 END
+       |                + CASE WHEN d3.drifted THEN 1 ELSE 0 END AS BIGINT),
+       |         CASE WHEN d3.drifted THEN 'retrain' ELSE 'ingest' END,
+       |         c.n3, c.totAll + c.n3, d3.t2m, CAST($thr AS BIGINT)
+       |  FROM d1, d2, d3, cnts c
+       |)
+       |ORDER BY log_seq""".stripMargin
+  }
+
   /** Tombstone-aware serving oracle (round 11): the IVF probe with a
     * deleted-id set excluded from the candidates — deletes in an
     * append-only inverted file are markers anti-joined at serve time
@@ -5801,6 +5994,28 @@ object Llm {
         .select(col("q_id"), col("n_id"), col("sim"),
           col("rn").cast("long").as("rn"), col("np").as("nprobe_used"))
         .orderBy("q_id", "rn")
+    },
+
+    // MAINTENANCE-DECISION AUDIT (round 13 — VERDICT r12 #8): the
+    // maintenance loop's own dashboard, oracle-verified. The served
+    // frame is the STORED maintlog of a maintained deployment index
+    // (IvfIndex.ensureMaintained replays build → ingest → drift-retrain
+    // → post-retrain ingest once per corpus fingerprint); the oracle
+    // recomputes every decision — exact integer micro-moments, the T²
+    // drift statistic in the same left-to-right summation order as the
+    // engine's loop, the threshold compare, the chained baselines
+    // across the retrain, and the generation/count bookkeeping — from
+    // the base parquet alone. A maintenance loop that logged a wrong
+    // decision, a wrong baseline, or a wrong count hash-mismatches
+    // here; this is llm_dedup_registry_stats' stored-state-under-
+    // recompute-oracle doctrine applied to the policy loop itself.
+    Q("llm_ivf_maintain_audit", ivfMaintainAuditOracle) { (s, d) =>
+      val dir = graft.config.IvfIndex.ensureMaintained(s, d)
+      graft.config.IvfIndex.maintlog(s, dir)
+        .select(col("log_seq"), col("gen_seq"), col("action"),
+          col("batch_n"), col("total_n"), col("drift_t2_micro"),
+          col("drift_t2_threshold_micro"))
+        .orderBy("log_seq")
     },
 
     // FILTERED ANN on the served IVF path (round 11 — VERDICT r10 #2):
