@@ -744,6 +744,152 @@ object Aggregates {
 
     // Batch twin of the streaming tumbling window (§2.J) — oracle-checked
     // here; the streaming variant shares the same grouping logic.
+    // Hopping (sliding) event-time window, batch twin (round 13 —
+    // §2.J's second window shape next to the tumbling key): 1-hour
+    // windows every 15 minutes, so each event lands in exactly FOUR
+    // overlapping windows. Spark's window(ts, '1 hour', '15 minutes')
+    // is the Structured Streaming operator evaluated on a batch frame —
+    // the same plan a readStream would run; the oracle derives the
+    // window set arithmetically (bucket − k·15min for k ∈ 0..3, every
+    // one of which contains ts by construction). Epoch alignment: both
+    // engines' 15-minute grids sit on unix-epoch multiples of 900 s.
+    Q("win_hopping_batch",
+      """SELECT make_timestamp(
+        |         epoch_us(time_bucket(INTERVAL '15 minutes',
+        |                              CAST(ts AS TIMESTAMP)))
+        |         - k.k * 900000000) AS w_start,
+        |       event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events, (SELECT unnest(range(0, 4)) AS k) k
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin) {
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("w_start"), col("event_type"),
+            col("n"))
+          .orderBy("w_start", "event_type")
+    },
+
+    // Cliff's delta (round 13; Cliff 1993): the ORDINAL effect size
+    // between two samples — P(x > y) − P(x < y) — the
+    // distribution-free companion to agg_cohens_d (which assumes
+    // location-scale) and the effect-size readout the Mann-Whitney
+    // p-value lacks. Computed for every returnflag pair over
+    // l_quantity WITHOUT the n² comparison join: quantities live on a
+    // small integer domain, so each group collapses to a bounded
+    // value-histogram and the pairwise counts are one histogram×
+    // histogram theta-join (the agg_mann_whitney / graph_richclub
+    // bounded-domain doctrine. gt/lt counts are exact BIGINT; the
+    // single float op is the final δ division.
+    Q("agg_cliffs_delta",
+      """WITH h AS (
+        |  SELECT l_returnflag AS g, CAST(round(l_quantity) AS BIGINT) AS q,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), n AS (
+        |  SELECT g, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY g
+        |), p AS (
+        |  SELECT a.g AS g1, b.g AS g2,
+        |         CAST(sum(CASE WHEN a.q > b.q THEN a.c * b.c ELSE 0 END)
+        |              AS BIGINT) AS gt,
+        |         CAST(sum(CASE WHEN a.q < b.q THEN a.c * b.c ELSE 0 END)
+        |              AS BIGINT) AS lt
+        |  FROM h a JOIN h b ON a.g < b.g
+        |  GROUP BY 1, 2
+        |)
+        |SELECT g1, g2, n1.n AS n1, n2.n AS n2,
+        |       round(CAST(gt - lt AS DOUBLE) / (n1.n * n2.n), 6)
+        |         AS cliffs_delta
+        |FROM p JOIN n n1 ON n1.g = p.g1 JOIN n n2 ON n2.g = p.g2
+        |ORDER BY g1, g2""".stripMargin) { (s, d) =>
+      val h = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("g"),
+          round(col("l_quantity")).cast("long").as("q"))
+        .agg(count(lit(1)).as("c"))
+        .persist()
+      val n = h.groupBy("g").agg(sum(col("c")).as("n"))
+      val pairs = h.as("a").join(h.as("b"), col("a.g") < col("b.g"))
+        .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
+        .agg(
+          sum(when(col("a.q") > col("b.q"), col("a.c") * col("b.c"))
+            .otherwise(0L)).as("gt"),
+          sum(when(col("a.q") < col("b.q"), col("a.c") * col("b.c"))
+            .otherwise(0L)).as("lt"))
+      pairs
+        .join(n.select(col("g").as("g1"), col("n").as("n1")), Seq("g1"))
+        .join(n.select(col("g").as("g2"), col("n").as("n2")), Seq("g2"))
+        .select(col("g1"), col("g2"), col("n1"), col("n2"),
+          round((col("gt") - col("lt")).cast("double") /
+            (col("n1") * col("n2")), 6).as("cliffs_delta"))
+        .orderBy("g1", "g2")
+    },
+
+    // Simpson's-paradox check (round 13): per-group OLS slope vs the
+    // pooled slope of price-on-quantity, flagging groups whose
+    // association REVERSES when the grouping column is ignored — the
+    // classic aggregation-bias audit a warehouse should run before
+    // publishing any pooled correlation. All second-moment sums are
+    // exact BIGINT on the cent/unit grid (the agg_regression doctrine);
+    // the slope itself is ONE double expression over those sums,
+    // composed identically in both engines — n is CAST to DOUBLE before
+    // the products so the n·Σxy term can never overflow BIGINT at
+    // scale.
+    Q("dq_simpsons_check",
+      """WITH m AS (
+        |  SELECT l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |              AS BIGINT) AS sy,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+        |                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |           AS sxx,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+        |                  * CAST(round(l_extendedprice * 100) AS BIGINT))
+        |              AS BIGINT) AS sxy
+        |  FROM lineitem GROUP BY 1
+        |), pool AS (
+        |  SELECT round((CAST(sum(n) AS DOUBLE) * sum(sxy)
+        |                - CAST(sum(sx) AS DOUBLE) * sum(sy))
+        |               / (CAST(sum(n) AS DOUBLE) * sum(sxx)
+        |                  - CAST(sum(sx) AS DOUBLE) * sum(sx)), 6)
+        |           AS pooled_slope
+        |  FROM m
+        |)
+        |SELECT grp, n,
+        |       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+        |         AS slope,
+        |       pooled_slope,
+        |       (round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |              / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+        |        * pooled_slope < 0) AS sign_reversed
+        |FROM m, pool ORDER BY grp""".stripMargin) { (s, d) =>
+      val x = round(col("l_quantity")).cast("long")
+      val y = round(col("l_extendedprice") * 100).cast("long")
+      val m = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("grp"))
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+        .persist()
+      def slopeOf(n: org.apache.spark.sql.Column,
+          sx: org.apache.spark.sql.Column, sy: org.apache.spark.sql.Column,
+          sxx: org.apache.spark.sql.Column,
+          sxy: org.apache.spark.sql.Column) =
+        round((n.cast("double") * sxy - sx.cast("double") * sy) /
+          (n.cast("double") * sxx - sx.cast("double") * sx), 6)
+      val pool = m.agg(slopeOf(sum(col("n")), sum(col("sx")), sum(col("sy")),
+        sum(col("sxx")), sum(col("sxy"))).as("pooled_slope"))
+      m.crossJoin(broadcast(pool))
+        .select(col("grp"), col("n"),
+          slopeOf(col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"))
+            .as("slope"),
+          col("pooled_slope"),
+          (slopeOf(col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"))
+            * col("pooled_slope") < 0).as("sign_reversed"))
+        .orderBy("grp")
+    },
+
     Q("win_tumbling_batch",
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
         |       CAST(count(*) AS BIGINT) AS n

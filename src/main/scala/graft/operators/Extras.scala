@@ -993,6 +993,150 @@ object Extras {
         .orderBy(col("rank").desc, col("node")).limit(20)
     },
 
+    // Eigenvector centrality via 3 power-iteration rounds (round 13;
+    // Bonacich): rank ∝ the adjacency-weighted sum of neighbors' ranks
+    // — the "important because connected to the important" score, the
+    // undamped cousin of PageRank (no stochastic normalization, no
+    // teleport; influence compounds through hubs instead of being
+    // rationed by out-degree). Graph: the symmetrized weighted
+    // customer↔supplier frame (the graph_pagerank edges). Integer-mass
+    // determinism doctrine: ranks live in BIGINT micro-units and each
+    // round renormalizes by max via ONE truncating division (rank' =
+    // y div (max(y) div 10⁶) — division-first, so no product ever
+    // exceeds ~10¹³ at sf0.1 and the arithmetic replays exactly in both
+    // engines). Plan: per round one equi-join of the persisted
+    // pre-partitioned edge list with the rank vector + one groupBy dst
+    // + a broadcast 1-row max — the pageRank round shape minus the
+    // out-weight join.
+    Q("graph_eigenvector",
+      """WITH pair AS (
+        |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2
+        |), edges AS (
+        |  SELECT c AS src, s AS dst, cnt FROM pair
+        |  UNION ALL
+        |  SELECT s AS src, c AS dst, cnt FROM pair
+        |), r0 AS (
+        |  SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS rank
+        |  FROM edges
+        |), y1 AS (
+        |  SELECT e.dst AS node, CAST(sum(e.cnt * r.rank) AS BIGINT) AS y
+        |  FROM edges e JOIN r0 r ON r.node = e.src GROUP BY 1
+        |), r1 AS (
+        |  SELECT node, CAST(y // (SELECT max(y) // 1000000 FROM y1)
+        |               AS BIGINT) AS rank FROM y1
+        |), y2 AS (
+        |  SELECT e.dst AS node, CAST(sum(e.cnt * r.rank) AS BIGINT) AS y
+        |  FROM edges e JOIN r1 r ON r.node = e.src GROUP BY 1
+        |), r2 AS (
+        |  SELECT node, CAST(y // (SELECT max(y) // 1000000 FROM y2)
+        |               AS BIGINT) AS rank FROM y2
+        |), y3 AS (
+        |  SELECT e.dst AS node, CAST(sum(e.cnt * r.rank) AS BIGINT) AS y
+        |  FROM edges e JOIN r2 r ON r.node = e.src GROUP BY 1
+        |), r3 AS (
+        |  SELECT node, CAST(y // (SELECT max(y) // 1000000 FROM y3)
+        |               AS BIGINT) AS rank FROM y3
+        |)
+        |SELECT node, rank FROM r3
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin) { (s, d) =>
+      val pair = custSuppPairs(s, d)
+      val edges = pair.select(explode(array(
+          struct(col("c").as("src"), col("s").as("dst"), col("cnt")),
+          struct(col("s").as("src"), col("c").as("dst"), col("cnt")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.cnt").as("cnt"))
+        .repartition(col("src")).persist()
+      var rank = edges.select(col("src").as("node")).distinct()
+        .withColumn("rank", lit(1000000L))
+      for (_ <- 1 to 3) {
+        val y = edges.join(rank, col("node") === col("src"))
+          .groupBy(col("dst").as("n")).agg(sum(col("cnt") * col("rank")).as("y"))
+          .select(col("n").as("node"), col("y"))
+        val m = y.agg(max(col("y")).as("my"))
+          .select(expr("my div 1000000").as("m"))
+        rank = y.crossJoin(broadcast(m))
+          .select(col("node"), expr("y div m").as("rank"))
+          .localCheckpoint()
+      }
+      rank.orderBy(col("rank").desc, col("node")).limit(20)
+    },
+
+    // Katz centrality, 3-term attenuated walk count (round 13; Katz
+    // 1953): x' = 1 + α·Aᵀx with α = 0.015 on the symmetrized weighted
+    // customer↔supplier graph — unlike PageRank's random surfer, Katz
+    // counts ALL inbound walks with geometric attenuation (a hub's
+    // influence compounds instead of being rationed by out-degree),
+    // and the +1 baseline keeps every node at a floor. Fixed 3 rounds
+    // = walks up to length 3 (bipartite: c→s→c→s chains genuinely
+    // compound), the same unrolled-plan shape as graph_pagerank.
+    // Integer doctrine: micro-unit BIGINT, the α step is
+    // (15·Σcnt·x) // 1000 — one truncating division per node per
+    // round, replayed exactly; α·max-row-weight < 1 on the fixtures so
+    // 3 rounds stay far inside BIGINT range (documented ceiling: the
+    // products stay < 10¹⁷ at 100× the sf0.1 edge weights).
+    Q("graph_katz",
+      """WITH pair AS (
+        |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2
+        |), edges AS (
+        |  SELECT c AS src, s AS dst, cnt FROM pair
+        |  UNION ALL
+        |  SELECT s AS src, c AS dst, cnt FROM pair
+        |), nodes AS (
+        |  SELECT DISTINCT src AS node FROM edges
+        |), x0 AS (
+        |  SELECT node, CAST(1000000 AS BIGINT) AS x FROM nodes
+        |), y1 AS (
+        |  SELECT e.dst AS node, CAST(sum(e.cnt * r.x) AS BIGINT) AS y
+        |  FROM edges e JOIN x0 r ON r.node = e.src GROUP BY 1
+        |), x1 AS (
+        |  SELECT n.node,
+        |         CAST(1000000 + coalesce((15 * y.y) // 1000, 0) AS BIGINT) AS x
+        |  FROM nodes n LEFT JOIN y1 y ON y.node = n.node
+        |), y2 AS (
+        |  SELECT e.dst AS node, CAST(sum(e.cnt * r.x) AS BIGINT) AS y
+        |  FROM edges e JOIN x1 r ON r.node = e.src GROUP BY 1
+        |), x2 AS (
+        |  SELECT n.node,
+        |         CAST(1000000 + coalesce((15 * y.y) // 1000, 0) AS BIGINT) AS x
+        |  FROM nodes n LEFT JOIN y2 y ON y.node = n.node
+        |), y3 AS (
+        |  SELECT e.dst AS node, CAST(sum(e.cnt * r.x) AS BIGINT) AS y
+        |  FROM edges e JOIN x2 r ON r.node = e.src GROUP BY 1
+        |), x3 AS (
+        |  SELECT n.node,
+        |         CAST(1000000 + coalesce((15 * y.y) // 1000, 0) AS BIGINT) AS x
+        |  FROM nodes n LEFT JOIN y3 y ON y.node = n.node
+        |)
+        |SELECT node, x AS katz FROM x3
+        |ORDER BY katz DESC, node LIMIT 20""".stripMargin) { (s, d) =>
+      val pair = custSuppPairs(s, d)
+      val edges = pair.select(explode(array(
+          struct(col("c").as("src"), col("s").as("dst"), col("cnt")),
+          struct(col("s").as("src"), col("c").as("dst"), col("cnt")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.cnt").as("cnt"))
+        .repartition(col("src")).persist()
+      val nodes = edges.select(col("src").as("node")).distinct().persist()
+      var x = nodes.withColumn("x", lit(1000000L))
+      for (_ <- 1 to 3) {
+        val y = edges.join(x, col("node") === col("src"))
+          .groupBy(col("dst").as("n")).agg(sum(col("cnt") * col("x")).as("y"))
+        x = nodes.join(y, col("node") === col("n"), "left")
+          .select(col("node"),
+            (lit(1000000L) + coalesce(expr("(15 * y) div 1000"), lit(0L)))
+              .as("x"))
+          .localCheckpoint()
+      }
+      x.orderBy(col("x").desc, col("node")).limit(20)
+        .select(col("node"), col("x").as("katz"))
+    },
+
     // Average neighbor degree by degree class — knn(k) (round 11): the
     // LOCAL readout of graph_assortativity's single coefficient
     // (Pastor-Satorras et al. 2001: knn(k) falling with k =

@@ -878,6 +878,97 @@ object Llm {
        |FROM r WHERE rn <= 5
        |ORDER BY q_id, rn""".stripMargin
 
+  /** Oracle for llm_mmr_rerank (round 13): the trained-index probe
+    * chain at k=8, the bounded candidate-pair sim matrix, and the four
+    * MMR selection rounds unrolled — scores 6-dp-rounded before every
+    * compare, ties by n_id, identical composition to the Spark plan. */
+  private lazy val mmrRerankOracle: String = {
+    def step(k: Int): String = {
+      val prev = s"sel${k - 1}"
+      s"""rem$k AS (
+         |  SELECT c.* FROM cand8 c LEFT JOIN $prev s
+         |    ON s.q_id = c.q_id AND s.n_id = c.n_id
+         |  WHERE s.n_id IS NULL
+         |), mx$k AS (
+         |  SELECT r.q_id, r.n_id, r.s6, CAST(max(cs.s6p) AS BIGINT) AS mx6
+         |  FROM rem$k r
+         |  JOIN cs ON cs.cq = r.q_id AND cs.i = r.n_id
+         |  JOIN $prev sl ON sl.q_id = cs.cq AND sl.n_id = cs.j
+         |  GROUP BY 1, 2, 3
+         |), pick$k AS (
+         |  SELECT q_id, n_id, sm FROM (
+         |    SELECT q_id, n_id, s6 * 7 - mx6 * 3 AS sm,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY s6 * 7 - mx6 * 3 DESC, n_id) AS prn
+         |    FROM mx$k) WHERE prn = 1
+         |), sel$k AS (
+         |  SELECT * FROM $prev
+         |  UNION ALL
+         |  SELECT q_id, n_id, CAST(sm AS DOUBLE) / 10000000,
+         |         CAST($k AS BIGINT)
+         |  FROM pick$k
+         |)""".stripMargin
+    }
+    s"""WITH $ivfTrainedAssignCtes,
+       |$ivfProbeCtes,
+       |cand8 AS (
+       |  SELECT q_id, n_id,
+       |         CAST(round(sim * 1000000) AS BIGINT) AS s6
+       |  FROM r WHERE rn <= 8
+       |), cs AS (
+       |  SELECT a.q_id AS cq, a.n_id AS i, b.n_id AS j,
+       |         CAST(round(round(list_cosine_similarity(
+       |           CAST(ea.embedding AS DOUBLE[]),
+       |           CAST(eb.embedding AS DOUBLE[])), 6) * 1000000)
+       |           AS BIGINT) AS s6p
+       |  FROM cand8 a JOIN cand8 b
+       |    ON a.q_id = b.q_id AND a.n_id <> b.n_id
+       |  JOIN a3 ea ON ea.vec_id = a.n_id
+       |  JOIN a3 eb ON eb.vec_id = b.n_id
+       |), sel1 AS (
+       |  SELECT q_id, n_id, CAST(s6 * 7 AS DOUBLE) / 10000000 AS score,
+       |         CAST(1 AS BIGINT) AS mmr_rank
+       |  FROM cand8 JOIN (SELECT q_id AS q1, n_id AS n1 FROM r WHERE rn = 1)
+       |    ON q_id = q1 AND n_id = n1
+       |),
+       |${step(2)},
+       |${step(3)},
+       |${step(4)}
+       |SELECT q_id, n_id, score, mmr_rank FROM sel4
+       |ORDER BY q_id, mmr_rank""".stripMargin
+  }
+
+  /** Oracle for llm_rouge1_pairs (round 13): the verified-pair chain +
+    * one corpus token-frequency pass; overlap = Σ min(tf₁, tf₂). */
+  private lazy val rouge1PairsOracle: String =
+    s"""WITH $minhashVerifiedCtes,
+       |tf AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents) GROUP BY 1, 2
+       |), ln AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY 1
+       |), pr AS (
+       |  SELECT d1, d2 FROM verified WHERE est_jaccard >= 0.2
+       |), ov AS (
+       |  SELECT p.d1, p.d2, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+       |  FROM pr p JOIN tf a ON a.doc_id = p.d1
+       |  JOIN tf b ON b.doc_id = p.d2 AND b.w = a.w
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.d1, p.d2, coalesce(o.ov, 0) AS overlap,
+       |       l1.n AS n1, l2.n AS n2,
+       |       round(CAST(coalesce(o.ov, 0) AS DOUBLE) / l1.n, 6)
+       |         AS rouge1_precision,
+       |       round(CAST(coalesce(o.ov, 0) AS DOUBLE) / l2.n, 6)
+       |         AS rouge1_recall,
+       |       round(2.0 * coalesce(o.ov, 0) / (l1.n + l2.n), 6)
+       |         AS rouge1_f1
+       |FROM pr p LEFT JOIN ov o ON o.d1 = p.d1 AND o.d2 = p.d2
+       |JOIN ln l1 ON l1.doc_id = p.d1
+       |JOIN ln l2 ON l2.doc_id = p.d2
+       |ORDER BY p.d1, p.d2""".stripMargin
+
   /** Oracle for llm_ivf_maintain_audit (round 13 — VERDICT r12 #8):
     * replay the WHOLE maintenance decision history from the base
     * parquet alone — per-dim exact integer micro-moments for every
@@ -5994,6 +6085,108 @@ object Llm {
         .select(col("q_id"), col("n_id"), col("sim"),
           col("rn").cast("long").as("rn"), col("np").as("nprobe_used"))
         .orderBy("q_id", "rn")
+    },
+
+    // MMR diversity rerank (round 13; Carbonell & Goldstein 1998): the
+    // retrieval operator between ANN and the context window — plain
+    // top-k hands an LLM five near-copies of the same passage; maximal
+    // marginal relevance re-picks iteratively by
+    // λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s), trading relevance against
+    // redundancy with what is already selected. Served from the STORED
+    // IVF index: candidates are the probe's top-8 per query (the
+    // llm_ann_ivf machinery at k=8), the candidate-pair sim matrix is
+    // bounded (≤8×8 per query), and the 4 selection rounds unroll as
+    // plain frame ops — no driver-side loop state, every score a
+    // 6-dp-rounded double composed identically in both engines, ties
+    // broken by n_id. λ = 0.7.
+    Q("llm_mmr_rerank", mmrRerankOracle) { (s, d) =>
+      val dir = graft.config.IvfIndex.ensure(s, d)
+      val inv = graft.config.IvfIndex.assignments(s, dir)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val queries = emb(s, d).where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // sims ride as exact 1e-6 integers: 0.7·sim − 0.3·mx lands on
+      // the 7th decimal, EXACTLY on the round-to-6 boundary whenever
+      // the 7th digit is 5 — a decimal-vs-binary rounding coin-flip
+      // between engines. score = (7·sim₆ − 3·mx₆)/10⁷ is pure integer
+      // arithmetic with ONE exact int→double cast, no rounding at all.
+      val cand = ivfTopk(inv, graft.config.IvfIndex.centroids(s, dir),
+        queries, nprobe = 2, k = 8)
+        .withColumn("s6", round(col("sim") * 1000000).cast("long"))
+        .persist()
+      val ce = inv.select(col("vec_id"), col("embedding"))
+      // bounded candidate-pair sim matrix (≤ 8·7 rows per query)
+      val cs = cand.as("a").join(cand.as("b"),
+          col("a.q_id") === col("b.q_id") && col("a.n_id") =!= col("b.n_id"))
+        .join(ce.as("ea"), col("a.n_id") === col("ea.vec_id"))
+        .join(ce.as("eb"), col("b.n_id") === col("eb.vec_id"))
+        .select(col("a.q_id").as("cq"), col("a.n_id").as("i"),
+          col("b.n_id").as("j"),
+          round(round(cosineSim(col("ea.embedding"), col("eb.embedding")), 6)
+            * 1000000).cast("long").as("s6p"))
+        .persist()
+      var sel = cand.where(col("rn") === 1)
+        .select(col("q_id"), col("n_id"),
+          ((col("s6") * 7).cast("double") / 10000000).as("score"),
+          lit(1L).as("mmr_rank"))
+      for (k <- 2 to 4) {
+        val rem = cand.join(sel.select(col("q_id"), col("n_id")),
+          Seq("q_id", "n_id"), "left_anti")
+        val wp = Window.partitionBy("q_id")
+          .orderBy(col("sm").desc, col("n_id"))
+        val pick = rem
+          .join(cs, col("q_id") === col("cq") && col("n_id") === col("i"))
+          .join(sel.select(col("q_id").as("sq"), col("n_id").as("sn")),
+            col("cq") === col("sq") && col("j") === col("sn"))
+          .groupBy("q_id", "n_id", "s6")
+          .agg(max(col("s6p")).as("mx6"))
+          .select(col("q_id"), col("n_id"),
+            (col("s6") * 7 - col("mx6") * 3).as("sm"))
+          .withColumn("prn", row_number().over(wp))
+          .where(col("prn") === 1)
+          .select(col("q_id"), col("n_id"),
+            (col("sm").cast("double") / 10000000).as("score"),
+            lit(k.toLong).as("mmr_rank"))
+        sel = sel.unionByName(pick)
+      }
+      sel.orderBy("q_id", "mmr_rank")
+    },
+
+    // ROUGE-1 over the VERIFIED near-dup pairs (round 13): unigram
+    // overlap precision/recall/F1 for every stored pair — the lexical
+    // readout that separates true re-crawls (F1 ≈ 1) from
+    // template-share pairs (high Jaccard on shingle SETS, lower
+    // token-frequency overlap) when deciding what a dedup pass may
+    // safely drop. Rides the materialized pair frame (never re-runs
+    // the minhash chain — the lake-report doctrine) plus ONE
+    // token-frequency scan of the corpus; overlap = Σ min(tf₁, tf₂)
+    // in exact BIGINT, three display divisions per pair.
+    Q("llm_rouge1_pairs", rouge1PairsOracle) { (s, d) =>
+      val pairs = minhashVerifiedLake(s, d)
+        .where(col("est_jaccard") >= 0.2).select("d1", "d2").persist()
+      val tf = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c")).persist()
+      val ln = tf.groupBy("doc_id").agg(sum(col("c")).as("n"))
+      val ov = pairs
+        .join(tf.as("a"), col("d1") === col("a.doc_id"))
+        .join(tf.as("b"),
+          col("d2") === col("b.doc_id") && col("a.w") === col("b.w"))
+        .groupBy("d1", "d2")
+        .agg(sum(least(col("a.c"), col("b.c"))).as("ov"))
+      pairs
+        .join(ov, Seq("d1", "d2"), "left")
+        .join(ln.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+        .join(ln.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          coalesce(col("ov"), lit(0L)).as("overlap"), col("n1"), col("n2"),
+          round(coalesce(col("ov"), lit(0L)).cast("double") / col("n1"), 6)
+            .as("rouge1_precision"),
+          round(coalesce(col("ov"), lit(0L)).cast("double") / col("n2"), 6)
+            .as("rouge1_recall"),
+          round(lit(2.0) * coalesce(col("ov"), lit(0L)) /
+            (col("n1") + col("n2")), 6).as("rouge1_f1"))
+        .orderBy("d1", "d2")
     },
 
     // MAINTENANCE-DECISION AUDIT (round 13 — VERDICT r12 #8): the

@@ -17,6 +17,34 @@ object Scalars {
 
   val qs: Seq[Q] = Seq(
 
+    // Binary/codec scalar panel (round 13): base64, hex, MD5 and
+    // SHA-256 over a bounded text prefix — the encode/fingerprint
+    // primitives ETL uses for keys, cache tags and payload transport.
+    // The 24-char prefix keeps Spark's base64 inside one RFC-2045
+    // chunk (its encoder line-breaks past 76 output chars; DuckDB's
+    // never does), and hex is case-normalized (Spark upper, DuckDB
+    // upper for letters — lower() on both sides pins it).
+    Q("fn_codec",
+      """SELECT doc_id,
+        |       base64(encode(substr(text, 1, 24))) AS b64,
+        |       lower(hex(substr(text, 1, 24))) AS hx,
+        |       md5(substr(text, 1, 24)) AS md5_hex,
+        |       sha256(substr(text, 1, 24)) AS sha256_hex,
+        |       CAST(length(substr(text, 1, 24)) AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        graft.Tables(s, d, "documents")
+          .where(col("doc_id") < 200)
+          .select(col("doc_id"),
+            base64(substring(col("text"), 1, 24).cast("binary")).as("b64"),
+            lower(hex(substring(col("text"), 1, 24))).as("hx"),
+            md5(substring(col("text"), 1, 24).cast("binary")).as("md5_hex"),
+            sha2(substring(col("text"), 1, 24).cast("binary"), 256)
+              .as("sha256_hex"),
+            length(substring(col("text"), 1, 24)).cast("long").as("n_chars"))
+          .orderBy("doc_id")
+    },
+
     // R6 app-version-style string parsing + general string ops. The split
     // result is re-joined with ',' in the DECLARED output (and
     // array_to_string in the oracle) because the driver's pandas comparator

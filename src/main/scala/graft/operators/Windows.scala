@@ -1112,6 +1112,203 @@ object Windows {
         .orderBy("event_type", "day")
     },
 
+    // Williams %R (round 13; Williams): -100·(hi14 − close)/(hi14 −
+    // lo14) — the stochastic %K's mirror (where the close sits measured
+    // from the TOP of the 14-day range instead of the bottom; %R =
+    // %K − 100). Same daily cent-OHLC frame, same exact BIGINT rolling
+    // extrema, one float division per row, complete windows only, flat
+    // ranges NULL via nullif — the whole key is one more readout over
+    // the already-audited stochastic machinery.
+    Q("win_williams_r",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(c) AS BIGINT) AS h, CAST(min(c) AS BIGINT) AS l,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), k AS (
+        |  SELECT event_type, day,
+        |         CAST(min(l) OVER w14 AS BIGINT) AS lo14,
+        |         CAST(max(h) OVER w14 AS BIGINT) AS hi14,
+        |         cl, CAST(count(*) OVER w14 AS BIGINT) AS n14
+        |  FROM o
+        |  WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |       round(-100.0 * (hi14 - cl) / nullif(hi14 - lo14, 0), 4)
+        |         AS pct_r
+        |FROM k WHERE n14 = 14 ORDER BY event_type, day""".stripMargin) {
+      (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(col("c")).as("h"), min(col("c")).as("l"),
+          max(when(col("rn_d") === 1, col("c"))).as("cl"))
+      val w14 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-13, Window.currentRow)
+      o.select(col("event_type"), col("day"),
+          min(col("l")).over(w14).as("lo14"),
+          max(col("h")).over(w14).as("hi14"),
+          col("cl"), count(lit(1)).over(w14).as("n14"))
+        .where(col("n14") === 14)
+        .select(col("event_type"), col("day"),
+          round(lit(-100.0) * (col("hi14") - col("cl")) /
+            nullif(col("hi14") - col("lo14"), lit(0)), 4).as("pct_r"))
+        .orderBy("event_type", "day")
+    },
+
+    // Commodity Channel Index (round 13; Lambert): how far today's
+    // typical price sits from its 20-day mean, in units of the window's
+    // OWN mean absolute deviation — cci = (tp − sma20)/(0.015·md20).
+    // The subtlety is md20: every element's deviation is from the
+    // CURRENT window's sma, so it is NOT a second rolling aggregate of
+    // a per-row value — the window's 20 values themselves are needed
+    // per output row. The 20-element frame is collected per row
+    // (bounded by construction) and folded with EXACT integers: tp
+    // rides as tp3 = h+l+close cents (3× typical price, no division),
+    // deviations as |tp3ᵢ·20 − Σtp3| — every comparison and sum is
+    // BIGINT, and the single float step is the final display division.
+    // Same 0-or-1-scan shape both engines: DuckDB folds list(tp3) OVER
+    // the window, Spark aggregates collect_list over the same frame.
+    Q("win_cci",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(c) + min(c) + max(CASE WHEN rn_d = 1 THEN c END)
+        |              AS BIGINT) AS tp3
+        |  FROM v GROUP BY event_type, day
+        |), k AS (
+        |  SELECT event_type, day, tp3,
+        |         CAST(sum(tp3) OVER w20 AS BIGINT) AS s20,
+        |         list(tp3) OVER w20 AS l20,
+        |         CAST(count(*) OVER w20 AS BIGINT) AS n20
+        |  FROM o
+        |  WINDOW w20 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |       round((tp3 * 20 - s20) * 20000.0
+        |             / (15.0 * nullif(list_sum(list_transform(l20,
+        |                  x -> abs(x * 20 - s20))), 0)), 4) AS cci
+        |FROM k WHERE n20 = 20 ORDER BY event_type, day""".stripMargin) {
+      (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg((max(col("c")) + min(col("c")) +
+          max(when(col("rn_d") === 1, col("c")))).as("tp3"))
+      val w20 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-19, Window.currentRow)
+      o.select(col("event_type"), col("day"), col("tp3"),
+          sum(col("tp3")).over(w20).as("s20"),
+          collect_list(col("tp3")).over(w20).as("l20"),
+          count(lit(1)).over(w20).as("n20"))
+        .where(col("n20") === 20)
+        .select(col("event_type"), col("day"),
+          round((col("tp3") * 20 - col("s20")) * lit(20000.0) /
+            (lit(15.0) * nullif(aggregate(
+              transform(col("l20"), x => abs(x * 20 - col("s20"))),
+              lit(0L), (a, x) => a + x), lit(0L))), 4).as("cci"))
+        .orderBy("event_type", "day")
+    },
+
+    // Money Flow Index (round 13; Quong/Soudack): volume-weighted RSI —
+    // raw money flow tp·volume flows into the positive or negative
+    // bucket by the typical price's DIRECTION vs yesterday, and mfi =
+    // 100·pos14/(pos14+neg14). Volume here is the day's event count
+    // (the harness' trade-count analogue, the win_obv convention). All
+    // flows are exact BIGINT products of cent-grid tp3 × count; the
+    // direction compare is integer; one float division per row at
+    // display. First day per series dropped (no prior tp), complete
+    // 14-windows only, all-flat windows NULL via nullif.
+    Q("win_mfi",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(c) + min(c) + max(CASE WHEN rn_d = 1 THEN c END)
+        |              AS BIGINT) AS tp3,
+        |         CAST(count(*) AS BIGINT) AS vol
+        |  FROM v GROUP BY event_type, day
+        |), f AS (
+        |  SELECT event_type, day, tp3, vol,
+        |         lag(tp3) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM o
+        |), b AS (
+        |  SELECT event_type, day,
+        |         CASE WHEN tp3 > prev THEN tp3 * vol ELSE 0 END AS pos,
+        |         CASE WHEN tp3 < prev THEN tp3 * vol ELSE 0 END AS neg
+        |  FROM f WHERE prev IS NOT NULL
+        |), k AS (
+        |  SELECT event_type, day,
+        |         CAST(sum(pos) OVER w14 AS BIGINT) AS pos14,
+        |         CAST(sum(neg) OVER w14 AS BIGINT) AS neg14,
+        |         CAST(count(*) OVER w14 AS BIGINT) AS n14
+        |  FROM b
+        |  WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |       round(100.0 * pos14 / nullif(pos14 + neg14, 0), 4) AS mfi
+        |FROM k WHERE n14 = 14 ORDER BY event_type, day""".stripMargin) {
+      (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg((max(col("c")) + min(col("c")) +
+          max(when(col("rn_d") === 1, col("c")))).as("tp3"),
+          count(lit(1)).as("vol"))
+      val ws = Window.partitionBy("event_type").orderBy("day")
+      val w14 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-13, Window.currentRow)
+      o.withColumn("prev", lag(col("tp3"), 1).over(ws))
+        .where(col("prev").isNotNull)
+        .select(col("event_type"), col("day"),
+          when(col("tp3") > col("prev"), col("tp3") * col("vol"))
+            .otherwise(lit(0L)).as("pos"),
+          when(col("tp3") < col("prev"), col("tp3") * col("vol"))
+            .otherwise(lit(0L)).as("neg"))
+        .select(col("event_type"), col("day"),
+          sum(col("pos")).over(w14).as("pos14"),
+          sum(col("neg")).over(w14).as("neg14"),
+          count(lit(1)).over(w14).as("n14"))
+        .where(col("n14") === 14)
+        .select(col("event_type"), col("day"),
+          round(lit(100.0) * col("pos14") /
+            nullif(col("pos14") + col("neg14"), lit(0L)), 4).as("mfi"))
+        .orderBy("event_type", "day")
+    },
+
     // ATR — average true range (round 11; Wilder 1978, simple-average
     // form like win_rsi): 14-day mean of the TRUE range
     // max(high−low, |high−prev_close|, |low−prev_close|) over each
