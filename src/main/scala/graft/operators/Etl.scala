@@ -1371,6 +1371,61 @@ object Etl {
     // per-CUSTOMER frame, report-scale; kll fences are the 100 TB
     // escape); shares and the cumulative sum run as windows over the
     // BOUNDED 10-row decile frame, decimal until the final double edge.
+    // ABC inventory classification (round 13): parts ranked by revenue
+    // (extprice·(1−disc), per-row cent rounding so every sum is exact
+    // BIGINT), classes by cumulative share — A ≤ 80%, B ≤ 95%, C the
+    // tail — the stock-policy cut every inventory system ships next to
+    // the pareto decile view. The global cumsum rides the part domain
+    // (dimension-sized, not fact-sized); at 100 TB the same fence as
+    // etl_pareto_revenue_fenced applies. Class thresholds compare a
+    // double built from exact integers — identical division both
+    // engines, no boundary coin-flips.
+    Q("etl_abc_class",
+      """WITH p AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |                             * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1
+        |), c AS (
+        |  SELECT l_partkey, rev,
+        |         CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey)
+        |              AS BIGINT) AS cum,
+        |         CAST(sum(rev) OVER () AS BIGINT) AS tot
+        |  FROM p
+        |), k AS (
+        |  SELECT l_partkey, rev,
+        |         CASE WHEN CAST(cum AS DOUBLE) / tot <= 0.80 THEN 'A'
+        |              WHEN CAST(cum AS DOUBLE) / tot <= 0.95 THEN 'B'
+        |              ELSE 'C' END AS abc
+        |  FROM c
+        |)
+        |SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(sum(rev) AS BIGINT) AS rev_cents,
+        |       round(CAST(sum(rev) AS DOUBLE) /
+        |             (SELECT CAST(sum(rev) AS DOUBLE) FROM p), 6) AS rev_share
+        |FROM k GROUP BY abc ORDER BY abc""".stripMargin) { (s, d) =>
+      val p = Tables(s, d, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).as("rev"))
+      val wc = Window.orderBy(col("rev").desc, col("l_partkey"))
+      val c = p.select(col("l_partkey"), col("rev"),
+        sum(col("rev")).over(wc).as("cum"),
+        sum(col("rev")).over(Window.partitionBy()).as("tot"))
+      val k = c.select(col("l_partkey"), col("rev"),
+        when(col("cum").cast("double") / col("tot") <= 0.80, "A")
+          .when(col("cum").cast("double") / col("tot") <= 0.95, "B")
+          .otherwise("C").as("abc"))
+      val tot = p.agg(sum(col("rev")).cast("double").as("t"))
+      k.groupBy("abc")
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("abc"), col("n_parts"), col("rev_cents"),
+          round(col("rev_cents").cast("double") / col("t"), 6)
+            .as("rev_share"))
+        .orderBy("abc")
+    },
+
     Q(
       "etl_pareto_revenue", paretoOracle) { (s, d) =>
       val cust = Tables(s, d, "orders")

@@ -6087,6 +6087,63 @@ object Llm {
         .orderBy("q_id", "rn")
     },
 
+    // Token-pattern profile per source (round 13): numeric-token,
+    // capitalized-token and punctuation densities — the surface-pattern
+    // fingerprint that separates tabular/boilerplate-heavy sources from
+    // prose BEFORE any model-based scoring (a source whose tokens are
+    // 30% numerals is telemetry, not training text). One scan + one
+    // token explode; all counts exact BIGINT, ratios display-only.
+    Q("llm_pattern_profile",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), tc AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CASE WHEN regexp_matches(w, '^[0-9]+$')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+        |         CAST(sum(CASE WHEN regexp_matches(w, '^[A-Z]')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_capitalized
+        |  FROM tok GROUP BY source
+        |), dc AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(length(regexp_replace(text, '[^.,;:!?]', '', 'g')))
+        |              AS BIGINT) AS n_punct,
+        |         CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY source
+        |)
+        |SELECT source, n_docs, n_tokens, n_numeric, n_capitalized, n_punct,
+        |       round(CAST(n_numeric AS DOUBLE) / n_tokens, 6)
+        |         AS numeric_ratio,
+        |       round(CAST(n_capitalized AS DOUBLE) / n_tokens, 6)
+        |         AS capitalized_ratio,
+        |       round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio
+        |FROM tc JOIN dc USING (source) ORDER BY source""".stripMargin) {
+      (s, d) =>
+      val tc = docs(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("w").rlike("^[0-9]+$"), 1L).otherwise(0L))
+            .as("n_numeric"),
+          sum(when(col("w").rlike("^[A-Z]"), 1L).otherwise(0L))
+            .as("n_capitalized"))
+      val dc = docs(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(regexp_replace(col("text"), "[^.,;:!?]", "")))
+            .cast("long").as("n_punct"),
+          sum(length(col("text"))).cast("long").as("n_chars"))
+      tc.join(dc, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_numeric"), col("n_capitalized"), col("n_punct"),
+          round(col("n_numeric").cast("double") / col("n_tokens"), 6)
+            .as("numeric_ratio"),
+          round(col("n_capitalized").cast("double") / col("n_tokens"), 6)
+            .as("capitalized_ratio"),
+          round(col("n_punct").cast("double") / col("n_chars"), 6)
+            .as("punct_ratio"))
+        .orderBy("source")
+    },
+
     // MMR diversity rerank (round 13; Carbonell & Goldstein 1998): the
     // retrieval operator between ANN and the context window — plain
     // top-k hands an LLM five near-copies of the same passage; maximal

@@ -694,6 +694,43 @@ object Relational {
           col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
         .select("o_custkey")
       yr(1995).exceptAll(yr(1996)).orderBy("o_custkey")
+    },
+
+    // Symmetric difference (round 13): customers active in exactly ONE
+    // of two years — (A ∖ B) ∪ (B ∖ A) with a side tag, completing the
+    // set family (union/intersect/except). DISTINCT set semantics (the
+    // churn-or-new readout); each half is one anti-join of
+    // deduplicated year frames, the union is append-only.
+    Q("set_symmetric_diff",
+      """WITH a AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'
+        |), b AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |)
+        |SELECT o_custkey, side FROM (
+        |  SELECT o_custkey, 'only_1995' AS side FROM a
+        |  WHERE o_custkey NOT IN (SELECT o_custkey FROM b)
+        |  UNION ALL
+        |  SELECT o_custkey, 'only_1996' AS side FROM b
+        |  WHERE o_custkey NOT IN (SELECT o_custkey FROM a)
+        |)
+        |ORDER BY o_custkey, side""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      def yr(y: Int) = o
+        .where(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select("o_custkey").distinct()
+      val a = yr(1995)
+      val b = yr(1996)
+      a.join(b, Seq("o_custkey"), "left_anti")
+        .withColumn("side", lit("only_1995"))
+        .unionByName(b.join(a, Seq("o_custkey"), "left_anti")
+          .withColumn("side", lit("only_1996")))
+        .orderBy("o_custkey", "side")
     }
   )
 }

@@ -1309,6 +1309,121 @@ object Windows {
         .orderBy("event_type", "day")
     },
 
+    // Chandelier exit (round 13; Le Beau): the volatility-scaled
+    // trailing long stop — hi22 − 3·ATR22 — the position-management
+    // consumer of the ATR machinery (ATR prices the move a stop must
+    // absorb; the chandelier hangs the stop that far below the 22-day
+    // high). Everything stays exact BIGINT cents (22-window max, true-
+    // range sum) until ONE display expression; first day per series
+    // dropped (no prev close), complete 22-windows only.
+    Q("win_chandelier_exit",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(c) AS BIGINT) AS h, CAST(min(c) AS BIGINT) AS l,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), tr AS (
+        |  SELECT event_type, day, h,
+        |         greatest(h - l, abs(h - pc), abs(l - pc)) AS tr
+        |  FROM (SELECT event_type, day, h, l,
+        |               lag(cl) OVER (PARTITION BY event_type ORDER BY day)
+        |                 AS pc
+        |        FROM o)
+        |  WHERE pc IS NOT NULL
+        |), k AS (
+        |  SELECT event_type, day,
+        |         CAST(max(h) OVER w22 AS BIGINT) AS hi22,
+        |         CAST(sum(tr) OVER w22 AS BIGINT) AS tr22,
+        |         CAST(count(*) OVER w22 AS BIGINT) AS n22
+        |  FROM tr
+        |  WINDOW w22 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 21 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |       round((hi22 - 3.0 * tr22 / 22) / 100, 4) AS chandelier_long
+        |FROM k WHERE n22 = 22 ORDER BY event_type, day""".stripMargin) {
+      (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(col("c")).as("h"), min(col("c")).as("l"),
+          max(when(col("rn_d") === 1, col("c"))).as("cl"))
+      val ws = Window.partitionBy("event_type").orderBy("day")
+      val w22 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-21, Window.currentRow)
+      o.withColumn("pc", lag(col("cl"), 1).over(ws))
+        .where(col("pc").isNotNull)
+        .select(col("event_type"), col("day"), col("h"),
+          greatest(col("h") - col("l"), abs(col("h") - col("pc")),
+            abs(col("l") - col("pc"))).as("tr"))
+        .select(col("event_type"), col("day"),
+          max(col("h")).over(w22).as("hi22"),
+          sum(col("tr")).over(w22).as("tr22"),
+          count(lit(1)).over(w22).as("n22"))
+        .where(col("n22") === 22)
+        .select(col("event_type"), col("day"),
+          round((col("hi22") - lit(3.0) * col("tr22") / 22) / 100, 4)
+            .as("chandelier_long"))
+        .orderBy("event_type", "day")
+    },
+
+    // Momentum + rate-of-change (round 13): close − close₁₂ (absolute
+    // move, dollars) and 100·(close − close₁₂)/close₁₂ (relative) over
+    // the 12-day lag — the plain-speed readouts under the MACD/RSI
+    // family. Integer cent subtraction; two display divisions; rows
+    // without a full 12-day lag dropped.
+    Q("win_momentum_roc",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), m AS (
+        |  SELECT event_type, day, cl,
+        |         lag(cl, 12) OVER (PARTITION BY event_type ORDER BY day)
+        |           AS cl12
+        |  FROM o
+        |)
+        |SELECT event_type, day,
+        |       round((cl - cl12) / 100.0, 4) AS momentum,
+        |       round(100.0 * (cl - cl12) / nullif(cl12, 0), 4) AS roc
+        |FROM m WHERE cl12 IS NOT NULL
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(when(col("rn_d") === 1, col("c"))).as("cl"))
+      val ws = Window.partitionBy("event_type").orderBy("day")
+      o.withColumn("cl12", lag(col("cl"), 12).over(ws))
+        .where(col("cl12").isNotNull)
+        .select(col("event_type"), col("day"),
+          round((col("cl") - col("cl12")) / lit(100.0), 4).as("momentum"),
+          round(lit(100.0) * (col("cl") - col("cl12")) /
+            nullif(col("cl12"), lit(0L)), 4).as("roc"))
+        .orderBy("event_type", "day")
+    },
+
     // ATR — average true range (round 11; Wilder 1978, simple-average
     // form like win_rsi): 14-day mean of the TRUE range
     // max(high−low, |high−prev_close|, |low−prev_close|) over each
