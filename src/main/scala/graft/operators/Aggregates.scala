@@ -771,6 +771,114 @@ object Aggregates {
           .orderBy("w_start", "event_type")
     },
 
+    // Session-window batch twin (round 13 — §2.J's third window shape):
+    // Spark's NATIVE session_window(ts, '30 minutes') evaluated on a
+    // batch frame, hash-verified against the classic lag+cumsum gap
+    // sessionization — the declared proof that the streaming session
+    // operator and the batch etl_sessionize family share one truth.
+    // Boundary semantics differ subtly from etl_sessionize's: an event
+    // at EXACTLY prev+gap starts a NEW session under session_window
+    // (its [ts, ts+gap) interval no longer overlaps), so the oracle's
+    // gap compare is >= where etl_sessionize's is > — pinned here so
+    // the distinction is a tested fact, not an accident. session_end =
+    // last event + gap (the operator's window end), not last event.
+    Q("win_session_window_batch",
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |              ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
+    // 2-D histogram (round 13): joint quantity-bucket × discount-bucket
+    // counts + revenue — the joint-distribution readout behind every
+    // pricing heatmap (agg_histogram is its 1-D marginal). Bucket
+    // arithmetic is exact integer on the unit/cent grids; one scan, one
+    // bounded groupBy (≤ 5×6 cells).
+    Q("agg_histogram_2d",
+      """SELECT CAST((CAST(round(l_quantity) AS BIGINT) - 1) // 10 AS BIGINT)
+        |         AS qty_bucket,
+        |       CAST(CAST(round(l_discount * 100) AS BIGINT) // 2 AS BIGINT)
+        |         AS disc_bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |            AS BIGINT) AS rev_cents
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY qty_bucket, disc_bucket""".stripMargin) {
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(
+            expr("(CAST(round(l_quantity) AS BIGINT) - 1) div 10")
+              .as("qty_bucket"),
+            expr("CAST(round(l_discount * 100) AS BIGINT) div 2")
+              .as("disc_bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("l_extendedprice") * 100).cast("long"))
+              .as("rev_cents"))
+          .orderBy("qty_bucket", "disc_bucket")
+    },
+
+    // Near-duplicate ROW detection in structured data (round 13): line
+    // pairs inside ONE order that reference the SAME part under
+    // different line numbers — the double-entered-line audit
+    // (dq_uniqueness catches exact key dups; this catches the
+    // almost-dups exact key matching misses: same business content,
+    // fresh surrogate key). EQUI self-join on (orderkey, partkey) —
+    // selective keys, never a cross; linenumber < linenumber keeps
+    // each pair once; the quantity/price columns ride along so the
+    // report shows whether the dup doubles exposure or is a split.
+    Q("dq_duplicate_near_rows",
+      """SELECT a.l_orderkey AS orderkey, a.l_partkey AS partkey,
+        |       CAST(a.l_linenumber AS BIGINT) AS ln1,
+        |       CAST(b.l_linenumber AS BIGINT) AS ln2,
+        |       CAST(round(a.l_quantity) AS BIGINT) AS qty1,
+        |       CAST(round(b.l_quantity) AS BIGINT) AS qty2,
+        |       (round(a.l_extendedprice * 100)
+        |        = round(b.l_extendedprice * 100)) AS same_price
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey
+        | AND a.l_partkey = b.l_partkey
+        | AND a.l_linenumber < b.l_linenumber
+        |ORDER BY orderkey, partkey, ln1, ln2""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"), col("l_linenumber"),
+        round(col("l_quantity")).cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") === col("b.l_partkey") &&
+            col("a.l_linenumber") < col("b.l_linenumber"))
+        .select(col("a.l_orderkey").as("orderkey"),
+          col("a.l_partkey").as("partkey"),
+          col("a.l_linenumber").cast("long").as("ln1"),
+          col("b.l_linenumber").cast("long").as("ln2"),
+          col("a.q").as("qty1"), col("b.q").as("qty2"),
+          (col("a.pc") === col("b.pc")).as("same_price"))
+        .orderBy("orderkey", "partkey", "ln1", "ln2")
+    },
+
     // Cliff's delta (round 13; Cliff 1993): the ORDINAL effect size
     // between two samples — P(x > y) − P(x < y) — the
     // distribution-free companion to agg_cohens_d (which assumes

@@ -1371,6 +1371,43 @@ object Etl {
     // per-CUSTOMER frame, report-scale; kll fences are the 100 TB
     // escape); shares and the cumulative sum run as windows over the
     // BOUNDED 10-row decile frame, decimal until the final double edge.
+    // Moving annual total (round 13): 12-month rolling revenue per
+    // month — the MAT line every finance pack draws to read trend
+    // through seasonality (etl_mom_yoy gives point-to-point deltas;
+    // MAT integrates them). Exact BIGINT cent sums end-to-end, one
+    // display division; complete 12-month windows only.
+    Q("etl_mat_rolling",
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1
+        |), k AS (
+        |  SELECT month, rev_cents,
+        |         CAST(sum(rev_cents) OVER w12 AS BIGINT) AS mat_cents,
+        |         CAST(count(*) OVER w12 AS BIGINT) AS n12
+        |  FROM m
+        |  WINDOW w12 AS (ORDER BY month
+        |                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT month, rev_cents, mat_cents,
+        |       round(CAST(mat_cents AS DOUBLE) / 1200, 2) AS mat_monthly_avg
+        |FROM k WHERE n12 = 12 ORDER BY month""".stripMargin) { (s, d) =>
+      val m = Tables(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("rev_cents"))
+      val w12 = Window.orderBy("month").rowsBetween(-11, Window.currentRow)
+      m.select(col("month"), col("rev_cents"),
+          sum(col("rev_cents")).over(w12).as("mat_cents"),
+          count(lit(1)).over(w12).as("n12"))
+        .where(col("n12") === 12)
+        .select(col("month"), col("rev_cents"), col("mat_cents"),
+          round(col("mat_cents").cast("double") / 1200, 2)
+            .as("mat_monthly_avg"))
+        .orderBy("month")
+    },
+
     // ABC inventory classification (round 13): parts ranked by revenue
     // (extprice·(1−disc), per-row cent rounding so every sum is exact
     // BIGINT), classes by cumulative share — A ≤ 80%, B ≤ 95%, C the

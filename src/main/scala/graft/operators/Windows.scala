@@ -1309,6 +1309,150 @@ object Windows {
         .orderBy("event_type", "day")
     },
 
+    // Sharpe + Sortino ratios per series (round 13): mean daily return
+    // over total vs DOWNSIDE volatility — the risk-adjusted readouts a
+    // portfolio report pairs with win_drawdown/win_ulcer_index. Returns
+    // are EXACT micro-unit integers r₆ = ((c − pc)·10⁶) div pc (both
+    // engines truncate toward zero — pinned by this key), so every
+    // sum/sum-of-squares is BIGINT; the ratios assemble from exact
+    // integers in identical IEEE order with one sqrt each (the
+    // agg_cohens_d doctrine). Zero-variance series NULL via nullif.
+    Q("win_sharpe_sortino",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), r AS (
+        |  SELECT event_type,
+        |         ((cl - pc) * 1000000) // pc AS r6
+        |  FROM (SELECT event_type, cl,
+        |               lag(cl) OVER (PARTITION BY event_type ORDER BY day)
+        |                 AS pc
+        |        FROM o)
+        |  WHERE pc IS NOT NULL AND pc <> 0
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(r6) AS BIGINT) AS s1,
+        |         CAST(sum(r6 * r6) AS BIGINT) AS s2,
+        |         CAST(sum(CASE WHEN r6 < 0 THEN r6 * r6 ELSE 0 END)
+        |              AS BIGINT) AS sd2
+        |  FROM r GROUP BY event_type
+        |)
+        |SELECT event_type, n,
+        |       round(CAST(s1 AS DOUBLE) / n / 10000, 6) AS mean_ret_pct,
+        |       round((CAST(s1 AS DOUBLE) / n)
+        |             / nullif(sqrt(CAST(n AS DOUBLE) * s2
+        |                           - CAST(s1 AS DOUBLE) * s1) / n, 0), 6)
+        |         AS sharpe,
+        |       round((CAST(s1 AS DOUBLE) / n)
+        |             / nullif(sqrt(CAST(sd2 AS DOUBLE) / n), 0), 6)
+        |         AS sortino
+        |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(when(col("rn_d") === 1, col("c"))).as("cl"))
+      val ws = Window.partitionBy("event_type").orderBy("day")
+      val r = o.withColumn("pc", lag(col("cl"), 1).over(ws))
+        .where(col("pc").isNotNull && col("pc") =!= 0)
+        .select(col("event_type"),
+          expr("((cl - pc) * 1000000) div pc").as("r6"))
+      r.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("r6")).as("s1"),
+          sum(col("r6") * col("r6")).as("s2"),
+          sum(when(col("r6") < 0, col("r6") * col("r6")).otherwise(0L))
+            .as("sd2"))
+        .select(col("event_type"), col("n"),
+          round(col("s1").cast("double") / col("n") / 10000, 6)
+            .as("mean_ret_pct"),
+          round((col("s1").cast("double") / col("n")) /
+            nullif(sqrt(col("n").cast("double") * col("s2") -
+              col("s1").cast("double") * col("s1")) / col("n"), lit(0.0)),
+            6).as("sharpe"),
+          round((col("s1").cast("double") / col("n")) /
+            nullif(sqrt(col("sd2").cast("double") / col("n")), lit(0.0)), 6)
+            .as("sortino"))
+        .orderBy("event_type")
+    },
+
+    // Rolling 20-day skewness (round 13): the asymmetry companion to
+    // win_rolling_stats' mean/stdev — a return series that looks calm
+    // by σ but skews hard negative is tail risk, not calm. Window
+    // moment sums (Σc, Σc², Σc³) are exact BIGINT on the cent grid
+    // (c³ ≤ 10¹² per element — far inside range); the skew assembles
+    // from them in ONE identical float expression per row; complete
+    // windows only, zero-variance windows NULL.
+    Q("win_rolling_skew",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), k AS (
+        |  SELECT event_type, day,
+        |         CAST(sum(cl) OVER w20 AS BIGINT) AS s1,
+        |         CAST(sum(cl * cl) OVER w20 AS BIGINT) AS s2,
+        |         CAST(sum(cl * cl * cl) OVER w20 AS BIGINT) AS s3,
+        |         CAST(count(*) OVER w20 AS BIGINT) AS n
+        |  FROM o
+        |  WINDOW w20 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |       round((CAST(s3 AS DOUBLE) / n
+        |              - 3.0 * (CAST(s1 AS DOUBLE) / n)
+        |                    * (CAST(s2 AS DOUBLE) / n)
+        |              + 2.0 * (CAST(s1 AS DOUBLE) / n)
+        |                    * (CAST(s1 AS DOUBLE) / n)
+        |                    * (CAST(s1 AS DOUBLE) / n))
+        |             / nullif(pow(CAST(s2 AS DOUBLE) / n
+        |                          - (CAST(s1 AS DOUBLE) / n)
+        |                            * (CAST(s1 AS DOUBLE) / n), 1.5), 0),
+        |             6) AS skew
+        |FROM k WHERE n = 20 ORDER BY event_type, day""".stripMargin) {
+      (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(when(col("rn_d") === 1, col("c"))).as("cl"))
+      val w20 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-19, Window.currentRow)
+      val k = o.select(col("event_type"), col("day"),
+        sum(col("cl")).over(w20).as("s1"),
+        sum(col("cl") * col("cl")).over(w20).as("s2"),
+        sum(col("cl") * col("cl") * col("cl")).over(w20).as("s3"),
+        count(lit(1)).over(w20).as("n"))
+      def dn(c: org.apache.spark.sql.Column) = c.cast("double") / col("n")
+      k.where(col("n") === 20)
+        .select(col("event_type"), col("day"),
+          round((dn(col("s3")) - lit(3.0) * dn(col("s1")) * dn(col("s2"))
+            + lit(2.0) * dn(col("s1")) * dn(col("s1")) * dn(col("s1"))) /
+            nullif(pow(dn(col("s2")) - dn(col("s1")) * dn(col("s1")),
+              lit(1.5)), lit(0.0)), 6).as("skew"))
+        .orderBy("event_type", "day")
+    },
+
     // Chandelier exit (round 13; Le Beau): the volatility-scaled
     // trailing long stop — hi22 − 3·ATR22 — the position-management
     // consumer of the ATR machinery (ATR prices the move a stop must
