@@ -771,6 +771,59 @@ object Aggregates {
           .orderBy("w_start", "event_type")
     },
 
+    // XmR control chart over daily event volume (round 13; Shewhart /
+    // Wheeler): individuals + moving-range limits — mean ± 2.66·mR̄ —
+    // with out-of-control flags per day; the PROCESS-control cousin of
+    // dq_volume_anomaly's z-scores (XmR limits come from short-term
+    // moving range, so a slow drift that inflates the global σ still
+    // trips them). Counts and moving ranges are exact BIGINT; the
+    // limits assemble once per series from exact sums; the flag
+    // compares an exact integer against that double — deterministic in
+    // both engines.
+    Q("dq_control_chart",
+      """WITH dayv AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), mr AS (
+        |  SELECT event_type, day, n,
+        |         abs(n - lag(n) OVER (PARTITION BY event_type ORDER BY day))
+        |           AS mrange
+        |  FROM dayv
+        |), lim AS (
+        |  SELECT event_type,
+        |         CAST(sum(n) AS DOUBLE) / count(*) AS xbar,
+        |         CAST(sum(mrange) AS DOUBLE) / count(mrange) AS mrbar
+        |  FROM mr GROUP BY event_type
+        |)
+        |SELECT m.event_type, m.day, m.n,
+        |       round(l.xbar + 2.66 * l.mrbar, 6) AS ucl,
+        |       round(l.xbar - 2.66 * l.mrbar, 6) AS lcl,
+        |       (m.n > l.xbar + 2.66 * l.mrbar
+        |        OR m.n < l.xbar - 2.66 * l.mrbar) AS out_of_control
+        |FROM mr m JOIN lim l USING (event_type)
+        |ORDER BY m.event_type, m.day""".stripMargin) { (s, d) =>
+      val dayv = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val ws = Window.partitionBy("event_type").orderBy("day")
+      val mr = dayv
+        .withColumn("mrange", abs(col("n") - lag(col("n"), 1).over(ws)))
+        .persist()
+      val lim = mr.groupBy("event_type")
+        .agg((sum(col("n")).cast("double") / count(lit(1))).as("xbar"),
+          (sum(col("mrange")).cast("double") / count(col("mrange")))
+            .as("mrbar"))
+      mr.join(lim, Seq("event_type"))
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("xbar") + lit(2.66) * col("mrbar"), 6).as("ucl"),
+          round(col("xbar") - lit(2.66) * col("mrbar"), 6).as("lcl"),
+          (col("n") > col("xbar") + lit(2.66) * col("mrbar") ||
+            col("n") < col("xbar") - lit(2.66) * col("mrbar"))
+            .as("out_of_control"))
+        .orderBy("event_type", "day")
+    },
+
     // Session-window batch twin (round 13 — §2.J's third window shape):
     // Spark's NATIVE session_window(ts, '30 minutes') evaluated on a
     // batch frame, hash-verified against the classic lag+cumsum gap

@@ -6087,6 +6087,42 @@ object Llm {
         .orderBy("q_id", "rn")
     },
 
+    // Vocabulary concentration per source (round 13): Gini over each
+    // source's token-frequency distribution — the single-number
+    // companion to llm_zipf_slope (a slope says power-law SHAPE; Gini
+    // says how much of the source is a handful of tokens — boilerplate
+    // screams here before any quality model runs). Vocabulary-bounded:
+    // ranks ride a per-source window over the (source, word) frame;
+    // Σi·xᵢ and Σxᵢ are exact BIGINT; one float division per source.
+    Q("llm_vocab_gini",
+      """WITH tf AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT source, c,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |              ORDER BY c, w) AS BIGINT) AS i
+        |  FROM tf
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       round((2.0 * sum(i * c) - (count(*) + 1) * sum(c))
+        |             / (CAST(count(*) AS DOUBLE) * sum(c)), 6) AS gini
+        |FROM rk GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val tf = docs(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val wr = Window.partitionBy("source").orderBy(col("c"), col("w"))
+      tf.withColumn("i", row_number().over(wr).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+          round((lit(2.0) * sum(col("i") * col("c")) -
+            (count(lit(1)) + 1) * sum(col("c"))) /
+            (count(lit(1)).cast("double") * sum(col("c"))), 6).as("gini"))
+        .orderBy("source")
+    },
+
     // Token-pattern profile per source (round 13): numeric-token,
     // capitalized-token and punctuation densities — the surface-pattern
     // fingerprint that separates tabular/boilerplate-heavy sources from

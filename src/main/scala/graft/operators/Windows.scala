@@ -1309,6 +1309,164 @@ object Windows {
         .orderBy("event_type", "day")
     },
 
+    // Rolling 20-day beta vs the market series (round 13): the
+    // regression slope of each series' daily close on the
+    // lexicographically-first event_type's close — systematic-exposure
+    // tracking, the two-series companion to win_rolling_corr. The
+    // market close joins by day (one equi-join of the bounded daily
+    // frames); every window moment sum (Σx, Σy, Σxy, Σx²) is exact
+    // BIGINT on the cent grid; β is ONE float expression per row;
+    // complete windows only, zero-variance windows NULL.
+    Q("win_rolling_beta",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), mkt AS (
+        |  SELECT day, cl AS m FROM o
+        |  WHERE event_type = (SELECT min(event_type) FROM o)
+        |), j AS (
+        |  SELECT o.event_type, o.day, o.cl AS y, mkt.m AS x
+        |  FROM o JOIN mkt USING (day)
+        |  WHERE o.event_type <> (SELECT min(event_type) FROM o)
+        |), k AS (
+        |  SELECT event_type, day,
+        |         CAST(sum(x) OVER w20 AS BIGINT) AS sx,
+        |         CAST(sum(y) OVER w20 AS BIGINT) AS sy,
+        |         CAST(sum(x * y) OVER w20 AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) OVER w20 AS BIGINT) AS sxx,
+        |         CAST(count(*) OVER w20 AS BIGINT) AS n
+        |  FROM j
+        |  WINDOW w20 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |             / nullif(CAST(n AS DOUBLE) * sxx
+        |                      - CAST(sx AS DOUBLE) * sx, 0), 6) AS beta
+        |FROM k WHERE n = 20 ORDER BY event_type, day""".stripMargin) {
+      (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(when(col("rn_d") === 1, col("c"))).as("cl"))
+        .persist()
+      val mn = o.agg(min(col("event_type")).as("mkt_type"))
+      val mkt = o.join(broadcast(mn),
+          col("event_type") === col("mkt_type"))
+        .select(col("day"), col("cl").as("x"))
+      val j = o.join(broadcast(mn),
+          col("event_type") =!= col("mkt_type"))
+        .select(col("event_type"), col("day"), col("cl").as("y"))
+        .join(mkt, Seq("day"))
+      val w20 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-19, Window.currentRow)
+      j.select(col("event_type"), col("day"),
+          sum(col("x")).over(w20).as("sx"),
+          sum(col("y")).over(w20).as("sy"),
+          sum(col("x") * col("y")).over(w20).as("sxy"),
+          sum(col("x") * col("x")).over(w20).as("sxx"),
+          count(lit(1)).over(w20).as("n"))
+        .where(col("n") === 20)
+        .select(col("event_type"), col("day"),
+          round((col("n").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy")) /
+            nullif(col("n").cast("double") * col("sxx") -
+              col("sx").cast("double") * col("sx"), lit(0.0)), 6)
+            .as("beta"))
+        .orderBy("event_type", "day")
+    },
+
+    // Rescaled-range statistic + single-scale Hurst estimate per series
+    // (round 13; Hurst 1951): R/S of the full daily-close series — the
+    // long-memory readout (H ≈ 0.5 random walk, > 0.5 trending,
+    // < 0.5 mean-reverting) next to the autocorrelation keys. The
+    // cumulative-deviation series is kept EXACT by scaling: Yₖ =
+    // Σᵢ≤ₖ(n·xᵢ − Σx) is a BIGINT prefix sum (one per-series window),
+    // R = (max Y − min Y)/n, S from exact moments; the two logs are
+    // the only float steps. Series with zero variance NULL out.
+    Q("agg_hurst_rs",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cl) AS BIGINT) AS s1,
+        |         CAST(sum(cl * cl) AS BIGINT) AS s2
+        |  FROM o GROUP BY event_type
+        |), yk AS (
+        |  SELECT o.event_type,
+        |         CAST(sum(m.n * o.cl - m.s1) OVER (PARTITION BY o.event_type
+        |              ORDER BY o.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS y
+        |  FROM o JOIN m ON m.event_type = o.event_type
+        |), r AS (
+        |  SELECT event_type,
+        |         CAST(max(y) - min(y) AS BIGINT) AS range_scaled
+        |  FROM yk GROUP BY event_type
+        |)
+        |SELECT m.event_type, m.n,
+        |       round((CAST(r.range_scaled AS DOUBLE) / m.n)
+        |             / nullif(sqrt(CAST(m.n AS DOUBLE) * m.s2
+        |                           - CAST(m.s1 AS DOUBLE) * m.s1) / m.n, 0),
+        |             6) AS rs,
+        |       round(ln((CAST(r.range_scaled AS DOUBLE) / m.n)
+        |                / nullif(sqrt(CAST(m.n AS DOUBLE) * m.s2
+        |                              - CAST(m.s1 AS DOUBLE) * m.s1)
+        |                         / m.n, 0))
+        |             / ln(CAST(m.n AS DOUBLE) / 2), 6) AS hurst_est
+        |FROM m JOIN r USING (event_type)
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(when(col("rn_d") === 1, col("c"))).as("cl"))
+        .persist()
+      val m = o.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cl")).as("s1"),
+          sum(col("cl") * col("cl")).as("s2"))
+      val wc = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = o.join(m, Seq("event_type"))
+        .select(col("event_type"), col("day"),
+          sum(col("n") * col("cl") - col("s1")).over(wc).as("y"))
+        .groupBy("event_type")
+        .agg((max(col("y")) - min(col("y"))).as("range_scaled"))
+      val sd = sqrt(col("n").cast("double") * col("s2") -
+        col("s1").cast("double") * col("s1")) / col("n")
+      val rs = (col("range_scaled").cast("double") / col("n")) /
+        nullif(sd, lit(0.0))
+      m.join(r, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          round(rs, 6).as("rs"),
+          round(log(rs) / log(col("n").cast("double") / 2), 6)
+            .as("hurst_est"))
+        .orderBy("event_type")
+    },
+
     // Sharpe + Sortino ratios per series (round 13): mean daily return
     // over total vs DOWNSIDE volatility — the risk-adjusted readouts a
     // portfolio report pairs with win_drawdown/win_ulcer_index. Returns

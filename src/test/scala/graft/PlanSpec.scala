@@ -1049,7 +1049,9 @@ class PlanSpec extends AnyFunSuite {
       "etl_churn_daily" -> "(bounded) windows run over the per-DAY frame — cardinality = days in span",
       "etl_weekday_profile" -> "(bounded) window runs over the 7-row weekday frame",
       "etl_concurrency" -> "(bounded) only the CARRY window is day-global — it runs over the per-day delta frame; endpoint running sums partition by day (two-level prefix sum, r8)",
-      "etl_mom_yoy" -> "(bounded) lag window + YoY calendar join run over the per-MONTH frame — cardinality = months in span, SF-independent"
+      "etl_mom_yoy" -> "(bounded) lag window + YoY calendar join run over the per-MONTH frame — cardinality = months in span, SF-independent",
+      "etl_mat_rolling" -> "(bounded) 12-month rolling window runs over the per-MONTH frame — cardinality = months in span, SF-independent (r13)",
+      "etl_abc_class" -> "(twin) cumulative-share cut over the part DIMENSION frame — same global-cumsum shape as etl_pareto_revenue, whose RankFence fenced twin is the declared scale path for this family (r13)"
     )
     val factNames = Seq("lineitem", "orders", "events", "documents",
       "embeddings", "customer", "supplier", "part")
