@@ -771,6 +771,60 @@ object Aggregates {
           .orderBy("w_start", "event_type")
     },
 
+    // Categorical share drift (round 13): event_type mix of the FIRST
+    // month vs the LAST month, with each category's PSI contribution —
+    // the categorical companion to dq_psi_drift's numeric buckets (a
+    // new release shifting traffic between event types shows up here
+    // as signed share deltas, not just one summary number). Counts
+    // exact BIGINT; shares and the ln() contribution are per-category
+    // floats over a bounded domain, composed identically both engines.
+    Q("dq_category_drift",
+      """WITH b AS (
+        |  SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS m, event_type,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), lo AS (SELECT min(m) AS m1, max(m) AS m2 FROM b),
+        |p AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN m = (SELECT m1 FROM lo) THEN n ELSE 0 END)
+        |              AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN m = (SELECT m2 FROM lo) THEN n ELSE 0 END)
+        |              AS BIGINT) AS n2
+        |  FROM b GROUP BY event_type
+        |), tot AS (
+        |  SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2
+        |  FROM p
+        |)
+        |SELECT event_type, n1, n2,
+        |       round(CAST(n1 AS DOUBLE) / t1, 6) AS share_1,
+        |       round(CAST(n2 AS DOUBLE) / t2, 6) AS share_2,
+        |       round((CAST(n2 AS DOUBLE) / t2 - CAST(n1 AS DOUBLE) / t1)
+        |             * ln((CAST(n2 AS DOUBLE) / t2)
+        |                  / (CAST(n1 AS DOUBLE) / t1)), 6)
+        |         AS psi_contribution
+        |FROM p, tot ORDER BY event_type""".stripMargin) { (s, d) =>
+      val b = t(s, d, "events")
+        .groupBy(date_trunc("month", col("ts")).as("m"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .persist()
+      val lo = b.agg(min(col("m")).as("m1"), max(col("m")).as("m2"))
+      val p = b.crossJoin(broadcast(lo))
+        .groupBy("event_type")
+        .agg(sum(when(col("m") === col("m1"), col("n")).otherwise(0L))
+          .as("n1"),
+          sum(when(col("m") === col("m2"), col("n")).otherwise(0L))
+            .as("n2"))
+        .persist()
+      val tot = p.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+      val s1 = col("n1").cast("double") / col("t1")
+      val s2 = col("n2").cast("double") / col("t2")
+      p.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n1"), col("n2"),
+          round(s1, 6).as("share_1"), round(s2, 6).as("share_2"),
+          round((s2 - s1) * log(s2 / s1), 6).as("psi_contribution"))
+        .orderBy("event_type")
+    },
+
     // XmR control chart over daily event volume (round 13; Shewhart /
     // Wheeler): individuals + moving-range limits — mean ± 2.66·mR̄ —
     // with out-of-control flags per day; the PROCESS-control cousin of

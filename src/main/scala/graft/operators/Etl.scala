@@ -1371,6 +1371,40 @@ object Etl {
     // per-CUSTOMER frame, report-scale; kll fences are the 100 TB
     // escape); shares and the cumulative sum run as windows over the
     // BOUNDED 10-row decile frame, decimal until the final double edge.
+    // SLA attainment (round 13): the share of order lines shipped
+    // within 30 days of order placement, per order month — the
+    // thresholded SERVICE-LEVEL readout on top of etl_lead_time's
+    // distribution stats (ops teams commit to "x% within N days", not
+    // to a mean). One orders⋈lineitem join; day lags and counts exact
+    // integers; one display division per month.
+    Q("etl_sla_attainment",
+      """WITH j AS (
+        |  SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
+        |           AS month,
+        |         datediff('day', CAST(o.o_orderdate AS DATE),
+        |                  CAST(l.l_shipdate AS DATE)) AS lag_days
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |)
+        |SELECT month, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_within,
+        |       round(CAST(sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / count(*), 6) AS sla_rate
+        |FROM j GROUP BY month ORDER BY month""".stripMargin) { (s, d) =>
+      Tables(s, d, "orders").as("o")
+        .join(Tables(s, d, "lineitem").as("l"),
+          col("o.o_orderkey") === col("l.l_orderkey"))
+        .select(date_trunc("month", col("o.o_orderdate")).as("month"),
+          datediff(col("l.l_shipdate").cast("date"),
+            col("o.o_orderdate").cast("date")).as("lag_days"))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("lag_days") <= 30, 1L).otherwise(0L)).as("n_within"),
+          round(sum(when(col("lag_days") <= 30, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("sla_rate"))
+        .orderBy("month")
+    },
+
     // Moving annual total (round 13): 12-month rolling revenue per
     // month — the MAT line every finance pack draws to read trend
     // through seasonality (etl_mom_yoy gives point-to-point deltas;

@@ -6087,6 +6087,76 @@ object Llm {
         .orderBy("q_id", "rn")
     },
 
+    // Chunk-level exact dedup rate (round 13): split every doc into
+    // non-overlapping 32-token chunks, fingerprint each, and report
+    // per-source how much of the CHUNK population is repeated — the
+    // pre-indexing readout for RAG pipelines, where the unit of
+    // retrieval (and of wasted index space) is the chunk, not the doc
+    // (llm_exact_dedup answers at doc grain; boilerplate repeats at
+    // chunk grain long before whole docs do). One scan, one in-row
+    // chunk explode, one md5 per chunk, bounded per-source aggregate.
+    Q("llm_chunk_dedup_rate",
+      """WITH ch AS (
+        |  SELECT source,
+        |         md5(array_to_string(t[k * 32 + 1 : k * 32 + 32], ' '))
+        |           AS fp
+        |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |       LATERAL (SELECT unnest(range(0, (len(t) + 31) // 32)) AS k)
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+        |       round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6)
+        |         AS dup_rate
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("source"), split(col("text"), " ").as("t"))
+        .select(col("source"), explode(
+          transform(
+            sequence(lit(0), expr("(size(t) + 31) div 32 - 1")),
+            k => md5(array_join(slice(col("t"), k * 32 + 1, lit(32)), " "))))
+          .as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("fp")).as("n_distinct"),
+          round(lit(1.0) - countDistinct(col("fp")).cast("double") /
+            count(lit(1)), 6).as("dup_rate"))
+        .orderBy("source")
+    },
+
+    // Context-window fit profile (round 13): how much of each source
+    // fits in 32/64/128-token budgets — the packing-planner's first
+    // question (what share of the corpus needs chunking at all, per
+    // context budget) before llm_pack_sequences commits to a budget.
+    // One scan, exact integer token counts and bucket sums.
+    Q("llm_ctx_fit_profile",
+      """WITH n AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |           AS n_tok
+        |  FROM documents
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN n_tok <= 32 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS fit_32,
+        |       CAST(sum(CASE WHEN n_tok <= 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS fit_64,
+        |       CAST(sum(CASE WHEN n_tok <= 128 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS fit_128,
+        |       round(CAST(sum(CASE WHEN n_tok <= 64 THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / count(*), 6) AS fit_64_share
+        |FROM n GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_tok") <= 32, 1L).otherwise(0L)).as("fit_32"),
+          sum(when(col("n_tok") <= 64, 1L).otherwise(0L)).as("fit_64"),
+          sum(when(col("n_tok") <= 128, 1L).otherwise(0L)).as("fit_128"),
+          round(sum(when(col("n_tok") <= 64, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("fit_64_share"))
+        .orderBy("source")
+    },
+
     // Vocabulary concentration per source (round 13): Gini over each
     // source's token-frequency distribution — the single-number
     // companion to llm_zipf_slope (a slope says power-law SHAPE; Gini
