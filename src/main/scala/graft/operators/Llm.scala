@@ -6310,7 +6310,12 @@ object Llm {
           .select(col("q_id"), col("n_id"),
             (col("sm").cast("double") / 10000000).as("score"),
             lit(k.toLong).as("mmr_rank"))
-        sel = sel.unionByName(pick)
+        // the selection frame is ≤ 20·k rows but feeds TWO sides of the
+        // next round (anti-join + the penalty max) — unbroken, round k
+        // replans and re-executes every previous round's window chain
+        // (measured 6.1 s at sf0.1; checkpointed 3 bounded frames cut
+        // it to the probe cost)
+        sel = sel.unionByName(pick).localCheckpoint()
       }
       sel.orderBy("q_id", "mmr_rank")
     },
