@@ -140,6 +140,26 @@ class LakeCommitSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("lease renewal: a heartbeat keeps a long verb's lease alive " +
+    "past the TTL, so only CRASHED writers are taken over") {
+    val dir = tmp("graft_lease_renew")
+    try {
+      new java.io.File(s"$dir/_manifests").mkdirs()
+      assert(LakeCommit.acquireLease(dir, "t", ttlMs = 60000))
+      val lease = new java.io.File(s"$dir/_manifests/t.lease")
+      // age the lease to the brink, then heartbeat: the mtime moves
+      // forward and a competing writer is still refused
+      assert(lease.setLastModified(System.currentTimeMillis() - 59000))
+      LakeCommit.renewLease(dir, "t")
+      assert(System.currentTimeMillis() - lease.lastModified < 5000,
+        "renew must push the heartbeat forward")
+      assert(LakeCommit.leaseHolder(dir, "t", ttlMs = 60000)
+        .exists(_._2), "the renewed lease is still ours and live")
+      LakeCommit.releaseLease(dir, "t")
+      assert(!lease.exists, "release must delete the lease file")
+    } finally rm(dir)
+  }
+
   test("generation layout stamp (VERDICT r12 #6): an upgraded reader " +
     "refuses an old-layout generation and an old reader refuses a new " +
     "one — migration is explicit, never a silent misread") {
