@@ -82,20 +82,13 @@ object IvfIndex {
 
   /** Fold the maintlog into one compacted generation once its current
     * generation accumulates this many decision files (round 13 —
-    * VERDICT r12 #2): each [[maintain]] appends one coalesced file, so
-    * without a fold the log dir's file count — and the LIST every
-    * reader pays — grows forever at nightly cadence. */
-  val MaintlogFoldFiles = 16
+    * VERDICT r12 #2) — the shared [[MaintLog]] machinery's cap. */
+  val MaintlogFoldFiles = MaintLog.FoldFiles
 
   /** The logical table name a generation publishes under. */
   private val Table = "index"
 
-  /** The maintenance log's own manifest table (round 13): the log
-    * rides the SAME generation protocol as the index — appends land
-    * inside the current log generation, a fold is one atomic manifest
-    * swap, and `log_seq` is read from the stored rows (monotonic across
-    * folds), not from a file count that a fold would reset. */
-  private val LogTable = "maintlog"
+
 
   /** Index dir for `sfDir`'s embeddings table, training it (once per
     * corpus fingerprint) if absent. */
@@ -402,61 +395,21 @@ object IvfIndex {
     action
   }
 
-  /** The maintenance decision audit trail — one row per [[maintain]].
-    * Round 13: the log is its own manifest table (generations under
-    * `<dir>/maintlog.g*`), so it shares the index's crash-safety and
-    * its fold is one atomic generation swap. */
-  def maintlog(spark: SparkSession, dir: String): DataFrame = {
-    val g = LakeCommit.currentGen(dir, LogTable).getOrElse(
-      sys.error(s"no committed maintlog generation under $dir"))
-    LakeCommit.requireLayout(g, Layout, "maintlog")
-    spark.read.parquet(s"$g/log")
-  }
+  /** The maintenance decision audit trail — one row per [[maintain]]
+    * ([[MaintLog]]: its own manifest table sharing the index's
+    * crash-safety; `log_seq` gapless across folds). */
+  def maintlog(spark: SparkSession, dir: String): DataFrame =
+    MaintLog.read(spark, dir, Layout)
 
   private def nextLogSeq(spark: SparkSession, dir: String): Long =
-    LakeCommit.currentGen(dir, LogTable) match {
-      case None => 1L
-      case Some(g) =>
-        spark.read.parquet(s"$g/log")
-          .agg(coalesce(max(col("log_seq")), lit(0L))).head().getLong(0) + 1
-    }
+    MaintLog.nextSeq(spark, dir)
 
-  /** Append one decision row: the first decision publishes log
-    * generation 1; later ones append a single coalesced file inside the
-    * current generation and fold it once [[MaintlogFoldFiles]] is
-    * exceeded. Runs under the caller's writer lease. */
   private def appendMaintlog(
       spark: SparkSession, dir: String, row: DataFrame): Unit =
-    LakeCommit.currentGen(dir, LogTable) match {
-      case Some(g) =>
-        row.coalesce(1).write.mode("append").parquet(s"$g/log")
-        if (LakeCommit.dataFiles(s"$g/log").length > MaintlogFoldFiles)
-          foldMaintlog(spark, dir)
-      case None =>
-        val stage = LakeCommit.stage(dir, LogTable)
-        row.coalesce(1).write.parquet(s"$stage/log")
-        LakeCommit.stampLayout(stage, Layout)
-        require(LakeCommit.commit(dir, LogTable, stage),
-          s"maintlog: another writer published $stage first")
-    }
+    MaintLog.append(spark, dir, row, Layout, Table)
 
-  /** Fold the maintlog's accumulated per-decision files into ONE file
-    * in a fresh generation — the same manifest swap every compact in
-    * this repo rides. `log_seq` lives in the rows, so ordering is
-    * untouched by the fold (IvfSpec pins replay across it). */
   private[graft] def foldMaintlog(spark: SparkSession, dir: String): Unit =
-    LakeCommit.currentGen(dir, LogTable).foreach { g =>
-      LakeCommit.withLease(dir, Table) {
-      val stage = LakeCommit.stage(dir, LogTable)
-      spark.read.parquet(s"$g/log")
-        .coalesce(1).write.parquet(s"$stage/log")
-      LakeCommit.stampLayout(stage, Layout)
-      require(LakeCommit.commit(dir, LogTable, stage),
-        s"maintlog fold: another writer published $stage first")
-      LakeCommit.cleanup(dir, LogTable,
-        retireMs = LakeCommit.RetireSupersededMs)
-      }
-    }
+    MaintLog.fold(spark, dir, Layout, Table)
 
   /** Tombstone a set of vec_ids (round 11 — the third index lifecycle
     * verb after build and ingest): deletes in an append-only inverted

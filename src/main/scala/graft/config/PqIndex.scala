@@ -112,11 +112,32 @@ object PqIndex {
       .head().getLong(0)
     val deadN = tombstones(spark, dir).count()
     val totalN = codes(spark, dir).count()
-    if (totalN > 0 && BigInt(deadN) * 1000000 > BigInt(tauMicro) * totalN) {
-      compact(spark, dir)
-      "ingest+compact"
-    } else "ingest"
+    val action =
+      if (totalN > 0 &&
+        BigInt(deadN) * 1000000 > BigInt(tauMicro) * totalN) {
+        compact(spark, dir)
+        "ingest+compact"
+      } else "ingest"
+    // decision record (round 13 — the IvfIndex maintlog applied to PQ:
+    // every number the compaction gate consulted, so an audit replays
+    // ANY past decision from stored state alone)
+    locally {
+      import spark.implicits._
+      val logSeq = MaintLog.nextSeq(spark, dir)
+      MaintLog.append(spark, dir,
+        Seq((logSeq,
+          LakeCommit.currentEntry(dir, Table).map(_._1).getOrElse(0L),
+          action, deadN, totalN, tauMicro))
+          .toDF("log_seq", "gen_seq", "action", "dead_n", "total_n",
+            "compact_tau_micro"),
+        Layout, Table)
+    }
+    action
   }
+
+  /** The maintenance decision audit trail — one row per [[maintain]]. */
+  def maintlog(spark: SparkSession, dir: String): DataFrame =
+    MaintLog.read(spark, dir, Layout)
 
   /** Ingest a new vector batch (round 11 — VERDICT r10 #1): encode ONLY
     * the batch against the STORED codebook and APPEND its code rows —

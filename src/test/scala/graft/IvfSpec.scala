@@ -644,6 +644,16 @@ class IvfSpec extends AnyFunSuite {
         assert(pa == "ingest+compact", s"got $pa")
         assert(graft.config.PqIndex.codes(spark, pqDir).count() == 210)
         assert(graft.config.PqIndex.tombstones(spark, pqDir).count() == 0)
+        // r13: PQ decisions are logged like IVF's, and each replays
+        // from its own stored numbers (dead·10⁶ > τ·total ⇔ compact)
+        val plog = graft.config.PqIndex.maintlog(spark, pqDir)
+          .orderBy("log_seq").collect()
+        assert(plog.map(_.getString(2)).toSeq == Seq("ingest+compact"))
+        assert(plog.forall(r =>
+          (BigInt(r.getLong(3)) * 1000000 >
+            BigInt(r.getLong(5)) * r.getLong(4)) ==
+            (r.getString(2) == "ingest+compact")),
+          "every logged PQ decision must replay from its stored numbers")
       } finally org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(pqDir))
     } finally org.apache.commons.io.FileUtils
