@@ -6087,6 +6087,42 @@ object Llm {
         .orderBy("q_id", "rn")
     },
 
+    // Top-k vocabulary coverage (round 13): the share of all corpus
+    // tokens covered by the top-100 / top-1000 most frequent words —
+    // the working-set readout behind vocabulary sizing and stopword
+    // policy (llm_vocab_coverage asks "does a GIVEN vocab cover the
+    // corpus"; this asks "how small could it be"). Vocabulary-bounded:
+    // one rank window over the word-frequency frame, exact BIGINT
+    // conditional sums, two display divisions.
+    Q("llm_ngram_coverage",
+      """WITH tf AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w
+        |), rk AS (
+        |  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w)
+        |              AS BIGINT) AS i
+        |  FROM tf
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS vocab,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       round(CAST(sum(CASE WHEN i <= 100 THEN c ELSE 0 END)
+        |                  AS DOUBLE) / sum(c), 6) AS top100_coverage,
+        |       round(CAST(sum(CASE WHEN i <= 1000 THEN c ELSE 0 END)
+        |                  AS DOUBLE) / sum(c), 6) AS top1000_coverage
+        |FROM rk""".stripMargin) { (s, d) =>
+      val tf = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val wr = Window.orderBy(col("c").desc, col("w"))
+      tf.withColumn("i", row_number().over(wr).cast("long"))
+        .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+          round(sum(when(col("i") <= 100, col("c")).otherwise(0L))
+            .cast("double") / sum(col("c")), 6).as("top100_coverage"),
+          round(sum(when(col("i") <= 1000, col("c")).otherwise(0L))
+            .cast("double") / sum(col("c")), 6).as("top1000_coverage"))
+    },
+
     // Chunk-level exact dedup rate (round 13): split every doc into
     // non-overlapping 32-token chunks, fingerprint each, and report
     // per-source how much of the CHUNK population is repeated — the

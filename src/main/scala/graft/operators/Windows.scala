@@ -1544,6 +1544,62 @@ object Windows {
         .orderBy("event_type")
     },
 
+    // Days since the running peak (round 13): how long each series has
+    // been under water — the DURATION companion to win_drawdown's depth
+    // (a 5% drawdown that is 40 days old is a different regime than a
+    // fresh one). The running peak and ITS DAY travel together as one
+    // BIGINT encoding (close·2²⁰ + day-number — close wins the max,
+    // earliest day breaks close ties via the inverted day field), so
+    // one running MAX window carries both; everything stays exact
+    // integers to the output.
+    Q("win_peak_age",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl,
+        |         datediff('day', DATE '1990-01-01', CAST(day AS DATE)) AS dn
+        |  FROM v GROUP BY event_type, day
+        |), k AS (
+        |  SELECT event_type, day, cl, dn,
+        |         CAST(max(cl * 1048576 + (1048575 - dn)) OVER
+        |              (PARTITION BY event_type ORDER BY day
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pk
+        |  FROM o
+        |)
+        |SELECT event_type, day,
+        |       CAST(pk // 1048576 AS BIGINT) AS peak_cents,
+        |       CAST(dn - (1048575 - pk % 1048576) AS BIGINT)
+        |         AS days_since_peak
+        |FROM k ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(when(col("rn_d") === 1, col("c"))).as("cl"))
+        .withColumn("dn",
+          datediff(col("day").cast("date"), lit("1990-01-01").cast("date"))
+            .cast("long"))
+      val wc = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.select(col("event_type"), col("day"), col("dn"),
+          max(col("cl") * 1048576 + (lit(1048575L) - col("dn"))).over(wc)
+            .as("pk"))
+        .select(col("event_type"), col("day"),
+          expr("pk div 1048576").as("peak_cents"),
+          (col("dn") - (lit(1048575L) - pmod(col("pk"), lit(1048576L))))
+            .as("days_since_peak"))
+        .orderBy("event_type", "day")
+    },
+
     // Rolling 20-day skewness (round 13): the asymmetry companion to
     // win_rolling_stats' mean/stdev — a return series that looks calm
     // by σ but skews hard negative is tail risk, not calm. Window
