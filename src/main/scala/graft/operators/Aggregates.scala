@@ -5012,6 +5012,66 @@ object Aggregates {
               datediff(col("day"), col("prev_day")) - 1)), lit(0))
               .cast("long").as("max_gap_days"))
           .orderBy("event_type")
+    },
+
+    // Lorenz curve deciles (round 13, cont.): customers ranked by
+    // lifetime spend, cut into 10 equal-population buckets, each with
+    // its revenue share and cumulative share — the CURVE behind
+    // agg_gini's one-number summary (the "bottom 50% hold x%" readout).
+    // Decile cut is pure integer arithmetic ((i−1)·10 div n — both
+    // engines truncate toward zero, pinned by etl_abc_class); ties
+    // break on custkey so the rank is a total order. Exact BIGINT cents
+    // end-to-end; two round-6 display divisions of exact integers. The
+    // global rank window rides the CUSTOMER-dimension frame (the
+    // etl_pareto/agg_gini fence: dimension-sized, not fact-sized); the
+    // cumulative window is 10 rows.
+    Q("agg_lorenz",
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM orders GROUP BY o_custkey
+        |), r AS (
+        |  SELECT cents,
+        |         CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+        |           AS i
+        |  FROM spend
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cents) AS BIGINT) AS tc
+        |  FROM spend
+        |), g AS (
+        |  SELECT CAST((i - 1) * 10 // n AS BIGINT) AS decile,
+        |         CAST(count(*) AS BIGINT) AS n_customers,
+        |         CAST(sum(cents) AS BIGINT) AS decile_cents,
+        |         max(tc) AS tc
+        |  FROM r CROSS JOIN tot GROUP BY 1
+        |)
+        |SELECT decile, n_customers, decile_cents,
+        |       round(CAST(decile_cents AS DOUBLE) / tc, 6) AS share,
+        |       round(CAST(sum(decile_cents) OVER (ORDER BY decile
+        |                ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tc, 6)
+        |         AS cum_share
+        |FROM g ORDER BY decile""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val spend = t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val r = spend.withColumn("i",
+        row_number().over(Window.orderBy("cents", "o_custkey")).cast("long"))
+      val tot = spend.agg(count(lit(1)).as("n"), sum(col("cents")).as("tc"))
+      val g = r.crossJoin(broadcast(tot))
+        .withColumn("decile", expr("(i - 1) * 10 div n").cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("decile_cents"), max(col("tc")).as("tc"))
+      val cum = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.select(col("decile"), col("n_customers"), col("decile_cents"),
+          round(col("decile_cents").cast("double") / col("tc"), 6).as("share"),
+          round(sum(col("decile_cents")).over(cum).cast("double") / col("tc"), 6)
+            .as("cum_share"))
+        .orderBy("decile")
     }
   )
 }

@@ -3499,6 +3499,139 @@ object Etl {
           round(res.cast("double") / count(lit(1)), 6)
             .as("resurrection_rate"))
         .orderBy("day")
+    },
+
+    // Ordered-stage funnel (round 13, cont.): signup → view → click →
+    // purchase, where stage k counts only an event strictly AFTER the
+    // user's stage-(k−1) entry time — the product-analytics conversion
+    // readout (a purchase before signup is a data artifact, not a
+    // conversion; naive per-type counts can't see ordering). Plan: the
+    // four stage times chain as min-CASE windows over ONE user_id hash
+    // partitioning (no orderBy ⇒ no sort; Spark reuses the single
+    // exchange across all four window passes), then a user-level
+    // distinct and a 1-row rollup. Timestamps compare exactly (shared
+    // µs grid via Tables); counts exact BIGINT; three round-6 display
+    // divisions of exact integers (etl_resurrection_daily precedent).
+    Q("etl_funnel_stages",
+      """WITH u1 AS (
+        |  SELECT user_id, ts, event_type,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END)
+        |           OVER (PARTITION BY user_id) AS s1
+        |  FROM events
+        |), u2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' AND ts > s1 THEN ts END)
+        |              OVER (PARTITION BY user_id) AS s2 FROM u1
+        |), u3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > s2 THEN ts END)
+        |              OVER (PARTITION BY user_id) AS s3 FROM u2
+        |), u4 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
+        |              OVER (PARTITION BY user_id) AS s4 FROM u3
+        |), f AS (
+        |  SELECT user_id, max(s1) AS s1, max(s2) AS s2,
+        |         max(s3) AS s3, max(s4) AS s4
+        |  FROM u4 GROUP BY user_id
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(count(s1) AS BIGINT) AS n_signup,
+        |       CAST(count(s2) AS BIGINT) AS n_view,
+        |       CAST(count(s3) AS BIGINT) AS n_click,
+        |       CAST(count(s4) AS BIGINT) AS n_purchase,
+        |       round(CAST(count(s2) AS DOUBLE) / greatest(count(s1), 1), 6)
+        |         AS cv_view,
+        |       round(CAST(count(s3) AS DOUBLE) / greatest(count(s2), 1), 6)
+        |         AS cv_click,
+        |       round(CAST(count(s4) AS DOUBLE) / greatest(count(s3), 1), 6)
+        |         AS cv_purchase
+        |FROM f""".stripMargin) { (s, d) =>
+      val wu = Window.partitionBy("user_id")
+      val u = events(s, d).select("user_id", "ts", "event_type")
+        .withColumn("s1",
+          min(when(col("event_type") === "signup", col("ts"))).over(wu))
+        .withColumn("s2",
+          min(when(col("event_type") === "view" && col("ts") > col("s1"),
+            col("ts"))).over(wu))
+        .withColumn("s3",
+          min(when(col("event_type") === "click" && col("ts") > col("s2"),
+            col("ts"))).over(wu))
+        .withColumn("s4",
+          min(when(col("event_type") === "purchase" && col("ts") > col("s3"),
+            col("ts"))).over(wu))
+      val f = u.groupBy("user_id").agg(
+        max(col("s1")).as("s1"), max(col("s2")).as("s2"),
+        max(col("s3")).as("s3"), max(col("s4")).as("s4"))
+      f.agg(
+        count(lit(1)).as("n_users"),
+        count(col("s1")).as("n_signup"),
+        count(col("s2")).as("n_view"),
+        count(col("s3")).as("n_click"),
+        count(col("s4")).as("n_purchase"),
+        round(count(col("s2")).cast("double") /
+          greatest(count(col("s1")), lit(1L)), 6).as("cv_view"),
+        round(count(col("s3")).cast("double") /
+          greatest(count(col("s2")), lit(1L)), 6).as("cv_click"),
+        round(count(col("s4")).cast("double") /
+          greatest(count(col("s3")), lit(1L)), 6).as("cv_purchase"))
+    },
+
+    // First/last-touch attribution (round 13, cont.): each purchase's
+    // value credited to the user's FIRST-ever preceding non-purchase
+    // event type (brand-awareness model) and to the MOST RECENT one
+    // (closer model) — the two bookends every marketing-mix debate runs
+    // between; a purchase with no prior touch is 'direct'. Plan: ONE
+    // user-partitioned (ts, event_id)-ordered window pass computes both
+    // touches via IGNORE-NULLS first/last over the strict-past frame
+    // (no self-join, no per-purchase rescan); the rollup is bounded by
+    // the event-type domain × 2 models. Cents exact BIGINT.
+    Q("etl_attribution_models",
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS cents,
+        |         first_value(CASE WHEN event_type <> 'purchase'
+        |                          THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS first_touch,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS last_touch
+        |  FROM events
+        |), p AS (
+        |  SELECT coalesce(first_touch, 'direct') AS first_touch,
+        |         coalesce(last_touch, 'direct') AS last_touch, cents
+        |  FROM e WHERE event_type = 'purchase'
+        |)
+        |SELECT model, channel, CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(sum(cents) AS BIGINT) AS attributed_cents
+        |FROM (
+        |  SELECT 'first_touch' AS model, first_touch AS channel, cents FROM p
+        |  UNION ALL
+        |  SELECT 'last_touch' AS model, last_touch AS channel, cents FROM p
+        |)
+        |GROUP BY model, channel ORDER BY model, channel""".stripMargin) { (s, d) =>
+      val past = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      val e = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          round(coalesce(col("value"), lit(0.0)) * 100).cast("long").as("cents"))
+        .withColumn("first_touch", first(touch, ignoreNulls = true).over(past))
+        .withColumn("last_touch", last(touch, ignoreNulls = true).over(past))
+      val p = e.where(col("event_type") === "purchase")
+        .select(
+          coalesce(col("first_touch"), lit("direct")).as("first_touch"),
+          coalesce(col("last_touch"), lit("direct")).as("last_touch"),
+          col("cents"))
+      p.select(lit("first_touch").as("model"),
+          col("first_touch").as("channel"), col("cents"))
+        .unionAll(p.select(lit("last_touch").as("model"),
+          col("last_touch").as("channel"), col("cents")))
+        .groupBy("model", "channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("attributed_cents"))
+        .orderBy("model", "channel")
     }
   ) :+ resampleQ
 

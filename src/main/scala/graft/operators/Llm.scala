@@ -4284,6 +4284,88 @@ object Llm {
         .orderBy("source")
     },
 
+    // Cohen's kappa rater agreement (round 13, cont.): chance-corrected
+    // agreement between the stored lang LABEL and the llm_lang_id
+    // heuristic — the one-number labeling-QA summary above
+    // llm_lang_mismatch's per-source rates (raw agreement flatters a
+    // skewed label mix; kappa subtracts what marginals alone would
+    // score). Shares the exact stopword/argmax chain (the audit cannot
+    // disagree with the classifier it audits); 'und' predictions are
+    // abstentions, excluded from both marginals. All counts exact
+    // BIGINT over the bounded 5×5 confusion domain; po/pe/kappa are
+    // FLOOR-scaled displays of exact-integer ratios (n·d and n² stay
+    // <10¹⁰ at sf0.1 — no overflow until ~10⁹ docs, where the counts
+    // would move to the pe expression's DOUBLE anyway).
+    Q("dq_rater_agreement", {
+      val counts = stopwords.keys.toSeq.sorted
+        .map(l => s"len(list_filter(t, x -> x IN ${inList(stopwords(l))})) AS c_$l")
+        .mkString(",\n         ")
+      val ladder = Seq("en", "de", "es", "fr", "zh")
+        .map(l => s"WHEN c_$l = mx THEN '$l'").mkString(" ")
+      s"""WITH p AS (
+         |  SELECT lang,
+         |         CASE WHEN mx = 0 THEN 'und' $ladder END AS pred_lang
+         |  FROM (
+         |    SELECT lang, greatest(c_de, c_en, c_es, c_fr, c_zh) AS mx,
+         |           c_de, c_en, c_es, c_fr, c_zh
+         |    FROM (
+         |      SELECT lang, $counts
+         |      FROM (SELECT lang, string_split(text, ' ') AS t FROM documents)
+         |    )
+         |  ) WHERE mx <> 0
+         |), nd AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS d
+         |  FROM p
+         |), rm AS (
+         |  SELECT lang AS k, CAST(count(*) AS BIGINT) AS r FROM p GROUP BY lang
+         |), cm AS (
+         |  SELECT pred_lang AS k, CAST(count(*) AS BIGINT) AS c
+         |  FROM p GROUP BY pred_lang
+         |), pe AS (
+         |  SELECT CAST(coalesce(sum(r * c), 0) AS BIGINT) AS pe_num
+         |  FROM rm JOIN cm USING (k)
+         |)
+         |SELECT n AS n_rated, d AS n_agree,
+         |       floor(CAST(d AS DOUBLE) / n * 1000000) / 1000000 AS po,
+         |       floor(CAST(pe_num AS DOUBLE) / (n * n) * 1000000) / 1000000
+         |         AS pe,
+         |       floor(CAST(n * d - pe_num AS DOUBLE)
+         |             / nullif(n * n - pe_num, 0) * 1000000) / 1000000
+         |         AS kappa
+         |FROM nd CROSS JOIN pe""".stripMargin
+    }) { (s, d) =>
+      val withCounts = stopwords.keys.toSeq.sorted.foldLeft(
+        docs(s, d).select(col("lang"), split(col("text"), " ").as("t"))) {
+        case (df, l) =>
+          df.withColumn(s"c_$l",
+            size(expr(s"filter(t, x -> x IN ${inList(stopwords(l))})")))
+      }
+      val mx = greatest(col("c_de"), col("c_en"), col("c_es"),
+        col("c_fr"), col("c_zh"))
+      val pred = Seq("en", "de", "es", "fr", "zh").foldLeft(
+        when(mx === 0, "und")) { case (w, l) => w.when(col(s"c_$l") === mx, l) }
+      val p = withCounts
+        .select(col("lang"), pred.as("pred_lang"))
+        .where(col("pred_lang") =!= "und")
+      val nd = p.agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === col("pred_lang"), 1L).otherwise(0L)).as("d"))
+      val rm = p.groupBy(col("lang").as("k")).agg(count(lit(1)).as("r"))
+      val cm = p.groupBy(col("pred_lang").as("k2")).agg(count(lit(1)).as("c"))
+      val pe = rm.join(cm, col("k") === col("k2"))
+        .agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("pe_num"))
+      nd.crossJoin(pe).select(
+        col("n").as("n_rated"), col("d").as("n_agree"),
+        (floor(col("d").cast("double") / col("n") * 1000000) / 1000000)
+          .as("po"),
+        (floor(col("pe_num").cast("double") / (col("n") * col("n")) * 1000000)
+          / 1000000).as("pe"),
+        (floor((col("n") * col("d") - col("pe_num")).cast("double")
+          / nullif(col("n") * col("n") - col("pe_num"), lit(0L)) * 1000000)
+          / 1000000).as("kappa"))
+    },
+
     // Word-3-gram Jaccard similarity over candidate pairs that share a
     // shingle (the scale-safe pattern: equi-join on shingle, never O(n²)).
     Q("llm_ngram_jaccard",

@@ -731,6 +731,27 @@ object Relational {
         .unionByName(b.join(a, Seq("o_custkey"), "left_anti")
           .withColumn("side", lit("only_1996")))
         .orderBy("o_custkey", "side")
+    },
+
+    // Set difference, DISTINCT semantics (round 13, cont.): customers
+    // active in 1995 and NOT in 1996 — the churned-customer SET. The
+    // last missing corner of the set family: set_except is EXCEPT ALL
+    // (multiset, keeps max(m−n,0) copies), this is plain EXCEPT.
+    // Spark's `except` plans a left-anti over distinct inputs — one
+    // shuffle per side, map-side-combinable distincts.
+    Q("set_except_distinct",
+      """(SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+        |EXCEPT
+        |(SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      def yr(y: Int) = o
+        .where(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select("o_custkey")
+      yr(1995).except(yr(1996)).orderBy("o_custkey")
     }
   )
 }
