@@ -6475,6 +6475,109 @@ object Llm {
         .orderBy("d1", "d2")
     },
 
+    // BLEU-2 over the VERIFIED near-dup pairs (round 13, cont.): the
+    // machine-translation cousin of llm_rouge1_pairs — clipped unigram
+    // AND bigram precision with the brevity penalty, d1 as candidate
+    // and d2 as reference. ROUGE's recall view asks "how much of the
+    // reference survives"; BLEU's precision view asks "how much of the
+    // candidate is licensed" — a pair that scores high on one and low
+    // on the other is an asymmetric containment (excerpt/expansion),
+    // exactly the case where dropping the wrong side of a dup pair
+    // loses content. Rides the materialized pair frame + the same
+    // token-frequency scan shape (one extra bigram-frequency pass);
+    // clipped overlaps are exact BIGINT Σ min(tf₁,tf₂); bp and
+    // bleu2 = bp·√(p1·p2) are per-row float expressions on exact
+    // integers, identically composed, FLOOR-scaled.
+    Q("llm_bleu_pairs",
+      s"""WITH $minhashVerifiedCtes,
+         |tf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents) GROUP BY 1, 2
+         |), bt AS (
+         |  SELECT doc_id, toks[CAST(x AS INT)] || ' ' ||
+         |         toks[CAST(x AS INT) + 1] AS bg
+         |  FROM (
+         |    SELECT doc_id, toks, unnest(range(1, len(toks))) AS x
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |          FROM documents))
+         |), bf AS (
+         |  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+         |  FROM bt GROUP BY 1, 2
+         |), ln AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY 1
+         |), pr AS (
+         |  SELECT d1, d2 FROM verified WHERE est_jaccard >= 0.2
+         |), o1 AS (
+         |  SELECT p.d1, p.d2, CAST(sum(least(a.c, b.c)) AS BIGINT) AS o1
+         |  FROM pr p JOIN tf a ON a.doc_id = p.d1
+         |  JOIN tf b ON b.doc_id = p.d2 AND b.w = a.w
+         |  GROUP BY 1, 2
+         |), o2 AS (
+         |  SELECT p.d1, p.d2, CAST(sum(least(a.c, b.c)) AS BIGINT) AS o2
+         |  FROM pr p JOIN bf a ON a.doc_id = p.d1
+         |  JOIN bf b ON b.doc_id = p.d2 AND b.bg = a.bg
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.d1, p.d2, l1.n AS n1, l2.n AS n2,
+         |       coalesce(u.o1, 0) AS clip1, coalesce(g.o2, 0) AS clip2,
+         |       floor(CASE WHEN l1.n >= l2.n THEN 1.0
+         |                  ELSE exp(1.0 - CAST(l2.n AS DOUBLE) / l1.n) END
+         |             * 1000000) / 1000000 AS bp,
+         |       floor(CASE WHEN coalesce(u.o1, 0) = 0
+         |                    OR coalesce(g.o2, 0) = 0 OR l1.n < 2 THEN 0.0
+         |                  ELSE (CASE WHEN l1.n >= l2.n THEN 1.0
+         |                             ELSE exp(1.0 - CAST(l2.n AS DOUBLE)
+         |                                      / l1.n) END)
+         |                       * sqrt(CAST(u.o1 AS DOUBLE) / l1.n
+         |                              * (CAST(g.o2 AS DOUBLE)
+         |                                 / (l1.n - 1))) END
+         |             * 1000000) / 1000000 AS bleu2
+         |FROM pr p
+         |LEFT JOIN o1 u ON u.d1 = p.d1 AND u.d2 = p.d2
+         |LEFT JOIN o2 g ON g.d1 = p.d1 AND g.d2 = p.d2
+         |JOIN ln l1 ON l1.doc_id = p.d1
+         |JOIN ln l2 ON l2.doc_id = p.d2
+         |ORDER BY p.d1, p.d2""".stripMargin) { (s, d) =>
+      val pairs = minhashVerifiedLake(s, d)
+        .where(col("est_jaccard") >= 0.2).select("d1", "d2").persist()
+      val tf = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val bf = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(slice(toks, 1, size(toks) - 1),
+            |  (x, i) -> concat(x, ' ', element_at(toks, i + 2)))"""
+            .stripMargin)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      val ln = tf.groupBy("doc_id").agg(sum(col("c")).as("n"))
+      def clipped(f: DataFrame, k: String, out: String) = pairs
+        .join(f.as("a"), col("d1") === col("a.doc_id"))
+        .join(f.as("b"),
+          col("d2") === col("b.doc_id") && col(s"a.$k") === col(s"b.$k"))
+        .groupBy("d1", "d2")
+        .agg(sum(least(col("a.c"), col("b.c"))).as(out))
+      val bpE = when(col("n1") >= col("n2"), lit(1.0))
+        .otherwise(exp(lit(1.0) - col("n2").cast("double") / col("n1")))
+      pairs
+        .join(clipped(tf, "w", "o1"), Seq("d1", "d2"), "left")
+        .join(clipped(bf, "bg", "o2"), Seq("d1", "d2"), "left")
+        .join(ln.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+        .join(ln.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+        .select(col("d1"), col("d2"), col("n1"), col("n2"),
+          coalesce(col("o1"), lit(0L)).as("clip1"),
+          coalesce(col("o2"), lit(0L)).as("clip2"),
+          (floor(bpE * 1000000) / 1000000).as("bp"),
+          (floor(when(coalesce(col("o1"), lit(0L)) === 0 ||
+              coalesce(col("o2"), lit(0L)) === 0 || col("n1") < 2, lit(0.0))
+            .otherwise(bpE * sqrt(col("o1").cast("double") / col("n1")
+              * (col("o2").cast("double") / (col("n1") - 1))))
+            * 1000000) / 1000000).as("bleu2"))
+        .orderBy("d1", "d2")
+    },
+
     // MAINTENANCE-DECISION AUDIT (round 13 — VERDICT r12 #8): the
     // maintenance loop's own dashboard, oracle-verified. The served
     // frame is the STORED maintlog of a maintained deployment index
@@ -6728,6 +6831,204 @@ object Llm {
           (floor(sqrt(col("cnorm2") - col("proj") * col("proj")) * 1000000)
             / 1000000).as("residual_norm"))
         .orderBy("vec_id")
+    },
+
+    // Embedding anisotropy (round 13, cont.): mean pairwise cosine over
+    // ALL vector pairs + the mean-direction norm — Ethayarajh (2019)'s
+    // anisotropy readout: a healthy embedding space has near-zero mean
+    // pairwise cosine, a collapsed one clusters in a cone (cosine
+    // ranking loses contrast, every ANN/dedup threshold silently
+    // shifts). THE scale trick: the naive readout is an O(n²) pair
+    // join; the identity Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖² makes it ONE
+    // map-side pass + one 65-column aggregate — no join at any SF.
+    // Unit-normalized vectors re-quantize to a 1e-6 tick grid
+    // (per-row IEEE ops on identical inputs, the shared-grid
+    // doctrine), so the per-dim sums are exact BIGINT, the per-row
+    // norm² fold is exact DECIMAL/HUGEINT, and ‖Σq‖² assembles in a
+    // FIXED left-to-right 64-term double expression — bit-identical
+    // both engines, FLOOR-scaled displays.
+    Q("llm_embedding_anisotropy", {
+      val sums = (1 to 64)
+        .map(j => s"CAST(sum(qi[$j]) AS BIGINT) AS s$j")
+        .mkString(",\n         |         ")
+        .stripMargin
+      val s2 = (1 to 64)
+        .map(j => s"CAST(s$j AS DOUBLE) * CAST(s$j AS DOUBLE)")
+        .mkString(" + ")
+      s"""WITH nv AS (
+         |  SELECT xi,
+         |         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |             list_transform(xi, v -> CAST(v AS HUGEINT) * v)),
+         |           (a, b) -> a + b) AS n2
+         |  FROM (
+         |    SELECT list_transform(embedding, v ->
+         |             CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT))
+         |             AS xi
+         |    FROM embeddings)
+         |), q AS (
+         |  SELECT list_transform(xi, v ->
+         |           CAST(round(CAST(v AS DOUBLE)
+         |                      / sqrt(CAST(n2 AS DOUBLE)) * 1000000)
+         |                AS BIGINT)) AS qi
+         |  FROM nv WHERE n2 > 0
+         |), s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |             list_transform(qi, v -> CAST(v AS HUGEINT) * v)),
+         |           (a, b) -> a + b)) AS DOUBLE) AS dd,
+         |         $sums
+         |  FROM q
+         |)
+         |SELECT n AS n_vecs,
+         |       floor(sqrt($s2) / n / 1000000 * 1000000) / 1000000
+         |         AS mean_vec_norm,
+         |       floor(($s2 - dd) / (CAST(n AS DOUBLE) * (n - 1))
+         |             / 1000000) / 1000000
+         |         AS mean_pairwise_cos
+         |FROM s""".stripMargin
+    }) { (s, d) =>
+      val s2 = (1 to 64)
+        .map(j => s"CAST(s$j AS DOUBLE) * CAST(s$j AS DOUBLE)")
+        .mkString(" + ")
+      val nv = emb(s, d)
+        .select(expr(
+          """transform(embedding, v ->
+            |  CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT))"""
+            .stripMargin).as("xi"))
+        .withColumn("n2", expr(
+          """aggregate(
+            |  transform(xi, v -> CAST(v AS DECIMAL(19,0))
+            |                     * CAST(v AS DECIMAL(19,0))),
+            |  CAST(0 AS DECIMAL(38,0)), (a, v) -> a + v)""".stripMargin))
+      val q = nv.where(col("n2") > 0)
+        .select(expr(
+          """transform(xi, v ->
+            |  CAST(round(CAST(v AS DOUBLE)
+            |             / sqrt(CAST(n2 AS DOUBLE)) * 1000000) AS BIGINT))"""
+            .stripMargin).as("qi"))
+      val aggs = Seq(
+        count(lit(1)).as("n"),
+        sum(expr(
+          """aggregate(
+            |  transform(qi, v -> CAST(v AS DECIMAL(19,0))
+            |                     * CAST(v AS DECIMAL(19,0))),
+            |  CAST(0 AS DECIMAL(38,0)), (a, v) -> a + v)""".stripMargin))
+          .cast("double").as("dd")) ++
+        (1 to 64).map(j => sum(expr(s"element_at(qi, $j)")).as(s"s$j"))
+      q.agg(aggs.head, aggs.tail: _*)
+        .select(col("n").as("n_vecs"),
+          (floor(expr(s"sqrt($s2)") / col("n") / 1000000 * 1000000)
+            / 1000000).as("mean_vec_norm"),
+          (floor(expr(s"($s2) - dd")
+            / (col("n").cast("double") * (col("n") - 1))
+            / 1000000) / 1000000).as("mean_pairwise_cos"))
+    },
+
+    // Winnowing fingerprints (round 13, cont.; Schleimer, Wilkerson &
+    // Aiken 2003 — the MOSS scheme): over each doc's word-3-gram hash
+    // sequence, every window of w=4 consecutive grams contributes its
+    // RIGHTMOST-minimal hash; the distinct selected positions are the
+    // doc's fingerprint sketch. The guarantee plain 0-mod-p sampling
+    // (llm_fingerprint's scheme) lacks: any shared run of w+k−1 = 6
+    // tokens is CAUGHT by construction — no unlucky gap — at the same
+    // ~2/(w+1) density. Selection is a pure per-row expression (3 leads
+    // + one fixed CASE ladder, rightmost tie-break = the CASE's
+    // evaluation order, identical both engines) over ONE doc-partitioned
+    // sort — no self-join; the cross-doc sharing join rides the
+    // fingerprint-domain frame. Integer hashes end-to-end, one
+    // FLOOR-scaled density per source.
+    Q("llm_winnowing",
+      s"""WITH g AS (
+         |  SELECT doc_id, source, x AS p,
+         |         toks[CAST(x AS INT)] || ' ' || toks[CAST(x AS INT) + 1]
+         |           || ' ' || toks[CAST(x AS INT) + 2] AS gr
+         |  FROM (
+         |    SELECT doc_id, source, toks,
+         |           unnest(range(1, len(toks) - 1)) AS x
+         |    FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+         |          FROM documents))
+         |), hh AS (
+         |  SELECT doc_id, source, p, ${PortableHash.sql("gr")} AS h FROM g
+         |), w AS (
+         |  SELECT doc_id, source, p, h,
+         |         lead(h, 1) OVER win AS h1, lead(h, 2) OVER win AS h2,
+         |         lead(h, 3) OVER win AS h3, lead(p, 3) OVER win AS p3
+         |  FROM hh WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+         |), sel AS (
+         |  SELECT DISTINCT doc_id, source,
+         |         CASE WHEN h3 <= h2 AND h3 <= h1 AND h3 <= h THEN p + 3
+         |              WHEN h2 <= h1 AND h2 <= h THEN p + 2
+         |              WHEN h1 <= h THEN p + 1 ELSE p END AS sp,
+         |         CASE WHEN h3 <= h2 AND h3 <= h1 AND h3 <= h THEN h3
+         |              WHEN h2 <= h1 AND h2 <= h THEN h2
+         |              WHEN h1 <= h THEN h1 ELSE h END AS fh
+         |  FROM w WHERE p3 IS NOT NULL
+         |), gs AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+         |         CAST(sum(CASE WHEN p3 IS NOT NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_windows
+         |  FROM w GROUP BY source
+         |), fd AS (
+         |  SELECT fh, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+         |  FROM sel GROUP BY fh
+         |), ss AS (
+         |  SELECT s.source, CAST(count(*) AS BIGINT) AS n_selected,
+         |         CAST(sum(CASE WHEN fd.nd >= 2 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_shared
+         |  FROM sel s JOIN fd ON s.fh = fd.fh GROUP BY s.source
+         |)
+         |SELECT source, n_grams, n_windows, n_selected, n_shared,
+         |       floor(CAST(n_selected AS DOUBLE) / n_grams * 1000000)
+         |         / 1000000 AS density
+         |FROM gs JOIN ss USING (source) ORDER BY source""".stripMargin) {
+      (s, d) =>
+      val g = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("source"), explode(expr(
+          """transform(sequence(1, size(toks) - 2), j -> struct(
+            |  j AS p,
+            |  concat(element_at(toks, j), ' ', element_at(toks, j + 1),
+            |         ' ', element_at(toks, j + 2)) AS gr))""".stripMargin))
+          .as("x"))
+        .select(col("doc_id"), col("source"), col("x.p").as("p"),
+          col("x.gr").as("gr"))
+      val hh = g.withColumn("h", PortableHash.pHash(col("gr"))).drop("gr")
+      val win = Window.partitionBy("doc_id").orderBy("p")
+      val w = hh
+        .withColumn("h1", lead(col("h"), 1).over(win))
+        .withColumn("h2", lead(col("h"), 2).over(win))
+        .withColumn("h3", lead(col("h"), 3).over(win))
+        .withColumn("p3", lead(col("p"), 3).over(win))
+      val spE = when(col("h3") <= col("h2") && col("h3") <= col("h1") &&
+          col("h3") <= col("h"), col("p") + 3)
+        .when(col("h2") <= col("h1") && col("h2") <= col("h"), col("p") + 2)
+        .when(col("h1") <= col("h"), col("p") + 1)
+        .otherwise(col("p"))
+      val fhE = when(col("h3") <= col("h2") && col("h3") <= col("h1") &&
+          col("h3") <= col("h"), col("h3"))
+        .when(col("h2") <= col("h1") && col("h2") <= col("h"), col("h2"))
+        .when(col("h1") <= col("h"), col("h1"))
+        .otherwise(col("h"))
+      val sel = w.where(col("p3").isNotNull)
+        .select(col("doc_id"), col("source"), spE.as("sp"), fhE.as("fh"))
+        .distinct()
+      val gs = w.groupBy("source").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("p3").isNotNull, 1L).otherwise(0L)).as("n_windows"))
+      val fd = sel.groupBy("fh")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val ss = sel.join(fd, Seq("fh"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_selected"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      gs.join(ss, Seq("source"))
+        .select(col("source"), col("n_grams"), col("n_windows"),
+          col("n_selected"), col("n_shared"),
+          (floor(col("n_selected").cast("double") / col("n_grams")
+            * 1000000) / 1000000).as("density"))
+        .orderBy("source")
     },
 
     // Multimodal column plumbing: binary payload + mime + typed metadata
