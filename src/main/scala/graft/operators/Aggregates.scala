@@ -5072,6 +5072,65 @@ object Aggregates {
           round(sum(col("decile_cents")).over(cum).cast("double") / col("tc"), 6)
             .as("cum_share"))
         .orderBy("decile")
+    },
+
+    // Grubbs' outlier statistic (round 13, cont.): per event_type, the
+    // single most extreme value's standardized deviation G =
+    // max|x−x̄|/s — the parametric single-outlier test beside
+    // dq_mad_outliers' robust fences (MAD counts everything past a
+    // robust fence; Grubbs prices exactly ONE suspect against a normal
+    // null). The argmax needs NO float compare: the farthest point is
+    // the max or the min, and (mx·n − Σ) vs (Σ − mn·n) decides between
+    // them in exact BIGINT (ties → 'high', the >= pin). Moment sums
+    // exact; G assembles once per group in one double expression
+    // (n·q and s² ride DOUBLE — the agg_regression overflow doctrine),
+    // FLOOR-scaled.
+    Q("agg_grubbs",
+      """WITH m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(c) AS BIGINT) AS s,
+        |         CAST(sum(c * c) AS BIGINT) AS q,
+        |         CAST(max(c) AS BIGINT) AS mx, CAST(min(c) AS BIGINT) AS mn
+        |  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        |        FROM events WHERE value IS NOT NULL)
+        |  GROUP BY event_type
+        |)
+        |SELECT event_type, n,
+        |       CASE WHEN mx * n - s >= s - mn * n THEN 'high'
+        |            ELSE 'low' END AS side,
+        |       round(CASE WHEN mx * n - s >= s - mn * n THEN mx
+        |                  ELSE mn END / 100.0, 2) AS outlier_value,
+        |       floor(CAST(CASE WHEN mx * n - s >= s - mn * n
+        |                       THEN mx * n - s ELSE s - mn * n END AS DOUBLE)
+        |             / n
+        |             / sqrt((CAST(n AS DOUBLE) * q
+        |                     - CAST(s AS DOUBLE) * s)
+        |                    / (CAST(n AS DOUBLE) * (n - 1)))
+        |             * 1000000) / 1000000 AS g_stat
+        |FROM m WHERE n >= 3 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val m = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("q"),
+          max(col("c")).as("mx"), min(col("c")).as("mn"))
+      val isHigh = col("mx") * col("n") - col("s") >=
+        col("s") - col("mn") * col("n")
+      val devn = when(isHigh, col("mx") * col("n") - col("s"))
+        .otherwise(col("s") - col("mn") * col("n"))
+      m.where(col("n") >= 3)
+        .select(col("event_type"), col("n"),
+          when(isHigh, "high").otherwise("low").as("side"),
+          round(when(isHigh, col("mx")).otherwise(col("mn")) / 100.0, 2)
+            .as("outlier_value"),
+          (floor(devn.cast("double") / col("n")
+            / sqrt((col("n").cast("double") * col("q")
+              - col("s").cast("double") * col("s"))
+              / (col("n").cast("double") * (col("n") - 1)))
+            * 1000000) / 1000000).as("g_stat"))
+        .orderBy("event_type")
     }
   )
 }

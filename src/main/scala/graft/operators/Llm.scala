@@ -7031,6 +7031,102 @@ object Llm {
         .orderBy("source")
     },
 
+    // Heaps'-law vocabulary growth (round 13, cont.): cumulative vocab
+    // vs cumulative tokens at 10 corpus checkpoints + the fitted growth
+    // exponent β per checkpoint (V ≈ K·N^β; β≈0.5 healthy prose, →1
+    // means unbounded novel tokens: IDs/noise, →0 means a saturated/
+    // templated corpus) — the companion curve to llm_ngram_coverage's
+    // working-set view and the vocab-budget forecaster (extrapolate V
+    // at the 100 TB corpus from the deciles' β). NO fact-scale global
+    // window: each word collapses to its FIRST doc (one groupBy), docs
+    // to token counts (map-side), deciles are pure integer arithmetic
+    // doc_id·10 div (max+1), and the cumulative/display windows ride
+    // the 10-row decile frame. ln() only in the β display.
+    Q("llm_heaps_law",
+      """WITH dt AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tn
+        |  FROM documents
+        |), b AS (
+        |  SELECT CAST(max(doc_id) + 1 AS BIGINT) AS bb FROM dt
+        |), td AS (
+        |  SELECT CAST(doc_id * 10 // bb AS BIGINT) AS dec,
+        |         CAST(count(*) AS BIGINT) AS nd,
+        |         CAST(sum(tn) AS BIGINT) AS toks
+        |  FROM dt CROSS JOIN b GROUP BY 1
+        |), fw AS (
+        |  SELECT w, CAST(min(doc_id) AS BIGINT) AS fd FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) GROUP BY w
+        |), vd AS (
+        |  SELECT CAST(fd * 10 // bb AS BIGINT) AS dec,
+        |         CAST(count(*) AS BIGINT) AS nw
+        |  FROM fw CROSS JOIN b GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(t.dec, v.dec) AS dec,
+        |         coalesce(nd, 0) AS nd, coalesce(toks, 0) AS toks,
+        |         coalesce(nw, 0) AS nw
+        |  FROM td t FULL JOIN vd v ON t.dec = v.dec
+        |), c0 AS (
+        |  SELECT dec,
+        |         CAST(sum(nd) OVER wo AS BIGINT) AS n_docs,
+        |         CAST(sum(toks) OVER wo AS BIGINT) AS n_tokens,
+        |         CAST(sum(nw) OVER wo AS BIGINT) AS vocab
+        |  FROM j
+        |  WINDOW wo AS (ORDER BY dec ROWS UNBOUNDED PRECEDING)
+        |), c AS (
+        |  SELECT dec, n_docs, n_tokens, vocab,
+        |         CAST(first_value(n_tokens) OVER wf AS BIGINT) AS n0,
+        |         CAST(first_value(vocab) OVER wf AS BIGINT) AS v0
+        |  FROM c0
+        |  WINDOW wf AS (ORDER BY dec ROWS BETWEEN UNBOUNDED PRECEDING
+        |                AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT dec AS checkpoint, n_docs, n_tokens, vocab,
+        |       floor((ln(CAST(vocab AS DOUBLE)) - ln(CAST(v0 AS DOUBLE)))
+        |             / nullif(ln(CAST(n_tokens AS DOUBLE))
+        |                      - ln(CAST(n0 AS DOUBLE)), 0)
+        |             * 1000000) / 1000000 AS heaps_beta
+        |FROM c ORDER BY dec""".stripMargin) { (s, d) =>
+      val dt = docs(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tn"))
+      val b = dt.agg((max(col("doc_id")) + 1).cast("long").as("bb"))
+      val td = dt.crossJoin(broadcast(b))
+        .select(expr("doc_id * 10 div bb").cast("long").as("dec"), col("tn"))
+        .groupBy("dec")
+        .agg(count(lit(1)).as("nd"), sum(col("tn")).as("toks"))
+      val fw = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(min(col("doc_id")).as("fd"))
+      val vd = fw.crossJoin(broadcast(b))
+        .select(expr("fd * 10 div bb").cast("long").as("dec"))
+        .groupBy("dec").agg(count(lit(1)).as("nw"))
+      val j = td.as("t").join(vd.as("v"),
+          col("t.dec") === col("v.dec"), "full_outer")
+        .select(coalesce(col("t.dec"), col("v.dec")).as("dec"),
+          coalesce(col("nd"), lit(0L)).as("nd"),
+          coalesce(col("toks"), lit(0L)).as("toks"),
+          coalesce(col("nw"), lit(0L)).as("nw"))
+      val wo = Window.orderBy("dec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.orderBy("dec")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val c = j.select(col("dec"),
+          sum(col("nd")).over(wo).as("n_docs"),
+          sum(col("toks")).over(wo).as("n_tokens"),
+          sum(col("nw")).over(wo).as("vocab"))
+        .withColumn("n0", first(col("n_tokens")).over(wf))
+        .withColumn("v0", first(col("vocab")).over(wf))
+      c.select(col("dec").as("checkpoint"), col("n_docs"),
+          col("n_tokens"), col("vocab"),
+          (floor((log(col("vocab").cast("double"))
+            - log(col("v0").cast("double")))
+            / nullif(log(col("n_tokens").cast("double"))
+              - log(col("n0").cast("double")), lit(0.0))
+            * 1000000) / 1000000).as("heaps_beta"))
+        .orderBy("checkpoint")
+    },
+
     // Multimodal column plumbing: binary payload + mime + typed metadata
     // carried through ops. The decode step is a clearly-marked deterministic
     // STUB (this container has no image/audio codecs); schema, partitioning

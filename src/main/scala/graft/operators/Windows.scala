@@ -1847,6 +1847,173 @@ object Windows {
         .orderBy("event_type", "day")
     },
 
+    // Ichimoku cloud (round 13, cont.; Hosoda's system): tenkan (4-day
+    // range midpoint), kijun (8-day), senkou A = their mean shifted 8
+    // forward, senkou B = 16-day midpoint shifted 8 forward, chikou =
+    // close shifted 8 back (the classic 9/26/52 ratios scaled 1:2:4 to
+    // the fixture's 30-day span; displacement = kijun period as in the
+    // original) — the full five-line overlay, completing
+    // the channel family (donchian gives one range box; ichimoku
+    // layers three horizons plus displacement). Integer doctrine: each
+    // midpoint stays as the exact BIGINT sum hi+lo (2×mid in cents) —
+    // senkou A is then (t2+k2), an exact int until ONE display
+    // division (/400); the displaced spans are plain lag/lead on
+    // the day-ordered series, NULL-propagating incomplete warmup
+    // windows out. Complete senkou rows only; chikou NULLs at the
+    // series tail (no future close) are kept — same rule both engines.
+    Q("win_ichimoku",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(c) AS BIGINT) AS h, CAST(min(c) AS BIGINT) AS l,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), m AS (
+        |  SELECT event_type, day, cl,
+        |         CASE WHEN count(*) OVER w9 = 4
+        |              THEN CAST(max(h) OVER w9 + min(l) OVER w9 AS BIGINT)
+        |         END AS t2,
+        |         CASE WHEN count(*) OVER w26 = 8
+        |              THEN CAST(max(h) OVER w26 + min(l) OVER w26 AS BIGINT)
+        |         END AS k2,
+        |         CASE WHEN count(*) OVER w52 = 16
+        |              THEN CAST(max(h) OVER w52 + min(l) OVER w52 AS BIGINT)
+        |         END AS b2
+        |  FROM o
+        |  WINDOW w9 AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+        |         w26 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+        |         w52 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+        |), f AS (
+        |  SELECT event_type, day, cl, t2, k2,
+        |         lag(t2 + k2, 8) OVER wd AS sa4,
+        |         lag(b2, 8) OVER wd AS sb2,
+        |         lead(cl, 8) OVER wd AS ck
+        |  FROM m WINDOW wd AS (PARTITION BY event_type ORDER BY day)
+        |)
+        |SELECT event_type, day,
+        |       round(t2 / 200.0, 4) AS tenkan,
+        |       round(k2 / 200.0, 4) AS kijun,
+        |       round(sa4 / 400.0, 4) AS senkou_a,
+        |       round(sb2 / 200.0, 4) AS senkou_b,
+        |       round(ck / 100.0, 4) AS chikou
+        |FROM f WHERE sa4 IS NOT NULL AND sb2 IS NOT NULL
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(col("c")).as("h"), min(col("c")).as("l"),
+          max(when(col("rn_d") === 1, col("c"))).as("cl"))
+      val ws = Window.partitionBy("event_type").orderBy("day")
+      def mid2(k: Int) = {
+        val w = ws.rowsBetween(-(k - 1), Window.currentRow)
+        when(count(lit(1)).over(w) === k,
+          (max(col("h")).over(w) + min(col("l")).over(w)).cast("long"))
+      }
+      val m = o.select(col("event_type"), col("day"), col("cl"),
+        mid2(4).as("t2"), mid2(8).as("k2"), mid2(16).as("b2"))
+      val f = m.select(col("event_type"), col("day"), col("cl"),
+        col("t2"), col("k2"),
+        lag(col("t2") + col("k2"), 8).over(ws).as("sa4"),
+        lag(col("b2"), 8).over(ws).as("sb2"),
+        lead(col("cl"), 8).over(ws).as("ck"))
+      f.where(col("sa4").isNotNull && col("sb2").isNotNull)
+        .select(col("event_type"), col("day"),
+          round(col("t2") / 200.0, 4).as("tenkan"),
+          round(col("k2") / 200.0, 4).as("kijun"),
+          round(col("sa4") / 400.0, 4).as("senkou_a"),
+          round(col("sb2") / 200.0, 4).as("senkou_b"),
+          round(col("ck") / 100.0, 4).as("chikou"))
+        .orderBy("event_type", "day")
+    },
+
+    // Vortex indicator (round 13, cont.; Botes & Siepman 2010): VI⁺ =
+    // Σ|hi − lo₋₁| / ΣTR and VI⁻ = Σ|lo − hi₋₁| / ΣTR over 14 days —
+    // the trend-direction companion riding the audited true-range
+    // machinery (ATR prices volatility SIZE; vortex reads which way
+    // the ranges lean, crossings flag reversals). Exact BIGINT cent
+    // sums for all three numerators; complete windows only; one float
+    // division per output column, zero ΣTR → NULL via nullif.
+    Q("win_vortex",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(c) AS BIGINT) AS h, CAST(min(c) AS BIGINT) AS l,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), tr AS (
+        |  SELECT event_type, day,
+        |         greatest(h - l,
+        |                  abs(h - lag(cl) OVER w), abs(l - lag(cl) OVER w))
+        |           AS t,
+        |         abs(h - lag(l) OVER w) AS vmp,
+        |         abs(l - lag(h) OVER w) AS vmm
+        |  FROM o WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |), s AS (
+        |  SELECT event_type, day,
+        |         CAST(sum(t) OVER w14 AS BIGINT) AS st,
+        |         CAST(sum(vmp) OVER w14 AS BIGINT) AS sp,
+        |         CAST(sum(vmm) OVER w14 AS BIGINT) AS sm,
+        |         CAST(count(t) OVER w14 AS BIGINT) AS k
+        |  FROM tr WHERE t IS NOT NULL
+        |  WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |       round(CAST(sp AS DOUBLE) / nullif(st, 0), 6) AS vi_plus,
+        |       round(CAST(sm AS DOUBLE) / nullif(st, 0), 6) AS vi_minus
+        |FROM s WHERE k = 14
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(col("c")).as("h"), min(col("c")).as("l"),
+          max(when(col("rn_d") === 1, col("c"))).as("cl"))
+      val wl = Window.partitionBy("event_type").orderBy("day")
+      val w14 = wl.rowsBetween(-13, Window.currentRow)
+      o.select(col("event_type"), col("day"),
+          greatest(col("h") - col("l"),
+            abs(col("h") - lag(col("cl"), 1).over(wl)),
+            abs(col("l") - lag(col("cl"), 1).over(wl))).as("t"),
+          abs(col("h") - lag(col("l"), 1).over(wl)).as("vmp"),
+          abs(col("l") - lag(col("h"), 1).over(wl)).as("vmm"))
+        .where(col("t").isNotNull)
+        .select(col("event_type"), col("day"),
+          sum(col("t")).over(w14).as("st"),
+          sum(col("vmp")).over(w14).as("sp"),
+          sum(col("vmm")).over(w14).as("sm"),
+          count(col("t")).over(w14).as("k"))
+        .where(col("k") === 14)
+        .select(col("event_type"), col("day"),
+          round(col("sp").cast("double") / nullif(col("st"), lit(0L)), 6)
+            .as("vi_plus"),
+          round(col("sm").cast("double") / nullif(col("st"), lit(0L)), 6)
+            .as("vi_minus"))
+        .orderBy("event_type", "day")
+    },
+
     // Ulcer index (round 12 — Martin & McCann 1989): RMS of the 14-day
     // percentage drawdown from the rolling high — the downside-only
     // volatility readout (stddev penalizes upside; ulcer prices only
