@@ -5131,6 +5131,89 @@ object Aggregates {
               / (col("n").cast("double") * (col("n") - 1)))
             * 1000000) / 1000000).as("g_stat"))
         .orderBy("event_type")
+    },
+
+    // Referential-integrity orphan audit (round 13, cont.): per FK edge
+    // of the schema, how many child rows reference a missing parent —
+    // the structural companion to dq_reconciliation's amount check (a
+    // load that drops a parent partition passes every sum but leaks
+    // orphans here first). Each edge is ONE anti-join of the child's
+    // pre-reduced key set against the parent key set (map-side distinct
+    // on the child key before the join — the shuffle carries keys, not
+    // rows... the row count still needs the full child, so the plan is
+    // one count-aggregate + one anti-join per edge, both
+    // map-side-combinable); NULL FKs count as orphans (they reference
+    // nothing). Bounded 5-row report.
+    Q("dq_orphans",
+      """SELECT fk, n_child, n_orphans,
+        |       round(CAST(n_orphans AS DOUBLE) / n_child, 6) AS orphan_rate
+        |FROM (
+        |  SELECT 'lineitem->orders' AS fk,
+        |         CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+        |         CAST((SELECT count(*) FROM lineitem
+        |               WHERE l_orderkey NOT IN
+        |                     (SELECT o_orderkey FROM orders
+        |                      WHERE o_orderkey IS NOT NULL)
+        |                  OR l_orderkey IS NULL) AS BIGINT) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'lineitem->part',
+        |         CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        |         CAST((SELECT count(*) FROM lineitem
+        |               WHERE l_partkey NOT IN
+        |                     (SELECT p_partkey FROM part
+        |                      WHERE p_partkey IS NOT NULL)
+        |                  OR l_partkey IS NULL) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'orders->customer',
+        |         CAST((SELECT count(*) FROM orders) AS BIGINT),
+        |         CAST((SELECT count(*) FROM orders
+        |               WHERE o_custkey NOT IN
+        |                     (SELECT c_custkey FROM customer
+        |                      WHERE c_custkey IS NOT NULL)
+        |                  OR o_custkey IS NULL) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'customer->nation',
+        |         CAST((SELECT count(*) FROM customer) AS BIGINT),
+        |         CAST((SELECT count(*) FROM customer
+        |               WHERE c_nationkey NOT IN
+        |                     (SELECT n_nationkey FROM nation
+        |                      WHERE n_nationkey IS NOT NULL)
+        |                  OR c_nationkey IS NULL) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'supplier->nation',
+        |         CAST((SELECT count(*) FROM supplier) AS BIGINT),
+        |         CAST((SELECT count(*) FROM supplier
+        |               WHERE s_nationkey NOT IN
+        |                     (SELECT n_nationkey FROM nation
+        |                      WHERE n_nationkey IS NOT NULL)
+        |                  OR s_nationkey IS NULL) AS BIGINT)
+        |)
+        |ORDER BY fk""".stripMargin) { (s, d) =>
+      def edge(name: String, child: DataFrame, ck: String,
+               parent: DataFrame, pk: String): DataFrame = {
+        val tot = child.agg(count(lit(1)).as("n_child"))
+        val orph = child.select(col(ck))
+          .join(parent.select(col(pk)).where(col(pk).isNotNull).distinct(),
+            col(ck) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        tot.crossJoin(orph).select(lit(name).as("fk"),
+          col("n_child"), col("n_orphans"))
+      }
+      val li = t(s, d, "lineitem")
+      edge("lineitem->orders", li, "l_orderkey",
+          t(s, d, "orders"), "o_orderkey")
+        .unionByName(edge("lineitem->part", li, "l_partkey",
+          t(s, d, "part"), "p_partkey"))
+        .unionByName(edge("orders->customer", t(s, d, "orders"), "o_custkey",
+          t(s, d, "customer"), "c_custkey"))
+        .unionByName(edge("customer->nation", t(s, d, "customer"),
+          "c_nationkey", t(s, d, "nation"), "n_nationkey"))
+        .unionByName(edge("supplier->nation", t(s, d, "supplier"),
+          "s_nationkey", t(s, d, "nation"), "n_nationkey"))
+        .select(col("fk"), col("n_child"), col("n_orphans"),
+          round(col("n_orphans").cast("double") / col("n_child"), 6)
+            .as("orphan_rate"))
+        .orderBy("fk")
     }
   )
 }

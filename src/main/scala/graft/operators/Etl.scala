@@ -3632,6 +3632,51 @@ object Etl {
         .agg(count(lit(1)).as("n_purchases"),
           sum(col("cents")).as("attributed_cents"))
         .orderBy("model", "channel")
+    },
+
+    // Pareto skyline (round 13, cont.): per brand, the parts no other
+    // part strictly dominates on (cheaper price, larger size) — the
+    // efficient frontier behind every "best value" readout, and the
+    // SKYLINE operator of Börzsönyi/Kossmann/Stocker 2001. NO O(n²)
+    // dominance self-join: sorted by price, a part is dominated iff a
+    // strictly-cheaper part has size ≥ its own (one RANGE window max
+    // that excludes the current price group) or an equal-priced part
+    // has size strictly larger (one price-group max) — two window
+    // passes over ONE brand-partitioned sort, exact integer cents and
+    // sizes end-to-end.
+    Q("etl_skyline",
+      """WITH p AS (
+        |  SELECT p_brand, p_partkey,
+        |         CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+        |         CAST(p_size AS BIGINT) AS sz
+        |  FROM part
+        |), w AS (
+        |  SELECT p_brand, p_partkey, cents, sz,
+        |         max(sz) OVER (PARTITION BY p_brand ORDER BY cents
+        |                       RANGE BETWEEN UNBOUNDED PRECEDING
+        |                       AND 1 PRECEDING) AS m1,
+        |         max(sz) OVER (PARTITION BY p_brand, cents) AS m2
+        |  FROM p
+        |)
+        |SELECT p_brand, p_partkey,
+        |       round(cents / 100.0, 2) AS price, sz AS size
+        |FROM w
+        |WHERE (m1 IS NULL OR m1 < sz) AND m2 = sz
+        |ORDER BY p_brand, p_partkey""".stripMargin) { (s, d) =>
+      val p = Tables(s, d, "part")
+        .select(col("p_brand"), col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("cents"),
+          col("p_size").cast("long").as("sz"))
+      val w1 = Window.partitionBy("p_brand").orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val w2 = Window.partitionBy("p_brand", "cents")
+      p.withColumn("m1", max(col("sz")).over(w1))
+        .withColumn("m2", max(col("sz")).over(w2))
+        .where((col("m1").isNull || col("m1") < col("sz")) &&
+          col("m2") === col("sz"))
+        .select(col("p_brand"), col("p_partkey"),
+          round(col("cents") / 100.0, 2).as("price"), col("sz").as("size"))
+        .orderBy("p_brand", "p_partkey")
     }
   ) :+ resampleQ
 

@@ -7127,6 +7127,99 @@ object Llm {
         .orderBy("checkpoint")
     },
 
+    // Pairwise Jensen-Shannon divergence between source unigram
+    // distributions (round 13, cont.): the symmetric, bounded corpus
+    // mixing map — llm_source_mix_kl prices one source against the
+    // corpus (asymmetric, unbounded); JSD gives every source PAIR a
+    // [0, ln2] distance, the input to "which feeds are redundant"
+    // mixing decisions. Float doctrine for a VOCAB-sized sum: each
+    // common-word term is computed in ONE identical expression and
+    // quantized per row to 1e-12-tick integers (the ulcer doctrine —
+    // engine-order float summation over 10⁴⁺ words can drift in the
+    // last ulp; an integer sum cannot), the zero-side mass folds in
+    // CLOSED FORM ((1−Σp_common)/2·ln2 per side — no per-word term for
+    // words the other source lacks). One tf self-join on word (word-dim
+    // × bounded source domain), bounded pair report.
+    Q("llm_jsd_sources", {
+      val term = """CAST(round((CAST(ca AS DOUBLE) / na / 2
+        * ln(2.0 * (CAST(ca AS DOUBLE) / na)
+             / (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb))
+        + CAST(cb AS DOUBLE) / nb / 2
+        * ln(2.0 * (CAST(cb AS DOUBLE) / nb)
+             / (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb)))
+        * 1000000000000) AS BIGINT)""".replaceAll("\\s+", " ")
+      val jsd = """(CAST(coalesce(stq, 0) AS DOUBLE) / 1000000000000
+        + CAST(na - coalesce(sca, 0) AS DOUBLE) / na / 2 * ln(2.0)
+        + CAST(nb - coalesce(scb, 0) AS DOUBLE) / nb / 2 * ln(2.0))"""
+        .replaceAll("\\s+", " ")
+      s"""WITH tf AS (
+         |  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS w
+         |    FROM documents) GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY 1
+         |), jj AS (
+         |  SELECT a.source AS s1, b.source AS s2, a.c AS ca, b.c AS cb,
+         |         ta.n AS na, tb.n AS nb
+         |  FROM tf a JOIN tf b ON a.w = b.w AND a.source < b.source
+         |  JOIN tot ta ON ta.source = a.source
+         |  JOIN tot tb ON tb.source = b.source
+         |), com AS (
+         |  SELECT s1, s2, CAST(count(*) AS BIGINT) AS cw,
+         |         CAST(sum($term) AS BIGINT) AS stq,
+         |         CAST(sum(ca) AS BIGINT) AS sca,
+         |         CAST(sum(cb) AS BIGINT) AS scb
+         |  FROM jj GROUP BY 1, 2
+         |), pr AS (
+         |  SELECT a.source AS s1, b.source AS s2, a.n AS na, b.n AS nb
+         |  FROM tot a JOIN tot b ON a.source < b.source
+         |)
+         |SELECT s1, s2, coalesce(cw, 0) AS n_common,
+         |       floor($jsd * 1000000) / 1000000 AS jsd_nats,
+         |       floor($jsd / ln(2.0) * 1000000) / 1000000 AS jsd_norm
+         |FROM pr LEFT JOIN com USING (s1, s2)
+         |ORDER BY s1, s2""".stripMargin
+    }) { (s, d) =>
+      val term = """CAST(round((CAST(ca AS DOUBLE) / na / 2
+        * ln(2.0 * (CAST(ca AS DOUBLE) / na)
+             / (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb))
+        + CAST(cb AS DOUBLE) / nb / 2
+        * ln(2.0 * (CAST(cb AS DOUBLE) / nb)
+             / (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb)))
+        * 1000000000000) AS BIGINT)""".replaceAll("\\s+", " ")
+      val jsd = """(CAST(coalesce(stq, 0) AS DOUBLE) / 1000000000000
+        + CAST(na - coalesce(sca, 0) AS DOUBLE) / na / 2 * ln(2.0)
+        + CAST(nb - coalesce(scb, 0) AS DOUBLE) / nb / 2 * ln(2.0))"""
+        .replaceAll("\\s+", " ")
+      val tf = docs(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val tot = tf.groupBy("source").agg(sum(col("c")).as("n"))
+      val jj = tf.as("a")
+        .join(tf.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("s1"), col("b.source").as("s2"),
+          col("a.c").as("ca"), col("b.c").as("cb"))
+        .join(tot.select(col("source").as("s1"), col("n").as("na")),
+          Seq("s1"))
+        .join(tot.select(col("source").as("s2"), col("n").as("nb")),
+          Seq("s2"))
+      val com = jj.groupBy("s1", "s2")
+        .agg(count(lit(1)).as("cw"), sum(expr(term)).as("stq"),
+          sum(col("ca")).as("sca"), sum(col("cb")).as("scb"))
+      val pr = tot.as("x")
+        .join(tot.as("y"), col("x.source") < col("y.source"))
+        .select(col("x.source").as("s1"), col("y.source").as("s2"),
+          col("x.n").as("na"), col("y.n").as("nb"))
+      pr.join(com, Seq("s1", "s2"), "left")
+        .select(col("s1"), col("s2"),
+          coalesce(col("cw"), lit(0L)).as("n_common"),
+          (floor(expr(jsd) * 1000000) / 1000000).as("jsd_nats"),
+          (floor(expr(jsd) / expr("ln(2.0)") * 1000000) / 1000000)
+            .as("jsd_norm"))
+        .orderBy("s1", "s2")
+    },
+
     // Multimodal column plumbing: binary payload + mime + typed metadata
     // carried through ops. The decode step is a clearly-marked deterministic
     // STUB (this container has no image/audio codecs); schema, partitioning

@@ -2014,6 +2014,114 @@ object Windows {
         .orderBy("event_type", "day")
     },
 
+    // DMI / ADX (round 13, cont.; Wilder 1978, simple-average form like
+    // win_rsi/win_atr): directional movement +DM/−DM gated by Wilder's
+    // rule (only the LARGER of the two counts, and only if positive),
+    // DI± = 100·ΣDM/ΣTR over 14 days, DX = 100·|ΣDM⁺−ΣDM⁻|/(ΣDM⁺+ΣDM⁻)
+    // — the shared-denominator identity makes DX a pure function of the
+    // two exact integer sums — and ADX = the 14-day mean of DX. The
+    // second-level window rides per-row 1e-6-quantized DX integers (the
+    // ulcer-index doctrine: a float sliding sum could disagree in the
+    // last ulp between Spark's re-fold and DuckDB's segment tree; an
+    // integer sum cannot). Complete windows at both levels only.
+    Q("win_dmi_adx",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(c) AS BIGINT) AS h, CAST(min(c) AS BIGINT) AS l,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), dm AS (
+        |  SELECT event_type, day,
+        |         greatest(h - l,
+        |                  abs(h - lag(cl) OVER w), abs(l - lag(cl) OVER w))
+        |           AS t,
+        |         CASE WHEN h - lag(h) OVER w > lag(l) OVER w - l
+        |               AND h - lag(h) OVER w > 0
+        |              THEN h - lag(h) OVER w ELSE 0 END AS dmp,
+        |         CASE WHEN lag(l) OVER w - l > h - lag(h) OVER w
+        |               AND lag(l) OVER w - l > 0
+        |              THEN lag(l) OVER w - l ELSE 0 END AS dmm,
+        |         lag(cl) OVER w AS pc
+        |  FROM o WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |), s AS (
+        |  SELECT event_type, day,
+        |         CAST(sum(t) OVER w14 AS BIGINT) AS st,
+        |         CAST(sum(dmp) OVER w14 AS BIGINT) AS sp,
+        |         CAST(sum(dmm) OVER w14 AS BIGINT) AS sm,
+        |         CAST(count(t) OVER w14 AS BIGINT) AS k
+        |  FROM dm WHERE pc IS NOT NULL
+        |  WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |), x AS (
+        |  SELECT event_type, day, st, sp, sm,
+        |         CASE WHEN k = 14 THEN CAST(round(
+        |           100.0 * abs(sp - sm) / nullif(sp + sm, 0) * 1000000)
+        |           AS BIGINT) END AS dx6
+        |  FROM s
+        |), a AS (
+        |  SELECT event_type, day, st, sp, sm, dx6,
+        |         CAST(sum(dx6) OVER w14 AS BIGINT) AS sdx,
+        |         CAST(count(dx6) OVER w14 AS BIGINT) AS k2
+        |  FROM x
+        |  WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |       round(100.0 * sp / nullif(st, 0), 6) AS di_plus,
+        |       round(100.0 * sm / nullif(st, 0), 6) AS di_minus,
+        |       floor(CAST(sdx AS DOUBLE) / 14 / 1000000 * 1000000)
+        |         / 1000000 AS adx
+        |FROM a WHERE k2 = 14
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(col("c")).as("h"), min(col("c")).as("l"),
+          max(when(col("rn_d") === 1, col("c"))).as("cl"))
+      val wl = Window.partitionBy("event_type").orderBy("day")
+      val w14 = wl.rowsBetween(-13, Window.currentRow)
+      val up = col("h") - lag(col("h"), 1).over(wl)
+      val dn = lag(col("l"), 1).over(wl) - col("l")
+      val dm = o.select(col("event_type"), col("day"),
+        greatest(col("h") - col("l"),
+          abs(col("h") - lag(col("cl"), 1).over(wl)),
+          abs(col("l") - lag(col("cl"), 1).over(wl))).as("t"),
+        when(up > dn && up > 0, up).otherwise(0L).as("dmp"),
+        when(dn > up && dn > 0, dn).otherwise(0L).as("dmm"),
+        lag(col("cl"), 1).over(wl).as("pc"))
+      val sF = dm.where(col("pc").isNotNull)
+        .select(col("event_type"), col("day"),
+          sum(col("t")).over(w14).as("st"),
+          sum(col("dmp")).over(w14).as("sp"),
+          sum(col("dmm")).over(w14).as("sm"),
+          count(col("t")).over(w14).as("k"))
+      val x = sF.withColumn("dx6",
+        when(col("k") === 14, round(lit(100.0) * abs(col("sp") - col("sm"))
+          / nullif(col("sp") + col("sm"), lit(0L)) * 1000000).cast("long")))
+      x.withColumn("sdx", sum(col("dx6")).over(w14))
+        .withColumn("k2", count(col("dx6")).over(w14))
+        .where(col("k2") === 14)
+        .select(col("event_type"), col("day"),
+          round(lit(100.0) * col("sp") / nullif(col("st"), lit(0L)), 6)
+            .as("di_plus"),
+          round(lit(100.0) * col("sm") / nullif(col("st"), lit(0L)), 6)
+            .as("di_minus"),
+          (floor(col("sdx").cast("double") / 14 / 1000000 * 1000000)
+            / 1000000).as("adx"))
+        .orderBy("event_type", "day")
+    },
+
     // Ulcer index (round 12 — Martin & McCann 1989): RMS of the 14-day
     // percentage drawdown from the rolling high — the downside-only
     // volatility readout (stddev penalizes upside; ulcer prices only
