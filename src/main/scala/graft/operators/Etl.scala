@@ -3677,6 +3677,61 @@ object Etl {
         .select(col("p_brand"), col("p_partkey"),
           round(col("cents") / 100.0, 2).as("price"), col("sz").as("size"))
         .orderBy("p_brand", "p_partkey")
+    },
+
+    // Cohort retention matrix (round 13, cont.): the classic triangle —
+    // users grouped by first-activity week, each cohort's active-user
+    // count at week offsets 0..n with the retention rate — the
+    // analytics-dashboard table behind etl_retention_dn's D1/D7 point
+    // estimates and etl_cohort_ltv's revenue view. Week cohorts (both
+    // engines truncate to ISO Monday); the offset is an exact integer
+    // day-diff div 7 (week starts differ by multiples of 7 — no
+    // rounding). Plan: one (user, week) distinct + one per-user min —
+    // both map-side-combinable off the same exchange — then a bounded
+    // ≤w² matrix aggregate.
+    Q("etl_cohort_matrix",
+      """WITH f AS (
+        |  SELECT user_id,
+        |         min(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        |), a AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        |  FROM events WHERE user_id IS NOT NULL
+        |), c AS (
+        |  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM f GROUP BY cohort
+        |), m AS (
+        |  SELECT f.cohort,
+        |         CAST(date_diff('day', CAST(f.cohort AS DATE),
+        |                        CAST(a.wk AS DATE)) // 7 AS BIGINT)
+        |           AS week_offset,
+        |         CAST(count(*) AS BIGINT) AS active_users
+        |  FROM f JOIN a ON f.user_id = a.user_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cohort, week_offset, active_users, cohort_size,
+        |       round(CAST(active_users AS DOUBLE) / cohort_size, 6)
+        |         AS retention
+        |FROM m JOIN c USING (cohort)
+        |ORDER BY cohort, week_offset""".stripMargin) { (s, d) =>
+      val ev = events(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val f = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      val a = ev.distinct()
+      val c = f.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+      val m = f.join(a, Seq("user_id"))
+        .select(col("cohort"),
+          expr("datediff(CAST(wk AS DATE), CAST(cohort AS DATE)) div 7")
+            .cast("long").as("week_offset"))
+        .groupBy("cohort", "week_offset")
+        .agg(count(lit(1)).as("active_users"))
+      m.join(broadcast(c), Seq("cohort"))
+        .select(col("cohort"), col("week_offset"), col("active_users"),
+          col("cohort_size"),
+          round(col("active_users").cast("double") / col("cohort_size"), 6)
+            .as("retention"))
+        .orderBy("cohort", "week_offset")
     }
   ) :+ resampleQ
 

@@ -291,6 +291,49 @@ object Extras {
         .orderBy("a_user", "a_session", "b_user", "b_session")
     },
 
+    // Band join (round 13, cont.): every (purchase, click-within-the-
+    // prior-10-minutes) pair per user, rolled up to a per-purchase
+    // click count — the attribution-window primitive (join_asof takes
+    // the single most recent; the band join keeps ALL events inside the
+    // window, the shape behind conversion-window and fraud-burst
+    // queries). THE scale plan: never a per-user cross — purchases
+    // explode to their two 600-second epoch buckets, clicks carry one,
+    // and the join is EQUI on (user, bucket) with the exact band
+    // predicate applied after (any <600 s gap spans at most 2 buckets,
+    // so candidates per purchase are the user's two-bucket click load,
+    // not their whole history). The oracle spells the naive range join
+    // — same rows, different asymptote. Purchases with zero clicks kept
+    // via the left join.
+    Q("join_band",
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |), c AS (
+        |  SELECT user_id, ts FROM events
+        |  WHERE event_type = 'click' AND user_id IS NOT NULL
+        |)
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |       CAST(count(c.ts) AS BIGINT) AS n_clicks_10m
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+        |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables(s, d, "events").where(col("user_id").isNotNull)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          expr("unix_timestamp(ts) div 600").as("pb"))
+        .withColumn("bk", explode(array(col("pb") - 1, col("pb"))))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"),
+          expr("unix_timestamp(ts) div 600").as("cb"))
+      p.join(c,
+          col("user_id") === col("cu") && col("bk") === col("cb") &&
+            col("cts") >= col("ts") - expr("INTERVAL 10 MINUTES") &&
+            col("cts") < col("ts"), "left")
+        .groupBy(col("event_id").as("purchase_id"), col("user_id"))
+        .agg(count(col("cts")).as("n_clicks_10m"))
+        .orderBy("purchase_id")
+    },
+
     // Ordered per-group event history (case event lists, R5): collect is
     // unordered in both engines, so order is imposed by sorting (ts,
     // event_id) structs and projecting the id — deterministic on both. The

@@ -3636,6 +3636,89 @@ object Llm {
         .limit(20)
     },
 
+    // Dirichlet query-likelihood retrieval (round 13, cont.; Zhai &
+    // Lafferty 2001, μ=100): the language-modeling scorer next to BM25
+    // — score(q,d) = Σ_t ln((tf + μ·p_c(t))/(dl + μ)) ranks EVERY doc
+    // (smoothing handles absent terms), where BM25 only scores docs
+    // with a hit; the two disagree exactly on short docs and rare-term
+    // balance, which is why eval-mining pipelines run both. Decomposed
+    // so only PRESENT terms need per-doc rows: score = base(consts) −
+    // |q|·ln(dl+μ) + Σ_present [ln(tf+μp) − ln(μp)]; the present-term
+    // sum (≤3 rows/doc, engine-order) rides per-row 1e-9-quantized
+    // integers (ulcer doctrine), base and the dl term are ONE fixed
+    // expression each. Collection stats are 1-row broadcasts; ranking
+    // fuses to TakeOrderedAndProject.
+    Q("llm_ql_topk",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok
+        |  GROUP BY doc_id
+        |), cf AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cf FROM tok
+        |  WHERE token IN ('hash', 'join', 'window') GROUP BY token
+        |), consts AS (
+        |  SELECT CAST((SELECT sum(dl) FROM dl) AS BIGINT) AS ct,
+        |         max(CASE WHEN token = 'hash' THEN cf END) AS ch,
+        |         max(CASE WHEN token = 'join' THEN cf END) AS cj,
+        |         max(CASE WHEN token = 'window' THEN cf END) AS cw
+        |  FROM cf
+        |), tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE token IN ('hash', 'join', 'window')
+        |  GROUP BY doc_id, token
+        |), z AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CAST(round(
+        |           (ln(CAST(tf AS DOUBLE)
+        |                + 100.0 * cf.cf / consts.ct)
+        |            - ln(100.0 * cf.cf / consts.ct)) * 1000000000)
+        |           AS BIGINT)) AS BIGINT) AS sz
+        |  FROM tf JOIN cf USING (token) CROSS JOIN consts
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id,
+        |       floor((ln(100.0 * ch / ct) + ln(100.0 * cj / ct)
+        |              + ln(100.0 * cw / ct)
+        |              - 3 * ln(CAST(dl AS DOUBLE) + 100.0)
+        |              + CAST(coalesce(sz, 0) AS DOUBLE) / 1000000000)
+        |             * 1000000) / 1000000 AS score
+        |FROM dl LEFT JOIN z USING (doc_id) CROSS JOIN consts
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val qterms = Seq("hash", "join", "window")
+      val tok = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val cf = tok.where(col("token").isin(qterms: _*))
+        .groupBy("token").agg(count(lit(1)).as("cf"))
+      val consts = cf
+        .agg(max(when(col("token") === "hash", col("cf"))).as("ch"),
+          max(when(col("token") === "join", col("cf"))).as("cj"),
+          max(when(col("token") === "window", col("cf"))).as("cw"))
+        .crossJoin(dl.agg(sum(col("dl")).as("ct")))
+      val tf = tok.where(col("token").isin(qterms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val z = tf.join(broadcast(cf), Seq("token"))
+        .crossJoin(broadcast(consts))
+        .groupBy("doc_id")
+        .agg(sum(expr(
+          """CAST(round((ln(CAST(tf AS DOUBLE) + 100.0 * cf / ct)
+            |             - ln(100.0 * cf / ct)) * 1000000000) AS BIGINT)"""
+            .stripMargin)).as("sz"))
+      dl.join(z, Seq("doc_id"), "left")
+        .crossJoin(broadcast(consts))
+        .select(col("doc_id"),
+          (floor((expr("ln(100.0 * ch / ct) + ln(100.0 * cj / ct)"
+            + " + ln(100.0 * cw / ct)")
+            - lit(3) * expr("ln(CAST(dl AS DOUBLE) + 100.0)")
+            + coalesce(col("sz"), lit(0L)).cast("double") / 1000000000L)
+            * 1000000) / 1000000).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // Within-doc repetition ratio (pretraining boilerplate/spam filter):
     // 1 − distinct/total word-3-grams. Pure per-doc aggregation — no join,
     // embarrassingly parallel at any scale.

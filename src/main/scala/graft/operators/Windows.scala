@@ -2014,6 +2014,75 @@ object Windows {
         .orderBy("event_type", "day")
     },
 
+    // Williams fractals (round 13, cont.): 5-bar pivot points — a day
+    // is a fractal HIGH iff its high strictly exceeds the two days
+    // before AND after (mirror for lows) — the swing-point detector
+    // support/resistance and breakout logic anchor on (donchian gives
+    // the rolling envelope; fractals mark the exact pivot bars it was
+    // built from). Pure leads/lags over the daily frame — no recursion,
+    // no second pass; exact integer cent compares; interior days only
+    // (the 2-bar margin at both ends can't qualify); a day can be both
+    // a high and a low pivot (wide-range bar) — both rows emitted.
+    Q("win_fractals",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(c) AS BIGINT) AS h, CAST(min(c) AS BIGINT) AS l
+        |  FROM v GROUP BY event_type, day
+        |), w AS (
+        |  SELECT event_type, day, h, l,
+        |         lag(h, 2) OVER wd AS hb2, lag(h, 1) OVER wd AS hb1,
+        |         lead(h, 1) OVER wd AS hf1, lead(h, 2) OVER wd AS hf2,
+        |         lag(l, 2) OVER wd AS lb2, lag(l, 1) OVER wd AS lb1,
+        |         lead(l, 1) OVER wd AS lf1, lead(l, 2) OVER wd AS lf2
+        |  FROM o WINDOW wd AS (PARTITION BY event_type ORDER BY day)
+        |)
+        |SELECT event_type, day, kind, round(cents / 100.0, 2) AS value
+        |FROM (
+        |  SELECT event_type, day, 'high' AS kind, h AS cents
+        |  FROM w WHERE hb2 IS NOT NULL AND hf2 IS NOT NULL
+        |    AND h > hb2 AND h > hb1 AND h > hf1 AND h > hf2
+        |  UNION ALL
+        |  SELECT event_type, day, 'low' AS kind, l AS cents
+        |  FROM w WHERE lb2 IS NOT NULL AND lf2 IS NOT NULL
+        |    AND l < lb2 AND l < lb1 AND l < lf1 AND l < lf2
+        |)
+        |ORDER BY event_type, day, kind""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val o = v.groupBy("event_type", "day")
+        .agg(max(col("c")).as("h"), min(col("c")).as("l"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val w = o
+        .withColumn("hb2", lag(col("h"), 2).over(wd))
+        .withColumn("hb1", lag(col("h"), 1).over(wd))
+        .withColumn("hf1", lead(col("h"), 1).over(wd))
+        .withColumn("hf2", lead(col("h"), 2).over(wd))
+        .withColumn("lb2", lag(col("l"), 2).over(wd))
+        .withColumn("lb1", lag(col("l"), 1).over(wd))
+        .withColumn("lf1", lead(col("l"), 1).over(wd))
+        .withColumn("lf2", lead(col("l"), 2).over(wd))
+      val hi = w.where(col("hb2").isNotNull && col("hf2").isNotNull &&
+          col("h") > col("hb2") && col("h") > col("hb1") &&
+          col("h") > col("hf1") && col("h") > col("hf2"))
+        .select(col("event_type"), col("day"), lit("high").as("kind"),
+          col("h").as("cents"))
+      val lo = w.where(col("lb2").isNotNull && col("lf2").isNotNull &&
+          col("l") < col("lb2") && col("l") < col("lb1") &&
+          col("l") < col("lf1") && col("l") < col("lf2"))
+        .select(col("event_type"), col("day"), lit("low").as("kind"),
+          col("l").as("cents"))
+      hi.unionByName(lo)
+        .select(col("event_type"), col("day"), col("kind"),
+          round(col("cents") / 100.0, 2).as("value"))
+        .orderBy("event_type", "day", "kind")
+    },
+
     // DMI / ADX (round 13, cont.; Wilder 1978, simple-average form like
     // win_rsi/win_atr): directional movement +DM/−DM gated by Wilder's
     // rule (only the LARGER of the two counts, and only if positive),
