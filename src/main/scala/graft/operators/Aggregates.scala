@@ -5189,6 +5189,71 @@ object Aggregates {
         |                  OR s_nationkey IS NULL) AS BIGINT)
         |)
         |ORDER BY fk""".stripMargin) { (s, d) =>
+      edgeQ(s, d)
+    },
+
+    // Decimal-precision profile (round 13, cont.): per monetary column,
+    // how many values are whole dollars / one-decimal / full two-decimal
+    // cents — the truncated-feed detector (an upstream that silently
+    // rounds to dollars passes null and range checks; its digit profile
+    // collapses here first, the numeric cousin of dq_null_profile).
+    // Everything is exact: cents = round(v·100) BIGINT, the digit class
+    // is cents mod 10/100, counts exact, three display shares.
+    Q("dq_decimal_profile",
+      """SELECT col, n,
+        |       n_whole, n_1dp, n_2dp,
+        |       round(CAST(n_2dp AS DOUBLE) / n, 6) AS share_2dp
+        |FROM (
+        |  SELECT 'l_extendedprice' AS col, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN c % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_whole,
+        |         CAST(sum(CASE WHEN c % 100 <> 0 AND c % 10 = 0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_1dp,
+        |         CAST(sum(CASE WHEN c % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_2dp
+        |  FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |        FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN c % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(sum(CASE WHEN c % 100 <> 0 AND c % 10 = 0
+        |                       THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(sum(CASE WHEN c % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |        FROM orders)
+        |  UNION ALL
+        |  SELECT 'p_retailprice', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN c % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(sum(CASE WHEN c % 100 <> 0 AND c % 10 = 0
+        |                       THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(sum(CASE WHEN c % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS c
+        |        FROM part)
+        |)
+        |ORDER BY col""".stripMargin) { (s, d) =>
+      def prof(name: String, df: DataFrame, c: String): DataFrame =
+        df.select(round(col(c) * 100).cast("long").as("c"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(pmod(col("c"), lit(100L)) === 0, 1L).otherwise(0L))
+              .as("n_whole"),
+            sum(when(pmod(col("c"), lit(100L)) =!= 0 &&
+              pmod(col("c"), lit(10L)) === 0, 1L).otherwise(0L)).as("n_1dp"),
+            sum(when(pmod(col("c"), lit(10L)) =!= 0, 1L).otherwise(0L))
+              .as("n_2dp"))
+          .select(lit(name).as("col"), col("n"), col("n_whole"),
+            col("n_1dp"), col("n_2dp"))
+      prof("l_extendedprice", t(s, d, "lineitem"), "l_extendedprice")
+        .unionByName(prof("o_totalprice", t(s, d, "orders"), "o_totalprice"))
+        .unionByName(prof("p_retailprice", t(s, d, "part"), "p_retailprice"))
+        .select(col("col"), col("n"), col("n_whole"), col("n_1dp"),
+          col("n_2dp"),
+          round(col("n_2dp").cast("double") / col("n"), 6).as("share_2dp"))
+        .orderBy("col")
+    }
+  )
+
+  /** The dq_orphans body, factored for readability. */
+  private def edgeQ(s: SparkSession, d: String): DataFrame = {
       def edge(name: String, child: DataFrame, ck: String,
                parent: DataFrame, pk: String): DataFrame = {
         val tot = child.agg(count(lit(1)).as("n_child"))
@@ -5214,6 +5279,5 @@ object Aggregates {
           round(col("n_orphans").cast("double") / col("n_child"), 6)
             .as("orphan_rate"))
         .orderBy("fk")
-    }
-  )
+  }
 }

@@ -731,6 +731,50 @@ object Extras {
       triangles(coOrderEdges(s, d, "1997-01-01", "1998-01-01"))
     },
 
+    // Global transitivity (round 13, cont.): 3·triangles / wedges — the
+    // one-number clustering coefficient of the whole graph (graph_local_cc
+    // answers it per hub; graph_clustering_by_degree bins it; this is
+    // the scalar the two refine, and the standard small-world readout
+    // against a random-graph baseline). Rides the SAME persisted edge
+    // frame for both counts: the triangle 3-join and the degree moment
+    // Σ C(deg,2) — all exact BIGINT, one FLOOR-scaled division.
+    Q("graph_transitivity",
+      """WITH lp AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |), e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+        |), tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), deg AS (
+        |  SELECT n AS node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n
+        |), wg AS (
+        |  SELECT CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges
+        |  FROM deg
+        |)
+        |SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+        |       n_triangles, n_wedges,
+        |       floor(CAST(3 * n_triangles AS DOUBLE) / n_wedges * 1000000)
+        |         / 1000000 AS transitivity
+        |FROM tri CROSS JOIN wg""".stripMargin) { (s, d) =>
+      val e = coOrderEdges(s, d, "1997-01-01", "1998-01-01")
+        .localCheckpoint()
+      val tri = triangles(e).select(col("n_edges"), col("n_triangles"))
+      val wg = e.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("degree"))
+        .agg(sum(expr("degree * (degree - 1) div 2")).as("n_wedges"))
+      tri.crossJoin(wg)
+        .select(col("n_edges"), col("n_triangles"), col("n_wedges"),
+          (floor((lit(3) * col("n_triangles")).cast("double")
+            / col("n_wedges") * 1000000) / 1000000).as("transitivity"))
+    },
+
     // Per-node LOCAL clustering coefficient (round 7, cont.): for the
     // top-20 highest-degree parts, C(v) = triangles-through-v /
     // C(deg(v), 2) — "is this hub a community core or a pass-through

@@ -3719,6 +3719,143 @@ object Llm {
         .limit(20)
     },
 
+    // Reciprocal-rank fusion (round 13, cont.; Cormack/Clarke/Buettcher
+    // 2009, k=60): fuse the BM25 and query-likelihood top-50 lists into
+    // one ranking by Σ 1/(60 + rank) — the standard no-tuning hybrid
+    // that beats either scorer alone because their failure modes are
+    // disjoint (BM25 misses hit-less docs entirely; QL over-rewards
+    // short docs). Ranks come from the two scorers' own deterministic
+    // (score DESC, doc_id) orders over their bounded top-50 frames (the
+    // rank windows ride 50-row frames, never the corpus); the fused
+    // score is a fixed two-term expression of exact integer ranks, one
+    // FLOOR-scaled display.
+    Q("llm_rrf_fusion",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok
+        |  GROUP BY doc_id
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM dl
+        |), tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE token IN ('hash', 'join', 'window')
+        |  GROUP BY doc_id, token
+        |), df AS (
+        |  SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token
+        |), bm AS (
+        |  SELECT doc_id,
+        |         round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |                   * (CAST(tf AS DOUBLE) * 2.2)
+        |                   / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+        |           AS score
+        |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats GROUP BY doc_id
+        |), bmr AS (
+        |  SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |              AS BIGINT) AS ra
+        |  FROM (SELECT doc_id, score FROM bm
+        |        ORDER BY score DESC, doc_id LIMIT 50)
+        |), cfq AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cf FROM tok
+        |  WHERE token IN ('hash', 'join', 'window') GROUP BY token
+        |), consts AS (
+        |  SELECT CAST((SELECT sum(dl) FROM dl) AS BIGINT) AS ct,
+        |         max(CASE WHEN token = 'hash' THEN cf END) AS ch,
+        |         max(CASE WHEN token = 'join' THEN cf END) AS cj,
+        |         max(CASE WHEN token = 'window' THEN cf END) AS cw
+        |  FROM cfq
+        |), z AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CAST(round(
+        |           (ln(CAST(tf AS DOUBLE) + 100.0 * cfq.cf / consts.ct)
+        |            - ln(100.0 * cfq.cf / consts.ct)) * 1000000000)
+        |           AS BIGINT)) AS BIGINT) AS sz
+        |  FROM tf JOIN cfq USING (token) CROSS JOIN consts
+        |  GROUP BY doc_id
+        |), qls AS (
+        |  SELECT doc_id,
+        |         floor((ln(100.0 * ch / ct) + ln(100.0 * cj / ct)
+        |                + ln(100.0 * cw / ct)
+        |                - 3 * ln(CAST(dl AS DOUBLE) + 100.0)
+        |                + CAST(coalesce(sz, 0) AS DOUBLE) / 1000000000)
+        |               * 1000000) / 1000000 AS score
+        |  FROM dl LEFT JOIN z USING (doc_id) CROSS JOIN consts
+        |), qlr AS (
+        |  SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |              AS BIGINT) AS rb
+        |  FROM (SELECT doc_id, score FROM qls
+        |        ORDER BY score DESC, doc_id LIMIT 50)
+        |)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, ra, rb,
+        |       floor((coalesce(1.0 / (60 + ra), 0.0)
+        |              + coalesce(1.0 / (60 + rb), 0.0)) * 1000000)
+        |         / 1000000 AS rrf
+        |FROM bmr a FULL JOIN qlr b ON a.doc_id = b.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val qterms = Seq("hash", "join", "window")
+      val tok = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = tok.where(col("token").isin(qterms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+      val idf = log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+      val contrib = idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      val bm = tf.join(broadcast(df), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(round(sum(contrib), 6).as("score"))
+      val wRank = Window.orderBy(col("score").desc, col("doc_id"))
+      val bmr = bm.orderBy(col("score").desc, col("doc_id")).limit(50)
+        .withColumn("ra", row_number().over(wRank).cast("long"))
+        .select("doc_id", "ra")
+      val cfq = tok.where(col("token").isin(qterms: _*))
+        .groupBy("token").agg(count(lit(1)).as("cf"))
+      val consts = cfq
+        .agg(max(when(col("token") === "hash", col("cf"))).as("ch"),
+          max(when(col("token") === "join", col("cf"))).as("cj"),
+          max(when(col("token") === "window", col("cf"))).as("cw"))
+        .crossJoin(dl.agg(sum(col("dl")).as("ct")))
+      val z = tf.join(broadcast(cfq), Seq("token"))
+        .crossJoin(broadcast(consts))
+        .groupBy("doc_id")
+        .agg(sum(expr(
+          """CAST(round((ln(CAST(tf AS DOUBLE) + 100.0 * cf / ct)
+            |             - ln(100.0 * cf / ct)) * 1000000000) AS BIGINT)"""
+            .stripMargin)).as("sz"))
+      val qls = dl.join(z, Seq("doc_id"), "left")
+        .crossJoin(broadcast(consts))
+        .select(col("doc_id"),
+          (floor((expr("ln(100.0 * ch / ct) + ln(100.0 * cj / ct)"
+            + " + ln(100.0 * cw / ct)")
+            - lit(3) * expr("ln(CAST(dl AS DOUBLE) + 100.0)")
+            + coalesce(col("sz"), lit(0L)).cast("double") / 1000000000L)
+            * 1000000) / 1000000).as("score"))
+      val qlr = qls.orderBy(col("score").desc, col("doc_id")).limit(50)
+        .withColumn("rb", row_number().over(wRank).cast("long"))
+        .select(col("doc_id").as("qdoc"), col("rb"))
+      bmr.join(qlr, col("doc_id") === col("qdoc"), "full_outer")
+        .select(coalesce(col("doc_id"), col("qdoc")).as("doc_id"),
+          col("ra"), col("rb"),
+          (floor((coalesce(lit(1.0) / (lit(60) + col("ra")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)))
+            * 1000000) / 1000000).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // Within-doc repetition ratio (pretraining boilerplate/spam filter):
     // 1 − distinct/total word-3-grams. Pure per-doc aggregation — no join,
     // embarrassingly parallel at any scale.

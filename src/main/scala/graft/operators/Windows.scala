@@ -2014,6 +2014,58 @@ object Windows {
         .orderBy("event_type", "day")
     },
 
+    // Price gaps (round 13, cont.): days whose entire range stays on
+    // one side of the previous CLOSE — gap UP iff the day's low never
+    // trades back to yesterday's close, gap DOWN iff its high stays
+    // under it — the discontinuity detector (a gap is a jump the market
+    // never traded through; on telemetry series a gap day is a step
+    // change win_cusum confirms later). One lag pass over the daily
+    // frame; exact integer cent compares and magnitudes; first day
+    // dropped (no previous close).
+    Q("win_gaps",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(c) AS BIGINT) AS h, CAST(min(c) AS BIGINT) AS l,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), w AS (
+        |  SELECT event_type, day, h, l,
+        |         lag(cl) OVER wd AS pc
+        |  FROM o WINDOW wd AS (PARTITION BY event_type ORDER BY day)
+        |)
+        |SELECT event_type, day,
+        |       CASE WHEN l > pc THEN 'up' ELSE 'down' END AS direction,
+        |       round(CASE WHEN l > pc THEN l - pc ELSE pc - h END / 100.0, 2)
+        |         AS gap
+        |FROM w WHERE pc IS NOT NULL AND (l > pc OR h < pc)
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd0 = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd0))
+        .groupBy("event_type", "day")
+        .agg(max(col("c")).as("h"), min(col("c")).as("l"),
+          max(when(col("rn_d") === 1, col("c"))).as("cl"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      o.withColumn("pc", lag(col("cl"), 1).over(wd))
+        .where(col("pc").isNotNull &&
+          (col("l") > col("pc") || col("h") < col("pc")))
+        .select(col("event_type"), col("day"),
+          when(col("l") > col("pc"), "up").otherwise("down").as("direction"),
+          round(when(col("l") > col("pc"), col("l") - col("pc"))
+            .otherwise(col("pc") - col("h")) / 100.0, 2).as("gap"))
+        .orderBy("event_type", "day")
+    },
+
     // Williams fractals (round 13, cont.): 5-bar pivot points — a day
     // is a fractal HIGH iff its high strictly exceeds the two days
     // before AND after (mirror for lows) — the swing-point detector
