@@ -5133,6 +5133,91 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Bowley quartile skewness (round 13, cont.): (Q1 + Q3 − 2·Q2)/
+    // (Q3 − Q1) per event_type — the quantile-based asymmetry readout
+    // that ignores tails entirely (agg_skew_kurt's moment skewness is
+    // driven BY the tails; a robust pipeline reports both and alarms
+    // when they disagree). Quantiles via the pinned interpolated pair
+    // (Spark `percentile` ≡ DuckDB `quantile_cont` — the
+    // agg_median_percentile precedent); the Bowley ratio assembles in
+    // ONE identical expression, FLOOR-scaled, degenerate IQR → NULL.
+    Q("agg_bowley_skew",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(quantile_cont(value, 0.25), 4) AS q1,
+        |       round(quantile_cont(value, 0.5), 4) AS q2,
+        |       round(quantile_cont(value, 0.75), 4) AS q3,
+        |       floor((quantile_cont(value, 0.25) + quantile_cont(value, 0.75)
+        |              - 2 * quantile_cont(value, 0.5))
+        |             / nullif(quantile_cont(value, 0.75)
+        |                      - quantile_cont(value, 0.25), 0)
+        |             * 1000000) / 1000000 AS bowley_skew
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      def q(p: Double) = percentile(col("value"), lit(p))
+      t(s, d, "events")
+        .where(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(q(0.25), 4).as("q1"),
+          round(q(0.5), 4).as("q2"),
+          round(q(0.75), 4).as("q3"),
+          (floor((q(0.25) + q(0.75) - lit(2) * q(0.5))
+            / nullif(q(0.75) - q(0.25), lit(0)) * 1000000) / 1000000)
+            .as("bowley_skew"))
+        .orderBy("event_type")
+    },
+
+    // Pythagorean means (round 13, cont.): arithmetic / geometric /
+    // harmonic mean of value per event_type — the three-mean panel
+    // (AM ≥ GM ≥ HM; rate-like series average correctly under HM,
+    // growth factors under GM — reporting only AM silently overstates
+    // both). Float doctrine: the AM is exact cents; the GM and HM ride
+    // per-row quantized transforms (round(ln x·1e9), round(1e10/x) — the
+    // reciprocal grid leaves 100× BIGINT-sum headroom over the 0.01
+    // value floor at fact scale) so the
+    // cross-row sums are exact BIGINT (ulcer doctrine), with one
+    // exp/one division at display. Positive values only (fixture
+    // invariant min 0.01; zero/negative would poison ln and 1/x).
+    Q("agg_pythagorean_means",
+      """WITH v AS (
+        |  SELECT event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         CAST(round(ln(CAST(value AS DOUBLE)) * 1000000000)
+        |              AS BIGINT) AS l9,
+        |         CAST(round(10000000000 / CAST(value AS DOUBLE))
+        |              AS BIGINT) AS r10
+        |  FROM events WHERE value IS NOT NULL AND value > 0
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       floor(CAST(sum(c) AS DOUBLE) / count(*) / 100 * 10000)
+        |         / 10000 AS am,
+        |       floor(exp(CAST(sum(l9) AS DOUBLE) / count(*) / 1000000000)
+        |             * 10000) / 10000 AS gm,
+        |       floor(CAST(count(*) AS DOUBLE) * 10000000000 / sum(r10)
+        |             * 10000) / 10000 AS hm
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+      t(s, d, "events")
+        .where(col("value").isNotNull && col("value") > 0)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"),
+          round(log(col("value").cast("double")) * 1000000000).cast("long")
+            .as("l9"),
+          round(lit(10000000000L) / col("value").cast("double"))
+            .cast("long").as("r10"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+          sum(col("l9")).as("sl"), sum(col("r10")).as("sr"))
+        .select(col("event_type"), col("n"),
+          (floor(col("sc").cast("double") / col("n") / 100 * 10000) / 10000)
+            .as("am"),
+          (floor(exp(col("sl").cast("double") / col("n") / 1000000000)
+            * 10000) / 10000).as("gm"),
+          (floor(col("n").cast("double") * 10000000000L / col("sr")
+            * 10000) / 10000).as("hm"))
+        .orderBy("event_type")
+    },
+
     // Referential-integrity orphan audit (round 13, cont.): per FK edge
     // of the schema, how many child rows reference a missing parent —
     // the structural companion to dq_reconciliation's amount check (a

@@ -7440,6 +7440,178 @@ object Llm {
         .orderBy("s1", "s2")
     },
 
+    // Cross-split exact leakage (round 13, cont.): val/test docs whose
+    // EXACT text fingerprint also appears in train under the pinned
+    // hash-split rule — the leak llm_split_novelty's trigram novelty
+    // blurs over and llm_decontaminate (benchmark overlap) doesn't look
+    // for: verbatim duplicates straddling the split boundary inflate
+    // eval scores one-for-one. One fingerprint pass (PortableHash of
+    // the full text — both engines), one distinct train-hash set, one
+    // semi-mark join per eval split; exact counts, bounded 2-row
+    // report.
+    Q("llm_cross_split_dups", {
+      val split = s"""CASE WHEN ${PortableHash.sql(
+        "CAST(doc_id AS VARCHAR)")} % 100 < 98 THEN 'train'
+        |              WHEN ${PortableHash.sql(
+        "CAST(doc_id AS VARCHAR)")} % 100 = 98 THEN 'val'
+        |              ELSE 'test' END""".stripMargin
+      s"""WITH fp AS (
+         |  SELECT doc_id, $split AS split,
+         |         ${PortableHash.sql("text")} AS h
+         |  FROM documents
+         |), tr AS (
+         |  SELECT DISTINCT h FROM fp WHERE split = 'train'
+         |)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN h IN (SELECT h FROM tr)
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+         |       round(CAST(sum(CASE WHEN h IN (SELECT h FROM tr)
+         |                          THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*), 6) AS leak_rate
+         |FROM fp WHERE split <> 'train'
+         |GROUP BY split ORDER BY split""".stripMargin
+    }) { (s, d) =>
+      val b = pmod(PortableHash.pHash(col("doc_id").cast("string")), lit(100))
+      val fp = docs(s, d).select(
+        when(b < 98, "train").when(b === 98, "val").otherwise("test")
+          .as("split"),
+        PortableHash.pHash(col("text")).as("h"))
+      val tr = fp.where(col("split") === "train")
+        .select(col("h").as("th")).distinct()
+        .withColumn("m", lit(1))
+      fp.where(col("split") =!= "train")
+        .join(tr, col("h") === col("th"), "left")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("n_leaked"))
+        .select(col("split"), col("n_docs"), col("n_leaked"),
+          round(col("n_leaked").cast("double") / col("n_docs"), 6)
+            .as("leak_rate"))
+        .orderBy("split")
+    },
+
+    // Davies-Bouldin clustering quality (round 13, cont.): per label,
+    // the worst-case (sᵢ + sⱼ)/dᵢⱼ ratio against every other cluster —
+    // compact, well-separated clusters score low; the internal-validity
+    // readout llm_cluster_purity (external) can't give when no truth
+    // labels exist. Plan shape: per-dim centroid sums are ONE
+    // posexplode groupBy over the bounded (label × 64) domain; each
+    // row's distance TO ITS OWN centroid is an in-row 64-term fold
+    // (exact tick integers xi·n − s, the center_project idiom)
+    // quantized per row to 1e-6 ticks so the per-label scatter sum is
+    // exact BIGINT (ulcer doctrine); centroid-pair distances and the
+    // max-ratio fold ride the BOUNDED label-pair domain. No pair join
+    // ever touches the vectors.
+    Q("llm_cluster_db_index",
+      """WITH xv AS (
+        |  SELECT label,
+        |         list_transform(embedding, v ->
+        |           CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT))
+        |           AS xi
+        |  FROM embeddings
+        |), dims AS (SELECT unnest(range(1, 65)) AS i
+        |), cent AS (
+        |  SELECT label, i,
+        |         CAST(sum(xi[CAST(i AS INT)]) AS BIGINT) AS s
+        |  FROM xv, dims GROUP BY label, i
+        |), nl AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n FROM xv GROUP BY label
+        |), cl AS (
+        |  SELECT c.label, list(s ORDER BY i) AS sv, max(n.n) AS n
+        |  FROM cent c JOIN nl n ON c.label = n.label GROUP BY c.label
+        |), dq AS (
+        |  SELECT x.label,
+        |         CAST(round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, 65), j ->
+        |             (CAST(x.xi[CAST(j AS INT)] * c.n - c.sv[CAST(j AS INT)]
+        |                   AS DOUBLE) / c.n / 10000000)
+        |             * (CAST(x.xi[CAST(j AS INT)] * c.n - c.sv[CAST(j AS INT)]
+        |                     AS DOUBLE) / c.n / 10000000))),
+        |           (a, b) -> a + b)) * 1000000) AS BIGINT) AS d6
+        |  FROM xv x JOIN cl c ON x.label = c.label
+        |), sc AS (
+        |  SELECT label, CAST(sum(d6) AS BIGINT) AS sd
+        |  FROM dq GROUP BY label
+        |), scat AS (
+        |  SELECT s.label, CAST(s.sd AS DOUBLE) / n.n / 1000000 AS si, n.n
+        |  FROM sc s JOIN nl n ON s.label = n.label
+        |), cd AS (
+        |  SELECT a.label AS la, b.label AS lb,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, 65), j ->
+        |             ((CAST(a.sv[CAST(j AS INT)] AS DOUBLE) / a.n
+        |               - CAST(b.sv[CAST(j AS INT)] AS DOUBLE) / b.n)
+        |              / 10000000)
+        |             * ((CAST(a.sv[CAST(j AS INT)] AS DOUBLE) / a.n
+        |                 - CAST(b.sv[CAST(j AS INT)] AS DOUBLE) / b.n)
+        |                / 10000000))),
+        |           (a, b) -> a + b)) AS dij
+        |  FROM cl a JOIN cl b ON a.label <> b.label
+        |), r AS (
+        |  SELECT cd.la AS label,
+        |         max((x.si + y.si) / dij) AS ri
+        |  FROM cd JOIN scat x ON x.label = cd.la
+        |  JOIN scat y ON y.label = cd.lb
+        |  GROUP BY cd.la
+        |)
+        |SELECT CAST(s.label AS BIGINT) AS label, CAST(s.n AS BIGINT)
+        |         AS n_vecs,
+        |       floor(s.si * 1000000) / 1000000 AS scatter,
+        |       floor(r.ri * 1000000) / 1000000 AS db_ratio
+        |FROM scat s JOIN r ON s.label = r.label
+        |ORDER BY label""".stripMargin) { (s, d) =>
+      val xv = emb(s, d).select(col("label"), expr(
+        """transform(embedding, v ->
+          |  CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT))"""
+          .stripMargin).as("xi"))
+      val cent = xv.select(col("label"), posexplode(col("xi")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col")).as("s"))
+      val nl = xv.groupBy("label").agg(count(lit(1)).as("n"))
+      val cl = cent.groupBy("label")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, s)))," +
+          " x -> x.s)").as("sv"))
+        .join(nl, Seq("label"))
+      val dq = xv.join(cl.select(col("label"), col("sv"), col("n")),
+          Seq("label"))
+        .select(col("label"), expr(
+          """CAST(round(sqrt(aggregate(transform(sequence(1, 64), j ->
+            |  (CAST(element_at(xi, j) * n - element_at(sv, j) AS DOUBLE)
+            |   / n / 10000000)
+            |  * (CAST(element_at(xi, j) * n - element_at(sv, j) AS DOUBLE)
+            |     / n / 10000000)),
+            |  CAST(0 AS DOUBLE), (a, b) -> a + b)) * 1000000) AS BIGINT)"""
+            .stripMargin).as("d6"))
+      val scat = dq.groupBy("label").agg(sum(col("d6")).as("sd"))
+        .join(nl, Seq("label"))
+        .select(col("label"),
+          (col("sd").cast("double") / col("n") / 1000000).as("si"), col("n"))
+      val cd = cl.select(col("label").as("la"), col("sv").as("asv"),
+          col("n").as("an"))
+        .join(cl.select(col("label").as("lb"), col("sv").as("bsv"),
+          col("n").as("bn")), col("la") =!= col("lb"))
+        .select(col("la"), col("lb"), expr(
+          """sqrt(aggregate(transform(sequence(1, 64), j ->
+            |  ((CAST(element_at(asv, j) AS DOUBLE) / an
+            |    - CAST(element_at(bsv, j) AS DOUBLE) / bn) / 10000000)
+            |  * ((CAST(element_at(asv, j) AS DOUBLE) / an
+            |      - CAST(element_at(bsv, j) AS DOUBLE) / bn) / 10000000)),
+            |  CAST(0 AS DOUBLE), (a, b) -> a + b))""".stripMargin).as("dij"))
+      val r = cd
+        .join(scat.select(col("label").as("la"), col("si").as("sia")),
+          Seq("la"))
+        .join(scat.select(col("label").as("lb"), col("si").as("sib")),
+          Seq("lb"))
+        .groupBy(col("la").as("label"))
+        .agg(max((col("sia") + col("sib")) / col("dij")).as("ri"))
+      scat.join(r, Seq("label"))
+        .select(col("label").cast("long").as("label"),
+          col("n").as("n_vecs"),
+          (floor(col("si") * 1000000) / 1000000).as("scatter"),
+          (floor(col("ri") * 1000000) / 1000000).as("db_ratio"))
+        .orderBy("label")
+    },
+
     // Multimodal column plumbing: binary payload + mime + typed metadata
     // carried through ops. The decode step is a clearly-marked deterministic
     // STUB (this container has no image/audio codecs); schema, partitioning
