@@ -5218,6 +5218,112 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Hill tail-index estimator (round 13, cont.; Hill 1975): over the
+    // top k=100 order totals, α̂ = (k−1)/Σ ln(xᵢ/x_k) — the heavy-tail
+    // exponent (α≈2-3 Pareto revenue, large α = thin/bounded tail) that
+    // tells a capacity planner whether the p99.9 is a fluke or a law;
+    // the value-domain cousin of llm_zipf_slope. The top-k cut is a
+    // TakeOrdered on (cents DESC, orderkey) — bounded, total-ordered;
+    // the ln-ratio sum rides per-row 1e-9-quantized integers over the
+    // 99-row frame (ulcer doctrine); one division at display.
+    Q("agg_hill_tail",
+      """WITH c AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         o_orderkey
+        |  FROM orders
+        |), top AS (
+        |  SELECT cents FROM c ORDER BY cents DESC, o_orderkey LIMIT 100
+        |), xk AS (
+        |  SELECT min(cents) AS mk FROM top
+        |), z AS (
+        |  SELECT CAST(sum(CAST(round(ln(CAST(cents AS DOUBLE) / mk)
+        |                             * 1000000000) AS BIGINT)) AS BIGINT)
+        |           AS sl,
+        |         CAST(count(*) AS BIGINT) AS k, max(mk) AS mk
+        |  FROM top CROSS JOIN xk
+        |)
+        |SELECT k, round(mk / 100.0, 2) AS x_k,
+        |       floor(CAST(k - 1 AS DOUBLE)
+        |             / (CAST(sl AS DOUBLE) / 1000000000) * 1000000)
+        |         / 1000000 AS hill_alpha
+        |FROM z""".stripMargin) { (s, d) =>
+      val c = t(s, d, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderkey"))
+      val top = c.orderBy(col("cents").desc, col("o_orderkey")).limit(100)
+        .select("cents")
+      val xk = top.agg(min(col("cents")).as("mk"))
+      val z = top.crossJoin(broadcast(xk))
+        .agg(
+          sum(round(log(col("cents").cast("double") / col("mk"))
+            * 1000000000).cast("long")).as("sl"),
+          count(lit(1)).as("k"), max(col("mk")).as("mk"))
+      z.select(col("k"), round(col("mk") / 100.0, 2).as("x_k"),
+        (floor((col("k") - 1).cast("double")
+          / (col("sl").cast("double") / 1000000000) * 1000000) / 1000000)
+          .as("hill_alpha"))
+    },
+
+    // Peaks-over-threshold clustering (round 13, cont.): per event_type,
+    // days whose event volume exceeds the series' interpolated p90, and
+    // how those exceedances CLUSTER into consecutive-day runs — the
+    // extremal-dependence readout (independent spikes vs multi-day
+    // storms need different capacity and alerting policies; a mean
+    // cluster length ≫1 is the storm signature). Threshold via the
+    // pinned percentile pair; exceedance and clustering are exact
+    // integers (gaps-and-islands: day_number − exceedance_rank is
+    // constant within a run); bounded per-type report.
+    Q("agg_pot_clusters",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), thr AS (
+        |  SELECT event_type, quantile_cont(CAST(n AS DOUBLE), 0.9) AS thr
+        |  FROM v GROUP BY event_type
+        |), ex AS (
+        |  SELECT v.event_type, day, n, thr,
+        |         datediff('day', DATE '1990-01-01', CAST(day AS DATE))
+        |           - row_number() OVER (PARTITION BY v.event_type
+        |                                ORDER BY day) AS isl
+        |  FROM v JOIN thr ON v.event_type = thr.event_type
+        |  WHERE CAST(n AS DOUBLE) > thr
+        |), cl AS (
+        |  SELECT event_type, isl, CAST(count(*) AS BIGINT) AS len,
+        |         max(thr) AS thr
+        |  FROM ex GROUP BY event_type, isl
+        |)
+        |SELECT event_type, round(max(thr), 4) AS threshold,
+        |       CAST(sum(len) AS BIGINT) AS n_exceed,
+        |       CAST(count(*) AS BIGINT) AS n_clusters,
+        |       CAST(max(len) AS BIGINT) AS max_cluster_len,
+        |       round(CAST(sum(len) AS DOUBLE) / count(*), 6)
+        |         AS mean_cluster_len
+        |FROM cl GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+      val v = t(s, d, "events")
+        .withColumn("day", date_trunc("day", col("ts")))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val thr = v.groupBy("event_type")
+        .agg(percentile(col("n").cast("double"), lit(0.9)).as("thr"))
+      val we = Window.partitionBy("event_type").orderBy("day")
+      val ex = v.join(thr, Seq("event_type"))
+        .where(col("n").cast("double") > col("thr"))
+        .withColumn("isl",
+          datediff(col("day").cast("date"), lit("1990-01-01").cast("date"))
+            - row_number().over(we))
+      val cl = ex.groupBy("event_type", "isl")
+        .agg(count(lit(1)).as("len"), max(col("thr")).as("thr"))
+      cl.groupBy("event_type")
+        .agg(round(max(col("thr")), 4).as("threshold"),
+          sum(col("len")).as("n_exceed"),
+          count(lit(1)).as("n_clusters"),
+          max(col("len")).as("max_cluster_len"),
+          round(sum(col("len")).cast("double") / count(lit(1)), 6)
+            .as("mean_cluster_len"))
+        .orderBy("event_type")
+    },
+
     // Referential-integrity orphan audit (round 13, cont.): per FK edge
     // of the schema, how many child rows reference a missing parent —
     // the structural companion to dq_reconciliation's amount check (a

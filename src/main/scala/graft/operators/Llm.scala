@@ -7612,6 +7612,120 @@ object Llm {
         .orderBy("label")
     },
 
+    // Calinski-Harabasz index (round 13, cont.): between-cluster over
+    // within-cluster variance, (BCSS/(k−1))/(WCSS/(n−k)) — the
+    // variance-ratio companion to llm_cluster_db_index (DB prices the
+    // WORST pair; CH prices the whole partition, and is the criterion
+    // k-selection sweeps maximize). Same bounded centroid machinery:
+    // per-dim sums via ONE posexplode groupBy; WCSS = per-row squared
+    // distance to own centroid, exact-tick fold quantized per row to
+    // 1e-6 (ulcer doctrine) so the sum is exact BIGINT; BCSS = per-label
+    // nᵢ·‖cᵢ−g‖² over the bounded label domain, same quantization. One
+    // fixed final expression.
+    Q("llm_calinski_harabasz",
+      """WITH xv AS (
+        |  SELECT label,
+        |         list_transform(embedding, v ->
+        |           CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT))
+        |           AS xi
+        |  FROM embeddings
+        |), dims AS (SELECT unnest(range(1, 65)) AS i
+        |), cent AS (
+        |  SELECT label, i,
+        |         CAST(sum(xi[CAST(i AS INT)]) AS BIGINT) AS s
+        |  FROM xv, dims GROUP BY label, i
+        |), nl AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n FROM xv GROUP BY label
+        |), cl AS (
+        |  SELECT c.label, list(s ORDER BY i) AS sv, max(n.n) AS nn
+        |  FROM cent c JOIN nl n ON c.label = n.label GROUP BY c.label
+        |), gl AS (
+        |  SELECT list(gs ORDER BY i) AS gv FROM (
+        |    SELECT i, CAST(sum(s) AS BIGINT) AS gs FROM cent GROUP BY i)
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT label) AS BIGINT) AS k
+        |  FROM xv
+        |), w2 AS (
+        |  SELECT CAST(sum(CAST(round(list_reduce(list_prepend(
+        |           CAST(0 AS DOUBLE),
+        |           list_transform(range(1, 65), j ->
+        |             (CAST(x.xi[CAST(j AS INT)] * c.nn - c.sv[CAST(j AS INT)]
+        |                   AS DOUBLE) / c.nn / 10000000)
+        |             * (CAST(x.xi[CAST(j AS INT)] * c.nn - c.sv[CAST(j AS INT)]
+        |                     AS DOUBLE) / c.nn / 10000000))),
+        |           (a, b) -> a + b) * 1000000) AS BIGINT)) AS BIGINT) AS swc
+        |  FROM xv x JOIN cl c ON x.label = c.label
+        |), b2 AS (
+        |  SELECT CAST(sum(CAST(round(CAST(c.nn AS DOUBLE)
+        |           * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |             list_transform(range(1, 65), j ->
+        |               ((CAST(c.sv[CAST(j AS INT)] AS DOUBLE) / c.nn
+        |                 - CAST(gv[CAST(j AS INT)] AS DOUBLE) / tot.n)
+        |                / 10000000)
+        |               * ((CAST(c.sv[CAST(j AS INT)] AS DOUBLE) / c.nn
+        |                   - CAST(gv[CAST(j AS INT)] AS DOUBLE) / tot.n)
+        |                  / 10000000))),
+        |             (a, b) -> a + b) * 1000000) AS BIGINT)) AS BIGINT) AS sbc
+        |  FROM cl c CROSS JOIN gl CROSS JOIN tot
+        |)
+        |SELECT n, k,
+        |       floor(CAST(swc AS DOUBLE) / 1000000 * 1000000) / 1000000
+        |         AS wcss,
+        |       floor(CAST(sbc AS DOUBLE) / 1000000 * 1000000) / 1000000
+        |         AS bcss,
+        |       floor((CAST(sbc AS DOUBLE) / 1000000 / (k - 1))
+        |             / (CAST(swc AS DOUBLE) / 1000000 / (n - k))
+        |             * 1000000) / 1000000 AS ch_index
+        |FROM tot CROSS JOIN w2 CROSS JOIN b2""".stripMargin) { (s, d) =>
+      val xv = emb(s, d).select(col("label"), expr(
+        """transform(embedding, v ->
+          |  CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT))"""
+          .stripMargin).as("xi"))
+      val cent = xv.select(col("label"), posexplode(col("xi")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col")).as("s"))
+      val nl = xv.groupBy("label").agg(count(lit(1)).as("n"))
+      val cl = cent.groupBy("label")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, s)))," +
+          " x -> x.s)").as("sv"))
+        .join(nl.select(col("label"), col("n").as("nn")), Seq("label"))
+      val gl = cent.groupBy("pos").agg(sum(col("s")).as("gs"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, gs)))," +
+          " x -> x.gs)").as("gv"))
+      val tot = xv.agg(count(lit(1)).as("n"),
+        countDistinct(col("label")).as("k"))
+      val w2 = xv.join(cl, Seq("label"))
+        .agg(sum(expr(
+          """CAST(round(aggregate(transform(sequence(1, 64), j ->
+            |  (CAST(element_at(xi, j) * nn - element_at(sv, j) AS DOUBLE)
+            |   / nn / 10000000)
+            |  * (CAST(element_at(xi, j) * nn - element_at(sv, j) AS DOUBLE)
+            |     / nn / 10000000)),
+            |  CAST(0 AS DOUBLE), (a, b) -> a + b) * 1000000) AS BIGINT)"""
+            .stripMargin)).as("swc"))
+      val b2 = cl.crossJoin(broadcast(gl))
+        .crossJoin(broadcast(tot.select(col("n").as("tn"))))
+        .agg(sum(expr(
+          """CAST(round(CAST(nn AS DOUBLE)
+            |  * aggregate(transform(sequence(1, 64), j ->
+            |      ((CAST(element_at(sv, j) AS DOUBLE) / nn
+            |        - CAST(element_at(gv, j) AS DOUBLE) / tn) / 10000000)
+            |      * ((CAST(element_at(sv, j) AS DOUBLE) / nn
+            |          - CAST(element_at(gv, j) AS DOUBLE) / tn) / 10000000)),
+            |    CAST(0 AS DOUBLE), (a, b) -> a + b) * 1000000) AS BIGINT)"""
+            .stripMargin)).as("sbc"))
+      tot.crossJoin(w2).crossJoin(b2)
+        .select(col("n"), col("k"),
+          (floor(col("swc").cast("double") / 1000000 * 1000000) / 1000000)
+            .as("wcss"),
+          (floor(col("sbc").cast("double") / 1000000 * 1000000) / 1000000)
+            .as("bcss"),
+          (floor((col("sbc").cast("double") / 1000000 / (col("k") - 1))
+            / (col("swc").cast("double") / 1000000 / (col("n") - col("k")))
+            * 1000000) / 1000000).as("ch_index"))
+    },
+
     // Multimodal column plumbing: binary payload + mime + typed metadata
     // carried through ops. The decode step is a clearly-marked deterministic
     // STUB (this container has no image/audio codecs); schema, partitioning

@@ -69,6 +69,43 @@ object SourcesOps {
     // round-trips the fact columns and must hash-match the parquet
     // truth; any encoding/typing/row-loss defect in either direction
     // surfaces at the gate.
-    Q("src_orc_roundtrip", oracleSql)((s, d) => roundTrip(s, d, "orc"))
+    Q("src_orc_roundtrip", oracleSql)((s, d) => roundTrip(s, d, "orc")),
+
+    // src_parquet_partitioned (round 13, cont.): the LAKE LAYOUT gate —
+    // write the fact hive-partitioned by l_returnflag, read it back
+    // with a partition-column filter, aggregate. Beyond the format
+    // round-trip the other src keys prove, this pins the two behaviors
+    // a partitioned lake lives on: partition values round-trip through
+    // directory names (typed back via the pinned schema), and the
+    // filter lands as PartitionFilters in the scan — at 100 TB the
+    // pruned partition is never listed, let alone read. The oracle
+    // computes the same filtered aggregate off the unpartitioned
+    // parquet truth; a value lost or retyped by the partition encoding
+    // hash-mismatches.
+    Q("src_parquet_partitioned",
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        |       CAST(sum(l_partkey) AS BIGINT) AS sum_pk,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+        |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+      val dir = roundTripDir("parquet_part")
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+      Tables(s, d, "lineitem").select(cols.map(col): _*)
+        .write.mode("overwrite").partitionBy("l_returnflag")
+        .parquet(dir)
+      val schema = "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT," +
+        " l_returnflag STRING"
+      s.read.schema(schema).parquet(dir)
+        .where(col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey")).as("sum_ok"),
+          sum(col("l_partkey")).as("sum_pk"),
+          countDistinct(col("l_suppkey")).as("n_supp"))
+        .orderBy("l_returnflag")
+    }
   )
 }
