@@ -5324,6 +5324,71 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Fixed-frequency periodogram (round 13, cont.): DFT power of the
+    // daily event volume at the 7- and 14-day periods per event_type —
+    // the frequency-domain seasonality detector next to
+    // etl_seasonality_strength's decomposition view (a strong 7-day
+    // line with a weak 14-day one is weekly rhythm; both strong is a
+    // biweekly pay/batch cycle). Per-row cos/sin products quantize to
+    // 1e-6 integers (both engines evaluate the same IEEE cos/sin on the
+    // same integer day angles — pi() is the same constant) so the re/im
+    // sums are exact BIGINT (ulcer doctrine); power composes once per
+    // (type, period) row.
+    Q("agg_periodogram",
+      """WITH v AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1990-01-01',
+        |                  CAST(date_trunc('day', ts) AS DATE)) AS dn,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT event_type, dn, n, unnest([7, 14]) AS period
+        |  FROM v
+        |), q AS (
+        |  SELECT event_type, CAST(period AS BIGINT) AS period,
+        |         CAST(sum(CAST(round(n * cos(2 * pi() * dn / period)
+        |                             * 1000000) AS BIGINT)) AS BIGINT) AS re6,
+        |         CAST(sum(CAST(round(n * sin(2 * pi() * dn / period)
+        |                             * 1000000) AS BIGINT)) AS BIGINT) AS im6,
+        |         CAST(count(*) AS BIGINT) AS n_days
+        |  FROM p GROUP BY 1, 2
+        |)
+        |SELECT event_type, period, n_days,
+        |       floor(CAST(re6 AS DOUBLE) / 1000000 * 10000) / 10000 AS re,
+        |       floor(CAST(im6 AS DOUBLE) / 1000000 * 10000) / 10000 AS im,
+        |       floor(((CAST(re6 AS DOUBLE) / 1000000)
+        |              * (CAST(re6 AS DOUBLE) / 1000000)
+        |              + (CAST(im6 AS DOUBLE) / 1000000)
+        |                * (CAST(im6 AS DOUBLE) / 1000000)) * 100) / 100
+        |         AS power
+        |FROM q ORDER BY event_type, period""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .select(col("event_type"),
+          datediff(date_trunc("day", col("ts")).cast("date"),
+            lit("1990-01-01").cast("date")).as("dn"))
+        .groupBy("event_type", "dn").agg(count(lit(1)).as("n"))
+      val p = v.withColumn("period", explode(array(lit(7), lit(14))))
+      val q = p.groupBy(col("event_type"), col("period").cast("long")
+          .as("period"))
+        .agg(
+          sum(round(col("n") * cos(lit(2) * expr("pi()") * col("dn")
+            / col("period")) * 1000000).cast("long")).as("re6"),
+          sum(round(col("n") * sin(lit(2) * expr("pi()") * col("dn")
+            / col("period")) * 1000000).cast("long")).as("im6"),
+          count(lit(1)).as("n_days"))
+      q.select(col("event_type"), col("period"), col("n_days"),
+          (floor(col("re6").cast("double") / 1000000 * 10000) / 10000)
+            .as("re"),
+          (floor(col("im6").cast("double") / 1000000 * 10000) / 10000)
+            .as("im"),
+          (floor(((col("re6").cast("double") / 1000000)
+            * (col("re6").cast("double") / 1000000)
+            + (col("im6").cast("double") / 1000000)
+              * (col("im6").cast("double") / 1000000)) * 100) / 100)
+            .as("power"))
+        .orderBy("event_type", "period")
+    },
+
     // Referential-integrity orphan audit (round 13, cont.): per FK edge
     // of the schema, how many child rows reference a missing parent —
     // the structural companion to dq_reconciliation's amount check (a

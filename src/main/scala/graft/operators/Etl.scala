@@ -3732,6 +3732,61 @@ object Etl {
           round(col("active_users").cast("double") / col("cohort_size"), 6)
             .as("retention"))
         .orderBy("cohort", "week_offset")
+    },
+
+    // Forecast backtest — MASE (round 13, cont.; Hyndman & Koehler
+    // 2006): the seasonal-naive forecast's mean absolute error scaled
+    // by the one-step naive's, over the 1995 daily revenue series —
+    // the scale-free accuracy number that lets etl_forecast_snaive be
+    // JUDGED rather than just produced (MASE < 1 ⇔ the weekly lag
+    // genuinely beats persistence). Both error series are exact BIGINT
+    // cent sums over the same complete-lag row set; one division at
+    // display. One orders scan, one day groupBy, one lag window.
+    Q("etl_forecast_mase",
+      """WITH dd AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS c
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY 1
+        |), l AS (
+        |  SELECT day, c,
+        |         lag(c, 1) OVER (ORDER BY day) AS c1,
+        |         lag(c, 7) OVER (ORDER BY day) AS c7
+        |  FROM dd
+        |), e AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(abs(c - c1)) AS BIGINT) AS e1,
+        |         CAST(sum(abs(c - c7)) AS BIGINT) AS e7
+        |  FROM l WHERE c1 IS NOT NULL AND c7 IS NOT NULL
+        |)
+        |SELECT n_days,
+        |       round(CAST(e1 AS DOUBLE) / n_days / 100, 2) AS mae_naive,
+        |       round(CAST(e7 AS DOUBLE) / n_days / 100, 2) AS mae_snaive,
+        |       floor(CAST(e7 AS DOUBLE) / e1 * 1000000) / 1000000 AS mase
+        |FROM e""".stripMargin) { (s, d) =>
+      val dd = orders(s, d)
+        .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      val w = Window.orderBy("day")
+      val l = dd
+        .withColumn("c1", lag(col("c"), 1).over(w))
+        .withColumn("c7", lag(col("c"), 7).over(w))
+        .where(col("c1").isNotNull && col("c7").isNotNull)
+      l.agg(count(lit(1)).as("n_days"),
+          sum(abs(col("c") - col("c1"))).as("e1"),
+          sum(abs(col("c") - col("c7"))).as("e7"))
+        .select(col("n_days"),
+          round(col("e1").cast("double") / col("n_days") / 100, 2)
+            .as("mae_naive"),
+          round(col("e7").cast("double") / col("n_days") / 100, 2)
+            .as("mae_snaive"),
+          (floor(col("e7").cast("double") / col("e1") * 1000000) / 1000000)
+            .as("mase"))
     }
   ) :+ resampleQ
 

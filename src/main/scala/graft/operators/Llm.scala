@@ -7726,6 +7726,94 @@ object Llm {
             * 1000000) / 1000000).as("ch_index"))
     },
 
+    // Simplified silhouette (round 13, cont.; Hruschka et al.'s
+    // centroid-based variant): per label, mean of sᵢ = (bᵢ−aᵢ)/max(aᵢ,bᵢ)
+    // where aᵢ = distance to OWN centroid and bᵢ = min distance to any
+    // OTHER centroid — the per-POINT cohesion/separation readout the
+    // two partition-level indices (DB, CH) average away, at O(n·k)
+    // instead of true silhouette's O(n²). Every per-row distance is the
+    // exact-tick 64-term fold (center_project idiom) against the
+    // BROADCAST 10-row centroid frame; aᵢ, bᵢ and sᵢ compose per row
+    // and sᵢ quantizes to 1e-6 integers so the per-label mean rides an
+    // exact BIGINT sum (ulcer doctrine).
+    Q("llm_silhouette_simplified",
+      """WITH xv AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, v ->
+        |           CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT))
+        |           AS xi
+        |  FROM embeddings
+        |), dims AS (SELECT unnest(range(1, 65)) AS i
+        |), cent AS (
+        |  SELECT label, i,
+        |         CAST(sum(xi[CAST(i AS INT)]) AS BIGINT) AS s
+        |  FROM xv, dims GROUP BY label, i
+        |), nl AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n FROM xv GROUP BY label
+        |), cl AS (
+        |  SELECT c.label AS clabel, list(s ORDER BY i) AS sv, max(n.n) AS nn
+        |  FROM cent c JOIN nl n ON c.label = n.label GROUP BY c.label
+        |), dist AS (
+        |  SELECT x.vec_id, x.label, c.clabel,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, 65), j ->
+        |             (CAST(x.xi[CAST(j AS INT)] * c.nn - c.sv[CAST(j AS INT)]
+        |                   AS DOUBLE) / c.nn / 10000000)
+        |             * (CAST(x.xi[CAST(j AS INT)] * c.nn - c.sv[CAST(j AS INT)]
+        |                     AS DOUBLE) / c.nn / 10000000))),
+        |           (a, b) -> a + b)) AS dd
+        |  FROM xv x CROSS JOIN cl c
+        |), ab AS (
+        |  SELECT vec_id, label,
+        |         max(CASE WHEN label = clabel THEN dd END) AS a,
+        |         min(CASE WHEN label <> clabel THEN dd END) AS b
+        |  FROM dist GROUP BY vec_id, label
+        |), sq AS (
+        |  SELECT label,
+        |         CAST(round((b - a) / greatest(a, b) * 1000000) AS BIGINT)
+        |           AS s6
+        |  FROM ab WHERE greatest(a, b) > 0
+        |)
+        |SELECT CAST(label AS BIGINT) AS label,
+        |       CAST(count(*) AS BIGINT) AS n_vecs,
+        |       floor(CAST(sum(s6) AS DOUBLE) / count(*)) / 1000000
+        |         AS mean_silhouette
+        |FROM sq GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      val xv = emb(s, d).select(col("vec_id"), col("label"), expr(
+        """transform(embedding, v ->
+          |  CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT))"""
+          .stripMargin).as("xi"))
+      val cent = xv.select(col("label"), posexplode(col("xi")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col")).as("s"))
+      val nl = xv.groupBy("label").agg(count(lit(1)).as("n"))
+      val cl = cent.groupBy("label")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, s)))," +
+          " x -> x.s)").as("sv"))
+        .join(nl.select(col("label"), col("n").as("nn")), Seq("label"))
+        .select(col("label").as("clabel"), col("sv"), col("nn"))
+      val dist = xv.crossJoin(broadcast(cl))
+        .select(col("vec_id"), col("label"), col("clabel"), expr(
+          """sqrt(aggregate(transform(sequence(1, 64), j ->
+            |  (CAST(element_at(xi, j) * nn - element_at(sv, j) AS DOUBLE)
+            |   / nn / 10000000)
+            |  * (CAST(element_at(xi, j) * nn - element_at(sv, j) AS DOUBLE)
+            |     / nn / 10000000)),
+            |  CAST(0 AS DOUBLE), (a, b) -> a + b))""".stripMargin).as("dd"))
+      val ab = dist.groupBy("vec_id", "label")
+        .agg(max(when(col("label") === col("clabel"), col("dd"))).as("a"),
+          min(when(col("label") =!= col("clabel"), col("dd"))).as("b"))
+      val sq = ab.where(greatest(col("a"), col("b")) > 0)
+        .select(col("label"),
+          round((col("b") - col("a")) / greatest(col("a"), col("b"))
+            * 1000000).cast("long").as("s6"))
+      sq.groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (floor(sum(col("s6")).cast("double") / count(lit(1))) / 1000000)
+            .as("mean_silhouette"))
+        .orderBy("label")
+    },
+
     // Multimodal column plumbing: binary payload + mime + typed metadata
     // carried through ops. The decode step is a clearly-marked deterministic
     // STUB (this container has no image/audio codecs); schema, partitioning
