@@ -5389,6 +5389,54 @@ object Aggregates {
         .orderBy("event_type", "period")
     },
 
+    // Index of dispersion (round 13, cont.): variance-to-mean ratio of
+    // the daily event count per type — THE count-model diagnostic
+    // (Poisson arrivals ⇒ ratio ≈ 1; ratio ≫ 1 = bursty/clumped
+    // arrivals, ratio < 1 = regularized/throttled) that decides whether
+    // dq_volume_anomaly's normal-σ bands are even the right model.
+    // Exact BIGINT count moments (Σn, Σn² over ≤31 days); the ratio and
+    // the sample variance assemble in one fixed expression each,
+    // FLOOR-scaled.
+    Q("agg_dispersion_index",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS d,
+        |         CAST(sum(n) AS BIGINT) AS s,
+        |         CAST(sum(n * n) AS BIGINT) AS q
+        |  FROM v GROUP BY event_type
+        |)
+        |SELECT event_type, d AS n_days, s AS n_events,
+        |       floor(CAST(s AS DOUBLE) / d * 10000) / 10000 AS mean_daily,
+        |       floor((CAST(q AS DOUBLE) * d - CAST(s AS DOUBLE) * s)
+        |             / (CAST(d AS DOUBLE) * (d - 1)) * 10000) / 10000
+        |         AS var_daily,
+        |       floor((CAST(q AS DOUBLE) * d - CAST(s AS DOUBLE) * s)
+        |             / (CAST(d AS DOUBLE) * (d - 1)) * d / s * 1000000)
+        |         / 1000000 AS dispersion
+        |FROM m WHERE d > 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val m = v.groupBy("event_type")
+        .agg(count(lit(1)).as("d"), sum(col("n")).as("s"),
+          sum(col("n") * col("n")).as("q"))
+      val varNum = col("q").cast("double") * col("d") -
+        col("s").cast("double") * col("s")
+      val denom = col("d").cast("double") * (col("d") - 1)
+      m.where(col("d") > 1)
+        .select(col("event_type"), col("d").as("n_days"),
+          col("s").as("n_events"),
+          (floor(col("s").cast("double") / col("d") * 10000) / 10000)
+            .as("mean_daily"),
+          (floor(varNum / denom * 10000) / 10000).as("var_daily"),
+          (floor(varNum / denom * col("d") / col("s") * 1000000) / 1000000)
+            .as("dispersion"))
+        .orderBy("event_type")
+    },
+
     // Referential-integrity orphan audit (round 13, cont.): per FK edge
     // of the schema, how many child rows reference a missing parent —
     // the structural companion to dq_reconciliation's amount check (a

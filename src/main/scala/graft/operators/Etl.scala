@@ -3787,6 +3787,113 @@ object Etl {
             .as("mae_snaive"),
           (floor(col("e7").cast("double") / col("e1") * 1000000) / 1000000)
             .as("mase"))
+    },
+
+    // Sample-ratio mismatch (round 13, cont.): χ² of the A/B variant
+    // user counts against the designed 50/50 split — the experiment
+    // hygiene gate that runs BEFORE etl_ab_test/etl_ab_ttest are read
+    // at all (a biased assignment invalidates both, and SRM is how
+    // assignment bugs actually present: p≈0 on this one degree of
+    // freedom). Same pinned hash-split rule as the tests it guards;
+    // counts exact BIGINT; χ² is one float expression; the 3.84 flag
+    // threshold is the 95% χ²₁ critical value, compared against an
+    // expression whose operands are exact.
+    Q("etl_ab_srm",
+      s"""WITH m AS (
+         |  SELECT ${graft.functions.PortableHash.sql(
+        "CAST(user_id AS VARCHAR)")} % 2 AS variant
+         |  FROM events WHERE user_id IS NOT NULL
+         |  GROUP BY user_id
+         |), c AS (
+         |  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS na,
+         |         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS nb
+         |  FROM m
+         |)
+         |SELECT na AS n_a, nb AS n_b,
+         |       floor(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb)
+         |             * 1000000) / 1000000 AS chi2,
+         |       CAST(na - nb AS BIGINT) * (na - nb) * 100
+         |         > CAST(384 AS BIGINT) * (na + nb) AS srm_flag
+         |FROM c""".stripMargin) { (s, d) =>
+      val m = events(s, d)
+        .where(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(max(pmod(graft.functions.PortableHash
+          .pHash(col("user_id").cast("string")), lit(2))).as("variant"))
+      val c = m.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("nb"))
+      c.select(col("na").as("n_a"), col("nb").as("n_b"),
+        (floor(((col("na") - col("nb")) * (col("na") - col("nb")))
+          .cast("double") / (col("na") + col("nb")) * 1000000) / 1000000)
+          .as("chi2"),
+        ((col("na") - col("nb")) * (col("na") - col("nb")) * 100 >
+          lit(384L) * (col("na") + col("nb"))).as("srm_flag"))
+    },
+
+    // Event study (round 13, cont.): the mean daily value path in a
+    // ±3-day window around high-error days — the econometrics
+    // alignment operator ("what happens to the metric around an
+    // incident?"): averaging ACROSS anchors cancels noise that any
+    // single incident's chart drowns in. Anchors = days whose error
+    // count strictly exceeds the series' mean daily error count
+    // (exact-integer compare: cnt·n_days > total); the ±3 alignment is
+    // a bounded calendar band join on integer day offsets; all value
+    // sums exact cents, one display division per offset row.
+    Q("etl_event_study",
+      """WITH ec AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type = 'error' GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS d
+        |  FROM ec
+        |), anchors AS (
+        |  SELECT day FROM ec CROSS JOIN tot WHERE n * d > s
+        |), dv AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents,
+        |         CAST(count(value) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |)
+        |SELECT CAST(date_diff('day', CAST(a.day AS DATE),
+        |                      CAST(v.day AS DATE)) AS BIGINT) AS day_offset,
+        |       CAST(count(*) AS BIGINT) AS n_anchor_days,
+        |       CAST(sum(v.cents) AS BIGINT) AS cents,
+        |       CAST(sum(v.n) AS BIGINT) AS n_values,
+        |       round(CAST(sum(v.cents) AS DOUBLE) / sum(v.n) / 100, 4)
+        |         AS mean_value
+        |FROM anchors a JOIN dv v
+        |  ON CAST(v.day AS DATE) BETWEEN CAST(a.day AS DATE) - 3
+        |                             AND CAST(a.day AS DATE) + 3
+        |GROUP BY 1 ORDER BY day_offset""".stripMargin) { (s, d) =>
+      val ec = events(s, d)
+        .where(col("event_type") === "error")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = ec.agg(sum(col("n")).as("s"), count(lit(1)).as("d"))
+      val anchors = ec.crossJoin(broadcast(tot))
+        .where(col("n") * col("d") > col("s"))
+        .select(col("day").as("aday"))
+      val dv = events(s, d)
+        .where(col("value").isNotNull)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"),
+          count(col("value")).as("n"))
+      anchors.join(dv,
+          datediff(col("day").cast("date"), col("aday").cast("date"))
+            .between(-3, 3))
+        .groupBy(datediff(col("day").cast("date"), col("aday").cast("date"))
+          .cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("n_anchor_days"),
+          sum(col("cents")).as("cents"),
+          sum(col("n")).as("n_values"),
+          round(sum(col("cents")).cast("double") / sum(col("n")) / 100, 4)
+            .as("mean_value"))
+        .orderBy("day_offset")
     }
   ) :+ resampleQ
 
