@@ -5437,6 +5437,91 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Q-Q decile table (round 13, cont.): the view-vs-purchase value
+    // distributions compared decile by decile — the TABLE behind a Q-Q
+    // plot, and the granular companion to dq_ks_test's single max-gap
+    // statistic (KS says THE distributions differ; the Q-Q table says
+    // WHERE — body vs tails). One pass with filtered quantile
+    // aggregates (the pinned interpolated percentile pair), one fixed
+    // ratio expression per decile row.
+    Q("agg_qq_table", {
+      val rows = (1 to 9).map { k =>
+        val p = s"0.$k"
+        s"""SELECT CAST($p AS DOUBLE) AS p,
+           |       quantile_cont(CASE WHEN event_type = 'view'
+           |                          THEN value END, $p) AS q_view,
+           |       quantile_cont(CASE WHEN event_type = 'purchase'
+           |                          THEN value END, $p) AS q_purchase
+           |FROM events WHERE value IS NOT NULL""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT p, round(q_view, 4) AS q_view,
+         |       round(q_purchase, 4) AS q_purchase,
+         |       floor(q_purchase / q_view * 1000000) / 1000000 AS qq_ratio
+         |FROM ($rows)
+         |ORDER BY p""".stripMargin
+    }) { (s, d) =>
+      val ev = t(s, d, "events").where(col("value").isNotNull)
+      val frames = (1 to 9).map { k =>
+        val p = k / 10.0
+        ev.agg(
+          percentile(when(col("event_type") === "view", col("value")),
+            lit(p)).as("qv"),
+          percentile(when(col("event_type") === "purchase", col("value")),
+            lit(p)).as("qp"))
+          .select(lit(p).as("p"), col("qv"), col("qp"))
+      }
+      frames.reduce(_ unionByName _)
+        .select(col("p"), round(col("qv"), 4).as("q_view"),
+          round(col("qp"), 4).as("q_purchase"),
+          (floor(col("qp") / col("qv") * 1000000) / 1000000).as("qq_ratio"))
+        .orderBy("p")
+    },
+
+    // Exact duplicate-row audit (round 13, cont.): per table, rows that
+    // are byte-identical across EVERY column — the at-least-once
+    // ingestion tripwire (llm_exact_dedup covers documents by content
+    // hash; this is the relational fact-table form: a replayed load
+    // shows up here before any aggregate goes wrong by 2×). n_dup =
+    // n_rows − n_distinct, both exact; one distinct per table (the
+    // shuffle), bounded 3-row report.
+    Q("dq_dup_rows",
+      """SELECT tbl, n_rows, n_distinct,
+        |       n_rows - n_distinct AS n_dup_rows,
+        |       round(CAST(n_rows - n_distinct AS DOUBLE) / n_rows, 6)
+        |         AS dup_rate
+        |FROM (
+        |  SELECT 'events' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST((SELECT count(*) FROM (SELECT DISTINCT * FROM events))
+        |              AS BIGINT) AS n_distinct
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'lineitem', CAST(count(*) AS BIGINT),
+        |         CAST((SELECT count(*) FROM (SELECT DISTINCT * FROM lineitem))
+        |              AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders', CAST(count(*) AS BIGINT),
+        |         CAST((SELECT count(*) FROM (SELECT DISTINCT * FROM orders))
+        |              AS BIGINT)
+        |  FROM orders
+        |)
+        |ORDER BY tbl""".stripMargin) { (s, d) =>
+      def audit(name: String, df: DataFrame): DataFrame = {
+        val tot = df.agg(count(lit(1)).as("n_rows"))
+        val dis = df.distinct().agg(count(lit(1)).as("n_distinct"))
+        tot.crossJoin(dis).select(lit(name).as("tbl"),
+          col("n_rows"), col("n_distinct"))
+      }
+      audit("events", t(s, d, "events"))
+        .unionByName(audit("lineitem", t(s, d, "lineitem")))
+        .unionByName(audit("orders", t(s, d, "orders")))
+        .select(col("tbl"), col("n_rows"), col("n_distinct"),
+          (col("n_rows") - col("n_distinct")).as("n_dup_rows"),
+          round((col("n_rows") - col("n_distinct")).cast("double")
+            / col("n_rows"), 6).as("dup_rate"))
+        .orderBy("tbl")
+    },
+
     // Referential-integrity orphan audit (round 13, cont.): per FK edge
     // of the schema, how many child rows reference a missing parent —
     // the structural companion to dq_reconciliation's amount check (a

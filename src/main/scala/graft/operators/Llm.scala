@@ -7814,6 +7814,92 @@ object Llm {
         .orderBy("label")
     },
 
+    // Held-out bigram perplexity by split (round 13, cont.): train an
+    // add-one-smoothed bigram LM on the train split alone, score ALL
+    // three splits — the in-sample vs held-out perplexity gap is the
+    // memorization/generalization readout (llm_bigram_lm_score trains
+    // and scores on the same corpus, so it cannot see overfit; a val
+    // perplexity far above train means the LM memorized its training
+    // bigrams, exactly what a data pipeline must know before trusting
+    // LM-based quality scores). Same pinned hash split as
+    // llm_split_assign; the per-bigram ln((c₂+1)/(c₁+V)) quantizes per
+    // row to 1e-9 integers so per-split sums are exact BIGINT (ulcer
+    // doctrine); one exp per split row.
+    Q("llm_bigram_perplexity_split", {
+      val split = s"""CASE WHEN ${PortableHash.sql(
+        "CAST(doc_id AS VARCHAR)")} % 100 < 98 THEN 'train'
+        |              WHEN ${PortableHash.sql(
+        "CAST(doc_id AS VARCHAR)")} % 100 = 98 THEN 'val'
+        |              ELSE 'test' END""".stripMargin
+      s"""WITH bg AS (
+         |  SELECT $split AS split,
+         |         toks[CAST(x AS INT)] AS w1,
+         |         toks[CAST(x AS INT) + 1] AS w2
+         |  FROM (
+         |    SELECT doc_id, toks, unnest(range(1, len(toks))) AS x
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |          FROM documents))
+         |), cb AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg
+         |  WHERE split = 'train' GROUP BY w1, w2
+         |), c1 AS (
+         |  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg
+         |  WHERE split = 'train' GROUP BY w1
+         |), v AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS v FROM c1
+         |), z AS (
+         |  SELECT split,
+         |         CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         CAST(sum(CAST(round(ln(
+         |           (CAST(coalesce(cb.c2, 0) + 1 AS DOUBLE))
+         |           / (CAST(coalesce(c1.c1, 0) AS DOUBLE) + v.v))
+         |           * 1000000000) AS BIGINT)) AS BIGINT) AS sl
+         |  FROM bg LEFT JOIN cb USING (w1, w2)
+         |  LEFT JOIN c1 USING (w1) CROSS JOIN v
+         |  GROUP BY split
+         |)
+         |SELECT split, n_bigrams,
+         |       floor(CAST(sl AS DOUBLE) / n_bigrams / 1000000000 * 1000000)
+         |         / 1000000 AS avg_logp,
+         |       floor(exp(-(CAST(sl AS DOUBLE) / n_bigrams / 1000000000))
+         |             * 10000) / 10000 AS perplexity
+         |FROM z ORDER BY split""".stripMargin
+    }) { (s, d) =>
+      val b = pmod(PortableHash.pHash(col("doc_id").cast("string")), lit(100))
+      val bg = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(
+          when(b < 98, "train").when(b === 98, "val").otherwise("test")
+            .as("split"),
+          explode(expr(
+            """transform(slice(toks, 1, size(toks) - 1),
+              |  (x, i) -> struct(x AS w1,
+              |                   element_at(toks, i + 2) AS w2))"""
+              .stripMargin)).as("g"))
+        .select(col("split"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      val train = bg.where(col("split") === "train")
+      val cb = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = c1.agg(count(lit(1)).as("v"))
+      val z = bg
+        .join(cb, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(round(log(
+            (coalesce(col("c2"), lit(0L)) + 1).cast("double")
+              / (coalesce(col("c1"), lit(0L)).cast("double") + col("v")))
+            * 1000000000).cast("long")).as("sl"))
+      z.select(col("split"), col("n_bigrams"),
+          (floor(col("sl").cast("double") / col("n_bigrams") / 1000000000L
+            * 1000000) / 1000000).as("avg_logp"),
+          (floor(exp(-(col("sl").cast("double") / col("n_bigrams")
+            / 1000000000L)) * 10000) / 10000).as("perplexity"))
+        .orderBy("split")
+    },
+
     // Multimodal column plumbing: binary payload + mime + typed metadata
     // carried through ops. The decode step is a clearly-marked deterministic
     // STUB (this container has no image/audio codecs); schema, partitioning
