@@ -1778,6 +1778,71 @@ object ScaleSmoke {
       n
     }
 
+    // Anisotropy identity at 1M vectors (round 13, cont.): the declared
+    // llm_embedding_anisotropy computes mean pairwise cosine via
+    // Σ_{i≠j}uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖² — O(n·d), one map pass + a 64-row
+    // aggregate, where the textbook readout is an O(n²) pair join. Two
+    // gates: (a) EXACT integer equality of the identity against the
+    // literal pair join on a 3k slice (4.5M pairs — the largest the
+    // naive form affords even here; at 1M it would be 5·10¹¹ pairs),
+    // (b) the identity at the full 1M completes in map-scan time.
+    locally {
+      def quantize(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("vec_id"),
+        expr("""transform(embedding, v ->
+                 CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT))""")
+          .as("xi"))
+        .withColumn("n2", expr(
+          """aggregate(transform(xi, v -> CAST(v AS DECIMAL(19,0))
+            |                    * CAST(v AS DECIMAL(19,0))),
+            |  CAST(0 AS DECIMAL(38,0)), (a, v) -> a + v)""".stripMargin))
+        .where(col("n2") > 0)
+        .select(col("vec_id"), expr(
+          """transform(xi, v -> CAST(round(CAST(v AS DOUBLE)
+            |  / sqrt(CAST(n2 AS DOUBLE)) * 1000000) AS BIGINT))"""
+            .stripMargin).as("qi"))
+      def identity(q: org.apache.spark.sql.DataFrame): (Long, BigDecimal) = {
+        val sums = q.select(posexplode(col("qi")))
+          .groupBy("pos").agg(sum(col("col")).as("s"))
+          .agg(sum(expr("CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"))
+            .as("s2"))
+        val dn = q.agg(
+          sum(expr(
+            """aggregate(transform(qi, v -> CAST(v AS DECIMAL(19,0))
+              |                    * CAST(v AS DECIMAL(19,0))),
+              |  CAST(0 AS DECIMAL(38,0)), (a, v) -> a + v)""".stripMargin))
+            .as("dd"),
+          count(lit(1)).as("n"))
+        val r = sums.crossJoin(dn)
+          .select((col("s2") - col("dd")).as("num"), col("n")).head()
+        (r.getAs[Long]("n"), BigDecimal(r.getAs[java.math.BigDecimal]("num")))
+      }
+      var sliceNum = BigDecimal(-1)
+      time("anisotropy pair-join 3k (naive)") {
+        val q = quantize(embBig.where(col("vec_id") < 3000)).persist()
+        val pairs = q.as("a").join(q.as("b"),
+            col("a.vec_id") < col("b.vec_id"))
+          .select(expr(
+            """aggregate(zip_with(a.qi, b.qi, (x, y) ->
+              |  CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))),
+              |  CAST(0 AS DECIMAL(38,0)), (acc, v) -> acc + v)"""
+              .stripMargin).as("dot"))
+          .agg(sum(col("dot")).as("s"), count(lit(1)).as("np")).head()
+        sliceNum = BigDecimal(pairs.getAs[java.math.BigDecimal]("s")) * 2
+        val (_, idNum) = identity(q)
+        q.unpersist()
+        require(idNum == sliceNum,
+          s"anisotropy identity mismatch: identity=$idNum pairjoin=$sliceNum")
+        pairs.getAs[Long]("np")
+      }
+      time("anisotropy identity 1M") {
+        val q = quantize(embBig).persist()
+        val (n, _) = identity(q)
+        q.unpersist()
+        n
+      }
+    }
+
     // ---- round 9 probes ------------------------------------------------
 
     // Bloom runtime filter at fact scale: 60M fact rows, 3M-key domain,
