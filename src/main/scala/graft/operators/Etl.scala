@@ -3894,6 +3894,48 @@ object Etl {
           round(sum(col("cents")).cast("double") / sum(col("n")) / 100, 4)
             .as("mean_value"))
         .orderBy("day_offset")
+    },
+
+    // ISO day-of-week profile (round 13, cont.): order count and
+    // revenue by ISO weekday (1=Mon..7=Sun) — the staffing/capacity
+    // baseline every ops dashboard opens with, and the weekday-grid
+    // companion to etl_seasonality_strength. Dialect pin: Spark
+    // weekday() is 0=Mon and DuckDB isodow is 1=Mon — the +1 shift is
+    // applied on the Spark side so both engines emit the ISO
+    // convention. Exact cents, bounded 7-row report with share
+    // displays.
+    Q("etl_dow_profile",
+      """WITH o AS (
+        |  SELECT isodow(CAST(o_orderdate AS DATE)) AS dow,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cents) AS BIGINT) AS c
+        |  FROM o
+        |)
+        |SELECT CAST(dow AS BIGINT) AS iso_dow,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |       round(CAST(count(*) AS DOUBLE) / max(tot.n), 6)
+        |         AS order_share,
+        |       round(CAST(sum(cents) AS DOUBLE) / max(tot.c), 6)
+        |         AS revenue_share
+        |FROM o CROSS JOIN tot
+        |GROUP BY dow ORDER BY iso_dow""".stripMargin) { (s, d) =>
+      val o = orders(s, d).select(
+        (weekday(col("o_orderdate").cast("date")) + 1).as("dow"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tot = o.agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      o.crossJoin(broadcast(tot))
+        .groupBy(col("dow").cast("long").as("iso_dow"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("revenue_cents"),
+          round(count(lit(1)).cast("double") / max(col("n")), 6)
+            .as("order_share"),
+          round(sum(col("cents")).cast("double") / max(col("c")), 6)
+            .as("revenue_share"))
+        .orderBy("iso_dow")
     }
   ) :+ resampleQ
 

@@ -7900,6 +7900,181 @@ object Llm {
         .orderBy("split")
     },
 
+    // Rank-biased overlap + Kendall τ between the two lexical scorers
+    // (round 13, cont.; Webber/Moffat/Zobel 2010): how much do BM25 and
+    // query-likelihood actually AGREE on this corpus — the measurement
+    // that justifies (or kills) running llm_rrf_fusion at all (RBO≈1 ⇒
+    // fusion is redundant; low RBO with good individual recall ⇒ fusion
+    // buys diversity). RBO@50, p=0.9, via the per-doc closed form: a
+    // doc in both top-50s contributes coef(m) = (1−p)·Σ_{d=m}^{50}
+    // p^{d−1}/d with m = max(ra, rb) — the 50-row coefficient table is
+    // an in-row fold, per-doc coefs quantize to 1e-12 integers so the
+    // sum is exact (ulcer doctrine). Kendall τ rides the ≤50-row common
+    // set (bounded pair join, exact integer concordance counts). Ranks
+    // come from the scorers' own pinned (score DESC, doc_id) orders.
+    Q("llm_rbo_scorers",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok
+        |  GROUP BY doc_id
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM dl
+        |), tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE token IN ('hash', 'join', 'window')
+        |  GROUP BY doc_id, token
+        |), df AS (
+        |  SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token
+        |), bm AS (
+        |  SELECT doc_id,
+        |         round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |                   * (CAST(tf AS DOUBLE) * 2.2)
+        |                   / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+        |           AS score
+        |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats GROUP BY doc_id
+        |), bmr AS (
+        |  SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |              AS BIGINT) AS ra
+        |  FROM (SELECT doc_id, score FROM bm
+        |        ORDER BY score DESC, doc_id LIMIT 50)
+        |), cfq AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cf FROM tok
+        |  WHERE token IN ('hash', 'join', 'window') GROUP BY token
+        |), consts AS (
+        |  SELECT CAST((SELECT sum(dl) FROM dl) AS BIGINT) AS ct,
+        |         max(CASE WHEN token = 'hash' THEN cf END) AS ch,
+        |         max(CASE WHEN token = 'join' THEN cf END) AS cj,
+        |         max(CASE WHEN token = 'window' THEN cf END) AS cw
+        |  FROM cfq
+        |), z AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CAST(round(
+        |           (ln(CAST(tf AS DOUBLE) + 100.0 * cfq.cf / consts.ct)
+        |            - ln(100.0 * cfq.cf / consts.ct)) * 1000000000)
+        |           AS BIGINT)) AS BIGINT) AS sz
+        |  FROM tf JOIN cfq USING (token) CROSS JOIN consts
+        |  GROUP BY doc_id
+        |), qls AS (
+        |  SELECT doc_id,
+        |         floor((ln(100.0 * ch / ct) + ln(100.0 * cj / ct)
+        |                + ln(100.0 * cw / ct)
+        |                - 3 * ln(CAST(dl AS DOUBLE) + 100.0)
+        |                + CAST(coalesce(sz, 0) AS DOUBLE) / 1000000000)
+        |               * 1000000) / 1000000 AS score
+        |  FROM dl LEFT JOIN z USING (doc_id) CROSS JOIN consts
+        |), qlr AS (
+        |  SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |              AS BIGINT) AS rb
+        |  FROM (SELECT doc_id, score FROM qls
+        |        ORDER BY score DESC, doc_id LIMIT 50)
+        |), common AS (
+        |  SELECT a.doc_id, ra, rb, greatest(ra, rb) AS m
+        |  FROM bmr a JOIN qlr b ON a.doc_id = b.doc_id
+        |), coef AS (
+        |  SELECT m,
+        |         CAST(round(0.1 * list_reduce(list_prepend(
+        |             CAST(0 AS DOUBLE),
+        |             list_transform(range(CAST(m AS INT), 51), d ->
+        |               pow(0.9, d - 1) / d)),
+        |           (a, b) -> a + b) * 1000000000000) AS BIGINT) AS c12
+        |  FROM (SELECT unnest(range(1, 51)) AS m)
+        |), rbo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_common,
+        |         CAST(coalesce(sum(c12), 0) AS BIGINT) AS s12
+        |  FROM common JOIN coef USING (m)
+        |), tau AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CASE WHEN (a.ra < b.ra) = (a.rb < b.rb)
+        |                       THEN 1 ELSE -1 END) AS BIGINT) AS s
+        |  FROM common a JOIN common b ON a.doc_id < b.doc_id
+        |)
+        |SELECT n_common,
+        |       floor(CAST(s12 AS DOUBLE) / 1000000000000 * 1000000)
+        |         / 1000000 AS rbo,
+        |       floor(CAST(s AS DOUBLE) / nullif(n_pairs, 0) * 1000000)
+        |         / 1000000 AS kendall_tau
+        |FROM rbo CROSS JOIN tau""".stripMargin) { (s, d) =>
+      val qterms = Seq("hash", "join", "window")
+      val tok = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = tok.where(col("token").isin(qterms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+      val idf = log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+      val contrib = idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      val bm = tf.join(broadcast(df), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(round(sum(contrib), 6).as("score"))
+      val wRank = Window.orderBy(col("score").desc, col("doc_id"))
+      val bmr = bm.orderBy(col("score").desc, col("doc_id")).limit(50)
+        .withColumn("ra", row_number().over(wRank).cast("long"))
+        .select("doc_id", "ra")
+      val cfq = tok.where(col("token").isin(qterms: _*))
+        .groupBy("token").agg(count(lit(1)).as("cf"))
+      val consts = cfq
+        .agg(max(when(col("token") === "hash", col("cf"))).as("ch"),
+          max(when(col("token") === "join", col("cf"))).as("cj"),
+          max(when(col("token") === "window", col("cf"))).as("cw"))
+        .crossJoin(dl.agg(sum(col("dl")).as("ct")))
+      val z = tf.join(broadcast(cfq), Seq("token"))
+        .crossJoin(broadcast(consts))
+        .groupBy("doc_id")
+        .agg(sum(expr(
+          """CAST(round((ln(CAST(tf AS DOUBLE) + 100.0 * cf / ct)
+            |             - ln(100.0 * cf / ct)) * 1000000000) AS BIGINT)"""
+            .stripMargin)).as("sz"))
+      val qls = dl.join(z, Seq("doc_id"), "left")
+        .crossJoin(broadcast(consts))
+        .select(col("doc_id"),
+          (floor((expr("ln(100.0 * ch / ct) + ln(100.0 * cj / ct)"
+            + " + ln(100.0 * cw / ct)")
+            - lit(3) * expr("ln(CAST(dl AS DOUBLE) + 100.0)")
+            + coalesce(col("sz"), lit(0L)).cast("double") / 1000000000L)
+            * 1000000) / 1000000).as("score"))
+      val qlr = qls.orderBy(col("score").desc, col("doc_id")).limit(50)
+        .withColumn("rb", row_number().over(wRank).cast("long"))
+        .select(col("doc_id").as("qdoc"), col("rb"))
+      val common = bmr.join(qlr, col("doc_id") === col("qdoc"))
+        .select(col("doc_id"), col("ra"), col("rb"),
+          greatest(col("ra"), col("rb")).as("m"))
+        .localCheckpoint()
+      val coefDf = s.range(1, 51).select(col("id").as("m"), expr(
+        """CAST(round(0.1 * aggregate(
+          |  transform(sequence(CAST(m AS INT), 50), d ->
+          |    pow(0.9, d - 1) / d),
+          |  CAST(0 AS DOUBLE), (a, b) -> a + b) * 1000000000000)
+          |AS BIGINT)""".stripMargin).as("c12"))
+      val rbo = common.join(broadcast(coefDf), Seq("m"))
+        .agg(count(lit(1)).as("n_common"),
+          coalesce(sum(col("c12")), lit(0L)).as("s12"))
+      val tau = common.as("a")
+        .join(common.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when((col("a.ra") < col("b.ra")) === (col("a.rb") < col("b.rb")),
+            1L).otherwise(-1L)).as("s"))
+      rbo.crossJoin(tau)
+        .select(col("n_common"),
+          (floor(col("s12").cast("double") / 1000000000000L * 1000000)
+            / 1000000).as("rbo"),
+          (floor(col("s").cast("double") / nullif(col("n_pairs"), lit(0L))
+            * 1000000) / 1000000).as("kendall_tau"))
+    },
+
     // Multimodal column plumbing: binary payload + mime + typed metadata
     // carried through ops. The decode step is a clearly-marked deterministic
     // STUB (this container has no image/audio codecs); schema, partitioning

@@ -45,6 +45,28 @@ object Scalars {
           .orderBy("doc_id")
     },
 
+    // Numeric base conversion panel (round 13, cont.): binary / hex /
+    // octal renderings of integer keys — the radix primitives behind
+    // bitmap debugging, shard-id displays and file-name encodings.
+    // Dialect pins: hex is case-normalized via lower() (Spark and
+    // DuckDB both emit uppercase today, but the contract shouldn't
+    // hinge on it); octal is Spark conv(x,10,8) ≡ DuckDB to_base(x,8);
+    // none of the three zero-pad for positive inputs in either engine.
+    // Bounded supplier-dimension frame.
+    Q("fn_base_conv",
+      """SELECT s_suppkey,
+        |       bin(s_suppkey) AS b2,
+        |       lower(hex(s_suppkey)) AS b16,
+        |       to_base(s_suppkey, 8) AS b8
+        |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      graft.Tables(s, d, "supplier")
+        .select(col("s_suppkey"),
+          bin(col("s_suppkey")).as("b2"),
+          lower(hex(col("s_suppkey"))).as("b16"),
+          conv(col("s_suppkey").cast("string"), 10, 8).as("b8"))
+        .orderBy("s_suppkey")
+    },
+
     // R6 app-version-style string parsing + general string ops. The split
     // result is re-joined with ',' in the DECLARED output (and
     // array_to_string in the oracle) because the driver's pandas comparator
