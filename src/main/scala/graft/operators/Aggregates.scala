@@ -5522,6 +5522,53 @@ object Aggregates {
         .orderBy("tbl")
     },
 
+    // Benford SECOND-digit audit (round 13, cont.): the distribution of
+    // second leading digits of order totals vs Nigrini's second-digit
+    // expectation Σₖ log₁₀(1+1/(10k+d)) — the forensic follow-up to
+    // agg_benford (fabricators who learn to fake the first digit rarely
+    // fake the second; the flatter expected curve makes rounding
+    // artifacts like price points pop). Digit extraction is pure string
+    // arithmetic on the exact integer part (the agg_benford doctrine —
+    // no floor/log10 edge flips); the expected value is an in-row fold
+    // over the fixed k=1..9 terms, identical both engines.
+    Q("dq_benford_digit2",
+      """WITH d2 AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |                          AS VARCHAR), 2, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE floor(o_totalprice) >= 10
+        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d2)
+        |SELECT digit, CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(count(*) AS DOUBLE) / max(tot.n), 6) AS pct,
+        |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               list_transform(range(1, 10), k ->
+        |                 log10(1 + 1.0 / (10 * k + digit)))),
+        |             (a, b) -> a + b), 6) AS expected,
+        |       round(CAST(count(*) AS DOUBLE) / max(tot.n)
+        |             - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                 list_transform(range(1, 10), k ->
+        |                   log10(1 + 1.0 / (10 * k + digit)))),
+        |               (a, b) -> a + b), 6) AS deviation
+        |FROM d2 CROSS JOIN tot
+        |GROUP BY digit ORDER BY digit""".stripMargin) { (s, d) =>
+      val d2 = t(s, d, "orders")
+        .where(floor(col("o_totalprice")) >= 10)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 2, 1).cast("long").as("digit"))
+      val tot = d2.agg(count(lit(1)).as("n"))
+      val expected = expr(
+        """aggregate(transform(sequence(1, 9), k ->
+          |  log10(1 + 1.0 / (10 * k + digit))),
+          |  CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin)
+      d2.crossJoin(broadcast(tot))
+        .groupBy("digit")
+        .agg(count(lit(1)).as("n"),
+          round(count(lit(1)).cast("double") / max(col("n")), 6).as("pct"),
+          round(max(expected), 6).as("expected"),
+          round(count(lit(1)).cast("double") / max(col("n"))
+            - max(expected), 6).as("deviation"))
+        .orderBy("digit")
+    },
+
     // Referential-integrity orphan audit (round 13, cont.): per FK edge
     // of the schema, how many child rows reference a missing parent —
     // the structural companion to dq_reconciliation's amount check (a

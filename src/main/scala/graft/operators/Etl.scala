@@ -3936,6 +3936,111 @@ object Etl {
           round(sum(col("cents")).cast("double") / max(col("c")), 6)
             .as("revenue_share"))
         .orderBy("iso_dow")
+    },
+
+    // XYZ variability classification (round 13, cont.): parts bucketed
+    // by the coefficient of variation of their MONTHLY demand (X < 0.5
+    // steady, Y < 1 fluctuating, Z ≥ 1 erratic) + per-class rollup —
+    // the second axis of the ABC×XYZ inventory-policy grid
+    // (etl_abc_class ranks by value; XYZ says how FORECASTABLE each
+    // part is, and an A-Z part is the planner's nightmare quadrant).
+    // CV per part assembles from exact BIGINT monthly-quantity moments
+    // (Σq, Σq² over the bounded month domain) in one fixed expression;
+    // class compare is against exact-integer-derived doubles; bounded
+    // 3-row rollup.
+    Q("etl_xyz_class",
+      """WITH m AS (
+        |  SELECT l_partkey,
+        |         CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mo,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2
+        |), p AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS d,
+        |         CAST(sum(q) AS BIGINT) AS s,
+        |         CAST(sum(q * q) AS BIGINT) AS qq
+        |  FROM m GROUP BY l_partkey
+        |), c AS (
+        |  SELECT l_partkey, d, s,
+        |         CASE WHEN d < 2 OR s = 0 THEN 'Z'
+        |              WHEN sqrt((CAST(qq AS DOUBLE) * d
+        |                         - CAST(s AS DOUBLE) * s)
+        |                        / (CAST(d AS DOUBLE) * (d - 1)))
+        |                   / (CAST(s AS DOUBLE) / d) < 0.5 THEN 'X'
+        |              WHEN sqrt((CAST(qq AS DOUBLE) * d
+        |                         - CAST(s AS DOUBLE) * s)
+        |                        / (CAST(d AS DOUBLE) * (d - 1)))
+        |                   / (CAST(s AS DOUBLE) / d) < 1.0 THEN 'Y'
+        |              ELSE 'Z' END AS xyz
+        |  FROM p
+        |)
+        |SELECT xyz, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(sum(s) AS BIGINT) AS total_qty,
+        |       CAST(sum(d) AS BIGINT) AS part_months
+        |FROM c GROUP BY xyz ORDER BY xyz""".stripMargin) { (s, d) =>
+      val m = Tables(s, d, "lineitem")
+        .groupBy(col("l_partkey"),
+          date_trunc("month", col("l_shipdate")).as("mo"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      val p = m.groupBy("l_partkey")
+        .agg(count(lit(1)).as("d"), sum(col("q")).as("s"),
+          sum(col("q") * col("q")).as("qq"))
+      val cv = sqrt((col("qq").cast("double") * col("d")
+        - col("s").cast("double") * col("s"))
+        / (col("d").cast("double") * (col("d") - 1)))
+        ./(col("s").cast("double") / col("d"))
+      val c = p.select(col("l_partkey"), col("d"), col("s"),
+        when(col("d") < 2 || col("s") === 0, "Z")
+          .when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").as("xyz"))
+      c.groupBy("xyz")
+        .agg(count(lit(1)).as("n_parts"), sum(col("s")).as("total_qty"),
+          sum(col("d")).as("part_months"))
+        .orderBy("xyz")
+    },
+
+    // Month-end revenue lift (round 13, cont.): share of each month's
+    // revenue landing in the last 3 calendar days vs the uniform
+    // expectation 3/days_in_month — the billing-cycle/quota-push
+    // detector (a lift ≫ 1 means month-end stuffing; finance recognizes
+    // it before auditors do). Exact cents; day-of-month arithmetic on
+    // both engines' last_day(); one display division pair per month.
+    Q("etl_month_end_lift",
+      """WITH o AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         CASE WHEN CAST(o_orderdate AS DATE)
+        |                   > last_day(CAST(o_orderdate AS DATE)) - 3
+        |              THEN 1 ELSE 0 END AS is_tail,
+        |         CAST(day(last_day(CAST(o_orderdate AS DATE))) AS BIGINT)
+        |           AS dim
+        |  FROM orders
+        |)
+        |SELECT mo, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS month_cents,
+        |       CAST(sum(CASE WHEN is_tail = 1 THEN cents ELSE 0 END)
+        |            AS BIGINT) AS tail_cents,
+        |       round(CAST(sum(CASE WHEN is_tail = 1 THEN cents ELSE 0 END)
+        |                  AS DOUBLE) / sum(cents), 6) AS tail_share,
+        |       floor(CAST(sum(CASE WHEN is_tail = 1 THEN cents ELSE 0 END)
+        |                  AS DOUBLE) / sum(cents)
+        |             / (3.0 / max(dim)) * 1000000) / 1000000 AS lift
+        |FROM o GROUP BY mo ORDER BY mo""".stripMargin) { (s, d) =>
+      val o = orders(s, d).select(
+        date_trunc("month", col("o_orderdate")).as("mo"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderdate").cast("date") >
+          date_sub(last_day(col("o_orderdate").cast("date")), 3), 1)
+          .otherwise(0).as("is_tail"),
+        dayofmonth(last_day(col("o_orderdate").cast("date"))).cast("long")
+          .as("dim"))
+      val tail = sum(when(col("is_tail") === 1, col("cents")).otherwise(0L))
+      o.groupBy("mo")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("month_cents"),
+          tail.as("tail_cents"),
+          round(tail.cast("double") / sum(col("cents")), 6).as("tail_share"),
+          (floor(tail.cast("double") / sum(col("cents"))
+            / (lit(3.0) / max(col("dim"))) * 1000000) / 1000000).as("lift"))
+        .orderBy("mo")
     }
   ) :+ resampleQ
 
