@@ -5569,6 +5569,56 @@ object Aggregates {
         .orderBy("digit")
     },
 
+    // FK fanout profile (round 13, cont.): children-per-parent
+    // distribution for the two fact edges (orders/customer,
+    // lineitem/orders) — the join-planning companion to dq_orphans'
+    // existence check: the max and p95 fanout are what decide whether a
+    // key needs salting (operators/Skew.scala) and what AQE's skew
+    // thresholds will see; a platform that reads this table before
+    // writing the join avoids the one-hot-key straggler. Counts exact;
+    // min/max exact integers; mean one display division; p95 via the
+    // pinned interpolated percentile pair on exact counts.
+    Q("dq_fk_fanout",
+      """SELECT edge, n_parents, n_children, min_fanout, max_fanout,
+        |       round(CAST(n_children AS DOUBLE) / n_parents, 4)
+        |         AS mean_fanout,
+        |       round(p95, 4) AS p95_fanout
+        |FROM (
+        |  SELECT 'orders_per_customer' AS edge,
+        |         CAST(count(*) AS BIGINT) AS n_parents,
+        |         CAST(sum(n) AS BIGINT) AS n_children,
+        |         CAST(min(n) AS BIGINT) AS min_fanout,
+        |         CAST(max(n) AS BIGINT) AS max_fanout,
+        |         quantile_cont(CAST(n AS DOUBLE), 0.95) AS p95
+        |  FROM (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        |        FROM orders GROUP BY o_custkey)
+        |  UNION ALL
+        |  SELECT 'lineitems_per_order',
+        |         CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+        |         CAST(min(n) AS BIGINT), CAST(max(n) AS BIGINT),
+        |         quantile_cont(CAST(n AS DOUBLE), 0.95)
+        |  FROM (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+        |        FROM lineitem GROUP BY l_orderkey)
+        |)
+        |ORDER BY edge""".stripMargin) { (s, d) =>
+      def fanout(name: String, df: DataFrame, key: String): DataFrame =
+        df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_parents"), sum(col("n")).as("n_children"),
+            min(col("n")).as("min_fanout"), max(col("n")).as("max_fanout"),
+            percentile(col("n").cast("double"), lit(0.95)).as("p95"))
+          .select(lit(name).as("edge"), col("n_parents"), col("n_children"),
+            col("min_fanout"), col("max_fanout"), col("p95"))
+      fanout("orders_per_customer", t(s, d, "orders"), "o_custkey")
+        .unionByName(
+          fanout("lineitems_per_order", t(s, d, "lineitem"), "l_orderkey"))
+        .select(col("edge"), col("n_parents"), col("n_children"),
+          col("min_fanout"), col("max_fanout"),
+          round(col("n_children").cast("double") / col("n_parents"), 4)
+            .as("mean_fanout"),
+          round(col("p95"), 4).as("p95_fanout"))
+        .orderBy("edge")
+    },
+
     // Referential-integrity orphan audit (round 13, cont.): per FK edge
     // of the schema, how many child rows reference a missing parent —
     // the structural companion to dq_reconciliation's amount check (a

@@ -8075,6 +8075,39 @@ object Llm {
             * 1000000) / 1000000).as("kendall_tau"))
     },
 
+    // Per-source token-length quantiles (round 13, cont.): p10/p50/p90
+    // of document token counts by source — the curation readout that
+    // decides per-source chunking and length-filter policy (a global
+    // histogram — llm_token_len_hist — hides that one feed is all
+    // tweets and another all books; the same length filter cannot
+    // serve both). Token counts exact integers; quantiles via the
+    // pinned interpolated percentile pair; bounded per-source report.
+    Q("llm_len_quantiles_source",
+      """WITH n AS (
+        |  SELECT source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tn
+        |  FROM documents
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(min(tn) AS BIGINT) AS min_tokens,
+        |       round(quantile_cont(CAST(tn AS DOUBLE), 0.1), 4) AS p10,
+        |       round(quantile_cont(CAST(tn AS DOUBLE), 0.5), 4) AS p50,
+        |       round(quantile_cont(CAST(tn AS DOUBLE), 0.9), 4) AS p90,
+        |       CAST(max(tn) AS BIGINT) AS max_tokens
+        |FROM n GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("tn"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("tn")).as("min_tokens"),
+          round(percentile(col("tn").cast("double"), lit(0.1)), 4).as("p10"),
+          round(percentile(col("tn").cast("double"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("tn").cast("double"), lit(0.9)), 4).as("p90"),
+          max(col("tn")).as("max_tokens"))
+        .orderBy("source")
+    },
+
     // Multimodal column plumbing: binary payload + mime + typed metadata
     // carried through ops. The decode step is a clearly-marked deterministic
     // STUB (this container has no image/audio codecs); schema, partitioning

@@ -67,6 +67,35 @@ object Scalars {
         .orderBy("s_suppkey")
     },
 
+    // Calendar month arithmetic panel (round 13, cont.): add-months
+    // with END-OF-MONTH CLAMPING (Jan 31 + 1 month = Feb 28/29 — both
+    // engines clamp rather than overflow) and the integer month index
+    // y·12+m — the portable month-diff spelling (Spark has no integer
+    // month datediff; DuckDB's date_diff counts boundary crossings —
+    // y·12+m subtraction is the one form both engines compute
+    // identically from date parts). Bounded first-200-orders frame.
+    Q("fn_month_arith",
+      """SELECT o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS d0,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+        |         AS plus1m,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+        |         AS plus3m,
+        |       CAST(year(o_orderdate) * 12 + month(o_orderdate)
+        |            - (1992 * 12 + 1) AS BIGINT) AS month_index
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin) {
+      (s, d) =>
+      graft.Tables(s, d, "orders")
+        .where(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d0"),
+          add_months(col("o_orderdate").cast("date"), 1).as("plus1m"),
+          add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
+            - lit(1992 * 12 + 1)).cast("long").as("month_index"))
+        .orderBy("o_orderkey")
+    },
+
     // R6 app-version-style string parsing + general string ops. The split
     // result is re-joined with ',' in the DECLARED output (and
     // array_to_string in the oracle) because the driver's pandas comparator
