@@ -5619,6 +5619,79 @@ object Aggregates {
         .orderBy("edge")
     },
 
+    // Empirical tail dependence (round 13, cont.): λ_U = P(X>q90_X |
+    // Y>q90_Y) and λ_L for the lower tail, between the view and
+    // purchase daily closes joined by day — the co-movement readout
+    // correlation can't give (two series can be 0.3-correlated in the
+    // body yet crash TOGETHER; λ is what portfolio/capacity risk
+    // actually cares about). Thresholds via the pinned interpolated
+    // percentile pair; all exceedance counts exact BIGINT; two display
+    // divisions.
+    Q("agg_tail_dependence",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), j AS (
+        |  SELECT a.day, a.cl AS x, b.cl AS y
+        |  FROM o a JOIN o b ON a.day = b.day
+        |  WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+        |), q AS (
+        |  SELECT quantile_cont(CAST(x AS DOUBLE), 0.9) AS qxu,
+        |         quantile_cont(CAST(y AS DOUBLE), 0.9) AS qyu,
+        |         quantile_cont(CAST(x AS DOUBLE), 0.1) AS qxl,
+        |         quantile_cont(CAST(y AS DOUBLE), 0.1) AS qyl
+        |  FROM j
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(CASE WHEN y > qyu THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_y_upper,
+        |       round(CAST(sum(CASE WHEN x > qxu AND y > qyu
+        |                          THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / nullif(sum(CASE WHEN y > qyu THEN 1 ELSE 0 END), 0),
+        |             6) AS lambda_upper,
+        |       round(CAST(sum(CASE WHEN x < qxl AND y < qyl
+        |                          THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / nullif(sum(CASE WHEN y < qyl THEN 1 ELSE 0 END), 0),
+        |             6) AS lambda_lower
+        |FROM j CROSS JOIN q""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(when(col("rn_d") === 1, col("c"))).as("cl"))
+      val j = o.as("a").join(o.as("b"), col("a.day") === col("b.day"))
+        .where(col("a.event_type") === "view" &&
+          col("b.event_type") === "purchase")
+        .select(col("a.day").as("day"), col("a.cl").as("x"),
+          col("b.cl").as("y"))
+      val q = j.agg(
+        percentile(col("x").cast("double"), lit(0.9)).as("qxu"),
+        percentile(col("y").cast("double"), lit(0.9)).as("qyu"),
+        percentile(col("x").cast("double"), lit(0.1)).as("qxl"),
+        percentile(col("y").cast("double"), lit(0.1)).as("qyl"))
+      val yu = sum(when(col("y") > col("qyu"), 1L).otherwise(0L))
+      val yl = sum(when(col("y") < col("qyl"), 1L).otherwise(0L))
+      j.crossJoin(broadcast(q))
+        .agg(count(lit(1)).as("n_days"), yu.as("n_y_upper"),
+          round(sum(when(col("x") > col("qxu") && col("y") > col("qyu"), 1L)
+            .otherwise(0L)).cast("double") / nullif(yu, lit(0L)), 6)
+            .as("lambda_upper"),
+          round(sum(when(col("x") < col("qxl") && col("y") < col("qyl"), 1L)
+            .otherwise(0L)).cast("double") / nullif(yl, lit(0L)), 6)
+            .as("lambda_lower"))
+    },
+
     // Referential-integrity orphan audit (round 13, cont.): per FK edge
     // of the schema, how many child rows reference a missing parent —
     // the structural companion to dq_reconciliation's amount check (a

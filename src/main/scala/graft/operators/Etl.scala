@@ -4041,6 +4041,59 @@ object Etl {
           (floor(tail.cast("double") / sum(col("cents"))
             / (lit(3.0) / max(col("dim"))) * 1000000) / 1000000).as("lift"))
         .orderBy("mo")
+    },
+
+    // Open-order backlog curve (round 13, cont.): per day, orders
+    // placed, orders fully shipped, and the running count still open —
+    // the WIP/backlog operator, computed as a SWEEP LINE: each order
+    // contributes a +1 event at its order day and a −1 the day after
+    // its LAST line ships, and the backlog is one cumulative sum over
+    // the bounded day domain — never a day×open-orders join (the naive
+    // "count orders where od ≤ day < close" is quadratic in the
+    // window). Orders with no lineitems are excluded (they never
+    // close — pinned rule). Exact integer deltas; the cumulative
+    // window rides the ~2.4k-row day dimension.
+    Q("etl_open_orders_curve",
+      """WITH c AS (
+        |  SELECT o_orderkey,
+        |         CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS od,
+        |         CAST(date_trunc('day', max(l_shipdate)) AS TIMESTAMP) AS sd
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2
+        |), ev AS (
+        |  SELECT od AS day, CAST(1 AS BIGINT) AS opened,
+        |         CAST(0 AS BIGINT) AS closed
+        |  FROM c
+        |  UNION ALL
+        |  SELECT sd + INTERVAL 1 DAY, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+        |  FROM c
+        |), daily AS (
+        |  SELECT day, CAST(sum(opened) AS BIGINT) AS opened,
+        |         CAST(sum(closed) AS BIGINT) AS closed
+        |  FROM ev GROUP BY day
+        |)
+        |SELECT day, opened, closed,
+        |       CAST(sum(opened - closed) OVER (ORDER BY day
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_backlog
+        |FROM daily ORDER BY day""".stripMargin) { (s, d) =>
+      val c = orders(s, d)
+        .join(Tables(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"),
+          date_trunc("day", col("o_orderdate")).as("od"))
+        .agg(date_trunc("day", max(col("l_shipdate"))).as("sd"))
+      val ev = c.select(col("od").as("day"), lit(1L).as("opened"),
+          lit(0L).as("closed"))
+        .unionByName(c.select(
+          (col("sd") + expr("INTERVAL 1 DAY")).as("day"),
+          lit(0L).as("opened"), lit(1L).as("closed")))
+      val daily = ev.groupBy("day")
+        .agg(sum(col("opened")).as("opened"), sum(col("closed")).as("closed"))
+      val cum = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(col("day"), col("opened"), col("closed"),
+          sum(col("opened") - col("closed")).over(cum).as("open_backlog"))
+        .orderBy("day")
     }
   ) :+ resampleQ
 

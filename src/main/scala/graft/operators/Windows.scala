@@ -2135,6 +2135,100 @@ object Windows {
         .orderBy("event_type", "day", "kind")
     },
 
+    // Range-based volatility estimators (round 13, cont.): 14-day
+    // Parkinson (high/low only) and Garman-Klass (adds the close-to-
+    // open term; prev close proxies the open, the win_dmi_adx
+    // convention) — the OHLC volatility family that converges ~5-7×
+    // faster than close-to-close stdev because it uses the WHOLE daily
+    // range, the difference between "volatile day" and "trended day".
+    // Per-day terms are one fixed float expression on exact cent ratios
+    // quantized to 1e-12 integers (ulcer doctrine) so the window sums
+    // are exact BIGINT; one sqrt per output column; GK's occasionally
+    // negative day terms are kept (the estimator's definition), the
+    // window sum clamps at 0 before the sqrt — pinned identically.
+    // Zero-cent days (the fixture's value floor rounds to 0 cents at
+    // sf0.1) cannot support log-range terms — such days are NULLed out
+    // and the complete-window count skips them, same rule both engines.
+    Q("win_range_volatility",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(c) AS BIGINT) AS h, CAST(min(c) AS BIGINT) AS l,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), tq AS (
+        |  SELECT event_type, day,
+        |         CASE WHEN l > 0 AND cl > 0 AND lag(cl) OVER w > 0 THEN
+        |         CAST(round(ln(CAST(h AS DOUBLE) / l)
+        |                    * ln(CAST(h AS DOUBLE) / l)
+        |                    / (4 * ln(2.0)) * 1000000000000) AS BIGINT)
+        |         END AS pk12,
+        |         CASE WHEN l > 0 AND cl > 0 AND lag(cl) OVER w > 0 THEN
+        |         CAST(round((0.5 * ln(CAST(h AS DOUBLE) / l)
+        |                         * ln(CAST(h AS DOUBLE) / l)
+        |                     - (2 * ln(2.0) - 1)
+        |                       * ln(CAST(cl AS DOUBLE) / lag(cl) OVER w)
+        |                       * ln(CAST(cl AS DOUBLE) / lag(cl) OVER w))
+        |                    * 1000000000000) AS BIGINT)
+        |         END AS gk12
+        |  FROM o WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |), s AS (
+        |  SELECT event_type, day,
+        |         CAST(sum(pk12) OVER w14 AS BIGINT) AS sp,
+        |         CAST(sum(gk12) OVER w14 AS BIGINT) AS sg,
+        |         CAST(count(gk12) OVER w14 AS BIGINT) AS k
+        |  FROM tq WHERE gk12 IS NOT NULL
+        |  WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |       floor(sqrt(CAST(sp AS DOUBLE) / 14 / 1000000000000)
+        |             * 1000000) / 1000000 AS parkinson14,
+        |       floor(sqrt(greatest(CAST(sg AS DOUBLE), 0) / 14
+        |                  / 1000000000000) * 1000000) / 1000000
+        |         AS garman_klass14
+        |FROM s WHERE k = 14
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(col("c")).as("h"), min(col("c")).as("l"),
+          max(when(col("rn_d") === 1, col("c"))).as("cl"))
+      val wl = Window.partitionBy("event_type").orderBy("day")
+      val w14 = wl.rowsBetween(-13, Window.currentRow)
+      val lnHL = log(col("h").cast("double") / col("l"))
+      val lnCO = log(col("cl").cast("double") / lag(col("cl"), 1).over(wl))
+      val ok = col("l") > 0 && col("cl") > 0 && lag(col("cl"), 1).over(wl) > 0
+      val tq = o.select(col("event_type"), col("day"),
+        when(ok, round(lnHL * lnHL / (lit(4) * log(lit(2.0)))
+          * 1000000000000L).cast("long")).as("pk12"),
+        when(ok, round((lit(0.5) * lnHL * lnHL
+          - (lit(2) * log(lit(2.0)) - 1) * lnCO * lnCO) * 1000000000000L)
+          .cast("long")).as("gk12"))
+      tq.where(col("gk12").isNotNull)
+        .select(col("event_type"), col("day"),
+          sum(col("pk12")).over(w14).as("sp"),
+          sum(col("gk12")).over(w14).as("sg"),
+          count(col("gk12")).over(w14).as("k"))
+        .where(col("k") === 14)
+        .select(col("event_type"), col("day"),
+          (floor(sqrt(col("sp").cast("double") / 14 / 1000000000000L)
+            * 1000000) / 1000000).as("parkinson14"),
+          (floor(sqrt(greatest(col("sg").cast("double"), lit(0.0)) / 14
+            / 1000000000000L) * 1000000) / 1000000).as("garman_klass14"))
+        .orderBy("event_type", "day")
+    },
+
     // DMI / ADX (round 13, cont.; Wilder 1978, simple-average form like
     // win_rsi/win_atr): directional movement +DM/−DM gated by Wilder's
     // rule (only the LARGER of the two counts, and only if positive),
