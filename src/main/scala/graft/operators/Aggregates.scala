@@ -5692,6 +5692,67 @@ object Aggregates {
             .as("lambda_lower"))
     },
 
+    // Odds ratio / relative risk (round 13, cont.): the 2×2 exposure
+    // table "did the user click?" × "did they purchase?" — the
+    // epidemiology readouts product analytics reinvents (RR answers
+    // 'how much likelier', OR is what logistic models estimate; they
+    // diverge exactly when the outcome is common — reading OR as RR
+    // then overstates the effect). All four cells exact BIGINT from ONE
+    // user-level aggregate; OR/RR are single float expressions of exact
+    // integers, FLOOR-scaled, degenerate cells → NULL via nullif.
+    Q("agg_odds_ratio",
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |           AS clicked,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS purchased
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        |), c AS (
+        |  SELECT CAST(sum(CASE WHEN clicked = 1 AND purchased = 1
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |         CAST(sum(CASE WHEN clicked = 1 AND purchased = 0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |         CAST(sum(CASE WHEN clicked = 0 AND purchased = 1
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |         CAST(sum(CASE WHEN clicked = 0 AND purchased = 0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM u
+        |)
+        |SELECT a AS n_click_buy, b AS n_click_nobuy,
+        |       c AS n_noclick_buy, d AS n_noclick_nobuy,
+        |       floor(CAST(a AS DOUBLE) * d / nullif(CAST(b AS DOUBLE) * c, 0)
+        |             * 1000000) / 1000000 AS odds_ratio,
+        |       floor((CAST(a AS DOUBLE) / nullif(a + b, 0))
+        |             / nullif(CAST(c AS DOUBLE) / nullif(c + d, 0), 0)
+        |             * 1000000) / 1000000 AS relative_risk
+        |FROM c""".stripMargin) { (s, d) =>
+      val u = t(s, d, "events")
+        .where(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "click", 1).otherwise(0))
+          .as("clicked"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("purchased"))
+      val c = u.agg(
+        sum(when(col("clicked") === 1 && col("purchased") === 1, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("clicked") === 1 && col("purchased") === 0, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("clicked") === 0 && col("purchased") === 1, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("clicked") === 0 && col("purchased") === 0, 1L)
+          .otherwise(0L)).as("d"))
+      c.select(col("a").as("n_click_buy"), col("b").as("n_click_nobuy"),
+        col("c").as("n_noclick_buy"), col("d").as("n_noclick_nobuy"),
+        (floor(col("a").cast("double") * col("d")
+          / nullif(col("b").cast("double") * col("c"), lit(0.0)) * 1000000)
+          / 1000000).as("odds_ratio"),
+        (floor((col("a").cast("double") / nullif(col("a") + col("b"), lit(0L)))
+          / nullif(col("c").cast("double") / nullif(col("c") + col("d"),
+            lit(0L)), lit(0.0)) * 1000000) / 1000000).as("relative_risk"))
+    },
+
     // Referential-integrity orphan audit (round 13, cont.): per FK edge
     // of the schema, how many child rows reference a missing parent —
     // the structural companion to dq_reconciliation's amount check (a

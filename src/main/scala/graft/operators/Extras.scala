@@ -775,6 +775,87 @@ object Extras {
             / col("n_wedges") * 1000000) / 1000000).as("transitivity"))
     },
 
+    // 4-truss edge peeling, 3 unrolled rounds (round 13, cont.; Cohen
+    // 2008): repeatedly drop edges in fewer than 2 triangles — the
+    // EDGE-level cohesion filter between triangle counting and
+    // community detection (a k-core keeps hub STARS; a truss keeps only
+    // edges embedded in mutual triangles — the skeleton communities
+    // actually live on). Fixed 3 peel rounds on the bounded Jan-1997
+    // co-order graph (the graph_harmonic month slice), each ONE
+    // common-neighbor equi-join + left-join filter — no iteration state
+    // beyond the edge frame; exact integer supports; per-round
+    // edge/drop counts reported.
+    Q("graph_truss_peel", {
+      def round(r: Int) =
+        s"""s$r AS (
+           |  SELECT a, b FROM e${r - 1}
+           |  UNION ALL SELECT b AS a, a AS b FROM e${r - 1}
+           |), sup$r AS (
+           |  SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS cn
+           |  FROM e${r - 1} e
+           |  JOIN s$r x ON x.a = e.a
+           |  JOIN s$r y ON y.a = e.b AND y.b = x.b
+           |  GROUP BY e.a, e.b
+           |), e$r AS (
+           |  SELECT e.a, e.b FROM e${r - 1} e
+           |  LEFT JOIN sup$r s ON s.a = e.a AND s.b = e.b
+           |  WHERE coalesce(s.cn, 0) >= 2
+           |)""".stripMargin
+      s"""WITH lp AS (
+         |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |    AND o_orderdate < TIMESTAMP '1997-02-01'
+         |), e0 AS (
+         |  SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+         |),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT CAST(1 AS BIGINT) AS peel_round,
+         |       CAST((SELECT count(*) FROM e1) AS BIGINT) AS n_edges,
+         |       CAST((SELECT count(*) FROM e0)
+         |            - (SELECT count(*) FROM e1) AS BIGINT) AS n_dropped
+         |UNION ALL
+         |SELECT 2, CAST((SELECT count(*) FROM e2) AS BIGINT),
+         |       CAST((SELECT count(*) FROM e1)
+         |            - (SELECT count(*) FROM e2) AS BIGINT)
+         |UNION ALL
+         |SELECT 3, CAST((SELECT count(*) FROM e3) AS BIGINT),
+         |       CAST((SELECT count(*) FROM e2)
+         |            - (SELECT count(*) FROM e3) AS BIGINT)
+         |ORDER BY peel_round""".stripMargin
+    }) { (s, d) =>
+      var e = coOrderEdges(s, d, "1997-01-01", "1997-02-01")
+        .localCheckpoint()
+      var prev = e.count()
+      val out = (1 to 3).map { r =>
+        val sym = e.select(col("a"), col("b"))
+          .unionAll(e.select(col("b").as("a"), col("a").as("b")))
+        val sup = e
+          .join(sym.select(col("a").as("xa"), col("b").as("xb")),
+            col("xa") === col("a"))
+          .join(sym.select(col("a").as("ya"), col("b").as("yb")),
+            col("ya") === col("b") && col("yb") === col("xb"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("cn"))
+        e = e.join(sup.select(col("a").as("sa"), col("b").as("sb"),
+            col("cn")),
+            col("a") === col("sa") && col("b") === col("sb"), "left")
+          .where(coalesce(col("cn"), lit(0L)) >= 2)
+          .select(col("a"), col("b"))
+          .localCheckpoint()
+        val n = e.count()
+        val row = (r.toLong, n, prev - n)
+        prev = n
+        row
+      }
+      import s.implicits._
+      out.toDF("peel_round", "n_edges", "n_dropped")
+        .orderBy("peel_round")
+    },
+
     // Per-node LOCAL clustering coefficient (round 7, cont.): for the
     // top-20 highest-degree parts, C(v) = triangles-through-v /
     // C(deg(v), 2) — "is this hub a community core or a pass-through

@@ -2135,6 +2135,68 @@ object Windows {
         .orderBy("event_type", "day", "kind")
     },
 
+    // Accumulation/Distribution line (round 13, cont.; Chaikin): ADL =
+    // running Σ of CLV·volume where CLV = ((cl−l)−(h−cl))/(h−l) locates
+    // the close inside the day's range — the flow indicator reading
+    // WHERE in the range the money settled (win_obv only reads the
+    // close-to-close SIGN; a down-close near the day's high is
+    // accumulation OBV miscounts). Daily event count is the volume
+    // proxy (win_mfi convention). CLV·volume quantizes per day to 1e-6
+    // integers (one fixed expression on exact cents — ulcer doctrine)
+    // so the running sum is an exact BIGINT; flat days (h = l)
+    // contribute zero — pinned identically.
+    Q("win_adl",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(c) AS BIGINT) AS h, CAST(min(c) AS BIGINT) AS l,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl,
+        |         CAST(count(*) AS BIGINT) AS vol
+        |  FROM v GROUP BY event_type, day
+        |), f AS (
+        |  SELECT event_type, day,
+        |         CASE WHEN h = l THEN CAST(0 AS BIGINT)
+        |              ELSE CAST(round(CAST((cl - l) - (h - cl) AS DOUBLE)
+        |                              / (h - l) * vol * 1000000) AS BIGINT)
+        |         END AS mf6
+        |  FROM o
+        |)
+        |SELECT event_type, day,
+        |       round(CAST(mf6 AS DOUBLE) / 1000000, 4) AS money_flow,
+        |       round(CAST(sum(mf6) OVER (PARTITION BY event_type
+        |                ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |             / 1000000, 4) AS adl
+        |FROM f ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(col("c")).as("h"), min(col("c")).as("l"),
+          max(when(col("rn_d") === 1, col("c"))).as("cl"),
+          count(lit(1)).as("vol"))
+      val f = o.select(col("event_type"), col("day"),
+        when(col("h") === col("l"), lit(0L))
+          .otherwise(round(((col("cl") - col("l")) - (col("h") - col("cl")))
+            .cast("double") / (col("h") - col("l")) * col("vol") * 1000000)
+            .cast("long")).as("mf6"))
+      val cum = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      f.select(col("event_type"), col("day"),
+          round(col("mf6").cast("double") / 1000000, 4).as("money_flow"),
+          round(sum(col("mf6")).over(cum).cast("double") / 1000000, 4)
+            .as("adl"))
+        .orderBy("event_type", "day")
+    },
+
     // Range-based volatility estimators (round 13, cont.): 14-day
     // Parkinson (high/low only) and Garman-Klass (adds the close-to-
     // open term; prev close proxies the open, the win_dmi_adx
