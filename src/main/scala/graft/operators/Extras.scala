@@ -775,6 +775,73 @@ object Extras {
             / col("n_wedges") * 1000000) / 1000000).as("transitivity"))
     },
 
+    // Bipartite graph profile (round 13, cont.): the customer↔supplier
+    // trade graph's one-screen profile — side cardinalities, edge
+    // count, density E/(L·R), and a degree Gini PER SIDE (how
+    // concentrated is each side's participation — a high supplier-side
+    // Gini means a few suppliers carry the trade network; the input to
+    // choosing the skew strategy before any graph_* algorithm runs).
+    // Edges = one fact join reduced to DISTINCT pairs map-side; Ginis
+    // use the exact rank identity (agg_gini doctrine) over
+    // DIMENSION-sized per-side degree frames (the fence); all counts
+    // exact, FLOOR-scaled displays.
+    Q("graph_bipartite_stats",
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), dl AS (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY c
+        |), dr AS (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY s
+        |), gl AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(deg) AS BIGINT) AS t,
+        |         CAST(sum(i * deg) AS BIGINT) AS w
+        |  FROM (SELECT deg, CAST(row_number() OVER (ORDER BY deg, c)
+        |                         AS BIGINT) AS i FROM dl)
+        |), gr AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(deg) AS BIGINT) AS t,
+        |         CAST(sum(i * deg) AS BIGINT) AS w
+        |  FROM (SELECT deg, CAST(row_number() OVER (ORDER BY deg, s)
+        |                         AS BIGINT) AS i FROM dr)
+        |)
+        |SELECT gl.n AS n_customers, gr.n AS n_suppliers,
+        |       gl.t AS n_edges,
+        |       floor(CAST(gl.t AS DOUBLE) / gl.n / gr.n * 1000000)
+        |         / 1000000 AS density,
+        |       floor((2.0 * gl.w / (CAST(gl.n AS DOUBLE) * gl.t)
+        |              - (CAST(gl.n AS DOUBLE) + 1.0) / gl.n) * 1000000)
+        |         / 1000000 AS gini_customer_deg,
+        |       floor((2.0 * gr.w / (CAST(gr.n AS DOUBLE) * gr.t)
+        |              - (CAST(gr.n AS DOUBLE) + 1.0) / gr.n) * 1000000)
+        |         / 1000000 AS gini_supplier_deg
+        |FROM gl CROSS JOIN gr""".stripMargin) { (s, d) =>
+      val e = Tables(s, d, "orders")
+        .join(Tables(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct().localCheckpoint()
+      def gini(df: DataFrame, key: String): DataFrame = {
+        val deg = df.groupBy(col(key)).agg(count(lit(1)).as("deg"))
+        deg.withColumn("i", row_number().over(
+            Window.orderBy(col("deg"), col(key))).cast("long"))
+          .agg(count(lit(1)).as("n"), sum(col("deg")).as("t"),
+            sum(col("i") * col("deg")).as("w"))
+      }
+      val gl = gini(e, "c")
+      val gr = gini(e, "s")
+        .select(col("n").as("n2"), col("t").as("t2"), col("w").as("w2"))
+      def g(n: Column, t: Column, w: Column) =
+        floor((lit(2.0) * w / (n.cast("double") * t)
+          - (n.cast("double") + lit(1.0)) / n) * 1000000) / 1000000
+      gl.crossJoin(gr)
+        .select(col("n").as("n_customers"), col("n2").as("n_suppliers"),
+          col("t").as("n_edges"),
+          (floor(col("t").cast("double") / col("n") / col("n2") * 1000000)
+            / 1000000).as("density"),
+          g(col("n"), col("t"), col("w")).as("gini_customer_deg"),
+          g(col("n2"), col("t2"), col("w2")).as("gini_supplier_deg"))
+    },
+
     // 4-truss edge peeling, 3 unrolled rounds (round 13, cont.; Cohen
     // 2008): repeatedly drop edges in fewer than 2 triangles — the
     // EDGE-level cohesion filter between triangle counting and

@@ -8108,6 +8108,58 @@ object Llm {
         .orderBy("source")
     },
 
+    // Term burstiness (round 13, cont.; Church & Gale 1995): for the
+    // top-20 corpus words, the variance-to-mean ratio of their per-doc
+    // term frequency — the topicality separator (function words spread
+    // evenly, VMR≈1-2; topical words clump into the few docs about
+    // that topic, VMR≫1) that a stopword list derived from raw
+    // frequency alone gets wrong. Per-word moments (Σtf, Σtf²) are
+    // exact BIGINT over the doc dimension — zero-occurrence docs enter
+    // via the closed form (they add n−df zeros: only the doc COUNT is
+    // needed, never a dense join); the top-20 cut orders by (cf DESC,
+    // word); one float expression per word row.
+    Q("llm_term_burstiness",
+      """WITH tf AS (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) GROUP BY 1, 2
+        |), nd AS (
+        |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf
+        |), wm AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS df,
+        |         CAST(sum(c) AS BIGINT) AS s,
+        |         CAST(sum(c * c) AS BIGINT) AS q
+        |  FROM tf GROUP BY w
+        |), top AS (
+        |  SELECT w, df, s, q FROM wm ORDER BY s DESC, w LIMIT 20
+        |)
+        |SELECT w AS word, df AS n_docs_with, s AS corpus_freq,
+        |       floor(CAST(s AS DOUBLE) / n * 10000) / 10000 AS mean_tf,
+        |       floor((CAST(q AS DOUBLE) * n - CAST(s AS DOUBLE) * s)
+        |             / (CAST(n AS DOUBLE) * (n - 1)) * n / s * 1000000)
+        |         / 1000000 AS burstiness
+        |FROM top CROSS JOIN nd
+        |ORDER BY corpus_freq DESC, word""".stripMargin) { (s, d) =>
+      val tf = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val nd = tf.agg(countDistinct(col("doc_id")).as("n"))
+      val wm = tf.groupBy("w")
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("q"))
+      val top = wm.orderBy(col("s").desc, col("w")).limit(20)
+      top.crossJoin(broadcast(nd))
+        .select(col("w").as("word"), col("df").as("n_docs_with"),
+          col("s").as("corpus_freq"),
+          (floor(col("s").cast("double") / col("n") * 10000) / 10000)
+            .as("mean_tf"),
+          (floor((col("q").cast("double") * col("n")
+            - col("s").cast("double") * col("s"))
+            / (col("n").cast("double") * (col("n") - 1)) * col("n")
+            / col("s") * 1000000) / 1000000).as("burstiness"))
+        .orderBy(col("corpus_freq").desc, col("word"))
+    },
+
     // Multimodal column plumbing: binary payload + mime + typed metadata
     // carried through ops. The decode step is a clearly-marked deterministic
     // STUB (this container has no image/audio codecs); schema, partitioning

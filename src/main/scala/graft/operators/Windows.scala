@@ -2135,6 +2135,75 @@ object Windows {
         .orderBy("event_type", "day", "kind")
     },
 
+    // Choppiness index (round 13, cont.; Dreiss): 100·log₁₀(ΣTR₁₄ /
+    // (hi₁₄−lo₁₄))/log₁₀(14) — is the market TRENDING (low: the path
+    // nearly equals the net range) or CHOPPING (high: the path folds
+    // back inside the range)? The regime filter that decides whether
+    // trend indicators (MACD/ADX) or mean-reversion ones (RSI bands)
+    // apply. Non-recursive: the true-range sum and the 14-day extrema
+    // are the audited exact-BIGINT machinery; ONE log expression per
+    // row; complete windows only, degenerate flat ranges NULL.
+    Q("win_choppiness",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(c) AS BIGINT) AS h, CAST(min(c) AS BIGINT) AS l,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl
+        |  FROM v GROUP BY event_type, day
+        |), tr AS (
+        |  SELECT event_type, day, h, l,
+        |         greatest(h - l,
+        |                  abs(h - lag(cl) OVER w), abs(l - lag(cl) OVER w))
+        |           AS t
+        |  FROM o WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |), s AS (
+        |  SELECT event_type, day,
+        |         CAST(sum(t) OVER w14 AS BIGINT) AS st,
+        |         CAST(max(h) OVER w14 - min(l) OVER w14 AS BIGINT) AS rng,
+        |         CAST(count(t) OVER w14 AS BIGINT) AS k
+        |  FROM tr WHERE t IS NOT NULL
+        |  WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |       floor(100 * log10(CAST(st AS DOUBLE) / nullif(rng, 0))
+        |             / log10(14.0) * 1000000) / 1000000 AS chop14
+        |FROM s WHERE k = 14
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(col("c")).as("h"), min(col("c")).as("l"),
+          max(when(col("rn_d") === 1, col("c"))).as("cl"))
+      val wl = Window.partitionBy("event_type").orderBy("day")
+      val w14 = wl.rowsBetween(-13, Window.currentRow)
+      o.select(col("event_type"), col("day"), col("h"), col("l"),
+          greatest(col("h") - col("l"),
+            abs(col("h") - lag(col("cl"), 1).over(wl)),
+            abs(col("l") - lag(col("cl"), 1).over(wl))).as("t"))
+        .where(col("t").isNotNull)
+        .select(col("event_type"), col("day"),
+          sum(col("t")).over(w14).as("st"),
+          (max(col("h")).over(w14) - min(col("l")).over(w14)).as("rng"),
+          count(col("t")).over(w14).as("k"))
+        .where(col("k") === 14)
+        .select(col("event_type"), col("day"),
+          (floor(lit(100) * log10(col("st").cast("double")
+            / nullif(col("rng"), lit(0L))) / log10(lit(14.0)) * 1000000)
+            / 1000000).as("chop14"))
+        .orderBy("event_type", "day")
+    },
+
     // Accumulation/Distribution line (round 13, cont.; Chaikin): ADL =
     // running Σ of CLV·volume where CLV = ((cl−l)−(h−cl))/(h−l) locates
     // the close inside the day's range — the flow indicator reading
