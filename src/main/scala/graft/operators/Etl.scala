@@ -4076,12 +4076,15 @@ object Etl {
         |       CAST(sum(opened - closed) OVER (ORDER BY day
         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_backlog
         |FROM daily ORDER BY day""".stripMargin) { (s, d) =>
+      // both ± event branches read c — checkpoint so the fact join runs
+      // once, not once per union branch (2 scans -> 1 at any SF)
       val c = orders(s, d)
         .join(Tables(s, d, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderkey"),
           date_trunc("day", col("o_orderdate")).as("od"))
         .agg(date_trunc("day", max(col("l_shipdate"))).as("sd"))
+        .localCheckpoint()
       val ev = c.select(col("od").as("day"), lit(1L).as("opened"),
           lit(0L).as("closed"))
         .unionByName(c.select(

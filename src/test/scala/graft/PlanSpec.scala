@@ -1181,6 +1181,51 @@ class PlanSpec extends AnyFunSuite {
   // jump ~10×), or whose any action exceeds an absolute 100k-row
   // tripwire. Empirical, so it catches what static inspection cannot:
   // a collect over a frame that LOOKS bounded but scales with the data.
+  test("llm_embedding_anisotropy: the identity plans ZERO joins and ZERO" +
+    " hash exchanges — one scan + one 65-column aggregate") {
+    val p = plan("llm_embedding_anisotropy")
+    assert("FileScan parquet".r.findAllIn(p).size == 1)
+    assert(!p.contains("Join"), s"pairwise-mean identity grew a join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      "anisotropy should aggregate without any hash exchange")
+  }
+
+  test("etl_skyline: dominance via two windows — no self-join, one brand" +
+    " exchange, one scan") {
+    val p = plan("etl_skyline")
+    assert("FileScan parquet".r.findAllIn(p).size == 1)
+    assert(!p.contains("Join"), s"skyline regressed to a dominance join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+  }
+
+  test("join_band: the band predicate rides ONE equi join — never a" +
+    " cartesian or nested-loop") {
+    val p = plan("join_band")
+    val equi = "SortMergeJoin".r.findAllIn(p).size +
+      "BroadcastHashJoin".r.findAllIn(p).size
+    assert(equi == 1, s"expected exactly one equi join, plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("llm_winnowing: selection is window-local — no cartesian, no" +
+    " nested-loop anywhere in the chain") {
+    val p = plan("llm_winnowing")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("etl_open_orders_curve: sweep-line — the fact join materializes" +
+    " once for both event branches") {
+    val p = plan("etl_open_orders_curve")
+    // both union branches read the checkpointed close-day frame; the
+    // orders/lineitem scans appear once, not once per branch
+    assert("FileScan parquet".r.findAllIn(p).isEmpty,
+      "expected the checkpointed frame to feed both branches " +
+        "(scans belong to the checkpoint, not this plan)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("r9 guard: no declared key collects an SF-growing frame to the driver") {
     import org.apache.spark.sql.execution.{QueryExecution, SparkPlan, WholeStageCodegenExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
