@@ -4097,6 +4097,56 @@ object Etl {
       daily.select(col("day"), col("opened"), col("closed"),
           sum(col("opened") - col("closed")).over(cum).as("open_backlog"))
         .orderBy("day")
+    },
+
+    // Open-order age snapshot (round 13, cont.): the orders still open
+    // AT a fixed snapshot date (1996-07-01), bucketed by age and order
+    // priority — the aging WIP view an ops review reads next to
+    // etl_open_orders_curve's time series (the curve says HOW MANY are
+    // open; the snapshot says HOW LONG they've been stuck and at what
+    // priority — a 180-day URGENT order is the escalation list). Open
+    // at snap ⇔ ordered on/before AND last line ships on/after; exact
+    // integer day ages and bucket cuts; bounded priority × 4-bucket
+    // report.
+    Q("etl_open_age_snapshot",
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(o_orderdate AS DATE) AS od,
+        |         CAST(max(l_shipdate) AS DATE) AS sd
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2, 3
+        |), open_o AS (
+        |  SELECT o_orderpriority,
+        |         date_diff('day', od, DATE '1996-07-01') AS age
+        |  FROM c WHERE od <= DATE '1996-07-01' AND sd >= DATE '1996-07-01'
+        |)
+        |SELECT o_orderpriority,
+        |       CASE WHEN age <= 30 THEN '0-30'
+        |            WHEN age <= 90 THEN '31-90'
+        |            WHEN age <= 180 THEN '91-180'
+        |            ELSE '180+' END AS age_bucket,
+        |       CAST(count(*) AS BIGINT) AS n_open,
+        |       CAST(max(age) AS BIGINT) AS max_age_days
+        |FROM open_o
+        |GROUP BY 1, 2 ORDER BY o_orderpriority, age_bucket""".stripMargin) {
+      (s, d) =>
+      val snap = lit("1996-07-01").cast("date")
+      val c = orders(s, d)
+        .join(Tables(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate").cast("date").as("od"))
+        .agg(max(col("l_shipdate")).cast("date").as("sd"))
+      val open = c.where(col("od") <= snap && col("sd") >= snap)
+        .select(col("o_orderpriority"), datediff(snap, col("od")).as("age"))
+      open.groupBy(col("o_orderpriority"),
+          when(col("age") <= 30, "0-30")
+            .when(col("age") <= 90, "31-90")
+            .when(col("age") <= 180, "91-180")
+            .otherwise("180+").as("age_bucket"))
+        .agg(count(lit(1)).as("n_open"),
+          max(col("age")).cast("long").as("max_age_days"))
+        .orderBy("o_orderpriority", "age_bucket")
     }
   ) :+ resampleQ
 

@@ -8160,6 +8160,67 @@ object Llm {
         .orderBy(col("corpus_freq").desc, col("word"))
     },
 
+    // Dedup content loss (round 13, cont.): which VOCABULARY vanishes if
+    // the near-dup prune drops every non-canonical cluster member —
+    // llm_dedup_savings prices the token savings; this prices the other
+    // side of the trade (words whose EVERY occurrence lives in pruned
+    // docs are gone from the training set entirely — near-dups are
+    // near, not identical, and the diff can carry unique terms).
+    // Rides the same verified-pair CC keeper rule (min doc id per
+    // cluster); per-word kept/total occurrence counts are exact BIGINT
+    // over the word dimension; bounded 1-row report.
+    Q("llm_dedup_content_loss",
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         |e0 AS (
+         |  SELECT d1, d2 FROM verified WHERE est_jaccard >= 0.2
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM e0 UNION ALL SELECT d2, d1 FROM e0
+         |), ${Components.reachMinCte("SELECT doc_id AS id FROM documents",
+        "edges")},
+         |keepf AS (
+         |  SELECT node AS doc_id, node = min(r) AS is_kept
+         |  FROM reach GROUP BY node
+         |), tfw AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents) GROUP BY 1, 2
+         |), wv AS (
+         |  SELECT w, CAST(sum(c) AS BIGINT) AS occ,
+         |         CAST(sum(CASE WHEN is_kept THEN c ELSE 0 END) AS BIGINT)
+         |           AS kept_occ
+         |  FROM tfw JOIN keepf USING (doc_id) GROUP BY w
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS vocab_total,
+         |       CAST(sum(CASE WHEN kept_occ = 0 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS vocab_lost,
+         |       round(CAST(sum(CASE WHEN kept_occ = 0 THEN 1 ELSE 0 END)
+         |                  AS DOUBLE) / count(*), 6) AS lost_vocab_share,
+         |       CAST(sum(CASE WHEN kept_occ = 0 THEN occ ELSE 0 END)
+         |            AS BIGINT) AS lost_occurrences,
+         |       CAST(sum(occ) AS BIGINT) AS total_occurrences
+         |FROM wv""".stripMargin) { (s, d) =>
+      val e0 = minhashVerifiedLake(s, d)
+        .where(col("est_jaccard") >= 0.2).select("d1", "d2")
+      val edges = symPairs(e0, "d1", "d2").persist()
+      val keepf = Components.connectedComponents(docs(s, d), "doc_id", edges)
+        .select(col("id").as("doc_id"),
+          (col("id") === col("lbl")).as("is_kept"))
+      val tfw = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val wv = tfw.join(keepf, Seq("doc_id"))
+        .groupBy("w")
+        .agg(sum(col("c")).as("occ"),
+          sum(when(col("is_kept"), col("c")).otherwise(0L)).as("kept_occ"))
+      wv.agg(count(lit(1)).as("vocab_total"),
+          sum(when(col("kept_occ") === 0, 1L).otherwise(0L)).as("vocab_lost"),
+          round(sum(when(col("kept_occ") === 0, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("lost_vocab_share"),
+          sum(when(col("kept_occ") === 0, col("occ")).otherwise(0L))
+            .as("lost_occurrences"),
+          sum(col("occ")).as("total_occurrences"))
+    },
+
     // Multimodal column plumbing: binary payload + mime + typed metadata
     // carried through ops. The decode step is a clearly-marked deterministic
     // STUB (this container has no image/audio codecs); schema, partitioning
