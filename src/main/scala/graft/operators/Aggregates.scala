@@ -5753,6 +5753,82 @@ object Aggregates {
             lit(0L)), lit(0.0)) * 1000000) / 1000000).as("relative_risk"))
     },
 
+    // Cardinality profile (round 13, cont.): distinct count + modal
+    // value share for the low-cardinality columns of the fact tables —
+    // the dead/near-constant column detector (a "status" column whose
+    // top value holds 99.9% is dead weight in every groupBy and a
+    // dictionary-encoding win in every scan; profiling it is the first
+    // step of both). All counts exact; modal pick ties to the smallest
+    // value (pinned); one groupBy per profiled column, bounded report.
+    Q("dq_cardinality_profile",
+      """SELECT tbl, col, n_rows, n_distinct, top_value, top_n,
+        |       round(CAST(top_n AS DOUBLE) / n_rows, 6) AS top_share
+        |FROM (
+        |  SELECT 'lineitem' AS tbl, 'l_returnflag' AS col,
+        |         CAST(sum(n) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_distinct,
+        |         min(CASE WHEN rn = 1 THEN v END) AS top_value,
+        |         CAST(max(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS top_n
+        |  FROM (SELECT v, n, row_number() OVER (ORDER BY n DESC, v) AS rn
+        |        FROM (SELECT l_returnflag AS v, CAST(count(*) AS BIGINT) AS n
+        |              FROM lineitem GROUP BY 1))
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_linestatus',
+        |         CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
+        |         min(CASE WHEN rn = 1 THEN v END),
+        |         CAST(max(CASE WHEN rn = 1 THEN n END) AS BIGINT)
+        |  FROM (SELECT v, n, row_number() OVER (ORDER BY n DESC, v) AS rn
+        |        FROM (SELECT l_linestatus AS v, CAST(count(*) AS BIGINT) AS n
+        |              FROM lineitem GROUP BY 1))
+        |  UNION ALL
+        |  SELECT 'orders', 'o_orderstatus',
+        |         CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
+        |         min(CASE WHEN rn = 1 THEN v END),
+        |         CAST(max(CASE WHEN rn = 1 THEN n END) AS BIGINT)
+        |  FROM (SELECT v, n, row_number() OVER (ORDER BY n DESC, v) AS rn
+        |        FROM (SELECT o_orderstatus AS v, CAST(count(*) AS BIGINT) AS n
+        |              FROM orders GROUP BY 1))
+        |  UNION ALL
+        |  SELECT 'orders', 'o_orderpriority',
+        |         CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
+        |         min(CASE WHEN rn = 1 THEN v END),
+        |         CAST(max(CASE WHEN rn = 1 THEN n END) AS BIGINT)
+        |  FROM (SELECT v, n, row_number() OVER (ORDER BY n DESC, v) AS rn
+        |        FROM (SELECT o_orderpriority AS v, CAST(count(*) AS BIGINT) AS n
+        |              FROM orders GROUP BY 1))
+        |  UNION ALL
+        |  SELECT 'events', 'event_type',
+        |         CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
+        |         min(CASE WHEN rn = 1 THEN v END),
+        |         CAST(max(CASE WHEN rn = 1 THEN n END) AS BIGINT)
+        |  FROM (SELECT v, n, row_number() OVER (ORDER BY n DESC, v) AS rn
+        |        FROM (SELECT event_type AS v, CAST(count(*) AS BIGINT) AS n
+        |              FROM events GROUP BY 1))
+        |)
+        |ORDER BY tbl, col""".stripMargin) { (s, d) =>
+      def prof(tbl: String, df: DataFrame, c: String): DataFrame = {
+        val counts = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col("n").desc, col("v"))))
+        counts.agg(sum(col("n")).as("n_rows"),
+            count(lit(1)).as("n_distinct"),
+            min(when(col("rn") === 1, col("v"))).as("top_value"),
+            max(when(col("rn") === 1, col("n"))).as("top_n"))
+          .select(lit(tbl).as("tbl"), lit(c).as("col"), col("n_rows"),
+            col("n_distinct"), col("top_value"), col("top_n"))
+      }
+      prof("lineitem", t(s, d, "lineitem"), "l_returnflag")
+        .unionByName(prof("lineitem", t(s, d, "lineitem"), "l_linestatus"))
+        .unionByName(prof("orders", t(s, d, "orders"), "o_orderstatus"))
+        .unionByName(prof("orders", t(s, d, "orders"), "o_orderpriority"))
+        .unionByName(prof("events", t(s, d, "events"), "event_type"))
+        .select(col("tbl"), col("col"), col("n_rows"), col("n_distinct"),
+          col("top_value"), col("top_n"),
+          round(col("top_n").cast("double") / col("n_rows"), 6)
+            .as("top_share"))
+        .orderBy("tbl", "col")
+    },
+
     // Referential-integrity orphan audit (round 13, cont.): per FK edge
     // of the schema, how many child rows reference a missing parent —
     // the structural companion to dq_reconciliation's amount check (a

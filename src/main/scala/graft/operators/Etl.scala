@@ -4147,6 +4147,37 @@ object Etl {
         .agg(count(lit(1)).as("n_open"),
           max(col("age")).cast("long").as("max_age_days"))
         .orderBy("o_orderpriority", "age_bucket")
+    },
+
+    // Monthly return rate (round 13, cont.): share of line items and of
+    // revenue flagged returned (l_returnflag = 'R') per ship month —
+    // the retail quality trend (a rising return-rate line is the
+    // earliest demand-side defect signal; revenue-weighting catches
+    // returns concentrating in expensive items that a count rate
+    // hides). Exact BIGINT counts and cents; two display divisions per
+    // month.
+    Q("etl_return_rate_monthly",
+      """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mo,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_returned,
+        |       round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / count(*), 6) AS return_rate,
+        |       round(CAST(sum(CASE WHEN l_returnflag = 'R'
+        |                          THEN CAST(round(l_extendedprice * 100)
+        |                                    AS BIGINT) ELSE 0 END) AS DOUBLE)
+        |             / sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 6)
+        |         AS return_revenue_share
+        |FROM lineitem GROUP BY 1 ORDER BY mo""".stripMargin) { (s, d) =>
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val ret = sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+      Tables(s, d, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).as("mo"))
+        .agg(count(lit(1)).as("n_lines"), ret.as("n_returned"),
+          round(ret.cast("double") / count(lit(1)), 6).as("return_rate"),
+          round(sum(when(col("l_returnflag") === "R", cents).otherwise(0L))
+            .cast("double") / sum(cents), 6).as("return_revenue_share"))
+        .orderBy("mo")
     }
   ) :+ resampleQ
 

@@ -775,6 +775,69 @@ object Extras {
             / col("n_wedges") * 1000000) / 1000000).as("transitivity"))
     },
 
+    // Nation homophily (round 13, cont.; Newman 2003's discrete
+    // assortativity): do customers trade with SAME-nation suppliers
+    // more than random mixing predicts? r = (Σeᵢᵢ − Σaᵢbᵢ)/(1 − Σaᵢbᵢ)
+    // over the 25×25 nation mixing matrix of distinct trade edges —
+    // the attribute-mixing companion to graph_assortativity's
+    // degree-degree correlation (degree assortativity reads structure;
+    // this reads GEOGRAPHY, the single most actionable mixing axis a
+    // logistics platform has). Everything reduces to exact BIGINT
+    // counts over the bounded nation domain; r = (same·E − ab)/(E² −
+    // ab) assembles once in DOUBLE from exact integers, FLOOR-scaled.
+    Q("graph_nation_homophily",
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), en AS (
+        |  SELECT c_nationkey AS cn, s_nationkey AS sn
+        |  FROM e JOIN customer ON c = c_custkey
+        |  JOIN supplier ON s = s_suppkey
+        |), m AS (
+        |  SELECT cn, sn, CAST(count(*) AS BIGINT) AS n FROM en GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS e,
+        |         CAST(sum(CASE WHEN cn = sn THEN n ELSE 0 END) AS BIGINT)
+        |           AS same
+        |  FROM m
+        |), ma AS (SELECT cn, CAST(sum(n) AS BIGINT) AS a FROM m GROUP BY cn
+        |), mb AS (SELECT sn, CAST(sum(n) AS BIGINT) AS b FROM m GROUP BY sn
+        |), ab AS (
+        |  SELECT CAST(coalesce(sum(a * b), 0) AS BIGINT) AS ab
+        |  FROM ma JOIN mb ON cn = sn
+        |)
+        |SELECT e AS n_edges, same AS n_same_nation,
+        |       round(CAST(same AS DOUBLE) / e, 6) AS same_share,
+        |       floor((CAST(same AS DOUBLE) * e - ab)
+        |             / (CAST(e AS DOUBLE) * e - ab) * 1000000) / 1000000
+        |         AS homophily_r
+        |FROM tot CROSS JOIN ab""".stripMargin) { (s, d) =>
+      val e = Tables(s, d, "orders")
+        .join(Tables(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val en = e
+        .join(Tables(s, d, "customer"), col("c") === col("c_custkey"))
+        .join(broadcast(Tables(s, d, "supplier")),
+          col("s") === col("s_suppkey"))
+        .select(col("c_nationkey").as("cn"), col("s_nationkey").as("sn"))
+      val m = en.groupBy("cn", "sn").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val tot = m.agg(sum(col("n")).as("e"),
+        sum(when(col("cn") === col("sn"), col("n")).otherwise(0L)).as("same"))
+      val ma = m.groupBy("cn").agg(sum(col("n")).as("a"))
+      val mb = m.groupBy("sn").agg(sum(col("n")).as("b"))
+      val ab = ma.join(mb, col("cn") === col("sn"))
+        .agg(coalesce(sum(col("a") * col("b")), lit(0L)).as("ab"))
+      tot.crossJoin(ab)
+        .select(col("e").as("n_edges"), col("same").as("n_same_nation"),
+          round(col("same").cast("double") / col("e"), 6).as("same_share"),
+          (floor((col("same").cast("double") * col("e") - col("ab"))
+            / (col("e").cast("double") * col("e") - col("ab")) * 1000000)
+            / 1000000).as("homophily_r"))
+    },
+
     // Bipartite graph profile (round 13, cont.): the customer↔supplier
     // trade graph's one-screen profile — side cardinalities, edge
     // count, density E/(L·R), and a degree Gini PER SIDE (how
