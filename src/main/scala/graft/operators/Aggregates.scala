@@ -5829,6 +5829,98 @@ object Aggregates {
         .orderBy("tbl", "col")
     },
 
+    // Partial correlation (round 13, cont.): corr(quantity, price)
+    // CONTROLLING for discount, per returnflag — the confounder check
+    // agg_corr_matrix can't make (two variables can correlate only
+    // because both ride a third; the partial r is what survives
+    // conditioning, and dq_simpsons_check's group-reversal audit is its
+    // categorical cousin). All three pairwise correlations assemble
+    // from EXACT moment sums (BIGINT for the small grids, DECIMAL/
+    // HUGEINT for the cent squares — the dq_embedding_norms overflow
+    // lesson) in identical double expressions; the partial-r formula
+    // composes once, FLOOR-scaled, degenerate variances NULL.
+    Q("agg_partial_corr",
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS z
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(z) AS BIGINT) AS sz,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * z) AS BIGINT) AS sxz,
+        |         CAST(sum(y * z) AS BIGINT) AS syz,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+        |         CAST(sum(z * z) AS BIGINT) AS szz
+        |  FROM v GROUP BY g
+        |), r AS (
+        |  SELECT g, n,
+        |         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |         / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |                * (CAST(n AS DOUBLE) * syy
+        |                   - CAST(sy AS DOUBLE) * sy)) AS rxy,
+        |         (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+        |         / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |                * (CAST(n AS DOUBLE) * szz
+        |                   - CAST(sz AS DOUBLE) * sz)) AS rxz,
+        |         (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+        |         / sqrt((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+        |                * (CAST(n AS DOUBLE) * szz
+        |                   - CAST(sz AS DOUBLE) * sz)) AS ryz
+        |  FROM m
+        |)
+        |SELECT g AS l_returnflag, n,
+        |       floor(rxy * 1000000) / 1000000 AS r_qty_price,
+        |       floor(rxz * 1000000) / 1000000 AS r_qty_disc,
+        |       floor(ryz * 1000000) / 1000000 AS r_price_disc,
+        |       floor((rxy - rxz * ryz)
+        |             / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)) * 1000000)
+        |         / 1000000 AS partial_r_qty_price
+        |FROM r ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val v = t(s, d, "lineitem").select(
+        col("l_returnflag").as("g"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"),
+        round(col("l_discount") * 100).cast("long").as("z"))
+      val m = v.groupBy("g").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("z")).as("sz"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+          .cast("double").as("syy"),
+        sum(col("z") * col("z")).as("szz"))
+      def corr2(sab: org.apache.spark.sql.Column, sa: org.apache.spark.sql.Column,
+               sb: org.apache.spark.sql.Column, saa: org.apache.spark.sql.Column,
+               sbb: org.apache.spark.sql.Column) =
+        (col("n").cast("double") * sab - sa.cast("double") * sb) /
+          sqrt((col("n").cast("double") * saa - sa.cast("double") * sa)
+            * (col("n").cast("double") * sbb - sb.cast("double") * sb))
+      val r = m.select(col("g"), col("n"),
+        corr2(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+          .as("rxy"),
+        corr2(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+          .as("rxz"),
+        corr2(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+          .as("ryz"))
+      r.select(col("g").as("l_returnflag"), col("n"),
+          (floor(col("rxy") * 1000000) / 1000000).as("r_qty_price"),
+          (floor(col("rxz") * 1000000) / 1000000).as("r_qty_disc"),
+          (floor(col("ryz") * 1000000) / 1000000).as("r_price_disc"),
+          (floor((col("rxy") - col("rxz") * col("ryz"))
+            / sqrt((lit(1) - col("rxz") * col("rxz"))
+              * (lit(1) - col("ryz") * col("ryz"))) * 1000000) / 1000000)
+            .as("partial_r_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
     // Referential-integrity orphan audit (round 13, cont.): per FK edge
     // of the schema, how many child rows reference a missing parent —
     // the structural companion to dq_reconciliation's amount check (a

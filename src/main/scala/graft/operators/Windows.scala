@@ -2135,6 +2135,65 @@ object Windows {
         .orderBy("event_type", "day", "kind")
     },
 
+    // Volume profile (round 13, cont.): per series, the share of
+    // activity at each PRICE level — the day-independent market-profile
+    // view (every other window key slices by TIME; traders read where
+    // in the price RANGE the volume sat, and the modal bucket is the
+    // "point of control" support/resistance anchor). Ten equal-width
+    // cent buckets over the series' own [min, max]; bucket assignment
+    // is pure integer arithmetic ((c−mn)·10 div (mx−mn+1)); POC = modal
+    // bucket, ties to the lowest price (pinned); all counts exact, one
+    // share display per row.
+    Q("win_volume_profile",
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, CAST(min(c) AS BIGINT) AS mn,
+        |         CAST(max(c) AS BIGINT) AS mx,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM v GROUP BY event_type
+        |), b AS (
+        |  SELECT v.event_type,
+        |         CAST((c - mn) * 10 // (mx - mn + 1) AS BIGINT) AS bucket,
+        |         mn, mx, n
+        |  FROM v JOIN r ON v.event_type = r.event_type
+        |), g AS (
+        |  SELECT event_type, bucket, mn, mx,
+        |         CAST(count(*) AS BIGINT) AS vol, max(n) AS n
+        |  FROM b GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT event_type, bucket,
+        |       round((mn + bucket * (mx - mn + 1) / 10.0) / 100, 2)
+        |         AS bucket_lo,
+        |       vol, round(CAST(vol AS DOUBLE) / n, 6) AS vol_share,
+        |       CAST(row_number() OVER (PARTITION BY event_type
+        |              ORDER BY vol DESC, bucket) = 1 AS BOOLEAN) AS is_poc
+        |FROM g ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+      val r = v.groupBy("event_type")
+        .agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
+          count(lit(1)).as("n"))
+      val b = v.join(broadcast(r), Seq("event_type"))
+        .select(col("event_type"),
+          expr("(c - mn) * 10 div (mx - mn + 1)").cast("long").as("bucket"),
+          col("mn"), col("mx"), col("n"))
+      val g = b.groupBy("event_type", "bucket", "mn", "mx")
+        .agg(count(lit(1)).as("vol"), max(col("n")).as("n"))
+      val wp = Window.partitionBy("event_type")
+        .orderBy(col("vol").desc, col("bucket"))
+      g.select(col("event_type"), col("bucket"),
+          round((col("mn") + col("bucket") * (col("mx") - col("mn") + 1)
+            / 10.0) / 100, 2).as("bucket_lo"),
+          col("vol"), round(col("vol").cast("double") / col("n"), 6)
+            .as("vol_share"),
+          (row_number().over(wp) === 1).as("is_poc"))
+        .orderBy("event_type", "bucket")
+    },
+
     // Choppiness index (round 13, cont.; Dreiss): 100·log₁₀(ΣTR₁₄ /
     // (hi₁₄−lo₁₄))/log₁₀(14) — is the market TRENDING (low: the path
     // nearly equals the net range) or CHOPPING (high: the path folds
