@@ -5921,6 +5921,56 @@ object Aggregates {
         .orderBy("l_returnflag")
     },
 
+    // Business-rule violation panel (round 13, cont.): named policy
+    // rules over the fact with per-rule violation counts — the
+    // rules-engine readout (dq_orphans/dq_temporal_sanity check
+    // STRUCTURE; this checks POLICY: a discount past the published cap
+    // or a jumbo order isn't malformed data, it's a decision someone
+    // should see). Each rule is one filter aggregate off a shared scan;
+    // exact counts, one rate display per rule.
+    Q("dq_rule_violations",
+      """SELECT rule, n_checked, n_violations,
+        |       round(CAST(n_violations AS DOUBLE) / n_checked, 6)
+        |         AS violation_rate
+        |FROM (
+        |  SELECT 'discount_above_8pct' AS rule,
+        |         CAST(count(*) AS BIGINT) AS n_checked,
+        |         CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'tax_above_6pct', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN l_tax > 0.06 THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'qty_at_cap_50', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN l_quantity >= 50 THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'nonpositive_price', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM lineitem
+        |)
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem")
+      def rule(name: String, pred: org.apache.spark.sql.Column): DataFrame =
+        li.agg(count(lit(1)).as("n_checked"),
+            sum(when(pred, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit(name).as("rule"), col("n_checked"),
+            col("n_violations"))
+      rule("discount_above_8pct", col("l_discount") > 0.08)
+        .unionByName(rule("tax_above_6pct", col("l_tax") > 0.06))
+        .unionByName(rule("qty_at_cap_50", col("l_quantity") >= 50))
+        .unionByName(rule("nonpositive_price", col("l_extendedprice") <= 0))
+        .select(col("rule"), col("n_checked"), col("n_violations"),
+          round(col("n_violations").cast("double") / col("n_checked"), 6)
+            .as("violation_rate"))
+        .orderBy("rule")
+    },
+
     // Referential-integrity orphan audit (round 13, cont.): per FK edge
     // of the schema, how many child rows reference a missing parent —
     // the structural companion to dq_reconciliation's amount check (a

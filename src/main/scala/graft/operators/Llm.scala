@@ -8221,6 +8221,50 @@ object Llm {
           sum(col("occ")).as("total_occurrences"))
     },
 
+    // Source diversity (round 13, cont.): how many EFFECTIVE sources
+    // does the corpus mix really have — Shannon entropy (in nats + its
+    // exp = perplexity-of-the-mix) and inverse Simpson 1/Σp², the two
+    // standard effective-number readouts (20 nominal sources behind an
+    // 80%-one-feed mix behave like ~2 — every per-source guarantee is
+    // theater until this number says otherwise). Exact BIGINT counts;
+    // Σp² is an exact-integer ratio (Σnᵢ²/N²); the entropy terms
+    // quantize per source to 1e-12 integers (bounded domain, exact
+    // sum — ulcer doctrine), one exp at display.
+    Q("llm_source_diversity",
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+        |  GROUP BY source
+        |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |       max(t) AS n_docs,
+        |       floor(CAST(sum(CAST(round(
+        |           -(CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t)
+        |           * 1000000000000) AS BIGINT)) AS DOUBLE) / 1000000000000
+        |             * 1000000) / 1000000 AS shannon_nats,
+        |       floor(exp(CAST(sum(CAST(round(
+        |           -(CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t)
+        |           * 1000000000000) AS BIGINT)) AS DOUBLE) / 1000000000000)
+        |             * 10000) / 10000 AS effective_sources_exp,
+        |       floor(CAST(max(t) AS DOUBLE) * max(t)
+        |             / sum(n * n) * 10000) / 10000
+        |         AS effective_sources_simpson
+        |FROM c CROSS JOIN tot""".stripMargin) { (s, d) =>
+      val c = docs(s, d).groupBy("source").agg(count(lit(1)).as("n"))
+      val tot = c.agg(sum(col("n")).as("t"))
+      val term = round(-(col("n").cast("double") / col("t"))
+        * log(col("n").cast("double") / col("t")) * 1000000000000L)
+        .cast("long")
+      c.crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_sources"), max(col("t")).as("n_docs"),
+          (floor(sum(term).cast("double") / 1000000000000L * 1000000)
+            / 1000000).as("shannon_nats"),
+          (floor(exp(sum(term).cast("double") / 1000000000000L) * 10000)
+            / 10000).as("effective_sources_exp"),
+          (floor(max(col("t")).cast("double") * max(col("t"))
+            / sum(col("n") * col("n")) * 10000) / 10000)
+            .as("effective_sources_simpson"))
+    },
+
     // Multimodal column plumbing: binary payload + mime + typed metadata
     // carried through ops. The decode step is a clearly-marked deterministic
     // STUB (this container has no image/audio codecs); schema, partitioning

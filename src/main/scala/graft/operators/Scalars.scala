@@ -96,6 +96,36 @@ object Scalars {
         .orderBy("o_orderkey")
     },
 
+    // TRY_CAST policy panel (round 13, cont.): malformed casts return
+    // NULL instead of failing the job — the ingestion-hardening surface
+    // every schema-on-read pipeline leans on. Pinned to the PORTABLE
+    // subset: integral strings round-trip, alphabetic strings null,
+    // calendar-invalid dates null (p_size drives a real valid/invalid
+    // date mix — sizes past 28 overflow February). The decimal-string→
+    // int case is EXCLUDED by design: DuckDB rounds ('12.5'→13) where
+    // Spark's ANSI try_cast nulls — a documented dialect divergence,
+    // not a portable contract.
+    Q("fn_try_cast",
+      """SELECT p_partkey,
+        |       try_cast(CAST(p_partkey AS VARCHAR) AS BIGINT)
+        |         AS key_roundtrip,
+        |       try_cast(p_brand AS BIGINT) AS brand_as_int,
+        |       try_cast('1995-02-' || lpad(CAST(p_size AS VARCHAR), 2, '0')
+        |                AS DATE) AS date_from_size,
+        |       try_cast(p_type AS DOUBLE) AS type_as_double
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      graft.Tables(s, d, "part")
+        .select(col("p_partkey"),
+          expr("try_cast(CAST(p_partkey AS STRING) AS BIGINT)")
+            .as("key_roundtrip"),
+          expr("try_cast(p_brand AS BIGINT)").as("brand_as_int"),
+          expr("""try_cast(concat('1995-02-',
+                 |  lpad(CAST(p_size AS STRING), 2, '0')) AS DATE)"""
+            .stripMargin).as("date_from_size"),
+          expr("try_cast(p_type AS DOUBLE)").as("type_as_double"))
+        .orderBy("p_partkey")
+    },
+
     // R6 app-version-style string parsing + general string ops. The split
     // result is re-joined with ',' in the DECLARED output (and
     // array_to_string in the oracle) because the driver's pandas comparator
