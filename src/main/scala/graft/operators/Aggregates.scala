@@ -5971,6 +5971,90 @@ object Aggregates {
         .orderBy("rule")
     },
 
+    // Markov-order check (round 13, cont.): is the per-user event
+    // sequence actually first-order Markov — the assumption
+    // etl_markov_steady's steady-state SELLS silently? Compare the
+    // EMPIRICAL two-step transition matrix against the one-step
+    // matrix SQUARED: under the Markov property P₂ = P₁², and the
+    // per-cell |deviation| is the evidence of memory (a funnel with
+    // state — signup→view→purchase — deviates exactly here). All
+    // transition counts exact BIGINT over the bounded 5×5 domain; the
+    // P₁² inner sum quantizes each of its ≤5 k-terms to 1e-12 integers
+    // (exact sum — ulcer doctrine); per-cell probabilities and the
+    // deviation compose identically, bounded 25-row report.
+    Q("agg_markov_order_check",
+      """WITH s AS (
+        |  SELECT event_type AS t,
+        |         lead(event_type, 1) OVER w AS t1,
+        |         lead(event_type, 2) OVER w AS t2
+        |  FROM events WHERE user_id IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), c1 AS (
+        |  SELECT t AS i, t1 AS j, CAST(count(*) AS BIGINT) AS c
+        |  FROM s WHERE t1 IS NOT NULL GROUP BY 1, 2
+        |), r1 AS (SELECT i, CAST(sum(c) AS BIGINT) AS r FROM c1 GROUP BY i
+        |), c2 AS (
+        |  SELECT t AS i, t2 AS j, CAST(count(*) AS BIGINT) AS c
+        |  FROM s WHERE t2 IS NOT NULL GROUP BY 1, 2
+        |), r2 AS (SELECT i, CAST(sum(c) AS BIGINT) AS r FROM c2 GROUP BY i
+        |), pred AS (
+        |  SELECT a.i, b.j,
+        |         CAST(sum(CAST(round((CAST(a.c AS DOUBLE) / ra.r)
+        |                * (CAST(b.c AS DOUBLE) / rb.r) * 1000000000000)
+        |              AS BIGINT)) AS BIGINT) AS p12
+        |  FROM c1 a JOIN c1 b ON a.j = b.i
+        |  JOIN r1 ra ON ra.i = a.i JOIN r1 rb ON rb.i = b.i
+        |  GROUP BY a.i, b.j
+        |)
+        |SELECT p.i AS from_type, p.j AS to_type,
+        |       floor(CAST(p12 AS DOUBLE) / 1000000000000 * 1000000)
+        |         / 1000000 AS p2_predicted,
+        |       round(CAST(coalesce(c2.c, 0) AS DOUBLE) / r2.r, 6) AS p2_emp,
+        |       floor(abs(CAST(coalesce(c2.c, 0) AS DOUBLE) / r2.r
+        |                 - CAST(p12 AS DOUBLE) / 1000000000000) * 1000000)
+        |         / 1000000 AS abs_diff
+        |FROM pred p LEFT JOIN c2 ON c2.i = p.i AND c2.j = p.j
+        |JOIN r2 ON r2.i = p.i
+        |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sq = t(s, d, "events")
+        .where(col("user_id").isNotNull)
+        .select(col("event_type").as("t"),
+          lead(col("event_type"), 1).over(w).as("t1"),
+          lead(col("event_type"), 2).over(w).as("t2"))
+      val c1 = sq.where(col("t1").isNotNull)
+        .groupBy(col("t").as("i"), col("t1").as("j"))
+        .agg(count(lit(1)).as("c"))
+      val r1 = c1.groupBy("i").agg(sum(col("c")).as("r"))
+      val c2 = sq.where(col("t2").isNotNull)
+        .groupBy(col("t").as("i2"), col("t2").as("j2"))
+        .agg(count(lit(1)).as("c2c"))
+      val r2 = c2.groupBy(col("i2")).agg(sum(col("c2c")).as("r2r"))
+      val pred = c1.as("a")
+        .join(c1.as("b"), col("a.j") === col("b.i"))
+        .join(r1.select(col("i").as("rai"), col("r").as("ra")),
+          col("rai") === col("a.i"))
+        .join(r1.select(col("i").as("rbi"), col("r").as("rb")),
+          col("rbi") === col("b.i"))
+        .groupBy(col("a.i").as("fi"), col("b.j").as("fj"))
+        .agg(sum(round((col("a.c").cast("double") / col("ra"))
+          * (col("b.c").cast("double") / col("rb")) * 1000000000000L)
+          .cast("long")).as("p12"))
+      pred
+        .join(c2, col("fi") === col("i2") && col("fj") === col("j2"), "left")
+        .join(r2.select(col("i2").as("ri"), col("r2r")),
+          col("ri") === col("fi"))
+        .select(col("fi").as("from_type"), col("fj").as("to_type"),
+          (floor(col("p12").cast("double") / 1000000000000L * 1000000)
+            / 1000000).as("p2_predicted"),
+          round(coalesce(col("c2c"), lit(0L)).cast("double") / col("r2r"), 6)
+            .as("p2_emp"),
+          (floor(abs(coalesce(col("c2c"), lit(0L)).cast("double")
+            / col("r2r") - col("p12").cast("double") / 1000000000000L)
+            * 1000000) / 1000000).as("abs_diff"))
+        .orderBy("from_type", "to_type")
+    },
+
     // Referential-integrity orphan audit (round 13, cont.): per FK edge
     // of the schema, how many child rows reference a missing parent —
     // the structural companion to dq_reconciliation's amount check (a

@@ -8265,6 +8265,77 @@ object Llm {
             .as("effective_sources_simpson"))
     },
 
+    // Word-level entropy rate (round 13, cont.): unigram entropy H(W),
+    // conditional bigram entropy H(W₂|W₁), and the redundancy
+    // 1 − H(W₂|W₁)/H(W) — the information-theoretic compressibility
+    // readout at the WORD grain (llm_char_entropy reads bytes; training
+    // value lives in word-level surprise, and a corpus whose H(W₂|W₁)
+    // collapses far below H(W) is templated text dressed as prose).
+    // H(W₂|W₁) = Σ c₂·ln(c₁(w₁)/c₂)/N over bigrams — every term a
+    // per-row float on exact integer counts quantized to 1e-9 (ulcer
+    // doctrine), exact BIGINT sums, two divisions at display.
+    Q("llm_ngram_entropy_rate",
+      """WITH bg AS (
+        |  SELECT toks[CAST(x AS INT)] AS w1, toks[CAST(x AS INT) + 1] AS w2
+        |  FROM (
+        |    SELECT toks, unnest(range(1, len(toks))) AS x
+        |    FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+        |), c2 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+        |), n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c2
+        |), hu AS (
+        |  SELECT CAST(sum(CAST(round(
+        |           c1 * ln(CAST(n.n AS DOUBLE) / c1) * 1000000000)
+        |           AS BIGINT)) AS BIGINT) AS s
+        |  FROM c1 CROSS JOIN n
+        |), hc AS (
+        |  SELECT CAST(sum(CAST(round(
+        |           c * ln(CAST(c1.c1 AS DOUBLE) / c) * 1000000000)
+        |           AS BIGINT)) AS BIGINT) AS s
+        |  FROM c2 JOIN c1 USING (w1)
+        |)
+        |SELECT n.n AS n_bigrams,
+        |       floor(CAST(hu.s AS DOUBLE) / n.n / 1000000000 * 1000000)
+        |         / 1000000 AS h_unigram,
+        |       floor(CAST(hc.s AS DOUBLE) / n.n / 1000000000 * 1000000)
+        |         / 1000000 AS h_cond_bigram,
+        |       floor((1 - (CAST(hc.s AS DOUBLE) / n.n / 1000000000)
+        |              / (CAST(hu.s AS DOUBLE) / n.n / 1000000000)) * 1000000)
+        |         / 1000000 AS redundancy
+        |FROM n CROSS JOIN hu CROSS JOIN hc""".stripMargin) { (s, d) =>
+      val bg = docs(s, d)
+        .select(split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """transform(slice(toks, 1, size(toks) - 1),
+            |  (x, i) -> struct(x AS w1,
+            |                   element_at(toks, i + 2) AS w2))"""
+            .stripMargin)).as("g"))
+        .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val c1 = c2.groupBy("w1").agg(sum(col("c")).as("c1"))
+      val n = c2.agg(sum(col("c")).as("n"))
+      val hu = c1.crossJoin(broadcast(n))
+        .agg(sum(round(col("c1")
+          * log(col("n").cast("double") / col("c1")) * 1000000000)
+          .cast("long")).as("s")).select(col("s").as("su"))
+      val hc = c2.join(c1, Seq("w1"))
+        .agg(sum(round(col("c")
+          * log(col("c1").cast("double") / col("c")) * 1000000000)
+          .cast("long")).as("s")).select(col("s").as("sc"))
+      n.crossJoin(hu).crossJoin(hc)
+        .select(col("n").as("n_bigrams"),
+          (floor(col("su").cast("double") / col("n") / 1000000000L
+            * 1000000) / 1000000).as("h_unigram"),
+          (floor(col("sc").cast("double") / col("n") / 1000000000L
+            * 1000000) / 1000000).as("h_cond_bigram"),
+          (floor((lit(1) - (col("sc").cast("double") / col("n")
+            / 1000000000L) / (col("su").cast("double") / col("n")
+            / 1000000000L)) * 1000000) / 1000000).as("redundancy"))
+    },
+
     // Multimodal column plumbing: binary payload + mime + typed metadata
     // carried through ops. The decode step is a clearly-marked deterministic
     // STUB (this container has no image/audio codecs); schema, partitioning
