@@ -1051,7 +1051,12 @@ class PlanSpec extends AnyFunSuite {
       "etl_concurrency" -> "(bounded) only the CARRY window is day-global — it runs over the per-day delta frame; endpoint running sums partition by day (two-level prefix sum, r8)",
       "etl_mom_yoy" -> "(bounded) lag window + YoY calendar join run over the per-MONTH frame — cardinality = months in span, SF-independent",
       "etl_mat_rolling" -> "(bounded) 12-month rolling window runs over the per-MONTH frame — cardinality = months in span, SF-independent (r13)",
-      "etl_abc_class" -> "(twin) cumulative-share cut over the part DIMENSION frame — same global-cumsum shape as etl_pareto_revenue, whose RankFence fenced twin is the declared scale path for this family (r13)"
+      "etl_abc_class" -> "(twin) cumulative-share cut over the part DIMENSION frame — same global-cumsum shape as etl_pareto_revenue, whose RankFence fenced twin is the declared scale path for this family (r13)",
+      "llm_ngram_coverage" -> "(bounded) rank window runs over the VOCAB frame — the llm_vocab_coverage fence: vocabulary-sized, sublinear in SF (r13 cont.)",
+      "llm_heaps_law" -> "(bounded) cumulative + first_value windows run over the 10-row DECILE frame; words collapsed to first-doc and docs to counts before any window (r13 cont.)",
+      "llm_rrf_fusion" -> "(bounded) rank windows run over the two LIMIT-50 top-k frames — the scorer fan-in is TakeOrdered-bounded before any window (r13 cont.)",
+      "etl_forecast_mase" -> "(bounded) lag window runs over the per-DAY revenue frame — cardinality = days in the 1995 backtest span, SF-independent (r13 cont.)",
+      "dq_cardinality_profile" -> "(bounded) modal-rank window runs over each profiled column's DISTINCT-VALUE frame — cardinality = the column's domain (the key exists to report exactly that boundedness) (r13 cont.)"
     )
     val factNames = Seq("lineitem", "orders", "events", "documents",
       "embeddings", "customer", "supplier", "part")
