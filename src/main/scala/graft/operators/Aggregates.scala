@@ -6055,6 +6055,81 @@ object Aggregates {
         .orderBy("from_type", "to_type")
     },
 
+    // Theil inequality decomposition (round 13, cont.): the T index of
+    // customer spend per nation, with each nation's WITHIN inequality
+    // and its BETWEEN-nations contribution — the property Gini lacks:
+    // Theil decomposes exactly (T = Σ s_g·T_g + T_between), so the
+    // readout answers "is inequality inside markets or across them",
+    // which sets whether pricing policy or market mix is the lever.
+    // Per-customer terms (x·n_g/X_g)·ln(x·n_g/X_g) are per-row floats
+    // on exact-integer ratios quantized to 1e-9 (ulcer doctrine) so
+    // group sums are exact; the between term composes once per nation
+    // row from exact sums.
+    Q("agg_theil_index",
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS x
+        |  FROM orders GROUP BY o_custkey
+        |), j AS (
+        |  SELECT c_nationkey AS nk, x
+        |  FROM spend JOIN customer ON o_custkey = c_custkey
+        |), g AS (
+        |  SELECT nk, CAST(count(*) AS BIGINT) AS ng,
+        |         CAST(sum(x) AS BIGINT) AS xg
+        |  FROM j GROUP BY nk
+        |), tot AS (
+        |  SELECT CAST(sum(xg) AS BIGINT) AS xt,
+        |         CAST(sum(ng) AS BIGINT) AS nt
+        |  FROM g
+        |), w AS (
+        |  SELECT j.nk,
+        |         CAST(sum(CAST(round(
+        |           (CAST(x AS DOUBLE) * ng / xg)
+        |           * ln(CAST(x AS DOUBLE) * ng / xg) * 1000000000)
+        |           AS BIGINT)) AS BIGINT) AS tq
+        |  FROM j JOIN g ON j.nk = g.nk GROUP BY j.nk
+        |)
+        |SELECT n_name, ng AS n_customers,
+        |       round(CAST(xg AS DOUBLE) / xt, 6) AS spend_share,
+        |       floor(CAST(tq AS DOUBLE) / ng / 1000000000 * 1000000)
+        |         / 1000000 AS theil_within,
+        |       floor((CAST(xg AS DOUBLE) / xt)
+        |             * ln((CAST(xg AS DOUBLE) / ng)
+        |                  / (CAST(xt AS DOUBLE) / nt)) * 1000000) / 1000000
+        |         AS between_term
+        |FROM g JOIN w USING (nk)
+        |JOIN nation ON nk = n_nationkey CROSS JOIN tot
+        |ORDER BY n_name""".stripMargin) { (s, d) =>
+      val spend = t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      val j = spend.join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nk"), col("x"))
+      val g = j.groupBy("nk")
+        .agg(count(lit(1)).as("ng"), sum(col("x")).as("xg"))
+      val tot = g.agg(sum(col("xg")).as("xt"), sum(col("ng")).as("nt"))
+      val term = round((col("x").cast("double") * col("ng") / col("xg"))
+        * log(col("x").cast("double") * col("ng") / col("xg"))
+        * 1000000000).cast("long")
+      val w = j.join(broadcast(g), Seq("nk"))
+        .groupBy("nk").agg(sum(term).as("tq"))
+      g.join(w, Seq("nk"))
+        .join(broadcast(t(s, d, "nation")),
+          col("nk") === col("n_nationkey"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_name"), col("ng").as("n_customers"),
+          round(col("xg").cast("double") / col("xt"), 6).as("spend_share"),
+          (floor(col("tq").cast("double") / col("ng") / 1000000000L
+            * 1000000) / 1000000).as("theil_within"),
+          (floor((col("xg").cast("double") / col("xt"))
+            * log((col("xg").cast("double") / col("ng"))
+              / (col("xt").cast("double") / col("nt"))) * 1000000)
+            / 1000000).as("between_term"))
+        .orderBy("n_name")
+    },
+
     // Referential-integrity orphan audit (round 13, cont.): per FK edge
     // of the schema, how many child rows reference a missing parent —
     // the structural companion to dq_reconciliation's amount check (a

@@ -8336,6 +8336,38 @@ object Llm {
             / 1000000000L)) * 1000000) / 1000000).as("redundancy"))
     },
 
+    // Fingerprint collision audit (round 13, cont.): distinct texts vs
+    // distinct PortableHash fingerprints — the layer every exact-dedup
+    // and registry key TRUSTS, audited (a collision merges two distinct
+    // documents into one dedup identity silently; at 60-bit hashes the
+    // birthday bound says ~n²/2⁶¹ expected collisions — this key is the
+    // measurement that the bound holds, and the canary that fires if
+    // the hash is ever weakened). Exact distinct counts; collisions =
+    // n_distinct_texts − n_distinct_hashes.
+    Q("llm_hash_collision_audit",
+      s"""WITH t AS (
+         |  SELECT DISTINCT text FROM documents
+         |), h AS (
+         |  SELECT DISTINCT ${PortableHash.sql("text")} AS h FROM documents
+         |)
+         |SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+         |       CAST((SELECT count(*) FROM t) AS BIGINT) AS n_distinct_texts,
+         |       CAST((SELECT count(*) FROM h) AS BIGINT) AS n_distinct_hashes,
+         |       CAST((SELECT count(*) FROM t)
+         |            - (SELECT count(*) FROM h) AS BIGINT)
+         |         AS n_collisions""".stripMargin) { (s, d) =>
+      val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val t = docs(s, d).select(col("text")).distinct()
+        .agg(count(lit(1)).as("n_distinct_texts"))
+      val h = docs(s, d).select(PortableHash.pHash(col("text")).as("h"))
+        .distinct().agg(count(lit(1)).as("n_distinct_hashes"))
+      n.crossJoin(t).crossJoin(h)
+        .select(col("n_docs"), col("n_distinct_texts"),
+          col("n_distinct_hashes"),
+          (col("n_distinct_texts") - col("n_distinct_hashes"))
+            .as("n_collisions"))
+    },
+
     // Multimodal column plumbing: binary payload + mime + typed metadata
     // carried through ops. The decode step is a clearly-marked deterministic
     // STUB (this container has no image/audio codecs); schema, partitioning

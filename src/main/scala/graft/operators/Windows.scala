@@ -2135,6 +2135,82 @@ object Windows {
         .orderBy("event_type", "day", "kind")
     },
 
+    // Underwater spells (round 13, cont.): the DURATION side of
+    // drawdown risk as a per-spell table — each maximal run of days
+    // below the running peak, with its length, trough depth, and
+    // whether the series recovered by the end of data (win_drawdown
+    // reports only the worst depth; win_peak_age only the current
+    // clock; an allocator prices the DISTRIBUTION of spell lengths).
+    // Pure gaps-and-islands on the exact-integer underwater flag
+    // (cl < running peak): island id = day_number − underwater_rank
+    // is constant within a spell; depth aggregates exact cents; the
+    // recovered flag compares the spell's end against the series' last
+    // day — all integer arithmetic.
+    Q("win_underwater_spells",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl,
+        |         datediff('day', DATE '1990-01-01', CAST(day AS DATE)) AS dn
+        |  FROM v GROUP BY event_type, day
+        |), p AS (
+        |  SELECT event_type, day, cl, dn,
+        |         CAST(max(cl) OVER (PARTITION BY event_type ORDER BY day
+        |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pk,
+        |         CAST(max(dn) OVER (PARTITION BY event_type) AS BIGINT)
+        |           AS last_dn
+        |  FROM o
+        |), u AS (
+        |  SELECT event_type, day, cl, dn, pk, last_dn,
+        |         dn - row_number() OVER (PARTITION BY event_type
+        |                                 ORDER BY day) AS isl
+        |  FROM p WHERE cl < pk
+        |)
+        |SELECT event_type,
+        |       min(day) AS spell_start,
+        |       CAST(count(*) AS BIGINT) AS spell_days,
+        |       round(max(pk - cl) / 100.0, 2) AS max_depth,
+        |       round(max(pk) / 100.0, 2) AS peak,
+        |       max(dn) < max(last_dn) AS recovered
+        |FROM u GROUP BY event_type, isl
+        |ORDER BY event_type, spell_start""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(when(col("rn_d") === 1, col("c"))).as("cl"))
+        .withColumn("dn",
+          datediff(col("day").cast("date"), lit("1990-01-01").cast("date"))
+            .cast("long"))
+      val wl = Window.partitionBy("event_type").orderBy("day")
+      val p = o
+        .withColumn("pk", max(col("cl")).over(
+          wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("last_dn",
+          max(col("dn")).over(Window.partitionBy("event_type")))
+      val u = p.where(col("cl") < col("pk"))
+        .withColumn("isl", col("dn") - row_number().over(wl))
+      u.groupBy("event_type", "isl")
+        .agg(min(col("day")).as("spell_start"),
+          count(lit(1)).as("spell_days"),
+          round(max(col("pk") - col("cl")) / 100.0, 2).as("max_depth"),
+          round(max(col("pk")) / 100.0, 2).as("peak"),
+          (max(col("dn")) < max(col("last_dn"))).as("recovered"))
+        .drop("isl")
+        .select(col("event_type"), col("spell_start"), col("spell_days"),
+          col("max_depth"), col("peak"), col("recovered"))
+        .orderBy("event_type", "spell_start")
+    },
+
     // Volume profile (round 13, cont.): per series, the share of
     // activity at each PRICE level — the day-independent market-profile
     // view (every other window key slices by TIME; traders read where
