@@ -6130,6 +6130,90 @@ object Aggregates {
         .orderBy("n_name")
     },
 
+    // Pareto crossing point (round 13, cont.): the exact smallest share
+    // of customers (ranked by spend, descending) whose cumulative
+    // revenue crosses 80% — the one number ("top x% give 80%") the
+    // Lorenz/Gini/ABC family is always asked to compress to. The
+    // crossing is an exact-integer compare (cum·5 ≥ total·4 — no float
+    // threshold), found with ONE rank window over the customer
+    // DIMENSION frame (the agg_gini fence) and a min over crossers.
+    Q("agg_pareto_point",
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey
+        |), r AS (
+        |  SELECT cents,
+        |         CAST(row_number() OVER (ORDER BY cents DESC, o_custkey)
+        |              AS BIGINT) AS i,
+        |         CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+        |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM spend
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cents) AS BIGINT) AS tc
+        |  FROM spend
+        |)
+        |SELECT n AS n_customers,
+        |       CAST(min(CASE WHEN cum * 5 >= tc * 4 THEN i END) AS BIGINT)
+        |         AS customers_for_80pct,
+        |       round(CAST(min(CASE WHEN cum * 5 >= tc * 4 THEN i END)
+        |                  AS DOUBLE) / n, 6) AS share_for_80pct
+        |FROM r CROSS JOIN tot
+        |GROUP BY n""".stripMargin) { (s, d) =>
+      val spend = t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val wDesc = Window.orderBy(col("cents").desc, col("o_custkey"))
+      val r = spend
+        .withColumn("i", row_number().over(wDesc).cast("long"))
+        .withColumn("cum", sum(col("cents")).over(
+          wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = spend.agg(count(lit(1)).as("n"), sum(col("cents")).as("tc"))
+      r.crossJoin(broadcast(tot))
+        .groupBy("n")
+        .agg(min(when(col("cum") * 5 >= col("tc") * 4, col("i")))
+          .as("customers_for_80pct"))
+        .select(col("n").as("n_customers"), col("customers_for_80pct"),
+          round(col("customers_for_80pct").cast("double") / col("n"), 6)
+            .as("share_for_80pct"))
+    },
+
+    // Bitmask engagement profile (round 13, cont.): each user's
+    // WEEKLY event-type set packed into one integer via bit_or of fixed
+    // per-type bits, rolled up to a mask → user-week distribution —
+    // the feature-bitmap pattern (which COMBINATIONS of behaviors
+    // co-occur; 2⁵ possible profiles beat 5 marginal rates for
+    // segmentation, and the bitmask aggregate is the idiom bitmap
+    // indexes/feature stores use). bit_or is exact integer in both
+    // engines; the mask domain is bounded at 31.
+    Q("agg_bitmask_profile",
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('week', ts) AS wk,
+        |         bit_or(CASE event_type WHEN 'click' THEN 1
+        |                WHEN 'view' THEN 2 WHEN 'purchase' THEN 4
+        |                WHEN 'signup' THEN 8 ELSE 16 END) AS mask
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id, wk
+        |)
+        |SELECT CAST(mask AS BIGINT) AS mask,
+        |       CAST(count(*) AS BIGINT) AS n_user_weeks,
+        |       CAST(mask & 4 > 0 AS BOOLEAN) AS has_purchase
+        |FROM b GROUP BY mask ORDER BY mask""".stripMargin) { (s, d) =>
+      val bit = when(col("event_type") === "click", 1)
+        .when(col("event_type") === "view", 2)
+        .when(col("event_type") === "purchase", 4)
+        .when(col("event_type") === "signup", 8).otherwise(16)
+      t(s, d, "events")
+        .where(col("user_id").isNotNull)
+        .groupBy(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .agg(bit_or(bit).as("mask"))
+        .groupBy(col("mask").cast("long").as("mask"))
+        .agg(count(lit(1)).as("n_user_weeks"))
+        .withColumn("has_purchase", (col("mask").bitwiseAND(4) > 0))
+        .orderBy("mask")
+    },
+
     // Referential-integrity orphan audit (round 13, cont.): per FK edge
     // of the schema, how many child rows reference a missing parent —
     // the structural companion to dq_reconciliation's amount check (a

@@ -2135,6 +2135,71 @@ object Windows {
         .orderBy("event_type", "day", "kind")
     },
 
+    // Up/down run-length distribution (round 13, cont.): how long do
+    // daily up-moves and down-moves RUN, as a length histogram per
+    // direction — the independence diagnostic behind agg_runs_test's
+    // single z (under independence run lengths are geometric; a fat
+    // tail of long runs is momentum, an excess of 1-runs is
+    // mean-reversion — the histogram shows WHICH, the z only says
+    // "not independent"). Direction is an exact cent compare; runs are
+    // gaps-and-islands on the direction flag; flat days (cl = prev)
+    // break runs and are excluded — pinned identically.
+    Q("win_run_lengths",
+      """WITH v AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, day,
+        |         CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS cl,
+        |         datediff('day', DATE '1990-01-01', CAST(day AS DATE)) AS dn
+        |  FROM v GROUP BY event_type, day
+        |), dirs AS (
+        |  SELECT event_type, day, dn,
+        |         CASE WHEN cl > lag(cl) OVER w THEN 'up'
+        |              WHEN cl < lag(cl) OVER w THEN 'down' END AS dir
+        |  FROM o WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |), runs AS (
+        |  SELECT event_type, dir,
+        |         dn - row_number() OVER (PARTITION BY event_type, dir
+        |                                 ORDER BY day) AS isl
+        |  FROM dirs WHERE dir IS NOT NULL
+        |), lens AS (
+        |  SELECT event_type, dir, CAST(count(*) AS BIGINT) AS len
+        |  FROM runs GROUP BY event_type, dir, isl
+        |)
+        |SELECT event_type, dir, len,
+        |       CAST(count(*) AS BIGINT) AS n_runs
+        |FROM lens GROUP BY event_type, dir, len
+        |ORDER BY event_type, dir, len""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val o = v.withColumn("rn_d", row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(max(when(col("rn_d") === 1, col("c"))).as("cl"))
+        .withColumn("dn",
+          datediff(col("day").cast("date"), lit("1990-01-01").cast("date"))
+            .cast("long"))
+      val wl = Window.partitionBy("event_type").orderBy("day")
+      val dirs = o.select(col("event_type"), col("day"), col("dn"),
+        when(col("cl") > lag(col("cl"), 1).over(wl), "up")
+          .when(col("cl") < lag(col("cl"), 1).over(wl), "down").as("dir"))
+      val wr = Window.partitionBy("event_type", "dir").orderBy("day")
+      val runs = dirs.where(col("dir").isNotNull)
+        .withColumn("isl", col("dn") - row_number().over(wr))
+      runs.groupBy("event_type", "dir", "isl")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("event_type", "dir", "len")
+        .agg(count(lit(1)).as("n_runs"))
+        .orderBy("event_type", "dir", "len")
+    },
+
     // Underwater spells (round 13, cont.): the DURATION side of
     // drawdown risk as a per-spell table — each maximal run of days
     // below the running peak, with its length, trough depth, and
