@@ -6214,6 +6214,55 @@ object Aggregates {
         .orderBy("mask")
     },
 
+    // Tukey IQR fences (round 13, cont.): per event_type, the classic
+    // boxplot outlier rule — fences at Q1/Q3 ± 1.5·IQR with counts
+    // beyond each — the quantile-based member completing the outlier
+    // family (dq_mad_outliers is median-centered, agg_grubbs is
+    // normal-parametric, Tukey is what every boxplot and most BI tools
+    // actually draw; they disagree on skewed data, which is the
+    // point of having all three). Fences via the pinned interpolated
+    // percentile pair; the exceedance compares are exact cents against
+    // identically-composed fence doubles; exact counts.
+    Q("dq_iqr_outliers",
+      """WITH q AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.25) AS q1,
+        |         quantile_cont(value, 0.75) AS q3
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type
+        |)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(q1, 4) AS q1, round(q3, 4) AS q3,
+        |       round(q1 - 1.5 * (q3 - q1), 4) AS lo_fence,
+        |       round(q3 + 1.5 * (q3 - q1), 4) AS hi_fence,
+        |       CAST(sum(CASE WHEN value < q1 - 1.5 * (q3 - q1)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |       CAST(sum(CASE WHEN value > q3 + 1.5 * (q3 - q1)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM events e JOIN q ON e.event_type = q.event_type
+        |WHERE value IS NOT NULL
+        |GROUP BY e.event_type, q1, q3 ORDER BY e.event_type""".stripMargin) {
+      (s, d) =>
+      val q = t(s, d, "events")
+        .where(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.25)).as("q1"),
+          percentile(col("value"), lit(0.75)).as("q3"))
+      val lo = col("q1") - lit(1.5) * (col("q3") - col("q1"))
+      val hi = col("q3") + lit(1.5) * (col("q3") - col("q1"))
+      t(s, d, "events")
+        .where(col("value").isNotNull)
+        .join(broadcast(q), Seq("event_type"))
+        .groupBy("event_type", "q1", "q3")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < lo, 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("value") > hi, 1L).otherwise(0L)).as("n_high"))
+        .select(col("event_type"), col("n"),
+          round(col("q1"), 4).as("q1"), round(col("q3"), 4).as("q3"),
+          round(lo, 4).as("lo_fence"), round(hi, 4).as("hi_fence"),
+          col("n_low"), col("n_high"))
+        .orderBy("event_type")
+    },
+
     // Referential-integrity orphan audit (round 13, cont.): per FK edge
     // of the schema, how many child rows reference a missing parent —
     // the structural companion to dq_reconciliation's amount check (a

@@ -4178,6 +4178,59 @@ object Etl {
           round(sum(when(col("l_returnflag") === "R", cents).otherwise(0L))
             .cast("double") / sum(cents), 6).as("return_revenue_share"))
         .orderBy("mo")
+    },
+
+    // Value-segment migration (round 13, cont.): customers banded by
+    // monthly spend (low < $200k, mid < $400k, high) and the
+    // CONSECUTIVE-month transition matrix between bands — the CRM
+    // movement view (etl_cohort_ltv says what a cohort is worth;
+    // migration says which way individual wallets are MOVING, and the
+    // low→high vs high→low flow asymmetry is the leading revenue
+    // signal). Band cuts are exact-integer cent compares; consecutive
+    // months pin via the integer month index (fn_month_arith
+    // spelling); one customer-partitioned lag window; bounded 3×3
+    // matrix report.
+    Q("etl_segment_migration",
+      """WITH m AS (
+        |  SELECT o_custkey,
+        |         CAST(year(o_orderdate) * 12 + month(o_orderdate)
+        |              AS BIGINT) AS mi,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2
+        |), b AS (
+        |  SELECT o_custkey, mi,
+        |         CASE WHEN cents < 20000000 THEN 'low'
+        |              WHEN cents < 40000000 THEN 'mid'
+        |              ELSE 'high' END AS band
+        |  FROM m
+        |), tr AS (
+        |  SELECT band,
+        |         lag(band) OVER w AS prev_band,
+        |         mi, lag(mi) OVER w AS prev_mi
+        |  FROM b WINDOW w AS (PARTITION BY o_custkey ORDER BY mi)
+        |)
+        |SELECT prev_band AS from_band, band AS to_band,
+        |       CAST(count(*) AS BIGINT) AS n_transitions
+        |FROM tr WHERE prev_mi = mi - 1
+        |GROUP BY 1, 2 ORDER BY from_band, to_band""".stripMargin) { (s, d) =>
+      val m = orders(s, d)
+        .groupBy(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("mi"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val b = m.select(col("o_custkey"), col("mi"),
+        when(col("cents") < 20000000L, "low")
+          .when(col("cents") < 40000000L, "mid")
+          .otherwise("high").as("band"))
+      val w = Window.partitionBy("o_custkey").orderBy("mi")
+      b.select(col("band"),
+          lag(col("band"), 1).over(w).as("prev_band"),
+          col("mi"), lag(col("mi"), 1).over(w).as("prev_mi"))
+        .where(col("prev_mi") === col("mi") - 1)
+        .groupBy(col("prev_band").as("from_band"), col("band").as("to_band"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .orderBy("from_band", "to_band")
     }
   ) :+ resampleQ
 
