@@ -93,13 +93,44 @@ object Components {
       // halves the fixpoint's action count, and the saved job is pure
       // scheduling overhead on small label frames.
       val obs = org.apache.spark.sql.Observation(s"cc_round_$rounds")
-      val stepped = labels.as("v")
-        .join(eByA.hint("shuffle_hash").as("e"), col("e.a") === col("v.id"), "left")
-        .join(labels.select(col("id").as("n_id"), col("lbl").as("n_lbl"))
-            .hint("shuffle_hash"),
-          col("n_id") === col("e.b"), "left")
-        .groupBy(col("v.id").as("id"), col("v.lbl").as("old_lbl"))
-        .agg(least(col("old_lbl"), coalesce(min(col("n_lbl")), col("old_lbl"))).as("lbl"))
+      // Neighbor minimum PUSHED from the a-endpoint (round 13, guide §2.3):
+      // join the node-sized label vector onto the edge frame's checkpointed
+      // a-partitioning and aggregate min(lbl) by b — the partial (map-side)
+      // aggregation collapses the edge-sized join output to one row per
+      // distinct b per partition BEFORE the exchange, so only node-sized
+      // frames ever cross the wire. The previous lookup-join form
+      // (labels ⋈ edges ⋈ labels on e.b) re-shuffled the EDGE-sized joined
+      // frame on b every round — O(rounds) edge shuffles, not O(1).
+      val nmin = eByA.hint("shuffle_hash")
+        .join(labels.hint("shuffle_hash"), col("a") === col("id"))
+        .groupBy(col("b"))
+        .agg(min(col("lbl")).as("nmin"))
+      // Pointer jumping (round 13): after the neighbor-min step, take the
+      // min with the LABEL OF THE LABEL (one more node-sized join against
+      // last round's checkpointed vector). Labels are always node ids of
+      // the same component, so the jump is sound; both steps only ever
+      // LOWER a label, so "no change" still detects exactly the
+      // neighbor-min fixpoint (if the neighbor step lowered anything, the
+      // composed round changed that label too) — same labels, but
+      // convergence in O(log diameter) rounds instead of O(diameter)
+      // (pointer doubling: each round roughly squares the hop distance a
+      // label has travelled). sf0.1 near-dup graph: 10 rounds → 5.
+      val half = labels.as("v")
+        .join(nmin.hint("shuffle_hash"), col("v.id") === col("b"), "left")
+        .select(col("v.id").as("id"), col("v.lbl").as("old_lbl"),
+          least(col("v.lbl"), coalesce(col("nmin"), col("v.lbl"))).as("lbl1"))
+      // round 0's jump is the identity (every label still equals its own
+      // id), so the join is skipped there — one less exchange on the
+      // round every caller pays.
+      val jumped = if (rounds == 0) half.select(
+          col("id"), col("old_lbl"), col("lbl1").as("lbl"))
+        else half
+          .join(labels.select(col("id").as("p_id"), col("lbl").as("p_lbl"))
+              .hint("shuffle_hash"),
+            col("lbl1") === col("p_id"), "left")
+          .select(col("id"), col("old_lbl"),
+            least(col("lbl1"), coalesce(col("p_lbl"), col("lbl1"))).as("lbl"))
+      val stepped = jumped
         .observe(obs, count(when(col("lbl") < col("old_lbl"), 1)).as("changed"))
         .localCheckpoint()
       // labels only ever decrease; an unchanged round is the fixpoint.
