@@ -136,13 +136,19 @@ object Extras {
     // discipline as pageRank)
     require(rounds >= 1, s"hits: rounds=$rounds must be >= 1")
     val e = edges0.repartition(col("src")).persist()
-    def rescale(raw: DataFrame): DataFrame = {
+    def rescale(raw0: DataFrame): DataFrame = {
+      // checkpoint the PRE-rescale scores (round 13): raw is referenced
+      // twice (the Σ rescale scalar and the projection) — checkpointing
+      // the projection instead ran the half-round's edge join + aggregate
+      // TWICE (once inside the broadcast build, once inside the
+      // checkpoint job). The rescale itself is a lazy projection over the
+      // materialized node-sized vector.
+      val raw = raw0.localCheckpoint()
       val s = raw.agg(sum(col("raw")).as("s"))
       raw.crossJoin(broadcast(s))
         .select(col("node"),
           expr(s"CAST(raw div greatest(1, s div ${mass}L) AS BIGINT)")
             .as("sc"))
-        .localCheckpoint()
     }
     val nC = e.select(col("src")).distinct()
       .agg(count(lit(1)).cast("long").as("n"))
@@ -1350,14 +1356,21 @@ object Extras {
       var rank = edges.select(col("src").as("node")).distinct()
         .withColumn("rank", lit(1000000L))
       for (_ <- 1 to 3) {
+        // checkpoint the PRE-normalization vector (round 13): y is
+        // referenced twice (the max-scalar subquery and the rescale
+        // projection) — checkpointing rank instead ran the edge join +
+        // aggregate TWICE per round (once inside the broadcast build,
+        // once inside the checkpoint job). Now the edge join runs once;
+        // the max scalar and next round's rank are cheap reads of the
+        // materialized node-sized vector.
         val y = edges.join(rank, col("node") === col("src"))
           .groupBy(col("dst").as("n")).agg(sum(col("cnt") * col("rank")).as("y"))
           .select(col("n").as("node"), col("y"))
+          .localCheckpoint()
         val m = y.agg(max(col("y")).as("my"))
           .select(expr("my div 1000000").as("m"))
         rank = y.crossJoin(broadcast(m))
           .select(col("node"), expr("y div m").as("rank"))
-          .localCheckpoint()
       }
       rank.orderBy(col("rank").desc, col("node")).limit(20)
     },
@@ -2457,8 +2470,11 @@ object Extras {
       graft.config.AnalyticFrames.ingestCustSupp(s, tmp, slice(1), lines)
       graft.config.AnalyticFrames.ingestCustSupp(s, tmp, slice(2), lines)
     }
+    // No read-side re-spread (round 13): the merge-on-read groupBy-sum
+    // already leaves the frame hash-distributed, and the one consumer
+    // (graph_pagerank_maintained) explodes and repartitions on src —
+    // the extra exchange was thrown away immediately (guide §2.4).
     graft.config.AnalyticFrames.custSuppPairs(s, dir)
-      .repartition(col("c"), col("s"))
   }
 
   /** The customer↔supplier transaction pair frame (c = 2·cust,
@@ -2476,7 +2492,12 @@ object Extras {
       custSuppPairsFrom(Tables(s, d, "orders"), Tables(s, d, "lineitem"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
     }
-    s.read.parquet(dir).repartition(col("c"), col("s"))
+    // No read-side re-spread here (round 13): all five consumers
+    // (pagerank ×2, hits, eigenvector, katz) symmetrize-explode and then
+    // repartition on their own loop key (src), so a repartition(c, s)
+    // here was one pure-overhead exchange per key that the next exchange
+    // immediately threw away (guide §2.4).
+    s.read.parquet(dir)
   }
 
   /** The customer↔supplier pair derivation, frame-parameterized
