@@ -2236,14 +2236,23 @@ object Extras {
     // the cached levels — persisting the growing superset per round
     // would double the cache footprint and rewrite the whole visited
     // set every level for no new information (review finding)
-    var visited = seeds.select(col("node"), lit(0).as("dist")).persist()
+    var visited = seeds.select(col("node"), lit(0).as("dist")).localCheckpoint()
     var frontier = visited
     for (h <- 1 to maxHops) {
+      // localCheckpoint per level (round 13; was a lazy persist): the
+      // lazy form deferred every level into ONE final mega-job whose
+      // unrolled plan re-embedded all previous levels' subtrees (~300
+      // Exchange nodes at 4 hops — re-analyzed on every run); the eager
+      // per-level job keeps each hop's plan flat at constant size. The
+      // level frames stay node-sized, so the extra action is scheduling
+      // noise next to the planning saved.
       frontier = frontier.join(sym, col("node") === col("a"))
         .select(col("b").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .select(col("node"), lit(h).as("dist"))
-        .persist()
+        .localCheckpoint()
+      // visited stays a lazy unionAll of the checkpointed levels — the
+      // union of flat scans is itself flat, no extra action needed
       visited = visited.unionAll(frontier)
     }
     visited
