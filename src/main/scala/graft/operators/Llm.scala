@@ -1985,18 +1985,21 @@ object Llm {
     // the b-side filter breaks subtree identity (ReusedExchange can't
     // fire), and across separate ACTIONS only the block manager reuses.
     def pin(df: DataFrame): DataFrame = if (persistFrames) df.persist() else df
-    // persist: the distinct shingle set feeds four consumers (doc sizes,
-    // the minhash sketch build, and both sides of the exact-Jaccard
-    // verify join); without it each consumer re-runs the explode+dedup
-    // shuffle. Round 7: built as groupBy(doc_id).collect_set + explode —
-    // per-doc dedup and doc_id partitioning in ONE wide shuffle (the
-    // explode is a projection, so the groupBy's hash-partitioning
-    // survives into the cache), where distinct().repartition(doc_id)
-    // paid two.
-    val sh = pin(shingleDfRaw(docsDf)
+    // persist the PER-DOC distinct shingle SETS (round 13; was the
+    // exploded (doc_id, s) frame): the set frame feeds the sketch build
+    // (via an in-partition explode — a projection, so the groupBy's
+    // doc_id hash-partitioning survives into the cache) and BOTH sides
+    // of the verify join, where the exact intersection is now an IN-ROW
+    // array_intersect per candidate pair (the ppjoinVerify idiom) and
+    // each doc's distinct-shingle count is the array size. The previous
+    // exploded form paid a full (doc_id, s)-keyed re-exchange of the
+    // shingle frame for the verify equi-join, an edge-sized groupBy for
+    // the intersection counts, and two more joins against a separate
+    // size aggregate — all gone (guide §2.4).
+    val shSets = pin(shingleDfRaw(docsDf)
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("ss"))
-      .select(col("doc_id"), explode(col("ss")).as("s")))
+      .agg(collect_set(col("s")).as("ss")))
+    val sh = shSets.select(col("doc_id"), explode(col("ss")).as("s"))
     val (h1c, h2c) = hashes.hash2(col("s"))
     // persist: the band frame feeds BOTH sides of the candidate self-join,
     // and in incremental mode the b-side filter (doc_id >= d2Min) makes the
@@ -2050,24 +2053,29 @@ object Llm {
       cand0.where(PortableHash.pHash(concat(
         lit("pq:"), col("d1").cast("string"),
         lit(":"), col("d2").cast("string"))) % m === 0))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.hint("shuffle_hash").as("x"), col("d1") === col("x.doc_id"))
-      .join(sh.hint("shuffle_hash").as("y"),
-        col("d2") === col("y.doc_id") && col("x.s") === col("y.s"))
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("inter"))
-    val verified = inter
-      .join(sz.hint("shuffle_hash").as("p"), col("d1") === col("p.doc_id"))
-      .join(sz.hint("shuffle_hash").as("q"), col("d2") === col("q.doc_id"))
+    // Exact verify IN-ROW (round 13): attach each side's cached shingle
+    // SET and intersect per pair — two doc_id-keyed joins where the set
+    // frame's cached partitioning is reused, zero aggregation. The
+    // inter > 0 filter preserves the old inner-join-on-shared-shingle
+    // semantics (a banded candidate whose k1/k2 collision shares no
+    // actual shingle must not surface as a 0-similarity pair).
+    val verified = cand
+      .join(shSets.hint("shuffle_hash").as("x"), col("d1") === col("x.doc_id"))
+      .join(shSets.hint("shuffle_hash").as("y"), col("d2") === col("y.doc_id"))
       .select(col("d1"), col("d2"),
-        round(col("inter") * 1.0 / (col("p.n") + col("q.n") - col("inter")), 6)
+        size(array_intersect(col("x.ss"), col("y.ss"))).cast("long")
+          .as("inter"),
+        size(col("x.ss")).cast("long").as("pn"),
+        size(col("y.ss")).cast("long").as("qn"))
+      .where(col("inter") > 0)
+      .select(col("d1"), col("d2"),
+        round(col("inter") * 1.0 / (col("pn") + col("qn") - col("inter")), 6)
           .as("est_jaccard"),
         // overlap coefficient |A∩B| / min(|A|,|B|) — the containment
         // signal for near-SUPERSET detection (Broder 1997's resemblance
         // vs containment): a short doc quoted whole inside a long one
         // has low Jaccard but containment ≈ 1
-        round(col("inter") * 1.0 / least(col("p.n"), col("q.n")), 6)
+        round(col("inter") * 1.0 / least(col("pn"), col("qn")), 6)
           .as("containment"))
     (verified, sk)
   }
