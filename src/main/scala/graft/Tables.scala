@@ -15,7 +15,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** Analyzed-DataFrame cache per (session, dir, table) — round 13,
+    * guide §5/§7.3 (driver-side planning cost): every `spark.read
+    * .parquet` call re-lists the path and re-reads the parquet footer
+    * for schema inference, tens of ms of pure DRIVER work that the
+    * 500-query bench paid ~8 tables × 3 passes per key. A DataFrame is
+    * an immutable lazy plan, so reusing one is metadata reuse only —
+    * every action still scans the parquet files; nothing about the DATA
+    * is cached. Keyed on the session so test sessions and the bench
+    * session never share plans; bounded by #sessions × #dirs × 10
+    * tables. */
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), DataFrame]
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    planCache.computeIfAbsent((spark, sfDir, name),
+      _ => load(spark, sfDir, name))
+
+  private def load(
+      spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts has shipped in two physical encodings across testdata
       // generations: parquet INT64 TIMESTAMP(NANOS) (no native Spark type —

@@ -1830,13 +1830,17 @@ object Aggregates {
         .withColumn("totw",
           sum(col("l_quantity").cast("decimal(18,4)")).over(wAll))
         .where(col("cumw") * 2 >= col("totw"))
-      val wPick = Window.partitionBy("l_returnflag")
-        .orderBy("cumw", "l_extendedprice")
-      r.withColumn("rn", row_number().over(wPick))
-        .where(col("rn") === 1)
+      // the pick is the FIRST crossing row = min (cumw, price) per flag
+      // (cumw is strictly increasing within a flag — weights > 0), so a
+      // partial-aggregating groupBy replaces the old rank-1 window's
+      // second exchange + sort over the filtered half (round 13,
+      // guide §2.3 "aggregate before you shuffle")
+      r.groupBy(col("l_returnflag"))
+        .agg(min(struct(col("cumw"), col("l_extendedprice"), col("totw")))
+          .as("m"))
         .select(col("l_returnflag"),
-          col("l_extendedprice").as("weighted_median_price"),
-          col("totw").cast("double").as("total_qty"))
+          col("m.l_extendedprice").as("weighted_median_price"),
+          col("m.totw").cast("double").as("total_qty"))
         .orderBy("l_returnflag")
     },
 

@@ -2177,14 +2177,18 @@ object Llm {
     // quality stays word-denominated (stopword ratios are word-level
     // semantics); only the PACK BUDGET is tokenizer-denominated — that is
     // the quantity the training context window consumes.
-    val quality = docsDf.select(
-      col("doc_id"),
-      qualityCol(size(toks), stopCountCol(shippedText)).as("quality"))
+    // One projection computes n_tok AND quality (round 13): the previous
+    // separate quality frame re-scanned + re-split the corpus and joined
+    // back on doc_id — a filter on the same row needs no self-join
+    // (guide §2.4; doc_id is unique, so inner-join-on-filtered-ids ≡
+    // where).
     val kept = docsDf
       .select(col("doc_id"), col("source"),
-        tokenizer.countCol(shippedText).as("n_tok"))
+        tokenizer.countCol(shippedText).as("n_tok"),
+        qualityCol(size(toks), stopCountCol(shippedText)).as("quality"))
+      .where(col("quality") >= qualityMin)
+      .drop("quality")
       .join(keep, Seq("doc_id"))
-      .join(quality.where(col("quality") >= qualityMin).select("doc_id"), Seq("doc_id"))
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     kept
