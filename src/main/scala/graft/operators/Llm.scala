@@ -1338,30 +1338,37 @@ object Llm {
   /** Spark twin of [[pcaChainCtes]]: the ONE-ROW frame with columns
     * (n, ql, tl, sd, v1, v2, v3). `e` = embeddings (vec_id, embedding). */
   private[graft] def pcaTopFrame(e: DataFrame): DataFrame = {
-    val x = e.select(expr(
+    // ONE fact pass (round 13; was ti + qi + n = two explode+groupBy
+    // shuffles over per-row STRUCT arrays plus a persisted base and two
+    // broadcast crossJoins): each row flattens its 2080 upper-triangle
+    // products, its 64 first moments, and a count-1 slot into a single
+    // primitive BIGINT array — no struct allocation per element — and
+    // ONE posexplode + groupBy(pos) produces every moment exactly
+    // (per-element products fit LONG; only the cross-row sums need the
+    // DECIMAL(28,0) fold, unchanged). The scatter's ql index arithmetic
+    // already walks (j, k) in lexicographic order, which IS pos order,
+    // so the (j, k) struct fields were never needed.
+    val flat = e.select(expr(
       """transform(embedding, x ->
         |  CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"""
         .stripMargin).as("xi"))
-      .persist() // feeds T, Q, and n
-    val ti = x.select(explode(expr(
-        """transform(sequence(1, 64), j ->
-          |  named_struct('j', j, 'v', element_at(xi, j)))""".stripMargin))
-        .as("p"))
-      .groupBy(col("p.j").as("j"))
-      .agg(sum(col("p.v").cast("decimal(28,0)")).as("tj"))
-    val qi = x.select(explode(expr(
-        """flatten(transform(sequence(1, 64), j ->
-          |  transform(sequence(j, 64), k -> named_struct('j', j, 'k', k,
-          |    'v', element_at(xi, j) * element_at(xi, k)))))"""
-          .stripMargin)).as("p"))
-      .groupBy(col("p.j").as("j"), col("p.k").as("k"))
-      .agg(sum(col("p.v").cast("decimal(28,0)")).as("q"))
-    val one = qi.agg(expr(
-        "sort_array(collect_list(struct(j, k, q)))").as("ql"))
-      .crossJoin(broadcast(ti.agg(expr(
-        "transform(sort_array(collect_list(struct(j, tj))), e -> e.tj)")
-        .as("tl"))))
-      .crossJoin(broadcast(x.agg(count(lit(1)).as("n"))))
+      .select(posexplode(expr(
+        """concat(
+          |  flatten(transform(sequence(1, 64), j ->
+          |    transform(sequence(j, 64), k ->
+          |      element_at(xi, j) * element_at(xi, k)))),
+          |  xi,
+          |  array(CAST(1 AS BIGINT)))""".stripMargin)).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(sum(col("v").cast("decimal(28,0)")).as("q"))
+    val one = flat.agg(
+      expr("""transform(sort_array(collect_list(
+             |  CASE WHEN pos < 2080 THEN struct(pos, q) END)), e -> e.q)"""
+        .stripMargin).as("ql"),
+      expr("""transform(sort_array(collect_list(
+             |  CASE WHEN pos >= 2080 AND pos < 2144 THEN struct(pos, q)
+             |  END)), e -> e.q)""".stripMargin).as("tl"),
+      expr("CAST(max(CASE WHEN pos = 2144 THEN q END) AS BIGINT)").as("n"))
     val dec = "DECIMAL(38,0)"
     val sdS =
       s"""transform(sequence(1, 4096), idx ->
@@ -1377,7 +1384,7 @@ object Llm {
          |                           (idx - 1) % 64 + 1)
          |                  - least((idx - 1) DIV 64 + 1,
          |                          (idx - 1) % 64 + 1) + 1) AS INT)
-         |             ).q AS $dec)
+         |             ) AS $dec)
          |       - CAST(element_at(tl, CAST((idx - 1) DIV 64 + 1 AS INT))
          |              AS $dec)
          |         * CAST(element_at(tl, CAST((idx - 1) % 64 + 1 AS INT))
