@@ -6644,37 +6644,50 @@ object Llm {
           col("b.n_id").as("j"),
           round(round(cosineSim(col("ea.embedding"), col("eb.embedding")), 6)
             * 1000000).cast("long").as("s6p"))
-        .persist()
-      var sel = cand.where(col("rn") === 1)
-        .select(col("q_id"), col("n_id"),
-          ((col("s6") * 7).cast("double") / 10000000).as("score"),
-          lit(1L).as("mmr_rank"))
-      for (k <- 2 to 4) {
-        val rem = cand.join(sel.select(col("q_id"), col("n_id")),
-          Seq("q_id", "n_id"), "left_anti")
-        val wp = Window.partitionBy("q_id")
-          .orderBy(col("sm").desc, col("n_id"))
-        val pick = rem
-          .join(cs, col("q_id") === col("cq") && col("n_id") === col("i"))
-          .join(sel.select(col("q_id").as("sq"), col("n_id").as("sn")),
-            col("cq") === col("sq") && col("j") === col("sn"))
-          .groupBy("q_id", "n_id", "s6")
-          .agg(max(col("s6p")).as("mx6"))
-          .select(col("q_id"), col("n_id"),
-            (col("s6") * 7 - col("mx6") * 3).as("sm"))
-          .withColumn("prn", row_number().over(wp))
-          .where(col("prn") === 1)
-          .select(col("q_id"), col("n_id"),
-            (col("sm").cast("double") / 10000000).as("score"),
-            lit(k.toLong).as("mmr_rank"))
-        // the selection frame is ≤ 20·k rows but feeds TWO sides of the
-        // next round (anti-join + the penalty max) — unbroken, round k
-        // replans and re-executes every previous round's window chain
-        // (measured 6.1 s at sf0.1; checkpointed 3 bounded frames cut
-        // it to the probe cost)
-        sel = sel.unionByName(pick).localCheckpoint()
+      // The four MMR selection rounds run DRIVER-SIDE over the collected
+      // candidate/sim frames (round 13; the adaptive-probe / RankFence
+      // idiom): both frames are bounded by the QUERY'S OWN constants —
+      // ≤ 20 queries × 8 candidates and ≤ 20 × 8·7 sims at every SF —
+      // never by the data, so the collect is a constant-size action. The
+      // previous in-cluster loop paid one localCheckpoint job + anti-join
+      // + aggregate + window per round over ≤ 160-row frames — pure
+      // scheduling overhead (guide §5: the driver should do no DATA work;
+      // this is not data work). Arithmetic is replayed exactly: integer
+      // s6·7 − 3·mx6, ties to the smallest n_id, one int→double cast.
+      val candRows = cand.select("q_id", "n_id", "s6", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val simRows = cs.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      val simByQI = simRows.groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).toMap
       }
-      sel.orderBy("q_id", "mmr_rank")
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]()
+      candRows.groupBy(_._1).toSeq.foreach { case (q, rows) =>
+        val selected = scala.collection.mutable.ArrayBuffer[Long]()
+        rows.find(_._4 == 1L).foreach { r =>
+          selected += r._2
+          out += ((q, r._2, (r._3 * 7).toDouble / 10000000, 1L))
+        }
+        for (k <- 2 to 4) {
+          val rem = rows.filter(r => !selected.contains(r._2))
+          // inner-join semantics of the oracle's mx CTE: a remaining
+          // candidate participates iff it has a sim row vs some selected
+          val scored = rem.flatMap { r =>
+            val sims = simByQI.getOrElse((q, r._2), Map.empty)
+            val mx = selected.flatMap(sims.get)
+            if (mx.isEmpty) None
+            else Some((r._2, r._3 * 7 - mx.max * 3))
+          }
+          if (scored.nonEmpty) {
+            val (nId, sm) = scored.minBy { case (n, m) => (-m, n) }
+            selected += nId
+            out += ((q, nId, sm.toDouble / 10000000, k.toLong))
+          }
+        }
+      }
+      import s.implicits._
+      out.toSeq.toDF("q_id", "n_id", "score", "mmr_rank")
+        .orderBy("q_id", "mmr_rank")
     },
 
     // ROUGE-1 over the VERIFIED near-dup pairs (round 13): unigram
