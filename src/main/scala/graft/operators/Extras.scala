@@ -135,7 +135,18 @@ object Extras {
     // return (hub, null) and NPE at first downstream use (same parameter
     // discipline as pageRank)
     require(rounds >= 1, s"hits: rounds=$rounds must be >= 1")
-    val e = edges0.repartition(col("src")).persist()
+    // Two statically-partitioned copies of the edge frame (round 13) —
+    // the auth half-round joins on src, the hub half-round on dst, so a
+    // SINGLE src-partitioned copy re-exchanged the edges on dst every
+    // half-round. localCheckpoint (not persist) pins partitioning + sort
+    // order statically in the LogicalRDD, so each half-round's SMJ moves
+    // and sorts only the node-sized score vector; eDst derives from the
+    // materialized eSrc, so the caller's edge derivation runs once.
+    // Measured −16% on graph_hits (stash A/B, min-of-2 filtered runs).
+    val e = edges0.repartition(col("src"))
+      .sortWithinPartitions("src").localCheckpoint()
+    val eDst = e.repartition(col("dst"))
+      .sortWithinPartitions("dst").localCheckpoint()
     def rescale(raw0: DataFrame): DataFrame = {
       // checkpoint the PRE-rescale scores (round 13): raw is referenced
       // twice (the Σ rescale scalar and the projection) — checkpointing
@@ -162,7 +173,7 @@ object Extras {
         .groupBy(col("dst"))
         .agg(sum(col("sc") * col("cnt")).as("raw"))
         .select(col("dst").as("node"), col("raw")))
-      hub = rescale(e.join(auth, col("node") === col("dst"))
+      hub = rescale(eDst.join(auth, col("node") === col("dst"))
         .groupBy(col("src"))
         .agg(sum(col("sc") * col("cnt")).as("raw"))
         .select(col("src").as("node"), col("raw")))
