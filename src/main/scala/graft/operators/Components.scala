@@ -196,8 +196,20 @@ object Components {
         .select(col("b").as("a"), col("m").as("b"))
       sym(kept.unionByName(m.select(col("a"), col("m").as("b"))))
     }
-    var e = sym(edges.select(col("a"), col("b"))).localCheckpoint()
-    var eCount = e.count()
+    // the round's edge count rides the checkpoint materialization via
+    // observe() (round 13 — the propagation loop's idiom): the checkpoint
+    // is already an eager job over this exact plan, so folding the count
+    // in makes each round two jobs (mid + next) instead of three
+    // (mid + next + a separate count scan).
+    def checkpointCounted(df: DataFrame, name: String): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation(name)
+      val out = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      (out, obs.get("n").asInstanceOf[Long])
+    }
+    val (e0, n0) =
+      checkpointCounted(sym(edges.select(col("a"), col("b"))), "star_init")
+    var e = e0
+    var eCount = n0
     var rounds = 0
     var converged = eCount == 0
     while (!converged) {
@@ -205,11 +217,11 @@ object Components {
       // its input three times (min-agg, kept join, union) — uncached, the
       // whole large-star pass would re-execute per reference
       val mid = star(e, large = true).localCheckpoint()
-      val next = star(mid, large = false).localCheckpoint()
+      val (next, nextCount) =
+        checkpointCounted(star(mid, large = false), s"star_round_$rounds")
       rounds += 1
       // fixpoint = identical edge set; frames are deduped, so equal
       // counts + one-sided except suffice for set equality
-      val nextCount = next.count()
       converged = nextCount == eCount && next.exceptAll(e).isEmpty
       e = next
       eCount = nextCount
