@@ -917,16 +917,24 @@ object Tpch {
         |ORDER BY numwait DESC, s_name""".stripMargin) { (s, d) =>
       val o = t(s, d, "orders").where(col("o_orderstatus") === "F")
         .select("o_orderkey", "o_orderdate")
+      // persist: lo feeds both the per-order qualifier and the final
+      // late-row count — unpersisted, the lineitem⋈orders join ran twice
       val lo = t(s, d, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey", "late")
-      val perOrder = lo.groupBy(col("l_orderkey").as("po_orderkey"))
-        .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+        .persist()
+      // two plain aggregates instead of a double countDistinct (no Expand
+      // pass): per (order, supplier) first — n_supp is the row count of
+      // that frame, n_late the count of suppliers with any late line
+      val perOrder = lo
+        .groupBy(col("l_orderkey").as("po_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("any_late"))
+        .groupBy(col("po_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          count(when(col("any_late"), 1)).as("n_late"))
         .where(col("n_supp") >= 2 && col("n_late") === 1)
         .select("po_orderkey")
       val sup = t(s, d, "supplier").select("s_suppkey", "s_name", "s_nationkey")
