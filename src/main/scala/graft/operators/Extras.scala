@@ -1492,8 +1492,7 @@ object Extras {
         |             / (d.degree * count(*)), 6) AS avg_neighbor_degree
         |FROM deg d JOIN nb ON nb.u = d.u
         |GROUP BY d.degree ORDER BY d.degree""".stripMargin) { (s, d) =>
-      val sym = symmetrize(coOrderEdges(s, d, "1997-01-01", "1998-01-01"))
-        .select(col("a").as("u"), col("b").as("v")).persist()
+      val sym = symByV(coOrderEdges(s, d, "1997-01-01", "1998-01-01"))
       val deg = sym.groupBy("u").agg(count(lit(1)).as("degree"))
       val nb = sym
         .join(deg.select(col("u").as("v"), col("degree").as("nd")), Seq("v"))
@@ -1761,8 +1760,7 @@ object Extras {
         |FROM nc JOIN deg da ON da.u = nc.a JOIN deg db ON db.u = nc.b
         |ORDER BY pa_score DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
       val e = coOrderEdges(s, d, "1997-01-01", "1998-01-01").persist()
-      val sym = symmetrize(e).select(col("a").as("u"), col("b").as("v"))
-        .persist()
+      val sym = symByV(e)
       val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
       val s2 = sym.select(col("u").as("u2"), col("v").as("v2"))
       sym.join(s2, col("v") === col("v2") && col("u") < col("u2"))
@@ -2155,9 +2153,28 @@ object Extras {
     * Cache contract: persists the edge frame; callers doing repeated
     * runs should clearCache() when done, as with [[pageRank]].
     */
+  /** Symmetrized adjacency (u, v) pinned at FULL parallelism on the
+    * wedge key v (round 13). The wedge self-join's cost is its OUTPUT
+    * (Σ deg² candidate pairs), which AQE cannot see: it sizes the
+    * join's reduce partitions from the tiny edge-frame input bytes and
+    * coalesced the whole wedge enumeration onto 2 tasks (event-log
+    * evidence: 3.4M wedge rows produced by 2 tasks of ~2 s on 32
+    * cores). An EXPLICIT partition count is a hard constraint AQE will
+    * not coalesce, sized from the session's parallelism (scale-adaptive
+    * — cores of the cluster, not a tuned constant); localCheckpoint
+    * pins it statically so BOTH self-join sides arrive co-partitioned
+    * on v and the join runs exchange-free at full width.
+    */
+  private def symByV(e: DataFrame): DataFrame = {
+    val np = e.sparkSession.sparkContext.defaultParallelism
+    symmetrize(e).select(col("a").as("u"), col("b").as("v"))
+      .persist()
+      .repartition(np, col("v"))
+  }
+
   def commonNeighbors(edges0: DataFrame, k: Int): DataFrame = {
     val e = edges0.persist()
-    val sym = symmetrize(e).select(col("a").as("u"), col("b").as("v"))
+    val sym = symByV(e)
     val s2 = sym.select(col("u").as("u2"), col("v").as("v2"))
     sym.join(s2, col("v") === col("v2") && col("u") < col("u2"))
       .groupBy(col("u").as("a"), col("u2").as("b"))
@@ -2180,8 +2197,7 @@ object Extras {
     */
   def jaccardNeighbors(edges0: DataFrame, k: Int): DataFrame = {
     val e = edges0.persist()
-    val sym = symmetrize(e).select(col("a").as("u"), col("b").as("v"))
-      .persist()
+    val sym = symByV(e)
     val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
     val s2 = sym.select(col("u").as("u2"), col("v").as("v2"))
     sym.join(s2, col("v") === col("v2") && col("u") < col("u2"))
@@ -2210,8 +2226,7 @@ object Extras {
       edges0: DataFrame, k: Int, termMicro: Column => Column,
       scoreName: String): DataFrame = {
     val e = edges0.persist()
-    val sym = symmetrize(e).select(col("a").as("u"), col("b").as("v"))
-      .persist()
+    val sym = symByV(e)
     val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
     val s1 = sym.join(
       deg.select(col("u").as("v"), col("deg").as("dw")), Seq("v"))
